@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Row / table hashing core.
+  *
+  * Re-expresses the reference's hash canonicalization Spark-first:
+  *  - per-row MD5 fingerprint over a '#'-joined canonical string form of each
+  *    column (reference: `TableConnection.php:46-48` generates
+  *    `MD5(CONCAT_WS('#', col1..colN))`);
+  *  - NULL handling: the reference's row-level hash *skips* NULLs (MySQL
+  *    CONCAT_WS semantics), so `[2,NULL,NULL]` and `[NULL,2,NULL]` collide —
+  *    the bug its own comment flags (`TableConnection.php:472-474`). Default
+  *    here is the fixed semantics (`COALESCE(col,'NULL')` per column, matching
+  *    the reference's *table*-level hash, `TableConnection.php:475-477`);
+  *    `legacyNullSkip = true` reproduces reference row-hash behavior.
+  *  - table fingerprint: the reference collapses a table to one MD5 via
+  *    `MD5(GROUP_CONCAT(rowHash))` with **no ORDER BY**
+  *    (`TableConnection.php:483-486`) — order-dependent and not reproducible
+  *    on a distributed engine. We define fingerprints over the row-hash
+  *    *multiset* instead: equal multisets ⇔ equal fingerprints.
+  *
+  * Scale: `rowHash` is pure codegen'd built-ins (md5/concat_ws/coalesce) —
+  * no UDFs, stays inside whole-stage codegen. `tableFingerprint` is a single
+  * ungrouped aggregate with map-side partial aggregation: O(1) result per
+  * partition crosses the shuffle, so it holds at 100 TB. The exact
+  * (sorted-concat) variant is for small/oracle use only.
+  */
+object Hashing {
+
+  val Sep = "#"
+  val NullSentinel = "NULL"
+
+  /** Canonical string form of one column, pinned so that hashes are stable
+    * across engines and runs (the reference delegates to MySQL's text casts).
+    */
+  def canonicalize(c: Column): Column = c.cast(StringType)
+
+  private def canonCols(df: DataFrame, cols: Seq[String], legacyNullSkip: Boolean): Seq[Column] =
+    cols.map { n =>
+      val s = canonicalize(df(n))
+      if (legacyNullSkip) s else coalesce(s, lit(NullSentinel))
+    }
+
+  /** MD5 row fingerprint over `cols` (all non-key data columns, typically). */
+  def rowHash(df: DataFrame, cols: Seq[String], legacyNullSkip: Boolean = false): Column =
+    md5(concat_ws(Sep, canonCols(df, cols, legacyNullSkip): _*))
+
+  /** 64-bit row hash for scale paths (xxhash64 is codegen'd and cheap). */
+  def rowHash64(df: DataFrame, cols: Seq[String]): Column =
+    xxhash64(concat_ws(Sep, canonCols(df, cols, legacyNullSkip = false): _*))
+
+  /** Key + row-hash projection — the engine's central IR (reference spills
+    * this to `master_hashes`/`slave_hashes` side tables, `main.php:27-59`;
+    * here the DataFrame *is* the out-of-core structure, Tungsten spills).
+    */
+  def hashMap(df: DataFrame, keyCols: Seq[String], dataCols: Seq[String],
+              legacyNullSkip: Boolean = false): DataFrame =
+    df.select(keyCols.map(df(_)) :+ rowHash(df, dataCols, legacyNullSkip).as("row_hash"): _*)
+
+  /** Order-insensitive multiset fingerprint aggregates: (count, xor, sum) of
+    * the 64-bit hash of the md5 row-hash. count+xor+sum-mod-2^64 makes
+    * accidental multiset collisions vanishingly unlikely (SURVEY §7.4).
+    * Scales: map-side partial aggregation, constant-size state per group.
+    * Input column must be named `__h64`.
+    */
+  private val TwoPow64 = BigDecimal("18446744073709551616")
+
+  private val fingerprintAggs: Seq[Column] = Seq(
+    count(lit(1)).as("fp_count"),
+    coalesce(expr("bit_xor(__h64)"), lit(0L)).as("fp_xor"),
+    // Sum in decimal(38,0): 1e12 rows × |h|≤9.3e18 stays < 1e38, so this is
+    // ANSI-safe at 100 TB scale; reduce mod 2^64 for a compact stable value.
+    pmod(coalesce(sum(col("__h64").cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0))),
+      lit(TwoPow64)).as("fp_sum"))
+
+  /** Whole-table fingerprint (reference A1, `TableConnection.php:464-501`) as
+    * a single stable string. Equal multisets of rows ⇔ equal fingerprints.
+    */
+  def tableFingerprint(df: DataFrame, cols: Seq[String],
+                       legacyNullSkip: Boolean = false): String = {
+    val row = df.select(xxhash64(rowHash(df, cols, legacyNullSkip)).as("__h64"))
+      .agg(fingerprintAggs.head, fingerprintAggs.tail: _*).head()
+    s"${row.getLong(0)}:${java.lang.Long.toHexString(row.getLong(1))}:${row.getDecimal(2).toBigInteger.toString(16)}"
+  }
+
+  /** Per-partition-value fingerprints (reference A2,
+    * `TableConnection.php:510-547`) — ONE grouped aggregate job for all
+    * partition values instead of the reference's query-per-value loop.
+    */
+  def partitionFingerprints(df: DataFrame, partCol: String, cols: Seq[String],
+                            legacyNullSkip: Boolean = false): DataFrame =
+    df.select(col(partCol), xxhash64(rowHash(df, cols, legacyNullSkip)).as("__h64"))
+      .groupBy(partCol)
+      .agg(fingerprintAggs.head, fingerprintAggs.tail: _*)
+
+  /** Exact, order-canonical fingerprint: md5 of the row-hashes sorted and
+    * concatenated. Byte-stable across engines (DuckDB:
+    * `md5(string_agg(h,'' ORDER BY h))`) — use for oracle checks and small
+    * tables only; memory is O(table) on one node, unlike the multiset
+    * fingerprint above.
+    */
+  def exactFingerprint(df: DataFrame, cols: Seq[String],
+                       legacyNullSkip: Boolean = false): DataFrame =
+    df.select(rowHash(df, cols, legacyNullSkip).as("h"))
+      .agg(md5(concat_ws("", sort_array(collect_list(col("h"))))).as("fingerprint"))
+}

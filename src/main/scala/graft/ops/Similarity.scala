@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: LSH-bucketed
+  * (random-hyperplane sign) candidate generation, exact re-rank within
+  * buckets — the shuffle is on bucket keys, never an all-pairs cross join.
+  * Dot products are `zip_with` + `aggregate` higher-order expressions
+  * evaluated natively per row (no UDF, no driver collect).
+  */
+object Similarity {
+
+  /** Dot product of two array<float/double> columns (left-to-right fold —
+    * deterministic summation order, so results are bit-stable).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n === 0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Exact brute-force top-k: for each row of `queries`, the k nearest
+    * `corpus` rows by cosine. `queries` is broadcast (it is the small side);
+    * the corpus is scanned once, fully parallel; per-query top-k is a
+    * window over (query, sim) — at scale prefer `qIdCol`-partitioned
+    * aggregation, which this is.
+    *
+    * Ties broken by corpus id for determinism.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qIdCol: String = "q_id", qVecCol: String = "q_vec",
+                     cIdCol: String = "vec_id", cVecCol: String = "embedding"): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .select(col(qIdCol), col(cIdCol),
+        cosine(col(qVecCol), col(cVecCol)).as("sim"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col(cIdCol))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `nPlanes` × `dim` components in
+    * [-1, 1), derived from a splitmix-style integer mix of (plane, i) — the
+    * standard public-domain splitmix64 finalizer, so buckets are stable
+    * across runs/engines.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      val h = mix(seed * 0x100000001b3L + p * 65537L + i)
+      (h.toDouble / Long.MaxValue.toDouble)
+    }
+  }
+
+  /** Sign-bit LSH bucket id: one bit per hyperplane (≤ 63 planes). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (hp, i) =>
+      val hpCol = array(hp.map(lit): _*)
+      when(dot(vec, hpCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: candidates = corpus vectors sharing the query's
+    * bucket in ANY of `tables` independent hash tables; exact cosine re-rank
+    * within candidates. Recall grows with tables; cost stays ~linear because
+    * the join key is (table, bucket).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nPlanes: Int = 12, tables: Int = 4, dim: Int = 64,
+              qIdCol: String = "q_id", qVecCol: String = "q_vec",
+              cIdCol: String = "vec_id", cVecCol: String = "embedding"): DataFrame = {
+    def bucketed(df: DataFrame, vecCol: String, idCols: Seq[String]): DataFrame = {
+      val tabs = (0 until tables).map { t =>
+        val planes = hyperplanes(nPlanes, dim, seed = 42L + t)
+        struct(lit(t).as("t"), lshBucket(col(vecCol), planes).as("b"))
+      }
+      df.select(idCols.map(col) :+ col(vecCol) :+ explode(array(tabs: _*)).as("bucket"): _*)
+    }
+    val cB = bucketed(corpus, cVecCol, Seq(cIdCol))
+    val qB = bucketed(queries, qVecCol, Seq(qIdCol))
+    val cands = cB.join(broadcast(qB), Seq("bucket"))
+      .select(col(qIdCol), col(qVecCol), col(cIdCol), col(cVecCol))
+      .dropDuplicates(qIdCol, cIdCol)
+    val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col(cIdCol))
+    cands.withColumn("sim", cosine(col(qVecCol), col(cVecCol)))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(qIdCol), col(cIdCol), col("sim"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus against
+    * itself (single table, more planes → high precision buckets), exact
+    * cosine within buckets, keep pairs ≥ threshold.
+    */
+  def cosineNearDups(corpus: DataFrame, threshold: Double,
+                     nPlanes: Int = 8, tables: Int = 6, dim: Int = 64,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tabs = (0 until tables).map { t =>
+      val planes = hyperplanes(nPlanes, dim, seed = 1042L + t)
+      struct(lit(t).as("t"), lshBucket(col(vecCol), planes).as("b"))
+    }
+    val b = corpus.select(col(idCol), col(vecCol), explode(array(tabs: _*)).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * All pure `org.apache.spark.sql.functions` / higher-order-function
+  * expressions — no UDFs, so everything stays native Catalyst (codegen or
+  * vectorized expression eval), scans stay column-pruned, and the ops
+  * distribute trivially: per-row map work with zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. `split` on a trimmed string; empty text → []. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-pieces + digits + punctuation runs, the
+    * usual ~heuristic for LLM token estimation (chars/4 bounded by words).
+    */
+  def approxBpeTokenCount(text: Column): Column = {
+    // pieces: letter runs of <=4 chars count 1; longer words ceil(len/4);
+    // digits/punct count per char-run.
+    val words = tokens(text)
+    aggregate(words, lit(0L),
+      (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
+  }
+
+  /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    val punct = total - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    when(total === 0, lit(0.0)).otherwise(punct.cast("double") / total.cast("double"))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** English-ish stopword ratio — a standard quality signal. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "be", "this", "are", "was")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = tokens(lower(text))
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_intersect(toks, sw)).cast("double") / size(toks).cast("double"))
+      // NB array_intersect dedups; ratio of *distinct* stopwords present is a
+      // stable signal and cheap. Exact hit-count variant: filter + size.
+  }
+
+  /** Exact stopword hit fraction (counts repeats, unlike stopwordRatio). */
+  def stopwordHitRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = tokens(lower(text))
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => array_contains(sw, t))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence −
+    * punctuation excess. Deterministic, tunable; the point is the *shape*
+    * (pure column expression → free pushdown + codegen).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0)) * 0.4
+    val swScore = least(stopwordHitRatio(text) * 4.0, lit(1.0)) * 0.4
+    val punctPenalty = least(punctRatio(text) * 2.0, lit(0.2))
+    greatest(lit(0.0), lenScore + swScore + lit(0.2) - punctPenalty)
+  }
+
+  /** Language-ID by marker-token voting: argmax over per-language stopword
+    * hit counts (classic n-gram/profile heuristic, collapsed to tokens).
+    * Returns "und" when nothing matches.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "para", "que"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
+  def langId(text: Column, markers: Map[String, Seq[String]] = LangMarkers): Column = {
+    val toks = tokens(lower(text))
+    // struct(score, negIdxTieBreak, lang) → array_max picks highest score,
+    // ties broken by language code order (deterministic).
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      val sw = array(ws.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(sw, t))).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Word k-shingles: sliding k-grams over the token array — the input to
+    * MinHash / fingerprinting. Text shorter than k words → single shingle of
+    * the whole text.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) <= k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** Document fingerprint: min-hash over k-shingles (one 64-bit value — the
+    * rolling-hash/winnowing family collapsed to its cheapest useful member).
+    * Equal fingerprints ⇒ candidate near-dups.
+    */
+  def docFingerprint(text: Column, k: Int = 5): Column =
+    array_min(transform(shingles(text, k), s => xxhash64(s)))
+}

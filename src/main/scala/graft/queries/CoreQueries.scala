@@ -1,0 +1,256 @@
+package graft.queries
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator corpus: one oracle-checked query per operator in
+  * SURVEY §2 (scans, filters, anti/semi joins, set ops, fingerprint
+  * aggregations) plus analytic extension queries (joins, windows, rollup).
+  */
+object CoreQueries {
+  import Registry.{table => T, duckRowHash}
+
+  private val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** The synthetic master/slave divergence used by the diff-operator oracles:
+    * slave = master minus every 7th order, with quantity bumped on every 13th
+    * order (an update → shows up in both anti-join directions).
+    */
+  private def slaveView(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 7 =!= 0)
+      .withColumn("l_quantity",
+        when(col("l_orderkey") % 13 === 0, col("l_quantity") + 1.0)
+          .otherwise(col("l_quantity")))
+
+  private val slaveSql: String =
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+      |  CASE WHEN l_orderkey % 13 = 0 THEN l_quantity + 1.0 ELSE l_quantity END AS l_quantity,
+      |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+      |FROM lineitem WHERE l_orderkey % 7 <> 0""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // ---- S5: full scan (reference fetchAllRows, TableConnection.php:218-231)
+    Q("s5_full_scan",
+      (s, dir) => T(s, dir, "region"),
+      Some("SELECT r_regionkey, r_name FROM region")),
+
+    // ---- S7: keyed batch lookup (TableConnection.php:177-209)
+    Q("s7_keyed_lookup",
+      (s, dir) => T(s, dir, "customer")
+        .filter(col("c_custkey").isin(1L, 5L, 9L, 23L, 42L, 77L, 104L, 131L))
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+      Some("SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer " +
+        "WHERE c_custkey IN (1,5,9,23,42,77,104,131)")),
+
+    // ---- S8/A4: count (TableConnection.php:712-720)
+    Q("s8_count",
+      (s, dir) => T(s, dir, "lineitem").agg(count(lit(1)).as("cnt")),
+      Some("SELECT count(*) AS cnt FROM lineitem")),
+
+    // ---- P1: hash projection — the engine's central IR
+    //      (TableConnection.php:46-51), NULL-fixed variant
+    Q("p1_hash_projection",
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+        Hashing.hashMap(li, Seq("l_orderkey", "l_linenumber"), liCols)
+      },
+      Some(s"SELECT l_orderkey, l_linenumber, ${duckRowHash(liCols)} AS row_hash FROM lineitem")),
+
+    // ---- P2: partition-value equality filter (TableConnection.php:121)
+    Q("p2_eq_filter",
+      (s, dir) => T(s, dir, "lineitem").filter(col("l_orderkey") === 42)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice " +
+        "FROM lineitem WHERE l_orderkey = 42")),
+
+    // ---- P3: composite-key tuple-IN filter (TableConnection.php:193-194)
+    Q("p3_tuple_in",
+      (s, dir) => {
+        val keys = s.createDataFrame(Seq((1L, 1), (2L, 1), (3L, 2), (5L, 1), (8L, 3)))
+          .toDF("l_orderkey", "l_linenumber")
+        T(s, dir, "lineitem").join(broadcast(keys), Seq("l_orderkey", "l_linenumber"), "left_semi")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      },
+      Some("SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem " +
+        "WHERE (l_orderkey, l_linenumber) IN ((1,1),(2,1),(3,2),(5,1),(8,3))")),
+
+    // ---- P4: regex name filter (Synchronizer.php:300-320)
+    Q("p4_regex_filter",
+      (s, dir) => T(s, dir, "part")
+        .filter(col("p_name").rlike("^(small|large) ") && !col("p_brand").rlike("#1[0-9]$"))
+        .select("p_partkey", "p_name", "p_brand"),
+      Some("SELECT p_partkey, p_name, p_brand FROM part " +
+        "WHERE regexp_matches(p_name, '^(small|large) ') AND NOT regexp_matches(p_brand, '#1[0-9]$')")),
+
+    // ---- J1: anti-join on content hash — missing rows (Synchronizer.php:446-524)
+    Q("j1_anti_missing",
+      (s, dir) => {
+        val mh = Hashing.hashMap(T(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"), liCols)
+        val sh = Hashing.hashMap(slaveView(s, dir), Seq("l_orderkey", "l_linenumber"), liCols)
+        mh.join(sh.select("row_hash").distinct(), Seq("row_hash"), "left_anti")
+          .select("l_orderkey", "l_linenumber")
+      },
+      Some(s"""WITH slave AS ($slaveSql),
+               | mh AS (SELECT l_orderkey, l_linenumber, ${duckRowHash(liCols)} AS h FROM lineitem),
+               | sh AS (SELECT ${duckRowHash(liCols)} AS h FROM slave)
+               |SELECT l_orderkey, l_linenumber FROM mh WHERE h NOT IN (SELECT h FROM sh)""".stripMargin)),
+
+    // ---- J2: anti-join on content hash — excess rows (Synchronizer.php:531-583)
+    Q("j2_anti_excess",
+      (s, dir) => {
+        val mh = Hashing.hashMap(T(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"), liCols)
+        val sh = Hashing.hashMap(slaveView(s, dir), Seq("l_orderkey", "l_linenumber"), liCols)
+        sh.join(mh.select("row_hash").distinct(), Seq("row_hash"), "left_anti")
+          .select("l_orderkey", "l_linenumber")
+      },
+      Some(s"""WITH slave AS ($slaveSql),
+               | mh AS (SELECT ${duckRowHash(liCols)} AS h FROM lineitem),
+               | sh AS (SELECT l_orderkey, l_linenumber, ${duckRowHash(liCols)} AS h FROM slave)
+               |SELECT l_orderkey, l_linenumber FROM sh WHERE h NOT IN (SELECT h FROM mh)""".stripMargin)),
+
+    // ---- J3: semi-join keyed fetch of full rows (TableConnection.php:177-209)
+    Q("j3_semi_fetch",
+      (s, dir) => {
+        val m = T(s, dir, "lineitem")
+        val mh = Hashing.hashMap(m, Seq("l_orderkey", "l_linenumber"), liCols)
+        val sh = Hashing.hashMap(slaveView(s, dir), Seq("l_orderkey", "l_linenumber"), liCols)
+        val missing = mh.join(sh.select("row_hash").distinct(), Seq("row_hash"), "left_anti")
+          .select("l_orderkey", "l_linenumber")
+        m.join(broadcast(missing), Seq("l_orderkey", "l_linenumber"), "left_semi")
+      },
+      Some(s"""WITH slave AS ($slaveSql),
+               | mh AS (SELECT l_orderkey, l_linenumber, ${duckRowHash(liCols)} AS h FROM lineitem),
+               | sh AS (SELECT ${duckRowHash(liCols)} AS h FROM slave),
+               | missing AS (SELECT l_orderkey, l_linenumber FROM mh WHERE h NOT IN (SELECT h FROM sh))
+               |SELECT l.* FROM lineitem l
+               |WHERE EXISTS (SELECT 1 FROM missing m
+               |  WHERE m.l_orderkey = l.l_orderkey AND m.l_linenumber = l.l_linenumber)""".stripMargin)),
+
+    // ---- E1: except (Synchronizer.php:47-49 driver set-algebra, as data op)
+    Q("e1_except",
+      (s, dir) => T(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .except(T(s, dir, "supplier").select(col("s_nationkey").as("k"))),
+      Some("SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier")),
+
+    // ---- E3: intersect (Synchronizer.php:149)
+    Q("e3_intersect",
+      (s, dir) => T(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .intersect(T(s, dir, "supplier").select(col("s_nationkey").as("k"))),
+      Some("SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier")),
+
+    // ---- A1: whole-table fingerprint, exact order-canonical variant
+    //      (TableConnection.php:464-501; order-insensitive by construction)
+    Q("a1_table_fingerprint",
+      (s, dir) => Hashing.exactFingerprint(T(s, dir, "lineitem"), liCols),
+      Some(s"""SELECT md5(string_agg(h, '' ORDER BY h)) AS fingerprint FROM
+               | (SELECT ${duckRowHash(liCols)} AS h FROM lineitem)""".stripMargin)),
+
+    // ---- A2: per-partition fingerprints, one grouped pass
+    //      (TableConnection.php:510-547)
+    Q("a2_partition_fingerprints",
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+        li.select(col("l_returnflag"), Hashing.rowHash(li, liCols).as("h"))
+          .groupBy("l_returnflag")
+          .agg(md5(concat_ws("", sort_array(collect_list(col("h"))))).as("fingerprint"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some(s"""SELECT l_returnflag, md5(string_agg(h, '' ORDER BY h)) AS fingerprint,
+               | count(*) AS n_rows FROM
+               | (SELECT l_returnflag, ${duckRowHash(liCols)} AS h FROM lineitem)
+               |GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- A3: distinct partition values (Synchronizer.php:128-145)
+    Q("a3_distinct",
+      (s, dir) => T(s, dir, "orders").select(col("o_orderpriority").as("part_value")).distinct(),
+      Some("SELECT DISTINCT o_orderpriority AS part_value FROM orders")),
+
+    // ---- Q1: TPC-H Q1-style grouped aggregation (extension corpus).
+    //      Decimal-exact arithmetic, surfaced as double for cross-engine parity.
+    Q("q1_agg",
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+        val qty = col("l_quantity").cast("decimal(12,2)")
+        val price = col("l_extendedprice").cast("decimal(12,2)")
+        val disc = col("l_discount").cast("decimal(12,2)")
+        val tax = col("l_tax").cast("decimal(12,2)")
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+          sum(qty).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_base_price"),
+          sum(price * (lit(1).cast("decimal(12,2)") - disc)).cast("double").as("sum_disc_price"),
+          sum(price * (lit(1).cast("decimal(12,2)") - disc) * (lit(1).cast("decimal(12,2)") + tax))
+            .cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+              | cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty,
+              | cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS sum_base_price,
+              | cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) as double) AS sum_disc_price,
+              | cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2))) * (cast(1 as decimal(12,2)) + cast(l_tax as decimal(12,2)))) as double) AS sum_charge,
+              | count(*) AS count_order
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- Q3: 3-way join + grouped revenue + deterministic top-k
+    Q("q3_join_topk",
+      (s, dir) => {
+        val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = T(s, dir, "orders")
+        val li = T(s, dir, "lineitem")
+        val rev = col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey")
+          .agg(sum(rev).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+              | cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) as double) AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // ---- window function: top order per customer (extension corpus)
+    Q("q_window_top_order",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        T(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              | SELECT o_custkey, o_orderkey, o_totalprice,
+              |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              | FROM orders) WHERE rn = 1""".stripMargin)),
+
+    // ---- rollup (grouping-set family, extension corpus)
+    Q("q_rollup",
+      (s, dir) => T(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              | cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty
+              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ---- time-bucketed aggregation over the events table
+    Q("q_events_hourly",
+      (s, dir) => Registry.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value")),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+              | cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
+              |FROM events GROUP BY 1, 2""".stripMargin))
+  )
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming corpus: the reference's raison d'être is iterative
+  * re-sync (README.md:24); its Spark-native form is a micro-batch streaming
+  * pipeline. These queries run a real `readStream → writeStream` cycle
+  * synchronously (Trigger.AvailableNow + memory sink), so the streaming
+  * plumbing — source schema inference, watermark, windowed state — is
+  * exercised in the verify gate, with batch-SQL oracles.
+  */
+object StreamingQueries {
+  import Registry.{table => T}
+
+  def all: Seq[Q] = Seq(
+
+    // Tumbling-window (1 h) counts per event type, computed by a streaming
+    // query over the events parquet. Oracle = the equivalent batch aggregate.
+    Q("stream_hourly_counts",
+      (s, dir) => {
+        val src = Registry.eventsStream(s, dir)
+        val agg = src
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+          .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+        val qname = "graft_stream_hourly"
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qname)
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+              | cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
+              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Stateful sessionization-lite: per-user event counts and value totals
+    // via a streaming aggregation (state store exercised), batch oracle.
+    Q("stream_user_totals",
+      (s, dir) => {
+        val src = Registry.eventsStream(s, dir)
+        val agg = src.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+        val qname = "graft_stream_user"
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qname)
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+              | cast(sum(cast(value as decimal(12,2))) as double) AS total_value
+              |FROM events GROUP BY user_id""".stripMargin))
+  )
+}

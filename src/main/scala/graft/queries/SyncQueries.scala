@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.functions.Hashing
+import graft.sync.{ParquetStore, SyncConfig, SyncEngine}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end sync-engine queries: run the full C2 cascade (schema compare →
+  * fingerprint short-circuit → hash diff → delta apply) against a perturbed
+  * copy and prove convergence by fingerprint. The oracle is the *master's*
+  * fingerprint — converged slave ≡ master, so the engine's output must
+  * hash-match SQL computed on the master alone.
+  */
+object SyncQueries {
+  import Registry.{table => T, duckRowHash}
+
+  private val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** Build a scratch slave dir holding a perturbed lineitem: rows of every
+    * 7th order dropped, quantity bumped on every 13th, plus 3 fabricated
+    * excess rows (deletes + inserts + updates all exercised).
+    */
+  private def makeSlaveDir(s: SparkSession, dir: String, tag: String): String = {
+    val out = java.nio.file.Files.createTempDirectory(s"graft_slave_$tag").toString
+    val li = T(s, dir, "lineitem")
+    val perturbed = li.filter(col("l_orderkey") % 7 =!= 0)
+      .withColumn("l_quantity",
+        when(col("l_orderkey") % 13 === 0, col("l_quantity") + 1.0).otherwise(col("l_quantity")))
+    val excess = li.limit(3)
+      .withColumn("l_orderkey", col("l_orderkey") + 1000000L)
+    perturbed.unionByName(excess)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+    out
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // Full sync convergence: returns the slave's post-sync exact fingerprint
+    // + row count; oracle computes the same on the master (they must agree).
+    Q("sync_converge",
+      (s, dir) => {
+        val slaveDir = makeSlaveDir(s, dir, "conv")
+        val master = new ParquetStore(s, dir)
+        val slave = new ParquetStore(s, slaveDir)
+        val engine = new SyncEngine(master, slave, SyncConfig(
+          primaryKeys = Map("lineitem" -> Seq("l_orderkey", "l_linenumber"))))
+        engine.syncTable("lineitem")
+        val synced = slave.read("lineitem")
+        Hashing.exactFingerprint(synced, liCols)
+          .crossJoin(synced.agg(count(lit(1)).as("n_rows")))
+      },
+      Some(s"""SELECT md5(string_agg(h, '' ORDER BY h)) AS fingerprint, count(*) AS n_rows
+               |FROM (SELECT ${duckRowHash(liCols)} AS h FROM lineitem)""".stripMargin)),
+
+    // Key-aware diff variant (SURVEY §2.3 J1 note): same convergence proof
+    // through Differ.keyDiff (full-outer on the key struct).
+    Q("sync_converge_keydiff",
+      (s, dir) => {
+        val slaveDir = makeSlaveDir(s, dir, "keyd")
+        val master = new ParquetStore(s, dir)
+        val slave = new ParquetStore(s, slaveDir)
+        val engine = new SyncEngine(master, slave, SyncConfig(
+          primaryKeys = Map("lineitem" -> Seq("l_orderkey", "l_linenumber")),
+          keyAwareDiff = true))
+        engine.syncTable("lineitem")
+        val synced = slave.read("lineitem")
+        Hashing.exactFingerprint(synced, liCols)
+          .crossJoin(synced.agg(count(lit(1)).as("n_rows")))
+      },
+      Some(s"""SELECT md5(string_agg(h, '' ORDER BY h)) AS fingerprint, count(*) AS n_rows
+               |FROM (SELECT ${duckRowHash(liCols)} AS h FROM lineitem)""".stripMargin)),
+
+    // Partitioned-table cascade (C3/C4): lineitem logically partitioned by
+    // l_orderkey, same convergence proof through the grouped-fingerprint path.
+    Q("sync_converge_partitioned",
+      (s, dir) => {
+        val slaveDir = makeSlaveDir(s, dir, "part")
+        val master = new ParquetStore(s, dir)
+        val slave = new ParquetStore(s, slaveDir)
+        val engine = new SyncEngine(master, slave, SyncConfig(
+          primaryKeys = Map("lineitem" -> Seq("l_orderkey", "l_linenumber")),
+          partitionedTables = Map("lineitem" -> "l_orderkey")))
+        engine.syncTable("lineitem")
+        val synced = slave.read("lineitem")
+        Hashing.exactFingerprint(synced, liCols)
+          .crossJoin(synced.agg(count(lit(1)).as("n_rows")))
+      },
+      Some(s"""SELECT md5(string_agg(h, '' ORDER BY h)) AS fingerprint, count(*) AS n_rows
+               |FROM (SELECT ${duckRowHash(liCols)} AS h FROM lineitem)""".stripMargin))
+  )
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Dedup + text-analysis corpus over the `documents` table (the LLM-pipeline
+  * extension ops). Oracle-checked where ANSI-SQL-expressible; the
+  * xxhash64-based signatures (MinHash/SimHash/LSH) have no DuckDB equivalent
+  * and get rows-only checks, with their *exact-verification* stages (Jaccard,
+  * Hamming) oracle-checked through md5-based variants instead.
+  */
+object TextQueries {
+  import Registry.{table => T}
+
+  def all: Seq[Q] = Seq(
+
+    // ---- exact dedup: representative + multiplicity per content hash
+    Q("dedup_exact",
+      (s, dir) => Dedup.exactDuplicates(T(s, dir, "documents"), "doc_id", Seq("text")),
+      Some("""SELECT md5(coalesce(cast(text as varchar),'NULL')) AS content_hash,
+              | min(doc_id) AS keep_id, count(*) AS n_copies
+              |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ---- exact dedup: surviving rows
+    Q("dedup_exact_keep",
+      (s, dir) => Dedup.dedupExact(T(s, dir, "documents"), "doc_id", Seq("text"))
+        .select("doc_id", "lang", "source"),
+      Some("""SELECT doc_id, lang, source FROM documents
+              |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(coalesce(cast(text as varchar),'NULL')))""".stripMargin)),
+
+    // ---- token counting: whitespace + BPE-ish estimate
+    Q("text_token_stats",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        d.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.approxBpeTokenCount(col("text")).as("n_bpe_tokens"),
+          length(col("text")).cast("long").as("n_chars_actual"))
+      },
+      Some("""SELECT doc_id,
+              | CASE WHEN length(trim(text)) = 0 THEN 0
+              |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END::bigint AS n_tokens,
+              | CASE WHEN length(trim(text)) = 0 THEN 0
+              |      ELSE list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+              |           w -> cast(ceil(length(w) / 4.0) as bigint))) END::bigint AS n_bpe_tokens,
+              | length(text)::bigint AS n_chars_actual
+              |FROM documents""".stripMargin)),
+
+    // ---- quality signals: pure integer-ratio doubles (bit-stable cross-engine)
+    Q("text_quality",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        d.select(col("doc_id"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.stopwordHitRatio(col("text")).as("stopword_ratio"),
+          TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"))
+      },
+      Some(s"""SELECT doc_id,
+               | CASE WHEN length(text) = 0 THEN 0.0
+               |   ELSE cast(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) as double) / cast(length(text) as double) END AS punct_ratio,
+               | CASE WHEN length(trim(text)) = 0 THEN 0.0
+               |   ELSE cast(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+               |        t -> list_contains(${duckList(TextAnalysis.EnglishStopwords)}, t))) as double)
+               |        / cast(len(regexp_split_to_array(trim(lower(text)), '\\s+')) as double) END AS stopword_ratio,
+               | CASE WHEN length(trim(text)) = 0 THEN 0.0
+               |   ELSE cast(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> length(w))) as double)
+               |        / cast(len(regexp_split_to_array(trim(text), '\\s+')) as double) END AS mean_token_len
+               |FROM documents""".stripMargin)),
+
+    // ---- language-ID by marker voting, explicit CASE tie-break in both engines
+    Q("text_langid",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val toks = TextAnalysis.tokens(lower(col("text")))
+        val scores = TextAnalysis.LangMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+          val sw = array(ws.map(lit): _*)
+          lang -> size(filter(toks, t => array_contains(sw, t)))
+        }
+        val maxScore = greatest(scores.map(_._2): _*)
+        // first language (in code order) achieving the max — same CASE order
+        // as the oracle below
+        val pred = scores.foldLeft(when(maxScore <= 0, "und")) { case (acc, (lang, sc)) =>
+          acc.when(sc === maxScore, lang)
+        }.otherwise("und")
+        d.select(col("doc_id") +: pred.as("lang_pred") +:
+          scores.map { case (l, sc) => sc.cast("long").as(s"score_$l") }: _*)
+      },
+      Some {
+        val langs = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
+        val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+        val scoreExprs = langs.map { case (lang, ws) =>
+          s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(list_filter($toks, t -> list_contains(${duckList(ws)}, t))) END"
+        }
+        val scoreCols = langs.zip(scoreExprs).map { case ((l, _), e) => s"$e::bigint AS score_$l" }
+        val maxE = s"greatest(${scoreExprs.mkString(", ")})"
+        val caseE = langs.zip(scoreExprs).map { case ((l, _), e) => s"WHEN $e = m THEN '$l'" }
+        s"""SELECT doc_id,
+           | CASE WHEN m <= 0 THEN 'und' ${caseE.mkString(" ")} ELSE 'und' END AS lang_pred,
+           | ${scoreCols.mkString(", ")}
+           |FROM (SELECT doc_id, text, $maxE AS m FROM documents)""".stripMargin
+      }),
+
+    // ---- document fingerprint: min-md5 over 5-word shingles (oracle-able
+    //      md5 variant of TextAnalysis.docFingerprint)
+    Q("text_fingerprint",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        d.select(col("doc_id"),
+          array_min(transform(TextAnalysis.shingles(col("text"), 5), x => md5(x))).as("min_shingle_md5"))
+      },
+      Some("""SELECT doc_id,
+              | CASE WHEN len(words) <= 5 THEN md5(array_to_string(words, ' '))
+              |   ELSE list_min(list_transform(range(1, len(words) - 3),
+              |        i -> md5(array_to_string(words[i:i+4], ' ')))) END AS min_shingle_md5
+              |FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |      ELSE regexp_split_to_array(trim(text), '\s+') END AS words FROM documents)""".stripMargin)),
+
+    // ---- MinHash + LSH near-dup pairs (xxhash64 signatures: rows-only check)
+    Q("dedup_minhash_pairs",
+      (s, dir) => Dedup.minhashNearDups(T(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4),
+      None),
+
+    // ---- SimHash per doc + near-dup candidates (rows-only)
+    Q("dedup_simhash",
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash")),
+      None),
+
+    // ---- exact n-gram Jaccard on a bounded id range — oracle-checked
+    Q("dedup_jaccard_exact",
+      (s, dir) => {
+        val docs = T(s, dir, "documents").filter(col("doc_id") < 40)
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleK = 3, threshold = 0.05)
+          .withColumn("jaccard", round(col("jaccard"), 6))
+      },
+      Some("""WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
+              |   ELSE list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')) END) AS sh
+              |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |        ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+              |        FROM documents WHERE doc_id < 40))
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              | round(cast(len(list_intersect(a.sh, b.sh)) as double) /
+              |   cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double), 6) AS jaccard
+              |FROM d a JOIN d b ON a.doc_id < b.doc_id
+              |WHERE cast(len(list_intersect(a.sh, b.sh)) as double) /
+              |   cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double) >= 0.05""".stripMargin))
+  )
+
+  private def duckList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+}

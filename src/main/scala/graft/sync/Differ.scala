@@ -1,0 +1,99 @@
+package graft.sync
+
+import graft.functions.Hashing
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The delta needed to converge slave → master.
+  * `deletes`: key tuples to remove from slave (reference J2,
+  * `Synchronizer.php:531-583`); `inserts`: full master rows to add (J1+J3,
+  * `Synchronizer.php:446-524`). Application order is delete-then-insert —
+  * an invariant, because an updated row appears in both sets (C7 guard,
+  * `Synchronizer.php:495-501`).
+  */
+final case class Delta(deletes: DataFrame, inserts: DataFrame, keyCols: Seq[String]) {
+  lazy val isEmpty: Boolean = deletes.isEmpty && inserts.isEmpty
+}
+
+/** Hash-based diff core (SURVEY §7.2 M2).
+  *
+  * Scale notes: each side is reduced to (key, row_hash) — a narrow projection
+  * that parquet/JDBC scans prune to — then two anti-joins on `row_hash`.
+  * Catalyst plans these as broadcast-hash when one side is small, else
+  * sort-merge with AQE skew handling; nothing is collected to the driver.
+  * The insert side re-reads only matching master rows via a semi-join whose
+  * key list is usually tiny relative to the table (broadcast).
+  */
+object Differ {
+
+  /** Reference-faithful diff: rows match if their *content hash* matches,
+    * regardless of key (J1 note in SURVEY §2.3: an updated row shows up as
+    * delete+insert; duplicate-content rows with distinct keys are NOT
+    * distinguished — `NOT IN` set semantics). `legacyNullSkip` reproduces the
+    * reference row-hash NULL bug when true.
+    */
+  def hashDiff(master: DataFrame, slave: DataFrame, keyCols: Seq[String],
+               legacyNullSkip: Boolean = false): Delta = {
+    val dataCols = master.columns.toSeq
+    val mh = Hashing.hashMap(master, keyCols, dataCols, legacyNullSkip)
+    val sh = Hashing.hashMap(slave, keyCols, dataCols, legacyNullSkip)
+    // J2: slave rows whose content is absent from master → delete keys
+    val deletes = sh.join(mh.select("row_hash").distinct(), Seq("row_hash"), "left_anti")
+      .select(keyCols.map(col): _*)
+    // J1: master rows whose content is absent from slave → keys to copy
+    val missingKeys = mh.join(sh.select("row_hash").distinct(), Seq("row_hash"), "left_anti")
+      .select(keyCols.map(col): _*)
+    // J3: keyed fetch of full rows (left_semi; broadcast the small key list)
+    val inserts = master.join(broadcast(missingKeys), keyCols, "left_semi")
+    Delta(deletes, inserts, keyCols)
+  }
+
+  /** Key-aware diff — the correct-by-construction variant (SURVEY §2.3 J1
+    * note): full-outer join on the key struct; a key present on both sides
+    * with differing content hash is an update (delete+insert), master-only
+    * keys are inserts, slave-only keys are deletes. Handles duplicate-content
+    * rows the reference mishandles. One shuffle per side on the key columns.
+    */
+  def keyDiff(master: DataFrame, slave: DataFrame, keyCols: Seq[String]): Delta = {
+    val dataCols = master.columns.toSeq
+    val mh = Hashing.hashMap(master, keyCols, dataCols).withColumnRenamed("row_hash", "m_hash")
+    val sh = Hashing.hashMap(slave, keyCols, dataCols).withColumnRenamed("row_hash", "s_hash")
+    val joined = mh.join(sh, keyCols, "full_outer").cache()
+    val deletes = joined
+      .filter(col("s_hash").isNotNull && !(col("m_hash") <=> col("s_hash")))
+      .select(keyCols.map(col): _*)
+    val missingKeys = joined
+      .filter(col("m_hash").isNotNull && !(col("m_hash") <=> col("s_hash")))
+      .select(keyCols.map(col): _*)
+    val inserts = master.join(missingKeys, keyCols, "left_semi")
+    Delta(deletes, inserts, keyCols)
+  }
+
+  /** Apply a delta to `table` in `store`: deletes first, then inserts (C7/C8).
+    *
+    * The delta is SPILLED to scratch parquet before any mutation — both its
+    * legs are lazy plans over the slave's *current* files, which the delete
+    * rewrite invalidates. This mirrors the reference's out-of-core hash side
+    * tables (`main.php:27-59`): the materialized delta is the engine's
+    * restart point, never driver memory.
+    */
+  def applyDelta(store: TableStore, table: String, delta: Delta): Unit = {
+    // Delete-before-insert is mandatory: an update's key is in both sets, and
+    // under partition sync a row may have moved partitions (Synchronizer.php:495-501).
+    val delKeys = delta.deletes.union(delta.inserts.select(delta.keyCols.map(col): _*)).distinct()
+    val scratch = java.nio.file.Files.createTempDirectory("graft_delta").toString
+    val spark = delta.inserts.sparkSession
+    try {
+      delKeys.write.parquet(s"$scratch/deletes")
+      delta.inserts.write.parquet(s"$scratch/inserts")
+      store.deleteKeys(table, spark.read.parquet(s"$scratch/deletes"), delta.keyCols)
+      store.append(table, spark.read.parquet(s"$scratch/inserts"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(scratch))
+    }
+  }
+}

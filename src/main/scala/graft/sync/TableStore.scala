@@ -1,0 +1,90 @@
+package graft.sync
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Storage abstraction the sync engine runs against (SURVEY §7.1).
+  *
+  * The reference hard-codes MySQL (`DatabaseConnection.php`); here catalog +
+  * DDL + data movement go through this trait so the same diff/merge DAG runs
+  * against parquet directories (test/bench) or a JDBC database (parity).
+  * Only catalog/DDL are imperative; all data movement is DataFrames.
+  */
+trait TableStore {
+  def spark: SparkSession
+
+  /** Catalog scan (S1; reference `DatabaseConnection.php:48-64` SHOW TABLES). */
+  def list(): Seq[String]
+  /** Full scan (S5). */
+  def read(table: String): DataFrame
+  /** Schema scan (S2/S4). */
+  def schemaOf(table: String): StructType = read(table).schema
+  /** DDL sink: drop (S12; `DatabaseConnection.php:95-100`). */
+  def drop(table: String): Unit
+  /** Full copy (C5; `Synchronizer.php:330-354`) — overwrite `table` with df. */
+  def overwrite(table: String, df: DataFrame): Unit
+  /** Bulk insert sink (S9; `TableConnection.php:289-360`). */
+  def append(table: String, df: DataFrame): Unit
+  /** Keyed delete sink (S10; `TableConnection.php:367-387`): remove rows whose
+    * key-tuple appears in `keys` (a DataFrame of exactly `keyCols`).
+    */
+  def deleteKeys(table: String, keys: DataFrame, keyCols: Seq[String]): Unit
+  /** Delete a whole logical partition (C4 excess-partition delete,
+    * `Synchronizer.php:166-175`).
+    */
+  def deleteWhere(table: String, partCol: String, value: Any): Unit
+}
+
+/** Parquet-directory store: each table is `<dir>/<name>.parquet`.
+  *
+  * Deletes are copy-on-write rewrites (anti-join + overwrite) — the same
+  * model Delta/Iceberg use; at cluster scale the rewrite is partition-pruned
+  * by the table's physical layout, and the anti-join broadcasts the key set
+  * when small.
+  */
+final class ParquetStore(val spark: SparkSession, dir: String) extends TableStore {
+  private def path(t: String) = s"$dir/$t.parquet"
+
+  override def list(): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet")).sorted.toSeq
+  }
+
+  override def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  override def drop(table: String): Unit = deleteRecursively(new java.io.File(path(table)))
+
+  override def overwrite(table: String, df: DataFrame): Unit = {
+    // Stage then swap: df may itself read from `path(table)`.
+    val tmp = path(table) + ".tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    drop(table)
+    if (!new java.io.File(tmp).renameTo(new java.io.File(path(table))))
+      throw new java.io.IOException(s"rename failed for $table")
+  }
+
+  override def append(table: String, df: DataFrame): Unit =
+    if (new java.io.File(path(table)).exists())
+      df.write.mode(SaveMode.Append).parquet(path(table))
+    else overwrite(table, df)
+
+  override def deleteKeys(table: String, keys: DataFrame, keyCols: Seq[String]): Unit = {
+    val cur = read(table)
+    overwrite(table, cur.join(broadcastIfSmall(keys), keyCols, "left_anti"))
+  }
+
+  override def deleteWhere(table: String, partCol: String, value: Any): Unit = {
+    val cur = read(table)
+    overwrite(table, cur.filter(!(col(partCol) <=> lit(value))))
+  }
+
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+}
