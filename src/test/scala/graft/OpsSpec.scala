@@ -1,0 +1,132 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sync.SchemaCompare
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / shingles / fingerprint basics") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val row = df.select(
+      TextAnalysis.tokenCount($"text").as("n"),
+      size(TextAnalysis.shingles($"text", 3)).as("nsh"),
+      TextAnalysis.docFingerprint($"text", 3).as("fp")).head()
+    assert(row.getInt(0) == 9)
+    assert(row.getInt(1) == 7) // 9 - 3 + 1
+  }
+
+  test("empty text is safe everywhere") {
+    val df = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
+    val rows = df.select(
+      TextAnalysis.tokenCount($"text"),
+      TextAnalysis.punctRatio($"text"),
+      TextAnalysis.stopwordHitRatio($"text"),
+      TextAnalysis.meanTokenLen($"text"),
+      TextAnalysis.langId($"text")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == 0); assert(r.getDouble(1) == 0.0)
+      assert(r.getString(4) == "und")
+    }
+  }
+
+  test("langId votes by marker tokens") {
+    val df = Seq(
+      (1L, "the cat and the dog is that with for"),
+      (2L, "der hund und die katze ist nicht mit ein"),
+      (3L, "le chat et la maison est pas pour que")).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en"); assert(got(2L) == "de"); assert(got(3L) == "fr")
+  }
+
+  test("exact dedup keeps min-id representative") {
+    val df = Seq((5L, "dup"), (2L, "dup"), (3L, "uniq")).toDF("doc_id", "text")
+    val kept = Dedup.dedupExact(df, "doc_id", Seq("text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(2L, 3L)))
+  }
+
+  test("minhash LSH finds a planted near-duplicate") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val nearDup = base.replace("gamma", "gamma2") // small edit
+    val other = "one two three four five six seven eight nine ten " * 5
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 16, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical text → identical hash; near text → small hamming") {
+    val df = Seq(
+      (1L, "spark is a unified analytics engine for large scale data"),
+      (2L, "spark is a unified analytics engine for large scale data"),
+      (3L, "spark is a unified analytics engine for big scale data")).toDF("id", "text")
+    val hs = df.select($"id", Dedup.simhash($"text").as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) < 16)
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" === 1L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val top = Similarity.bruteForceTopK(q, df, k = 3)
+      .select("vec_id", "sim").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(top(1L) - 1.0) < 1e-12)
+    assert(math.abs(top(3L) - 1.0) < 1e-12) // same direction
+    assert(math.abs(top(2L)) < 1e-12)
+  }
+
+  test("lshTopK finds planted near-neighbors (the guarantee LSH provides)") {
+    // Sign-bucket LSH has collision prob (1-θ/π)^planes — near-zero for
+    // uniform random vectors (θ≈65°), near-one for true near-dups (θ≈0).
+    // So the correct recall test plants close clones of each query.
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    // clones: same vector under a shifted id, slightly perturbed first dim
+    val clones = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000L).as("vec_id"),
+        transform($"embedding", (x, i) => when(i === 0, x * 1.01f).otherwise(x)).as("embedding"))
+    val corpus = emb.filter($"vec_id" >= 3).select("vec_id", "embedding").unionByName(clones)
+    val approx = Similarity.lshTopK(q, corpus, 3, nPlanes = 8, tables = 8, dim = 64)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (qid <- 0L to 2L)
+      assert(approx.contains((qid, qid + 10000L)), s"clone of $qid not found: $approx")
+  }
+
+  test("multimodal: meta derivation + deterministic decode + frame sampling") {
+    val df = Seq((1L, "hello world payload"), (2L, "another payload body x"))
+      .toDF("media_id", "text")
+      .select($"media_id", $"text".cast("binary").as("payload"))
+    val meta = Multimodal.withMediaMeta(df, "payload", "image", "raw")
+      .select("meta.n_bytes", "meta.checksum").collect()
+    assert(meta.forall(_.getLong(0) > 0))
+
+    val f1 = Multimodal.extractImageFeatures(df, "media_id", "payload", embeddingDim = 4).collect()
+    val f2 = Multimodal.extractImageFeatures(df, "media_id", "payload", embeddingDim = 4).collect()
+    assert(f1.map(_.toString).sorted.sameElements(f2.map(_.toString).sorted)) // deterministic
+    assert(f1.forall(_.getAs[Seq[Float]]("embedding").length == 4))
+
+    val frames = Multimodal.sampleFrames(df, "media_id", "payload", n = 4)
+    assert(frames.count() == 8)
+  }
+
+  test("DDL normalization goldens (reference O2/F5)") {
+    assert(SchemaCompare.stripAutoIncrement(
+      "CREATE TABLE t (...) ENGINE=InnoDB AUTO_INCREMENT=123 DEFAULT CHARSET=utf8") ==
+      "CREATE TABLE t (...) ENGINE=InnoDB DEFAULT CHARSET=utf8")
+    val ddl = "CREATE TABLE t (\n  `a` int,\n  CONSTRAINT `z_fk` FOREIGN KEY (`a`) REFERENCES x (`a`),\n  CONSTRAINT `a_fk` FOREIGN KEY (`b`) REFERENCES y (`b`)\n)"
+    val norm = SchemaCompare.alphabetizeConstraints(ddl)
+    val lines = norm.split("\n").map(_.trim).filter(_.startsWith("CONSTRAINT"))
+    assert(lines.head.startsWith("CONSTRAINT `a_fk`"))
+    assert(lines.head.endsWith(","))
+    assert(!lines.last.endsWith(","))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.Hashing
+import graft.sync._
+import org.apache.spark.sql.SaveMode
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5.3): ∀ random (master, slave) pairs, sync
+  * converges and is idempotent; fingerprints are order-insensitive.
+  * Uses ScalaCheck generators directly with fixed seeds (the scalatestplus
+  * bridge isn't available offline); row counts are tiny — the value is in
+  * shape coverage, and each case pays several Spark jobs.
+  */
+class SyncPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowGen: Gen[(Long, Option[Int], Option[String], Option[Double])] =
+    for {
+      k <- Gen.choose(1L, 40L)
+      a <- Gen.option(Gen.choose(-5, 5))
+      s <- Gen.option(Gen.oneOf("x", "y", "z", "", "a,b", "NULL"))
+      d <- Gen.option(Gen.oneOf(0.0, 1.5, -2.25, 1e6))
+    } yield (k, a, s, d)
+
+  private val tableGen: Gen[List[(Long, Option[Int], Option[String], Option[Double])]] =
+    Gen.listOfN(12, rowGen).map(_.groupBy(_._1).map(_._2.head).toList) // unique keys
+
+  private def sample(g: Gen[List[(Long, Option[Int], Option[String], Option[Double])]],
+                     seed: Long) =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("random master/slave pairs: sync converges and second run is a no-op") {
+    val cols = Seq("k", "a", "s", "d")
+    for (seed <- 1 to 6) {
+      val mRows = sample(tableGen, seed)
+      val sRows = sample(tableGen, seed + 1000)
+      val md = tmpDir("prop_m"); val sd = tmpDir("prop_s")
+      mRows.toDF("k", "a", "s", "d").write.mode(SaveMode.Overwrite).parquet(s"$md/t.parquet")
+      sRows.toDF("k", "a", "s", "d").write.mode(SaveMode.Overwrite).parquet(s"$sd/t.parquet")
+      val ms = new ParquetStore(spark, md); val ss = new ParquetStore(spark, sd)
+      val engine = new SyncEngine(ms, ss, SyncConfig(primaryKeys = Map("t" -> Seq("k"))))
+      engine.syncTable("t")
+      assert(Hashing.tableFingerprint(ss.read("t"), cols) ==
+        Hashing.tableFingerprint(ms.read("t"), cols), s"seed $seed did not converge")
+      assert(engine.syncTable("t") == SyncAction.Skip("t", "already in sync"),
+        s"seed $seed not idempotent")
+    }
+  }
+
+  test("fingerprint order-insensitivity on random data") {
+    val cols = Seq("k", "a", "s", "d")
+    for (seed <- 1 to 4) {
+      val rows = sample(tableGen, seed)
+      assert(Hashing.tableFingerprint(rows.toDF("k", "a", "s", "d"), cols) ==
+        Hashing.tableFingerprint(rows.reverse.toDF("k", "a", "s", "d"), cols))
+    }
+  }
+}
