@@ -52,6 +52,31 @@ object Hashing {
   def rowHash64(df: DataFrame, cols: Seq[String]): Column =
     xxhash64(concat_ws(Sep, canonCols(df, cols, legacyNullSkip = false): _*))
 
+  /** Fast content hash: seeded xxhash64 over the RAW column values — no
+    * string canonicalization (casting timestamps/doubles to string dominates
+    * the md5 path's cost). Spark's hash fold *skips* nulls (the very
+    * NULL-permutation collision the reference suffers from,
+    * `TableConnection.php:472-477`), so each column is followed by its
+    * isnull flag, which restores discrimination: [2,NULL,NULL] hashes the
+    * arg stream (2,0,1,1) vs [NULL,2,NULL] → (1,2,0,1).
+    */
+  def fastRowHash(df: DataFrame, cols: Seq[String], seed: Int): Column =
+    xxhash64(lit(seed) +: cols.flatMap(c => Seq(df(c), isnull(df(c)))): _*)
+
+  /** Names of the fast hash-pair columns used by [[fastHashMap]]. */
+  val FastHashCols: Seq[String] = Seq("h1", "h2")
+
+  /** Key + 128-bit content hash (two independent seeds). A single 64-bit
+    * hash has ~n²/2^65 birthday collisions — ~10^4 silently-missed diffs at
+    * 10^12 rows; joining on the pair pushes that to ~2^-128-scale. This is
+    * the engine's internal diff currency; md5 [[hashMap]] is the
+    * cross-engine/MySQL-parity form.
+    */
+  def fastHashMap(df: DataFrame, keyCols: Seq[String], dataCols: Seq[String]): DataFrame =
+    df.select(keyCols.map(df(_))
+      :+ fastRowHash(df, dataCols, 1).as("h1")
+      :+ fastRowHash(df, dataCols, 2).as("h2"): _*)
+
   /** Key + row-hash projection — the engine's central IR (reference spills
     * this to `master_hashes`/`slave_hashes` side tables, `main.php:27-59`;
     * here the DataFrame *is* the out-of-core structure, Tungsten spills).
@@ -79,9 +104,17 @@ object Hashing {
   /** Whole-table fingerprint (reference A1, `TableConnection.php:464-501`) as
     * a single stable string. Equal multisets of rows ⇔ equal fingerprints.
     */
+  /** Per-row 64-bit hash feeding the multiset fingerprints: the fast raw-
+    * value hash normally; the md5-canonical chain when legacy reference
+    * semantics are requested.
+    */
+  private def fingerprintRowHash(df: DataFrame, cols: Seq[String], legacyNullSkip: Boolean): Column =
+    if (legacyNullSkip) xxhash64(rowHash(df, cols, legacyNullSkip = true))
+    else fastRowHash(df, cols, seed = 42)
+
   def tableFingerprint(df: DataFrame, cols: Seq[String],
                        legacyNullSkip: Boolean = false): String = {
-    val row = df.select(xxhash64(rowHash(df, cols, legacyNullSkip)).as("__h64"))
+    val row = df.select(fingerprintRowHash(df, cols, legacyNullSkip).as("__h64"))
       .agg(fingerprintAggs.head, fingerprintAggs.tail: _*).head()
     s"${row.getLong(0)}:${java.lang.Long.toHexString(row.getLong(1))}:${row.getDecimal(2).toBigInteger.toString(16)}"
   }
@@ -92,7 +125,7 @@ object Hashing {
     */
   def partitionFingerprints(df: DataFrame, partCol: String, cols: Seq[String],
                             legacyNullSkip: Boolean = false): DataFrame =
-    df.select(col(partCol), xxhash64(rowHash(df, cols, legacyNullSkip)).as("__h64"))
+    df.select(col(partCol), fingerprintRowHash(df, cols, legacyNullSkip).as("__h64"))
       .groupBy(partCol)
       .agg(fingerprintAggs.head, fingerprintAggs.tail: _*)
 

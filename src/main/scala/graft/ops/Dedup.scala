@@ -35,13 +35,25 @@ object Dedup {
   /** MinHash signature: `numHashes` seeded 64-bit min-hashes over word
     * k-shingles. Pure higher-order-function expressions — a per-row map, no
     * shuffle, no UDF.
+    *
+    * Single fold over the shingle array carrying all `numHashes` minima at
+    * once (a naive per-seed `array_min(transform(...))` re-evaluates the
+    * shingle expression numHashes times — 25× slower measured at sf0.001).
+    * Pass a *materialized column* of shingles, not a derived expression.
     */
-  def minhashSignature(text: Column, shingleK: Int = 5, numHashes: Int = 32): Column = {
-    val sh = TextAnalysis.shingles(text, shingleK)
-    array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(lit(seed), s)))
-    }: _*)
-  }
+  def minhashSignatureOfShingles(shinglesCol: Column, numHashes: Int = 32): Column =
+    aggregate(
+      shinglesCol,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc,
+        array((0 until numHashes).map(seed => xxhash64(lit(seed), s)): _*),
+        (a, b) => least(a, b)))
+
+  /** Convenience wrapper from raw text; prefer computing shingles once into
+    * a column and calling [[minhashSignatureOfShingles]] when composing.
+    */
+  def minhashSignature(text: Column, shingleK: Int = 5, numHashes: Int = 32): Column =
+    minhashSignatureOfShingles(TextAnalysis.shingles(text, shingleK), numHashes)
 
   /** LSH banding: split a `numHashes`-long signature into `bands` bands of
     * `numHashes/bands` rows; hash each band → (band_id, band_hash) bucket
@@ -63,7 +75,9 @@ object Dedup {
                       shingleK: Int = 5, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.7): DataFrame = {
     val sigged = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), shingleK, numHashes))
+      .withColumn("sh", TextAnalysis.shingles(col("text"), shingleK))
+      .withColumn("sig", minhashSignatureOfShingles(col("sh"), numHashes))
+      .drop("sh")
     val rows = numHashes / bands
     val buckets = sigged.select(col("id"),
       posexplode(array((0 until bands).map(b =>

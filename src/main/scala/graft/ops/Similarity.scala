@@ -14,15 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<float/double> columns (left-to-right fold —
-    * deterministic summation order, so results are bit-stable).
+  /** Dot product of two array<float/double> columns — a custom codegen'd
+    * Catalyst expression ([[graft.functions.VectorExpressions.array_dot]]):
+    * the higher-order-function fold is interpreted per element and dominates
+    * ANN runtime. Summation order (left-to-right) is identical, so results
+    * stay bit-stable vs the fold and the DuckDB oracle.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.array_dot(a, b)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)

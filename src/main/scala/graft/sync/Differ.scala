@@ -35,13 +35,24 @@ object Differ {
   def hashDiff(master: DataFrame, slave: DataFrame, keyCols: Seq[String],
                legacyNullSkip: Boolean = false): Delta = {
     val dataCols = master.columns.toSeq
-    val mh = Hashing.hashMap(master, keyCols, dataCols, legacyNullSkip)
-    val sh = Hashing.hashMap(slave, keyCols, dataCols, legacyNullSkip)
+    // Internal diff currency: the fast 128-bit raw-value hash pair (no
+    // string canonicalization — ~3× cheaper per scan). The md5-canonical
+    // path is kept for legacy reference semantics, where the NULL-skip
+    // behavior itself is the point.
+    val (mh, sh, hashCols) =
+      if (legacyNullSkip)
+        (Hashing.hashMap(master, keyCols, dataCols, legacyNullSkip = true),
+         Hashing.hashMap(slave, keyCols, dataCols, legacyNullSkip = true),
+         Seq("row_hash"))
+      else
+        (Hashing.fastHashMap(master, keyCols, dataCols),
+         Hashing.fastHashMap(slave, keyCols, dataCols),
+         Hashing.FastHashCols)
     // J2: slave rows whose content is absent from master → delete keys
-    val deletes = sh.join(mh.select("row_hash").distinct(), Seq("row_hash"), "left_anti")
+    val deletes = sh.join(mh.select(hashCols.map(col): _*).distinct(), hashCols, "left_anti")
       .select(keyCols.map(col): _*)
     // J1: master rows whose content is absent from slave → keys to copy
-    val missingKeys = mh.join(sh.select("row_hash").distinct(), Seq("row_hash"), "left_anti")
+    val missingKeys = mh.join(sh.select(hashCols.map(col): _*).distinct(), hashCols, "left_anti")
       .select(keyCols.map(col): _*)
     // J3: keyed fetch of full rows (left_semi; broadcast the small key list)
     val inserts = master.join(broadcast(missingKeys), keyCols, "left_semi")
@@ -56,14 +67,16 @@ object Differ {
     */
   def keyDiff(master: DataFrame, slave: DataFrame, keyCols: Seq[String]): Delta = {
     val dataCols = master.columns.toSeq
-    val mh = Hashing.hashMap(master, keyCols, dataCols).withColumnRenamed("row_hash", "m_hash")
-    val sh = Hashing.hashMap(slave, keyCols, dataCols).withColumnRenamed("row_hash", "s_hash")
-    val joined = mh.join(sh, keyCols, "full_outer").cache()
+    def pair(df: DataFrame, p: String) =
+      Hashing.fastHashMap(df, keyCols, dataCols)
+        .withColumnRenamed("h1", s"${p}_h1").withColumnRenamed("h2", s"${p}_h2")
+    val joined = pair(master, "m").join(pair(slave, "s"), keyCols, "full_outer").cache()
+    val same = col("m_h1") <=> col("s_h1") && col("m_h2") <=> col("s_h2")
     val deletes = joined
-      .filter(col("s_hash").isNotNull && !(col("m_hash") <=> col("s_hash")))
+      .filter(col("s_h1").isNotNull && !same)
       .select(keyCols.map(col): _*)
     val missingKeys = joined
-      .filter(col("m_hash").isNotNull && !(col("m_hash") <=> col("s_hash")))
+      .filter(col("m_h1").isNotNull && !same)
       .select(keyCols.map(col): _*)
     val inserts = master.join(missingKeys, keyCols, "left_semi")
     Delta(deletes, inserts, keyCols)
@@ -77,7 +90,10 @@ object Differ {
     * tables (`main.php:27-59`): the materialized delta is the engine's
     * restart point, never driver memory.
     */
-  def applyDelta(store: TableStore, table: String, delta: Delta): Unit = {
+  /** @return (rows deleted, rows inserted) — counted from the spilled delta,
+    *         so the diff plans execute exactly once.
+    */
+  def applyDelta(store: TableStore, table: String, delta: Delta): (Long, Long) = {
     // Delete-before-insert is mandatory: an update's key is in both sets, and
     // under partition sync a row may have moved partitions (Synchronizer.php:495-501).
     val delKeys = delta.deletes.union(delta.inserts.select(delta.keyCols.map(col): _*)).distinct()
@@ -86,8 +102,12 @@ object Differ {
     try {
       delKeys.write.parquet(s"$scratch/deletes")
       delta.inserts.write.parquet(s"$scratch/inserts")
-      store.deleteKeys(table, spark.read.parquet(s"$scratch/deletes"), delta.keyCols)
-      store.append(table, spark.read.parquet(s"$scratch/inserts"))
+      val spilledDeletes = spark.read.parquet(s"$scratch/deletes")
+      val spilledInserts = spark.read.parquet(s"$scratch/inserts")
+      val (nDel, nIns) = (spilledDeletes.count(), spilledInserts.count())
+      if (nDel > 0) store.deleteKeys(table, spilledDeletes, delta.keyCols)
+      if (nIns > 0) store.append(table, spilledInserts)
+      (nDel, nIns)
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

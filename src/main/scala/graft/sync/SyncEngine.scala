@@ -199,9 +199,11 @@ final class SyncEngine(master: TableStore, slave: TableStore,
   }
 
   private def applyDelta(table: String, delta: Delta): SyncAction = {
-    val nDel = delta.deletes.count()
-    val nIns = delta.inserts.count()
-    if (!config.dryRun) Differ.applyDelta(slave, table, delta)
+    // Live runs count from the spilled delta (one execution of the diff
+    // plans); dry runs pay the counts directly since nothing is spilled.
+    val (nDel, nIns) =
+      if (config.dryRun) (delta.deletes.count(), delta.inserts.count())
+      else Differ.applyDelta(slave, table, delta)
     record(ApplyDelta(table, nDel, nIns))
   }
 
