@@ -35,6 +35,163 @@ object CoreQueries {
 
   def all: Seq[Q] = Seq(
 
+    // ---- S1: catalog scan (reference SHOW TABLES, DatabaseConnection.php:48-64)
+    Q("s1_catalog",
+      (s, dir) => {
+        import s.implicits._
+        new graft.sync.ParquetStore(s, dir).list().toDF("table_name")
+      },
+      Some("SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events')," +
+        "('lineitem'),('nation'),('orders'),('part'),('region'),('supplier')) AS t(table_name)")),
+
+    // ---- S2: schema scan (reference SHOW COLUMNS, TableConnection.php:663-675)
+    Q("s2_schema",
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "lineitem").schema.fieldNames.zipWithIndex
+          .map { case (n, i) => (i + 1, n) }.toSeq.toDF("ordinal", "col_name")
+      },
+      Some("SELECT * FROM (VALUES (1,'l_orderkey'),(2,'l_partkey'),(3,'l_suppkey')," +
+        "(4,'l_linenumber'),(5,'l_quantity'),(6,'l_extendedprice'),(7,'l_discount')," +
+        "(8,'l_tax'),(9,'l_returnflag'),(10,'l_linestatus'),(11,'l_shipdate')) AS t(ordinal, col_name)")),
+
+    // ---- P1 legacy variant: the reference's NULL-skipping row hash
+    //      (CONCAT_WS drops NULLs — TableConnection.php:46-48; DuckDB's
+    //      concat_ws has the same MySQL semantics, so this oracle pins the
+    //      legacy behavior byte-for-byte). Nulls synthesized via nullif.
+    Q("p1_hash_legacy",
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+          .withColumn("rf", nullif(col("l_returnflag"), lit("R")))
+          .withColumn("ls", nullif(col("l_linestatus"), lit("F")))
+        Hashing.hashMap(li, Seq("l_orderkey", "l_linenumber"),
+          Seq("rf", "ls", "l_quantity"), legacyNullSkip = true)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+              | md5(concat_ws('#', nullif(l_returnflag,'R'), nullif(l_linestatus,'F'),
+              |   cast(l_quantity as varchar))) AS row_hash
+              |FROM lineitem""".stripMargin)),
+
+    // ---- S15: audit-log / dry-run plan (reference logs every write query,
+    //      TableConnection.php:730-742; here the plan itself is data)
+    Q("s15_audit_dryrun",
+      (s, dir) => {
+        import s.implicits._
+        val slaveDir = java.nio.file.Files.createTempDirectory("graft_audit").toString
+        slaveView(s, dir)
+          .unionByName(T(s, dir, "lineitem").limit(3)
+            .withColumn("l_orderkey", col("l_orderkey") + 1000000L))
+          .write.mode("overwrite").parquet(s"$slaveDir/lineitem.parquet")
+        val engine = new graft.sync.SyncEngine(
+          new graft.sync.ParquetStore(s, dir), new graft.sync.ParquetStore(s, slaveDir),
+          graft.sync.SyncConfig(
+            primaryKeys = Map("lineitem" -> Seq("l_orderkey", "l_linenumber")),
+            dryRun = true))
+        engine.syncTable("lineitem")
+        engine.auditLog.collect {
+          case graft.sync.SyncAction.ApplyDelta(t, d, i) => ("ApplyDelta", t, d, i)
+        }.toDF("action", "table_name", "n_deleted", "n_inserted")
+      },
+      Some("""SELECT 'ApplyDelta' AS action, 'lineitem' AS table_name,
+              | (SELECT count(*) FROM lineitem WHERE l_orderkey % 7 <> 0 AND l_orderkey % 13 = 0) + 3 AS n_deleted,
+              | (SELECT count(*) FROM lineitem WHERE l_orderkey % 7 = 0 OR l_orderkey % 13 = 0) AS n_inserted""".stripMargin)),
+
+    // ---- S3: primary-key scan (reference SHOW INDEX → PK columns,
+    //      TableConnection.php:635-656; parquet-backed stores declare keys in
+    //      SyncConfig — surfaced here as ordered (table, ordinal, col) rows)
+    Q("s3_pk_scan",
+      (s, dir) => {
+        import s.implicits._
+        val cfg = graft.sync.SyncConfig(primaryKeys = Map(
+          "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+          "orders" -> Seq("o_orderkey"),
+          "customer" -> Seq("c_custkey")))
+        cfg.primaryKeys.toSeq.sortBy(_._1).flatMap { case (t, ks) =>
+          ks.zipWithIndex.map { case (k, i) => (t, i + 1, k) }
+        }.toDF("table_name", "ordinal", "col_name")
+      },
+      Some("SELECT * FROM (VALUES ('customer',1,'c_custkey'),('lineitem',1,'l_orderkey')," +
+        "('lineitem',2,'l_linenumber'),('orders',1,'o_orderkey')) AS t(table_name, ordinal, col_name)")),
+
+    // ---- S4/O2/F5: DDL normalization decides structure equality
+    //      (Synchronizer.php:196-204: strip AUTO_INCREMENT counter,
+    //      alphabetize CONSTRAINT lines, then string-compare)
+    Q("s4_ddl_normalize",
+      (s, dir) => {
+        import s.implicits._
+        def ddl(autoInc: Int, constraintsZFirst: Boolean, extraCol: Boolean): String = {
+          val cons = Seq(
+            "  CONSTRAINT `fk_z` FOREIGN KEY (`cust`) REFERENCES `customer` (`id`),",
+            "  CONSTRAINT `fk_a` FOREIGN KEY (`nat`) REFERENCES `nation` (`id`)")
+          val body = Seq(
+            "CREATE TABLE `t` (",
+            "  `id` int NOT NULL AUTO_INCREMENT,",
+            if (extraCol) "  `extra` varchar(16) DEFAULT NULL," else "  `cust` int DEFAULT NULL,",
+            "  PRIMARY KEY (`id`),") ++
+            (if (constraintsZFirst) cons else Seq(cons(1) + ",", cons(0).dropRight(1))) ++
+            Seq(s") ENGINE=InnoDB AUTO_INCREMENT=$autoInc DEFAULT CHARSET=utf8")
+          body.mkString("\n")
+        }
+        val master = ddl(9999, constraintsZFirst = true, extraCol = false)
+        Seq(
+          ("ai_and_constraint_order",
+            graft.sync.SchemaCompare.normalizeDdl(master) ==
+              graft.sync.SchemaCompare.normalizeDdl(ddl(7, constraintsZFirst = false, extraCol = false))),
+          ("changed_column",
+            graft.sync.SchemaCompare.normalizeDdl(master) ==
+              graft.sync.SchemaCompare.normalizeDdl(ddl(9999, constraintsZFirst = true, extraCol = true)))
+        ).toDF("scenario", "structures_equal")
+      },
+      Some("SELECT * FROM (VALUES ('ai_and_constraint_order', true)," +
+        "('changed_column', false)) AS t(scenario, structures_equal)")),
+
+    // ---- S6: chunked scan — the reference pages LIMIT n OFFSET k with no
+    //      ORDER BY (TableConnection.php:241-256); here the page is made
+    //      deterministic with an explicit sort (documented improvement)
+    Q("s6_chunked_scan",
+      (s, dir) => T(s, dir, "orders")
+        .orderBy("o_orderkey")
+        .offset(100).limit(50)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+      Some("SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders " +
+        "ORDER BY o_orderkey LIMIT 50 OFFSET 100")),
+
+    // ---- S11: upsert = delete-then-insert by PK (replaceRows,
+    //      TableConnection.php:599-627; live path Synchronizer.php:496-507)
+    Q("s11_upsert",
+      (s, dir) => {
+        val updates = T(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 97 === 0)
+          .withColumn("l_quantity", col("l_quantity") + 5.0)
+          .select(liCols.map(col): _*)
+        slaveView(s, dir).select(liCols.map(col): _*)
+          .join(updates.select("l_orderkey", "l_linenumber"),
+            Seq("l_orderkey", "l_linenumber"), "left_anti")
+          .select(liCols.map(col): _*)
+          .unionByName(updates)
+      },
+      Some(s"""WITH slave AS ($slaveSql),
+               | upd AS (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+               |   l_quantity + 5.0 AS l_quantity, l_extendedprice, l_discount, l_tax,
+               |   l_returnflag, l_linestatus, l_shipdate
+               |  FROM lineitem WHERE l_orderkey % 97 = 0)
+               |SELECT * FROM slave s
+               |WHERE NOT EXISTS (SELECT 1 FROM upd u
+               |  WHERE u.l_orderkey = s.l_orderkey AND u.l_linenumber = s.l_linenumber)
+               |UNION ALL SELECT * FROM upd""".stripMargin)),
+
+    // ---- E2: except over distinct partition values (Synchronizer.php:147-148
+    //      fastDiff — which partitions exist on master but not slave)
+    Q("e2_except_partitions",
+      (s, dir) => {
+        val slaveOrders = T(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+        T(s, dir, "orders").select(col("o_orderpriority").as("part_value")).distinct()
+          .except(slaveOrders.select(col("o_orderpriority").as("part_value")).distinct())
+      },
+      Some("""SELECT DISTINCT o_orderpriority AS part_value FROM orders
+              |EXCEPT SELECT DISTINCT o_orderpriority AS part_value FROM orders
+              | WHERE o_orderpriority <> '1-URGENT'""".stripMargin)),
+
     // ---- S5: full scan (reference fetchAllRows, TableConnection.php:218-231)
     Q("s5_full_scan",
       (s, dir) => T(s, dir, "region"),

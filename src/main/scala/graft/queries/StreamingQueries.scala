@@ -54,6 +54,25 @@ object StreamingQueries {
       },
       Some("""SELECT user_id, count(*) AS n_events,
               | cast(sum(cast(value as decimal(12,2))) as double) AS total_value
-              |FROM events GROUP BY user_id""".stripMargin))
+              |FROM events GROUP BY user_id""".stripMargin)),
+
+    // Stateful custom-state operator: flatMapGroupsWithState sessionization
+    // (30-minute gap). Oracle = the equivalent batch lag/cumsum windows.
+    Q("stream_sessionize",
+      (s, dir) => graft.streaming.Sessionize.runAvailableNow(
+        Registry.eventsStream(s, dir), gapSeconds = 1800, queryName = "graft_sessions"),
+      Some("""WITH e AS (
+              |  SELECT user_id, event_id, ts,
+              |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              |  FROM events),
+              | f AS (SELECT user_id, event_id, ts,
+              |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS new_s
+              |  FROM e),
+              | g AS (SELECT user_id, ts,
+              |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+              |  FROM f)
+              |SELECT user_id, session_id, count(*) AS n_events,
+              |  min(ts) AS t_start, max(ts) AS t_end
+              |FROM g GROUP BY user_id, session_id""".stripMargin))
   )
 }
