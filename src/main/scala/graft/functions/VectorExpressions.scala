@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
 
@@ -81,8 +81,93 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `numHashes` seeded min-hashes of an `array<string>` shingle column in
+  * ONE pass — `minhash_sig` replaces the interpreted higher-order fold
+  * (`aggregate` + `zip_with` + per-seed `xxhash64`), which evaluates lambda
+  * machinery per (shingle × seed) and dominated the near-dup corpus queries
+  * (~10 s → sub-second at sf0.1, 5k docs × ~46 shingles × 32 seeds).
+  *
+  * Value-compatible with the fold it replaces: per seed k the hash is
+  * `xxhash64(lit(k), shingle)` = `XXH64.hashUTF8String(s, XXH64.hashInt(k,
+  * 42))` (Spark's fold over child expressions), min'd over shingles;
+  * empty array → Long.MaxValue per slot; null array → null.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires array<string>, got $t")
+    }
+
+  /** Per-seed start state: Spark's `xxhash64(lit(k), s)` folds the int
+    * literal first with the default seed 42.
+    */
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(k => XXH64.hashInt(k, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        var k = 0
+        while (k < numHashes) {
+          val h = XXH64.hashUTF8String(s, seeds(k))
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val mins = ctx.freshName("mins")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $c.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$c.isNullAt($j)) {
+         |    UTF8String $s = $c.getUTF8String($j);
+         |    for (int $k = 0; $k < $numHashes; $k++) {
+         |      long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($s, $seedsRef[$k]);
+         |      if ($h < $mins[$k]) $mins[$k] = $h;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two array<float|double> columns. */
   def array_dot(a: Column, b: Column): Column =
     ColumnShim.column(ArrayDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Codegen'd one-pass MinHash signature of an array<string> column. */
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    ColumnShim.column(MinHashSig(ColumnShim.expression(shingles), numHashes))
 }

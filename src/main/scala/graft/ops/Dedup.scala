@@ -33,21 +33,15 @@ object Dedup {
   }
 
   /** MinHash signature: `numHashes` seeded 64-bit min-hashes over word
-    * k-shingles. Pure higher-order-function expressions — a per-row map, no
-    * shuffle, no UDF.
-    *
-    * Single fold over the shingle array carrying all `numHashes` minima at
-    * once (a naive per-seed `array_min(transform(...))` re-evaluates the
-    * shingle expression numHashes times — 25× slower measured at sf0.001).
-    * Pass a *materialized column* of shingles, not a derived expression.
+    * k-shingles, in one pass per row via the codegen'd
+    * [[graft.functions.VectorExpressions.minhash_sig]] expression (a tight
+    * shingle × seed loop; the interpreted `aggregate`+`zip_with` fold it
+    * replaces evaluated lambda machinery per step and dominated near-dup
+    * runtime). No shuffle, no UDF; values identical to the fold's
+    * `min(xxhash64(lit(seed), shingle))`.
     */
   def minhashSignatureOfShingles(shinglesCol: Column, numHashes: Int = 32): Column =
-    aggregate(
-      shinglesCol,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(acc,
-        array((0 until numHashes).map(seed => xxhash64(lit(seed), s)): _*),
-        (a, b) => least(a, b)))
+    graft.functions.VectorExpressions.minhash_sig(shinglesCol, numHashes)
 
   /** Convenience wrapper from raw text; prefer computing shingles once into
     * a column and calling [[minhashSignatureOfShingles]] when composing.

@@ -250,7 +250,7 @@ object CoreQueries {
       (s, dir) => {
         val mh = Hashing.hashMap(T(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"), liCols)
         val sh = Hashing.hashMap(slaveView(s, dir), Seq("l_orderkey", "l_linenumber"), liCols)
-        mh.join(sh.select("row_hash").distinct(), Seq("row_hash"), "left_anti")
+        mh.join(sh.select("row_hash"), Seq("row_hash"), "left_anti")
           .select("l_orderkey", "l_linenumber")
       },
       Some(s"""WITH slave AS ($slaveSql),
@@ -263,7 +263,7 @@ object CoreQueries {
       (s, dir) => {
         val mh = Hashing.hashMap(T(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"), liCols)
         val sh = Hashing.hashMap(slaveView(s, dir), Seq("l_orderkey", "l_linenumber"), liCols)
-        sh.join(mh.select("row_hash").distinct(), Seq("row_hash"), "left_anti")
+        sh.join(mh.select("row_hash"), Seq("row_hash"), "left_anti")
           .select("l_orderkey", "l_linenumber")
       },
       Some(s"""WITH slave AS ($slaveSql),
@@ -277,7 +277,7 @@ object CoreQueries {
         val m = T(s, dir, "lineitem")
         val mh = Hashing.hashMap(m, Seq("l_orderkey", "l_linenumber"), liCols)
         val sh = Hashing.hashMap(slaveView(s, dir), Seq("l_orderkey", "l_linenumber"), liCols)
-        val missing = mh.join(sh.select("row_hash").distinct(), Seq("row_hash"), "left_anti")
+        val missing = mh.join(sh.select("row_hash"), Seq("row_hash"), "left_anti")
           .select("l_orderkey", "l_linenumber")
         m.join(broadcast(missing), Seq("l_orderkey", "l_linenumber"), "left_semi")
       },

@@ -11,9 +11,60 @@ import org.apache.spark.sql.streaming.Trigger
   * exercised in the verify gate, with batch-SQL oracles.
   */
 object StreamingQueries {
-  import Registry.{table => T}
+  import Registry.{table => T, duckRowHash}
+
+  private val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
 
   def all: Seq[Q] = Seq(
+
+    // The reference's whole raison d'être on Structured Streaming: a CDC-style
+    // change feed (upserts + deletes) drained micro-batch by micro-batch into
+    // the slave store via foreachBatch (graft.streaming.StreamSync). Feed is
+    // staged as 4 parquet files read with maxFilesPerTrigger=1 → 4 real
+    // micro-batches, hash-partitioned BY KEY: the synthetic lineitem has
+    // duplicate (l_orderkey, l_linenumber) tuples, and a feed that splits a
+    // key's rows across batches cannot converge (a later batch's delete wipes
+    // siblings an earlier batch appended) — the key-complete-per-batch
+    // contract documented on StreamSync.applyChangeFeed.
+    // Oracle: converged slave ≡ master fingerprint.
+    Q("stream_resync",
+      (s, dir) => {
+        import graft.functions.Hashing
+        val li = T(s, dir, "lineitem")
+        // Slave diverges three ways: missing rows (%7 orders), stale updates
+        // (%13 orders), and 3 fabricated excess rows (deterministic pick:
+        // lowest sort order — limit() without sort varies per evaluation and
+        // this frame is evaluated twice, for the slave and for the feed).
+        val slaveDir = java.nio.file.Files.createTempDirectory("graft_resync").toString
+        val excess = li.orderBy(liCols.map(col): _*).limit(3)
+          .withColumn("l_orderkey", col("l_orderkey") + 1000000L)
+        li.filter(col("l_orderkey") % 7 =!= 0)
+          .withColumn("l_quantity",
+            when(col("l_orderkey") % 13 === 0, col("l_quantity") + 1.0)
+              .otherwise(col("l_quantity")))
+          .unionByName(excess)
+          .write.parquet(s"$slaveDir/lineitem.parquet")
+        // Change feed: master-content upserts for the divergent keys, delete
+        // records for the excess keys.
+        val feedDir = java.nio.file.Files.createTempDirectory("graft_feed").toString
+        li.filter(col("l_orderkey") % 7 === 0 || col("l_orderkey") % 13 === 0)
+          .withColumn("op", lit("u"))
+          .unionByName(excess.withColumn("op", lit("d")))
+          .repartition(4, col("l_orderkey"))
+          .write.mode("overwrite").parquet(feedDir)
+        val feedSchema = s.read.parquet(feedDir).schema
+        val feed = s.readStream.schema(feedSchema)
+          .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        val slave = new graft.sync.ParquetStore(s, slaveDir)
+        StreamSyncHolder.run(feed, slave)
+        val synced = slave.read("lineitem")
+        Hashing.exactFingerprint(synced, liCols)
+          .crossJoin(synced.agg(count(lit(1)).as("n_rows")))
+      },
+      Some(s"""SELECT md5(string_agg(h, '' ORDER BY h)) AS fingerprint, count(*) AS n_rows
+               |FROM (SELECT ${duckRowHash(liCols)} AS h FROM lineitem)""".stripMargin)),
 
     // Tumbling-window (1 h) counts per event type, computed by a streaming
     // query over the events parquet. Oracle = the equivalent batch aggregate.
@@ -75,4 +126,12 @@ object StreamingQueries {
               |  min(ts) AS t_start, max(ts) AS t_end
               |FROM g GROUP BY user_id, session_id""".stripMargin))
   )
+
+  private object StreamSyncHolder {
+    def run(feed: org.apache.spark.sql.DataFrame, slave: graft.sync.TableStore): Unit = {
+      val q = graft.streaming.StreamSync.applyChangeFeed(
+        feed, slave, "lineitem", Seq("l_orderkey", "l_linenumber"))
+      q.awaitTermination()
+    }
+  }
 }

@@ -48,14 +48,21 @@ object Differ {
         (Hashing.fastHashMap(master, keyCols, dataCols),
          Hashing.fastHashMap(slave, keyCols, dataCols),
          Hashing.FastHashCols)
-    // J2: slave rows whose content is absent from master → delete keys
-    val deletes = sh.join(mh.select(hashCols.map(col): _*).distinct(), hashCols, "left_anti")
+    // J2: slave rows whose content is absent from master → delete keys.
+    // No distinct() on the right side: anti-join has existence semantics
+    // already, and keeping both anti-joins' inputs as the SAME two plans
+    // lets ReuseExchange compute each side's shuffle once when both legs
+    // run in one action (see applyDelta's single tagged spill).
+    val deletes = sh.join(mh.select(hashCols.map(col): _*), hashCols, "left_anti")
       .select(keyCols.map(col): _*)
     // J1: master rows whose content is absent from slave → keys to copy
-    val missingKeys = mh.join(sh.select(hashCols.map(col): _*).distinct(), hashCols, "left_anti")
+    val missingKeys = mh.join(sh.select(hashCols.map(col): _*), hashCols, "left_anti")
       .select(keyCols.map(col): _*)
-    // J3: keyed fetch of full rows (left_semi; broadcast the small key list)
-    val inserts = master.join(broadcast(missingKeys), keyCols, "left_semi")
+    // J3: keyed fetch of full rows. No broadcast hint on purpose: the key
+    // list is usually tiny (AQE converts to broadcast at runtime), but on a
+    // near-full resync it is table-sized and a forced broadcast would OOM
+    // the driver.
+    val inserts = master.join(missingKeys, keyCols, "left_semi")
     Delta(deletes, inserts, keyCols)
   }
 
@@ -100,10 +107,17 @@ object Differ {
     val scratch = java.nio.file.Files.createTempDirectory("graft_delta").toString
     val spark = delta.inserts.sparkSession
     try {
-      delKeys.write.parquet(s"$scratch/deletes")
-      delta.inserts.write.parquet(s"$scratch/inserts")
-      val spilledDeletes = spark.read.parquet(s"$scratch/deletes")
-      val spilledInserts = spark.read.parquet(s"$scratch/inserts")
+      // ONE tagged write job for both legs: the two anti-joins share their
+      // hash-map children, so ReuseExchange computes each side's shuffle
+      // once — two separate writes would scan and hash both tables twice.
+      val tagged = delKeys.withColumn("__leg", lit("d"))
+        .unionByName(delta.inserts.withColumn("__leg", lit("i")), allowMissingColumns = true)
+      tagged.write.parquet(s"$scratch/delta")
+      val spilled = spark.read.parquet(s"$scratch/delta")
+      val spilledDeletes = spilled.filter(col("__leg") === "d")
+        .select(delta.keyCols.map(col): _*)
+      val spilledInserts = spilled.filter(col("__leg") === "i")
+        .select(delta.inserts.columns.map(col).toSeq: _*)
       val (nDel, nIns) = (spilledDeletes.count(), spilledInserts.count())
       if (nDel > 0) store.deleteKeys(table, spilledDeletes, delta.keyCols)
       if (nIns > 0) store.append(table, spilledInserts)

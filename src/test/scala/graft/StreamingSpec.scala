@@ -1,0 +1,68 @@
+package graft
+
+import graft.streaming.{Sessionize, StreamSync}
+import graft.sync.ParquetStore
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface: stateful sessionization and the
+  * foreachBatch change-feed re-sync loop (SURVEY §2.7).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def writeEvents(dir: String): Unit = {
+    import spark.implicits._
+    // user 1: two sessions split by a 2000 s gap; user 2: one session.
+    val base = 1700000000L
+    Seq(
+      (1L, 1L, base), (1L, 2L, base + 60), (1L, 3L, base + 120),
+      (1L, 4L, base + 120 + 2000), (1L, 5L, base + 120 + 2060),
+      (2L, 6L, base + 10)
+    ).toDF("user_id", "event_id", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch"))).drop("epoch")
+      .write.parquet(s"$dir/events")
+  }
+
+  test("Sessionize: 30-min gap splits sessions, counts and bounds correct") {
+    val dir = tmpDir("sess")
+    writeEvents(dir)
+    val schema = spark.read.parquet(s"$dir/events").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/events")
+    val out = Sessionize.runAvailableNow(stream, gapSeconds = 1800, queryName = "t_sessions")
+      .orderBy("user_id", "session_id")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 1L, 3L), (1L, 2L, 2L), (2L, 1L, 1L)))
+  }
+
+  test("StreamSync change feed: upserts + deletes converge slave to master") {
+    import spark.implicits._
+    // ids 5 and 15 are duplicate keys (two rows each) — the feed must carry
+    // a key's rows in one batch (key-hash partitioning below) to converge.
+    val masterDf = ((1 to 100).map(i => (i.toLong, s"name_$i", i * 10.0))
+      ++ Seq((5L, "name_5b", 51.0), (15L, "name_15b", 151.0)))
+      .toDF("id", "name", "v")
+
+    val slaveDir = tmpDir("resync_slave")
+    // Slave: missing ids 1-10, stale v for ids 11-20, excess ids 101-103.
+    masterDf.filter(col("id") > 10)
+      .withColumn("v", when(col("id") <= 20, col("v") + 999).otherwise(col("v")))
+      .unionByName(Seq((101L, "x", 0.0), (102L, "x", 0.0), (103L, "x", 0.0)).toDF("id", "name", "v"))
+      .write.parquet(s"$slaveDir/t.parquet")
+
+    val feedDir = tmpDir("resync_feed")
+    masterDf.filter(col("id") <= 20).withColumn("op", lit("u"))
+      .unionByName(Seq((101L, "x", 0.0, "d"), (102L, "x", 0.0, "d"), (103L, "x", 0.0, "d"))
+        .toDF("id", "name", "v", "op"))
+      .repartition(3, col("id"))
+      .write.mode("overwrite").parquet(feedDir)
+
+    val schema = spark.read.parquet(feedDir).schema
+    val feed = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val slave = new ParquetStore(spark, slaveDir)
+    StreamSync.applyChangeFeed(feed, slave, "t", Seq("id")).awaitTermination()
+
+    val synced = slave.read("t")
+    assert(synced.count() === 102)
+    assert(synced.except(masterDf).isEmpty && masterDf.except(synced).isEmpty)
+  }
+}
