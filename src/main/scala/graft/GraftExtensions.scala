@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.{ArrayDot, MinHashSig}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftshim.ColumnShim
+
+/** SQL-surface registration of the engine's custom Catalyst expressions, so
+  * `spark.sql("SELECT array_dot(a, b)")` works next to the DataFrame API.
+  *
+  * Install at build time via `SparkSession.builder.withExtensions(new
+  * GraftExtensions)` / `spark.sql.extensions=graft.GraftExtensions`, or on a
+  * live session with [[GraftExtensions.register]] (extensions passed to
+  * `getOrCreate` are silently skipped when a session already exists).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "array_dot(a, b) takes exactly 2 arguments")
+        ArrayDot(args.head, args(1))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig(shingles, numHashes) takes exactly 2 arguments")
+        val n = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig numHashes must be an integer literal, got $other")
+        }
+        MinHashSig(args.head, n)
+      }))
+
+  /** Register the functions on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, b) =>
+      ColumnShim.registerFunction(spark, id, info, b)
+    }
+}

@@ -68,10 +68,15 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 5, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.7): DataFrame = {
-    val sigged = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", TextAnalysis.shingles(col("text"), shingleK))
-      .withColumn("sig", minhashSignatureOfShingles(col("sh"), numHashes))
-      .drop("sh")
+    // Shingling (tokenize + sliding concat_ws) is the per-row hot loop and
+    // feeds three consumers (signature, verify side a, verify side b) —
+    // compute it ONCE and persist. The cached frame is narrow: (id, distinct
+    // shingles); memory ~ corpus token count, spilling to disk beyond that.
+    val shingled = df.select(col(idCol).as("id"),
+        array_distinct(TextAnalysis.shingles(col(textCol), shingleK)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigged = shingled.select(col("id"),
+      minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))
     val rows = numHashes / bands
     val buckets = sigged.select(col("id"),
       posexplode(array((0 until bands).map(b =>
@@ -83,7 +88,14 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifyJaccard(cands, sigged.select(col("id"), col("text")), shingleK)
+    cands
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .select(col("id_a"), col("id_b"),
+        when(col("uni") === 0, lit(1.0))
+          .otherwise(col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

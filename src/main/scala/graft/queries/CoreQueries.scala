@@ -245,12 +245,16 @@ object CoreQueries {
       Some("SELECT p_partkey, p_name, p_brand FROM part " +
         "WHERE regexp_matches(p_name, '^(small|large) ') AND NOT regexp_matches(p_brand, '#1[0-9]$')")),
 
-    // ---- J1: anti-join on content hash — missing rows (Synchronizer.php:446-524)
+    // ---- J1: anti-join on content hash — missing rows (Synchronizer.php:446-524).
+    //      Uses the engine's fast 128-bit raw-value hash (the hash is internal
+    //      membership currency — only keys are output, so the md5-canonical
+    //      form's string casts would be pure overhead; the oracle's md5 NOT IN
+    //      yields the same key set).
     Q("j1_anti_missing",
       (s, dir) => {
-        val mh = Hashing.hashMap(T(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"), liCols)
-        val sh = Hashing.hashMap(slaveView(s, dir), Seq("l_orderkey", "l_linenumber"), liCols)
-        mh.join(sh.select("row_hash"), Seq("row_hash"), "left_anti")
+        val mh = Hashing.fastHashMap(T(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"), liCols)
+        val sh = Hashing.fastHashMap(slaveView(s, dir), Seq("l_orderkey", "l_linenumber"), liCols)
+        mh.join(sh.select(Hashing.FastHashCols.map(col): _*), Hashing.FastHashCols, "left_anti")
           .select("l_orderkey", "l_linenumber")
       },
       Some(s"""WITH slave AS ($slaveSql),
@@ -261,9 +265,9 @@ object CoreQueries {
     // ---- J2: anti-join on content hash — excess rows (Synchronizer.php:531-583)
     Q("j2_anti_excess",
       (s, dir) => {
-        val mh = Hashing.hashMap(T(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"), liCols)
-        val sh = Hashing.hashMap(slaveView(s, dir), Seq("l_orderkey", "l_linenumber"), liCols)
-        sh.join(mh.select("row_hash"), Seq("row_hash"), "left_anti")
+        val mh = Hashing.fastHashMap(T(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"), liCols)
+        val sh = Hashing.fastHashMap(slaveView(s, dir), Seq("l_orderkey", "l_linenumber"), liCols)
+        sh.join(mh.select(Hashing.FastHashCols.map(col): _*), Hashing.FastHashCols, "left_anti")
           .select("l_orderkey", "l_linenumber")
       },
       Some(s"""WITH slave AS ($slaveSql),
@@ -275,11 +279,11 @@ object CoreQueries {
     Q("j3_semi_fetch",
       (s, dir) => {
         val m = T(s, dir, "lineitem")
-        val mh = Hashing.hashMap(m, Seq("l_orderkey", "l_linenumber"), liCols)
-        val sh = Hashing.hashMap(slaveView(s, dir), Seq("l_orderkey", "l_linenumber"), liCols)
-        val missing = mh.join(sh.select("row_hash"), Seq("row_hash"), "left_anti")
+        val mh = Hashing.fastHashMap(m, Seq("l_orderkey", "l_linenumber"), liCols)
+        val sh = Hashing.fastHashMap(slaveView(s, dir), Seq("l_orderkey", "l_linenumber"), liCols)
+        val missing = mh.join(sh.select(Hashing.FastHashCols.map(col): _*), Hashing.FastHashCols, "left_anti")
           .select("l_orderkey", "l_linenumber")
-        m.join(broadcast(missing), Seq("l_orderkey", "l_linenumber"), "left_semi")
+        m.join(missing, Seq("l_orderkey", "l_linenumber"), "left_semi")
       },
       Some(s"""WITH slave AS ($slaveSql),
                | mh AS (SELECT l_orderkey, l_linenumber, ${duckRowHash(liCols)} AS h FROM lineitem),
@@ -399,6 +403,43 @@ object CoreQueries {
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
               | cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty
               |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ---- TPC-H Q5-style 5-table join: dims broadcast, fact joined last;
+    //      Catalyst + AQE pick broadcast-hash for every dim side
+    Q("q5_multi_join",
+      (s, dir) => {
+        val region = T(s, dir, "region").filter(col("r_name") === "ASIA")
+        val nation = T(s, dir, "nation")
+        val cust = T(s, dir, "customer")
+        val ord = T(s, dir, "orders")
+        val li = T(s, dir, "lineitem")
+        val rev = col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n_name,
+              | cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) as double) AS revenue,
+              | count(*) AS n_items
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin)),
+
+    // ---- cube (full grouping-set family alongside q_rollup)
+    Q("q_cube",
+      (s, dir) => T(s, dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("sum_price")),
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+              | cast(sum(cast(o_totalprice as decimal(14,2))) as double) AS sum_price
+              |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin)),
 
     // ---- time-bucketed aggregation over the events table
     Q("q_events_hourly",

@@ -1,0 +1,22 @@
+package graft
+
+/** SQL registration of custom expressions (GraftExtensions). */
+class ExtensionsSpec extends SparkSpec {
+
+  test("array_dot and minhash_sig callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(dot === 11.0)
+    val sig = spark.sql("SELECT minhash_sig(array('a', 'b'), 4) AS sig")
+      .head().getSeq[Long](0)
+    assert(sig.length === 4)
+    // matches the DataFrame-API expression values
+    import org.apache.spark.sql.functions._
+    val viaDf = spark.range(1)
+      .select(graft.functions.VectorExpressions.minhash_sig(
+        array(lit("a"), lit("b")), 4).as("sig"))
+      .head().getSeq[Long](0)
+    assert(sig === viaDf)
+  }
+}
