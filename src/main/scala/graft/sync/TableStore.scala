@@ -34,6 +34,17 @@ trait TableStore {
     * `Synchronizer.php:166-175`).
     */
   def deleteWhere(table: String, partCol: String, value: Any): Unit
+
+  /** Apply a delta: remove rows whose key-tuple is in `delKeys`, add
+    * `inserts` — delete-before-insert order (C7, `Synchronizer.php:495-501`).
+    * Default = the two sink calls; copy-on-write stores fuse both into ONE
+    * table rewrite (half the write I/O per applied delta / stream batch).
+    */
+  def applyDelta(table: String, delKeys: DataFrame, keyCols: Seq[String],
+                 inserts: DataFrame): Unit = {
+    deleteKeys(table, delKeys, keyCols)
+    append(table, inserts)
+  }
 }
 
 /** Parquet-directory store: each table is `<dir>/<name>.parquet`.
@@ -72,8 +83,11 @@ final class ParquetStore(val spark: SparkSession, dir: String) extends TableStor
     else overwrite(table, df)
 
   override def deleteKeys(table: String, keys: DataFrame, keyCols: Seq[String]): Unit = {
+    // No broadcast hint: the key set is usually small (AQE broadcasts it at
+    // runtime), but a bulk delete can be table-sized and a forced broadcast
+    // would OOM the driver.
     val cur = read(table)
-    overwrite(table, cur.join(broadcastIfSmall(keys), keyCols, "left_anti"))
+    overwrite(table, cur.join(keys, keyCols, "left_anti"))
   }
 
   override def deleteWhere(table: String, partCol: String, value: Any): Unit = {
@@ -81,7 +95,12 @@ final class ParquetStore(val spark: SparkSession, dir: String) extends TableStor
     overwrite(table, cur.filter(!(col(partCol) <=> lit(value))))
   }
 
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+  override def applyDelta(table: String, delKeys: DataFrame, keyCols: Seq[String],
+                          inserts: DataFrame): Unit = {
+    val cur = read(table)
+    overwrite(table,
+      cur.join(delKeys, keyCols, "left_anti").unionByName(inserts.select(cur.columns.map(col).toSeq: _*)))
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
