@@ -41,7 +41,9 @@ object StreamSync {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
         try {
-          val keys = b.select(keyCols.map(col): _*).distinct()
+          // Micro-batches are bounded by construction → broadcast the key
+          // set so the store's delete anti-join never shuffles the table.
+          val keys = broadcast(b.select(keyCols.map(col): _*).distinct())
           val upserts = b.filter(col(opCol) === "u").drop(opCol)
           // One store-level delta apply per batch (COW stores fuse the
           // delete + insert into a single rewrite).

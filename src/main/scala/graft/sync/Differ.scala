@@ -152,8 +152,12 @@ object Differ {
         if (nIns == 0) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.source.schema)
         else spark.read.parquet(s"$scratch/inserts")
 
-      if (!dryRun && (nDel > 0 || nIns > 0))
-        store.applyDelta(table, delTarget, delta.keyCols, spilledInserts)
+      if (!dryRun && (nDel > 0 || nIns > 0)) {
+        // Same size-informed hint for the store's delete anti-join: without
+        // it the rewrite shuffles the whole table by key.
+        val delT = if (nDel + nInsKeys <= BroadcastKeyMax) broadcast(delTarget) else delTarget
+        store.applyDelta(table, delT, delta.keyCols, spilledInserts)
+      }
       (nDel, nIns)
     } finally {
       def rm(f: java.io.File): Unit = {

@@ -89,6 +89,32 @@ final class JdbcStore(val spark: SparkSession, url: String,
     }
   }
 
+  /** §4 optional fast path — compute pushdown: evaluate the row hash INSIDE
+    * the source database so only (key, hash) crosses the wire, the
+    * reference's single biggest transfer optimization (MD5/CONCAT_WS run on
+    * the MySQL server and 32-byte hashes stream back,
+    * `TableConnection.php:46-51`). At 100 TB this turns the diff's scan
+    * traffic from full rows into ~40 bytes/row.
+    *
+    * `hashExpr` is the dialect's hash expression over the data columns;
+    * defaults to MySQL's `MD5(CONCAT_WS('#', COALESCE(CAST(c AS CHAR),
+    * 'NULL') ...))`, which mirrors [[graft.functions.Hashing.rowHash]].
+    * CAVEAT: value→string casts differ between engines — diff two hash maps
+    * only when BOTH sides were produced the same way (both pushed down, or
+    * both hashed Spark-side), never mixed.
+    */
+  def readHashMap(table: String, keyCols: Seq[String], dataCols: Seq[String],
+                  hashExpr: Option[String] = None): DataFrame = {
+    val expr = hashExpr.getOrElse(JdbcStore.mysqlRowHashExpr(dataCols, quoteChar))
+    val sql = s"SELECT ${keyCols.map(q).mkString(", ")}, $expr AS ${q("row_hash")} FROM ${q(table)}"
+    val r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("query", sql)
+      .option("fetchsize", batchSize.toString)
+    user.foreach { case (u, pw) => r.option("user", u).option("password", pw) }
+    r.load()
+  }
+
   override def drop(table: String): Unit = withConnection { c =>
     val st = c.createStatement()
     try st.executeUpdate(s"DROP TABLE ${q(table)}") finally st.close()
@@ -144,4 +170,14 @@ final class JdbcStore(val spark: SparkSession, url: String,
       val ps = c.prepareStatement(s"DELETE FROM ${q(table)} WHERE ${q(partCol)} = ?")
       try { ps.setObject(1, value); ps.executeUpdate() } finally ps.close()
     }
+}
+
+object JdbcStore {
+  /** MySQL row-hash pushdown expression — the exact SQL shape the reference
+    * generates (`TableConnection.php:46-48`) with the NULL-sentinel fix of
+    * its table-level hash (`TableConnection.php:475-477`).
+    */
+  def mysqlRowHashExpr(dataCols: Seq[String], quoteChar: String = "`"): String =
+    dataCols.map(c => s"COALESCE(CAST($quoteChar$c$quoteChar AS CHAR), 'NULL')")
+      .mkString("MD5(CONCAT_WS('#', ", ", ", "))")
 }

@@ -151,7 +151,9 @@ final class SyncEngine(master: TableStore, slave: TableStore,
       val excessDf = joined.filter(col("fp_count").isNull).select(partCol)
       val nExcess = excessDf.count()
       if (nExcess > 0) {
-        if (!config.dryRun) slave.deleteKeys(table, excessDf, Seq(partCol))
+        // Partition-value lists are low-cardinality by definition (a
+        // declared logical partition column) → broadcast the delete keys.
+        if (!config.dryRun) slave.deleteKeys(table, broadcast(excessDf), Seq(partCol))
         record(DropPartition(table, partCol, s"$nExcess partitions"))
       }
       // Changed or missing partitions → one combined row-level diff scoped to

@@ -80,6 +80,23 @@ class JdbcStoreSpec extends SparkSpec {
     assert(engine.syncTable("customer") == SyncAction.Skip("customer", "already in sync"))
   }
 
+  test("readHashMap pushes the hash expression into the database") {
+    val url = mkDb("hashpush")
+    val store = new JdbcStore(spark, url)
+    store.overwrite("t", custDf)
+    // Derby-dialect "hash" (no MD5 in Derby): the point under test is the
+    // query-pushdown plumbing — keys + one computed column, evaluated
+    // server-side.
+    val hm = store.readHashMap("t", Seq("id"),
+      Seq("name", "nk"), hashExpr = Some("""TRIM(CAST("nk" AS CHAR(32)))"""))
+    assert(hm.columns.toSeq == Seq("id", "row_hash"))
+    assert(hm.count() == 5)
+    assert(hm.filter($"id" === 1L).head().getString(1) == "10")
+    // the MySQL default expression mirrors Hashing.rowHash's canonical form
+    assert(JdbcStore.mysqlRowHashExpr(Seq("a", "b")) ==
+      "MD5(CONCAT_WS('#', COALESCE(CAST(`a` AS CHAR), 'NULL'), COALESCE(CAST(`b` AS CHAR), 'NULL')))")
+  }
+
   test("range-partitioned JDBC read returns the same data") {
     val url = mkDb("ranges")
     val plain = new JdbcStore(spark, url)
