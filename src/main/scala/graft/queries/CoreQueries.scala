@@ -77,11 +77,7 @@ object CoreQueries {
     Q("s15_audit_dryrun",
       (s, dir) => {
         import s.implicits._
-        val slaveDir = java.nio.file.Files.createTempDirectory("graft_audit").toString
-        slaveView(s, dir)
-          .unionByName(T(s, dir, "lineitem").limit(3)
-            .withColumn("l_orderkey", col("l_orderkey") + 1000000L))
-          .write.mode("overwrite").parquet(s"$slaveDir/lineitem.parquet")
+        val slaveDir = SyncQueries.makeSlaveDir(s, dir, "audit")
         val engine = new graft.sync.SyncEngine(
           new graft.sync.ParquetStore(s, dir), new graft.sync.ParquetStore(s, slaveDir),
           graft.sync.SyncConfig(

@@ -34,18 +34,13 @@ object StreamingQueries {
         import graft.functions.Hashing
         val li = T(s, dir, "lineitem")
         // Slave diverges three ways: missing rows (%7 orders), stale updates
-        // (%13 orders), and 3 fabricated excess rows (deterministic pick:
-        // lowest sort order — limit() without sort varies per evaluation and
-        // this frame is evaluated twice, for the slave and for the feed).
-        val slaveDir = java.nio.file.Files.createTempDirectory("graft_resync").toString
+        // (%13 orders), and 3 fabricated excess rows — the shared staged
+        // fixture (SyncQueries.makeSlaveDir; its excess pick is the same
+        // deterministic lowest-sort-order 3 used for the delete records
+        // below).
+        val slaveDir = SyncQueries.makeSlaveDir(s, dir, "resync")
         val excess = li.orderBy(liCols.map(col): _*).limit(3)
           .withColumn("l_orderkey", col("l_orderkey") + 1000000L)
-        li.filter(col("l_orderkey") % 7 =!= 0)
-          .withColumn("l_quantity",
-            when(col("l_orderkey") % 13 === 0, col("l_quantity") + 1.0)
-              .otherwise(col("l_quantity")))
-          .unionByName(excess)
-          .write.parquet(s"$slaveDir/lineitem.parquet")
         // Change feed: master-content upserts for the divergent keys, delete
         // records for the excess keys.
         val feedDir = java.nio.file.Files.createTempDirectory("graft_feed").toString
@@ -106,6 +101,40 @@ object StreamingQueries {
       Some("""SELECT user_id, count(*) AS n_events,
               | cast(sum(cast(value as decimal(12,2))) as double) AS total_value
               |FROM events GROUP BY user_id""".stripMargin)),
+
+    // Streaming exact dedup with bounded state: the feed carries every event
+    // TWICE (two staged copies of the table); dropDuplicatesWithinWatermark
+    // on event_id keys the state store and the 1-hour watermark bounds it —
+    // the scale-correct form of streaming dedup (plain dropDuplicates keeps
+    // state forever). Oracle = per-type counts of the deduped feed = the
+    // plain events table.
+    Q("stream_dedup",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val stage = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+        java.nio.file.Files.createSymbolicLink(
+          stage.resolve("a.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+        java.nio.file.Files.createSymbolicLink(
+          stage.resolve("b.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val schema = {
+          val base = Registry.table(s, dir, "events").schema
+          org.apache.spark.sql.types.StructType(base.fields.map {
+            case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+            case f => f
+          })
+        }
+        val src = s.readStream.schema(schema).parquet(stage.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val qname = "graft_stream_dedup"
+        val q = src.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qname).groupBy("event_type").agg(count(lit(1)).as("n"))
+      },
+      Some("SELECT event_type, count(*) AS n FROM events GROUP BY event_type")),
 
     // Stateful custom-state operator: flatMapGroupsWithState sessionization
     // (30-minute gap). Oracle = the equivalent batch lag/cumsum windows.

@@ -21,18 +21,39 @@ object SyncQueries {
   /** Build a scratch slave dir holding a perturbed lineitem: rows of every
     * 7th order dropped, quantity bumped on every 13th, plus 3 fabricated
     * excess rows (deletes + inserts + updates all exercised).
+    *
+    * The perturbed table is STAGED once per source dir and then cheaply
+    * file-copied for each caller (every convergence query mutates its own
+    * slave; a fresh Spark write per query cost ~4 s each at sf0.1, the FS
+    * copy ~0.1 s).
     */
-  private def makeSlaveDir(s: SparkSession, dir: String, tag: String): String = {
-    val out = java.nio.file.Files.createTempDirectory(s"graft_slave_$tag").toString
-    val li = T(s, dir, "lineitem")
-    val perturbed = li.filter(col("l_orderkey") % 7 =!= 0)
-      .withColumn("l_quantity",
-        when(col("l_orderkey") % 13 === 0, col("l_quantity") + 1.0).otherwise(col("l_quantity")))
-    val excess = li.limit(3)
-      .withColumn("l_orderkey", col("l_orderkey") + 1000000L)
-    perturbed.unionByName(excess)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
-    out
+  private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[queries] def makeSlaveDir(s: SparkSession, dir: String, tag: String): String = {
+    val base = staged.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_slave_base").toString
+      val li = T(s, dir, "lineitem")
+      val perturbed = li.filter(col("l_orderkey") % 7 =!= 0)
+        .withColumn("l_quantity",
+          when(col("l_orderkey") % 13 === 0, col("l_quantity") + 1.0).otherwise(col("l_quantity")))
+      val excess = li.orderBy(li.columns.map(col).toSeq: _*).limit(3)
+        .withColumn("l_orderkey", col("l_orderkey") + 1000000L)
+      perturbed.unionByName(excess)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+      out
+    })
+    val out = java.nio.file.Files.createTempDirectory(s"graft_slave_$tag")
+    copyDir(java.nio.file.Paths.get(base), out)
+    out.toString
+  }
+
+  private def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    Files.walk(from).forEach { (p: Path) =>
+      val dest = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) { if (!Files.exists(dest)) { Files.createDirectories(dest); () } }
+      else { Files.copy(p, dest); () }
+    }
   }
 
   def all: Seq[Q] = Seq(
