@@ -205,7 +205,14 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     // diff leg with the hash-map exchanges reused; a dry run just skips the
     // final slave rewrite (scratch spill is not slave state).
     val (nDel, nIns) = Differ.applyDelta(slave, table, delta, dryRun = config.dryRun)
-    record(ApplyDelta(table, nDel, nIns))
+    if (nDel == 0 && nIns == 0 && !config.dryRun) {
+      // Fingerprints differed (we only get here after the short-circuit) yet
+      // the diff found nothing — possible only when content-identical rows
+      // differ in multiplicity, the hash-match blind spot the reference
+      // itself documents (SURVEY §2.3 J1). Full recopy guarantees
+      // convergence instead of silently reporting an empty delta.
+      copyTable(table)
+    } else record(ApplyDelta(table, nDel, nIns))
   }
 
   /** C5: full copy — drop, recreate from master (`Synchronizer.php:330-354`). */

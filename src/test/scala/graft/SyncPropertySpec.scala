@@ -48,6 +48,23 @@ class SyncPropertySpec extends SparkSpec {
     }
   }
 
+  test("duplicate-content multiplicity difference converges via recopy fallback") {
+    // master: the SAME full row twice; slave: one copy. Every row hash
+    // matches the other side, so the hash diff is empty (the reference's
+    // documented blind spot, SURVEY §2.3 J1) — the engine must fall back to
+    // full copy, not report an empty delta.
+    val cols = Seq("k", "v")
+    val md = tmpDir("dupm"); val sd = tmpDir("dups")
+    Seq((1L, "A"), (1L, "A")).toDF("k", "v").write.parquet(s"$md/t.parquet")
+    Seq((1L, "A")).toDF("k", "v").write.parquet(s"$sd/t.parquet")
+    val ms = new ParquetStore(spark, md); val ss = new ParquetStore(spark, sd)
+    val engine = new SyncEngine(ms, ss, SyncConfig(primaryKeys = Map("t" -> Seq("k"))))
+    assert(engine.syncTable("t") == SyncAction.CopyTable("t"))
+    assert(Hashing.tableFingerprint(ss.read("t"), cols) ==
+      Hashing.tableFingerprint(ms.read("t"), cols))
+    assert(engine.syncTable("t") == SyncAction.Skip("t", "already in sync"))
+  }
+
   test("fingerprint order-insensitivity on random data") {
     val cols = Seq("k", "a", "s", "d")
     for (seed <- 1 to 4) {
