@@ -441,6 +441,20 @@ object CoreQueries {
               | cast(sum(cast(o_totalprice as decimal(14,2))) as double) AS sum_price
               |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin)),
 
+    // ---- skew-resistant two-phase aggregation: event_type has only a
+    //      handful of giant groups — a plain groupBy funnels each through
+    //      one reducer at scale; salting fans each hot key across 32
+    //      partial-aggregate buckets first (ops.Skew). Decimal sums keep the
+    //      recombination exact for the oracle.
+    Q("q_salted_agg",
+      (s, dir) => graft.ops.Skew.saltedCountSum(
+          Registry.events(s, dir).withColumn("v", col("value").cast("decimal(12,2)")),
+          keyCols = Seq("event_type"), sumCols = Seq("v"), saltBuckets = 32)
+        .select(col("event_type"), col("n"), col("sum_v").cast("double").as("sum_value")),
+      Some("""SELECT event_type, count(*) AS n,
+              | cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
+              |FROM events GROUP BY event_type""".stripMargin)),
+
     // ---- time-bucketed aggregation over the events table
     Q("q_events_hourly",
       (s, dir) => Registry.events(s, dir)

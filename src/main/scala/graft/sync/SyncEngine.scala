@@ -30,7 +30,11 @@ final case class SyncConfig(
     /** Cross-table driver concurrency (C6; reference: process pool = #cores,
       * `Synchronizer.php:73-92`). Spark parallelizes *within* jobs; this only
       * overlaps small-table jobs to keep the scheduler busy. */
-    tableParallelism: Int = 4)
+    tableParallelism: Int = 4,
+    /** Append every recorded action as a JSON line to this file (S15 — the
+      * reference appends each write query to `LOG_QUERY_FILE`,
+      * `TableConnection.php:730-742`). None = in-memory audit only. */
+    auditLogPath: Option[String] = None)
 
 /** Planned/executed actions — the engine's audit log (reference S15 logs every
   * write query, `TableConnection.php:730-742`; here the *plan* is first-class).
@@ -61,7 +65,24 @@ final class SyncEngine(master: TableStore, slave: TableStore,
 
   private val audit = mutable.ArrayBuffer.empty[SyncAction]
   def auditLog: Seq[SyncAction] = audit.synchronized(audit.toSeq)
-  private def record(a: SyncAction): SyncAction = { audit.synchronized(audit += a); a }
+  private def record(a: SyncAction): SyncAction = {
+    audit.synchronized {
+      audit += a
+      config.auditLogPath.foreach { p =>
+        val json = a match {
+          case DropTable(t) => s"""{"action":"DropTable","table":"$t"}"""
+          case CopyTable(t) => s"""{"action":"CopyTable","table":"$t"}"""
+          case Skip(t, r) => s"""{"action":"Skip","table":"$t","reason":"$r"}"""
+          case ApplyDelta(t, d, i) => s"""{"action":"ApplyDelta","table":"$t","deleted":$d,"inserted":$i}"""
+          case DropPartition(t, c, v) => s"""{"action":"DropPartition","table":"$t","part_col":"$c","value":"$v"}"""
+          case CopyPartition(t, c, v) => s"""{"action":"CopyPartition","table":"$t","part_col":"$c","value":"$v"}"""
+        }
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n",
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      }
+    }
+    a
+  }
 
   private def ignored(name: String): Boolean =
     config.ignoreTables.exists(r => r.pattern.matcher(name).matches())

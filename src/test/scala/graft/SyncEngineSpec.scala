@@ -123,6 +123,21 @@ class SyncEngineSpec extends SparkSpec {
     assert(fp(ss.read("x")) == before)
   }
 
+  test("audit log file: every action appended as a JSON line (S15)") {
+    val (md, sd, ms, ss) = mkStores("auditfile")
+    write(md, "x", custDf)
+    write(sd, "x", custDf.filter($"id" =!= 1L))
+    write(sd, "gone", custDf)
+    val logPath = tmpDir("auditlog") + "/audit.jsonl"
+    val engine = new SyncEngine(ms, ss, SyncConfig(
+      primaryKeys = Map("x" -> Seq("id")), auditLogPath = Some(logPath)))
+    engine.syncDatabase()
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(logPath))
+    assert(lines.size == engine.auditLog.size)
+    assert(lines.stream().anyMatch(_.contains(""""action":"DropTable","table":"gone"""")))
+    assert(lines.stream().anyMatch(_.contains(""""action":"ApplyDelta","table":"x"""")))
+  }
+
   test("NullColumnTest convergence: NULL-permuted rows sync correctly") {
     val (md, sd, ms, ss) = mkStores("nullcol")
     val m = Seq((1L, Option(2), Option.empty[Int], Option.empty[Int]))
