@@ -103,6 +103,77 @@ object Similarity {
       .select(col(qIdCol), col(cIdCol), col("sim"), col("rank"))
   }
 
+  /** IVF coarse quantizer: `nCells` centroids by spherical k-means —
+    * deterministic init (the `nCells` lowest-id corpus vectors), then
+    * `iters` Lloyd rounds fully in DataFrames (assign = arg-max cosine via
+    * codegen'd dots; update = per-dimension mean through posexplode).
+    * Centroids return to the driver — they are the small model state (nCells
+    * × dim doubles), exactly what a cluster would broadcast.
+    */
+  def ivfCentroids(corpus: DataFrame, nCells: Int, iters: Int = 2,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(nCells)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = corpus.withColumn("cell", nearestCell(col(vecCol), cents))
+      val updated = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), e => e.getField("m")).as("centroid"))
+        .collect()
+      val next = cents.clone()
+      updated.foreach(r => next(r.getInt(0)) = r.getSeq[Double](1).toArray)
+      cents = next
+    }
+    cents
+  }
+
+  /** Arg-max-cosine cell assignment against driver-held centroids — one
+    * codegen'd dot per centroid, then array_position of the max. Centroids
+    * are L2-normalized first so dot order == cosine order.
+    */
+  def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val normed = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    val scores = array(normed.map(c => dot(vec, array(c.map(lit): _*))): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** IVF approximate top-k: corpus rows are bucketed by nearest centroid;
+    * each query probes its `nProbe` closest cells and re-ranks exactly
+    * within them. Shuffle key = cell id (bounded by nCells); recall grows
+    * with nProbe at linear cost — the inverted-file trade dial.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, iters: Int = 2,
+              qIdCol: String = "q_id", qVecCol: String = "q_vec",
+              cIdCol: String = "vec_id", cVecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nCells, iters, cIdCol, cVecCol)
+    val corpusCells = corpus.withColumn("cell", nearestCell(col(cVecCol), cents))
+    // per-query nProbe nearest cells: score array -> (score, idx) structs,
+    // sort desc, slice
+    val normed = cents.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum); if (n == 0) c else c.map(_ / n)
+    }
+    val scored = array(normed.zipWithIndex.map { case (c, i) =>
+      struct((-dot(col(qVecCol), array(c.map(lit): _*))).as("neg"), lit(i).as("cell"))
+    }: _*)
+    val probes = queries.withColumn("cell",
+      explode(transform(slice(array_sort(scored), 1, nProbe), e => e.getField("cell"))))
+    val cands = corpusCells.join(broadcast(probes), Seq("cell"))
+      .select(col(qIdCol), col(qVecCol), col(cIdCol), col(cVecCol))
+      .dropDuplicates(qIdCol, cIdCol)
+    val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col(cIdCol))
+    cands.withColumn("sim", cosine(col(qVecCol), col(cVecCol)))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(qIdCol), col(cIdCol), col("sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus against
     * itself (single table, more planes → high precision buckets), exact
     * cosine within buckets, keep pairs ≥ threshold.

@@ -51,6 +51,19 @@ object SimilarityQueries {
       },
       None),
 
+    // ---- IVF approximate top-k (the other named scale path: coarse
+    //      quantizer cells + nProbe probing; rows-only check, recall vs
+    //      brute force asserted in OpsSpec)
+    Q("knn_ivf_topk",
+      (s, dir) => {
+        val corpus = T(s, dir, "embeddings")
+        val queries = corpus.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.ivfTopK(queries, corpus.filter(col("vec_id") >= 5), k = 10,
+          nCells = 16, nProbe = 4)
+      },
+      None),
+
     // ---- embedding-cosine near-duplicate pairs (LSH-bucketed; rows-only)
     Q("dedup_cosine_pairs",
       (s, dir) => Similarity.cosineNearDups(T(s, dir, "embeddings"),

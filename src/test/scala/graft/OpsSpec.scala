@@ -101,6 +101,24 @@ class OpsSpec extends SparkSpec {
       assert(approx.contains((qid, qid + 10000L)), s"clone of $qid not found: $approx")
   }
 
+  test("ivfTopK: decent recall vs brute force, perfect on planted clones") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val clones = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000L).as("vec_id"),
+        transform($"embedding", (x, i) => when(i === 0, x * 1.01f).otherwise(x)).as("embedding"))
+    val corpus = emb.filter($"vec_id" >= 3).select("vec_id", "embedding").unionByName(clones)
+    val exact = Similarity.bruteForceTopK(q, corpus, 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(q, corpus, 10, nCells = 8, nProbe = 3)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted clone is the #1 neighbor — must always be probed
+    for (qid <- 0L to 2L)
+      assert(approx.contains((qid, qid + 10000L)), s"clone of $qid not found")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@10 too low: $recall")
+  }
+
   test("multimodal: meta derivation + deterministic decode + frame sampling") {
     val df = Seq((1L, "hello world payload"), (2L, "another payload body x"))
       .toDF("media_id", "text")
