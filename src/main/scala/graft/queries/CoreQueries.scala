@@ -379,6 +379,20 @@ object CoreQueries {
               |WHERE c_mktsegment = 'BUILDING'
               |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
 
+    // ---- TPC-H Q6-style selective filter + ungrouped aggregate: the
+    //      filters must reach the parquet scan as PushedFilters
+    Q("q6_filter_agg",
+      (s, dir) => T(s, dir, "lineitem")
+        .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          col("l_discount").cast("decimal(12,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n")),
+      Some("""SELECT cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(l_discount as decimal(12,2))) as double) AS revenue,
+              | count(*) AS n
+              |FROM lineitem
+              |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
     // ---- window function: top order per customer (extension corpus)
     Q("q_window_top_order",
       (s, dir) => {
