@@ -189,7 +189,8 @@ final class SyncEngine(master: TableStore, slave: TableStore,
       val needDiff =
         if (nExcess > 0 && !config.dryRun) spill(needDiffLazy, s"needdiff_$table")
         else needDiffLazy
-      if (needDiff.isEmpty) {
+      val nNeed = needDiff.count()
+      if (nNeed == 0) {
         return if (nExcess > 0) record(ApplyDelta(table, nExcess, 0))
                else record(Skip(table, "already in sync"))
       }
@@ -200,9 +201,13 @@ final class SyncEngine(master: TableStore, slave: TableStore,
                else record(Skip(table, "no primary key"))
       }
       // Re-read AFTER the excess delete: the diff's lazy plans must see the
-      // slave's current files, not the pre-delete listing.
-      val mScope = master.read(table).join(needDiff, Seq(partCol), "left_semi")
-      val sScope = slave.read(table).join(needDiff, Seq(partCol), "left_semi")
+      // slave's current files, not the pre-delete listing. The changed-
+      // partition list's size is KNOWN (just counted) — broadcast it when
+      // small so the scoping semi-joins never shuffle the tables by key.
+      val needDiffB =
+        if (nNeed <= Differ.BroadcastKeyMax) broadcast(needDiff) else needDiff
+      val mScope = master.read(table).join(needDiffB, Seq(partCol), "left_semi")
+      val sScope = slave.read(table).join(needDiffB, Seq(partCol), "left_semi")
       // C7: a row may have moved partitions; keying the diff on the PK alone
       // (not PK+partition) plus delete-before-insert keeps convergence.
       val delta =
