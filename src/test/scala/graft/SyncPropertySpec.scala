@@ -48,6 +48,34 @@ class SyncPropertySpec extends SparkSpec {
     }
   }
 
+  test("random partitioned master/slave pairs converge through the grouped cascade") {
+    // low-cardinality partition column p ∈ {0,1,2}; random divergence on
+    // both sides including whole-partition presence differences
+    val pRowGen = for {
+      k <- Gen.choose(1L, 60L)
+      p <- Gen.choose(0, 2)
+      v <- Gen.option(Gen.oneOf("x", "y", "z"))
+    } yield (k, p, v)
+    val pTableGen = Gen.listOfN(20, pRowGen).map(_.groupBy(_._1).map(_._2.head).toList)
+    val cols = Seq("k", "p", "v")
+    for (seed <- 1 to 4) {
+      val mRows = pTableGen.pureApply(Gen.Parameters.default, Seed(seed))
+      val sRows = pTableGen.pureApply(Gen.Parameters.default, Seed(seed + 500))
+      val md = tmpDir("pprop_m"); val sd = tmpDir("pprop_s")
+      mRows.toDF("k", "p", "v").write.mode(SaveMode.Overwrite).parquet(s"$md/t.parquet")
+      sRows.toDF("k", "p", "v").write.mode(SaveMode.Overwrite).parquet(s"$sd/t.parquet")
+      val ms = new ParquetStore(spark, md); val ss = new ParquetStore(spark, sd)
+      val engine = new SyncEngine(ms, ss, SyncConfig(
+        primaryKeys = Map("t" -> Seq("k")),
+        partitionedTables = Map("t" -> "p")))
+      engine.syncTable("t")
+      assert(Hashing.tableFingerprint(ss.read("t"), cols) ==
+        Hashing.tableFingerprint(ms.read("t"), cols), s"seed $seed did not converge")
+      assert(engine.syncTable("t") == SyncAction.Skip("t", "already in sync"),
+        s"seed $seed not idempotent")
+    }
+  }
+
   test("duplicate-content multiplicity difference converges via recopy fallback") {
     // master: the SAME full row twice; slave: one copy. Every row hash
     // matches the other side, so the hash diff is empty (the reference's
