@@ -136,6 +136,42 @@ object StreamingQueries {
       },
       Some("SELECT event_type, count(*) AS n FROM events GROUP BY event_type")),
 
+    // Stream-stream interval join: clicks joined to purchases by the same
+    // user within the following 2 hours — two independently staged
+    // streaming sources, watermarks on both sides bound the join state.
+    // Joined pairs land in a memory sink (append); the per-user counts are
+    // a batch aggregate over it, oracle = the equivalent batch self-join.
+    Q("stream_stream_join",
+      (s, dir) => {
+        val clicks = Registry.eventsStream(s, dir)
+          .filter(col("event_type") === "click")
+          .withWatermark("ts", "3 hours")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+        val purchases = Registry.eventsStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withWatermark("ts", "3 hours")
+          .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 HOURS"))
+        val qname = "graft_stream_join"
+        val q = joined.select("user_id", "click_id", "purchase_id")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qname).groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""SELECT a.user_id, count(*) AS n_pairs
+              |FROM events a JOIN events b
+              |  ON a.user_id = b.user_id
+              | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+              |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+              |GROUP BY a.user_id""".stripMargin)),
+
     // Stateful custom-state operator: flatMapGroupsWithState sessionization
     // (30-minute gap). Oracle = the equivalent batch lag/cumsum windows.
     Q("stream_sessionize",

@@ -103,12 +103,16 @@ final class SyncEngine(master: TableStore, slave: TableStore,
 
     // C6: overlap independent per-table jobs from the driver. Each job's
     // tasks already fan out across executors; this hides scheduling gaps of
-    // many small tables.
+    // many small tables. Per-table failures are recorded and tolerated —
+    // one bad table must not kill the database sync (the reference wraps
+    // every child command in `|| true`, Synchronizer.php:77).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, config.tableParallelism))
     try {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val futures = shared.map(t => Future(syncTable(t)))
+      val futures = shared.map(t => Future(
+        try syncTable(t)
+        catch { case e: Exception => record(Skip(t, s"failed: ${e.getMessage}")) }))
       Await.result(Future.sequence(futures), Duration.Inf)
     } finally pool.shutdown()
     auditLog

@@ -123,6 +123,23 @@ class SyncEngineSpec extends SparkSpec {
     assert(fp(ss.read("x")) == before)
   }
 
+  test("per-table failure is tolerated: other tables still sync (C6 || true)") {
+    val (md, sd, ms, ss) = mkStores("tolerate")
+    write(md, "good", custDf)
+    write(sd, "good", custDf.filter($"id" =!= 1L))
+    // corrupt table: slave's parquet dir exists but holds garbage → read throws
+    write(md, "bad", custDf)
+    val badDir = new java.io.File(s"$sd/bad.parquet"); badDir.mkdirs()
+    java.nio.file.Files.writeString(badDir.toPath.resolve("part-0.parquet"), "not parquet")
+    val engine = new SyncEngine(ms, ss, SyncConfig(primaryKeys = Map("good" -> Seq("id"))))
+    engine.syncDatabase()
+    assert(fp(ss.read("good")) == fp(ms.read("good")), "good table must converge")
+    assert(engine.auditLog.exists {
+      case SyncAction.Skip("bad", r) => r.startsWith("failed:")
+      case _ => false
+    }, s"bad table failure must be recorded: ${engine.auditLog}")
+  }
+
   test("audit log file: every action appended as a JSON line (S15)") {
     val (md, sd, ms, ss) = mkStores("auditfile")
     write(md, "x", custDf)
