@@ -81,7 +81,10 @@ object Differ {
     def pair(df: DataFrame, p: String) =
       Hashing.fastHashMap(df, keyCols, dataCols)
         .withColumnRenamed("h1", s"${p}_h1").withColumnRenamed("h2", s"${p}_h2")
-    val joined = pair(master, "m").join(pair(slave, "s"), keyCols, "full_outer").cache()
+    // No cache: the two legs below execute in applyDelta's ONE spill action,
+    // where the join's input exchanges are reused — a cache here had no
+    // owner to unpersist it and leaked executor memory across syncs.
+    val joined = pair(master, "m").join(pair(slave, "s"), keyCols, "full_outer")
     val same = col("m_h1") <=> col("s_h1") && col("m_h2") <=> col("s_h2")
     val deletes = joined
       .filter(col("s_h1").isNotNull && !same)
