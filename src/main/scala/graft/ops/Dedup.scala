@@ -75,6 +75,7 @@ object Dedup {
     val shingled = df.select(col(idCol).as("id"),
         array_distinct(TextAnalysis.shingles(col(textCol), shingleK)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val sigged = shingled.select(col("id"),
       minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))
     val rows = numHashes / bands
@@ -88,7 +89,7 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cands
+    val verified = cands
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -97,6 +98,12 @@ object Dedup {
         when(col("uni") === 0, lit(1.0))
           .otherwise(col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // Materialize the (small) verified pair list eagerly so the shingle
+    // cache can be released before returning — the persist above would
+    // otherwise leak executor storage across calls (it had no owner).
+    // localCheckpoint cuts lineage, so downstream reuse never re-shingles.
+    verified.localCheckpoint(true)
+    } finally { shingled.unpersist(); () }
   }
 
   /** Exact n-gram (word-shingle) Jaccard for candidate pairs.

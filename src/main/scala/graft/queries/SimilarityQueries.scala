@@ -91,7 +91,13 @@ object SimilarityQueries {
       (s, dir) => {
         val media = T(s, dir, "documents")
           .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+        // Surface scalars only: the raw Array[Float] embedding breaks the
+        // driver's row compare (arrays are unhashable there); a digest of the
+        // rounded components carries the same determinism evidence.
         Multimodal.extractImageFeatures(media, "media_id", "payload", embeddingDim = 8)
+          .select(col("media_id"), col("width"), col("height"),
+            md5(to_json(transform(col("embedding"), e => round(e.cast("double"), 4))))
+              .as("embedding_md5"))
       },
       None),
 

@@ -17,6 +17,21 @@ object StreamingQueries {
     "l_quantity", "l_extendedprice", "l_discount", "l_tax",
     "l_returnflag", "l_linestatus", "l_shipdate")
 
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily lowered for a
+    * STATEFUL streaming query. The state store pays per-partition-per-batch
+    * file I/O (delta + snapshot + maintenance), so state partition count is
+    * a disk-I/O multiplier, not a parallelism win — the partition count is
+    * baked into the checkpoint at first start, making this the one knob that
+    * must be set before `start()`. Batch queries are untouched (conf is
+    * restored immediately after the stream drains).
+    */
+  private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   def all: Seq[Q] = Seq(
 
     // The reference's whole raison d'être on Structured Streaming: a CDC-style
@@ -64,7 +79,7 @@ object StreamingQueries {
     // Tumbling-window (1 h) counts per event type, computed by a streaming
     // query over the events parquet. Oracle = the equivalent batch aggregate.
     Q("stream_hourly_counts",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s, 8) {
         val src = Registry.eventsStream(s, dir)
         val agg = src
           .withWatermark("ts", "1 hour")
@@ -86,7 +101,7 @@ object StreamingQueries {
     // Stateful sessionization-lite: per-user event counts and value totals
     // via a streaming aggregation (state store exercised), batch oracle.
     Q("stream_user_totals",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s, 8) {
         val src = Registry.eventsStream(s, dir)
         val agg = src.groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"),
@@ -109,7 +124,7 @@ object StreamingQueries {
     // state forever). Oracle = per-type counts of the deduped feed = the
     // plain events table.
     Q("stream_dedup",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s, 8) {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val stage = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
         java.nio.file.Files.createSymbolicLink(
@@ -142,7 +157,7 @@ object StreamingQueries {
     // Joined pairs land in a memory sink (append); the per-user counts are
     // a batch aggregate over it, oracle = the equivalent batch self-join.
     Q("stream_stream_join",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s, 8) {
         val clicks = Registry.eventsStream(s, dir)
           .filter(col("event_type") === "click")
           .withWatermark("ts", "3 hours")
@@ -175,8 +190,10 @@ object StreamingQueries {
     // Stateful custom-state operator: flatMapGroupsWithState sessionization
     // (30-minute gap). Oracle = the equivalent batch lag/cumsum windows.
     Q("stream_sessionize",
-      (s, dir) => graft.streaming.Sessionize.runAvailableNow(
-        Registry.eventsStream(s, dir), gapSeconds = 1800, queryName = "graft_sessions"),
+      (s, dir) => withStatePartitions(s, 8) {
+        graft.streaming.Sessionize.runAvailableNow(
+          Registry.eventsStream(s, dir), gapSeconds = 1800, queryName = "graft_sessions")
+      },
       Some("""WITH e AS (
               |  SELECT user_id, event_id, ts,
               |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

@@ -114,16 +114,44 @@ object Differ {
     */
   val BroadcastKeyMax = 1000000L
 
+  /** Scratch location for delta spills. Executor tasks write the spill files
+    * and later tasks re-read them, so the path MUST be on storage every
+    * executor sees — a driver-local `java.io.tmpdir` is only correct in
+    * local mode. Default: under `spark.sql.warehouse.dir` (shared fs on a
+    * real cluster deployment); override per-engine via
+    * [[SyncConfig.scratchDir]] / the `scratchDir` parameter.
+    */
+  def newScratchDir(spark: org.apache.spark.sql.SparkSession,
+                    base: Option[String], tag: String): String = {
+    val root = base.getOrElse(
+      spark.conf.get("spark.sql.warehouse.dir") + "/_graft_scratch")
+    s"$root/${tag}_${java.util.UUID.randomUUID().toString.take(12)}"
+  }
+
+  private def rmScratch(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    ()
+  }
+
   /** Apply (or, when `dryRun`, only plan and count) a delta. Dry runs pay
-    * the same scratch spill — it touches no slave state and makes the counts
-    * exact with one execution of each diff leg.
+    * the same scratch key spill — it touches no slave state and makes the
+    * counts exact with one execution of each diff leg — but skip the wide
+    * insert-row materialization (the count comes straight off the semi-join).
+    *
+    * `partDeletes` folds a whole-partition delete list (C4 excess-partition
+    * cleanup) into the SAME store-level apply, so copy-on-write stores pay
+    * one rewrite for partition deletes + row deletes + inserts together.
     */
   def applyDelta(store: TableStore, table: String, delta: Delta,
-                 dryRun: Boolean = false): (Long, Long) = {
+                 dryRun: Boolean = false,
+                 partDeletes: Option[(String, DataFrame)] = None,
+                 scratchDir: Option[String] = None): (Long, Long) = {
     // Delete-before-insert is mandatory: an update's key is in both sets, and
     // under partition sync a row may have moved partitions (Synchronizer.php:495-501).
-    val scratch = java.nio.file.Files.createTempDirectory("graft_delta").toString
     val spark = delta.source.sparkSession
+    val scratch = newScratchDir(spark, scratchDir, s"delta_$table")
     try {
       // Job 1 — ONE tagged write of both NARROW key sets ('d' = rows whose
       // content must leave the slave, J2; 'k' = keys of rows to copy, J1);
@@ -140,34 +168,39 @@ object Differ {
       val delTarget = keys.select(delta.keyCols.map(col): _*).distinct()
       val (nDel, nInsKeys) = (spilledDeletes.count(), spilledInsKeys.count())
 
+      // Spill the excess-partition value list too (tiny): the store apply
+      // below mutates the very files its lazy plan would re-derive the list
+      // from, and on JDBC the in-place deletes would race their own source
+      // scan. The spill is the restart point.
+      val spilledParts = partDeletes.map { case (pc, values) =>
+        values.coalesce(1).write.parquet(s"$scratch/parts")
+        (pc, broadcast(spark.read.parquet(s"$scratch/parts")))
+      }
+
       // Job 2 — J3 keyed fetch of full insert rows. The key count is KNOWN
       // now, so broadcast explicitly when small: AQE alone would launch the
       // source's full by-key shuffle before discovering the key side is tiny.
       val keyList = if (nInsKeys <= BroadcastKeyMax) broadcast(spilledInsKeys) else spilledInsKeys
+      val insertPlan = delta.source.join(keyList, delta.keyCols, "left_semi")
       val nIns =
         if (nInsKeys == 0) 0L
+        else if (dryRun) insertPlan.count()
         else {
-          delta.source.join(keyList, delta.keyCols, "left_semi")
-            .write.parquet(s"$scratch/inserts")
+          insertPlan.write.parquet(s"$scratch/inserts")
           spark.read.parquet(s"$scratch/inserts").count()
         }
       val spilledInserts =
-        if (nIns == 0) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.source.schema)
+        if (nIns == 0 || dryRun)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.source.schema)
         else spark.read.parquet(s"$scratch/inserts")
 
-      if (!dryRun && (nDel > 0 || nIns > 0)) {
+      if (!dryRun && (nDel > 0 || nIns > 0 || spilledParts.nonEmpty)) {
         // Same size-informed hint for the store's delete anti-join: without
         // it the rewrite shuffles the whole table by key.
         val delT = if (nDel + nInsKeys <= BroadcastKeyMax) broadcast(delTarget) else delTarget
-        store.applyDelta(table, delT, delta.keyCols, spilledInserts)
+        store.applyDelta(table, delT, delta.keyCols, spilledInserts, spilledParts)
       }
       (nDel, nIns)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(scratch))
-    }
+    } finally rmScratch(spark, scratch)
   }
 }

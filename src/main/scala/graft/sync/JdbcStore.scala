@@ -131,13 +131,18 @@ final class JdbcStore(val spark: SparkSession, url: String,
       .jdbc(url, q(table), props)
 
   override def deleteKeys(table: String, keys: DataFrame, keyCols: Seq[String]): Unit = {
-    // Executor-side batched DELETE: one connection + prepared statement per
-    // partition, batches of `batchSize` (the reference chunks tuple-IN lists
-    // at CHUNK_SIZE=5000, `TableConnection.php:367-387`).
+    // Executor-side batched DELETE: one connection per partition, batches of
+    // `batchSize` (the reference chunks tuple-IN lists at CHUNK_SIZE=5000,
+    // `TableConnection.php:367-387`). NULL-safe without dialect-specific
+    // `<=>`/`IS NOT DISTINCT FROM`: rows are grouped by their null-mask and
+    // each mask gets its own prepared statement — `k = ?` for non-null
+    // components, `k IS NULL` for null ones (a plain `k = NULL` predicate is
+    // UNKNOWN and would silently never delete, the partition-NULL
+    // convergence bug).
     val (u, qc, bs, si, usr) = (url, quoteChar, batchSize, sessionInit, user)
-    val sql = s"DELETE FROM $qc$table$qc WHERE " +
-      keyCols.map(k => s"$qc$k$qc = ?").mkString(" AND ")
     val n = keyCols.length
+    require(n <= 62, s"composite key too wide for null-mask grouping: $n")
+    val colsQ = keyCols.map(k => s"$qc$k$qc")
     keys.select(keyCols.head, keyCols.tail: _*).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.nonEmpty) {
@@ -149,17 +154,34 @@ final class JdbcStore(val spark: SparkSession, url: String,
             val st0 = c.createStatement()
             try si.foreach(st0.execute) finally st0.close()
             c.setAutoCommit(false)
-            val ps = c.prepareStatement(sql)
-            var inBatch = 0
-            it.foreach { row =>
-              var i = 0
-              while (i < n) { ps.setObject(i + 1, row.get(i)); i += 1 }
-              ps.addBatch()
-              inBatch += 1
-              if (inBatch >= bs) { ps.executeBatch(); c.commit(); inBatch = 0 }
+            val stmts = scala.collection.mutable.Map.empty[Long, (java.sql.PreparedStatement, Int)]
+            def flush(mask: Long): Unit = stmts.get(mask).foreach { case (ps, inBatch) =>
+              if (inBatch > 0) { ps.executeBatch(); c.commit() }
+              stmts(mask) = (ps, 0)
             }
-            if (inBatch > 0) { ps.executeBatch(); c.commit() }
-            ps.close()
+            it.foreach { row =>
+              var mask = 0L
+              var i = 0
+              while (i < n) { if (row.isNullAt(i)) mask |= (1L << i); i += 1 }
+              val (ps, inBatch) = stmts.getOrElseUpdate(mask, {
+                val preds = colsQ.zipWithIndex.map { case (k, j) =>
+                  if ((mask & (1L << j)) != 0) s"$k IS NULL" else s"$k = ?"
+                }
+                (c.prepareStatement(
+                  s"DELETE FROM $qc$table$qc WHERE ${preds.mkString(" AND ")}"), 0)
+              })
+              var j = 0
+              var p = 1
+              while (j < n) {
+                if ((mask & (1L << j)) == 0) { ps.setObject(p, row.get(j)); p += 1 }
+                j += 1
+              }
+              ps.addBatch()
+              stmts(mask) = (ps, inBatch + 1)
+              if (inBatch + 1 >= bs) flush(mask)
+            }
+            stmts.keys.toSeq.foreach(flush)
+            stmts.values.foreach { case (ps, _) => ps.close() }
           } finally c.close()
         }
     }
@@ -167,8 +189,15 @@ final class JdbcStore(val spark: SparkSession, url: String,
 
   override def deleteWhere(table: String, partCol: String, value: Any): Unit =
     withConnection { c =>
-      val ps = c.prepareStatement(s"DELETE FROM ${q(table)} WHERE ${q(partCol)} = ?")
-      try { ps.setObject(1, value); ps.executeUpdate() } finally ps.close()
+      if (value == null) {
+        // `col = NULL` is UNKNOWN — the NULL partition needs its own predicate.
+        val st = c.createStatement()
+        try st.executeUpdate(s"DELETE FROM ${q(table)} WHERE ${q(partCol)} IS NULL")
+        finally st.close()
+      } else {
+        val ps = c.prepareStatement(s"DELETE FROM ${q(table)} WHERE ${q(partCol)} = ?")
+        try { ps.setObject(1, value); ps.executeUpdate(); () } finally ps.close()
+      }
     }
 }
 

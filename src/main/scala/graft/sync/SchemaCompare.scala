@@ -43,8 +43,10 @@ object SchemaCompare {
 
   /** Structure equality for DataFrame-backed tables: name/type/nullability of
     * every field, order-sensitive (the reference's string compare is also
-    * order-sensitive).
+    * order-sensitive — a NULL/NOT NULL change in MySQL DDL makes the strings
+    * differ, so nullability participates here too).
     */
   def sameStructure(a: StructType, b: StructType): Boolean =
-    a.fields.map(f => (f.name, f.dataType)).sameElements(b.fields.map(f => (f.name, f.dataType)))
+    a.fields.map(f => (f.name, f.dataType, f.nullable))
+      .sameElements(b.fields.map(f => (f.name, f.dataType, f.nullable)))
 }

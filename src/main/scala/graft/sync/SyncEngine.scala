@@ -34,7 +34,12 @@ final case class SyncConfig(
     /** Append every recorded action as a JSON line to this file (S15 — the
       * reference appends each write query to `LOG_QUERY_FILE`,
       * `TableConnection.php:730-742`). None = in-memory audit only. */
-    auditLogPath: Option[String] = None)
+    auditLogPath: Option[String] = None,
+    /** Scratch base for delta spills. Executors write and re-read the spill,
+      * so on a multi-node cluster this must be a shared filesystem path;
+      * default None resolves under `spark.sql.warehouse.dir`
+      * (see [[Differ.newScratchDir]]). */
+    scratchDir: Option[String] = None)
 
 /** Planned/executed actions — the engine's audit log (reference S15 logs every
   * write query, `TableConnection.php:730-742`; here the *plan* is first-class).
@@ -69,13 +74,16 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     audit.synchronized {
       audit += a
       config.auditLogPath.foreach { p =>
+        // Escape every string field: Skip reasons carry exception messages
+        // (quotes/newlines/backslashes) that would corrupt the JSONL.
+        import graft.util.JsonUtil.{quote => jq}
         val json = a match {
-          case DropTable(t) => s"""{"action":"DropTable","table":"$t"}"""
-          case CopyTable(t) => s"""{"action":"CopyTable","table":"$t"}"""
-          case Skip(t, r) => s"""{"action":"Skip","table":"$t","reason":"$r"}"""
-          case ApplyDelta(t, d, i) => s"""{"action":"ApplyDelta","table":"$t","deleted":$d,"inserted":$i}"""
-          case DropPartition(t, c, v) => s"""{"action":"DropPartition","table":"$t","part_col":"$c","value":"$v"}"""
-          case CopyPartition(t, c, v) => s"""{"action":"CopyPartition","table":"$t","part_col":"$c","value":"$v"}"""
+          case DropTable(t) => s"""{"action":"DropTable","table":${jq(t)}}"""
+          case CopyTable(t) => s"""{"action":"CopyTable","table":${jq(t)}}"""
+          case Skip(t, r) => s"""{"action":"Skip","table":${jq(t)},"reason":${jq(r)}}"""
+          case ApplyDelta(t, d, i) => s"""{"action":"ApplyDelta","table":${jq(t)},"deleted":$d,"inserted":$i}"""
+          case DropPartition(t, c, v) => s"""{"action":"DropPartition","table":${jq(t)},"part_col":${jq(c)},"value":${jq(String.valueOf(v))}}"""
+          case CopyPartition(t, c, v) => s"""{"action":"CopyPartition","table":${jq(t)},"part_col":${jq(c)},"value":${jq(String.valueOf(v))}}"""
         }
         java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n",
           java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
@@ -155,9 +163,15 @@ final class SyncEngine(master: TableStore, slave: TableStore,
 
   /** C3/C4: partitioned cascade (`Synchronizer.php:111-180, 242-291`) — but
     * ONE grouped-fingerprint job per side covers every partition value,
-    * replacing the reference's query-per-value loop. Only changed partitions
-    * pay for a row diff, and those are diffed together in one pass with the
-    * partition column folded into the join keys.
+    * replacing the reference's query-per-value loop, and ONE copy-on-write
+    * apply covers excess-partition deletes + row deletes + inserts together
+    * (the reference pays a write round-trip per partition value).
+    *
+    * NULL partition values are first-class: the fingerprint full-outer join,
+    * the diff-scope semi-joins, and the store-level deletes all use null-safe
+    * (`<=>`) semantics — an equi-join would silently never match a NULL
+    * partition and the table could never converge while the audit log claims
+    * success.
     */
   private def syncPartitionedTable(table: String, partCol: String): SyncAction = {
     val m = master.read(table)
@@ -166,37 +180,34 @@ final class SyncEngine(master: TableStore, slave: TableStore,
 
     val mFp = Hashing.partitionFingerprints(m, partCol, cols, config.legacyNullSkip)
     val sFp = Hashing.partitionFingerprints(s, partCol, cols, config.legacyNullSkip)
+      .withColumnRenamed(partCol, "__s_part")
       .withColumnRenamed("fp_count", "s_count").withColumnRenamed("fp_xor", "s_xor")
       .withColumnRenamed("fp_sum", "s_sum")
-    val joined = mFp.join(sFp, Seq(partCol), "full_outer").cache()
+    val joined = mFp.join(sFp, mFp(partCol) <=> sFp("__s_part"), "full_outer").cache()
     try {
-      // Excess slave partitions → ONE batched partition delete (the reference
-      // deletes per value, Synchronizer.php:166-175; a single keyed delete on
-      // the partition column is one rewrite instead of N).
-      val excessDf = joined.filter(col("fp_count").isNull).select(partCol)
+      // Excess slave partitions → delete keys, folded into the single apply
+      // below (the reference deletes per value, Synchronizer.php:166-175).
+      val excessDf = joined.filter(col("fp_count").isNull && col("s_count").isNotNull)
+        .select(col("__s_part").as(partCol))
       val nExcess = excessDf.count()
-      if (nExcess > 0) {
-        // Partition-value lists are low-cardinality by definition (a
-        // declared logical partition column) → broadcast the delete keys.
-        if (!config.dryRun) slave.deleteKeys(table, broadcast(excessDf), Seq(partCol))
-        record(DropPartition(table, partCol, s"$nExcess partitions"))
-      }
       // Changed or missing partitions → one combined row-level diff scoped to
-      // them (needDiff stays distributed: partition cardinality may be huge)
-      val needDiffLazy = joined.filter(col("fp_count").isNotNull &&
-        (col("s_count").isNull || !(col("fp_xor") <=> col("s_xor")) ||
-         !(col("fp_count") <=> col("s_count")) || !(col("fp_sum") <=> col("s_sum"))))
-        .select(partCol)
-      // If the slave was mutated above, cut the lineage back to pre-delete
-      // files by spilling the partition list (cache eviction would otherwise
-      // recompute sFp against rewritten files).
-      val needDiff =
-        if (nExcess > 0 && !config.dryRun) spill(needDiffLazy, s"needdiff_$table")
-        else needDiffLazy
+      // them (needDiff stays distributed: partition cardinality may be huge).
+      // `syncSharedPartitions = false` limits the diff to missing partitions
+      // (reference SYNC_SHARED_PARTITIONS, settings.php.tmpl:64-67).
+      val changed = !(col("fp_xor") <=> col("s_xor")) ||
+        !(col("fp_count") <=> col("s_count")) || !(col("fp_sum") <=> col("s_sum"))
+      val scopeCond =
+        if (config.syncSharedPartitions) col("s_count").isNull || changed
+        else col("s_count").isNull
+      val needDiff = joined.filter(col("fp_count").isNotNull && scopeCond)
+        .select(col(partCol).as("__need_part"))
       val nNeed = needDiff.count()
+      if (nNeed == 0 && nExcess == 0) return record(Skip(table, "already in sync"))
+      if (nExcess > 0) record(DropPartition(table, partCol, s"$nExcess partitions"))
       if (nNeed == 0) {
-        return if (nExcess > 0) record(ApplyDelta(table, nExcess, 0))
-               else record(Skip(table, "already in sync"))
+        // Partition deletes only — one store-level keyed (null-safe) delete.
+        if (!config.dryRun) slave.deleteKeys(table, broadcast(excessDf), Seq(partCol))
+        return record(ApplyDelta(table, nExcess, 0))
       }
 
       val keys = keyColsOf(table).getOrElse(Seq.empty)
@@ -204,37 +215,32 @@ final class SyncEngine(master: TableStore, slave: TableStore,
         return if (config.copyTablesWithNoPrimary) copyTable(table)
                else record(Skip(table, "no primary key"))
       }
-      // Re-read AFTER the excess delete: the diff's lazy plans must see the
-      // slave's current files, not the pre-delete listing. The changed-
-      // partition list's size is KNOWN (just counted) — broadcast it when
-      // small so the scoping semi-joins never shuffle the tables by key.
+      // Nothing has mutated the slave yet (the apply below is the ONLY
+      // write), so the diff's lazy plans over the slave's current files stay
+      // valid — no defensive spill needed. The changed-partition list's size
+      // is KNOWN (just counted) — broadcast it when small so the scoping
+      // semi-joins never shuffle the tables by key.
       val needDiffB =
         if (nNeed <= Differ.BroadcastKeyMax) broadcast(needDiff) else needDiff
-      val mScope = master.read(table).join(needDiffB, Seq(partCol), "left_semi")
-      val sScope = slave.read(table).join(needDiffB, Seq(partCol), "left_semi")
+      val mScope = m.join(needDiffB, m(partCol) <=> needDiffB("__need_part"), "left_semi")
+      val sScope = s.join(needDiffB, s(partCol) <=> needDiffB("__need_part"), "left_semi")
       // C7: a row may have moved partitions; keying the diff on the PK alone
       // (not PK+partition) plus delete-before-insert keeps convergence.
       val delta =
         if (config.keyAwareDiff) Differ.keyDiff(mScope, sScope, keys)
         else Differ.hashDiff(mScope, sScope, keys, config.legacyNullSkip)
-      applyDelta(table, delta)
+      applyDelta(table, delta,
+        partDeletes = if (nExcess > 0) Some(partCol -> excessDf) else None)
     } finally joined.unpersist()
   }
 
-  /** Materialize a small/medium DataFrame to scratch parquet and re-read it,
-    * severing lineage from files a following mutation will rewrite.
-    */
-  private def spill(df: org.apache.spark.sql.DataFrame, tag: String): org.apache.spark.sql.DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
-    df.write.mode("overwrite").parquet(dir)
-    df.sparkSession.read.parquet(dir)
-  }
-
-  private def applyDelta(table: String, delta: Delta): SyncAction = {
+  private def applyDelta(table: String, delta: Delta,
+                         partDeletes: Option[(String, org.apache.spark.sql.DataFrame)] = None): SyncAction = {
     // Counts come from the spilled delta either way — one execution of each
     // diff leg with the hash-map exchanges reused; a dry run just skips the
     // final slave rewrite (scratch spill is not slave state).
-    val (nDel, nIns) = Differ.applyDelta(slave, table, delta, dryRun = config.dryRun)
+    val (nDel, nIns) = Differ.applyDelta(slave, table, delta, dryRun = config.dryRun,
+      partDeletes = partDeletes, scratchDir = config.scratchDir)
     if (nDel == 0 && nIns == 0 && !config.dryRun) {
       // Fingerprints differed (we only get here after the short-circuit) yet
       // the diff found nothing — possible only when content-identical rows

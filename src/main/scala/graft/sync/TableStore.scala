@@ -35,13 +35,17 @@ trait TableStore {
     */
   def deleteWhere(table: String, partCol: String, value: Any): Unit
 
-  /** Apply a delta: remove rows whose key-tuple is in `delKeys`, add
-    * `inserts` — delete-before-insert order (C7, `Synchronizer.php:495-501`).
-    * Default = the two sink calls; copy-on-write stores fuse both into ONE
-    * table rewrite (half the write I/O per applied delta / stream batch).
+  /** Apply a delta: remove whole logical partitions in `partDeletes` (C4
+    * excess-partition cleanup), remove rows whose key-tuple is in `delKeys`,
+    * add `inserts` — delete-before-insert order (C7,
+    * `Synchronizer.php:495-501`). Default = the three sink calls;
+    * copy-on-write stores fuse everything into ONE table rewrite (a third of
+    * the write I/O per applied partitioned delta).
     */
   def applyDelta(table: String, delKeys: DataFrame, keyCols: Seq[String],
-                 inserts: DataFrame): Unit = {
+                 inserts: DataFrame,
+                 partDeletes: Option[(String, DataFrame)] = None): Unit = {
+    partDeletes.foreach { case (pc, values) => deleteKeys(table, values, Seq(pc)) }
     deleteKeys(table, delKeys, keyCols)
     append(table, inserts)
   }
@@ -82,12 +86,19 @@ final class ParquetStore(val spark: SparkSession, dir: String) extends TableStor
       df.write.mode(SaveMode.Append).parquet(path(table))
     else overwrite(table, df)
 
+  /** Null-safe key anti-join: `usingColumns` equi-joins never match NULL =
+    * NULL, so a NULL key/partition value would silently survive every delete
+    * (the table never converges). `<=>` per component fixes that.
+    */
+  private def antiKeys(cur: DataFrame, keys: DataFrame, keyCols: Seq[String]): DataFrame =
+    cur.join(keys, keyCols.map(k => cur(k) <=> keys(k)).reduce(_ && _), "left_anti")
+
   override def deleteKeys(table: String, keys: DataFrame, keyCols: Seq[String]): Unit = {
     // No broadcast hint: the key set is usually small (AQE broadcasts it at
     // runtime), but a bulk delete can be table-sized and a forced broadcast
     // would OOM the driver.
     val cur = read(table)
-    overwrite(table, cur.join(keys, keyCols, "left_anti"))
+    overwrite(table, antiKeys(cur, keys, keyCols))
   }
 
   override def deleteWhere(table: String, partCol: String, value: Any): Unit = {
@@ -96,10 +107,16 @@ final class ParquetStore(val spark: SparkSession, dir: String) extends TableStor
   }
 
   override def applyDelta(table: String, delKeys: DataFrame, keyCols: Seq[String],
-                          inserts: DataFrame): Unit = {
+                          inserts: DataFrame,
+                          partDeletes: Option[(String, DataFrame)] = None): Unit = {
     val cur = read(table)
+    val afterParts = partDeletes match {
+      case Some((pc, values)) => antiKeys(cur, values, Seq(pc))
+      case None => cur
+    }
     overwrite(table,
-      cur.join(delKeys, keyCols, "left_anti").unionByName(inserts.select(cur.columns.map(col).toSeq: _*)))
+      antiKeys(afterParts, delKeys, keyCols)
+        .unionByName(inserts.select(cur.columns.map(col).toSeq: _*)))
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
