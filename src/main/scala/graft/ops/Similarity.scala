@@ -174,6 +174,21 @@ object Similarity {
       .select(col(qIdCol), col(cIdCol), col("sim"), col("rank"))
   }
 
+  /** Exact all-pairs cosine near-duplicates — the correctness baseline the
+    * LSH variant ([[cosineNearDups]]) is measured against, mirroring the
+    * brute-force/LSH split of top-k search. O(n²) dot products: right for
+    * oracle checks and for small dedup scopes (e.g. within a partition);
+    * at corpus scale use [[cosineNearDups]], whose shuffle key is the
+    * LSH bucket.
+    */
+  def cosinePairsExact(corpus: DataFrame, threshold: Double,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.as("a").join(broadcast(corpus.as("b")),
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
+      .filter(col("cos") >= threshold)
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus against
     * itself (single table, more planes → high precision buckets), exact
     * cosine within buckets, keep pairs ≥ threshold.

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.ops.Joins
+import org.apache.spark.sql.functions._
+
+/** Analytic extension corpus beyond the reference surface: temporal joins
+  * (as-of, range), pivot, exact + sketched distinct counts, exact
+  * percentiles. Each is the batch face of an operator a large event/training
+  * pipeline needs; oracles in DuckDB where ANSI-expressible.
+  */
+object ExtendedQueries {
+  import Registry.{table => T}
+
+  private val Hour = 3600000000L // micros
+
+  def all: Seq[Q] = Seq(
+
+    // ---- as-of join: each purchase matched to the user's most recent prior
+    //      (or simultaneous) click — union + keyed-window shape, one shuffle.
+    //      Timestamps surface as epoch micros (cross-harness hash-stable).
+    Q("q_asof_join",
+      (s, dir) => {
+        val ev = Registry.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"))
+        Joins.asofJoinBackward(purchases, clicks, Seq("user_id"),
+            leftTs = "ts", rightTs = "ts", valueCol = "ts", outCol = "click_ts")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("p_ts_us"),
+            unix_micros(col("click_ts")).as("click_ts_us"))
+      },
+      Some("""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS click_ts_us
+              |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+              |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+              |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)),
+
+    // ---- range join with NO equi-key: events vs derived [h+45min, h+75min)
+    //      intervals (deliberately straddling the hourly bucket boundary so
+    //      the multi-bucket explode path is exercised)
+    Q("q_range_join",
+      (s, dir) => {
+        val ev = Registry.events(s, dir)
+          .select(unix_micros(col("ts")).as("ts_us"), col("value"))
+        val ranges = Registry.events(s, dir)
+          .select(unix_micros(date_trunc("hour", col("ts"))).as("h")).distinct()
+          .select((col("h") + 45L * 60000000L).as("r_start"),
+            (col("h") + 75L * 60000000L).as("r_end"))
+        Joins.bucketedRangeJoin(ev, "ts_us", ranges, "r_start", "r_end", Hour)
+          .groupBy("r_start", "r_end")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      },
+      Some("""WITH r AS (SELECT DISTINCT epoch_us(date_trunc('hour', ts)) + 2700000000 AS r_start,
+              |    epoch_us(date_trunc('hour', ts)) + 4500000000 AS r_end FROM events)
+              |SELECT r_start, r_end, count(*) AS n,
+              | cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
+              |FROM r JOIN events e ON epoch_us(e.ts) >= r_start AND epoch_us(e.ts) < r_end
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- pivot (wide conditional aggregation)
+    Q("q_pivot",
+      (s, dir) => T(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast("decimal(14,2)")).cast("double")),
+      Some("""SELECT o_orderpriority,
+              | cast(sum(cast(o_totalprice as decimal(14,2))) FILTER (WHERE o_orderstatus = 'F') as double) AS "F",
+              | cast(sum(cast(o_totalprice as decimal(14,2))) FILTER (WHERE o_orderstatus = 'O') as double) AS "O",
+              | cast(sum(cast(o_totalprice as decimal(14,2))) FILTER (WHERE o_orderstatus = 'P') as double) AS "P"
+              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // ---- exact distinct count (shuffle: two-phase partial aggregation)
+    Q("q_distinct_users",
+      (s, dir) => Registry.events(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+              |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ---- HLL++ sketched distinct count — the 100 TB path (constant state
+    //      per group vs the exact variant's per-value state; sketches merge
+    //      map-side). Approximate → rows-only here; the error bound vs the
+    //      exact count is asserted in OpsSpec.
+    Q("q_hll_users",
+      (s, dir) => Registry.events(s, dir).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx")),
+      None),
+
+    // ---- exact percentiles (linear interpolation — same definition as
+    //      DuckDB's quantile_cont)
+    Q("q_percentiles",
+      (s, dir) => T(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("q25"),
+          percentile(col("l_quantity"), lit(0.5)).as("q50"),
+          percentile(col("l_quantity"), lit(0.75)).as("q75")),
+      Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS q25,
+              | quantile_cont(l_quantity, 0.5) AS q50, quantile_cont(l_quantity, 0.75) AS q75
+              |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+  )
+}

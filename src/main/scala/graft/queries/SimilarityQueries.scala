@@ -64,10 +64,29 @@ object SimilarityQueries {
       },
       None),
 
-    // ---- embedding-cosine near-duplicate pairs (LSH-bucketed; rows-only)
+    // ---- embedding-cosine near-duplicate pairs, exact baseline (oracle-
+    //      checked): all pairs ≥ 0.45 — the synthetic embeddings are near-
+    //      orthogonal (max cos ≈ 0.5), so this is the highest threshold with
+    //      a non-trivial answer at every SF
+    Q("dedup_cosine_exact",
+      (s, dir) => Similarity.cosinePairsExact(T(s, dir, "embeddings"), threshold = 0.45),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+              |SELECT * FROM (
+              | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |  CASE WHEN sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x))) = 0 THEN 0.0
+              |       ELSE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+              |            (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))) END AS cos
+              | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              |WHERE cos >= 0.45""".stripMargin)),
+
+    // ---- same pairs via LSH buckets (the corpus-scale path; approximate →
+    //      rows-only check, recall vs the exact baseline asserted in OpsSpec)
+    // 4 planes × 24 tables: collision prob per table at cos 0.45 (θ≈63°) is
+    // (1-θ/π)^4 ≈ 0.18 → ~99% recall across 24 tables, with 16-bucket tables
+    // keeping candidate generation ~n²/16 per table (not the cross product).
     Q("dedup_cosine_pairs",
       (s, dir) => Similarity.cosineNearDups(T(s, dir, "embeddings"),
-        threshold = 0.95, nPlanes = 8, tables = 8, dim = 64),
+        threshold = 0.45, nPlanes = 4, tables = 24, dim = 64),
       None),
 
     // ---- multimodal ingest: opaque binary payload + typed metadata

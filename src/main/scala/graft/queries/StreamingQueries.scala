@@ -191,8 +191,16 @@ object StreamingQueries {
     // (30-minute gap). Oracle = the equivalent batch lag/cumsum windows.
     Q("stream_sessionize",
       (s, dir) => withStatePartitions(s, 8) {
+        // Session bounds surface as epoch-MICROS bigints, not timestamps:
+        // they carry real sub-second parts (unlike the hour-truncated
+        // windows elsewhere), and timestamp-with-micros string forms differ
+        // across compare harnesses (ns-padding / T-separators); integers
+        // hash identically everywhere.
         graft.streaming.Sessionize.runAvailableNow(
-          Registry.eventsStream(s, dir), gapSeconds = 1800, queryName = "graft_sessions")
+            Registry.eventsStream(s, dir), gapSeconds = 1800, queryName = "graft_sessions")
+          .select(col("user_id"), col("session_id"), col("n_events"),
+            unix_micros(col("t_start")).as("t_start_us"),
+            unix_micros(col("t_end")).as("t_end_us"))
       },
       Some("""WITH e AS (
               |  SELECT user_id, event_id, ts,
@@ -205,7 +213,7 @@ object StreamingQueries {
               |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
               |  FROM f)
               |SELECT user_id, session_id, count(*) AS n_events,
-              |  min(ts) AS t_start, max(ts) AS t_end
+              |  epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us
               |FROM g GROUP BY user_id, session_id""".stripMargin))
   )
 

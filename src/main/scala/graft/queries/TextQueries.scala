@@ -127,10 +127,12 @@ object TextQueries {
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash")),
       None),
 
-    // ---- exact n-gram Jaccard on a bounded id range — oracle-checked
+    // ---- exact n-gram Jaccard, full corpus — oracle-checked
     Q("dedup_jaccard_exact",
       (s, dir) => {
-        val docs = T(s, dir, "documents").filter(col("doc_id") < 40)
+        // Full-corpus exhaustive pairs: the planted near-dups sit at high
+        // doc ids, so any id-range scope silently tests the empty set.
+        val docs = T(s, dir, "documents")
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleK = 3, threshold = 0.05)
           .withColumn("jaccard", round(col("jaccard"), 6))
       },
@@ -138,7 +140,7 @@ object TextQueries {
               |   ELSE list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')) END) AS sh
               |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
               |        ELSE regexp_split_to_array(trim(text), '\s+') END AS words
-              |        FROM documents WHERE doc_id < 40))
+              |        FROM documents))
               |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               | round(cast(len(list_intersect(a.sh, b.sh)) as double) /
               |   cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double), 6) AS jaccard

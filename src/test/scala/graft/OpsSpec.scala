@@ -136,6 +136,50 @@ class OpsSpec extends SparkSpec {
     assert(frames.count() == 8)
   }
 
+  test("as-of join: most recent prior match, inclusive ties, null when none") {
+    val left = Seq((1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L), (1L, 200L), (1L, 300L), (3L, 10L))
+      .toDF("k", "ts")
+    val got = graft.ops.Joins.asofJoinBackward(left, right, Seq("k"),
+        leftTs = "ts", rightTs = "ts", valueCol = "ts", outCol = "m")
+      .select($"tag", $"m").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("p1") == Some(100L)) // tie at same instant matches (inclusive)
+    assert(got("p2") == Some(200L)) // most recent prior, not the later 300
+    assert(got("p3") == None)       // no right rows for k=2
+  }
+
+  test("bucketed range join equals the naive inequality join") {
+    val points = Seq.tabulate(200)(i => (i.toLong * 7, i.toLong)).toDF("ts_us", "v")
+    val ranges = Seq((0L, 100L), (95L, 250L), (500L, 1300L), (1300L, 1300L))
+      .toDF("r_start", "r_end")
+    val fast = graft.ops.Joins.bucketedRangeJoin(points, "ts_us", ranges,
+        "r_start", "r_end", bucketWidth = 64L)
+      .select("ts_us", "r_start").as[(Long, Long)].collect().sorted
+    val naive = points.join(ranges,
+        $"ts_us" >= $"r_start" && $"ts_us" < $"r_end")
+      .select("ts_us", "r_start").as[(Long, Long)].collect().sorted
+    assert(fast.sameElements(naive) && fast.nonEmpty)
+  }
+
+  test("LSH cosine near-dup recall vs exact baseline on testdata embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.cosinePairsExact(emb, threshold = 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDups(emb, threshold = 0.45,
+        nPlanes = 4, tables = 24, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact))            // no false positives (exact verify)
+    assert(lsh.size >= exact.size * 0.8)   // ≥80% recall at these parameters
+  }
+
+  test("HLL sketched distinct within declared error of exact") {
+    val df = Seq.tabulate(5000)(i => (i % 700).toLong).toDF("u")
+    val approx = df.agg(approx_count_distinct($"u", 0.02)).head().getLong(0)
+    assert(math.abs(approx - 700.0) / 700.0 < 0.1)
+  }
+
   test("DDL normalization goldens (reference O2/F5)") {
     assert(SchemaCompare.stripAutoIncrement(
       "CREATE TABLE t (...) ENGINE=InnoDB AUTO_INCREMENT=123 DEFAULT CHARSET=utf8") ==

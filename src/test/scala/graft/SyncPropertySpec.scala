@@ -76,6 +76,58 @@ class SyncPropertySpec extends SparkSpec {
     }
   }
 
+  test("NULL partition values converge (null-safe partitioned cascade)") {
+    // The ADVICE scenario: a NULL partition value on either side — including
+    // a slave-ONLY NULL partition that an equi-join delete would silently
+    // never remove — must converge like any other value.
+    val pRowGen = for {
+      k <- Gen.choose(1L, 60L)
+      p <- Gen.option(Gen.choose(0, 1))   // partition ∈ {NULL, 0, 1}
+      v <- Gen.option(Gen.oneOf("x", "y", "z"))
+    } yield (k, p, v)
+    val pTableGen = Gen.listOfN(20, pRowGen).map(_.groupBy(_._1).map(_._2.head).toList)
+    val cols = Seq("k", "p", "v")
+    for (seed <- 1 to 4) {
+      val mAll = pTableGen.pureApply(Gen.Parameters.default, Seed(seed))
+      // master sometimes has NO null partition while the slave does (and
+      // vice versa through the random draw) — the excess-NULL-partition case
+      val mRows = if (seed % 2 == 0) mAll.filter(_._2.isDefined) else mAll
+      val sRows = pTableGen.pureApply(Gen.Parameters.default, Seed(seed + 500))
+      val md = tmpDir("nprop_m"); val sd = tmpDir("nprop_s")
+      mRows.toDF("k", "p", "v").write.mode(SaveMode.Overwrite).parquet(s"$md/t.parquet")
+      sRows.toDF("k", "p", "v").write.mode(SaveMode.Overwrite).parquet(s"$sd/t.parquet")
+      val ms = new ParquetStore(spark, md); val ss = new ParquetStore(spark, sd)
+      val engine = new SyncEngine(ms, ss, SyncConfig(
+        primaryKeys = Map("t" -> Seq("k")),
+        partitionedTables = Map("t" -> "p")))
+      engine.syncTable("t")
+      assert(Hashing.tableFingerprint(ss.read("t"), cols) ==
+        Hashing.tableFingerprint(ms.read("t"), cols), s"seed $seed did not converge")
+      assert(engine.syncTable("t") == SyncAction.Skip("t", "already in sync"),
+        s"seed $seed not idempotent")
+    }
+  }
+
+  test("slave-only NULL partition is deleted (partition-delete-only path)") {
+    val cols = Seq("k", "p", "v")
+    val md = tmpDir("nullp_m"); val sd = tmpDir("nullp_s")
+    Seq((1L, Some(0), "a"), (2L, Some(1), "b")).toDF("k", "p", "v")
+      .write.parquet(s"$md/t.parquet")
+    Seq((1L, Some(0), "a"), (2L, Some(1), "b"), (9L, None: Option[Int], "ghost"))
+      .toDF("k", "p", "v").write.parquet(s"$sd/t.parquet")
+    val ms = new ParquetStore(spark, md); val ss = new ParquetStore(spark, sd)
+    val engine = new SyncEngine(ms, ss, SyncConfig(
+      primaryKeys = Map("t" -> Seq("k")),
+      partitionedTables = Map("t" -> "p")))
+    engine.syncTable("t")
+    assert(ss.read("t").count() == 2)
+    assert(Hashing.tableFingerprint(ss.read("t"), cols) ==
+      Hashing.tableFingerprint(ms.read("t"), cols))
+    assert(engine.auditLog.exists {
+      case SyncAction.DropPartition("t", "p", _) => true; case _ => false
+    })
+  }
+
   test("duplicate-content multiplicity difference converges via recopy fallback") {
     // master: the SAME full row twice; slave: one copy. Every row hash
     // matches the other side, so the hash diff is empty (the reference's
