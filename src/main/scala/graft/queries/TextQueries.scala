@@ -130,10 +130,11 @@ object TextQueries {
     // ---- exact n-gram Jaccard, full corpus — oracle-checked
     Q("dedup_jaccard_exact",
       (s, dir) => {
-        // Full-corpus exhaustive pairs: the planted near-dups sit at high
-        // doc ids, so any id-range scope silently tests the empty set.
+        // Full corpus (the planted near-dups sit at high doc ids, so an
+        // id-range scope silently tests the empty set) through the inverted
+        // shingle index — exact values, co-occurring pairs only.
         val docs = T(s, dir, "documents")
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleK = 3, threshold = 0.05)
+        Dedup.jaccardPairsInverted(docs, "doc_id", "text", shingleK = 3, threshold = 0.05)
           .withColumn("jaccard", round(col("jaccard"), 6))
       },
       Some("""WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
