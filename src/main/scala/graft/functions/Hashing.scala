@@ -138,6 +138,26 @@ object Hashing {
     * `sort_array(collect_list(...))` concat was ~3× slower and built the
     * whole concatenated string in one executor).
     */
+  /** Order-insensitive multiset fingerprint over the md5 row-hash as ONE
+    * stable string `"count:sum:xor"` (sum/xor of the hash's first 15 hex
+    * digits as a 60-bit integer; sum in decimal(38,0) — exact to 10^12+
+    * rows). Cross-engine reproducible (DuckDB parses the same hex slice),
+    * fully distributed: ONE aggregate, nothing collected — the convergence-
+    * gate replacement for [[exactFingerprint]]'s driver-side sorted digest.
+    * Emits (fingerprint string, n_rows long).
+    */
+  def multisetFingerprintAgg(df: DataFrame, cols: Seq[String],
+                             legacyNullSkip: Boolean = false): DataFrame =
+    df.select(rowHash(df, cols, legacyNullSkip).as("h"))
+      .select(expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)").as("h15"))
+      .agg(
+        concat_ws(":",
+          count(lit(1)).cast(StringType),
+          coalesce(sum(col("h15").cast(DecimalType(38, 0))),
+            lit(0).cast(DecimalType(38, 0))).cast(StringType),
+          coalesce(expr("bit_xor(h15)"), lit(0L)).cast(StringType)).as("fingerprint"),
+        count(lit(1)).as("n_rows"))
+
   def exactFingerprint(df: DataFrame, cols: Seq[String],
                        legacyNullSkip: Boolean = false): DataFrame = {
     val spark = df.sparkSession

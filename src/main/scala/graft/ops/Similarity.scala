@@ -202,8 +202,9 @@ object Similarity {
     }
     // Candidate ids only through the bucket self-join: a pair colliding in
     // many tables must still pay only ONE exact cosine — dedup the narrow
-    // (id_a, id_b) pairs first, then join the vectors back (2.4× on the
-    // bench corpus vs verifying inside the bucket join).
+    // (id_a, id_b) pairs first, then join the vectors back (1.4× on the
+    // bench corpus vs verifying inside the bucket join, and the bucket join
+    // stops carrying vector payloads entirely).
     val b = corpus.select(col(idCol), explode(array(tabs: _*)).as("bucket"))
     val cands = b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))

@@ -68,4 +68,15 @@ object Registry {
   def duckRowHash(cols: Seq[String]): String =
     cols.map(c => s"coalesce(cast($c as varchar),'NULL')")
       .mkString("md5(concat_ws('#', ", ", ", "))")
+
+  /** DuckDB-side mirror of [[graft.functions.Hashing.multisetFingerprintAgg]]
+    * over table `from`: `"count:sum:xor"` of the md5 hash's first 15 hex
+    * digits — order-insensitive, no string_agg materialization.
+    */
+  def duckMultisetFingerprint(cols: Seq[String], from: String): String =
+    s"""SELECT cast(count(*) as varchar) || ':' ||
+       | cast(coalesce(sum(h15), 0) as varchar) || ':' ||
+       | cast(coalesce(bit_xor(h15), 0) as varchar) AS fingerprint,
+       | count(*) AS n_rows
+       |FROM (SELECT ('0x' || substr(${duckRowHash(cols)}, 1, 15))::BIGINT AS h15 FROM $from)""".stripMargin
 }

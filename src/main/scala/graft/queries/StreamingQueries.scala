@@ -70,11 +70,9 @@ object StreamingQueries {
         val slave = new graft.sync.ParquetStore(s, slaveDir)
         StreamSyncHolder.run(feed, slave)
         val synced = slave.read("lineitem")
-        Hashing.exactFingerprint(synced, liCols)
-          .crossJoin(synced.agg(count(lit(1)).as("n_rows")))
+        Hashing.multisetFingerprintAgg(synced, liCols)
       },
-      Some(s"""SELECT md5(string_agg(h, '' ORDER BY h)) AS fingerprint, count(*) AS n_rows
-               |FROM (SELECT ${duckRowHash(liCols)} AS h FROM lineitem)""".stripMargin)),
+      Some(Registry.duckMultisetFingerprint(liCols, "lineitem"))),
 
     // Tumbling-window (1 h) counts per event type, computed by a streaming
     // query over the events parquet. Oracle = the equivalent batch aggregate.

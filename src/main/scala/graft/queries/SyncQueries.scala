@@ -69,11 +69,9 @@ object SyncQueries {
           primaryKeys = Map("lineitem" -> Seq("l_orderkey", "l_linenumber"))))
         engine.syncTable("lineitem")
         val synced = slave.read("lineitem")
-        Hashing.exactFingerprint(synced, liCols)
-          .crossJoin(synced.agg(count(lit(1)).as("n_rows")))
+        Hashing.multisetFingerprintAgg(synced, liCols)
       },
-      Some(s"""SELECT md5(string_agg(h, '' ORDER BY h)) AS fingerprint, count(*) AS n_rows
-               |FROM (SELECT ${duckRowHash(liCols)} AS h FROM lineitem)""".stripMargin)),
+      Some(Registry.duckMultisetFingerprint(liCols, "lineitem"))),
 
     // Key-aware diff variant (SURVEY §2.3 J1 note): same convergence proof
     // through Differ.keyDiff (full-outer on the key struct).
@@ -87,11 +85,9 @@ object SyncQueries {
           keyAwareDiff = true))
         engine.syncTable("lineitem")
         val synced = slave.read("lineitem")
-        Hashing.exactFingerprint(synced, liCols)
-          .crossJoin(synced.agg(count(lit(1)).as("n_rows")))
+        Hashing.multisetFingerprintAgg(synced, liCols)
       },
-      Some(s"""SELECT md5(string_agg(h, '' ORDER BY h)) AS fingerprint, count(*) AS n_rows
-               |FROM (SELECT ${duckRowHash(liCols)} AS h FROM lineitem)""".stripMargin)),
+      Some(Registry.duckMultisetFingerprint(liCols, "lineitem"))),
 
     // Partitioned-table cascade (C3/C4): lineitem logically partitioned by
     // l_orderkey, same convergence proof through the grouped-fingerprint path.
@@ -105,10 +101,8 @@ object SyncQueries {
           partitionedTables = Map("lineitem" -> "l_orderkey")))
         engine.syncTable("lineitem")
         val synced = slave.read("lineitem")
-        Hashing.exactFingerprint(synced, liCols)
-          .crossJoin(synced.agg(count(lit(1)).as("n_rows")))
+        Hashing.multisetFingerprintAgg(synced, liCols)
       },
-      Some(s"""SELECT md5(string_agg(h, '' ORDER BY h)) AS fingerprint, count(*) AS n_rows
-               |FROM (SELECT ${duckRowHash(liCols)} AS h FROM lineitem)""".stripMargin))
+      Some(Registry.duckMultisetFingerprint(liCols, "lineitem")))
   )
 }
