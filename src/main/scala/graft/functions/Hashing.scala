@@ -162,13 +162,37 @@ object Hashing {
                        legacyNullSkip: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // Hash distributed, collect the narrow hash column, sort driver-side
-    // (no shuffle — a global orderBy would shuffle the whole hash set just
-    // to feed a sequential digest anyway).
-    val hs = df.select(rowHash(df, cols, legacyNullSkip).as("h")).as[String].collect()
-    java.util.Arrays.sort(hs.asInstanceOf[Array[AnyRef]])
+    // Hash distributed, collect the narrow hash column as BINARY (16 bytes —
+    // half the hex form's transfer and none of its UTF8String decode), sort
+    // driver-side (no shuffle — a global orderBy would shuffle the whole
+    // hash set just to feed a sequential digest anyway). Unsigned byte order
+    // == hex-string order, so the digest matches DuckDB's
+    // md5(string_agg(h, '' ORDER BY h)) exactly.
+    val hs = df.select(unhex(rowHash(df, cols, legacyNullSkip)).as("h"))
+      .as[Array[Byte]].collect()
+    java.util.Arrays.sort(hs, new java.util.Comparator[Array[Byte]] {
+      override def compare(a: Array[Byte], b: Array[Byte]): Int = {
+        var i = 0
+        while (i < a.length && i < b.length) {
+          val d = (a(i) & 0xff) - (b(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        a.length - b.length
+      }
+    })
     val digest = java.security.MessageDigest.getInstance("MD5")
-    hs.foreach(h => digest.update(h.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+    val hexDigits = "0123456789abcdef".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val buf = new Array[Byte](32)
+    hs.foreach { h =>
+      var i = 0
+      while (i < 16) {
+        buf(2 * i) = hexDigits((h(i) >> 4) & 0xf)
+        buf(2 * i + 1) = hexDigits(h(i) & 0xf)
+        i += 1
+      }
+      digest.update(buf)
+    }
     val fp = digest.digest().map(b => f"$b%02x").mkString
     Seq(fp).toDF("fingerprint")
   }

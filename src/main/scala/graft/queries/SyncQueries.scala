@@ -29,6 +29,12 @@ object SyncQueries {
     */
   private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Build the shared perturbed-slave base outside any timed query (Bench
+    * warmup): the first sync query otherwise pays the one-time fixture write
+    * and its number stops measuring the engine.
+    */
+  def prestage(s: SparkSession, dir: String): Unit = { makeSlaveDir(s, dir, "warm"); () }
+
   private[queries] def makeSlaveDir(s: SparkSession, dir: String, tag: String): String = {
     val base = staged.getOrElseUpdate(dir, {
       val out = java.nio.file.Files.createTempDirectory("graft_slave_base").toString
