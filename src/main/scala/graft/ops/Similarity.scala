@@ -42,7 +42,7 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qIdCol: String = "q_id", qVecCol: String = "q_vec",
                      cIdCol: String = "vec_id", cVecCol: String = "embedding"): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    val joined = Par.fanOut(corpus).crossJoin(broadcast(queries))
       .select(col(qIdCol), col(cIdCol),
         cosine(col(qVecCol), col(cVecCol)).as("sim"))
     val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col(cIdCol))
@@ -92,7 +92,7 @@ object Similarity {
       }
       df.select(idCols.map(col) :+ col(vecCol) :+ explode(array(tabs: _*)).as("bucket"): _*)
     }
-    val cB = bucketed(corpus, cVecCol, Seq(cIdCol))
+    val cB = bucketed(Par.fanOut(corpus), cVecCol, Seq(cIdCol))
     val qB = bucketed(queries, qVecCol, Seq(qIdCol))
     val cands = cB.join(broadcast(qB), Seq("bucket"))
       .select(col(qIdCol), col(qVecCol), col(cIdCol), col(cVecCol))
@@ -154,7 +154,7 @@ object Similarity {
               qIdCol: String = "q_id", qVecCol: String = "q_vec",
               cIdCol: String = "vec_id", cVecCol: String = "embedding"): DataFrame = {
     val cents = ivfCentroids(corpus, nCells, iters, cIdCol, cVecCol)
-    val corpusCells = corpus.withColumn("cell", nearestCell(col(cVecCol), cents))
+    val corpusCells = Par.fanOut(corpus).withColumn("cell", nearestCell(col(cVecCol), cents))
     // per-query nProbe nearest cells: score array -> (score, idx) structs,
     // sort desc, slice
     val normed = cents.map { c =>
@@ -183,7 +183,7 @@ object Similarity {
     */
   def cosinePairsExact(corpus: DataFrame, threshold: Double,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    corpus.as("a").join(broadcast(corpus.as("b")),
+    Par.fanOut(corpus).as("a").join(broadcast(corpus.as("b")),
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
@@ -205,7 +205,7 @@ object Similarity {
     // (id_a, id_b) pairs first, then join the vectors back (1.4× on the
     // bench corpus vs verifying inside the bucket join, and the bucket join
     // stops carrying vector payloads entirely).
-    val b = corpus.select(col(idCol), explode(array(tabs: _*)).as("bucket"))
+    val b = Par.fanOut(corpus).select(col(idCol), explode(array(tabs: _*)).as("bucket"))
     val cands = b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))

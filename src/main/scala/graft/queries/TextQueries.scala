@@ -12,6 +12,57 @@ import org.apache.spark.sql.functions._
 object TextQueries {
   import Registry.{table => T}
 
+  import org.apache.spark.sql.Column
+
+  /** Per-language marker-hit scores over `text`, in language-code order —
+    * shared by `text_langid` and the composite pipeline query so Spark and
+    * oracle tie-break identically. */
+  private def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = TextAnalysis.tokens(lower(text))
+    TextAnalysis.LangMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      val sw = array(ws.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(sw, t)))
+    }
+  }
+
+  /** First language (in code order) achieving the max score; "und" when no
+    * marker hits — the exact CASE order mirrored by [[langPredSql]]. */
+  private def langPred(scores: Seq[(String, Column)]): Column = {
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(maxScore <= 0, "und")) { case (acc, (lang, sc)) =>
+      acc.when(sc === maxScore, lang)
+    }.otherwise("und")
+  }
+
+  private def duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  private def langScoreSqls: Seq[(String, String)] =
+    TextAnalysis.LangMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      lang -> (s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+        s"len(list_filter($duckToks, t -> list_contains(${duckList(ws)}, t))) END")
+    }
+
+  private def langPredSql: String = {
+    val scores = langScoreSqls
+    val maxE = s"greatest(${scores.map(_._2).mkString(", ")})"
+    s"CASE WHEN $maxE <= 0 THEN 'und' " +
+      scores.map { case (l, e) => s"WHEN $e = $maxE THEN '$l'" }.mkString(" ") +
+      " ELSE 'und' END"
+  }
+
+  /** DuckDB mirror of [[TextAnalysis.qualityScore]] — identical operation
+    * tree so the doubles (and thus threshold filters) match bit-for-bit. */
+  private def qualityScoreSql: String = {
+    val stopHit = "CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE " +
+      s"cast(len(list_filter($duckToks, t -> list_contains(${duckList(TextAnalysis.EnglishStopwords)}, t))) as double)" +
+      s" / cast(len($duckToks) as double) END"
+    val punct = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+      "cast(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) as double)" +
+      " / cast(length(text) as double) END"
+    "greatest(0.0, least(cast(length(text) as double) / 500.0, 1.0) * 0.4" +
+      s" + least(($stopHit) * 4.0, 1.0) * 0.4 + 0.2 - least(($punct) * 2.0, 0.2))"
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- exact dedup: representative + multiplicity per content hash
@@ -147,7 +198,35 @@ object TextQueries {
               |   cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double), 6) AS jaccard
               |FROM d a JOIN d b ON a.doc_id < b.doc_id
               |WHERE cast(len(list_intersect(a.sh, b.sh)) as double) /
-              |   cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double) >= 0.05""".stripMargin))
+              |   cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double) >= 0.05""".stripMargin)),
+
+    // ---- composite training-data pipeline: quality-filter → language-filter
+    //      → exact-dedup → per-source stats, end to end in one declarative
+    //      plan (scan → map-side filters → one dedup shuffle → one agg
+    //      shuffle). The quality/lang thresholds run as identical IEEE
+    //      operation trees in both engines, so the boundary filter is exact.
+    Q("pipeline_clean_corpus",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val scored = d.select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          langPred(langScores(col("text"))).as("lang_pred"))
+        val kept = scored.filter(col("q") >= 0.5 && col("lang_pred") === "en")
+        Dedup.dedupExact(kept, "doc_id", Seq("text"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      },
+      Some(s"""WITH scored AS (SELECT doc_id, source, text,
+               |   CASE WHEN length(trim(text)) = 0 THEN 0
+               |        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::bigint AS n_tokens,
+               |   $qualityScoreSql AS q, $langPredSql AS lang_pred
+               |  FROM documents),
+               | kept AS (SELECT * FROM scored WHERE q >= 0.5 AND lang_pred = 'en'),
+               | dedup AS (SELECT * FROM kept WHERE doc_id IN (
+               |    SELECT min(doc_id) FROM kept GROUP BY md5(coalesce(cast(text as varchar),'NULL'))))
+               |SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+               |FROM dedup GROUP BY source""".stripMargin))
   )
 
   private def duckList(xs: Seq[String]): String =
