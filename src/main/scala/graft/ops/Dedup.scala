@@ -72,8 +72,12 @@ object Dedup {
     // feeds three consumers (signature, verify side a, verify side b) —
     // compute it ONCE and persist. The cached frame is narrow: (id, distinct
     // shingles); memory ~ corpus token count, spilling to disk beyond that.
-    val shingled = Par.fanOut(df.select(col(idCol).as("id"),
-        array_distinct(TextAnalysis.shingles(col(textCol), shingleK)).as("sh")))
+    // fanOut BEFORE shingling: with the projection below the exchange the
+    // per-row hot loop would still run inside the (often single-split) scan
+    // task.
+    val shingled = Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        array_distinct(TextAnalysis.shingles(col("__text"), shingleK)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val sigged = shingled.select(col("id"),
@@ -152,9 +156,10 @@ object Dedup {
     */
   def jaccardPairsInverted(df: DataFrame, idCol: String, textCol: String,
                            shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val docs = Par.fanOut(df.select(col(idCol).as("id"),
-      array_distinct(transform(TextAnalysis.shingles(col(textCol), shingleK),
-        s => xxhash64(s))).as("sh")))
+    val docs = Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        array_distinct(transform(TextAnalysis.shingles(col("__text"), shingleK),
+          s => xxhash64(s))).as("sh"))
     val inv = docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
     inv.as("a").join(inv.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
@@ -195,7 +200,8 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val sh = Par.fanOut(df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh")))
+    val sh = Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), simhash(col("__text")).as("sh"))
     val chunks = 4
     val pieces = sh.select(col("id"), col("sh"),
       posexplode(array((0 until chunks).map(i =>

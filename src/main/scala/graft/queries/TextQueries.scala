@@ -207,12 +207,22 @@ object TextQueries {
     //      operation trees in both engines, so the boundary filter is exact.
     Q("pipeline_clean_corpus",
       (s, dir) => {
-        val d = T(s, dir, "documents")
-        val scored = d.select(col("doc_id"), col("source"), col("text"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-          TextAnalysis.qualityScore(col("text")).as("q"),
-          langPred(langScores(col("text"))).as("lang_pred"))
-        val kept = scored.filter(col("q") >= 0.5 && col("lang_pred") === "en")
+        val d = graft.ops.Par.fanOut(T(s, dir, "documents"))
+        // Score ONCE into materialized columns (eager localCheckpoint):
+        // the language/quality scorers are interpreted higher-order
+        // expressions that CollapseProject would otherwise inline into
+        // every downstream reference (lang_pred alone reads each score
+        // twice, and the dedup semi-join re-reads the whole frame) —
+        // measured 2.5× on the bench corpus.
+        val scores = langScores(col("text"))
+        val base = d.select(col("doc_id") +: col("source") +: col("text") +:
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens") +:
+            TextAnalysis.qualityScore(col("text")).as("q") +:
+            scores.map { case (l, sc) => sc.as(s"__s_$l") }: _*)
+          .localCheckpoint(true)
+        val pred = langPred(scores.map { case (l, _) => l -> col(s"__s_$l") })
+        val kept = base.withColumn("lang_pred", pred)
+          .filter(col("q") >= 0.5 && col("lang_pred") === "en")
         Dedup.dedupExact(kept, "doc_id", Seq("text"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
