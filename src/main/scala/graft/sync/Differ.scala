@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   * key side is.
   */
 final case class Delta(deletes: DataFrame, insertKeys: DataFrame,
-                       source: DataFrame, keyCols: Seq[String]) {
+                       source: DataFrame, keyCols: Seq[String],
+                       /** Optional single-pass (keys, `__leg` ∈ d|k) frame
+                         * producing BOTH legs in one execution of the
+                         * underlying diff plan — [[Differ.applyDelta]] spills
+                         * it instead of unioning `deletes`/`insertKeys`
+                         * (which would run the diff join twice). */
+                       spillLegs: Option[DataFrame] = None) {
   /** Full rows to insert (J3 keyed fetch), as a lazy plan. */
   lazy val inserts: DataFrame = source.join(insertKeys, keyCols, "left_semi")
   lazy val isEmpty: Boolean = deletes.isEmpty && insertKeys.isEmpty
@@ -92,7 +98,14 @@ object Differ {
     val missingKeys = joined
       .filter(col("m_h1").isNotNull && !same)
       .select(keyCols.map(col): _*)
-    Delta(deletes, missingKeys, master, keyCols)
+    // Both legs in ONE pass over the join (an update key explodes into
+    // d + k): the spill job otherwise executes the full-outer merge twice,
+    // once per unioned leg (exchanges are reused, the join itself is not).
+    val legs = joined.filter(!same)
+      .select(keyCols.map(col) :+ explode(filter(array(
+        when(col("s_h1").isNotNull, "d"), when(col("m_h1").isNotNull, "k")),
+        x => x.isNotNull)).as("__leg"): _*)
+    Delta(deletes, missingKeys, master, keyCols, spillLegs = Some(legs))
   }
 
   /** Apply a delta to `table` in `store`: deletes first, then inserts (C7/C8).
@@ -159,8 +172,9 @@ object Differ {
       // incoming keys before insert), derived below from the spilled frames;
       // the AUDITED delete count stays the J2 leg alone, matching the
       // reference's deleteExcessRows accounting.
-      delta.deletes.withColumn("__leg", lit("d"))
-        .unionByName(delta.insertKeys.withColumn("__leg", lit("k")))
+      delta.spillLegs.getOrElse(
+          delta.deletes.withColumn("__leg", lit("d"))
+            .unionByName(delta.insertKeys.withColumn("__leg", lit("k"))))
         .write.parquet(s"$scratch/keys")
       val keys = spark.read.parquet(s"$scratch/keys")
       val spilledDeletes = keys.filter(col("__leg") === "d").select(delta.keyCols.map(col): _*)
