@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -10,46 +11,55 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * state-store-backed member of that family).
   *
   * Sessions: per-user event runs where consecutive events are ≤ `gapSeconds`
-  * apart. Events within one micro-batch are sorted by (ts, event_id) before
-  * sessionizing, and open sessions persist in [[GroupState]] across batches,
-  * emitted when a later batch's events (or stream end under AvailableNow)
-  * close them.
+  * apart. Multi-batch-correct by construction: a session is IDENTIFIED by
+  * its start instant, every batch that touches it emits its current
+  * (t_start, t_end, n_events) snapshot, open sessions stay in [[GroupState]]
+  * across batches, and [[runAvailableNow]] reconciles snapshots by taking
+  * the final (max-n) emission per (user, t_start) — so a session spanning
+  * micro-batches is one session, not a per-batch fragment. (The previous
+  * design cleared state at each batch end, splitting cross-batch sessions.)
+  *
+  * In-order feeds only across batches (the usual file-stream contract):
+  * within a batch events are sorted by (ts, event_id); an event older than
+  * an already-closed session would start a new overlapping session, exactly
+  * as any gap-sessionizer without late-data watermarking.
   */
 object Sessionize extends Serializable {
 
   final case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
-  final case class SessionState(startMicros: Long, endMicros: Long, n: Long, sid: Long)
-  final case class Session(user_id: Long, session_id: Long, n_events: Long,
-                           t_start: java.sql.Timestamp, t_end: java.sql.Timestamp)
+  final case class SessionState(startMicros: Long, endMicros: Long, n: Long)
+  /** One per-batch snapshot of a session (final iff the session closed). */
+  final case class SessionEmit(user_id: Long, n_events: Long,
+                               t_start: java.sql.Timestamp, t_end: java.sql.Timestamp)
 
-  /** Sessionize a (possibly streaming) events frame with columns
-    * (user_id long, event_id long, ts timestamp).
+  /** Raw per-batch session snapshots for a (possibly streaming) events frame
+    * with columns (user_id long, event_id long, ts timestamp). Downstream
+    * must reconcile duplicates per (user_id, t_start) — see [[finalize]].
     */
-  def sessions(events: DataFrame, gapSeconds: Long, emitOpen: Boolean): Dataset[Session] = {
+  def sessionSnapshots(events: DataFrame, gapSeconds: Long): Dataset[SessionEmit] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMicros = gapSeconds * 1000000L
 
-    def run(key: Long, it: Iterator[Ev], state: GroupState[SessionState]): Iterator[Session] = {
-      val evs = it.toArray.sortBy(e => (e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000, e.event_id))
-      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+    def run(key: Long, it: Iterator[Ev], state: GroupState[SessionState]): Iterator[SessionEmit] = {
+      val evs = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionEmit]
       var cur = state.getOption
       evs.foreach { e =>
-        val tm = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+        val tm = micros(e.ts)
         cur match {
           case Some(s) if tm - s.endMicros <= gapMicros =>
             cur = Some(s.copy(endMicros = tm, n = s.n + 1))
           case Some(s) =>
-            out += toSession(key, s)
-            cur = Some(SessionState(tm, tm, 1, s.sid + 1))
+            out += toEmit(key, s) // closed — final snapshot
+            cur = Some(SessionState(tm, tm, 1))
           case None =>
-            cur = Some(SessionState(tm, tm, 1, 1))
+            cur = Some(SessionState(tm, tm, 1))
         }
       }
-      cur match {
-        case Some(s) if emitOpen => out += toSession(key, s); state.remove()
-        case Some(s) => state.update(s)
-        case None => ()
+      cur.foreach { s =>
+        out += toEmit(key, s) // open — snapshot now, KEEP state for next batch
+        state.update(s)
       }
       out.iterator
     }
@@ -60,26 +70,41 @@ object Sessionize extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(run)
   }
 
-  private def toSession(uid: Long, s: SessionState): Session = {
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  private def toEmit(uid: Long, s: SessionState): SessionEmit = {
     def ts(micros: Long): java.sql.Timestamp = {
       val t = new java.sql.Timestamp(micros / 1000000L * 1000L)
       t.setNanos(((micros % 1000000L) * 1000L).toInt)
       t
     }
-    Session(uid, s.sid, s.n, ts(s.startMicros), ts(s.endMicros))
+    SessionEmit(uid, s.n, ts(s.startMicros), ts(s.endMicros))
   }
 
+  /** Reconcile snapshots to final sessions: last (max-n) emission per
+    * (user, t_start), then 1-based session numbering per user in start
+    * order — the batch lag/cumsum oracle's exact shape.
+    */
+  def finalizeSessions(snapshots: DataFrame): DataFrame =
+    snapshots.groupBy(col("user_id"), col("t_start"))
+      .agg(max(col("n_events")).as("n_events"), max(col("t_end")).as("t_end"))
+      .withColumn("session_id", row_number()
+        .over(Window.partitionBy("user_id").orderBy("t_start")).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("t_start"), col("t_end"))
+
   /** Run the sessionizer over the staged events stream synchronously and
-    * return the finished sessions (AvailableNow: the whole table is one
-    * batch, `emitOpen = true` closes trailing sessions).
+    * return the finished sessions (AvailableNow drains every pending batch;
+    * the final batch's open-session snapshots are their last word).
     */
   def runAvailableNow(stream: DataFrame, gapSeconds: Long, queryName: String): DataFrame = {
     val spark = stream.sparkSession
-    val q = sessions(stream, gapSeconds, emitOpen = true)
+    val q = sessionSnapshots(stream, gapSeconds)
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(queryName)
+    finalizeSessions(spark.table(queryName))
   }
 }

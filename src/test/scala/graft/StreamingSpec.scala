@@ -34,6 +34,31 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, 1L, 3L), (1L, 2L, 2L), (2L, 1L, 1L)))
   }
 
+  test("Sessionize: session spanning micro-batches stays ONE session") {
+    import spark.implicits._
+    val dir = tmpDir("sess_mb")
+    val base = 1700000000L
+    // file A ends with user 1's session OPEN; file B continues it within the
+    // gap, then a later burst opens session 2. user 3 exists only in file B.
+    Seq((1L, 1L, base), (1L, 2L, base + 60))
+      .toDF("user_id", "event_id", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch"))).drop("epoch")
+      .coalesce(1).write.parquet(s"$dir/events")
+    val schema = spark.read.parquet(s"$dir/events").schema
+    Seq((1L, 3L, base + 120), (1L, 4L, base + 120 + 2000), (3L, 5L, base))
+      .toDF("user_id", "event_id", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch"))).drop("epoch")
+      .coalesce(1).write.mode("append").parquet(s"$dir/events")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/events")
+    val out = Sessionize.runAvailableNow(stream, gapSeconds = 1800, queryName = "t_sessions_mb")
+      .orderBy("user_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // user 1: events 1-3 are ONE session across the batch boundary (3 events),
+    // then session 2 (1 event); user 3: one session.
+    assert(out === Seq((1L, 1L, 3L), (1L, 2L, 1L), (3L, 1L, 1L)))
+  }
+
   test("StreamSync change feed: upserts + deletes converge slave to master") {
     import spark.implicits._
     // ids 5 and 15 are duplicate keys (two rows each) — the feed must carry
