@@ -70,7 +70,7 @@ object Similarity {
   /** Sign-bit LSH bucket id: one bit per hyperplane (≤ 63 planes). */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (hp, i) =>
-      val hpCol = array(hp.map(lit): _*)
+      val hpCol = array(hp.toIndexedSeq.map(lit): _*)
       when(dot(vec, hpCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
@@ -140,7 +140,7 @@ object Similarity {
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0) c else c.map(_ / n)
     }
-    val scores = array(normed.map(c => dot(vec, array(c.map(lit): _*))): _*)
+    val scores = array(normed.toIndexedSeq.map(c => dot(vec, array(c.toIndexedSeq.map(lit): _*))): _*)
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
@@ -160,8 +160,8 @@ object Similarity {
     val normed = cents.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum); if (n == 0) c else c.map(_ / n)
     }
-    val scored = array(normed.zipWithIndex.map { case (c, i) =>
-      struct((-dot(col(qVecCol), array(c.map(lit): _*))).as("neg"), lit(i).as("cell"))
+    val scored = array(normed.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      struct((-dot(col(qVecCol), array(c.toIndexedSeq.map(lit): _*))).as("neg"), lit(i).as("cell"))
     }: _*)
     val probes = queries.withColumn("cell",
       explode(transform(slice(array_sort(scored), 1, nProbe), e => e.getField("cell"))))
