@@ -51,31 +51,44 @@ trait TableStore {
   }
 }
 
-/** Parquet-directory store: each table is `<dir>/<name>.parquet`.
+/** File-directory store: each table is `<dir>/<name>.<format>`, moved
+  * through the named DataSource format ("parquet", "csv", "json", "orc" —
+  * anything with a directory-based reader/writer). CSV/JSON default to
+  * header+schema inference on read; pass explicit `options` to pin types
+  * for production use.
   *
   * Deletes are copy-on-write rewrites (anti-join + overwrite) — the same
   * model Delta/Iceberg use; at cluster scale the rewrite is partition-pruned
   * by the table's physical layout, and the anti-join broadcasts the key set
   * when small.
   */
-final class ParquetStore(val spark: SparkSession, dir: String) extends TableStore {
-  private def path(t: String) = s"$dir/$t.parquet"
+class FileStore(val spark: SparkSession, dir: String,
+                format: String = "parquet",
+                options: Map[String, String] = Map.empty) extends TableStore {
+  private def path(t: String) = s"$dir/$t.$format"
+
+  private def defaultOptions: Map[String, String] = format match {
+    case "csv" => Map("header" -> "true", "inferSchema" -> "true")
+    case _ => Map.empty
+  }
 
   override def list(): Seq[String] = {
     val d = new java.io.File(dir)
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map(_.getName.stripSuffix(".parquet")).sorted.toSeq
+      .filter(f => f.getName.endsWith(s".$format"))
+      .map(_.getName.stripSuffix(s".$format")).sorted.toSeq
   }
 
-  override def read(table: String): DataFrame = spark.read.parquet(path(table))
+  override def read(table: String): DataFrame =
+    spark.read.format(format).options(defaultOptions ++ options).load(path(table))
 
   override def drop(table: String): Unit = deleteRecursively(new java.io.File(path(table)))
 
   override def overwrite(table: String, df: DataFrame): Unit = {
     // Stage then swap: df may itself read from `path(table)`.
     val tmp = path(table) + ".tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    df.write.mode(SaveMode.Overwrite).format(format)
+      .options(defaultOptions ++ options).save(tmp)
     drop(table)
     if (!new java.io.File(tmp).renameTo(new java.io.File(path(table))))
       throw new java.io.IOException(s"rename failed for $table")
@@ -83,7 +96,8 @@ final class ParquetStore(val spark: SparkSession, dir: String) extends TableStor
 
   override def append(table: String, df: DataFrame): Unit =
     if (new java.io.File(path(table)).exists())
-      df.write.mode(SaveMode.Append).parquet(path(table))
+      df.write.mode(SaveMode.Append).format(format)
+        .options(defaultOptions ++ options).save(path(table))
     else overwrite(table, df)
 
   /** Null-safe key anti-join: `usingColumns` equi-joins never match NULL =
@@ -124,3 +138,8 @@ final class ParquetStore(val spark: SparkSession, dir: String) extends TableStor
     f.delete(); ()
   }
 }
+
+/** Parquet-directory store — the default [[FileStore]] instantiation
+  * (each table `<dir>/<name>.parquet`). */
+final class ParquetStore(spark: SparkSession, dir: String)
+  extends FileStore(spark, dir, "parquet")
