@@ -20,6 +20,7 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
       graft.queries.SyncQueries.prestage(spark, sfDir)
+      graft.queries.SourceQueries.prestage(spark, sfDir)
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

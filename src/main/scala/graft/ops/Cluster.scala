@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph clustering over near-duplicate pair lists: connected components by
+  * iterative min-label propagation, plus the "keep one canonical document per
+  * cluster" step that completes a corpus-dedup pipeline
+  * (pairs → components → representatives).
+  *
+  * Scale design: each iteration is one shuffle (join labels to the adjacency
+  * list on the neighbor id) + one hash aggregate (min label per node); rounds
+  * needed = graph diameter, which for near-dup clusters is tiny (dup groups
+  * are cliques or near-cliques, diameter ≤ 2-3). Lineage is cut per round
+  * with an eager localCheckpoint so the plan does not grow exponentially.
+  * For adversarial long-chain graphs the standard refinement is large-star /
+  * small-star (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond"), which converges in O(log n) rounds with the same per-round
+  * shuffle shape — propagation is chosen here because dedup graphs are
+  * shallow and each round is cheaper.
+  */
+object Cluster {
+
+  /** Connected components of the undirected graph given by `edges`
+    * (columns `srcCol`, `dstCol`). Returns (id, cluster_id) for every node
+    * appearing in an edge, where cluster_id = min node id reachable.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
+                          dstCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val adj = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+    var labels = adj.select(col("u").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = adj
+        .join(labels.select(col("id").as("v"), col("cluster_id").as("n_cluster")), Seq("v"))
+        .groupBy(col("u").as("id"))
+        .agg(min("n_cluster").as("n_cluster"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("n_cluster"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      // Convergence: any label still shrinking? One count over the joined
+      // pair of (old, new) label frames — both are checkpointed, so this
+      // costs one broadcast-join stage, not a lineage replay.
+      converged = next.join(labels.withColumnRenamed("cluster_id", "old_cluster"), Seq("id"))
+        .filter(col("cluster_id") < col("old_cluster")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dedup clustering: assign every paired document to its component and
+    * mark the canonical representative (min id). Singleton documents (no
+    * near-dup pair) are implicitly their own cluster and are omitted —
+    * union them back with `is_keep = true` when materializing a cleaned
+    * corpus (cheap left_anti against this result).
+    */
+  def dedupClusters(pairs: DataFrame, srcCol: String = "id_a",
+                    dstCol: String = "id_b"): DataFrame =
+    connectedComponents(pairs, srcCol, dstCol)
+      .withColumn("is_keep", col("id") === col("cluster_id"))
+}

@@ -88,6 +88,42 @@ object ExtendedQueries {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx")),
       None),
 
+    // ---- grouping sets (the general form behind cube/rollup): per
+    //      (status, priority), per status, and grand total in ONE pass —
+    //      Catalyst plans a single Expand + hash aggregate, not three scans.
+    Q("q_grouping_sets",
+      (s, dir) => {
+        T(s, dir, "orders").createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+                |FROM orders_gs
+                |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin)),
+
+    // ---- analytic window functions (lag / lead / ntile) over the per-user
+    //      event timeline: one hash exchange on user_id, per-partition sort,
+    //      all three functions evaluated in a single Window operator.
+    Q("q_lag_lead",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Registry.events(s, dir)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            lag("value", 1).over(w).as("prev_value"),
+            lead("value", 1).over(w).as("next_value"),
+            ntile(4).over(w).as("quartile"))
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+              | lag(value, 1) OVER w AS prev_value,
+              | lead(value, 1) OVER w AS next_value,
+              | ntile(4) OVER w AS quartile
+              |FROM events
+              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
     // ---- exact percentiles (linear interpolation — same definition as
     //      DuckDB's quantile_cont)
     Q("q_percentiles",

@@ -14,7 +14,8 @@ final case class Q(name: String,
 object Registry {
   def all: Seq[Q] =
     CoreQueries.all ++ SyncQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ StreamingQueries.all ++ ExtendedQueries.all
+      SimilarityQueries.all ++ StreamingQueries.all ++ ExtendedQueries.all ++
+      SourceQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -89,6 +89,31 @@ object SimilarityQueries {
         threshold = 0.45, nPlanes = 4, tables = 24, dim = 64),
       None),
 
+    // ---- pairs → connected components → canonical representative: the
+    //      cluster/keep step that completes a corpus-dedup pipeline. Spark
+    //      side is iterative min-label propagation (one shuffle per round,
+    //      rounds = component diameter); oracle is DuckDB's recursive
+    //      transitive closure over the same exact pair list.
+    Q("dedup_cluster_keep",
+      (s, dir) => graft.ops.Cluster.dedupClusters(
+          Similarity.cosinePairsExact(T(s, dir, "embeddings"), threshold = 0.45))
+        .select(col("id"), col("cluster_id"),
+          col("is_keep").cast("long").as("is_keep")),
+      Some("""WITH RECURSIVE emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              | e AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+              |  WHERE CASE WHEN sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x))) = 0 THEN 0.0
+              |        ELSE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+              |             (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))) END >= 0.45),
+              | und AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+              | reach(id, r) AS (
+              |  SELECT u, u FROM und
+              |  UNION
+              |  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.id)
+              |SELECT id, min(r) AS cluster_id,
+              | CAST(id = min(r) AS BIGINT) AS is_keep
+              |FROM reach GROUP BY id""".stripMargin)),
+
     // ---- multimodal ingest: opaque binary payload + typed metadata
     //      (payload here is the document text encoded as bytes; the schema,
     //      metadata derivation, and checksum are the production plumbing)

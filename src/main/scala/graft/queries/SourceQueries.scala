@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.sync.FileStore
+import org.apache.spark.sql.functions._
+
+/** Source-format coverage: the same table round-tripped through the
+  * CSV / JSON faces of [[graft.sync.FileStore]] and then queried — verifying
+  * the non-parquet readers/writers preserve values exactly (the oracle runs
+  * against the ORIGINAL parquet, so any fidelity loss in the text formats
+  * hash-mismatches).
+  *
+  * The staging dir is a harness-local tempdir (one write per Verify/Bench
+  * process, like the sync fixtures); the store itself is path-agnostic — on
+  * a cluster you'd point it at shared storage.
+  */
+object SourceQueries {
+  import Registry.{table => T}
+
+  private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stage both format fixtures outside any timed query (Bench warmup). */
+  def prestage(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    store(s, dir, "csv"); store(s, dir, "json"); ()
+  }
+
+  private def store(s: org.apache.spark.sql.SparkSession, dir: String,
+                    format: String): FileStore = {
+    val root = staged.getOrElseUpdate(s"$dir/$format", {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_src_$format").toString
+      val st = new FileStore(s, out, format)
+      format match {
+        case "csv" =>
+          // Narrow projection: numeric + single-token string columns (CSV has
+          // no schema; inference must reconstruct long/string/double exactly).
+          st.overwrite("orders", T(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+        case _ =>
+          // JSON carries quoting/escaping: round-trip the free-text corpus.
+          st.overwrite("documents", T(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("text")))
+      }
+      out
+    })
+    new FileStore(s, root, format)
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // ---- CSV source: write orders as CSV, read back with schema inference,
+    //      aggregate. count/min/max are roundtrip-exact (shortest-repr double
+    //      printing); the long sum pins the key column's integer fidelity.
+    Q("src_csv_roundtrip",
+      (s, dir) => store(s, dir, "csv").read("orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"),
+          sum(col("o_orderkey").cast("decimal(20,0)")).cast("long").as("sum_key")),
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+              | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+              | cast(sum(o_orderkey) as bigint) AS sum_key
+              |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // ---- JSON source: write documents as JSON lines, read back, fingerprint
+    //      the text per row — any escaping/unicode infidelity flips the md5.
+    Q("src_json_roundtrip",
+      (s, dir) => store(s, dir, "json").read("documents")
+        .select(col("doc_id"), col("lang"),
+          md5(col("text")).as("text_md5"), length(col("text")).as("text_len")),
+      Some("""SELECT doc_id, lang, md5(text) AS text_md5, length(text) AS text_len
+              |FROM documents""".stripMargin))
+  )
+}
