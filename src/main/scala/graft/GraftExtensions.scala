@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDot, MinHashSig}
+import graft.functions.{ArrayDot, MinHashSig, ShingleHash64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -38,6 +38,17 @@ object GraftExtensions {
             s"minhash_sig numHashes must be an integer literal, got $other")
         }
         MinHashSig(args.head, n)
+      }),
+    (FunctionIdentifier("shingle_hash64"),
+      new ExpressionInfo(classOf[ShingleHash64].getName, "shingle_hash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingle_hash64(tokens, k) takes exactly 2 arguments")
+        val k = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hash64 k must be an integer literal, got $other")
+        }
+        ShingleHash64(args.head, k)
       }))
 
   /** Register the functions on an already-running session. */

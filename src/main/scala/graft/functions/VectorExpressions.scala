@@ -162,6 +162,77 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** All xxhash64'd k-shingles of an `array<string>` token column in ONE
+  * compiled pass — replaces `transform(shingles(text, k), s => xxhash64(s))`,
+  * whose interpreted window/slice/concat lambda tree re-evaluates the token
+  * subexpression per window (HOFs are excluded from whole-stage codegen and
+  * get no subexpression elimination).
+  *
+  * Value-compatible with the expression it replaces: window join is
+  * `concat_ws(" ", ...)` (null tokens skipped), hash is Spark's `xxhash64`
+  * (XXH64 over UTF-8 bytes, seed 42); ≤ k tokens → the single whole-array
+  * shingle (hash of "" for an empty array); null array → null. Output may
+  * contain duplicates, exactly like the original — wrap in `array_distinct`
+  * for set semantics.
+  */
+case class ShingleHash64(child: Expression, k: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_hash64 requires array<string>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHash64.hashShingles(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHash64.hashShingles($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHash64 {
+  private val Sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Static helper shared by interpreted eval and generated code (scalac
+    * emits a static forwarder, so generated Java calls it directly).
+    */
+  def hashShingles(arr: ArrayData, k: Int): GenericArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    if (n <= k) {
+      val s = UTF8String.concatWs(Sep, toks: _*)
+      new GenericArrayData(Array(XXH64.hashUTF8String(s, 42L)))
+    } else {
+      val m = n - k + 1
+      val out = new Array[Long](m)
+      val win = new Array[UTF8String](k)
+      var j = 0
+      while (j < m) {
+        var t = 0
+        while (t < k) { win(t) = toks(j + t); t += 1 }
+        out(j) = XXH64.hashUTF8String(UTF8String.concatWs(Sep, win: _*), 42L)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two array<float|double> columns. */
   def array_dot(a: Column, b: Column): Column =
@@ -170,4 +241,8 @@ object VectorExpressions {
   /** Codegen'd one-pass MinHash signature of an array<string> column. */
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     ColumnShim.column(MinHashSig(ColumnShim.expression(shingles), numHashes))
+
+  /** Codegen'd one-pass xxhash64 k-shingle hashes of an array<string> token column. */
+  def shingle_hash64(tokens: Column, k: Int): Column =
+    ColumnShim.column(ShingleHash64(ColumnShim.expression(tokens), k))
 }

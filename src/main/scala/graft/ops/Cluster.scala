@@ -27,11 +27,23 @@ object Cluster {
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    // Materialize the adjacency ONCE: it joins into every propagation round,
+    // and the edge list is often the output of an expensive upstream plan
+    // (e.g. an all-pairs similarity join) that would otherwise re-execute
+    // per round.
     val adj = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .localCheckpoint(true)
     var labels = adj.select(col("u").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint(true)
+    // Labels are monotonically non-increasing, so the label sum strictly
+    // decreases until the fixpoint: convergence = unchanged sum, ONE
+    // ungrouped aggregate per round (vs a join against the previous labels).
+    // decimal(38,0) because a 100 TB-scale id space overflows a long sum.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -44,11 +56,9 @@ object Cluster {
           least(col("cluster_id"), coalesce(col("n_cluster"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(true)
-      // Convergence: any label still shrinking? One count over the joined
-      // pair of (old, new) label frames — both are checkpointed, so this
-      // costs one broadcast-join stage, not a lineage replay.
-      converged = next.join(labels.withColumnRenamed("cluster_id", "old_cluster"), Seq("id"))
-        .filter(col("cluster_id") < col("old_cluster")).isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
       labels = next
       iter += 1

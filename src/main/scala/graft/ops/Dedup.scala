@@ -156,10 +156,15 @@ object Dedup {
     */
   def jaccardPairsInverted(df: DataFrame, idCol: String, textCol: String,
                            shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Shingle-hash in one compiled pass (ShingleHash64 — the interpreted
+    // window/slice/concat HOF tree was the dominant cost), and materialize
+    // the arrays ONCE: the expression otherwise re-executes on BOTH
+    // self-join sides plus the size() reference (CollapseProject inlines it
+    // into every consumer).
     val docs = Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"),
-        array_distinct(transform(TextAnalysis.shingles(col("__text"), shingleK),
-          s => xxhash64(s))).as("sh"))
+      .select(col("id"), array_distinct(graft.functions.VectorExpressions
+        .shingle_hash64(TextAnalysis.tokens(col("__text")), shingleK)).as("sh"))
+      .localCheckpoint(true)
     val inv = docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
     inv.as("a").join(inv.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))

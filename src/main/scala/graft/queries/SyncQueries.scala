@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Hashing
-import graft.sync.{ParquetStore, SyncConfig, SyncEngine}
+import graft.sync.{BucketedStore, ParquetStore, SyncConfig, SyncEngine}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -109,6 +109,33 @@ object SyncQueries {
         val synced = slave.read("lineitem")
         Hashing.multisetFingerprintAgg(synced, liCols)
       },
-      Some(Registry.duckMultisetFingerprint(liCols, "lineitem")))
+      Some(Registry.duckMultisetFingerprint(liCols, "lineitem"))),
+
+    // Co-located layout (the recurring-sync trade): master and slave are
+    // bucketed catalog tables sharing the bucket spec, so the key-aware
+    // diff's full-outer join reads both sides pre-partitioned — zero
+    // table-sized exchanges per sync cycle (plan asserted in
+    // BucketedStoreSpec; convergence proven here against the oracle).
+    Q("sync_converge_bucketed",
+      (s, dir) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val keys = Map("orders" -> Seq("o_orderkey"))
+        val orders = T(s, dir, "orders").select(cols.map(col): _*)
+        val master = new BucketedStore(s, "graft_bkm", keys, numBuckets = 8)
+        val slave = new BucketedStore(s, "graft_bks", keys, numBuckets = 8)
+        master.overwrite("orders", orders)
+        slave.overwrite("orders", orders
+          .filter(col("o_orderkey") % 5 =!= 0)
+          .withColumn("o_totalprice", when(col("o_orderkey") % 7 === 0,
+            col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+          .unionByName(orders.orderBy("o_orderkey").limit(2)
+            .withColumn("o_orderkey", col("o_orderkey") + 900000L)))
+        val engine = new SyncEngine(master, slave,
+          SyncConfig(primaryKeys = keys, keyAwareDiff = true))
+        engine.syncTable("orders")
+        Hashing.multisetFingerprintAgg(slave.read("orders"), cols)
+      },
+      Some(Registry.duckMultisetFingerprint(
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"), "orders")))
   )
 }

@@ -1,0 +1,64 @@
+package graft.sync
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed catalog-table store: each table is a managed Spark table
+  * clustered AND sorted by its declared bucket keys
+  * (`bucketBy(numBuckets, keys).sortBy(keys)`).
+  *
+  * This is the co-located layout for a RECURRING sync at 100 TB: the
+  * key-aware diff's full-outer join (and every other equi-join/aggregation
+  * on the bucket keys) reads both sides pre-partitioned, so the per-run plan
+  * carries zero table-sized shuffle exchanges — the shuffle is paid once at
+  * write time instead of on every sync cycle. Master and slave must share
+  * `numBuckets` for the exchange to be elided on both sides.
+  *
+  * Tables are namespaced `<prefix>_<name>` in the session catalog; writes
+  * stage to `<name>__stage` then swap via a metadata-only rename, so an
+  * overwrite may consume a plan that reads the table being replaced (the
+  * same stage-then-swap contract as [[FileStore]]).
+  */
+final class BucketedStore(val spark: SparkSession, prefix: String,
+                          bucketKeys: Map[String, Seq[String]],
+                          numBuckets: Int = 8) extends CopyOnWriteStore {
+  private def qname(t: String) = s"${prefix}_$t"
+
+  private def keysOf(table: String, df: DataFrame): Seq[String] =
+    bucketKeys.getOrElse(table, Seq(df.columns.head))
+
+  override def list(): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix + "_"))
+      .filterNot(_.endsWith("__stage"))
+      .map(_.stripPrefix(prefix + "_")).sorted.toSeq
+
+  override def read(table: String): DataFrame = spark.table(qname(table))
+
+  override def drop(table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${qname(table)}"); ()
+  }
+
+  override def overwrite(table: String, df: DataFrame): Unit = {
+    val keys = keysOf(table, df)
+    val stage = qname(table) + "__stage"
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(stage)
+    drop(table)
+    spark.sql(s"ALTER TABLE $stage RENAME TO ${qname(table)}")
+    ()
+  }
+
+  override def append(table: String, df: DataFrame): Unit =
+    if (spark.catalog.tableExists(qname(table))) {
+      val keys = keysOf(table, df)
+      df.write.mode(SaveMode.Append)
+        .bucketBy(numBuckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .format("parquet")
+        .saveAsTable(qname(table))
+    } else overwrite(table, df)
+}

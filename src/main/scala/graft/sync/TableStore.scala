@@ -51,20 +51,58 @@ trait TableStore {
   }
 }
 
+/** Copy-on-write deletes: every keyed/partition delete is an anti-join +
+  * whole-table overwrite — the same model Delta/Iceberg use; at cluster
+  * scale the rewrite is partition-pruned by the table's physical layout, and
+  * the anti-join broadcasts the key set when small. Concrete stores supply
+  * `read`/`overwrite` (which MUST tolerate `df` reading from the table being
+  * replaced — stage then swap).
+  */
+trait CopyOnWriteStore extends TableStore {
+
+  /** Null-safe key anti-join: `usingColumns` equi-joins never match NULL =
+    * NULL, so a NULL key/partition value would silently survive every delete
+    * (the table never converges). `<=>` per component fixes that.
+    */
+  protected def antiKeys(cur: DataFrame, keys: DataFrame, keyCols: Seq[String]): DataFrame =
+    cur.join(keys, keyCols.map(k => cur(k) <=> keys(k)).reduce(_ && _), "left_anti")
+
+  override def deleteKeys(table: String, keys: DataFrame, keyCols: Seq[String]): Unit = {
+    // No broadcast hint: the key set is usually small (AQE broadcasts it at
+    // runtime), but a bulk delete can be table-sized and a forced broadcast
+    // would OOM the driver.
+    val cur = read(table)
+    overwrite(table, antiKeys(cur, keys, keyCols))
+  }
+
+  override def deleteWhere(table: String, partCol: String, value: Any): Unit = {
+    val cur = read(table)
+    overwrite(table, cur.filter(!(col(partCol) <=> lit(value))))
+  }
+
+  override def applyDelta(table: String, delKeys: DataFrame, keyCols: Seq[String],
+                          inserts: DataFrame,
+                          partDeletes: Option[(String, DataFrame)] = None): Unit = {
+    val cur = read(table)
+    val afterParts = partDeletes match {
+      case Some((pc, values)) => antiKeys(cur, values, Seq(pc))
+      case None => cur
+    }
+    overwrite(table,
+      antiKeys(afterParts, delKeys, keyCols)
+        .unionByName(inserts.select(cur.columns.map(col).toSeq: _*)))
+  }
+}
+
 /** File-directory store: each table is `<dir>/<name>.<format>`, moved
   * through the named DataSource format ("parquet", "csv", "json", "orc" —
   * anything with a directory-based reader/writer). CSV/JSON default to
   * header+schema inference on read; pass explicit `options` to pin types
   * for production use.
-  *
-  * Deletes are copy-on-write rewrites (anti-join + overwrite) — the same
-  * model Delta/Iceberg use; at cluster scale the rewrite is partition-pruned
-  * by the table's physical layout, and the anti-join broadcasts the key set
-  * when small.
   */
 class FileStore(val spark: SparkSession, dir: String,
                 format: String = "parquet",
-                options: Map[String, String] = Map.empty) extends TableStore {
+                options: Map[String, String] = Map.empty) extends CopyOnWriteStore {
   private def path(t: String) = s"$dir/$t.$format"
 
   private def defaultOptions: Map[String, String] = format match {
@@ -99,39 +137,6 @@ class FileStore(val spark: SparkSession, dir: String,
       df.write.mode(SaveMode.Append).format(format)
         .options(defaultOptions ++ options).save(path(table))
     else overwrite(table, df)
-
-  /** Null-safe key anti-join: `usingColumns` equi-joins never match NULL =
-    * NULL, so a NULL key/partition value would silently survive every delete
-    * (the table never converges). `<=>` per component fixes that.
-    */
-  private def antiKeys(cur: DataFrame, keys: DataFrame, keyCols: Seq[String]): DataFrame =
-    cur.join(keys, keyCols.map(k => cur(k) <=> keys(k)).reduce(_ && _), "left_anti")
-
-  override def deleteKeys(table: String, keys: DataFrame, keyCols: Seq[String]): Unit = {
-    // No broadcast hint: the key set is usually small (AQE broadcasts it at
-    // runtime), but a bulk delete can be table-sized and a forced broadcast
-    // would OOM the driver.
-    val cur = read(table)
-    overwrite(table, antiKeys(cur, keys, keyCols))
-  }
-
-  override def deleteWhere(table: String, partCol: String, value: Any): Unit = {
-    val cur = read(table)
-    overwrite(table, cur.filter(!(col(partCol) <=> lit(value))))
-  }
-
-  override def applyDelta(table: String, delKeys: DataFrame, keyCols: Seq[String],
-                          inserts: DataFrame,
-                          partDeletes: Option[(String, DataFrame)] = None): Unit = {
-    val cur = read(table)
-    val afterParts = partDeletes match {
-      case Some((pc, values)) => antiKeys(cur, values, Seq(pc))
-      case None => cur
-    }
-    overwrite(table,
-      antiKeys(afterParts, delKeys, keyCols)
-        .unionByName(inserts.select(cur.columns.map(col).toSeq: _*)))
-  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)

@@ -19,4 +19,18 @@ class ExtensionsSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(sig === viaDf)
   }
+
+  test("shingle_hash64 matches the interpreted transform+xxhash64 expression") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val df = Seq("a b c d e f", "x", "", "   ", "one two three",
+      "w w w w w w w w").toDF("text")
+    val fast = df.select(graft.functions.VectorExpressions
+      .shingle_hash64(TextAnalysis.tokens(col("text")), 3).as("h"))
+      .as[Seq[Long]].collect()
+    val slow = df.select(transform(TextAnalysis.shingles(col("text"), 3),
+      s => xxhash64(s)).as("h")).as[Seq[Long]].collect()
+    assert(fast.toSeq == slow.toSeq)
+  }
 }

@@ -25,6 +25,15 @@ class FileStoreSpec extends SparkSpec {
       .sameElements(Array(1L, 3L, 4L)))
   }
 
+  test("ORC store round-trip preserves values exactly") {
+    val store = new FileStore(spark, tmpDir("orcstore"), "orc")
+    store.overwrite("t", df)
+    assert(store.read("t").orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+    store.deleteKeys("t", Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    assert(store.read("t").count() == 2)
+  }
+
   test("SyncEngine converges a CSV slave to a JSON master") {
     val cols = Seq("id", "name", "v")
     val ms = new FileStore(spark, tmpDir("json_m"), "json")
