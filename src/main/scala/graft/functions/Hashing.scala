@@ -158,6 +158,36 @@ object Hashing {
           coalesce(expr("bit_xor(h15)"), lit(0L)).cast(StringType)).as("fingerprint"),
         count(lit(1)).as("n_rows"))
 
+  /** The multiset fingerprint as a value with group algebra: (count, sum,
+    * xor) is commutative and invertible per row, so a maintained fingerprint
+    * tracks a table through deltas WITHOUT rescanning — at 100 TB the
+    * convergence gate's per-cycle cost drops from two table scans to
+    * O(delta): `fpAfter = fpBefore.remove(fp(deletedRows)).merge(fp(insertedRows))`.
+    * `render` emits the same `"count:sum:xor"` string as
+    * [[multisetFingerprintAgg]] (asserted in HashingSpec).
+    */
+  final case class MultisetFp(count: Long, sum: BigInt, xor: Long) {
+    def merge(o: MultisetFp): MultisetFp =
+      MultisetFp(count + o.count, sum + o.sum, xor ^ o.xor)
+    def remove(o: MultisetFp): MultisetFp =
+      MultisetFp(count - o.count, sum - o.sum, xor ^ o.xor)
+    def render: String = s"$count:$sum:$xor"
+  }
+
+  /** One distributed aggregate → the fingerprint value (for maintenance /
+    * combination; [[multisetFingerprintAgg]] is the one-shot query form).
+    */
+  def multisetFp(df: DataFrame, cols: Seq[String],
+                 legacyNullSkip: Boolean = false): MultisetFp = {
+    val r = df.select(rowHash(df, cols, legacyNullSkip).as("h"))
+      .select(expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)").as("h15"))
+      .agg(count(lit(1)),
+        coalesce(sum(col("h15").cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))),
+        coalesce(expr("bit_xor(h15)"), lit(0L))).head()
+    MultisetFp(r.getLong(0), BigInt(r.getDecimal(1).toBigInteger), r.getLong(2))
+  }
+
   def exactFingerprint(df: DataFrame, cols: Seq[String],
                        legacyNullSkip: Boolean = false): DataFrame = {
     val spark = df.sparkSession

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Hashing
-import graft.sync.{BucketedStore, ParquetStore, SyncConfig, SyncEngine}
+import graft.sync.{BucketedStore, ParquetStore, PartitionedStore, SyncConfig, SyncEngine}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -132,6 +132,37 @@ object SyncQueries {
             .withColumn("o_orderkey", col("o_orderkey") + 900000L)))
         val engine = new SyncEngine(master, slave,
           SyncConfig(primaryKeys = keys, keyAwareDiff = true))
+        engine.syncTable("orders")
+        Hashing.multisetFingerprintAgg(slave.read("orders"), cols)
+      },
+      Some(Registry.duckMultisetFingerprint(
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"), "orders"))),
+
+    // Partition-pruned copy-on-write (the C3/C4 cascade over a physical
+    // Hive layout): only partitions the delta touches are rewritten —
+    // untouched partitions keep their exact files (asserted by mtime in
+    // PartitionedStoreSpec); excess partitions drop as metadata. Here the
+    // perturbation touches one of three status partitions plus a bogus
+    // excess partition.
+    Q("sync_converge_pruned",
+      (s, dir) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val pcs = Map("orders" -> "o_orderstatus")
+        val orders = T(s, dir, "orders").select(cols.map(col): _*)
+        val master = new PartitionedStore(s, "graft_ptm", pcs)
+        val slave = new PartitionedStore(s, "graft_pts", pcs)
+        master.overwrite("orders", orders)
+        slave.overwrite("orders", orders
+          .filter(!(col("o_orderstatus") === "O" && col("o_orderkey") % 5 === 0))
+          .withColumn("o_totalprice", when(
+            col("o_orderstatus") === "O" && col("o_orderkey") % 7 === 0,
+            col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+          .unionByName(orders.orderBy("o_orderkey").limit(2)
+            .withColumn("o_orderstatus", lit("X"))
+            .withColumn("o_orderkey", col("o_orderkey") + 900000L)))
+        val engine = new SyncEngine(master, slave, SyncConfig(
+          primaryKeys = Map("orders" -> Seq("o_orderkey")),
+          partitionedTables = pcs, keyAwareDiff = true))
         engine.syncTable("orders")
         Hashing.multisetFingerprintAgg(slave.read("orders"), cols)
       },

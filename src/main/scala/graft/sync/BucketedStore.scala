@@ -18,6 +18,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * overwrite may consume a plan that reads the table being replaced (the
   * same stage-then-swap contract as [[FileStore]]).
   */
+/** Shared plumbing for catalog-table stores. */
+private[sync] object CatalogStores {
+  /** The in-memory catalog dies with the process but its warehouse
+    * directories persist; a managed-table name whose directory survives a
+    * previous process (tables are catalog-absent but disk-present) makes
+    * `saveAsTable`/`ALTER TABLE RENAME` refuse the location. Clear the
+    * orphan — only when the catalog genuinely has no such table.
+    */
+  def clearOrphanLocation(spark: SparkSession, name: String): Unit =
+    if (!spark.catalog.tableExists(name)) {
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+}
+
 final class BucketedStore(val spark: SparkSession, prefix: String,
                           bucketKeys: Map[String, Seq[String]],
                           numBuckets: Int = 8) extends CopyOnWriteStore {
@@ -42,12 +59,14 @@ final class BucketedStore(val spark: SparkSession, prefix: String,
     val keys = keysOf(table, df)
     val stage = qname(table) + "__stage"
     spark.sql(s"DROP TABLE IF EXISTS $stage")
+    CatalogStores.clearOrphanLocation(spark, stage)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(stage)
     drop(table)
+    CatalogStores.clearOrphanLocation(spark, qname(table))
     spark.sql(s"ALTER TABLE $stage RENAME TO ${qname(table)}")
     ()
   }

@@ -141,7 +141,7 @@ object Differ {
     s"$root/${tag}_${java.util.UUID.randomUUID().toString.take(12)}"
   }
 
-  private def rmScratch(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+  private[sync] def rmScratch(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(p, true)

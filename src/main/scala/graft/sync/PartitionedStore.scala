@@ -1,0 +1,142 @@
+package graft.sync
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hive-layout partitioned catalog store: each table is a managed Spark
+  * table `partitionBy(partCol)`, and every delta application rewrites ONLY
+  * the affected partitions — the partition-pruned copy-on-write that
+  * [[FileStore]]'s whole-table rewrite scaladoc promises at cluster scale,
+  * made physical (the Delta/Iceberg `MERGE` pruning model without the
+  * manifest layer).
+  *
+  * Apply mechanics: affected partitions = partitions holding a delete key ∪
+  * partitions receiving an insert (one column-pruned semi-join scan); the
+  * scoped rewrite is spilled to scratch (it reads the table it replaces),
+  * then written back with dynamic partition overwrite, which leaves every
+  * other partition's files physically untouched (asserted by mtime in
+  * PartitionedStoreSpec). Partitions left empty — and C4 excess-partition
+  * deletes — become metadata-only `ALTER TABLE … DROP PARTITION` calls,
+  * with NULL partition values mapped to Hive's default-partition sentinel.
+  *
+  * The affected-partition VALUE list is collected to the driver: it is
+  * bounded by the count of *changed* partitions (the engine's partitioned
+  * cascade already counts and broadcasts the same list), not by table size.
+  */
+final class PartitionedStore(val spark: SparkSession, prefix: String,
+                             partCols: Map[String, String]) extends CopyOnWriteStore {
+  private def qname(t: String) = s"${prefix}_$t"
+  private def pcOf(t: String): String = partCols.getOrElse(t,
+    throw new IllegalArgumentException(s"no partition column declared for table $t"))
+
+  override def list(): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix + "_"))
+      .filterNot(_.endsWith("__stage"))
+      .map(_.stripPrefix(prefix + "_")).sorted.toSeq
+
+  override def read(table: String): DataFrame = spark.table(qname(table))
+
+  override def drop(table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${qname(table)}"); ()
+  }
+
+  override def overwrite(table: String, df: DataFrame): Unit = {
+    val stage = qname(table) + "__stage"
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    CatalogStores.clearOrphanLocation(spark, stage)
+    df.write.mode(SaveMode.Overwrite).partitionBy(pcOf(table))
+      .format("parquet").saveAsTable(stage)
+    drop(table)
+    CatalogStores.clearOrphanLocation(spark, qname(table))
+    spark.sql(s"ALTER TABLE $stage RENAME TO ${qname(table)}")
+    // The in-memory catalog's rename moves the data directory but keeps the
+    // old partition locations — recover them from the moved layout.
+    spark.sql(s"MSCK REPAIR TABLE ${qname(table)}")
+    ()
+  }
+
+  override def append(table: String, df: DataFrame): Unit =
+    if (spark.catalog.tableExists(qname(table))) {
+      // insertInto is positional — align to the table's (partition-last) order.
+      val cols = read(table).columns.toSeq
+      df.select(cols.map(col): _*).write.insertInto(qname(table))
+    } else overwrite(table, df)
+
+  /** Whole-partition delete on the partition column is metadata-only. */
+  override def deleteWhere(table: String, partCol: String, value: Any): Unit =
+    if (partCol == pcOf(table)) dropPartitionValues(table, Seq(value))
+    else super.deleteWhere(table, partCol, value)
+
+  override def deleteKeys(table: String, keys: DataFrame, keyCols: Seq[String]): Unit =
+    if (keyCols == Seq(pcOf(table))) {
+      // The engine's excess-partition cleanup arrives as a keyed delete on
+      // the partition column — a list of DROP PARTITIONs, no rewrite.
+      dropPartitionValues(table,
+        keys.select(col(keyCols.head)).distinct().collect().map(_.get(0)).toSeq)
+    } else {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], read(table).schema)
+      applyDelta(table, keys, keyCols, empty, None)
+    }
+
+  override def applyDelta(table: String, delKeys: DataFrame, keyCols: Seq[String],
+                          inserts: DataFrame,
+                          partDeletes: Option[(String, DataFrame)] = None): Unit = {
+    val pc = pcOf(table)
+    partDeletes.foreach { case (c, values) =>
+      require(c == pc, s"partition delete on $c but table is partitioned by $pc")
+      dropPartitionValues(table, values.select(col(c)).distinct().collect().map(_.get(0)).toSeq)
+    }
+    val cur = read(table)
+    val tableCols = cur.columns.toSeq
+    // Affected partitions: where delete keys live (column-pruned semi-join
+    // scan) plus where inserts land. Null-safe throughout.
+    val delParts = cur
+      .join(delKeys, keyCols.map(k => cur(k) <=> delKeys(k)).reduce(_ && _), "left_semi")
+      .select(col(pc)).distinct()
+    val insParts = inserts.select(col(pc)).distinct()
+    val affected = delParts.unionByName(insParts).distinct().collect().map(_.get(0)).toSeq
+    if (affected.isEmpty) return
+
+    val nonNull = affected.filterNot(_ == null)
+    val pred = (
+      (if (nonNull.nonEmpty) Seq(col(pc).isin(nonNull: _*)) else Nil) ++
+      (if (affected.contains(null)) Seq(col(pc).isNull) else Nil)
+    ).reduce(_ || _)
+
+    val rewritten = antiKeys(cur.filter(pred), delKeys, keyCols)
+      .unionByName(inserts.select(tableCols.map(col): _*))
+    // Spill: the rewrite reads the very partitions it replaces.
+    val scratch = Differ.newScratchDir(spark, None, s"pcow_$table")
+    try {
+      rewritten.write.parquet(s"$scratch/rw")
+      val rw = spark.read.parquet(s"$scratch/rw")
+      val present = rw.select(col(pc)).distinct().collect().map(_.get(0)).toSet
+      if (present.nonEmpty) withDynamicOverwrite {
+        rw.select(tableCols.map(col): _*).write.mode(SaveMode.Overwrite)
+          .insertInto(qname(table))
+      }
+      // Partitions whose every row was deleted get no file from the dynamic
+      // overwrite — drop them explicitly or stale data survives.
+      dropPartitionValues(table, affected.filterNot(present.contains))
+    } finally Differ.rmScratch(spark, scratch)
+  }
+
+  private def withDynamicOverwrite[A](body: => A): A = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  private def dropPartitionValues(table: String, values: Seq[Any]): Unit =
+    values.foreach { v =>
+      val sqlLit =
+        if (v == null) "'__HIVE_DEFAULT_PARTITION__'"
+        else "'" + v.toString.replace("'", "''") + "'"
+      spark.sql(s"ALTER TABLE ${qname(table)} DROP IF EXISTS " +
+        s"PARTITION (${pcOf(table)}=$sqlLit)")
+      ()
+    }
+}

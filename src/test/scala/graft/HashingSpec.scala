@@ -62,4 +62,19 @@ class HashingSpec extends SparkSpec {
     assert(Hashing.tableFingerprint(df, Seq("k", "v")) ==
       Hashing.tableFingerprint(df, Seq("k", "v")))
   }
+
+  test("multiset fingerprint is incrementally maintainable (group algebra)") {
+    val cols = Seq("k", "v")
+    val base = Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+    val deletes = Seq((2, "b"), (4, "d")).toDF("k", "v")
+    val inserts = Seq((2, "B2"), (5, "e")).toDF("k", "v")
+    val after = Seq((1, "a"), (3, "c"), (2, "B2"), (5, "e")).toDF("k", "v")
+    val maintained = Hashing.multisetFp(base, cols)
+      .remove(Hashing.multisetFp(deletes, cols))
+      .merge(Hashing.multisetFp(inserts, cols))
+    assert(maintained == Hashing.multisetFp(after, cols))
+    // render matches the one-shot aggregate's string form
+    assert(maintained.render ==
+      Hashing.multisetFingerprintAgg(after, cols).head().getString(0))
+  }
 }
