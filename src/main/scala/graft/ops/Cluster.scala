@@ -63,6 +63,7 @@ object Cluster {
       labels = next
       iter += 1
     }
+    adj.unpersist()
     labels
   }
 

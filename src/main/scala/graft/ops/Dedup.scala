@@ -165,16 +165,22 @@ object Dedup {
       .select(col("id"), array_distinct(graft.functions.VectorExpressions
         .shingle_hash64(TextAnalysis.tokens(col("__text")), shingleK)).as("sh"))
       .localCheckpoint(true)
-    val inv = docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
-    inv.as("a").join(inv.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .agg(count(lit(1)).as("inter"))
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    try {
+      val inv = docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
+      val pairs = inv.as("a").join(inv.as("b"),
+          col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+        .agg(count(lit(1)).as("inter"))
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+      // Materialize the (small) pair list eagerly so the corpus-sized
+      // shingle checkpoint can be released before returning (same owner-
+      // releases-cache contract as minhashNearDups).
+      pairs.localCheckpoint(true)
+    } finally { docs.unpersist(); () }
   }
 
   /** 64-bit SimHash over tokens: sign of the per-bit weighted sum of token

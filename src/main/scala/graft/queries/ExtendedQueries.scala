@@ -124,6 +124,39 @@ object ExtendedQueries {
               |FROM events
               |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
 
+    // ---- JSON scalar functions over the events.props payload column:
+    //      get_json_object path extraction, cross-checked against DuckDB's
+    //      json_extract_string on the same strings.
+    Q("q_json_extract",
+      (s, dir) => Registry.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k")),
+      Some("""SELECT event_type, count(*) AS n,
+              | cast(sum(json_extract_string(props, '$.k')::BIGINT) as bigint) AS sum_k,
+              | min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+              | max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+              |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ---- salted join (replicated probe side): every (key, salt) bucket of
+    //      the big side finds its dimension match, so one dominant supplier
+    //      key cannot funnel through a single reducer. Values identical to
+    //      the plain join (the oracle).
+    Q("q_salted_join",
+      (s, dir) => {
+        val li = T(s, dir, "lineitem").select(col("l_suppkey").as("s_suppkey"), col("l_quantity"))
+        val sup = T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val (big, probe) = graft.ops.Skew.saltedJoinKeys(li, sup, Seq("s_suppkey"), saltBuckets = 8)
+        big.join(probe, Seq("s_suppkey", "__salt"))
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      },
+      Some("""SELECT s_nationkey, count(*) AS n, sum(l_quantity) AS sum_qty
+              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              |GROUP BY s_nationkey""".stripMargin)),
+
     // ---- exact percentiles (linear interpolation — same definition as
     //      DuckDB's quantile_cont)
     Q("q_percentiles",
