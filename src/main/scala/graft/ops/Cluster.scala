@@ -41,8 +41,10 @@ object Cluster {
     // decreases until the fixpoint: convergence = unchanged sum, ONE
     // ungrouped aggregate per round (vs a join against the previous labels).
     // decimal(38,0) because a 100 TB-scale id space overflows a long sum.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty graph: no labels
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

@@ -33,7 +33,32 @@ object SyncQueries {
     * warmup): the first sync query otherwise pays the one-time fixture write
     * and its number stops measuring the engine.
     */
-  def prestage(s: SparkSession, dir: String): Unit = { makeSlaveDir(s, dir, "warm"); () }
+  def prestage(s: SparkSession, dir: String): Unit = {
+    makeSlaveDir(s, dir, "warm")
+    ensureCatalogMasters(s, dir)
+    ()
+  }
+
+  private[queries] val ordersCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+  private val catalogStaged = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Stage the immutable MASTER catalog tables (bucketed + partitioned) once
+    * per (process, sfDir) — master content never changes, so its write is
+    * fixture setup like the parquet slave base; the slaves are rebuilt inside
+    * each query run because the sync mutates them.
+    */
+  private[queries] def ensureCatalogMasters(s: SparkSession, dir: String): Unit = {
+    catalogStaged.getOrElseUpdate(dir, {
+      val orders = T(s, dir, "orders").select(ordersCols.map(col): _*)
+      new BucketedStore(s, "graft_bkm", Map("orders" -> Seq("o_orderkey")), numBuckets = 8)
+        .overwrite("orders", orders)
+      new PartitionedStore(s, "graft_ptm", Map("orders" -> "o_orderstatus"))
+        .overwrite("orders", orders)
+      true
+    })
+    ()
+  }
 
   private[queries] def makeSlaveDir(s: SparkSession, dir: String, tag: String): String = {
     val base = staged.getOrElseUpdate(dir, {
@@ -118,12 +143,12 @@ object SyncQueries {
     // BucketedStoreSpec; convergence proven here against the oracle).
     Q("sync_converge_bucketed",
       (s, dir) => {
-        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val cols = ordersCols
         val keys = Map("orders" -> Seq("o_orderkey"))
         val orders = T(s, dir, "orders").select(cols.map(col): _*)
+        ensureCatalogMasters(s, dir)
         val master = new BucketedStore(s, "graft_bkm", keys, numBuckets = 8)
         val slave = new BucketedStore(s, "graft_bks", keys, numBuckets = 8)
-        master.overwrite("orders", orders)
         slave.overwrite("orders", orders
           .filter(col("o_orderkey") % 5 =!= 0)
           .withColumn("o_totalprice", when(col("o_orderkey") % 7 === 0,
@@ -146,12 +171,12 @@ object SyncQueries {
     // excess partition.
     Q("sync_converge_pruned",
       (s, dir) => {
-        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val cols = ordersCols
         val pcs = Map("orders" -> "o_orderstatus")
         val orders = T(s, dir, "orders").select(cols.map(col): _*)
+        ensureCatalogMasters(s, dir)
         val master = new PartitionedStore(s, "graft_ptm", pcs)
         val slave = new PartitionedStore(s, "graft_pts", pcs)
-        master.overwrite("orders", orders)
         slave.overwrite("orders", orders
           .filter(!(col("o_orderstatus") === "O" && col("o_orderkey") % 5 === 0))
           .withColumn("o_totalprice", when(

@@ -26,6 +26,12 @@ class ClusterSpec extends SparkSpec {
     assert(got.count(_._3) == 2)
   }
 
+  test("empty edge list yields an empty labeling") {
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Cluster.connectedComponents(edges).isEmpty)
+    assert(Cluster.dedupClusters(edges).isEmpty)
+  }
+
   test("long path converges within diameter rounds") {
     // Path 0-1-2-...-9: min label must travel the full length.
     val edges = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
