@@ -74,6 +74,36 @@ object StreamingQueries {
       },
       Some(Registry.duckMultisetFingerprint(liCols, "lineitem"))),
 
+    // Same CDC drain, but the result row is the MAINTAINED fingerprint
+    // (MultisetFp updated per batch from delete pre-images + upserts), never
+    // a post-hoc rescan of the synced table — the oracle (master's
+    // fingerprint) passing proves both convergence AND that the incremental
+    // audit tracked every batch exactly.
+    Q("stream_resync_audited",
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+        val slaveDir = SyncQueries.makeSlaveDir(s, dir, "resync_aud")
+        val excess = li.orderBy(liCols.map(col): _*).limit(3)
+          .withColumn("l_orderkey", col("l_orderkey") + 1000000L)
+        val feedDir = java.nio.file.Files.createTempDirectory("graft_feed_aud").toString
+        li.filter(col("l_orderkey") % 7 === 0 || col("l_orderkey") % 13 === 0)
+          .withColumn("op", lit("u"))
+          .unionByName(excess.withColumn("op", lit("d")))
+          .repartition(4, col("l_orderkey"))
+          .write.mode("overwrite").parquet(feedDir)
+        val feedSchema = s.read.parquet(feedDir).schema
+        val feed = s.readStream.schema(feedSchema)
+          .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        val slave = new graft.sync.ParquetStore(s, slaveDir)
+        val (q, maintained) = graft.streaming.StreamSync.applyChangeFeedAudited(
+          feed, slave, "lineitem", Seq("l_orderkey", "l_linenumber"), liCols)
+        q.awaitTermination()
+        val fp = maintained()
+        import s.implicits._
+        Seq((fp.render, fp.count)).toDF("fingerprint", "n_rows")
+      },
+      Some(Registry.duckMultisetFingerprint(liCols, "lineitem"))),
+
     // Tumbling-window (1 h) counts per event type, computed by a streaming
     // query over the events parquet. Oracle = the equivalent batch aggregate.
     Q("stream_hourly_counts",

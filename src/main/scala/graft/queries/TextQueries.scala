@@ -236,7 +236,44 @@ object TextQueries {
                | dedup AS (SELECT * FROM kept WHERE doc_id IN (
                |    SELECT min(doc_id) FROM kept GROUP BY md5(coalesce(cast(text as varchar),'NULL'))))
                |SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens
-               |FROM dedup GROUP BY source""".stripMargin))
+               |FROM dedup GROUP BY source""".stripMargin)),
+
+    // ---- the full near-dup dedup pipeline, end to end and EXACT: shingle
+    //      jaccard pairs (inverted index) → connected components → keep the
+    //      canonical (min-id) doc per cluster → cleaned-corpus stats. The
+    //      oracle replays every stage in SQL (recursive transitive closure
+    //      over the same exact pair list), so cluster assignment and the
+    //      final kept set are both checked, not just pair discovery.
+    Q("pipeline_dedup_corpus",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val pairs = graft.ops.Dedup
+          .jaccardPairsInverted(docs, "doc_id", "text", shingleK = 3, threshold = 0.05)
+          .select("id_a", "id_b")
+        val losers = graft.ops.Cluster.dedupClusters(pairs)
+          .filter(!col("is_keep")).select(col("id").as("doc_id"))
+        docs.join(losers, Seq("doc_id"), "left_anti")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      },
+      Some("""WITH RECURSIVE d AS (SELECT doc_id, list_distinct(CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
+              |   ELSE list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')) END) AS sh
+              |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |        ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+              |        FROM documents)),
+              | e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+              |  WHERE cast(len(list_intersect(a.sh, b.sh)) as double) /
+              |    cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double) >= 0.05),
+              | und AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+              | reach(id, r) AS (
+              |  SELECT u, u FROM und
+              |  UNION
+              |  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.id),
+              | losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+              |SELECT lang, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS total_chars
+              |FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+              |GROUP BY lang""".stripMargin))
   )
 
   private def duckList(xs: Seq[String]): String =

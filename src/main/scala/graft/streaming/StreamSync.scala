@@ -53,4 +53,47 @@ object StreamSync {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** [[applyChangeFeed]] plus an incrementally MAINTAINED table fingerprint
+    * ([[graft.functions.Hashing.MultisetFp]] group algebra): per batch the
+    * delete pre-image rows' fingerprint leaves and the upsert rows'
+    * fingerprint enters, so the slave's post-batch fingerprint is known
+    * WITHOUT any post-hoc table rescan — the audit a 100 TB CDC apply wants
+    * per cycle. The pre-image semi-join is column-pruned and bounded by the
+    * batch key set; next to the apply's own rewrite it is noise.
+    *
+    * `hashCols` must list the columns the fingerprint canonicalizes (same
+    * contract as `multisetFingerprintAgg`). Returns the started query and a
+    * thunk for the maintained fingerprint — read it after termination; it
+    * equals a full recompute (asserted in StreamingSpec).
+    */
+  def applyChangeFeedAudited(feed: DataFrame, slave: TableStore, table: String,
+                             keyCols: Seq[String], hashCols: Seq[String],
+                             opCol: String = "op")
+      : (StreamingQuery, () => graft.functions.Hashing.MultisetFp) = {
+    import graft.functions.Hashing
+    val fp = new java.util.concurrent.atomic.AtomicReference(
+      Hashing.multisetFp(slave.read(table), hashCols))
+    val q = feed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val keys = broadcast(b.select(keyCols.map(col): _*).distinct())
+          val upserts = b.filter(col(opCol) === "u").drop(opCol)
+          // Pre-image: exactly the rows the apply's delete-first step removes
+          // (every row matching a batch key, null-safe).
+          val cur = slave.read(table)
+          val preimage = cur.join(keys,
+            keyCols.map(k => cur(k) <=> keys(k)).reduce(_ && _), "left_semi")
+          val fpOut = Hashing.multisetFp(preimage, hashCols)
+          val fpIn = Hashing.multisetFp(upserts, hashCols)
+          slave.applyDelta(table, keys, keyCols, upserts)
+          fp.set(fp.get().remove(fpOut).merge(fpIn))
+          ()
+        } finally { b.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    (q, () => fp.get())
+  }
 }
