@@ -218,4 +218,44 @@ object Similarity {
         cosine(col("__v_a"), col("__v_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Scalar-quantized (SQ8) approximate top-k: every corpus vector is
+    * compressed to one byte per dimension (per-dim min/max affine scale —
+    * FAISS's SQ8), and queries score against the DEQUANTIZED bytes
+    * (asymmetric: the query side stays full-precision). 4× less vector
+    * memory/IO than float32 at near-lossless ranking quality — the
+    * compression rung below IVF/LSH on the scale ladder, and composable
+    * with both (quantize within cells/buckets).
+    *
+    * Per-dim stats are one narrow posexplode aggregate; only the
+    * DIMENSION-sized (d × min/scale) table reaches the driver, never data.
+    * Codes here live in an array<int> column — the storage win is the
+    * byte-width type, demonstrated at the layout level by
+    * `codes.cast(array<tinyint>)` when persisting.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              qIdCol: String = "q_id", qVecCol: String = "q_vec",
+              cIdCol: String = "vec_id", cVecCol: String = "embedding"): DataFrame = {
+    val stats = corpus
+      .select(posexplode(col(cVecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy("pos").collect()
+    val mins = stats.map(_.getDouble(1))
+    val scales = stats.map(r => math.max((r.getDouble(2) - r.getDouble(1)) / 255.0, 1e-12))
+    val minsL = array(mins.toIndexedSeq.map(lit): _*)
+    val scalesL = array(scales.toIndexedSeq.map(lit): _*)
+    // encode: c_i = round((x_i - mn_i) / sc_i) ∈ [0, 255]
+    val codes = Par.fanOut(corpus).select(col(cIdCol),
+      zip_with(zip_with(col(cVecCol).cast("array<double>"), minsL, (x, mn) => x - mn),
+        scalesL, (xm, sc) => round(xm / sc).cast("int")).as("code"))
+    // asymmetric score: cosine(q, dequant(code))
+    val dequant = zip_with(zip_with(col("code").cast("array<double>"), scalesL,
+      (c, sc) => c * sc), minsL, (xs, mn) => xs + mn)
+    val joined = codes.crossJoin(broadcast(queries))
+      .select(col(qIdCol), col(cIdCol),
+        cosine(dequant, col(qVecCol).cast("array<double>")).as("sim"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col(cIdCol))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -89,6 +89,18 @@ object SimilarityQueries {
         threshold = 0.45, nPlanes = 4, tables = 24, dim = 64),
       None),
 
+    // ---- SQ8 scalar-quantized top-k (byte-per-dim compression, asymmetric
+    //      scoring — the memory/IO rung of the ANN ladder; near-lossless,
+    //      recall vs brute force asserted in OpsSpec; rows-only here)
+    Q("knn_sq8_topk",
+      (s, dir) => {
+        val corpus = T(s, dir, "embeddings")
+        val queries = corpus.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.sq8TopK(queries, corpus.filter(col("vec_id") >= 5), k = 10)
+      },
+      None),
+
     // ---- pairs → connected components → canonical representative: the
     //      cluster/keep step that completes a corpus-dedup pipeline. Spark
     //      side is iterative min-label propagation (one shuffle per round,

@@ -119,6 +119,20 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@10 too low: $recall")
   }
 
+  test("sq8TopK: near-lossless recall vs brute force") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val corpus = emb.filter($"vec_id" >= 3).select("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(q, corpus, 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.sq8TopK(q, corpus, 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 quantization error is tiny relative to neighbor gaps — ranking
+    // should survive nearly intact.
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall@10 too low: $recall")
+  }
+
   test("multimodal: meta derivation + deterministic decode + frame sampling") {
     val df = Seq((1L, "hello world payload"), (2L, "another payload body x"))
       .toDF("media_id", "text")
