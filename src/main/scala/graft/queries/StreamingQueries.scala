@@ -86,10 +86,13 @@ object StreamingQueries {
         val excess = li.orderBy(liCols.map(col): _*).limit(3)
           .withColumn("l_orderkey", col("l_orderkey") + 1000000L)
         val feedDir = java.nio.file.Files.createTempDirectory("graft_feed_aud").toString
+        // 2 files → 2 micro-batches: multi-batch maintenance is exercised
+        // while the audited variant doesn't double-pay the 4-batch drain the
+        // plain stream_resync already times.
         li.filter(col("l_orderkey") % 7 === 0 || col("l_orderkey") % 13 === 0)
           .withColumn("op", lit("u"))
           .unionByName(excess.withColumn("op", lit("d")))
-          .repartition(4, col("l_orderkey"))
+          .repartition(2, col("l_orderkey"))
           .write.mode("overwrite").parquet(feedDir)
         val feedSchema = s.read.parquet(feedDir).schema
         val feed = s.readStream.schema(feedSchema)
