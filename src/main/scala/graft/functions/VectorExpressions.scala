@@ -233,6 +233,140 @@ object ShingleHash64 {
   }
 }
 
+/** Product-quantization encode: an `array<float|double>` vector becomes `m`
+  * small codes (one per subspace), each the index of the nearest codebook
+  * centroid for that subvector — 1 byte/subspace vs 4 bytes/dimension.
+  * `codebooks(j)(c)` is centroid `c` of subspace `j` (dsub doubles each).
+  * Evaluation is a compiled static helper (ShingleHash64 pattern).
+  */
+case class PQEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_encode requires array<float|double>, got $t")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PQSupport.encode(input.asInstanceOf[ArrayData], codebooks, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PQSupport.encode($c, $cbRef, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric PQ cosine: scores a CODE array (left) against a full-precision
+  * query vector (right) by reconstructing each subspace's centroid on the
+  * fly — the query side never loses precision, the corpus side stores only
+  * codes.
+  */
+case class PQCosine(left: Expression, right: Expression,
+                    codebooks: Array[Array[Array[Double]]])
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_cosine requires (array<int>, array<float|double>), got $l / $r")
+    }
+
+  private def qIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(code: Any, q: Any): Any =
+    PQSupport.cosine(code.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData],
+      codebooks, qIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (c, q) =>
+      s"${ev.value} = graft.functions.PQSupport.cosine($c, $q, $cbRef, $qIsFloat);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PQSupport {
+  /** Nearest-centroid code per subspace (squared-L2 argmin). */
+  def encode(vec: ArrayData, codebooks: Array[Array[Array[Double]]],
+             isFloat: Boolean): GenericArrayData = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cents = codebooks(j)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d2 = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = (if (isFloat) vec.getFloat(j * dsub + i).toDouble
+                   else vec.getDouble(j * dsub + i)) - cent(i)
+          d2 += x * x
+          i += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** cosine(reconstruct(code), q) — reconstruction never materializes. */
+  def cosine(code: ArrayData, q: ArrayData, codebooks: Array[Array[Array[Double]]],
+             qIsFloat: Boolean): Double = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    var dot = 0.0
+    var nc = 0.0
+    var nq = 0.0
+    var j = 0
+    while (j < m) {
+      val cent = codebooks(j)(code.getInt(j))
+      var i = 0
+      while (i < dsub) {
+        val qv = if (qIsFloat) q.getFloat(j * dsub + i).toDouble
+                 else q.getDouble(j * dsub + i)
+        dot += cent(i) * qv
+        nc += cent(i) * cent(i)
+        nq += qv * qv
+        i += 1
+      }
+      j += 1
+    }
+    val n = math.sqrt(nc) * math.sqrt(nq)
+    if (n == 0.0) 0.0 else dot / n
+  }
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two array<float|double> columns. */
   def array_dot(a: Column, b: Column): Column =
@@ -245,4 +379,12 @@ object VectorExpressions {
   /** Codegen'd one-pass xxhash64 k-shingle hashes of an array<string> token column. */
   def shingle_hash64(tokens: Column, k: Int): Column =
     ColumnShim.column(ShingleHash64(ColumnShim.expression(tokens), k))
+
+  /** Codegen'd PQ nearest-centroid encoding of a vector column. */
+  def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnShim.column(PQEncode(ColumnShim.expression(vec), codebooks))
+
+  /** Codegen'd asymmetric PQ cosine of (codes, full-precision query). */
+  def pq_cosine(code: Column, qVec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnShim.column(PQCosine(ColumnShim.expression(code), ColumnShim.expression(qVec), codebooks))
 }

@@ -219,6 +219,64 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Product-quantization codebooks: `m` subspaces × `ksub` centroids,
+    * trained by distributed Lloyd iterations — assignment runs as the
+    * codegen'd [[graft.functions.VectorExpressions.pq_encode]] expression
+    * over the corpus, the mean-update is one grouped aggregate over
+    * (subspace, code, dim); only the codebook matrix (m × ksub × d/m
+    * doubles) ever reaches the driver. Deterministic init (first `ksub`
+    * vectors by id), so results are stable across runs.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 2,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val d = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(d % m == 0, s"dim $d not divisible by $m subspaces")
+    val dsub = d / m
+    val init = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var cb = Array.tabulate(m, ksub)((j, c) =>
+      init(c % init.length).slice(j * dsub, (j + 1) * dsub))
+    for (_ <- 0 until iters) {
+      val stats = corpus
+        .select(graft.functions.VectorExpressions.pq_encode(col(vecCol), cb).as("code"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+        .select((col("pos") / dsub).cast("int").as("j"),
+          pmod(col("pos"), lit(dsub)).cast("int").as("i"),
+          element_at(col("code"), (col("pos") / dsub).cast("int") + 1).as("c"),
+          col("x"))
+        .groupBy("j", "c", "i").agg(avg("x").as("mean"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** Product-quantized approximate top-k: corpus vectors live as m small
+    * codes (one byte-scale index per subspace — 32× less vector storage
+    * than float32 at m=8 over 64 dims); queries score ASYMMETRICALLY
+    * against the per-subspace centroids (full-precision query, quantized
+    * corpus — FAISS's ADC). The last rung of the compression ladder below
+    * [[sq8TopK]]; compose with IVF cells for the classic IVF-PQ layout.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, iters: Int = 2,
+             qIdCol: String = "q_id", qVecCol: String = "q_vec",
+             cIdCol: String = "vec_id", cVecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebooks(corpus, m, ksub, iters, cIdCol, cVecCol)
+    val codes = Par.fanOut(corpus).select(col(cIdCol),
+      graft.functions.VectorExpressions.pq_encode(col(cVecCol), cb).as("code"))
+    val joined = codes.crossJoin(broadcast(queries))
+      .select(col(qIdCol), col(cIdCol),
+        graft.functions.VectorExpressions.pq_cosine(col("code"), col(qVecCol), cb).as("sim"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col(cIdCol))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Scalar-quantized (SQ8) approximate top-k: every corpus vector is
     * compressed to one byte per dimension (per-dim min/max affine scale —
     * FAISS's SQ8), and queries score against the DEQUANTIZED bytes

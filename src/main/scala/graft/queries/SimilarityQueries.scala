@@ -89,6 +89,19 @@ object SimilarityQueries {
         threshold = 0.45, nPlanes = 4, tables = 24, dim = 64),
       None),
 
+    // ---- product-quantized top-k (8 subspaces × 16 centroids: 32× less
+    //      vector storage; asymmetric ADC scoring against full-precision
+    //      queries — FAISS's PQ; compose with IVF cells for IVF-PQ). Clone
+    //      recall + noise-recall floor asserted in OpsSpec; rows-only here.
+    Q("knn_pq_topk",
+      (s, dir) => {
+        val corpus = T(s, dir, "embeddings")
+        val queries = corpus.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.pqTopK(queries, corpus.filter(col("vec_id") >= 5), k = 10)
+      },
+      None),
+
     // ---- SQ8 scalar-quantized top-k (byte-per-dim compression, asymmetric
     //      scoring — the memory/IO rung of the ANN ladder; near-lossless,
     //      recall vs brute force asserted in OpsSpec; rows-only here)

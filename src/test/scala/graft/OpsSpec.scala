@@ -119,6 +119,27 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@10 too low: $recall")
   }
 
+  test("pqTopK finds planted near-neighbors; coarse recall on noise is bounded") {
+    // 8×16 product quantization on near-orthogonal noise scrambles the WEAK
+    // orderings (recall@10 ≈ 0.3 here, deterministic) — but true near-dups
+    // survive quantization, which is the property PQ promises (same framing
+    // as the LSH test).
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val clones = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000L).as("vec_id"),
+        transform($"embedding", (x, i) => when(i === 0, x * 1.01f).otherwise(x)).as("embedding"))
+    val corpus = emb.filter($"vec_id" >= 3).select("vec_id", "embedding").unionByName(clones)
+    val exact = Similarity.bruteForceTopK(q, corpus, 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(q, corpus, 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (qid <- 0L to 2L)
+      assert(approx.contains((qid, qid + 10000L)), s"clone of $qid not found")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.15, s"PQ recall@10 collapsed: $recall")
+  }
+
   test("sq8TopK: near-lossless recall vs brute force") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 3).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
