@@ -108,6 +108,41 @@ class SyncPropertySpec extends SparkSpec {
     }
   }
 
+  test("random pairs converge through the partition-PRUNED physical store") {
+    // Same cascade, but master/slave live as Hive-layout PartitionedStore
+    // tables (string partition values incl. NULL via the sentinel) — the
+    // pruned applyDelta must converge every random divergence shape.
+    val pRowGen = for {
+      k <- Gen.choose(1L, 60L)
+      p <- Gen.option(Gen.oneOf("p0", "p1", "p2"))
+      v <- Gen.option(Gen.oneOf("x", "y", "z"))
+    } yield (k, p, v)
+    val pTableGen = Gen.listOfN(20, pRowGen).map(_.groupBy(_._1).map(_._2.head).toList)
+    val cols = Seq("k", "p", "v")
+    for (seed <- 1 to 3) {
+      val mRows = pTableGen.pureApply(Gen.Parameters.default, Seed(seed))
+      val sRows = pTableGen.pureApply(Gen.Parameters.default, Seed(seed + 500))
+      val ms = new PartitionedStore(spark, s"prps_m$seed", Map("t" -> "p"))
+      val ss = new PartitionedStore(spark, s"prps_s$seed", Map("t" -> "p"))
+      try {
+        ms.overwrite("t", mRows.toDF("k", "p", "v"))
+        ss.overwrite("t", sRows.toDF("k", "p", "v"))
+        val engine = new SyncEngine(ms, ss, SyncConfig(
+          primaryKeys = Map("t" -> Seq("k")),
+          partitionedTables = Map("t" -> "p"),
+          keyAwareDiff = true))
+        engine.syncTable("t")
+        assert(Hashing.tableFingerprint(ss.read("t"), cols) ==
+          Hashing.tableFingerprint(ms.read("t"), cols), s"seed $seed did not converge")
+        assert(engine.syncTable("t") == SyncAction.Skip("t", "already in sync"),
+          s"seed $seed not idempotent")
+      } finally {
+        ms.list().foreach(ms.drop)
+        ss.list().foreach(ss.drop)
+      }
+    }
+  }
+
   test("slave-only NULL partition is deleted (partition-delete-only path)") {
     val cols = Seq("k", "p", "v")
     val md = tmpDir("nullp_m"); val sd = tmpDir("nullp_s")
