@@ -183,6 +183,32 @@ object Dedup {
     } finally { docs.unpersist(); () }
   }
 
+  /** Whole-corpus EXACT containment pairs (overlap coefficient
+    * `|A∩B| / |A|` — asymmetric: how much of doc a's shingle set lies inside
+    * doc b). The right measure for quote/subset dedup, where jaccard is
+    * diluted by the containing document's size. Same inverted-index shape as
+    * [[jaccardPairsInverted]] (shuffle key = shingle hash, co-occurrence
+    * counts via groupBy); emits BOTH directions of each co-occurring pair.
+    */
+  def containmentPairsInverted(df: DataFrame, idCol: String, textCol: String,
+                               shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val docs = Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), array_distinct(graft.functions.VectorExpressions
+        .shingle_hash64(TextAnalysis.tokens(col("__text")), shingleK)).as("sh"))
+      .localCheckpoint(true)
+    try {
+      val inv = docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
+      val pairs = inv.as("a").join(inv.as("b"),
+          col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sz").as("sz_a"))
+        .agg(count(lit(1)).as("inter"))
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") / col("sz_a").cast("double")).as("containment"))
+        .filter(col("containment") >= threshold)
+      pairs.localCheckpoint(true)
+    } finally { docs.unpersist(); () }
+  }
+
   /** 64-bit SimHash over tokens: sign of the per-bit weighted sum of token
     * hashes. Hamming-close simhashes ⇒ near-dup texts. Pure expressions.
     */

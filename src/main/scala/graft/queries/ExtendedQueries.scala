@@ -166,6 +166,17 @@ object ExtendedQueries {
           percentile(col("l_quantity"), lit(0.75)).as("q75")),
       Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS q25,
               | quantile_cont(l_quantity, 0.5) AS q50, quantile_cont(l_quantity, 0.75) AS q75
-              |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- sketched quantiles (Greenwald-Khanna t-digest-style bounded
+    //      state) — the constant-memory partner to q_percentiles, like HLL
+    //      to exact distinct. Approximate → rows-only; error vs the exact
+    //      percentile asserted in OpsSpec.
+    Q("q_approx_percentiles",
+      (s, dir) => T(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_quantity"), lit(0.25), lit(1000)).as("q25_approx"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("q50_approx"),
+          percentile_approx(col("l_quantity"), lit(0.75), lit(1000)).as("q75_approx")),
+      None)
   )
 }

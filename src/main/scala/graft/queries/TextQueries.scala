@@ -200,6 +200,24 @@ object TextQueries {
               |WHERE cast(len(list_intersect(a.sh, b.sh)) as double) /
               |   cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double) >= 0.05""".stripMargin)),
 
+    // ---- exact containment (overlap coefficient |A∩B|/|A|) — the
+    //      asymmetric near-dup measure for quote/subset detection, where
+    //      jaccard is diluted by the containing document's size
+    Q("dedup_containment",
+      (s, dir) => Dedup.containmentPairsInverted(
+          T(s, dir, "documents"), "doc_id", "text", shingleK = 3, threshold = 0.2)
+        .withColumn("containment", round(col("containment"), 6)),
+      Some("""WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
+              |   ELSE list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')) END) AS sh
+              |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |        ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+              |        FROM documents))
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              | round(cast(len(list_intersect(a.sh, b.sh)) as double) / cast(len(a.sh) as double), 6) AS containment
+              |FROM d a JOIN d b ON a.doc_id <> b.doc_id
+              |WHERE len(list_intersect(a.sh, b.sh)) > 0
+              |  AND cast(len(list_intersect(a.sh, b.sh)) as double) / cast(len(a.sh) as double) >= 0.2""".stripMargin)),
+
     // ---- composite training-data pipeline: quality-filter → language-filter
     //      → exact-dedup → per-source stats, end to end in one declarative
     //      plan (scan → map-side filters → one dedup shuffle → one agg

@@ -154,6 +154,29 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"SQ8 recall@10 too low: $recall")
   }
 
+  test("approx percentiles track exact percentiles within sketch error") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val got = li.agg(
+      percentile($"l_quantity", lit(0.5)).as("exact"),
+      percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("approx")).head()
+    // integral-valued quantities, 1000-bucket accuracy: the sketch must land
+    // within one unit of the exact median
+    assert(math.abs(got.getDouble(0) - got.getDouble(1)) <= 1.0,
+      s"approx median ${got.getDouble(1)} vs exact ${got.getDouble(0)}")
+  }
+
+  test("containment pairs: planted subset detected, symmetric dilution visible") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta"), // contained prefix of 1
+      (3L, "totally different words here entirely")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairsInverted(docs, "doc_id", "text", shingleK = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // doc2's shingles all appear in doc1 → containment(2 in 1) = 1.0;
+    // the reverse direction is diluted below the threshold.
+    assert(got == List((2L, 1L, 1.0)), s"got $got")
+  }
+
   test("multimodal: meta derivation + deterministic decode + frame sampling") {
     val df = Seq((1L, "hello world payload"), (2L, "another payload body x"))
       .toDF("media_id", "text")
