@@ -74,38 +74,47 @@ object StreamingQueries {
       },
       Some(Registry.duckMultisetFingerprint(liCols, "lineitem"))),
 
-    // Same CDC drain, but the result row is the MAINTAINED fingerprint
+    // Same CDC drain shape, but the result row is the MAINTAINED fingerprint
     // (MultisetFp updated per batch from delete pre-images + upserts), never
     // a post-hoc rescan of the synced table — the oracle (master's
     // fingerprint) passing proves both convergence AND that the incremental
-    // audit tracked every batch exactly.
+    // audit tracked every batch exactly. Runs on orders (plain stream_resync
+    // keeps the heavyweight lineitem drain): the audit mechanics are
+    // table-size-independent, so the demo shouldn't double-pay the big COW
+    // rewrites.
     Q("stream_resync_audited",
       (s, dir) => {
-        val li = T(s, dir, "lineitem")
-        val slaveDir = SyncQueries.makeSlaveDir(s, dir, "resync_aud")
-        val excess = li.orderBy(liCols.map(col): _*).limit(3)
-          .withColumn("l_orderkey", col("l_orderkey") + 1000000L)
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val orders = T(s, dir, "orders").select(cols.map(col): _*)
+        val ghosts = orders.orderBy("o_orderkey").limit(2)
+          .withColumn("o_orderkey", col("o_orderkey") + 900000L)
+        // Slave diverges three ways: missing (%5), stale (%7), excess ghosts.
+        val slaveDir = java.nio.file.Files.createTempDirectory("graft_aud_slave").toString
+        orders.filter(col("o_orderkey") % 5 =!= 0)
+          .withColumn("o_totalprice", when(col("o_orderkey") % 7 === 0,
+            col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+          .unionByName(ghosts)
+          .write.mode("overwrite").parquet(s"$slaveDir/orders.parquet")
         val feedDir = java.nio.file.Files.createTempDirectory("graft_feed_aud").toString
-        // 2 files → 2 micro-batches: multi-batch maintenance is exercised
-        // while the audited variant doesn't double-pay the 4-batch drain the
-        // plain stream_resync already times.
-        li.filter(col("l_orderkey") % 7 === 0 || col("l_orderkey") % 13 === 0)
+        // 2 files → 2 micro-batches (key-complete: partitioned by the key).
+        orders.filter(col("o_orderkey") % 5 === 0 || col("o_orderkey") % 7 === 0)
           .withColumn("op", lit("u"))
-          .unionByName(excess.withColumn("op", lit("d")))
-          .repartition(2, col("l_orderkey"))
+          .unionByName(ghosts.withColumn("op", lit("d")))
+          .repartition(2, col("o_orderkey"))
           .write.mode("overwrite").parquet(feedDir)
         val feedSchema = s.read.parquet(feedDir).schema
         val feed = s.readStream.schema(feedSchema)
           .option("maxFilesPerTrigger", 1).parquet(feedDir)
         val slave = new graft.sync.ParquetStore(s, slaveDir)
         val (q, maintained) = graft.streaming.StreamSync.applyChangeFeedAudited(
-          feed, slave, "lineitem", Seq("l_orderkey", "l_linenumber"), liCols)
+          feed, slave, "orders", Seq("o_orderkey"), cols)
         q.awaitTermination()
         val fp = maintained()
         import s.implicits._
         Seq((fp.render, fp.count)).toDF("fingerprint", "n_rows")
       },
-      Some(Registry.duckMultisetFingerprint(liCols, "lineitem"))),
+      Some(Registry.duckMultisetFingerprint(
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"), "orders"))),
 
     // Tumbling-window (1 h) counts per event type, computed by a streaming
     // query over the events parquet. Oracle = the equivalent batch aggregate.
