@@ -157,6 +157,33 @@ object ExtendedQueries {
               |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               |GROUP BY s_nationkey""".stripMargin)),
 
+    // ---- window FRAMES (rows-between aggregation — the third window
+    //      family next to ranking and offsets): running total and a
+    //      3-row moving sum per user timeline. Sums in decimal for
+    //      cross-engine hash stability, surfaced as double.
+    Q("q_window_frames",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val moving = base.rowsBetween(-2, Window.currentRow)
+        Registry.events(s, dir)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            sum(col("value").cast("decimal(14,2)")).over(running)
+              .cast("double").as("running_total"),
+            sum(col("value").cast("decimal(14,2)")).over(moving)
+              .cast("double").as("moving_sum3"),
+            count(lit(1)).over(moving).as("n_in_frame"))
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+              | cast(sum(cast(value as decimal(14,2))) OVER w_run as double) AS running_total,
+              | cast(sum(cast(value as decimal(14,2))) OVER w_mov as double) AS moving_sum3,
+              | count(*) OVER w_mov AS n_in_frame
+              |FROM events
+              |WINDOW
+              | w_run AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              | w_mov AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // ---- exact percentiles (linear interpolation — same definition as
     //      DuckDB's quantile_cont)
     Q("q_percentiles",
