@@ -250,7 +250,7 @@ object StreamingQueries {
               |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS new_s
               |  FROM e),
               | g AS (SELECT user_id, ts,
-              |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+              |    cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) as bigint) AS session_id
               |  FROM f)
               |SELECT user_id, session_id, count(*) AS n_events,
               |  epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us

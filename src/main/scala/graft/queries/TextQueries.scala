@@ -253,7 +253,7 @@ object TextQueries {
                | kept AS (SELECT * FROM scored WHERE q >= 0.5 AND lang_pred = 'en'),
                | dedup AS (SELECT * FROM kept WHERE doc_id IN (
                |    SELECT min(doc_id) FROM kept GROUP BY md5(coalesce(cast(text as varchar),'NULL'))))
-               |SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+               |SELECT source, count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS total_tokens
                |FROM dedup GROUP BY source""".stripMargin)),
 
     // ---- the full near-dup dedup pipeline, end to end and EXACT: shingle
