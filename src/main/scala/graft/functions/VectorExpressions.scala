@@ -367,6 +367,193 @@ object PQSupport {
   }
 }
 
+/** All LSH hash-table buckets of a vector in ONE compiled pass.
+  *
+  * `planes` holds `tables × nPlanes` hyperplanes (row-major by table);
+  * output slot `t` is the sign-bit bucket of table `t`: bit `p` is set when
+  * `dot(vec, planes(t*nPlanes + p)) >= 0`. Bit-identical to the column
+  * formula it replaces (`when(array_dot(vec, lit-array) >= 0, 1L << p)`
+  * OR-folded per table): same left-to-right dot order, same `>= 0` rule.
+  *
+  * The literal-array form inflated the plan to tables × nPlanes × dim
+  * literal nodes (3 840 at the bench config) — analysis/optimization and
+  * codegen of that tree cost multiple seconds per query; one expression
+  * holding the matrix as a reference object makes planning O(1).
+  */
+case class LshBuckets(child: Expression, planes: Array[Array[Double]], tables: Int)
+    extends UnaryExpression with Serializable {
+  require(tables > 0 && planes.length % tables == 0,
+    s"planes (${planes.length}) must split evenly across $tables tables")
+  require(planes.length / tables <= 63, "more than 63 planes per table")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lsh_buckets requires array<float|double>, got $t")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorSupport.lshBuckets(input.asInstanceOf[ArrayData], planes, tables, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorSupport.lshBuckets($c, $pRef, $tables, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Index of the centroid with the max dot product (first wins on ties) —
+  * the compiled form of `array_position(scores, array_max(scores)) - 1`
+  * over per-centroid literal-array dots. Caller pre-normalizes centroids
+  * when cosine order (not dot order) is wanted.
+  */
+case class ArgMaxDot(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"argmax_dot requires array<float|double>, got $t")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorSupport.argMaxDot(input.asInstanceOf[ArrayData], centroids, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("argmaxCentroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorSupport.argMaxDot($c, $cRef, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The `nProbe` centroid indexes with the highest dot products, best first,
+  * ties to the lower index — the compiled form of IVF probe selection
+  * (`slice(array_sort(struct(-dot, cell)), 1, nProbe)`).
+  */
+case class TopCells(child: Expression, centroids: Array[Array[Double]], nProbe: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_cells requires array<float|double>, got $t")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorSupport.topCells(input.asInstanceOf[ArrayData], centroids, nProbe, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("probeCentroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorSupport.topCells($c, $cRef, $nProbe, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorSupport {
+  @inline private def elem(v: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+
+  /** Left-to-right dot against a driver-held plane — same order as ArrayDot. */
+  private def dotPlane(vec: ArrayData, plane: Array[Double], isFloat: Boolean): Double = {
+    val n = math.min(vec.numElements(), plane.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += elem(vec, i, isFloat) * plane(i); i += 1 }
+    s
+  }
+
+  def lshBuckets(vec: ArrayData, planes: Array[Array[Double]], tables: Int,
+                 isFloat: Boolean): GenericArrayData = {
+    val perTable = planes.length / tables
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var b = 0L
+      var p = 0
+      while (p < perTable) {
+        if (dotPlane(vec, planes(t * perTable + p), isFloat) >= 0) b |= (1L << p)
+        p += 1
+      }
+      out(t) = b
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def argMaxDot(vec: ArrayData, centroids: Array[Array[Double]], isFloat: Boolean): Int = {
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val s = dotPlane(vec, centroids(c), isFloat)
+      if (s > bestS) { bestS = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def topCells(vec: ArrayData, centroids: Array[Array[Double]], nProbe: Int,
+               isFloat: Boolean): GenericArrayData = {
+    val n = centroids.length
+    val scores = new Array[Double](n)
+    var c = 0
+    while (c < n) { scores(c) = dotPlane(vec, centroids(c), isFloat); c += 1 }
+    val m = math.min(nProbe, n)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](n)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!taken(i) && scores(i) > bestS) { bestS = scores(i); best = i }
+        i += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two array<float|double> columns. */
   def array_dot(a: Column, b: Column): Column =
@@ -387,4 +574,23 @@ object VectorExpressions {
   /** Codegen'd asymmetric PQ cosine of (codes, full-precision query). */
   def pq_cosine(code: Column, qVec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnShim.column(PQCosine(ColumnShim.expression(code), ColumnShim.expression(qVec), codebooks))
+
+  /** Codegen'd all-tables LSH sign-bucket array of a vector column. */
+  def lsh_buckets(vec: Column, planes: Array[Array[Double]], tables: Int): Column =
+    ColumnShim.column(LshBuckets(ColumnShim.expression(vec), planes, tables))
+
+  /** Codegen'd argmax-dot centroid assignment of a vector column. */
+  def argmax_dot(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnShim.column(ArgMaxDot(ColumnShim.expression(vec), centroids))
+
+  /** Codegen'd top-nProbe-by-dot centroid probe list of a vector column. */
+  def top_cells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    ColumnShim.column(TopCells(ColumnShim.expression(vec), centroids, nProbe))
+
+  /** Bounded-heap top-k aggregate: per group keeps only the k best
+    * (score desc, id asc) pairs — map-side partial aggregation ships k rows
+    * per task instead of the whole scored set through the shuffle. */
+  def topk_by_score(score: Column, id: Column, k: Int): Column =
+    ColumnShim.column(TopKByScore(ColumnShim.expression(score),
+      ColumnShim.expression(id), k).toAggregateExpression())
 }

@@ -45,8 +45,33 @@ object Similarity {
     val joined = Par.fanOut(corpus).crossJoin(broadcast(queries))
       .select(col(qIdCol), col(cIdCol),
         cosine(col(qVecCol), col(cVecCol)).as("sim"))
-    val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col(cIdCol))
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    finishTopK(joined, k, qIdCol, cIdCol)
+  }
+
+  /** Per-query top-k over a scored frame `(qId, cId, sim)` — identical rows
+    * to `row_number over (partition by qId order by sim desc, cId)` ≤ k, but
+    * via the bounded-heap aggregate
+    * ([[graft.functions.VectorExpressions.topk_by_score]]): map-side partial
+    * aggregation ships only k entries per (task × query) through the
+    * shuffle, instead of windowing every scored row (the ~corpus/k shuffle
+    * cut). Falls back to the window when the id column is not bigint (the
+    * heap stores primitive longs).
+    */
+  private def finishTopK(scored: DataFrame, k: Int,
+                         qIdCol: String, cIdCol: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    if (scored.schema(cIdCol).dataType == LongType) {
+      scored.groupBy(qIdCol)
+        .agg(graft.functions.VectorExpressions
+          .topk_by_score(col("sim"), col(cIdCol), k).as("__tk"))
+        .select(col(qIdCol), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+        .select(col(qIdCol), col("__e.id").as(cIdCol), col("__e.sim").as("sim"),
+          (col("__pos") + 1).cast("int").as("rank"))
+    } else {
+      val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col(cIdCol))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select(col(qIdCol), col(cIdCol), col("sim"), col("rank"))
+    }
   }
 
   /** Deterministic pseudo-random hyperplanes: `nPlanes` × `dim` components in
@@ -67,14 +92,20 @@ object Similarity {
     }
   }
 
-  /** Sign-bit LSH bucket id: one bit per hyperplane (≤ 63 planes). */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (hp, i) =>
-      val hpCol = array(hp.toIndexedSeq.map(lit): _*)
-      when(dot(vec, hpCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** Sign-bit LSH bucket id: one bit per hyperplane (≤ 63 planes). One
+    * compiled expression holding the plane matrix — the literal-array
+    * column formula it replaces put tables × planes × dim literal nodes in
+    * the plan, and ANALYSIS + codegen of that tree (seconds) dwarfed the
+    * actual scoring on bench-sized corpora.
+    */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    element_at(graft.functions.VectorExpressions.lsh_buckets(vec, planes, 1), 1)
+
+  /** All `tables` bucket ids at once (row-major plane matrix), as
+    * `array<long>` — the one-pass form [[lshTopK]]/[[cosineNearDups]] use.
+    */
+  def lshBucketsAll(vec: Column, planes: Array[Array[Double]], tables: Int): Column =
+    graft.functions.VectorExpressions.lsh_buckets(vec, planes, tables)
 
   /** Approximate top-k: candidates = corpus vectors sharing the query's
     * bucket in ANY of `tables` independent hash tables; exact cosine re-rank
@@ -85,22 +116,22 @@ object Similarity {
               nPlanes: Int = 12, tables: Int = 4, dim: Int = 64,
               qIdCol: String = "q_id", qVecCol: String = "q_vec",
               cIdCol: String = "vec_id", cVecCol: String = "embedding"): DataFrame = {
-    def bucketed(df: DataFrame, vecCol: String, idCols: Seq[String]): DataFrame = {
-      val tabs = (0 until tables).map { t =>
-        val planes = hyperplanes(nPlanes, dim, seed = 42L + t)
-        struct(lit(t).as("t"), lshBucket(col(vecCol), planes).as("b"))
-      }
-      df.select(idCols.map(col) :+ col(vecCol) :+ explode(array(tabs: _*)).as("bucket"): _*)
-    }
+    // One plane matrix over all tables → one compiled bucket-array pass;
+    // per-table seeds unchanged, so bucket values match the per-table form.
+    val planes = Array.concat((0 until tables).map(t =>
+      hyperplanes(nPlanes, dim, seed = 42L + t)): _*)
+    def bucketed(df: DataFrame, vecCol: String, idCols: Seq[String]): DataFrame =
+      df.select(idCols.map(col) :+ col(vecCol) :+
+          posexplode(lshBucketsAll(col(vecCol), planes, tables)).as(Seq("__t", "__b")): _*)
+        .withColumn("bucket", struct(col("__t").as("t"), col("__b").as("b")))
+        .drop("__t", "__b")
     val cB = bucketed(Par.fanOut(corpus), cVecCol, Seq(cIdCol))
     val qB = bucketed(queries, qVecCol, Seq(qIdCol))
     val cands = cB.join(broadcast(qB), Seq("bucket"))
       .select(col(qIdCol), col(qVecCol), col(cIdCol), col(cVecCol))
       .dropDuplicates(qIdCol, cIdCol)
-    val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col(cIdCol))
-    cands.withColumn("sim", cosine(col(qVecCol), col(cVecCol)))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col(qIdCol), col(cIdCol), col("sim"), col("rank"))
+    finishTopK(cands.withColumn("sim", cosine(col(qVecCol), col(cVecCol)))
+      .select(col(qIdCol), col(cIdCol), col("sim")), k, qIdCol, cIdCol)
   }
 
   /** IVF coarse quantizer: `nCells` centroids by spherical k-means —
@@ -135,14 +166,14 @@ object Similarity {
     * codegen'd dot per centroid, then array_position of the max. Centroids
     * are L2-normalized first so dot order == cosine order.
     */
-  def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val normed = centroids.map { c =>
+  def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.VectorExpressions.argmax_dot(vec, normalize(centroids))
+
+  private def normalize(centroids: Array[Array[Double]]): Array[Array[Double]] =
+    centroids.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0) c else c.map(_ / n)
     }
-    val scores = array(normed.toIndexedSeq.map(c => dot(vec, array(c.toIndexedSeq.map(lit): _*))): _*)
-    (array_position(scores, array_max(scores)) - 1).cast("int")
-  }
 
   /** IVF approximate top-k: corpus rows are bucketed by nearest centroid;
     * each query probes its `nProbe` closest cells and re-ranks exactly
@@ -155,23 +186,16 @@ object Similarity {
               cIdCol: String = "vec_id", cVecCol: String = "embedding"): DataFrame = {
     val cents = ivfCentroids(corpus, nCells, iters, cIdCol, cVecCol)
     val corpusCells = Par.fanOut(corpus).withColumn("cell", nearestCell(col(cVecCol), cents))
-    // per-query nProbe nearest cells: score array -> (score, idx) structs,
-    // sort desc, slice
-    val normed = cents.map { c =>
-      val n = math.sqrt(c.map(x => x * x).sum); if (n == 0) c else c.map(_ / n)
-    }
-    val scored = array(normed.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      struct((-dot(col(qVecCol), array(c.toIndexedSeq.map(lit): _*))).as("neg"), lit(i).as("cell"))
-    }: _*)
+    // per-query nProbe nearest cells: one compiled best-cells pass (same
+    // order as sorting (-dot, cell) ascending: dot desc, ties to lower cell)
     val probes = queries.withColumn("cell",
-      explode(transform(slice(array_sort(scored), 1, nProbe), e => e.getField("cell"))))
+      explode(graft.functions.VectorExpressions
+        .top_cells(col(qVecCol), normalize(cents), nProbe)))
     val cands = corpusCells.join(broadcast(probes), Seq("cell"))
       .select(col(qIdCol), col(qVecCol), col(cIdCol), col(cVecCol))
       .dropDuplicates(qIdCol, cIdCol)
-    val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col(cIdCol))
-    cands.withColumn("sim", cosine(col(qVecCol), col(cVecCol)))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col(qIdCol), col(cIdCol), col("sim"), col("rank"))
+    finishTopK(cands.withColumn("sim", cosine(col(qVecCol), col(cVecCol)))
+      .select(col(qIdCol), col(cIdCol), col("sim")), k, qIdCol, cIdCol)
   }
 
   /** Exact all-pairs cosine near-duplicates — the correctness baseline the
@@ -196,16 +220,18 @@ object Similarity {
   def cosineNearDups(corpus: DataFrame, threshold: Double,
                      nPlanes: Int = 8, tables: Int = 6, dim: Int = 64,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val tabs = (0 until tables).map { t =>
-      val planes = hyperplanes(nPlanes, dim, seed = 1042L + t)
-      struct(lit(t).as("t"), lshBucket(col(vecCol), planes).as("b"))
-    }
+    val planes = Array.concat((0 until tables).map(t =>
+      hyperplanes(nPlanes, dim, seed = 1042L + t)): _*)
     // Candidate ids only through the bucket self-join: a pair colliding in
     // many tables must still pay only ONE exact cosine — dedup the narrow
     // (id_a, id_b) pairs first, then join the vectors back (1.4× on the
     // bench corpus vs verifying inside the bucket join, and the bucket join
     // stops carrying vector payloads entirely).
-    val b = Par.fanOut(corpus).select(col(idCol), explode(array(tabs: _*)).as("bucket"))
+    val b = Par.fanOut(corpus)
+      .select(col(idCol),
+        posexplode(lshBucketsAll(col(vecCol), planes, tables)).as(Seq("__t", "__b")))
+      .withColumn("bucket", struct(col("__t").as("t"), col("__b").as("b")))
+      .drop("__t", "__b")
     val cands = b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
@@ -273,8 +299,7 @@ object Similarity {
     val joined = codes.crossJoin(broadcast(queries))
       .select(col(qIdCol), col(cIdCol),
         graft.functions.VectorExpressions.pq_cosine(col("code"), col(qVecCol), cb).as("sim"))
-    val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col(cIdCol))
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    finishTopK(joined, k, qIdCol, cIdCol)
   }
 
   /** Scalar-quantized (SQ8) approximate top-k: every corpus vector is
@@ -313,7 +338,6 @@ object Similarity {
     val joined = codes.crossJoin(broadcast(queries))
       .select(col(qIdCol), col(cIdCol),
         cosine(dequant, col(qVecCol).cast("array<double>")).as("sim"))
-    val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col(cIdCol))
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    finishTopK(joined, k, qIdCol, cIdCol)
   }
 }

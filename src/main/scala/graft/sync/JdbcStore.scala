@@ -120,6 +120,129 @@ final class JdbcStore(val spark: SparkSession, url: String,
     try st.executeUpdate(s"DROP TABLE ${q(table)}") finally st.close()
   }
 
+  // ---- S4/S13: DDL fetch + replay ------------------------------------------
+  //
+  // The reference compares normalized `SHOW CREATE TABLE` strings to decide
+  // a full recopy (`TableConnection.php:402-410`, `Synchronizer.php:196-204`)
+  // and replays the master's DDL on the slave (`Synchronizer.php:330-341`)
+  // so indexes/engine/charset survive. Spark's JDBC writer would instead
+  // create a bare table from inferred types — silently dropping every
+  // secondary index on recopy, and a `StructType` compare cannot even see an
+  // index-only change.
+
+  private case class ColMeta(name: String, typeName: String, size: Int,
+                             digits: Int, nullable: Boolean, autoInc: Boolean)
+
+  private def columnsOf(c: Connection, table: String): Seq[ColMeta] = {
+    val rs = c.getMetaData.getColumns(null, c.getSchema, table, "%")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, ColMeta)]
+    while (rs.next()) out += ((rs.getInt("ORDINAL_POSITION"), ColMeta(
+      rs.getString("COLUMN_NAME"), rs.getString("TYPE_NAME"),
+      rs.getInt("COLUMN_SIZE"), rs.getInt("DECIMAL_DIGITS"),
+      rs.getString("IS_NULLABLE") != "NO",
+      rs.getString("IS_AUTOINCREMENT") == "YES")))
+    out.sortBy(_._1).map(_._2).toSeq
+  }
+
+  /** Secondary indexes (name, unique, columns in ordinal order), excluding
+    * the primary key's backing index.
+    */
+  private def indexesOf(c: Connection, table: String,
+                        pk: Seq[String]): Seq[(String, Boolean, Seq[String])] = {
+    val rs = c.getMetaData.getIndexInfo(null, c.getSchema, table, false, false)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, Short, String)]
+    while (rs.next()) {
+      val name = rs.getString("INDEX_NAME")
+      val colName = rs.getString("COLUMN_NAME")
+      if (name != null && colName != null)
+        rows += ((name, !rs.getBoolean("NON_UNIQUE"), rs.getShort("ORDINAL_POSITION"), colName))
+    }
+    rows.groupBy(_._1).toSeq.map { case (name, rs0) =>
+      (name, rs0.head._2, rs0.sortBy(_._3).map(_._4).toSeq)
+    }.filterNot { case (name, unique, cols) =>
+      // MySQL names it PRIMARY; other engines generate a unique backing
+      // index over exactly the PK columns.
+      name == "PRIMARY" || (unique && cols == pk)
+    }.sortBy(_._1)
+  }
+
+  private def typeSql(m: ColMeta): String = m.typeName.toUpperCase match {
+    case t @ ("VARCHAR" | "CHAR" | "CHARACTER" | "VARBINARY" | "BINARY") => s"$t(${m.size})"
+    case t @ ("DECIMAL" | "NUMERIC") => s"$t(${m.size},${m.digits})"
+    case t => t
+  }
+
+  /** The table's CREATE DDL for structural comparison. MySQL: the server's
+    * own `SHOW CREATE TABLE` (byte-exact reference parity). Elsewhere: a
+    * canonical synthesis from JDBC metadata — columns in ordinal order, PK,
+    * and secondary indexes as `CONSTRAINT` lines, so
+    * [[SchemaCompare.normalizeDdl]] applies to both forms. Two tables built
+    * the same way compare equal; an index-only divergence (invisible to
+    * `StructType`) does not.
+    */
+  def fetchCreateTable(table: String): String = withConnection { c =>
+    if (url.startsWith("jdbc:mysql:")) {
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(s"SHOW CREATE TABLE ${q(table)}")
+        rs.next()
+        rs.getString(2)
+      } finally st.close()
+    } else {
+      val cols = columnsOf(c, table)
+      val pk = primaryKeyOfConn(c, table)
+      val idx = indexesOf(c, table, pk)
+      val colLines = cols.map(m => s"  ${q(m.name)} ${typeSql(m)}" +
+        (if (!m.nullable) " NOT NULL" else "") +
+        (if (m.autoInc) " AUTO_INCREMENT" else ""))
+      val pkLine = if (pk.nonEmpty) Seq(s"  PRIMARY KEY (${pk.map(q).mkString(", ")})") else Nil
+      val idxLines = idx.map { case (n, uniq, cs) =>
+        s"  CONSTRAINT ${q(n)} ${if (uniq) "UNIQUE " else ""}KEY (${cs.map(q).mkString(", ")})"
+      }
+      (Seq(s"CREATE TABLE ${q(table)} (") :+
+        (colLines ++ pkLine ++ idxLines).mkString(",\n") :+ ")").mkString("\n")
+    }
+  }
+
+  private def primaryKeyOfConn(c: Connection, table: String): Seq[String] = {
+    val rs = c.getMetaData.getPrimaryKeys(null, c.getSchema, table)
+    val cols = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
+    while (rs.next()) cols += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+    cols.sortBy(_._1).map(_._2).toSeq
+  }
+
+  /** Executable DDL reconstructing this table's structure — CREATE TABLE
+    * (columns + PK) followed by one CREATE INDEX per secondary index — in
+    * portable SQL a same-engine slave accepts (the reference replays the
+    * master's DDL verbatim, MySQL→MySQL; this is the dialect-neutral form).
+    */
+  def ddlStatements(table: String): Seq[String] = withConnection { c =>
+    val cols = columnsOf(c, table)
+    val pk = primaryKeyOfConn(c, table)
+    val idx = indexesOf(c, table, pk)
+    val colDefs = cols.map(m => s"${q(m.name)} ${typeSql(m)}" +
+      (if (!m.nullable) " NOT NULL" else ""))
+    val pkClause = if (pk.nonEmpty) Seq(s"PRIMARY KEY (${pk.map(q).mkString(", ")})") else Nil
+    val create = s"CREATE TABLE ${q(table)} (" +
+      (colDefs ++ pkClause).mkString(", ") + ")"
+    create +: idx.map { case (n, uniq, cs) =>
+      s"CREATE ${if (uniq) "UNIQUE " else ""}INDEX ${q(n)} ON ${q(table)} (${cs.map(q).mkString(", ")})"
+    }
+  }
+
+  /** S13: drop + recreate from DDL statements (reference
+    * `Synchronizer.php:330-341`) — the structure-preserving half of a full
+    * recopy; follow with `append(table, masterData)`.
+    */
+  def createTableFromDdl(table: String, stmts: Seq[String]): Unit = withConnection { c =>
+    val st = c.createStatement()
+    try {
+      try st.executeUpdate(s"DROP TABLE ${q(table)}")
+      catch { case _: java.sql.SQLException => () } // absent table
+      stmts.foreach(st.executeUpdate)
+    } finally st.close()
+  }
+
   override def overwrite(table: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("batchsize", batchSize.toString)

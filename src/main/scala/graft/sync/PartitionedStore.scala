@@ -42,19 +42,40 @@ final class PartitionedStore(val spark: SparkSession, prefix: String,
   }
 
   override def overwrite(table: String, df: DataFrame): Unit = {
-    val stage = qname(table) + "__stage"
-    spark.sql(s"DROP TABLE IF EXISTS $stage")
-    CatalogStores.clearOrphanLocation(spark, stage)
-    df.write.mode(SaveMode.Overwrite).partitionBy(pcOf(table))
-      .format("parquet").saveAsTable(stage)
-    drop(table)
-    CatalogStores.clearOrphanLocation(spark, qname(table))
-    spark.sql(s"ALTER TABLE $stage RENAME TO ${qname(table)}")
-    // The in-memory catalog's rename moves the data directory but keeps the
-    // old partition locations — recover them from the moved layout.
-    spark.sql(s"MSCK REPAIR TABLE ${qname(table)}")
+    if (readsFromTable(df, qname(table))) {
+      // Self-reading rewrite: stage then swap (the write would otherwise
+      // destroy its own input mid-scan).
+      val stage = qname(table) + "__stage"
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
+      CatalogStores.clearOrphanLocation(spark, stage)
+      df.write.mode(SaveMode.Overwrite).partitionBy(pcOf(table))
+        .format("parquet").saveAsTable(stage)
+      drop(table)
+      CatalogStores.clearOrphanLocation(spark, qname(table))
+      spark.sql(s"ALTER TABLE $stage RENAME TO ${qname(table)}")
+      // The in-memory catalog's rename moves the data directory but keeps
+      // the old partition locations — recover them from the moved layout.
+      spark.sql(s"MSCK REPAIR TABLE ${qname(table)}")
+    } else {
+      // Common path (fixtures, full recopy from ANOTHER store): one direct
+      // overwrite — no stage table, no RENAME, no MSCK directory walk. The
+      // catalog round-trips were the dominant cost of a recopy, not the
+      // data volume.
+      CatalogStores.clearOrphanLocation(spark, qname(table))
+      df.write.mode(SaveMode.Overwrite).partitionBy(pcOf(table))
+        .format("parquet").saveAsTable(qname(table))
+    }
     ()
   }
+
+  /** Does `df`'s plan scan the catalog table `name`? (Decides stage-and-swap
+    * vs direct overwrite.)
+    */
+  private def readsFromTable(df: DataFrame, name: String): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if r.catalogTable.exists(_.identifier.table.equalsIgnoreCase(name)) => r
+    }.nonEmpty
 
   override def append(table: String, df: DataFrame): Unit =
     if (spark.catalog.tableExists(qname(table))) {
@@ -130,13 +151,20 @@ final class PartitionedStore(val spark: SparkSession, prefix: String,
     try body finally spark.conf.set(key, prev)
   }
 
+  /** One batched `ALTER TABLE … DROP PARTITION …, PARTITION …` — a single
+    * catalog round-trip however many partitions drop (the per-value loop
+    * serialized one metastore call per partition; at 10k dropped partitions
+    * that loop IS the sync time).
+    */
   private def dropPartitionValues(table: String, values: Seq[Any]): Unit =
-    values.foreach { v =>
-      val sqlLit =
-        if (v == null) "'__HIVE_DEFAULT_PARTITION__'"
-        else "'" + v.toString.replace("'", "''") + "'"
-      spark.sql(s"ALTER TABLE ${qname(table)} DROP IF EXISTS " +
-        s"PARTITION (${pcOf(table)}=$sqlLit)")
+    if (values.nonEmpty) {
+      val specs = values.map { v =>
+        val sqlLit =
+          if (v == null) "'__HIVE_DEFAULT_PARTITION__'"
+          else "'" + v.toString.replace("'", "''") + "'"
+        s"PARTITION (${pcOf(table)}=$sqlLit)"
+      }
+      spark.sql(s"ALTER TABLE ${qname(table)} DROP IF EXISTS ${specs.mkString(", ")}")
       ()
     }
 }

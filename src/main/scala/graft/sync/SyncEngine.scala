@@ -130,7 +130,8 @@ final class SyncEngine(master: TableStore, slave: TableStore,
   def syncTable(table: String): SyncAction = {
     val mSchema = master.schemaOf(table)
     val sSchema = slave.schemaOf(table)
-    if (!SchemaCompare.sameStructure(mSchema, sSchema)) return copyTable(table)
+    if (!SchemaCompare.sameStructure(mSchema, sSchema) || ddlDiffers(table))
+      return copyTable(table)
 
     config.partitionedTables.get(table) match {
       case Some(partCol) => syncPartitionedTable(table, partCol)
@@ -251,9 +252,31 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     } else record(ApplyDelta(table, nDel, nIns))
   }
 
-  /** C5: full copy — drop, recreate from master (`Synchronizer.php:330-354`). */
+  /** S4: DDL-level structure compare for JDBC↔JDBC syncs — normalized
+    * `SHOW CREATE TABLE` (or metadata-synthesized) strings see what a
+    * `StructType` compare cannot: index/constraint-only divergence
+    * (reference `Synchronizer.php:196-204`). Non-JDBC stores have no DDL
+    * surface beyond the schema and skip this.
+    */
+  private def ddlDiffers(table: String): Boolean = (master, slave) match {
+    case (m: JdbcStore, s: JdbcStore) =>
+      SchemaCompare.normalizeDdl(m.fetchCreateTable(table)) !=
+        SchemaCompare.normalizeDdl(s.fetchCreateTable(table))
+    case _ => false
+  }
+
+  /** C5: full copy — drop, recreate from master (`Synchronizer.php:330-354`).
+    * JDBC↔JDBC replays the master's DDL first (S13) so secondary indexes /
+    * keys survive the recopy — Spark's JDBC writer alone would recreate a
+    * bare inferred-type table (`Synchronizer.php:330-341`).
+    */
   def copyTable(table: String): SyncAction = {
-    if (!config.dryRun) slave.overwrite(table, master.read(table))
+    if (!config.dryRun) (master, slave) match {
+      case (m: JdbcStore, s: JdbcStore) =>
+        s.createTableFromDdl(table, m.ddlStatements(table))
+        s.append(table, m.read(table))
+      case _ => slave.overwrite(table, master.read(table))
+    }
     record(CopyTable(table))
   }
 }

@@ -119,6 +119,78 @@ class JdbcStoreSpec extends SparkSpec {
       "MD5(CONCAT_WS('#', COALESCE(CAST(`a` AS CHAR), 'NULL'), COALESCE(CAST(`b` AS CHAR), 'NULL')))")
   }
 
+  private def execAll(url: String, stmts: String*): Unit = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try stmts.foreach(st.execute) finally st.close()
+    } finally c.close()
+  }
+
+  private def indexNames(url: String, table: String): Set[String] = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.getMetaData.getIndexInfo(null, c.getSchema, table, false, false)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (rs.next()) Option(rs.getString("INDEX_NAME")).foreach(out += _)
+      out.toSet
+    } finally c.close()
+  }
+
+  test("DDL fetch: equal structures compare equal; MySQL noise normalizes away") {
+    // Two independently created identical tables → identical synthesized DDL.
+    val (u1, u2) = (mkDb("ddl_a"), mkDb("ddl_b"))
+    val ddl = """CREATE TABLE "t" ("id" BIGINT NOT NULL, "v" VARCHAR(10), PRIMARY KEY ("id"))"""
+    execAll(u1, ddl, """CREATE INDEX "ix_v" ON "t" ("v")""")
+    execAll(u2, ddl, """CREATE INDEX "ix_v" ON "t" ("v")""")
+    val (s1, s2) = (new JdbcStore(spark, u1), new JdbcStore(spark, u2))
+    assert(SchemaCompare.normalizeDdl(s1.fetchCreateTable("t")) ==
+      SchemaCompare.normalizeDdl(s2.fetchCreateTable("t")))
+    // The MySQL-form noise the reference strips (AUTO_INCREMENT counter,
+    // constraint order, Synchronizer.php:196-204 / TableConnection.php:419-455)
+    // also normalizes away on SHOW CREATE TABLE strings.
+    val a = "CREATE TABLE `t` (\n  `id` int,\n  CONSTRAINT `b` FOREIGN KEY (`x`),\n  CONSTRAINT `a` FOREIGN KEY (`y`)\n) ENGINE=InnoDB AUTO_INCREMENT=17 DEFAULT CHARSET=utf8"
+    val b = "CREATE TABLE `t` (\n  `id` int,\n  CONSTRAINT `a` FOREIGN KEY (`y`),\n  CONSTRAINT `b` FOREIGN KEY (`x`)\n) ENGINE=InnoDB AUTO_INCREMENT=99 DEFAULT CHARSET=utf8"
+    assert(SchemaCompare.normalizeDdl(a) == SchemaCompare.normalizeDdl(b))
+  }
+
+  test("index-only divergence triggers recopy and the recopied table keeps its index") {
+    val (mUrl, sUrl) = (mkDb("ddl_idx_m"), mkDb("ddl_idx_s"))
+    val create = """CREATE TABLE "t" ("id" BIGINT NOT NULL, "v" VARCHAR(10), PRIMARY KEY ("id"))"""
+    execAll(mUrl, create, """CREATE INDEX "ix_v" ON "t" ("v")""",
+      """INSERT INTO "t" VALUES (1, 'a'), (2, 'b')""")
+    execAll(sUrl, create, // same columns, same rows — but NO secondary index
+      """INSERT INTO "t" VALUES (1, 'a'), (2, 'b')""")
+    val ms = new JdbcStore(spark, mUrl)
+    val ss = new JdbcStore(spark, sUrl)
+    // StructType cannot see the difference; DDL compare can.
+    assert(SchemaCompare.sameStructure(ms.schemaOf("t"), ss.schemaOf("t")))
+    val engine = new SyncEngine(ms, ss, SyncConfig(primaryKeys = Map("t" -> Seq("id"))))
+    assert(engine.syncTable("t") == SyncAction.CopyTable("t"))
+    assert(indexNames(sUrl, "t").contains("ix_v"), "secondary index lost on recopy")
+    assert(fp(ss.read("t")) == fp(ms.read("t")))
+    assert(engine.syncTable("t") == SyncAction.Skip("t", "already in sync"))
+  }
+
+  test("column-width DDL change triggers recopy invisible to the Spark schema") {
+    val (mUrl, sUrl) = (mkDb("ddl_w_m"), mkDb("ddl_w_s"))
+    execAll(mUrl,
+      """CREATE TABLE "t" ("id" BIGINT NOT NULL, "v" VARCHAR(20), PRIMARY KEY ("id"))""",
+      """INSERT INTO "t" VALUES (1, 'a')""")
+    execAll(sUrl,
+      """CREATE TABLE "t" ("id" BIGINT NOT NULL, "v" VARCHAR(10), PRIMARY KEY ("id"))""",
+      """INSERT INTO "t" VALUES (1, 'a')""")
+    val ms = new JdbcStore(spark, mUrl)
+    val ss = new JdbcStore(spark, sUrl)
+    // both read back as string in Spark — StructType equality holds
+    assert(SchemaCompare.sameStructure(ms.schemaOf("t"), ss.schemaOf("t")))
+    val engine = new SyncEngine(ms, ss, SyncConfig(primaryKeys = Map("t" -> Seq("id"))))
+    assert(engine.syncTable("t") == SyncAction.CopyTable("t"))
+    // recopied slave carries the master's width
+    assert(ss.fetchCreateTable("t").contains("VARCHAR(20)"))
+    assert(engine.syncTable("t") == SyncAction.Skip("t", "already in sync"))
+  }
+
   test("range-partitioned JDBC read returns the same data") {
     val url = mkDb("ranges")
     val plain = new JdbcStore(spark, url)
