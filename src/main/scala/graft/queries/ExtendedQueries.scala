@@ -83,10 +83,20 @@ object ExtendedQueries {
     //      per group vs the exact variant's per-value state; sketches merge
     //      map-side). Approximate → rows-only here; the error bound vs the
     //      exact count is asserted in OpsSpec.
+    // HLL sketched distinct per group, oracle-gated by BOUNDS: the sketch
+    // value itself is engine-specific, but |approx − exact| / exact ≤ 5%
+    // (2.5× the 2% configured rsd) is a deterministic claim both engines
+    // can state — the exact count and the within-bounds flag are compared.
     Q("q_hll_users",
       (s, dir) => Registry.events(s, dir).groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx")),
-      None),
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+          countDistinct(col("user_id")).as("n_users_exact"))
+        .select(col("event_type"), col("n_users_exact"),
+          (abs(col("approx") - col("n_users_exact")).cast("double") /
+            col("n_users_exact").cast("double") <= 0.05).cast("int").as("within_5pct")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+              | 1 AS within_5pct
+              |FROM events GROUP BY event_type""".stripMargin)),
 
     // ---- grouping sets (the general form behind cube/rollup): per
     //      (status, priority), per status, and grand total in ONE pass —
@@ -199,11 +209,25 @@ object ExtendedQueries {
     //      state) — the constant-memory partner to q_percentiles, like HLL
     //      to exact distinct. Approximate → rows-only; error vs the exact
     //      percentile asserted in OpsSpec.
+    // Sketched quantiles, oracle-gated by RANK bounds: percentile_approx at
+    // accuracy 1000 guarantees rank error ≤ 1/1000, so each sketch value
+    // must lie within the exact quantile envelope at p ± 0.01 — a
+    // deterministic all-true claim (the sketch's exact output is not).
     Q("q_approx_percentiles",
-      (s, dir) => T(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(percentile_approx(col("l_quantity"), lit(0.25), lit(1000)).as("q25_approx"),
-          percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("q50_approx"),
-          percentile_approx(col("l_quantity"), lit(0.75), lit(1000)).as("q75_approx")),
-      None)
+      (s, dir) => {
+        def bounded(p: Double, name: String) = Seq(
+          percentile_approx(col("l_quantity"), lit(p), lit(1000)).as(s"${name}_approx"),
+          expr(s"percentile(l_quantity, ${p - 0.01})").as(s"${name}_lo"),
+          expr(s"percentile(l_quantity, ${p + 0.01})").as(s"${name}_hi"))
+        val agg = T(s, dir, "lineitem").groupBy("l_returnflag")
+          .agg(bounded(0.25, "q25").head,
+            (bounded(0.25, "q25").tail ++ bounded(0.5, "q50") ++ bounded(0.75, "q75")): _*)
+        def ok(name: String) =
+          (col(s"${name}_approx") >= col(s"${name}_lo") &&
+            col(s"${name}_approx") <= col(s"${name}_hi")).cast("int").as(s"ok_$name")
+        agg.select(col("l_returnflag"), ok("q25"), ok("q50"), ok("q75"))
+      },
+      Some("""SELECT l_returnflag, 1 AS ok_q25, 1 AS ok_q50, 1 AS ok_q75
+              |FROM lineitem GROUP BY l_returnflag""".stripMargin))
   )
 }

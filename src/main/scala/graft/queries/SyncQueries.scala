@@ -163,6 +163,84 @@ object SyncQueries {
       Some(Registry.duckMultisetFingerprint(
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"), "orders"))),
 
+    // C1: whole-DATABASE sync end to end (`Synchronizer.php:34-102`) — one
+    // fixture exercising every orchestration branch at once: an excess
+    // slave table (dropped), a missing table (copied), a schema-changed
+    // table (recopied), a dirty shared table (row delta), a clean shared
+    // table (fingerprint Skip), and a regex-ignored table (left divergent).
+    // Result = per-table post-sync SLAVE fingerprints; the oracle recomputes
+    // each from the MASTER parquet (and, for the ignored table, from the
+    // same deterministic perturbation SQL) — convergence and the
+    // leave-alone guarantee are both hash-gated.
+    Q("sync_database",
+      (s, dir) => {
+        val natCols = Seq("n_nationkey", "n_name", "n_regionkey")
+        val regCols = Seq("r_regionkey", "r_name")
+        val supCols = Seq("s_suppkey", "s_name", "s_nationkey")
+        val cusCols = Seq("c_custkey", "c_name", "c_nationkey")
+        val nation = T(s, dir, "nation").select(natCols.map(col): _*)
+        val region = T(s, dir, "region").select(regCols.map(col): _*)
+        val supplier = T(s, dir, "supplier").select(supCols.map(col): _*)
+        val customer = T(s, dir, "customer").select(cusCols.map(col): _*)
+
+        val mDir = java.nio.file.Files.createTempDirectory("graft_db_m").toString
+        val sDir = java.nio.file.Files.createTempDirectory("graft_db_s").toString
+        val master = new ParquetStore(s, mDir)
+        val slave = new ParquetStore(s, sDir)
+        master.overwrite("nation", nation)
+        master.overwrite("region", region)
+        master.overwrite("supplier", supplier)
+        master.overwrite("customer", customer)
+        // clean shared → fingerprint Skip
+        slave.overwrite("region", region)
+        // dirty shared → keyed delta (deletes + updates + excess rows)
+        slave.overwrite("nation", nation
+          .filter(col("n_nationkey") % 7 =!= 3)
+          .withColumn("n_name", when(col("n_nationkey") % 5 === 1,
+            concat(col("n_name"), lit("_x"))).otherwise(col("n_name")))
+          .unionByName(nation.orderBy("n_nationkey").limit(2)
+            .withColumn("n_nationkey", col("n_nationkey") + 1000L)))
+        // schema change (dropped column) → full recopy
+        slave.overwrite("customer", customer.drop("c_nationkey"))
+        // supplier missing entirely → copy; scratch_tmp excess → drop
+        slave.overwrite("scratch_tmp", region)
+        // regex-ignored → must stay EXACTLY as planted
+        slave.overwrite("audit_keep", nation.filter(col("n_nationkey") % 2 === 0))
+
+        val engine = new SyncEngine(master, slave, SyncConfig(
+          primaryKeys = Map("nation" -> Seq("n_nationkey")),
+          ignoreTables = Seq("audit_.*".r)))
+        engine.syncDatabase()
+
+        val perTable = Seq(
+          "region" -> regCols, "nation" -> natCols,
+          "supplier" -> supCols, "customer" -> cusCols,
+          "audit_keep" -> natCols)
+        val fps = perTable.map { case (t, cols) =>
+          Hashing.multisetFingerprintAgg(slave.read(t), cols)
+            .withColumn("tbl", lit(t))
+        }.reduce(_ unionByName _)
+        val dropped = s.createDataFrame(Seq(("absent", -1L, "scratch_tmp")))
+          .toDF("fingerprint", "n_rows", "tbl")
+        val present = slave.list().contains("scratch_tmp")
+        fps.unionByName(if (present) dropped.withColumn("fingerprint", lit("STILL_PRESENT"))
+                        else dropped)
+          .select("tbl", "fingerprint", "n_rows")
+      },
+      Some {
+        def one(t: String, cols: Seq[String], from: String) =
+          s"SELECT '$t' AS tbl, * FROM (${Registry.duckMultisetFingerprint(cols, from)})"
+        Seq(
+          one("region", Seq("r_regionkey", "r_name"), "region"),
+          one("nation", Seq("n_nationkey", "n_name", "n_regionkey"), "nation"),
+          one("supplier", Seq("s_suppkey", "s_name", "s_nationkey"), "supplier"),
+          one("customer", Seq("c_custkey", "c_name", "c_nationkey"), "customer"),
+          one("audit_keep", Seq("n_nationkey", "n_name", "n_regionkey"),
+            "(SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey % 2 = 0) aud"),
+          "SELECT 'scratch_tmp' AS tbl, 'absent' AS fingerprint, -1::bigint AS n_rows"
+        ).mkString("\nUNION ALL\n")
+      }),
+
     // Partition-pruned copy-on-write (the C3/C4 cascade over a physical
     // Hive layout): only partitions the delta touches are rewritten —
     // untouched partitions keep their exact files (asserted by mtime in

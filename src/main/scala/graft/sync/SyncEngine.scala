@@ -29,7 +29,16 @@ final case class SyncConfig(
     dryRun: Boolean = false,
     /** Cross-table driver concurrency (C6; reference: process pool = #cores,
       * `Synchronizer.php:73-92`). Spark parallelizes *within* jobs; this only
-      * overlaps small-table jobs to keep the scheduler busy. */
+      * overlaps small-table jobs to keep the scheduler busy.
+      *
+      * Scale note (10k+ tables): per CLEAN table the cascade costs two tiny
+      * fingerprint jobs (the A1 short-circuit), so the bound is driver
+      * round-trips, not data. Raise this toward the driver's core count to
+      * overlap them (each thread holds at most one in-flight Spark job);
+      * catalog-backed stores additionally pay one metastore round-trip per
+      * table, which serializes on an embedded (Derby) metastore — use an
+      * external metastore when table count is the workload.
+      * SyncEngineSpec's 100-table guard pins the orchestration behavior. */
     tableParallelism: Int = 4,
     /** Append every recorded action as a JSON line to this file (S15 — the
       * reference appends each write query to `LOG_QUERY_FILE`,

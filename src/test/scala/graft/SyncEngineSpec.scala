@@ -167,4 +167,30 @@ class SyncEngineSpec extends SparkSpec {
     engine.syncTable("nulls")
     assert(fp(ss.read("nulls")) == fp(ms.read("nulls")))
   }
+
+  test("C1 scale guard: 100 tables complete and audit correctly through the pool") {
+    // The driver-side orchestration cost is what bounds a 10k-table sync:
+    // per CLEAN table the cascade is two tiny fingerprint jobs (the A1
+    // short-circuit), and the pool overlaps them. 100 tables — 90 clean,
+    // 5 dirty, 5 missing — must finish with exactly one audit action each
+    // and converge the dirty/missing ones.
+    val (md, sd, ms, ss) = mkStores("scale100")
+    val names = (0 until 100).map(i => f"t$i%03d")
+    names.foreach(t => write(md, t, custDf))
+    names.drop(5).take(90).foreach(t => write(sd, t, custDf))              // clean
+    names.takeRight(5).foreach(t =>                                        // dirty
+      write(sd, t, custDf.filter($"id" =!= 2L)))
+    val engine = new SyncEngine(ms, ss, SyncConfig(
+      primaryKeys = names.map(_ -> Seq("id")).toMap, tableParallelism = 8))
+    val actions = engine.syncDatabase()
+    assert(actions.length == 100)
+    assert(actions.count(_.isInstanceOf[SyncAction.CopyTable]) == 5)
+    assert(actions.count { case SyncAction.Skip(_, r) => r == "already in sync"; case _ => false } == 90)
+    assert(actions.count(_.isInstanceOf[SyncAction.ApplyDelta]) == 5)
+    assert(ss.list().length == 100)
+    val mfp = fp(ms.read("t000"))
+    (names.take(5) ++ names.takeRight(5)).foreach { t =>
+      assert(fp(ss.read(t)) == mfp, s"table $t did not converge")
+    }
+  }
 }
