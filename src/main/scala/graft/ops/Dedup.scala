@@ -209,6 +209,42 @@ object Dedup {
     } finally { docs.unpersist(); () }
   }
 
+  /** Benchmark DECONTAMINATION: for every (corpus doc, benchmark doc) pair
+    * sharing k-shingles, the fraction of the BENCHMARK doc's shingle set
+    * present in the corpus doc — the n-gram-overlap test-set leak check a
+    * training pipeline runs before releasing data. Pairs at or above
+    * `threshold` are contaminated; join the result back `left_anti` on
+    * `corpus_id` to scrub.
+    *
+    * Same inverted-index shape as [[containmentPairsInverted]] but ACROSS
+    * two frames: shuffle key = shingle hash, work ∝ co-occurring pairs; the
+    * benchmark side is typically tiny (eval sets), so its exploded index
+    * broadcasts and the corpus never reshuffles.
+    */
+  def decontaminationPairs(corpus: DataFrame, bench: DataFrame,
+                           idCol: String, textCol: String,
+                           shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def shingled(df: DataFrame) =
+      Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+        .select(col("id"), array_distinct(graft.functions.VectorExpressions
+          .shingle_hash64(TextAnalysis.tokens(col("__text")), shingleK)).as("sh"))
+        .localCheckpoint(true)
+    val c = shingled(corpus)
+    val b = shingled(bench)
+    try {
+      val ci = c.select(col("id").as("corpus_id"), explode(col("sh")).as("g"))
+      val bi = b.select(col("id").as("bench_id"), size(col("sh")).as("bsz"),
+        explode(col("sh")).as("g"))
+      val pairs = ci.join(broadcast(bi), Seq("g"))
+        .groupBy(col("corpus_id"), col("bench_id"), col("bsz"))
+        .agg(count(lit(1)).as("inter"))
+        .select(col("corpus_id"), col("bench_id"),
+          (col("inter").cast("double") / col("bsz").cast("double")).as("contamination"))
+        .filter(col("contamination") >= threshold)
+      pairs.localCheckpoint(true)
+    } finally { c.unpersist(); b.unpersist(); () }
+  }
+
   /** 64-bit SimHash over tokens: sign of the per-bit weighted sum of token
     * hashes. Hamming-close simhashes ⇒ near-dup texts. Pure expressions.
     */

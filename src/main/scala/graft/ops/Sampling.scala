@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / data mixing: the reweight-by-source primitive a
+  * training-data pipeline uses to compose a corpus (N% web, M% books, …).
+  *
+  * Membership is a pure function of the row id — `md5(id)`'s first 8 hex
+  * digits mod 10⁴ under a per-source rate — so the sample is reproducible
+  * across engines, runs, and cluster layouts (no RNG state, no
+  * `TABLESAMPLE` row-order dependence), and the filter pushes down to the
+  * scan. Zero shuffles.
+  */
+object Sampling {
+
+  /** md5-derived bucket in [0, 10000) — both engines compute the identical
+    * value from the id's decimal string form.
+    */
+  def hashBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"), lit(10000L))
+
+  /** Keep ~`rate` of rows, deterministically by id hash. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.filter(hashBucket(col(idCol)) < math.round(rate * 10000).toInt)
+
+  /** Per-source mixing: keep each row iff its hash bucket clears the
+    * source's rate (`defaultRate` for sources not listed). Rates are a tiny
+    * driver map folded into ONE case expression — no join, no shuffle; the
+    * mixed corpus is a single filtered scan.
+    */
+  def mixSources(df: DataFrame, idCol: String, sourceCol: String,
+                 rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rateCol = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(math.round(defaultRate * 10000).toInt)) { case (acc, (s, r)) =>
+        when(col(sourceCol) === s, lit(math.round(r * 10000).toInt)).otherwise(acc)
+      }
+    df.filter(hashBucket(col(idCol)) < rateCol)
+  }
+}

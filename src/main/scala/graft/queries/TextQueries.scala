@@ -256,6 +256,79 @@ object TextQueries {
                |SELECT source, count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS total_tokens
                |FROM dedup GROUP BY source""".stripMargin)),
 
+    // ---- benchmark decontamination: the n-gram-overlap test-set leak
+    //      check. The "benchmark" is built deterministically as 15-token
+    //      extracts of every 50th document (a leaked eval set by
+    //      construction), so contaminated pairs MUST surface; both engines
+    //      replay the identical extraction + shingle-containment math.
+    Q("pipeline_decontaminate",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val bench = docs
+          .filter(col("doc_id") % 50 === 7)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 15)).as("text"))
+        Dedup.decontaminationPairs(docs, bench, "doc_id", "text",
+            shingleK = 3, threshold = 0.6)
+          .withColumn("contamination", round(col("contamination"), 6))
+      },
+      Some("""WITH words AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |   ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM documents),
+              | c AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+              |   ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS sh
+              |  FROM words),
+              | bw AS (SELECT doc_id + 100000 AS bench_id, w[1:15] AS w FROM words WHERE doc_id % 50 = 7),
+              | b AS (SELECT bench_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+              |   ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS sh
+              |  FROM bw)
+              |SELECT c.doc_id AS corpus_id, b.bench_id,
+              | round(cast(len(list_intersect(b.sh, c.sh)) as double) / cast(len(b.sh) as double), 6) AS contamination
+              |FROM c JOIN b ON len(list_intersect(b.sh, c.sh)) > 0
+              |WHERE cast(len(list_intersect(b.sh, c.sh)) as double) / cast(len(b.sh) as double) >= 0.6""".stripMargin)),
+
+    // ---- sequence packing: concatenate each source's docs (doc_id order)
+    //      into a token stream, chunk at 512 — per-chunk doc counts and
+    //      fill. Every chunk but each shard's tail must fill to exactly 512
+    //      (the oracle checks the values, not just the shape).
+    Q("pipeline_pack_sequences",
+      (s, dir) => {
+        val d = T(s, dir, "documents").select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.ops.Packing.chunkStats(d, "doc_id", "n_tokens",
+          seqLen = 512, shardCol = Some("source"))
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+              |   CASE WHEN length(trim(text)) = 0 THEN 0
+              |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END::bigint AS n
+              |  FROM documents),
+              | o AS (SELECT source, doc_id, n,
+              |   cast(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+              |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS off
+              |  FROM t),
+              | e AS (SELECT source, n, off,
+              |   unnest(range(off // 512, (off + n - 1) // 512 + 1)) AS chunk_id
+              |  FROM o WHERE n > 0)
+              |SELECT source, chunk_id, count(*) AS n_docs,
+              | cast(sum(least(off + n, (chunk_id + 1) * 512) - greatest(off, chunk_id * 512)) as bigint) AS n_tokens
+              |FROM e GROUP BY source, chunk_id""".stripMargin)),
+
+    // ---- deterministic data mixing: per-source keep rates over an
+    //      md5-bucket of doc_id — the reweight-by-source primitive, as one
+    //      pushed-down filter (no RNG, no shuffle, reproducible anywhere).
+    Q("pipeline_mix_sample",
+      (s, dir) => graft.ops.Sampling.mixSources(T(s, dir, "documents"),
+          "doc_id", "source",
+          rates = Map("src0" -> 0.8, "src1" -> 0.2, "src2" -> 0.5),
+          defaultRate = 0.35)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars")),
+      Some("""SELECT source, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS total_chars
+              |FROM (SELECT *, ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000 AS b
+              |      FROM documents)
+              |WHERE b < CASE source WHEN 'src0' THEN 8000 WHEN 'src1' THEN 2000
+              |                      WHEN 'src2' THEN 5000 ELSE 3500 END
+              |GROUP BY source""".stripMargin)),
+
     // ---- the full near-dup dedup pipeline, end to end and EXACT: shingle
     //      jaccard pairs (inverted index) → connected components → keep the
     //      canonical (min-id) doc per cluster → cleaned-corpus stats. The

@@ -249,4 +249,68 @@ class OpsSpec extends SparkSpec {
     assert(lines.head.endsWith(","))
     assert(!lines.last.endsWith(","))
   }
+
+  test("packChunks: exact chunk assignment, spanning docs, full fills") {
+    import graft.ops.Packing
+    // one shard, L=10: docs of 4,4,5,9 tokens → stream offsets 0,4,8,13
+    // doc 3 (5 tokens at offset 8) spans chunks 0 (2 tokens) and 1 (3);
+    // doc 4 (9 at 13) spans chunks 1 (7) and 2 (2).
+    val docs = Seq(("s", 1L, 4L), ("s", 2L, 4L), ("s", 3L, 5L), ("s", 4L, 9L))
+      .toDF("source", "doc_id", "n")
+    val packed = Packing.packChunks(docs, "doc_id", "n", seqLen = 10, Some("source"))
+      .select($"doc_id", $"chunk_id", $"n_tokens_in_chunk").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(packed == Set((1L, 0L, 4L), (2L, 0L, 4L), (3L, 0L, 2L), (3L, 1L, 3L),
+      (4L, 1L, 7L), (4L, 2L, 2L)))
+    val stats = Packing.chunkStats(docs, "doc_id", "n", 10, Some("source"))
+      .orderBy("chunk_id").select($"n_tokens").as[Long].collect()
+    assert(stats.sameElements(Array(10L, 10L, 2L))) // full, full, tail
+  }
+
+  test("packChunks: zero-token docs occupy no chunk and shift nothing") {
+    import graft.ops.Packing
+    val docs = Seq(("s", 1L, 3L), ("s", 2L, 0L), ("s", 3L, 3L)).toDF("source", "doc_id", "n")
+    val packed = Packing.packChunks(docs, "doc_id", "n", seqLen = 4, Some("source"))
+      .select($"doc_id", $"chunk_id", $"n_tokens_in_chunk").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(packed == Set((1L, 0L, 3L), (3L, 0L, 1L), (3L, 1L, 2L)))
+  }
+
+  test("hash sampling: deterministic, monotone in rate, exact at the ends") {
+    import graft.ops.Sampling
+    val df = (1L to 500L).toDF("id")
+    assert(Sampling.hashSample(df, "id", 1.0).count() == 500)
+    assert(Sampling.hashSample(df, "id", 0.0).count() == 0)
+    val k30a = Sampling.hashSample(df, "id", 0.3).select("id").as[Long].collect().toSet
+    val k30b = Sampling.hashSample(df, "id", 0.3).select("id").as[Long].collect().toSet
+    val k60 = Sampling.hashSample(df, "id", 0.6).select("id").as[Long].collect().toSet
+    assert(k30a == k30b)                       // reproducible
+    assert(k30a.subsetOf(k60))                 // nested samples
+    assert(k30a.size > 100 && k30a.size < 200) // ~150 expected
+  }
+
+  test("mixSources applies per-source rates with a default") {
+    import graft.ops.Sampling
+    val df = (1L to 300L).map(i => (i, s"src${i % 3}")).toDF("id", "source")
+    val mixed = Sampling.mixSources(df, "id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+    val bySrc = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src0") == 100)
+    assert(!bySrc.contains("src1"))
+    assert(bySrc("src2") > 20 && bySrc("src2") < 80)
+  }
+
+  test("decontaminationPairs finds a planted benchmark extract") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val bench = Seq(
+      (101L, "gamma delta epsilon zeta eta"),   // contained in doc 1
+      (102L, "totally unrelated words here now")).toDF("doc_id", "text")
+    val pairs = Dedup.decontaminationPairs(corpus, bench, "doc_id", "text",
+        shingleK = 3, threshold = 0.6)
+      .select($"corpus_id", $"bench_id", $"contamination").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(pairs == Set((1L, 101L, 1.0)))
+  }
 }
