@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDot, MinHashSig, ShingleHash64}
+import graft.functions.{ArrayDot, MinHashSig, ShingleHash64, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -49,6 +49,17 @@ object GraftExtensions {
             s"shingle_hash64 k must be an integer literal, got $other")
         }
         ShingleHash64(args.head, k)
+      }),
+    (FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "topk_by_score(score, id, k) takes exactly 3 arguments")
+        val k = args(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_by_score k must be an integer literal, got $other")
+        }
+        TopKByScore(args.head, args(1), k)
       }))
 
   /** Register the functions on an already-running session. */
