@@ -24,13 +24,30 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        val df = fn(spark, sfDir)
+        df.count()
+        // Drop whatever the query materialized (checkpoints/caches) so one
+        // query's storage blocks never tax the queries after it.
+        graft.ops.Caching.release(df)
+      } catch { case _: Throwable => () }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // One line per query as it completes: the driver's byte-limited tail
+      // capture truncated the single all-queries JSON line in round 3.
+      println(f"""{"query":"$name","sec":$sec%.3f}""")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces: persist the full results line to a file the repo
+    // keeps, so no number is ever lost to stdout capture.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), line + "\n")
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -61,11 +61,11 @@ object Cluster {
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist()
+      Caching.release(labels) // Dataset.unpersist is a no-op on checkpoints
       labels = next
       iter += 1
     }
-    adj.unpersist()
+    Caching.release(adj)
     labels
   }
 

@@ -178,9 +178,10 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
       // Materialize the (small) pair list eagerly so the corpus-sized
       // shingle checkpoint can be released before returning (same owner-
-      // releases-cache contract as minhashNearDups).
+      // releases-cache contract as minhashNearDups). Callers release the
+      // returned frame with Caching.release once consumed.
       pairs.localCheckpoint(true)
-    } finally { docs.unpersist(); () }
+    } finally Caching.release(docs)
   }
 
   /** Whole-corpus EXACT containment pairs (overlap coefficient
@@ -206,7 +207,7 @@ object Dedup {
           (col("inter").cast("double") / col("sz_a").cast("double")).as("containment"))
         .filter(col("containment") >= threshold)
       pairs.localCheckpoint(true)
-    } finally { docs.unpersist(); () }
+    } finally Caching.release(docs)
   }
 
   /** Benchmark DECONTAMINATION: for every (corpus doc, benchmark doc) pair
@@ -242,7 +243,7 @@ object Dedup {
           (col("inter").cast("double") / col("bsz").cast("double")).as("contamination"))
         .filter(col("contamination") >= threshold)
       pairs.localCheckpoint(true)
-    } finally { c.unpersist(); b.unpersist(); () }
+    } finally { Caching.release(c); Caching.release(b) }
   }
 
   /** 64-bit SimHash over tokens: sign of the per-bit weighted sum of token

@@ -29,13 +29,16 @@ object SyncQueries {
     */
   private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Build the shared perturbed-slave base outside any timed query (Bench
-    * warmup): the first sync query otherwise pays the one-time fixture write
-    * and its number stops measuring the engine.
+  /** Build every shared fixture outside any timed query (Bench warmup): the
+    * sync queries otherwise pay one-time fixture writes and their numbers
+    * stop measuring the engine.
     */
   def prestage(s: SparkSession, dir: String): Unit = {
     makeSlaveDir(s, dir, "warm")
     ensureCatalogMasters(s, dir)
+    ensureDbFixture(s, dir)
+    restoreCatalogSlave(s, dir, bucketed = true)
+    restoreCatalogSlave(s, dir, bucketed = false)
     ()
   }
 
@@ -84,6 +87,112 @@ object SyncQueries {
       val dest = to.resolve(from.relativize(p))
       if (Files.isDirectory(p)) { if (!Files.exists(dest)) { Files.createDirectories(dest); () } }
       else { Files.copy(p, dest); () }
+    }
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+
+  /** The whole-database fixture: an immutable MASTER parquet dir (staged
+    * once per source dir) and a pristine SLAVE base dir holding every
+    * orchestration branch's starting state — file-copied per run, so the
+    * timed body measures syncing, not the nine fixture writes it used to
+    * include.
+    */
+  private val dbStaged = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private[queries] val dbNatCols = Seq("n_nationkey", "n_name", "n_regionkey")
+  private[queries] val dbRegCols = Seq("r_regionkey", "r_name")
+  private[queries] val dbSupCols = Seq("s_suppkey", "s_name", "s_nationkey")
+  private[queries] val dbCusCols = Seq("c_custkey", "c_name", "c_nationkey")
+
+  private[queries] def ensureDbFixture(s: SparkSession, dir: String): (String, String) =
+    dbStaged.getOrElseUpdate(dir, {
+      val nation = T(s, dir, "nation").select(dbNatCols.map(col): _*)
+      val region = T(s, dir, "region").select(dbRegCols.map(col): _*)
+      val supplier = T(s, dir, "supplier").select(dbSupCols.map(col): _*)
+      val customer = T(s, dir, "customer").select(dbCusCols.map(col): _*)
+      val mDir = java.nio.file.Files.createTempDirectory("graft_db_m").toString
+      val bDir = java.nio.file.Files.createTempDirectory("graft_db_base").toString
+      val master = new ParquetStore(s, mDir)
+      val slaveBase = new ParquetStore(s, bDir)
+      master.overwrite("nation", nation)
+      master.overwrite("region", region)
+      master.overwrite("supplier", supplier)
+      master.overwrite("customer", customer)
+      // clean shared → fingerprint Skip
+      slaveBase.overwrite("region", region)
+      // dirty shared → keyed delta (deletes + updates + excess rows)
+      slaveBase.overwrite("nation", nation
+        .filter(col("n_nationkey") % 7 =!= 3)
+        .withColumn("n_name", when(col("n_nationkey") % 5 === 1,
+          concat(col("n_name"), lit("_x"))).otherwise(col("n_name")))
+        .unionByName(nation.orderBy("n_nationkey").limit(2)
+          .withColumn("n_nationkey", col("n_nationkey") + 1000L)))
+      // schema change (dropped column) → full recopy
+      slaveBase.overwrite("customer", customer.drop("c_nationkey"))
+      // supplier missing entirely → copy; scratch_tmp excess → drop
+      slaveBase.overwrite("scratch_tmp", region)
+      // regex-ignored → must stay EXACTLY as planted
+      slaveBase.overwrite("audit_keep", nation.filter(col("n_nationkey") % 2 === 0))
+      (mDir, bDir)
+    })
+
+  /** Restore the perturbed CATALOG slave (bucketed or partitioned) to its
+    * pristine pre-sync state: first call creates the table and snapshots its
+    * warehouse directory; later calls swap the files back and re-register
+    * partitions — a ~0.1 s file copy instead of a full `saveAsTable`
+    * (the in-body slave staging was the dominant cost of the pruned/bucketed
+    * sync timings, drowning the engine work they exist to measure).
+    */
+  private val catalogSlaveStaged = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[queries] def restoreCatalogSlave(s: SparkSession, dir: String,
+                                           bucketed: Boolean): Unit = {
+    val table = if (bucketed) "graft_bks_orders" else "graft_pts_orders"
+    val warehouse = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table).toUri.getPath
+    val key = s"$dir/$table"
+    catalogSlaveStaged.get(key) match {
+      case Some(pristine) if s.catalog.tableExists(table) =>
+        rmTree(java.nio.file.Paths.get(warehouse))
+        copyDir(java.nio.file.Paths.get(pristine), java.nio.file.Paths.get(warehouse))
+        // The previous sync dropped/rewrote partitions — re-register from
+        // the restored layout (4 partitions: a cheap directory walk).
+        if (!bucketed) s.sql(s"MSCK REPAIR TABLE $table")
+        s.sql(s"REFRESH TABLE $table")
+        ()
+      case _ =>
+        val orders = T(s, dir, "orders").select(ordersCols.map(col): _*)
+        val perturbed =
+          if (bucketed) orders
+            .filter(col("o_orderkey") % 5 =!= 0)
+            .withColumn("o_totalprice", when(col("o_orderkey") % 7 === 0,
+              col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+            .unionByName(orders.orderBy("o_orderkey").limit(2)
+              .withColumn("o_orderkey", col("o_orderkey") + 900000L))
+          else orders
+            .filter(!(col("o_orderstatus") === "O" && col("o_orderkey") % 5 === 0))
+            .withColumn("o_totalprice", when(
+              col("o_orderstatus") === "O" && col("o_orderkey") % 7 === 0,
+              col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+            .unionByName(orders.orderBy("o_orderkey").limit(2)
+              .withColumn("o_orderstatus", lit("X"))
+              .withColumn("o_orderkey", col("o_orderkey") + 900000L))
+        if (bucketed)
+          new BucketedStore(s, "graft_bks", Map("orders" -> Seq("o_orderkey")),
+            numBuckets = 8).overwrite("orders", perturbed)
+        else
+          new PartitionedStore(s, "graft_pts", Map("orders" -> "o_orderstatus"))
+            .overwrite("orders", perturbed)
+        val snap = java.nio.file.Files.createTempDirectory(s"graft_snap_$table")
+        copyDir(java.nio.file.Paths.get(warehouse), snap)
+        catalogSlaveStaged.put(key, snap.toString)
+        ()
     }
   }
 
@@ -145,16 +254,10 @@ object SyncQueries {
       (s, dir) => {
         val cols = ordersCols
         val keys = Map("orders" -> Seq("o_orderkey"))
-        val orders = T(s, dir, "orders").select(cols.map(col): _*)
         ensureCatalogMasters(s, dir)
+        restoreCatalogSlave(s, dir, bucketed = true)
         val master = new BucketedStore(s, "graft_bkm", keys, numBuckets = 8)
         val slave = new BucketedStore(s, "graft_bks", keys, numBuckets = 8)
-        slave.overwrite("orders", orders
-          .filter(col("o_orderkey") % 5 =!= 0)
-          .withColumn("o_totalprice", when(col("o_orderkey") % 7 === 0,
-            col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
-          .unionByName(orders.orderBy("o_orderkey").limit(2)
-            .withColumn("o_orderkey", col("o_orderkey") + 900000L)))
         val engine = new SyncEngine(master, slave,
           SyncConfig(primaryKeys = keys, keyAwareDiff = true))
         engine.syncTable("orders")
@@ -174,38 +277,18 @@ object SyncQueries {
     // leave-alone guarantee are both hash-gated.
     Q("sync_database",
       (s, dir) => {
-        val natCols = Seq("n_nationkey", "n_name", "n_regionkey")
-        val regCols = Seq("r_regionkey", "r_name")
-        val supCols = Seq("s_suppkey", "s_name", "s_nationkey")
-        val cusCols = Seq("c_custkey", "c_name", "c_nationkey")
-        val nation = T(s, dir, "nation").select(natCols.map(col): _*)
-        val region = T(s, dir, "region").select(regCols.map(col): _*)
-        val supplier = T(s, dir, "supplier").select(supCols.map(col): _*)
-        val customer = T(s, dir, "customer").select(cusCols.map(col): _*)
-
-        val mDir = java.nio.file.Files.createTempDirectory("graft_db_m").toString
-        val sDir = java.nio.file.Files.createTempDirectory("graft_db_s").toString
+        val natCols = dbNatCols
+        val regCols = dbRegCols
+        val supCols = dbSupCols
+        val cusCols = dbCusCols
+        // Fixture staging (4 master + 5 slave writes) happens ONCE outside
+        // the timed body; each run file-copies the pristine slave base
+        // (~0.1 s) so this number measures the sync, not fixture writes.
+        val (mDir, slaveBase) = ensureDbFixture(s, dir)
+        val sDir = java.nio.file.Files.createTempDirectory("graft_db_s")
+        copyDir(java.nio.file.Paths.get(slaveBase), sDir)
         val master = new ParquetStore(s, mDir)
-        val slave = new ParquetStore(s, sDir)
-        master.overwrite("nation", nation)
-        master.overwrite("region", region)
-        master.overwrite("supplier", supplier)
-        master.overwrite("customer", customer)
-        // clean shared → fingerprint Skip
-        slave.overwrite("region", region)
-        // dirty shared → keyed delta (deletes + updates + excess rows)
-        slave.overwrite("nation", nation
-          .filter(col("n_nationkey") % 7 =!= 3)
-          .withColumn("n_name", when(col("n_nationkey") % 5 === 1,
-            concat(col("n_name"), lit("_x"))).otherwise(col("n_name")))
-          .unionByName(nation.orderBy("n_nationkey").limit(2)
-            .withColumn("n_nationkey", col("n_nationkey") + 1000L)))
-        // schema change (dropped column) → full recopy
-        slave.overwrite("customer", customer.drop("c_nationkey"))
-        // supplier missing entirely → copy; scratch_tmp excess → drop
-        slave.overwrite("scratch_tmp", region)
-        // regex-ignored → must stay EXACTLY as planted
-        slave.overwrite("audit_keep", nation.filter(col("n_nationkey") % 2 === 0))
+        val slave = new ParquetStore(s, sDir.toString)
 
         val engine = new SyncEngine(master, slave, SyncConfig(
           primaryKeys = Map("nation" -> Seq("n_nationkey")),
@@ -251,18 +334,10 @@ object SyncQueries {
       (s, dir) => {
         val cols = ordersCols
         val pcs = Map("orders" -> "o_orderstatus")
-        val orders = T(s, dir, "orders").select(cols.map(col): _*)
         ensureCatalogMasters(s, dir)
+        restoreCatalogSlave(s, dir, bucketed = false)
         val master = new PartitionedStore(s, "graft_ptm", pcs)
         val slave = new PartitionedStore(s, "graft_pts", pcs)
-        slave.overwrite("orders", orders
-          .filter(!(col("o_orderstatus") === "O" && col("o_orderkey") % 5 === 0))
-          .withColumn("o_totalprice", when(
-            col("o_orderstatus") === "O" && col("o_orderkey") % 7 === 0,
-            col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
-          .unionByName(orders.orderBy("o_orderkey").limit(2)
-            .withColumn("o_orderstatus", lit("X"))
-            .withColumn("o_orderkey", col("o_orderkey") + 900000L)))
         val engine = new SyncEngine(master, slave, SyncConfig(
           primaryKeys = Map("orders" -> Seq("o_orderkey")),
           partitionedTables = pcs, keyAwareDiff = true))

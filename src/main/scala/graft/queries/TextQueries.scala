@@ -226,24 +226,48 @@ object TextQueries {
     Q("pipeline_clean_corpus",
       (s, dir) => {
         val d = graft.ops.Par.fanOut(T(s, dir, "documents"))
-        // Score ONCE into materialized columns (eager localCheckpoint):
-        // the language/quality scorers are interpreted higher-order
-        // expressions that CollapseProject would otherwise inline into
-        // every downstream reference (lang_pred alone reads each score
-        // twice, and the dedup semi-join re-reads the whole frame) —
-        // measured 2.5× on the bench corpus.
-        val scores = langScores(col("text"))
-        val base = d.select(col("doc_id") +: col("source") +: col("text") +:
-            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens") +:
-            TextAnalysis.qualityScore(col("text")).as("q") +:
-            scores.map { case (l, sc) => sc.as(s"__s_$l") }: _*)
+        // Score ONCE into a materialized stats struct (eager localCheckpoint
+        // so the dedup self-join and every derived column read materialized
+        // values): all per-row statistics come from the single compiled
+        // TokenTextStats pass — the interpreted per-language HOF filters it
+        // replaces dominated this query (14.8 s at sf0.1).
+        val langs = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
+        val base = d.select(col("doc_id"), col("source"), col("text"),
+            graft.functions.TextExpressions.token_text_stats(col("text"),
+              langs, TextAnalysis.EnglishStopwords).as("__st"))
           .localCheckpoint(true)
-        val pred = langPred(scores.map { case (l, _) => l -> col(s"__s_$l") })
-        val kept = base.withColumn("lang_pred", pred)
-          .filter(col("q") >= 0.5 && col("lang_pred") === "en")
-        Dedup.dedupExact(kept, "doc_id", Seq("text"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        try {
+          // Rebuild q / lang_pred from the materialized counts with the
+          // SAME double operation tree as TextAnalysis.qualityScore /
+          // langPred — bit-identical to the oracle's replay.
+          val st = col("__st")
+          val nChars = st.getField("n_chars")
+          val nToks = st.getField("n_tokens")
+          val swHit = when(nToks === 0, lit(0.0))
+            .otherwise(st.getField("stop_hits").cast("double") / nToks.cast("double"))
+          val punctR = when(nChars === 0, lit(0.0))
+            .otherwise(st.getField("punct_chars").cast("double") / nChars.cast("double"))
+          val q = greatest(lit(0.0),
+            least(nChars.cast("double") / 500.0, lit(1.0)) * 0.4 +
+              least(swHit * 4.0, lit(1.0)) * 0.4 + lit(0.2) -
+              least(punctR * 2.0, lit(0.2)))
+          val scores = langs.zipWithIndex.map { case ((l, _), i) =>
+            l -> element_at(st.getField("lang_hits"), i + 1)
+          }
+          val kept = base
+            .withColumn("n_tokens", nToks.cast("long"))
+            .withColumn("q", q)
+            .withColumn("lang_pred", langPred(scores))
+            .filter(col("q") >= 0.5 && col("lang_pred") === "en")
+          // Materialize the tiny per-source aggregate eagerly so the
+          // corpus-sized stats checkpoint can be released before returning
+          // (unreleased, its blocks pinned executor memory for the rest of
+          // the session — a measured whole-bench slowdown).
+          Dedup.dedupExact(kept, "doc_id", Seq("text"))
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+            .localCheckpoint(true)
+        } finally graft.ops.Caching.release(base)
       },
       Some(s"""WITH scored AS (SELECT doc_id, source, text,
                |   CASE WHEN length(trim(text)) = 0 THEN 0

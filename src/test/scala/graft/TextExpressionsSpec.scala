@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.TextExpressions
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** TokenTextStats must be value-identical to the higher-order expression
+  * tree it replaced (the clean-corpus oracle replays that tree in DuckDB).
+  */
+class TextExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val langs = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
+
+  private def compare(df: org.apache.spark.sql.DataFrame): Unit = {
+    val toksLower = TextAnalysis.tokens(lower(col("text")))
+    val hofScores = langs.map { case (l, ws) =>
+      val sw = array(ws.map(lit): _*)
+      size(filter(toksLower, t => array_contains(sw, t))).as(s"hof_$l")
+    }
+    val st = TextExpressions.token_text_stats(col("text"), langs,
+      TextAnalysis.EnglishStopwords).as("st")
+    val both = df.select(Seq(col("text"), st,
+      length(col("text")).as("hof_chars"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[\\p{Punct}]", "")))
+        .as("hof_punct"),
+      TextAnalysis.tokenCount(col("text")).as("hof_toks"),
+      size(filter(toksLower,
+        t => array_contains(array(TextAnalysis.EnglishStopwords.map(lit): _*), t)))
+        .as("hof_stop")) ++ hofScores: _*)
+    both.collect().foreach { r =>
+      val s = r.getStruct(r.fieldIndex("st"))
+      val tag = r.getString(0).take(40)
+      assert(s.getInt(0) == r.getAs[Int]("hof_chars"), s"n_chars [$tag]")
+      assert(s.getInt(1) == r.getAs[Int]("hof_punct"), s"punct [$tag]")
+      assert(s.getInt(2) == r.getAs[Int]("hof_toks"), s"n_tokens [$tag]")
+      assert(s.getInt(3) == r.getAs[Int]("hof_stop"), s"stop [$tag]")
+      val hits = s.getSeq[Int](4)
+      langs.zipWithIndex.foreach { case ((l, _), i) =>
+        assert(hits(i) == r.getAs[Int](s"hof_$l"), s"lang $l [$tag]")
+      }
+    }
+  }
+
+  test("token_text_stats matches the HOF tree on edge cases") {
+    compare(Seq(
+      "", " ", "   ", "the quick brown fox and the dog",
+      "THE And OF", "der die das und ist", "  leading and trailing  ",
+      "tabs\tand\nnewlines the", "punct!!! ...and, (more); the?",
+      "a", "the", "不 是 的 人", "mixed 的 the und le el",
+      "éàü unicode tokens the", "double  spaces   the").toDF("text"))
+  }
+
+  test("token_text_stats matches the HOF tree on the sf0.001 corpus") {
+    compare(spark.read.parquet(s"$sf001/documents.parquet").select("text"))
+  }
+}
