@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   * The Spark-side shape is real — schemas, partition sizing, per-partition
   * batched decode via `mapPartitions` (the Scala analog of `mapInPandas`:
   * one iterator per partition, decoder amortized across the batch). The
-  * actual codec is STUBBED behind [[MediaDecoder]] with a deterministic fake
-  * (image/audio libraries are not available in this environment); swapping in
-  * a real decoder changes no plan shape, no schema, no partitioning.
+  * default [[PixelStatsDecoder]] is a REAL decoder for the uncompressed
+  * public formats PPM (P6) and BMP (24-bit uncompressed) — header parse +
+  * per-channel pixel statistics, no external codec libraries; a production
+  * deployment swaps in javax.imageio/ffmpeg behind the same [[MediaDecoder]]
+  * trait with no change to plan shape, schema, or partitioning.
   */
 object Multimodal {
 
@@ -31,32 +33,119 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
 
-  /** Pluggable decoder boundary. A real implementation wraps javax.imageio /
-    * ffmpeg; the default is a deterministic fake so plumbing is testable.
+  /** Pluggable decoder boundary. The default [[PixelStatsDecoder]] reads
+    * real PPM/BMP payloads; a production implementation wraps
+    * javax.imageio / ffmpeg for the compressed formats.
     */
   trait MediaDecoder extends Serializable {
-    /** bytes → (width, height, embedding). */
-    def decodeImage(bytes: Array[Byte], embeddingDim: Int): (Int, Int, Array[Float])
+    /** bytes → (width, height, embedding); None when the payload is not a
+      * format this decoder reads (callers drop or route such rows).
+      */
+    def decodeImage(bytes: Array[Byte], embeddingDim: Int): Option[(Int, Int, Array[Float])]
   }
 
-  /** Deterministic fake: dimensions and embedding are splitmix64-mixed
-    * functions of the payload bytes — stable across runs and engines.
+  /** Real decoder for the two classic UNCOMPRESSED public image formats:
+    *
+    *  - PPM "P6" (netpbm): ASCII header `P6 <w> <h> <maxval>` (whitespace-
+    *    separated, `#` comments allowed) + one whitespace byte, then
+    *    `w*h*3` raw RGB bytes (maxval ≤ 255 supported).
+    *  - BMP, 24-bit uncompressed (BITMAPINFOHEADER): little-endian header,
+    *    bottom-up BGR rows padded to 4-byte boundaries.
+    *
+    * The "embedding" is the per-channel pixel-statistics vector
+    * `[r_sum, g_sum, b_sum, min, max, n_pixels, first, last]` (cycled or
+    * zero-padded to `embeddingDim`) — every slot an exact small integer, so
+    * features are bit-stable across engines and oracle-checkable.
     */
-  object DeterministicFakeDecoder extends MediaDecoder {
-    private def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
+  object PixelStatsDecoder extends MediaDecoder {
+
+    override def decodeImage(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
+      parse(bytes).map { case (w, h, px) =>
+        var r = 0L; var g = 0L; var b = 0L
+        var mn = 256; var mx = -1
+        var i = 0
+        while (i < px.length) {
+          val v = px(i) & 0xFF
+          (i % 3: @annotation.switch) match {
+            case 0 => r += v
+            case 1 => g += v
+            case 2 => b += v
+          }
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        val n = px.length / 3
+        val stats = Array[Float](r.toFloat, g.toFloat, b.toFloat,
+          (if (n == 0) 0 else mn).toFloat, (if (n == 0) 0 else mx).toFloat,
+          n.toFloat,
+          (if (px.length == 0) 0 else px(0) & 0xFF).toFloat,
+          (if (px.length == 0) 0 else px(px.length - 1) & 0xFF).toFloat)
+        (w, h, Array.tabulate(dim)(i => if (i < stats.length) stats(i) else 0f))
+      }
+
+    /** (width, height, top-down RGB pixel bytes) or None if unreadable. */
+    private def parse(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') parsePpm(bytes)
+      else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') parseBmp(bytes)
+      else None
+
+    private def parsePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      var pos = 2
+      def nextInt(): Int = {
+        // skip whitespace and '#'-to-EOL comments
+        var done = false
+        while (!done && pos < bytes.length) {
+          val c = bytes(pos)
+          if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+          else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == 0x0B || c == '\f') pos += 1
+          else done = true
+        }
+        var v = 0
+        var any = false
+        while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+          v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+        }
+        if (any) v else -1
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      pos += 1 // the single whitespace byte after maxval
+      val n = w.toLong * h * 3
+      if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255 ||
+          pos + n > bytes.length) None
+      else Some((w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + n.toInt)))
     }
-    override def decodeImage(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
-      var h = 0x100000001b3L
-      var i = 0
-      while (i < bytes.length) { h = mix(h ^ bytes(i)); i += 1 }
-      val w = 64 + (mix(h) & 0x3FF).toInt          // 64..1087 px
-      val ht = 64 + (mix(h + 1) & 0x3FF).toInt
-      val emb = Array.tabulate(dim)(d => (mix(h + 2 + d).toFloat / Long.MaxValue.toFloat))
-      (w, ht, emb)
+
+    private def parseBmp(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      def le32(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+        ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+      def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      if (bytes.length < 54) return None
+      val dataOff = le32(10)
+      val w = le32(18)
+      val hRaw = le32(22)
+      val bpp = le16(28)
+      val compression = le32(30)
+      if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0) return None
+      val h = math.abs(hRaw)
+      val bottomUp = hRaw > 0
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (dataOff.toLong + stride.toLong * h > bytes.length) return None
+      val out = new Array[Byte](w * h * 3)
+      var row = 0
+      while (row < h) {
+        val src = dataOff + (if (bottomUp) (h - 1 - row) else row) * stride
+        var x = 0
+        while (x < w) {
+          // BGR on disk → RGB out
+          out((row * w + x) * 3) = bytes(src + x * 3 + 2)
+          out((row * w + x) * 3 + 1) = bytes(src + x * 3 + 1)
+          out((row * w + x) * 3 + 2) = bytes(src + x * 3)
+          x += 1
+        }
+        row += 1
+      }
+      Some((w, h, out))
     }
   }
 
@@ -80,7 +169,7 @@ object Multimodal {
     */
   def extractImageFeatures(df: DataFrame, idCol: String, bytesCol: String,
                            embeddingDim: Int = 16,
-                           decoder: MediaDecoder = DeterministicFakeDecoder,
+                           decoder: MediaDecoder = PixelStatsDecoder,
                            targetPartitionBytes: Long = 256L << 20): DataFrame = {
     val spark = df.sparkSession
     val totalBytes = df.agg(sum(octet_length(col(bytesCol)))).head().getLong(0)
@@ -89,10 +178,12 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(imageFeatureSchema)
     slim.mapPartitions { it =>
       // One decoder per partition — amortized init, batch-shaped like
-      // mapInPandas batches.
-      it.map { r =>
-        val (w, h, emb) = decoder.decodeImage(r.getAs[Array[Byte]](1), embeddingDim)
-        Row(r.getLong(0), w, h, emb.toSeq)
+      // mapInPandas batches. Undecodable payloads are dropped (flatMap) —
+      // route them to a quarantine sink in a real pipeline.
+      it.flatMap { r =>
+        decoder.decodeImage(r.getAs[Array[Byte]](1), embeddingDim).map {
+          case (w, h, emb) => Row(r.getLong(0), w, h, emb.toSeq)
+        }
       }
     }(enc).toDF()
   }

@@ -57,9 +57,14 @@ object Similarity {
     * cut). Falls back to the window when the id column is not bigint (the
     * heap stores primitive longs).
     */
-  private def finishTopK(scored: DataFrame, k: Int,
+  private def finishTopK(scored0: DataFrame, k: Int,
                          qIdCol: String, cIdCol: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
+    // Null sim/id rows are dropped in BOTH branches (the heap skips them
+    // silently; the window would rank null sims NULLS LAST) — filtering
+    // up front keeps the fast path and the fallback row-identical for
+    // groups with fewer than k non-null candidates.
+    val scored = scored0.filter(col("sim").isNotNull && col(cIdCol).isNotNull)
     if (scored.schema(cIdCol).dataType == LongType) {
       scored.groupBy(qIdCol)
         .agg(graft.functions.VectorExpressions

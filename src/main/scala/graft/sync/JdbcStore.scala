@@ -43,6 +43,11 @@ final class JdbcStore(val spark: SparkSession, url: String,
 
   private def q(ident: String): String = quoteChar + ident + quoteChar
 
+  /** JDBC subprotocol ("mysql", "derby", …) — gates whether two stores can
+    * compare server-rendered DDL directly or must both synthesize.
+    */
+  private[sync] def dialect: String = url.split(":").lift(1).getOrElse("")
+
   private def withConnection[T](f: Connection => T): T = {
     val c = user match {
       case Some((u, pw)) => DriverManager.getConnection(url, u, pw)
@@ -56,10 +61,14 @@ final class JdbcStore(val spark: SparkSession, url: String,
   }
 
   /** S1: catalog scan via metadata (reference SHOW TABLES,
-    * `DatabaseConnection.php:48-64`).
+    * `DatabaseConnection.php:48-64`). All metadata lookups pass the
+    * connection's (catalog, schema) pair: drivers with catalog-based
+    * namespaces (MySQL Connector/J) return null from `getSchema`, and a
+    * (null, null) pattern would match same-named tables in OTHER databases,
+    * corrupting synthesized DDL and replay statements.
     */
   override def list(): Seq[String] = withConnection { c =>
-    val rs = c.getMetaData.getTables(null, c.getSchema, "%", Array("TABLE"))
+    val rs = c.getMetaData.getTables(c.getCatalog, c.getSchema, "%", Array("TABLE"))
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     while (rs.next()) out += rs.getString("TABLE_NAME")
     out.sorted.toSeq
@@ -69,7 +78,7 @@ final class JdbcStore(val spark: SparkSession, url: String,
     * `Key_name = "PRIMARY"` filter, `TableConnection.php:635-656`).
     */
   def primaryKeyOf(table: String): Seq[String] = withConnection { c =>
-    val rs = c.getMetaData.getPrimaryKeys(null, c.getSchema, table)
+    val rs = c.getMetaData.getPrimaryKeys(c.getCatalog, c.getSchema, table)
     val cols = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
     while (rs.next()) cols += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
     cols.sortBy(_._1).map(_._2).toSeq
@@ -134,7 +143,7 @@ final class JdbcStore(val spark: SparkSession, url: String,
                              digits: Int, nullable: Boolean, autoInc: Boolean)
 
   private def columnsOf(c: Connection, table: String): Seq[ColMeta] = {
-    val rs = c.getMetaData.getColumns(null, c.getSchema, table, "%")
+    val rs = c.getMetaData.getColumns(c.getCatalog, c.getSchema, table, "%")
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, ColMeta)]
     while (rs.next()) out += ((rs.getInt("ORDINAL_POSITION"), ColMeta(
       rs.getString("COLUMN_NAME"), rs.getString("TYPE_NAME"),
@@ -149,7 +158,7 @@ final class JdbcStore(val spark: SparkSession, url: String,
     */
   private def indexesOf(c: Connection, table: String,
                         pk: Seq[String]): Seq[(String, Boolean, Seq[String])] = {
-    val rs = c.getMetaData.getIndexInfo(null, c.getSchema, table, false, false)
+    val rs = c.getMetaData.getIndexInfo(c.getCatalog, c.getSchema, table, false, false)
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, Short, String)]
     while (rs.next()) {
       val name = rs.getString("INDEX_NAME")
@@ -173,15 +182,18 @@ final class JdbcStore(val spark: SparkSession, url: String,
   }
 
   /** The table's CREATE DDL for structural comparison. MySQL: the server's
-    * own `SHOW CREATE TABLE` (byte-exact reference parity). Elsewhere: a
+    * own `SHOW CREATE TABLE` (byte-exact reference parity). Elsewhere — or
+    * when `forceSynthesized` (a mixed-dialect pair must synthesize BOTH
+    * sides; server output vs a synthesis never normalizes equal): a
     * canonical synthesis from JDBC metadata — columns in ordinal order, PK,
     * and secondary indexes as `CONSTRAINT` lines, so
     * [[SchemaCompare.normalizeDdl]] applies to both forms. Two tables built
     * the same way compare equal; an index-only divergence (invisible to
     * `StructType`) does not.
     */
-  def fetchCreateTable(table: String): String = withConnection { c =>
-    if (url.startsWith("jdbc:mysql:")) {
+  def fetchCreateTable(table: String, forceSynthesized: Boolean = false): String =
+    withConnection { c =>
+    if (!forceSynthesized && url.startsWith("jdbc:mysql:")) {
       val st = c.createStatement()
       try {
         val rs = st.executeQuery(s"SHOW CREATE TABLE ${q(table)}")
@@ -205,7 +217,7 @@ final class JdbcStore(val spark: SparkSession, url: String,
   }
 
   private def primaryKeyOfConn(c: Connection, table: String): Seq[String] = {
-    val rs = c.getMetaData.getPrimaryKeys(null, c.getSchema, table)
+    val rs = c.getMetaData.getPrimaryKeys(c.getCatalog, c.getSchema, table)
     val cols = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
     while (rs.next()) cols += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
     cols.sortBy(_._1).map(_._2).toSeq
@@ -215,13 +227,22 @@ final class JdbcStore(val spark: SparkSession, url: String,
     * (columns + PK) followed by one CREATE INDEX per secondary index — in
     * portable SQL a same-engine slave accepts (the reference replays the
     * master's DDL verbatim, MySQL→MySQL; this is the dialect-neutral form).
+    * Identity columns replay as the target dialect's identity clause:
+    * dropping the attribute would both lose identity semantics AND leave
+    * the replayed table's synthesized DDL (`IS_AUTOINCREMENT = NO`) forever
+    * unequal to the master's — every subsequent sync would recopy.
     */
   def ddlStatements(table: String): Seq[String] = withConnection { c =>
     val cols = columnsOf(c, table)
     val pk = primaryKeyOfConn(c, table)
     val idx = indexesOf(c, table, pk)
-    val colDefs = cols.map(m => s"${q(m.name)} ${typeSql(m)}" +
-      (if (!m.nullable) " NOT NULL" else ""))
+    val colDefs = cols.map { m =>
+      val base = s"${q(m.name)} ${typeSql(m)}"
+      val nn = if (!m.nullable) " NOT NULL" else ""
+      if (!m.autoInc) base + nn
+      else if (dialect == "mysql") base + nn + " AUTO_INCREMENT"
+      else base + " GENERATED BY DEFAULT AS IDENTITY" + nn
+    }
     val pkClause = if (pk.nonEmpty) Seq(s"PRIMARY KEY (${pk.map(q).mkString(", ")})") else Nil
     val create = s"CREATE TABLE ${q(table)} (" +
       (colDefs ++ pkClause).mkString(", ") + ")"

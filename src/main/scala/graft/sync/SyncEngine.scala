@@ -269,8 +269,13 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     */
   private def ddlDiffers(table: String): Boolean = (master, slave) match {
     case (m: JdbcStore, s: JdbcStore) =>
-      SchemaCompare.normalizeDdl(m.fetchCreateTable(table)) !=
-        SchemaCompare.normalizeDdl(s.fetchCreateTable(table))
+      // A mixed-dialect pair must synthesize BOTH sides: one side's server-
+      // rendered SHOW CREATE TABLE never normalizes equal to the other's
+      // metadata synthesis, which would make Skip unreachable (every table
+      // recopied on every run).
+      val synth = m.dialect != s.dialect
+      SchemaCompare.normalizeDdl(m.fetchCreateTable(table, synth)) !=
+        SchemaCompare.normalizeDdl(s.fetchCreateTable(table, synth))
     case _ => false
   }
 

@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal.PixelStatsDecoder
+import org.apache.spark.sql.functions._
+
+/** The real PPM/BMP decoder: same pixels through either container must
+  * produce identical dimensions and statistics, and junk must be rejected
+  * (dropped by the plumbing, not crashed on).
+  */
+class MultimodalSpec extends SparkSpec {
+
+  // 2×2 RGB, top-down: (1,2,3) (4,5,6) / (7,8,9) (10,11,12)
+  private val ppm: Array[Byte] =
+    "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+
+  private val bmp: Array[Byte] = {
+    val header = new Array[Byte](54)
+    header(0) = 'B'; header(1) = 'M'
+    def le32(o: Int, v: Int): Unit = {
+      header(o) = (v & 0xFF).toByte; header(o + 1) = ((v >> 8) & 0xFF).toByte
+      header(o + 2) = ((v >> 16) & 0xFF).toByte; header(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    le32(2, 54 + 16); le32(10, 54); le32(14, 40)
+    le32(18, 2); le32(22, 2) // bottom-up
+    header(26) = 1; header(28) = 24 // planes, bpp
+    // bottom-up BGR rows, stride 8: row1 (7,8,9)(10,11,12), row0 (1,2,3)(4,5,6)
+    header ++ Array[Byte](9, 8, 7, 12, 11, 10, 0, 0, 3, 2, 1, 6, 5, 4, 0, 0)
+  }
+
+  private val expected = (2, 2, Array[Float](22f, 26f, 30f, 1f, 12f, 4f, 1f, 12f))
+
+  test("PPM P6 decode: header parse + channel stats") {
+    val Some((w, h, emb)) = PixelStatsDecoder.decodeImage(ppm, 8)
+    assert((w, h) == (2, 2) && emb.toSeq == expected._3.toSeq, emb.toSeq.toString)
+  }
+
+  test("PPM with comments and multi-digit dims") {
+    val img = ("P6\n# a comment\n3 1\n# more\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90))
+    val Some((w, h, emb)) = PixelStatsDecoder.decodeImage(img, 8)
+    assert((w, h) == (3, 1))
+    assert(emb.toSeq == Seq(120f, 150f, 180f, 10f, 90f, 3f, 10f, 90f), emb.toSeq.toString)
+  }
+
+  test("BMP 24bpp bottom-up decode matches the PPM of the same pixels") {
+    val Some((w, h, emb)) = PixelStatsDecoder.decodeImage(bmp, 8)
+    assert((w, h) == (2, 2) && emb.toSeq == expected._3.toSeq, emb.toSeq.toString)
+  }
+
+  test("junk and truncated payloads are rejected, and the plumbing drops them") {
+    assert(PixelStatsDecoder.decodeImage("not an image".getBytes, 8).isEmpty)
+    assert(PixelStatsDecoder.decodeImage(ppm.dropRight(3), 8).isEmpty) // short pixels
+    assert(PixelStatsDecoder.decodeImage(Array[Byte](), 8).isEmpty)
+    val df = spark.createDataFrame(Seq(
+      (1L, ppm), (2L, "garbage".getBytes), (3L, bmp)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.extractImageFeatures(df, "media_id", "payload", embeddingDim = 8)
+      .select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 3L))
+  }
+
+  test("embeddingDim above the stats length zero-pads") {
+    val Some((_, _, emb)) = PixelStatsDecoder.decodeImage(ppm, 12)
+    assert(emb.length == 12 && emb.drop(8).forall(_ == 0f))
+  }
+}
