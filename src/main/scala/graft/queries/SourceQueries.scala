@@ -18,9 +18,9 @@ object SourceQueries {
 
   private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Stage both format fixtures outside any timed query (Bench warmup). */
+  /** Stage all format fixtures outside any timed query (Bench warmup). */
   def prestage(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    store(s, dir, "csv"); store(s, dir, "json"); ()
+    store(s, dir, "csv"); store(s, dir, "json"); store(s, dir, "orc"); ()
   }
 
   private def store(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -34,6 +34,13 @@ object SourceQueries {
           // no schema; inference must reconstruct long/string/double exactly).
           st.overwrite("orders", T(s, dir, "orders")
             .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+        case "orc" =>
+          // ORC is binary-columnar like parquet: round-trip the widest type
+          // mix (long, double, string, date) and aggregate — any encode/
+          // decode drift hash-mismatches against the parquet-backed oracle.
+          st.overwrite("lineitem", T(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_returnflag"), col("l_shipdate")))
         case _ =>
           // JSON carries quoting/escaping: round-trip the free-text corpus.
           st.overwrite("documents", T(s, dir, "documents")
@@ -68,6 +75,22 @@ object SourceQueries {
         .select(col("doc_id"), col("lang"),
           md5(col("text")).as("text_md5"), length(col("text")).as("text_len")),
       Some("""SELECT doc_id, lang, md5(text) AS text_md5, length(text) AS text_len
-              |FROM documents""".stripMargin))
+              |FROM documents""".stripMargin)),
+
+    // ---- ORC source: write lineitem as ORC, read back, aggregate — the
+    //      third columnar face of FileStore (long/double/string/date all
+    //      round-trip bit-exactly or the hash flips).
+    Q("src_orc_roundtrip",
+      (s, dir) => store(s, dir, "orc").read("lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          sum(col("l_orderkey").cast("decimal(20,0)")).cast("long").as("sum_key")),
+      Some("""SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+              | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+              | cast(sum(l_orderkey) as bigint) AS sum_key
+              |FROM lineitem GROUP BY l_returnflag""".stripMargin))
   )
 }

@@ -345,6 +345,35 @@ object SyncQueries {
         Hashing.multisetFingerprintAgg(slave.read("orders"), cols)
       },
       Some(Registry.duckMultisetFingerprint(
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"), "orders")))
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"), "orders"))),
+
+    // Maintained (CDC) fingerprint: the MultisetFp group algebra that turns
+    // the per-cycle convergence gate from two table scans into O(delta) —
+    // `fpAfter = fpBefore.remove(fp(deleted)).merge(fp(inserted))`. Here a
+    // delta (quantity bump on every 7th order's rows, expressed as CDC
+    // delete+insert) is folded into the maintained value, which must equal
+    // the fingerprint RECOMPUTED from the post-delta table; the oracle
+    // replays the same delta and fingerprint in SQL, so both the maintained
+    // value and the recompute are hash-gated.
+    Q("sync_incremental_fp",
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+        val deleted = li.filter(col("l_orderkey") % 7 === 0)
+        val inserted = deleted.withColumn("l_quantity", col("l_quantity") + 1.0)
+        val maintained = Hashing.multisetFp(li, liCols)
+          .remove(Hashing.multisetFp(deleted, liCols))
+          .merge(Hashing.multisetFp(inserted, liCols))
+        val after = li.filter(col("l_orderkey") % 7 =!= 0).unionByName(inserted)
+        Hashing.multisetFingerprintAgg(after, liCols)
+          .select(col("fingerprint"), col("n_rows"),
+            (col("fingerprint") === lit(maintained.render)).as("maintained_matches"))
+      },
+      Some {
+        val perturbed = """(SELECT * REPLACE (
+          |   CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 1.0 ELSE l_quantity END
+          |   AS l_quantity) FROM lineitem) p""".stripMargin
+        s"""SELECT fingerprint, n_rows, true AS maintained_matches
+           |FROM (${Registry.duckMultisetFingerprint(liCols, perturbed)})""".stripMargin
+      })
   )
 }

@@ -166,17 +166,69 @@ object TextQueries {
               |FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
               |      ELSE regexp_split_to_array(trim(text), '\s+') END AS words FROM documents)""".stripMargin)),
 
-    // ---- MinHash + LSH near-dup pairs (xxhash64 signatures: rows-only check)
+    // ---- MinHash + LSH near-dup pairs, precision/recall-gated (the knn
+    //      recall-gate pattern): DuckDB can't replay the xxhash64
+    //      signatures, but it CAN count the exact-jaccard pairs the LSH
+    //      stage must recover. precision_ok is structural (candidates are
+    //      verified by exact jaccard, so found ⊆ exact — a verify bug
+    //      hash-fails); recall_ok floors found/exact at 0.8 (32 hashes ×
+    //      16 bands ⇒ ≥94% candidate probability at j=0.4, ~100% for the
+    //      planted near-dups; measured 1.0 at sf0.001/0.01/0.1).
     Q("dedup_minhash_pairs",
-      (s, dir) => Dedup.minhashNearDups(T(s, dir, "documents"), "doc_id", "text",
-        shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4),
-      None),
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val found = Dedup.minhashNearDups(docs, "doc_id", "text",
+          shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4)
+          .select("id_a", "id_b")
+        val exact = Dedup.jaccardPairsInverted(docs, "doc_id", "text",
+          shingleK = 3, threshold = 0.4).select("id_a", "id_b")
+        val tp = found.join(exact, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("tp"))
+        val fp = found.join(exact, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("fp"))
+        exact.agg(count(lit(1)).as("n_exact")).crossJoin(tp).crossJoin(fp)
+          .select(col("n_exact"),
+            (col("fp") === 0).as("precision_ok"),
+            (col("tp").cast("double") >=
+              col("n_exact").cast("double") * 0.8).as("recall_ok"))
+      },
+      Some("""WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
+              |   ELSE list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')) END) AS sh
+              |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |        ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+              |        FROM documents))
+              |SELECT count(*)::bigint AS n_exact, true AS precision_ok, true AS recall_ok
+              |FROM d a JOIN d b ON a.doc_id < b.doc_id
+              |WHERE cast(len(list_intersect(a.sh, b.sh)) as double) /
+              |   cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double) >= 0.4""".stripMargin)),
 
-    // ---- SimHash per doc + near-dup candidates (rows-only)
+    // ---- SimHash near-dup candidates, clone-gated: plant an exact clone
+    //      of every 25th document — identical text MUST produce an
+    //      identical simhash (hamming 0) and the 16-bit-piece banding MUST
+    //      surface the pair, deterministically. A signature/banding/verify
+    //      bug loses clones and hash-fails; the oracle pins the planted
+    //      count. (Semantic near-miss recall is asserted in OpsSpec — one
+    //      changed token flips only low-margin bits.)
     Q("dedup_simhash",
-      (s, dir) => T(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash")),
-      None),
+      (s, dir) => {
+        val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        val clones = docs.filter(col("doc_id") % 25 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val pairs = Dedup.simhashNearDups(docs.unionByName(clones),
+          "doc_id", "text", maxHamming = 3)
+        val cloneHits = pairs
+          .filter(col("id_b") === col("id_a") + 1000000L && col("hamming") === 0)
+          .select("id_a").distinct()
+          .agg(count(lit(1)).as("clones_found"))
+        docs.filter(col("doc_id") % 25 === 3)
+          .agg(count(lit(1)).as("n_planted"))
+          .crossJoin(cloneHits)
+          .select(col("n_planted"), col("clones_found"),
+            (col("clones_found") === col("n_planted")).as("all_found"))
+      },
+      Some("""SELECT count(*)::bigint AS n_planted, count(*)::bigint AS clones_found,
+              | true AS all_found
+              |FROM documents WHERE doc_id % 25 = 3""".stripMargin)),
 
     // ---- exact n-gram Jaccard, full corpus — oracle-checked
     Q("dedup_jaccard_exact",
