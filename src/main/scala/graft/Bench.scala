@@ -4,12 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Dev escape hatch: "k=v;k=v" extra confs for A/B runs (unset in the
+    // driver's invocation, so the contract configuration is unchanged).
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match { case Array(k, v) => builder.config(k.trim, v.trim); case _ => () }
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Absorb JVM/codegen/file-listing warmup outside any query's timing,
     // and run in name order so per-query numbers are comparable across
@@ -22,6 +27,22 @@ object Bench {
       graft.queries.SyncQueries.prestage(spark, sfDir)
       graft.queries.SourceQueries.prestage(spark, sfDir)
     } catch { case _: Throwable => () }
+    // Environment calibration: a fixed synthetic job (hash-agg + shuffle,
+    // data-independent) whose time scales with the host's Spark-task
+    // overhead — per-query numbers are comparable ACROSS rounds only after
+    // normalizing by this (VM generations differ wildly in syscall cost:
+    // measured 3-10× on shuffle-heavy work between two otherwise identical
+    // rounds).
+    val calibSec = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .select(xxhash64(org.apache.spark.sql.functions.col("id")).as("h"))
+        .groupBy((org.apache.spark.sql.functions.col("h") % 1000).as("b"))
+        .agg(count(lit(1))).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"""{"calib_sec":$calibSec%.3f}""")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -41,7 +62,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: persist the full results line to a file the repo
     // keeps, so no number is ever lost to stdout capture.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(

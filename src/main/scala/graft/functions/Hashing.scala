@@ -188,6 +188,37 @@ object Hashing {
     MultisetFp(r.getLong(0), BigInt(r.getDecimal(1).toBigInteger), r.getLong(2))
   }
 
+  /** One-pass CDC fingerprint maintenance: from a frame carrying each row's
+    * BEFORE-image hash, AFTER-image hash, and a delta membership flag,
+    * compute fp(before), fp(deleted) and fp(inserted) in a single aggregate
+    * and fold them with the [[MultisetFp]] group algebra — the O(delta)
+    * convergence gate pays one scan total instead of three. `beforeHash` /
+    * `afterHash` are md5 row-hash columns ([[rowHash]]); rows where
+    * `deltaCol` is false contribute only to the before-fingerprint.
+    */
+  def multisetFpDelta(df: DataFrame, deltaCol: String,
+                      beforeHash: String, afterHash: String): MultisetFp = {
+    def h15(c: String) = expr(s"cast(conv(substring($c, 1, 15), 16, 10) as bigint)")
+    val d = col(deltaCol)
+    val hb = h15(beforeHash)
+    val hi = h15(afterHash)
+    val hbDel = when(d, hb)
+    val hiIns = when(d, hi)
+    val r = df.agg(
+      count(lit(1)),
+      coalesce(sum(hb.cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0))),
+      coalesce(bit_xor(hb), lit(0L)),
+      count(hbDel),
+      coalesce(sum(hbDel.cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0))),
+      coalesce(bit_xor(hbDel), lit(0L)),
+      count(hiIns),
+      coalesce(sum(hiIns.cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0))),
+      coalesce(bit_xor(hiIns), lit(0L))).head()
+    def at(i: Int) = MultisetFp(r.getLong(i),
+      BigInt(r.getDecimal(i + 1).toBigInteger), r.getLong(i + 2))
+    at(0).remove(at(3)).merge(at(6))
+  }
+
   def exactFingerprint(df: DataFrame, cols: Seq[String],
                        legacyNullSkip: Boolean = false): DataFrame = {
     val spark = df.sparkSession

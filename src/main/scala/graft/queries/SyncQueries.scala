@@ -358,11 +358,23 @@ object SyncQueries {
     Q("sync_incremental_fp",
       (s, dir) => {
         val li = T(s, dir, "lineitem")
-        val deleted = li.filter(col("l_orderkey") % 7 === 0)
-        val inserted = deleted.withColumn("l_quantity", col("l_quantity") + 1.0)
-        val maintained = Hashing.multisetFp(li, liCols)
-          .remove(Hashing.multisetFp(deleted, liCols))
-          .merge(Hashing.multisetFp(inserted, liCols))
+        // Maintained side: ONE scan computes fp(before), fp(deleted) and
+        // fp(inserted) together (the delta rows' pre- and post-images hash
+        // in the same pass — exactly what a CDC feed delivers), then the
+        // group algebra folds them driver-side: three Longs, no shuffle of
+        // table data beyond the single partial-agg exchange.
+        val inDelta = (col("l_orderkey") % 7 === 0).as("__d")
+        val bumped = li.withColumn("__bq", col("l_quantity") + 1.0)
+        val insCols = liCols.map(c => if (c == "l_quantity") "__bq" else c)
+        val maintained = Hashing.multisetFpDelta(
+          bumped.select(inDelta +:
+            Hashing.rowHash(bumped, liCols).as("__hb") +:
+            Hashing.rowHash(bumped, insCols).as("__hi") +: Nil: _*),
+          deltaCol = "__d", beforeHash = "__hb", afterHash = "__hi")
+        // Independent recompute from the post-delta table (separate code
+        // path: filter + union + one-shot aggregate) — must agree.
+        val inserted = li.filter(col("l_orderkey") % 7 === 0)
+          .withColumn("l_quantity", col("l_quantity") + 1.0)
         val after = li.filter(col("l_orderkey") % 7 =!= 0).unionByName(inserted)
         Hashing.multisetFingerprintAgg(after, liCols)
           .select(col("fingerprint"), col("n_rows"),
