@@ -166,6 +166,60 @@ object TextQueries {
               |FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
               |      ELSE regexp_split_to_array(trim(text), '\s+') END AS words FROM documents)""".stripMargin)),
 
+    // ---- corpus vocabulary: top-k tokens by frequency (the build-a-vocab /
+    //      frequency-table primitive). One explode → hash-agg (map-side
+    //      combine on the token key) → TakeOrdered; total (count desc,
+    //      token asc) ordering makes the top-k unique, so the oracle can
+    //      hash it. At 100 TB the agg output is vocabulary-sized (≪ corpus)
+    //      and only k rows cross the final ordering.
+    Q("text_vocab_topk",
+      (s, dir) => T(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100),
+      Some("""SELECT token, count(*) AS n
+              |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+              |      FROM documents WHERE length(trim(text)) > 0)
+              |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)),
+
+    // ---- PII detection + scrubbing: the redaction pass a training-data
+    //      pipeline runs before release. PII is PLANTED deterministically
+    //      (an email on every 10th doc, an E.164-ish phone on every 15th) so
+    //      the scrub provably fires at every SF; both engines replay the
+    //      identical planting, the same RE2/Java-compatible patterns (no
+    //      lookaround), and the same replace order — counts and the
+    //      post-scrub text hash are all oracle-checked. Zero shuffle,
+    //      codegen'd regex per row.
+    Q("text_pii_scrub",
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\+[0-9]{8,}"
+        val t = concat(col("text"),
+          when(col("doc_id") % 10 === 0,
+            concat(lit(" contact: user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 15 === 0,
+            concat(lit(" tel: +14155550"), col("doc_id")))
+            .otherwise(lit("")))
+        T(s, dir, "documents").select(col("doc_id"),
+          regexp_count(t, lit(email)).cast("long").as("n_emails"),
+          regexp_count(t, lit(phone)).cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(t, email, "[EMAIL]"),
+            phone, "[PHONE]")).as("scrubbed_md5"))
+      },
+      Some("""WITH p AS (SELECT doc_id, text
+              |  || CASE WHEN doc_id % 10 = 0 THEN ' contact: user' || doc_id || '@example.com' ELSE '' END
+              |  || CASE WHEN doc_id % 15 = 0 THEN ' tel: +14155550' || doc_id ELSE '' END AS t
+              | FROM documents)
+              |SELECT doc_id,
+              | len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::bigint AS n_emails,
+              | len(regexp_extract_all(t, '\+[0-9]{8,}'))::bigint AS n_phones,
+              | md5(regexp_replace(regexp_replace(t,
+              |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+              |   '\+[0-9]{8,}', '[PHONE]', 'g')) AS scrubbed_md5
+              |FROM p""".stripMargin)),
+
     // ---- MinHash + LSH near-dup pairs, precision/recall-gated (the knn
     //      recall-gate pattern): DuckDB can't replay the xxhash64
     //      signatures, but it CAN count the exact-jaccard pairs the LSH

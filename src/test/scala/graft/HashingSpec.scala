@@ -77,4 +77,22 @@ class HashingSpec extends SparkSpec {
     assert(maintained.render ==
       Hashing.multisetFingerprintAgg(after, cols).head().getString(0))
   }
+
+  test("multisetFpDelta: one-pass maintenance equals three-aggregate form") {
+    import org.apache.spark.sql.functions._
+    val cols = Seq("k", "v")
+    // delta = rows with even k get v upper-cased (delete pre-image, insert
+    // post-image); one pass over before/after hash images must agree with
+    // the recompute over the post-delta frame.
+    val base = Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")).toDF("k", "v")
+    val staged = base.withColumn("__v2", upper(col("v")))
+    val afterCols = Seq("k", "__v2")
+    val maintained = Hashing.multisetFpDelta(
+      staged.select((col("k") % 2 === 0).as("__d"),
+        Hashing.rowHash(staged, cols).as("__hb"),
+        Hashing.rowHash(staged, afterCols).as("__hi")),
+      deltaCol = "__d", beforeHash = "__hb", afterHash = "__hi")
+    val after = Seq((1, "a"), (2, "B"), (3, "c"), (4, "D"), (5, "e")).toDF("k", "v")
+    assert(maintained == Hashing.multisetFp(after, cols))
+  }
 }
