@@ -307,6 +307,37 @@ object Similarity {
     finishTopK(joined, k, qIdCol, cIdCol)
   }
 
+  /** IVF-PQ composed top-k — the classic billion-scale ANN layout: IVF
+    * cells bound WHICH corpus vectors are scored (nProbe cells per query
+    * instead of the whole corpus), PQ codes bound WHAT is stored and
+    * scored per vector (m sub-byte codes instead of d floats). Candidate
+    * generation shuffles on the cell key exactly like [[ivfTopK]]; scoring
+    * is the asymmetric codegen'd [[graft.functions.VectorExpressions
+    * .pq_cosine]] against full-precision queries. Codes here quantize raw
+    * vectors (not per-cell residuals — the residual refinement changes
+    * only the encode/score expressions, not the plan shape).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nCells: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+                iters: Int = 2,
+                qIdCol: String = "q_id", qVecCol: String = "q_vec",
+                cIdCol: String = "vec_id", cVecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nCells, iters, cIdCol, cVecCol)
+    val cb = pqCodebooks(corpus, m, ksub, iters, cIdCol, cVecCol)
+    // One corpus pass produces the whole index: (cell, code) per vector.
+    val codes = Par.fanOut(corpus).select(col(cIdCol),
+      nearestCell(col(cVecCol), cents).as("cell"),
+      graft.functions.VectorExpressions.pq_encode(col(cVecCol), cb).as("code"))
+    val probes = queries.withColumn("cell",
+      explode(graft.functions.VectorExpressions
+        .top_cells(col(qVecCol), normalize(cents), nProbe)))
+    val cands = codes.join(broadcast(probes), Seq("cell"))
+      .select(col(qIdCol), col(cIdCol),
+        graft.functions.VectorExpressions.pq_cosine(col("code"), col(qVecCol), cb).as("sim"))
+      .dropDuplicates(qIdCol, cIdCol)
+    finishTopK(cands, k, qIdCol, cIdCol)
+  }
+
   /** Scalar-quantized (SQ8) approximate top-k: every corpus vector is
     * compressed to one byte per dimension (per-dim min/max affine scale —
     * FAISS's SQ8), and queries score against the DEQUANTIZED bytes

@@ -160,6 +160,15 @@ object SimilarityQueries {
         Similarity.pqTopK(q, c, k = 10)),
       Some(recallOracle)),
 
+    // ---- IVF-PQ composed top-k (the classic billion-scale layout: cells
+    //      bound the candidates, codes bound storage/scoring). Clone-gated
+    //      like PQ: the planted near-identical clone lands in the query's
+    //      probed cells and must survive PQ ranking.
+    Q("knn_ivfpq_topk",
+      (s, dir) => recallGated(s, dir, minTotalHits = 5, (q, c) =>
+        Similarity.ivfPqTopK(q, c, k = 10)),
+      Some(recallOracle)),
+
     // ---- SQ8 scalar-quantized top-k (byte-per-dim compression, asymmetric
     //      scoring — the memory/IO rung of the ANN ladder), recall-gated at
     //      a 0.7 floor (near-lossless; OpsSpec asserts 0.8 on its fixture)

@@ -140,6 +140,22 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.15, s"PQ recall@10 collapsed: $recall")
   }
 
+  test("ivfPqTopK: composed index still finds planted clones") {
+    // IVF bounds candidates (probed cells), PQ bounds per-vector scoring —
+    // the near-identical clone must land in the query's probed cells and
+    // survive PQ ranking (the composed layout's end-to-end guarantee).
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val clones = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000L).as("vec_id"),
+        transform($"embedding", (x, i) => when(i === 0, x * 1.01f).otherwise(x)).as("embedding"))
+    val corpus = emb.filter($"vec_id" >= 3).select("vec_id", "embedding").unionByName(clones)
+    val approx = Similarity.ivfPqTopK(q, corpus, 10, nCells = 8, nProbe = 3)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (qid <- 0L to 2L)
+      assert(approx.contains((qid, qid + 10000L)), s"clone of $qid not found")
+  }
+
   test("sq8TopK: near-lossless recall vs brute force") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 3).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
