@@ -33,7 +33,7 @@ object Bench {
     // normalizing by this (VM generations differ wildly in syscall cost:
     // measured 3-10× on shuffle-heavy work between two otherwise identical
     // rounds).
-    val calibSec = {
+    def calibrate(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
       spark.range(0L, 20000000L, 1L, 32)
@@ -42,6 +42,7 @@ object Bench {
         .agg(count(lit(1))).count()
       (System.nanoTime() - t0) / 1e9
     }
+    val calibSec = calibrate()
     println(f"""{"calib_sec":$calibSec%.3f}""")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -61,8 +62,12 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Second calibration sample AFTER the suite: host speed on shared/virtualized
+    // benchmark machines drifts mid-run (observed 5× per-query swings between
+    // two same-code runs); start+end samples bound the drift for the reader.
+    val calibEnd = calibrate()
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"calib_end_sec":$calibEnd%.3f,"queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: persist the full results line to a file the repo
     // keeps, so no number is ever lost to stdout capture.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
