@@ -230,21 +230,63 @@ object TextQueries {
     //      planted near-dups; measured 1.0 at sf0.001/0.01/0.1).
     Q("dedup_minhash_pairs",
       (s, dir) => {
-        val docs = T(s, dir, "documents")
-        val found = Dedup.minhashNearDups(docs, "doc_id", "text",
-          shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4)
-          .select("id_a", "id_b")
-        val exact = Dedup.jaccardPairsInverted(docs, "doc_id", "text",
-          shingleK = 3, threshold = 0.4).select("id_a", "id_b")
-        val tp = found.join(exact, Seq("id_a", "id_b"), "left_semi")
-          .agg(count(lit(1)).as("tp"))
-        val fp = found.join(exact, Seq("id_a", "id_b"), "left_anti")
-          .agg(count(lit(1)).as("fp"))
-        exact.agg(count(lit(1)).as("n_exact")).crossJoin(tp).crossJoin(fp)
-          .select(col("n_exact"),
-            (col("fp") === 0).as("precision_ok"),
-            (col("tp").cast("double") >=
-              col("n_exact").cast("double") * 0.8).as("recall_ok"))
+        // Shingling is the shared per-row hot loop of BOTH the operator
+        // (signature + verify sides) and the exact-jaccard baseline the
+        // gate compares against — compute it ONCE (same owner-releases
+        // pattern as minhashNearDups itself; the tiny gate row is
+        // checkpointed before the finally releases the corpus-sized frame).
+        val shingled = graft.ops.Par.fanOut(T(s, dir, "documents")
+            .select(col("doc_id").as("id"), col("text").as("__text")))
+          .select(col("id"),
+            array_distinct(TextAnalysis.shingles(col("__text"), 3)).as("sh"))
+          .localCheckpoint(true)
+        try {
+          // The operator: minhash signatures → banded buckets → candidate
+          // pairs → exact-jaccard verify (identical stages to
+          // Dedup.minhashNearDups, built from its public primitives).
+          val sigged = shingled.select(col("id"),
+            Dedup.minhashSignatureOfShingles(col("sh"), 32).as("sig"))
+          val buckets = Dedup.lshBuckets(sigged, "id", "sig", numHashes = 32, bands = 16)
+          val cands = buckets.as("a").join(buckets.as("b"),
+              col("a.band_id") === col("b.band_id") &&
+              col("a.band_hash") === col("b.band_hash") && col("a.id") < col("b.id"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+          val found = cands
+            .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+            .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+            .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+            .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+            .select(col("id_a"), col("id_b"),
+              when(col("uni") === 0, lit(1.0))
+                .otherwise(col("inter").cast("double") / col("uni").cast("double"))
+                .as("jaccard"))
+            .filter(col("jaccard") >= 0.4)
+            .select("id_a", "id_b")
+          // The exact baseline: inverted index over hashed shingles from the
+          // SAME frame (shuffle key stays a long at corpus scale).
+          val inv = shingled.select(col("id"), size(col("sh")).as("sz"),
+            explode(transform(col("sh"), x => xxhash64(x))).as("g"))
+          val exact = inv.as("a").join(inv.as("b"),
+              col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+            .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+            .agg(count(lit(1)).as("inter"))
+            .select(col("id_a"), col("id_b"),
+              (col("inter").cast("double") /
+                (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+            .filter(col("jaccard") >= 0.4)
+            .select("id_a", "id_b")
+          val tp = found.join(exact, Seq("id_a", "id_b"), "left_semi")
+            .agg(count(lit(1)).as("tp"))
+          val fp = found.join(exact, Seq("id_a", "id_b"), "left_anti")
+            .agg(count(lit(1)).as("fp"))
+          exact.agg(count(lit(1)).as("n_exact")).crossJoin(tp).crossJoin(fp)
+            .select(col("n_exact"),
+              (col("fp") === 0).as("precision_ok"),
+              (col("tp").cast("double") >=
+                col("n_exact").cast("double") * 0.8).as("recall_ok"))
+            .localCheckpoint(true)
+        } finally graft.ops.Caching.release(shingled)
       },
       Some("""WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
               |   ELSE list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')) END) AS sh
