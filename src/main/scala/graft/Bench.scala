@@ -11,7 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
     // Dev escape hatch: "k=v;k=v" extra confs for A/B runs (unset in the
     // driver's invocation, so the contract configuration is unchanged).
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+    // Echoed into the results JSON below, so any non-contract run is
+    // self-evident in the artifact it produced.
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+    extraConf.foreach(_.split(';').foreach { kv =>
       kv.split("=", 2) match { case Array(k, v) => builder.config(k.trim, v.trim); case _ => () }
     })
     val spark = builder.getOrCreate()
@@ -44,16 +47,25 @@ object Bench {
     }
     val calibSec = calibrate()
     println(f"""{"calib_sec":$calibSec%.3f}""")
+    // Optional median mode (default 1 = unchanged contract behavior): run
+    // each query N times and report the per-query MEDIAN, so one noisy host
+    // window cannot dominate a round's numbers (observed 5× mid-run drift on
+    // shared benchmark hosts; see calib_sec/calib_end_sec).
+    val repeats = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(1))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        val df = fn(spark, sfDir)
-        df.count()
-        // Drop whatever the query materialized (checkpoints/caches) so one
-        // query's storage blocks never tax the queries after it.
-        graft.ops.Caching.release(df)
-      } catch { case _: Throwable => () }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val samples = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          val df = fn(spark, sfDir)
+          df.count()
+          // Drop whatever the query materialized (checkpoints/caches) so one
+          // query's storage blocks never tax the queries after it.
+          graft.ops.Caching.release(df)
+        } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val sec = samples(samples.length / 2)
       // One line per query as it completes: the driver's byte-limited tail
       // capture truncated the single all-queries JSON line in round 3.
       println(f"""{"query":"$name","sec":$sec%.3f}""")
@@ -66,8 +78,11 @@ object Bench {
     // benchmark machines drifts mid-run (observed 5× per-query swings between
     // two same-code runs); start+end samples bound the drift for the reader.
     val calibEnd = calibrate()
+    val extraField = extraConf.fold("")(c =>
+      s""","extra_conf":${graft.util.JsonUtil.quote(c)}""") +
+      (if (repeats > 1) s""","repeats":$repeats""" else "")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"calib_end_sec":$calibEnd%.3f,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"calib_end_sec":$calibEnd%.3f$extraField,"queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: persist the full results line to a file the repo
     // keeps, so no number is ever lost to stdout capture.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(

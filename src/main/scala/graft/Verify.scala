@@ -5,7 +5,16 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val (Array(sfDir, outDir), only) = args.splitAt(2)
+    val (Array(sfDir, outDir), rest) = args.splitAt(2)
+    // Dev filter must be EXPLICIT: `--only name1 name2 ...`. A stray extra
+    // arg fails loudly instead of silently narrowing the verified corpus
+    // (a partial parquet dump looks exactly like a full verification run).
+    val only: Array[String] = rest match {
+      case Array() => Array.empty
+      case Array("--only", names @ _*) if names.nonEmpty => names.toArray
+      case other => sys.error(
+        s"unexpected args ${other.mkString("[", ", ", "]")}; use --only <query>... to filter")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,11 +24,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Optional dev filter (3rd+ args): verify only the named queries. The
-    // driver passes exactly (sfDir, outDir) and gets the full corpus.
-    SparkEntry.queries
+    // The driver passes exactly (sfDir, outDir) and gets the full corpus.
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .foreach { case (name, fn) =>
+    if (only.nonEmpty)
+      println(s"[verify] --only filter active: running ${selected.size} of " +
+        s"${SparkEntry.queries.size} queries (${only.mkString(", ")})")
+    selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")

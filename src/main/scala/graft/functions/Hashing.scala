@@ -204,8 +204,11 @@ object Hashing {
     val hi = h15(afterHash)
     val hbDel = when(d, hb)
     val hiIns = when(d, hi)
+    // count(hb), not count(*): all three before-components then skip a NULL
+    // hash consistently (a NULL beforeHash is contract-violating input; an
+    // inconsistent count/sum/xor triple would silently corrupt the algebra).
     val r = df.agg(
-      count(lit(1)),
+      count(hb),
       coalesce(sum(hb.cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0))),
       coalesce(bit_xor(hb), lit(0L)),
       count(hbDel),
@@ -219,10 +222,25 @@ object Hashing {
     at(0).remove(at(3)).merge(at(6))
   }
 
+  /** Driver-collect cap for [[exactFingerprint]]: 16 B/hash × 10M rows is a
+    * ~160 MB driver materialization — the utility's ceiling. Beyond it the
+    * collect itself is the scale bug; use [[multisetFingerprintAgg]], which
+    * is the engine's declared A1 form and never collects.
+    */
+  val ExactFingerprintMaxRows = 10000000L
+
   def exactFingerprint(df: DataFrame, cols: Seq[String],
-                       legacyNullSkip: Boolean = false): DataFrame = {
+                       legacyNullSkip: Boolean = false,
+                       maxRows: Long = ExactFingerprintMaxRows): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Count BEFORE collecting: fail fast with a clear message instead of an
+    // OOM'd driver. One cheap aggregate — this is an oracle/small-table
+    // utility, not a production path (see ExactFingerprintMaxRows).
+    val n = df.count()
+    require(n <= maxRows,
+      s"exactFingerprint collects O(table) to the driver; $n rows > cap $maxRows — " +
+        "use multisetFingerprintAgg for large tables")
     // Hash distributed, collect the narrow hash column as BINARY (16 bytes —
     // half the hex form's transfer and none of its UTF8String decode), sort
     // driver-side (no shuffle — a global orderBy would shuffle the whole

@@ -305,12 +305,26 @@ object CoreQueries {
         .intersect(T(s, dir, "supplier").select(col("s_nationkey").as("k"))),
       Some("SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier")),
 
-    // ---- A1: whole-table fingerprint, exact order-canonical variant
-    //      (TableConnection.php:464-501; order-insensitive by construction)
+    // ---- A1: whole-table fingerprint (TableConnection.php:464-501) on the
+    //      DISTRIBUTED multiset aggregate — one map-side-combined pass,
+    //      nothing collected; this is the form the sync cascade runs at scale.
     Q("a1_table_fingerprint",
-      (s, dir) => Hashing.exactFingerprint(T(s, dir, "lineitem"), liCols),
+      (s, dir) => Hashing.multisetFingerprintAgg(T(s, dir, "lineitem"), liCols),
+      Some(Registry.duckMultisetFingerprint(liCols, "lineitem"))),
+
+    // ---- A1 (secondary): exact order-canonical sorted digest — the
+    //      byte-stable cross-engine form. Driver-collects O(table) by
+    //      construction, so it is declared on a SMALL table and the utility
+    //      itself enforces a row cap (Hashing.ExactFingerprintMaxRows).
+    Q("a1_exact_digest",
+      (s, dir) => {
+        val cols = Seq("n_nationkey", "n_name", "n_regionkey")
+        Hashing.exactFingerprint(
+          T(s, dir, "nation").select(cols.map(col): _*), cols)
+      },
       Some(s"""SELECT md5(string_agg(h, '' ORDER BY h)) AS fingerprint FROM
-               | (SELECT ${duckRowHash(liCols)} AS h FROM lineitem)""".stripMargin)),
+               | (SELECT ${duckRowHash(Seq("n_nationkey", "n_name", "n_regionkey"))} AS h
+               |  FROM nation)""".stripMargin)),
 
     // ---- A2: per-partition fingerprints, one grouped pass
     //      (TableConnection.php:510-547)

@@ -316,15 +316,23 @@ object TextQueries {
           .filter(col("id_b") === col("id_a") + 1000000L && col("hamming") === 0)
           .select("id_a").distinct()
           .agg(count(lit(1)).as("clones_found"))
-        docs.filter(col("doc_id") % 25 === 3)
-          .agg(count(lit(1)).as("n_planted"))
+        // id_space_ok guards the +1e6 clone-id convention: a corpus with
+        // doc_ids >= 1e6 could collide planted ids with real ones (or count
+        // a natural identical pair at exactly +1e6 as a clone) — the gate
+        // would then pass/fail for the wrong reason. Oracle pins `true`, so
+        // an id-space violation hash-fails loudly instead of silently.
+        docs.agg(
+            count(when(col("doc_id") % 25 === 3, lit(1))).as("n_planted"),
+            (max(col("doc_id")) < 1000000L).as("id_space_ok"))
           .crossJoin(cloneHits)
           .select(col("n_planted"), col("clones_found"),
-            (col("clones_found") === col("n_planted")).as("all_found"))
+            (col("clones_found") === col("n_planted")).as("all_found"),
+            col("id_space_ok"))
       },
-      Some("""SELECT count(*)::bigint AS n_planted, count(*)::bigint AS clones_found,
-              | true AS all_found
-              |FROM documents WHERE doc_id % 25 = 3""".stripMargin)),
+      Some("""SELECT count(CASE WHEN doc_id % 25 = 3 THEN 1 END)::bigint AS n_planted,
+              | count(CASE WHEN doc_id % 25 = 3 THEN 1 END)::bigint AS clones_found,
+              | true AS all_found, true AS id_space_ok
+              |FROM documents""".stripMargin)),
 
     // ---- exact n-gram Jaccard, full corpus — oracle-checked
     Q("dedup_jaccard_exact",

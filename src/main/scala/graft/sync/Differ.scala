@@ -27,7 +27,9 @@ final case class Delta(deletes: DataFrame, insertKeys: DataFrame,
                        spillLegs: Option[DataFrame] = None) {
   /** Full rows to insert (J3 keyed fetch), as a lazy plan. */
   lazy val inserts: DataFrame = source.join(insertKeys, keyCols, "left_semi")
-  lazy val isEmpty: Boolean = deletes.isEmpty && insertKeys.isEmpty
+  // NB deliberately no `isEmpty` helper: it would execute BOTH diff legs as
+  // separate jobs. Emptiness falls out of [[Differ.applyDelta]]'s spilled
+  // counts, which run each leg exactly once.
 }
 
 /** Hash-based diff core (SURVEY §7.2 M2).

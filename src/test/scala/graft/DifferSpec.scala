@@ -48,9 +48,9 @@ class DifferSpec extends SparkSpec {
 
   test("diff is empty for identical tables (idempotence precondition)") {
     val d = Differ.hashDiff(master, master, Seq("k"))
-    assert(d.isEmpty)
+    assert(d.deletes.isEmpty && d.insertKeys.isEmpty)
     val d2 = Differ.keyDiff(master, master, Seq("k"))
-    assert(d2.isEmpty)
+    assert(d2.deletes.isEmpty && d2.insertKeys.isEmpty)
   }
 
   test("composite keys: comma-containing string keys round-trip (reference F7 bug fixed)") {
