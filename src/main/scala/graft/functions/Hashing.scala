@@ -188,6 +188,26 @@ object Hashing {
     MultisetFp(r.getLong(0), BigInt(r.getDecimal(1).toBigInteger), r.getLong(2))
   }
 
+  /** Per-group multiset fingerprints in ONE aggregate, folded driver-side —
+    * the CDC apply's input shape: `df` is a change BATCH (delta-sized, never
+    * a table scan) and `groupCol` its op tag, so `fp(deleted)`/`fp(inserted)`
+    * come out of a single job over the delta alone.
+    */
+  def multisetFpByGroup(df: DataFrame, groupCol: String, cols: Seq[String],
+                        legacyNullSkip: Boolean = false): Map[String, MultisetFp] =
+    df.select(col(groupCol).cast(StringType).as("__g"),
+        rowHash(df, cols, legacyNullSkip).as("h"))
+      .select(col("__g"), expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)").as("h15"))
+      .groupBy("__g")
+      .agg(count(col("h15")),
+        coalesce(sum(col("h15").cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))),
+        coalesce(expr("bit_xor(h15)"), lit(0L)))
+      .collect()
+      .map(r => r.getString(0) -> MultisetFp(r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger), r.getLong(3)))
+      .toMap
+
   /** One-pass CDC fingerprint maintenance: from a frame carrying each row's
     * BEFORE-image hash, AFTER-image hash, and a delta membership flag,
     * compute fp(before), fp(deleted) and fp(inserted) in a single aggregate

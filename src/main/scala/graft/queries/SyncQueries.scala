@@ -386,6 +386,52 @@ object SyncQueries {
           |   AS l_quantity) FROM lineitem) p""".stripMargin
         s"""SELECT fingerprint, n_rows, true AS maintained_matches
            |FROM (${Registry.duckMultisetFingerprint(liCols, perturbed)})""".stripMargin
+      }),
+
+    // Maintained-fingerprint sync mode END TO END (the reference's
+    // "run frequently" loop, O(delta) per cycle): cycle 1 primes + converges
+    // the perturbed slave; cycle 2 must short-circuit on the master's
+    // metadata change token — ZERO Spark jobs (asserted by job-group in
+    // SyncEngineSpec; surfaced here as the oracle-pinned
+    // `second_cycle_zero_scan`); cycle 3 applies a CDC batch (delete +
+    // reinsert with a quantity bump for every 11th order) through
+    // SyncEngine.applyCdc, folding the MultisetFp group algebra instead of
+    // rescanning. The emitted fingerprint is RECOMPUTED from the slave's
+    // files and must equal both the maintained value (`maintained_matches`)
+    // and the oracle's SQL replay of the same perturbation.
+    Q("sync_converge_maintained",
+      (s, dir) => {
+        val slaveDir = makeSlaveDir(s, dir, "maint")
+        val master = new ParquetStore(s, dir)
+        val slave = new ParquetStore(s, slaveDir)
+        val engine = new SyncEngine(master, slave, SyncConfig(
+          primaryKeys = Map("lineitem" -> Seq("l_orderkey", "l_linenumber")),
+          maintainFingerprints = true))
+        engine.syncTable("lineitem") // cycle 1: prime + converge
+        engine.syncTable("lineitem") // cycle 2: token short-circuit
+        val secondSkip = engine.auditLog.lastOption.exists {
+          case graft.sync.SyncAction.Skip(_, r) => r.contains("change token")
+          case _ => false
+        }
+        val touched = T(s, dir, "lineitem").select(liCols.map(col): _*)
+          .filter(col("l_orderkey") % 11 === 5)
+        val changes = touched.withColumn("op", lit("D")).unionByName(
+          touched.withColumn("l_quantity", col("l_quantity") + 2.0)
+            .withColumn("op", lit("I")))
+        engine.applyCdc("lineitem", changes) // cycle 3: O(delta) CDC fold
+        val maintained = engine.maintainedFingerprint("lineitem").get
+        Hashing.multisetFingerprintAgg(slave.read("lineitem"), liCols)
+          .select(col("fingerprint"), col("n_rows"),
+            (col("fingerprint") === lit(maintained.render)).as("maintained_matches"),
+            lit(secondSkip).as("second_cycle_zero_scan"))
+      },
+      Some {
+        val perturbed = """(SELECT * REPLACE (
+          |   CASE WHEN l_orderkey % 11 = 5 THEN l_quantity + 2.0 ELSE l_quantity END
+          |   AS l_quantity) FROM lineitem) p""".stripMargin
+        s"""SELECT fingerprint, n_rows, true AS maintained_matches,
+           | true AS second_cycle_zero_scan
+           |FROM (${Registry.duckMultisetFingerprint(liCols, perturbed)})""".stripMargin
       })
   )
 }

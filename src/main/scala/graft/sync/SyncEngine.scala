@@ -25,6 +25,19 @@ final case class SyncConfig(
     legacyNullSkip: Boolean = false,
     /** Key-aware diff (correct duplicate handling) vs reference hash-match. */
     keyAwareDiff: Boolean = false,
+    /** Maintained-fingerprint (O(delta)) mode for the reference's
+      * "run frequently" loop (README.md:24): the engine holds per-table
+      * [[graft.functions.Hashing.MultisetFp]] state, so the repeat-sync
+      * convergence gate stops paying two full fingerprint scans per cycle —
+      * an unchanged master (by the store's metadata change token) costs ZERO
+      * Spark jobs; a changed master costs ONE fingerprint scan (master only;
+      * the slave side is the maintained value); a CDC feed through
+      * [[SyncEngine.applyCdc]] costs O(delta) only. REQUIRES this engine to
+      * be the slave's sole writer — external slave writes are invisible to
+      * the maintained state ([[SyncEngine.verifyMaintained]] is the audit
+      * escape hatch for drift).
+      */
+    maintainFingerprints: Boolean = false,
     /** Plan but do not execute writes (audit-log S15 dry-run analog). */
     dryRun: Boolean = false,
     /** Cross-table driver concurrency (C6; reference: process pool = #cores,
@@ -135,41 +148,167 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     auditLog
   }
 
+  // ---- Maintained-fingerprint state (config.maintainFingerprints) --------
+  // Per-table slave fingerprint as of the last convergence, plus the master
+  // change token observed then. Thread-safe: syncDatabase's C6 pool runs
+  // per-table syncs concurrently.
+  private val maintainedFp =
+    scala.collection.concurrent.TrieMap.empty[String, Hashing.MultisetFp]
+  private val lastMasterToken =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The maintained slave fingerprint for `table`, if primed (maintained mode). */
+  def maintainedFingerprint(table: String): Option[Hashing.MultisetFp] =
+    maintainedFp.get(table)
+
+  /** Did `action` leave the slave table ≡ master? (Delta applied, recopied,
+    * or the gate proved equality.) Token/fingerprint state may only advance
+    * on convergence — a Skip("no primary key") or recorded failure must not.
+    */
+  private def converged(action: SyncAction): Boolean = action match {
+    case _: CopyTable | _: ApplyDelta => true
+    case Skip(_, reason) => reason.startsWith("already in sync") ||
+      reason.startsWith("unchanged")
+    case _ => false
+  }
+
   /** C2: per-table cascade (`Synchronizer.php:189-233`). */
   def syncTable(table: String): SyncAction = {
-    val mSchema = master.schemaOf(table)
-    val sSchema = slave.schemaOf(table)
-    if (!SchemaCompare.sameStructure(mSchema, sSchema) || ddlDiffers(table))
-      return copyTable(table)
+    // Maintained-mode zero-cost gate: if the master's PHYSICAL state is
+    // byte-identical to the one this engine last converged against (and the
+    // engine is the slave's sole writer), there is nothing to do — no
+    // fingerprint job, no schema read, no Spark job at all. This is the
+    // steady state of the reference's run-frequently loop. The token is
+    // captured BEFORE any scan: a concurrent master write after capture at
+    // worst stores a stale token, which re-syncs next cycle (never skips a
+    // real change).
+    val tok = if (config.maintainFingerprints) master.changeToken(table) else None
+    if (tok.isDefined && lastMasterToken.get(table) == tok)
+      return record(Skip(table, "unchanged (master change token)"))
 
-    config.partitionedTables.get(table) match {
-      case Some(partCol) => syncPartitionedTable(table, partCol)
-      case None => syncUnpartitionedTable(table)
+    val action = {
+      val mSchema = master.schemaOf(table)
+      val sSchema = slave.schemaOf(table)
+      if (!SchemaCompare.sameStructure(mSchema, sSchema) || ddlDiffers(table)) {
+        val a = copyTable(table)
+        // The recopy bypassed the fingerprint gate: any maintained value is
+        // now stale — drop it so the next cycle re-primes (one slave scan)
+        // instead of trusting a fingerprint of pre-copy content.
+        if (config.maintainFingerprints && !config.dryRun) maintainedFp.remove(table)
+        a
+      } else config.partitionedTables.get(table) match {
+        case Some(partCol) => syncPartitionedTable(table, partCol)
+        case None => syncUnpartitionedTable(table)
+      }
     }
+    if (!config.dryRun && tok.isDefined && converged(action))
+      lastMasterToken.update(table, tok.get)
+    action
   }
 
   private def keyColsOf(table: String): Option[Seq[String]] = config.primaryKeys.get(table)
 
   private def syncUnpartitionedTable(table: String): SyncAction = {
     val m = master.read(table)
-    val s = slave.read(table)
     val cols = m.columns.toSeq
+
+    if (config.maintainFingerprints) {
+      // Maintained A1 gate: after the priming cycle the slave side is NEVER
+      // scanned again — this engine is the slave's only writer, so the
+      // fingerprint it converged to IS the slave's fingerprint. A changed
+      // master pays ONE scan (its own); the old gate paid two per cycle.
+      val mFp = Hashing.multisetFp(m, cols, config.legacyNullSkip)
+      val sFp = maintainedFp.get(table).getOrElse(
+        Hashing.multisetFp(slave.read(table), cols, config.legacyNullSkip))
+      if (mFp == sFp) {
+        if (!config.dryRun) maintainedFp.update(table, mFp)
+        return record(Skip(table, "already in sync"))
+      }
+      val action = diffAndApply(table, m)
+      // Convergence ⇒ slave ≡ master ⇒ the master fingerprint just computed
+      // is the slave's maintained value for the next cycle.
+      if (!config.dryRun && converged(action)) maintainedFp.update(table, mFp)
+      return action
+    }
+
     // A1 short-circuit: one cheap aggregate per side before any row work.
     if (Hashing.tableFingerprint(m, cols, config.legacyNullSkip) ==
-        Hashing.tableFingerprint(s, cols, config.legacyNullSkip))
+        Hashing.tableFingerprint(slave.read(table), cols, config.legacyNullSkip))
       return record(Skip(table, "already in sync"))
+    diffAndApply(table, m)
+  }
 
+  /** Row-level diff + ordered apply (or no-PK fallback) — the cascade's tail
+    * shared by both gate variants.
+    */
+  private def diffAndApply(table: String, m: org.apache.spark.sql.DataFrame): SyncAction =
     keyColsOf(table) match {
       case None =>
         if (config.copyTablesWithNoPrimary) copyTable(table)
         else record(Skip(table, "no primary key"))
       case Some(keys) =>
+        val s = slave.read(table)
         val delta =
           if (config.keyAwareDiff) Differ.keyDiff(m, s, keys)
           else Differ.hashDiff(m, s, keys, config.legacyNullSkip)
         applyDelta(table, delta)
     }
+
+  /** O(delta) CDC apply (maintained mode): fold a master change batch into
+    * the slave AND the maintained fingerprint — no scan of either table.
+    * `changes` carries `opCol` ('D' = delete, with the full BEFORE image;
+    * 'I' = insert, with the full AFTER image; an update is its D+I pair)
+    * plus every table column — exactly what a row-image CDC feed (binlog,
+    * Debezium-style) delivers. The fingerprint fold is the proven
+    * [[Hashing.MultisetFp]] group algebra (`sync_incremental_fp`); the write
+    * is the same delete-before-insert store apply as the batch cascade.
+    *
+    * Requires a primed maintained fingerprint (run [[syncTable]] once first)
+    * and a configured primary key. The batch is spilled to scratch before
+    * any mutation (same restart-point contract as [[Differ.applyDelta]]).
+    */
+  def applyCdc(table: String, changes: org.apache.spark.sql.DataFrame,
+               opCol: String = "op"): SyncAction = {
+    val keys = keyColsOf(table).getOrElse(throw new IllegalArgumentException(
+      s"applyCdc($table) requires a primary key in SyncConfig.primaryKeys"))
+    val prev = maintainedFp.getOrElse(table, throw new IllegalStateException(
+      s"applyCdc($table) requires a primed maintained fingerprint — run syncTable($table) first"))
+    val spark = changes.sparkSession
+    val dataCols = changes.columns.toSeq.filterNot(_ == opCol)
+    val scratch = Differ.newScratchDir(spark, config.scratchDir, s"cdc_$table")
+    try {
+      changes.write.parquet(s"$scratch/changes")
+      val spilled = spark.read.parquet(s"$scratch/changes")
+      // ONE delta-sized aggregate computes fp(deleted) and fp(inserted).
+      val zero = Hashing.MultisetFp(0L, BigInt(0), 0L)
+      val byOp = Hashing.multisetFpByGroup(spilled, opCol, dataCols, config.legacyNullSkip)
+      val (fpD, fpI) = (byOp.getOrElse("D", zero), byOp.getOrElse("I", zero))
+      if (!config.dryRun && (fpD.count > 0 || fpI.count > 0)) {
+        val inserts = spilled.filter(col(opCol) === "I").select(dataCols.map(col): _*)
+        // C7 delete-before-insert: clear ALL incoming keys (an update is a
+        // D+I pair on the same key; the store applies deletes first).
+        val delTarget = spilled.select(keys.map(col): _*).distinct()
+        val delT = if (fpD.count + fpI.count <= Differ.BroadcastKeyMax)
+          broadcast(delTarget) else delTarget
+        slave.applyDelta(table, delT, keys, inserts, None)
+        maintainedFp.update(table, prev.remove(fpD).merge(fpI))
+        // Feed-driven cycle: any stored master token is stale now.
+        lastMasterToken.remove(table)
+      }
+      record(ApplyDelta(table, fpD.count, fpI.count))
+    } finally Differ.rmScratch(spark, scratch)
   }
+
+  /** Audit escape hatch for the sole-writer assumption: recompute the slave
+    * fingerprint with one full scan and compare to the maintained value.
+    * Run it at whatever cadence drift is plausible (the reference's answer
+    * is "every cycle"; the maintained mode's answer is "rarely, explicitly").
+    */
+  def verifyMaintained(table: String): Boolean =
+    maintainedFp.get(table).exists { fp =>
+      val s = slave.read(table)
+      Hashing.multisetFp(s, s.columns.toSeq, config.legacyNullSkip) == fp
+    }
 
   /** C3/C4: partitioned cascade (`Synchronizer.php:111-180, 242-291`) — but
     * ONE grouped-fingerprint job per side covers every partition value,

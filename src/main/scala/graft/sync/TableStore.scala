@@ -35,6 +35,15 @@ trait TableStore {
     */
   def deleteWhere(table: String, partCol: String, value: Any): Unit
 
+  /** Cheap PHYSICAL change token: equal tokens ⇒ unchanged content; any
+    * content change ⇒ a new token. MUST be O(metadata) — no data scan, no
+    * Spark job — because the maintained-fingerprint sync mode uses it as the
+    * zero-cost "nothing to do" gate of the run-frequently loop. `None` =
+    * this store has no metadata-only signal (the engine falls back to
+    * fingerprint scans).
+    */
+  def changeToken(table: String): Option[String] = None
+
   /** Apply a delta: remove whole logical partitions in `partDeletes` (C4
     * excess-partition cleanup), remove rows whose key-tuple is in `delKeys`,
     * add `inserts` — delete-before-insert order (C7,
@@ -119,6 +128,27 @@ class FileStore(val spark: SparkSession, dir: String,
 
   override def read(table: String): DataFrame =
     spark.read.format(format).options(defaultOptions ++ options).load(path(table))
+
+  /** Metadata-only token: md5 over the sorted (path, size, mtime) file
+    * listing — O(#files), no data read, no Spark job. Spark/parquet commits
+    * write fresh unique part-file names, so any rewrite changes the token
+    * even inside mtime granularity. (Local-fs walk; an HDFS/object-store
+    * deployment does the same with one LIST call.)
+    */
+  override def changeToken(table: String): Option[String] = {
+    val root = new java.io.File(path(table))
+    if (!root.exists()) return Some("__absent__")
+    val sb = new StringBuilder
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach(walk)
+      else { sb.append(f.getPath).append('|').append(f.length)
+        .append('|').append(f.lastModified).append('\n'); () }
+    walk(root)
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Some(d.map(b => f"$b%02x").mkString)
+  }
 
   override def drop(table: String): Unit = deleteRecursively(new java.io.File(path(table)))
 

@@ -193,4 +193,131 @@ class SyncEngineSpec extends SparkSpec {
       assert(fp(ss.read(t)) == mfp, s"table $t did not converge")
     }
   }
+
+  /** Spark jobs submitted from this thread while `body` runs, via job-group
+    * tagging + statusTracker. The status store is listener-fed (async), so
+    * give it a beat before reading — only matters for catching a REGRESSION
+    * (a job that should not exist); a clean run reads 0 either way.
+    */
+  private def jobsDuring(tag: String)(body: => Unit): Int = {
+    spark.sparkContext.setJobGroup(tag, tag, interruptOnCancel = false)
+    try body finally spark.sparkContext.clearJobGroup()
+    Thread.sleep(500)
+    spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+  }
+
+  /** read()-counting store wrapper: read calls proxy for table scans. */
+  private class Counting(inner: ParquetStore) extends TableStore {
+    val reads = new java.util.concurrent.atomic.AtomicInteger
+    def spark = inner.spark
+    def list() = inner.list()
+    def read(t: String) = { reads.incrementAndGet(); inner.read(t) }
+    def drop(t: String) = inner.drop(t)
+    def overwrite(t: String, df: DataFrame) = inner.overwrite(t, df)
+    def append(t: String, df: DataFrame) = inner.append(t, df)
+    def deleteKeys(t: String, k: DataFrame, kc: Seq[String]) = inner.deleteKeys(t, k, kc)
+    def deleteWhere(t: String, pc: String, v: Any) = inner.deleteWhere(t, pc, v)
+    override def changeToken(t: String) = inner.changeToken(t)
+    override def applyDelta(t: String, dk: DataFrame, kc: Seq[String],
+                            ins: DataFrame, pd: Option[(String, DataFrame)]) =
+      inner.applyDelta(t, dk, kc, ins, pd)
+  }
+
+  test("maintained mode: repeat sync of an unchanged master issues ZERO Spark jobs") {
+    val (md, sd, ms, ss) = mkStores("maint0")
+    write(md, "acct", custDf)
+    write(sd, "acct", custDf.filter($"id" =!= 3L)) // dirty slave
+    val engine = new SyncEngine(ms, ss, SyncConfig(
+      primaryKeys = Map("acct" -> Seq("id")), maintainFingerprints = true))
+
+    val first = engine.syncTable("acct") // prime + converge
+    assert(first.isInstanceOf[SyncAction.ApplyDelta])
+    assert(fp(ss.read("acct")) == fp(ms.read("acct")))
+
+    val n = jobsDuring("maint-cycle2") {
+      val second = engine.syncTable("acct")
+      assert(second == SyncAction.Skip("acct", "unchanged (master change token)"))
+    }
+    assert(n == 0, s"second sync of an unchanged master ran $n Spark jobs; expected 0")
+  }
+
+  test("maintained mode: changed master re-syncs; slave side never rescanned after priming") {
+    val (md, sd, ms, ss) = mkStores("maint1")
+    write(md, "acct", custDf)
+    write(sd, "acct", custDf)
+    val cm = new Counting(ms); val cs = new Counting(ss)
+    val engine = new SyncEngine(cm, cs, SyncConfig(
+      primaryKeys = Map("acct" -> Seq("id")), maintainFingerprints = true))
+    engine.syncTable("acct") // priming cycle (equal tables): m + s fingerprints
+    val slaveReadsAfterPrime = cs.reads.get()
+
+    // Master changes → token differs → ONE master fingerprint scan + diff;
+    // the slave's fingerprint comes from maintained state, not a scan.
+    write(md, "acct", custDf.withColumn("bal", $"bal" + 1.0))
+    val a = engine.syncTable("acct")
+    assert(a.isInstanceOf[SyncAction.ApplyDelta])
+    assert(fp(cs.read("acct")) == fp(cm.read("acct")))
+    // Slave reads during the changed-master cycle: the DIFF needs one (its
+    // anti-join side) and the COW apply reads inside the store — but the
+    // old gate's dedicated slave fingerprint scan must be gone. With the
+    // non-maintained engine the same cycle reads the slave one extra time.
+    val maintainedSlaveReads = cs.reads.get() - slaveReadsAfterPrime - 1 // -1: our assert above
+    val (md2, sd2, ms2, ss2) = mkStores("maint1b")
+    write(md2, "acct", custDf.withColumn("bal", $"bal" + 1.0))
+    write(sd2, "acct", custDf)
+    val cs2 = new Counting(ss2)
+    new SyncEngine(new Counting(ms2), cs2, SyncConfig(
+      primaryKeys = Map("acct" -> Seq("id")))).syncTable("acct")
+    assert(maintainedSlaveReads < cs2.reads.get(),
+      s"maintained gate should scan the slave less than the two-fingerprint gate " +
+        s"($maintainedSlaveReads vs ${cs2.reads.get()})")
+  }
+
+  test("maintained mode: applyCdc folds the fingerprint and converges without master scans") {
+    val (md, sd, ms, ss) = mkStores("maintcdc")
+    write(md, "acct", custDf)
+    write(sd, "acct", custDf)
+    val cm = new Counting(ms)
+    val engine = new SyncEngine(cm, ss, SyncConfig(
+      primaryKeys = Map("acct" -> Seq("id")), maintainFingerprints = true))
+    engine.syncTable("acct") // prime
+    val masterReadsAfterPrime = cm.reads.get()
+
+    // CDC batch: delete id=2 (before image), update id=4 (D+I pair),
+    // insert id=6 — an out-of-band feed, no master store involved.
+    val changes = Seq(
+      ("D", 2L, "bob", 11, 6.0),
+      ("D", 4L, "dave", 13, 8.0), ("I", 4L, "dave", 13, 80.0),
+      ("I", 6L, "fred", 15, 1.0))
+      .toDF("op", "id", "name", "nk", "bal")
+    val a = engine.applyCdc("acct", changes)
+    assert(a == SyncAction.ApplyDelta("acct", 2L, 2L))
+    assert(cm.reads.get() == masterReadsAfterPrime, "applyCdc must not scan the master")
+
+    val expected = Seq(
+      (1L, "alice", 10, 5.0), (3L, "carol", 12, 7.0), (5L, "erin", 14, 9.0),
+      (4L, "dave", 13, 80.0), (6L, "fred", 15, 1.0)).toDF("id", "name", "nk", "bal")
+    assert(fp(ss.read("acct")) == fp(expected))
+    // The maintained value tracked the fold exactly (one full-scan audit).
+    assert(engine.verifyMaintained("acct"))
+  }
+
+  test("maintained mode: schema recopy invalidates maintained state (no stale skip)") {
+    val (md, sd, ms, ss) = mkStores("maintschema")
+    write(md, "acct", custDf)
+    write(sd, "acct", custDf.filter($"id" =!= 5L))
+    val engine = new SyncEngine(ms, ss, SyncConfig(
+      primaryKeys = Map("acct" -> Seq("id")), maintainFingerprints = true))
+    engine.syncTable("acct") // prime+converge on content W
+    // Master schema changes → recopy path bypasses the fingerprint gate...
+    write(md, "acct", custDf.withColumn("extra", lit(1)))
+    assert(engine.syncTable("acct").isInstanceOf[SyncAction.CopyTable])
+    // ...then master reverts to the ORIGINAL content: a stale maintained
+    // fingerprint would claim "already in sync" while the slave still holds
+    // the extra column; the invalidation forces a real cycle instead.
+    write(md, "acct", custDf)
+    assert(engine.syncTable("acct").isInstanceOf[SyncAction.CopyTable])
+    assert(fp(ss.read("acct")) == fp(ms.read("acct")))
+    assert(ss.read("acct").columns.toSeq == ms.read("acct").columns.toSeq)
+  }
 }
