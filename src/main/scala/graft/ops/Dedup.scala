@@ -144,18 +144,29 @@ object Dedup {
     * co-occurrences per pair — intersection sizes fall out of a groupBy, and
     * only co-occurring pairs ever materialize (sparse, vs the n²/2 of
     * explicit enumeration: 361 s → ~15 s on the 2000-doc bench corpus).
-    * Shuffle key = shingle hash; a shingle shared by d docs contributes d²
-    * join rows, so at corpus scale drop ultra-common shingles first (they
-    * cannot push a pair over any useful threshold alone — the standard
-    * prefix-filter refinement). Shingles are compared by xxhash64 (collision
-    * odds ~|sh|²/2⁶⁴ per pair — immaterial, and the oracle would catch one).
+    * Shuffle key = shingle hash; shingles are compared by xxhash64
+    * (collision odds ~|sh|²/2⁶⁴ per pair — immaterial, and the oracle would
+    * catch one).
     *
     * Pairs with no shared shingle are absent (their jaccard is 0); two
     * empty-shingle docs are likewise never paired (the enumerated variant
     * defines that degenerate case as jaccard 1).
+    *
+    * `maxShingleDf` is the hot-shingle cap — the prefix-filter refinement
+    * that makes the index safe on real corpora: a shingle shared by d docs
+    * contributes d² join rows (one boilerplate sentence in 10⁶ docs = 10¹²
+    * rows). Shingles with document frequency > cap are dropped from the
+    * INDEX (set sizes stay exact), via one grouped count + a broadcast
+    * anti-join on the hot list (≤ #postings/cap entries by construction).
+    * Scores become LOWER bounds: hot shingles no longer count toward the
+    * intersection, so a pair whose score clears the threshold only thanks
+    * to ultra-common shingles can be missed — at corpus scale those are
+    * boilerplate, not content. When no shingle exceeds the cap the result
+    * is identical to the uncapped run (DedupCapSpec).
     */
   def jaccardPairsInverted(df: DataFrame, idCol: String, textCol: String,
-                           shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+                           shingleK: Int = 3, threshold: Double = 0.5,
+                           maxShingleDf: Option[Long] = None): DataFrame = {
     // Shingle-hash in one compiled pass (ShingleHash64 — the interpreted
     // window/slice/concat HOF tree was the dominant cost), and materialize
     // the arrays ONCE: the expression otherwise re-executes on BOTH
@@ -166,7 +177,9 @@ object Dedup {
         .shingle_hash64(TextAnalysis.tokens(col("__text")), shingleK)).as("sh"))
       .localCheckpoint(true)
     try {
-      val inv = docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
+      val inv = dropHotShingles(
+        docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("g")),
+        maxShingleDf)
       val pairs = inv.as("a").join(inv.as("b"),
           col("a.g") === col("b.g") && col("a.id") < col("b.id"))
         .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -191,14 +204,29 @@ object Dedup {
     * [[jaccardPairsInverted]] (shuffle key = shingle hash, co-occurrence
     * counts via groupBy); emits BOTH directions of each co-occurring pair.
     */
+  /** Drop postings of shingles whose document frequency exceeds `cap` —
+    * shared by [[jaccardPairsInverted]] / [[containmentPairsInverted]]; see
+    * the jaccard variant's doc for the bound semantics. The hot list is
+    * ≤ #postings/cap rows, so the broadcast is safe by construction.
+    */
+  private def dropHotShingles(inv: DataFrame, cap: Option[Long]): DataFrame =
+    cap.fold(inv) { c =>
+      val hot = inv.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") > c).select("g")
+      inv.join(broadcast(hot), Seq("g"), "left_anti")
+    }
+
   def containmentPairsInverted(df: DataFrame, idCol: String, textCol: String,
-                               shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+                               shingleK: Int = 3, threshold: Double = 0.5,
+                               maxShingleDf: Option[Long] = None): DataFrame = {
     val docs = Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), array_distinct(graft.functions.VectorExpressions
         .shingle_hash64(TextAnalysis.tokens(col("__text")), shingleK)).as("sh"))
       .localCheckpoint(true)
     try {
-      val inv = docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
+      val inv = dropHotShingles(
+        docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("g")),
+        maxShingleDf)
       val pairs = inv.as("a").join(inv.as("b"),
           col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
         .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sz").as("sz_a"))

@@ -356,6 +356,35 @@ object TextQueries {
               |WHERE cast(len(list_intersect(a.sh, b.sh)) as double) /
               |   cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double) >= 0.05""".stripMargin)),
 
+    // ---- hot-shingle df-cap variant of the inverted index — the 100 TB
+    //      production shape: shingles with document frequency > 20 are
+    //      dropped from the index BEFORE the self-join (a shingle shared by
+    //      d docs contributes d² join rows; boilerplate in 10⁶ docs is
+    //      10¹² rows without the cap). The oracle replays the identical
+    //      cap semantics in SQL, so the bound itself is hash-gated, not
+    //      just spec'd.
+    Q("dedup_jaccard_capped",
+      (s, dir) => Dedup.jaccardPairsInverted(
+          T(s, dir, "documents"), "doc_id", "text", shingleK = 3,
+          threshold = 0.05, maxShingleDf = Some(20L))
+        .withColumn("jaccard", round(col("jaccard"), 6)),
+      Some("""WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
+              |   ELSE list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')) END) AS sh
+              |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |        ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+              |        FROM documents)),
+              | inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM d),
+              | hot AS (SELECT g FROM inv GROUP BY g HAVING count(*) > 20),
+              | kept AS (SELECT * FROM inv WHERE g NOT IN (SELECT g FROM hot)),
+              | co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |         a.sz AS sz_a, b.sz AS sz_b, count(*) AS inter
+              |        FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+              |        GROUP BY 1, 2, 3, 4)
+              |SELECT id_a, id_b,
+              | round(cast(inter as double) / cast(sz_a + sz_b - inter as double), 6) AS jaccard
+              |FROM co
+              |WHERE cast(inter as double) / cast(sz_a + sz_b - inter as double) >= 0.05""".stripMargin)),
+
     // ---- exact containment (overlap coefficient |A∩B|/|A|) — the
     //      asymmetric near-dup measure for quote/subset detection, where
     //      jaccard is diluted by the containing document's size
