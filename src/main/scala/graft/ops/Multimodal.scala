@@ -33,6 +33,18 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
 
+  /** Full decode-outcome schema produced by [[extractImageFeaturesWithRejects]]:
+    * every input row comes back out, undecodable payloads as `decode_ok =
+    * false` rows with NULL features — the quarantine stream is DATA, never a
+    * silent drop.
+    */
+  val imageDecodeSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true)))
+
   /** Pluggable decoder boundary. The default [[PixelStatsDecoder]] reads
     * real PPM/BMP payloads; a production implementation wraps
     * javax.imageio / ffmpeg for the compressed formats.
@@ -149,6 +161,49 @@ object Multimodal {
     }
   }
 
+  /** javax.imageio-backed decoder — the COMPRESSED public formats via the
+    * JDK's built-in readers (PNG, JPEG, BMP, GIF, WBMP; zero external
+    * codecs). Emits the SAME per-channel pixel-statistics vector as
+    * [[PixelStatsDecoder]], channel values in R,G,B order per pixel, so a
+    * LOSSLESS format (PNG) reproduces the uncompressed formats' stats
+    * byte-for-byte (oracle-replayed by `media_png_features`); lossy JPEG is
+    * gated on decode success + dimensions only. Headless-safe (no display
+    * needed for ImageIO/BufferedImage).
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    override def decodeImage(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] = {
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+      img.map { im =>
+        val w = im.getWidth; val h = im.getHeight
+        var r = 0L; var g = 0L; var b = 0L
+        var mn = 256; var mx = -1
+        var first = 0; var last = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            val rr = (rgb >> 16) & 0xFF; val gg = (rgb >> 8) & 0xFF; val bb = rgb & 0xFF
+            r += rr; g += gg; b += bb
+            if (rr < mn) mn = rr; if (gg < mn) mn = gg; if (bb < mn) mn = bb
+            if (rr > mx) mx = rr; if (gg > mx) mx = gg; if (bb > mx) mx = bb
+            if (x == 0 && y == 0) first = rr
+            if (x == w - 1 && y == h - 1) last = bb
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val stats = Array[Float](r.toFloat, g.toFloat, b.toFloat,
+          (if (n == 0) 0 else mn).toFloat, (if (n == 0) 0 else mx).toFloat,
+          n.toFloat, first.toFloat, last.toFloat)
+        (w, h, Array.tabulate(dim)(i => if (i < stats.length) stats(i) else 0f))
+      }
+    }
+  }
+
   /** Wrap a binary payload column into (payload, meta) — the ingest step.
     * Pure expressions: metadata derives from the bytes (cheap, codegen'd).
     */
@@ -160,33 +215,50 @@ object Multimodal {
       octet_length(col(bytesCol)).cast(LongType).as("n_bytes"),
       md5(col(bytesCol)).as("checksum")))
 
-  /** Batched decode + feature extraction over partitions.
+  /** Batched decode over partitions, EVERY row accounted for: decodable
+    * payloads become `decode_ok = true` feature rows, undecodable ones
+    * `decode_ok = false` rows with NULL features — the quarantine stream a
+    * real pipeline routes/counts instead of silently dropping (a corrupt
+    * shard that decodes 0 rows must look different from an empty shard).
     *
     * Partition sizing is the scale lever: `targetPartitionBytes` bounds
     * decoder working-set per task (payloads are large; rows/partition must
     * track bytes, not row count). A 100 TB corpus at 256 MB per partition is
     * ~400k tasks — fine for a 1000-executor cluster.
     */
-  def extractImageFeatures(df: DataFrame, idCol: String, bytesCol: String,
-                           embeddingDim: Int = 16,
-                           decoder: MediaDecoder = PixelStatsDecoder,
-                           targetPartitionBytes: Long = 256L << 20): DataFrame = {
-    val spark = df.sparkSession
+  def extractImageFeaturesWithRejects(df: DataFrame, idCol: String, bytesCol: String,
+                                      embeddingDim: Int = 16,
+                                      decoder: MediaDecoder = PixelStatsDecoder,
+                                      targetPartitionBytes: Long = 256L << 20): DataFrame = {
     val totalBytes = df.agg(sum(octet_length(col(bytesCol)))).head().getLong(0)
     val nParts = math.max(1, math.min(10000, (totalBytes / targetPartitionBytes) + 1).toInt)
     val slim = df.select(col(idCol).cast(LongType), col(bytesCol)).repartition(nParts)
-    val enc = org.apache.spark.sql.Encoders.row(imageFeatureSchema)
+    val enc = org.apache.spark.sql.Encoders.row(imageDecodeSchema)
     slim.mapPartitions { it =>
       // One decoder per partition — amortized init, batch-shaped like
-      // mapInPandas batches. Undecodable payloads are dropped (flatMap) —
-      // route them to a quarantine sink in a real pipeline.
-      it.flatMap { r =>
-        decoder.decodeImage(r.getAs[Array[Byte]](1), embeddingDim).map {
-          case (w, h, emb) => Row(r.getLong(0), w, h, emb.toSeq)
+      // mapInPandas batches.
+      it.map { r =>
+        decoder.decodeImage(r.getAs[Array[Byte]](1), embeddingDim) match {
+          case Some((w, h, emb)) => Row(r.getLong(0), true, w, h, emb.toSeq)
+          case None => Row(r.getLong(0), false, null, null, null)
         }
       }
     }(enc).toDF()
   }
+
+  /** Feature extraction: the `decode_ok` rows of
+    * [[extractImageFeaturesWithRejects]], features-only schema. Same single
+    * mapPartitions plan plus a filter; callers that need the rejects as data
+    * use the WithRejects form directly.
+    */
+  def extractImageFeatures(df: DataFrame, idCol: String, bytesCol: String,
+                           embeddingDim: Int = 16,
+                           decoder: MediaDecoder = PixelStatsDecoder,
+                           targetPartitionBytes: Long = 256L << 20): DataFrame =
+    extractImageFeaturesWithRejects(df, idCol, bytesCol, embeddingDim, decoder,
+        targetPartitionBytes)
+      .filter(col("decode_ok"))
+      .select(col("media_id"), col("width"), col("height"), col("embedding"))
 
   /** Frame sampling for video payloads: emit `n` deterministic byte-slices
     * ("frames") per payload. Real impl would seek keyframes; the slicing,

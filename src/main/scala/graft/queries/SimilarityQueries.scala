@@ -264,6 +264,111 @@ object SimilarityQueries {
               | vs[n]::bigint AS last_v
               |FROM b""".stripMargin)),
 
+    // ---- quarantine stream: every 10th payload corrupted (magic bytes
+    //      flipped) — undecodable by construction. The WithRejects decode
+    //      keeps EVERY row (decode_ok = false + NULL features for rejects);
+    //      the oracle pins the reject count AND the rejected-id checksum,
+    //      so a silent drop (or a decoder that "fixes" garbage) hash-fails.
+    Q("media_quarantine",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val wE = (col("doc_id") % 5 + 4).cast("int")
+        val hE = (col("doc_id") % 4 + 3).cast("int")
+        val nE = wE * hE * lit(3)
+        val body = concat(col("text"), lit("x" * 144)).substr(lit(1), nE)
+        val magic = when(col("doc_id") % 10 === 0, lit("ZZ\n")).otherwise(lit("P6\n"))
+        val payload = concat(magic, wE.cast("string"), lit(" "),
+          hE.cast("string"), lit("\n255\n"), body).cast("binary")
+        val media = d.select(col("doc_id").as("media_id"), payload.as("payload"))
+        Multimodal.extractImageFeaturesWithRejects(media, "media_id", "payload",
+            embeddingDim = 8)
+          .agg(
+            count(when(col("decode_ok"), lit(1))).as("n_ok"),
+            count(when(!col("decode_ok"), lit(1))).as("n_rejects"),
+            coalesce(sum(when(!col("decode_ok"), col("media_id"))), lit(0L))
+              .as("reject_id_sum"))
+      },
+      Some("""SELECT count(CASE WHEN doc_id % 10 <> 0 THEN 1 END)::bigint AS n_ok,
+              | count(CASE WHEN doc_id % 10 = 0 THEN 1 END)::bigint AS n_rejects,
+              | coalesce(sum(CASE WHEN doc_id % 10 = 0 THEN doc_id END), 0)::bigint AS reject_id_sum
+              |FROM documents""".stripMargin)),
+
+    // ---- compressed-format decode (javax.imageio, JDK readers — no
+    //      external codecs): the SAME deterministic pixels as
+    //      media_image_features are ENCODED to real PNG payloads, decoded
+    //      through ImageIoDecoder, and the per-channel statistics must
+    //      replay the identical byte math in the oracle — PNG is lossless,
+    //      so compressed-path decode is held to the exact same hash gate as
+    //      the uncompressed path.
+    Q("media_png_features",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val wE = (col("doc_id") % 5 + 4).cast("int")
+        val hE = (col("doc_id") % 4 + 3).cast("int")
+        val nE = wE * hE * lit(3)
+        val body = concat(col("text"), lit("x" * 144)).substr(lit(1), nE)
+        val base = d.select(col("doc_id").cast("long").as("media_id"),
+          wE.as("w"), hE.as("h"), body.cast("binary").as("px"))
+        // Fixture encode (not the measured operator): deterministic RGB
+        // pixels → real PNG bytes, per partition.
+        val enc = org.apache.spark.sql.Encoders.row(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("media_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("payload",
+              org.apache.spark.sql.types.BinaryType, nullable = false))))
+        val media = base.mapPartitions { it =>
+          it.map { r =>
+            val w = r.getInt(1); val h = r.getInt(2)
+            val px = r.getAs[Array[Byte]](3)
+            val im = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var i = 0; var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                im.setRGB(x, y, ((px(i) & 0xFF) << 16) |
+                  ((px(i + 1) & 0xFF) << 8) | (px(i + 2) & 0xFF))
+                i += 3; x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(im, "png", bos)
+            org.apache.spark.sql.Row(r.getLong(0), bos.toByteArray)
+          }
+        }(enc).toDF()
+        Multimodal.extractImageFeatures(media, "media_id", "payload",
+            embeddingDim = 8, decoder = Multimodal.ImageIoDecoder)
+          .select(col("media_id"), col("width"), col("height"),
+            element_at(col("embedding"), 1).cast("long").as("r_sum"),
+            element_at(col("embedding"), 2).cast("long").as("g_sum"),
+            element_at(col("embedding"), 3).cast("long").as("b_sum"),
+            element_at(col("embedding"), 4).cast("long").as("min_v"),
+            element_at(col("embedding"), 5).cast("long").as("max_v"),
+            element_at(col("embedding"), 6).cast("long").as("n_px"),
+            element_at(col("embedding"), 7).cast("long").as("first_v"),
+            element_at(col("embedding"), 8).cast("long").as("last_v"))
+      },
+      Some("""WITH g AS (SELECT doc_id AS media_id,
+              |   (doc_id % 5 + 4)::int AS width, (doc_id % 4 + 3)::int AS height,
+              |   ((doc_id % 5 + 4) * (doc_id % 4 + 3) * 3)::int AS n, text
+              |  FROM documents),
+              | p AS (SELECT media_id, width, height, n,
+              |   substring(text || repeat('x', 144), 1, n) AS px FROM g),
+              | b AS (SELECT media_id, width, height, n,
+              |   list_transform(range(1, n + 1), i -> ord(substring(px, i, 1))) AS vs FROM p)
+              |SELECT media_id, width, height,
+              | cast(list_sum(list_transform(range(0, n // 3), j -> vs[1 + j * 3])) as bigint) AS r_sum,
+              | cast(list_sum(list_transform(range(0, n // 3), j -> vs[2 + j * 3])) as bigint) AS g_sum,
+              | cast(list_sum(list_transform(range(0, n // 3), j -> vs[3 + j * 3])) as bigint) AS b_sum,
+              | cast(list_min(vs) as bigint) AS min_v,
+              | cast(list_max(vs) as bigint) AS max_v,
+              | (n // 3)::bigint AS n_px,
+              | vs[1]::bigint AS first_v,
+              | vs[n]::bigint AS last_v
+              |FROM b""".stripMargin)),
+
     // ---- multimodal frame sampling (deterministic byte slices — oracle-able)
     Q("media_frame_sample",
       (s, dir) => {

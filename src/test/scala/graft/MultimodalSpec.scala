@@ -65,4 +65,45 @@ class MultimodalSpec extends SparkSpec {
     val Some((_, _, emb)) = PixelStatsDecoder.decodeImage(ppm, 12)
     assert(emb.length == 12 && emb.drop(8).forall(_ == 0f))
   }
+
+  /** Encode the spec's 2×2 pixels to a real compressed container via the
+    * JDK writer.
+    */
+  private def encode(format: String): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Array(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    var i = 0
+    for (y <- 0 until 2; x <- 0 until 2) {
+      im.setRGB(x, y, (px(i) << 16) | (px(i + 1) << 8) | px(i + 2)); i += 3
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, format, bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder: PNG (lossless) reproduces the PPM stats exactly") {
+    val Some((w, h, emb)) = Multimodal.ImageIoDecoder.decodeImage(encode("png"), 8)
+    assert((w, h) == (2, 2) && emb.toSeq == expected._3.toSeq, emb.toSeq.toString)
+  }
+
+  test("ImageIoDecoder: JPEG (lossy) decodes with correct dimensions; junk rejected") {
+    val Some((w, h, emb)) = Multimodal.ImageIoDecoder.decodeImage(encode("jpg"), 8)
+    assert((w, h) == (2, 2) && emb(5) == 4f) // n_px exact even when values shift
+    assert(Multimodal.ImageIoDecoder.decodeImage("not an image".getBytes, 8).isEmpty)
+    assert(Multimodal.ImageIoDecoder.decodeImage(Array[Byte](), 8).isEmpty)
+  }
+
+  test("quarantine: rejects come back as decode_ok=false rows, never dropped") {
+    val df = spark.createDataFrame(Seq(
+      (1L, ppm), (2L, "garbage".getBytes), (3L, bmp), (4L, Array[Byte]())))
+      .toDF("media_id", "payload")
+    val out = Multimodal.extractImageFeaturesWithRejects(df, "media_id", "payload",
+      embeddingDim = 8)
+    assert(out.count() == 4) // every input row accounted for
+    val rejects = out.filter(!col("decode_ok"))
+      .select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rejects == Seq(2L, 4L))
+    assert(out.filter(!col("decode_ok")).filter(col("embedding").isNotNull).count() == 0)
+  }
 }
