@@ -21,10 +21,27 @@ object RunOne {
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    if (args.contains("explain")) df.explain("formatted")
-    df.show(20, truncate = false)
-    println(s"rows: ${df.count()}")
+    if (args.contains("time")) {
+      // Bench-parity timing: same warmup + fixture prestage, N samples.
+      try {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy("l_returnflag").count().count()
+        graft.queries.SyncQueries.prestage(spark, sfDir)
+        graft.queries.SourceQueries.prestage(spark, sfDir)
+      } catch { case _: Throwable => () }
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.count()
+        graft.ops.Caching.release(df)
+        println(f"""{"query":"$name","run":$i,"sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      }
+    } else {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (args.contains("explain")) df.explain("formatted")
+      df.show(20, truncate = false)
+      println(s"rows: ${df.count()}")
+    }
     spark.stop()
   }
 }

@@ -336,9 +336,7 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     try {
       // Excess slave partitions → delete keys, folded into the single apply
       // below (the reference deletes per value, Synchronizer.php:166-175).
-      val excessDf = joined.filter(col("fp_count").isNull && col("s_count").isNotNull)
-        .select(col("__s_part").as(partCol))
-      val nExcess = excessDf.count()
+      val excessCond = col("fp_count").isNull && col("s_count").isNotNull
       // Changed or missing partitions → one combined row-level diff scoped to
       // them (needDiff stays distributed: partition cardinality may be huge).
       // `syncSharedPartitions = false` limits the diff to missing partitions
@@ -348,9 +346,14 @@ final class SyncEngine(master: TableStore, slave: TableStore,
       val scopeCond =
         if (config.syncSharedPartitions) col("s_count").isNull || changed
         else col("s_count").isNull
-      val needDiff = joined.filter(col("fp_count").isNotNull && scopeCond)
-        .select(col(partCol).as("__need_part"))
-      val nNeed = needDiff.count()
+      val needCond = col("fp_count").isNotNull && scopeCond
+      // ONE action materializes the cached join AND produces both plan-gate
+      // counts (two separate .count()s paid an extra pass each cycle).
+      val gate = joined.agg(
+        count(when(excessCond, lit(1))), count(when(needCond, lit(1)))).head()
+      val (nExcess, nNeed) = (gate.getLong(0), gate.getLong(1))
+      val excessDf = joined.filter(excessCond).select(col("__s_part").as(partCol))
+      val needDiff = joined.filter(needCond).select(col(partCol).as("__need_part"))
       if (nNeed == 0 && nExcess == 0) return record(Skip(table, "already in sync"))
       if (nExcess > 0) record(DropPartition(table, partCol, s"$nExcess partitions"))
       if (nNeed == 0) {
