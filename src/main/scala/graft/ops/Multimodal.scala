@@ -96,8 +96,10 @@ object Multimodal {
         (w, h, Array.tabulate(dim)(i => if (i < stats.length) stats(i) else 0f))
       }
 
-    /** (width, height, top-down RGB pixel bytes) or None if unreadable. */
-    private def parse(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    /** (width, height, top-down RGB pixel bytes) or None if unreadable.
+      * Package-visible so [[resizeImages]] can source raw pixels.
+      */
+    private[ops] def parse(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
       if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') parsePpm(bytes)
       else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') parseBmp(bytes)
       else None
@@ -260,6 +262,119 @@ object Multimodal {
       .filter(col("decode_ok"))
       .select(col("media_id"), col("width"), col("height"), col("embedding"))
 
+  /** Audio feature schema produced by [[extractAudioFeatures]]. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_channels", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("sum_amp", LongType, nullable = true),
+    StructField("min_amp", IntegerType, nullable = true),
+    StructField("max_amp", IntegerType, nullable = true),
+    StructField("first_amp", IntegerType, nullable = true),
+    StructField("last_amp", IntegerType, nullable = true)))
+
+  /** REAL decoder for the classic uncompressed audio container: RIFF/WAVE,
+    * PCM 16-bit little-endian (format tag 1). Chunk-walks the RIFF structure
+    * (fmt then data, tolerating extra chunks), then computes exact integer
+    * sample statistics — every value a small integer, so features are
+    * bit-stable and oracle-replayable (`media_audio_features` rebuilds the
+    * int16 decode in SQL). Returns None for anything that is not a
+    * well-formed PCM16 WAV (the quarantine contract of the image path).
+    */
+  object WavPcmDecoder extends Serializable {
+    final case class AudioStats(sampleRate: Int, nChannels: Int, nSamples: Long,
+                                sum: Long, min: Int, max: Int, first: Int, last: Int)
+
+    def decode(bytes: Array[Byte]): Option[AudioStats] = {
+      def le32(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+        ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+      def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      def tag(o: Int): String = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      // Chunk walk: fmt may be followed by LIST/fact/etc. before data.
+      var pos = 12
+      var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, sampleRate)
+      var bps = 0
+      var data: Option[(Int, Int)] = None // (offset, length)
+      while (pos + 8 <= bytes.length && data.isEmpty) {
+        val id = tag(pos); val len = le32(pos + 4)
+        if (len < 0 || pos + 8 + len > bytes.length) return None
+        if (id == "fmt ") {
+          if (len < 16) return None
+          fmt = Some((le16(pos + 8), le16(pos + 10), le32(pos + 12)))
+          bps = le16(pos + 22)
+        } else if (id == "data") data = Some((pos + 8, len))
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      (fmt, data) match {
+        case (Some((1, ch, rate)), Some((off, len)))
+            if bps == 16 && ch > 0 && rate > 0 && len >= 2 && len % 2 == 0 =>
+          val n = len / 2
+          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          var i = 0
+          var first = 0; var last = 0
+          while (i < n) {
+            val raw = (bytes(off + 2 * i) & 0xFF) | ((bytes(off + 2 * i + 1) & 0xFF) << 8)
+            val v = if (raw >= 0x8000) raw - 0x10000 else raw // int16 sign
+            if (i == 0) first = v
+            last = v
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          Some(AudioStats(rate, ch, n.toLong, sum, mn, mx, first, last))
+        case _ => None
+      }
+    }
+  }
+
+  /** Minimal canonical PCM16 WAV writer (44-byte header + raw little-endian
+    * samples) — the inverse of [[WavPcmDecoder]], used by fixtures/adapters.
+    */
+  def encodeWavPcm16(pcm: Array[Byte], sampleRate: Int, channels: Int): Array[Byte] = {
+    require(pcm.length % 2 == 0, "PCM16 payload must be an even byte count")
+    val out = new Array[Byte](44 + pcm.length)
+    def ascii(o: Int, s: String): Unit = { s.getBytes("US-ASCII").copyToArray(out, o); () }
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte; out(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    ascii(0, "RIFF"); le32(4, 36 + pcm.length); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, channels)
+    le32(24, sampleRate); le32(28, sampleRate * channels * 2)
+    le16(32, channels * 2); le16(34, 16)
+    ascii(36, "data"); le32(40, pcm.length)
+    pcm.copyToArray(out, 44)
+    out
+  }
+
+  /** Batched WAV decode with the same quarantine contract as the image
+    * path: every row returns, `decode_ok = false` + NULL stats for anything
+    * that is not well-formed PCM16 WAV. Same bytes-bounded partition sizing.
+    */
+  def extractAudioFeatures(df: DataFrame, idCol: String, bytesCol: String,
+                           targetPartitionBytes: Long = 256L << 20): DataFrame = {
+    val totalBytes = df.agg(sum(octet_length(col(bytesCol)))).head().getLong(0)
+    val nParts = math.max(1, math.min(10000, (totalBytes / targetPartitionBytes) + 1).toInt)
+    val slim = df.select(col(idCol).cast(LongType), col(bytesCol)).repartition(nParts)
+    val enc = org.apache.spark.sql.Encoders.row(audioFeatureSchema)
+    slim.mapPartitions { it =>
+      it.map { r =>
+        WavPcmDecoder.decode(r.getAs[Array[Byte]](1)) match {
+          case Some(a) => Row(r.getLong(0), true, a.sampleRate, a.nChannels,
+            a.nSamples, a.sum, a.min, a.max, a.first, a.last)
+          case None => Row(r.getLong(0), false, null, null, null, null, null, null, null, null)
+        }
+      }
+    }(enc).toDF()
+  }
+
   /** Frame sampling for video payloads: emit `n` deterministic byte-slices
     * ("frames") per payload. Real impl would seek keyframes; the slicing,
     * explode shape, and output schema are the production plumbing.
@@ -274,12 +389,80 @@ object Multimodal {
       .select(col(idCol), col("frame.frame_no"), col("frame.frame_bytes"))
   }
 
-  /** "Resize": deterministic thumbnail stub — truncate payload to a byte
-    * budget and restamp metadata. Plan shape (projection, no shuffle)
-    * matches a real resize.
+  /** Byte-budget cap (NOT a pixel resize — see [[resizeImages]] for that):
+    * truncate payload to `maxBytes`. Useful as a transport guard; kept for
+    * plan-shape parity (projection, no shuffle).
     */
   def resizeStub(df: DataFrame, bytesCol: String, maxBytes: Int): DataFrame =
     df.withColumn(bytesCol,
       when(octet_length(col(bytesCol)) > maxBytes,
         substring(col(bytesCol), 1, maxBytes)).otherwise(col(bytesCol)))
+
+  /** Resized-image schema produced by [[resizeImages]]. */
+  val resizedImageSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+
+  /** REAL image resize: decode (PPM/BMP via the native parser, PNG/JPEG/GIF
+    * via javax.imageio), sample with EXPLICIT nearest-neighbor arithmetic —
+    * `src(x,y) = (x*w div outW, y*h div outH)`, pinned here rather than
+    * delegated to an AWT interpolator so the pixel selection is
+    * deterministic and SQL-replayable (`media_resize` oracle) — and
+    * re-encode as PNG (lossless: resized pixels survive bit-exact).
+    * Quarantine contract as everywhere: undecodable rows return
+    * `decode_ok = false` with NULL payload, never dropped.
+    */
+  def resizeImages(df: DataFrame, idCol: String, bytesCol: String,
+                   outW: Int, outH: Int,
+                   targetPartitionBytes: Long = 256L << 20): DataFrame = {
+    require(outW > 0 && outH > 0, "resize dimensions must be positive")
+    val totalBytes = df.agg(sum(octet_length(col(bytesCol)))).head().getLong(0)
+    val nParts = math.max(1, math.min(10000, (totalBytes / targetPartitionBytes) + 1).toInt)
+    val slim = df.select(col(idCol).cast(LongType), col(bytesCol)).repartition(nParts)
+    val enc = org.apache.spark.sql.Encoders.row(resizedImageSchema)
+    slim.mapPartitions { it =>
+      it.map { r =>
+        readPixels(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, rgbAt)) =>
+            val im = new java.awt.image.BufferedImage(outW, outH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < outH) {
+              val sy = y * h / outH
+              var x = 0
+              while (x < outW) {
+                im.setRGB(x, y, rgbAt(x * w / outW, sy))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(im, "png", bos)
+            Row(r.getLong(0), true, bos.toByteArray, outW, outH)
+          case None => Row(r.getLong(0), false, null, null, null)
+        }
+      }
+    }(enc).toDF()
+  }
+
+  /** (width, height, (x, y) → packed RGB) from any payload either decoder
+    * family reads — PPM/BMP through the native parser first (cheap header
+    * sniff), then the javax.imageio readers.
+    */
+  private def readPixels(bytes: Array[Byte]): Option[(Int, Int, (Int, Int) => Int)] =
+    PixelStatsDecoder.parse(bytes).map { case (w, h, px) =>
+      (w, h, (x: Int, y: Int) => {
+        val i = (y * w + x) * 3
+        ((px(i) & 0xFF) << 16) | ((px(i + 1) & 0xFF) << 8) | (px(i + 2) & 0xFF)
+      })
+    }.orElse {
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+      img.map(im => (im.getWidth, im.getHeight,
+        (x: Int, y: Int) => im.getRGB(x, y) & 0xFFFFFF))
+    }
 }

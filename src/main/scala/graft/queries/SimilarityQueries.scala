@@ -369,6 +369,100 @@ object SimilarityQueries {
               | vs[n]::bigint AS last_v
               |FROM b""".stripMargin)),
 
+    // ---- REAL nearest-neighbor resize: deterministic PPM payloads →
+    //      resizeImages(2×2) → PNG → ImageIoDecoder stats. The resize's
+    //      pixel selection is pinned arithmetic (src = (x·w div 2,
+    //      y·h div 2)), so the oracle picks the SAME 4 source pixels out of
+    //      the text bytes in SQL and the decoded stats must hash-match —
+    //      decode, resample, re-encode, decode again, all byte-exact.
+    Q("media_resize",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val wE = (col("doc_id") % 5 + 4).cast("int")
+        val hE = (col("doc_id") % 4 + 3).cast("int")
+        val nE = wE * hE * lit(3)
+        val body = concat(col("text"), lit("x" * 144)).substr(lit(1), nE)
+        val payload = concat(lit("P6\n"), wE.cast("string"), lit(" "),
+          hE.cast("string"), lit("\n255\n"), body).cast("binary")
+        val media = d.select(col("doc_id").as("media_id"), payload.as("payload"))
+        val resized = Multimodal.resizeImages(media, "media_id", "payload",
+          outW = 2, outH = 2)
+        Multimodal.extractImageFeatures(resized.filter(col("decode_ok")),
+            "media_id", "payload", embeddingDim = 8,
+            decoder = Multimodal.ImageIoDecoder)
+          .select(col("media_id"), col("width"), col("height"),
+            element_at(col("embedding"), 1).cast("long").as("r_sum"),
+            element_at(col("embedding"), 2).cast("long").as("g_sum"),
+            element_at(col("embedding"), 3).cast("long").as("b_sum"),
+            element_at(col("embedding"), 4).cast("long").as("min_v"),
+            element_at(col("embedding"), 5).cast("long").as("max_v"),
+            element_at(col("embedding"), 6).cast("long").as("n_px"),
+            element_at(col("embedding"), 7).cast("long").as("first_v"),
+            element_at(col("embedding"), 8).cast("long").as("last_v"))
+      },
+      Some("""WITH g AS (SELECT doc_id AS media_id,
+              |   (doc_id % 5 + 4)::int AS w, (doc_id % 4 + 3)::int AS h,
+              |   ((doc_id % 5 + 4) * (doc_id % 4 + 3) * 3)::int AS n, text
+              |  FROM documents),
+              | p AS (SELECT media_id, w, h,
+              |   substring(text || repeat('x', 144), 1, n) AS px FROM g),
+              | q AS (SELECT media_id,
+              |   flatten(list_transform([0, 1], y ->
+              |     flatten(list_transform([0, 1], x ->
+              |       list_transform([1, 2, 3], c ->
+              |         ord(substring(px, ((y * h // 2) * w + (x * w // 2)) * 3 + c, 1))))))) AS pk
+              |  FROM p)
+              |SELECT media_id, 2::int AS width, 2::int AS height,
+              | (pk[1] + pk[4] + pk[7] + pk[10])::bigint AS r_sum,
+              | (pk[2] + pk[5] + pk[8] + pk[11])::bigint AS g_sum,
+              | (pk[3] + pk[6] + pk[9] + pk[12])::bigint AS b_sum,
+              | cast(list_min(pk) as bigint) AS min_v,
+              | cast(list_max(pk) as bigint) AS max_v,
+              | 4::bigint AS n_px,
+              | pk[1]::bigint AS first_v, pk[12]::bigint AS last_v
+              |FROM q""".stripMargin)),
+
+    // ---- REAL audio decode: deterministic PCM16 samples (from text bytes)
+    //      wrapped in a genuine RIFF/WAVE container, chunk-walked and
+    //      sample-decoded by WavPcmDecoder; the oracle rebuilds the int16
+    //      little-endian decode in SQL, so header parse + sample math are
+    //      both hash-gated. (ASCII text ⇒ high bytes < 128 ⇒ all samples
+    //      positive here; sign handling is spec'd in MultimodalSpec.)
+    Q("media_audio_features",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val pcm = concat(col("text"), lit("x" * 80)).substr(lit(1), lit(80))
+        val base = d.select(col("doc_id").cast("long").as("media_id"),
+          pcm.cast("binary").as("pcm"))
+        val enc = org.apache.spark.sql.Encoders.row(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("media_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("payload",
+              org.apache.spark.sql.types.BinaryType, nullable = false))))
+        val media = base.mapPartitions { it =>
+          it.map { r =>
+            org.apache.spark.sql.Row(r.getLong(0), Multimodal.encodeWavPcm16(
+              r.getAs[Array[Byte]](1), sampleRate = 8000, channels = 1))
+          }
+        }(enc).toDF()
+        Multimodal.extractAudioFeatures(media, "media_id", "payload")
+      },
+      Some("""WITH p AS (SELECT doc_id AS media_id,
+              |   substring(text || repeat('x', 80), 1, 80) AS px FROM documents),
+              | b AS (SELECT media_id,
+              |   list_transform(range(1, 81), i -> ord(substring(px, i, 1))) AS vs FROM p),
+              | sm AS (SELECT media_id,
+              |   list_transform(range(0, 40), j -> vs[2*j+1] + 256 * vs[2*j+2]) AS sa FROM b)
+              |SELECT media_id, true AS decode_ok, 8000::int AS sample_rate,
+              | 1::int AS n_channels, 40::bigint AS n_samples,
+              | cast(list_sum(sa) as bigint) AS sum_amp,
+              | cast(list_min(sa) as int) AS min_amp,
+              | cast(list_max(sa) as int) AS max_amp,
+              | cast(sa[1] as int) AS first_amp,
+              | cast(sa[40] as int) AS last_amp
+              |FROM sm""".stripMargin)),
+
     // ---- multimodal frame sampling (deterministic byte slices — oracle-able)
     Q("media_frame_sample",
       (s, dir) => {

@@ -35,6 +35,7 @@ object SyncQueries {
     */
   def prestage(s: SparkSession, dir: String): Unit = {
     makeSlaveDir(s, dir, "warm")
+    makeOrdersSlaveDir(s, dir, "warm")
     ensureCatalogMasters(s, dir)
     ensureDbFixture(s, dir)
     restoreCatalogSlave(s, dir, bucketed = true)
@@ -96,6 +97,33 @@ object SyncQueries {
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.delete)
     }
+
+  /** Staged perturbed ORDERS slave (same stage-once / file-copy-per-run
+    * contract as the lineitem base): missing (%5), stale totalprice (%7),
+    * 2 fabricated excess rows. Used by the maintained-mode query — the
+    * maintained mechanics are table-size-independent, so the demo shouldn't
+    * double-pay lineitem-sized COW rewrites (same reasoning as
+    * stream_resync_audited).
+    */
+  private val ordersStaged = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def makeOrdersSlaveDir(s: SparkSession, dir: String, tag: String): String = {
+    val base = ordersStaged.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_orders_base").toString
+      val o = T(s, dir, "orders")
+      val perturbed = o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice", when(col("o_orderkey") % 7 === 0,
+          col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+      val excess = o.orderBy("o_orderkey").limit(2)
+        .withColumn("o_orderkey", col("o_orderkey") + 900000L)
+      perturbed.unionByName(excess)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+      out
+    })
+    val out = java.nio.file.Files.createTempDirectory(s"graft_orders_$tag")
+    copyDir(java.nio.file.Paths.get(base), out)
+    out.toString
+  }
 
   /** The whole-database fixture: an immutable MASTER parquet dir (staged
     * once per source dir) and a pristine SLAVE base dir holding every
@@ -401,37 +429,40 @@ object SyncQueries {
     // and the oracle's SQL replay of the same perturbation.
     Q("sync_converge_maintained",
       (s, dir) => {
-        val slaveDir = makeSlaveDir(s, dir, "maint")
+        val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        val slaveDir = makeOrdersSlaveDir(s, dir, "maint")
         val master = new ParquetStore(s, dir)
         val slave = new ParquetStore(s, slaveDir)
         val engine = new SyncEngine(master, slave, SyncConfig(
-          primaryKeys = Map("lineitem" -> Seq("l_orderkey", "l_linenumber")),
+          primaryKeys = Map("orders" -> Seq("o_orderkey")),
           maintainFingerprints = true))
-        engine.syncTable("lineitem") // cycle 1: prime + converge
-        engine.syncTable("lineitem") // cycle 2: token short-circuit
+        engine.syncTable("orders") // cycle 1: prime + converge
+        engine.syncTable("orders") // cycle 2: token short-circuit
         val secondSkip = engine.auditLog.lastOption.exists {
           case graft.sync.SyncAction.Skip(_, r) => r.contains("change token")
           case _ => false
         }
-        val touched = T(s, dir, "lineitem").select(liCols.map(col): _*)
-          .filter(col("l_orderkey") % 11 === 5)
+        val touched = T(s, dir, "orders").filter(col("o_orderkey") % 11 === 5)
         val changes = touched.withColumn("op", lit("D")).unionByName(
-          touched.withColumn("l_quantity", col("l_quantity") + 2.0)
+          touched.withColumn("o_totalprice", col("o_totalprice") + 2.0)
             .withColumn("op", lit("I")))
-        engine.applyCdc("lineitem", changes) // cycle 3: O(delta) CDC fold
-        val maintained = engine.maintainedFingerprint("lineitem").get
-        Hashing.multisetFingerprintAgg(slave.read("lineitem"), liCols)
+        engine.applyCdc("orders", changes) // cycle 3: O(delta) CDC fold
+        val maintained = engine.maintainedFingerprint("orders").get
+        Hashing.multisetFingerprintAgg(slave.read("orders"), oCols)
           .select(col("fingerprint"), col("n_rows"),
             (col("fingerprint") === lit(maintained.render)).as("maintained_matches"),
             lit(secondSkip).as("second_cycle_zero_scan"))
       },
       Some {
+        val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
         val perturbed = """(SELECT * REPLACE (
-          |   CASE WHEN l_orderkey % 11 = 5 THEN l_quantity + 2.0 ELSE l_quantity END
-          |   AS l_quantity) FROM lineitem) p""".stripMargin
+          |   CASE WHEN o_orderkey % 11 = 5 THEN o_totalprice + 2.0 ELSE o_totalprice END
+          |   AS o_totalprice) FROM orders) p""".stripMargin
         s"""SELECT fingerprint, n_rows, true AS maintained_matches,
            | true AS second_cycle_zero_scan
-           |FROM (${Registry.duckMultisetFingerprint(liCols, perturbed)})""".stripMargin
+           |FROM (${Registry.duckMultisetFingerprint(oCols, perturbed)})""".stripMargin
       })
   )
 }

@@ -94,6 +94,69 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ImageIoDecoder.decodeImage(Array[Byte](), 8).isEmpty)
   }
 
+  test("WAV PCM16: chunk walk, int16 sign, stats; junk and non-PCM rejected") {
+    import graft.ops.Multimodal.WavPcmDecoder
+    // Samples exercising sign handling: 100, -2 (0xFFFE), 32767, -32768.
+    val pcm = Array[Byte](100, 0, 0xFE.toByte, 0xFF.toByte,
+      0xFF.toByte, 0x7F.toByte, 0x00, 0x80.toByte)
+    val wav = Multimodal.encodeWavPcm16(pcm, sampleRate = 8000, channels = 1)
+    val Some(a) = WavPcmDecoder.decode(wav)
+    assert(a == WavPcmDecoder.AudioStats(8000, 1, 4, 100L - 2 + 32767 - 32768,
+      -32768, 32767, 100, -32768), a.toString)
+
+    // Extra chunk between fmt and data must be walked over, not tripped on.
+    val withList = wav.take(36) ++
+      "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII") ++
+      wav.drop(36)
+    val Some(b) = WavPcmDecoder.decode(withList)
+    assert(b == a)
+
+    assert(WavPcmDecoder.decode("RIFFnope".getBytes).isEmpty)
+    assert(WavPcmDecoder.decode(Array[Byte]()).isEmpty)
+    assert(WavPcmDecoder.decode(wav.dropRight(3)).isEmpty) // truncated data chunk
+    // Non-PCM format tag rejected.
+    val nonPcm = wav.clone(); nonPcm(20) = 3
+    assert(WavPcmDecoder.decode(nonPcm).isEmpty)
+  }
+
+  test("extractAudioFeatures: quarantine contract (every row back, rejects flagged)") {
+    val wav = Multimodal.encodeWavPcm16(Array[Byte](10, 0, 20, 0), 44100, 1)
+    val df = spark.createDataFrame(Seq((1L, wav), (2L, "not audio".getBytes)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.extractAudioFeatures(df, "media_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq
+    assert(out == Seq((1L, true), (2L, false)))
+  }
+
+  test("resizeImages: pinned nearest-neighbor picks + PNG round-trip; junk quarantined") {
+    // 4×2 source, pixel (x,y) has R=10x+y, G=100+x, B=200+y — every source
+    // pixel identifiable. 2×2 nearest-neighbor: src(x,y) = (2x, y).
+    val w = 4; val h = 2
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      px(i) = (10 * x + y).toByte; px(i + 1) = (100 + x).toByte; px(i + 2) = (200 + y).toByte
+    }
+    val src = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+    val df = spark.createDataFrame(Seq((1L, src), (2L, "junk".getBytes)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.resizeImages(df, "media_id", "payload", outW = 2, outH = 2)
+    assert(out.count() == 2)
+    assert(out.filter(!col("decode_ok")).select("media_id").head().getLong(0) == 2L)
+
+    val ok = out.filter(col("decode_ok"))
+    val Array(row) = ok.collect()
+    assert(row.getInt(3) == 2 && row.getInt(4) == 2)
+    // Decode the emitted PNG and check the EXACT picked pixels:
+    // out(0,0)←src(0,0), out(1,0)←src(2,0), out(0,1)←src(0,1), out(1,1)←src(2,1).
+    val png = row.getAs[Array[Byte]](2)
+    val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    def rgb(x: Int, y: Int) = im.getRGB(x, y) & 0xFFFFFF
+    def expect(sx: Int, sy: Int) = ((10 * sx + sy) << 16) | ((100 + sx) << 8) | (200 + sy)
+    assert(rgb(0, 0) == expect(0, 0) && rgb(1, 0) == expect(2, 0) &&
+      rgb(0, 1) == expect(0, 1) && rgb(1, 1) == expect(2, 1))
+  }
+
   test("quarantine: rejects come back as decode_ok=false rows, never dropped") {
     val df = spark.createDataFrame(Seq(
       (1L, ppm), (2L, "garbage".getBytes), (3L, bmp), (4L, Array[Byte]())))
