@@ -375,6 +375,96 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  /** Decoded-frame schema produced by [[sampleFramesDecoded]]. */
+  val videoFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true)))
+
+  /** Split an MJPEG-style concatenated-frames payload into per-frame byte
+    * ranges. Motion-JPEG is literally JPEGs stored back to back; the
+    * self-delimiting frame container here is P6 PPM (each header declares
+    * `w*h*3` pixel bytes, so the next frame's offset is computable without
+    * an index). Returns None when position 0 is not a well-formed frame —
+    * the container-level quarantine signal.
+    */
+  private[graft] def splitPpmFrames(bytes: Array[Byte], maxFrames: Int): Option[Seq[(Int, Int)]] = {
+    var pos = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    while (pos + 2 <= bytes.length && out.length < maxFrames &&
+           bytes(pos) == 'P' && bytes(pos + 1) == '6') {
+      var p = pos + 2
+      def nextInt(): Int = {
+        var done = false
+        while (!done && p < bytes.length) {
+          val c = bytes(p)
+          if (c == '#') { while (p < bytes.length && bytes(p) != '\n') p += 1 }
+          else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') p += 1
+          else done = true
+        }
+        var v = 0; var any = false
+        while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
+          v = v * 10 + (bytes(p) - '0'); p += 1; any = true
+        }
+        if (any) v else -1
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      p += 1 // single whitespace after maxval
+      val npx = w.toLong * h * 3
+      if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255 || p + npx > bytes.length)
+        return if (out.isEmpty) None else Some(out.toSeq)
+      val end = p + npx.toInt
+      out += ((pos, end - pos))
+      pos = end
+    }
+    if (out.isEmpty) None else Some(out.toSeq)
+  }
+
+  /** REAL frame sampling + decode for concatenated-frame video payloads:
+    * split the container ([[splitPpmFrames]]), pick `n` frames with pinned
+    * arithmetic (`frame i ← index i·nFrames div n` — deterministic, no
+    * keyframe heuristics), decode each through the decoder to dimensions +
+    * pixel statistics. Container-level failures surface as one
+    * `decode_ok = false` row per payload (quarantine contract). Shape is
+    * the production one: bytes-bounded partitions, one decoder per
+    * partition, explode only AFTER the per-payload work.
+    */
+  def sampleFramesDecoded(df: DataFrame, idCol: String, bytesCol: String, n: Int,
+                          embeddingDim: Int = 8,
+                          decoder: MediaDecoder = PixelStatsDecoder,
+                          targetPartitionBytes: Long = 256L << 20): DataFrame = {
+    require(n > 0, "frame sample count must be positive")
+    val totalBytes = df.agg(sum(octet_length(col(bytesCol)))).head().getLong(0)
+    val nParts = math.max(1, math.min(10000, (totalBytes / targetPartitionBytes) + 1).toInt)
+    val slim = df.select(col(idCol).cast(LongType), col(bytesCol)).repartition(nParts)
+    val enc = org.apache.spark.sql.Encoders.row(videoFrameSchema)
+    slim.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        splitPpmFrames(bytes, maxFrames = 10000) match {
+          case None => Iterator.single(Row(id, false, null, null, null, null))
+          case Some(frames) =>
+            val nf = frames.length
+            // i·nf div n is strictly increasing when nf ≥ n (step ≥ 1), so
+            // picks are distinct; fewer frames than requested → all frames.
+            val picks = if (n >= nf) 0 until nf else (0 until n).map(i => i * nf / n)
+            picks.iterator.map { fi =>
+              val (off, len) = frames(fi)
+              val fb = java.util.Arrays.copyOfRange(bytes, off, off + len)
+              decoder.decodeImage(fb, embeddingDim) match {
+                case Some((w, h, emb)) => Row(id, true, fi, w, h, emb.toSeq)
+                case None => Row(id, false, fi, null, null, null)
+              }
+            }
+        }
+      }
+    }(enc).toDF()
+  }
+
   /** Frame sampling for video payloads: emit `n` deterministic byte-slices
     * ("frames") per payload. Real impl would seek keyframes; the slicing,
     * explode shape, and output schema are the production plumbing.

@@ -463,6 +463,55 @@ object SimilarityQueries {
               | cast(sa[40] as int) AS last_amp
               |FROM sm""".stripMargin)),
 
+    // ---- REAL video-frame decode: MJPEG-style container (self-delimiting
+    //      frames stored back to back — here P6 PPM, whose header declares
+    //      the frame's byte length), split + sampled with pinned arithmetic
+    //      (frame i ← i·nFrames div n) + per-frame pixel decode. Three
+    //      frames per doc from distinct text slices; n=2 sampling must pick
+    //      frames {0, 1} and their decoded stats must replay the oracle's
+    //      per-frame byte math exactly.
+    Q("media_video_frames",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val wE = (col("doc_id") % 5 + 4).cast("int")
+        val hE = (col("doc_id") % 4 + 3).cast("int")
+        val nE = wE * hE * lit(3)
+        val padded = concat(col("text"), lit("x" * 432))
+        def frame(k: Int) = concat(lit("P6\n"), wE.cast("string"), lit(" "),
+          hE.cast("string"), lit("\n255\n"), padded.substr(nE * lit(k) + 1, nE))
+        val payload = concat(frame(0), frame(1), frame(2)).cast("binary")
+        val media = d.select(col("doc_id").as("media_id"), payload.as("payload"))
+        Multimodal.sampleFramesDecoded(media, "media_id", "payload", n = 2)
+          .select(col("media_id"), col("frame_no"), col("width"), col("height"),
+            element_at(col("embedding"), 1).cast("long").as("r_sum"),
+            element_at(col("embedding"), 2).cast("long").as("g_sum"),
+            element_at(col("embedding"), 3).cast("long").as("b_sum"),
+            element_at(col("embedding"), 4).cast("long").as("min_v"),
+            element_at(col("embedding"), 5).cast("long").as("max_v"),
+            element_at(col("embedding"), 6).cast("long").as("n_px"),
+            element_at(col("embedding"), 7).cast("long").as("first_v"),
+            element_at(col("embedding"), 8).cast("long").as("last_v"))
+      },
+      Some("""WITH g AS (SELECT doc_id AS media_id,
+              |   (doc_id % 5 + 4)::int AS width, (doc_id % 4 + 3)::int AS height,
+              |   ((doc_id % 5 + 4) * (doc_id % 4 + 3) * 3)::int AS n,
+              |   text || repeat('x', 432) AS tx
+              |  FROM documents),
+              | f AS (SELECT media_id, width, height, n, k::int AS frame_no,
+              |   substring(tx, k * n + 1, n) AS px FROM g, unnest([0, 1]) AS t(k)),
+              | b AS (SELECT media_id, frame_no, width, height, n,
+              |   list_transform(range(1, n + 1), i -> ord(substring(px, i, 1))) AS vs FROM f)
+              |SELECT media_id, frame_no, width, height,
+              | cast(list_sum(list_transform(range(0, n // 3), j -> vs[1 + j * 3])) as bigint) AS r_sum,
+              | cast(list_sum(list_transform(range(0, n // 3), j -> vs[2 + j * 3])) as bigint) AS g_sum,
+              | cast(list_sum(list_transform(range(0, n // 3), j -> vs[3 + j * 3])) as bigint) AS b_sum,
+              | cast(list_min(vs) as bigint) AS min_v,
+              | cast(list_max(vs) as bigint) AS max_v,
+              | (n // 3)::bigint AS n_px,
+              | vs[1]::bigint AS first_v,
+              | vs[n]::bigint AS last_v
+              |FROM b""".stripMargin)),
+
     // ---- multimodal frame sampling (deterministic byte slices — oracle-able)
     Q("media_frame_sample",
       (s, dir) => {

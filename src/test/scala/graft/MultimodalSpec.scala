@@ -157,6 +157,38 @@ class MultimodalSpec extends SparkSpec {
       rgb(0, 1) == expect(0, 1) && rgb(1, 1) == expect(2, 1))
   }
 
+  test("concatenated-frame container: split, pinned sampling, per-frame decode, quarantine") {
+    // Three 2×2 frames with distinct pixel bytes (frame f: bytes f*12+1 ..).
+    def frameBytes(f: Int): Array[Byte] =
+      "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+        Array.tabulate(12)(i => (f * 12 + i + 1).toByte)
+    val clip = frameBytes(0) ++ frameBytes(1) ++ frameBytes(2)
+    assert(Multimodal.splitPpmFrames(clip, 100).map(_.length).contains(3))
+    assert(Multimodal.splitPpmFrames("garbage".getBytes, 100).isEmpty)
+    // Truncated LAST frame: the complete prefix frames still split out.
+    assert(Multimodal.splitPpmFrames(clip.dropRight(3), 100).map(_.length).contains(2))
+
+    val df = spark.createDataFrame(Seq((1L, clip), (2L, "junk".getBytes)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.sampleFramesDecoded(df, "media_id", "payload", n = 2)
+    // Payload 1: picks = {0·3/2, 1·3/2} = {0, 1}; payload 2: one reject row.
+    val ok = out.filter(col("decode_ok")).orderBy("frame_no")
+      .select("media_id", "frame_no", "width", "height").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(ok == Seq((1L, 0, 2, 2), (1L, 1, 2, 2)))
+    val rejects = out.filter(!col("decode_ok")).select("media_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(rejects == Seq(2L))
+    // Frame 1's stats come from ITS bytes (13..24), not frame 0's.
+    val emb = out.filter(col("decode_ok") && col("frame_no") === 1)
+      .select("embedding").head().getSeq[Float](0)
+    assert(emb(3) == 13f && emb(4) == 24f && emb(6) == 13f && emb(7) == 24f, emb.toString)
+
+    // n above the frame count samples every frame exactly once.
+    assert(Multimodal.sampleFramesDecoded(df.filter(col("media_id") === 1L),
+      "media_id", "payload", n = 10).filter(col("decode_ok")).count() == 3)
+  }
+
   test("quarantine: rejects come back as decode_ok=false rows, never dropped") {
     val df = spark.createDataFrame(Seq(
       (1L, ppm), (2L, "garbage".getBytes), (3L, bmp), (4L, Array[Byte]())))
