@@ -375,6 +375,51 @@ object SyncQueries {
       Some(Registry.duckMultisetFingerprint(
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"), "orders"))),
 
+    // Maintained mode over the PARTITIONED cascade: cycle 1 converges the
+    // perturbed slave and spills the per-partition fingerprint snapshot;
+    // the master is then MUTATED (own staged copy — bump totalprice on
+    // every 9th order, which touches several status partitions); cycle 2
+    // must detect via the changed token, read the SLAVE side of the gate
+    // from the snapshot (no slave fingerprint scan — behavior proven in
+    // SyncEngineSpec's ghost-row test), scope the diff to the changed
+    // partitions, and converge. The oracle replays the mutated master in
+    // SQL against the slave's final recomputed fingerprint.
+    Q("sync_converge_partitioned_maintained",
+      (s, dir) => {
+        val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        // Fresh MUTABLE master copy per run (the query mutates it).
+        val mDir = java.nio.file.Files.createTempDirectory("graft_pm_master")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/orders.parquet"),
+          mDir.resolve("orders.parquet"))
+        val slaveDir = makeOrdersSlaveDir(s, dir, "pmaint")
+        val master = new ParquetStore(s, mDir.toString)
+        val slave = new ParquetStore(s, slaveDir)
+        val engine = new SyncEngine(master, slave, SyncConfig(
+          primaryKeys = Map("orders" -> Seq("o_orderkey")),
+          partitionedTables = Map("orders" -> "o_orderstatus"),
+          maintainFingerprints = true))
+        engine.syncTable("orders") // cycle 1: prime + converge + snapshot
+        master.overwrite("orders", master.read("orders").withColumn("o_totalprice",
+          when(col("o_orderkey") % 9 === 2, col("o_totalprice") + 5.0)
+            .otherwise(col("o_totalprice"))))
+        val second = engine.syncTable("orders") // cycle 2: snapshot-gated re-sync
+        val secondApplied = second.isInstanceOf[graft.sync.SyncAction.ApplyDelta]
+        Hashing.multisetFingerprintAgg(slave.read("orders"), oCols)
+          .select(col("fingerprint"), col("n_rows"),
+            lit(secondApplied).as("second_cycle_applied"))
+      },
+      Some {
+        val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        val mutated = """(SELECT * REPLACE (
+          |   CASE WHEN o_orderkey % 9 = 2 THEN o_totalprice + 5.0 ELSE o_totalprice END
+          |   AS o_totalprice) FROM orders) p""".stripMargin
+        s"""SELECT fingerprint, n_rows, true AS second_cycle_applied
+           |FROM (${Registry.duckMultisetFingerprint(oCols, mutated)})""".stripMargin
+      }),
+
     // Maintained (CDC) fingerprint: the MultisetFp group algebra that turns
     // the per-cycle convergence gate from two table scans into O(delta) —
     // `fpAfter = fpBefore.remove(fp(deleted)).merge(fp(inserted))`. Here a

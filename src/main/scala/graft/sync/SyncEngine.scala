@@ -35,7 +35,11 @@ final case class SyncConfig(
       * [[SyncEngine.applyCdc]] costs O(delta) only. REQUIRES this engine to
       * be the slave's sole writer — external slave writes are invisible to
       * the maintained state ([[SyncEngine.verifyMaintained]] is the audit
-      * escape hatch for drift).
+      * escape hatch for drift). Partitioned tables get the analogous
+      * treatment: the slave's per-partition fingerprints are snapshotted to
+      * scratch parquet at each convergence (O(partitions) state on storage,
+      * never the driver), so a repeat cycle's grouped-fingerprint scan hits
+      * only the master.
       */
     maintainFingerprints: Boolean = false,
     /** Plan but do not execute writes (audit-log S15 dry-run analog). */
@@ -156,6 +160,17 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     scala.collection.concurrent.TrieMap.empty[String, Hashing.MultisetFp]
   private val lastMasterToken =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  // Partitioned-table analog of `maintainedFp`: the slave's per-partition
+  // fingerprints as of the last convergence, SPILLED to scratch parquet
+  // (one row per partition value — partition cardinality can be huge, so
+  // this state lives on storage, not the driver). table → snapshot path.
+  private val partFpSnapshot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def dropPartSnapshot(table: String): Unit =
+    partFpSnapshot.remove(table).foreach { p =>
+      try Differ.rmScratch(master.spark, p) catch { case _: Exception => () }
+    }
 
   /** The maintained slave fingerprint for `table`, if primed (maintained mode). */
   def maintainedFingerprint(table: String): Option[Hashing.MultisetFp] =
@@ -194,7 +209,10 @@ final class SyncEngine(master: TableStore, slave: TableStore,
         // The recopy bypassed the fingerprint gate: any maintained value is
         // now stale — drop it so the next cycle re-primes (one slave scan)
         // instead of trusting a fingerprint of pre-copy content.
-        if (config.maintainFingerprints && !config.dryRun) maintainedFp.remove(table)
+        if (config.maintainFingerprints && !config.dryRun) {
+          maintainedFp.remove(table)
+          dropPartSnapshot(table)
+        }
         a
       } else config.partitionedTables.get(table) match {
         case Some(partCol) => syncPartitionedTable(table, partCol)
@@ -292,8 +310,10 @@ final class SyncEngine(master: TableStore, slave: TableStore,
           broadcast(delTarget) else delTarget
         slave.applyDelta(table, delT, keys, inserts, None)
         maintainedFp.update(table, prev.remove(fpD).merge(fpI))
-        // Feed-driven cycle: any stored master token is stale now.
+        // Feed-driven cycle: any stored master token is stale now, and so
+        // would be a per-partition snapshot of this table.
         lastMasterToken.remove(table)
+        dropPartSnapshot(table)
       }
       record(ApplyDelta(table, fpD.count, fpI.count))
     } finally Differ.rmScratch(spark, scratch)
@@ -324,16 +344,25 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     */
   private def syncPartitionedTable(table: String, partCol: String): SyncAction = {
     val m = master.read(table)
-    val s = slave.read(table)
+    lazy val s = slave.read(table)
     val cols = m.columns.toSeq
 
     val mFp = Hashing.partitionFingerprints(m, partCol, cols, config.legacyNullSkip)
-    val sFp = Hashing.partitionFingerprints(s, partCol, cols, config.legacyNullSkip)
+    // Maintained mode, partitioned analog: after a convergence the slave's
+    // per-partition fingerprints ARE the master's, so they were spilled as a
+    // snapshot then — read it (O(partitions), no slave scan) instead of
+    // re-fingerprinting the slave table every cycle. Priming / invalidated
+    // state falls back to the full grouped scan.
+    val sFpRaw = partFpSnapshot.get(table).filter(_ => config.maintainFingerprints) match {
+      case Some(path) => master.spark.read.parquet(path)
+      case None => Hashing.partitionFingerprints(s, partCol, cols, config.legacyNullSkip)
+    }
+    val sFp = sFpRaw
       .withColumnRenamed(partCol, "__s_part")
       .withColumnRenamed("fp_count", "s_count").withColumnRenamed("fp_xor", "s_xor")
       .withColumnRenamed("fp_sum", "s_sum")
     val joined = mFp.join(sFp, mFp(partCol) <=> sFp("__s_part"), "full_outer").cache()
-    try {
+    def run(): SyncAction = {
       // Excess slave partitions → delete keys, folded into the single apply
       // below (the reference deletes per value, Synchronizer.php:166-175).
       val excessCond = col("fp_count").isNull && col("s_count").isNotNull
@@ -383,6 +412,23 @@ final class SyncEngine(master: TableStore, slave: TableStore,
         else Differ.hashDiff(mScope, sScope, keys, config.legacyNullSkip)
       applyDelta(table, delta,
         partDeletes = if (nExcess > 0) Some(partCol -> excessDf) else None)
+    }
+    try {
+      val action = run()
+      if (config.maintainFingerprints && !config.dryRun && converged(action)) {
+        // Slave ≡ master now, so the master-side grouped fingerprints —
+        // already materialized in the cached join — ARE the slave's
+        // fingerprints: spill them as the next cycle's snapshot (write to a
+        // fresh path, then retire the old one, so a concurrent reader of
+        // the previous snapshot never sees a half-written dir).
+        val snap = Differ.newScratchDir(master.spark, config.scratchDir, s"pfp_$table")
+        joined.filter(col("fp_count").isNotNull)
+          .select(col(partCol), col("fp_count"), col("fp_xor"), col("fp_sum"))
+          .write.parquet(snap)
+        partFpSnapshot.put(table, snap)
+          .foreach(p => try Differ.rmScratch(master.spark, p) catch { case _: Exception => () })
+      }
+      action
     } finally joined.unpersist()
   }
 

@@ -302,6 +302,48 @@ class SyncEngineSpec extends SparkSpec {
     assert(engine.verifyMaintained("acct"))
   }
 
+  test("maintained mode, partitioned: snapshot replaces the slave fingerprint scan") {
+    val (md, sd, ms, ss) = mkStores("maintpart")
+    val df = custDf.withColumn("grp", $"id" % 2)
+    write(md, "acct", df)
+    write(sd, "acct", df.filter($"id" =!= 3L)) // dirty partition grp=1
+    val cfg = SyncConfig(primaryKeys = Map("acct" -> Seq("id")),
+      partitionedTables = Map("acct" -> "grp"), maintainFingerprints = true)
+    val engine = new SyncEngine(ms, ss, cfg)
+    assert(engine.syncTable("acct").isInstanceOf[SyncAction.ApplyDelta]) // prime+converge
+    assert(fp(ss.read("acct")) == fp(ms.read("acct")))
+
+    // Plant an OUT-OF-BAND slave row in the untouched partition grp=0 (a
+    // deliberate sole-writer violation): a slave fingerprint scan would see
+    // grp=0 divergent and repair it; the snapshot gate trusts its own last
+    // convergence and must not look at the slave outside the diff scope.
+    ss.append("acct", Seq((98L, "ghost", 0, 0.0, 0L)).toDF("id", "name", "nk", "bal", "grp"))
+    // Master changes ONLY in partition grp=1 → scoped diff covers grp=1.
+    write(md, "acct", df.withColumn("bal",
+      when($"id" === 1L, $"bal" + 10.0).otherwise($"bal")))
+    assert(engine.syncTable("acct").isInstanceOf[SyncAction.ApplyDelta])
+    assert(fp(ss.read("acct").filter($"grp" === 1L)) ==
+      fp(ms.read("acct").filter($"grp" === 1L)))
+    // The ghost SURVIVED: positive proof the slave fingerprint scan is gone
+    // (the two-scan gate would have caught grp=0 and deleted it — verified
+    // below), exactly the trust the sole-writer contract documents.
+    assert(ss.read("acct").filter($"id" === 98L).count() == 1)
+
+    // The non-maintained gate over the same state repairs the ghost.
+    val plain = new SyncEngine(ms, ss, cfg.copy(maintainFingerprints = false))
+    assert(plain.syncTable("acct").isInstanceOf[SyncAction.ApplyDelta])
+    assert(fp(ss.read("acct")) == fp(ms.read("acct")))
+    assert(ss.read("acct").filter($"id" === 98L).count() == 0)
+
+    // Zero-job token skip holds for partitioned tables too (slave-side
+    // writes don't move the MASTER token).
+    val n = jobsDuring("maintpart-skip") {
+      assert(engine.syncTable("acct") ==
+        SyncAction.Skip("acct", "unchanged (master change token)"))
+    }
+    assert(n == 0, s"unchanged partitioned repeat sync ran $n jobs")
+  }
+
   test("maintained mode: schema recopy invalidates maintained state (no stale skip)") {
     val (md, sd, ms, ss) = mkStores("maintschema")
     write(md, "acct", custDf)
