@@ -33,6 +33,33 @@ private[sync] object CatalogStores {
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(p)) { fs.delete(p, true); () }
     }
+
+  /** Metadata-only change token for a catalog table: md5 over the sorted
+    * recursive (path, length, mtime) listing of the table's resolved
+    * location. Hadoop FS API, so one LIST round-trip works identically on
+    * local fs, HDFS, and object stores — no data read, no Spark job. The
+    * token feeds [[SyncConfig.maintainFingerprints]]'s zero-job skip, which
+    * matters most for exactly these stores (the co-located recurring-sync
+    * layout).
+    */
+  def changeToken(spark: SparkSession, name: String): Option[String] = {
+    if (!spark.catalog.tableExists(name)) return Some("__absent__")
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name)).location
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Some("__absent__")
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      entries += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
+    }
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e =>
+      digest.update(e.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    Some(digest.digest().map(b => f"$b%02x").mkString)
+  }
 }
 
 final class BucketedStore(val spark: SparkSession, prefix: String,
@@ -50,6 +77,9 @@ final class BucketedStore(val spark: SparkSession, prefix: String,
       .map(_.stripPrefix(prefix + "_")).sorted.toSeq
 
   override def read(table: String): DataFrame = spark.table(qname(table))
+
+  override def changeToken(table: String): Option[String] =
+    CatalogStores.changeToken(spark, qname(table))
 
   override def drop(table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${qname(table)}"); ()

@@ -37,6 +37,9 @@ final class PartitionedStore(val spark: SparkSession, prefix: String,
 
   override def read(table: String): DataFrame = spark.table(qname(table))
 
+  override def changeToken(table: String): Option[String] =
+    CatalogStores.changeToken(spark, qname(table))
+
   override def drop(table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${qname(table)}"); ()
   }

@@ -70,4 +70,21 @@ class BucketedStoreSpec extends SparkSpec {
       slave.list().foreach(slave.drop)
     }
   }
+
+  test("changeToken: stable across reads, moved by writes, absent-aware") {
+    import spark.implicits._
+    val store = new BucketedStore(spark, "graft_tok", Map("t" -> Seq("k")), numBuckets = 2)
+    try {
+      assert(store.changeToken("t").contains("__absent__"))
+      store.overwrite("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      val t1 = store.changeToken("t")
+      store.read("t").count() // reads must not move the token
+      assert(store.changeToken("t") == t1 && t1.exists(_ != "__absent__"))
+      store.append("t", Seq((3L, "c")).toDF("k", "v"))
+      val t2 = store.changeToken("t")
+      assert(t2 != t1)
+      store.deleteKeys("t", Seq(Tuple1(2L)).toDF("k"), Seq("k"))
+      assert(store.changeToken("t") != t2)
+    } finally store.list().foreach(store.drop)
+  }
 }
