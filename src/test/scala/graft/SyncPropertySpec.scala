@@ -180,6 +180,40 @@ class SyncPropertySpec extends SparkSpec {
     assert(engine.syncTable("t") == SyncAction.Skip("t", "already in sync"))
   }
 
+  test("random pairs in maintained mode: converge, token-skip, CDC folds stay exact") {
+    val cols = Seq("k", "a", "s", "d")
+    for (seed <- 1 to 4) {
+      val mRows = sample(tableGen, seed)
+      val sRows = sample(tableGen, seed + 2000)
+      val md = tmpDir("mprop_m"); val sd = tmpDir("mprop_s")
+      mRows.toDF("k", "a", "s", "d").write.mode(SaveMode.Overwrite).parquet(s"$md/t.parquet")
+      sRows.toDF("k", "a", "s", "d").write.mode(SaveMode.Overwrite).parquet(s"$sd/t.parquet")
+      val ms = new ParquetStore(spark, md); val ss = new ParquetStore(spark, sd)
+      val engine = new SyncEngine(ms, ss, SyncConfig(
+        primaryKeys = Map("t" -> Seq("k")), maintainFingerprints = true))
+      engine.syncTable("t")
+      assert(Hashing.tableFingerprint(ss.read("t"), cols) ==
+        Hashing.tableFingerprint(ms.read("t"), cols), s"seed $seed did not converge")
+      // Idempotence in maintained mode = the zero-job token skip, and the
+      // maintained value must equal a full recompute (the drift audit).
+      assert(engine.syncTable("t") ==
+        SyncAction.Skip("t", "unchanged (master change token)"), s"seed $seed")
+      assert(engine.verifyMaintained("t"), s"seed $seed maintained != recompute")
+      // Random CDC fold: delete every key ≡ 0 (mod 3) with its exact
+      // before-image (slave ≡ master now), reinsert with d := 42.0.
+      val dels = mRows.filter(_._1 % 3 == 0)
+      val changes =
+        dels.map(r => ("D", r._1, r._2, r._3, r._4)) ++
+          dels.map(r => ("I", r._1, r._2, r._3, Some(42.0): Option[Double]))
+      engine.applyCdc("t", changes.toDF("op", "k", "a", "s", "d"))
+      assert(engine.verifyMaintained("t"), s"seed $seed CDC fold diverged from recompute")
+      val expected = mRows.map(r => if (r._1 % 3 == 0) (r._1, r._2, r._3, Some(42.0)) else r)
+      assert(Hashing.tableFingerprint(ss.read("t"), cols) ==
+        Hashing.tableFingerprint(expected.toDF("k", "a", "s", "d"), cols),
+        s"seed $seed CDC content mismatch")
+    }
+  }
+
   test("fingerprint order-insensitivity on random data") {
     val cols = Seq("k", "a", "s", "d")
     for (seed <- 1 to 4) {
