@@ -300,6 +300,12 @@ final class SyncEngine(master: TableStore, slave: TableStore,
       // ONE delta-sized aggregate computes fp(deleted) and fp(inserted).
       val zero = Hashing.MultisetFp(0L, BigInt(0), 0L)
       val byOp = Hashing.multisetFpByGroup(spilled, opCol, dataCols, config.legacyNullSkip)
+      // Unknown op tags must FAIL, not half-apply: their keys would join the
+      // delete target below while contributing nothing to the fingerprint
+      // fold — maintained state would silently diverge from content.
+      val unknown = byOp.keySet -- Set("D", "I")
+      require(unknown.isEmpty,
+        s"applyCdc($table): unknown op tag(s) ${unknown.mkString(", ")} — expected 'D'/'I'")
       val (fpD, fpI) = (byOp.getOrElse("D", zero), byOp.getOrElse("I", zero))
       if (!config.dryRun && (fpD.count > 0 || fpI.count > 0)) {
         val inserts = spilled.filter(col(opCol) === "I").select(dataCols.map(col): _*)
@@ -415,7 +421,14 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     }
     try {
       val action = run()
-      if (config.maintainFingerprints && !config.dryRun && converged(action)) {
+      // A Skip with an existing snapshot means every master partition
+      // fingerprint already equals the snapshot's content — rewriting it
+      // would be a pointless write every idle cycle (reachable when the
+      // master store has no change token, e.g. JDBC).
+      val skipWithSnapshot =
+        action.isInstanceOf[Skip] && partFpSnapshot.contains(table)
+      if (config.maintainFingerprints && !config.dryRun && converged(action)
+          && !skipWithSnapshot) {
         // Slave ≡ master now, so the master-side grouped fingerprints —
         // already materialized in the cached join — ARE the slave's
         // fingerprints: spill them as the next cycle's snapshot (write to a
