@@ -365,6 +365,50 @@ object PQSupport {
     val n = math.sqrt(nc) * math.sqrt(nq)
     if (n == 0.0) 0.0 else dot / n
   }
+
+  /** `vec - centroids(cell)` as a fresh double array (residual encoding). */
+  def residual(vec: ArrayData, cell: Int, centroids: Array[Array[Double]],
+               isFloat: Boolean): GenericArrayData = {
+    val cent = centroids(cell)
+    val n = math.min(vec.numElements(), cent.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)) - cent(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** cosine(q, centroids(cell) + reconstruct(code)) — residual ADC scoring;
+    * the reconstruction never materializes. */
+  def cosineResidual(code: ArrayData, q: ArrayData, cell: Int,
+                     codebooks: Array[Array[Array[Double]]],
+                     centroids: Array[Array[Double]], qIsFloat: Boolean): Double = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val cent = centroids(cell)
+    var dot = 0.0
+    var nc = 0.0
+    var nq = 0.0
+    var j = 0
+    while (j < m) {
+      val sub = codebooks(j)(code.getInt(j))
+      var i = 0
+      while (i < dsub) {
+        val pos = j * dsub + i
+        val rv = cent(pos) + sub(i)
+        val qv = if (qIsFloat) q.getFloat(pos).toDouble else q.getDouble(pos)
+        dot += rv * qv
+        nc += rv * rv
+        nq += qv * qv
+        i += 1
+      }
+      j += 1
+    }
+    val n = math.sqrt(nc) * math.sqrt(nq)
+    if (n == 0.0) 0.0 else dot / n
+  }
 }
 
 /** All LSH hash-table buckets of a vector in ONE compiled pass.
@@ -554,6 +598,146 @@ object VectorSupport {
   }
 }
 
+/** Per-row IVF residual `vec - centroids(cell)` as one compiled pass —
+  * the encode-side half of residual product quantization (FAISS IVF-PQ:
+  * codes quantize the offset from the cell centroid, whose magnitude is
+  * much smaller than the raw vector, so the same code budget spends its
+  * resolution where the variance actually is). Centroids ride along as a
+  * reference object (un-normalized — residuals are offsets from the MEAN,
+  * not from a direction); output is array<double> so [[PQEncode]] composes
+  * directly on top and the whole encode stays inside codegen.
+  */
+case class CellResidual(left: Expression, right: Expression,
+                        centroids: Array[Array[Double]])
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cell_residual requires (array<float|double>, int), got $l / $r")
+    }
+
+  private def vecIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(vec: Any, cell: Any): Any =
+    PQSupport.residual(vec.asInstanceOf[ArrayData], cell.asInstanceOf[Int],
+      centroids, vecIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("residCentroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.PQSupport.residual($v, $c, $cRef, $vecIsFloat);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Asymmetric residual-PQ cosine: `cosine(q, centroids(cell) + decode(code))`
+  * with the reconstruction never materialized — the score-side half of
+  * residual IVF-PQ ([[CellResidual]] is the encode side). Children are
+  * (codes, full-precision query, cell id); codebooks + centroids are
+  * reference objects, exactly like [[PQCosine]].
+  */
+case class PQCosineResidual(first: Expression, second: Expression, third: Expression,
+                            codebooks: Array[Array[Array[Double]]],
+                            centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(FloatType | DoubleType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_cosine_residual requires (array<int>, array<float|double>, int), got $a / $b / $c")
+    }
+
+  private def qIsFloat: Boolean = second.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(code: Any, q: Any, cell: Any): Any =
+    PQSupport.cosineResidual(code.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], codebooks, centroids, qIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqResidCodebooks", codebooks, "double[][][]")
+    val ceRef = ctx.addReferenceObj("pqResidCentroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, (c, q, cell) =>
+      s"${ev.value} = graft.functions.PQSupport.cosineResidual($c, $q, $cell, $cbRef, $ceRef, $qIsFloat);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** Count of array<long> elements that MIGHT be in a pre-built Bloom filter
+  * — one compiled loop per row, zero shuffle. The filter deserializes once
+  * per executor via the codegen reference-object channel (the standard
+  * `spark.util.sketch` byte format, so any `df.stat.bloomFilter` output
+  * plugs in). `mightContain = false` is definite absence, so `hits == 0`
+  * proves a row shares NOTHING with the filtered set — the map-side
+  * pre-filter that lets a contamination / membership check skip the
+  * inverted-index shuffle for the (overwhelming at corpus scale) clean
+  * majority. Empty array → 0 hits; null array → null.
+  */
+case class BloomHits(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_hits requires array<long>, got $t")
+    }
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (filter.mightContainLong(a.getLong(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fRef = ctx.addReferenceObj("bloomFilter", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val hits = ctx.freshName("hits")
+      s"""int $hits = 0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if ($fRef.mightContainLong($a.getLong($i))) $hits++;
+         |}
+         |${ev.value} = $hits;""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two array<float|double> columns. */
   def array_dot(a: Column, b: Column): Column =
@@ -586,6 +770,22 @@ object VectorExpressions {
   /** Codegen'd top-nProbe-by-dot centroid probe list of a vector column. */
   def top_cells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     ColumnShim.column(TopCells(ColumnShim.expression(vec), centroids, nProbe))
+
+  /** Codegen'd IVF residual `vec - centroids(cell)` of a vector column. */
+  def cell_residual(vec: Column, cell: Column, centroids: Array[Array[Double]]): Column =
+    ColumnShim.column(CellResidual(ColumnShim.expression(vec),
+      ColumnShim.expression(cell), centroids))
+
+  /** Codegen'd asymmetric residual-PQ cosine of (codes, query, cell). */
+  def pq_cosine_residual(code: Column, qVec: Column, cell: Column,
+                         codebooks: Array[Array[Array[Double]]],
+                         centroids: Array[Array[Double]]): Column =
+    ColumnShim.column(PQCosineResidual(ColumnShim.expression(code),
+      ColumnShim.expression(qVec), ColumnShim.expression(cell), codebooks, centroids))
+
+  /** Codegen'd Bloom-filter hit count over an array<long> column. */
+  def bloom_hits(hashes: Column, filterBytes: Array[Byte]): Column =
+    ColumnShim.column(BloomHits(ColumnShim.expression(hashes), filterBytes))
 
   /** Bounded-heap top-k aggregate: per group keeps only the k best
     * (score desc, id asc) pairs — map-side partial aggregation ships k rows

@@ -274,6 +274,44 @@ object Dedup {
     } finally { Caching.release(c); Caching.release(b) }
   }
 
+  /** Bloom-prefiltered decontamination — the 100 TB shape of
+    * [[decontaminationPairs]]. The benchmark's distinct shingle hashes are
+    * folded into ONE Bloom filter (bits sized by the eval set, never the
+    * corpus; built distributed via `stat.bloomFilter`, held once per
+    * executor through the codegen reference channel), and the corpus is
+    * screened map-side by the compiled [[graft.functions.BloomHits]] loop —
+    * zero shuffle, no exploded corpus index. Only flagged docs (possible
+    * shingle overlap) enter the exact inverted-index join. A contaminated
+    * doc shares ≥1 benchmark shingle and Bloom `mightContain = false` is
+    * definite absence, so the flagged set is a SUPERSET of the contaminated
+    * set: the result is byte-identical to the exact operator (false
+    * positives only cost candidate work, never answers) — which is exactly
+    * how the oracle gates it.
+    */
+  def decontaminationPairsBloom(corpus: DataFrame, bench: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleK: Int = 3, threshold: Double = 0.5,
+                                fpp: Double = 0.01): DataFrame = {
+    val benchSh = Par.fanOut(bench.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), array_distinct(graft.functions.VectorExpressions
+        .shingle_hash64(TextAnalysis.tokens(col("__text")), shingleK)).as("sh"))
+      .localCheckpoint(true)
+    try {
+      val hashes = benchSh.select(explode(col("sh")).as("g")).distinct()
+      val nHashes = math.max(hashes.count(), 1L)
+      val bf = hashes.stat.bloomFilter("g", nHashes, fpp)
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+      val flagged = corpus.filter(graft.functions.VectorExpressions.bloom_hits(
+        graft.functions.VectorExpressions.shingle_hash64(
+          TextAnalysis.tokens(col(textCol)), shingleK), bytes) > 0)
+      decontaminationPairs(flagged, bench, idCol, textCol, shingleK, threshold)
+    } finally Caching.release(benchSh)
+  }
+
   /** 64-bit SimHash over tokens: sign of the per-bit weighted sum of token
     * hashes. Hamming-close simhashes ⇒ near-dup texts. Pure expressions.
     */

@@ -263,9 +263,11 @@ object Similarity {
     val d = corpus.select(size(col(vecCol))).head.getInt(0)
     require(d % m == 0, s"dim $d not divisible by $m subspaces")
     val dsub = d / m
+    // cast → array<double> so float and double vector columns both train
+    // (float→double widening is exact; the residual frame is already double)
     val init = corpus.orderBy(col(idCol)).limit(ksub)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
     var cb = Array.tabulate(m, ksub)((j, c) =>
       init(c % init.length).slice(j * dsub, (j + 1) * dsub))
     for (_ <- 0 until iters) {
@@ -336,6 +338,49 @@ object Similarity {
         graft.functions.VectorExpressions.pq_cosine(col("code"), col(qVecCol), cb).as("sim"))
       .dropDuplicates(qIdCol, cIdCol)
     finishTopK(cands, k, qIdCol, cIdCol)
+  }
+
+  /** Residual IVF-PQ top-k — [[ivfPqTopK]] with the FAISS residual
+    * refinement: PQ codes quantize `vec − centroid(cell)` instead of the
+    * raw vector, so the fixed code budget spends its resolution on the
+    * within-cell offset (whose variance is what's left after the coarse
+    * quantizer) rather than re-encoding the cell position. The plan shape
+    * is unchanged — same one-pass (cell, code) index build, same cell-key
+    * candidate join — only the encode/score expressions differ:
+    * [[graft.functions.CellResidual]] composes under `pq_encode` so the
+    * whole encode stays in codegen, and scoring reconstructs
+    * `centroid + decode(code)` inside the compiled
+    * [[graft.functions.PQCosineResidual]] loop (never materialized).
+    */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                        nCells: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+                        iters: Int = 2,
+                        qIdCol: String = "q_id", qVecCol: String = "q_vec",
+                        cIdCol: String = "vec_id", cVecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nCells, iters, cIdCol, cVecCol)
+    // Residuals are offsets from the MEAN centroid (un-normalized); one
+    // checkpointed narrow frame feeds both codebook training and encoding.
+    val resid = Par.fanOut(corpus)
+      .withColumn("cell", nearestCell(col(cVecCol), cents))
+      .select(col(cIdCol), col("cell"),
+        graft.functions.VectorExpressions.cell_residual(
+          col(cVecCol), col("cell"), cents).as("resid"))
+      .localCheckpoint(true)
+    try {
+      val cb = pqCodebooks(resid, m, ksub, iters, cIdCol, "resid")
+      val codes = resid.select(col(cIdCol), col("cell"),
+        graft.functions.VectorExpressions.pq_encode(col("resid"), cb).as("code"))
+      val probes = queries.withColumn("cell",
+        explode(graft.functions.VectorExpressions
+          .top_cells(col(qVecCol), normalize(cents), nProbe)))
+      val cands = codes.join(broadcast(probes), Seq("cell"))
+        .select(col(qIdCol), col(cIdCol),
+          graft.functions.VectorExpressions.pq_cosine_residual(
+            col("code"), col(qVecCol), col("cell"), cb, cents).as("sim"))
+        .dropDuplicates(qIdCol, cIdCol)
+      // materialize before the finally releases the resid blocks the plan reads
+      finishTopK(cands, k, qIdCol, cIdCol).localCheckpoint(true)
+    } finally graft.ops.Caching.release(resid)
   }
 
   /** Scalar-quantized (SQ8) approximate top-k: every corpus vector is

@@ -169,6 +169,15 @@ object SimilarityQueries {
         Similarity.ivfPqTopK(q, c, k = 10)),
       Some(recallOracle)),
 
+    // ---- residual IVF-PQ (the FAISS refinement: codes quantize the offset
+    //      from the cell centroid, spending the fixed code budget on the
+    //      within-cell variance). Same recall gate; OpsSpec additionally
+    //      asserts residual recall >= raw IVF-PQ recall on a fixed fixture.
+    Q("knn_ivfpq_residual_topk",
+      (s, dir) => recallGated(s, dir, minTotalHits = 5, (q, c) =>
+        Similarity.ivfPqResidualTopK(q, c, k = 10)),
+      Some(recallOracle)),
+
     // ---- SQ8 scalar-quantized top-k (byte-per-dim compression, asymmetric
     //      scoring — the memory/IO rung of the ANN ladder), recall-gated at
     //      a 0.7 floor (near-lossless; OpsSpec asserts 0.8 on its fixture)

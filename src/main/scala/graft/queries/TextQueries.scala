@@ -36,6 +36,42 @@ object TextQueries {
 
   private def duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
+  /** Shared decontamination fixture: the "benchmark" is 15-token extracts
+    * of every 50th document (a leaked eval set by construction), so
+    * contaminated pairs MUST surface; exact and Bloom-prefiltered paths run
+    * the identical extraction + shingle-containment math and share one
+    * oracle (Bloom has no false negatives ⇒ identical output).
+    */
+  private def decontaminate(s: org.apache.spark.sql.SparkSession, dir: String,
+                            bloom: Boolean): org.apache.spark.sql.DataFrame = {
+    val docs = T(s, dir, "documents")
+    val bench = docs
+      .filter(col("doc_id") % 50 === 7)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 15)).as("text"))
+    val pairs =
+      if (bloom) Dedup.decontaminationPairsBloom(docs, bench, "doc_id", "text",
+        shingleK = 3, threshold = 0.6)
+      else Dedup.decontaminationPairs(docs, bench, "doc_id", "text",
+        shingleK = 3, threshold = 0.6)
+    pairs.withColumn("contamination", round(col("contamination"), 6))
+  }
+
+  private val decontaminateOracle =
+    """WITH words AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+      |   ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM documents),
+      | c AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+      |   ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS sh
+      |  FROM words),
+      | bw AS (SELECT doc_id + 100000 AS bench_id, w[1:15] AS w FROM words WHERE doc_id % 50 = 7),
+      | b AS (SELECT bench_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+      |   ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS sh
+      |  FROM bw)
+      |SELECT c.doc_id AS corpus_id, b.bench_id,
+      | round(cast(len(list_intersect(b.sh, c.sh)) as double) / cast(len(b.sh) as double), 6) AS contamination
+      |FROM c JOIN b ON len(list_intersect(b.sh, c.sh)) > 0
+      |WHERE cast(len(list_intersect(b.sh, c.sh)) as double) / cast(len(b.sh) as double) >= 0.6""".stripMargin
+
   private def langScoreSqls: Seq[(String, String)] =
     TextAnalysis.LangMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
       lang -> (s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
@@ -471,29 +507,18 @@ object TextQueries {
     //      construction), so contaminated pairs MUST surface; both engines
     //      replay the identical extraction + shingle-containment math.
     Q("pipeline_decontaminate",
-      (s, dir) => {
-        val docs = T(s, dir, "documents")
-        val bench = docs
-          .filter(col("doc_id") % 50 === 7)
-          .select((col("doc_id") + 100000L).as("doc_id"),
-            concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 15)).as("text"))
-        Dedup.decontaminationPairs(docs, bench, "doc_id", "text",
-            shingleK = 3, threshold = 0.6)
-          .withColumn("contamination", round(col("contamination"), 6))
-      },
-      Some("""WITH words AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
-              |   ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM documents),
-              | c AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
-              |   ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS sh
-              |  FROM words),
-              | bw AS (SELECT doc_id + 100000 AS bench_id, w[1:15] AS w FROM words WHERE doc_id % 50 = 7),
-              | b AS (SELECT bench_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
-              |   ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS sh
-              |  FROM bw)
-              |SELECT c.doc_id AS corpus_id, b.bench_id,
-              | round(cast(len(list_intersect(b.sh, c.sh)) as double) / cast(len(b.sh) as double), 6) AS contamination
-              |FROM c JOIN b ON len(list_intersect(b.sh, c.sh)) > 0
-              |WHERE cast(len(list_intersect(b.sh, c.sh)) as double) / cast(len(b.sh) as double) >= 0.6""".stripMargin)),
+      (s, dir) => decontaminate(s, dir, bloom = false),
+      Some(decontaminateOracle)),
+
+    // ---- the SAME decontamination check through the Bloom pre-filter (the
+    //      100 TB shape: one eval-set-sized filter screens the corpus
+    //      map-side with zero shuffle; only flagged docs reach the exact
+    //      inverted-index join). Bloom has no false negatives, so the
+    //      result must be BYTE-IDENTICAL to the exact operator — same
+    //      oracle, full hash gate.
+    Q("pipeline_decontaminate_bloom",
+      (s, dir) => decontaminate(s, dir, bloom = true),
+      Some(decontaminateOracle)),
 
     // ---- sequence packing: concatenate each source's docs (doc_id order)
     //      into a token stream, chunk at 512 — per-chunk doc counts and

@@ -329,4 +329,66 @@ class OpsSpec extends SparkSpec {
       .collect().toSet
     assert(pairs == Set((1L, 101L, 1.0)))
   }
+
+  test("decontaminationPairsBloom ≡ exact pairs (no false negatives by construction)") {
+    // Real documents corpus vs a planted 15-token benchmark extract — the
+    // Bloom pre-filter may flag extra docs (false positives) but the exact
+    // stage behind it must reproduce the exact operator's output verbatim.
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val bench = docs.filter($"doc_id" % 50 === 7)
+      .select(($"doc_id" + 100000L).as("doc_id"),
+        concat_ws(" ", slice(graft.ops.TextAnalysis.tokens($"text"), 1, 15)).as("text"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"corpus_id", $"bench_id", round($"contamination", 9))
+        .as[(Long, Long, Double)].collect().toSet
+    val exact = canon(Dedup.decontaminationPairs(docs, bench, "doc_id", "text",
+      shingleK = 3, threshold = 0.6))
+    val bloom = canon(Dedup.decontaminationPairsBloom(docs, bench, "doc_id", "text",
+      shingleK = 3, threshold = 0.6))
+    assert(exact.nonEmpty, "fixture must plant contamination")
+    assert(bloom == exact, s"bloom path diverged: missing=${exact -- bloom} extra=${bloom -- exact}")
+  }
+
+  test("bloom_hits: planted members always hit, disjoint sets can miss, null is null") {
+    import graft.functions.VectorExpressions.bloom_hits
+    val members = (1L to 1000L).map(_ * 2654435761L)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    members.foreach(bf.putLong)
+    val bytes = { val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray }
+    val df = Seq(
+      (1L, Some(members.take(5))),            // all members → exactly 5 hits
+      (2L, Some(Seq(members.head, -1L))),     // mixed: >= 1 hit guaranteed
+      (3L, Some(Seq.empty[Long])),            // empty array → 0
+      (4L, Option.empty[Seq[Long]])           // null array → null
+    ).toDF("id", "hs")
+    val out = df.select($"id", bloom_hits($"hs", bytes).as("hits"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(out(1L) == 5, s"false negative: ${out(1L)} of 5 members hit")
+    assert(out(2L) >= 1)
+    assert(out(3L) == 0)
+    assert(out(4L) == -1)
+  }
+
+  test("ivfPqResidualTopK: finds planted clones; recall not below raw IVF-PQ") {
+    // Residual codes spend the budget on within-cell offsets — on this
+    // fixture recall must be at least the raw variant's (FAISS's rationale).
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val clones = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000L).as("vec_id"),
+        transform($"embedding", (x, i) => when(i === 0, x * 1.01f).otherwise(x)).as("embedding"))
+    val corpus = emb.filter($"vec_id" >= 3).select("vec_id", "embedding").unionByName(clones)
+    val exact = Similarity.bruteForceTopK(q, corpus, 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): (Set[(Long, Long)], Double) = {
+      val s = df.select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (s, exact.intersect(s).size.toDouble / exact.size)
+    }
+    val (res, resRecall) = recallOf(Similarity.ivfPqResidualTopK(q, corpus, 10, nCells = 8, nProbe = 3))
+    val (_, rawRecall) = recallOf(Similarity.ivfPqTopK(q, corpus, 10, nCells = 8, nProbe = 3))
+    for (qid <- 0L to 2L)
+      assert(res.contains((qid, qid + 10000L)), s"clone of $qid not found")
+    assert(resRecall >= rawRecall,
+      s"residual recall $resRecall below raw IVF-PQ recall $rawRecall")
+  }
 }
