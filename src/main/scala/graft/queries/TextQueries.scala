@@ -154,6 +154,48 @@ object TextQueries {
                |        / cast(len(regexp_split_to_array(trim(text), '\\s+')) as double) END AS mean_token_len
                |FROM documents""".stripMargin)),
 
+    // ---- repetition quality signals (the Gopher-rule family, adapted to
+    //      token bigrams since the corpus is single-line): duplicate-bigram
+    //      fraction (1 − distinct/total) and top-bigram fraction (most
+    //      frequent bigram's share). Shape: explode → (doc, gram) count with
+    //      map-side combine → per-doc agg → join back so bigram-less docs
+    //      keep zero rows — two bounded shuffles, no per-doc quadratic HOFs.
+    Q("text_repetition",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val toks = TextAnalysis.tokens(col("text"))
+        // strict bigrams (short docs → null → explode drops; rejoined below)
+        val grams = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", slice(toks, i, lit(2)))))
+        val st = docs.select(col("doc_id"), explode(grams).as("gram"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id").agg(sum("cnt").as("total"),
+            count(lit(1)).as("n_distinct"), max("cnt").as("top"))
+        docs.select("doc_id").join(st, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("total"), lit(0L)).cast("long").as("n_2grams"),
+            round(when(col("total").isNull, 0.0).otherwise(
+              lit(1.0) - col("n_distinct").cast("double") / col("total").cast("double")),
+              6).as("dup_2gram_frac"),
+            round(when(col("total").isNull, 0.0).otherwise(
+              col("top").cast("double") / col("total").cast("double")),
+              6).as("top_2gram_frac"))
+      },
+      Some("""WITH words AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |   ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM documents),
+              | g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+              |   i -> array_to_string(w[i:i+1], ' '))) AS gram FROM words WHERE len(w) >= 2),
+              | c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+              | s AS (SELECT doc_id, sum(cnt) AS total, count(*) AS n_distinct, max(cnt) AS top
+              |  FROM c GROUP BY 1)
+              |SELECT w.doc_id, coalesce(total, 0)::bigint AS n_2grams,
+              | round(CASE WHEN total IS NULL THEN 0.0
+              |   ELSE 1.0 - cast(n_distinct as double) / cast(total as double) END, 6) AS dup_2gram_frac,
+              | round(CASE WHEN total IS NULL THEN 0.0
+              |   ELSE cast(top as double) / cast(total as double) END, 6) AS top_2gram_frac
+              |FROM words w LEFT JOIN s USING (doc_id)""".stripMargin)),
+
     // ---- language-ID by marker voting, explicit CASE tie-break in both engines
     Q("text_langid",
       (s, dir) => {
@@ -545,6 +587,35 @@ object TextQueries {
               |SELECT source, chunk_id, count(*) AS n_docs,
               | cast(sum(least(off + n, (chunk_id + 1) * 512) - greatest(off, chunk_id * 512)) as bigint) AS n_tokens
               |FROM e GROUP BY source, chunk_id""".stripMargin)),
+
+    // ---- per-source token budgets: take each source's docs in doc_id
+    //      order until a token budget fills — the budget-capped side of
+    //      data mixing (domain caps in tokens, not keep-rates). One window
+    //      cumsum per source partition, filter pushes nothing downstream;
+    //      at scale the window shuffles once on the (bounded) source key.
+    Q("pipeline_token_budget",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        T(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .filter(col("cum") <= 8000L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+              |   CASE WHEN length(trim(text)) = 0 THEN 0
+              |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END::bigint AS n
+              |  FROM documents),
+              | o AS (SELECT source, n,
+              |   sum(n) OVER (PARTITION BY source ORDER BY doc_id
+              |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM t)
+              |SELECT source, count(*) AS n_docs, cast(sum(n) as bigint) AS total_tokens
+              |FROM o WHERE cum <= 8000 GROUP BY source""".stripMargin)),
 
     // ---- deterministic data mixing: per-source keep rates over an
     //      md5-bucket of doc_id — the reweight-by-source primitive, as one
