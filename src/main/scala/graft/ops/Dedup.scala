@@ -356,4 +356,93 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** INCREMENTAL MinHash near-dup detection — the recurring-ingest shape:
+    * a new batch arrives and must be checked against the existing corpus
+    * (and itself) without re-running all-pairs discovery. Only the NEW
+    * docs' LSH buckets probe the full bucket index, so the candidate join
+    * is |new| × bucket-collision-rate — at 100 TB the base side is a
+    * persisted bucket index and each ingest pays work ∝ its own size, the
+    * same asymmetry as [[decontaminationPairs]]. Returns verified pairs
+    * `(id_a, id_b, jaccard)` with `id_a < id_b` where at least one side is
+    * from `incoming`; base–base pairs are deliberately absent (they were
+    * found when THOSE batches arrived).
+    */
+  def incrementalNearDups(base: DataFrame, incoming: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleK: Int = 5, numHashes: Int = 32,
+                          bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+    val tagged = base.select(col(idCol).as("id"), col(textCol).as("__text"),
+        lit(false).as("__new"))
+      .unionByName(incoming.select(col(idCol).as("id"), col(textCol).as("__text"),
+        lit(true).as("__new")))
+    // One shingling pass over base ∪ incoming; the checkpoint is the
+    // stand-in for the persisted signature store a production loop keeps.
+    val shingled = Par.fanOut(tagged)
+      .select(col("id"), col("__new"),
+        array_distinct(TextAnalysis.shingles(col("__text"), shingleK)).as("sh"))
+      .localCheckpoint(true)
+    try {
+      val sigged = shingled.select(col("id"), col("__new"),
+        minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))
+      val rows = numHashes / bands
+      val buckets = sigged.select(col("id"), col("__new"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows),
+            x => x.cast("string"))))): _*)).as(Seq("band_id", "band_hash")))
+      // Asymmetric probe: new-side buckets only on the left; the full index
+      // (base + new, so new–new dups are still caught) on the right.
+      val cands = buckets.filter(col("__new")).as("a")
+        .join(buckets.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") && col("a.id") =!= col("b.id"))
+        .select(least(col("a.id"), col("b.id")).as("id_a"),
+                greatest(col("a.id"), col("b.id")).as("id_b"))
+        .distinct()
+      val verified = cands
+        .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .select(col("id_a"), col("id_b"),
+          when(col("uni") === 0, lit(1.0))
+            .otherwise(col("inter").cast("double") / col("uni").cast("double"))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+      verified.localCheckpoint(true)
+    } finally Caching.release(shingled)
+  }
+
+  /** Per-document duplicate-shingle statistics: for each doc, how many of
+    * its distinct k-shingles occur in at least `minDf` documents corpus-wide
+    * (the substring-level duplication signal of Lee et al.'s training-data
+    * dedup, aggregated per doc instead of removed). Returns
+    * `(id, n_grams, n_dup, dup_frac)` for EVERY input doc.
+    *
+    * Shape: explode hashed shingles → grouped df count (map-side combined)
+    * → join the duplicated grams back → per-doc count. Two shuffles (gram
+    * hash, then id), no self-join — safe at corpus scale where the pair
+    * operators need the df-cap.
+    */
+  def duplicateShingleStats(df: DataFrame, idCol: String, textCol: String,
+                            shingleK: Int = 3, minDf: Long = 2L): DataFrame = {
+    val docs = Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), array_distinct(graft.functions.VectorExpressions
+        .shingle_hash64(TextAnalysis.tokens(col("__text")), shingleK)).as("sh"))
+      .localCheckpoint(true)
+    try {
+      val inv = docs.select(col("id"), explode(col("sh")).as("g"))
+      val dupGrams = inv.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDf).select("g")
+      val perDoc = inv.join(dupGrams, Seq("g"))
+        .groupBy("id").agg(count(lit(1)).as("n_dup"))
+      val stats = docs.select(col("id"), size(col("sh")).cast("long").as("n_grams"))
+        .join(perDoc, Seq("id"), "left_outer")
+        .select(col("id"), col("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          col("n_dup").cast("double") / greatest(col("n_grams"), lit(1L)).cast("double"))
+      stats.localCheckpoint(true)
+    } finally Caching.release(docs)
+  }
 }

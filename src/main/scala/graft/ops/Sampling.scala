@@ -24,6 +24,28 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.filter(hashBucket(col(idCol)) < math.round(rate * 10000).toInt)
 
+  /** EXACT-count stratified sample: the first `n` rows of each stratum in
+    * deterministic `(hashBucket(id), id)` order — "give me exactly 10k docs
+    * per source, reproducibly". The hash order makes the selection a
+    * uniform-without-replacement sample that is stable across engines and
+    * cluster layouts; the id tiebreak makes it total.
+    *
+    * Scale note: the rank is one window sort per stratum. When strata are
+    * huge relative to `n`, compose with [[hashSample]] first — a rate-based
+    * prefilter at a safely generous rate bounds the sorted input while the
+    * window still yields the exact same first `n` (the prefilter keeps a
+    * prefix of the same hash order).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Per-source mixing: keep each row iff its hash bucket clears the
     * source's rate (`defaultRate` for sources not listed). Rates are a tiny
     * driver map folded into ONE case expression — no join, no shuffle; the

@@ -669,7 +669,110 @@ object TextQueries {
               | losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
               |SELECT lang, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS total_chars
               |FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
-              |GROUP BY lang""".stripMargin))
+              |GROUP BY lang""".stripMargin)),
+
+    // ---- INCREMENTAL near-dup detection: a 10% "ingest batch" (doc_id %
+    //      10 = 7) is checked against the remaining 90% corpus and itself
+    //      via the asymmetric LSH probe (new buckets × full index) — the
+    //      recurring-ingest dedup loop, where each batch pays work ∝ its
+    //      own size, never corpus². Gated exactly like dedup_minhash_pairs:
+    //      precision structural (pairs are exact-verified), recall floored
+    //      at 0.8 of the oracle-counted exact pair set involving the batch.
+    Q("dedup_minhash_incremental",
+      (s, dir) => {
+        val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        val incoming = docs.filter(col("doc_id") % 10 === 7)
+        val base = docs.filter(col("doc_id") % 10 =!= 7)
+        val found = Dedup.incrementalNearDups(base, incoming, "doc_id", "text",
+            shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4)
+          .select("id_a", "id_b")
+        // Exact baseline: inverted-index pairs restricted to those touching
+        // the ingest batch (same restriction the oracle applies).
+        val shingled = graft.ops.Par.fanOut(
+            docs.select(col("doc_id").as("id"), col("text").as("__text")))
+          .select(col("id"),
+            array_distinct(TextAnalysis.shingles(col("__text"), 3)).as("sh"))
+          .localCheckpoint(true)
+        try {
+          val inv = shingled.select(col("id"), size(col("sh")).as("sz"),
+            explode(transform(col("sh"), x => xxhash64(x))).as("g"))
+          val exact = inv.as("a").join(inv.as("b"),
+              col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+            .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+            .agg(count(lit(1)).as("inter"))
+            .select(col("id_a"), col("id_b"),
+              (col("inter").cast("double") /
+                (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+            .filter(col("jaccard") >= 0.4)
+            .filter(col("id_a") % 10 === 7 || col("id_b") % 10 === 7)
+            .select("id_a", "id_b")
+          val tp = found.join(exact, Seq("id_a", "id_b"), "left_semi")
+            .agg(count(lit(1)).as("tp"))
+          val fp = found.join(exact, Seq("id_a", "id_b"), "left_anti")
+            .agg(count(lit(1)).as("fp"))
+          val gate = exact.agg(count(lit(1)).as("n_exact")).crossJoin(tp).crossJoin(fp)
+            .select(col("n_exact"),
+              (col("fp") === 0).as("precision_ok"),
+              (col("tp").cast("double") >=
+                col("n_exact").cast("double") * 0.8).as("recall_ok"))
+            .localCheckpoint(true)
+          graft.ops.Caching.release(found)
+          gate
+        } finally graft.ops.Caching.release(shingled)
+      },
+      Some("""WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
+              |   ELSE list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')) END) AS sh
+              |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |        ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+              |        FROM documents))
+              |SELECT count(*)::bigint AS n_exact, true AS precision_ok, true AS recall_ok
+              |FROM d a JOIN d b ON a.doc_id < b.doc_id
+              |WHERE (a.doc_id % 10 = 7 OR b.doc_id % 10 = 7)
+              | AND cast(len(list_intersect(a.sh, b.sh)) as double) /
+              |   cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double) >= 0.4""".stripMargin)),
+
+    // ---- substring-level duplication signal (Lee et al.'s dedup metric,
+    //      aggregated per doc): fraction of each doc's distinct 3-grams
+    //      occurring in ≥2 docs corpus-wide. Two shuffles, no self-join —
+    //      the df count is the same aggregation that powers the hot-shingle
+    //      cap, surfaced as data.
+    Q("text_dup_ngrams",
+      (s, dir) => Dedup.duplicateShingleStats(
+          T(s, dir, "documents"), "doc_id", "text", shingleK = 3, minDf = 2L)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_dup"),
+          round(col("dup_frac"), 6).as("dup_frac")),
+      Some("""WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
+              |   ELSE list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')) END) AS sh
+              |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |        ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+              |        FROM documents)),
+              | inv AS (SELECT doc_id, unnest(sh) AS g FROM d),
+              | dfc AS (SELECT g FROM inv GROUP BY g HAVING count(*) >= 2),
+              | dup AS (SELECT doc_id, count(*) AS n_dup FROM inv
+              |         WHERE g IN (SELECT g FROM dfc) GROUP BY doc_id)
+              |SELECT d.doc_id, cast(len(d.sh) as bigint) AS n_grams,
+              | cast(coalesce(dup.n_dup, 0) as bigint) AS n_dup,
+              | round(cast(coalesce(dup.n_dup, 0) as double) /
+              |   cast(greatest(len(d.sh), 1) as double), 6) AS dup_frac
+              |FROM d LEFT JOIN dup ON d.doc_id = dup.doc_id""".stripMargin)),
+
+    // ---- exact-count stratified sample: exactly 10 docs per source in
+    //      deterministic md5-bucket order — the fixed-quota companion to
+    //      rate-based pipeline_mix_sample. Output size is quota-bound
+    //      (never data-sized; 10 < per-source count at every SF, so the
+    //      rank genuinely selects); the window sorts each stratum once.
+    Q("pipeline_stratified_sample",
+      (s, dir) => graft.ops.Sampling.stratifiedSample(
+          T(s, dir, "documents"), "source", "doc_id", n = 10)
+        .select("source", "doc_id"),
+      Some("""SELECT source, doc_id
+              |FROM (SELECT source, doc_id,
+              |  row_number() OVER (PARTITION BY source
+              |    ORDER BY ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000,
+              |             doc_id) AS rn
+              | FROM documents)
+              |WHERE rn <= 10""".stripMargin))
   )
 
   private def duckList(xs: Seq[String]): String =
