@@ -46,6 +46,28 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Leakage-safe train/val/test split: rows are assigned by the hash of
+    * their GROUP key — the near-dup cluster root for clustered rows, the
+    * row's own id for singletons — so a near-dup cluster can never straddle
+    * splits (train/test contamination by paraphrase). `clusters` is
+    * `(id, cluster_id)` from [[Cluster.dedupClusters]]; thresholds are in
+    * basis points of 10⁴ (8000/1000 ⇒ 80/10/10).
+    *
+    * One left join (clusters ≪ corpus after dedup) + the same pushed-down
+    * bucket filter as [[mixSources]] — no extra shuffle beyond the join.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       trainBps: Int, valBps: Int): DataFrame = {
+    val keyed = df.join(
+        clusters.select(col("id").as(idCol), col("cluster_id")), Seq(idCol), "left_outer")
+      .withColumn("__gk", coalesce(col("cluster_id"), col(idCol)))
+    keyed.withColumn("split",
+        when(hashBucket(col("__gk")) < trainBps, "train")
+          .when(hashBucket(col("__gk")) < trainBps + valBps, "val")
+          .otherwise("test"))
+      .drop("cluster_id", "__gk")
+  }
+
   /** Per-source mixing: keep each row iff its hash bucket clears the
     * source's rate (`defaultRate` for sources not listed). Rates are a tiny
     * driver map folded into ONE case expression — no join, no shuffle; the

@@ -772,7 +772,64 @@ object TextQueries {
               |    ORDER BY ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000,
               |             doc_id) AS rn
               | FROM documents)
-              |WHERE rn <= 10""".stripMargin))
+              |WHERE rn <= 10""".stripMargin)),
+
+    // ---- leakage-safe 80/10/10 split: near-dup clusters (connected
+    //      components over exact jaccard pairs) are split by their ROOT's
+    //      hash, so paraphrase pairs can never straddle train/test. The
+    //      oracle replays clustering (recursive CTE), assignment, and the
+    //      straddling-pair count — n_leaky_pairs is COMPUTED on both sides
+    //      and must be 0, not pinned.
+    Q("pipeline_group_split",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val pairs = Dedup.jaccardPairsInverted(docs, "doc_id", "text",
+          shingleK = 3, threshold = 0.05).select("id_a", "id_b")
+        try {
+          val clusters = graft.ops.Cluster.dedupClusters(pairs)
+            .select("id", "cluster_id")
+          val split = graft.ops.Sampling.leakageSafeSplit(
+            docs, "doc_id", clusters, trainBps = 8000, valBps = 1000)
+          val leaky = pairs
+            .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+            .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+            .filter(col("split_a") =!= col("split_b"))
+            .agg(count(lit(1)).as("n_leaky_pairs"))
+          split.groupBy("split")
+            .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+            .crossJoin(leaky)
+            .localCheckpoint(true)
+        } finally graft.ops.Caching.release(pairs)
+      },
+      Some("""WITH RECURSIVE d AS (SELECT doc_id, list_distinct(CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
+              |   ELSE list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')) END) AS sh
+              |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |        ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+              |        FROM documents)),
+              | e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+              |  WHERE cast(len(list_intersect(a.sh, b.sh)) as double) /
+              |    cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double) >= 0.05),
+              | und AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+              | reach(id, r) AS (
+              |  SELECT u, u FROM und
+              |  UNION
+              |  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.id),
+              | roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+              | keyed AS (SELECT doc_id, n_chars,
+              |    coalesce(root, doc_id) AS gk
+              |   FROM documents LEFT JOIN roots ON doc_id = roots.id),
+              | assigned AS (SELECT doc_id, n_chars,
+              |    CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+              |   FROM (SELECT *, ('0x' || substr(md5(cast(gk as varchar)), 1, 8))::bigint % 10000 AS b
+              |         FROM keyed)),
+              | leaky AS (SELECT count(*)::bigint AS n_leaky_pairs
+              |   FROM e JOIN assigned sa ON e.id_a = sa.doc_id
+              |          JOIN assigned sb ON e.id_b = sb.doc_id
+              |   WHERE sa.split <> sb.split)
+              |SELECT split, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS total_chars,
+              |       (SELECT n_leaky_pairs FROM leaky) AS n_leaky_pairs
+              |FROM assigned GROUP BY split""".stripMargin))
   )
 
   private def duckList(xs: Seq[String]): String =

@@ -80,4 +80,20 @@ class IncrementalDedupSpec extends SparkSpec {
       .select("s", "id").as[(String, Long)].collect().toSet
     assert(again == sampled.toSet)
   }
+
+  test("leakageSafeSplit keeps every cluster inside one split") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // Chain pairs clustering ids into groups of 4: (0,1,2,3), (4,5,6,7), …
+    val pairs = (0L until 200L).filter(i => i % 4 != 3)
+      .map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = graft.ops.Cluster.dedupClusters(pairs).select("id", "cluster_id")
+    val split = Sampling.leakageSafeSplit(docs, "doc_id", clusters,
+        trainBps = 8000, valBps = 1000)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(split.size == 200)
+    // All members of a group share the root's split.
+    (0L until 200L).foreach { i => assert(split(i) == split(i / 4 * 4), s"doc $i") }
+    assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(split.values.toSet.size > 1, "fixture should hit multiple splits")
+  }
 }
