@@ -445,4 +445,56 @@ object Dedup {
       stats.localCheckpoint(true)
     } finally Caching.release(docs)
   }
+
+  /** Cross-document duplicated-block REMOVAL — the C4/Lee-et-al line-dedup
+    * step, where [[duplicateShingleStats]] only *measures*: text is chunked
+    * into consecutive `blockWords`-word blocks (the newline-free corpus
+    * analog of "lines"), any block occurring in >= `minDf` DISTINCT
+    * documents is boilerplate, and each document is reassembled from its
+    * surviving blocks in original order. Returns
+    * `(id, n_blocks, n_removed, clean_text)` for EVERY input doc (fully
+    * boilerplate docs come back with empty `clean_text`, not dropped —
+    * the caller decides whether emptied docs survive).
+    *
+    * Shape: posexplode blocks → grouped distinct-doc count → anti-join the
+    * hot set → per-doc ordered reassembly. Two shuffles (block key, then
+    * id) and no self-join, so the d² blowup of the pair operators can't
+    * occur; the hot set is the natural broadcast side when it fits. The
+    * join key is the block STRING (oracle-exact); at petabyte scale key it
+    * by `xxhash64(block)` instead to halve shuffle width (collisions only
+    * ever remove an extra block, the conservative direction).
+    */
+  def removeDuplicateBlocks(df: DataFrame, idCol: String, textCol: String,
+                            blockWords: Int = 8, minDf: Long = 2L): DataFrame = {
+    val base = Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        when(length(trim(col("__text"))) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(col("__text")), "\\s+")).as("words"))
+      // `/` on Columns is double division — div() keeps the block index integral
+      .withColumn("n_blocks",
+        when(size(col("words")) === 0, lit(0L))
+          .otherwise(floor((size(col("words")) - 1) / blockWords).cast("long") + 1L))
+      .localCheckpoint(true)
+    try {
+      val blocks = base.filter(size(col("words")) > 0)
+        .select(col("id"), posexplode(transform(
+            sequence(lit(0), floor((size(col("words")) - 1) / blockWords).cast("int")),
+            i => array_join(slice(col("words"), i * blockWords + 1, lit(blockWords)), " ")))
+          .as(Seq("pos", "block")))
+      val hot = blocks.groupBy("block")
+        .agg(countDistinct(col("id")).as("bdf"))
+        .filter(col("bdf") >= minDf).select("block")
+      val kept = blocks.join(hot, Seq("block"), "left_anti")
+      val rebuilt = kept.groupBy("id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("block")))),
+          e => e.getField("block")), " ").as("clean_text"))
+      base.select(col("id"), col("n_blocks"))
+        .join(rebuilt, Seq("id"), "left_outer")
+        .select(col("id"), col("n_blocks"),
+          (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .localCheckpoint(true)
+    } finally Caching.release(base)
+  }
 }

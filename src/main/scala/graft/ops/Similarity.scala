@@ -421,4 +421,40 @@ object Similarity {
         cosine(dequant, col(qVecCol).cast("array<double>")).as("sim"))
     finishTopK(joined, k, qIdCol, cIdCol)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    * cells bound the candidate space, exact cosine within a cell decides
+    * near-duplicates, and every row with a SMALLER-id neighbor at
+    * `cos >= threshold` in its cell is dropped. The kept set is therefore
+    * an independent set — no two kept rows in the same cell are near-dups
+    * (if a < b were both kept with cos >= t, b would have been dropped) —
+    * which the declared query gate-checks. Returns `(id, cell, keep)` for
+    * every input row.
+    *
+    * Scale: the self-join key is the cell id, so candidate work per row is
+    * |cell| ≈ n/nCells — SemDeDup's design point is growing nCells with n
+    * to hold cell size ~constant. A pathologically hot cell is the
+    * df-cap analog here: split it (re-cluster within) rather than pair it.
+    * Only the nCells × dim centroid matrix ever reaches the driver.
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    nCells: Int = 16, iters: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nCells, iters, idCol, vecCol)
+    val assigned = Par.fanOut(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .withColumn("cell", nearestCell(col("__v"), cents))
+      .localCheckpoint(true)
+    try {
+      val dropped = assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+        .filter(cosine(col("a.__v"), col("b.__v")) >= threshold)
+        .select(col("b.id").as("id")).distinct()
+        .withColumn("__drop", lit(true))
+      assigned.select(col("id"), col("cell"))
+        .join(dropped, Seq("id"), "left_outer")
+        .select(col("id"), col("cell"), col("__drop").isNull.as("keep"))
+        .localCheckpoint(true)
+    } finally Caching.release(assigned)
+  }
 }

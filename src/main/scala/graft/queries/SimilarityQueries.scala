@@ -535,6 +535,47 @@ object SimilarityQueries {
       Some("""SELECT doc_id AS media_id, i AS frame_no,
               | md5(substring(text, cast(i * (length(text) // 4) + 1 as bigint),
               |     cast(greatest(1, length(text) // 4) as bigint))) AS frame_md5
-              |FROM documents, unnest([0,1,2,3]) AS t(i)""".stripMargin))
+              |FROM documents, unnest([0,1,2,3]) AS t(i)""".stripMargin)),
+
+    // ---- SemDeDup semantic dedup (k-means cells + within-cell cosine,
+    //      keep-lowest-id), clone-gated: every 20th embedding is planted
+    //      again at vec_id + 1e6 — an identical vector lands in the SAME
+    //      cell deterministically (argmax over identical dots) at cosine
+    //      1.0, so the clone MUST be dropped (its source id is smaller).
+    //      kept_dup_pairs re-derives the construct's invariant in-query:
+    //      the kept set is an independent set (no same-cell kept pair at
+    //      cos >= t) — a drop-rule bug surfaces as a nonzero count, not a
+    //      silent quality drift. (No zero-norm embeddings in this corpus,
+    //      so the cosine zero-guard can't mask a clone.)
+    Q("dedup_semantic",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val clones = emb.filter(col("vec_id") % 20 === 7)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        val all = emb.unionByName(clones)
+        val res = Similarity.semanticDedup(all, threshold = 0.995, nCells = 16)
+        try {
+          val clonesDropped = res.filter(col("id") >= 1000000L && !col("keep"))
+            .agg(count(lit(1)).as("clones_dropped"))
+          val kept = res.filter(col("keep"))
+            .join(all.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+          val keptDupPairs = kept.as("a").join(kept.as("b"),
+              col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+            .filter(Similarity.cosine(col("a.embedding"), col("b.embedding")) >= 0.995)
+            .agg(count(lit(1)).as("kept_dup_pairs"))
+          emb.agg(
+              count(when(col("vec_id") % 20 === 7, lit(1))).as("n_planted"),
+              (max(col("vec_id")) < 1000000L).as("id_space_ok"))
+            .crossJoin(clonesDropped).crossJoin(keptDupPairs)
+            .select(col("n_planted"), col("clones_dropped"),
+              (col("clones_dropped") === col("n_planted")).as("all_dropped"),
+              col("kept_dup_pairs"), col("id_space_ok"))
+            .localCheckpoint(true)
+        } finally graft.ops.Caching.release(res)
+      },
+      Some("""SELECT count(CASE WHEN vec_id % 20 = 7 THEN 1 END)::bigint AS n_planted,
+              | count(CASE WHEN vec_id % 20 = 7 THEN 1 END)::bigint AS clones_dropped,
+              | true AS all_dropped, 0::bigint AS kept_dup_pairs, true AS id_space_ok
+              |FROM embeddings""".stripMargin))
   )
 }

@@ -829,7 +829,34 @@ object TextQueries {
               |   WHERE sa.split <> sb.split)
               |SELECT split, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS total_chars,
               |       (SELECT n_leaky_pairs FROM leaky) AS n_leaky_pairs
-              |FROM assigned GROUP BY split""".stripMargin))
+              |FROM assigned GROUP BY split""".stripMargin)),
+
+    // ---- C4-style duplicated-block removal (the REMOVAL counterpart of
+    //      text_dup_ngrams' measurement): consecutive 8-word blocks are the
+    //      newline-free corpus's "lines"; a block in >= 2 distinct docs is
+    //      boilerplate and every doc is reassembled from its survivors in
+    //      order. Exact semantics end-to-end — the oracle replays chunking,
+    //      the distinct-doc frequency cut, and ordered reassembly, and the
+    //      hash gate covers the rebuilt text byte-for-byte.
+    Q("pipeline_block_dedup",
+      (s, dir) => Dedup.removeDuplicateBlocks(
+          T(s, dir, "documents"), "doc_id", "text", blockWords = 8, minDf = 2L)
+        .select(col("id").as("doc_id"), col("n_blocks"), col("n_removed"),
+          col("clean_text")),
+      Some("""WITH w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |        ELSE regexp_split_to_array(trim(text), '\s+') END AS words FROM documents),
+              | nb AS (SELECT doc_id, words, (len(words) + 7) // 8 AS n_blocks FROM w),
+              | b AS (SELECT doc_id, cast(t.i as bigint) AS pos,
+              |        array_to_string(list_slice(words, t.i*8+1, t.i*8+8), ' ') AS block
+              |       FROM nb, unnest(range(0, n_blocks)) AS t(i)),
+              | hot AS (SELECT block FROM b GROUP BY block HAVING count(distinct doc_id) >= 2),
+              | reb AS (SELECT doc_id AS rid, count(*) AS n_kept,
+              |         string_agg(block, ' ' ORDER BY pos) AS clean_text
+              |         FROM b WHERE block NOT IN (SELECT block FROM hot) GROUP BY doc_id)
+              |SELECT nb.doc_id, cast(nb.n_blocks as bigint) AS n_blocks,
+              | cast(nb.n_blocks - coalesce(reb.n_kept, 0) as bigint) AS n_removed,
+              | coalesce(reb.clean_text, '') AS clean_text
+              |FROM nb LEFT JOIN reb ON nb.doc_id = reb.rid""".stripMargin))
   )
 
   private def duckList(xs: Seq[String]): String =

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Cross-doc duplicated-block removal and SemDeDup semantic dedup. */
+class BlockDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("removeDuplicateBlocks drops cross-doc blocks, keeps within-doc repeats") {
+    // Block width 2. "x y" appears in docs 1 and 2 (cross-doc → removed
+    // everywhere, including doc 1's second copy). "p q" repeats only
+    // WITHIN doc 3 (df = 1 → kept, both copies). Doc 4 is entirely
+    // boilerplate ("x y" twice → emptied, still present in the output).
+    // Doc 5 is empty text. Doc 6 has a 3-word tail (partial last block).
+    val docs = Seq(
+      (1L, "x y a b x y"),
+      (2L, "x y c d"),
+      (3L, "p q p q"),
+      (4L, "x y x y"),
+      (5L, ""),
+      (6L, "u v w")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateBlocks(docs, "doc_id", "text",
+        blockWords = 2, minDf = 2L)
+      .select("id", "n_blocks", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 2L, "a b")))
+    assert(out(2L) == ((2L, 1L, "c d")))
+    assert(out(3L) == ((2L, 0L, "p q p q")))
+    assert(out(4L) == ((2L, 2L, "")))
+    assert(out(5L) == ((0L, 0L, "")))
+    assert(out(6L) == ((2L, 0L, "u v w")))
+    assert(out.size == 6)
+  }
+
+  test("semanticDedup drops identical vectors and keeps an independent set") {
+    // Two well-separated directions; ids 1/2/3 are the same unit vector
+    // (exact dups), 10 is a near-dup of them (cos ≈ 0.9998), 20/21
+    // orthogonal to the first group and near-identical to each other.
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(1, 0, 0, 0)), (3L, v(1, 0, 0, 0)),
+      (10L, v(1, 0.02, 0, 0)),
+      (20L, v(0, 0, 1, 0)), (21L, v(0, 0, 1, 0.01))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.semanticDedup(corpus, threshold = 0.999, nCells = 2)
+      .select("id", "cell", "keep").as[(Long, Int, Boolean)].collect()
+    val keep = res.map(r => r._1 -> r._3).toMap
+    assert(res.length == 6)
+    assert(keep(1L), "lowest id of the dup group must survive")
+    assert(!keep(2L) && !keep(3L), "identical vectors with a smaller-id twin must drop")
+    assert(keep(20L) && !keep(21L), "near-identical pair keeps only the lower id")
+    // Independent set: no two kept rows in one cell at cos >= threshold.
+    val kept = res.filter(_._3).map(_._1).toSet
+    val vecs = corpus.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (n == 0) 0.0 else d / n
+    }
+    val cellOf = res.map(r => r._1 -> r._2).toMap
+    for (a <- kept; b <- kept if a < b && cellOf(a) == cellOf(b))
+      assert(cos(vecs(a), vecs(b)) < 0.999, s"kept near-dup pair ($a,$b)")
+  }
+}
