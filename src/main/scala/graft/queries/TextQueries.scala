@@ -856,7 +856,30 @@ object TextQueries {
               |SELECT nb.doc_id, cast(nb.n_blocks as bigint) AS n_blocks,
               | cast(nb.n_blocks - coalesce(reb.n_kept, 0) as bigint) AS n_removed,
               | coalesce(reb.clean_text, '') AS clean_text
-              |FROM nb LEFT JOIN reb ON nb.doc_id = reb.rid""".stripMargin))
+              |FROM nb LEFT JOIN reb ON nb.doc_id = reb.rid""".stripMargin)),
+
+    // ---- training-shard export manifest: consecutive 256-row shards in
+    //      deterministic (md5-bucket, id) order, numbered by the
+    //      DISTRIBUTED two-pass global row_number (bucket counts → driver
+    //      prefix sums → per-bucket parallel windows) — the scale-safe
+    //      form of the single-partition ORDER BY the oracle can afford to
+    //      use. Manifest rows (counts, sizes, shard-order endpoints, id
+    //      checksum) are exact and fully hash-gated.
+    Q("pipeline_shard_export",
+      (s, dir) => graft.ops.Packing.shardManifest(
+          T(s, dir, "documents"), "doc_id", "n_chars", shardSize = 256)
+        .select(col("shard_id"), col("n_docs"), col("total_size"),
+          col("first_id"), col("last_id"), col("id_sum")),
+      Some("""WITH o AS (SELECT doc_id, n_chars,
+              |   ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000 AS hb
+              |  FROM documents),
+              | r AS (SELECT doc_id, n_chars,
+              |   row_number() OVER (ORDER BY hb, doc_id) AS rn FROM o)
+              |SELECT cast((rn - 1) // 256 as bigint) AS shard_id,
+              | count(*) AS n_docs, cast(sum(n_chars) as bigint) AS total_size,
+              | min_by(doc_id, rn) AS first_id, max_by(doc_id, rn) AS last_id,
+              | cast(sum(doc_id) as bigint) AS id_sum
+              |FROM r GROUP BY 1""".stripMargin))
   )
 
   private def duckList(xs: Seq[String]): String =

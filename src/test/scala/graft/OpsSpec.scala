@@ -292,6 +292,31 @@ class OpsSpec extends SparkSpec {
     assert(packed == Set((1L, 0L, 3L), (3L, 0L, 1L), (3L, 1L, 2L)))
   }
 
+  test("globalRowNumber matches the single-partition window exactly") {
+    import graft.ops.{Packing, Sampling}
+    val df = (1L to 1000L).toDF("id")
+    val distributed = Packing.globalRowNumber(df, "id", nBuckets = 20)
+      .select($"id", $"rn").as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(Sampling.hashBucket($"id"), $"id")
+    val single = df.withColumn("rn", row_number().over(w).cast("long"))
+      .select($"id", $"rn").as[(Long, Long)].collect().toMap
+    assert(distributed == single)
+  }
+
+  test("shardManifest: exact shard boundaries, sizes, and checksums") {
+    import graft.ops.Packing
+    val df = (1L to 100L).map(i => (i, i * 10L)).toDF("id", "sz")
+    val m = Packing.shardManifest(df, "id", "sz", shardSize = 30, nBuckets = 10)
+      .orderBy("shard_id")
+      .select($"shard_id", $"n_docs", $"total_size", $"id_sum")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(m.map(_._1).sameElements(Array(0L, 1L, 2L, 3L)))
+    assert(m.map(_._2).sameElements(Array(30L, 30L, 30L, 10L)))
+    assert(m.map(_._3).sum == (1L to 100L).map(_ * 10).sum)
+    assert(m.map(_._4).sum == (1L to 100L).sum)
+  }
+
   test("hash sampling: deterministic, monotone in rate, exact at the ends") {
     import graft.ops.Sampling
     val df = (1L to 500L).toDF("id")
