@@ -879,7 +879,43 @@ object TextQueries {
               | count(*) AS n_docs, cast(sum(n_chars) as bigint) AS total_size,
               | min_by(doc_id, rn) AS first_id, max_by(doc_id, rn) AS last_id,
               | cast(sum(doc_id) as bigint) AS id_sum
-              |FROM r GROUP BY 1""".stripMargin))
+              |FROM r GROUP BY 1""".stripMargin)),
+
+    // ---- percentile quality cut (the FineWeb-style "drop the worst X% by
+    //      score" step): the threshold is the corpus's exact 20th
+    //      percentile of stopword ratio (percentile ≡ quantile_cont
+    //      parity, as in q_percentiles), then per-source keep counts and
+    //      kept volume. Membership at the boundary is ulp-stable: an
+    //      interpolated threshold either equals a data value exactly (tie
+    //      or integral rank — lo + f·0 = lo in both engines) or lies
+    //      strictly between adjacent ones. At 100 TB swap the exact
+    //      percentile for percentile_approx (the q_approx_percentiles
+    //      trade) — one bounded-state agg instead of a full sort digest.
+    Q("pipeline_quality_filter",
+      (s, dir) => {
+        val scored = T(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars"), TextAnalysis.stopwordHitRatio(col("text")).as("score"))
+        val thr = scored.agg(percentile(col("score"), lit(0.2)).as("thr"))
+        scored.crossJoin(broadcast(thr))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("score") >= col("thr"), lit(1))).as("n_kept"),
+            coalesce(sum(when(col("score") >= col("thr"), col("n_chars"))), lit(0L))
+              .as("kept_chars"),
+            round(first(col("thr")), 6).as("threshold"))
+      },
+      Some(s"""WITH sc AS (SELECT doc_id, source, n_chars,
+               | CASE WHEN length(trim(text)) = 0 THEN 0.0
+               |   ELSE cast(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+               |        t -> list_contains(${duckList(TextAnalysis.EnglishStopwords)}, t))) as double)
+               |        / cast(len(regexp_split_to_array(trim(lower(text)), '\\s+')) as double) END AS score
+               | FROM documents),
+               | t AS (SELECT quantile_cont(score, 0.2) AS thr FROM sc)
+               |SELECT source, count(*) AS n_docs,
+               | count(CASE WHEN score >= thr THEN 1 END) AS n_kept,
+               | cast(coalesce(sum(CASE WHEN score >= thr THEN n_chars END), 0) as bigint) AS kept_chars,
+               | round(thr, 6) AS threshold
+               |FROM sc, t GROUP BY source, thr""".stripMargin))
   )
 
   private def duckList(xs: Seq[String]): String =
