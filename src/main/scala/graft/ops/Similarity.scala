@@ -428,32 +428,50 @@ object Similarity {
     * `cos >= threshold` in its cell is dropped. The kept set is therefore
     * an independent set — no two kept rows in the same cell are near-dups
     * (if a < b were both kept with cos >= t, b would have been dropped) —
-    * which the declared query gate-checks. Returns `(id, cell, keep)` for
-    * every input row.
+    * which the declared query gate-checks. Returns `(id, cell, sub, keep)`
+    * for every input row.
     *
     * Scale: the self-join key is the cell id, so candidate work per row is
     * |cell| ≈ n/nCells — SemDeDup's design point is growing nCells with n
-    * to hold cell size ~constant. A pathologically hot cell is the
-    * df-cap analog here: split it (re-cluster within) rather than pair it.
-    * Only the nCells × dim centroid matrix ever reaches the driver.
+    * to hold cell size ~constant. `maxCellSize` is the hot-cell guard (the
+    * df-cap analog of the inverted-index pair ops): a cell over the cap is
+    * sub-split by a VECTOR-CONTENT hash into ceil(|cell|/cap) sub-cells,
+    * so per-row candidate work stays <= ~cap by construction. Identical
+    * vectors hash identically and stay co-located — exact duplicates are
+    * still caught deterministically; only near-dup pairs straddling a
+    * sub-cell boundary can be missed (the documented recall trade, tunable
+    * via the cap). Driver state: nCells × dim centroids + nCells counts.
     */
   def semanticDedup(corpus: DataFrame, threshold: Double,
                     nCells: Int = 16, iters: Int = 2,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxCellSize: Option[Long] = None): DataFrame = {
     val cents = ivfCentroids(corpus, nCells, iters, idCol, vecCol)
     val assigned = Par.fanOut(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("__v"))
       .withColumn("cell", nearestCell(col("__v"), cents))
       .localCheckpoint(true)
     try {
-      val dropped = assigned.as("a").join(assigned.as("b"),
-          col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      val subbed = maxCellSize match {
+        case None => assigned.withColumn("sub", lit(0L))
+        case Some(cap) =>
+          require(cap > 0, "maxCellSize must be positive")
+          val counts = assigned.groupBy("cell").agg(count(lit(1)).as("c"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val nSubs = (0 until nCells)
+            .map(i => math.max(1L, (counts.getOrElse(i, 0L) + cap - 1) / cap))
+          val nSubCol = element_at(array(nSubs.map(lit): _*), col("cell") + 1)
+          assigned.withColumn("sub", pmod(xxhash64(col("__v")), nSubCol))
+      }
+      val dropped = subbed.as("a").join(subbed.as("b"),
+          col("a.cell") === col("b.cell") && col("a.sub") === col("b.sub") &&
+          col("a.id") < col("b.id"))
         .filter(cosine(col("a.__v"), col("b.__v")) >= threshold)
         .select(col("b.id").as("id")).distinct()
         .withColumn("__drop", lit(true))
-      assigned.select(col("id"), col("cell"))
+      subbed.select(col("id"), col("cell"), col("sub"))
         .join(dropped, Seq("id"), "left_outer")
-        .select(col("id"), col("cell"), col("__drop").isNull.as("keep"))
+        .select(col("id"), col("cell"), col("sub"), col("__drop").isNull.as("keep"))
         .localCheckpoint(true)
     } finally Caching.release(assigned)
   }

@@ -560,7 +560,48 @@ object SimilarityQueries {
           val kept = res.filter(col("keep"))
             .join(all.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
           val keptDupPairs = kept.as("a").join(kept.as("b"),
-              col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+              col("a.cell") === col("b.cell") && col("a.sub") === col("b.sub") &&
+              col("a.id") < col("b.id"))
+            .filter(Similarity.cosine(col("a.embedding"), col("b.embedding")) >= 0.995)
+            .agg(count(lit(1)).as("kept_dup_pairs"))
+          emb.agg(
+              count(when(col("vec_id") % 20 === 7, lit(1))).as("n_planted"),
+              (max(col("vec_id")) < 1000000L).as("id_space_ok"))
+            .crossJoin(clonesDropped).crossJoin(keptDupPairs)
+            .select(col("n_planted"), col("clones_dropped"),
+              (col("clones_dropped") === col("n_planted")).as("all_dropped"),
+              col("kept_dup_pairs"), col("id_space_ok"))
+            .localCheckpoint(true)
+        } finally graft.ops.Caching.release(res)
+      },
+      Some("""SELECT count(CASE WHEN vec_id % 20 = 7 THEN 1 END)::bigint AS n_planted,
+              | count(CASE WHEN vec_id % 20 = 7 THEN 1 END)::bigint AS clones_dropped,
+              | true AS all_dropped, 0::bigint AS kept_dup_pairs, true AS id_space_ok
+              |FROM embeddings""".stripMargin)),
+
+    // ---- hot-cell-capped SemDeDup: maxCellSize forces ceil(|cell|/cap)
+    //      vector-hash sub-splits, bounding per-row candidate work at the
+    //      cap — the df-cap analog for the cell self-join. The same
+    //      guarantees survive the cap BY CONSTRUCTION (identical vectors
+    //      hash to the same sub-cell, so planted clones must still drop;
+    //      the kept set is still independent within (cell, sub)) and the
+    //      oracle pins them; only cross-boundary NEAR-dup recall is traded.
+    Q("dedup_semantic_capped",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val clones = emb.filter(col("vec_id") % 20 === 7)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        val all = emb.unionByName(clones)
+        val res = Similarity.semanticDedup(all, threshold = 0.995, nCells = 16,
+          maxCellSize = Some(24L))
+        try {
+          val clonesDropped = res.filter(col("id") >= 1000000L && !col("keep"))
+            .agg(count(lit(1)).as("clones_dropped"))
+          val kept = res.filter(col("keep"))
+            .join(all.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+          val keptDupPairs = kept.as("a").join(kept.as("b"),
+              col("a.cell") === col("b.cell") && col("a.sub") === col("b.sub") &&
+              col("a.id") < col("b.id"))
             .filter(Similarity.cosine(col("a.embedding"), col("b.embedding")) >= 0.995)
             .agg(count(lit(1)).as("kept_dup_pairs"))
           emb.agg(

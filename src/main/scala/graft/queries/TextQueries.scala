@@ -915,7 +915,46 @@ object TextQueries {
                | count(CASE WHEN score >= thr THEN 1 END) AS n_kept,
                | cast(coalesce(sum(CASE WHEN score >= thr THEN n_chars END), 0) as bigint) AS kept_chars,
                | round(thr, 6) AS threshold
-               |FROM sc, t GROUP BY source, thr""".stripMargin))
+               |FROM sc, t GROUP BY source, thr""".stripMargin)),
+
+    // ---- CCNet-style unigram LM scoring: every doc's mean token
+    //      log-probability under the corpus's own unigram distribution —
+    //      the perplexity-filter signal with an exactly replayable model.
+    //      Shape: one vocab agg (map-side combined), vocab broadcast back
+    //      onto the exploded stream, one per-doc agg — the LM "training"
+    //      and "scoring" passes of a 100 TB perplexity filter, where the
+    //      vocab table is precisely the executor-broadcastable model
+    //      state. avg-of-logs is order-dependent in the last ulps, so both
+    //      engines surface round(…, 6).
+    Q("text_unigram_logprob",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        val total = vocab.agg(sum("c").as("n"))
+        val scored = toks.join(broadcast(vocab), Seq("tok"))
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(avg(log(col("c").cast("double") / col("n").cast("double"))), 6)
+              .as("avg_logprob"))
+        docs.select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+              |  FROM documents WHERE length(trim(text)) > 0),
+              | v AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+              | n AS (SELECT cast(sum(c) as double) AS n FROM v),
+              | sc AS (SELECT doc_id, count(*) AS n_tokens,
+              |    round(avg(ln(c / n)), 6) AS avg_logprob
+              |   FROM tk JOIN v USING (tok), n GROUP BY doc_id)
+              |SELECT d.doc_id, cast(coalesce(sc.n_tokens, 0) as bigint) AS n_tokens,
+              | coalesce(sc.avg_logprob, 0.0) AS avg_logprob
+              |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin))
   )
 
   private def duckList(xs: Seq[String]): String =

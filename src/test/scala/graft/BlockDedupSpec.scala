@@ -63,4 +63,41 @@ class BlockDedupSpec extends SparkSpec {
     for (a <- kept; b <- kept if a < b && cellOf(a) == cellOf(b))
       assert(cos(vecs(a), vecs(b)) < 0.999, s"kept near-dup pair ($a,$b)")
   }
+
+  test("semanticDedup cap: generous cap is a no-op, tiny cap still drops exact dups") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // 12 exact copies of one vector + 4 of another: with cap 3 the hot
+    // cell MUST sub-split, yet identical vectors share the content hash,
+    // so every non-minimum copy still drops.
+    val corpus = ((1L to 12L).map(i => (i, v(1, 0, 0, 0))) ++
+      (20L to 23L).map(i => (i, v(0, 0, 1, 0)))).toDF("vec_id", "embedding")
+    val uncapped = Similarity.semanticDedup(corpus, threshold = 0.999, nCells = 2)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    val generous = Similarity.semanticDedup(corpus, threshold = 0.999, nCells = 2,
+        maxCellSize = Some(1000L))
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(generous == uncapped, "a cap above every cell size must not change results")
+    val tiny = Similarity.semanticDedup(corpus, threshold = 0.999, nCells = 2,
+        maxCellSize = Some(3L))
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(tiny.size == 16)
+    // Exact-duplicate groups: exactly one survivor each (the group minimum
+    // within its sub-cell chain — at least the global min survives, and no
+    // sub-cell may keep two identical vectors).
+    assert(tiny(1L) && !(2L to 12L).exists(tiny), s"hot group must keep only id 1: $tiny")
+    assert(tiny(20L) && !(21L to 23L).exists(tiny))
+  }
+
+  test("removeDuplicateBlocks is the identity on a duplicate-free corpus") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta"),
+      (3L, "theta iota kappa lambda mu")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.removeDuplicateBlocks(docs, "doc_id", "text",
+        blockWords = 2, minDf = 2L)
+      .select("id", "n_removed", "clean_text").as[(Long, Long, String)].collect()
+    assert(out.forall(_._2 == 0L))
+    val texts = docs.as[(Long, String)].collect().toMap
+    out.foreach { case (id, _, clean) => assert(clean == texts(id)) }
+  }
 }
