@@ -954,7 +954,48 @@ object TextQueries {
               |   FROM tk JOIN v USING (tok), n GROUP BY doc_id)
               |SELECT d.doc_id, cast(coalesce(sc.n_tokens, 0) as bigint) AS n_tokens,
               | coalesce(sc.avg_logprob, 0.0) AS avg_logprob
-              |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin))
+              |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin)),
+
+    // ---- within-doc token entropy + type-token ratio — the last member
+    //      of the quality-signal family (surface stats → repetition →
+    //      corpus-LM logprob → own-distribution entropy). H = ln n −
+    //      (Σ c·ln c)/n, so one (doc,tok) count agg and one per-doc agg
+    //      suffice — two map-side-combined shuffles, no join against a
+    //      model. round(…,6) absorbs summation-order ulps as elsewhere.
+    Q("text_entropy",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val tf = docs.select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        val ent = tf.groupBy("doc_id").agg(
+            sum("c").as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("c").cast("double") * log(col("c").cast("double"))).as("sclc"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            round(log(col("n_tokens").cast("double")) -
+              col("sclc") / col("n_tokens").cast("double"), 6).as("entropy"),
+            round(col("n_distinct").cast("double") /
+              col("n_tokens").cast("double"), 6).as("ttr"))
+        docs.select(col("doc_id")).join(ent, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+            coalesce(col("entropy"), lit(0.0)).as("entropy"),
+            coalesce(col("ttr"), lit(0.0)).as("ttr"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+              |  FROM documents WHERE length(trim(text)) > 0),
+              | tf AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok),
+              | e AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+              |    round(ln(cast(sum(c) as double)) -
+              |      sum(cast(c as double) * ln(cast(c as double))) / cast(sum(c) as double), 6) AS entropy,
+              |    round(cast(count(*) as double) / cast(sum(c) as double), 6) AS ttr
+              |   FROM tf GROUP BY doc_id)
+              |SELECT d.doc_id, cast(coalesce(e.n_tokens, 0) as bigint) AS n_tokens,
+              | cast(coalesce(e.n_distinct, 0) as bigint) AS n_distinct,
+              | coalesce(e.entropy, 0.0) AS entropy, coalesce(e.ttr, 0.0) AS ttr
+              |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id""".stripMargin))
   )
 
   private def duckList(xs: Seq[String]): String =
