@@ -88,6 +88,55 @@ class BlockDedupSpec extends SparkSpec {
     assert(tiny(20L) && !(21L to 23L).exists(tiny))
   }
 
+  test("removeDuplicateBlocks matches a reference implementation on random corpora") {
+    // Tiny vocab forces heavy cross-doc block collisions; includes empty
+    // docs, partial tail blocks, and fully-wiped docs.
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docs = (0 until 60).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val bw = 2
+    val blocksOf: Map[Long, Seq[String]] = docs.map { case (id, t) =>
+      val ws = if (t.trim.isEmpty) Seq.empty[String] else t.trim.split("\\s+").toSeq
+      id -> ws.grouped(bw).map(_.mkString(" ")).toSeq
+    }.toMap
+    val hot = blocksOf.toSeq
+      .flatMap { case (id, bs) => bs.distinct.map(b => (b, id)) }
+      .groupBy(_._1).collect { case (b, ds) if ds.size >= 2 => b }.toSet
+    val expected = docs.map { case (id, _) =>
+      val bs = blocksOf(id)
+      val kept = bs.filterNot(hot)
+      id -> ((bs.size.toLong, (bs.size - kept.size).toLong, kept.mkString(" ")))
+    }.toMap
+    val out = graft.ops.Dedup.removeDuplicateBlocks(
+        docs.toDF("doc_id", "text"), "doc_id", "text", blockWords = bw, minDf = 2L)
+      .select("id", "n_blocks", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == expected)
+    assert(expected.values.exists(_._2 > 0), "fixture should remove something")
+    assert(expected.values.exists(v => v._1 > 0 && v._3.isEmpty),
+      "fixture should fully wipe at least one doc")
+  }
+
+  test("globalRowNumber is a bijection onto 1..n for sparse and negative ids") {
+    val rnd = new scala.util.Random(7)
+    val ids = Iterator.continually(rnd.nextLong() % 1000000000L).distinct.take(300).toSeq
+    val out = graft.ops.Packing.globalRowNumber(ids.toDF("id"), "id", nBuckets = 25)
+      .select("id", "rn").as[(Long, Long)].collect()
+    assert(out.length == 300)
+    assert(out.map(_._2).sorted.toSeq == (1L to 300L).toSeq)
+    // Rank order must agree with the declared (hashBucket, id) sort.
+    val byRank = out.sortBy(_._2).map(_._1)
+    val hb = ids.toDF("id")
+      .select($"id", graft.ops.Sampling.hashBucket($"id").as("hb"))
+      .as[(Long, Long)].collect().toMap
+    val want = ids.sortBy(id => (hb(id), id))(Ordering.Tuple2[Long, Long])
+    assert(byRank.sameElements(want))
+  }
+
   test("removeDuplicateBlocks is the identity on a duplicate-free corpus") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
