@@ -121,4 +121,35 @@ object TextAnalysis {
     */
   def docFingerprint(text: Column, k: Int = 5): Column =
     array_min(transform(shingles(text, k), s => xxhash64(s)))
+
+  /** Winnowing fingerprints (Schleimer et al. 2003 — the MOSS scheme):
+    * every window of `w` consecutive k-gram hashes contributes its minimal
+    * (hash, position) pair, and selected pairs are deduplicated — the
+    * guarantee is that any shared substring of >= w+k-1 tokens yields at
+    * least one shared fingerprint, at ~2/(w+1) sampling density. Gram
+    * hashes are md5-derived (first 15 hex digits, as the fingerprint h15
+    * convention elsewhere) so SELECTION ORDER is engine-replayable, unlike
+    * xxhash. Docs shorter than w grams contribute their single clipped
+    * window. Returns `(id, fp_hash, fp_pos)`.
+    *
+    * Shape: posexplode grams → one per-doc window pass (partitioned by
+    * doc, ~doc-sized sorts) → distinct. One shuffle on the doc id.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 3, w: Int = 4): DataFrame = {
+    require(w > 0, "window must be positive")
+    val grams = df.select(col(idCol).as("id"),
+        posexplode(shingles(col(textCol), k)).as(Seq("pos", "g")))
+      .withColumn("h", conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val frame = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    grams
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("mn", min(struct(col("h"), col("pos"))).over(frame))
+      .filter(col("pos") <= col("n") - w || (col("n") < w && col("pos") === 0))
+      .select(col("id"), col("mn.h").as("fp_hash"), col("mn.pos").as("fp_pos"))
+      .distinct()
+  }
 }

@@ -995,7 +995,38 @@ object TextQueries {
               |SELECT d.doc_id, cast(coalesce(e.n_tokens, 0) as bigint) AS n_tokens,
               | cast(coalesce(e.n_distinct, 0) as bigint) AS n_distinct,
               | coalesce(e.entropy, 0.0) AS entropy, coalesce(e.ttr, 0.0) AS ttr
-              |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id""".stripMargin))
+              |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id""".stripMargin)),
+
+    // ---- winnowing fingerprints (Schleimer et al. 2003 / MOSS): per-doc
+    //      selected-fingerprint count and xor checksum. md5-derived gram
+    //      hashes make the window argmin itself engine-replayable, so this
+    //      is EXACT — the whole selection (windows, tie rule, dedup) is
+    //      re-run by the oracle, not just pinned.
+    Q("text_winnow",
+      (s, dir) => TextAnalysis.winnowingFingerprints(
+          T(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_fps"),
+          coalesce(expr("bit_xor(fp_hash)"), lit(0L)).as("fp_xor")),
+      Some("""WITH d AS (SELECT doc_id, CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
+              |   ELSE list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')) END AS sh
+              |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |        ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+              |        FROM documents)),
+              | g AS (SELECT doc_id, cast(t.i - 1 as bigint) AS pos,
+              |        ('0x' || substr(md5(sh[t.i]), 1, 15))::bigint AS h
+              |       FROM d, unnest(range(1, len(sh) + 1)) AS t(i)),
+              | wm AS (SELECT doc_id, pos,
+              |        count(*) OVER (PARTITION BY doc_id) AS n,
+              |        min(struct_pack(h := h, p := pos)) OVER (PARTITION BY doc_id ORDER BY pos
+              |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+              |       FROM g),
+              | sel AS (SELECT DISTINCT doc_id, struct_extract(mn, 'h') AS fp_hash,
+              |          struct_extract(mn, 'p') AS fp_pos
+              |         FROM wm WHERE pos <= n - 4 OR (n < 4 AND pos = 0))
+              |SELECT doc_id, count(*) AS n_fps,
+              | cast(coalesce(bit_xor(fp_hash), 0) as bigint) AS fp_xor
+              |FROM sel GROUP BY doc_id""".stripMargin))
   )
 
   private def duckList(xs: Seq[String]): String =

@@ -137,6 +137,26 @@ class BlockDedupSpec extends SparkSpec {
     assert(byRank.sameElements(want))
   }
 
+  test("winnowing: shared >= w+k-1 token substrings share a fingerprint") {
+    import graft.ops.TextAnalysis
+    // k=3, w=4: any shared run of >= 6 tokens must yield a common
+    // fingerprint. Docs 1/2 share a 7-token run embedded in different
+    // contexts; doc 3 is disjoint.
+    val shared = "q1 q2 q3 q4 q5 q6 q7"
+    val docs = Seq(
+      (1L, s"a1 a2 $shared a3 a4"),
+      (2L, s"b1 b2 b3 $shared b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .select("id", "fp_hash").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared run must produce a shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint docs should not collide on this fixture")
+    // Density sanity: selected fingerprints are a strict subset of grams.
+    assert(fps(1L).size < 9, "winnowing must subsample the gram stream")
+  }
+
   test("removeDuplicateBlocks is the identity on a duplicate-free corpus") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
