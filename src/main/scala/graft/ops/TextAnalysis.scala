@@ -152,4 +152,29 @@ object TextAnalysis {
       .select(col("id"), col("mn.h").as("fp_hash"), col("mn.pos").as("fp_pos"))
       .distinct()
   }
+
+  /** MOSS-style overlap detection on top of [[winnowingFingerprints]]:
+    * doc pairs sharing >= `minShared` distinct fingerprint HASHES, with the
+    * shared count as the overlap score. The inverted fingerprint index
+    * self-joins on the hash — the same d²-per-hot-key shape as the shingle
+    * pair ops, so `maxFpDf` offers the same hot-key cap (a fingerprint in
+    * more than `maxFpDf` docs is corpus boilerplate and is dropped before
+    * pairing; below the cap results are identical).
+    */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4, minShared: Long = 2L,
+                         maxFpDf: Option[Long] = None): DataFrame = {
+    val fps = winnowingFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), col("fp_hash")).distinct()
+    val pruned = maxFpDf.fold(fps) { cap =>
+      val hot = fps.groupBy("fp_hash").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("fp_hash")
+      fps.join(hot, Seq("fp_hash"), "left_anti")
+    }
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -1026,7 +1026,34 @@ object TextQueries {
               |         FROM wm WHERE pos <= n - 4 OR (n < 4 AND pos = 0))
               |SELECT doc_id, count(*) AS n_fps,
               | cast(coalesce(bit_xor(fp_hash), 0) as bigint) AS fp_xor
-              |FROM sel GROUP BY doc_id""".stripMargin))
+              |FROM sel GROUP BY doc_id""".stripMargin)),
+
+    // ---- MOSS overlap pairs: docs sharing >= 3 winnowing fingerprints,
+    //      with the shared count as the score — exact end-to-end, because
+    //      the selection itself is replayable (see text_winnow). The
+    //      inverted-index self-join takes the same optional hot-key cap as
+    //      the shingle pair ops (uncapped here, like dedup_jaccard_exact).
+    Q("dedup_winnow_pairs",
+      (s, dir) => TextAnalysis.winnowOverlapPairs(
+          T(s, dir, "documents"), "doc_id", "text", k = 3, w = 4, minShared = 3L),
+      Some("""WITH d AS (SELECT doc_id, CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
+              |   ELSE list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')) END AS sh
+              |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |        ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+              |        FROM documents)),
+              | g AS (SELECT doc_id, cast(t.i - 1 as bigint) AS pos,
+              |        ('0x' || substr(md5(sh[t.i]), 1, 15))::bigint AS h
+              |       FROM d, unnest(range(1, len(sh) + 1)) AS t(i)),
+              | wm AS (SELECT doc_id, pos,
+              |        count(*) OVER (PARTITION BY doc_id) AS n,
+              |        min(struct_pack(h := h, p := pos)) OVER (PARTITION BY doc_id ORDER BY pos
+              |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+              |       FROM g),
+              | sel AS (SELECT DISTINCT doc_id, struct_extract(mn, 'h') AS fp_hash
+              |         FROM wm WHERE pos <= n - 4 OR (n < 4 AND pos = 0))
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+              |FROM sel a JOIN sel b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin))
   )
 
   private def duckList(xs: Seq[String]): String =

@@ -157,6 +157,29 @@ class BlockDedupSpec extends SparkSpec {
     assert(fps(1L).size < 9, "winnowing must subsample the gram stream")
   }
 
+  test("winnowOverlapPairs surfaces the overlapping pair and honors the cap") {
+    import graft.ops.TextAnalysis
+    val shared = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    val docs = Seq(
+      (1L, s"a1 a2 $shared a3 a4"),
+      (2L, s"b1 b2 b3 $shared b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 2L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // A generous cap changes nothing; a cap of 1 removes every shared
+    // fingerprint (each is in 2 docs) and with it the pair.
+    val capped = TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 2L, maxFpDf = Some(5L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == pairs)
+    val tight = TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 2L, maxFpDf = Some(1L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(tight.isEmpty)
+  }
+
   test("removeDuplicateBlocks is the identity on a duplicate-free corpus") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
