@@ -732,6 +732,69 @@ object TextQueries {
               | AND cast(len(list_intersect(a.sh, b.sh)) as double) /
               |   cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double) >= 0.4""".stripMargin)),
 
+    // ---- cumulative multi-batch ingest: three sequential ingests
+    //      partition the corpus (batch i arrives with batches < i already
+    //      indexed), and the UNION of per-ingest incremental probes must
+    //      recover the full-corpus pair set — every pair surfaces exactly
+    //      once, in the ingest where its later-arriving member lands. This
+    //      is the completeness property that makes the recurring-ingest
+    //      loop sound: no pair is ever permanently missed by arriving in
+    //      pieces. Gated like dedup_minhash_pairs: precision structural
+    //      (exact-verified pairs), recall floored at 0.8 of the
+    //      oracle-counted full exact pair set (measured 1.0).
+    Q("pipeline_incremental_ingest",
+      (s, dir) => {
+        val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        val rounds = (0 until 3).map { i =>
+          val base = docs.filter(pmod(col("doc_id"), lit(3)) < i)
+          val incoming = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+          Dedup.incrementalNearDups(base, incoming, "doc_id", "text",
+              shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4)
+            .select("id_a", "id_b")
+        }
+        val found = rounds.reduce(_ unionByName _)
+        val shingled = graft.ops.Par.fanOut(
+            docs.select(col("doc_id").as("id"), col("text").as("__text")))
+          .select(col("id"),
+            array_distinct(TextAnalysis.shingles(col("__text"), 3)).as("sh"))
+          .localCheckpoint(true)
+        try {
+          val inv = shingled.select(col("id"), size(col("sh")).as("sz"),
+            explode(transform(col("sh"), x => xxhash64(x))).as("g"))
+          val exact = inv.as("a").join(inv.as("b"),
+              col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+            .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+            .agg(count(lit(1)).as("inter"))
+            .select(col("id_a"), col("id_b"),
+              (col("inter").cast("double") /
+                (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+            .filter(col("jaccard") >= 0.4)
+            .select("id_a", "id_b")
+          val tp = found.join(exact, Seq("id_a", "id_b"), "left_semi")
+            .agg(count(lit(1)).as("tp"))
+          val fp = found.join(exact, Seq("id_a", "id_b"), "left_anti")
+            .agg(count(lit(1)).as("fp"))
+          val gate = exact.agg(count(lit(1)).as("n_exact")).crossJoin(tp).crossJoin(fp)
+            .select(col("n_exact"),
+              (col("fp") === 0).as("precision_ok"),
+              (col("tp").cast("double") >=
+                col("n_exact").cast("double") * 0.8).as("recall_ok"))
+            .localCheckpoint(true)
+          rounds.foreach(graft.ops.Caching.release)
+          gate
+        } finally graft.ops.Caching.release(shingled)
+      },
+      Some("""WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
+              |   ELSE list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')) END) AS sh
+              |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |        ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+              |        FROM documents))
+              |SELECT count(*)::bigint AS n_exact, true AS precision_ok, true AS recall_ok
+              |FROM d a JOIN d b ON a.doc_id < b.doc_id
+              |WHERE cast(len(list_intersect(a.sh, b.sh)) as double) /
+              |   cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double) >= 0.4""".stripMargin)),
+
     // ---- substring-level duplication signal (Lee et al.'s dedup metric,
     //      aggregated per doc): fraction of each doc's distinct 3-grams
     //      occurring in ≥2 docs corpus-wide. Two shuffles, no self-join —
