@@ -188,6 +188,38 @@ object Hashing {
     MultisetFp(r.getLong(0), BigInt(r.getDecimal(1).toBigInteger), r.getLong(2))
   }
 
+  /** Multiset fingerprint over an EXISTING md5 row-hash column — the JDBC
+    * hash-pushdown path ([[graft.sync.TableStore.pushedHashMap]]): the hashes
+    * were computed inside the source database and are the only thing that
+    * crossed the wire, so the fingerprint costs one aggregate over ~32-byte
+    * strings. Same h15 algebra as [[multisetFp]] with `legacyNullSkip = true`
+    * flavor — two PUSHED fingerprints always compare; comparing a pushed
+    * fingerprint against a Spark-side one is sound only when the server's
+    * value→string casts match Spark's (never assume it across engines).
+    */
+  def multisetFpOfHashes(df: DataFrame, hashCol: String): MultisetFp = {
+    val r = df
+      .select(expr(s"cast(conv(substring($hashCol, 1, 15), 16, 10) as bigint)").as("h15"))
+      .agg(count(lit(1)),
+        coalesce(sum(col("h15").cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))),
+        coalesce(expr("bit_xor(h15)"), lit(0L))).head()
+    MultisetFp(r.getLong(0), BigInt(r.getDecimal(1).toBigInteger), r.getLong(2))
+  }
+
+  /** Per-partition fingerprints over an EXISTING md5 row-hash column (the
+    * pushed analog of [[partitionFingerprints]]) — same output columns
+    * (`fp_count`/`fp_xor`/`fp_sum`), but the per-row hash is the h15 slice of
+    * the server-computed md5, NOT the raw-value xxhash64 chain: pushed and
+    * local partition fingerprints are different flavors and must never be
+    * compared with each other.
+    */
+  def partitionFingerprintsOfHashes(df: DataFrame, partCol: String, hashCol: String): DataFrame =
+    df.select(col(partCol),
+        expr(s"cast(conv(substring($hashCol, 1, 15), 16, 10) as bigint)").as("__h64"))
+      .groupBy(partCol)
+      .agg(fingerprintAggs.head, fingerprintAggs.tail: _*)
+
   /** Per-group multiset fingerprints in ONE aggregate, folded driver-side —
     * the CDC apply's input shape: `df` is a change BATCH (delta-sized, never
     * a table scan) and `groupCol` its op tag, so `fp(deleted)`/`fp(inserted)`

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.Hashing
-import graft.sync.{BucketedStore, ParquetStore, PartitionedStore, SyncConfig, SyncEngine}
+import graft.sync.{BucketedStore, DerbyDialect, JdbcStore, ParquetStore, PartitionedStore, SyncConfig, SyncEngine}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -508,6 +508,44 @@ object SyncQueries {
         s"""SELECT fingerprint, n_rows, true AS maintained_matches,
            | true AS second_cycle_zero_scan
            |FROM (${Registry.duckMultisetFingerprint(oCols, perturbed)})""".stripMargin
-      })
+      }),
+
+    // JDBC hash pushdown (SURVEY §4 compute pushdown; reference
+    // `TableConnection.php:46-51`): the per-row MD5 is computed INSIDE the
+    // source database — only (key, 32-byte hash) crosses the wire. nation is
+    // loaded into an embedded Derby DB (with [[graft.sync.DerbyDialect]]'s
+    // registered MD5 — the adapter a real deployment registers for engines
+    // lacking a hash builtin) and the pushed projection is returned verbatim;
+    // the oracle recomputes the same md5 in DuckDB, proving the SERVER-side
+    // canonicalization matches [[Hashing.rowHash]] byte-for-byte.
+    Q("sync_jdbc_pushdown",
+      (s, dir) => {
+        val nation = T(s, dir, "nation")
+        val cols = Seq("n_nationkey", "n_name", "n_regionkey")
+        val url = "jdbc:derby:" + java.nio.file.Files
+          .createTempDirectory("graft_push").toString + "/db;create=true"
+        def sqlType(dt: org.apache.spark.sql.types.DataType) = dt match {
+          case org.apache.spark.sql.types.LongType => "BIGINT"
+          case org.apache.spark.sql.types.IntegerType => "INT"
+          case org.apache.spark.sql.types.StringType => "VARCHAR(254)"
+          case t => throw new IllegalArgumentException(s"unmapped JDBC type for $t")
+        }
+        // Pre-create with VARCHAR columns: Spark's Derby dialect would map
+        // strings to CLOB, which Derby refuses to CAST/concatenate.
+        val ddl = nation.schema.fields
+          .map(f => s""""${f.name}" ${sqlType(f.dataType)}""")
+          .mkString("""CREATE TABLE "nation" (""", ", ", ")")
+        val c = java.sql.DriverManager.getConnection(url)
+        try { val st = c.createStatement(); try st.execute(ddl) finally st.close() }
+        finally c.close()
+        DerbyDialect.installMd5(url)
+        val store = new JdbcStore(s, url, hashPushdown = true,
+          hashExprBuilder = Some(DerbyDialect.rowHashExpr))
+        store.append("nation", nation)
+        store.pushedHashMap("nation", Seq("n_nationkey"), cols).get
+      },
+      Some("SELECT n_nationkey, " +
+        Registry.duckRowHash(Seq("n_nationkey", "n_name", "n_regionkey")) +
+        " AS row_hash FROM nation"))
   )
 }

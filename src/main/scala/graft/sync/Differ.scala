@@ -65,6 +65,24 @@ object Differ {
         (Hashing.fastHashMap(master, keyCols, dataCols),
          Hashing.fastHashMap(slave, keyCols, dataCols),
          Hashing.FastHashCols)
+    antiDiff(mh, sh, hashCols, master, keyCols)
+  }
+
+  /** Reference-faithful diff over PRECOMPUTED `(key…, hash…)` maps — the
+    * hash-pushdown path ([[TableStore.pushedHashMap]]): both sides' hashes
+    * were computed inside their source databases, so the only bytes that
+    * crossed the wire before these anti-joins are keys + ~32-byte hashes.
+    * Both maps MUST come from the same producer flavor (both pushed with the
+    * same dialect expression, or both Spark-side) — server vs Spark casts
+    * differ. `source` stays the full-row master read: only the J3 keyed
+    * fetch of actual insert rows touches it.
+    */
+  def hashDiffMaps(mh: DataFrame, sh: DataFrame, source: DataFrame,
+                   keyCols: Seq[String]): Delta =
+    antiDiff(mh, sh, Seq("row_hash"), source, keyCols)
+
+  private def antiDiff(mh: DataFrame, sh: DataFrame, hashCols: Seq[String],
+                       source: DataFrame, keyCols: Seq[String]): Delta = {
     // J2: slave rows whose content is absent from master → delete keys.
     // No distinct() on the right side: anti-join has existence semantics
     // already, and keeping both anti-joins' inputs as the SAME two plans
@@ -75,7 +93,7 @@ object Differ {
     // J1: master rows whose content is absent from slave → keys to copy
     val missingKeys = mh.join(sh.select(hashCols.map(col): _*), hashCols, "left_anti")
       .select(keyCols.map(col): _*)
-    Delta(deletes, missingKeys, master, keyCols)
+    Delta(deletes, missingKeys, source, keyCols)
   }
 
   /** Key-aware diff — the correct-by-construction variant (SURVEY §2.3 J1
@@ -89,25 +107,46 @@ object Differ {
     def pair(df: DataFrame, p: String) =
       Hashing.fastHashMap(df, keyCols, dataCols)
         .withColumnRenamed("h1", s"${p}_h1").withColumnRenamed("h2", s"${p}_h2")
+    keyedDiff(pair(master, "m"), pair(slave, "s"),
+      Seq("m_h1", "m_h2"), Seq("s_h1", "s_h2"), master, keyCols)
+  }
+
+  /** Key-aware diff over PRECOMPUTED `(key…, row_hash)` maps (the pushed
+    * analog of [[keyDiff]] — see [[hashDiffMaps]] for the producer-flavor
+    * contract). The single md5 hash replaces the local 128-bit pair: its
+    * collision bound (~n²/2^129 within one key) is the md5 birthday bound,
+    * fine for per-key comparison.
+    */
+  def keyDiffMaps(mh: DataFrame, sh: DataFrame, source: DataFrame,
+                  keyCols: Seq[String]): Delta =
+    keyedDiff(mh.withColumnRenamed("row_hash", "m_h"),
+      sh.withColumnRenamed("row_hash", "s_h"), Seq("m_h"), Seq("s_h"),
+      source, keyCols)
+
+  private def keyedDiff(mh: DataFrame, sh: DataFrame, mHashCols: Seq[String],
+                        sHashCols: Seq[String], source: DataFrame,
+                        keyCols: Seq[String]): Delta = {
     // No cache: the two legs below execute in applyDelta's ONE spill action,
     // where the join's input exchanges are reused — a cache here had no
     // owner to unpersist it and leaked executor memory across syncs.
-    val joined = pair(master, "m").join(pair(slave, "s"), keyCols, "full_outer")
-    val same = col("m_h1") <=> col("s_h1") && col("m_h2") <=> col("s_h2")
+    val joined = mh.join(sh, keyCols, "full_outer")
+    val same = mHashCols.zip(sHashCols)
+      .map { case (m, s) => col(m) <=> col(s) }.reduce(_ && _)
     val deletes = joined
-      .filter(col("s_h1").isNotNull && !same)
+      .filter(col(sHashCols.head).isNotNull && !same)
       .select(keyCols.map(col): _*)
     val missingKeys = joined
-      .filter(col("m_h1").isNotNull && !same)
+      .filter(col(mHashCols.head).isNotNull && !same)
       .select(keyCols.map(col): _*)
     // Both legs in ONE pass over the join (an update key explodes into
     // d + k): the spill job otherwise executes the full-outer merge twice,
     // once per unioned leg (exchanges are reused, the join itself is not).
     val legs = joined.filter(!same)
       .select(keyCols.map(col) :+ explode(filter(array(
-        when(col("s_h1").isNotNull, "d"), when(col("m_h1").isNotNull, "k")),
+        when(col(sHashCols.head).isNotNull, "d"),
+        when(col(mHashCols.head).isNotNull, "k")),
         x => x.isNotNull)).as("__leg"): _*)
-    Delta(deletes, missingKeys, master, keyCols, spillLegs = Some(legs))
+    Delta(deletes, missingKeys, source, keyCols, spillLegs = Some(legs))
   }
 
   /** Apply a delta to `table` in `store`: deletes first, then inserts (C7/C8).

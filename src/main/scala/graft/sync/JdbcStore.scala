@@ -33,7 +33,16 @@ final class JdbcStore(val spark: SparkSession, url: String,
                       readSpecs: Map[String, JdbcReadSpec] = Map.empty,
                       batchSize: Int = 5000,
                       quoteChar: String = "\"",
-                      sessionInit: Seq[String] = Nil) extends TableStore {
+                      sessionInit: Seq[String] = Nil,
+                      /** Enable [[pushedHashMap]] (server-side row hashing —
+                        * only hashes cross the wire). MySQL builds its own
+                        * expression; other dialects need `hashExprBuilder`. */
+                      hashPushdown: Boolean = false,
+                      /** Dialect hash-expression builder
+                        * `(dataCols, legacyNullSkip) => SQL` for non-MySQL
+                        * engines (e.g. [[DerbyDialect.rowHashExpr]]). */
+                      hashExprBuilder: Option[(Seq[String], Boolean) => String] = None)
+    extends TableStore {
 
   private def props: Properties = {
     val p = new Properties()
@@ -123,6 +132,25 @@ final class JdbcStore(val spark: SparkSession, url: String,
     user.foreach { case (u, pw) => r.option("user", u).option("password", pw) }
     r.load()
   }
+
+  /** [[TableStore.pushedHashMap]] via [[readHashMap]] — the cascade's
+    * wire-efficient hash-map step ([[SyncConfig.hashPushdown]]). MySQL uses
+    * the reference's own expression shape ([[JdbcStore.mysqlRowHashExpr]]);
+    * any other dialect must supply `hashExprBuilder` (the adapter owns cast
+    * fidelity for its engine).
+    */
+  override def pushedHashMap(table: String, projCols: Seq[String], dataCols: Seq[String],
+                             legacyNullSkip: Boolean = false): Option[DataFrame] =
+    if (!hashPushdown) None
+    else {
+      val builder = hashExprBuilder.getOrElse {
+        require(dialect == "mysql",
+          s"hash pushdown on dialect '$dialect' needs an explicit hashExprBuilder " +
+            "(only MySQL has a built-in expression)")
+        (cols: Seq[String], legacy: Boolean) => JdbcStore.mysqlRowHashExpr(cols, quoteChar, legacy)
+      }
+      Some(readHashMap(table, projCols, dataCols, Some(builder(dataCols, legacyNullSkip))))
+    }
 
   override def drop(table: String): Unit = withConnection { c =>
     val st = c.createStatement()
@@ -349,8 +377,70 @@ object JdbcStore {
   /** MySQL row-hash pushdown expression — the exact SQL shape the reference
     * generates (`TableConnection.php:46-48`) with the NULL-sentinel fix of
     * its table-level hash (`TableConnection.php:475-477`).
+    * `legacyNullSkip = true` drops the COALESCE, which IS the reference's
+    * row-hash: MySQL `CONCAT_WS` skips NULL arguments entirely — the
+    * NULL-permutation collision its own comment flags
+    * (`TableConnection.php:472-474`), reproduced bit-for-bit.
     */
-  def mysqlRowHashExpr(dataCols: Seq[String], quoteChar: String = "`"): String =
-    dataCols.map(c => s"COALESCE(CAST($quoteChar$c$quoteChar AS CHAR), 'NULL')")
-      .mkString("MD5(CONCAT_WS('#', ", ", ", "))")
+  def mysqlRowHashExpr(dataCols: Seq[String], quoteChar: String = "`",
+                       legacyNullSkip: Boolean = false): String = {
+    val cols =
+      if (legacyNullSkip) dataCols.map(c => s"CAST($quoteChar$c$quoteChar AS CHAR)")
+      else dataCols.map(c => s"COALESCE(CAST($quoteChar$c$quoteChar AS CHAR), 'NULL')")
+    cols.mkString("MD5(CONCAT_WS('#', ", ", ", "))")
+  }
+}
+
+/** Hash-pushdown adapter for Apache Derby (the JDBC engine shipped with
+  * Spark — what the specs and the `sync_jdbc_pushdown` oracle query run
+  * against). Derby has no MD5 builtin, so the adapter registers one backed by
+  * a static JVM method ([[DerbyDialect.md5Hex]]) — the same move a real
+  * deployment makes for any engine lacking a hash function — and renders the
+  * canonical `'#'`-joined string with Derby's own operators:
+  *
+  *  - values canonicalize via `RTRIM(CAST(c AS CHAR(254)))` (Derby pads CHAR
+  *    casts; it has no numeric→VARCHAR cast). Contract: rendered values ≤254
+  *    chars and no trailing whitespace of their own — MySQL's `CAST(c AS
+  *    CHAR)` has neither limit, which is why the builder is per-dialect.
+  *  - legacy NULL-skip reproduces `CONCAT_WS` semantics with
+  *    `COALESCE('#' || v, '')` per column and the leading separator stripped.
+  */
+object DerbyDialect {
+  /** Static target for Derby's `CREATE FUNCTION` (lowercase hex, matching
+    * MySQL's MD5() and Spark's md5()). */
+  def md5Hex(v: String): String =
+    if (v == null) null
+    else java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** Register `GRAFT_MD5` in the Derby database at `url` (idempotent). */
+  def installMd5(url: String): Unit = {
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.execute(
+        """CREATE FUNCTION GRAFT_MD5(V VARCHAR(32000)) RETURNS VARCHAR(32)
+          |PARAMETER STYLE JAVA NO SQL LANGUAGE JAVA
+          |EXTERNAL NAME 'graft.sync.DerbyDialect.md5Hex'""".stripMargin)
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y68" => () // exists
+      } finally st.close()
+    } finally c.close()
+  }
+
+  /** `(dataCols, legacyNullSkip) => SQL` for [[JdbcStore]]'s
+    * `hashExprBuilder`. */
+  def rowHashExpr(dataCols: Seq[String], legacyNullSkip: Boolean): String = {
+    def canon(c: String) = s"""RTRIM(CAST("$c" AS CHAR(254)))"""
+    if (legacyNullSkip) {
+      // CONCAT_WS skip semantics: non-null values contribute '#'+v, NULLs
+      // contribute nothing; drop the leading separator afterwards.
+      val joined = dataCols.map(c => s"COALESCE('#' || ${canon(c)}, '')").mkString(" || ")
+      // all-NULL row ⇒ joined = '' ⇒ md5('') like CONCAT_WS; Derby's SUBSTR
+      // raises on position > length+1, so guard the empty case explicitly.
+      s"GRAFT_MD5(CASE WHEN ($joined) = '' THEN '' ELSE SUBSTR($joined, 2) END)"
+    } else
+      s"GRAFT_MD5(${dataCols.map(c => s"COALESCE(${canon(c)}, 'NULL')").mkString(" || '#' || ")})"
+  }
 }

@@ -23,6 +23,16 @@ final case class SyncConfig(
     primaryKeys: Map[String, Seq[String]] = Map.empty,
     /** Reproduce the reference's NULL-skipping row hash (SURVEY P1 note). */
     legacyNullSkip: Boolean = false,
+    /** Compute row hashes INSIDE the stores (server-side MD5 — the
+      * reference's core wire-efficiency idea, `TableConnection.php:46-51`:
+      * only keys + 32-byte hashes cross the network; full rows move only for
+      * the J3 insert fetch). Takes effect when BOTH stores can push
+      * ([[TableStore.pushedHashMap]]) and the table has a configured primary
+      * key; otherwise the cascade falls back to Spark-side hashing. Never
+      * mixes a pushed side with a Spark-hashed side — value→string cast
+      * semantics belong to each engine.
+      */
+    hashPushdown: Boolean = false,
     /** Key-aware diff (correct duplicate handling) vs reference hash-match. */
     keyAwareDiff: Boolean = false,
     /** Maintained-fingerprint (O(delta)) mode for the reference's
@@ -65,7 +75,27 @@ final case class SyncConfig(
       * so on a multi-node cluster this must be a shared filesystem path;
       * default None resolves under `spark.sql.warehouse.dir`
       * (see [[Differ.newScratchDir]]). */
-    scratchDir: Option[String] = None)
+    scratchDir: Option[String] = None,
+    /** Durable home for the maintained-fingerprint state: per-table
+      * [[graft.functions.Hashing.MultisetFp]] + master change token (a tiny
+      * property file each) and the partitioned-table fingerprint snapshots.
+      * `None` = driver memory only, so a RESTARTED engine re-primes every
+      * table with one full scan (the reference's loop is one process per
+      * run, `README.md:24` — restart cost is its every-cycle cost). Set it
+      * and a new engine over the same directory resumes the zero-job
+      * change-token gate directly: unchanged tables cost nothing after a
+      * restart. The state is O(tables) driver-written metadata — keep it on
+      * storage the driver can reach; only partition snapshots need
+      * executor-visible storage.
+      */
+    stateDir: Option[String] = None)
+
+/** Maintained-fingerprint value + the hash flavor it was computed from
+  * (server-side pushed md5 h15 vs Spark raw-value xxhash64 — numerically
+  * unrelated; a flavor mismatch means "not primed", never "compare anyway").
+  */
+private[sync] final case class FpState(fp: graft.functions.Hashing.MultisetFp,
+                                       pushed: Boolean)
 
 /** Planned/executed actions — the engine's audit log (reference S15 logs every
   * write query, `TableConnection.php:730-742`; here the *plan* is first-class).
@@ -155,9 +185,12 @@ final class SyncEngine(master: TableStore, slave: TableStore,
   // ---- Maintained-fingerprint state (config.maintainFingerprints) --------
   // Per-table slave fingerprint as of the last convergence, plus the master
   // change token observed then. Thread-safe: syncDatabase's C6 pool runs
-  // per-table syncs concurrently.
+  // per-table syncs concurrently. `pushed` tags the hash flavor the value
+  // was computed from (server-side md5 h15 vs Spark raw-value xxhash64) —
+  // the two flavors are numerically unrelated, so a flavor mismatch must be
+  // treated as "not primed", never compared.
   private val maintainedFp =
-    scala.collection.concurrent.TrieMap.empty[String, Hashing.MultisetFp]
+    scala.collection.concurrent.TrieMap.empty[String, FpState]
   private val lastMasterToken =
     scala.collection.concurrent.TrieMap.empty[String, String]
   // Partitioned-table analog of `maintainedFp`: the slave's per-partition
@@ -172,9 +205,74 @@ final class SyncEngine(master: TableStore, slave: TableStore,
       try Differ.rmScratch(master.spark, p) catch { case _: Exception => () }
     }
 
+  // ---- Maintained-state persistence (config.stateDir) --------------------
+  // One property file per table, written atomically (tmp + move) after every
+  // state mutation; loaded once at engine construction. The values are a few
+  // numbers — durability costs microseconds per converged table.
+
+  private def stateFile(table: String): Option[java.nio.file.Path] =
+    config.stateDir.map(d => java.nio.file.Paths.get(d, table + ".fpstate"))
+
+  private val persistLock = new Object
+
+  private def persistState(table: String): Unit = stateFile(table).foreach { p =>
+    persistLock.synchronized {
+      val props = new java.util.Properties()
+      maintainedFp.get(table).foreach { st =>
+        props.setProperty("fp.count", st.fp.count.toString)
+        props.setProperty("fp.sum", st.fp.sum.toString)
+        props.setProperty("fp.xor", st.fp.xor.toString)
+        props.setProperty("fp.pushed", st.pushed.toString)
+      }
+      lastMasterToken.get(table).foreach(props.setProperty("token", _))
+      partFpSnapshot.get(table).foreach(props.setProperty("part.path", _))
+      java.nio.file.Files.createDirectories(p.getParent)
+      if (props.isEmpty) { java.nio.file.Files.deleteIfExists(p); () }
+      else {
+        val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+        val out = java.nio.file.Files.newOutputStream(tmp)
+        try props.store(out, null) finally out.close()
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
+  }
+
+  // Resume persisted state: a restarted engine picks up the change-token
+  // gate (and partition snapshots) exactly where the previous process left
+  // off — unchanged tables cost zero Spark jobs from the first cycle.
+  config.stateDir.foreach { d =>
+    val dir = new java.io.File(d)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".fpstate")).foreach { f =>
+        val table = f.getName.stripSuffix(".fpstate")
+        val props = new java.util.Properties()
+        val in = new java.io.FileInputStream(f)
+        try props.load(in) finally in.close()
+        Option(props.getProperty("fp.count")).foreach { c =>
+          maintainedFp.update(table, FpState(Hashing.MultisetFp(c.toLong,
+            BigInt(props.getProperty("fp.sum")),
+            props.getProperty("fp.xor").toLong),
+            props.getProperty("fp.pushed", "false").toBoolean))
+        }
+        Option(props.getProperty("token"))
+          .foreach(lastMasterToken.update(table, _))
+        // A snapshot path is only trusted if its files still exist (scratch
+        // may have been cleaned independently of the state dir).
+        Option(props.getProperty("part.path")).foreach { sp =>
+          val ok = try {
+            val hp = new org.apache.hadoop.fs.Path(sp)
+            hp.getFileSystem(master.spark.sessionState.newHadoopConf()).exists(hp)
+          } catch { case _: Exception => false }
+          if (ok) partFpSnapshot.update(table, sp)
+        }
+      }
+  }
+
   /** The maintained slave fingerprint for `table`, if primed (maintained mode). */
   def maintainedFingerprint(table: String): Option[Hashing.MultisetFp] =
-    maintainedFp.get(table)
+    maintainedFp.get(table).map(_.fp)
 
   /** Did `action` leave the slave table ≡ master? (Delta applied, recopied,
     * or the gate proved equality.) Token/fingerprint state may only advance
@@ -221,14 +319,54 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     }
     if (!config.dryRun && tok.isDefined && converged(action))
       lastMasterToken.update(table, tok.get)
+    // ONE durable write per table cycle covers every state mutation the
+    // cascade may have made (fingerprint, token, snapshot path).
+    if (!config.dryRun) persistState(table)
     action
   }
 
   private def keyColsOf(table: String): Option[Seq[String]] = config.primaryKeys.get(table)
 
+  /** Both sides' pushed hash maps, when `config.hashPushdown` and both
+    * stores can push and the table has keys to project — the precondition
+    * for the wire-efficient cascade. All-or-nothing by construction: a
+    * pushed map never meets a Spark-hashed one.
+    */
+  private def pushedMaps(table: String, projCols: Seq[String], cols: Seq[String]) =
+    if (!config.hashPushdown) None
+    else for {
+      mh <- master.pushedHashMap(table, projCols, cols, config.legacyNullSkip)
+      sh <- slave.pushedHashMap(table, projCols, cols, config.legacyNullSkip)
+    } yield (mh, sh)
+
   private def syncUnpartitionedTable(table: String): SyncAction = {
     val m = master.read(table)
     val cols = m.columns.toSeq
+
+    // Wire-efficient cascade (config.hashPushdown): gate AND diff run over
+    // server-hashed (key, row_hash) maps — only hashes cross the wire; full
+    // rows move solely in the J3 insert fetch, scoped to the delta's keys.
+    keyColsOf(table).flatMap(k => pushedMaps(table, k, cols).map((k, _))) match {
+      case Some((keys, (mh, sh))) =>
+        if (config.maintainFingerprints) {
+          val mFp = Hashing.multisetFpOfHashes(mh, "row_hash")
+          val sFp = maintainedFp.get(table).collect { case FpState(fp, true) => fp }
+            .getOrElse(Hashing.multisetFpOfHashes(sh, "row_hash"))
+          if (mFp == sFp) {
+            if (!config.dryRun) maintainedFp.update(table, FpState(mFp, pushed = true))
+            return record(Skip(table, "already in sync"))
+          }
+          val action = applyMapsDelta(table, m, mh, sh, keys)
+          if (!config.dryRun && converged(action))
+            maintainedFp.update(table, FpState(mFp, pushed = true))
+          return action
+        }
+        if (Hashing.multisetFpOfHashes(mh, "row_hash") ==
+            Hashing.multisetFpOfHashes(sh, "row_hash"))
+          return record(Skip(table, "already in sync"))
+        return applyMapsDelta(table, m, mh, sh, keys)
+      case None => ()
+    }
 
     if (config.maintainFingerprints) {
       // Maintained A1 gate: after the priming cycle the slave side is NEVER
@@ -236,16 +374,17 @@ final class SyncEngine(master: TableStore, slave: TableStore,
       // fingerprint it converged to IS the slave's fingerprint. A changed
       // master pays ONE scan (its own); the old gate paid two per cycle.
       val mFp = Hashing.multisetFp(m, cols, config.legacyNullSkip)
-      val sFp = maintainedFp.get(table).getOrElse(
-        Hashing.multisetFp(slave.read(table), cols, config.legacyNullSkip))
+      val sFp = maintainedFp.get(table).collect { case FpState(fp, false) => fp }
+        .getOrElse(Hashing.multisetFp(slave.read(table), cols, config.legacyNullSkip))
       if (mFp == sFp) {
-        if (!config.dryRun) maintainedFp.update(table, mFp)
+        if (!config.dryRun) maintainedFp.update(table, FpState(mFp, pushed = false))
         return record(Skip(table, "already in sync"))
       }
       val action = diffAndApply(table, m)
       // Convergence ⇒ slave ≡ master ⇒ the master fingerprint just computed
       // is the slave's maintained value for the next cycle.
-      if (!config.dryRun && converged(action)) maintainedFp.update(table, mFp)
+      if (!config.dryRun && converged(action))
+        maintainedFp.update(table, FpState(mFp, pushed = false))
       return action
     }
 
@@ -254,6 +393,20 @@ final class SyncEngine(master: TableStore, slave: TableStore,
         Hashing.tableFingerprint(slave.read(table), cols, config.legacyNullSkip))
       return record(Skip(table, "already in sync"))
     diffAndApply(table, m)
+  }
+
+  /** Pushed-map tail of the cascade: row-level diff from the server-hashed
+    * maps (the [[Differ.hashDiffMaps]]/[[Differ.keyDiffMaps]] forms) +
+    * ordered apply.
+    */
+  private def applyMapsDelta(table: String, m: org.apache.spark.sql.DataFrame,
+                             mh: org.apache.spark.sql.DataFrame,
+                             sh: org.apache.spark.sql.DataFrame,
+                             keys: Seq[String]): SyncAction = {
+    val delta =
+      if (config.keyAwareDiff) Differ.keyDiffMaps(mh, sh, m, keys)
+      else Differ.hashDiffMaps(mh, sh, m, keys)
+    applyDelta(table, delta)
   }
 
   /** Row-level diff + ordered apply (or no-PK fallback) — the cascade's tail
@@ -289,8 +442,15 @@ final class SyncEngine(master: TableStore, slave: TableStore,
                opCol: String = "op"): SyncAction = {
     val keys = keyColsOf(table).getOrElse(throw new IllegalArgumentException(
       s"applyCdc($table) requires a primary key in SyncConfig.primaryKeys"))
-    val prev = maintainedFp.getOrElse(table, throw new IllegalStateException(
+    val st = maintainedFp.getOrElse(table, throw new IllegalStateException(
       s"applyCdc($table) requires a primed maintained fingerprint — run syncTable($table) first"))
+    // A pushed-primed fingerprint is made of SERVER-computed hashes; the
+    // Spark-side fold below cannot reproduce the server's cast semantics, so
+    // merging the two flavors would silently corrupt the maintained state.
+    require(!st.pushed,
+      s"applyCdc($table): maintained fingerprint was primed from pushed (server-side) " +
+        "hashes — CDC folds are Spark-side; re-prime with hashPushdown off to mix them")
+    val prev = st.fp
     val spark = changes.sparkSession
     val dataCols = changes.columns.toSeq.filterNot(_ == opCol)
     val scratch = Differ.newScratchDir(spark, config.scratchDir, s"cdc_$table")
@@ -315,11 +475,12 @@ final class SyncEngine(master: TableStore, slave: TableStore,
         val delT = if (fpD.count + fpI.count <= Differ.BroadcastKeyMax)
           broadcast(delTarget) else delTarget
         slave.applyDelta(table, delT, keys, inserts, None)
-        maintainedFp.update(table, prev.remove(fpD).merge(fpI))
+        maintainedFp.update(table, FpState(prev.remove(fpD).merge(fpI), pushed = false))
         // Feed-driven cycle: any stored master token is stale now, and so
         // would be a per-partition snapshot of this table.
         lastMasterToken.remove(table)
         dropPartSnapshot(table)
+        persistState(table)
       }
       record(ApplyDelta(table, fpD.count, fpI.count))
     } finally Differ.rmScratch(spark, scratch)
@@ -331,9 +492,16 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     * is "every cycle"; the maintained mode's answer is "rarely, explicitly").
     */
   def verifyMaintained(table: String): Boolean =
-    maintainedFp.get(table).exists { fp =>
+    maintainedFp.get(table).exists { st =>
       val s = slave.read(table)
-      Hashing.multisetFp(s, s.columns.toSeq, config.legacyNullSkip) == fp
+      val cols = s.columns.toSeq
+      if (st.pushed)
+        // Recompute in the SAME flavor the state was primed with: one pushed
+        // scan of the slave (hashes over the wire, like the gate itself).
+        slave.pushedHashMap(table, keyColsOf(table).getOrElse(Nil), cols,
+            config.legacyNullSkip)
+          .exists(hm => Hashing.multisetFpOfHashes(hm, "row_hash") == st.fp)
+      else Hashing.multisetFp(s, cols, config.legacyNullSkip) == st.fp
     }
 
   /** C3/C4: partitioned cascade (`Synchronizer.php:111-180, 242-291`) — but
@@ -434,7 +602,10 @@ final class SyncEngine(master: TableStore, slave: TableStore,
         // fingerprints: spill them as the next cycle's snapshot (write to a
         // fresh path, then retire the old one, so a concurrent reader of
         // the previous snapshot never sees a half-written dir).
-        val snap = Differ.newScratchDir(master.spark, config.scratchDir, s"pfp_$table")
+        // Snapshots live under stateDir when durability is configured — a
+        // restarted engine re-reads them; scratch may be cleaned between runs.
+        val snap = Differ.newScratchDir(master.spark,
+          config.stateDir.orElse(config.scratchDir), s"pfp_$table")
         joined.filter(col("fp_count").isNotNull)
           .select(col(partCol), col("fp_count"), col("fp_xor"), col("fp_sum"))
           .write.parquet(snap)

@@ -44,6 +44,21 @@ trait TableStore {
     */
   def changeToken(table: String): Option[String] = None
 
+  /** Compute-pushdown hash projection (SURVEY §4; reference
+    * `TableConnection.php:46-51`): `(projCols…, row_hash)` where `row_hash`
+    * was computed INSIDE the store's own engine, so only ~32-byte hashes per
+    * row cross the wire — for a WAN-separated source this turns the diff's
+    * scan traffic from full rows into hashes. `None` = the store cannot push
+    * (the engine hashes in Spark after a full-row read). Contract: the hash
+    * must be the lowercase-hex md5 of the `'#'`-joined canonical string form
+    * of `dataCols` per [[graft.functions.Hashing.rowHash]] (with the
+    * reference's NULL-skip when `legacyNullSkip`) — but value→string cast
+    * semantics belong to the SERVER, so two pushed maps only ever compare
+    * against each other, never against a Spark-side [[graft.functions.Hashing.hashMap]].
+    */
+  def pushedHashMap(table: String, projCols: Seq[String], dataCols: Seq[String],
+                    legacyNullSkip: Boolean = false): Option[DataFrame] = None
+
   /** Apply a delta: remove whole logical partitions in `partDeletes` (C4
     * excess-partition cleanup), remove rows whose key-tuple is in `delKeys`,
     * add `inserts` — delete-before-insert order (C7,

@@ -117,6 +117,85 @@ class JdbcStoreSpec extends SparkSpec {
     // the MySQL default expression mirrors Hashing.rowHash's canonical form
     assert(JdbcStore.mysqlRowHashExpr(Seq("a", "b")) ==
       "MD5(CONCAT_WS('#', COALESCE(CAST(`a` AS CHAR), 'NULL'), COALESCE(CAST(`b` AS CHAR), 'NULL')))")
+    // legacy = the reference's own SQL verbatim shape (CONCAT_WS skips NULLs,
+    // TableConnection.php:46-48)
+    assert(JdbcStore.mysqlRowHashExpr(Seq("a", "b"), legacyNullSkip = true) ==
+      "MD5(CONCAT_WS('#', CAST(`a` AS CHAR), CAST(`b` AS CHAR)))")
+  }
+
+  private def mkPushdownStore(tag: String, ddl: String, rows: Seq[String],
+                              table: String = "t"): (String, JdbcStore) = {
+    val url = mkDb(tag)
+    execAll(url, (ddl +: rows.map(r => s"""INSERT INTO "$table" VALUES $r""")): _*)
+    DerbyDialect.installMd5(url)
+    (url, new JdbcStore(spark, url, hashPushdown = true,
+      hashExprBuilder = Some(DerbyDialect.rowHashExpr)))
+  }
+
+  test("pushed hash map ≡ Spark-side hash map, incl. NULL / empty / legacy-skip") {
+    val (_, store) = mkPushdownStore("hashpush_eq",
+      """CREATE TABLE "t" ("id" INT NOT NULL, "a" BIGINT, "b" VARCHAR(20), PRIMARY KEY ("id"))""",
+      Seq("(1, 10, 'x')", "(2, NULL, 'y')", "(3, 20, NULL)",
+        "(4, NULL, NULL)", "(5, -7, 'z9')", "(6, 0, '')"))
+    val cols = Seq("id", "a", "b")
+    for (legacy <- Seq(false, true)) {
+      val pushed = store.pushedHashMap("t", Seq("id"), cols, legacy).get
+      assert(pushed.columns.toSeq == Seq("id", "row_hash"))
+      val local = Hashing.hashMap(store.read("t"), Seq("id"), cols, legacy)
+      val p = pushed.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      val l = local.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(p == l, s"pushed vs local mismatch (legacyNullSkip=$legacy)")
+      // NULL handling is live in the fixture: fixed mode distinguishes the
+      // NULL permutations, legacy mode collides (2,NULL,'y')-style skips
+      assert(p.values.toSet.size == (if (legacy) p.size else p.size))
+    }
+    // legacy CONCAT_WS skip vs fixed sentinel must actually differ on NULL rows
+    val fixed = store.pushedHashMap("t", Seq("id"), cols, legacyNullSkip = false).get
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val leg = store.pushedHashMap("t", Seq("id"), cols, legacyNullSkip = true).get
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(fixed(1) == leg(1), "no NULLs → same canonical string → same hash")
+    assert(fixed(2) != leg(2), "NULL column must hash differently across modes")
+  }
+
+  test("cascade hash-map step runs on pushed maps and converges (hashPushdown)") {
+    val ddl = """CREATE TABLE "t" ("id" BIGINT NOT NULL, "name" VARCHAR(20), "nk" INT, PRIMARY KEY ("id"))"""
+    var builderCalls = 0
+    def countingBuilder(cols: Seq[String], legacy: Boolean): String = {
+      builderCalls += 1
+      DerbyDialect.rowHashExpr(cols, legacy)
+    }
+    val mUrl = mkDb("push_casc_m")
+    val sUrl = mkDb("push_casc_s")
+    execAll(mUrl, ddl, """INSERT INTO "t" VALUES (1, 'alice', 10), (2, 'bob', 11), (3, 'carol', NULL), (4, 'dave', 13)""")
+    execAll(sUrl, ddl, """INSERT INTO "t" VALUES (1, 'alice', 10), (2, 'BOB', 11), (5, 'zed', 9)""")
+    DerbyDialect.installMd5(mUrl)
+    DerbyDialect.installMd5(sUrl)
+    val ms = new JdbcStore(spark, mUrl, hashPushdown = true,
+      hashExprBuilder = Some(countingBuilder))
+    val ss = new JdbcStore(spark, sUrl, hashPushdown = true,
+      hashExprBuilder = Some(countingBuilder))
+    val engine = new SyncEngine(ms, ss, SyncConfig(
+      primaryKeys = Map("t" -> Seq("id")), hashPushdown = true))
+    engine.syncTable("t") match {
+      case SyncAction.ApplyDelta("t", d, i) => assert(d >= 2 && i >= 3)
+      case a => fail(s"expected ApplyDelta, got $a")
+    }
+    assert(builderCalls >= 2, "cascade did not build pushed hash expressions")
+    assert(fp(ss.read("t")) == fp(ms.read("t")))
+    // steady state goes through the pushed gate (hash-only traffic) → Skip
+    assert(engine.syncTable("t") == SyncAction.Skip("t", "already in sync"))
+
+    // maintained mode composes: primed state is pushed-flavored, so the
+    // Spark-side CDC fold must refuse it instead of corrupting the algebra
+    val m2 = new SyncEngine(ms, ss, SyncConfig(primaryKeys = Map("t" -> Seq("id")),
+      hashPushdown = true, maintainFingerprints = true))
+    assert(m2.syncTable("t") == SyncAction.Skip("t", "already in sync"))
+    assert(m2.maintainedFingerprint("t").isDefined)
+    assert(m2.verifyMaintained("t"), "pushed-flavor audit must recompute pushed")
+    val cdc = Seq((9L, "eve", 1, "I")).toDF("id", "name", "nk", "op")
+    val ex = intercept[IllegalArgumentException](m2.applyCdc("t", cdc))
+    assert(ex.getMessage.contains("pushed"))
   }
 
   private def execAll(url: String, stmts: String*): Unit = {

@@ -241,6 +241,64 @@ class SyncEngineSpec extends SparkSpec {
     assert(n == 0, s"second sync of an unchanged master ran $n Spark jobs; expected 0")
   }
 
+  test("maintained state survives engine RESTART (stateDir): zero jobs on resume") {
+    val (md, sd, ms, ss) = mkStores("maintrestart")
+    write(md, "acct", custDf)
+    write(sd, "acct", custDf.filter($"id" =!= 3L)) // dirty slave
+    val cfg = SyncConfig(primaryKeys = Map("acct" -> Seq("id")),
+      maintainFingerprints = true, stateDir = Some(tmpDir("fpstate")))
+    val e1 = new SyncEngine(ms, ss, cfg)
+    assert(e1.syncTable("acct").isInstanceOf[SyncAction.ApplyDelta])
+    assert(fp(ss.read("acct")) == fp(ms.read("acct")))
+
+    // RESTART: a brand-new engine instance over the same state dir resumes
+    // the persisted token + fingerprint — the unchanged master short-circuits
+    // with ZERO Spark jobs and no scan of either table.
+    val e2 = new SyncEngine(ms, ss, cfg)
+    val n = jobsDuring("maint-restart") {
+      assert(e2.syncTable("acct") ==
+        SyncAction.Skip("acct", "unchanged (master change token)"))
+    }
+    assert(n == 0, s"restarted engine re-primed with $n Spark jobs; expected 0")
+    // The fingerprint itself resumed too (not just the token): the full-scan
+    // audit agrees with the loaded value.
+    assert(e2.maintainedFingerprint("acct").isDefined)
+    assert(e2.verifyMaintained("acct"))
+
+    // A post-restart master change still converges through the resumed state,
+    // without the dedicated slave fingerprint scan (maintained semantics).
+    write(md, "acct", custDf.withColumn("bal", $"bal" + 1.0))
+    val e3 = new SyncEngine(ms, ss, cfg)
+    assert(e3.syncTable("acct").isInstanceOf[SyncAction.ApplyDelta])
+    assert(fp(ss.read("acct")) == fp(ms.read("acct")))
+  }
+
+  test("maintained state restart, partitioned: snapshot path resumes") {
+    val (md, sd, ms, ss) = mkStores("maintrestartp")
+    val df = custDf.withColumn("grp", $"id" % 2)
+    write(md, "acct", df)
+    write(sd, "acct", df.filter($"id" =!= 3L))
+    val cfg = SyncConfig(primaryKeys = Map("acct" -> Seq("id")),
+      partitionedTables = Map("acct" -> "grp"), maintainFingerprints = true,
+      stateDir = Some(tmpDir("fpstate_p")))
+    val e1 = new SyncEngine(ms, ss, cfg)
+    assert(e1.syncTable("acct").isInstanceOf[SyncAction.ApplyDelta])
+
+    val e2 = new SyncEngine(ms, ss, cfg)
+    val n = jobsDuring("maintp-restart") {
+      assert(e2.syncTable("acct") ==
+        SyncAction.Skip("acct", "unchanged (master change token)"))
+    }
+    assert(n == 0, s"restarted partitioned engine ran $n Spark jobs; expected 0")
+
+    // Change one partition: the restarted engine's scoped diff runs off the
+    // RESUMED snapshot (no slave fingerprint scan) and still converges.
+    write(md, "acct", df.withColumn("bal",
+      when($"id" === 1L, $"bal" + 10.0).otherwise($"bal")))
+    assert(e2.syncTable("acct").isInstanceOf[SyncAction.ApplyDelta])
+    assert(fp(ss.read("acct")) == fp(ms.read("acct")))
+  }
+
   test("maintained mode: changed master re-syncs; slave side never rescanned after priming") {
     val (md, sd, ms, ss) = mkStores("maint1")
     write(md, "acct", custDf)
