@@ -162,6 +162,82 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash of an `array<string>` token column in ONE compiled pass —
+  * replaces the interpreted `aggregate`/`zip_with` fold that built a
+  * 64-element ±1 array per token (higher-order functions are excluded from
+  * whole-stage codegen and allocate per element; this was the suite's
+  * slowest per-row compute after the minhash fold it mirrors).
+  *
+  * Value-compatible with the fold it replaces: per token the hash is Spark's
+  * `xxhash64(token)` (XXH64 over UTF-8 bytes, seed 42; a NULL element leaves
+  * the seed's value 42 — xxhash64 skips nulls); bit i of the result is set
+  * iff strictly more tokens had bit i set than clear; empty array → 0L;
+  * null array → null.
+  */
+case class SimHashSig(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash_sig requires array<string>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Long](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val h = if (arr.isNullAt(j)) 42L
+              else XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+      var i = 0
+      while (i < 64) {
+        counts(i) += (((h >>> i) & 1L) * 2L) - 1L
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0L) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val counts = ctx.freshName("counts")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $counts = new long[64];
+         |int $n = $c.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $c.isNullAt($j) ? 42L
+         |    : org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($c.getUTF8String($j), 42L);
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    $counts[$i] += ((($h >>> $i) & 1L) * 2L) - 1L;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $i = 0; $i < 64; $i++) {
+         |  if ($counts[$i] > 0L) $out |= (1L << $i);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All xxhash64'd k-shingles of an `array<string>` token column in ONE
   * compiled pass — replaces `transform(shingles(text, k), s => xxhash64(s))`,
   * whose interpreted window/slice/concat lambda tree re-evaluates the token
@@ -750,6 +826,10 @@ object VectorExpressions {
   /** Codegen'd one-pass xxhash64 k-shingle hashes of an array<string> token column. */
   def shingle_hash64(tokens: Column, k: Int): Column =
     ColumnShim.column(ShingleHash64(ColumnShim.expression(tokens), k))
+
+  /** Codegen'd one-pass 64-bit SimHash of an array<string> token column. */
+  def simhash_sig(tokens: Column): Column =
+    ColumnShim.column(SimHashSig(ColumnShim.expression(tokens)))
 
   /** Codegen'd PQ nearest-centroid encoding of a vector column. */
   def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =

@@ -313,25 +313,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash over tokens: sign of the per-bit weighted sum of token
-    * hashes. Hamming-close simhashes ⇒ near-dup texts. Pure expressions.
+    * hashes. Hamming-close simhashes ⇒ near-dup texts. One compiled pass via
+    * the [[graft.functions.VectorExpressions.simhash_sig]] expression — the
+    * interpreted `aggregate`/`zip_with` fold it replaces built a 64-wide
+    * accumulator array per token outside whole-stage codegen (the same
+    * conversion that paid off for `minhash_sig`; bit-identical, proven in
+    * TextExpressionsSpec).
     */
-  def simhash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    // ±1 per bit of each token's 64-bit hash (bit index is static → plain
-    // Int shifts), summed across tokens.
-    def bitsOf(w: Column): Column = {
-      val h = xxhash64(w)
-      array((0 until 64).map(i =>
-        when(shiftright(h, i).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))): _*)
-    }
-    val counts = aggregate(toks, array_repeat(lit(0L), 64),
-      (acc, w) => zip_with(acc, bitsOf(w), (a, b) => a + b))
-    // Pack sign bits via a literal powers-of-two array (no column shifts).
-    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
-    aggregate(
-      zip_with(counts, powers, (c, p) => when(c > 0, p).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.VectorExpressions.simhash_sig(TextAnalysis.tokens(text))
 
   /** SimHash near-dup candidates: split the 64-bit simhash into `chunks`
     * 16-bit pieces; docs sharing any piece value are candidates (detects

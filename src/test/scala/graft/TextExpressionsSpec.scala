@@ -54,4 +54,48 @@ class TextExpressionsSpec extends SparkSpec {
   test("token_text_stats matches the HOF tree on the sf0.001 corpus") {
     compare(spark.read.parquet(s"$sf001/documents.parquet").select("text"))
   }
+
+  /** The interpreted simhash fold the compiled SimHashSig replaced —
+    * replayed verbatim as the golden reference.
+    */
+  private def simhashFold(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = TextAnalysis.tokens(text)
+    def bitsOf(w: org.apache.spark.sql.Column) = {
+      val h = xxhash64(w)
+      array((0 until 64).map(i =>
+        when(shiftright(h, i).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))): _*)
+    }
+    val counts = aggregate(toks, array_repeat(lit(0L), 64),
+      (acc, w) => zip_with(acc, bitsOf(w), (a, b) => a + b))
+    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+    aggregate(
+      zip_with(counts, powers, (c, p) => when(c > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  private def compareSimhash(df: org.apache.spark.sql.DataFrame): Unit = {
+    val both = df.select(col("text"),
+      graft.ops.Dedup.simhash(col("text")).as("compiled"),
+      simhashFold(col("text")).as("golden"))
+    both.collect().foreach { r =>
+      val tag = Option(r.getString(0)).map(_.take(40)).getOrElse("<null>")
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch [$tag]")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) == r.getLong(2), s"simhash mismatch [$tag]")
+    }
+  }
+
+  test("simhash_sig is bit-identical to the interpreted fold on edge cases") {
+    compareSimhash(Seq(
+      "", " ", "a", "the quick brown fox", "the the the",
+      "punct!!! and, (more); the?", "不 是 的 人", "éàü unicode tokens",
+      "tabs\tand\nnewlines", "x " * 500).toDF("text"))
+    // null text → null simhash, like the fold over a null token array
+    compareSimhash(Seq[Option[String]](None, Some("y"))
+      .toDF("text"))
+  }
+
+  test("simhash_sig is bit-identical to the interpreted fold on the sf0.001 corpus") {
+    compareSimhash(spark.read.parquet(s"$sf001/documents.parquet").select("text"))
+  }
 }
