@@ -201,4 +201,50 @@ class MultimodalSpec extends SparkSpec {
     assert(rejects == Seq(2L, 4L))
     assert(out.filter(!col("decode_ok")).filter(col("embedding").isNotNull).count() == 0)
   }
+
+  /** Spark jobs submitted from this thread while `body` runs (job-group
+    * tagging; the status store is listener-fed, so give it a beat).
+    */
+  private def jobsDuring(tag: String)(body: => Unit): Int = {
+    spark.sparkContext.setJobGroup(tag, tag, interruptOnCancel = false)
+    try body finally spark.sparkContext.clearJobGroup()
+    Thread.sleep(500)
+    spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+  }
+
+  test("extractor construction runs ZERO sizing jobs (plan stats / hint)") {
+    val df = spark.createDataFrame(Seq((1L, ppm), (2L, bmp)))
+      .toDF("media_id", "payload")
+    // The old shape ran one agg(sum(octet_length)) job per extractor CALL,
+    // before any action — partition count is a heuristic and now comes from
+    // plan statistics (or the caller's hint) instead of a dedicated scan.
+    val n = jobsDuring("media-sizing") {
+      Multimodal.extractImageFeaturesWithRejects(df, "media_id", "payload", embeddingDim = 8)
+      Multimodal.extractAudioFeatures(df, "media_id", "payload")
+      Multimodal.sampleFramesDecoded(df, "media_id", "payload", n = 2)
+      Multimodal.resizeImages(df, "media_id", "payload", outW = 2, outH = 2)
+      Multimodal.extractImageFeaturesWithRejects(df, "media_id", "payload",
+        embeddingDim = 8, totalBytesHint = Some(1L << 20))
+      ()
+    }
+    assert(n == 0, s"extractor construction ran $n sizing jobs; expected 0")
+    // and the hint produces the same rows as the stats path
+    val a = Multimodal.extractImageFeatures(df, "media_id", "payload", embeddingDim = 8)
+      .collect().map(_.toSeq).toSet
+    val b = Multimodal.extractImageFeaturesWithRejects(df, "media_id", "payload",
+        embeddingDim = 8, totalBytesHint = Some(1L))
+      .filter(col("decode_ok"))
+      .select(col("media_id"), col("width"), col("height"), col("embedding"))
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("empty media frame returns an empty result, not a crash") {
+    val df = spark.createDataFrame(Seq((1L, ppm)))
+      .toDF("media_id", "payload").filter(col("media_id") === 99L)
+    assert(Multimodal.extractImageFeaturesWithRejects(df, "media_id", "payload").count() == 0)
+    assert(Multimodal.extractAudioFeatures(df, "media_id", "payload").count() == 0)
+    assert(Multimodal.sampleFramesDecoded(df, "media_id", "payload", n = 2).count() == 0)
+    assert(Multimodal.resizeImages(df, "media_id", "payload", 2, 2).count() == 0)
+  }
 }
