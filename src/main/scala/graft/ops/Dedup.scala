@@ -68,6 +68,7 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 5, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.7): DataFrame = {
+    requireBanding(numHashes, bands)
     // Shingling (tokenize + sliding concat_ws) is the per-row hot loop and
     // feeds three consumers (signature, verify side a, verify side b) —
     // compute it ONCE and persist. The cached frame is narrow: (id, distinct
@@ -358,10 +359,21 @@ object Dedup {
     * from `incoming`; base–base pairs are deliberately absent (they were
     * found when THOSE batches arrived).
     */
+  /** LSH banding parameter hygiene: `bands > numHashes` makes every band
+    * slice empty, so ALL docs share every band hash and the candidate join
+    * silently degenerates to a |new|×|all| cross product (exact verify keeps
+    * the OUTPUT correct — only the cost explodes, the worst failure shape);
+    * a non-divisible `numHashes` silently ignores trailing signature slots.
+    */
+  private def requireBanding(numHashes: Int, bands: Int): Unit =
+    require(bands > 0 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) with 1 <= bands <= numHashes")
+
   def incrementalNearDups(base: DataFrame, incoming: DataFrame,
                           idCol: String, textCol: String,
                           shingleK: Int = 5, numHashes: Int = 32,
                           bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+    requireBanding(numHashes, bands)
     val tagged = base.select(col(idCol).as("id"), col(textCol).as("__text"),
         lit(false).as("__new"))
       .unionByName(incoming.select(col(idCol).as("id"), col(textCol).as("__text"),

@@ -21,13 +21,38 @@ import org.apache.spark.sql.functions._
   *
   * The affected-partition VALUE list is collected to the driver: it is
   * bounded by the count of *changed* partitions (the engine's partitioned
-  * cascade already counts and broadcasts the same list), not by table size.
+  * cascade already counts and broadcasts the same list), not by table size
+  * — and every such collect is guarded by `maxCollectedPartitions`, so a
+  * MIS-declared high-cardinality partition column fails loudly (naming the
+  * column) instead of OOMing the driver.
   */
 final class PartitionedStore(val spark: SparkSession, prefix: String,
-                             partCols: Map[String, String]) extends CopyOnWriteStore {
+                             partCols: Map[String, String],
+                             /** Ceiling on any driver-collected partition-
+                               * value list (SURVEY §1.1 declares logical
+                               * partitions LOW-cardinality; 100k values ≈
+                               * a few MB driver-side — beyond it the
+                               * declaration is a bug, not a workload). */
+                             maxCollectedPartitions: Int = 100000)
+    extends CopyOnWriteStore {
   private def qname(t: String) = s"${prefix}_$t"
   private def pcOf(t: String): String = partCols.getOrElse(t,
     throw new IllegalArgumentException(s"no partition column declared for table $t"))
+
+  /** Bounded distinct-value collect (ONE job, ≤ bound+1 rows to the driver):
+    * a `limit(bound+1)` under the hood, so the failure mode is a loud error
+    * naming the mis-declared column, never an OOM'd driver.
+    */
+  private def collectPartValues(table: String, values: DataFrame): Seq[Any] = {
+    val got = values.distinct().limit(maxCollectedPartitions + 1).collect()
+    if (got.length > maxCollectedPartitions)
+      throw new IllegalStateException(
+        s"table '$table': partition column '${pcOf(table)}' exceeds " +
+          s"$maxCollectedPartitions distinct values — logical partitions are " +
+          "declared low-cardinality (SURVEY §1.1); re-declare the partition " +
+          "column or raise maxCollectedPartitions explicitly")
+    got.map(_.get(0)).toSeq
+  }
 
   override def list(): Seq[String] =
     spark.catalog.listTables().collect().map(_.name)
@@ -96,8 +121,7 @@ final class PartitionedStore(val spark: SparkSession, prefix: String,
     if (keyCols == Seq(pcOf(table))) {
       // The engine's excess-partition cleanup arrives as a keyed delete on
       // the partition column — a list of DROP PARTITIONs, no rewrite.
-      dropPartitionValues(table,
-        keys.select(col(keyCols.head)).distinct().collect().map(_.get(0)).toSeq)
+      dropPartitionValues(table, collectPartValues(table, keys.select(col(keyCols.head))))
     } else {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], read(table).schema)
@@ -110,7 +134,7 @@ final class PartitionedStore(val spark: SparkSession, prefix: String,
     val pc = pcOf(table)
     partDeletes.foreach { case (c, values) =>
       require(c == pc, s"partition delete on $c but table is partitioned by $pc")
-      dropPartitionValues(table, values.select(col(c)).distinct().collect().map(_.get(0)).toSeq)
+      dropPartitionValues(table, collectPartValues(table, values.select(col(c))))
     }
     val cur = read(table)
     val tableCols = cur.columns.toSeq
@@ -120,7 +144,7 @@ final class PartitionedStore(val spark: SparkSession, prefix: String,
       .join(delKeys, keyCols.map(k => cur(k) <=> delKeys(k)).reduce(_ && _), "left_semi")
       .select(col(pc)).distinct()
     val insParts = inserts.select(col(pc)).distinct()
-    val affected = delParts.unionByName(insParts).distinct().collect().map(_.get(0)).toSeq
+    val affected = collectPartValues(table, delParts.unionByName(insParts))
     if (affected.isEmpty) return
 
     val nonNull = affected.filterNot(_ == null)
@@ -136,7 +160,7 @@ final class PartitionedStore(val spark: SparkSession, prefix: String,
     try {
       rewritten.write.parquet(s"$scratch/rw")
       val rw = spark.read.parquet(s"$scratch/rw")
-      val present = rw.select(col(pc)).distinct().collect().map(_.get(0)).toSet
+      val present = collectPartValues(table, rw.select(col(pc))).toSet
       if (present.nonEmpty) withDynamicOverwrite {
         rw.select(tableCols.map(col): _*).write.mode(SaveMode.Overwrite)
           .insertInto(qname(table))

@@ -437,9 +437,19 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     * Requires a primed maintained fingerprint (run [[syncTable]] once first)
     * and a configured primary key. The batch is spilled to scratch before
     * any mutation (same restart-point contract as [[Differ.applyDelta]]).
+    *
+    * Feed contract: an update MUST arrive as its D+I pair. An 'I' whose key
+    * already exists on the slave WITHOUT the paired 'D' (malformed feed)
+    * physically replaces the old row — the delete target covers all
+    * incoming keys — while the old row's hash never leaves the maintained
+    * fingerprint: SILENT divergence, unlike the unknown-op case above which
+    * throws. `validateFeed = true` detects it (pure-insert keys semi-joined
+    * against the slave — one slave scan, so opt-in: the default path keeps
+    * the O(delta) no-table-scan promise; [[verifyMaintained]] is the
+    * after-the-fact audit for feeds you don't control).
     */
   def applyCdc(table: String, changes: org.apache.spark.sql.DataFrame,
-               opCol: String = "op"): SyncAction = {
+               opCol: String = "op", validateFeed: Boolean = false): SyncAction = {
     val keys = keyColsOf(table).getOrElse(throw new IllegalArgumentException(
       s"applyCdc($table) requires a primary key in SyncConfig.primaryKeys"))
     val st = maintainedFp.getOrElse(table, throw new IllegalStateException(
@@ -467,6 +477,19 @@ final class SyncEngine(master: TableStore, slave: TableStore,
       require(unknown.isEmpty,
         s"applyCdc($table): unknown op tag(s) ${unknown.mkString(", ")} — expected 'D'/'I'")
       val (fpD, fpI) = (byOp.getOrElse("D", zero), byOp.getOrElse("I", zero))
+      if (validateFeed && fpI.count > 0) {
+        // Pure-insert keys (no paired 'D') claim to be NEW: any that already
+        // exist on the slave are updates missing their before-image.
+        val dK = spilled.filter(col(opCol) === "D").select(keys.map(col): _*)
+        val pureIns = spilled.filter(col(opCol) === "I").select(keys.map(col): _*)
+          .join(dK, keys, "left_anti")
+        val offending = slave.read(table)
+          .join(broadcast(pureIns), keys, "left_semi").count()
+        require(offending == 0,
+          s"applyCdc($table): $offending insert-only key(s) already exist on the " +
+            "slave — malformed feed (update without its 'D' before-image); " +
+            "applying it would silently diverge the maintained fingerprint")
+      }
       if (!config.dryRun && (fpD.count > 0 || fpI.count > 0)) {
         val inserts = spilled.filter(col(opCol) === "I").select(dataCols.map(col): _*)
         // C7 delete-before-insert: clear ALL incoming keys (an update is a
@@ -606,8 +629,23 @@ final class SyncEngine(master: TableStore, slave: TableStore,
         // restarted engine re-reads them; scratch may be cleaned between runs.
         val snap = Differ.newScratchDir(master.spark,
           config.stateDir.orElse(config.scratchDir), s"pfp_$table")
+        val snapCols =
+          if (config.syncSharedPartitions)
+            Seq(col(partCol), col("fp_count"), col("fp_xor"), col("fp_sum"))
+          else {
+            // Shared partitions were OUT OF SCOPE (SYNC_SHARED_PARTITIONS
+            // off): the slave kept its own content there, so the snapshot
+            // records the SLAVE's fingerprints wherever the slave had the
+            // partition — spilling the master's would claim a convergence
+            // that did not happen and mask the divergence from any later
+            // engine that re-enables shared-partition sync over this state.
+            def pick(s: String, m: String) =
+              when(col("s_count").isNotNull, col(s)).otherwise(col(m)).as(m)
+            Seq(col(partCol), pick("s_count", "fp_count"),
+              pick("s_xor", "fp_xor"), pick("s_sum", "fp_sum"))
+          }
         joined.filter(col("fp_count").isNotNull)
-          .select(col(partCol), col("fp_count"), col("fp_xor"), col("fp_sum"))
+          .select(snapCols: _*)
           .write.parquet(snap)
         partFpSnapshot.put(table, snap)
           .foreach(p => try Differ.rmScratch(master.spark, p) catch { case _: Exception => () })

@@ -102,4 +102,32 @@ class PartitionedStoreSpec extends SparkSpec {
       slave.list().foreach(slave.drop)
     }
   }
+
+  test("mis-declared high-cardinality partition column fails loudly, not OOM") {
+    import spark.implicits._
+    // 'part' has 500 distinct values against a bound of 100 — a violated
+    // low-cardinality declaration must name the column, and the guarded
+    // collect ships at most bound+1 rows to the driver before throwing.
+    val store = new PartitionedStore(spark, "pst_guard", Map("t" -> "part"),
+      maxCollectedPartitions = 100)
+    try {
+      store.overwrite("t", (1 to 500).map(i => (i.toLong, i % 500, s"v$i"))
+        .toDF("id", "part", "v"))
+      val ex = intercept[IllegalStateException] {
+        store.deleteKeys("t", (1 to 500).map(i => (i.toLong, i % 500))
+          .toDF("id", "part"), Seq("id", "part"))
+      }
+      assert(ex.getMessage.contains("'part'") && ex.getMessage.contains("100"),
+        ex.getMessage)
+      // within the declared bound the same shape still works
+      val small = new PartitionedStore(spark, "pst_guard2", Map("t" -> "part"),
+        maxCollectedPartitions = 100)
+      try {
+        small.overwrite("t", (1 to 50).map(i => (i.toLong, i % 5, s"v$i"))
+          .toDF("id", "part", "v"))
+        small.deleteKeys("t", Seq((1L, 1)).toDF("id", "part"), Seq("id", "part"))
+        assert(small.read("t").count() == 49)
+      } finally small.list().foreach(small.drop)
+    } finally store.list().foreach(store.drop)
+  }
 }

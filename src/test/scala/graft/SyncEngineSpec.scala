@@ -360,6 +360,67 @@ class SyncEngineSpec extends SparkSpec {
     assert(engine.verifyMaintained("acct"))
   }
 
+  test("applyCdc: malformed feed (I without its D before-image) detected") {
+    val (md, sd, ms, ss) = mkStores("maintbadfeed")
+    write(md, "acct", custDf)
+    write(sd, "acct", custDf)
+    val engine = new SyncEngine(ms, ss, SyncConfig(
+      primaryKeys = Map("acct" -> Seq("id")), maintainFingerprints = true))
+    engine.syncTable("acct") // prime
+    // id=2 exists on the slave; an 'I' for it without the paired 'D' is an
+    // update missing its before-image.
+    val bad = Seq(("I", 2L, "bob", 11, 99.0)).toDF("op", "id", "name", "nk", "bal")
+    val ex = intercept[IllegalArgumentException](
+      engine.applyCdc("acct", bad, validateFeed = true))
+    assert(ex.getMessage.contains("insert-only"))
+    assert(engine.verifyMaintained("acct"), "validated reject must not mutate state")
+    // The default (no-scan) path applies it and diverges SILENTLY — exactly
+    // the documented failure shape; the audit escape hatch catches it.
+    engine.applyCdc("acct", bad)
+    assert(!engine.verifyMaintained("acct"),
+      "undetected malformed feed must at least be visible to the audit")
+    // a well-formed pair on a fresh engine still validates cleanly
+    val engine2 = new SyncEngine(ms, ss, SyncConfig(
+      primaryKeys = Map("acct" -> Seq("id")), maintainFingerprints = true))
+    engine2.syncTable("acct")
+    val good = Seq(("D", 1L, "alice", 10, 5.0), ("I", 1L, "alice", 10, 50.0),
+      ("I", 9L, "zed", 1, 2.0)).toDF("op", "id", "name", "nk", "bal")
+    assert(engine2.applyCdc("acct", good, validateFeed = true)
+      == SyncAction.ApplyDelta("acct", 1L, 2L))
+    assert(engine2.verifyMaintained("acct"))
+  }
+
+  test("syncSharedPartitions=false: snapshot records the SLAVE's fingerprints") {
+    val (md, sd, ms, ss) = mkStores("maintsharedoff")
+    val base = custDf.withColumn("grp", $"id" % 2)
+    write(md, "acct", base)
+    write(sd, "acct", base)
+    val stateDir = tmpDir("fpstate_shared")
+    val cfgOff = SyncConfig(primaryKeys = Map("acct" -> Seq("id")),
+      partitionedTables = Map("acct" -> "grp"), maintainFingerprints = true,
+      syncSharedPartitions = false, stateDir = Some(stateDir))
+    new SyncEngine(ms, ss, cfgOff).syncTable("acct") // prime (equal)
+    // Master changes a SHARED partition (grp=1) and grows a new one (grp=7):
+    // with shared sync off, only grp=7 is copied; grp=1 stays divergent.
+    val m2 = base.withColumn("bal",
+      when($"id" === 1L, $"bal" + 10.0).otherwise($"bal"))
+      .unionByName(Seq((7L, "gina", 16, 2.0, 7L)).toDF("id", "name", "nk", "bal", "grp"))
+    write(md, "acct", m2)
+    assert(new SyncEngine(ms, ss, cfgOff).syncTable("acct")
+      .isInstanceOf[SyncAction.ApplyDelta])
+    assert(ss.read("acct").filter($"id" === 7L).count() == 1, "missing partition copied")
+    assert(fp(ss.read("acct")) != fp(ms.read("acct")), "shared partition stays divergent")
+
+    // A later engine RE-ENABLES shared sync over the same persisted state:
+    // the snapshot must carry the slave's TRUE grp=1 fingerprints, so the
+    // gate sees the divergence and repairs it. A snapshot that had spilled
+    // the master's values would claim grp=1 converged and skip forever.
+    write(md, "acct", m2) // same content, fresh files → fresh change token
+    val on = new SyncEngine(ms, ss, cfgOff.copy(syncSharedPartitions = true))
+    assert(on.syncTable("acct").isInstanceOf[SyncAction.ApplyDelta])
+    assert(fp(ss.read("acct")) == fp(ms.read("acct")), "divergence repaired")
+  }
+
   test("maintained mode, partitioned: snapshot replaces the slave fingerprint scan") {
     val (md, sd, ms, ss) = mkStores("maintpart")
     val df = custDf.withColumn("grp", $"id" % 2)
