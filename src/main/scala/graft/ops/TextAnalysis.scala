@@ -177,4 +177,58 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** MOSS-style matched SPANS — the report MOSS actually renders: maximal
+    * matched token ranges per doc pair, reconstructed from shared
+    * `(fp_hash, fp_pos)` fingerprints. Shared anchors on one DIAGONAL
+    * (`pos_b - pos_a` constant) belong to one aligned region; anchors ≤
+    * `w + k - 1` apart are chained into a run (winnowing guarantees a
+    * fingerprint at least every w positions inside a real contiguous
+    * match, so a larger gap means the match broke). Each run reports
+    * `[start, end]` token spans in BOTH docs plus its anchor count. The
+    * md5-derived hashes keep the whole reconstruction SQL-replayable
+    * (`dedup_winnow_spans` oracle) — rare for a fingerprinting scheme.
+    *
+    * Shape: the same hot-key-cappable hash self-join as
+    * [[winnowOverlapPairs]], then per-(pair, diagonal) windowed islands —
+    * window partitions are per-pair anchor lists (small by construction),
+    * never corpus-sized.
+    */
+  def winnowOverlapSpans(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4, minFps: Long = 2L,
+                         maxFpDf: Option[Long] = None): DataFrame = {
+    val maxGap = w + k - 1
+    val fps = winnowingFingerprints(df, idCol, textCol, k, w)
+    val pruned = maxFpDf.fold(fps) { cap =>
+      val hot = fps.select(col("id"), col("fp_hash")).distinct()
+        .groupBy("fp_hash").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("fp_hash")
+      fps.join(hot, Seq("fp_hash"), "left_anti")
+    }
+    val m = pruned.as("a").join(pruned.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.fp_pos").cast("long").as("pos_a"),
+        (col("b.fp_pos") - col("a.fp_pos")).cast("long").as("diag"))
+      .distinct()
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    val runs = m
+      .withColumn("prev", lag("pos_a", 1).over(wn))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos_a") - col("prev") > maxGap, 1)
+          .otherwise(0))
+      .withColumn("run", sum("brk").over(wn.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    runs.groupBy("id_a", "id_b", "diag", "run")
+      .agg(min("pos_a").as("start_a"), max("pos_a").as("max_pos"),
+        count(lit(1)).as("n_fps"))
+      .filter(col("n_fps") >= minFps)
+      .select(col("id_a"), col("id_b"),
+        col("start_a"), (col("max_pos") + (k - 1)).as("end_a"),
+        (col("start_a") + col("diag")).as("start_b"),
+        (col("max_pos") + (k - 1) + col("diag")).as("end_b"),
+        col("n_fps"))
+  }
 }

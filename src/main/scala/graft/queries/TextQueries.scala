@@ -1116,7 +1116,44 @@ object TextQueries {
               |         FROM wm WHERE pos <= n - 4 OR (n < 4 AND pos = 0))
               |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
               |FROM sel a JOIN sel b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
-              |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin))
+              |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin)),
+
+    // ---- MOSS matched spans: the ranges MOSS renders — shared fingerprint
+    //      anchors chained per (pair, diagonal) into maximal runs, each
+    //      reported as [start, end] token spans in both docs. The whole
+    //      reconstruction (winnowing selection + diagonal islands) replays
+    //      EXACTLY in SQL thanks to the md5-derived gram hashes.
+    Q("dedup_winnow_spans",
+      (s, dir) => TextAnalysis.winnowOverlapSpans(
+          T(s, dir, "documents"), "doc_id", "text", k = 3, w = 4, minFps = 2L),
+      Some("""WITH d AS (SELECT doc_id, CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
+              |   ELSE list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')) END AS sh
+              |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |        ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+              |        FROM documents)),
+              | g AS (SELECT doc_id, cast(t.i - 1 as bigint) AS pos,
+              |        ('0x' || substr(md5(sh[t.i]), 1, 15))::bigint AS h
+              |       FROM d, unnest(range(1, len(sh) + 1)) AS t(i)),
+              | wm AS (SELECT doc_id, pos,
+              |        count(*) OVER (PARTITION BY doc_id) AS n,
+              |        min(struct_pack(h := h, p := pos)) OVER (PARTITION BY doc_id ORDER BY pos
+              |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+              |       FROM g),
+              | sel AS (SELECT DISTINCT doc_id, struct_extract(mn, 'h') AS fp_hash,
+              |          struct_extract(mn, 'p') AS fp_pos
+              |         FROM wm WHERE pos <= n - 4 OR (n < 4 AND pos = 0)),
+              | m AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              |        a.fp_pos AS pos_a, b.fp_pos - a.fp_pos AS diag
+              |       FROM sel a JOIN sel b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id),
+              | r AS (SELECT *, CASE WHEN lag(pos_a) OVER w IS NULL
+              |          OR pos_a - lag(pos_a) OVER w > 6 THEN 1 ELSE 0 END AS brk
+              |       FROM m WINDOW w AS (PARTITION BY id_a, id_b, diag ORDER BY pos_a)),
+              | rr AS (SELECT *, sum(brk) OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM r)
+              |SELECT id_a, id_b, min(pos_a) AS start_a, max(pos_a) + 2 AS end_a,
+              | min(pos_a) + diag AS start_b, max(pos_a) + 2 + diag AS end_b,
+              | count(*) AS n_fps
+              |FROM rr GROUP BY id_a, id_b, diag, run HAVING count(*) >= 2""".stripMargin))
   )
 
   private def duckList(xs: Seq[String]): String =

@@ -180,6 +180,34 @@ class BlockDedupSpec extends SparkSpec {
     assert(tight.isEmpty)
   }
 
+  test("winnowOverlapSpans reconstructs the planted span on its diagonal") {
+    import graft.ops.TextAnalysis
+    // doc 1 embeds the 10-token run at token 2, doc 2 at token 3 → every
+    // true match anchor lies on diagonal +1; the span must land inside the
+    // shared region in BOTH docs and map across by exactly that offset.
+    val shared = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    val docs = Seq(
+      (1L, s"a1 a2 $shared a3 a4"),
+      (2L, s"b1 b2 b3 $shared b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9")).toDF("doc_id", "text")
+    val spans = TextAnalysis.winnowOverlapSpans(docs, "doc_id", "text",
+      k = 3, w = 4, minFps = 1L)
+    val rows = spans.collect()
+    assert(rows.nonEmpty, "planted overlap must produce a span")
+    assert(rows.forall(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "only the overlapping pair may report spans")
+    rows.foreach { r =>
+      val (sa, ea, sb, eb) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(sb - sa == 1L && eb - ea == 1L, s"span must sit on diagonal +1: $r")
+      // shared grams in doc 1 live at positions 2..9 (k=3 → last token 11)
+      assert(sa >= 2L && ea <= 11L, s"span outside the shared region: $r")
+      assert(r.getLong(6) >= 1L)
+    }
+    // one run must cover a >= w+k-1 stretch of the planted region
+    assert(rows.exists(r => r.getLong(3) - r.getLong(2) >= 5L),
+      "chained anchors should cover most of the 10-token run")
+  }
+
   test("removeDuplicateBlocks is the identity on a duplicate-free corpus") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
