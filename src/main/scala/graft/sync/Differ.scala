@@ -198,10 +198,18 @@ object Differ {
     * cleanup) into the SAME store-level apply, so copy-on-write stores pay
     * one rewrite for partition deletes + row deletes + inserts together.
     */
+  /** `keyedFetch`, when provided, may replace the J3 semi-join insert fetch
+    * with a store-pushed keyed lookup (`(spilledKeys, count) => rows`) — the
+    * wire-efficient path for remote sources: a small delta fetches
+    * delta-sized rows instead of scanning the whole source for a Spark-side
+    * semi-join ([[JdbcStore.readKeyed]]). Returning None falls back to the
+    * semi-join.
+    */
   def applyDelta(store: TableStore, table: String, delta: Delta,
                  dryRun: Boolean = false,
                  partDeletes: Option[(String, DataFrame)] = None,
-                 scratchDir: Option[String] = None): (Long, Long) = {
+                 scratchDir: Option[String] = None,
+                 keyedFetch: Option[(DataFrame, Long) => Option[DataFrame]] = None): (Long, Long) = {
     // Delete-before-insert is mandatory: an update's key is in both sets, and
     // under partition sync a row may have moved partitions (Synchronizer.php:495-501).
     val spark = delta.source.sparkSession
@@ -236,7 +244,8 @@ object Differ {
       // now, so broadcast explicitly when small: AQE alone would launch the
       // source's full by-key shuffle before discovering the key side is tiny.
       val keyList = if (nInsKeys <= BroadcastKeyMax) broadcast(spilledInsKeys) else spilledInsKeys
-      val insertPlan = delta.source.join(keyList, delta.keyCols, "left_semi")
+      val insertPlan = keyedFetch.flatMap(f => f(spilledInsKeys, nInsKeys))
+        .getOrElse(delta.source.join(keyList, delta.keyCols, "left_semi"))
       val nIns =
         if (nInsKeys == 0) 0L
         else if (dryRun) insertPlan.count()

@@ -152,6 +152,52 @@ final class JdbcStore(val spark: SparkSession, url: String,
       Some(readHashMap(table, projCols, dataCols, Some(builder(dataCols, legacyNullSkip))))
     }
 
+  /** S7 keyed batch lookup, pushed to the database: fetch exactly the rows
+    * whose key tuple appears in `keyTuples`, as chunked
+    * `SELECT * … WHERE <keys match>` queries (the reference's
+    * `WHERE pk IN (chunk)` fetch, `TableConnection.php:241-287`, chunked at
+    * CHUNK_SIZE) — the J3 insert fetch's wire-efficient form: a small delta
+    * transfers delta-sized rows instead of a full-table scan for a
+    * Spark-side semi-join. Single-column keys render as `IN (…)`;
+    * composite keys as OR-of-ANDs (portable — Derby has no row-value IN).
+    * Returns None when any key component is NULL or not a renderable
+    * literal type (caller falls back to the semi-join; PKs are non-null by
+    * definition, so None is the exotic path).
+    */
+  def readKeyed(table: String, keyCols: Seq[String],
+                keyTuples: Seq[Seq[Any]], chunkSize: Int = 5000): Option[DataFrame] = {
+    def lit(v: Any): Option[String] = v match {
+      case null => None
+      case _: Long | _: Int | _: Short | _: Byte | _: Boolean => Some(v.toString)
+      case d: java.math.BigDecimal => Some(d.toPlainString)
+      case d: BigDecimal => Some(d.bigDecimal.toPlainString)
+      case s: String => Some("'" + s.replace("'", "''") + "'")
+      case d: java.sql.Date => Some("'" + d.toString + "'")
+      case t: java.sql.Timestamp => Some("'" + t.toString + "'")
+      case _ => None // doubles/bytes/etc: text round-trip is not exact — fall back
+    }
+    if (keyTuples.isEmpty)
+      return Some(read(table).limit(0))
+    val rendered = keyTuples.map(t => t.map(lit))
+    if (rendered.exists(_.exists(_.isEmpty))) return None
+    val lits = rendered.map(_.map(_.get))
+    val frames = lits.grouped(chunkSize).map { chunk =>
+      val pred =
+        if (keyCols.length == 1)
+          s"${q(keyCols.head)} IN (${chunk.map(_.head).mkString(", ")})"
+        else chunk.map(_.zip(keyCols)
+            .map { case (v, k) => s"${q(k)} = $v" }.mkString("(", " AND ", ")"))
+          .mkString(" OR ")
+      val r = spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", s"SELECT * FROM ${q(table)} WHERE $pred")
+        .option("fetchsize", batchSize.toString)
+      user.foreach { case (u, pw) => r.option("user", u).option("password", pw) }
+      r.load()
+    }.toSeq
+    Some(frames.reduce(_ unionByName _))
+  }
+
   override def drop(table: String): Unit = withConnection { c =>
     val st = c.createStatement()
     try st.executeUpdate(s"DROP TABLE ${q(table)}") finally st.close()
@@ -374,6 +420,13 @@ final class JdbcStore(val spark: SparkSession, url: String,
 }
 
 object JdbcStore {
+  /** Driver-side ceiling for the keyed insert fetch: above this many keys
+    * the delta is table-scale anyway and the shuffled semi-join is the
+    * right plan; below it, 100k keys × tens of bytes is a few MB on the
+    * driver, chunked into ≤20 pushed queries.
+    */
+  val KeyedFetchMaxKeys = 100000L
+
   /** MySQL row-hash pushdown expression — the exact SQL shape the reference
     * generates (`TableConnection.php:46-48`) with the NULL-sentinel fix of
     * its table-level hash (`TableConnection.php:475-477`).

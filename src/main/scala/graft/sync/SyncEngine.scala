@@ -196,12 +196,13 @@ final class SyncEngine(master: TableStore, slave: TableStore,
   // Partitioned-table analog of `maintainedFp`: the slave's per-partition
   // fingerprints as of the last convergence, SPILLED to scratch parquet
   // (one row per partition value — partition cardinality can be huge, so
-  // this state lives on storage, not the driver). table → snapshot path.
+  // this state lives on storage, not the driver). table → (snapshot path,
+  // pushed-flavor flag — same never-cross-compare rule as `maintainedFp`).
   private val partFpSnapshot =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Boolean)]
 
   private def dropPartSnapshot(table: String): Unit =
-    partFpSnapshot.remove(table).foreach { p =>
+    partFpSnapshot.remove(table).foreach { case (p, _) =>
       try Differ.rmScratch(master.spark, p) catch { case _: Exception => () }
     }
 
@@ -225,7 +226,10 @@ final class SyncEngine(master: TableStore, slave: TableStore,
         props.setProperty("fp.pushed", st.pushed.toString)
       }
       lastMasterToken.get(table).foreach(props.setProperty("token", _))
-      partFpSnapshot.get(table).foreach(props.setProperty("part.path", _))
+      partFpSnapshot.get(table).foreach { case (p, pushed) =>
+        props.setProperty("part.path", p)
+        props.setProperty("part.pushed", pushed.toString)
+      }
       java.nio.file.Files.createDirectories(p.getParent)
       if (props.isEmpty) { java.nio.file.Files.deleteIfExists(p); () }
       else {
@@ -265,7 +269,8 @@ final class SyncEngine(master: TableStore, slave: TableStore,
             val hp = new org.apache.hadoop.fs.Path(sp)
             hp.getFileSystem(master.spark.sessionState.newHadoopConf()).exists(hp)
           } catch { case _: Exception => false }
-          if (ok) partFpSnapshot.update(table, sp)
+          if (ok) partFpSnapshot.update(table,
+            (sp, props.getProperty("part.pushed", "false").toBoolean))
         }
       }
   }
@@ -544,15 +549,33 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     lazy val s = slave.read(table)
     val cols = m.columns.toSeq
 
-    val mFp = Hashing.partitionFingerprints(m, partCol, cols, config.legacyNullSkip)
+    // Wire-efficient partitioned cascade: with pushdown on both stores the
+    // grouped fingerprints AND the scoped diff read only (key, partition,
+    // 32-byte hash) projections — the reference computes its per-partition
+    // hashes server-side too (`TableConnection.php:510-547`).
+    val pushed = keyColsOf(table).flatMap(k =>
+      pushedMaps(table, (k :+ partCol).distinct, cols).map((k, _)))
+    val pushedMode = pushed.isDefined
+
+    val mFp = pushed match {
+      case Some((_, (mh, _))) =>
+        Hashing.partitionFingerprintsOfHashes(mh, partCol, "row_hash")
+      case None => Hashing.partitionFingerprints(m, partCol, cols, config.legacyNullSkip)
+    }
     // Maintained mode, partitioned analog: after a convergence the slave's
     // per-partition fingerprints ARE the master's, so they were spilled as a
     // snapshot then — read it (O(partitions), no slave scan) instead of
-    // re-fingerprinting the slave table every cycle. Priming / invalidated
-    // state falls back to the full grouped scan.
-    val sFpRaw = partFpSnapshot.get(table).filter(_ => config.maintainFingerprints) match {
-      case Some(path) => master.spark.read.parquet(path)
-      case None => Hashing.partitionFingerprints(s, partCol, cols, config.legacyNullSkip)
+    // re-fingerprinting the slave table every cycle. Priming / invalidated /
+    // flavor-mismatched (pushed vs local — never comparable) state falls
+    // back to the full grouped scan.
+    val sFpRaw = partFpSnapshot.get(table)
+        .filter { case (_, fl) => config.maintainFingerprints && fl == pushedMode } match {
+      case Some((path, _)) => master.spark.read.parquet(path)
+      case None => pushed match {
+        case Some((_, (_, sh))) =>
+          Hashing.partitionFingerprintsOfHashes(sh, partCol, "row_hash")
+        case None => Hashing.partitionFingerprints(s, partCol, cols, config.legacyNullSkip)
+      }
     }
     val sFp = sFpRaw
       .withColumnRenamed(partCol, "__s_part")
@@ -604,9 +627,21 @@ final class SyncEngine(master: TableStore, slave: TableStore,
       val sScope = s.join(needDiffB, s(partCol) <=> needDiffB("__need_part"), "left_semi")
       // C7: a row may have moved partitions; keying the diff on the PK alone
       // (not PK+partition) plus delete-before-insert keeps convergence.
-      val delta =
-        if (config.keyAwareDiff) Differ.keyDiff(mScope, sScope, keys)
-        else Differ.hashDiff(mScope, sScope, keys, config.legacyNullSkip)
+      val delta = pushed match {
+        case Some((_, (mh, sh))) =>
+          // Scope the PUSHED maps to the changed partitions (partCol is in
+          // the pushed projection) — the diff's wire traffic stays hashes.
+          def scoped(hm: org.apache.spark.sql.DataFrame) = {
+            val sc = hm.join(needDiffB,
+              hm(partCol) <=> needDiffB("__need_part"), "left_semi")
+            if (keys.contains(partCol)) sc else sc.drop(partCol)
+          }
+          if (config.keyAwareDiff) Differ.keyDiffMaps(scoped(mh), scoped(sh), mScope, keys)
+          else Differ.hashDiffMaps(scoped(mh), scoped(sh), mScope, keys)
+        case None =>
+          if (config.keyAwareDiff) Differ.keyDiff(mScope, sScope, keys)
+          else Differ.hashDiff(mScope, sScope, keys, config.legacyNullSkip)
+      }
       applyDelta(table, delta,
         partDeletes = if (nExcess > 0) Some(partCol -> excessDf) else None)
     }
@@ -647,12 +682,32 @@ final class SyncEngine(master: TableStore, slave: TableStore,
         joined.filter(col("fp_count").isNotNull)
           .select(snapCols: _*)
           .write.parquet(snap)
-        partFpSnapshot.put(table, snap)
-          .foreach(p => try Differ.rmScratch(master.spark, p) catch { case _: Exception => () })
+        partFpSnapshot.put(table, (snap, pushedMode))
+          .foreach { case (p, _) =>
+            try Differ.rmScratch(master.spark, p) catch { case _: Exception => () } }
       }
       action
     } finally joined.unpersist()
   }
+
+  /** When wire efficiency is on (`hashPushdown`) and the master is a JDBC
+    * store, the J3 insert fetch goes through [[JdbcStore.readKeyed]]: the
+    * spilled key list (size already known) collects to the driver below the
+    * cap and fetches exactly the delta's rows server-side — completing the
+    * reference's transfer story (hashes over the wire for the compare,
+    * delta-sized rows for the copy). Above the cap, or for unrenderable key
+    * types, the fallback stays the semi-join over the full read.
+    */
+  private def keyedFetcher(table: String,
+                           keys: Seq[String]): Option[(org.apache.spark.sql.DataFrame, Long) => Option[org.apache.spark.sql.DataFrame]] =
+    (master, config.hashPushdown) match {
+      case (m: JdbcStore, true) => Some { (keysDf, n) =>
+        if (n > JdbcStore.KeyedFetchMaxKeys) None
+        else m.readKeyed(table, keys,
+          keysDf.collect().toSeq.map(r => keys.indices.map(r.get)))
+      }
+      case _ => None
+    }
 
   private def applyDelta(table: String, delta: Delta,
                          partDeletes: Option[(String, org.apache.spark.sql.DataFrame)] = None): SyncAction = {
@@ -660,7 +715,8 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     // diff leg with the hash-map exchanges reused; a dry run just skips the
     // final slave rewrite (scratch spill is not slave state).
     val (nDel, nIns) = Differ.applyDelta(slave, table, delta, dryRun = config.dryRun,
-      partDeletes = partDeletes, scratchDir = config.scratchDir)
+      partDeletes = partDeletes, scratchDir = config.scratchDir,
+      keyedFetch = keyedFetcher(table, delta.keyCols))
     if (nDel == 0 && nIns == 0 && !config.dryRun) {
       // Fingerprints differed (we only get here after the short-circuit) yet
       // the diff found nothing — possible only when content-identical rows

@@ -198,6 +198,53 @@ class JdbcStoreSpec extends SparkSpec {
     assert(ex.getMessage.contains("pushed"))
   }
 
+  test("partitioned cascade runs on pushed per-partition fingerprints") {
+    val ddl = """CREATE TABLE "t" ("id" BIGINT NOT NULL, "grp" INT NOT NULL, "v" VARCHAR(20), PRIMARY KEY ("id"))"""
+    val mUrl = mkDb("push_part_m")
+    val sUrl = mkDb("push_part_s")
+    execAll(mUrl, ddl,
+      """INSERT INTO "t" VALUES (1, 0, 'a'), (2, 0, 'b'), (3, 1, 'c'), (4, 1, 'd'), (5, 2, 'e')""")
+    execAll(sUrl, ddl, // grp=1 diverges (missing id=4, mutated id=3); grp=9 excess
+      """INSERT INTO "t" VALUES (1, 0, 'a'), (2, 0, 'b'), (3, 1, 'MUT'), (9, 9, 'x'), (5, 2, 'e')""")
+    DerbyDialect.installMd5(mUrl)
+    DerbyDialect.installMd5(sUrl)
+    val ms = new JdbcStore(spark, mUrl, hashPushdown = true,
+      hashExprBuilder = Some(DerbyDialect.rowHashExpr))
+    val ss = new JdbcStore(spark, sUrl, hashPushdown = true,
+      hashExprBuilder = Some(DerbyDialect.rowHashExpr))
+    val engine = new SyncEngine(ms, ss, SyncConfig(
+      primaryKeys = Map("t" -> Seq("id")),
+      partitionedTables = Map("t" -> "grp"), hashPushdown = true))
+    assert(engine.syncTable("t").isInstanceOf[SyncAction.ApplyDelta])
+    assert(fp(ss.read("t")) == fp(ms.read("t")))
+    assert(ss.read("t").filter($"grp" === 9).count() == 0, "excess partition dropped")
+    assert(engine.syncTable("t") == SyncAction.Skip("t", "already in sync"))
+  }
+
+  test("readKeyed: chunked pushed lookups equal the semi-join fetch") {
+    val url = mkDb("keyedfetch")
+    execAll(url,
+      """CREATE TABLE "t" ("k1" INT NOT NULL, "k2" VARCHAR(10) NOT NULL, "v" VARCHAR(20), PRIMARY KEY ("k1", "k2"))""",
+      """INSERT INTO "t" VALUES (1, 'a', 'x'), (2, 'o''b', 'quoted'), (3, 'c', 'z'), (4, 'd', NULL)""")
+    val store = new JdbcStore(spark, url)
+    // composite key, chunkSize 1 → one pushed query per tuple, unioned;
+    // the quote in o'b exercises literal escaping
+    val wanted = Seq(Seq(1, "a"), Seq(2, "o'b"))
+    val got = store.readKeyed("t", Seq("k1", "k2"), wanted, chunkSize = 1).get
+    val keysDf = Seq((1, "a"), (2, "o'b")).toDF("k1", "k2")
+    val semi = store.read("t").join(keysDf, Seq("k1", "k2"), "left_semi")
+    assert(got.collect().map(_.toSeq).toSet == semi.collect().map(_.toSeq).toSet)
+    assert(got.count() == 2)
+    // single-column IN form
+    val one = store.readKeyed("t", Seq("k1"), Seq(Seq(3), Seq(4))).get
+    assert(one.select("k1").collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 4))
+    // empty key list → empty frame, no query
+    assert(store.readKeyed("t", Seq("k1"), Nil).get.count() == 0)
+    // NULL key component or unrenderable type → None (semi-join fallback)
+    assert(store.readKeyed("t", Seq("k1", "k2"), Seq(Seq(1, null))).isEmpty)
+    assert(store.readKeyed("t", Seq("k1"), Seq(Seq(1.5d))).isEmpty)
+  }
+
   private def execAll(url: String, stmts: String*): Unit = {
     val c = java.sql.DriverManager.getConnection(url)
     try {
