@@ -499,4 +499,66 @@ object Dedup {
         .localCheckpoint(true)
     } finally Caching.release(base)
   }
+
+  /** Exact duplicate-SPAN removal — the sliding-window "ExactSubstr" step of
+    * Lee et al.'s training-data dedup, where [[removeDuplicateBlocks]] only
+    * sees aligned block boundaries: every token covered by ANY `spanK`-token
+    * window whose exact text occurs >= `minCount` times corpus-wide (total
+    * occurrences, so within-doc repeats count — unlike the blocks op's
+    * distinct-doc df) is removed, and each document is reassembled from its
+    * surviving tokens in original order. Returns
+    * `(id, n_tokens, n_removed, clean_text)` for EVERY input doc.
+    *
+    * Shape: posexplode tokens + sliding grams → grouped occurrence count →
+    * semi-join the hot gram starts → coverage via ONE range-frame window
+    * (`max(flag) over (partition id order pos range [-(spanK-1), 0])`) on
+    * the union of token rows and hot-start markers — the frame is by pos
+    * VALUE, so the marker row at pos p covers tokens p..p+spanK-1 without
+    * exploding each hit spanK-fold — then per-doc ordered reassembly.
+    * Shuffles: gram count, gram semi-join, id window (+ reusing id
+    * partitioning for the rebuild) — all linear in corpus token count, no
+    * self-join, so the pair-operator d² blowup can't occur. The gram key is
+    * the window STRING (oracle-exact); at petabyte scale key it by
+    * `xxhash64(gram)` to cut shuffle width (a collision only removes an
+    * extra span — the conservative direction).
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           spanK: Int = 8, minCount: Long = 2L): DataFrame = {
+    require(spanK > 0, s"spanK must be positive, got $spanK")
+    val base = Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        when(length(trim(col("__text"))) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(col("__text")), "\\s+")).as("words"))
+      .localCheckpoint(true)
+    try {
+      val toks = base.filter(size(col("words")) > 0)
+        .select(col("id"), posexplode(col("words")).as(Seq("pos", "tok")))
+      val grams = base.filter(size(col("words")) >= spanK)
+        .select(col("id"), posexplode(transform(
+            sequence(lit(0), size(col("words")) - spanK),
+            i => array_join(slice(col("words"), i + 1, lit(spanK)), " ")))
+          .as(Seq("pos", "gram")))
+      val hot = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount).select("gram")
+      val dupStarts = grams.join(hot, Seq("gram"), "left_semi")
+        .select(col("id"), col("pos"),
+          lit(null).cast("string").as("tok"), lit(1).as("flag"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("pos").rangeBetween(-(spanK - 1L), 0L)
+      // range-frame boundaries are LongType — the order column must match
+      val covered = toks.withColumn("flag", lit(0)).unionByName(dupStarts)
+        .withColumn("pos", col("pos").cast("long"))
+        .withColumn("cov", max(col("flag")).over(w))
+      val rebuilt = covered.filter(col("tok").isNotNull && col("cov") === 0)
+        .groupBy("id").agg(count(lit(1)).as("n_kept"),
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            e => e.getField("tok")), " ").as("clean_text"))
+      base.select(col("id"), size(col("words")).cast("long").as("n_tokens"))
+        .join(rebuilt, Seq("id"), "left_outer")
+        .select(col("id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .localCheckpoint(true)
+    } finally Caching.release(base)
+  }
 }

@@ -921,6 +921,41 @@ object TextQueries {
               | coalesce(reb.clean_text, '') AS clean_text
               |FROM nb LEFT JOIN reb ON nb.doc_id = reb.rid""".stripMargin)),
 
+    // ---- sliding-window exact duplicate-SPAN removal (the ExactSubstr step
+    //      of Lee et al., where pipeline_block_dedup only sees aligned block
+    //      boundaries): any 8-token window occurring >= 2 times corpus-wide
+    //      (total occurrences — within-doc repeats count) is removed
+    //      wherever it occurs, and docs reassemble from surviving tokens.
+    //      The oracle replays the whole selection: same grams, same counts,
+    //      same rows-frame coverage (dense positions make ROWS ≡ the
+    //      engine's RANGE-over-union), same ordered reassembly.
+    Q("pipeline_span_dedup",
+      (s, dir) => Dedup.removeDuplicateSpans(
+          T(s, dir, "documents"), "doc_id", "text", spanK = 8, minCount = 2L)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+          col("clean_text")),
+      Some("""WITH w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |        ELSE regexp_split_to_array(trim(text), '\s+') END AS words FROM documents),
+              | t AS (SELECT doc_id, cast(r.i as bigint) AS pos, words[r.i+1] AS tok
+              |       FROM w, unnest(range(0, len(words))) AS r(i)),
+              | g AS (SELECT doc_id, cast(r.i as bigint) AS pos,
+              |        array_to_string(list_slice(words, r.i+1, r.i+8), ' ') AS gram
+              |       FROM w, unnest(range(0, greatest(len(words)-7, 0))) AS r(i)),
+              | hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+              | f AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM hot)),
+              | c AS (SELECT t.doc_id, t.pos, t.tok,
+              |        max(CASE WHEN f.pos IS NOT NULL THEN 1 ELSE 0 END)
+              |          OVER (PARTITION BY t.doc_id ORDER BY t.pos
+              |                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+              |       FROM t LEFT JOIN f ON t.doc_id = f.doc_id AND t.pos = f.pos),
+              | reb AS (SELECT doc_id AS rid, count(*) AS n_kept,
+              |         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+              |         FROM c WHERE cov = 0 GROUP BY doc_id)
+              |SELECT w.doc_id, cast(len(words) as bigint) AS n_tokens,
+              | cast(len(words) - coalesce(reb.n_kept, 0) as bigint) AS n_removed,
+              | coalesce(reb.clean_text, '') AS clean_text
+              |FROM w LEFT JOIN reb ON w.doc_id = reb.rid""".stripMargin)),
+
     // ---- training-shard export manifest: consecutive 256-row shards in
     //      deterministic (md5-bucket, id) order, numbered by the
     //      DISTRIBUTED two-pass global row_number (bucket counts → driver

@@ -208,6 +208,69 @@ class BlockDedupSpec extends SparkSpec {
       "chained anchors should cover most of the 10-token run")
   }
 
+  test("removeDuplicateSpans removes covered tokens at any alignment") {
+    // spanK 2, minCount 2. "x y" occurs in docs 1 and 2 at DIFFERENT
+    // offsets (unaligned — invisible to the blocks op at width 2 for doc
+    // 2's copy), so tokens covered by it drop everywhere. "p p" repeats
+    // within doc 3 alone — total-occurrence counting still removes it
+    // (both copies + the bridging "p p" window ⇒ the whole run). Doc 4 is
+    // only the duplicated span (emptied, still present). Doc 5 empty text;
+    // doc 6 a single token (no 2-gram, untouched).
+    val docs = Seq(
+      (1L, "x y a b"),
+      (2L, "c x y d"),
+      (3L, "p p p q"),
+      (4L, "x y"),
+      (5L, ""),
+      (6L, "z")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text",
+        spanK = 2, minCount = 2L)
+      .select("id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4L, 2L, "a b")))
+    assert(out(2L) == ((4L, 2L, "c d")))
+    assert(out(3L) == ((4L, 3L, "q")))
+    assert(out(4L) == ((2L, 2L, "")))
+    assert(out(5L) == ((0L, 0L, "")))
+    assert(out(6L) == ((1L, 0L, "z")))
+    assert(out.size == 6)
+  }
+
+  test("removeDuplicateSpans matches a reference implementation on random corpora") {
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docs = (0 until 60).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val k = 3
+    val wordsOf: Map[Long, Array[String]] = docs.map { case (id, t) =>
+      id -> (if (t.trim.isEmpty) Array.empty[String] else t.trim.split("\\s+"))
+    }.toMap
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for ((_, ws) <- wordsOf; i <- 0 to ws.length - k)
+      counts(ws.slice(i, i + k).mkString(" ")) += 1
+    val expected = docs.map { case (id, _) =>
+      val ws = wordsOf(id)
+      val covered = Array.fill(ws.length)(false)
+      for (i <- 0 to ws.length - k
+           if counts(ws.slice(i, i + k).mkString(" ")) >= 2; j <- i until i + k)
+        covered(j) = true
+      val kept = ws.indices.filterNot(covered).map(ws)
+      id -> ((ws.length.toLong, covered.count(identity).toLong, kept.mkString(" ")))
+    }.toMap
+    val out = Dedup.removeDuplicateSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", spanK = k, minCount = 2L)
+      .select("id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == expected)
+    assert(expected.values.exists(_._2 > 0), "fixture should remove something")
+    assert(expected.values.exists(v => v._1 > 0 && v._2 < v._1),
+      "fixture should partially keep at least one doc")
+  }
+
   test("removeDuplicateBlocks is the identity on a duplicate-free corpus") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
