@@ -231,4 +231,85 @@ object TextAnalysis {
         (col("max_pos") + (k - 1) + col("diag")).as("end_b"),
         col("n_fps"))
   }
+
+  /** Overlapping token-window chunking — the embedding-ingest step that
+    * turns documents into retrieval units. Chunk i starts at
+    * `i * (chunkTokens - overlapTokens)`; every doc with text yields
+    * `1 + ceil((n - chunkTokens) / stride)` chunks (one when
+    * n <= chunkTokens), the last clipped at the doc end, so every token is
+    * covered and consecutive chunks share `overlapTokens` tokens. Returns
+    * `(id, chunk_id, start_tok, n_tok, chunk_text)`; empty docs yield no
+    * chunks.
+    *
+    * Pure per-row map work (posexplode of a computed slice list) — zero
+    * shuffles, so it composes with a downstream embed/write stage at any
+    * corpus size.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int = 64, overlapTokens: Int = 16): DataFrame = {
+    val stride = chunkTokens - overlapTokens
+    require(chunkTokens > 0 && overlapTokens >= 0 && stride > 0,
+      s"need chunkTokens > overlapTokens >= 0, got ($chunkTokens, $overlapTokens)")
+    val nChunks = when(size(col("__words")) <= chunkTokens, lit(1))
+      .otherwise(lit(1) + ceil((size(col("__words")) - chunkTokens)
+        .cast("double") / stride).cast("int"))
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__words"))
+      .filter(size(col("__words")) > 0)
+      .select(col("id"), col("__words"),
+        posexplode(transform(sequence(lit(0), nChunks - 1), i =>
+          struct((i * stride).cast("long").as("start_tok"),
+            slice(col("__words"), i * stride + 1, lit(chunkTokens)).as("toks"))))
+          .as(Seq("chunk_id", "c")))
+      .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("c.start_tok"),
+        size(col("c.toks")).cast("long").as("n_tok"),
+        array_join(col("c.toks"), " ").as("chunk_text"))
+  }
+
+  /** Okapi BM25 ranked retrieval over the corpus for a fixed term query —
+    * the lexical counterpart of the ANN top-k family. Per doc:
+    * `score = Σ_t idf_t · tf_t·(k1+1) / (tf_t + k1·(1 − b + b·dl/avgdl))`
+    * with the +0.5-smoothed idf `ln((N − df_t + 0.5)/(df_t + 0.5) + 1)`
+    * (non-negative, Robertson–Walker–Jones form). Returns the top
+    * `topK` docs as `(id, dl, score)` with deterministic
+    * (score desc, id) order; scores are `round(…, 6)` so the
+    * summation-order ulps don't leak into comparisons (same trade as
+    * text_unigram_logprob).
+    *
+    * Shape: per-term tf via higher-order `filter`/`size` on the token
+    * array — NO explode and no shuffle for the tf pass; the corpus stats
+    * (N, avgdl, per-term df) are ONE aggregate row broadcast back; the
+    * final top-k is a global `orderBy.limit` reduce. The only data-sized
+    * exchange is that top-k — the query-side model (term list) is
+    * driver-literal, exactly like the ANN operators' query vectors.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], topK: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("double"))
+    val withTf = queryTerms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      d.withColumn(s"__tf_$i",
+        size(filter(col("__toks"), x => x === lit(t))).cast("double"))
+    }
+    val statAggs = sum(col("dl")).as("sum_dl") +: count(lit(1)).cast("double").as("n_docs") +:
+      queryTerms.indices.map(i =>
+        sum(when(col(s"__tf_$i") > 0, 1.0).otherwise(0.0)).as(s"__df_$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+    val score = queryTerms.indices.map { i =>
+      val tf = col(s"__tf_$i")
+      val idf = log(((col("n_docs") - col(s"__df_$i") + 0.5) /
+        (col(s"__df_$i") + 0.5)) + 1.0)
+      idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    scored.select(col("id"), col("dl").cast("long").as("dl"),
+        round(score, 6).as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
 }

@@ -956,6 +956,65 @@ object TextQueries {
               | coalesce(reb.clean_text, '') AS clean_text
               |FROM w LEFT JOIN reb ON w.doc_id = reb.rid""".stripMargin)),
 
+    // ---- overlapping token-window chunking (the embedding-ingest step):
+    //      64-token chunks, 16-token overlap → stride 48; every token
+    //      covered, last chunk clipped, empty docs yield nothing. Pure
+    //      map work — zero shuffles — and the oracle replays the start/
+    //      slice arithmetic exactly.
+    Q("pipeline_chunk_docs",
+      (s, dir) => TextAnalysis.chunkDocuments(
+          T(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 64, overlapTokens = 16)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("start_tok"),
+          col("n_tok"), col("chunk_text")),
+      Some("""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              |  FROM documents WHERE length(trim(text)) > 0),
+              | n AS (SELECT doc_id, w, CASE WHEN len(w) <= 64 THEN 1
+              |        ELSE 1 + cast(ceil((len(w) - 64) / 48.0) as int) END AS nc FROM d),
+              | c AS (SELECT doc_id, cast(t.i as bigint) AS chunk_id,
+              |        cast(t.i * 48 as bigint) AS start_tok,
+              |        list_slice(w, t.i * 48 + 1, t.i * 48 + 64) AS toks
+              |       FROM n, unnest(range(0, nc)) AS t(i))
+              |SELECT doc_id, chunk_id, start_tok,
+              | cast(len(toks) as bigint) AS n_tok,
+              | array_to_string(toks, ' ') AS chunk_text FROM c""".stripMargin)),
+
+    // ---- Okapi BM25 ranked retrieval for a fixed 3-term query — the
+    //      lexical top-k next to the ANN family. Per-term tf is a
+    //      higher-order filter/size over the token array (no explode, no
+    //      shuffle); corpus stats are ONE broadcast aggregate row; the
+    //      only data-sized exchange is the global top-k reduce. Scores
+    //      round(…,6) against summation-order ulps; ties at the cut break
+    //      by doc_id in both engines, so the selected set is exact.
+    Q("text_bm25_topk",
+      (s, dir) => TextAnalysis.bm25TopK(
+          T(s, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("spark", "join", "window"), topK = 20)
+        .select(col("id").as("doc_id"), col("dl"), col("score")),
+      Some("""WITH d AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |        ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM documents),
+              | f AS (SELECT doc_id, cast(len(w) as double) AS dl,
+              |        cast(len(list_filter(w, x -> x = 'spark')) as double) AS tf0,
+              |        cast(len(list_filter(w, x -> x = 'join')) as double) AS tf1,
+              |        cast(len(list_filter(w, x -> x = 'window')) as double) AS tf2
+              |       FROM d),
+              | s AS (SELECT sum(dl) AS sum_dl, cast(count(*) as double) AS n_docs,
+              |        sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+              |        sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+              |        sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2 FROM f),
+              | sc AS (SELECT doc_id, cast(dl as bigint) AS dl,
+              |        round(
+              |          ln((n_docs - df0 + 0.5)/(df0 + 0.5) + 1.0) * tf0 * 2.2
+              |            / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+              |        + ln((n_docs - df1 + 0.5)/(df1 + 0.5) + 1.0) * tf1 * 2.2
+              |            / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+              |        + ln((n_docs - df2 + 0.5)/(df2 + 0.5) + 1.0) * tf2 * 2.2
+              |            / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs))), 6)
+              |          AS score
+              |       FROM f, s)
+              |SELECT doc_id, dl, score FROM sc WHERE score > 0.0
+              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
     // ---- training-shard export manifest: consecutive 256-row shards in
     //      deterministic (md5-bucket, id) order, numbered by the
     //      DISTRIBUTED two-pass global row_number (bucket counts → driver

@@ -416,4 +416,58 @@ class OpsSpec extends SparkSpec {
     assert(resRecall >= rawRecall,
       s"residual recall $resRecall below raw IVF-PQ recall $rawRecall")
   }
+
+  test("chunkDocuments: full coverage, declared overlap, clipped tail") {
+    import graft.ops.TextAnalysis
+    // 11 tokens, chunk 4, overlap 2 → stride 2, starts 0,2,4,6,8 (ceil
+    // ((11-4)/2)=4 → 5 chunks), last clipped to 3 tokens.
+    val docs = Seq(
+      (1L, (1 to 11).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, overlapTokens = 2)
+      .select("id", "chunk_id", "start_tok", "n_tok", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._3, c._4)).toSeq ==
+      Seq((0L, 4L), (2L, 4L), (4L, 4L), (6L, 4L), (8L, 3L)))
+    assert(d1.head._5 == "t1 t2 t3 t4" && d1.last._5 == "t9 t10 t11")
+    // consecutive chunks share exactly `overlap` tokens
+    d1.sliding(2).foreach { case Array(a, b) =>
+      val at = a._5.split(" ").toSeq; val bt = b._5.split(" ").toSeq
+      assert(at.takeRight(2) == bt.take(2), s"overlap broken: $a $b")
+    }
+    // every token covered exactly once ignoring overlap re-reads
+    assert(d1.flatMap(_._5.split(" ")).toSet == (1 to 11).map(i => s"t$i").toSet)
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 2L, "a b")))
+    assert(!out.exists(_._1 == 3L), "empty doc must yield no chunks")
+  }
+
+  test("bm25TopK matches a hand-computed reference and ranks tf/dl correctly") {
+    import graft.ops.TextAnalysis
+    // 4 docs, query {x}: doc 1 dense short (top), doc 2 same tf longer
+    // (penalized by dl), doc 3 one hit, doc 4 none (excluded).
+    val docs = Seq(
+      (1L, "x x x y"),
+      (2L, "x x x y y y y y"),
+      (3L, "x y y y"),
+      (4L, "y y")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        queryTerms = Seq("x"), topK = 10)
+      .select("id", "dl", "score").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "zero-score docs must be excluded")
+    // reference: N=4, df=3, idf=ln((4-3+0.5)/(3+0.5)+1); avgdl=(4+8+4+2)/4
+    val idf = math.log((4.0 - 3.0 + 0.5) / (3.0 + 0.5) + 1.0)
+    val avgdl = 18.0 / 4.0
+    def ref(tf: Double, dl: Double): Double =
+      BigDecimal(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((4L, ref(3, 4))))
+    assert(out(2L) == ((8L, ref(3, 8))))
+    assert(out(3L) == ((4L, ref(1, 4))))
+    assert(out(1L)._2 > out(2L)._2, "same tf, longer doc must score lower")
+    assert(out(2L)._2 > out(3L)._2, "higher tf must beat lower tf here")
+  }
 }
