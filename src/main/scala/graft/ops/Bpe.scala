@@ -81,7 +81,7 @@ object Bpe {
   private[ops] def mergeOnce(syms: Column, l: String, r: String): Column =
     aggregate(syms, array().cast("array<string>"), (acc, s) =>
       when(try_element_at(acc, lit(-1)) === lit(l) && s === lit(r),
-        concat(slice(acc, 1, size(acc) - 1), array(lit(l + r))))
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(s))))
 
   /** Encode a whitespace-token array with a trained merge list (compiled
