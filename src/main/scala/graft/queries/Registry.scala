@@ -27,15 +27,39 @@ object Registry {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects. Read nanos as long and truncate to microseconds —
-    * matching DuckDB's own ns→µs truncation, so oracles stay aligned.
+  /** The events table's `ts` physical type varies by testdata generation:
+    * TIMESTAMP(NANOS) (which Spark's reader rejects — read nanos as long and
+    * truncate to microseconds, matching DuckDB's own ns→µs truncation) or
+    * TIMESTAMP(MICROS) without UTC adjustment (inferred as timestamp_ntz).
+    * Both normalize to a plain session-tz TimestampType; the session runs in
+    * UTC, so the rendered values match DuckDB either way.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventsTs(raw)
+  }
+
+  /** Normalize the `ts` column of an events frame to TimestampType regardless
+    * of which physical parquet type it was read as (see [[events]]).
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType          => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType  => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                 => df
+    }
+  }
+
+  /** Footer schema of the events table as the streaming source must declare
+    * it (nanos generations surface `ts` as LongType via nanosAsLong; micros
+    * generations as timestamp_ntz). Footer read only — no scan.
+    */
+  def eventsRawSchema(spark: SparkSession, sfDir: String): org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").schema
   }
 
   /** Streaming variant of [[events]]: same nanos→micros handling over a
@@ -44,21 +68,12 @@ object Registry {
     * via symlink into a scratch dir (the usual raw→bronze ingest shape).
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stage = java.nio.file.Files.createTempDirectory("graft_events_stream")
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    val schema = {
-      val s = table(spark, sfDir, "events").schema // footer read, no scan
-      org.apache.spark.sql.types.StructType(s.fields.map {
-        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
-        case f => f
-      })
-    }
-    spark.readStream.schema(schema).parquet(stage.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val schema = eventsRawSchema(spark, sfDir) // footer read, no scan
+    normalizeEventsTs(spark.readStream.schema(schema).parquet(stage.toString))
   }
 
   /** DuckDB-side row-hash canonicalization — MUST stay in lockstep with

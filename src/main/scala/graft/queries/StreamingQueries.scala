@@ -165,21 +165,14 @@ object StreamingQueries {
     // plain events table.
     Q("stream_dedup",
       (s, dir) => withStatePartitions(s, 8) {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val stage = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
         java.nio.file.Files.createSymbolicLink(
           stage.resolve("a.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
         java.nio.file.Files.createSymbolicLink(
           stage.resolve("b.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-        val schema = {
-          val base = Registry.table(s, dir, "events").schema
-          org.apache.spark.sql.types.StructType(base.fields.map {
-            case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
-            case f => f
-          })
-        }
-        val src = s.readStream.schema(schema).parquet(stage.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val schema = Registry.eventsRawSchema(s, dir)
+        val src = Registry.normalizeEventsTs(
+          s.readStream.schema(schema).parquet(stage.toString))
         val qname = "graft_stream_dedup"
         val q = src.withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")
