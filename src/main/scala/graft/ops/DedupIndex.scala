@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable LSH near-dup index — the persisted form of
+  * [[Dedup.incrementalNearDups]]'s band-bucket index, the dedup analog of
+  * the sync engine's durable maintained fingerprints
+  * (`SyncEngine` stateDir snapshots): each ingest probes the on-disk index
+  * and appends its own batch, so a RESTARTED loop never re-shingles the
+  * base corpus — `ingest` takes only the incoming batch, the base lives
+  * entirely under `stateDir`.
+  *
+  * State layout (all parquet, append-only):
+  *  - `stateDir/buckets`  — `(id, band_id, band_hash)`: the LSH index the
+  *    probe joins against; `bands` rows per doc, never text-sized.
+  *  - `stateDir/shingles` — `(id, sh: array<string>)`, hash-partitioned by
+  *    `id_bucket = pmod(xxhash64(id), idBuckets)` so the exact-verify
+  *    lookup of candidate base docs prunes to the touched partitions
+  *    instead of scanning the corpus-sized store.
+  *
+  * Scale shape: per ingest, the only corpus-sized inputs are (a) the bucket
+  * index scan on the probe join — incoming buckets are batch-sized, so AQE
+  * broadcasts them and the scan never shuffles — and (b) the
+  * partition-pruned keyed read of candidate shingle sets, candidate-count-
+  * sized. All shuffles are ∝ batch, the recurring-ingest asymmetry of
+  * [[Dedup.incrementalNearDups]] made durable.
+  *
+  * Crash contract: results are materialized BEFORE state is appended (the
+  * lazy-plan-over-mutating-files hazard), and shingles land before buckets
+  * — a half-appended batch is invisible to probes (bucket rows are the
+  * index of record). A failed `ingest` must be retried with the same batch;
+  * the probe's pair-level `distinct` makes a replayed append harmless for
+  * results (state carries benign duplicate rows).
+  */
+final class DurableMinHashIndex(
+    spark: SparkSession, stateDir: String,
+    shingleK: Int = 5, numHashes: Int = 32, bands: Int = 8,
+    threshold: Double = 0.7, idBuckets: Int = 64) {
+
+  require(bands > 0 && bands <= numHashes && numHashes % bands == 0,
+    s"bands ($bands) must divide numHashes ($numHashes)")
+
+  private val bucketsPath = s"$stateDir/buckets"
+  private val shinglesPath = s"$stateDir/shingles"
+
+  /** State exists only when a non-empty batch has landed: an empty-batch
+    * append can leave a directory with no data files under it (the
+    * partitioned shingle store writes no partition dirs for zero rows),
+    * which a schema-inferring read would reject. Checked per store — the
+    * flat bucket dir and the partitioned shingle dir can disagree after
+    * empty appends.
+    */
+  private def hasDataFiles(dir: java.io.File): Boolean = {
+    val files = dir.listFiles()
+    files != null && files.exists(f =>
+      (f.isFile && f.getName.startsWith("part-") && f.length() > 0) ||
+      (f.isDirectory && hasDataFiles(f)))
+  }
+  private def hasState: Boolean = hasDataFiles(new java.io.File(bucketsPath))
+  private def hasShingleState: Boolean = hasDataFiles(new java.io.File(shinglesPath))
+
+  private def idBucket(c: org.apache.spark.sql.Column) =
+    pmod(xxhash64(c), lit(idBuckets))
+
+  /** Probe the persisted index with `incoming`, return verified near-dup
+    * pairs `(id_a, id_b, jaccard)` with `id_a < id_b` where at least one
+    * side is from this batch (base–base pairs were found when those batches
+    * arrived), then append this batch to the index.
+    */
+  def ingest(incoming: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val shingled = Par.fanOut(
+        incoming.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        array_distinct(TextAnalysis.shingles(col("__text"), shingleK)).as("sh"))
+      .localCheckpoint(true) // batch-sized; shingling runs exactly once
+    try {
+      val sigged = shingled.select(col("id"),
+        Dedup.minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))
+      val rows = numHashes / bands
+      val newBuckets = sigged.select(col("id"),
+          posexplode(array((0 until bands).map(b =>
+            xxhash64(lit(b), concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows),
+              x => x.cast("string"))))): _*)).as(Seq("band_id", "band_hash")))
+        .localCheckpoint(true) // batch-sized ×bands; reused by probe + append
+      // Probe: this batch's buckets against (persisted ∪ this batch) — the
+      // union keeps new–new dups; the batch side is the broadcast side.
+      val index = (if (hasState)
+          spark.read.parquet(bucketsPath).unionByName(newBuckets)
+        else newBuckets).as("b")
+      val cands = newBuckets.as("a").join(index,
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") && col("a.id") =!= col("b.id"))
+        .select(least(col("a.id"), col("b.id")).as("id_a"),
+                greatest(col("a.id"), col("b.id")).as("id_b"))
+        .distinct()
+      // Exact verify: batch shingles from the checkpoint; base shingles via
+      // a keyed, partition-prunable read of the store (candidate-sized).
+      val candIds = cands.select(col("id_a").as("id"))
+        .unionByName(cands.select(col("id_b").as("id"))).distinct()
+      val baseNeeded = candIds.join(shingled.select("id"), Seq("id"), "left_anti")
+        .withColumn("id_bucket", idBucket(col("id")))
+      val allSh = (if (hasShingleState)
+          shingled.unionByName(
+            spark.read.parquet(shinglesPath)
+              .join(baseNeeded, Seq("id_bucket", "id"), "left_semi")
+              .select("id", "sh"))
+        else shingled)
+      val verified = cands
+        .join(allSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(allSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .select(col("id_a"), col("id_b"),
+          when(col("uni") === 0, lit(1.0))
+            .otherwise(col("inter").cast("double") / col("uni").cast("double"))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(true) // materialize BEFORE the appends below
+      // Append this batch to the store: shingles first, buckets last (see
+      // crash contract above).
+      shingled.withColumn("id_bucket", idBucket(col("id")))
+        .write.mode("append").partitionBy("id_bucket").parquet(shinglesPath)
+      newBuckets.write.mode("append").parquet(bucketsPath)
+      Caching.release(newBuckets)
+      verified
+    } finally Caching.release(shingled)
+  }
+}
