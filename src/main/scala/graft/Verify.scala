@@ -30,15 +30,29 @@ object Verify {
     if (only.nonEmpty)
       println(s"[verify] --only filter active: running ${selected.size} of " +
         s"${SparkEntry.queries.size} queries (${only.mkString(", ")})")
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         graft.ops.Caching.release(df)
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name failed: ${failures(name)}")
       }
     }
+    // A query that throws is otherwise just ABSENT from the correctness
+    // artifact — indistinguishable from never having been declared (the
+    // round-8 events-type drift hid 9 erroring queries this way). Summarize
+    // loudly on stdout and leave a machine-readable trail next to the dump.
+    if (failures.nonEmpty) {
+      println(s"[verify] ${failures.size} of ${selected.size} queries FAILED: " +
+        failures.keys.mkString(", "))
+      Files.writeString(Paths.get(s"$outDir/_errors.json"),
+        failures.map { case (k, v) =>
+          s"${graft.util.JsonUtil.quote(k)}: ${graft.util.JsonUtil.quote(v)}"
+        }.mkString("{", ",", "}"))
+    } else println(s"[verify] all ${selected.size} queries dumped OK")
     // JSON string escape (shared with the audit-log sink): a tab or CR in
     // builder-authored SQL would otherwise make the driver's json.load fail
     // and silently zero the round's correctness.

@@ -220,6 +220,41 @@ object StreamingQueries {
               |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
               |GROUP BY a.user_id""".stripMargin)),
 
+    // Streaming recurring-ingest near-dup detection: the documents corpus
+    // arrives as 3 micro-batches (maxFilesPerTrigger=1 over a 3-file
+    // stage), and each batch's foreachBatch constructs a FRESH
+    // DurableMinHashIndex over a shared stateDir and probes/appends — the
+    // streaming form of pipeline_incremental_ingest_durable, where every
+    // micro-batch is effectively a restarted process reading the LSH index
+    // off disk. Batch membership is any disjoint split (a pair surfaces
+    // exactly once, when its later-arriving member lands), so the union of
+    // per-batch probe outputs must recover the full exact pair set —
+    // gated by the same exact-Jaccard oracle as the batch variants.
+    Q("stream_ingest_dedup",
+      (s, dir) => withStatePartitions(s, 8) {
+        val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        val feedDir = java.nio.file.Files.createTempDirectory("graft_ingest_feed").toString
+        docs.repartition(3, pmod(col("doc_id"), lit(3)))
+          .write.mode("overwrite").parquet(feedDir)
+        val state = java.nio.file.Files.createTempDirectory("graft_ingest_state").toString
+        val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_out").toString
+        val src = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val idx = new graft.ops.DurableMinHashIndex(batch.sparkSession, state,
+              shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4)
+            val pairs = idx.ingest(batch, "doc_id", "text").select("id_a", "id_b")
+            pairs.write.mode("append").parquet(outDir)
+            graft.ops.Caching.release(pairs)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val found = s.read.parquet(outDir)
+        TextQueries.incrementalRecallGate(docs, found)
+      },
+      Some(TextQueries.incrementalIngestOracle)),
+
     // Stateful custom-state operator: flatMapGroupsWithState sessionization
     // (30-minute gap). Oracle = the equivalent batch lag/cumsum windows.
     Q("stream_sessionize",

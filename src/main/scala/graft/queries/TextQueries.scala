@@ -1310,7 +1310,35 @@ object TextQueries {
               |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
               |  FROM t)
               |SELECT source, count(*) AS n_docs, cast(sum(n) as bigint) AS total_tokens
-              |FROM o WHERE cum <= 40000 GROUP BY source""".stripMargin))
+              |FROM o WHERE cum <= 40000 GROUP BY source""".stripMargin)),
+
+    // Fixed-length sequence packing over REAL BpeEncode counts (pinned
+    // char-disjoint merges keep the chunk math SQL-replayable): the same
+    // greedy offset packing as pipeline_pack_sequences with the whitespace
+    // count swapped for the compiled encode's output size — seqLen scaled
+    // up because subword counts run ~5x word counts on this corpus.
+    Q("pipeline_pack_sequences_bpe",
+      (s, dir) => {
+        import graft.ops.Bpe
+        val words = TextAnalysis.tokens(col("text"))
+        val d = T(s, dir, "documents").select(col("source"), col("doc_id"),
+          size(Bpe.encode(words, TextQueries.pinnedMerges)).cast("long").as("n_tokens"))
+        graft.ops.Packing.chunkStats(d, "doc_id", "n_tokens",
+          seqLen = 2048, shardCol = Some("source"))
+      },
+      Some(s"""WITH t AS (SELECT source, doc_id,
+              |   length(regexp_replace(text, '\\s', '', 'g'))::bigint${pinnedOccSql("text")} AS n
+              |  FROM documents),
+              | o AS (SELECT source, doc_id, n,
+              |   cast(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+              |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS off
+              |  FROM t),
+              | e AS (SELECT source, n, off,
+              |   unnest(range(off // 2048, (off + n - 1) // 2048 + 1)) AS chunk_id
+              |  FROM o WHERE n > 0)
+              |SELECT source, chunk_id, count(*) AS n_docs,
+              | cast(sum(least(off + n, (chunk_id + 1) * 2048) - greatest(off, chunk_id * 2048)) as bigint) AS n_tokens
+              |FROM e GROUP BY source, chunk_id""".stripMargin))
   )
 
   /** Precision/recall gate shared by the incremental-ingest queries: exact
@@ -1321,7 +1349,7 @@ object TextQueries {
     * pair is exact-verified); recall is floored at 0.8 of the full exact
     * pair set (measured 1.0).
     */
-  private def incrementalRecallGate(docs: org.apache.spark.sql.DataFrame,
+  private[queries] def incrementalRecallGate(docs: org.apache.spark.sql.DataFrame,
       found: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val shingled = graft.ops.Par.fanOut(
         docs.select(col("doc_id").as("id"), col("text").as("__text")))
@@ -1357,7 +1385,7 @@ object TextQueries {
   /** Oracle for the incremental-ingest gates: the full-corpus exact pair
     * count with both booleans pinned TRUE.
     */
-  private val incrementalIngestOracle: String =
+  private[queries] val incrementalIngestOracle: String =
     """WITH d AS (SELECT doc_id, list_distinct(CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
       |   ELSE list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')) END) AS sh
       |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
