@@ -100,9 +100,17 @@ final class DurableMinHashIndex(
         .unionByName(cands.select(col("id_b").as("id"))).distinct()
       val baseNeeded = candIds.join(shingled.select("id"), Seq("id"), "left_anti")
         .withColumn("id_bucket", idBucket(col("id")))
-      val allSh = (if (hasShingleState)
+        .localCheckpoint(true) // candidate-sized; read twice below
+      // Static partition prune: the id_bucket domain is ≤ idBuckets values,
+      // so collecting the touched buckets is a bounded driver fetch that
+      // turns the keyed lookup into a file-index prune of the store — no
+      // reliance on runtime DPP. The semi join then filters to exact ids.
+      val touched = baseNeeded.select("id_bucket").distinct()
+        .limit(idBuckets + 1).collect().map(_.getLong(0))
+      val allSh = (if (hasShingleState && touched.nonEmpty)
           shingled.unionByName(
             spark.read.parquet(shinglesPath)
+              .filter(col("id_bucket").isin(touched.toIndexedSeq: _*))
               .join(baseNeeded, Seq("id_bucket", "id"), "left_semi")
               .select("id", "sh"))
         else shingled)
@@ -123,6 +131,7 @@ final class DurableMinHashIndex(
         .write.mode("append").partitionBy("id_bucket").parquet(shinglesPath)
       newBuckets.write.mode("append").parquet(bucketsPath)
       Caching.release(newBuckets)
+      Caching.release(baseNeeded)
       verified
     } finally Caching.release(shingled)
   }
