@@ -78,11 +78,13 @@ final class DurableMinHashIndex(
       val sigged = shingled.select(col("id"),
         Dedup.minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))
       val rows = numHashes / bands
+      // No checkpoint: every reuse (both probe sides + the append) is
+      // map-only recompute over the checkpointed shingles — cheaper than
+      // another materialization barrier per ingest.
       val newBuckets = sigged.select(col("id"),
           posexplode(array((0 until bands).map(b =>
             xxhash64(lit(b), concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows),
               x => x.cast("string"))))): _*)).as(Seq("band_id", "band_hash")))
-        .localCheckpoint(true) // batch-sized ×bands; reused by probe + append
       // Probe: this batch's buckets against (persisted ∪ this batch) — the
       // union keeps new–new dups; the batch side is the broadcast side.
       val index = (if (hasState)
@@ -126,11 +128,15 @@ final class DurableMinHashIndex(
         .filter(col("jaccard") >= threshold)
         .localCheckpoint(true) // materialize BEFORE the appends below
       // Append this batch to the store: shingles first, buckets last (see
-      // crash contract above).
+      // crash contract above). The repartition aligns rows with their
+      // target partition dir BEFORE the dynamic-partition write — without
+      // it every write task emits a file into every touched bucket
+      // (tasks × buckets tiny files per ingest); with it each bucket gets
+      // exactly one file per ingest, at the cost of one batch-sized shuffle.
       shingled.withColumn("id_bucket", idBucket(col("id")))
+        .repartition(col("id_bucket"))
         .write.mode("append").partitionBy("id_bucket").parquet(shinglesPath)
       newBuckets.write.mode("append").parquet(bucketsPath)
-      Caching.release(newBuckets)
       Caching.release(baseNeeded)
       verified
     } finally Caching.release(shingled)
