@@ -1338,7 +1338,39 @@ object TextQueries {
               |  FROM o WHERE n > 0)
               |SELECT source, chunk_id, count(*) AS n_docs,
               | cast(sum(least(off + n, (chunk_id + 1) * 2048) - greatest(off, chunk_id * 2048)) as bigint) AS n_tokens
-              |FROM e GROUP BY source, chunk_id""".stripMargin))
+              |FROM e GROUP BY source, chunk_id""".stripMargin)),
+
+    // Heavy hitters via a Misra–Gries sketch (mergeable-summaries MG-64):
+    // the corpus-wide shuffle carries ≤64-entry summaries per task instead
+    // of the full token domain (the sketch-then-exact shape of the ANN
+    // family applied to frequency). Candidates are a bounded driver fetch
+    // (≤64 structs); the MG bound (undercount ≤ n/65 < ceil(n/40), which
+    // survives map-side merges) guarantees the candidate set covers every
+    // true heavy hitter, and the exact count of candidates makes the final
+    // answer deterministic and sketch-error-free — fully SQL-replayable.
+    Q("text_heavy_hitters",
+      (s, dir) => {
+        import graft.functions.MisraGries
+        val m = 40
+        val toks = T(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        val row = toks.agg(MisraGries.mg_topk(col("token"), 64).as("cands"),
+          count(lit(1)).as("n")).head()
+        val cands = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+        val n = row.getLong(1)
+        val thresh = (n + m - 1) / m
+        if (cands.isEmpty)
+          toks.groupBy("token").agg(count(lit(1)).as("n")).filter(lit(false))
+        else
+          toks.filter(col("token").isin(cands: _*))
+            .groupBy("token").agg(count(lit(1)).as("n"))
+            .filter(col("n") >= thresh)
+      },
+      Some("""WITH t AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+              |        FROM documents WHERE length(trim(text)) > 0),
+              | tot AS (SELECT count(*) AS n FROM t)
+              |SELECT token, count(*) AS n FROM t GROUP BY token
+              |HAVING count(*) >= (SELECT (n + 39) // 40 FROM tot)""".stripMargin))
   )
 
   /** Precision/recall gate shared by the incremental-ingest queries: exact
