@@ -118,6 +118,12 @@ object StreamingQueries {
 
     // Tumbling-window (1 h) counts per event type, computed by a streaming
     // query over the events parquet. Oracle = the equivalent batch aggregate.
+    // Output mode is `complete` because AvailableNow drains the finite feed
+    // and stops BEFORE the watermark would close the final window — append
+    // mode would never emit it, so the oracle could not be the full batch
+    // aggregate. A production continuous run of this exact plan flips to
+    // append + the existing watermark for bounded state (windows emit once
+    // closed); state here is |windows × types|, never event-sized.
     Q("stream_hourly_counts",
       (s, dir) => withStatePartitions(s, 8) {
         val src = Registry.eventsStream(s, dir)
