@@ -84,4 +84,17 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT q, topk_by_score(sim, id, 5) AS tk FROM scored_tk GROUP BY q")
     assert(viaSql.select(explode($"tk")).count() == 20)
   }
+
+  test("mg_topk callable from SQL; exact under capacity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val items = Seq.fill(30)("x") ++ Seq.fill(12)("y") ++ Seq.fill(4)("z")
+    scala.util.Random.shuffle(items).toDF("item").repartition(5)
+      .createOrReplaceTempView("mg_items")
+    val got = spark.sql("SELECT mg_topk(item, 8) AS s FROM mg_items")
+      .select(explode($"s").as("e"))
+      .select($"e.item", $"e.est").as[(String, Long)].collect().toMap
+    assert(got == Map("x" -> 30L, "y" -> 12L, "z" -> 4L))
+  }
 }
