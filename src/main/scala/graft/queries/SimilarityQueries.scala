@@ -617,6 +617,32 @@ object SimilarityQueries {
       Some("""SELECT count(CASE WHEN vec_id % 20 = 7 THEN 1 END)::bigint AS n_planted,
               | count(CASE WHEN vec_id % 20 = 7 THEN 1 END)::bigint AS clones_dropped,
               | true AS all_dropped, 0::bigint AS kept_dup_pairs, true AS id_space_ok
-              |FROM embeddings""".stripMargin))
+              |FROM embeddings""".stripMargin)),
+
+    // Per-label embedding centroids (mean pooling — the k-means/SemDeDup
+    // primitive surfaced as an oracle query). Cross-row float summation is
+    // order-dependent, so each component is quantized FIRST:
+    // floor(x·1e6) as a long — float→double is exact, the multiply is one
+    // identical IEEE op in both engines, and floor has no rounding-mode
+    // ambiguity (unlike decimal casts: DuckDB rounds the float's SHORTEST
+    // decimal repr while Spark rounds the exact binary value, which
+    // disagrees on ties). The long sum is exact, so partition order is
+    // irrelevant; the final /1e6 and /n are single IEEE divisions of
+    // identical operands. posexplode keys the map-side-combined aggregate
+    // by (label, dim): shuffle rows = |labels| × dims, never corpus-sized.
+    Q("emb_centroids",
+      (s, dir) => T(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x").cast("double") * lit(1000000.0)).cast("long")).as("sq"))
+        .select(col("label"), col("dim"), col("n"),
+          (col("sq").cast("double") / 1000000.0 / col("n")).as("c")),
+      Some("""WITH e AS (SELECT label, cast(t.i - 1 as bigint) AS dim,
+              |        cast(floor(embedding[t.i]::DOUBLE * 1000000) as bigint) AS xq
+              |       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
+              |SELECT label, dim, count(*) AS n,
+              | cast(sum(xq) as double) / 1000000 / count(*) AS c
+              |FROM e GROUP BY label, dim""".stripMargin))
   )
 }
