@@ -38,6 +38,8 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   }
 
   /** "l\u0000r" → rank (lower = earlier-learned = higher priority). */
+  // Separator below is the escaped backslash-u0000 literal, never a raw
+  // NUL byte, so this source file stays plain text for diff/blame.
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((l, r), i) =>
