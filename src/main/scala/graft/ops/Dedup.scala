@@ -369,10 +369,37 @@ object Dedup {
     require(bands > 0 && bands <= numHashes && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) with 1 <= bands <= numHashes")
 
+  /** Drop every `(band_id, band_hash)` bucket whose DISTINCT-doc membership
+    * exceeds `cap` from a band-bucket frame — the bucket-level analog of
+    * [[dropHotShingles]], and the data-driven case of the `requireBanding`
+    * degeneration note above: a bucket holding d near-identical docs feeds
+    * d·|probe∩bucket| rows into the candidate join, so one boilerplate
+    * cluster (the NORMAL case in web-scale training data) degenerates the
+    * probe toward |bucket|². With the cap, surviving buckets bound the join
+    * at cap × |probe postings| candidates.
+    *
+    * Recall loss is confined to pairs whose EVERY matching band lands in a
+    * hot bucket — i.e. members of giant near-identical clusters, which are
+    * boilerplate by construction (same argument as `maxShingleDf`; exact
+    * verification keeps precision untouched). When no bucket exceeds the
+    * cap the result is identical to the uncapped run (DedupCapSpec).
+    * Membership is counted over distinct ids so benign duplicate rows from
+    * a retried durable-store append cannot push a bucket over the cap.
+    */
+  private[graft] def dropHotBuckets(buckets: DataFrame, cap: Option[Long]): DataFrame =
+    cap.fold(buckets) { c =>
+      val hot = buckets.groupBy("band_id", "band_hash")
+        .agg(countDistinct(col("id")).as("df"))
+        .filter(col("df") > c).select("band_id", "band_hash")
+      // ≤ #postings/cap hot buckets by construction — broadcast-safe.
+      buckets.join(broadcast(hot), Seq("band_id", "band_hash"), "left_anti")
+    }
+
   def incrementalNearDups(base: DataFrame, incoming: DataFrame,
                           idCol: String, textCol: String,
                           shingleK: Int = 5, numHashes: Int = 32,
-                          bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+                          bands: Int = 8, threshold: Double = 0.7,
+                          maxBucketSize: Option[Long] = None): DataFrame = {
     requireBanding(numHashes, bands)
     val tagged = base.select(col(idCol).as("id"), col(textCol).as("__text"),
         lit(false).as("__new"))
@@ -393,9 +420,12 @@ object Dedup {
           xxhash64(lit(b), concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows),
             x => x.cast("string"))))): _*)).as(Seq("band_id", "band_hash")))
       // Asymmetric probe: new-side buckets only on the left; the full index
-      // (base + new, so new–new dups are still caught) on the right.
+      // (base + new, so new–new dups are still caught) on the right, with
+      // hot buckets dropped from the INDEX side — zeroing a hot bucket's
+      // contribution regardless of how many probe rows land in it.
+      val index = dropHotBuckets(buckets, maxBucketSize)
       val cands = buckets.filter(col("__new")).as("a")
-        .join(buckets.as("b"),
+        .join(index.as("b"),
           col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") && col("a.id") =!= col("b.id"))
         .select(least(col("a.id"), col("b.id")).as("id_a"),

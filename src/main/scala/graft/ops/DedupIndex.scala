@@ -30,13 +30,21 @@ import org.apache.spark.sql.functions._
   * lazy-plan-over-mutating-files hazard), and shingles land before buckets
   * — a half-appended batch is invisible to probes (bucket rows are the
   * index of record). A failed `ingest` must be retried with the same batch;
-  * the probe's pair-level `distinct` makes a replayed append harmless for
-  * results (state carries benign duplicate rows).
+  * the probe's pair-level `distinct` plus the deduplicated shingle lookup
+  * make a replayed append harmless for results (state carries benign
+  * duplicate rows until [[compact]] rewrites them away).
+  *
+  * `maxBucketSize` caps hot band buckets on the probe ([[Dedup.dropHotBuckets]]):
+  * without it a boilerplate cluster of d near-identical docs drives the
+  * candidate join toward d² pairs — the data-driven twin of the
+  * bands-hygiene degeneration. Recall loss under the cap is confined to
+  * giant near-identical clusters; precision is untouched (exact verify).
   */
 final class DurableMinHashIndex(
     spark: SparkSession, stateDir: String,
     shingleK: Int = 5, numHashes: Int = 32, bands: Int = 8,
-    threshold: Double = 0.7, idBuckets: Int = 64) {
+    threshold: Double = 0.7, idBuckets: Int = 64,
+    maxBucketSize: Option[Long] = None) {
 
   require(bands > 0 && bands <= numHashes && numHashes % bands == 0,
     s"bands ($bands) must divide numHashes ($numHashes)")
@@ -69,11 +77,13 @@ final class DurableMinHashIndex(
     * arrived), then append this batch to the index.
     */
   def ingest(incoming: DataFrame, idCol: String, textCol: String): DataFrame = {
+    recoverInterruptedCompact()
     val shingled = Par.fanOut(
         incoming.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"),
         array_distinct(TextAnalysis.shingles(col("__text"), shingleK)).as("sh"))
       .localCheckpoint(true) // batch-sized; shingling runs exactly once
+    var baseNeededRef: Option[DataFrame] = None
     try {
       val sigged = shingled.select(col("id"),
         Dedup.minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))
@@ -87,9 +97,14 @@ final class DurableMinHashIndex(
               x => x.cast("string"))))): _*)).as(Seq("band_id", "band_hash")))
       // Probe: this batch's buckets against (persisted ∪ this batch) — the
       // union keeps new–new dups; the batch side is the broadcast side.
-      val index = (if (hasState)
-          spark.read.parquet(bucketsPath).unionByName(newBuckets)
-        else newBuckets).as("b")
+      // Hot buckets (boilerplate clusters) are dropped from the INDEX side
+      // (Dedup.dropHotBuckets — bounds candidates at cap × batch postings);
+      // the membership count is one extra map-side-combined agg over the
+      // same bucket scan the probe join reads anyway.
+      val index = Dedup.dropHotBuckets(
+        (if (hasState) spark.read.parquet(bucketsPath).unionByName(newBuckets)
+         else newBuckets),
+        maxBucketSize).as("b")
       val cands = newBuckets.as("a").join(index,
           col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") && col("a.id") =!= col("b.id"))
@@ -103,18 +118,23 @@ final class DurableMinHashIndex(
       val baseNeeded = candIds.join(shingled.select("id"), Seq("id"), "left_anti")
         .withColumn("id_bucket", idBucket(col("id")))
         .localCheckpoint(true) // candidate-sized; read twice below
+      baseNeededRef = Some(baseNeeded)
       // Static partition prune: the id_bucket domain is ≤ idBuckets values,
       // so collecting the touched buckets is a bounded driver fetch that
       // turns the keyed lookup into a file-index prune of the store — no
       // reliance on runtime DPP. The semi join then filters to exact ids.
       val touched = baseNeeded.select("id_bucket").distinct()
         .limit(idBuckets + 1).collect().map(_.getLong(0))
+      // dropDuplicates: a crash-retried append leaves duplicate (id, sh)
+      // rows in the store; without it each affected pair would verify (and
+      // count toward recall) once per duplicate. Candidate-sized, so cheap.
       val allSh = (if (hasShingleState && touched.nonEmpty)
           shingled.unionByName(
             spark.read.parquet(shinglesPath)
               .filter(col("id_bucket").isin(touched.toIndexedSeq: _*))
               .join(baseNeeded, Seq("id_bucket", "id"), "left_semi")
-              .select("id", "sh"))
+              .select("id", "sh")
+              .dropDuplicates("id"))
         else shingled)
       val verified = cands
         .join(allSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -137,8 +157,91 @@ final class DurableMinHashIndex(
         .repartition(col("id_bucket"))
         .write.mode("append").partitionBy("id_bucket").parquet(shinglesPath)
       newBuckets.write.mode("append").parquet(bucketsPath)
-      Caching.release(baseNeeded)
       verified
-    } finally Caching.release(shingled)
+    } finally {
+      // Both checkpoints release even when verify/append throws — a failed
+      // ingest must not leak candidate-sized blocks for the session's life.
+      Caching.release(shingled)
+      baseNeededRef.foreach(Caching.release)
+    }
+  }
+
+  /** Compact the append-only state. The stores grow monotonically by
+    * design (`ingest` only appends): a crash-retried batch leaves benign
+    * duplicate rows that are otherwise immortal, and every ingest adds at
+    * least one file per store — a recurring-ingest loop eventually makes
+    * the store itself the bottleneck. Compaction (a) deduplicates bucket
+    * rows, (b) drops shingle rows orphaned by a crash between the shingle
+    * and bucket appends (their batch was retried, so a duplicate LIVE row
+    * exists) plus retry-duplicated shingle rows, and (c) rewrites each
+    * id-bucket partition to one file. Probe results are unchanged
+    * (DurableDedupIndexSpec proves pre/post equality).
+    *
+    * Each store is rewritten to a sibling temp dir and swapped in via two
+    * renames, so readers never observe a half-written store. The rename
+    * window (old store moved aside, new one not yet in place) is healed by
+    * [[recoverInterruptedCompact]], which both `ingest` and `compact` run
+    * first: a `<store>__old` left next to a missing store is moved back.
+    * Run from ONE process at a time, like `ingest` — the stateDir is
+    * single-writer by contract.
+    */
+  def compact(): Unit = {
+    recoverInterruptedCompact()
+    if (hasState) {
+      val tmp = bucketsPath + "__compacting"
+      spark.read.parquet(bucketsPath)
+        .dropDuplicates("id", "band_id", "band_hash")
+        .write.mode("overwrite").parquet(tmp)
+      swapIn(bucketsPath, tmp)
+      if (hasShingleState) {
+        val tmp2 = shinglesPath + "__compacting"
+        // Live ids = ids the (just-compacted) bucket index knows. The
+        // distinct is a corpus-sized shuffle — compaction is a maintenance
+        // job, priced like one.
+        val live = spark.read.parquet(bucketsPath).select("id").distinct()
+        spark.read.parquet(shinglesPath)
+          .join(live, Seq("id"), "left_semi")
+          .dropDuplicates("id")
+          .repartition(col("id_bucket"))
+          .write.mode("overwrite").partitionBy("id_bucket").parquet(tmp2)
+        swapIn(shinglesPath, tmp2)
+      }
+    }
+  }
+
+  /** Heal the non-atomic two-rename swap: a `<store>__old` next to a
+    * MISSING store means a compact crashed between renames — move it back.
+    * A leftover `__old` next to a live store (crash after rename 2) or a
+    * stray `__compacting` dir is stale output — delete it.
+    */
+  private def recoverInterruptedCompact(): Unit =
+    Seq(bucketsPath, shinglesPath).foreach { p =>
+      val dir = new java.io.File(p)
+      val old = new java.io.File(p + "__old")
+      if (old.exists() && !dir.exists()) {
+        if (!old.renameTo(dir))
+          throw new java.io.IOException(s"failed to restore $p from interrupted compact")
+      } else if (old.exists()) deleteRecursively(old)
+      val tmp = new java.io.File(p + "__compacting")
+      if (tmp.exists()) deleteRecursively(tmp)
+    }
+
+  private def swapIn(path: String, tmp: String): Unit = {
+    val dir = new java.io.File(path)
+    val old = new java.io.File(path + "__old")
+    deleteRecursively(old)
+    if (!dir.renameTo(old))
+      throw new java.io.IOException(s"compact: failed to move $path aside")
+    if (!new java.io.File(tmp).renameTo(dir)) {
+      old.renameTo(dir) // roll back so the store stays readable
+      throw new java.io.IOException(s"compact: failed to swap $tmp into $path")
+    }
+    deleteRecursively(old)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

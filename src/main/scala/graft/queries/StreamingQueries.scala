@@ -249,14 +249,17 @@ object StreamingQueries {
         val q = src.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             val idx = new graft.ops.DurableMinHashIndex(batch.sparkSession, state,
-              shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4)
+              shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4,
+              maxBucketSize = Some(1000L))
             val pairs = idx.ingest(batch, "doc_id", "text").select("id_a", "id_b")
             pairs.write.mode("append").parquet(outDir)
             graft.ops.Caching.release(pairs)
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        val found = s.read.parquet(outDir)
+        // Explicit schema: a corpus with zero near-dup pairs leaves outDir
+        // with no files, and a schema-inferring read would reject it.
+        val found = s.read.schema("id_a BIGINT, id_b BIGINT").parquet(outDir)
         TextQueries.incrementalRecallGate(docs, found)
       },
       Some(TextQueries.incrementalIngestOracle)),

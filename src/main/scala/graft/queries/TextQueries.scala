@@ -684,7 +684,8 @@ object TextQueries {
         val incoming = docs.filter(col("doc_id") % 10 === 7)
         val base = docs.filter(col("doc_id") % 10 =!= 7)
         val found = Dedup.incrementalNearDups(base, incoming, "doc_id", "text",
-            shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4)
+            shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4,
+            maxBucketSize = Some(1000L))
           .select("id_a", "id_b")
         // Exact baseline: inverted-index pairs restricted to those touching
         // the ingest batch (same restriction the oracle applies).
@@ -749,7 +750,8 @@ object TextQueries {
           val base = docs.filter(pmod(col("doc_id"), lit(3)) < i)
           val incoming = docs.filter(pmod(col("doc_id"), lit(3)) === i)
           Dedup.incrementalNearDups(base, incoming, "doc_id", "text",
-              shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4)
+              shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4,
+              maxBucketSize = Some(1000L))
             .select("id_a", "id_b")
         }
         val found = rounds.reduce(_ unionByName _)
@@ -772,7 +774,8 @@ object TextQueries {
         val state = java.nio.file.Files.createTempDirectory("graft_dedup_state").toString
         val rounds = (0 until 3).map { i =>
           val idx = new graft.ops.DurableMinHashIndex(s, state,
-            shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4)
+            shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4,
+            maxBucketSize = Some(1000L))
           idx.ingest(docs.filter(pmod(col("doc_id"), lit(3)) === i), "doc_id", "text")
             .select("id_a", "id_b")
         }

@@ -67,6 +67,58 @@ class DurableDedupIndexSpec extends SparkSpec {
     assert(parts.nonEmpty && parts.length <= 8)
   }
 
+  private def dataFiles(dir: java.io.File): Seq[java.io.File] = {
+    val fs = Option(dir.listFiles()).getOrElse(Array.empty)
+    fs.filter(f => f.isFile && f.getName.startsWith("part-")).toSeq ++
+      fs.filter(_.isDirectory).flatMap(dataFiles)
+  }
+
+  test("compact preserves probe results, drops retry duplicates, and shrinks the store") {
+    val state = tmpDir("dedup_idx_compact")
+    def idx() = new DurableMinHashIndex(spark, state, shingleK = 3,
+      numHashes = 32, bands = 16, threshold = 0.4)
+    idx().ingest(batch(0), "doc_id", "text").count()
+    idx().ingest(batch(1), "doc_id", "text").count()
+    // Simulated crash-retry: batch 1 appends AGAIN — duplicate bucket and
+    // shingle rows now sit in the store.
+    idx().ingest(batch(1), "doc_id", "text").count()
+    val filesBefore = dataFiles(new java.io.File(state)).size
+    idx().compact()
+    val filesAfter = dataFiles(new java.io.File(state)).size
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    // No duplicate rows survive in either store.
+    val b = spark.read.parquet(s"$state/buckets")
+    assert(b.count() == b.distinct().count())
+    val sh = spark.read.parquet(s"$state/shingles")
+    assert(sh.count() == sh.select("id").distinct().count())
+    // A post-compaction probe equals the direct incremental run over the
+    // same (deduplicated) base — results are unchanged by compaction.
+    val found = pairs(idx().ingest(batch(2), "doc_id", "text"))
+    val expected = pairs(Dedup.incrementalNearDups(
+      docs.filter(pmod(col("doc_id"), lit(3)) < 2), batch(2),
+      "doc_id", "text", shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4))
+    assert(found == expected)
+    assert(found.nonEmpty)
+  }
+
+  test("an interrupted compact swap is healed before the next ingest") {
+    val state = tmpDir("dedup_idx_heal")
+    def idx() = new DurableMinHashIndex(spark, state, shingleK = 3,
+      numHashes = 32, bands = 16, threshold = 0.4)
+    idx().ingest(batch(0), "doc_id", "text").count()
+    idx().ingest(batch(1), "doc_id", "text").count()
+    // Simulate a compact that died between its two renames: the store is
+    // moved aside and the replacement never landed.
+    val buckets = new java.io.File(s"$state/buckets")
+    assert(buckets.renameTo(new java.io.File(s"$state/buckets__old")))
+    val found = pairs(idx().ingest(batch(2), "doc_id", "text"))
+    val expected = pairs(Dedup.incrementalNearDups(
+      docs.filter(pmod(col("doc_id"), lit(3)) < 2), batch(2),
+      "doc_id", "text", shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4))
+    assert(found == expected)
+    assert(found.nonEmpty)
+  }
+
   test("an empty first ingest leaves a probeable (empty) result, then state accrues") {
     val state = tmpDir("dedup_idx_empty")
     val idx0 = new DurableMinHashIndex(spark, state, shingleK = 3,
