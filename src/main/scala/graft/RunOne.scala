@@ -21,6 +21,25 @@ object RunOne {
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev profiling: GRAFT_JOBLOG=1 prints per-job wall time + call site.
+    if (sys.env.get("GRAFT_JOBLOG").contains("1")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val site = Option(js.properties).map { p =>
+            Option(p.getProperty("callSite.short"))
+              .orElse(Option(p.getProperty("spark.job.description")))
+              .getOrElse(p.stringPropertyNames().toString.take(200))
+          }.getOrElse("?")
+          starts.put(js.jobId, (System.nanoTime(), site)); ()
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
+            println(f"[job ${je.jobId}%3d] ${(System.nanoTime() - t0) / 1e9}%7.3fs  $site")
+          }
+        }
+      })
+    }
     if (args.contains("time")) {
       // Bench-parity timing: same warmup + fixture prestage, N samples.
       try {

@@ -119,6 +119,43 @@ object Hashing {
     s"${row.getLong(0)}:${java.lang.Long.toHexString(row.getLong(1))}:${row.getDecimal(2).toBigInteger.toString(16)}"
   }
 
+  /** Order-insensitive A1 fingerprint of an ALREADY-COMPUTED fast-hash map
+    * ([[fastHashMap]] output): (count, xor+sum of h1, xor of h2). The gate
+    * over a materialized map costs one narrow aggregate — no table scan of
+    * its own — which is what lets the engine's unpartitioned cascade hand
+    * the same map to the gate and the diff legs.
+    */
+  def fastMapFingerprint(mapDf: DataFrame): String =
+    fingerprintOf(mapDf.agg(
+      count(lit(1)),
+      coalesce(expr("bit_xor(h1)"), lit(0L)),
+      pmod(coalesce(sum(col("h1").cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0))), lit(TwoPow64)),
+      coalesce(expr("bit_xor(h2)"), lit(0L))).head(), 0)
+
+  /** Both sides' [[fastMapFingerprint]] in ONE job (a union of the two
+    * narrow maps under a side tag, grouped once) — the A1 gate costs one
+    * scheduling round trip instead of two. A side with zero rows yields the
+    * empty fingerprint, matching what its own aggregate would render.
+    */
+  def fastMapFingerprints(mh: DataFrame, sh: DataFrame): (String, String) = {
+    def tag(df: DataFrame, t: String) =
+      df.select(lit(t).as("__side"), col("h1"), col("h2"))
+    val rows = tag(mh, "m").unionByName(tag(sh, "s")).groupBy("__side").agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(h1)"), lit(0L)),
+        pmod(coalesce(sum(col("h1").cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))), lit(TwoPow64)),
+        coalesce(expr("bit_xor(h2)"), lit(0L)))
+      .collect().map(r => r.getString(0) -> fingerprintOf(r, 1)).toMap
+    val empty = "0:0:0:0"
+    (rows.getOrElse("m", empty), rows.getOrElse("s", empty))
+  }
+
+  private def fingerprintOf(row: org.apache.spark.sql.Row, off: Int): String =
+    s"${row.getLong(off)}:${java.lang.Long.toHexString(row.getLong(off + 1))}:" +
+      s"${row.getDecimal(off + 2).toBigInteger.toString(16)}:${java.lang.Long.toHexString(row.getLong(off + 3))}"
+
   /** Per-partition-value fingerprints (reference A2,
     * `TableConnection.php:510-547`) — ONE grouped aggregate job for all
     * partition values instead of the reference's query-per-value loop.

@@ -121,6 +121,9 @@ case class MisraGriesAgg(item: Expression, k: Int,
       new GenericInternalRow(Array[Any](UTF8String.fromString(s), c))
     })
 
+  // Length-prefixed raw UTF-8, not writeUTF: modified-UTF-8 caps entries at
+  // 64 KiB and would crash shuffle serialization on a pathological
+  // whitespace-free token instead of sketching it.
   override def serialize(buffer: MGSummary): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
@@ -128,7 +131,8 @@ case class MisraGriesAgg(item: Expression, k: Int,
     val it = buffer.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue.longValue())
+      val b = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(e.getValue.longValue())
     }
     out.flush()
     bos.toByteArray
@@ -139,7 +143,13 @@ case class MisraGriesAgg(item: Expression, k: Int,
     val n = in.readInt()
     val s = new MGSummary(k)
     var i = 0
-    while (i < n) { s.counts.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      s.counts.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     s
   }
 

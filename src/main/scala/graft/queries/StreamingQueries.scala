@@ -260,7 +260,7 @@ object StreamingQueries {
         // Explicit schema: a corpus with zero near-dup pairs leaves outDir
         // with no files, and a schema-inferring read would reject it.
         val found = s.read.schema("id_a BIGINT, id_b BIGINT").parquet(outDir)
-        TextQueries.incrementalRecallGate(docs, found)
+        TextQueries.incrementalRecallGate(s, dir, found)
       },
       Some(TextQueries.incrementalIngestOracle)),
 

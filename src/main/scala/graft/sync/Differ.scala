@@ -24,7 +24,13 @@ final case class Delta(deletes: DataFrame, insertKeys: DataFrame,
                          * underlying diff plan — [[Differ.applyDelta]] spills
                          * it instead of unioning `deletes`/`insertKeys`
                          * (which would run the diff join twice). */
-                       spillLegs: Option[DataFrame] = None) {
+                       spillLegs: Option[DataFrame] = None,
+                       /** Optional narrow (key…, …) frame with the same
+                         * per-row key multiplicity as `source` — dry runs
+                         * count insert rows against it instead of re-scanning
+                         * the wide source (the maps-based diffs pass their
+                         * already-materialized hash map here). */
+                       narrowSource: Option[DataFrame] = None) {
   /** Full rows to insert (J3 keyed fetch), as a lazy plan. */
   lazy val inserts: DataFrame = source.join(insertKeys, keyCols, "left_semi")
   // NB deliberately no `isEmpty` helper: it would execute BOTH diff legs as
@@ -122,6 +128,26 @@ object Differ {
     keyedDiff(mh.withColumnRenamed("row_hash", "m_h"),
       sh.withColumnRenamed("row_hash", "s_h"), Seq("m_h"), Seq("s_h"),
       source, keyCols)
+
+  /** [[hashDiff]] over PRECOMPUTED fast 128-bit pair maps
+    * ([[Hashing.fastHashMap]] output) — lets the engine hand the SAME
+    * materialized maps to the A1 gate aggregate and the diff legs, so the
+    * gate's table scans ARE the diff's.
+    */
+  def fastDiffMaps(mh: DataFrame, sh: DataFrame, source: DataFrame,
+                   keyCols: Seq[String]): Delta =
+    antiDiff(mh, sh, Hashing.FastHashCols, source, keyCols)
+      .copy(narrowSource = Some(mh))
+
+  /** [[keyDiff]] over the same precomputed fast-pair maps. */
+  def fastKeyDiffMaps(mh: DataFrame, sh: DataFrame, source: DataFrame,
+                      keyCols: Seq[String]): Delta = {
+    def r(df: DataFrame, p: String) =
+      df.withColumnRenamed("h1", s"${p}_h1").withColumnRenamed("h2", s"${p}_h2")
+    keyedDiff(r(mh, "m"), r(sh, "s"),
+      Seq("m_h1", "m_h2"), Seq("s_h1", "s_h2"), source, keyCols)
+      .copy(narrowSource = Some(mh))
+  }
 
   private def keyedDiff(mh: DataFrame, sh: DataFrame, mHashCols: Seq[String],
                         sHashCols: Seq[String], source: DataFrame,
@@ -229,7 +255,11 @@ object Differ {
       val spilledDeletes = keys.filter(col("__leg") === "d").select(delta.keyCols.map(col): _*)
       val spilledInsKeys = keys.filter(col("__leg") === "k").select(delta.keyCols.map(col): _*)
       val delTarget = keys.select(delta.keyCols.map(col): _*).distinct()
-      val (nDel, nInsKeys) = (spilledDeletes.count(), spilledInsKeys.count())
+      // Both leg counts in ONE pass over the spilled keys (two .count()s
+      // were two jobs over the same small files).
+      val legCounts = keys.groupBy("__leg").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (nDel, nInsKeys) = (legCounts.getOrElse("d", 0L), legCounts.getOrElse("k", 0L))
 
       // Spill the excess-partition value list too (tiny): the store apply
       // below mutates the very files its lazy plan would re-derive the list
@@ -248,7 +278,11 @@ object Differ {
         .getOrElse(delta.source.join(keyList, delta.keyCols, "left_semi"))
       val nIns =
         if (nInsKeys == 0) 0L
-        else if (dryRun) insertPlan.count()
+        // Dry-run count over the narrow map when the diff materialized one:
+        // same key multiplicity as the source, no wide re-scan.
+        else if (dryRun) delta.narrowSource
+          .map(_.join(keyList, delta.keyCols, "left_semi").count())
+          .getOrElse(insertPlan.count())
         else {
           insertPlan.write.parquet(s"$scratch/inserts")
           spark.read.parquet(s"$scratch/inserts").count()

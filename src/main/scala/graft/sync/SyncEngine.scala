@@ -393,11 +393,36 @@ final class SyncEngine(master: TableStore, slave: TableStore,
       return action
     }
 
-    // A1 short-circuit: one cheap aggregate per side before any row work.
-    if (Hashing.tableFingerprint(m, cols, config.legacyNullSkip) ==
-        Hashing.tableFingerprint(slave.read(table), cols, config.legacyNullSkip))
-      return record(Skip(table, "already in sync"))
-    diffAndApply(table, m)
+    // A1 gate fused with the diff: reduce each side ONCE to the narrow
+    // (key, h1, h2) fast-hash map, gate on the map's order-free aggregate,
+    // and when the gate trips run the diff legs over the SAME materialized
+    // maps — the gate's table scans ARE the diff's, halving the heavy hash
+    // scans per divergent cycle (in-sync cycles pay the same two scans as
+    // the plain gate, now yielding a reusable artifact). Legacy-hash and
+    // no-PK tables keep the two-fingerprint gate: legacy md5 NULL-skip
+    // behavior is the point there, and a no-PK table has no diff to fuse.
+    keyColsOf(table) match {
+      case Some(keys) if keys.nonEmpty && !config.legacyNullSkip =>
+        val mh = Hashing.fastHashMap(m, keys, cols).localCheckpoint(true)
+        try {
+          val sh = Hashing.fastHashMap(slave.read(table), keys, cols).localCheckpoint(true)
+          try {
+            val (mFp, sFp) = Hashing.fastMapFingerprints(mh, sh)
+            if (mFp == sFp)
+              return record(Skip(table, "already in sync"))
+            val delta =
+              if (config.keyAwareDiff) Differ.fastKeyDiffMaps(mh, sh, m, keys)
+              else Differ.fastDiffMaps(mh, sh, m, keys)
+            applyDelta(table, delta)
+          } finally graft.ops.Caching.release(sh)
+        } finally graft.ops.Caching.release(mh)
+      case _ =>
+        // A1 short-circuit: one cheap aggregate per side before any row work.
+        if (Hashing.tableFingerprint(m, cols, config.legacyNullSkip) ==
+            Hashing.tableFingerprint(slave.read(table), cols, config.legacyNullSkip))
+          return record(Skip(table, "already in sync"))
+        diffAndApply(table, m)
+    }
   }
 
   /** Pushed-map tail of the cascade: row-level diff from the server-hashed

@@ -17,6 +17,14 @@ class MisraGriesSpec extends SparkSpec {
       .head().getSeq[org.apache.spark.sql.Row](0)
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  test("serialization roundtrips a token past writeUTF's 64 KiB modified-UTF-8 cap") {
+    // Forces a shuffle-side serialize/deserialize of the buffer with one
+    // entry whose UTF-8 form is ~128 KiB — writeUTF would throw here.
+    val big = "é" * 65536 // 2 bytes each in UTF-8
+    val got = aggTopk(Seq(big, big, "small"), k = 4, parts = 3)
+    assert(got == Map(big -> 2L, "small" -> 1L))
+  }
+
   test("exact when the domain fits in capacity") {
     val items = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(3)("c")
     val got = aggTopk(scala.util.Random.shuffle(items), k = 8, parts = 5)
