@@ -144,6 +144,72 @@ object StreamingQueries {
               | cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
               |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // The PRODUCTION shape of the hourly windows: append mode + watermark,
+    // so state is bounded (closed windows are evicted) and each window is
+    // emitted exactly once — what a continuous deployment of
+    // stream_hourly_counts runs. The finite-feed caveat (AvailableNow stops
+    // before the watermark passes the last window) is solved in-band: the
+    // feed carries terminal watermark-advancing sentinel events, staged as
+    // the LAST files (mtimes pin the file-source order), whose timestamp
+    // clears every real window end + delay. The sentinels are deliberately
+    // NOT filtered before the aggregate — Catalyst pushes any such
+    // deterministic predicate below the EventTimeWatermark node into the
+    // scan, and a filtered sentinel never advances event time (measured:
+    // watermark stuck, last windows unemitted). Instead they flow into the
+    // aggregate, where their own window structurally cannot close (the
+    // watermark trails max event time by the delay, so it never passes the
+    // sentinel's window end) and thus never reaches the append sink; the
+    // batch read of the sink filters defensively anyway. Oracle = the full
+    // batch aggregate, same as the complete-mode variant, which is exactly
+    // the "every window emitted once, none dropped" claim.
+    Q("stream_hourly_counts_append",
+      (s, dir) => withStatePartitions(s, 8) {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val ev = Registry.events(s, dir).select("ts", "event_type", "value")
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        val sentinel = ev.sparkSession.range(1).select(
+          lit(new java.sql.Timestamp(maxTs.getTime + 4L * 3600 * 1000)).as("ts"),
+          lit("__advance__").as("event_type"),
+          lit(0.0).as("value"))
+        val stage = Files.createTempDirectory("graft_hourly_append")
+        def stageFile(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = Files.createTempDirectory("graft_ha_tmp")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+          val dest = stage.resolve(name)
+          Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(mtime)); ()
+        }
+        val now = System.currentTimeMillis()
+        stageFile(ev, "events.parquet", now - 120000)
+        // TWO sentinel batches: the first advances the watermark past every
+        // real window; the second is a data batch processed UNDER that
+        // advanced watermark, which closes and emits the final windows —
+        // AvailableNow does not reliably run a trailing no-data micro-batch
+        // after the last file, so the close must ride a data batch.
+        stageFile(sentinel, "sentinel1.parquet", now - 60000)
+        stageFile(sentinel, "sentinel2.parquet", now)
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+        val agg = src
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+          .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+        val qname = "graft_stream_hourly_append"
+        val q = agg.writeStream.outputMode("append")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qname).filter(col("event_type") =!= "__advance__")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+              | cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
+              |FROM events GROUP BY 1, 2""".stripMargin)),
+
     // Stateful sessionization-lite: per-user event counts and value totals
     // via a streaming aggregation (state store exercised), batch oracle.
     Q("stream_user_totals",

@@ -403,9 +403,13 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     // behavior is the point there, and a no-PK table has no diff to fuse.
     keyColsOf(table) match {
       case Some(keys) if keys.nonEmpty && !config.legacyNullSkip =>
-        val mh = Hashing.fastHashMap(m, keys, cols).localCheckpoint(true)
+        // Lazy persist, not eager checkpoint: the fused gate aggregate below
+        // scans both sides in ONE job and populates both caches as it goes —
+        // an eager checkpoint per side paid two extra scheduling barriers
+        // for the same materialization.
+        val mh = Hashing.fastHashMap(m, keys, cols).persist()
         try {
-          val sh = Hashing.fastHashMap(slave.read(table), keys, cols).localCheckpoint(true)
+          val sh = Hashing.fastHashMap(slave.read(table), keys, cols).persist()
           try {
             val (mFp, sFp) = Hashing.fastMapFingerprints(mh, sh)
             if (mFp == sFp)
