@@ -292,6 +292,79 @@ object StreamingQueries {
               |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
               |GROUP BY a.user_id""".stripMargin)),
 
+    // LEFT OUTER form of the interval join — the production funnel query
+    // ("every click, with its conversions if any"): unmatched clicks must
+    // be EMITTED (with nulls), not dropped, and that emission is
+    // watermark-driven — an unmatched click leaves the state store only
+    // when the watermark passes click_ts + join window. The finite feed is
+    // closed in-band like stream_hourly_counts_append: sentinel rows staged
+    // as two trailing mtime-ordered files. The sentinels must SURVIVE each
+    // side's event_type filter (Catalyst pushes the filter below the
+    // watermark node, so a filtered row never advances event time) — hence
+    // one far-future click and one far-future purchase, on reserved
+    // negative user ids that can never match a real row or each other;
+    // their own outer rows never emit (the watermark cannot pass their own
+    // window). Oracle = the equivalent batch LEFT JOIN: count(*) counts
+    // pairs plus unmatched singles, count(purchase_id) only the matches.
+    Q("stream_stream_left_join",
+      (s, dir) => withStatePartitions(s, 8) {
+        import java.nio.file.{Files, StandardCopyOption}
+        val ev = Registry.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type")
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        val farTs = new java.sql.Timestamp(maxTs.getTime + 8L * 3600 * 1000)
+        val sentinels = s.range(1).select(
+            lit(-1L).as("event_id"), lit(farTs).as("ts"),
+            lit(-1L).as("user_id"), lit("click").as("event_type"))
+          .unionByName(s.range(1).select(
+            lit(-2L).as("event_id"), lit(farTs).as("ts"),
+            lit(-2L).as("user_id"), lit("purchase").as("event_type")))
+        val stage = Files.createTempDirectory("graft_ssl_join")
+        def stageFile(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = Files.createTempDirectory("graft_ssl_tmp")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+          val dest = stage.resolve(name)
+          Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(mtime)); ()
+        }
+        val now = System.currentTimeMillis()
+        stageFile(ev, "events.parquet", now - 120000)
+        stageFile(sentinels, "sentinel1.parquet", now - 60000)
+        stageFile(sentinels, "sentinel2.parquet", now)
+        def side(tpe: String) = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+          .withWatermark("ts", "1 hour")
+          .filter(col("event_type") === tpe)
+        val clicks = side("click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+        val purchases = side("purchase")
+          .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 HOURS"),
+          "left_outer")
+        val qname = "graft_stream_left_join"
+        val q = joined.select("user_id", "click_id", "purchase_id")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qname).filter(col("user_id") >= 0)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_rows"), count(col("purchase_id")).as("n_matched"))
+      },
+      Some("""SELECT a.user_id, count(*) AS n_rows, count(b.event_id) AS n_matched
+              |FROM events a LEFT JOIN events b
+              |  ON a.user_id = b.user_id AND b.event_type = 'purchase'
+              | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+              |WHERE a.event_type = 'click'
+              |GROUP BY a.user_id""".stripMargin)),
+
     // Streaming recurring-ingest near-dup detection: the documents corpus
     // arrives as 3 micro-batches (maxFilesPerTrigger=1 over a 3-file
     // stage), and each batch's foreachBatch constructs a FRESH

@@ -787,6 +787,33 @@ object TextQueries {
       },
       Some(incrementalIngestOracle)),
 
+    // Same durable-ingest fixture with [[graft.ops.DurableMinHashIndex.compact]]
+    // run after EVERY round: each subsequent restarted probe reads the
+    // rewritten (deduplicated, orphan-dropped, one-file-per-bucket) stores,
+    // so the full oracle gate — identical to the uncompacted variant —
+    // proves compaction changes no probe result while keeping the
+    // append-only state maintainable for a recurring-ingest loop.
+    Q("pipeline_ingest_compact",
+      (s, dir) => {
+        val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        val state = java.nio.file.Files.createTempDirectory("graft_dedup_cmp").toString
+        val rounds = (0 until 3).map { i =>
+          val idx = new graft.ops.DurableMinHashIndex(s, state,
+            shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4,
+            maxBucketSize = Some(1000L))
+          val out = idx.ingest(
+            docs.filter(pmod(col("doc_id"), lit(3)) === i), "doc_id", "text")
+            .select("id_a", "id_b")
+          idx.compact() // results above are checkpointed; stores swap safely
+          out
+        }
+        val found = rounds.reduce(_ unionByName _)
+        val gate = incrementalRecallGate(s, dir, found)
+        rounds.foreach(graft.ops.Caching.release)
+        gate
+      },
+      Some(incrementalIngestOracle)),
+
     // ---- substring-level duplication signal (Lee et al.'s dedup metric,
     //      aggregated per doc): fraction of each doc's distinct 3-grams
     //      occurring in ≥2 docs corpus-wide. Two shuffles, no self-join —
