@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDot, MinHashSig, MisraGriesAgg, ShingleHash64, TopKByScore}
+import graft.functions.{ArrayDot, GramMatrixAgg, MinHashSig, MisraGriesAgg, ShingleHash64, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -60,6 +60,17 @@ object GraftExtensions {
             s"topk_by_score k must be an integer literal, got $other")
         }
         TopKByScore(args.head, args(1), k)
+      }),
+    (FunctionIdentifier("gram_matrix"),
+      new ExpressionInfo(classOf[GramMatrixAgg].getName, "gram_matrix"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "gram_matrix(vec, d) takes exactly 2 arguments")
+        val d = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"gram_matrix d must be an integer literal, got $other")
+        }
+        GramMatrixAgg(args.head, d)
       }),
     (FunctionIdentifier("mg_topk"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "mg_topk"),

@@ -643,6 +643,90 @@ object SimilarityQueries {
               |       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
               |SELECT label, dim, count(*) AS n,
               | cast(sum(xq) as double) / 1000000 / count(*) AS c
-              |FROM e GROUP BY label, dim""".stripMargin))
+              |FROM e GROUP BY label, dim""".stripMargin)),
+
+    // ---- one-pass exact second-moment matrix (the covariance/PCA input):
+    //      graft's gram_matrix TypedImperativeAggregate carries
+    //      1 + d + d(d+1)/2 quantized-long sums through the shuffle
+    //      (d=64 → ~17 KB state, map-side combined) instead of the n·d²
+    //      rows a posexplode-pairs plan would move — the shape that makes
+    //      covariance over 100 TB of embeddings one narrow pass. Quantized
+    //      floor(x·1e6) sums (the emb_centroids idiom) are order-free
+    //      EXACT, so DuckDB replays them bit-for-bit from an unnest join.
+    Q("emb_gram",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val d = emb.select(size(col("embedding"))).head().getInt(0)
+        emb.agg(graft.functions.GramMatrix.gram_matrix(col("embedding"), d).as("g"))
+          .select(explode(col("g")).as("r"))
+          .select(col("r.i").as("i"), col("r.j").as("j"), col("r.v").as("v"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding[t.i]::DOUBLE AS x, t.i - 1 AS i
+              |       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+              |pairs AS (SELECT cast(a.i as int) AS i, cast(b.i as int) AS j,
+              |        cast(sum(cast(floor(a.x * b.x * 1000000) as bigint)) as bigint) AS v
+              |       FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+              |       GROUP BY 1, 2),
+              |sums AS (SELECT cast(i as int) AS i, cast(-1 as int) AS j,
+              |        cast(sum(cast(floor(x * 1000000) as bigint)) as bigint) AS v
+              |       FROM e GROUP BY 1),
+              |cnt AS (SELECT cast(-1 as int) AS i, cast(-1 as int) AS j,
+              |        count(*)::bigint AS v FROM embeddings)
+              |SELECT i, j, v FROM pairs
+              |UNION ALL SELECT i, j, v FROM sums
+              |UNION ALL SELECT i, j, v FROM cnt""".stripMargin)),
+
+    // ---- PCA over the gram stats, gated like the ANN queries: ONE
+    //      distributed pass builds the d×d covariance input (emb_gram's
+    //      aggregate; the d²-sized collect is bounded by construction),
+    //      the top-4 eigenpairs come from deterministic power iteration
+    //      with deflation on the driver, and the claims that make the
+    //      decomposition RIGHT are verified and pinned:
+    //        ordered_ok    — eigenvalues descending (deflation sound);
+    //        dominance_ok  — λ₁ ≥ max diagonal variance (λmax of a
+    //                        symmetric PSD matrix dominates every diagonal
+    //                        entry — a theorem, so any violation is a bug);
+    //        trace_ok      — Σλ ≤ trace (PSD: remaining spectrum
+    //                        nonnegative);
+    //        proj_var_ok   — the DISTRIBUTED projection of the corpus onto
+    //                        v₁ (array_dot) has variance within 1% of λ₁,
+    //                        closing the loop between the driver's
+    //                        eigenpair and the data it claims to explain.
+    Q("emb_pca",
+      (s, dir) => {
+        import s.implicits._
+        val emb = T(s, dir, "embeddings")
+        val d = emb.select(size(col("embedding"))).head().getInt(0)
+        val gram = emb
+          .agg(graft.functions.GramMatrix.gram_matrix(col("embedding"), d).as("g"))
+          .select(explode(col("g")).as("r"))
+          .select(col("r.i"), col("r.j"), col("r.v"))
+          .collect().toSeq // bounded: 1 + d + d(d+1)/2 rows (d ≤ 4096)
+        val (n, sx, sxy) = graft.functions.GramMatrix.decode(gram, d)
+        val cov = graft.functions.GramMatrix.covariance(n, sx, sxy)
+        val eig = graft.functions.GramMatrix.topEigen(cov, 4)
+        val lambdas = eig.map(_._1)
+        val v1 = eig.head._2
+        val orderedOk = lambdas.sliding(2).forall(p => p.head >= p(1) - 1e-9)
+        val maxDiag = (0 until d).map(i => cov(i)(i)).max
+        val dominanceOk = lambdas.head >= maxDiag - 1e-9
+        val trace = (0 until d).map(i => cov(i)(i)).sum
+        val traceOk = lambdas.sum <= trace + 1e-6
+        // Distributed check: variance of the corpus projected onto v1.
+        val v1c = array(v1.map(lit).toIndexedSeq: _*)
+        val stats = emb.select(
+            graft.functions.VectorExpressions.array_dot(col("embedding"), v1c).as("p"))
+          .agg(count(lit(1)).cast("double").as("n"), sum(col("p")).as("s"),
+            sum(col("p") * col("p")).as("ss")).head()
+        val (pn, ps, pss) = (stats.getDouble(0), stats.getDouble(1), stats.getDouble(2))
+        val projVar = pss / pn - (ps / pn) * (ps / pn)
+        val projVarOk = math.abs(projVar - lambdas.head) <= 0.01 * math.max(lambdas.head, 1e-12)
+        Seq((n, d, orderedOk, dominanceOk, traceOk, projVarOk))
+          .toDF("n", "d", "ordered_ok", "dominance_ok", "trace_ok", "proj_var_ok")
+      },
+      Some("""SELECT count(*)::bigint AS n, cast(max(len(embedding)) as int) AS d,
+              | true AS ordered_ok, true AS dominance_ok,
+              | true AS trace_ok, true AS proj_var_ok
+              |FROM embeddings""".stripMargin))
   )
 }
