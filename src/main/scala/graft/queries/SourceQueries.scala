@@ -91,6 +91,39 @@ object SourceQueries {
       Some("""SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
               | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
               | cast(sum(l_orderkey) as bigint) AS sum_key
-              |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- binaryFile source: the raw-media ingest shape (one opaque file →
+    //      one row of path metadata + `content` bytes — how image/audio
+    //      corpora actually arrive before they become parquet binary
+    //      columns, §Multimodal). Fixture: each document's text staged as a
+    //      UTF-8 .bin file, written executor-side (foreachPartition — the
+    //      write distributes like a real media drop). The read is Spark's
+    //      built-in `binaryFile` format; length + md5(content) pin byte
+    //      fidelity end-to-end, and the id round-trips through the
+    //      filename. Capped at 256 files: file-per-row is the INPUT shape,
+    //      not something to scale a fixture over (at 100 TB the first job
+    //      compacts such drops into parquet binary columns —
+    //      media_ingest_meta picks up from there).
+    Q("src_binaryfile_ingest",
+      (s, dir) => {
+        val stage = java.nio.file.Files.createTempDirectory("graft_binfiles").toString
+        T(s, dir, "documents").select(col("doc_id"), col("text"))
+          .filter(col("doc_id") < 256)
+          .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+            rows.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(stage, s"doc_${r.getLong(0)}.bin"),
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)); ()
+            }
+          }
+        s.read.format("binaryFile").load(s"$stage/*.bin")
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+            col("length"), md5(col("content")).as("content_md5"))
+      },
+      Some("""SELECT doc_id, cast(strlen(text) as bigint) AS length,
+              | md5(text) AS content_md5
+              |FROM documents WHERE doc_id < 256""".stripMargin))
   )
 }

@@ -787,22 +787,25 @@ object TextQueries {
       },
       Some(incrementalIngestOracle)),
 
-    // Same durable-ingest fixture with [[graft.ops.DurableMinHashIndex.compact]]
+    // Same durable-ingest machinery with [[graft.ops.DurableMinHashIndex.compact]]
     // run after EVERY round: each subsequent restarted probe reads the
     // rewritten (deduplicated, orphan-dropped, one-file-per-bucket) stores,
     // so the full oracle gate — identical to the uncompacted variant —
     // proves compaction changes no probe result while keeping the
-    // append-only state maintainable for a recurring-ingest loop.
+    // append-only state maintainable for a recurring-ingest loop. Two
+    // batches, not three: one compact-then-restarted-probe round trip is
+    // the property under test, and pair completeness holds for any
+    // disjoint split — no need to re-pay the 3-round fixture here.
     Q("pipeline_ingest_compact",
       (s, dir) => {
         val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
         val state = java.nio.file.Files.createTempDirectory("graft_dedup_cmp").toString
-        val rounds = (0 until 3).map { i =>
+        val rounds = (0 until 2).map { i =>
           val idx = new graft.ops.DurableMinHashIndex(s, state,
             shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4,
             maxBucketSize = Some(1000L))
           val out = idx.ingest(
-            docs.filter(pmod(col("doc_id"), lit(3)) === i), "doc_id", "text")
+            docs.filter(pmod(col("doc_id"), lit(2)) === i), "doc_id", "text")
             .select("id_a", "id_b")
           idx.compact() // results above are checkpointed; stores swap safely
           out
