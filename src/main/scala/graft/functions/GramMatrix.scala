@@ -27,8 +27,9 @@ import org.apache.spark.sql.types._
   * tight primitive loop. This is the aggregate that makes covariance/PCA
   * over 100 TB of embeddings a single narrow pass.
   *
-  * Rows whose vector is null or not exactly `d` long are skipped
-  * (counted in neither `n` nor the sums).
+  * Rows whose vector is null, not exactly `d` long, or contains a null
+  * element are skipped (counted in neither `n` nor the sums) — a partial
+  * vector has no well-defined contribution to a cross-moment.
   */
 case class GramMatrixAgg(vec: Expression, d: Int,
                          mutableAggBufferOffset: Int = 0,
@@ -68,7 +69,15 @@ case class GramMatrixAgg(vec: Expression, d: Int,
     val v = vec.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      if (arr.numElements() == d) {
+      var wellFormed = arr.numElements() == d
+      if (wellFormed) {
+        var i = 0
+        while (wellFormed && i < d) {
+          if (arr.isNullAt(i)) wellFormed = false
+          i += 1
+        }
+      }
+      if (wellFormed) {
         val xs = new Array[Double](d)
         var i = 0
         while (i < d) {
@@ -184,11 +193,13 @@ object GramMatrix {
   }
 
   /** Top-k eigenpairs of a symmetric PSD matrix by power iteration with
-    * deflation — deterministic (fixed start vector, fixed iteration count),
-    * dependency-free, O(k · iters · d²) on the driver over a d×d input
-    * that is bounded (d ≤ 4096) by construction.
+    * deflation — deterministic (fixed start vector, convergence-checked with
+    * a fixed iteration cap), dependency-free, O(k · iters · d²) on the
+    * driver over a d×d input that is bounded (d ≤ 4096) by construction.
+    * Near-degenerate spectra (λ₂ ≈ λ₁) converge slowly; the cap plus the
+    * residual-scaled gate tolerances in callers absorb that.
     */
-  def topEigen(m: Array[Array[Double]], k: Int, iters: Int = 300): Seq[(Double, Array[Double])] = {
+  def topEigen(m: Array[Array[Double]], k: Int, iters: Int = 5000): Seq[(Double, Array[Double])] = {
     val d = m.length
     val a = m.map(_.clone())
     (0 until math.min(k, d)).map { p =>
@@ -201,7 +212,8 @@ object GramMatrix {
       }
       v = normalize(v)
       var it = 0
-      while (it < iters) {
+      var delta = Double.MaxValue
+      while (it < iters && delta > 1e-14) {
         val nv = new Array[Double](d)
         var i = 0
         while (i < d) {
@@ -209,7 +221,14 @@ object GramMatrix {
           while (j < d) { s += a(i)(j) * v(j); j += 1 }
           nv(i) = s; i += 1
         }
-        v = normalize(nv)
+        val nvn = normalize(nv)
+        // sin²-style change measure, sign-insensitive (eigenvectors are
+        // defined up to sign, and iteration can alternate it).
+        var dot = 0.0
+        var i2 = 0
+        while (i2 < d) { dot += nvn(i2) * v(i2); i2 += 1 }
+        delta = 1.0 - math.abs(dot)
+        v = nvn
         it += 1
       }
       // Rayleigh quotient = eigenvalue estimate.

@@ -119,24 +119,14 @@ object Hashing {
     s"${row.getLong(0)}:${java.lang.Long.toHexString(row.getLong(1))}:${row.getDecimal(2).toBigInteger.toString(16)}"
   }
 
-  /** Order-insensitive A1 fingerprint of an ALREADY-COMPUTED fast-hash map
-    * ([[fastHashMap]] output): (count, xor+sum of h1, xor of h2). The gate
-    * over a materialized map costs one narrow aggregate — no table scan of
-    * its own — which is what lets the engine's unpartitioned cascade hand
-    * the same map to the gate and the diff legs.
-    */
-  def fastMapFingerprint(mapDf: DataFrame): String =
-    fingerprintOf(mapDf.agg(
-      count(lit(1)),
-      coalesce(expr("bit_xor(h1)"), lit(0L)),
-      pmod(coalesce(sum(col("h1").cast(DecimalType(38, 0))),
-        lit(0).cast(DecimalType(38, 0))), lit(TwoPow64)),
-      coalesce(expr("bit_xor(h2)"), lit(0L))).head(), 0)
-
-  /** Both sides' [[fastMapFingerprint]] in ONE job (a union of the two
-    * narrow maps under a side tag, grouped once) — the A1 gate costs one
-    * scheduling round trip instead of two. A side with zero rows yields the
-    * empty fingerprint, matching what its own aggregate would render.
+  /** Order-insensitive A1 fingerprints of two ALREADY-COMPUTED fast-hash
+    * maps ([[fastHashMap]] output) — (count, xor+sum of h1, xor of h2) per
+    * side — in ONE job (a union of the two narrow maps under a side tag,
+    * grouped once): the gate over materialized maps costs one narrow
+    * aggregate and one scheduling round trip, no table scan of its own,
+    * which is what lets the engine's unpartitioned cascade hand the same
+    * maps to the gate and the diff legs. A side with zero rows yields the
+    * empty fingerprint.
     */
   def fastMapFingerprints(mh: DataFrame, sh: DataFrame): (String, String) = {
     def tag(df: DataFrame, t: String) =

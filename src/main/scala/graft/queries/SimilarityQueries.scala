@@ -707,16 +707,24 @@ object SimilarityQueries {
         val eig = graft.functions.GramMatrix.topEigen(cov, 4)
         val lambdas = eig.map(_._1)
         val v1 = eig.head._2
-        val orderedOk = lambdas.sliding(2).forall(p => p.head >= p(1) - 1e-9)
+        // Relative slack: power iteration is convergence-checked but a
+        // near-degenerate spectrum (lambda2 ~ lambda1) can leave a residual
+        // larger than any absolute epsilon at this scale.
+        val tol = 1e-6 * math.max(lambdas.head.abs, 1e-12)
+        val orderedOk = lambdas.sliding(2).forall(p => p.head >= p(1) - tol)
         val maxDiag = (0 until d).map(i => cov(i)(i)).max
-        val dominanceOk = lambdas.head >= maxDiag - 1e-9
+        val dominanceOk = lambdas.head >= maxDiag - tol
         val trace = (0 until d).map(i => cov(i)(i)).sum
         val traceOk = lambdas.sum <= trace + 1e-6
-        // Distributed check: variance of the corpus projected onto v1.
+        // Distributed check: variance of the corpus projected onto v1, over
+        // the SAME population gram_matrix aggregated (well-formed d-length
+        // vectors; count(p) skips null projections so a null row can't
+        // inflate the denominator against sums that excluded it).
         val v1c = array(v1.map(lit).toIndexedSeq: _*)
-        val stats = emb.select(
+        val stats = emb.filter(size(col("embedding")) === d)
+          .select(
             graft.functions.VectorExpressions.array_dot(col("embedding"), v1c).as("p"))
-          .agg(count(lit(1)).cast("double").as("n"), sum(col("p")).as("s"),
+          .agg(count(col("p")).cast("double").as("n"), sum(col("p")).as("s"),
             sum(col("p") * col("p")).as("ss")).head()
         val (pn, ps, pss) = (stats.getDouble(0), stats.getDouble(1), stats.getDouble(2))
         val projVar = pss / pn - (ps / pn) * (ps / pn)

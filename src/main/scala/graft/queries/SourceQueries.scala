@@ -97,25 +97,25 @@ object SourceQueries {
     //      one row of path metadata + `content` bytes — how image/audio
     //      corpora actually arrive before they become parquet binary
     //      columns, §Multimodal). Fixture: each document's text staged as a
-    //      UTF-8 .bin file, written executor-side (foreachPartition — the
-    //      write distributes like a real media drop). The read is Spark's
-    //      built-in `binaryFile` format; length + md5(content) pin byte
-    //      fidelity end-to-end, and the id round-trips through the
-    //      filename. Capped at 256 files: file-per-row is the INPUT shape,
-    //      not something to scale a fixture over (at 100 TB the first job
-    //      compacts such drops into parquet binary columns —
-    //      media_ingest_meta picks up from there).
+    //      UTF-8 .bin file, written DRIVER-side (a bounded 256-row collect:
+    //      fixture staging into a driver-local temp dir must not pretend to
+    //      distribute — executor-side writes would land on other machines
+    //      on a real cluster). The OPERATOR under test is the distributed
+    //      read: Spark's built-in `binaryFile` format; length +
+    //      md5(content) pin byte fidelity end-to-end, and the id
+    //      round-trips through the filename. Capped at 256 files:
+    //      file-per-row is the INPUT shape, not something to scale a
+    //      fixture over (at 100 TB the first job compacts such drops into
+    //      parquet binary columns — media_ingest_meta picks up from there).
     Q("src_binaryfile_ingest",
       (s, dir) => {
         val stage = java.nio.file.Files.createTempDirectory("graft_binfiles").toString
         T(s, dir, "documents").select(col("doc_id"), col("text"))
           .filter(col("doc_id") < 256)
-          .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-            rows.foreach { r =>
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(stage, s"doc_${r.getLong(0)}.bin"),
-                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)); ()
-            }
+          .collect().foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(stage, s"doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)); ()
           }
         s.read.format("binaryFile").load(s"$stage/*.bin")
           .select(

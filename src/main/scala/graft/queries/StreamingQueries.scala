@@ -32,6 +32,25 @@ object StreamingQueries {
     try f finally s.conf.set(key, prev)
   }
 
+  /** Stage `df` as ONE parquet part file named `name` under `stage` with a
+    * pinned mtime. The file stream source processes files oldest-mtime
+    * first, so the mtimes define micro-batch ORDER — the mechanism both
+    * sentinel-closed queries (hourly append windows, left-outer interval
+    * join) use to guarantee the watermark-advancing files arrive last.
+    */
+  private def stageParquetFile(stage: java.nio.file.Path,
+      df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft_stage_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = stage.resolve(name)
+    Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtime)); ()
+  }
+
   def all: Seq[Q] = Seq(
 
     // The reference's whole raison d'être on Structured Streaming: a CDC-style
@@ -164,33 +183,22 @@ object StreamingQueries {
     // the "every window emitted once, none dropped" claim.
     Q("stream_hourly_counts_append",
       (s, dir) => withStatePartitions(s, 8) {
-        import java.nio.file.{Files, Paths, StandardCopyOption}
         val ev = Registry.events(s, dir).select("ts", "event_type", "value")
         val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
         val sentinel = ev.sparkSession.range(1).select(
           lit(new java.sql.Timestamp(maxTs.getTime + 4L * 3600 * 1000)).as("ts"),
           lit("__advance__").as("event_type"),
           lit(0.0).as("value"))
-        val stage = Files.createTempDirectory("graft_hourly_append")
-        def stageFile(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-          val tmp = Files.createTempDirectory("graft_ha_tmp")
-          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-          val dest = stage.resolve(name)
-          Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
-          Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(mtime)); ()
-        }
+        val stage = java.nio.file.Files.createTempDirectory("graft_hourly_append")
         val now = System.currentTimeMillis()
-        stageFile(ev, "events.parquet", now - 120000)
+        stageParquetFile(stage, ev, "events.parquet", now - 120000)
         // TWO sentinel batches: the first advances the watermark past every
         // real window; the second is a data batch processed UNDER that
         // advanced watermark, which closes and emits the final windows —
         // AvailableNow does not reliably run a trailing no-data micro-batch
         // after the last file, so the close must ride a data batch.
-        stageFile(sentinel, "sentinel1.parquet", now - 60000)
-        stageFile(sentinel, "sentinel2.parquet", now)
+        stageParquetFile(stage, sentinel, "sentinel1.parquet", now - 60000)
+        stageParquetFile(stage, sentinel, "sentinel2.parquet", now)
         val src = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(stage.toString)
         val agg = src
@@ -308,7 +316,6 @@ object StreamingQueries {
     // pairs plus unmatched singles, count(purchase_id) only the matches.
     Q("stream_stream_left_join",
       (s, dir) => withStatePartitions(s, 8) {
-        import java.nio.file.{Files, StandardCopyOption}
         val ev = Registry.events(s, dir)
           .select("event_id", "ts", "user_id", "event_type")
         val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
@@ -319,21 +326,11 @@ object StreamingQueries {
           .unionByName(s.range(1).select(
             lit(-2L).as("event_id"), lit(farTs).as("ts"),
             lit(-2L).as("user_id"), lit("purchase").as("event_type")))
-        val stage = Files.createTempDirectory("graft_ssl_join")
-        def stageFile(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-          val tmp = Files.createTempDirectory("graft_ssl_tmp")
-          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-          val dest = stage.resolve(name)
-          Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
-          Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(mtime)); ()
-        }
+        val stage = java.nio.file.Files.createTempDirectory("graft_ssl_join")
         val now = System.currentTimeMillis()
-        stageFile(ev, "events.parquet", now - 120000)
-        stageFile(sentinels, "sentinel1.parquet", now - 60000)
-        stageFile(sentinels, "sentinel2.parquet", now)
+        stageParquetFile(stage, ev, "events.parquet", now - 120000)
+        stageParquetFile(stage, sentinels, "sentinel1.parquet", now - 60000)
+        stageParquetFile(stage, sentinels, "sentinel2.parquet", now)
         def side(tpe: String) = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(stage.toString)
           .withWatermark("ts", "1 hour")

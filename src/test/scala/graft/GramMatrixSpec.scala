@@ -43,8 +43,13 @@ class GramMatrixSpec extends SparkSpec {
     assert(gramRows(7) == expected)
   }
 
-  test("null and wrong-length vectors are skipped entirely") {
-    val mixed = vecs.map(Option(_)) ++ Seq(None, Some(Seq(1f, 2f)), Some(Seq.fill(d + 1)(0.5f)))
+  test("null, wrong-length, and null-element vectors are skipped entirely") {
+    val withNullElem: Seq[Option[Float]] =
+      Seq(Some(0.5f), None) ++ Seq.fill(d - 2)(Some(0.25f))
+    val mixed: Seq[Option[Seq[Option[Float]]]] =
+      vecs.map(v => Option(v.map(Option(_)))) ++
+        Seq(None, Some(Seq(Some(1f), Some(2f))),
+          Some(Seq.fill(d + 1)(Some(0.5f))), Some(withNullElem))
     val got = mixed.toDF("v").repartition(3)
       .agg(GramMatrix.gram_matrix(col("v"), d).as("g"))
       .select(explode(col("g")).as("r"))
