@@ -53,6 +53,27 @@ class DifferSpec extends SparkSpec {
     assert(d2.deletes.isEmpty && d2.insertKeys.isEmpty)
   }
 
+  test("dry-run insert count over narrowSource equals the wide-source count (duplicate keys)") {
+    // fastDiffMaps hands its narrow map to Delta.narrowSource so dry runs
+    // never re-scan the wide source; the counts must agree even when a key
+    // maps to MULTIPLE source rows (the semi-join fetch is per-row).
+    val m = Seq((1L, "a", 10.0), (1L, "a2", 11.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val s = Seq((2L, "b", 20.0)).toDF("k", "s", "v")
+    val mh = graft.functions.Hashing.fastHashMap(m, Seq("k"), m.columns.toSeq)
+    val sh = graft.functions.Hashing.fastHashMap(s, Seq("k"), s.columns.toSeq)
+    val delta = Differ.fastDiffMaps(mh, sh, m, Seq("k"))
+    assert(delta.narrowSource.isDefined)
+    val store = new graft.sync.ParquetStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_narrow_dry").toString)
+    store.overwrite("t", s)
+    val (nDel, nIns) = Differ.applyDelta(store, "t", delta, dryRun = true)
+    // Both k=1 rows + the k=3 row must be counted (3 wide rows, 2 keys).
+    assert(nDel == 0L && nIns == 3L)
+    // And the slave was untouched (dry run).
+    assert(store.read("t").count() == 1L)
+  }
+
   test("composite keys: comma-containing string keys round-trip (reference F7 bug fixed)") {
     // Reference serializes composite PKs comma-joined (TableConnection.php:66)
     // and splits on ',' (Synchronizer.php:493) — breaks for values with ','.
