@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Environment calibration: a fixed synthetic job (hash-agg + shuffle,
+    * data-independent) whose time scales with the host's Spark-task
+    * overhead — per-query numbers are comparable ACROSS rounds only after
+    * normalizing by this (VM generations differ wildly in syscall cost:
+    * measured 3-10× on shuffle-heavy work between two otherwise identical
+    * rounds). Healthy dedicated hosts measure ≈0.4-0.8s; treat artifacts
+    * from hosts above ~1.0 as load-normalized-only.
+    */
+  def calibrate(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(0L, 20000000L, 1L, 32)
+      .select(xxhash64(col("id")).as("h"))
+      .groupBy((col("h") % 1000).as("b"))
+      .agg(count(lit(1))).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -30,21 +48,7 @@ object Bench {
       graft.queries.SyncQueries.prestage(spark, sfDir)
       graft.queries.SourceQueries.prestage(spark, sfDir)
     } catch { case _: Throwable => () }
-    // Environment calibration: a fixed synthetic job (hash-agg + shuffle,
-    // data-independent) whose time scales with the host's Spark-task
-    // overhead — per-query numbers are comparable ACROSS rounds only after
-    // normalizing by this (VM generations differ wildly in syscall cost:
-    // measured 3-10× on shuffle-heavy work between two otherwise identical
-    // rounds).
-    def calibrate(): Double = {
-      import org.apache.spark.sql.functions._
-      val t0 = System.nanoTime()
-      spark.range(0L, 20000000L, 1L, 32)
-        .select(xxhash64(org.apache.spark.sql.functions.col("id")).as("h"))
-        .groupBy((org.apache.spark.sql.functions.col("h") % 1000).as("b"))
-        .agg(count(lit(1))).count()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def calibrate(): Double = Bench.calibrate(spark)
     val calibSec = calibrate()
     println(f"""{"calib_sec":$calibSec%.3f}""")
     // Optional median mode (default 1 = unchanged contract behavior): run
@@ -53,7 +57,12 @@ object Bench {
     // shared benchmark hosts; see calib_sec/calib_end_sec).
     val repeats = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(1))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Mid-run calibration samples every 25 queries: start+end alone cannot
+    // localize WHEN a shared host degraded — the series lets a reader
+    // discount exactly the affected segment instead of the whole artifact.
+    val calibMid = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val samples = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -69,6 +78,11 @@ object Bench {
       // One line per query as it completes: the driver's byte-limited tail
       // capture truncated the single all-queries JSON line in round 3.
       println(f"""{"query":"$name","sec":$sec%.3f}""")
+      if ((i + 1) % 25 == 0 && i + 1 < ordered.length) {
+        val c = calibrate()
+        calibMid += ((i + 1, c))
+        println(f"""{"calib_mid":$c%.3f,"after_queries":${i + 1}}""")
+      }
       name -> sec
     }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
@@ -80,7 +94,11 @@ object Bench {
     val calibEnd = calibrate()
     val extraField = extraConf.fold("")(c =>
       s""","extra_conf":${graft.util.JsonUtil.quote(c)}""") +
-      (if (repeats > 1) s""","repeats":$repeats""" else "")
+      (if (repeats > 1) s""","repeats":$repeats""" else "") +
+      (if (calibMid.nonEmpty)
+         calibMid.map { case (n, c) => f""""$n":$c%.3f""" }
+           .mkString(""","calib_mid":{""", ",", "}")
+       else "")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"calib_end_sec":$calibEnd%.3f$extraField,"queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: persist the full results line to a file the repo
@@ -89,6 +107,27 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), line + "\n")
     catch { case _: Throwable => () }
     println(line)
+    spark.stop()
+  }
+}
+
+/** Standalone quiet-host probe: run the calibration on a throwaway session
+  * and print one JSON line (cold + warm samples). Poll this before
+  * refreshing `BENCH_LOCAL.json` — per-round artifacts are only comparable
+  * from hosts with similar calibration, and shared VMs drift by 3-10×.
+  */
+object Calib {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cold = Bench.calibrate(spark)
+    val warm = Bench.calibrate(spark)
+    println(f"""{"calib_cold":$cold%.3f,"calib_sec":$warm%.3f}""")
     spark.stop()
   }
 }

@@ -27,9 +27,9 @@ object RunOne {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           val site = Option(js.properties).map { p =>
-            Option(p.getProperty("callSite.short"))
-              .orElse(Option(p.getProperty("spark.job.description")))
-              .getOrElse(p.stringPropertyNames().toString.take(200))
+            Option(p.getProperty("spark.job.description"))
+              .orElse(Option(p.getProperty("callSite.short")))
+              .getOrElse("?")
           }.getOrElse("?")
           starts.put(js.jobId, (System.nanoTime(), site)); ()
         }

@@ -49,6 +49,17 @@ final case class Delta(deletes: DataFrame, insertKeys: DataFrame,
   */
 object Differ {
 
+  /** Tag the Spark jobs `body` launches with `desc` (restoring the caller's
+    * description after) — phase attribution for the UI/event log and the
+    * `GRAFT_JOBLOG` profiler.
+    */
+  def describeJobs[T](spark: org.apache.spark.sql.SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
   /** Reference-faithful diff: rows match if their *content hash* matches,
     * regardless of key (J1 note in SURVEY §2.3: an updated row shows up as
     * delete+insert; duplicate-content rows with distinct keys are NOT
@@ -241,23 +252,35 @@ object Differ {
     val spark = delta.source.sparkSession
     val scratch = newScratchDir(spark, scratchDir, s"delta_$table")
     try {
-      // Job 1 — ONE tagged write of both NARROW key sets ('d' = rows whose
-      // content must leave the slave, J2; 'k' = keys of rows to copy, J1);
-      // no wide rows move yet. The keyed-delete target is d ∪ k (C7: clear
-      // incoming keys before insert), derived below from the spilled frames;
-      // the AUDITED delete count stays the J2 leg alone, matching the
-      // reference's deleteExcessRows accounting.
-      delta.spillLegs.getOrElse(
-          delta.deletes.withColumn("__leg", lit("d"))
-            .unionByName(delta.insertKeys.withColumn("__leg", lit("k"))))
-        .write.parquet(s"$scratch/keys")
-      val keys = spark.read.parquet(s"$scratch/keys")
-      val spilledDeletes = keys.filter(col("__leg") === "d").select(delta.keyCols.map(col): _*)
+      // Job 1 — ONE tagged materialization of both NARROW key sets ('d' =
+      // rows whose content must leave the slave, J2; 'k' = keys of rows to
+      // copy, J1); no wide rows move yet. The keyed-delete target is d ∪ k
+      // (C7: clear incoming keys before insert), derived below from the
+      // spilled frames; the AUDITED delete count stays the J2 leg alone,
+      // matching the reference's deleteExcessRows accounting.
+      //
+      // Mutating runs spill to scratch parquet — the durable restart point
+      // BEFORE any slave write. A dry run mutates nothing, so its legs only
+      // need the single-execution guarantee, not durability: cache them
+      // (populated by the leg-count job below) and skip the write + re-list
+      // round trip. Eviction at worst recomputes the same deterministic diff.
+      val legsPlan = delta.spillLegs.getOrElse(
+        delta.deletes.withColumn("__leg", lit("d"))
+          .unionByName(delta.insertKeys.withColumn("__leg", lit("k"))))
+      val keys =
+        if (dryRun) legsPlan.persist()
+        else {
+          describeJobs(spark, s"sync: $table diff-leg spill")(
+            legsPlan.write.parquet(s"$scratch/keys"))
+          spark.read.parquet(s"$scratch/keys")
+        }
+      try {
       val spilledInsKeys = keys.filter(col("__leg") === "k").select(delta.keyCols.map(col): _*)
       val delTarget = keys.select(delta.keyCols.map(col): _*).distinct()
       // Both leg counts in ONE pass over the spilled keys (two .count()s
       // were two jobs over the same small files).
-      val legCounts = keys.groupBy("__leg").count().collect()
+      val legCounts = describeJobs(spark, s"sync: $table leg counts")(
+        keys.groupBy("__leg").count().collect())
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val (nDel, nInsKeys) = (legCounts.getOrElse("d", 0L), legCounts.getOrElse("k", 0L))
 
@@ -276,7 +299,7 @@ object Differ {
       val keyList = if (nInsKeys <= BroadcastKeyMax) broadcast(spilledInsKeys) else spilledInsKeys
       val insertPlan = keyedFetch.flatMap(f => f(spilledInsKeys, nInsKeys))
         .getOrElse(delta.source.join(keyList, delta.keyCols, "left_semi"))
-      val nIns =
+      val nIns = describeJobs(spark, s"sync: $table insert fetch") {
         if (nInsKeys == 0) 0L
         // Dry-run count over the narrow map when the diff materialized one:
         // same key multiplicity as the source, no wide re-scan.
@@ -287,6 +310,7 @@ object Differ {
           insertPlan.write.parquet(s"$scratch/inserts")
           spark.read.parquet(s"$scratch/inserts").count()
         }
+      }
       val spilledInserts =
         if (nIns == 0 || dryRun)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.source.schema)
@@ -296,9 +320,11 @@ object Differ {
         // Same size-informed hint for the store's delete anti-join: without
         // it the rewrite shuffles the whole table by key.
         val delT = if (nDel + nInsKeys <= BroadcastKeyMax) broadcast(delTarget) else delTarget
-        store.applyDelta(table, delT, delta.keyCols, spilledInserts, spilledParts)
+        describeJobs(spark, s"sync: $table store apply")(
+          store.applyDelta(table, delT, delta.keyCols, spilledInserts, spilledParts))
       }
       (nDel, nIns)
+      } finally { if (dryRun) graft.ops.Caching.release(keys) }
     } finally rmScratch(spark, scratch)
   }
 }

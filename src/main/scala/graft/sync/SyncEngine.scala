@@ -124,6 +124,13 @@ final class SyncEngine(master: TableStore, slave: TableStore,
                        config: SyncConfig = SyncConfig()) {
   import SyncAction._
 
+  /** Tag the Spark jobs `body` launches with a cascade-phase description —
+    * visible in the UI/event log on a real cluster, and the unit of
+    * attribution for the dev job profiler (`GRAFT_JOBLOG`).
+    */
+  private def phase[T](name: String)(body: => T): T =
+    Differ.describeJobs(master.spark, s"sync: $name")(body)
+
   private val audit = mutable.ArrayBuffer.empty[SyncAction]
   def auditLog: Seq[SyncAction] = audit.synchronized(audit.toSeq)
   private def record(a: SyncAction): SyncAction = {
@@ -411,7 +418,7 @@ final class SyncEngine(master: TableStore, slave: TableStore,
         try {
           val sh = Hashing.fastHashMap(slave.read(table), keys, cols).persist()
           try {
-            val (mFp, sFp) = Hashing.fastMapFingerprints(mh, sh)
+            val (mFp, sFp) = phase(s"$table fused-gate")(Hashing.fastMapFingerprints(mh, sh))
             if (mFp == sFp)
               return record(Skip(table, "already in sync"))
             val delta =
