@@ -266,6 +266,66 @@ object TextAnalysis {
         array_join(col("c.toks"), " ").as("chunk_text"))
   }
 
+  /** Content-defined chunking (LBFS lineage: Muthitacharoen et al., SOSP'01
+    * §3.1), word-granular: token position i ends a chunk when the hash of
+    * the `windowK`-gram ENDING at i is ≡ 0 (mod `divisor`) — so boundaries
+    * depend only on a k-token neighborhood, and an edit perturbs chunking
+    * only until the first surviving boundary after it, where everything
+    * realigns (the dedup-stability property fixed-stride chunking lacks;
+    * spec'd in CdcChunkSpec). `maxChunkTokens` force-splits boundary
+    * droughts (forced splits are chunk-start-relative, so they inherit the
+    * realignment); E[chunk length] ≈ divisor. No min-length rule: enforcing
+    * one is inherently a serial per-doc scan, and the parallel form below
+    * is the point — raise `divisor` instead.
+    *
+    * Shape: the whole construction is array expressions on the token array
+    * (boundary scan → natural starts → capped starts → per-chunk slices)
+    * followed by one posexplode — a narrow, codegen'd map over documents
+    * with ZERO shuffles, the same plan family as [[chunkDocuments]]. The
+    * md5-derived gram hash is the [[winnowingFingerprints]] idiom, so the
+    * full chunking is SQL-replayable (`pipeline_cdc_chunk` oracle).
+    *
+    * Returns `(id, chunk_id, start_tok, n_tok, chunk_text, chunk_md5)`;
+    * `chunk_md5` is the chunk-level dedup key this chunking exists to
+    * stabilize. Empty docs yield no chunks.
+    */
+  def cdcChunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                        windowK: Int = 3, divisor: Int = 32,
+                        maxChunkTokens: Int = 128): DataFrame = {
+    require(windowK > 0 && divisor > 0 && maxChunkTokens > 0,
+      s"need positive (windowK, divisor, maxChunkTokens), got ($windowK, $divisor, $maxChunkTokens)")
+    val toks = col("__words")
+    val n = size(toks)
+    def gramHash(i: Column): Column =
+      conv(substring(md5(concat_ws(" ", slice(toks, i - (windowK - 2), lit(windowK)))), 1, 15),
+        16, 10).cast("long")
+    // Boundary positions: grams exist only for windowK-1 <= i <= n-2 (a
+    // boundary at the last token is a no-op and is excluded so chunk starts
+    // stay < n). sequence() descends when stop < start — hence the guard.
+    val bpos = when(n > windowK,
+        filter(sequence(lit(windowK - 1), n - 2), i => gramHash(i) % divisor === 0))
+      .otherwise(array().cast("array<int>"))
+    // Natural chunk starts {0} ∪ {p+1 : boundary p}, then cap droughts:
+    // within [s, e) force starts every maxChunkTokens from s.
+    val naturalStarts = concat(array(lit(0)), transform(bpos, p => p + 1))
+    val naturalEnds = concat(slice(naturalStarts, lit(2), size(naturalStarts) - 1), array(n))
+    val allStarts = flatten(zip_with(naturalStarts, naturalEnds,
+      (s, e) => sequence(s, e - 1, lit(maxChunkTokens))))
+    val chunks = transform(sequence(lit(0), size(allStarts) - 1), ci => {
+      val s = element_at(allStarts, ci + 1)
+      val e = when(ci === size(allStarts) - 1, n).otherwise(element_at(allStarts, ci + 2))
+      struct(s.cast("long").as("start_tok"), slice(toks, s + 1, e - s).as("toks"))
+    })
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__words"))
+      .filter(size(col("__words")) > 0)
+      .select(col("id"), posexplode(chunks).as(Seq("chunk_id", "c")))
+      .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("c.start_tok"),
+        size(col("c.toks")).cast("long").as("n_tok"),
+        array_join(col("c.toks"), " ").as("chunk_text"))
+      .withColumn("chunk_md5", md5(col("chunk_text")))
+  }
+
   /** Okapi BM25 ranked retrieval over the corpus for a fixed term query —
     * the lexical counterpart of the ANN top-k family. Per doc:
     * `score = Σ_t idf_t · tf_t·(k1+1) / (tf_t + k1·(1 − b + b·dl/avgdl))`

@@ -1015,6 +1015,46 @@ object TextQueries {
               | cast(len(toks) as bigint) AS n_tok,
               | array_to_string(toks, ' ') AS chunk_text FROM c""".stripMargin)),
 
+    // ---- Content-defined chunking: boundaries from the local 3-gram hash
+    //      (mod 32 → E[len]≈32 tokens; 128-token drought cap), so chunk-level
+    //      dedup keys survive document edits (LBFS §3.1). The oracle replays
+    //      the SAME construction in window-function form (per-position
+    //      boundary flags → cumulative natural-chunk ids → capped sub-ids) —
+    //      an independent formulation of the semantics, strengthening the
+    //      check beyond expression-for-expression replay.
+    Q("pipeline_cdc_chunk",
+      (s, dir) => TextAnalysis.cdcChunkDocuments(
+          T(s, dir, "documents"), "doc_id", "text",
+          windowK = 3, divisor = 32, maxChunkTokens = 128)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("start_tok"),
+          col("n_tok"), col("chunk_text"), col("chunk_md5")),
+      Some("""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              |  FROM documents WHERE length(trim(text)) > 0),
+              | t AS (SELECT doc_id, cast(u.i as bigint) AS pos, w[u.i + 1] AS tok,
+              |        CASE WHEN u.i >= 2 AND u.i < len(w) - 1 THEN
+              |          ('0x' || substr(md5(array_to_string(w[u.i - 1 : u.i + 1], ' ')), 1, 15))::BIGINT
+              |        END AS h
+              |       FROM d, unnest(range(0, len(w))) AS u(i)),
+              | f AS (SELECT doc_id, pos, tok,
+              |        CASE WHEN h IS NOT NULL AND h % 32 = 0 THEN 1 ELSE 0 END AS b
+              |       FROM t),
+              | c AS (SELECT doc_id, pos, tok,
+              |        coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nat
+              |       FROM f),
+              | r AS (SELECT doc_id, pos, tok, nat,
+              |        cast(floor((row_number() OVER (PARTITION BY doc_id, nat ORDER BY pos) - 1)
+              |          / 128.0) as bigint) AS sub
+              |       FROM c),
+              | ch AS (SELECT doc_id, nat, sub, min(pos) AS start_tok,
+              |         cast(count(*) as bigint) AS n_tok,
+              |         string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+              |        FROM r GROUP BY 1, 2, 3)
+              |SELECT doc_id,
+              | row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) - 1 AS chunk_id,
+              | start_tok, n_tok, chunk_text, md5(chunk_text) AS chunk_md5
+              |FROM ch""".stripMargin)),
+
     // ---- Okapi BM25 ranked retrieval for a fixed 3-term query — the
     //      lexical top-k next to the ANN family. Per-term tf is a
     //      higher-order filter/size over the token array (no explode, no
