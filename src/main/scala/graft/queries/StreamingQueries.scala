@@ -237,6 +237,37 @@ object StreamingQueries {
               | cast(sum(cast(value as decimal(12,2))) as double) AS total_value
               |FROM events GROUP BY user_id""".stripMargin)),
 
+    // Stream–static enrichment: the streaming feed joined per micro-batch to
+    // a BATCH dimension (customer→nation pre-joined statically, then
+    // broadcast) — the standard bronze→silver enrichment shape. The
+    // stream-static join is stateless (the dim is re-resolved per batch, no
+    // join state store), so at scale the only state is the downstream agg's;
+    // the explicit broadcast keeps the per-batch join map-side — without it
+    // each micro-batch would shuffle its rows by key against the dim.
+    Q("stream_enrich_static",
+      (s, dir) => withStatePartitions(s, 8) {
+        val src = Registry.eventsStream(s, dir).select("user_id", "event_type", "value")
+        val dim = Registry.table(s, dir, "customer")
+          .join(Registry.table(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey").as("user_id"), col("n_name"))
+        val agg = src.join(broadcast(dim), Seq("user_id"))
+          .groupBy(col("n_name"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+        val qname = "graft_stream_enrich"
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qname)
+      },
+      Some("""SELECT n_name, event_type, count(*) AS n_events,
+              | cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
+              |FROM events JOIN customer ON user_id = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |GROUP BY 1, 2""".stripMargin)),
+
     // Streaming exact dedup with bounded state: the feed carries every event
     // TWICE (two staged copies of the table); dropDuplicatesWithinWatermark
     // on event_id keys the state store and the 1-hour watermark bounds it —
