@@ -1,0 +1,62 @@
+package graft
+
+import graft.queries.Registry
+import org.apache.spark.sql.DataFrame
+
+/** PLANS.md's structural claims as regression tests: the plans the corpus
+  * was tuned to produce (broadcast star joins, single-exchange windows,
+  * zero-shuffle chunking, parquet pushdown, top-k without a global sort)
+  * must SURVIVE code movement — a silent fallback to a shuffle or a
+  * sort-merge join is a scale regression the oracle check cannot see.
+  *
+  * Assertions run against the RUNTIME plan (executed once, so AQE's final
+  * decisions — not the static estimate — are what's checked).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.count() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def planOf(name: String): String =
+    finalPlan(Registry.queries(name)(spark, sf001))
+
+  test("pipeline_cdc_chunk: zero exchanges — chunking is a pure map") {
+    val p = planOf("pipeline_cdc_chunk")
+    assert(!p.contains("Exchange"), p.linesIterator.take(12).mkString("\n"))
+  }
+
+  test("q5_multi_join: all-broadcast star join, fact scanned once, no sort-merge") {
+    val p = planOf("q5_multi_join")
+    assert(!p.contains("SortMergeJoin"), p.linesIterator.take(20).mkString("\n"))
+    val nBhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBhj >= 4, s"expected >=4 broadcast joins, got $nBhj")
+    val factScans = p.linesIterator.count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(factScans == 1, s"lineitem must be scanned exactly once, got $factScans")
+  }
+
+  test("p2_eq_filter: predicate reaches the parquet scan") {
+    val p = planOf("p2_eq_filter")
+    assert(p.contains("PushedFilters: [IsNotNull") || p.contains("PushedFilters: [EqualTo"),
+      p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+  }
+
+  test("q3_join_topk: top-k via TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q3_join_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("j1_anti_missing: anti join is broadcast at small scale (AQE-final)") {
+    val p = planOf("j1_anti_missing")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("q_window_top_order: exactly one hash-partitioning exchange feeds the window") {
+    val p = planOf("q_window_top_order")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+}
