@@ -1028,32 +1028,31 @@ object TextQueries {
           windowK = 3, divisor = 32, maxChunkTokens = 128)
         .select(col("id").as("doc_id"), col("chunk_id"), col("start_tok"),
           col("n_tok"), col("chunk_text"), col("chunk_md5")),
-      Some("""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-              |  FROM documents WHERE length(trim(text)) > 0),
-              | t AS (SELECT doc_id, cast(u.i as bigint) AS pos, w[u.i + 1] AS tok,
-              |        CASE WHEN u.i >= 2 AND u.i < len(w) - 1 THEN
-              |          ('0x' || substr(md5(array_to_string(w[u.i - 1 : u.i + 1], ' ')), 1, 15))::BIGINT
-              |        END AS h
-              |       FROM d, unnest(range(0, len(w))) AS u(i)),
-              | f AS (SELECT doc_id, pos, tok,
-              |        CASE WHEN h IS NOT NULL AND h % 32 = 0 THEN 1 ELSE 0 END AS b
-              |       FROM t),
-              | c AS (SELECT doc_id, pos, tok,
-              |        coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nat
-              |       FROM f),
-              | r AS (SELECT doc_id, pos, tok, nat,
-              |        cast(floor((row_number() OVER (PARTITION BY doc_id, nat ORDER BY pos) - 1)
-              |          / 128.0) as bigint) AS sub
-              |       FROM c),
-              | ch AS (SELECT doc_id, nat, sub, min(pos) AS start_tok,
-              |         cast(count(*) as bigint) AS n_tok,
-              |         string_agg(tok, ' ' ORDER BY pos) AS chunk_text
-              |        FROM r GROUP BY 1, 2, 3)
+      Some(s"""$cdcChunkOracleCte
               |SELECT doc_id,
               | row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) - 1 AS chunk_id,
               | start_tok, n_tok, chunk_text, md5(chunk_text) AS chunk_md5
               |FROM ch""".stripMargin)),
+
+    // ---- Chunk-level dedup accounting over the CDC chunks — the LBFS use
+    //      case itself: identical chunk hashes across documents are the
+    //      storage/training-data savings the edit-stable boundaries exist to
+    //      expose. One grouped aggregate on the chunk hash; near-dup docs in
+    //      the corpus surface as multi-doc chunks.
+    Q("dedup_cdc_chunks",
+      (s, dir) => TextAnalysis.cdcChunkDocuments(
+          T(s, dir, "documents"), "doc_id", "text",
+          windowK = 3, divisor = 32, maxChunkTokens = 128)
+        .groupBy(col("chunk_md5"))
+        .agg(countDistinct(col("id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          max(col("n_tok")).as("n_tok")),
+      Some(s"""$cdcChunkOracleCte
+              |SELECT md5(chunk_text) AS chunk_md5,
+              | count(distinct doc_id) AS n_docs,
+              | cast(count(*) as bigint) AS n_occurrences,
+              | max(n_tok) AS n_tok
+              |FROM ch GROUP BY 1""".stripMargin)),
 
     // ---- Okapi BM25 ranked retrieval for a fixed 3-term query — the
     //      lexical top-k next to the ANN family. Per-term tf is a
@@ -1551,6 +1550,36 @@ object TextQueries {
     * DuckDB replace() drops non-overlapping occurrences left-to-right —
     * the same greedy rule BpeEncode applies.
     */
+  /** DuckDB replay of [[TextAnalysis.cdcChunkDocuments]] (k=3, divisor=32,
+    * cap=128) in window-function form — per-position boundary flags →
+    * cumulative natural-chunk ids → capped sub-ids → grouped chunk rows
+    * `ch(doc_id, nat, sub, start_tok, n_tok, chunk_text)`. An independent
+    * formulation of the array-expression construction the Spark side uses.
+    */
+  private val cdcChunkOracleCte: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents WHERE length(trim(text)) > 0),
+      | t AS (SELECT doc_id, cast(u.i as bigint) AS pos, w[u.i + 1] AS tok,
+      |        CASE WHEN u.i >= 2 AND u.i < len(w) - 1 THEN
+      |          ('0x' || substr(md5(array_to_string(w[u.i - 1 : u.i + 1], ' ')), 1, 15))::BIGINT
+      |        END AS h
+      |       FROM d, unnest(range(0, len(w))) AS u(i)),
+      | f AS (SELECT doc_id, pos, tok,
+      |        CASE WHEN h IS NOT NULL AND h % 32 = 0 THEN 1 ELSE 0 END AS b
+      |       FROM t),
+      | c AS (SELECT doc_id, pos, tok,
+      |        coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nat
+      |       FROM f),
+      | r AS (SELECT doc_id, pos, tok, nat,
+      |        cast(floor((row_number() OVER (PARTITION BY doc_id, nat ORDER BY pos) - 1)
+      |          / 128.0) as bigint) AS sub
+      |       FROM c),
+      | ch AS (SELECT doc_id, nat, sub, min(pos) AS start_tok,
+      |         cast(count(*) as bigint) AS n_tok,
+      |         string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+      |        FROM r GROUP BY 1, 2, 3)""".stripMargin
+
   private def pinnedOccSql(col: String): String =
     pinnedMerges.map { case (l, r) =>
       val p = l + r
