@@ -19,6 +19,22 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Second calibration axis: parquet-scan + per-row md5 throughput over the
+    * fixed lineitem table — the workload class (I/O + string hashing) whose
+    * host-to-host variance the pure-CPU shuffle calibration cannot see
+    * (observed: two VMs with calib 0.47 vs 0.59 differed 2× on every
+    * scan+md5-bound query). Constant per sfDir, so round-over-round
+    * comparable at the driver's fixed sf0.1.
+    */
+  def calibrateScan(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val t0 = System.nanoTime()
+    df.select(md5(concat_ws("#", df.columns.map(col).toIndexedSeq: _*)).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(h))")).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -50,7 +66,8 @@ object Bench {
     } catch { case _: Throwable => () }
     def calibrate(): Double = Bench.calibrate(spark)
     val calibSec = calibrate()
-    println(f"""{"calib_sec":$calibSec%.3f}""")
+    val calibScan = calibrateScan(spark, sfDir)
+    println(f"""{"calib_sec":$calibSec%.3f,"calib_scan_sec":$calibScan%.3f}""")
     // Optional median mode (default 1 = unchanged contract behavior): run
     // each query N times and report the per-query MEDIAN, so one noisy host
     // window cannot dominate a round's numbers (observed 5× mid-run drift on
@@ -92,6 +109,7 @@ object Bench {
     // benchmark machines drifts mid-run (observed 5× per-query swings between
     // two same-code runs); start+end samples bound the drift for the reader.
     val calibEnd = calibrate()
+    val calibScanEnd = calibrateScan(spark, sfDir)
     val extraField = extraConf.fold("")(c =>
       s""","extra_conf":${graft.util.JsonUtil.quote(c)}""") +
       (if (repeats > 1) s""","repeats":$repeats""" else "") +
@@ -100,7 +118,7 @@ object Bench {
            .mkString(""","calib_mid":{""", ",", "}")
        else "")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"calib_end_sec":$calibEnd%.3f$extraField,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"calib_end_sec":$calibEnd%.3f,"calib_scan_sec":$calibScan%.3f,"calib_scan_end_sec":$calibScanEnd%.3f$extraField,"queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: persist the full results line to a file the repo
     // keeps, so no number is ever lost to stdout capture.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
@@ -127,7 +145,9 @@ object Calib {
     spark.sparkContext.setLogLevel("WARN")
     val cold = Bench.calibrate(spark)
     val warm = Bench.calibrate(spark)
-    println(f"""{"calib_cold":$cold%.3f,"calib_sec":$warm%.3f}""")
+    val scan = Bench.calibrateScan(spark,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    println(f"""{"calib_cold":$cold%.3f,"calib_sec":$warm%.3f,"calib_scan_sec":$scan%.3f}""")
     spark.stop()
   }
 }

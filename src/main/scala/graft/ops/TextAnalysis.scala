@@ -316,8 +316,17 @@ object TextAnalysis {
       val e = when(ci === size(allStarts) - 1, n).otherwise(element_at(allStarts, ci + 2))
       struct(s.cast("long").as("start_tok"), slice(toks, s + 1, e - s).as("toks"))
     })
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__words"))
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__words"))
       .filter(size(col("__words")) > 0)
+    // The chunker is a COMPUTE-dense map (an md5 per token position), so its
+    // parallelism is exactly the scan's split count. A small/compacted input
+    // (one parquet file at test scale) would run it on one core — widen to
+    // core count with a round-robin exchange of the (tiny) raw text. At real
+    // scale input splits exceed cores and this is a no-op: still zero
+    // shuffles on the 100 TB path.
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val wide = if (base.rdd.getNumPartitions < target) base.repartition(target) else base
+    wide
       .select(col("id"), posexplode(chunks).as(Seq("chunk_id", "c")))
       .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
         col("c.start_tok"),
