@@ -138,8 +138,10 @@ object TextAnalysis {
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 3, w: Int = 4): DataFrame = {
     require(w > 0, "window must be positive")
-    val grams = df.select(col(idCol).as("id"),
-        posexplode(shingles(col(textCol), k)).as(Seq("pos", "g")))
+    // Fan the (often single-split) corpus out BEFORE the gram explode + md5:
+    // the hash storm runs pipelined into the scan task otherwise.
+    val grams = Par.fanOut(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), posexplode(shingles(col(textCol), k)).as(Seq("pos", "g")))
       .withColumn("h", conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
     val frame = org.apache.spark.sql.expressions.Window.partitionBy("id")
@@ -316,17 +318,12 @@ object TextAnalysis {
       val e = when(ci === size(allStarts) - 1, n).otherwise(element_at(allStarts, ci + 2))
       struct(s.cast("long").as("start_tok"), slice(toks, s + 1, e - s).as("toks"))
     })
-    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__words"))
-      .filter(size(col("__words")) > 0)
-    // The chunker is a COMPUTE-dense map (an md5 per token position), so its
-    // parallelism is exactly the scan's split count. A small/compacted input
-    // (one parquet file at test scale) would run it on one core — widen to
-    // core count with a round-robin exchange of the (tiny) raw text. At real
-    // scale input splits exceed cores and this is a no-op: still zero
-    // shuffles on the 100 TB path.
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val wide = if (base.rdd.getNumPartitions < target) base.repartition(target) else base
-    wide
+    // The chunker is a COMPUTE-dense map (an md5 per token position) whose
+    // parallelism equals the scan's split count — fan a small/compacted
+    // input out to core count (no-op at real scale; measured 26.9s → 4.6s
+    // at sf0.1 on a single 594 KB input file).
+    Par.fanOut(df.select(col(idCol).as("id"), tokens(col(textCol)).as("__words"))
+      .filter(size(col("__words")) > 0))
       .select(col("id"), posexplode(chunks).as(Seq("chunk_id", "c")))
       .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
         col("c.start_tok"),

@@ -1347,7 +1347,9 @@ object TextQueries {
         val enc = Bpe.encode(words, trained)
         val encPinned = Bpe.encode(words, TextQueries.pinnedMerges)
         val nChars = length(concat_ws("", words)).cast("long")
-        docs.select(col("doc_id"),
+        // Two compiled-encode fixpoint loops per row — fan the (single-split
+        // at test scale) corpus out before the compute-dense map.
+        graft.ops.Par.fanOut(docs).select(col("doc_id"),
           size(words).cast("long").as("n_words"),
           nChars.as("n_chars"),
           size(encPinned).cast("long").as("n_tokens_pinned"),
@@ -1381,7 +1383,7 @@ object TextQueries {
           .partitionBy("source").orderBy("doc_id")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
         val words = TextAnalysis.tokens(col("text"))
-        T(s, dir, "documents")
+        graft.ops.Par.fanOut(T(s, dir, "documents"))
           .select(col("source"), col("doc_id"),
             size(Bpe.encode(words, TextQueries.pinnedMerges)).cast("long").as("n_tokens"))
           .withColumn("cum", sum("n_tokens").over(w))
@@ -1408,8 +1410,9 @@ object TextQueries {
       (s, dir) => {
         import graft.ops.Bpe
         val words = TextAnalysis.tokens(col("text"))
-        val d = T(s, dir, "documents").select(col("source"), col("doc_id"),
-          size(Bpe.encode(words, TextQueries.pinnedMerges)).cast("long").as("n_tokens"))
+        val d = graft.ops.Par.fanOut(T(s, dir, "documents"))
+          .select(col("source"), col("doc_id"),
+            size(Bpe.encode(words, TextQueries.pinnedMerges)).cast("long").as("n_tokens"))
         graft.ops.Packing.chunkStats(d, "doc_id", "n_tokens",
           seqLen = 2048, shardCol = Some("source"))
       },
