@@ -30,8 +30,12 @@ object Bench {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val t0 = System.nanoTime()
+    // collect() the aggregate ROW, never count() it: a count-of-aggregate
+    // lets Catalyst prune the md5/xxhash expressions and every scan column,
+    // collapsing the probe to a parquet-footer row count that measures
+    // nothing (caught by review; verified against the build's Spark).
     df.select(md5(concat_ws("#", df.columns.map(col).toIndexedSeq: _*)).as("h"))
-      .agg(count(lit(1)), expr("bit_xor(xxhash64(h))")).count()
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(h))")).collect()
     (System.nanoTime() - t0) / 1e9
   }
 

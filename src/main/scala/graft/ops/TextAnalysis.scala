@@ -320,7 +320,7 @@ object TextAnalysis {
     })
     // The chunker is a COMPUTE-dense map (an md5 per token position) whose
     // parallelism equals the scan's split count — fan a small/compacted
-    // input out to core count (no-op at real scale; measured 26.9s → 4.6s
+    // input out to core count (no-op at real scale; 26.9s → 3.9s artifact median
     // at sf0.1 on a single 594 KB input file).
     Par.fanOut(df.select(col(idCol).as("id"), tokens(col(textCol)).as("__words"))
       .filter(size(col("__words")) > 0))

@@ -250,7 +250,13 @@ object Differ {
     // Delete-before-insert is mandatory: an update's key is in both sets, and
     // under partition sync a row may have moved partitions (Synchronizer.php:495-501).
     val spark = delta.source.sparkSession
-    val scratch = newScratchDir(spark, scratchDir, s"delta_$table")
+    // Lazy: a dry run without partition deletes never touches scratch, so
+    // don't pay the create + delete round trips (remote calls on an
+    // object-store warehouse) for a path nothing writes to.
+    var scratchUsed = false
+    lazy val scratch: String = {
+      scratchUsed = true; newScratchDir(spark, scratchDir, s"delta_$table")
+    }
     try {
       // Job 1 — ONE tagged materialization of both NARROW key sets ('d' =
       // rows whose content must leave the slave, J2; 'k' = keys of rows to
@@ -325,6 +331,6 @@ object Differ {
       }
       (nDel, nIns)
       } finally { if (dryRun) graft.ops.Caching.release(keys) }
-    } finally rmScratch(spark, scratch)
+    } finally { if (scratchUsed) rmScratch(spark, scratch) }
   }
 }

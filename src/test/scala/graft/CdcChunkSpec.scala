@@ -19,17 +19,24 @@ class CdcChunkSpec extends SparkSpec {
   /** Independent reference: sequential, driver-side, java.security md5 —
     * shares no code with the Spark operator.
     */
+  private def h15(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** Natural (content-defined) boundary positions of `text` — reference. */
+  private def refBoundaries(text: String, k: Int = K, div: Int = Div): Seq[Int] = {
+    val w = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    (k - 1).until(w.length - 1).filter { i =>
+      h15(w.slice(i - k + 1, i + 1).mkString(" ")) % div == 0
+    }
+  }
+
   private def refChunks(text: String, k: Int = K, div: Int = Div, cap: Int = Cap): Seq[(Long, Long, String)] = {
     val w = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
     if (w.isEmpty) return Seq.empty
-    def h15(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5").digest(
-        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
-    }
-    val bpos = (k - 1).until(w.length - 1).filter { i =>
-      h15(w.slice(i - k + 1, i + 1).mkString(" ")) % div == 0
-    }
+    val bpos = refBoundaries(text, k, div)
     val naturalStarts = 0 +: bpos.map(_ + 1)
     val naturalEnds = naturalStarts.drop(1) :+ w.length
     val allStarts = naturalStarts.zip(naturalEnds).flatMap { case (s, e) => s.until(e, cap) }
@@ -83,12 +90,17 @@ class CdcChunkSpec extends SparkSpec {
     val edited = "inserted preamble words " + base
     val Seq(baseChunks, editChunks) =
       Seq(10L -> base, 11L -> edited).map(d => sparkChunks(Seq(d))(d._1))
-    // Every base chunk from the second natural chunk onward must reappear
-    // verbatim in the edited doc's chunking: grams >= k tokens past the edit
-    // are untouched, so all boundaries after the first surviving one are
-    // shared, and forced cap-splits are chunk-relative.
+    // Every base chunk from the first NATURAL-boundary-aligned chunk onward
+    // must reappear verbatim in the edited doc's chunking: grams >= k tokens
+    // past the edit are untouched, so all boundaries after the first
+    // surviving one are shared, and forced cap-splits are chunk-relative.
+    // (start_tok > 0 is NOT enough — chunk 1 may be a forced cap-split
+    // inside natural chunk 0, whose absolute content shifts with the edit.)
+    val naturalStarts = refBoundaries(base).map(_ + 1L).toSet
     val baseTail = baseChunks.map(_._3).drop(
-      baseChunks.indexWhere(c => c._2 > 0) match { case -1 => baseChunks.length; case i => i })
+      baseChunks.indexWhere(c => naturalStarts.contains(c._2)) match {
+        case -1 => baseChunks.length; case i => i
+      })
     assert(baseTail.nonEmpty, "fixture must produce at least one post-boundary chunk")
     val editTexts = editChunks.map(_._3)
     assert(editTexts.takeRight(baseTail.length) == baseTail)

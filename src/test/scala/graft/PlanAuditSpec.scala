@@ -15,8 +15,15 @@ import org.apache.spark.sql.DataFrame
 class PlanAuditSpec extends SparkSpec {
 
   private def finalPlan(df: DataFrame): String = {
-    df.count() // finalize AQE
-    df.queryExecution.executedPlan.toString
+    // collect(), not count(): count() runs a SEPARATE QueryExecution (and
+    // prunes the audited projections), leaving df's own AdaptiveSparkPlan
+    // unfinalized — the assertions would silently run against the static
+    // estimate (caught by review; verified against the build's Spark).
+    df.collect()
+    // A finalized AdaptiveSparkPlan prints BOTH "== Final Plan ==" and
+    // "== Initial Plan ==" sections — keep only the final one, or every
+    // node (and every Exchange) counts twice.
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
   }
 
   private def planOf(name: String): String =
