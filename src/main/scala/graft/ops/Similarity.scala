@@ -475,4 +475,67 @@ object Similarity {
         .localCheckpoint(true)
     } finally Caching.release(assigned)
   }
+
+  /** EXACT distributed Lloyd k-means over 1e-6-quantized integer vectors —
+    * every arithmetic step (squared-distance argmin with (dist, cluster)
+    * tie-break, floor-division centroid update) is deterministic int64, so
+    * two engines replay the SAME assignments bit-for-bit (the
+    * `emb_centroids` quantize-before-aggregate idiom extended to a full
+    * iterative algorithm; float k-means can diverge across engines on a
+    * single ulp). Init = the `k` lowest-id vectors; a cluster that loses
+    * all members is dropped (k shrinks) rather than specially re-seeded —
+    * the rule both sides replay trivially.
+    *
+    * Shape per iteration: ONE codegen'd map computes all k distances per
+    * row (centroids ride along as literal arrays, the broadcast-model
+    * pattern of the ANN family), ONE (cluster, dim)-grouped aggregate
+    * updates centroids, and only k×d rows ever reach the driver. Overflow
+    * audit: |xq| ≤ ~4e6 ⇒ per-dim squared diff ≤ 6.4e13, ×64 dims ≤ 4.1e15
+    * — inside int64; per-(cluster, dim) sums ≤ |corpus|·4e6.
+    *
+    * Returns one row per surviving cluster of the FINAL assignment:
+    * `(cluster, n_vecs, vec_id_sum, centroid_l1)` — member count, member-id
+    * checksum (pins the assignment itself), and the centroid's quantized
+    * component sum.
+    */
+  def kmeansExact(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 4, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0, got ($k, $iters)")
+    val xq = Par.fanOut(df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => floor(x.cast("double") * lit(1000000.0)).cast("long")).as("xq")))
+      .persist()
+    try {
+      xq.count() // materialize once; every iteration re-reads the cache
+      var cents: Seq[(Int, Seq[Long])] = xq.orderBy("id").limit(k).collect()
+        .toSeq.zipWithIndex.map { case (r, j) => (j, r.getSeq[Long](1)) }
+      def assign(): DataFrame = {
+        val centArr = array(cents.map { case (j, c) =>
+          struct(lit(j).as("j"), array(c.map(lit): _*).as("c")) }: _*)
+        xq.select(col("id"), col("xq"),
+          array_min(transform(centArr, cs =>
+            struct(
+              aggregate(zip_with(col("xq"), cs.getField("c"), (a, b) => (a - b) * (a - b)),
+                lit(0L), (acc, v) => acc + v).as("dist"),
+              cs.getField("j").as("j"))))
+            .getField("j").as("cluster"))
+      }
+      for (_ <- 0 until iters) {
+        val stats = assign()
+          .select(col("cluster"), posexplode(col("xq")).as(Seq("dim", "v")))
+          .groupBy("cluster", "dim").agg(count(lit(1)).as("n"), sum("v").as("s"))
+          .collect() // bounded: k*d rows
+        cents = stats.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (j, rows) =>
+          (j, rows.sortBy(_.getInt(1)).map(r => Math.floorDiv(r.getLong(3), r.getLong(2))).toSeq)
+        }
+      }
+      val l1 = cents.map { case (j, c) => (j, c.sum) }
+      val l1Col = l1.foldLeft(lit(null).cast("long")) { case (acc, (j, v)) =>
+        when(col("cluster") === j, lit(v)).otherwise(acc)
+      }
+      assign().groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("id")).as("vec_id_sum"))
+        .withColumn("centroid_l1", l1Col)
+        .localCheckpoint(true)
+    } finally Caching.release(xq)
+  }
 }

@@ -630,6 +630,55 @@ object SimilarityQueries {
     // irrelevant; the final /1e6 and /n are single IEEE divisions of
     // identical operands. posexplode keys the map-side-combined aggregate
     // by (label, dim): shuffle rows = |labels| × dims, never corpus-sized.
+    // ---- EXACT k-means over the embeddings (k=4, 2 Lloyd iterations):
+    //      quantized-int64 arithmetic end to end makes every assignment and
+    //      centroid update engine-replayable, so the oracle unrolls the SAME
+    //      two iterations in SQL and must match counts, the member-id
+    //      checksum (pinning the assignment itself), and the centroids'
+    //      component sums — an ITERATIVE algorithm under the hash-exact
+    //      gate, not just a one-shot aggregate.
+    Q("emb_kmeans",
+      (s, dir) => graft.ops.Similarity.kmeansExact(
+        T(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 2),
+      Some("""WITH eq AS (SELECT vec_id, list_transform(range(1, len(embedding) + 1),
+              |         i -> cast(floor(embedding[i]::DOUBLE * 1000000) as bigint)) AS xq
+              |       FROM embeddings),
+              | c0 AS (SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as int) AS j, xq AS c
+              |        FROM eq ORDER BY vec_id LIMIT 4),
+              | a0 AS (SELECT vec_id, xq, j FROM (
+              |        SELECT e.vec_id, e.xq, c.j,
+              |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |            list_sum(list_transform(range(1, len(e.xq) + 1),
+              |              i -> (e.xq[i] - c.c[i]) * (e.xq[i] - c.c[i]))), c.j) AS rn
+              |        FROM eq e, c0 c) WHERE rn = 1),
+              | c1 AS (SELECT j, list(cd ORDER BY d) AS c FROM (
+              |        SELECT a.j, t.d,
+              |          (sum(a.xq[t.d]) - (((sum(a.xq[t.d]) % count(*)) + count(*)) % count(*))) // count(*) AS cd
+              |        FROM a0 a, unnest(range(1, len(a.xq) + 1)) AS t(d)
+              |        GROUP BY a.j, t.d) GROUP BY j),
+              | a1 AS (SELECT vec_id, xq, j FROM (
+              |        SELECT e.vec_id, e.xq, c.j,
+              |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |            list_sum(list_transform(range(1, len(e.xq) + 1),
+              |              i -> (e.xq[i] - c.c[i]) * (e.xq[i] - c.c[i]))), c.j) AS rn
+              |        FROM eq e, c1 c) WHERE rn = 1),
+              | c2 AS (SELECT j, list(cd ORDER BY d) AS c FROM (
+              |        SELECT a.j, t.d,
+              |          (sum(a.xq[t.d]) - (((sum(a.xq[t.d]) % count(*)) + count(*)) % count(*))) // count(*) AS cd
+              |        FROM a1 a, unnest(range(1, len(a.xq) + 1)) AS t(d)
+              |        GROUP BY a.j, t.d) GROUP BY j),
+              | a2 AS (SELECT vec_id, j FROM (
+              |        SELECT e.vec_id, c.j,
+              |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |            list_sum(list_transform(range(1, len(e.xq) + 1),
+              |              i -> (e.xq[i] - c.c[i]) * (e.xq[i] - c.c[i]))), c.j) AS rn
+              |        FROM eq e, c2 c) WHERE rn = 1)
+              |SELECT cast(a2.j as bigint) AS cluster, count(*) AS n_vecs,
+              | cast(sum(vec_id) as bigint) AS vec_id_sum, l.centroid_l1
+              |FROM a2 JOIN (SELECT j, cast(list_sum(c) as bigint) AS centroid_l1 FROM c2) l
+              |  ON a2.j = l.j
+              |GROUP BY a2.j, l.centroid_l1""".stripMargin)),
+
     Q("emb_centroids",
       (s, dir) => T(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
