@@ -619,17 +619,6 @@ object SimilarityQueries {
               | true AS all_dropped, 0::bigint AS kept_dup_pairs, true AS id_space_ok
               |FROM embeddings""".stripMargin)),
 
-    // Per-label embedding centroids (mean pooling — the k-means/SemDeDup
-    // primitive surfaced as an oracle query). Cross-row float summation is
-    // order-dependent, so each component is quantized FIRST:
-    // floor(x·1e6) as a long — float→double is exact, the multiply is one
-    // identical IEEE op in both engines, and floor has no rounding-mode
-    // ambiguity (unlike decimal casts: DuckDB rounds the float's SHORTEST
-    // decimal repr while Spark rounds the exact binary value, which
-    // disagrees on ties). The long sum is exact, so partition order is
-    // irrelevant; the final /1e6 and /n are single IEEE divisions of
-    // identical operands. posexplode keys the map-side-combined aggregate
-    // by (label, dim): shuffle rows = |labels| × dims, never corpus-sized.
     // ---- EXACT k-means over the embeddings (k=4, 2 Lloyd iterations):
     //      quantized-int64 arithmetic end to end makes every assignment and
     //      centroid update engine-replayable, so the oracle unrolls the SAME
@@ -679,6 +668,17 @@ object SimilarityQueries {
               |  ON a2.j = l.j
               |GROUP BY a2.j, l.centroid_l1""".stripMargin)),
 
+    // Per-label embedding centroids (mean pooling — the k-means/SemDeDup
+    // primitive surfaced as an oracle query). Cross-row float summation is
+    // order-dependent, so each component is quantized FIRST:
+    // floor(x·1e6) as a long — float→double is exact, the multiply is one
+    // identical IEEE op in both engines, and floor has no rounding-mode
+    // ambiguity (unlike decimal casts: DuckDB rounds the float's SHORTEST
+    // decimal repr while Spark rounds the exact binary value, which
+    // disagrees on ties). The long sum is exact, so partition order is
+    // irrelevant; the final /1e6 and /n are single IEEE divisions of
+    // identical operands. posexplode keys the map-side-combined aggregate
+    // by (label, dim): shuffle rows = |labels| × dims, never corpus-sized.
     Q("emb_centroids",
       (s, dir) => T(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
