@@ -65,6 +65,22 @@ class PlanAuditSpec extends SparkSpec {
       p.linesIterator.take(20).mkString("\n"))
   }
 
+  test("q1_agg: single exchange between partial and final aggregation") {
+    val p = planOf("q1_agg")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
+  }
+
+  test("knn_brute_topk: per-query top-k via the partial bounded-heap aggregate, no Window/global Sort") {
+    val p = planOf("knn_brute_topk")
+    assert(p.contains("partial_topkbyscore"),
+      "map-side partial heap must ship only k entries per task: " +
+        p.linesIterator.take(10).mkString("\n"))
+    assert(!p.contains("Window") && !p.contains("Sort "),
+      p.linesIterator.filter(l => l.contains("Window") || l.contains("Sort")).mkString("\n"))
+  }
+
   test("q_window_top_order: exactly one hash-partitioning exchange feeds the window") {
     val p = planOf("q_window_top_order")
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
