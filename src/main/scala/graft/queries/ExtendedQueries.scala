@@ -134,6 +134,43 @@ object ExtendedQueries {
               |FROM events
               |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
 
+    // ---- Batch gap-sessionization — the batch twin of stream_sessionize
+    //      under the SAME oracle definition (30-min inactivity gap): lag +
+    //      flag + running sum share ONE user_id exchange and sort (three
+    //      window steps, one Window partitioning), then the per-session
+    //      rollup. The streaming form replays this with
+    //      flatMapGroupsWithState; agreeing with the same SQL ties the two
+    //      implementations together.
+    Q("q_sessionize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Registry.events(s, dir).select("user_id", "event_id", "ts")
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s", when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L)
+            .otherwise(0L))
+          .withColumn("session_id",
+            sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            unix_micros(min(col("ts"))).as("t_start_us"),
+            unix_micros(max(col("ts"))).as("t_end_us"))
+      },
+      Some("""WITH e AS (
+              |  SELECT user_id, event_id, ts,
+              |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              |  FROM events),
+              | f AS (SELECT user_id, event_id, ts,
+              |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS new_s
+              |  FROM e),
+              | g AS (SELECT user_id, ts,
+              |    cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) as bigint) AS session_id
+              |  FROM f)
+              |SELECT user_id, session_id, count(*) AS n_events,
+              |  epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us
+              |FROM g GROUP BY user_id, session_id""".stripMargin)),
+
     // ---- JSON scalar functions over the events.props payload column:
     //      get_json_object path extraction, cross-checked against DuckDB's
     //      json_extract_string on the same strings.
