@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -52,21 +53,54 @@ final class DurableMinHashIndex(
   private val bucketsPath = s"$stateDir/buckets"
   private val shinglesPath = s"$stateDir/shingles"
 
+  /** All state maintenance (existence probes, the compact swap's renames,
+    * recursive deletes) goes through the Hadoop FileSystem resolved from
+    * the stateDir URI — the same abstraction the parquet data path already
+    * uses — so the index runs wherever its data does: local `file:`,
+    * HDFS, or an HCFS object-store connector. On HDFS the swap renames are
+    * atomic per store; on S3A a "rename" is a non-atomic copy+delete, so
+    * deployments there should front the stateDir with a consistent
+    * rename-capable layer or accept that [[recoverInterruptedCompact]]'s
+    * healing window widens from two metadata ops to a copy.
+    */
+  private val fs: FileSystem =
+    new Path(stateDir).getFileSystem(spark.sessionState.newHadoopConf())
+
   /** State exists only when a non-empty batch has landed: an empty-batch
     * append can leave a directory with no data files under it (the
     * partitioned shingle store writes no partition dirs for zero rows),
     * which a schema-inferring read would reject. Checked per store — the
     * flat bucket dir and the partitioned shingle dir can disagree after
-    * empty appends.
+    * empty appends. One recursive listing per probe, metadata-only.
     */
-  private def hasDataFiles(dir: java.io.File): Boolean = {
-    val files = dir.listFiles()
-    files != null && files.exists(f =>
-      (f.isFile && f.getName.startsWith("part-") && f.length() > 0) ||
-      (f.isDirectory && hasDataFiles(f)))
-  }
-  private def hasState: Boolean = hasDataFiles(new java.io.File(bucketsPath))
-  private def hasShingleState: Boolean = hasDataFiles(new java.io.File(shinglesPath))
+  private def hasDataFiles(dir: Path): Boolean =
+    fs.exists(dir) && {
+      val it = fs.listFiles(dir, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        found = f.getPath.getName.startsWith("part-") && f.getLen > 0
+      }
+      found
+    }
+  private def hasState: Boolean = hasDataFiles(new Path(bucketsPath))
+  private def hasShingleState: Boolean = hasDataFiles(new Path(shinglesPath))
+
+  /** Count of data files in a store — the compaction-policy signal: every
+    * ingest appends at least one file per store, so the file count is a
+    * free (metadata-only) proxy for accumulated append debt.
+    */
+  private def dataFileCount(dir: Path): Long =
+    if (!fs.exists(dir)) 0L
+    else {
+      val it = fs.listFiles(dir, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-") && f.getLen > 0) n += 1
+      }
+      n
+    }
 
   private def idBucket(c: org.apache.spark.sql.Column) =
     pmod(xxhash64(c), lit(idBuckets))
@@ -209,6 +243,22 @@ final class DurableMinHashIndex(
     }
   }
 
+  /** Policy-triggered maintenance for recurring-ingest loops: compact when
+    * the bucket store's data-file count reaches `maxStoreFiles`, so a
+    * streaming `foreachBatch` ingest self-maintains instead of relying on
+    * an operator remembering to run [[compact]] between jobs. The signal is
+    * a metadata-only listing (no data read) — each ingest appends ≥1 file
+    * per store, so file count tracks append debt (and, after crash
+    * retries, duplicate rows) without a corpus scan. Returns whether a
+    * compaction ran.
+    */
+  def compactIfNeeded(maxStoreFiles: Int): Boolean = {
+    require(maxStoreFiles > 0, s"maxStoreFiles must be positive: $maxStoreFiles")
+    val due = dataFileCount(new Path(bucketsPath)) >= maxStoreFiles
+    if (due) compact()
+    due
+  }
+
   /** Heal the non-atomic two-rename swap: a `<store>__old` next to a
     * MISSING store means a compact crashed between renames — move it back.
     * A leftover `__old` next to a live store (crash after rename 2) or a
@@ -216,32 +266,29 @@ final class DurableMinHashIndex(
     */
   private def recoverInterruptedCompact(): Unit =
     Seq(bucketsPath, shinglesPath).foreach { p =>
-      val dir = new java.io.File(p)
-      val old = new java.io.File(p + "__old")
-      if (old.exists() && !dir.exists()) {
-        if (!old.renameTo(dir))
+      val dir = new Path(p)
+      val old = new Path(p + "__old")
+      if (fs.exists(old) && !fs.exists(dir)) {
+        if (!fs.rename(old, dir))
           throw new java.io.IOException(s"failed to restore $p from interrupted compact")
-      } else if (old.exists()) deleteRecursively(old)
-      val tmp = new java.io.File(p + "__compacting")
-      if (tmp.exists()) deleteRecursively(tmp)
+      } else if (fs.exists(old)) deleteRecursively(old)
+      val tmp = new Path(p + "__compacting")
+      if (fs.exists(tmp)) deleteRecursively(tmp)
     }
 
   private def swapIn(path: String, tmp: String): Unit = {
-    val dir = new java.io.File(path)
-    val old = new java.io.File(path + "__old")
+    val dir = new Path(path)
+    val old = new Path(path + "__old")
     deleteRecursively(old)
-    if (!dir.renameTo(old))
+    if (!fs.rename(dir, old))
       throw new java.io.IOException(s"compact: failed to move $path aside")
-    if (!new java.io.File(tmp).renameTo(dir)) {
-      old.renameTo(dir) // roll back so the store stays readable
+    if (!fs.rename(new Path(tmp), dir)) {
+      fs.rename(old, dir) // roll back so the store stays readable
       throw new java.io.IOException(s"compact: failed to swap $tmp into $path")
     }
     deleteRecursively(old)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = if (f.exists()) {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+  private def deleteRecursively(p: Path): Unit =
+    if (fs.exists(p)) { fs.delete(p, true): Unit }
 }

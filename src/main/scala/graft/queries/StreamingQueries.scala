@@ -421,6 +421,12 @@ object StreamingQueries {
             val pairs = idx.ingest(batch, "doc_id", "text").select("id_a", "id_b")
             pairs.write.mode("append").parquet(outDir)
             graft.ops.Caching.release(pairs)
+            // Self-maintenance: compact when the append-only store passes a
+            // file-count threshold, so the recurring loop never needs an
+            // out-of-band maintenance job. Each ingest appends ≥1 bucket
+            // file, so 2 fires at least once mid-stream on the 3-batch feed
+            // (compaction preserves probe results — DurableDedupIndexSpec).
+            idx.compactIfNeeded(maxStoreFiles = 2): Unit
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()

@@ -119,6 +119,57 @@ class DurableDedupIndexSpec extends SparkSpec {
     assert(found.nonEmpty)
   }
 
+  test("ingest/compact/heal run against a file: URI stateDir (Hadoop FileSystem path)") {
+    // State maintenance resolves a Hadoop FileSystem from the stateDir URI;
+    // an explicit scheme-qualified path exercises the exact API surface an
+    // HDFS deployment would (exists/listFiles/rename/delete on
+    // org.apache.hadoop.fs.FileSystem), with LocalFileSystem as the impl.
+    val local = tmpDir("dedup_idx_hdfs_api")
+    val state = "file:" + local
+    def idx() = new DurableMinHashIndex(spark, state, shingleK = 3,
+      numHashes = 32, bands = 16, threshold = 0.4)
+    idx().ingest(batch(0), "doc_id", "text").count()
+    idx().ingest(batch(1), "doc_id", "text").count()
+    idx().ingest(batch(1), "doc_id", "text").count() // crash-retry dup
+    idx().compact()
+    val b = spark.read.parquet(s"$state/buckets")
+    assert(b.count() == b.distinct().count())
+    // Interrupted-swap healing through the same FileSystem:
+    val buckets = new java.io.File(s"$local/buckets")
+    assert(buckets.renameTo(new java.io.File(s"$local/buckets__old")))
+    val found = pairs(idx().ingest(batch(2), "doc_id", "text"))
+    val expected = pairs(Dedup.incrementalNearDups(
+      docs.filter(pmod(col("doc_id"), lit(3)) < 2), batch(2),
+      "doc_id", "text", shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4))
+    assert(found == expected)
+    assert(found.nonEmpty)
+  }
+
+  test("compactIfNeeded fires at the file-count threshold and not below") {
+    val state = tmpDir("dedup_idx_policy")
+    def idx() = new DurableMinHashIndex(spark, state, shingleK = 3,
+      numHashes = 32, bands = 16, threshold = 0.4)
+    idx().ingest(batch(0), "doc_id", "text").count()
+    // One ingest appended ≥1 bucket file but fewer than 100: below threshold.
+    assert(!idx().compactIfNeeded(maxStoreFiles = 100))
+    idx().ingest(batch(1), "doc_id", "text").count()
+    idx().ingest(batch(1), "doc_id", "text").count() // retry dup to shrink
+    val bucketsDir = new java.io.File(s"$state/buckets")
+    val filesBefore = dataFiles(bucketsDir).size
+    assert(filesBefore >= 2)
+    // Threshold ≤ current count: the policy must trigger a real compaction.
+    assert(idx().compactIfNeeded(maxStoreFiles = 2))
+    assert(dataFiles(bucketsDir).size < filesBefore)
+    val b = spark.read.parquet(s"$state/buckets")
+    assert(b.count() == b.distinct().count())
+    // Post-policy probe still correct.
+    val found = pairs(idx().ingest(batch(2), "doc_id", "text"))
+    val expected = pairs(Dedup.incrementalNearDups(
+      docs.filter(pmod(col("doc_id"), lit(3)) < 2), batch(2),
+      "doc_id", "text", shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4))
+    assert(found == expected)
+  }
+
   test("an empty first ingest leaves a probeable (empty) result, then state accrues") {
     val state = tmpDir("dedup_idx_empty")
     val idx0 = new DurableMinHashIndex(spark, state, shingleK = 3,

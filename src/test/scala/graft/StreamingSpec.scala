@@ -59,6 +59,53 @@ class StreamingSpec extends SparkSpec {
     assert(out === Seq((1L, 1L, 3L), (1L, 2L, 1L), (3L, 1L, 1L)))
   }
 
+  test("streaming ingest self-compacts mid-stream via compactIfNeeded, results unchanged") {
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.jdk.CollectionConverters._
+    val docs = graft.queries.Registry.table(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val feedDir = tmpDir("ingest_compact_feed")
+    docs.repartition(3, pmod(col("doc_id"), lit(3)))
+      .write.mode("overwrite").parquet(feedDir)
+    val state = tmpDir("ingest_compact_state")
+    val outDir = tmpDir("ingest_compact_out")
+    // foreachBatch runs on the driver, so a plain counter observes the
+    // policy decisions; `fired` records the batch ids where compaction ran.
+    val fired = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    var batches = 0L
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val idx = new graft.ops.DurableMinHashIndex(batch.sparkSession, state,
+          shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4)
+        val pairs = idx.ingest(batch, "doc_id", "text").select("id_a", "id_b")
+        pairs.write.mode("append").parquet(outDir)
+        graft.ops.Caching.release(pairs)
+        if (idx.compactIfNeeded(maxStoreFiles = 2)) fired.add(batchId): Unit
+        batches += 1
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches == 3L)
+    // A compaction genuinely ran MID-stream: some fired batch precedes the
+    // last one (ingests after it probed the compacted store).
+    assert(fired.asScala.exists(_ < batches - 1),
+      s"no mid-stream compaction fired: $fired")
+    // The self-maintained stream still finds exactly the incremental truth.
+    val found = spark.read.schema("id_a BIGINT, id_b BIGINT").parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 3).flatMap { i =>
+      graft.ops.Dedup.incrementalNearDups(
+          docs.filter(pmod(col("doc_id"), lit(3)) < i),
+          docs.filter(pmod(col("doc_id"), lit(3)) === i),
+          "doc_id", "text", shingleK = 3, numHashes = 32, bands = 16, threshold = 0.4)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(found == expected)
+    assert(found.nonEmpty)
+  }
+
   test("StreamSync change feed: upserts + deletes converge slave to master") {
     import spark.implicits._
     // ids 5 and 15 are duplicate keys (two rows each) — the feed must carry
