@@ -388,11 +388,24 @@ object Dedup {
     */
   private[graft] def dropHotBuckets(buckets: DataFrame, cap: Option[Long]): DataFrame =
     cap.fold(buckets) { c =>
+      // The hot set is resolved EAGERLY, once per call. The collect is the
+      // same driver-side materialization the broadcast anti-join performs
+      // anyway (≤ #postings/cap rows by construction — broadcast-safe ⇒
+      // driver-safe), and pre-resolving it (a) runs the membership agg
+      // exactly once however many times the calling plan reuses the index
+      // side, and (b) lets the no-hot-buckets COMMON case short-circuit to
+      // the input frame — no anti-join stage at all on clean corpora.
       val hot = buckets.groupBy("band_id", "band_hash")
         .agg(countDistinct(col("id")).as("df"))
-        .filter(col("df") > c).select("band_id", "band_hash")
-      // ≤ #postings/cap hot buckets by construction — broadcast-safe.
-      buckets.join(broadcast(hot), Seq("band_id", "band_hash"), "left_anti")
+        .filter(col("df") > c).select("band_id", "band_hash").collect()
+      if (hot.isEmpty) buckets
+      else {
+        val spark = buckets.sparkSession
+        import spark.implicits._
+        val hotDf = hot.toIndexedSeq.map(r => (r.getInt(0), r.getLong(1)))
+          .toDF("band_id", "band_hash")
+        buckets.join(broadcast(hotDf), Seq("band_id", "band_hash"), "left_anti")
+      }
     }
 
   def incrementalNearDups(base: DataFrame, incoming: DataFrame,
@@ -411,14 +424,23 @@ object Dedup {
       .select(col("id"), col("__new"),
         array_distinct(TextAnalysis.shingles(col("__text"), shingleK)).as("sh"))
       .localCheckpoint(true)
+    var bucketsRef: Option[DataFrame] = None
     try {
       val sigged = shingled.select(col("id"), col("__new"),
         minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))
       val rows = numHashes / bands
+      // Checkpointed: the bucket frame is read by the probe side, the index
+      // side, AND (when capped) the hot-bucket membership agg — without the
+      // checkpoint each reader re-runs the minhash signatures, the
+      // compute-dense step. Rows are (id, flag, band, hash) — the LSH
+      // index itself, bands·N rows of 4 scalars, the size any LSH
+      // implementation materializes.
       val buckets = sigged.select(col("id"), col("__new"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows),
             x => x.cast("string"))))): _*)).as(Seq("band_id", "band_hash")))
+        .localCheckpoint(true)
+      bucketsRef = Some(buckets)
       // Asymmetric probe: new-side buckets only on the left; the full index
       // (base + new, so new–new dups are still caught) on the right, with
       // hot buckets dropped from the INDEX side — zeroing a hot bucket's
@@ -442,7 +464,10 @@ object Dedup {
             .as("jaccard"))
         .filter(col("jaccard") >= threshold)
       verified.localCheckpoint(true)
-    } finally Caching.release(shingled)
+    } finally {
+      Caching.release(shingled)
+      bucketsRef.foreach(Caching.release)
+    }
   }
 
   /** Per-document duplicate-shingle statistics: for each doc, how many of

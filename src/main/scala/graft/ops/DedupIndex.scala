@@ -118,17 +118,21 @@ final class DurableMinHashIndex(
         array_distinct(TextAnalysis.shingles(col("__text"), shingleK)).as("sh"))
       .localCheckpoint(true) // batch-sized; shingling runs exactly once
     var baseNeededRef: Option[DataFrame] = None
+    var newBucketsRef: Option[DataFrame] = None
     try {
       val sigged = shingled.select(col("id"),
         Dedup.minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))
       val rows = numHashes / bands
-      // No checkpoint: every reuse (both probe sides + the append) is
-      // map-only recompute over the checkpointed shingles — cheaper than
-      // another materialization barrier per ingest.
+      // Checkpointed (batch-sized): reused by the probe side, the index
+      // union, the capped path's membership agg, and the final append —
+      // four readers that would otherwise each re-run the minhash
+      // signatures, the compute-dense step of the ingest.
       val newBuckets = sigged.select(col("id"),
           posexplode(array((0 until bands).map(b =>
             xxhash64(lit(b), concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows),
               x => x.cast("string"))))): _*)).as(Seq("band_id", "band_hash")))
+        .localCheckpoint(true)
+      newBucketsRef = Some(newBuckets)
       // Probe: this batch's buckets against (persisted ∪ this batch) — the
       // union keeps new–new dups; the batch side is the broadcast side.
       // Hot buckets (boilerplate clusters) are dropped from the INDEX side
@@ -193,9 +197,10 @@ final class DurableMinHashIndex(
       newBuckets.write.mode("append").parquet(bucketsPath)
       verified
     } finally {
-      // Both checkpoints release even when verify/append throws — a failed
+      // All checkpoints release even when verify/append throws — a failed
       // ingest must not leak candidate-sized blocks for the session's life.
       Caching.release(shingled)
+      newBucketsRef.foreach(Caching.release)
       baseNeededRef.foreach(Caching.release)
     }
   }
