@@ -464,6 +464,57 @@ object StreamingQueries {
               |  FROM f)
               |SELECT user_id, session_id, count(*) AS n_events,
               |  epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us
+              |FROM g GROUP BY user_id, session_id""".stripMargin)),
+
+    // Bounded-state sessionization: same gap semantics, same oracle, but
+    // state is EventTimeTimeout-bounded — a session whose close instant
+    // (t_end + gap) the watermark passes is emitted once and its state row
+    // DELETED, so a continuous feed holds state only for users active
+    // within one gap+delay horizon (the NoTimeout variant above retains
+    // every user ever seen). The finite feed is flushed by two sentinel
+    // batches (user_id -1, filtered out): the first advances the watermark
+    // past every real close instant, the second is the data batch under
+    // that watermark in which the timeouts actually fire — the same
+    // two-sentinel shape as stream_hourly_counts_append. End state =
+    // exactly the sentinel user's own open session (asserted in
+    // StreamingSpec).
+    Q("stream_sessionize_bounded",
+      (s, dir) => withStatePartitions(s, 8) {
+        val ev = Registry.events(s, dir).select(col("user_id"), col("event_id"), col("ts"))
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        // Sentinel ts: watermark after its batch (ts - 30 min) must clear
+        // maxTs + gap (30 min) — +2 h clears it with an hour to spare.
+        val sentinel = s.range(1).select(
+          lit(-1L).cast(ev.schema("user_id").dataType).as("user_id"),
+          lit(0L).cast(ev.schema("event_id").dataType).as("event_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)).as("ts"))
+        val stage = java.nio.file.Files.createTempDirectory("graft_sess_bounded")
+        val now = System.currentTimeMillis()
+        stageParquetFile(stage, ev, "events.parquet", now - 120000)
+        stageParquetFile(stage, sentinel, "sentinel1.parquet", now - 60000)
+        stageParquetFile(stage, sentinel, "sentinel2.parquet", now)
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+        val run = graft.streaming.Sessionize.runAvailableNowBounded(
+          src.withWatermark("ts", "30 minutes"), gapSeconds = 1800,
+          queryName = "graft_sessions_bounded")
+        run.sessions.filter(col("user_id") >= 0)
+          .select(col("user_id"), col("session_id"), col("n_events"),
+            unix_micros(col("t_start")).as("t_start_us"),
+            unix_micros(col("t_end")).as("t_end_us"))
+      },
+      Some("""WITH e AS (
+              |  SELECT user_id, event_id, ts,
+              |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              |  FROM events),
+              | f AS (SELECT user_id, event_id, ts,
+              |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS new_s
+              |  FROM e),
+              | g AS (SELECT user_id, ts,
+              |    cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) as bigint) AS session_id
+              |  FROM f)
+              |SELECT user_id, session_id, count(*) AS n_events,
+              |  epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us
               |FROM g GROUP BY user_id, session_id""".stripMargin))
   )
 

@@ -70,6 +70,105 @@ object Sessionize extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(run)
   }
 
+  /** Watermark-bounded variant of [[sessionSnapshots]] — the production
+    * form for a CONTINUOUS feed. [[sessionSnapshots]] keeps one open-session
+    * state row per user forever (`NoTimeout`): every user that ever appeared
+    * holds state for the stream's life. Here the state is bounded by
+    * `EventTimeTimeout`: a session whose close instant (`t_end + gap`) the
+    * watermark has passed can never be extended — any event that COULD
+    * extend it (`ts ≤ t_end + gap ≤ watermark`) would be dropped as late —
+    * so the operator emits its final form and DELETES the state row. State
+    * size is therefore ∝ users active within one (gap + watermark-delay)
+    * horizon, not users-ever-seen.
+    *
+    * Emission is close-only (gap-close in batch, timeout, or
+    * already-expired at batch end): each session is emitted exactly once,
+    * so no snapshot reconciliation is needed downstream — run
+    * [[finalizeSessions]] for the per-user numbering only. On a finite
+    * feed, open sessions at end-of-stream need the watermark pushed past
+    * them to flush — stage a sentinel event (filtered out of the result)
+    * far enough ahead, exactly as the append-mode windowed aggregation
+    * does.
+    *
+    * `events` must already carry `withWatermark("ts", …)` — event-time
+    * timeouts require it, and the delay choice belongs to the caller's
+    * latency/lateness contract.
+    */
+  def sessionSnapshotsBounded(events: DataFrame, gapSeconds: Long): Dataset[SessionEmit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapSeconds * 1000000L
+
+    def run(key: Long, it: Iterator[Ev], state: GroupState[SessionState]): Iterator[SessionEmit] = {
+      if (state.hasTimedOut) {
+        // Watermark passed t_end + gap: the session is final — emit & drop.
+        val out = state.getOption.map(toEmit(key, _)).iterator
+        state.remove()
+        out
+      } else {
+        val evs = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionEmit]
+        var cur = state.getOption
+        evs.foreach { e =>
+          val tm = micros(e.ts)
+          cur match {
+            case Some(s) if tm - s.endMicros <= gapMicros =>
+              cur = Some(s.copy(endMicros = tm, n = s.n + 1))
+            case Some(s) =>
+              out += toEmit(key, s) // closed in-batch — final
+              cur = Some(SessionState(tm, tm, 1))
+            case None =>
+              cur = Some(SessionState(tm, tm, 1))
+          }
+        }
+        cur.foreach { s =>
+          val closeMs = s.endMicros / 1000L + gapSeconds * 1000L
+          if (closeMs <= state.getCurrentWatermarkMs()) {
+            // Already expired as of this batch's watermark (setTimeout in
+            // the past is illegal, and the timeout would fire next batch
+            // anyway): close now — same final form, one batch earlier.
+            out += toEmit(key, s)
+            state.remove()
+          } else {
+            state.update(s)
+            state.setTimeoutTimestamp(closeMs)
+          }
+        }
+        out.iterator
+      }
+    }
+
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"), col("ts"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(run)
+  }
+
+  /** Result of a drained bounded run: the finished sessions plus the state
+    * rows the final micro-batch left behind — the operator's bounded-state
+    * claim, observable (a sentinel-flushed finite feed should leave only
+    * the sentinel user's own state).
+    */
+  final case class BoundedRun(sessions: DataFrame, finalStateRows: Long)
+
+  /** Drain a watermarked events stream through [[sessionSnapshotsBounded]]
+    * synchronously. The caller stages the feed so the watermark ends past
+    * every real session's close instant (sentinel batches); sessions are
+    * emitted exactly once, so only numbering remains.
+    */
+  def runAvailableNowBounded(watermarked: DataFrame, gapSeconds: Long,
+                             queryName: String): BoundedRun = {
+    val spark = watermarked.sparkSession
+    val q = sessionSnapshotsBounded(watermarked, gapSeconds)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    BoundedRun(finalizeSessions(spark.table(queryName)), stateRows)
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
 

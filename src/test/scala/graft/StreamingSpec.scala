@@ -59,6 +59,45 @@ class StreamingSpec extends SparkSpec {
     assert(out === Seq((1L, 1L, 3L), (1L, 2L, 1L), (3L, 1L, 1L)))
   }
 
+  test("bounded sessionizer emits correct sessions and DROPS state after timeout") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // user 1: two events 10 min apart (one session), then one 2 h later (a
+    // second session). user 2: one event. gap = 30 min.
+    val ev = Seq(
+      (1L, 1L, ts(0)), (1L, 2L, ts(10)), (1L, 3L, ts(130)),
+      (2L, 4L, ts(5))
+    ).toDF("user_id", "event_id", "ts")
+    val sentinel = Seq((-1L, 0L, ts(130 + 240))).toDF("user_id", "event_id", "ts")
+    val stage = java.nio.file.Files.createTempDirectory("graft_sess_bounded_spec")
+    def put(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, stage.resolve(name))
+      java.nio.file.Files.setLastModifiedTime(stage.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtime)); ()
+    }
+    val now = System.currentTimeMillis()
+    put(ev, "events.parquet", now - 120000)
+    put(sentinel, "sentinel1.parquet", now - 60000)
+    put(sentinel, "sentinel2.parquet", now)
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val run = Sessionize.runAvailableNowBounded(
+      src.withWatermark("ts", "10 minutes"), gapSeconds = 1800,
+      queryName = "graft_sess_bounded_spec")
+    val got = run.sessions.filter(col("user_id") >= 0)
+      .select("user_id", "session_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+    // The bounded-state claim: after the sentinel advanced the watermark
+    // past every real close instant, the timeouts fired and DELETED those
+    // state rows — only the sentinel user's own open session remains.
+    assert(run.finalStateRows == 1L, s"state rows left: ${run.finalStateRows}")
+  }
+
   test("streaming ingest self-compacts mid-stream via compactIfNeeded, results unchanged") {
     import org.apache.spark.sql.streaming.Trigger
     import scala.jdk.CollectionConverters._
