@@ -784,6 +784,70 @@ object SimilarityQueries {
       Some("""SELECT count(*)::bigint AS n, cast(max(len(embedding)) as int) AS d,
               | true AS ordered_ok, true AS dominance_ok,
               | true AS trace_ok, true AS proj_var_ok
-              |FROM embeddings""".stripMargin))
+              |FROM embeddings""".stripMargin)),
+
+    // ---- top-m PCA: the deflation loop's FULL output, with the
+    //      distributed closure emb_pca runs for v₁ extended to EVERY
+    //      eigenpair — and still one distributed pass: all m projections
+    //      are evaluated as m array_dot columns in a single scan, one agg
+    //      carries 2m+1 sums. Per eigenpair k the row pins:
+    //        proj_var_ok — corpus variance along v_k within 1% of λ_k
+    //                      (the eigenpair explains exactly the variance it
+    //                      claims — per-direction, not just the dominant);
+    //        orth_ok     — v_k ⊥ every earlier eigenvector (deflation
+    //                      didn't leak previous directions);
+    //        residual_ok — ‖cov·v_k − λ_k·v_k‖ small relative to λ₁ (the
+    //                      pair is an actual eigenpair of the covariance,
+    //                      not merely a converged direction).
+    Q("emb_pca_topm",
+      (s, dir) => {
+        import s.implicits._
+        val m = 4
+        val emb = T(s, dir, "embeddings")
+        val d = emb.select(size(col("embedding"))).head().getInt(0)
+        val gram = emb
+          .agg(graft.functions.GramMatrix.gram_matrix(col("embedding"), d).as("g"))
+          .select(explode(col("g")).as("r"))
+          .select(col("r.i"), col("r.j"), col("r.v"))
+          .collect().toSeq // bounded: 1 + d + d(d+1)/2 rows (d ≤ 4096)
+        val (n, sx, sxy) = graft.functions.GramMatrix.decode(gram, d)
+        val cov = graft.functions.GramMatrix.covariance(n, sx, sxy)
+        val eig = graft.functions.GramMatrix.topEigen(cov, m)
+        val l1 = eig.head._1
+        // ONE distributed pass for all m projection-variance closures.
+        val projCols = eig.zipWithIndex.map { case ((_, v), k) =>
+          graft.functions.VectorExpressions.array_dot(col("embedding"),
+            array(v.map(lit).toIndexedSeq: _*)).as(s"p$k") }
+        val aggs = count(lit(1)).cast("double").as("cnt") +:
+          (0 until m).flatMap(k => Seq(
+            sum(col(s"p$k")).as(s"s$k"),
+            sum(col(s"p$k") * col(s"p$k")).as(s"ss$k")))
+        val stats = emb.filter(size(col("embedding")) === d)
+          .select(projCols: _*).agg(aggs.head, aggs.tail: _*).head()
+        val cnt = stats.getDouble(0)
+        val rows = eig.zipWithIndex.map { case ((lk, vk), k) =>
+          val sK = stats.getDouble(1 + 2 * k)
+          val ssK = stats.getDouble(2 + 2 * k)
+          val projVar = ssK / cnt - (sK / cnt) * (sK / cnt)
+          // 1% relative per eigenpair, floored by the 1e-6 quantization
+          // granularity of the gram sums scaled into λ₁'s magnitude.
+          val projVarOk = math.abs(projVar - lk) <= 0.01 * math.max(lk, 1e-12) + 1e-6 * l1
+          val orthOk = eig.take(k).forall { case (_, vj) =>
+            math.abs(vk.zip(vj).map { case (a, b) => a * b }.sum) <= 1e-6 }
+          val resid = math.sqrt((0 until d).map { i =>
+            var sI = 0.0; var j = 0
+            while (j < d) { sI += cov(i)(j) * vk(j); j += 1 }
+            val r = sI - lk * vk(i); r * r
+          }.sum)
+          val residualOk = resid <= 1e-6 * math.max(l1, 1e-12)
+          ((k + 1).toLong, n, d, projVarOk, orthOk, residualOk)
+        }
+        rows.toDF("k", "n", "d", "proj_var_ok", "orth_ok", "residual_ok")
+      },
+      Some("""SELECT cast(r.range + 1 as bigint) AS k, s.n, s.d,
+              | true AS proj_var_ok, true AS orth_ok, true AS residual_ok
+              |FROM range(4) r,
+              | (SELECT count(*)::bigint AS n, cast(max(len(embedding)) as int) AS d
+              |  FROM embeddings) s""".stripMargin))
   )
 }

@@ -87,4 +87,34 @@ class GramMatrixSpec extends SparkSpec {
     val resid = math.sqrt((0 until d).map(i => math.pow(cv(i) - l1 * v1(i), 2)).sum)
     assert(resid <= 1e-6 * math.max(l1, 1e-12), s"residual $resid too large for lambda $l1")
   }
+
+  test("topEigen deflation recovers a KNOWN multi-component spectrum, pairwise orthogonal") {
+    // Synthetic data with an exactly known covariance: axis-aligned
+    // independent coordinates with variances 9, 4, 1, 0 → eigenvalues
+    // (9, 4, 1) on the canonical axes. Built as all sign combinations so
+    // sample covariance is exact (population over the 8-point set).
+    val d4 = 4
+    val pts = for (a <- Seq(-3.0, 3.0); b <- Seq(-2.0, 2.0); c <- Seq(-1.0, 1.0))
+      yield Array(a, b, c, 0.0)
+    val cov = {
+      val n = pts.size
+      val mean = Array.tabulate(d4)(i => pts.map(_(i)).sum / n)
+      Array.tabulate(d4, d4)((i, j) =>
+        pts.map(p => (p(i) - mean(i)) * (p(j) - mean(j))).sum / n)
+    }
+    val eig = GramMatrix.topEigen(cov, 3)
+    val ls = eig.map(_._1)
+    assert(math.abs(ls(0) - 9.0) < 1e-9 && math.abs(ls(1) - 4.0) < 1e-9 &&
+      math.abs(ls(2) - 1.0) < 1e-9, s"spectrum off: $ls")
+    // Each eigenvector is the expected canonical axis (up to sign)…
+    Seq(0, 1, 2).foreach { k =>
+      val v = eig(k)._2
+      assert(math.abs(math.abs(v(k)) - 1.0) < 1e-9, s"v$k not axis-aligned: ${v.toSeq}")
+    }
+    // …and deflation kept the basis orthogonal.
+    for (i <- 0 until 3; j <- 0 until i) {
+      val dot = eig(i)._2.zip(eig(j)._2).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot) < 1e-6, s"v${i} . v${j} = $dot")
+    }
+  }
 }
