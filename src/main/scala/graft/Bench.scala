@@ -69,9 +69,35 @@ object Bench {
       graft.queries.SourceQueries.prestage(spark, sfDir)
     } catch { case _: Throwable => () }
     def calibrate(): Double = Bench.calibrate(spark)
-    val calibSec = calibrate()
+    // Warm-up gate: do NOT start the timed run on a loaded host, and do not
+    // record a JIT-cold start sample. Probe the CPU calibration until it is
+    // both QUIET (< 0.8, the healthy-host ceiling) and STABLE (within 25%
+    // of the previous sample — the calibration job itself speeds up 2-10×
+    // as the JVM warms, and an un-converged start sample fakes a
+    // "host slowed down" signature against the end sample). Pause between
+    // attempts only when actually loaded; bounded retries so a genuinely
+    // slow host still produces an artifact. Every attempt is recorded
+    // ("calib_attempts"), so a reader sees both that the gate ran and what
+    // it had to wait through.
+    val calibGate = 0.8
+    val calibMaxAttempts = 10
+    def gateQuiet(): Vector[Double] = {
+      val attempts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var done = false
+      while (!done && attempts.length < calibMaxAttempts) {
+        val c = calibrate()
+        val stable = attempts.lastOption.exists(p =>
+          math.abs(c - p) <= 0.25 * math.min(c, p))
+        attempts += c
+        if (c < calibGate && stable) done = true
+        else if (c >= calibGate) Thread.sleep(15000)
+      }
+      attempts.toVector
+    }
+    val calibAttempts = gateQuiet()
+    val calibSec = calibAttempts.last
     val calibScan = calibrateScan(spark, sfDir)
-    println(f"""{"calib_sec":$calibSec%.3f,"calib_scan_sec":$calibScan%.3f}""")
+    println(f"""{"calib_sec":$calibSec%.3f,"calib_scan_sec":$calibScan%.3f,"calib_attempts":${calibAttempts.map(c => f"$c%.3f").mkString("[", ",", "]")}}""")
     // Optional median mode (default 1 = unchanged contract behavior): run
     // each query N times and report the per-query MEDIAN, so one noisy host
     // window cannot dominate a round's numbers (observed 5× mid-run drift on
@@ -83,7 +109,7 @@ object Bench {
     // discount exactly the affected segment instead of the whole artifact.
     val calibMid = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val samples = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -95,7 +121,11 @@ object Bench {
         } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      val sec = samples(samples.length / 2)
+      samples(samples.length / 2)
+    }
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    ordered.zipWithIndex.foreach { case ((name, fn), i) =>
+      val sec = timeQuery(name, fn)
       // One line per query as it completes: the driver's byte-limited tail
       // capture truncated the single all-queries JSON line in round 3.
       println(f"""{"query":"$name","sec":$sec%.3f}""")
@@ -104,15 +134,53 @@ object Bench {
         calibMid += ((i + 1, c))
         println(f"""{"calib_mid":$c%.3f,"after_queries":${i + 1}}""")
       }
-      name -> sec
+      results(name) = sec
     }
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     // Second calibration sample AFTER the suite: host speed on shared/virtualized
     // benchmark machines drifts mid-run (observed 5× per-query swings between
     // two same-code runs); start+end samples bound the drift for the reader.
-    val calibEnd = calibrate()
+    var calibEnd = calibrate()
+    // Noisy-segment self-repair: a 25-query block is only credible if the
+    // calibration samples bracketing it were quiet. Compute the run's median
+    // calib; any block with a bracketing sample > 2× that median is re-run
+    // (after re-passing the quiet gate), and its timings replaced — the
+    // original numbers were taken under measured load, the replacements
+    // under measured quiet. Re-run blocks are recorded in the artifact
+    // ("rerun_blocks"), so the self-repair is visible, not silent.
+    val blockSize = 25
+    def sampleAt(pos: Int): Double =
+      if (pos == 0) calibSec
+      else if (pos >= ordered.length) calibEnd
+      else calibMid.find(_._1 == pos).map(_._2).getOrElse(calibSec)
+    val allSamples = (calibSec +: calibMid.map(_._2).toVector :+ calibEnd).sorted
+    val runMedian = allSamples(allSamples.length / 2)
+    val nBlocks = (ordered.length + blockSize - 1) / blockSize
+    val noisy = (0 until nBlocks).filter { b =>
+      val lo = b * blockSize
+      val hi = math.min(lo + blockSize, ordered.length)
+      sampleAt(lo) > 2 * runMedian || sampleAt(hi) > 2 * runMedian
+    }
+    val rerunInfo = noisy.map { b =>
+      val gate = gateQuiet()
+      val lo = b * blockSize
+      val hi = math.min(lo + blockSize, ordered.length)
+      ordered.slice(lo, hi).foreach { case (name, fn) =>
+        val sec = timeQuery(name, fn)
+        println(f"""{"query":"$name","sec":$sec%.3f,"rerun":true}""")
+        results(name) = sec
+      }
+      val after = calibrate()
+      println(f"""{"rerun_block":$b,"calib_after":$after%.3f}""")
+      f"""{"block":$b,"gate":${gate.map(c => f"$c%.3f").mkString("[", ",", "]")},"calib_after":$after%.3f}"""
+    }
+    if (noisy.nonEmpty) {
+      // The artifact's end sample should describe the state the FINAL
+      // numbers were taken under.
+      calibEnd = calibrate()
+    }
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val total = results.valuesIterator.sum
     val calibScanEnd = calibrateScan(spark, sfDir)
     val extraField = extraConf.fold("")(c =>
       s""","extra_conf":${graft.util.JsonUtil.quote(c)}""") +
@@ -120,7 +188,9 @@ object Bench {
       (if (calibMid.nonEmpty)
          calibMid.map { case (n, c) => f""""$n":$c%.3f""" }
            .mkString(""","calib_mid":{""", ",", "}")
-       else "")
+       else "") +
+      s""","calib_attempts":${calibAttempts.map(c => f"$c%.3f").mkString("[", ",", "]")}""" +
+      (if (rerunInfo.nonEmpty) s""","rerun_blocks":${rerunInfo.mkString("[", ",", "]")}""" else "")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"calib_end_sec":$calibEnd%.3f,"calib_scan_sec":$calibScan%.3f,"calib_scan_end_sec":$calibScanEnd%.3f$extraField,"queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: persist the full results line to a file the repo
