@@ -1,7 +1,15 @@
 package graft
 
 import graft.queries.Registry
+import graft.sync.{ParquetStore, SyncConfig, SyncEngine}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import scala.jdk.CollectionConverters._
 
 /** PLANS.md's structural claims as regression tests: the plans the corpus
   * was tuned to produce (broadcast star joins, single-exchange windows,
@@ -86,5 +94,95 @@ class PlanAuditSpec extends SparkSpec {
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n" +
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  // ---- Sync-cascade scan contracts -----------------------------------------
+  // The cascade is imperative (many actions per cycle), so its scan economy
+  // is audited by NODE-walking every QueryExecution the cycle runs: file
+  // scans are collected per execution (descending AQE final plans, query
+  // stages, and subqueries; skipping reused exchanges), and a cached plan's
+  // underlying scan is attributed ONCE per InMemoryRelation — a cache
+  // materializes its file scan exactly once, however many legs read it.
+
+  /** Parquet-scan root paths executed while `body` runs, one entry per
+    * executed scan (class-matched, not toString-matched).
+    */
+  private def scanPathsDuring(body: => Unit): Seq[String] = {
+    // Dedup key is the relation's cacheBuilder, not the relation: the cache
+    // manager substitutes per-use COPIES of an InMemoryRelation (fresh
+    // output attrs), but every copy shares the one CachedRDDBuilder that
+    // actually materialized the underlying scan.
+    val seenCaches = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[AnyRef, java.lang.Boolean]())
+    val paths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.foreach(rp => paths.add(rp.toString)): Unit
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case im: InMemoryTableScanExec =>
+          if (seenCaches.add(im.relation.cacheBuilder)) walk(im.relation.cachedPlan)
+        case _: ReusedExchangeExec => () // re-reads an exchange, not the files
+        case other =>
+          other.children.foreach(walk)
+          other.subqueries.foreach(walk)
+      }
+    }
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        walk(qe.executedPlan)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try body finally {
+      // QueryExecutionListener delivery is asynchronous — drain the bus so
+      // the assertion sees every execution the body ran.
+      org.apache.spark.GraftSparkTestAccess.flushListenerBus(spark.sparkContext)
+      spark.listenerManager.unregister(listener)
+    }
+    paths.asScala.toSeq
+  }
+
+  private def liKeys = Map("lineitem" -> Seq("l_orderkey", "l_linenumber"))
+
+  test("sync cascade: divergent dry-run cycle scans each side exactly ONCE (fused gate)") {
+    val mDir = tmpDir("pa_sync_m")
+    val sDir = tmpDir("pa_sync_s")
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    li.write.parquet(s"$mDir/lineitem.parquet")
+    li.filter(col("l_orderkey") % 7 =!= 0).write.parquet(s"$sDir/lineitem.parquet")
+    val engine = new SyncEngine(new ParquetStore(spark, mDir), new ParquetStore(spark, sDir),
+      SyncConfig(primaryKeys = liKeys, dryRun = true))
+    val scans = scanPathsDuring { engine.syncTable("lineitem"): Unit }
+    val m = scans.count(_.contains(mDir))
+    val s = scans.count(_.contains(sDir))
+    // PLANS.md's fused-gate claim: each side reduces ONCE to its narrow
+    // fast-hash map; the gate, both diff legs, and the dry-run insert count
+    // all reuse those maps — 2 wide scans total, nothing else touches the
+    // tables.
+    assert(m == 1, s"master scanned $m times; expected exactly 1\n${scans.mkString("\n")}")
+    assert(s == 1, s"slave scanned $s times; expected exactly 1\n${scans.mkString("\n")}")
+  }
+
+  test("sync cascade maintained mode: token-changed but in-sync cycle never scans the slave") {
+    val mDir = tmpDir("pa_maint_m")
+    val sDir = tmpDir("pa_maint_s")
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    li.write.parquet(s"$mDir/lineitem.parquet")
+    li.write.parquet(s"$sDir/lineitem.parquet")
+    val engine = new SyncEngine(new ParquetStore(spark, mDir), new ParquetStore(spark, sDir),
+      SyncConfig(primaryKeys = liKeys, maintainFingerprints = true))
+    engine.syncTable("lineitem") // prime: fingerprints computed, state stored
+    // Rewrite the master with identical content: the change token moves (so
+    // the zero-job short-circuit cannot fire) but the data is in-sync — the
+    // cycle must re-fingerprint the MASTER once and answer the gate from
+    // the maintained slave fingerprint without touching the slave.
+    li.write.mode("overwrite").parquet(s"$mDir/lineitem.parquet")
+    val scans = scanPathsDuring { engine.syncTable("lineitem"): Unit }
+    val m = scans.count(_.contains(mDir))
+    val s = scans.count(_.contains(sDir))
+    assert(s == 0, s"slave scanned $s times on an in-sync cycle; expected 0\n${scans.mkString("\n")}")
+    assert(m == 1, s"master scanned $m times; expected exactly 1\n${scans.mkString("\n")}")
   }
 }
