@@ -506,6 +506,21 @@ object Similarity {
       .persist()
     try {
       xq.count() // materialize once; every iteration re-reads the cache
+      // Runtime overflow guard (one narrow pass over the cache): the
+      // squared-distance accumulator needs d·(2B)² ≤ Long.MaxValue for
+      // component bound B. The comment-only audit assumed embedding-scale
+      // inputs; domain drift (|x| beyond ~2e7/1e6 = 20 at d=4096, ~190 at
+      // d=64) must fail LOUDLY here, not corrupt assignments.
+      val guard = xq.agg(
+        max(array_max(transform(col("xq"), v => abs(v)))).as("b"),
+        max(size(col("xq"))).as("d")).head()
+      if (!guard.isNullAt(0)) {
+        val (maxAbs, dims) = (guard.getLong(0), math.max(1, guard.getInt(1)))
+        val bound = math.sqrt(Long.MaxValue.toDouble / (4.0 * dims)).toLong
+        require(maxAbs <= bound,
+          s"kmeansExact: quantized component magnitude $maxAbs exceeds the " +
+          s"int64-safe bound $bound for d=$dims — rescale the input")
+      }
       var cents: Seq[(Int, Seq[Long])] = xq.orderBy("id").limit(k).collect()
         .toSeq.zipWithIndex.map { case (r, j) => (j, r.getSeq[Long](1)) }
       def assign(): DataFrame = {

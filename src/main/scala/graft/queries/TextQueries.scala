@@ -1025,7 +1025,7 @@ object TextQueries {
     Q("pipeline_cdc_chunk",
       (s, dir) => TextAnalysis.cdcChunkDocuments(
           T(s, dir, "documents"), "doc_id", "text",
-          windowK = 3, divisor = 32, maxChunkTokens = 128)
+          windowK = CdcWindowK, divisor = CdcDivisor, maxChunkTokens = CdcMaxChunkTokens)
         .select(col("id").as("doc_id"), col("chunk_id"), col("start_tok"),
           col("n_tok"), col("chunk_text"), col("chunk_md5")),
       Some(s"""$cdcChunkOracleCte
@@ -1042,7 +1042,7 @@ object TextQueries {
     Q("dedup_cdc_chunks",
       (s, dir) => TextAnalysis.cdcChunkDocuments(
           T(s, dir, "documents"), "doc_id", "text",
-          windowK = 3, divisor = 32, maxChunkTokens = 128)
+          windowK = CdcWindowK, divisor = CdcDivisor, maxChunkTokens = CdcMaxChunkTokens)
         .groupBy(col("chunk_md5"))
         .agg(countDistinct(col("id")).as("n_docs"),
           count(lit(1)).as("n_occurrences"),
@@ -1553,22 +1553,33 @@ object TextQueries {
     * DuckDB replace() drops non-overlapping occurrences left-to-right —
     * the same greedy rule BpeEncode applies.
     */
-  /** DuckDB replay of [[TextAnalysis.cdcChunkDocuments]] (k=3, divisor=32,
-    * cap=128) in window-function form — per-position boundary flags →
-    * cumulative natural-chunk ids → capped sub-ids → grouped chunk rows
+  /** The CDC chunking parameters, shared by BOTH the Spark queries and the
+    * DuckDB oracle CTE below — interpolated so the query and its oracle
+    * cannot silently diverge when the parameters change.
+    */
+  private[queries] val CdcWindowK = 3
+  private[queries] val CdcDivisor = 32
+  private[queries] val CdcMaxChunkTokens = 128
+
+  /** DuckDB replay of [[TextAnalysis.cdcChunkDocuments]] ([[CdcWindowK]],
+    * [[CdcDivisor]], [[CdcMaxChunkTokens]]) in window-function form —
+    * per-position boundary flags → cumulative natural-chunk ids → capped
+    * sub-ids → grouped chunk rows
     * `ch(doc_id, nat, sub, start_tok, n_tok, chunk_text)`. An independent
     * formulation of the array-expression construction the Spark side uses.
+    * The k-gram at 0-based position i covers tokens [i-(k-1), i] — in
+    * DuckDB's 1-based inclusive slice, w[u.i - (k-2) : u.i + 1].
     */
   private val cdcChunkOracleCte: String =
-    """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
       |  FROM documents WHERE length(trim(text)) > 0),
       | t AS (SELECT doc_id, cast(u.i as bigint) AS pos, w[u.i + 1] AS tok,
-      |        CASE WHEN u.i >= 2 AND u.i < len(w) - 1 THEN
-      |          ('0x' || substr(md5(array_to_string(w[u.i - 1 : u.i + 1], ' ')), 1, 15))::BIGINT
+      |        CASE WHEN u.i >= ${CdcWindowK - 1} AND u.i < len(w) - 1 THEN
+      |          ('0x' || substr(md5(array_to_string(w[u.i - ${CdcWindowK - 2} : u.i + 1], ' ')), 1, 15))::BIGINT
       |        END AS h
       |       FROM d, unnest(range(0, len(w))) AS u(i)),
       | f AS (SELECT doc_id, pos, tok,
-      |        CASE WHEN h IS NOT NULL AND h % 32 = 0 THEN 1 ELSE 0 END AS b
+      |        CASE WHEN h IS NOT NULL AND h % $CdcDivisor = 0 THEN 1 ELSE 0 END AS b
       |       FROM t),
       | c AS (SELECT doc_id, pos, tok,
       |        coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
@@ -1576,7 +1587,7 @@ object TextQueries {
       |       FROM f),
       | r AS (SELECT doc_id, pos, tok, nat,
       |        cast(floor((row_number() OVER (PARTITION BY doc_id, nat ORDER BY pos) - 1)
-      |          / 128.0) as bigint) AS sub
+      |          / $CdcMaxChunkTokens.0) as bigint) AS sub
       |       FROM c),
       | ch AS (SELECT doc_id, nat, sub, min(pos) AS start_tok,
       |         cast(count(*) as bigint) AS n_tok,

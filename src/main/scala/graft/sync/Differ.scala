@@ -267,14 +267,18 @@ object Differ {
       //
       // Mutating runs spill to scratch parquet — the durable restart point
       // BEFORE any slave write. A dry run mutates nothing, so its legs only
-      // need the single-execution guarantee, not durability: cache them
-      // (populated by the leg-count job below) and skip the write + re-list
-      // round trip. Eviction at worst recomputes the same deterministic diff.
+      // need the single-execution guarantee, not durability: a LAZY local
+      // checkpoint (populated by the leg-count job below) skips the write +
+      // re-list round trip while still freezing a true snapshot — lineage
+      // is truncated, so a lost block fails the audit loudly instead of
+      // silently recomputing a leg against a source a concurrent writer may
+      // have moved since (plain persist() would hand the J3 count and the
+      // leg counts views of two different instants in that case).
       val legsPlan = delta.spillLegs.getOrElse(
         delta.deletes.withColumn("__leg", lit("d"))
           .unionByName(delta.insertKeys.withColumn("__leg", lit("k"))))
       val keys =
-        if (dryRun) legsPlan.persist()
+        if (dryRun) legsPlan.localCheckpoint(false)
         else {
           describeJobs(spark, s"sync: $table diff-leg spill")(
             legsPlan.write.parquet(s"$scratch/keys"))

@@ -28,6 +28,17 @@ class KMeansSpec extends SparkSpec {
     assert(out(1) == (1L, 4L, 16L))
   }
 
+  test("component magnitudes past the int64-safe bound fail LOUDLY, not silently") {
+    // d=64 → quantized bound ≈ sqrt(Long.Max/(4·64)) ≈ 1.9e8 → raw ≈ 190.
+    // A vector at 300 must be rejected by the runtime guard.
+    val big = Seq((1L, Seq.fill(64)(300.0f)), (2L, Seq.fill(64)(-300.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansExact(big, "vec_id", "embedding", k = 2, iters = 1).count()
+    }
+    assert(e.getMessage.contains("int64-safe bound"))
+  }
+
   test("real embeddings: final assignment partitions the corpus; determinism across runs") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val a = Similarity.kmeansExact(emb, "vec_id", "embedding", k = 4, iters = 2)

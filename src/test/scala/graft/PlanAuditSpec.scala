@@ -19,6 +19,13 @@ import scala.jdk.CollectionConverters._
   *
   * Assertions run against the RUNTIME plan (executed once, so AQE's final
   * decisions — not the static estimate — are what's checked).
+  *
+  * The single-plan tests pin rendered-plan substrings DELIBERATELY: the
+  * strings are the operator names a human audits in explain output, and a
+  * Spark upgrade that changes them should fail here for re-review. The
+  * sync-cascade tests below instead walk plan-node CLASSES — they span many
+  * executions, where rendered-text counting would double-count reused
+  * caches.
   */
 class PlanAuditSpec extends SparkSpec {
 
