@@ -1,6 +1,7 @@
 package graft.sync
 
 import graft.functions.Hashing
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
@@ -69,7 +70,10 @@ final case class SyncConfig(
     tableParallelism: Int = 4,
     /** Append every recorded action as a JSON line to this file (S15 — the
       * reference appends each write query to `LOG_QUERY_FILE`,
-      * `TableConnection.php:730-742`). None = in-memory audit only. */
+      * `TableConnection.php:730-742`). None = in-memory audit only.
+      * Driver-LOCAL by design (java.nio append, like a log4j file): it is
+      * an operational log, not engine state — unlike `stateDir`, which goes
+      * through the Hadoop FileSystem and may live on HDFS/object stores. */
     auditLogPath: Option[String] = None,
     /** Scratch base for delta spills. Executors write and re-read the spill,
       * so on a multi-node cluster this must be a shared filesystem path;
@@ -214,16 +218,22 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     }
 
   // ---- Maintained-state persistence (config.stateDir) --------------------
-  // One property file per table, written atomically (tmp + move) after every
-  // state mutation; loaded once at engine construction. The values are a few
-  // numbers — durability costs microseconds per converged table.
+  // One property file per table, written via tmp + rename after every state
+  // mutation; loaded once at engine construction. The values are a few
+  // numbers — durability costs microseconds per converged table. All I/O
+  // goes through the Hadoop FileSystem resolved from the stateDir URI (like
+  // the durable dedup index's state maintenance), so the maintained loop
+  // deploys against HDFS/object stores, not just the driver's local disk.
 
-  private def stateFile(table: String): Option[java.nio.file.Path] =
-    config.stateDir.map(d => java.nio.file.Paths.get(d, table + ".fpstate"))
+  private val stateFsDir: Option[(FileSystem, Path)] =
+    config.stateDir.map { d =>
+      val p = new Path(d)
+      (p.getFileSystem(master.spark.sessionState.newHadoopConf()), p)
+    }
 
   private val persistLock = new Object
 
-  private def persistState(table: String): Unit = stateFile(table).foreach { p =>
+  private def persistState(table: String): Unit = stateFsDir.foreach { case (fs, dir) =>
     persistLock.synchronized {
       val props = new java.util.Properties()
       maintainedFp.get(table).foreach { st =>
@@ -237,14 +247,21 @@ final class SyncEngine(master: TableStore, slave: TableStore,
         props.setProperty("part.path", p)
         props.setProperty("part.pushed", pushed.toString)
       }
-      java.nio.file.Files.createDirectories(p.getParent)
-      if (props.isEmpty) { java.nio.file.Files.deleteIfExists(p); () }
+      val p = new Path(dir, table + ".fpstate")
+      fs.mkdirs(dir)
+      if (props.isEmpty) { fs.delete(p, false): Unit }
       else {
-        val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-        val out = java.nio.file.Files.newOutputStream(tmp)
+        val tmp = new Path(dir, table + ".fpstate.tmp")
+        val out = fs.create(tmp, true)
         try props.store(out, null) finally out.close()
-        java.nio.file.Files.move(tmp, p,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // Hadoop rename never overwrites, so replace = delete + rename. A
+        // crash inside that window LOSES the state file — which is safe:
+        // resume simply re-primes the table (one extra fingerprint scan),
+        // it can never trust stale state, and the file is rewritten on the
+        // next converged cycle.
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"failed to persist sync state $p")
         ()
       }
     }
@@ -253,13 +270,12 @@ final class SyncEngine(master: TableStore, slave: TableStore,
   // Resume persisted state: a restarted engine picks up the change-token
   // gate (and partition snapshots) exactly where the previous process left
   // off — unchanged tables cost zero Spark jobs from the first cycle.
-  config.stateDir.foreach { d =>
-    val dir = new java.io.File(d)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".fpstate")).foreach { f =>
-        val table = f.getName.stripSuffix(".fpstate")
+  stateFsDir.foreach { case (fs, dir) =>
+    (if (fs.exists(dir)) fs.listStatus(dir).toSeq else Seq.empty)
+      .filter(_.getPath.getName.endsWith(".fpstate")).foreach { f =>
+        val table = f.getPath.getName.stripSuffix(".fpstate")
         val props = new java.util.Properties()
-        val in = new java.io.FileInputStream(f)
+        val in = fs.open(f.getPath)
         try props.load(in) finally in.close()
         Option(props.getProperty("fp.count")).foreach { c =>
           maintainedFp.update(table, FpState(Hashing.MultisetFp(c.toLong,

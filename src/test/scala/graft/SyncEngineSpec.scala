@@ -241,6 +241,27 @@ class SyncEngineSpec extends SparkSpec {
     assert(n == 0, s"second sync of an unchanged master ran $n Spark jobs; expected 0")
   }
 
+  test("maintained state persists through a file: URI stateDir (Hadoop FileSystem path)") {
+    // State persistence resolves a Hadoop FileSystem from the stateDir URI;
+    // a scheme-qualified path exercises the same API surface an HDFS
+    // deployment would (mkdirs/create/rename/listStatus/open), with
+    // LocalFileSystem as the implementation.
+    val (md, sd, ms, ss) = mkStores("mainturi")
+    write(md, "acct", custDf)
+    write(sd, "acct", custDf.filter($"id" =!= 3L))
+    val cfg = SyncConfig(primaryKeys = Map("acct" -> Seq("id")),
+      maintainFingerprints = true, stateDir = Some("file:" + tmpDir("fpstate_uri")))
+    val e1 = new SyncEngine(ms, ss, cfg)
+    assert(e1.syncTable("acct").isInstanceOf[SyncAction.ApplyDelta])
+    val e2 = new SyncEngine(ms, ss, cfg)
+    val n = jobsDuring("mainturi-restart") {
+      assert(e2.syncTable("acct") ==
+        SyncAction.Skip("acct", "unchanged (master change token)"))
+    }
+    assert(n == 0, s"restarted engine re-primed with $n Spark jobs; expected 0")
+    assert(e2.maintainedFingerprint("acct").isDefined)
+  }
+
   test("maintained state survives engine RESTART (stateDir): zero jobs on resume") {
     val (md, sd, ms, ss) = mkStores("maintrestart")
     write(md, "acct", custDf)
