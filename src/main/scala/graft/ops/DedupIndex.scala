@@ -55,52 +55,25 @@ final class DurableMinHashIndex(
 
   /** All state maintenance (existence probes, the compact swap's renames,
     * recursive deletes) goes through the Hadoop FileSystem resolved from
-    * the stateDir URI — the same abstraction the parquet data path already
-    * uses — so the index runs wherever its data does: local `file:`,
-    * HDFS, or an HCFS object-store connector. On HDFS the swap renames are
-    * atomic per store; on S3A a "rename" is a non-atomic copy+delete, so
-    * deployments there should front the stateDir with a consistent
-    * rename-capable layer or accept that [[recoverInterruptedCompact]]'s
-    * healing window widens from two metadata ops to a copy.
+    * the stateDir URI via the shared [[FsMaint]] primitives — the same
+    * abstraction the parquet data path already uses — so the index runs
+    * wherever its data does: local `file:`, HDFS, or an HCFS object-store
+    * connector. On HDFS the swap renames are atomic per store; on S3A a
+    * "rename" is a non-atomic copy+delete, so deployments there should
+    * front the stateDir with a consistent rename-capable layer or accept
+    * that the healing window widens from two metadata ops to a copy.
     */
   private val fs: FileSystem =
     new Path(stateDir).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** State exists only when a non-empty batch has landed: an empty-batch
-    * append can leave a directory with no data files under it (the
-    * partitioned shingle store writes no partition dirs for zero rows),
-    * which a schema-inferring read would reject. Checked per store — the
-    * flat bucket dir and the partitioned shingle dir can disagree after
-    * empty appends. One recursive listing per probe, metadata-only.
-    */
-  private def hasDataFiles(dir: Path): Boolean =
-    fs.exists(dir) && {
-      val it = fs.listFiles(dir, true)
-      var found = false
-      while (!found && it.hasNext) {
-        val f = it.next()
-        found = f.getPath.getName.startsWith("part-") && f.getLen > 0
-      }
-      found
-    }
-  private def hasState: Boolean = hasDataFiles(new Path(bucketsPath))
-  private def hasShingleState: Boolean = hasDataFiles(new Path(shinglesPath))
-
-  /** Count of data files in a store — the compaction-policy signal: every
-    * ingest appends at least one file per store, so the file count is a
-    * free (metadata-only) proxy for accumulated append debt.
-    */
-  private def dataFileCount(dir: Path): Long =
-    if (!fs.exists(dir)) 0L
-    else {
-      val it = fs.listFiles(dir, true)
-      var n = 0L
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.startsWith("part-") && f.getLen > 0) n += 1
-      }
-      n
-    }
+  // State exists only when a non-empty batch has landed: an empty-batch
+  // append can leave a directory with no data files under it (the
+  // partitioned shingle store writes no partition dirs for zero rows),
+  // which a schema-inferring read would reject. Checked per store — the
+  // flat bucket dir and the partitioned shingle dir can disagree after
+  // empty appends.
+  private def hasState: Boolean = FsMaint.hasDataFiles(fs, new Path(bucketsPath))
+  private def hasShingleState: Boolean = FsMaint.hasDataFiles(fs, new Path(shinglesPath))
 
   private def idBucket(c: org.apache.spark.sql.Column) =
     pmod(xxhash64(c), lit(idBuckets))
@@ -259,41 +232,17 @@ final class DurableMinHashIndex(
     */
   def compactIfNeeded(maxStoreFiles: Int): Boolean = {
     require(maxStoreFiles > 0, s"maxStoreFiles must be positive: $maxStoreFiles")
-    val due = dataFileCount(new Path(bucketsPath)) >= maxStoreFiles
+    val due = FsMaint.dataFileCount(fs, new Path(bucketsPath)) >= maxStoreFiles
     if (due) compact()
     due
   }
 
-  /** Heal the non-atomic two-rename swap: a `<store>__old` next to a
-    * MISSING store means a compact crashed between renames — move it back.
-    * A leftover `__old` next to a live store (crash after rename 2) or a
-    * stray `__compacting` dir is stale output — delete it.
+  /** Heal the non-atomic two-rename swap for both stores — [[FsMaint]]'s
+    * recovery contract, run by both `ingest` and `compact` first.
     */
   private def recoverInterruptedCompact(): Unit =
-    Seq(bucketsPath, shinglesPath).foreach { p =>
-      val dir = new Path(p)
-      val old = new Path(p + "__old")
-      if (fs.exists(old) && !fs.exists(dir)) {
-        if (!fs.rename(old, dir))
-          throw new java.io.IOException(s"failed to restore $p from interrupted compact")
-      } else if (fs.exists(old)) deleteRecursively(old)
-      val tmp = new Path(p + "__compacting")
-      if (fs.exists(tmp)) deleteRecursively(tmp)
-    }
+    Seq(bucketsPath, shinglesPath).foreach(FsMaint.recoverSwap(fs, _))
 
-  private def swapIn(path: String, tmp: String): Unit = {
-    val dir = new Path(path)
-    val old = new Path(path + "__old")
-    deleteRecursively(old)
-    if (!fs.rename(dir, old))
-      throw new java.io.IOException(s"compact: failed to move $path aside")
-    if (!fs.rename(new Path(tmp), dir)) {
-      fs.rename(old, dir) // roll back so the store stays readable
-      throw new java.io.IOException(s"compact: failed to swap $tmp into $path")
-    }
-    deleteRecursively(old)
-  }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (fs.exists(p)) { fs.delete(p, true): Unit }
+  private def swapIn(path: String, tmp: String): Unit =
+    FsMaint.swapIn(fs, path, tmp)
 }

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Shared Hadoop-FileSystem maintenance primitives for on-disk stores the
+  * engine rewrites in place — the durable dedup index's state dirs and the
+  * [[Layout]] table-maintenance jobs. Everything goes through the
+  * `FileSystem` resolved from the store's URI, so the same code runs on
+  * local disk, HDFS, or an HCFS object-store connector (on S3A a "rename"
+  * is a non-atomic copy+delete — see the swap contract below).
+  *
+  * Swap contract (two renames): the rewritten store is staged at
+  * `<path>__compacting`, then `<path>` → `<path>__old`, stage → `<path>`,
+  * delete `<path>__old`. The window between the renames (store moved
+  * aside, replacement not yet in place) is healed by [[recoverSwap]],
+  * which every reader/rewriter runs first: a `__old` next to a MISSING
+  * store is moved back; a `__old` next to a live store or a stray stage
+  * dir is stale output and is deleted. Single-writer per store by
+  * contract.
+  */
+private[graft] object FsMaint {
+
+  /** Non-empty data files under `dir`, recursively (metadata-only). */
+  def hasDataFiles(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(dir) && {
+      val it = fs.listFiles(dir, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        found = f.getPath.getName.startsWith("part-") && f.getLen > 0
+      }
+      found
+    }
+
+  /** Count of non-empty data files under `dir` (metadata-only) — the
+    * append-debt signal compaction policies key on.
+    */
+  def dataFileCount(fs: FileSystem, dir: Path): Long = {
+    var n = 0L
+    if (fs.exists(dir)) {
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-") && f.getLen > 0) n += 1
+      }
+    }
+    n
+  }
+
+  /** Total bytes across data files under `dir` (metadata-only). */
+  def totalDataBytes(fs: FileSystem, dir: Path): Long = {
+    var b = 0L
+    if (fs.exists(dir)) {
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-") && f.getLen > 0) b += f.getLen
+      }
+    }
+    b
+  }
+
+  /** Heal an interrupted [[swapIn]] for `path` (see the swap contract). */
+  def recoverSwap(fs: FileSystem, path: String): Unit = {
+    val dir = new Path(path)
+    val old = new Path(path + "__old")
+    if (fs.exists(old) && !fs.exists(dir)) {
+      if (!fs.rename(old, dir))
+        throw new java.io.IOException(s"failed to restore $path from interrupted swap")
+    } else if (fs.exists(old)) deleteRecursively(fs, old)
+    val tmp = new Path(path + "__compacting")
+    if (fs.exists(tmp)) deleteRecursively(fs, tmp)
+  }
+
+  /** Swap the staged rewrite at `tmp` into `path` via two renames. */
+  def swapIn(fs: FileSystem, path: String, tmp: String): Unit = {
+    val dir = new Path(path)
+    val old = new Path(path + "__old")
+    deleteRecursively(fs, old)
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"swap: failed to move $path aside")
+    if (!fs.rename(new Path(tmp), dir)) {
+      fs.rename(old, dir) // roll back so the store stays readable
+      throw new java.io.IOException(s"swap: failed to swap $tmp into $path")
+    }
+    deleteRecursively(fs, old)
+  }
+
+  def deleteRecursively(fs: FileSystem, p: Path): Unit =
+    if (fs.exists(p)) { fs.delete(p, true): Unit }
+}

@@ -124,6 +124,48 @@ object SourceQueries {
       },
       Some("""SELECT doc_id, cast(strlen(text) as bigint) AS length,
               | md5(text) AS content_md5
-              |FROM documents WHERE doc_id < 256""".stripMargin))
+              |FROM documents WHERE doc_id < 256""".stripMargin)),
+
+    // ---- Table-layout maintenance (ops.Layout): recurring ingest leaves
+    //      small-file debt (driver-side listing/split-planning is the 100 TB
+    //      bottleneck, not executor I/O). Both jobs are pure re-layouts with
+    //      an atomic two-rename swap; the oracle gate is CONTENT INVARIANCE —
+    //      the rewritten store's multiset fingerprint must equal the
+    //      original table's, computed by DuckDB from the source parquet.
+    //      File-count / healing / crash claims are spec'd in LayoutSpec.
+    Q("layout_compact_small_files",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val stage = java.nio.file.Files.createTempDirectory("graft_layout_c").toString + "/documents"
+        // Fragmented copy: 32 writer tasks → 32 small files, the shape a
+        // recurring append loop accumulates.
+        T(s, dir, "documents").repartition(32).write.mode("overwrite").parquet(stage)
+        graft.ops.Layout.compactTable(s, stage, targetBytes = 64L << 20)
+        graft.functions.Hashing.multisetFingerprintAgg(s.read.parquet(stage), docCols)
+      },
+      Some(Registry.duckMultisetFingerprint(
+        Seq("doc_id", "text", "lang", "source", "n_chars"), "documents"))),
+
+    // ---- Range-clustered rewrite: each output file owns a contiguous,
+    //      pairwise-disjoint doc_id range (parquet min/max stats become
+    //      disjoint across files → point/range predicates prune to the
+    //      overlapping files only — data skipping ∝ selectivity). The
+    //      disjointness post-condition rides the result as a boolean next
+    //      to the same fingerprint-invariance gate.
+    Q("layout_cluster_range",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val stage = java.nio.file.Files.createTempDirectory("graft_layout_z").toString + "/documents"
+        T(s, dir, "documents").repartition(16).write.mode("overwrite").parquet(stage)
+        graft.ops.Layout.clusterByRange(s, stage, "doc_id", nFiles = 8)
+        val spans = graft.ops.Layout.fileSpans(s, stage, "doc_id")
+        val disjoint = spans.nonEmpty && spans.sliding(2).forall(p =>
+          p.length < 2 || p(1)._1 > p(0)._2)
+        graft.functions.Hashing.multisetFingerprintAgg(s.read.parquet(stage), docCols)
+          .withColumn("clustered_ok", lit(disjoint))
+      },
+      Some(s"""SELECT *, true AS clustered_ok FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "documents")})""".stripMargin))
   )
 }

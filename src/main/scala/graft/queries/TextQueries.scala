@@ -134,6 +134,33 @@ object TextQueries {
               | length(text)::bigint AS n_chars_actual
               |FROM documents""".stripMargin)),
 
+    // ---- corpus length distribution: EXACT linear-interpolated quantiles
+    //      per language (Spark `percentile` ≡ DuckDB `quantile_cont`, both
+    //      the type-7 p·(n−1) rule) — the cut points a length-based quality
+    //      filter is tuned on. Exact percentile state is a per-group
+    //      value→count map, bounded by DISTINCT lengths (≤ ~1e4), so the
+    //      "exact" path stays cheap at any corpus size; the t-digest sketch
+    //      (`percentile_approx`, the stream/multi-pass scale path) rides
+    //      along gated within 5% of the exact median.
+    Q("text_length_quantiles",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        d.groupBy(col("lang")).agg(
+            count(lit(1)).as("n_docs"),
+            percentile(col("n_chars"), lit(0.25)).as("p25"),
+            percentile(col("n_chars"), lit(0.5)).as("p50"),
+            percentile(col("n_chars"), lit(0.9)).as("p90"),
+            percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("p50a"))
+          .select(col("lang"), col("n_docs"), col("p25"), col("p50"), col("p90"),
+            (abs(col("p50a") - col("p50")) <= col("p50") * 0.05).as("approx_ok"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+              | quantile_cont(n_chars, 0.25) AS p25,
+              | quantile_cont(n_chars, 0.5) AS p50,
+              | quantile_cont(n_chars, 0.9) AS p90,
+              | true AS approx_ok
+              |FROM documents GROUP BY lang""".stripMargin)),
+
     // ---- quality signals: pure integer-ratio doubles (bit-stable cross-engine)
     Q("text_quality",
       (s, dir) => {

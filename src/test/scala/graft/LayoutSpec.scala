@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.Hashing
+import graft.ops.{FsMaint, Layout}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Layout maintenance jobs: pure re-layouts (fingerprint-invariant), file
+  * counts land on the sizing target, range clustering yields pairwise
+  * disjoint per-file key spans, and the two-rename swap heals after a
+  * simulated crash.
+  */
+class LayoutSpec extends SparkSpec {
+
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  private def fp(path: String): String =
+    Hashing.multisetFingerprintAgg(spark.read.parquet(path), docCols)
+      .head().getString(0)
+
+  private def fileCount(path: String): Long =
+    FsMaint.dataFileCount(
+      new Path(path).getFileSystem(spark.sessionState.newHadoopConf()),
+      new Path(path))
+
+  private def stageDocs(tag: String, parts: Int): String = {
+    val stage = tmpDir(tag) + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartition(parts).write.parquet(stage)
+    stage
+  }
+
+  test("compactTable: content invariant, file count collapses to the byte target") {
+    val stage = stageDocs("layout_compact", 16)
+    assert(fileCount(stage) == 16)
+    val before = fp(stage)
+    val n = Layout.compactTable(spark, stage, targetBytes = 64L << 20)
+    assert(n == 1, s"small table should compact to 1 file, got $n")
+    assert(fileCount(stage) == 1)
+    assert(fp(stage) == before)
+  }
+
+  test("compactTable: sub-table byte target yields multiple files, still invariant") {
+    val stage = stageDocs("layout_compact_multi", 16)
+    val before = fp(stage)
+    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    val total = FsMaint.totalDataBytes(fs, new Path(stage))
+    val target = math.max(1L, total / 3)
+    val n = Layout.compactTable(spark, stage, targetBytes = target)
+    assert(n >= 3 && n <= 4, s"expected ~3-4 files for a third-of-table target, got $n")
+    assert(fileCount(stage) == n)
+    assert(fp(stage) == before)
+  }
+
+  test("an interrupted swap is healed before the next rewrite") {
+    val stage = stageDocs("layout_heal", 4)
+    val before = fp(stage)
+    // Simulate a crash between the two renames: store moved aside, the
+    // replacement never landed.
+    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new Path(stage), new Path(stage + "__old")))
+    val n = Layout.compactTable(spark, stage, targetBytes = 64L << 20)
+    assert(n == 1)
+    assert(fp(stage) == before)
+  }
+
+  test("clusterByRange: pairwise-disjoint file spans, content invariant") {
+    val stage = stageDocs("layout_cluster", 16)
+    val before = fp(stage)
+    Layout.clusterByRange(spark, stage, "doc_id", nFiles = 4)
+    assert(fileCount(stage) == 4)
+    assert(fp(stage) == before)
+    val spans = Layout.fileSpans(spark, stage, "doc_id")
+    assert(spans.length == 4)
+    spans.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(lo2 > hi, s"file spans overlap: $spans")
+      case _ => ()
+    }
+    // What the disjoint spans buy: the point predicate is PUSHED to the
+    // parquet reader, whose row-group min/max stats on the clustered key
+    // now exclude every row group outside one file (vanilla Spark plans all
+    // files — file-LEVEL skipping from these same stats is what a
+    // manifest-based table format adds on top of this layout; the decode
+    // savings here are row-group-level, inside the reader). Assert the
+    // pushdown is in place and the probe returns exactly its row.
+    val probe = spark.read.parquet(stage).filter(col("doc_id") === spans.head._2)
+    assert(probe.count() == 1L)
+    val plan = { probe.collect(); probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head }
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id"),
+      plan.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+  }
+}
