@@ -79,4 +79,76 @@ object Layout {
       .groupBy(input_file_name().as("f"))
       .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
       .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+
+  /** Morton (Z-order) value of two long columns, each min-max normalized to
+    * 16 bits and bit-interleaved (a on even positions, b on odd) — pure
+    * integer arithmetic on built-in expressions, fully codegen'd, no UDF.
+    * Degenerate ranges (lo == hi) normalize to 0.
+    */
+  def zValue(a: org.apache.spark.sql.Column, aLo: Long, aHi: Long,
+             b: org.apache.spark.sql.Column, bLo: Long, bHi: Long): org.apache.spark.sql.Column = {
+    // Normalize in double BEFORE scaling: (c - lo) * 65535 in long would
+    // overflow for wide domains (e.g. epoch-micros keys) under ANSI mode;
+    // double precision loss only perturbs rank granularity, not layout
+    // correctness.
+    def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      if (hi > lo) (c - lit(lo)).cast("double") / lit((hi - lo).toDouble) * lit(65535.0)
+      else lit(0.0)
+    val au = norm(a, aLo, aHi).cast("long")
+    val bu = norm(b, bLo, bHi).cast("long")
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(au, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(bu, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Rewrite the parquet dir at `path` Z-ORDER clustered by two long
+    * columns into `nFiles` files: rows are range-partitioned and sorted on
+    * the Morton interleave of the two normalized keys, so each file covers
+    * a compact REGION of the (a, b) plane — per-file min/max spans shrink
+    * on BOTH dimensions simultaneously (≈ √(files)-way on each axis for
+    * balanced data), where a 1-D sort collapses one dimension and leaves
+    * the other spanning the whole range. The multi-predicate form of
+    * [[clusterByRange]]'s skipping story; same row-group/table-format
+    * caveat. The z column is transient — computed for the shuffle+sort,
+    * dropped before the write, so content invariance holds by
+    * construction.
+    *
+    * Cost: one narrow min/max pass (bounds for normalization) + one
+    * range-partitioning shuffle + in-task sort.
+    */
+  def clusterByZOrder(spark: SparkSession, path: String, colA: String, colB: String,
+                      nFiles: Int): Unit = {
+    require(nFiles > 0, s"nFiles must be positive: $nFiles")
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    FsMaint.recoverSwap(fs, path)
+    val df = spark.read.parquet(path)
+    val bounds = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    val z = zValue(col(colA).cast("long"), bounds.getLong(0), bounds.getLong(1),
+                   col(colB).cast("long"), bounds.getLong(2), bounds.getLong(3))
+    val tmp = path + "__compacting"
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(tmp)
+    FsMaint.swapIn(fs, path, tmp)
+  }
+
+  /** Mean per-file normalized span of `keyCol` (span / global range, 0..1)
+    * — the clustering-quality metric: ≈1 means every file spans the whole
+    * domain (no skipping possible), small means predicates on `keyCol`
+    * overlap few files' row groups. One scan of the key column.
+    */
+  def meanNormalizedSpan(spark: SparkSession, path: String, keyCol: String): Double = {
+    val rows = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(keyCol).cast("long")).as("lo"), max(col(keyCol).cast("long")).as("hi"))
+      .agg(avg(col("hi") - col("lo")).as("meanSpan"),
+        (max(col("hi")) - min(col("lo"))).cast("double").as("range")).head()
+    if (rows.getDouble(1) <= 0) 0.0 else rows.getDouble(0) / rows.getDouble(1)
+  }
 }

@@ -98,6 +98,42 @@ object ExtendedQueries {
               | 1 AS within_5pct
               |FROM events GROUP BY event_type""".stripMargin)),
 
+    // ---- ANALYZE-style one-pass table profile (CBO/stats-collection
+    //      shape): per-column non-null count, EXACT ndv (hash-matched),
+    //      min/max rendered as strings (type-heterogeneous columns in one
+    //      result), and the HLL sketch gated within 5% of exact. ONE scan:
+    //      all metrics ride a single aggregate (the multi-countDistinct
+    //      plans as one Expand — rows × profiled-columns — not one scan per
+    //      column; the HLL column is what you'd keep at 100 TB, the exact
+    //      ndv is the gate).
+    Q("stats_table_profile",
+      (s, dir) => {
+        import s.implicits._
+        val li = T(s, dir, "lineitem")
+        val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+        val aggs = cols.flatMap(c => Seq(
+          count(col(c)).as(s"n_$c"),
+          countDistinct(col(c)).as(s"ndv_$c"),
+          approx_count_distinct(col(c), 0.02).as(s"andv_$c"),
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c")))
+        val r = li.agg(aggs.head, aggs.drop(1): _*).head()
+        val rows = cols.zipWithIndex.map { case (c, i) =>
+          val base = i * 5
+          val ndv = r.getLong(base + 1)
+          val andv = r.getLong(base + 2)
+          (c, r.getLong(base), ndv, r.getString(base + 3), r.getString(base + 4),
+            math.abs(andv - ndv).toDouble <= 0.05 * ndv)
+        }
+        rows.toDF("col_name", "n_nonnull", "ndv", "min_s", "max_s", "approx_ok")
+      },
+      Some(Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate").map(c =>
+        s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+           | count(DISTINCT $c) AS ndv,
+           | cast(min($c) as varchar) AS min_s, cast(max($c) as varchar) AS max_s,
+           | true AS approx_ok FROM lineitem""".stripMargin)
+        .mkString("\nUNION ALL\n"))),
+
     // ---- grouping sets (the general form behind cube/rollup): per
     //      (status, priority), per status, and grand total in ONE pass —
     //      Catalyst plans a single Expand + hash aggregate, not three scans.

@@ -166,6 +166,30 @@ object SourceQueries {
       },
       Some(s"""SELECT *, true AS clustered_ok FROM (
                |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "documents")})""".stripMargin)),
+
+    // ---- Z-ORDER rewrite: files cluster compact REGIONS of the
+    //      (doc_id, n_chars) plane via a Morton bit-interleave of the two
+    //      min-max-normalized keys (pure codegen'd integer expressions, no
+    //      UDF) — per-file spans shrink on BOTH dimensions at once, where a
+    //      1-D sort collapses one and leaves the other spanning everything.
+    //      Gate: fingerprint invariance (the z key is transient — dropped
+    //      before the write) + mean normalized per-file span ≤ 0.6 on EACH
+    //      dimension (ideal 16-file layout ≈ 0.25; an unclustered or 1-D
+    //      layout reads ≈ 1.0 on the non-sorted dimension).
+    Q("layout_cluster_zorder",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val stage = java.nio.file.Files.createTempDirectory("graft_layout_zo").toString + "/documents"
+        T(s, dir, "documents").repartition(16).write.mode("overwrite").parquet(stage)
+        graft.ops.Layout.clusterByZOrder(s, stage, "doc_id", "n_chars", nFiles = 16)
+        val spanA = graft.ops.Layout.meanNormalizedSpan(s, stage, "doc_id")
+        val spanB = graft.ops.Layout.meanNormalizedSpan(s, stage, "n_chars")
+        graft.functions.Hashing.multisetFingerprintAgg(s.read.parquet(stage), docCols)
+          .withColumn("zorder_ok", lit(spanA <= 0.6 && spanB <= 0.6))
+      },
+      Some(s"""SELECT *, true AS zorder_ok FROM (
+               |${Registry.duckMultisetFingerprint(
                    Seq("doc_id", "text", "lang", "source", "n_chars"), "documents")})""".stripMargin))
   )
 }

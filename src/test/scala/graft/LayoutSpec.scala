@@ -64,6 +64,25 @@ class LayoutSpec extends SparkSpec {
     assert(fp(stage) == before)
   }
 
+  test("clusterByZOrder: BOTH dimensions' spans shrink together; 1-D sort leaves one at ~1") {
+    val stage = stageDocs("layout_zorder", 16)
+    val before = fp(stage)
+    Layout.clusterByZOrder(spark, stage, "doc_id", "n_chars", nFiles = 16)
+    assert(fp(stage) == before, "z key must be transient — content invariant")
+    val sa = Layout.meanNormalizedSpan(spark, stage, "doc_id")
+    val sb = Layout.meanNormalizedSpan(spark, stage, "n_chars")
+    info(f"z-order spans: doc_id $sa%.3f, n_chars $sb%.3f (ideal ~0.25 at 16 files)")
+    // Query gate is 0.6; pin 0.5 here so the gate is known to have margin.
+    assert(sa <= 0.5 && sb <= 0.5, s"z-order spans too wide: $sa, $sb")
+    // Contrast: the 1-D layout collapses its own dimension but leaves the
+    // OTHER spanning essentially the whole domain — the gap z-order closes.
+    val stage2 = stageDocs("layout_zorder_1d", 16)
+    Layout.clusterByRange(spark, stage2, "doc_id", nFiles = 16)
+    val sb1d = Layout.meanNormalizedSpan(spark, stage2, "n_chars")
+    info(f"1-D layout n_chars span: $sb1d%.3f")
+    assert(sb1d > sb * 2, s"z-order should beat 1-D on the second dim: $sb vs $sb1d")
+  }
+
   test("clusterByRange: pairwise-disjoint file spans, content invariant") {
     val stage = stageDocs("layout_cluster", 16)
     val before = fp(stage)

@@ -153,6 +153,24 @@ class PlanAuditSpec extends SparkSpec {
 
   private def liKeys = Map("lineitem" -> Seq("l_orderkey", "l_linenumber"))
 
+  test("stats_table_profile: the whole profile is ONE scan of the table") {
+    // The query's claim: counts, exact ndvs, HLL sketches, and min/max for
+    // all profiled columns ride a single aggregate (one Expand), not one
+    // scan per column.
+    val scans = scanPathsDuring {
+      Registry.queries("stats_table_profile")(spark, sf001).collect(): Unit
+    }
+    val li = scans.count(_.contains("lineitem"))
+    assert(li == 1, s"profile scanned lineitem $li times; expected 1\n${scans.mkString("\n")}")
+  }
+
+  test("text_length_quantiles: single-exchange grouped aggregate") {
+    val p = planOf("text_length_quantiles")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("sync cascade: divergent dry-run cycle scans each side exactly ONCE (fused gate)") {
     val mDir = tmpDir("pa_sync_m")
     val sDir = tmpDir("pa_sync_s")
