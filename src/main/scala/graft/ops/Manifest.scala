@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal manifest/snapshot layer over a parquet dir — the missing step
+  * between [[Layout]]'s clustering and actual FILE-level skipping: vanilla
+  * Spark plans every file regardless of its min/max stats, so the layout's
+  * disjoint spans only pay off inside the parquet reader (row groups). A
+  * manifest snapshot records each data file's key range once; a
+  * range-predicate scan then reads ONLY the overlapping files — the core
+  * data-skipping mechanism of Delta/Iceberg-style table formats, built
+  * from scratch on the same Hadoop-FS + atomic-rename primitives as the
+  * rest of the storage layer.
+  *
+  * Layout on disk: `<table>/_graft_manifest/snapshot-<n>/` (parquet, one
+  * row per data file: path, key_min, key_max, n_rows). The `_`-prefixed
+  * dir is invisible to Spark's parquet reader, so manifests never pollute
+  * a direct `spark.read.parquet(table)` — the manifest is an ACCELERATOR,
+  * not a correctness dependency. Snapshots are immutable and committed by
+  * a single dir rename (write to `…__tmp`, rename into place); readers
+  * take the highest committed id, so a crashed create leaves at worst an
+  * orphan tmp dir, cleaned by the next create. A [[Layout]] rewrite makes
+  * the current snapshot stale — re-run [[create]] after one (one narrow
+  * key-column scan).
+  *
+  * Driver math: pruning collects the overlapping FILE PATHS (manifest rows
+  * ∝ file count — the same driver-side listing any file index holds, made
+  * smaller by the pruning predicate), never data.
+  */
+object Manifest {
+
+  private def root(table: String) = s"$table/_graft_manifest"
+  private val SnapRe = "snapshot-(\\d+)".r
+
+  private def fsOf(spark: SparkSession, table: String) =
+    new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def latestId(spark: SparkSession, table: String): Option[Int] = {
+    val fs = fsOf(spark, table)
+    val r = new Path(root(table))
+    if (!fs.exists(r)) None
+    else fs.listStatus(r).toSeq.collect {
+      case s if s.isDirectory => s.getPath.getName match {
+        case SnapRe(n) => Some(n.toInt)
+        case _ => None
+      }
+    }.flatten match {
+      case Seq() => None
+      case ids => Some(ids.max)
+    }
+  }
+
+  /** Snapshot the table's current file-level `keyCol` stats. One grouped
+    * scan of the key column; commit = one dir rename. Returns the new
+    * snapshot id.
+    */
+  def create(spark: SparkSession, table: String, keyCol: String): Int = {
+    val fs = fsOf(spark, table)
+    val next = latestId(spark, table).getOrElse(0) + 1
+    val stats = spark.read.parquet(table)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol).cast("long")).as("key_min"),
+        max(col(keyCol).cast("long")).as("key_max"),
+        count(lit(1)).as("n_rows"))
+    val dest = s"${root(table)}/snapshot-$next"
+    val tmp = dest + "__tmp"
+    FsMaint.deleteRecursively(fs, new Path(tmp))
+    stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if (!fs.rename(new Path(tmp), new Path(dest)))
+      throw new java.io.IOException(s"manifest commit failed: $dest")
+    // Opportunistic hygiene: clear any orphan tmp dirs from crashed creates.
+    fs.listStatus(new Path(root(table))).foreach { s =>
+      if (s.getPath.getName.endsWith("__tmp")) FsMaint.deleteRecursively(fs, s.getPath)
+    }
+    next
+  }
+
+  /** The latest snapshot's file rows `(file, key_min, key_max, n_rows)`. */
+  def files(spark: SparkSession, table: String): DataFrame = {
+    val id = latestId(spark, table).getOrElse(
+      throw new IllegalStateException(s"no manifest snapshot under $table"))
+    spark.read.parquet(s"${root(table)}/snapshot-$id")
+  }
+
+  /** Manifest-pruned range scan: read ONLY the files whose [key_min,
+    * key_max] overlaps [lo, hi], then apply the residual row predicate.
+    * Returns (rows, filesRead, filesTotal) — the file counts are the
+    * skipping evidence callers gate on.
+    */
+  def scanRange(spark: SparkSession, table: String, keyCol: String,
+                lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val f = files(spark, table)
+    val all = f.count().toInt
+    val picked = f.filter(col("key_max") >= lo && col("key_min") <= hi)
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
+    val residual = col(keyCol).cast("long").between(lo, hi)
+    val rows =
+      if (picked.isEmpty)
+        spark.read.parquet(table).filter(residual).limit(0)
+      else spark.read.parquet(picked: _*).filter(residual)
+    (rows, picked.length, all)
+  }
+}

@@ -190,6 +190,32 @@ object SourceQueries {
       },
       Some(s"""SELECT *, true AS zorder_ok FROM (
                |${Registry.duckMultisetFingerprint(
-                   Seq("doc_id", "text", "lang", "source", "n_chars"), "documents")})""".stripMargin))
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "documents")})""".stripMargin)),
+
+    // ---- manifest-pruned range scan (ops.Manifest): the step that turns
+    //      the clustered layout's disjoint per-file spans into actual
+    //      FILE-level skipping (vanilla Spark plans every file; a manifest
+    //      snapshot of per-file key ranges lets the scan read only the
+    //      overlapping files — the Delta/Iceberg data-skipping mechanism on
+    //      the same Hadoop-FS + atomic-rename primitives). Gate: the pruned
+    //      scan's fingerprint ≡ DuckDB's fingerprint of the predicate's
+    //      rows computed directly on the source table, plus the
+    //      files-actually-pruned boolean.
+    Q("manifest_pruned_scan",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val stage = java.nio.file.Files.createTempDirectory("graft_manifest").toString + "/documents"
+        T(s, dir, "documents").repartition(8).write.mode("overwrite").parquet(stage)
+        graft.ops.Layout.clusterByRange(s, stage, "doc_id", nFiles = 8)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        val (rows, nRead, nTotal) =
+          graft.ops.Manifest.scanRange(s, stage, "doc_id", 100L, 199L)
+        graft.functions.Hashing.multisetFingerprintAgg(rows, docCols)
+          .withColumn("files_pruned", lit(nRead < nTotal))
+      },
+      Some(s"""SELECT *, true AS files_pruned FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"),
+                   "(SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 199) t")})""".stripMargin))
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.Hashing
+import graft.ops.{Layout, Manifest}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Manifest snapshots: pruned scans are exact (boundaries inclusive), files
+  * genuinely skip, the `_`-prefixed manifest dir is invisible to direct
+  * reads, snapshot commits are rename-atomic with orphan-tmp hygiene.
+  */
+class ManifestSpec extends SparkSpec {
+
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  private def fp(df: org.apache.spark.sql.DataFrame): String =
+    Hashing.multisetFingerprintAgg(df, docCols).head().getString(0)
+
+  private def stageClustered(tag: String, nFiles: Int): String = {
+    val stage = tmpDir(tag) + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartition(16).write.parquet(stage)
+    Layout.clusterByRange(spark, stage, "doc_id", nFiles)
+    stage
+  }
+
+  test("pruned range scan is exact (inclusive bounds) and actually skips files") {
+    val stage = stageClustered("manifest_scan", 8)
+    Manifest.create(spark, stage, "doc_id")
+    // Bounds chosen on a file boundary: spans at 8 files over 500 docs put
+    // ~62 docs per file; [100, 199] crosses 2 files.
+    val (rows, nRead, nTotal) = Manifest.scanRange(spark, stage, "doc_id", 100L, 199L)
+    assert(nTotal == 8 && nRead < nTotal, s"read $nRead of $nTotal")
+    val direct = spark.read.parquet(stage).filter(col("doc_id").between(100, 199))
+    assert(fp(rows) == fp(direct))
+    assert(rows.count() == 100L)
+    // Inclusive boundary rows are present.
+    val ids = rows.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(100L) && ids(199L))
+  }
+
+  test("empty overlap returns an empty (but well-formed) result") {
+    val stage = stageClustered("manifest_empty", 4)
+    Manifest.create(spark, stage, "doc_id")
+    val (rows, nRead, _) = Manifest.scanRange(spark, stage, "doc_id", 1000000L, 2000000L)
+    assert(nRead == 0)
+    assert(rows.count() == 0L)
+    assert(rows.columns.contains("doc_id"))
+  }
+
+  test("manifest dir is invisible to direct parquet reads; snapshots increment") {
+    val stage = stageClustered("manifest_invis", 4)
+    val before = spark.read.parquet(stage).count()
+    assert(Manifest.create(spark, stage, "doc_id") == 1)
+    assert(Manifest.create(spark, stage, "doc_id") == 2)
+    assert(spark.read.parquet(stage).count() == before,
+      "manifest files must never pollute the data scan")
+  }
+
+  test("a crashed create's orphan tmp dir is cleaned by the next create") {
+    val stage = stageClustered("manifest_heal", 4)
+    Manifest.create(spark, stage, "doc_id")
+    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    val orphan = new Path(s"$stage/_graft_manifest/snapshot-99__tmp")
+    fs.mkdirs(orphan)
+    Manifest.create(spark, stage, "doc_id")
+    assert(!fs.exists(orphan), "orphan tmp should be swept")
+    // The orphan never counted as a snapshot: pruning still works.
+    val (rows, nRead, nTotal) = Manifest.scanRange(spark, stage, "doc_id", 0L, 10L)
+    assert(nRead == 1 && nTotal == 4)
+    assert(rows.count() == 11L)
+  }
+}
