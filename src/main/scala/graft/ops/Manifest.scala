@@ -52,18 +52,22 @@ object Manifest {
     }
   }
 
-  /** Snapshot the table's current file-level `keyCol` stats. One grouped
-    * scan of the key column; commit = one dir rename. Returns the new
-    * snapshot id.
+  /** Snapshot the table's current file-level stats for one or more key
+    * columns (one `min_<c>`/`max_<c>` pair per column — multi-column stats
+    * are what make a Z-ORDERED layout file-skippable on BOX predicates,
+    * where single-column stats only serve 1-D ranges). One grouped scan;
+    * commit = one dir rename. Returns the new snapshot id.
     */
-  def create(spark: SparkSession, table: String, keyCol: String): Int = {
+  def create(spark: SparkSession, table: String, keyCols: String*): Int = {
+    require(keyCols.nonEmpty, "need at least one key column")
     val fs = fsOf(spark, table)
     val next = latestId(spark, table).getOrElse(0) + 1
+    val aggs = keyCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"min_$c"),
+      max(col(c).cast("long")).as(s"max_$c"))) :+ count(lit(1)).as("n_rows")
     val stats = spark.read.parquet(table)
       .groupBy(input_file_name().as("file"))
-      .agg(min(col(keyCol).cast("long")).as("key_min"),
-        max(col(keyCol).cast("long")).as("key_max"),
-        count(lit(1)).as("n_rows"))
+      .agg(aggs.head, aggs.drop(1): _*)
     val dest = s"${root(table)}/snapshot-$next"
     val tmp = dest + "__tmp"
     FsMaint.deleteRecursively(fs, new Path(tmp))
@@ -84,22 +88,36 @@ object Manifest {
     spark.read.parquet(s"${root(table)}/snapshot-$id")
   }
 
-  /** Manifest-pruned range scan: read ONLY the files whose [key_min,
-    * key_max] overlaps [lo, hi], then apply the residual row predicate.
-    * Returns (rows, filesRead, filesTotal) — the file counts are the
-    * skipping evidence callers gate on.
+  /** Manifest-pruned BOX scan: read ONLY the files whose per-column
+    * [min, max] overlaps EVERY predicate's [lo, hi], then apply the
+    * residual row predicate. Returns (rows, filesRead, filesTotal) — the
+    * file counts are the skipping evidence callers gate on. Columns not in
+    * the snapshot cannot be pruned on (fails fast rather than silently
+    * scanning everything).
     */
-  def scanRange(spark: SparkSession, table: String, keyCol: String,
-                lo: Long, hi: Long): (DataFrame, Int, Int) = {
+  def scanBox(spark: SparkSession, table: String,
+              preds: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
+    require(preds.nonEmpty, "need at least one range predicate")
     val f = files(spark, table)
+    preds.foreach { case (c, _, _) =>
+      require(f.columns.contains(s"min_$c"),
+        s"manifest snapshot has no stats for column $c") }
     val all = f.count().toInt
-    val picked = f.filter(col("key_max") >= lo && col("key_min") <= hi)
+    val overlap = preds.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi }.reduce(_ && _)
+    val picked = f.filter(overlap)
       .select("file").collect().map(_.getString(0)).toIndexedSeq
-    val residual = col(keyCol).cast("long").between(lo, hi)
+    val residual = preds.map { case (c, lo, hi) =>
+      col(c).cast("long").between(lo, hi) }.reduce(_ && _)
     val rows =
       if (picked.isEmpty)
         spark.read.parquet(table).filter(residual).limit(0)
       else spark.read.parquet(picked: _*).filter(residual)
     (rows, picked.length, all)
   }
+
+  /** 1-D convenience form of [[scanBox]]. */
+  def scanRange(spark: SparkSession, table: String, keyCol: String,
+                lo: Long, hi: Long): (DataFrame, Int, Int) =
+    scanBox(spark, table, Seq((keyCol, lo, hi)))
 }

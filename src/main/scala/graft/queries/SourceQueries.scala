@@ -216,6 +216,28 @@ object SourceQueries {
       Some(s"""SELECT *, true AS files_pruned FROM (
                |${Registry.duckMultisetFingerprint(
                    Seq("doc_id", "text", "lang", "source", "n_chars"),
-                   "(SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 199) t")})""".stripMargin))
+                   "(SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 199) t")})""".stripMargin)),
+
+    // ---- the full composition: Z-ORDER layout + multi-column manifest +
+    //      BOX predicate. Single-column stats only serve 1-D ranges; with
+    //      per-file min/max on BOTH keys, a conjunctive range predicate
+    //      prunes to the files whose (doc_id, n_chars) rectangle overlaps
+    //      the query box — the skipping shape Z-order exists to enable.
+    Q("manifest_zorder_box_scan",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val stage = java.nio.file.Files.createTempDirectory("graft_manifest_z").toString + "/documents"
+        T(s, dir, "documents").repartition(16).write.mode("overwrite").parquet(stage)
+        graft.ops.Layout.clusterByZOrder(s, stage, "doc_id", "n_chars", nFiles = 16)
+        graft.ops.Manifest.create(s, stage, "doc_id", "n_chars")
+        val (rows, nRead, nTotal) = graft.ops.Manifest.scanBox(s, stage,
+          Seq(("doc_id", 100L, 299L), ("n_chars", 200L, 400L)))
+        graft.functions.Hashing.multisetFingerprintAgg(rows, docCols)
+          .withColumn("files_pruned", lit(nRead < nTotal))
+      },
+      Some(s"""SELECT *, true AS files_pruned FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"),
+                   "(SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 299 AND n_chars BETWEEN 200 AND 400) t")})""".stripMargin))
   )
 }

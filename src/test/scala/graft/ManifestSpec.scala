@@ -39,6 +39,29 @@ class ManifestSpec extends SparkSpec {
     assert(ids(100L) && ids(199L))
   }
 
+  test("box scan over a z-ordered layout: exact, and 2-D stats prune harder than 1-D") {
+    val stage = tmpDir("manifest_box") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartition(16).write.parquet(stage)
+    Layout.clusterByZOrder(spark, stage, "doc_id", "n_chars", nFiles = 16)
+    Manifest.create(spark, stage, "doc_id", "n_chars")
+    val preds = Seq(("doc_id", 100L, 299L), ("n_chars", 200L, 400L))
+    val (rows, nRead, nTotal) = Manifest.scanBox(spark, stage, preds)
+    val direct = spark.read.parquet(stage)
+      .filter(col("doc_id").between(100, 299) && col("n_chars").between(200, 400))
+    assert(fp(rows) == fp(direct))
+    assert(nRead < nTotal, s"box scan should skip files: $nRead of $nTotal")
+    // The second dimension genuinely contributes: pruning on doc_id alone
+    // must keep at least as many files as the conjunction.
+    val (_, nRead1d, _) = Manifest.scanBox(spark, stage, preds.take(1))
+    assert(nRead <= nRead1d, s"2-D pruning ($nRead) worse than 1-D ($nRead1d)")
+    info(s"files read: box $nRead, 1-D $nRead1d, total $nTotal")
+    // Pruning on an un-profiled column fails fast, never silently full-scans.
+    intercept[IllegalArgumentException] {
+      Manifest.scanBox(spark, stage, Seq(("lang", 0L, 1L)))
+    }
+  }
+
   test("empty overlap returns an empty (but well-formed) result") {
     val stage = stageClustered("manifest_empty", 4)
     Manifest.create(spark, stage, "doc_id")
