@@ -120,4 +120,24 @@ object Manifest {
   def scanRange(spark: SparkSession, table: String, keyCol: String,
                 lo: Long, hi: Long): (DataFrame, Int, Int) =
     scanBox(spark, table, Seq((keyCol, lo, hi)))
+
+  /** Rows in files ADDED after snapshot `sinceId` (latest ∖ since, by file
+    * path) — the incremental-processing contract for a recurring job over
+    * an append-only table: each cycle snapshots, processes only what
+    * arrived since its previous snapshot id, and records the new id as its
+    * checkpoint. File-granular and exact (immutable snapshots are the
+    * source of truth — no mtime heuristics, no missed late files, no
+    * double reads), which is the property streaming file sources
+    * approximate with listing state. Returns (rows, filesAdded).
+    */
+  def addedSince(spark: SparkSession, table: String, sinceId: Int): (DataFrame, Int) = {
+    val since = spark.read.parquet(s"${root(table)}/snapshot-$sinceId")
+    val added = files(spark, table)
+      .join(since.select("file"), Seq("file"), "left_anti")
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
+    val rows =
+      if (added.isEmpty) spark.read.parquet(table).limit(0)
+      else spark.read.parquet(added: _*)
+    (rows, added.length)
+  }
 }

@@ -238,6 +238,33 @@ object SourceQueries {
       Some(s"""SELECT *, true AS files_pruned FROM (
                |${Registry.duckMultisetFingerprint(
                    Seq("doc_id", "text", "lang", "source", "n_chars"),
-                   "(SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 299 AND n_chars BETWEEN 200 AND 400) t")})""".stripMargin))
+                   "(SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 299 AND n_chars BETWEEN 200 AND 400) t")})""".stripMargin)),
+
+    // ---- snapshot-diff incremental processing: a recurring job over an
+    //      append-only table reads ONLY the files added since its previous
+    //      snapshot (latest ∖ since, by path — immutable snapshots as the
+    //      source of truth, no mtime heuristics). Fixture: batch 1 lands,
+    //      snapshot; batch 2 appends, snapshot; the increment must be
+    //      EXACTLY batch 2 — fingerprint-gated against DuckDB computing
+    //      batch 2's membership directly, plus the only-new-files boolean.
+    Q("manifest_incremental_scan",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val stage = java.nio.file.Files.createTempDirectory("graft_manifest_inc").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.filter(col("doc_id") % 3 =!= 0)
+          .repartition(4).write.mode("overwrite").parquet(stage)
+        val id1 = graft.ops.Manifest.create(s, stage, "doc_id")
+        docs.filter(col("doc_id") % 3 === 0)
+          .repartition(2).write.mode("append").parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        val (rows, nAdded) = graft.ops.Manifest.addedSince(s, stage, id1)
+        graft.functions.Hashing.multisetFingerprintAgg(rows, docCols)
+          .withColumn("incremental_ok", lit(nAdded == 2))
+      },
+      Some(s"""SELECT *, true AS incremental_ok FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"),
+                   "(SELECT * FROM documents WHERE doc_id % 3 = 0) t")})""".stripMargin))
   )
 }

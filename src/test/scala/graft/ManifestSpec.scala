@@ -80,6 +80,25 @@ class ManifestSpec extends SparkSpec {
       "manifest files must never pollute the data scan")
   }
 
+  test("addedSince reads exactly the appended batch; empty when nothing arrived") {
+    val stage = tmpDir("manifest_inc") + "/documents"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.filter(col("doc_id") % 3 =!= 0).repartition(4).write.parquet(stage)
+    val id1 = Manifest.create(spark, stage, "doc_id")
+    // Nothing appended yet: the increment over id1 is empty.
+    Manifest.create(spark, stage, "doc_id")
+    val (none, n0) = Manifest.addedSince(spark, stage, id1)
+    assert(n0 == 0 && none.count() == 0L)
+    // Batch 2 lands; the increment is exactly batch 2.
+    docs.filter(col("doc_id") % 3 === 0).repartition(2).write.mode("append").parquet(stage)
+    Manifest.create(spark, stage, "doc_id")
+    val (rows, nAdded) = Manifest.addedSince(spark, stage, id1)
+    assert(nAdded == 2)
+    assert(fp(rows) == fp(docs.filter(col("doc_id") % 3 === 0)))
+    // The full table is still intact for direct readers.
+    assert(spark.read.parquet(stage).count() == docs.count())
+  }
+
   test("a crashed create's orphan tmp dir is cleaned by the next create") {
     val stage = stageClustered("manifest_heal", 4)
     Manifest.create(spark, stage, "doc_id")
