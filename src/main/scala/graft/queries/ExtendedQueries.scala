@@ -98,34 +98,47 @@ object ExtendedQueries {
               | 1 AS within_5pct
               |FROM events GROUP BY event_type""".stripMargin)),
 
-    // ---- ANALYZE-style one-pass table profile (CBO/stats-collection
-    //      shape): per-column non-null count, EXACT ndv (hash-matched),
-    //      min/max rendered as strings (type-heterogeneous columns in one
-    //      result), and the HLL sketch gated within 5% of exact. ONE scan:
-    //      all metrics ride a single aggregate (the multi-countDistinct
-    //      plans as one Expand — rows × profiled-columns — not one scan per
-    //      column; the HLL column is what you'd keep at 100 TB, the exact
-    //      ndv is the gate).
+    // ---- ANALYZE-style table profile (CBO/stats-collection shape):
+    //      per-column non-null count, EXACT ndv (hash-matched), min/max
+    //      rendered as strings (type-heterogeneous columns in one result),
+    //      and the HLL sketch gated within 5% of exact. ONE table scan
+    //      into a checkpointed narrow projection, then two cheap passes
+    //      over it: a plain aggregate (count/HLL/min/max — deliberately NO
+    //      distinct aggregates: Spark's multi-countDistinct rewrite plans
+    //      an Expand + double shuffle over rows × columns, measured 25s
+    //      where this shape takes ~2s) and a two-stage exact ndv — explode
+    //      to (column, rendered value), distinct, count per column — whose
+    //      shuffle keys are (col, value): the sketch is the 100 TB keeper,
+    //      the exact ndv is its gate. Rendering is injective per type, so
+    //      distinct-of-rendered ≡ distinct-of-typed.
     Q("stats_table_profile",
       (s, dir) => {
         import s.implicits._
         val li = T(s, dir, "lineitem")
         val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
-        val aggs = cols.flatMap(c => Seq(
-          count(col(c)).as(s"n_$c"),
-          countDistinct(col(c)).as(s"ndv_$c"),
-          approx_count_distinct(col(c), 0.02).as(s"andv_$c"),
-          min(col(c)).cast("string").as(s"min_$c"),
-          max(col(c)).cast("string").as(s"max_$c")))
-        val r = li.agg(aggs.head, aggs.drop(1): _*).head()
-        val rows = cols.zipWithIndex.map { case (c, i) =>
-          val base = i * 5
-          val ndv = r.getLong(base + 1)
-          val andv = r.getLong(base + 2)
-          (c, r.getLong(base), ndv, r.getString(base + 3), r.getString(base + 4),
-            math.abs(andv - ndv).toDouble <= 0.05 * ndv)
-        }
-        rows.toDF("col_name", "n_nonnull", "ndv", "min_s", "max_s", "approx_ok")
+        val base = li.select(cols.map(col): _*).localCheckpoint(true)
+        try {
+          val aggs = cols.flatMap(c => Seq(
+            count(col(c)).as(s"n_$c"),
+            approx_count_distinct(col(c), 0.02).as(s"andv_$c"),
+            min(col(c)).cast("string").as(s"min_$c"),
+            max(col(c)).cast("string").as(s"max_$c")))
+          val r = base.agg(aggs.head, aggs.drop(1): _*).head()
+          val ndv = base.select(
+              posexplode(array(cols.map(c => col(c).cast("string")): _*)).as(Seq("ci", "v")))
+            .filter(col("v").isNotNull)
+            .distinct()
+            .groupBy("ci").agg(count(lit(1)).as("ndv"))
+            .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+          val rows = cols.zipWithIndex.map { case (c, i) =>
+            val b = i * 4
+            val nd = ndv.getOrElse(i, 0L)
+            val andv = r.getLong(b + 1)
+            (c, r.getLong(b), nd, r.getString(b + 2), r.getString(b + 3),
+              math.abs(andv - nd).toDouble <= 0.05 * nd)
+          }
+          rows.toDF("col_name", "n_nonnull", "ndv", "min_s", "max_s", "approx_ok")
+        } finally graft.ops.Caching.release(base)
       },
       Some(Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate").map(c =>
         s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
