@@ -140,4 +140,30 @@ object Manifest {
       else spark.read.parquet(added: _*)
     (rows, added.length)
   }
+
+  /** Retention: drop all but the newest `keep` snapshots (each is a few
+    * KB, but a years-long recurring loop accrues thousands — the same
+    * append-debt argument as data-file compaction, at metadata scale).
+    * Incremental readers must hold checkpoint ids within the retained
+    * window; expiring an id a reader still references makes its next
+    * `addedSince` fail fast on the missing snapshot rather than
+    * under-report. Returns the number of snapshots removed.
+    */
+  def expireSnapshots(spark: SparkSession, table: String, keep: Int): Int = {
+    require(keep >= 1, s"must keep at least 1 snapshot: $keep")
+    val fs = fsOf(spark, table)
+    val r = new Path(root(table))
+    if (!fs.exists(r)) 0
+    else {
+      val ids = fs.listStatus(r).toSeq.collect {
+        case s if s.isDirectory => s.getPath.getName match {
+          case SnapRe(n) => Some(n.toInt)
+          case _ => None
+        }
+      }.flatten.sorted
+      val drop = ids.dropRight(keep)
+      drop.foreach(id => FsMaint.deleteRecursively(fs, new Path(s"${root(table)}/snapshot-$id")))
+      drop.length
+    }
+  }
 }

@@ -99,6 +99,20 @@ class ManifestSpec extends SparkSpec {
     assert(spark.read.parquet(stage).count() == docs.count())
   }
 
+  test("expireSnapshots keeps the newest N; an expired checkpoint fails fast") {
+    val stage = stageClustered("manifest_expire", 4)
+    val id1 = Manifest.create(spark, stage, "doc_id")
+    Manifest.create(spark, stage, "doc_id")
+    val id3 = Manifest.create(spark, stage, "doc_id")
+    assert(Manifest.expireSnapshots(spark, stage, keep = 1) == 2)
+    // The latest snapshot still serves scans…
+    val (rows, nRead, nTotal) = Manifest.scanRange(spark, stage, "doc_id", 0L, 10L)
+    assert(nRead == 1 && nTotal == 4 && rows.count() == 11L)
+    assert(Manifest.addedSince(spark, stage, id3)._2 == 0)
+    // …but an expired checkpoint id fails loudly, never under-reports.
+    intercept[Exception] { Manifest.addedSince(spark, stage, id1) }
+  }
+
   test("a crashed create's orphan tmp dir is cleaned by the next create") {
     val stage = stageClustered("manifest_heal", 4)
     Manifest.create(spark, stage, "doc_id")
