@@ -138,6 +138,24 @@ object Layout {
     FsMaint.swapIn(fs, path, tmp)
   }
 
+  /** Rewrite the parquet dir at `path` hive-partitioned by `partCol`
+    * (`…/partCol=value/` dirs) — the layout for CATEGORICAL predicates,
+    * complementing the range/Z-order rewrites' numeric spans: an equality
+    * filter on `partCol` prunes whole directories at PLANNING time
+    * (`PartitionFilters` — the scan never lists, opens, or footer-reads
+    * the other partitions' files, unlike row-group stats which every
+    * planned file still pays). Same atomic swap contract.
+    */
+  def partitionByColumn(spark: SparkSession, path: String, partCol: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    FsMaint.recoverSwap(fs, path)
+    val tmp = path + "__compacting"
+    spark.read.parquet(path)
+      .repartition(col(partCol)) // one file per partition value per write
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    FsMaint.swapIn(fs, path, tmp)
+  }
+
   /** Mean per-file normalized span of `keyCol` (span / global range, 0..1)
     * — the clustering-quality metric: ≈1 means every file spans the whole
     * domain (no skipping possible), small means predicates on `keyCol`

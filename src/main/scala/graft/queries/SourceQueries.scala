@@ -240,6 +240,43 @@ object SourceQueries {
                    Seq("doc_id", "text", "lang", "source", "n_chars"),
                    "(SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 299 AND n_chars BETWEEN 200 AND 400) t")})""".stripMargin)),
 
+    // ---- hive-partitioned rewrite + planning-time pruning: the layout for
+    //      CATEGORICAL predicates. After Layout.partitionByColumn("lang"),
+    //      a lang-equality scan prunes whole directories at PLANNING time —
+    //      the scan's executed numFiles metric counts ONLY the matching
+    //      partition's files (row-group stats, by contrast, still plan and
+    //      footer-read every file). Gate: fingerprint of the pruned scan ≡
+    //      DuckDB on the predicate's rows, plus the measured
+    //      fewer-files-planned boolean.
+    Q("layout_partition_rewrite",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val stage = java.nio.file.Files.createTempDirectory("graft_layout_p").toString + "/documents"
+        T(s, dir, "documents").repartition(8).write.mode("overwrite").parquet(stage)
+        graft.ops.Layout.partitionByColumn(s, stage, "lang")
+        val fs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val totalFiles = graft.ops.FsMaint.dataFileCount(fs,
+          new org.apache.hadoop.fs.Path(stage))
+        val probe = s.read.parquet(stage).filter(col("lang") === "en")
+        probe.collect(): Unit
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case f: FileSourceScanExec => Seq(f)
+          case other => other.children.flatMap(scans)
+        }
+        val planned = scans(probe.queryExecution.executedPlan)
+          .map(_.metrics("numFiles").value).sum
+        graft.functions.Hashing.multisetFingerprintAgg(probe, docCols)
+          .withColumn("partition_pruned", lit(planned > 0 && planned < totalFiles))
+      },
+      Some(s"""SELECT *, true AS partition_pruned FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"),
+                   "(SELECT * FROM documents WHERE lang = 'en') t")})""".stripMargin)),
+
     // ---- snapshot-diff incremental processing: a recurring job over an
     //      append-only table reads ONLY the files added since its previous
     //      snapshot (latest ∖ since, by path — immutable snapshots as the

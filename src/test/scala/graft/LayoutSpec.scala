@@ -83,6 +83,33 @@ class LayoutSpec extends SparkSpec {
     assert(sb1d > sb * 2, s"z-order should beat 1-D on the second dim: $sb vs $sb1d")
   }
 
+  test("partitionByColumn: content invariant; equality scan plans only the matching dir") {
+    val stage = stageDocs("layout_part", 8)
+    val before = fp(stage)
+    Layout.partitionByColumn(spark, stage, "lang")
+    assert(fp(stage) == before)
+    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    val total = FsMaint.dataFileCount(fs, new Path(stage))
+    assert(total >= 5, s"expected >=1 file per lang, got $total") // 5 langs
+    val probe = spark.read.parquet(stage).filter(col("lang") === "en")
+    probe.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val nodes = scans(probe.queryExecution.executedPlan)
+    assert(nodes.nonEmpty)
+    // Planning-time pruning: only lang=en's files are PLANNED (contrast
+    // with row-group stats, where every file is still listed and opened).
+    val planned = nodes.map(_.metrics("numFiles").value).sum
+    assert(planned < total, s"planned $planned of $total files")
+    assert(nodes.head.toString.contains("PartitionFilters"),
+      nodes.head.toString.linesIterator.take(6).mkString("\n"))
+  }
+
   test("clusterByRange: pairwise-disjoint file spans, content invariant") {
     val stage = stageDocs("layout_cluster", 16)
     val before = fp(stage)
