@@ -72,8 +72,16 @@ private[graft] object FsMaint {
     if (fs.exists(tmp)) deleteRecursively(fs, tmp)
   }
 
-  /** Swap the staged rewrite at `tmp` into `path` via two renames. */
-  def swapIn(fs: FileSystem, path: String, tmp: String): Unit = {
+  /** Swap the staged rewrite at `tmp` into `path` via two renames.
+    * `carryOver` names subdirectories of the OLD store (e.g. the
+    * `_graft_manifest` snapshot history) to move into the new store before
+    * the old one is deleted — metadata that must survive a data rewrite.
+    * A crash between the swap and the carry loses only the carried
+    * metadata (the next reader sees "no manifest", a loud re-create
+    * signal), never data.
+    */
+  def swapIn(fs: FileSystem, path: String, tmp: String,
+             carryOver: Seq[String] = Nil): Unit = {
     val dir = new Path(path)
     val old = new Path(path + "__old")
     deleteRecursively(fs, old)
@@ -82,6 +90,11 @@ private[graft] object FsMaint {
     if (!fs.rename(new Path(tmp), dir)) {
       fs.rename(old, dir) // roll back so the store stays readable
       throw new java.io.IOException(s"swap: failed to swap $tmp into $path")
+    }
+    carryOver.foreach { name =>
+      val src = new Path(old, name)
+      val dst = new Path(dir, name)
+      if (fs.exists(src) && !fs.exists(dst)) { fs.rename(src, dst): Unit }
     }
     deleteRecursively(fs, old)
   }

@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   * Content invariance is the correctness contract: both rewrites are pure
   * re-layouts, so the table's multiset fingerprint before ≡ after — gated
   * against the DuckDB oracle by the `layout_*` queries.
+  *
+  * Manifest coupling: a rewrite renames every data file, so any
+  * [[Manifest]] snapshot over the table goes stale the instant the swap
+  * lands. Every rewrite here therefore captures the manifest's key
+  * columns BEFORE the swap, carries the snapshot history across it, and
+  * re-commits a fresh snapshot (one narrow scan) as part of the job — so
+  * manifest readers never cross a rewrite unprotected. (Unmanifested
+  * tables pay nothing; and [[Manifest.scanBox]] independently detects
+  * staleness for rewrites done by anything other than these jobs.)
   */
 object Layout {
 
@@ -34,13 +43,47 @@ object Layout {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     FsMaint.recoverSwap(fs, path)
+    val manifestKeys = Manifest.currentKeyCols(spark, path)
     val total = FsMaint.totalDataBytes(fs, new Path(path))
     val nFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     val tmp = path + "__compacting"
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp)
-    FsMaint.swapIn(fs, path, tmp)
+    swapAndRefresh(spark, fs, path, tmp, manifestKeys)
     nFiles
+  }
+
+  /** Commit a rewrite: swap the staged dir in (carrying the manifest
+    * snapshot history across — it lives INSIDE the table dir the swap
+    * replaces), then re-commit a fresh snapshot with the pre-rewrite key
+    * columns so manifest readers never cross a rewrite on stale stats.
+    * `keys` must be captured BEFORE the swap (the old dir is gone after).
+    */
+  private def swapAndRefresh(spark: SparkSession,
+                             fs: org.apache.hadoop.fs.FileSystem,
+                             path: String, tmp: String,
+                             keys: Option[Seq[String]]): Unit = {
+    FsMaint.swapIn(fs, path, tmp, carryOver = Seq("_graft_manifest"))
+    keys.foreach(k => Manifest.create(spark, path, k: _*): Unit)
+  }
+
+  /** The long domain a cluster key is ordered in — shared with
+    * [[Manifest]]'s stat normalization so a clustered layout and its
+    * manifest agree on what "range" means, and so a string/decimal key is
+    * REJECTED here instead of silently casting to NULL (which would
+    * normalize every row to the same z-cell and quietly destroy the
+    * clustering the caller asked for).
+    */
+  private def orderedLong(c: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+      case TimestampType => unix_micros(col(c))
+      case DateType => datediff(col(c), lit("1970-01-01")).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"cluster column `$c` has unsupported type ${other.simpleString}: " +
+          "only integral, date, and timestamp keys carry an orderable long domain")
+    }
   }
 
   /** Rewrite the parquet dir at `path` range-clustered by `clusterCol` into
@@ -51,8 +94,8 @@ object Layout {
     * point/range predicate lets the parquet reader skip every row group
     * outside the overlapping range — decode work proportional to
     * selectivity. (Vanilla Spark still PLANS all files; file-level skipping
-    * from these same stats is the extra step a manifest-based table format
-    * — Delta/Iceberg-style — adds on top of exactly this layout.)
+    * from these same stats is what [[Manifest]] adds on top of exactly
+    * this layout.)
     *
     * One range-partitioning shuffle (sampled boundaries) + an in-task sort;
     * no driver-sized state.
@@ -62,81 +105,108 @@ object Layout {
     require(nFiles > 0, s"nFiles must be positive: $nFiles")
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     FsMaint.recoverSwap(fs, path)
+    val manifestKeys = Manifest.currentKeyCols(spark, path)
     val tmp = path + "__compacting"
     spark.read.parquet(path)
       .repartitionByRange(nFiles, col(clusterCol))
       .sortWithinPartitions(clusterCol)
       .write.mode("overwrite").parquet(tmp)
-    FsMaint.swapIn(fs, path, tmp)
+    swapAndRefresh(spark, fs, path, tmp, manifestKeys)
   }
 
   /** Per-file [min, max] spans of `keyCol` for the parquet dir at `path`,
     * sorted by min — the clustering-quality probe ([[clusterByRange]]'s
     * post-condition: spans pairwise disjoint). One scan of the key column.
     */
-  def fileSpans(spark: SparkSession, path: String, keyCol: String): Seq[(Long, Long)] =
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+  def fileSpans(spark: SparkSession, path: String, keyCol: String): Seq[(Long, Long)] = {
+    val df = spark.read.parquet(path)
+    val k = orderedLong(keyCol, df)
+    df.groupBy(input_file_name().as("f"))
+      .agg(min(k).as("lo"), max(k).as("hi"))
       .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+  }
 
-  /** Morton (Z-order) value of two long columns, each min-max normalized to
-    * 16 bits and bit-interleaved (a on even positions, b on odd) — pure
+  /** Morton (Z-order) value of `n` normalized long keys `(col, lo, hi)`:
+    * each key is min-max normalized to `min(16, 62/n)` bits and
+    * bit-interleaved (bit i of key j lands at position i·n + j) — pure
     * integer arithmetic on built-in expressions, fully codegen'd, no UDF.
-    * Degenerate ranges (lo == hi) normalize to 0.
+    * Degenerate ranges (lo == hi) normalize to 0. For n = 2 this is the
+    * classic 32-bit Morton code (first key on even positions).
+    *
+    * All normalization arithmetic is in DOUBLE from the first operation —
+    * `(c - lo)` as long subtraction would overflow for domains spanning
+    * more than half the int64 range (e.g. mixed-sign hash keys), and so
+    * would `(hi - lo)` on the driver; double precision loss only perturbs
+    * rank granularity, not layout correctness.
     */
-  def zValue(a: org.apache.spark.sql.Column, aLo: Long, aHi: Long,
-             b: org.apache.spark.sql.Column, bLo: Long, bHi: Long): org.apache.spark.sql.Column = {
-    // Normalize in double BEFORE scaling: (c - lo) * 65535 in long would
-    // overflow for wide domains (e.g. epoch-micros keys) under ANSI mode;
-    // double precision loss only perturbs rank granularity, not layout
-    // correctness.
+  def zValueN(keys: Seq[(org.apache.spark.sql.Column, Long, Long)]): org.apache.spark.sql.Column = {
+    val n = keys.length
+    require(n >= 1, "need at least one z-order key")
+    val bits = math.min(16, 62 / n)
+    require(bits >= 1, s"too many z-order keys: $n")
+    val top = ((1L << bits) - 1).toDouble
     def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
-      if (hi > lo) (c - lit(lo)).cast("double") / lit((hi - lo).toDouble) * lit(65535.0)
+      if (hi > lo)
+        (c.cast("double") - lit(lo.toDouble)) / lit(hi.toDouble - lo.toDouble) * lit(top)
       else lit(0.0)
-    val au = norm(a, aLo, aHi).cast("long")
-    val bu = norm(b, bLo, bHi).cast("long")
-    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(au, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(bu, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    keys.zipWithIndex.foldLeft(lit(0L)) { case (acc, ((c, lo, hi), j)) =>
+      val u = norm(c, lo, hi).cast("long")
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a.bitwiseOR(shiftleft(shiftright(u, i).bitwiseAND(lit(1L)), i * n + j))
+      }
     }
   }
 
-  /** Rewrite the parquet dir at `path` Z-ORDER clustered by two long
-    * columns into `nFiles` files: rows are range-partitioned and sorted on
-    * the Morton interleave of the two normalized keys, so each file covers
-    * a compact REGION of the (a, b) plane — per-file min/max spans shrink
-    * on BOTH dimensions simultaneously (≈ √(files)-way on each axis for
+  /** Two-key convenience form of [[zValueN]] (a on even bit positions, b
+    * on odd).
+    */
+  def zValue(a: org.apache.spark.sql.Column, aLo: Long, aHi: Long,
+             b: org.apache.spark.sql.Column, bLo: Long, bHi: Long): org.apache.spark.sql.Column =
+    zValueN(Seq((a, aLo, aHi), (b, bLo, bHi)))
+
+  /** Rewrite the parquet dir at `path` Z-ORDER clustered by `cols`
+    * (integral / date / timestamp) into `nFiles` files: rows are
+    * range-partitioned and sorted on the Morton interleave of the
+    * normalized keys, so each file covers a compact REGION of the
+    * n-dimensional key space — per-file min/max spans shrink on EVERY
+    * dimension simultaneously (≈ files^(-1/n)-way on each axis for
     * balanced data), where a 1-D sort collapses one dimension and leaves
-    * the other spanning the whole range. The multi-predicate form of
-    * [[clusterByRange]]'s skipping story; same row-group/table-format
-    * caveat. The z column is transient — computed for the shuffle+sort,
-    * dropped before the write, so content invariance holds by
-    * construction.
+    * the others spanning the whole range. The multi-predicate form of
+    * [[clusterByRange]]'s skipping story; same row-group/manifest caveat.
+    * The z column is transient — computed for the shuffle+sort, dropped
+    * before the write, so content invariance holds by construction.
     *
     * Cost: one narrow min/max pass (bounds for normalization) + one
     * range-partitioning shuffle + in-task sort.
     */
-  def clusterByZOrder(spark: SparkSession, path: String, colA: String, colB: String,
-                      nFiles: Int): Unit = {
+  def clusterByZOrderN(spark: SparkSession, path: String, cols: Seq[String],
+                       nFiles: Int): Unit = {
     require(nFiles > 0, s"nFiles must be positive: $nFiles")
+    require(cols.nonEmpty, "need at least one z-order column")
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     FsMaint.recoverSwap(fs, path)
+    val manifestKeys = Manifest.currentKeyCols(spark, path)
     val df = spark.read.parquet(path)
-    val bounds = df.agg(
-      min(col(colA).cast("long")), max(col(colA).cast("long")),
-      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
-    val z = zValue(col(colA).cast("long"), bounds.getLong(0), bounds.getLong(1),
-                   col(colB).cast("long"), bounds.getLong(2), bounds.getLong(3))
+    val longs = cols.map(c => orderedLong(c, df))
+    val statAggs = longs.zipWithIndex.flatMap { case (l, i) =>
+      Seq(min(l).as(s"lo$i"), max(l).as(s"hi$i")) }
+    val bounds = df.agg(statAggs.head, statAggs.drop(1): _*).head()
+    val keys = longs.zipWithIndex.map { case (l, i) =>
+      (l, bounds.getLong(bounds.fieldIndex(s"lo$i")), bounds.getLong(bounds.fieldIndex(s"hi$i")))
+    }
     val tmp = path + "__compacting"
-    df.withColumn("__z", z)
+    df.withColumn("__z", zValueN(keys))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(tmp)
-    FsMaint.swapIn(fs, path, tmp)
+    swapAndRefresh(spark, fs, path, tmp, manifestKeys)
   }
+
+  /** Two-column convenience form of [[clusterByZOrderN]]. */
+  def clusterByZOrder(spark: SparkSession, path: String, colA: String, colB: String,
+                      nFiles: Int): Unit =
+    clusterByZOrderN(spark, path, Seq(colA, colB), nFiles)
 
   /** Rewrite the parquet dir at `path` hive-partitioned by `partCol`
     * (`…/partCol=value/` dirs) — the layout for CATEGORICAL predicates,
@@ -149,11 +219,12 @@ object Layout {
   def partitionByColumn(spark: SparkSession, path: String, partCol: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     FsMaint.recoverSwap(fs, path)
+    val manifestKeys = Manifest.currentKeyCols(spark, path)
     val tmp = path + "__compacting"
     spark.read.parquet(path)
       .repartition(col(partCol)) // one file per partition value per write
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
-    FsMaint.swapIn(fs, path, tmp)
+    swapAndRefresh(spark, fs, path, tmp, manifestKeys)
   }
 
   /** Mean per-file normalized span of `keyCol` (span / global range, 0..1)
@@ -162,9 +233,11 @@ object Layout {
     * overlap few files' row groups. One scan of the key column.
     */
   def meanNormalizedSpan(spark: SparkSession, path: String, keyCol: String): Double = {
-    val rows = spark.read.parquet(path)
+    val df = spark.read.parquet(path)
+    val k = orderedLong(keyCol, df)
+    val rows = df
       .groupBy(input_file_name().as("f"))
-      .agg(min(col(keyCol).cast("long")).as("lo"), max(col(keyCol).cast("long")).as("hi"))
+      .agg(min(k).as("lo"), max(k).as("hi"))
       .agg(avg(col("hi") - col("lo")).as("meanSpan"),
         (max(col("hi")) - min(col("lo"))).cast("double").as("range")).head()
     if (rows.getDouble(1) <= 0) 0.0 else rows.getDouble(0) / rows.getDouble(1)

@@ -1,8 +1,9 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Minimal manifest/snapshot layer over a parquet dir — the missing step
   * between [[Layout]]'s clustering and actual FILE-level skipping: vanilla
@@ -21,15 +22,38 @@ import org.apache.spark.sql.functions._
   * not a correctness dependency. Snapshots are immutable and committed by
   * a single dir rename (write to `…__tmp`, rename into place); readers
   * take the highest committed id, so a crashed create leaves at worst an
-  * orphan tmp dir, cleaned by the next create. A [[Layout]] rewrite makes
-  * the current snapshot stale — re-run [[create]] after one (one narrow
-  * key-column scan).
+  * orphan tmp dir, cleaned by the next create.
+  *
+  * Key-column typing: stats are held as LONG under a per-type
+  * normalization — integrals cast losslessly, timestamps become epoch
+  * MICROS, dates epoch DAYS — and [[create]] REJECTS any other type
+  * (string/decimal/double). The rejection is load-bearing: an unguarded
+  * `cast("long")` on a string key yields NULL stats, and a NULL-stats
+  * overlap predicate silently prunes EVERY file — a missing-data wrong
+  * answer, the worst failure mode a skipping layer can have. Callers of
+  * [[scanBox]] phrase bounds in the same normalized unit (micros / days
+  * for temporal keys).
+  *
+  * Staleness: a [[Layout]] rewrite renames every data file, so the
+  * rewrite jobs carry the snapshot history across their swap and
+  * re-commit a fresh snapshot with the same keys ([[currentKeyCols]])
+  * as part of the job. As a second line of defense, [[scanBox]] /
+  * [[addedSince]] existence-check the files they picked (one `listStatus`
+  * per parent directory, not per file) and throw the typed
+  * [[Manifest.StaleManifestException]] instead of letting the read fail
+  * mid-scan with a bare `FileNotFoundException` — or worse, half-succeed.
   *
   * Driver math: pruning collects the overlapping FILE PATHS (manifest rows
   * ∝ file count — the same driver-side listing any file index holds, made
   * smaller by the pruning predicate), never data.
   */
 object Manifest {
+
+  /** The manifest references files the table no longer contains (a layout
+    * rewrite or external delete happened after the snapshot). Recovery:
+    * re-run [[create]].
+    */
+  final class StaleManifestException(msg: String) extends IllegalStateException(msg)
 
   private def root(table: String) = s"$table/_graft_manifest"
   private val SnapRe = "snapshot-(\\d+)".r
@@ -52,20 +76,83 @@ object Manifest {
     }
   }
 
+  /** The key column normalized to the long domain its stats live in.
+    * Total over exactly the types [[create]] admits; the integral branch
+    * is an upcast Catalyst's UnwrapCastInBinaryComparison still pushes
+    * down as a plain column predicate.
+    */
+  private def statCol(c: String, dt: DataType): Column = dt match {
+    case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+    case TimestampType => unix_micros(col(c))
+    case DateType => datediff(col(c), lit("1970-01-01")).cast("long")
+    case other => throw new IllegalArgumentException(
+      s"manifest key column `$c` has unsupported type ${other.simpleString}: " +
+        "only integral, date, and timestamp keys carry orderable long stats " +
+        "(a string/decimal key would produce NULL stats and silently prune every file)")
+  }
+
+  /** `input_file_name()` returns the URL-ENCODED file path (`[` as `%5B`
+    * etc. — Spark's internal `SparkPath` representation); decode it back
+    * to the real filesystem path before any name comparison or read.
+    */
+  private def decodePath(p: String): Path =
+    try new Path(new java.net.URI(p))
+    catch { case _: java.net.URISyntaxException => new Path(p) }
+
+  /** Hadoop path globbing is active in `spark.read.parquet(paths: _*)`:
+    * a literal path containing `*?[]{}` would be interpreted as a pattern
+    * and silently read wrong (or no) files. Decode the manifest's stored
+    * URL-encoded form, then escape every metacharacter, so the collected
+    * paths are read EXACTLY as listed.
+    */
+  private[ops] def escapeGlob(p: String): String =
+    decodePath(p).toString.replaceAll("([\\[\\]{}*?\\\\])", "\\\\$1")
+
+  /** Fail fast (typed) if any picked file no longer exists — one
+    * `listStatus` per distinct parent dir, never a per-file probe, so the
+    * check costs O(directories) driver RPCs even when thousands of files
+    * were picked.
+    */
+  private def requireFresh(spark: SparkSession, table: String,
+                           picked: Seq[String]): Unit = {
+    if (picked.isEmpty) return
+    val fs = fsOf(spark, table)
+    val missing = picked.map(decodePath).groupBy(_.getParent).toSeq.flatMap {
+      case (parent, paths) =>
+        val existing =
+          try fs.listStatus(parent).map(_.getPath.getName).toSet
+          catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+        paths.filterNot(p => existing(p.getName))
+    }
+    if (missing.nonEmpty)
+      throw new StaleManifestException(
+        s"stale manifest under $table: ${missing.length} referenced file(s) no longer " +
+          s"exist (first: ${missing.head}) — a layout rewrite or external delete " +
+          "happened after the snapshot; re-run Manifest.create")
+  }
+
   /** Snapshot the table's current file-level stats for one or more key
     * columns (one `min_<c>`/`max_<c>` pair per column — multi-column stats
     * are what make a Z-ORDERED layout file-skippable on BOX predicates,
-    * where single-column stats only serve 1-D ranges). One grouped scan;
-    * commit = one dir rename. Returns the new snapshot id.
+    * where single-column stats only serve 1-D ranges). Key columns must be
+    * integral / date / timestamp (see the typing contract above; anything
+    * else is rejected here rather than silently mis-pruning later). One
+    * grouped scan; commit = one dir rename. Returns the new snapshot id.
     */
   def create(spark: SparkSession, table: String, keyCols: String*): Int = {
     require(keyCols.nonEmpty, "need at least one key column")
     val fs = fsOf(spark, table)
     val next = latestId(spark, table).getOrElse(0) + 1
+    val data = spark.read.parquet(table)
+    val schema = data.schema
+    keyCols.foreach { c =>
+      require(schema.fieldNames.contains(c), s"no such column: $c")
+      statCol(c, schema(c).dataType): Unit // type guard — throws on unsupported
+    }
     val aggs = keyCols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"min_$c"),
-      max(col(c).cast("long")).as(s"max_$c"))) :+ count(lit(1)).as("n_rows")
-    val stats = spark.read.parquet(table)
+      min(statCol(c, schema(c).dataType)).as(s"min_$c"),
+      max(statCol(c, schema(c).dataType)).as(s"max_$c"))) :+ count(lit(1)).as("n_rows")
+    val stats = data
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.drop(1): _*)
     val dest = s"${root(table)}/snapshot-$next"
@@ -81,7 +168,20 @@ object Manifest {
     next
   }
 
-  /** The latest snapshot's file rows `(file, key_min, key_max, n_rows)`. */
+  /** Key columns of the latest snapshot, recovered from the snapshot's own
+    * schema (`min_<c>` stat columns) — None when the table is
+    * unmanifested. [[Layout]]'s rewrite jobs capture this BEFORE their
+    * swap (the swap replaces the table dir, carrying the snapshot history
+    * across) and re-commit a fresh snapshot with the same keys after, so a
+    * rewrite never leaves a stale snapshot as the latest.
+    */
+  def currentKeyCols(spark: SparkSession, table: String): Option[Seq[String]] =
+    latestId(spark, table).map { id =>
+      spark.read.parquet(s"${root(table)}/snapshot-$id")
+        .schema.fieldNames.toSeq.collect { case f if f.startsWith("min_") => f.drop(4) }
+    }
+
+  /** The latest snapshot's file rows `(file, min_*, max_*, n_rows)`. */
   def files(spark: SparkSession, table: String): DataFrame = {
     val id = latestId(spark, table).getOrElse(
       throw new IllegalStateException(s"no manifest snapshot under $table"))
@@ -90,10 +190,12 @@ object Manifest {
 
   /** Manifest-pruned BOX scan: read ONLY the files whose per-column
     * [min, max] overlaps EVERY predicate's [lo, hi], then apply the
-    * residual row predicate. Returns (rows, filesRead, filesTotal) — the
-    * file counts are the skipping evidence callers gate on. Columns not in
-    * the snapshot cannot be pruned on (fails fast rather than silently
-    * scanning everything).
+    * residual row predicate. Bounds are in each key's normalized long
+    * domain (epoch micros for timestamp keys, epoch days for date keys).
+    * Returns (rows, filesRead, filesTotal) — the file counts are the
+    * skipping evidence callers gate on. Columns not in the snapshot
+    * cannot be pruned on (fails fast rather than silently scanning
+    * everything); files missing on disk raise [[StaleManifestException]].
     */
   def scanBox(spark: SparkSession, table: String,
               preds: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
@@ -107,13 +209,14 @@ object Manifest {
       col(s"max_$c") >= lo && col(s"min_$c") <= hi }.reduce(_ && _)
     val picked = f.filter(overlap)
       .select("file").collect().map(_.getString(0)).toIndexedSeq
+    requireFresh(spark, table, picked)
+    val base =
+      if (picked.isEmpty) spark.read.parquet(table).limit(0)
+      else spark.read.parquet(picked.map(escapeGlob): _*)
+    val schema = base.schema
     val residual = preds.map { case (c, lo, hi) =>
-      col(c).cast("long").between(lo, hi) }.reduce(_ && _)
-    val rows =
-      if (picked.isEmpty)
-        spark.read.parquet(table).filter(residual).limit(0)
-      else spark.read.parquet(picked: _*).filter(residual)
-    (rows, picked.length, all)
+      statCol(c, schema(c).dataType).between(lo, hi) }.reduce(_ && _)
+    (base.filter(residual), picked.length, all)
   }
 
   /** 1-D convenience form of [[scanBox]]. */
@@ -135,9 +238,10 @@ object Manifest {
     val added = files(spark, table)
       .join(since.select("file"), Seq("file"), "left_anti")
       .select("file").collect().map(_.getString(0)).toIndexedSeq
+    requireFresh(spark, table, added)
     val rows =
       if (added.isEmpty) spark.read.parquet(table).limit(0)
-      else spark.read.parquet(added: _*)
+      else spark.read.parquet(added.map(escapeGlob): _*)
     (rows, added.length)
   }
 

@@ -192,6 +192,32 @@ object SourceQueries {
                |${Registry.duckMultisetFingerprint(
                    Seq("doc_id", "text", "lang", "source", "n_chars"), "documents")})""".stripMargin)),
 
+    // ---- n-dimensional Z-ORDER: the Morton interleave generalizes past two
+    //      keys (bit i of key j at position i·n + j, min(16, 62/n) bits per
+    //      key) — here lineitem clustered on (l_orderkey, l_partkey,
+    //      l_suppkey), so a conjunctive predicate on ANY subset of the three
+    //      keys skips row groups / manifest files. Gate: fingerprint
+    //      invariance + per-DIMENSION mean normalized span ≤ 0.75 on all
+    //      three axes (ideal at 27 files ≈ 27^(-1/3) = 0.33; an unclustered
+    //      layout reads ≈ 1.0 per axis, a 1-D sort ≈ 1.0 on two of three).
+    Q("layout_cluster_zorder_n",
+      (s, dir) => {
+        val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag")
+        val stage = java.nio.file.Files.createTempDirectory("graft_layout_zn").toString + "/lineitem"
+        T(s, dir, "lineitem").select(liCols.map(col): _*)
+          .repartition(16).write.mode("overwrite").parquet(stage)
+        graft.ops.Layout.clusterByZOrderN(s, stage,
+          Seq("l_orderkey", "l_partkey", "l_suppkey"), nFiles = 27)
+        val spans = Seq("l_orderkey", "l_partkey", "l_suppkey")
+          .map(c => graft.ops.Layout.meanNormalizedSpan(s, stage, c))
+        graft.functions.Hashing.multisetFingerprintAgg(s.read.parquet(stage), liCols)
+          .withColumn("zorder3_ok", lit(spans.forall(_ <= 0.75)))
+      },
+      Some(s"""SELECT *, true AS zorder3_ok FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag"),
+                   "(SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_returnflag FROM lineitem) t")})""".stripMargin)),
+
     // ---- manifest-pruned range scan (ops.Manifest): the step that turns
     //      the clustered layout's disjoint per-file spans into actual
     //      FILE-level skipping (vanilla Spark plans every file; a manifest

@@ -110,6 +110,48 @@ class LayoutSpec extends SparkSpec {
       nodes.head.toString.linesIterator.take(6).mkString("\n"))
   }
 
+  test("zValueN: corners land exactly; wide mixed-sign domains do not overflow") {
+    // Top corner of a 2-key code: first key fills even bit positions.
+    def z1(c: org.apache.spark.sql.Column): Long =
+      spark.range(1).select(c.as("z")).head().getLong(0)
+    assert(z1(Layout.zValue(lit(100L), 0L, 100L, lit(0L), 0L, 100L)) == 0x55555555L)
+    assert(z1(Layout.zValue(lit(0L), 0L, 100L, lit(100L), 0L, 100L)) == 0xAAAAAAAAL)
+    // Mixed-sign domain spanning nearly the whole int64 range: long
+    // subtraction (c - lo) or driver-side (hi - lo) would overflow; the
+    // all-double normalization must still hit the exact corners.
+    val lo = Long.MinValue + 1; val hi = Long.MaxValue - 1
+    assert(z1(Layout.zValue(lit(hi), lo, hi, lit(lo), lo, hi)) == 0x55555555L)
+    assert(z1(Layout.zValue(lit(lo), lo, hi, lit(lo), lo, hi)) == 0L)
+    // Three keys: bit i of key j sits at position i*3 + j; all-max = 2^48-1.
+    val all3 = Layout.zValueN(Seq((lit(10L), 0L, 10L), (lit(10L), 0L, 10L), (lit(10L), 0L, 10L)))
+    assert(z1(all3) == (1L << 48) - 1)
+    assert(z1(Layout.zValueN(Seq((lit(0L), 0L, 10L), (lit(10L), 0L, 10L), (lit(0L), 0L, 10L))))
+      == 0x249249249249L * 2) // key 1's bits at positions 1,4,7,…,46
+  }
+
+  test("clusterByZOrderN: three dimensions' spans shrink together; bad key types rejected") {
+    // Controlled 20×20×20 uniform grid — every dimension independent, so the
+    // per-dimension span gate is a real clustering measurement.
+    val stage = tmpDir("layout_zn") + "/grid"
+    spark.range(8000).selectExpr("id", "id % 20 AS x", "(id div 20) % 20 AS y",
+        "id div 400 AS z")
+      .repartition(16).write.parquet(stage)
+    val before = Hashing.multisetFingerprintAgg(
+      spark.read.parquet(stage), Seq("id", "x", "y", "z")).head().getString(0)
+    Layout.clusterByZOrderN(spark, stage, Seq("x", "y", "z"), nFiles = 27)
+    assert(Hashing.multisetFingerprintAgg(
+      spark.read.parquet(stage), Seq("id", "x", "y", "z")).head().getString(0) == before,
+      "z key must be transient — content invariant")
+    val spans = Seq("x", "y", "z").map(c => Layout.meanNormalizedSpan(spark, stage, c))
+    info(f"3-D z-order spans: ${spans.map(s => f"$s%.3f").mkString(", ")} (ideal ~0.33 at 27 files)")
+    assert(spans.forall(_ <= 0.6), s"3-D z-order spans too wide: $spans")
+    // The same-defect-class guard as Manifest.create: a string cluster key
+    // would normalize to NULL and silently destroy the clustering.
+    intercept[IllegalArgumentException] {
+      Layout.clusterByZOrderN(spark, stageDocs("layout_zn_bad", 4), Seq("doc_id", "lang"), 4)
+    }
+  }
+
   test("clusterByRange: pairwise-disjoint file spans, content invariant") {
     val stage = stageDocs("layout_cluster", 16)
     val before = fp(stage)

@@ -113,6 +113,95 @@ class ManifestSpec extends SparkSpec {
     intercept[Exception] { Manifest.addedSince(spark, stage, id1) }
   }
 
+  test("non-orderable key types are rejected at create, never silently mis-pruned") {
+    val stage = stageClustered("manifest_types", 4)
+    // A string key would cast to NULL stats, and the NULL overlap predicate
+    // would silently prune EVERY file — the guard turns that into a typed
+    // rejection at snapshot time.
+    val ex = intercept[IllegalArgumentException] { Manifest.create(spark, stage, "lang") }
+    assert(ex.getMessage.contains("lang"))
+    // One good + one bad column: still rejected, and NO partial snapshot
+    // was committed (the guard runs before any write).
+    intercept[IllegalArgumentException] { Manifest.create(spark, stage, "doc_id", "text") }
+    intercept[IllegalStateException] { Manifest.files(spark, stage) }
+  }
+
+  test("timestamp and date keys carry stats in their normalized units (micros / days)") {
+    val stage = tmpDir("manifest_ts") + "/events"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.queries.Registry.normalizeEventsTs(
+        spark.read.parquet(s"$sf001/events.parquet"))
+      .withColumn("day", to_date(col("ts")))
+      .repartition(4).write.parquet(stage)
+    Layout.clusterByRange(spark, stage, "ts", nFiles = 4)
+    Manifest.create(spark, stage, "ts", "day")
+    val df = spark.read.parquet(stage)
+    val b = df.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 4)
+    val (rows, nRead, nTotal) = Manifest.scanRange(spark, stage, "ts", lo, hi)
+    val expect = df.filter(unix_micros(col("ts")).between(lo, hi)).count()
+    assert(rows.count() == expect && expect > 0)
+    assert(nRead < nTotal, s"clustered timestamp scan should skip files: $nRead of $nTotal")
+    // Date key: one covered epoch-day returns exactly that day's rows.
+    val day = df.agg(min(datediff(col("day"), lit("1970-01-01")))).head().getInt(0).toLong
+    val (drows, _, _) = Manifest.scanRange(spark, stage, "day", day, day)
+    assert(drows.count() ==
+      df.filter(datediff(col("day"), lit("1970-01-01")) === day).count())
+  }
+
+  test("glob metacharacters in a data file's path are read literally") {
+    val stage = stageClustered("manifest_glob", 2)
+    // Rename one data file to a glob-pattern name ('[ab]*' would otherwise
+    // be INTERPRETED by the path reader and match nothing — a silent
+    // missing-data scan).
+    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    val victim = fs.listStatus(new Path(stage))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val weird = new Path(victim.getParent, "part-[ab]{0,1}*.parquet")
+    assert(fs.rename(victim, weird))
+    Manifest.create(spark, stage, "doc_id")
+    val (rows, nRead, _) = Manifest.scanRange(spark, stage, "doc_id", 0L, 10000L)
+    assert(nRead == 2)
+    assert(rows.count() == spark.read.parquet(stage).count())
+  }
+
+  test("files deleted after the snapshot raise the typed stale-manifest error") {
+    val stage = stageClustered("manifest_stale", 4)
+    Manifest.create(spark, stage, "doc_id")
+    // Simulate an external rewrite (one not done through Layout): a
+    // referenced data file disappears.
+    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    val victim = fs.listStatus(new Path(stage))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    assert(fs.delete(victim, false))
+    val ex = intercept[Manifest.StaleManifestException] {
+      Manifest.scanRange(spark, stage, "doc_id", 0L, 10000L)
+    }
+    assert(ex.getMessage.contains("re-run Manifest.create"))
+  }
+
+  test("Layout rewrites recommit a fresh snapshot — scans stay correct across them") {
+    val stage = stageClustered("manifest_couple", 8)
+    val id1 = Manifest.create(spark, stage, "doc_id")
+    // compactTable renames EVERY data file; without the coupling the latest
+    // snapshot would reference ghosts. The rewrite itself commits id1+1.
+    Layout.compactTable(spark, stage, targetBytes = 64L << 20)
+    val (rows, nRead, nTotal) = Manifest.scanRange(spark, stage, "doc_id", 100L, 199L)
+    assert(nTotal == 1 && nRead == 1)
+    assert(rows.count() == 100L)
+    // A clustering rewrite refreshes too, and the refreshed stats PRUNE.
+    Layout.clusterByRange(spark, stage, "doc_id", nFiles = 8)
+    val (rows2, nRead2, nTotal2) = Manifest.scanRange(spark, stage, "doc_id", 100L, 199L)
+    assert(nTotal2 == 8 && nRead2 < nTotal2, s"read $nRead2 of $nTotal2")
+    assert(fp(rows2) == fp(spark.read.parquet(stage)
+      .filter(col("doc_id").between(100, 199))))
+    // The refresh recovered the key columns from the old snapshot itself.
+    assert(Manifest.files(spark, stage).columns.toSet ==
+      Set("file", "min_doc_id", "max_doc_id", "n_rows"))
+    assert(graft.ops.Manifest.addedSince(spark, stage, id1)._2 == 8,
+      "every file is new after a rewrite")
+  }
+
   test("a crashed create's orphan tmp dir is cleaned by the next create") {
     val stage = stageClustered("manifest_heal", 4)
     Manifest.create(spark, stage, "doc_id")
