@@ -49,7 +49,13 @@ object Sessionize extends Serializable {
         val tm = micros(e.ts)
         cur match {
           case Some(s) if tm - s.endMicros <= gapMicros =>
-            cur = Some(s.copy(endMicros = tm, n = s.n + 1))
+            // Merge with max/min, not overwrite: a cross-batch OUT-OF-ORDER
+            // event inside the lateness budget (watermark < ts < endMicros)
+            // must never REGRESS t_end (a regressed end both mis-reports the
+            // session and mis-bases the next gap-close test), and an event
+            // older than the recorded start extends the session downward.
+            cur = Some(SessionState(math.min(s.startMicros, tm),
+              math.max(s.endMicros, tm), s.n + 1))
           case Some(s) =>
             out += toEmit(key, s) // closed — final snapshot
             cur = Some(SessionState(tm, tm, 1))
@@ -80,6 +86,14 @@ object Sessionize extends Serializable {
     * so the operator emits its final form and DELETES the state row. State
     * size is therefore ∝ users active within one (gap + watermark-delay)
     * horizon, not users-ever-seen.
+    *
+    * Out-of-order events the watermark still ADMITS (watermark < ts, even
+    * when ts is older than the open session's current end) are handled:
+    * the merge takes end = max and start = min, so a late-but-in-budget
+    * arrival can extend a session backward but never regress its end —
+    * and the gap-close timeout is always based on the true max end.
+    * Events older than the watermark are dropped by the operator itself,
+    * exactly the lateness contract the caller chose.
     *
     * Emission is close-only (gap-close in batch, timeout, or
     * already-expired at batch end): each session is emitted exactly once,
@@ -113,7 +127,13 @@ object Sessionize extends Serializable {
           val tm = micros(e.ts)
           cur match {
             case Some(s) if tm - s.endMicros <= gapMicros =>
-              cur = Some(s.copy(endMicros = tm, n = s.n + 1))
+              // Merge with max/min, not overwrite: a cross-batch OUT-OF-ORDER
+              // event inside the lateness budget (watermark < ts < endMicros)
+              // must never REGRESS t_end (a regressed end both mis-reports the
+              // session and mis-bases the next gap-close test), and an event
+              // older than the recorded start extends the session downward.
+              cur = Some(SessionState(math.min(s.startMicros, tm),
+                math.max(s.endMicros, tm), s.n + 1))
             case Some(s) =>
               out += toEmit(key, s) // closed in-batch — final
               cur = Some(SessionState(tm, tm, 1))

@@ -98,6 +98,45 @@ class StreamingSpec extends SparkSpec {
     assert(run.finalStateRows == 1L, s"state rows left: ${run.finalStateRows}")
   }
 
+  test("bounded sessionizer merges out-of-order-but-in-budget events without regressing t_end") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // Batch 1: user 1 at t=0 and t=20 (session open, end=20). Batch 2
+    // arrives OUT OF ORDER relative to batch 1: t=10 (inside the open
+    // session) and t=-5 (older than the recorded start, within gap) — both
+    // admitted by the 60-minute lateness budget. A copy-the-event merge
+    // would regress end to 10 and leave start at 0; the max/min merge must
+    // report the true hull [-5, 20] with all 4 events in ONE session.
+    val b1 = Seq((1L, 1L, ts(0)), (1L, 2L, ts(20))).toDF("user_id", "event_id", "ts")
+    val b2 = Seq((1L, 3L, ts(10)), (1L, 4L, ts(-5))).toDF("user_id", "event_id", "ts")
+    val sentinel = Seq((-1L, 0L, ts(20 + 240))).toDF("user_id", "event_id", "ts")
+    val stage = java.nio.file.Files.createTempDirectory("graft_sess_ooo_spec")
+    def put(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_ooo_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, stage.resolve(name))
+      java.nio.file.Files.setLastModifiedTime(stage.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtime)); ()
+    }
+    val now = System.currentTimeMillis()
+    put(b1, "b1.parquet", now - 180000)
+    put(b2, "b2.parquet", now - 120000)
+    put(sentinel, "sentinel1.parquet", now - 60000)
+    put(sentinel, "sentinel2.parquet", now)
+    val src = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val run = Sessionize.runAvailableNowBounded(
+      src.withWatermark("ts", "60 minutes"), gapSeconds = 1800,
+      queryName = "graft_sess_ooo_spec")
+    val got = run.sessions.filter(col("user_id") >= 0)
+      .select("user_id", "session_id", "n_events", "t_start", "t_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSeq
+    assert(got == Seq((1L, 1L, 4L, ts(-5), ts(20))), s"got $got")
+  }
+
   test("streaming ingest self-compacts mid-stream via compactIfNeeded, results unchanged") {
     import org.apache.spark.sql.streaming.Trigger
     import scala.jdk.CollectionConverters._
