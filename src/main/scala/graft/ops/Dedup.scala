@@ -333,7 +333,26 @@ object Dedup {
                       maxHamming: Int = 3): DataFrame = {
     val sh = Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), simhash(col("__text")).as("sh"))
+    hammingNearDups64(sh, "id", "sh", maxHamming)
+  }
+
+  /** Piece-bucketed Hamming pairing over ANY 64-bit signature column (the
+    * banding step of [[simhashNearDups]], factored out so other 64-bit
+    * signatures — e.g. perceptual image hashes — reuse it): split the
+    * signature into 4 16-bit pieces; ids sharing any piece value are
+    * candidates (pigeonhole: a pair within Hamming distance 3 differs in at
+    * most 3 pieces, so at least one matches), verified by exact Hamming ≤
+    * `maxHamming`. Shuffles key on (piece_id, piece) — cardinality ∝
+    * corpus size, never all-pairs. Returns `(id_a, id_b, hamming)` with
+    * `id_a < id_b`.
+    */
+  def hammingNearDups64(sigs: DataFrame, idCol: String, hashCol: String,
+                        maxHamming: Int = 3): DataFrame = {
     val chunks = 4
+    require(maxHamming < chunks,
+      s"piece bucketing with $chunks pieces only guarantees recall for " +
+        s"Hamming <= ${chunks - 1}, got maxHamming = $maxHamming")
+    val sh = sigs.select(col(idCol).as("id"), col(hashCol).as("sh"))
     val pieces = sh.select(col("id"), col("sh"),
       posexplode(array((0 until chunks).map(i =>
         shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("piece_id", "piece")))

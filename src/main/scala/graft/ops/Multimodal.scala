@@ -565,6 +565,77 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  /** dHash result schema produced by [[dHashImages]]. */
+  val imageHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("dhash", LongType, nullable = true)))
+
+  /** 64-bit DIFFERENCE HASH (dHash) per image — the perceptual signature
+    * for raw-media near-dup detection: re-encoded (PNG↔PPM↔BMP) and
+    * nearest-neighbor-resized copies of an image hash to the same (or
+    * near-same) 64 bits, while unrelated images differ in ~32, so
+    * Hamming-piece bucketing ([[Dedup.hammingNearDups64]]) pairs the
+    * clones without an all-pairs join — the image-side analog of SimHash
+    * text dedup.
+    *
+    * Algorithm, all EXACT integer arithmetic (no float rounding, so the
+    * hash is bit-stable across engines): decode to RGB (either decoder
+    * family), grayscale each pixel as r+g+b, average-pool onto a 9×8 grid
+    * (pixel x → cell x·9 div w, y → y·8 div h), then bit (row·8 + x) = 1
+    * iff cell (x+1, row) is brighter than cell (x, row) — compared by
+    * cross-multiplied sums (`sum₁·n₀ > sum₀·n₁`), never divided averages.
+    * Products are bounded by 765 · (wh/72)² < 2⁶³ up to ~500-megapixel
+    * images. When source dims divide the grid (e.g. 18×16) an exact
+    * nearest-neighbor upscale pools the identical pixel multiset per cell
+    * — Hamming 0 by construction, spec'd in MultimodalSpec.
+    *
+    * Images smaller than the 9×8 grid (or undecodable) return
+    * `decode_ok = false` — the quarantine contract, not a degenerate hash.
+    */
+  def dHashImages(df: DataFrame, idCol: String, bytesCol: String,
+                  targetPartitionBytes: Long = 256L << 20,
+                  totalBytesHint: Option[Long] = None): DataFrame = {
+    val slim = bytesBoundedSlim(df, idCol, bytesCol, targetPartitionBytes, totalBytesHint)
+    val enc = org.apache.spark.sql.Encoders.row(imageHashSchema)
+    slim.mapPartitions { it =>
+      it.map { r =>
+        readPixels(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, rgbAt)) if w >= 9 && h >= 8 =>
+            val sums = Array.ofDim[Long](8, 9)
+            val cnts = Array.ofDim[Long](8, 9)
+            var y = 0
+            while (y < h) {
+              val by = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val p = rgbAt(x, y)
+                val g = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+                val bx = x * 9 / w
+                sums(by)(bx) += g
+                cnts(by)(bx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            var row = 0
+            while (row < 8) {
+              var bx = 0
+              while (bx < 8) {
+                if (sums(row)(bx + 1) * cnts(row)(bx) > sums(row)(bx) * cnts(row)(bx + 1))
+                  hash |= 1L << (row * 8 + bx)
+                bx += 1
+              }
+              row += 1
+            }
+            Row(r.getLong(0), true, hash)
+          case _ => Row(r.getLong(0), false, null)
+        }
+      }
+    }(enc).toDF()
+  }
+
   /** (width, height, (x, y) → packed RGB) from any payload either decoder
     * family reads — PPM/BMP through the native parser first (cheap header
     * sniff), then the javax.imageio readers.

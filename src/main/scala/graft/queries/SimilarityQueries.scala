@@ -431,6 +431,67 @@ object SimilarityQueries {
               | pk[1]::bigint AS first_v, pk[12]::bigint AS last_v
               |FROM q""".stripMargin)),
 
+    // ---- perceptual image near-dup: dHash (64-bit difference hash over a
+    //      9×8 average-pooled grayscale grid, exact integer math) + the
+    //      SimHash-style Hamming-piece bucketing — the raw-media analog of
+    //      text near-dup. Fixture: doc-seeded pseudo-random 18×16 PPM
+    //      images; every planted clone is a REAL 2× nearest-neighbor
+    //      resize + PNG re-encode of its original (different bytes, dims,
+    //      and container — same perceptual content). Gate: every
+    //      original↔clone pair surfaces at Hamming 0 (18 | 9·2 and 16 | 8·2,
+    //      so the upscale pools identical pixel multisets); unrelated
+    //      images (~32 differing bits) must produce ZERO pairs.
+    Q("media_phash_neardup",
+      (s, dir) => {
+        val enc = org.apache.spark.sql.Encoders.row(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("media_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("payload",
+              org.apache.spark.sql.types.BinaryType, nullable = false))))
+        val base = T(s, dir, "documents").filter(col("doc_id") % 5 === 2)
+          .select(col("doc_id").cast("long").as("media_id"))
+        // Fixture encode (not the measured operator): java.util.Random is
+        // seed-deterministic by spec, so payloads are reproducible anywhere.
+        val originals = base.mapPartitions { it =>
+          val header = "P6\n18 16\n255\n".getBytes("US-ASCII")
+          it.map { r =>
+            val id = r.getLong(0)
+            val rnd = new java.util.Random(id)
+            val px = new Array[Byte](18 * 16 * 3)
+            rnd.nextBytes(px)
+            val payload = new Array[Byte](header.length + px.length)
+            header.copyToArray(payload, 0)
+            px.copyToArray(payload, header.length)
+            org.apache.spark.sql.Row(id, payload)
+          }
+        }(enc).toDF()
+        val clones = Multimodal.resizeImages(originals, "media_id", "payload",
+            outW = 36, outH = 32)
+          .filter(col("decode_ok"))
+          .select((col("media_id") + 1000000L).as("media_id"), col("payload"))
+        val hashes = Multimodal.dHashImages(originals.unionByName(clones),
+          "media_id", "payload")
+        val pairs = graft.ops.Dedup.hammingNearDups64(
+          hashes.filter(col("decode_ok")), "media_id", "dhash", maxHamming = 3)
+        val cloneHits = pairs
+          .filter(col("id_b") === col("id_a") + 1000000L && col("hamming") === 0)
+          .select("id_a").distinct()
+          .agg(count(lit(1)).as("clones_found"))
+        val falsePairs = pairs.filter(col("id_b") =!= col("id_a") + 1000000L)
+          .agg(count(lit(1)).as("n_false"))
+        base.agg(count(lit(1)).as("n_planted"),
+            (max(col("media_id")) < 1000000L).as("id_space_ok"))
+          .crossJoin(cloneHits).crossJoin(falsePairs)
+          .select(col("n_planted"), col("clones_found"),
+            (col("clones_found") === col("n_planted")).as("all_found"),
+            (col("n_false") === 0).as("precision_ok"),
+            col("id_space_ok"))
+      },
+      Some("""SELECT count(*)::bigint AS n_planted, count(*)::bigint AS clones_found,
+              | true AS all_found, true AS precision_ok, true AS id_space_ok
+              |FROM documents WHERE doc_id % 5 = 2""".stripMargin)),
+
     // ---- REAL audio decode: deterministic PCM16 samples (from text bytes)
     //      wrapped in a genuine RIFF/WAVE container, chunk-walked and
     //      sample-decoded by WavPcmDecoder; the oracle rebuilds the int16

@@ -157,6 +157,56 @@ class MultimodalSpec extends SparkSpec {
       rgb(0, 1) == expect(0, 1) && rgb(1, 1) == expect(2, 1))
   }
 
+  test("dHash: re-encode and exact NN upscale are Hamming-0; edits and strangers are far") {
+    // 18×16 doc-seeded random image (grid-divisible: 18 = 9·2, 16 = 8·2, so
+    // a 2× NN upscale pools the IDENTICAL pixel multiset per dHash cell).
+    def ppmOf(seed: Long, w: Int, h: Int): Array[Byte] = {
+      val rnd = new java.util.Random(seed)
+      val px = new Array[Byte](w * h * 3)
+      rnd.nextBytes(px)
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+    }
+    val orig = ppmOf(42L, 18, 16)
+    val df = spark.createDataFrame(Seq((1L, orig))).toDF("media_id", "payload")
+    // Clone: REAL resize (2× upscale) + PNG re-encode — different container,
+    // dims, and bytes; same perceptual content.
+    val clonePng = Multimodal.resizeImages(df, "media_id", "payload",
+      outW = 36, outH = 32).head().getAs[Array[Byte]](2)
+    val stranger = ppmOf(43L, 18, 16)
+    val tooSmall = "P6\n4 4\n255\n".getBytes("US-ASCII") ++ new Array[Byte](48)
+    val all = spark.createDataFrame(Seq(
+      (1L, orig), (2L, clonePng), (3L, stranger),
+      (4L, "junk".getBytes), (5L, tooSmall))).toDF("media_id", "payload")
+    val out = Multimodal.dHashImages(all, "media_id", "payload").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .toMap
+    assert(out(1)._1 && out(2)._1 && out(3)._1)
+    // Sub-grid and undecodable payloads are quarantined, not hashed.
+    assert(!out(4)._1 && !out(5)._1)
+    assert(out(1)._2 == out(2)._2, "exact NN upscale + PNG re-encode must be Hamming 0")
+    val strangerDist = java.lang.Long.bitCount(out(1)._2 ^ out(3)._2)
+    assert(strangerDist > 10, s"unrelated images should be far apart, got $strangerDist")
+    // LOCALITY: an edit confined to the top pooled-cell row (pixels y < 2)
+    // can only move that row's 8 comparison bits — a perceptual hash, not
+    // an avalanche hash. (A byte-level digest flips ~32 bits here.)
+    val edited = orig.clone()
+    val off = "P6\n18 16\n255\n".getBytes("US-ASCII").length
+    for (i <- 0 until 18 * 2 * 3) edited(off + i) = 0 // blank rows y = 0, 1
+    val df2 = spark.createDataFrame(Seq((9L, edited))).toDF("media_id", "payload")
+    val editedHash = Multimodal.dHashImages(df2, "media_id", "payload").head().getLong(2)
+    val editDist = java.lang.Long.bitCount(out(1)._2 ^ editedHash)
+    assert(editDist <= 8, s"top-row edit must only touch row-0 bits, moved $editDist")
+    assert(editDist < strangerDist)
+    // End-to-end banding over {orig, clone, stranger}: exactly the planted
+    // pair, at Hamming 0.
+    val df3 = spark.createDataFrame(Seq((1L, orig), (2L, clonePng), (3L, stranger)))
+      .toDF("media_id", "payload")
+    val pairs = graft.ops.Dedup.hammingNearDups64(
+      Multimodal.dHashImages(df3, "media_id", "payload"), "media_id", "dhash",
+      maxHamming = 3).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSeq
+    assert(pairs == Seq((1L, 2L, 0L)), pairs.toString)
+  }
+
   test("concatenated-frame container: split, pinned sampling, per-frame decode, quarantine") {
     // Three 2×2 frames with distinct pixel bytes (frame f: bytes f*12+1 ..).
     def frameBytes(f: Int): Array[Byte] =
