@@ -141,9 +141,12 @@ object Manifest {
     */
   def create(spark: SparkSession, table: String, keyCols: String*): Int = {
     require(keyCols.nonEmpty, "need at least one key column")
-    val fs = fsOf(spark, table)
-    val next = latestId(spark, table).getOrElse(0) + 1
     val data = spark.read.parquet(table)
+    commitSnapshot(spark, table, statsOf(data, keyCols))
+  }
+
+  /** The per-file stats frame for a data frame (type-guarded). */
+  private def statsOf(data: DataFrame, keyCols: Seq[String]): DataFrame = {
     val schema = data.schema
     keyCols.foreach { c =>
       require(schema.fieldNames.contains(c), s"no such column: $c")
@@ -152,9 +155,15 @@ object Manifest {
     val aggs = keyCols.flatMap(c => Seq(
       min(statCol(c, schema(c).dataType)).as(s"min_$c"),
       max(statCol(c, schema(c).dataType)).as(s"max_$c"))) :+ count(lit(1)).as("n_rows")
-    val stats = data
-      .groupBy(input_file_name().as("file"))
+    data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.drop(1): _*)
+  }
+
+  /** Write `stats` as the next snapshot and commit it with one rename. */
+  private def commitSnapshot(spark: SparkSession, table: String,
+                             stats: DataFrame): Int = {
+    val fs = fsOf(spark, table)
+    val next = latestId(spark, table).getOrElse(0) + 1
     val dest = s"${root(table)}/snapshot-$next"
     val tmp = dest + "__tmp"
     FsMaint.deleteRecursively(fs, new Path(tmp))
@@ -166,6 +175,75 @@ object Manifest {
       if (s.getPath.getName.endsWith("__tmp")) FsMaint.deleteRecursively(fs, s.getPath)
     }
     next
+  }
+
+  /** Current data files under `table`, keyed by scheme-less absolute path
+    * (the normalization both the manifest's stored URL-encoded
+    * `input_file_name` strings and the FS listing reduce to). `_`/`.`
+    * prefixed directories (the manifest itself, Spark markers) are not
+    * data. Metadata-only — one recursive listing, no Spark job.
+    */
+  private def dataFilePaths(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: Path): Map[String, Path] = {
+    val base = dir.toUri.getPath
+    val out = Map.newBuilder[String, Path]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath
+      val rel = p.toUri.getPath.stripPrefix(base)
+      val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden && f.getLen > 0 && p.getName.startsWith("part-"))
+        out += p.toUri.getPath -> p
+    }
+    out.result()
+  }
+
+  /** INCREMENTAL snapshot for an append-only table: parquet data files are
+    * immutable, so stats of files already present in the latest snapshot
+    * are CARRIED OVER and only files added since are scanned — the
+    * snapshot cost a recurring loop pays becomes ∝ new files, not table
+    * size (the full [[create]] is the priming cycle's cost). Falls back
+    * to a full create when there is no usable previous snapshot (none
+    * committed yet, or profiled with different key columns).
+    *
+    * Returns `(snapshotId, filesScanned, filesRemoved)`. `filesRemoved`
+    * counts previously-known files that have VANISHED — an append-only
+    * contract violation (rewrite/delete happened); their stats rows are
+    * dropped from the new snapshot (never carried as ghosts), and callers
+    * treat `filesRemoved > 0` as "fall back to a full diff".
+    *
+    * Driver math: the previous snapshot's rows are collected (∝ file
+    * count — the same driver-side listing [[scanBox]] holds) and matched
+    * against one recursive listing.
+    */
+  def createIncremental(spark: SparkSession, table: String,
+                        keyCols: String*): (Int, Int, Int) = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val usablePrev = currentKeyCols(spark, table).contains(keyCols.toSeq)
+    if (!usablePrev) {
+      val id = create(spark, table, keyCols: _*)
+      val n = spark.read.parquet(s"${root(table)}/snapshot-$id").count().toInt
+      return (id, n, 0)
+    }
+    val fs = fsOf(spark, table)
+    val prevId = latestId(spark, table).get
+    val prev = spark.read.parquet(s"${root(table)}/snapshot-$prevId")
+    val prevRows = prev.collect() // rows ∝ file count (see driver math above)
+    val fileIdx = prev.schema.fieldIndex("file")
+    val current = dataFilePaths(fs, new Path(table))
+    val (carried, removed) = prevRows.partition(r =>
+      current.contains(decodePath(r.getString(fileIdx)).toUri.getPath))
+    val known = carried.map(r => decodePath(r.getString(fileIdx)).toUri.getPath).toSet
+    val newPaths = current.collect { case (n, p) if !known(n) => p }.toSeq
+    val carriedDf = spark.createDataFrame(
+      java.util.Arrays.asList(carried: _*), prev.schema)
+    val stats =
+      if (newPaths.isEmpty) carriedDf
+      else carriedDf.unionByName(
+        statsOf(spark.read.parquet(newPaths.map(p => escapeGlob(p.toString)): _*),
+          keyCols))
+    (commitSnapshot(spark, table, stats), newPaths.length, removed.length)
   }
 
   /** Key columns of the latest snapshot, recovered from the snapshot's own
@@ -180,6 +258,15 @@ object Manifest {
       spark.read.parquet(s"${root(table)}/snapshot-$id")
         .schema.fieldNames.toSeq.collect { case f if f.startsWith("min_") => f.drop(4) }
     }
+
+  /** Does snapshot `id` exist under `table`? Checkpoint validation for
+    * incremental readers: a recorded id can vanish through retention
+    * ([[expireSnapshots]]) or a table rewrite that replaced the whole dir —
+    * callers fall back to a full read instead of crashing in
+    * [[addedSince]].
+    */
+  def hasSnapshot(spark: SparkSession, table: String, id: Int): Boolean =
+    fsOf(spark, table).exists(new Path(s"${root(table)}/snapshot-$id"))
 
   /** The latest snapshot's file rows `(file, min_*, max_*, n_rows)`. */
   def files(spark: SparkSession, table: String): DataFrame = {

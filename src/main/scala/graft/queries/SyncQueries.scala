@@ -510,6 +510,60 @@ object SyncQueries {
            |FROM (${Registry.duckMultisetFingerprint(oCols, perturbed)})""".stripMargin
       }),
 
+    // Manifest-driven incremental sync (the file-granularity completion of
+    // the reference's "iterative = quick" loop): the append-only master dir
+    // carries Manifest snapshots; after the priming cycle, each cycle
+    // commits an INCREMENTAL snapshot (only new files scanned for stats),
+    // reads ONLY the files added since its checkpoint id, and folds them
+    // into the slave as a pure append + a delta-sized fingerprint merge —
+    // the old master data is never planned (executed-scan contract in
+    // PlanAuditSpec). Gates: the incremental cycle reported an append-only
+    // delta, a no-op cycle skips on "no new files", and the recomputed
+    // slave fingerprint equals both the maintained value and the oracle's
+    // full-orders fingerprint.
+    Q("sync_converge_incremental_manifest",
+      (s, dir) => {
+        val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        val orders = T(s, dir, "orders")
+        val mDir = java.nio.file.Files.createTempDirectory("graft_inc_m").toString
+        val sDir = java.nio.file.Files.createTempDirectory("graft_inc_s").toString
+        val mPath = s"$mDir/orders.parquet"
+        orders.filter(col("o_orderkey") % 3 =!= 0)
+          .repartition(4).write.parquet(mPath)
+        // Slave starts as an exact copy of batch 1 (the steady-state shape:
+        // primed and converged before increments arrive).
+        s.read.parquet(mPath).write.parquet(s"$sDir/orders.parquet")
+        val engine = new SyncEngine(new ParquetStore(s, mDir), new ParquetStore(s, sDir),
+          SyncConfig(primaryKeys = Map("orders" -> Seq("o_orderkey")),
+            maintainFingerprints = true))
+        engine.syncAppendOnlyIncremental("orders", mPath) // prime + checkpoint
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .repartition(2).write.mode(SaveMode.Append).parquet(mPath)
+        val act = engine.syncAppendOnlyIncremental("orders", mPath) // O(new files)
+        val incrementalOk = act match {
+          case graft.sync.SyncAction.ApplyDelta(_, d, i) => d == 0 && i > 0
+          case _ => false
+        }
+        val noopOk = engine.syncAppendOnlyIncremental("orders", mPath) match {
+          case graft.sync.SyncAction.Skip(_, r) => r.contains("no new files")
+          case _ => false
+        }
+        val maintained = engine.maintainedFingerprint("orders").get
+        Hashing.multisetFingerprintAgg(s.read.parquet(s"$sDir/orders.parquet"), oCols)
+          .select(col("fingerprint"), col("n_rows"),
+            (col("fingerprint") === lit(maintained.render)).as("maintained_matches"),
+            lit(incrementalOk).as("incremental_cycle_ok"),
+            lit(noopOk).as("noop_cycle_ok"))
+      },
+      Some {
+        val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        s"""SELECT fingerprint, n_rows, true AS maintained_matches,
+           | true AS incremental_cycle_ok, true AS noop_cycle_ok
+           |FROM (${Registry.duckMultisetFingerprint(oCols, "orders")})""".stripMargin
+      }),
+
     // JDBC hash pushdown (SURVEY §4 compute pushdown; reference
     // `TableConnection.php:46-51`): the per-row MD5 is computed INSIDE the
     // source database — only (key, 32-byte hash) crosses the wire. nation is

@@ -211,6 +211,10 @@ final class SyncEngine(master: TableStore, slave: TableStore,
   // pushed-flavor flag — same never-cross-compare rule as `maintainedFp`).
   private val partFpSnapshot =
     scala.collection.concurrent.TrieMap.empty[String, (String, Boolean)]
+  // Manifest-snapshot checkpoint per table (syncAppendOnlyIncremental):
+  // the id of the master-manifest snapshot the slave has fully absorbed.
+  private val manifestCheckpoint =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
 
   private def dropPartSnapshot(table: String): Unit =
     partFpSnapshot.remove(table).foreach { case (p, _) =>
@@ -247,6 +251,8 @@ final class SyncEngine(master: TableStore, slave: TableStore,
         props.setProperty("part.path", p)
         props.setProperty("part.pushed", pushed.toString)
       }
+      manifestCheckpoint.get(table).foreach(id =>
+        props.setProperty("manifest.id", id.toString))
       val p = new Path(dir, table + ".fpstate")
       fs.mkdirs(dir)
       if (props.isEmpty) { fs.delete(p, false): Unit }
@@ -295,6 +301,8 @@ final class SyncEngine(master: TableStore, slave: TableStore,
           if (ok) partFpSnapshot.update(table,
             (sp, props.getProperty("part.pushed", "false").toBoolean))
         }
+        Option(props.getProperty("manifest.id"))
+          .foreach(id => manifestCheckpoint.update(table, id.toInt))
       }
   }
 
@@ -564,6 +572,81 @@ final class SyncEngine(master: TableStore, slave: TableStore,
       }
       record(ApplyDelta(table, fpD.count, fpI.count))
     } finally Differ.rmScratch(spark, scratch)
+  }
+
+  /** Manifest-driven incremental cycle for an APPEND-ONLY parquet master —
+    * the file-granularity completion of the reference's "iterative = quick"
+    * loop (README.md:24). The master dir carries [[graft.ops.Manifest]]
+    * snapshots; each cycle commits an INCREMENTAL snapshot (only new files
+    * scanned for stats — parquet files are immutable), reads ONLY the
+    * files added since the engine's recorded snapshot id, appends them to
+    * the slave, and advances the maintained fingerprint by the delta's
+    * own aggregate. Steady-state cost ∝ new files: the old master data is
+    * never planned, let alone scanned (executed-scan contract pinned in
+    * PlanAuditSpec), and the slave write is a pure append — never the
+    * copy-on-write delete pass, which rewrites the whole slave on file
+    * stores.
+    *
+    * `masterPath` is the parquet dir behind `table` on the master store,
+    * append-only between cycles. Violations are DETECTED, not trusted: a
+    * vanished file (rewrite/compaction/delete) fails the cycle over to a
+    * full [[syncTable]] diff, as does a missing checkpoint (priming cycle)
+    * or pushed-flavor maintained state (the fold here is Spark-side, same
+    * rule as [[applyCdc]]). The delta fingerprint is aggregated BEFORE the
+    * append, so a failed write leaves the state untouched — the immutable
+    * master files are the restart point, no spill needed.
+    *
+    * Requires maintained mode and a primary key.
+    */
+  def syncAppendOnlyIncremental(table: String, masterPath: String): SyncAction = {
+    require(config.maintainFingerprints,
+      s"syncAppendOnlyIncremental($table) requires maintainFingerprints mode")
+    keyColsOf(table).getOrElse(throw new IllegalArgumentException(
+      s"syncAppendOnlyIncremental($table) requires a primary key in SyncConfig.primaryKeys"))
+    val spark = master.spark
+    val keys = config.primaryKeys(table)
+    val (newId, _, removed) = graft.ops.Manifest.createIncremental(
+      spark, masterPath, keys: _*)
+    def fullCycle(): SyncAction = {
+      val action = syncTable(table)
+      if (!config.dryRun && converged(action) &&
+          maintainedFp.get(table).exists(st => !st.pushed)) {
+        manifestCheckpoint.update(table, newId)
+        persistState(table)
+      }
+      action
+    }
+    manifestCheckpoint.get(table) match {
+      case Some(lastId) if removed == 0 &&
+          maintainedFp.get(table).exists(st => !st.pushed) &&
+          // The checkpoint snapshot can vanish (retention, or a whole-dir
+          // master rewrite that took _graft_manifest with it): fall back to
+          // a full diff instead of crashing in addedSince.
+          graft.ops.Manifest.hasSnapshot(spark, masterPath, lastId) =>
+        val (rows, nAdded) = graft.ops.Manifest.addedSince(spark, masterPath, lastId)
+        if (nAdded == 0) {
+          if (!config.dryRun) {
+            manifestCheckpoint.update(table, newId)
+            persistState(table)
+          }
+          record(Skip(table, "no new files"))
+        } else {
+          val prev = maintainedFp(table).fp
+          val fpI = Hashing.multisetFp(rows, rows.columns.toSeq, config.legacyNullSkip)
+          if (!config.dryRun) {
+            slave.append(table, rows)
+            maintainedFp.update(table, FpState(prev.merge(fpI), pushed = false))
+            // Append-driven cycle: any stored master change token predates
+            // this write, and so would a per-partition snapshot.
+            lastMasterToken.remove(table)
+            dropPartSnapshot(table)
+            manifestCheckpoint.update(table, newId)
+            persistState(table)
+          }
+          record(SyncAction.ApplyDelta(table, 0L, fpI.count))
+        }
+      case _ => fullCycle()
+    }
   }
 
   /** Audit escape hatch for the sole-writer assumption: recompute the slave

@@ -190,6 +190,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(s == 1, s"slave scanned $s times; expected exactly 1\n${scans.mkString("\n")}")
   }
 
+  test("manifest-driven incremental sync: steady cycle plans ONLY the new master files") {
+    val mDir = tmpDir("pa_inc_m")
+    val sDir = tmpDir("pa_inc_s")
+    val mPath = s"$mDir/lineitem.parquet"
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    li.filter(col("l_orderkey") % 3 =!= 0).repartition(4).write.parquet(mPath)
+    spark.read.parquet(mPath).write.parquet(s"$sDir/lineitem.parquet")
+    val engine = new SyncEngine(new ParquetStore(spark, mDir), new ParquetStore(spark, sDir),
+      SyncConfig(primaryKeys = liKeys, maintainFingerprints = true))
+    engine.syncAppendOnlyIncremental("lineitem", mPath) // prime + checkpoint
+    def dataFiles(): Set[String] =
+      new java.io.File(mPath).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.length > 0)
+        .map(_.getName).toSet
+    val oldFiles = dataFiles()
+    li.filter(col("l_orderkey") % 3 === 0).repartition(2)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(mPath)
+    val newFiles = dataFiles() -- oldFiles
+    assert(newFiles.size == 2)
+    val scans = scanPathsDuring {
+      engine.syncAppendOnlyIncremental("lineitem", mPath): Unit
+    }
+    // The slave is written by PURE APPEND — a steady cycle never reads it.
+    val s = scans.count(_.contains(sDir))
+    assert(s == 0, s"slave scanned $s times on an append-only cycle\n${scans.mkString("\n")}")
+    // Every master DATA scan is a manifest-picked FILE path belonging to
+    // the appended batch: the whole-dir plan (old files included) never
+    // appears. Manifest snapshot reads (metadata, under _graft_manifest)
+    // are not data scans.
+    val masterData = scans.filter(p =>
+      p.contains(mPath) && !p.contains("_graft_manifest"))
+    assert(masterData.nonEmpty, s"expected file-level master scans\n${scans.mkString("\n")}")
+    masterData.foreach { p =>
+      assert(p != mPath && !p.stripSuffix("/").endsWith("lineitem.parquet"),
+        s"whole-table master plan on a steady cycle: $p\n${scans.mkString("\n")}")
+      assert(newFiles.exists(p.endsWith),
+        s"scan of an OLD master file on a steady cycle: $p")
+    }
+  }
+
   test("sync cascade maintained mode: token-changed but in-sync cycle never scans the slave") {
     val mDir = tmpDir("pa_maint_m")
     val sDir = tmpDir("pa_maint_s")

@@ -223,6 +223,66 @@ class SyncEngineSpec extends SparkSpec {
       inner.applyDelta(t, dk, kc, ins, pd)
   }
 
+  test("syncAppendOnlyIncremental: appends fold in, no-ops skip, violations fall back") {
+    val (md, sd, ms, ss) = mkStores("inc_manifest")
+    val batch1 = custDf
+    val mPath = s"$md/cust.parquet"
+    batch1.repartition(3).write.parquet(mPath)
+    batch1.repartition(3).write.parquet(s"$sd/cust.parquet") // primed shape
+    val engine = new SyncEngine(ms, ss, SyncConfig(
+      primaryKeys = Map("cust" -> Seq("id")), maintainFingerprints = true))
+    // Priming cycle: full gate (in sync) + checkpoint recorded.
+    assert(engine.syncAppendOnlyIncremental("cust", mPath) ==
+      SyncAction.Skip("cust", "already in sync"))
+    // Append-only increment: the cycle reports a pure-insert delta and the
+    // slave converges to master content.
+    val batch2 = Seq((6L, "frank", 15, 10.0), (7L, "grace", 16, 11.0))
+      .toDF("id", "name", "nk", "bal")
+    batch2.repartition(1).write.mode(SaveMode.Append).parquet(mPath)
+    engine.syncAppendOnlyIncremental("cust", mPath) match {
+      case SyncAction.ApplyDelta("cust", d, i) => assert(d == 0L && i == 2L)
+      case other => fail(s"expected append delta, got $other")
+    }
+    assert(fp(ss.read("cust")) == fp(ms.read("cust")))
+    assert(engine.verifyMaintained("cust"), "maintained fp must track the appends")
+    // Nothing new: zero-delta skip (manifest diff is empty).
+    assert(engine.syncAppendOnlyIncremental("cust", mPath) ==
+      SyncAction.Skip("cust", "no new files"))
+    // Append-only VIOLATION: overwrite the master (every file replaced).
+    // The cycle must detect the vanished files and fall back to a full
+    // diff — correct convergence, never a silent bad increment.
+    val rewritten = batch1.unionByName(batch2).filter(col("id") =!= 3L)
+    rewritten.repartition(2).write.mode(SaveMode.Overwrite).parquet(mPath)
+    val act = engine.syncAppendOnlyIncremental("cust", mPath)
+    assert(act.isInstanceOf[SyncAction.ApplyDelta], act.toString)
+    assert(fp(ss.read("cust")) == fp(rewritten))
+    assert(engine.verifyMaintained("cust"))
+  }
+
+  test("syncAppendOnlyIncremental: checkpoint survives engine restart (stateDir)") {
+    val (md, sd, ms, ss) = mkStores("inc_restart")
+    val mPath = s"$md/cust.parquet"
+    custDf.repartition(2).write.parquet(mPath)
+    custDf.repartition(2).write.parquet(s"$sd/cust.parquet")
+    val state = tmpDir("inc_state")
+    val cfg = SyncConfig(primaryKeys = Map("cust" -> Seq("id")),
+      maintainFingerprints = true, stateDir = Some(state))
+    new SyncEngine(ms, ss, cfg).syncAppendOnlyIncremental("cust", mPath)
+    // New process: the manifest checkpoint resumes from the state file, so
+    // the appended batch flows through the INCREMENTAL path (a lost
+    // checkpoint would show up here as a full-diff ApplyDelta re-prime).
+    val batch2 = Seq((8L, "heidi", 17, 12.0)).toDF("id", "name", "nk", "bal")
+    batch2.write.mode(SaveMode.Append).parquet(mPath)
+    val resumed = new SyncEngine(ms, ss, cfg)
+    resumed.syncAppendOnlyIncremental("cust", mPath) match {
+      case SyncAction.ApplyDelta("cust", d, i) => assert(d == 0L && i == 1L)
+      case other => fail(s"expected incremental append, got $other")
+    }
+    assert(fp(ss.read("cust")) == fp(ms.read("cust")))
+    assert(resumed.syncAppendOnlyIncremental("cust", mPath) ==
+      SyncAction.Skip("cust", "no new files"))
+  }
+
   test("maintained mode: repeat sync of an unchanged master issues ZERO Spark jobs") {
     val (md, sd, ms, ss) = mkStores("maint0")
     write(md, "acct", custDf)
