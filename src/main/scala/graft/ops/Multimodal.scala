@@ -317,7 +317,10 @@ object Multimodal {
     final case class AudioStats(sampleRate: Int, nChannels: Int, nSamples: Long,
                                 sum: Long, min: Int, max: Int, first: Int, last: Int)
 
-    def decode(bytes: Array[Byte]): Option[AudioStats] = {
+    /** Chunk-walk to the PCM16 payload: (channels, sampleRate, dataOffset,
+      * dataLength), or None for anything that is not well-formed PCM16 WAV.
+      */
+    private def walkPcm16(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
       def le32(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
         ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
       def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
@@ -341,6 +344,31 @@ object Multimodal {
       (fmt, data) match {
         case (Some((1, ch, rate)), Some((off, len)))
             if bps == 16 && ch > 0 && rate > 0 && len >= 2 && len % 2 == 0 =>
+          Some((ch, rate, off, len))
+        case _ => None
+      }
+    }
+
+    /** The raw interleaved int16 sample stream, or None for anything that
+      * is not well-formed PCM16 WAV — the sample-level accessor
+      * [[Multimodal.audioEnvelopeHash]] builds on.
+      */
+    def decodeSamples(bytes: Array[Byte]): Option[Array[Short]] =
+      walkPcm16(bytes).map { case (_, _, off, len) =>
+        val n = len / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          val raw = (bytes(off + 2 * i) & 0xFF) | ((bytes(off + 2 * i + 1) & 0xFF) << 8)
+          out(i) = (if (raw >= 0x8000) raw - 0x10000 else raw).toShort
+          i += 1
+        }
+        out
+      }
+
+    def decode(bytes: Array[Byte]): Option[AudioStats] = {
+      walkPcm16(bytes) match {
+        case Some((ch, rate, off, len)) =>
           val n = len / 2
           var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
           var i = 0
@@ -631,6 +659,68 @@ object Multimodal {
             }
             Row(r.getLong(0), true, hash)
           case _ => Row(r.getLong(0), false, null)
+        }
+      }
+    }(enc).toDF()
+  }
+
+  /** Envelope-hash result schema produced by [[audioEnvelopeHash]]. */
+  val audioHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("ahash", LongType, nullable = true)))
+
+  /** 64-bit ENVELOPE DIFFERENCE HASH per audio payload — the audio member
+    * of the perceptual near-dup family ([[dHashImages]] is the image one,
+    * [[Dedup.hammingNearDups64]] the shared pairing): decode PCM16 WAV,
+    * split the sample stream into 65 equal windows, sum |amplitude| per
+    * window (exact long), and set bit i iff window i+1 carries more mean
+    * energy than window i — compared by cross-multiplied sums, never
+    * divided means, so the hash is bit-stable.
+    *
+    * What survives unchanged (Hamming 0 by construction):
+    *  - container repacking — extra RIFF chunks, re-muxing; the chunk walk
+    *    reads the same samples;
+    *  - EXACT uniform gain changes (×2ᵏ on even samples): every window sum
+    *    scales by the same factor, so every comparison is preserved.
+    * Lossy re-encodes and resampling move few bits (the near-dup band),
+    * while unrelated audio differs in ~32 of 64 — the same separation
+    * argument as dHash. Exactness bound: cross-products stay under 2⁶³ up
+    * to ~10⁹ samples (6+ hours at 44.1 kHz).
+    *
+    * Payloads that are not well-formed PCM16 WAV, or carry fewer than 65
+    * samples, return `decode_ok = false` (quarantine contract).
+    */
+  def audioEnvelopeHash(df: DataFrame, idCol: String, bytesCol: String,
+                        targetPartitionBytes: Long = 256L << 20,
+                        totalBytesHint: Option[Long] = None): DataFrame = {
+    val slim = bytesBoundedSlim(df, idCol, bytesCol, targetPartitionBytes, totalBytesHint)
+    val enc = org.apache.spark.sql.Encoders.row(audioHashSchema)
+    slim.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val id = r.getLong(0)
+        WavPcmDecoder.decodeSamples(bytes) match {
+          case Some(samples) if samples.length >= 65 =>
+            val n = samples.length
+            val sums = new Array[Long](65)
+            val cnts = new Array[Long](65)
+            var i = 0
+            while (i < n) {
+              val w = (i.toLong * 65 / n).toInt
+              sums(w) += math.abs(samples(i).toLong)
+              cnts(w) += 1
+              i += 1
+            }
+            var hash = 0L
+            var w = 0
+            while (w < 64) {
+              if (sums(w + 1) * cnts(w) > sums(w) * cnts(w + 1))
+                hash |= 1L << w
+              w += 1
+            }
+            Row(id, true, hash)
+          case _ => Row(id, false, null)
         }
       }
     }(enc).toDF()

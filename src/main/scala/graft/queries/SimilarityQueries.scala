@@ -492,6 +492,82 @@ object SimilarityQueries {
               | true AS all_found, true AS precision_ok, true AS id_space_ok
               |FROM documents WHERE doc_id % 5 = 2""".stripMargin)),
 
+    // ---- perceptual AUDIO near-dup: the envelope-difference hash (64
+    //      energy-gradient bits over 65 windows of |amplitude| sums, exact
+    //      cross-multiplied integers) + the same Hamming-piece bucketing as
+    //      the image path. Planted clones exercise BOTH declared
+    //      invariances: a container REPACK (a junk LIST chunk spliced
+    //      before `data` — the chunk walk must reach the same samples) and
+    //      an EXACT half-volume copy (fixture samples are even, so v/2 is
+    //      exact and every window sum scales uniformly — all comparisons
+    //      preserved). Gate: all 3 same-doc pairs per planted doc at
+    //      Hamming 0; unrelated audio (~32 differing bits) → zero pairs.
+    Q("media_audio_neardup",
+      (s, dir) => {
+        val enc = org.apache.spark.sql.Encoders.row(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("media_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("payload",
+              org.apache.spark.sql.types.BinaryType, nullable = false))))
+        val base = T(s, dir, "documents").filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id").cast("long").as("media_id"))
+        val variants = base.mapPartitions { it =>
+          it.flatMap { r =>
+            val id = r.getLong(0)
+            val rnd = new java.util.Random(id)
+            // 130 EVEN samples in [-16384, 16382]: evenness makes the
+            // half-volume clone exact; the range keeps |v| well inside int16.
+            val pcm = new Array[Byte](130 * 2)
+            val half = new Array[Byte](130 * 2)
+            var i = 0
+            while (i < 130) {
+              val v = (rnd.nextInt(32768) - 16384) & ~1
+              pcm(2 * i) = (v & 0xFF).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+              val h = v / 2
+              half(2 * i) = (h & 0xFF).toByte; half(2 * i + 1) = ((h >> 8) & 0xFF).toByte
+              i += 1
+            }
+            val orig = Multimodal.encodeWavPcm16(pcm, 8000, 1)
+            // Container repack: splice a junk LIST chunk between fmt and
+            // data (same PCM payload, different bytes/offsets).
+            val junk = "LIST".getBytes("US-ASCII") ++
+              Array[Byte](4, 0, 0, 0) ++ "junk".getBytes("US-ASCII")
+            val repacked = orig.slice(0, 36) ++ junk ++ orig.slice(36, orig.length)
+            // RIFF size field covers everything after offset 8.
+            val riffLen = repacked.length - 8
+            repacked(4) = (riffLen & 0xFF).toByte
+            repacked(5) = ((riffLen >> 8) & 0xFF).toByte
+            repacked(6) = ((riffLen >> 16) & 0xFF).toByte
+            repacked(7) = ((riffLen >> 24) & 0xFF).toByte
+            Iterator(
+              org.apache.spark.sql.Row(id, orig),
+              org.apache.spark.sql.Row(id + 1000000L, repacked),
+              org.apache.spark.sql.Row(id + 2000000L,
+                Multimodal.encodeWavPcm16(half, 8000, 1)))
+          }
+        }(enc).toDF()
+        val hashes = Multimodal.audioEnvelopeHash(variants, "media_id", "payload")
+        val pairs = graft.ops.Dedup.hammingNearDups64(
+          hashes.filter(col("decode_ok")), "media_id", "ahash", maxHamming = 3)
+        // Same-doc pairs (orig/repack/half share doc_id mod 1e6) vs false.
+        val family = pairs.filter(col("id_a") % 1000000L === col("id_b") % 1000000L)
+        val familyHits = family.filter(col("hamming") === 0)
+          .agg(count(lit(1)).as("family_pairs"))
+        val falsePairs = pairs.filter(col("id_a") % 1000000L =!= col("id_b") % 1000000L)
+          .agg(count(lit(1)).as("n_false"))
+        base.agg(count(lit(1)).as("n_planted"),
+            (max(col("media_id")) < 1000000L).as("id_space_ok"))
+          .crossJoin(familyHits).crossJoin(falsePairs)
+          .select(col("n_planted"), col("family_pairs"),
+            (col("family_pairs") === col("n_planted") * 3).as("all_found"),
+            (col("n_false") === 0).as("precision_ok"),
+            col("id_space_ok"))
+      },
+      Some("""SELECT count(*)::bigint AS n_planted, (count(*) * 3)::bigint AS family_pairs,
+              | true AS all_found, true AS precision_ok, true AS id_space_ok
+              |FROM documents WHERE doc_id % 7 = 3""".stripMargin)),
+
     // ---- REAL audio decode: deterministic PCM16 samples (from text bytes)
     //      wrapped in a genuine RIFF/WAVE container, chunk-walked and
     //      sample-decoded by WavPcmDecoder; the oracle rebuilds the int16

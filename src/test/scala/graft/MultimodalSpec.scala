@@ -207,6 +207,49 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 0L)), pairs.toString)
   }
 
+  test("audio envelope hash: repack and exact gain change are Hamming-0; strangers far; short/junk quarantined") {
+    def pcmOf(seed: Long, n: Int): Array[Byte] = {
+      val rnd = new java.util.Random(seed)
+      val out = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = (rnd.nextInt(32768) - 16384) & ~1 // even → exact halving below
+        out(2 * i) = (v & 0xFF).toByte; out(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      out
+    }
+    def halve(pcm: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](pcm.length)
+      for (i <- 0 until pcm.length / 2) {
+        val raw = (pcm(2 * i) & 0xFF) | ((pcm(2 * i + 1) & 0xFF) << 8)
+        val v = (if (raw >= 0x8000) raw - 0x10000 else raw) / 2
+        out(2 * i) = (v & 0xFF).toByte; out(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      out
+    }
+    val pcm = pcmOf(7L, 260)
+    val orig = Multimodal.encodeWavPcm16(pcm, 8000, 1)
+    // Repack: junk LIST chunk between fmt and data, RIFF length patched.
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "junk".getBytes("US-ASCII")
+    val repacked = orig.slice(0, 36) ++ junk ++ orig.slice(36, orig.length)
+    val rl = repacked.length - 8
+    repacked(4) = (rl & 0xFF).toByte; repacked(5) = ((rl >> 8) & 0xFF).toByte
+    repacked(6) = ((rl >> 16) & 0xFF).toByte; repacked(7) = ((rl >> 24) & 0xFF).toByte
+    val all = spark.createDataFrame(Seq(
+      (1L, orig), (2L, repacked), (3L, Multimodal.encodeWavPcm16(halve(pcm), 8000, 1)),
+      (4L, Multimodal.encodeWavPcm16(pcmOf(8L, 260), 8000, 1)),
+      (5L, Multimodal.encodeWavPcm16(pcmOf(7L, 40), 8000, 1)), // < 65 samples
+      (6L, "not a wav".getBytes))).toDF("media_id", "payload")
+    val out = Multimodal.audioEnvelopeHash(all, "media_id", "payload").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .toMap
+    assert(out(1)._1 && out(2)._1 && out(3)._1 && out(4)._1)
+    assert(!out(5)._1 && !out(6)._1, "sub-window and junk payloads quarantine")
+    assert(out(1)._2 == out(2)._2, "container repack must be Hamming 0")
+    assert(out(1)._2 == out(3)._2, "exact half-volume must be Hamming 0")
+    val d = java.lang.Long.bitCount(out(1)._2 ^ out(4)._2)
+    assert(d > 10, s"unrelated audio should be far apart, got $d")
+  }
+
   test("concatenated-frame container: split, pinned sampling, per-frame decode, quarantine") {
     // Three 2×2 frames with distinct pixel bytes (frame f: bytes f*12+1 ..).
     def frameBytes(f: Int): Array[Byte] =
