@@ -628,37 +628,99 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(imageHashSchema)
     slim.mapPartitions { it =>
       it.map { r =>
-        readPixels(r.getAs[Array[Byte]](1)) match {
-          case Some((w, h, rgbAt)) if w >= 9 && h >= 8 =>
-            val sums = Array.ofDim[Long](8, 9)
-            val cnts = Array.ofDim[Long](8, 9)
-            var y = 0
-            while (y < h) {
-              val by = y * 8 / h
-              var x = 0
-              while (x < w) {
-                val p = rgbAt(x, y)
-                val g = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
-                val bx = x * 9 / w
-                sums(by)(bx) += g
-                cnts(by)(bx) += 1
-                x += 1
+        readPixels(r.getAs[Array[Byte]](1)).flatMap {
+          case (w, h, rgbAt) => dhashOf(w, h, rgbAt)
+        } match {
+          case Some(hash) => Row(r.getLong(0), true, hash)
+          case None => Row(r.getLong(0), false, null)
+        }
+      }
+    }(enc).toDF()
+  }
+
+  /** The 9×8 pooled-gradient core shared by [[dHashImages]] and
+    * [[videoFrameHashes]]; None for images smaller than the grid.
+    */
+  private def dhashOf(w: Int, h: Int, rgbAt: (Int, Int) => Int): Option[Long] = {
+    if (w < 9 || h < 8) return None
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val p = rgbAt(x, y)
+        val g = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+        val bx = x * 9 / w
+        sums(by)(bx) += g
+        cnts(by)(bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var row = 0
+    while (row < 8) {
+      var bx = 0
+      while (bx < 8) {
+        if (sums(row)(bx + 1) * cnts(row)(bx) > sums(row)(bx) * cnts(row)(bx + 1))
+          hash |= 1L << (row * 8 + bx)
+        bx += 1
+      }
+      row += 1
+    }
+    Some(hash)
+  }
+
+  /** Per-frame dHash signature schema produced by [[videoFrameHashes]]. */
+  val videoHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = true),
+    StructField("dhash", LongType, nullable = true)))
+
+  /** Perceptual VIDEO signature: sample `n` frames with the same pinned
+    * arithmetic as [[sampleFramesDecoded]] (`frame i ← i·nFrames div n`)
+    * and dHash each — a clip's signature is its (sample position, 64-bit
+    * frame hash) rows. Two clips whose sampled frames all hash equal are
+    * near-duplicates (re-muxed / per-frame re-encoded / exactly-upscaled
+    * copies — the per-frame invariances are [[dHashImages]]'s); a clip
+    * with a few replaced frames still matches on the rest, so callers
+    * choose a match-count threshold. Pairing is an equality join on
+    * `(frame_no, dhash)` — bucket cardinality ∝ corpus, never all-pairs,
+    * and no banding is even needed (frame-exactness is the match).
+    * Container-level failures and sub-grid frames surface as
+    * `decode_ok = false` rows (quarantine contract).
+    */
+  def videoFrameHashes(df: DataFrame, idCol: String, bytesCol: String, n: Int,
+                       targetPartitionBytes: Long = 256L << 20,
+                       totalBytesHint: Option[Long] = None): DataFrame = {
+    require(n > 0, "frame sample count must be positive")
+    val slim = bytesBoundedSlim(df, idCol, bytesCol, targetPartitionBytes, totalBytesHint)
+    val enc = org.apache.spark.sql.Encoders.row(videoHashSchema)
+    slim.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        splitPpmFrames(bytes, maxFrames = 10000) match {
+          case None => Iterator.single(Row(id, false, null, null))
+          case Some(frames) =>
+            val nf = frames.length
+            val picks = if (n >= nf) 0 until nf else (0 until n).map(i => i * nf / n)
+            picks.iterator.zipWithIndex.map { case (fi, pos) =>
+              val (off, len) = frames(fi)
+              val fb = java.util.Arrays.copyOfRange(bytes, off, off + len)
+              PixelStatsDecoder.parse(fb).flatMap { case (w, h, px) =>
+                dhashOf(w, h, (x, y) => {
+                  val i = (y * w + x) * 3
+                  ((px(i) & 0xFF) << 16) | ((px(i + 1) & 0xFF) << 8) | (px(i + 2) & 0xFF)
+                })
+              } match {
+                case Some(hash) => Row(id, true, pos, hash)
+                case None => Row(id, false, pos, null)
               }
-              y += 1
             }
-            var hash = 0L
-            var row = 0
-            while (row < 8) {
-              var bx = 0
-              while (bx < 8) {
-                if (sums(row)(bx + 1) * cnts(row)(bx) > sums(row)(bx) * cnts(row)(bx + 1))
-                  hash |= 1L << (row * 8 + bx)
-                bx += 1
-              }
-              row += 1
-            }
-            Row(r.getLong(0), true, hash)
-          case _ => Row(r.getLong(0), false, null)
         }
       }
     }(enc).toDF()

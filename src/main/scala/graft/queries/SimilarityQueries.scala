@@ -492,6 +492,81 @@ object SimilarityQueries {
               | true AS all_found, true AS precision_ok, true AS id_space_ok
               |FROM documents WHERE doc_id % 5 = 2""".stripMargin)),
 
+    // ---- perceptual VIDEO near-dup, completing the modality triple: a
+    //      clip's signature is the dHash of each pinned-arithmetic sampled
+    //      frame; two clips pair when ALL sampled frames hash equal — an
+    //      equality join on (sample position, frame hash), no banding
+    //      needed, bucket cardinality ∝ corpus. Planted clones are
+    //      per-frame EXACT 2× upscales (the dHash grid invariance) packed
+    //      into a fresh container; unrelated clips share no frame hashes.
+    Q("media_video_neardup",
+      (s, dir) => {
+        val enc = org.apache.spark.sql.Encoders.row(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("media_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("payload",
+              org.apache.spark.sql.types.BinaryType, nullable = false))))
+        val base = T(s, dir, "documents").filter(col("doc_id") % 9 === 4)
+          .select(col("doc_id").cast("long").as("media_id"))
+        val videos = base.mapPartitions { it =>
+          def ppm(w: Int, h: Int, px: Array[Byte]): Array[Byte] =
+            s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+          def up2x(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+            val out = new Array[Byte](4 * px.length)
+            var y = 0
+            while (y < 2 * h) {
+              var x = 0
+              while (x < 2 * w) {
+                val si = ((y / 2) * w + (x / 2)) * 3
+                val di = (y * 2 * w + x) * 3
+                out(di) = px(si); out(di + 1) = px(si + 1); out(di + 2) = px(si + 2)
+                x += 1
+              }
+              y += 1
+            }
+            out
+          }
+          it.flatMap { r =>
+            val id = r.getLong(0)
+            val frames = (0 until 6).map { f =>
+              val rnd = new java.util.Random(id * 131 + f)
+              val px = new Array[Byte](18 * 16 * 3)
+              rnd.nextBytes(px)
+              px
+            }
+            val orig = frames.map(ppm(18, 16, _)).reduce(_ ++ _)
+            val clone = frames.map(px => ppm(36, 32, up2x(px, 18, 16))).reduce(_ ++ _)
+            Iterator(
+              org.apache.spark.sql.Row(id, orig),
+              org.apache.spark.sql.Row(id + 1000000L, clone))
+          }
+        }(enc).toDF()
+        val sig = Multimodal.videoFrameHashes(videos, "media_id", "payload", n = 4)
+          .filter(col("decode_ok"))
+        val pairs = sig.as("a").join(sig.as("b"),
+            col("a.frame_no") === col("b.frame_no") &&
+            col("a.dhash") === col("b.dhash") &&
+            col("a.media_id") < col("b.media_id"))
+          .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+          .agg(count(lit(1)).as("matched"))
+          .filter(col("matched") === 4) // every sampled frame agrees
+        val cloneHits = pairs.filter(col("id_b") === col("id_a") + 1000000L)
+          .agg(count(lit(1)).as("clones_found"))
+        val falsePairs = pairs.filter(col("id_b") =!= col("id_a") + 1000000L)
+          .agg(count(lit(1)).as("n_false"))
+        base.agg(count(lit(1)).as("n_planted"),
+            (max(col("media_id")) < 1000000L).as("id_space_ok"))
+          .crossJoin(cloneHits).crossJoin(falsePairs)
+          .select(col("n_planted"), col("clones_found"),
+            (col("clones_found") === col("n_planted")).as("all_found"),
+            (col("n_false") === 0).as("precision_ok"),
+            col("id_space_ok"))
+      },
+      Some("""SELECT count(*)::bigint AS n_planted, count(*)::bigint AS clones_found,
+              | true AS all_found, true AS precision_ok, true AS id_space_ok
+              |FROM documents WHERE doc_id % 9 = 4""".stripMargin)),
+
     // ---- perceptual AUDIO near-dup: the envelope-difference hash (64
     //      energy-gradient bits over 65 windows of |amplitude| sums, exact
     //      cross-multiplied integers) + the same Hamming-piece bucketing as

@@ -250,6 +250,44 @@ class MultimodalSpec extends SparkSpec {
     assert(d > 10, s"unrelated audio should be far apart, got $d")
   }
 
+  test("videoFrameHashes: exact per-frame upscale matches all positions; one swapped frame matches n-1") {
+    def framePx(seed: Long): Array[Byte] = {
+      val rnd = new java.util.Random(seed)
+      val px = new Array[Byte](18 * 16 * 3)
+      rnd.nextBytes(px)
+      px
+    }
+    def ppm(w: Int, h: Int, px: Array[Byte]): Array[Byte] =
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+    def up2x(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](4 * px.length)
+      for (y <- 0 until 2 * h; x <- 0 until 2 * w; c <- 0 until 3)
+        out((y * 2 * w + x) * 3 + c) = px(((y / 2) * w + (x / 2)) * 3 + c)
+      out
+    }
+    val frames = (0 until 6).map(f => framePx(100 + f))
+    val orig = frames.map(ppm(18, 16, _)).reduce(_ ++ _)
+    val clone = frames.map(px => ppm(36, 32, up2x(px, 18, 16))).reduce(_ ++ _)
+    // Same clip with its LAST sampled frame (pick 3 ← container frame 4)
+    // replaced by unrelated content.
+    val swapped = frames.updated(4, framePx(999)).map(ppm(18, 16, _)).reduce(_ ++ _)
+    val df = spark.createDataFrame(Seq(
+      (1L, orig), (2L, clone), (3L, swapped), (4L, "not frames".getBytes)))
+      .toDF("media_id", "payload")
+    val sig = Multimodal.videoFrameHashes(df, "media_id", "payload", n = 4)
+    val ok = sig.filter(col("decode_ok")).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    // Container-level junk quarantines as a single decode_ok=false row.
+    assert(sig.filter(!col("decode_ok")).select("media_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(4L))
+    // picks over 6 frames at n=4: container frames 0, 1, 3, 4 → positions 0-3.
+    (0 until 4).foreach { pos =>
+      assert(ok((1L, pos)) == ok((2L, pos)), s"upscaled frame at pos $pos must hash equal")
+    }
+    val agree = (0 until 4).count(pos => ok((1L, pos)) == ok((3L, pos)))
+    assert(agree == 3, s"one swapped sampled frame should cost exactly one position, agreed $agree")
+  }
+
   test("concatenated-frame container: split, pinned sampling, per-frame decode, quarantine") {
     // Three 2×2 frames with distinct pixel bytes (frame f: bytes f*12+1 ..).
     def frameBytes(f: Int): Array[Byte] =
