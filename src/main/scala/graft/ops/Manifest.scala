@@ -236,6 +236,12 @@ object Manifest {
       current.contains(decodePath(r.getString(fileIdx)).toUri.getPath))
     val known = carried.map(r => decodePath(r.getString(fileIdx)).toUri.getPath).toSet
     val newPaths = current.collect { case (n, p) if !known(n) => p }.toSeq
+    // Nothing changed ⇒ the previous snapshot IS the current state: return
+    // its id without committing a duplicate (a recurring no-op cycle would
+    // otherwise accrue one identical snapshot per run — metadata append
+    // debt with zero information).
+    if (newPaths.isEmpty && removed.isEmpty)
+      return (prevId, 0, 0)
     val carriedDf = spark.createDataFrame(
       java.util.Arrays.asList(carried: _*), prev.schema)
     val stats =

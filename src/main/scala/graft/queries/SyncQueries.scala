@@ -40,6 +40,7 @@ object SyncQueries {
     ensureDbFixture(s, dir)
     restoreCatalogSlave(s, dir, bucketed = true)
     restoreCatalogSlave(s, dir, bucketed = false)
+    incBases(s, dir)
     ()
   }
 
@@ -106,6 +107,21 @@ object SyncQueries {
     * stream_resync_audited).
     */
   private val ordersStaged = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Staged append-only-sync fixture: (batch-1 master parquet dir,
+    * batch-2 append part-files dir), written once per (process, sfDir).
+    */
+  private val incStaged = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private[queries] def incBases(s: SparkSession, dir: String): (String, String) =
+    incStaged.getOrElseUpdate(dir, {
+      val orders = T(s, dir, "orders")
+      val m = java.nio.file.Files.createTempDirectory("graft_inc_base_m").toString + "/orders.parquet"
+      orders.filter(col("o_orderkey") % 3 =!= 0).repartition(4).write.parquet(m)
+      val b2 = java.nio.file.Files.createTempDirectory("graft_inc_base_b2").toString + "/batch2"
+      orders.filter(col("o_orderkey") % 3 === 0).repartition(2).write.parquet(b2)
+      (m, b2)
+    })
 
   private def makeOrdersSlaveDir(s: SparkSession, dir: String, tag: String): String = {
     val base = ordersStaged.getOrElseUpdate(dir, {
@@ -525,21 +541,31 @@ object SyncQueries {
       (s, dir) => {
         val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice", "o_orderdate", "o_orderpriority")
-        val orders = T(s, dir, "orders")
+        // Fixture staged ONCE per (process, sfDir) and FS-copied per run —
+        // the master is mutated (appended) each run, so it needs a fresh
+        // copy, but the Spark writes shouldn't be re-paid (same contract as
+        // the other converge slaves).
+        val (mBase, b2Base) = incBases(s, dir)
         val mDir = java.nio.file.Files.createTempDirectory("graft_inc_m").toString
         val sDir = java.nio.file.Files.createTempDirectory("graft_inc_s").toString
         val mPath = s"$mDir/orders.parquet"
-        orders.filter(col("o_orderkey") % 3 =!= 0)
-          .repartition(4).write.parquet(mPath)
+        copyDir(java.nio.file.Paths.get(mBase), java.nio.file.Paths.get(mPath))
         // Slave starts as an exact copy of batch 1 (the steady-state shape:
         // primed and converged before increments arrive).
-        s.read.parquet(mPath).write.parquet(s"$sDir/orders.parquet")
+        copyDir(java.nio.file.Paths.get(mBase),
+          java.nio.file.Paths.get(s"$sDir/orders.parquet"))
         val engine = new SyncEngine(new ParquetStore(s, mDir), new ParquetStore(s, sDir),
           SyncConfig(primaryKeys = Map("orders" -> Seq("o_orderkey")),
             maintainFingerprints = true))
         engine.syncAppendOnlyIncremental("orders", mPath) // prime + checkpoint
-        orders.filter(col("o_orderkey") % 3 === 0)
-          .repartition(2).write.mode(SaveMode.Append).parquet(mPath)
+        // The append: batch 2's part files land in the master dir (byte-copy
+        // of a staged Spark append — identical layout, no per-run write).
+        val b2 = new java.io.File(b2Base).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.length > 0)
+        b2.foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(mPath, f.getName)): Unit
+        }
         val act = engine.syncAppendOnlyIncremental("orders", mPath) // O(new files)
         val incrementalOk = act match {
           case graft.sync.SyncAction.ApplyDelta(_, d, i) => d == 0 && i > 0

@@ -80,6 +80,18 @@ final case class SyncConfig(
       * default None resolves under `spark.sql.warehouse.dir`
       * (see [[Differ.newScratchDir]]). */
     scratchDir: Option[String] = None,
+    /** Snapshot retention for [[SyncEngine.syncAppendOnlyIncremental]]'s
+      * recurring loop: each cycle commits one manifest snapshot, so a
+      * years-long loop accrues thousands (the metadata-scale append debt —
+      * same argument as file compaction); after each successful cycle all
+      * but the newest this-many snapshots are expired. The engine's own
+      * checkpoint is always the newest, so it is never expired; OTHER
+      * incremental readers of the same master must hold checkpoints within
+      * the retained window (an expired one fails fast in `addedSince`,
+      * never under-reports). Single-incremental-consumer deployments can
+      * set 2; 0 disables retention.
+      */
+    manifestRetainSnapshots: Int = 10,
     /** Durable home for the maintained-fingerprint state: per-table
       * [[graft.functions.Hashing.MultisetFp]] + master change token (a tiny
       * property file each) and the partitioned-table fingerprint snapshots.
@@ -613,6 +625,9 @@ final class SyncEngine(master: TableStore, slave: TableStore,
           maintainedFp.get(table).exists(st => !st.pushed)) {
         manifestCheckpoint.update(table, newId)
         persistState(table)
+        if (config.manifestRetainSnapshots > 0)
+          graft.ops.Manifest.expireSnapshots(spark, masterPath,
+            config.manifestRetainSnapshots): Unit
       }
       action
     }
@@ -642,6 +657,12 @@ final class SyncEngine(master: TableStore, slave: TableStore,
             dropPartSnapshot(table)
             manifestCheckpoint.update(table, newId)
             persistState(table)
+            // Self-maintenance: a recurring loop commits one snapshot per
+            // data-changed cycle — bound the history (the engine's own
+            // checkpoint is the newest, never expired).
+            if (config.manifestRetainSnapshots > 0)
+              graft.ops.Manifest.expireSnapshots(spark, masterPath,
+                config.manifestRetainSnapshots): Unit
           }
           record(SyncAction.ApplyDelta(table, 0L, fpI.count))
         }

@@ -283,6 +283,37 @@ class SyncEngineSpec extends SparkSpec {
       SyncAction.Skip("cust", "no new files"))
   }
 
+  test("syncAppendOnlyIncremental: snapshot history is self-bounded; no-op cycles commit nothing") {
+    val (md, sd, ms, ss) = mkStores("inc_retain")
+    val mPath = s"$md/cust.parquet"
+    custDf.repartition(2).write.parquet(mPath)
+    custDf.repartition(2).write.parquet(s"$sd/cust.parquet")
+    val engine = new SyncEngine(ms, ss, SyncConfig(
+      primaryKeys = Map("cust" -> Seq("id")), maintainFingerprints = true,
+      manifestRetainSnapshots = 2))
+    engine.syncAppendOnlyIncremental("cust", mPath) // prime → snapshot 1
+    def snapshots(): Int =
+      new java.io.File(s"$mPath/_graft_manifest").listFiles()
+        .count(_.getName.startsWith("snapshot-"))
+    // 4 append cycles: each data-changed cycle commits one snapshot, but
+    // retention keeps only the newest 2.
+    (0 until 4).foreach { k =>
+      Seq((100L + k, s"u$k", 20 + k, 1.0 * k)).toDF("id", "name", "nk", "bal")
+        .write.mode(SaveMode.Append).parquet(mPath)
+      engine.syncAppendOnlyIncremental("cust", mPath) match {
+        case SyncAction.ApplyDelta("cust", 0L, 1L) => ()
+        case other => fail(s"cycle $k: $other")
+      }
+      assert(snapshots() <= 2, s"cycle $k left ${snapshots()} snapshots")
+    }
+    // No-op cycles re-use the latest snapshot: count must not grow.
+    val before = snapshots()
+    engine.syncAppendOnlyIncremental("cust", mPath)
+    engine.syncAppendOnlyIncremental("cust", mPath)
+    assert(snapshots() == before, "no-op cycles must not accrue snapshots")
+    assert(fp(ss.read("cust")) == fp(ms.read("cust")))
+  }
+
   test("maintained mode: repeat sync of an unchanged master issues ZERO Spark jobs") {
     val (md, sd, ms, ss) = mkStores("maint0")
     write(md, "acct", custDf)
