@@ -247,8 +247,8 @@ object Manifest {
     val stats =
       if (newPaths.isEmpty) carriedDf
       else carriedDf.unionByName(
-        statsOf(spark.read.parquet(newPaths.map(p => escapeGlob(p.toString)): _*),
-          keyCols))
+        statsOf(spark.read.option("basePath", table)
+          .parquet(newPaths.map(p => escapeGlob(p.toString)): _*), keyCols))
     (commitSnapshot(spark, table, stats), newPaths.length, removed.length)
   }
 
@@ -305,7 +305,10 @@ object Manifest {
     requireFresh(spark, table, picked)
     val base =
       if (picked.isEmpty) spark.read.parquet(table).limit(0)
-      else spark.read.parquet(picked.map(escapeGlob): _*)
+      // basePath: without it a file-list read of a HIVE-PARTITIONED table
+      // silently DROPS the partition columns (they live in the directory
+      // names above each file, not in the files).
+      else spark.read.option("basePath", table).parquet(picked.map(escapeGlob): _*)
     val schema = base.schema
     val residual = preds.map { case (c, lo, hi) =>
       statCol(c, schema(c).dataType).between(lo, hi) }.reduce(_ && _)
@@ -334,7 +337,8 @@ object Manifest {
     requireFresh(spark, table, added)
     val rows =
       if (added.isEmpty) spark.read.parquet(table).limit(0)
-      else spark.read.parquet(added.map(escapeGlob): _*)
+      // basePath: keep hive-partition columns (see scanBox).
+      else spark.read.option("basePath", table).parquet(added.map(escapeGlob): _*)
     (rows, added.length)
   }
 

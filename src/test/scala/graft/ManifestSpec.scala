@@ -202,6 +202,32 @@ class ManifestSpec extends SparkSpec {
       "every file is new after a rewrite")
   }
 
+  test("hive-partitioned tables keep their partition columns through pruned scans") {
+    val stage = tmpDir("manifest_hive") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartition(8).write.parquet(stage)
+    Layout.partitionByColumn(spark, stage, "lang")
+    Manifest.create(spark, stage, "doc_id")
+    val (rows, nRead, nTotal) = Manifest.scanRange(spark, stage, "doc_id", 100L, 199L)
+    // Partition columns live in the DIRECTORY names — a file-list read
+    // without basePath silently drops them (wrong schema, the worst kind).
+    assert(rows.columns.contains("lang"), rows.columns.mkString(","))
+    assert(nRead <= nTotal && nTotal >= 5)
+    assert(fp(rows) == fp(spark.read.parquet(stage)
+      .filter(col("doc_id").between(100, 199))))
+    // addedSince over a partitioned append keeps them too.
+    val extra = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val id1 = Manifest.create(spark, stage, "doc_id")
+    extra.write.mode("append").partitionBy("lang").parquet(stage)
+    Manifest.createIncremental(spark, stage, "doc_id")
+    val (added, nAdded) = Manifest.addedSince(spark, stage, id1)
+    assert(nAdded > 0)
+    assert(added.columns.contains("lang"))
+    assert(fp(added) == fp(spark.read.parquet(stage).filter(col("doc_id") >= 100000L)))
+  }
+
   test("a crashed create's orphan tmp dir is cleaned by the next create") {
     val stage = stageClustered("manifest_heal", 4)
     Manifest.create(spark, stage, "doc_id")
