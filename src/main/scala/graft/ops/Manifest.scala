@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
   * rest of the storage layer.
   *
   * Layout on disk: `<table>/_graft_manifest/snapshot-<n>/` (parquet, one
-  * row per data file: path, key_min, key_max, n_rows). The `_`-prefixed
+  * row per data file: path, per-key min/max/non-null-count, n_rows). The
+  * `_`-prefixed
   * dir is invisible to Spark's parquet reader, so manifests never pollute
   * a direct `spark.read.parquet(table)` — the manifest is an ACCELERATOR,
   * not a correctness dependency. Snapshots are immutable and committed by
@@ -154,7 +155,12 @@ object Manifest {
     }
     val aggs = keyCols.flatMap(c => Seq(
       min(statCol(c, schema(c).dataType)).as(s"min_$c"),
-      max(statCol(c, schema(c).dataType)).as(s"max_$c"))) :+ count(lit(1)).as("n_rows")
+      max(statCol(c, schema(c).dataType)).as(s"max_$c"),
+      // Non-null key count per file: [[countRange]]'s metadata count must
+      // exclude NULL keys (they are outside every range, but n_rows would
+      // count them).
+      count(statCol(c, schema(c).dataType)).as(s"cnt_$c"))) :+
+      count(lit(1)).as("n_rows")
     data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.drop(1): _*)
   }
@@ -319,6 +325,45 @@ object Manifest {
   def scanRange(spark: SparkSession, table: String, keyCol: String,
                 lo: Long, hi: Long): (DataFrame, Int, Int) =
     scanBox(spark, table, Seq((keyCol, lo, hi)))
+
+  /** Metadata-accelerated range COUNT: files whose key range is FULLY
+    * inside [lo, hi] are counted from the snapshot's per-file non-null key
+    * count (`cnt_<c>` — zero data reads); only BOUNDARY files (overlapping
+    * but not contained) are scanned with the residual predicate. At scale
+    * this answers a selective COUNT over a petabyte-sized clustered table
+    * from metadata plus a handful of edge files — the aggregate analog of
+    * [[scanBox]]'s skipping, and the reason the snapshot carries row
+    * counts at all (the Iceberg/Delta `COUNT(*)` fast path). Freshness is
+    * checked over EVERY overlapping file: the metadata-counted ones are
+    * never opened, so a vanished file would otherwise contribute ghost
+    * rows silently. Returns (count, boundaryFilesScanned, filesTotal).
+    */
+  def countRange(spark: SparkSession, table: String, keyCol: String,
+                 lo: Long, hi: Long): (Long, Int, Int) = {
+    val f = files(spark, table)
+    require(f.columns.contains(s"min_$keyCol"),
+      s"manifest snapshot has no stats for column $keyCol")
+    require(f.columns.contains(s"cnt_$keyCol"),
+      s"manifest snapshot predates per-key counts — re-run Manifest.create")
+    val all = f.count().toInt
+    val mn = col(s"min_$keyCol"); val mx = col(s"max_$keyCol")
+    val rows = f.filter(mx >= lo && mn <= hi)
+      .select(col("file"), (mn >= lo && mx <= hi).as("inside"),
+        col(s"cnt_$keyCol"))
+      .collect()
+    requireFresh(spark, table, rows.map(_.getString(0)).toIndexedSeq)
+    val metaCount = rows.iterator.filter(_.getBoolean(1)).map(_.getLong(2)).sum
+    val boundary = rows.iterator.filterNot(_.getBoolean(1)).map(_.getString(0)).toIndexedSeq
+    val boundaryCount =
+      if (boundary.isEmpty) 0L
+      else {
+        val base = spark.read.option("basePath", table)
+          .parquet(boundary.map(escapeGlob): _*)
+        base.filter(statCol(keyCol, base.schema(keyCol).dataType).between(lo, hi))
+          .count()
+      }
+    (metaCount + boundaryCount, boundary.length, all)
+  }
 
   /** Rows in files ADDED after snapshot `sinceId` (latest ∖ since, by file
     * path) — the incremental-processing contract for a recurring job over

@@ -303,6 +303,60 @@ object SourceQueries {
                    Seq("doc_id", "text", "lang", "source", "n_chars"),
                    "(SELECT * FROM documents WHERE lang = 'en') t")})""".stripMargin)),
 
+    // ---- metadata-accelerated range COUNT: files fully inside the range
+    //      are counted from the snapshot's per-file non-null key counts
+    //      (zero data reads — the Iceberg/Delta COUNT(*) fast path); only
+    //      the boundary files are scanned. At 100 TB a selective count is
+    //      metadata + a handful of edge files. Gate: the count matches
+    //      DuckDB exactly AND only a strict subset of files was scanned.
+    Q("manifest_count_range",
+      (s, dir) => {
+        val stage = java.nio.file.Files.createTempDirectory("graft_manifest_cnt").toString + "/documents"
+        T(s, dir, "documents").repartition(8).write.mode("overwrite").parquet(stage)
+        graft.ops.Layout.clusterByRange(s, stage, "doc_id", nFiles = 8)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        val (cnt, boundary, total) =
+          graft.ops.Manifest.countRange(s, stage, "doc_id", 100L, 350L)
+        s.range(1).select(
+          lit(cnt).as("n_in_range"),
+          lit(boundary < total).as("metadata_fast_path"),
+          lit(total).cast("long").as("n_files"))
+      },
+      Some("""SELECT count(*)::bigint AS n_in_range, true AS metadata_fast_path,
+              | 8::bigint AS n_files
+              |FROM documents WHERE doc_id BETWEEN 100 AND 350""".stripMargin)),
+
+    // ---- temporal-key skipping end-to-end (the time-travel shape every
+    //      event table needs): events range-clustered on ts, manifest stats
+    //      in epoch MICROS (the normalized long unit for timestamp keys),
+    //      and a quartile time-window scan that reads only the overlapping
+    //      files. The oracle replays the same window arithmetic via
+    //      epoch_us, so the micros normalization itself is hash-gated.
+    Q("manifest_ts_range_scan",
+      (s, dir) => {
+        val ev = Registry.events(s, dir)
+        val stage = java.nio.file.Files.createTempDirectory("graft_manifest_ts").toString + "/events"
+        ev.write.mode("overwrite").parquet(stage)
+        graft.ops.Layout.clusterByRange(s, stage, "ts", nFiles = 6)
+        graft.ops.Manifest.create(s, stage, "ts")
+        val b = s.read.parquet(stage)
+          .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+        val (rows, nRead, nTotal) = graft.ops.Manifest.scanRange(s, stage, "ts", lo, hi)
+        rows.agg(
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(col("event_id").cast("decimal(20,0)")), lit(0))
+            .cast("long").as("sum_event_id"),
+          lit(nRead < nTotal).as("files_pruned"))
+      },
+      Some("""WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events)
+              |SELECT count(*)::bigint AS n_rows,
+              | coalesce(cast(sum(event_id) as bigint), 0) AS sum_event_id,
+              | true AS files_pruned
+              |FROM events, b
+              |WHERE epoch_us(ts) BETWEEN mn + (mx - mn) // 4 AND mn + (mx - mn) // 2""".stripMargin)),
+
     // ---- snapshot-diff incremental processing: a recurring job over an
     //      append-only table reads ONLY the files added since its previous
     //      snapshot (latest ∖ since, by path — immutable snapshots as the

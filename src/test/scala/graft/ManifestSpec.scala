@@ -197,9 +197,47 @@ class ManifestSpec extends SparkSpec {
       .filter(col("doc_id").between(100, 199))))
     // The refresh recovered the key columns from the old snapshot itself.
     assert(Manifest.files(spark, stage).columns.toSet ==
-      Set("file", "min_doc_id", "max_doc_id", "n_rows"))
+      Set("file", "min_doc_id", "max_doc_id", "cnt_doc_id", "n_rows"))
     assert(graft.ops.Manifest.addedSince(spark, stage, id1)._2 == 8,
       "every file is new after a rewrite")
+  }
+
+  test("countRange: metadata count for contained files, scan only boundaries, NULLs excluded") {
+    import org.apache.spark.sql.SaveMode
+    val stage = tmpDir("manifest_cnt") + "/t"
+    // 4 files with known disjoint key ranges + a NULL-key row in a fully-
+    // contained file (NULL keys are outside EVERY range; a naive n_rows
+    // metadata count would include them).
+    val df = spark.range(400).selectExpr(
+      "CASE WHEN id = 150 THEN NULL ELSE id END AS k", "id AS payload")
+    df.write.parquet(stage)
+    Layout.clusterByRange(spark, stage, "payload", nFiles = 4) // payload sort ⇒ k nearly sorted
+    Manifest.create(spark, stage, "k")
+    // [50, 250]: file [100..199] (holding the NULL row) is fully inside;
+    // files [0..99] and [200..299] are boundaries.
+    val (cnt, boundary, total) = Manifest.countRange(spark, stage, "k", 50L, 250L)
+    assert(total == 4)
+    assert(boundary == 2, s"expected 2 boundary files, scanned $boundary")
+    val expect = spark.read.parquet(stage)
+      .filter(col("k").between(50, 250)).count()
+    assert(cnt == expect, s"metadata+boundary count $cnt != exact $expect")
+    // The NULL row really was excluded (200 ids in [50,250], minus the
+    // nulled 150).
+    assert(cnt == 200L)
+    // Empty range: zero, zero boundary scans.
+    assert(Manifest.countRange(spark, stage, "k", 5000L, 6000L) == ((0L, 0, 4)))
+    // Whole-domain range: every file is contained — pure metadata answer.
+    val (allCnt, allBoundary, _) = Manifest.countRange(spark, stage, "k", 0L, 399L)
+    assert(allCnt == 399L && allBoundary == 0, s"$allCnt/$allBoundary")
+    // Stale file under the metadata path: vanished files must fail loud
+    // even though a fresh count would never open them.
+    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    val victim = fs.listStatus(new Path(stage))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    assert(fs.delete(victim, false))
+    intercept[Manifest.StaleManifestException] {
+      Manifest.countRange(spark, stage, "k", 0L, 399L)
+    }
   }
 
   test("hive-partitioned tables keep their partition columns through pruned scans") {
