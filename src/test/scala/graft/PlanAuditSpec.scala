@@ -153,6 +153,19 @@ class PlanAuditSpec extends SparkSpec {
 
   private def liKeys = Map("lineitem" -> Seq("l_orderkey", "l_linenumber"))
 
+  test("hammingNearDups64: candidate pairing is an equi-join on piece keys, never a cartesian") {
+    // The piece bucketing exists to make near-dup pairing shuffle on
+    // (piece_id, piece) — a silent fallback to a nested-loop/cartesian
+    // form would be the all-pairs plan the design forbids at scale.
+    import spark.implicits._
+    val sigs = (1L to 200L).map(i => (i, i * 0x9E3779B97F4A7C15L)).toDF("id", "sig")
+    val pairs = graft.ops.Dedup.hammingNearDups64(sigs, "id", "sig", maxHamming = 3)
+    val p = finalPlan(pairs)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("Join"), "expected an equi-join in the candidate plan")
+  }
+
   test("stats_table_profile: the whole profile is ONE scan of the table") {
     // The query's claim: counts, exact ndvs, HLL sketches, and min/max for
     // all profiled columns ride a single aggregate (one Expand), not one
