@@ -338,6 +338,51 @@ object Manifest {
     * never opened, so a vanished file would otherwise contribute ghost
     * rows silently. Returns (count, boundaryFilesScanned, filesTotal).
     */
+  /** n-D BOX form of [[countRange]]: a file fully contained on EVERY
+    * predicate dimension is counted from metadata, everything overlapping
+    * is scanned with the residual. One subtlety the per-column stats force:
+    * `cnt_<c>` counts each column's non-null rows SEPARATELY, so a
+    * contained file's in-box count is only known from metadata when NO key
+    * column has nulls there (every `cnt_<c> == n_rows`); a contained file
+    * with nullable keys is scanned like a boundary file instead of
+    * guessing — exactness is the contract, the metadata path is just the
+    * fast case. Returns (count, filesScanned, filesTotal).
+    */
+  def countBox(spark: SparkSession, table: String,
+               preds: Seq[(String, Long, Long)]): (Long, Int, Int) = {
+    require(preds.nonEmpty, "need at least one range predicate")
+    val f = files(spark, table)
+    preds.foreach { case (c, _, _) =>
+      require(f.columns.contains(s"min_$c"),
+        s"manifest snapshot has no stats for column $c")
+      require(f.columns.contains(s"cnt_$c"),
+        s"manifest snapshot predates per-key counts — re-run Manifest.create")
+    }
+    val all = f.count().toInt
+    val overlap = preds.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi }.reduce(_ && _)
+    val contained = preds.map { case (c, lo, hi) =>
+      col(s"min_$c") >= lo && col(s"max_$c") <= hi }.reduce(_ && _)
+    val noNulls = preds.map { case (c, _, _) =>
+      col(s"cnt_$c") === col("n_rows") }.reduce(_ && _)
+    val rows = f.filter(overlap)
+      .select(col("file"), (contained && noNulls).as("meta"), col("n_rows"))
+      .collect()
+    requireFresh(spark, table, rows.map(_.getString(0)).toIndexedSeq)
+    val metaCount = rows.iterator.filter(_.getBoolean(1)).map(_.getLong(2)).sum
+    val scan = rows.iterator.filterNot(_.getBoolean(1)).map(_.getString(0)).toIndexedSeq
+    val scanCount =
+      if (scan.isEmpty) 0L
+      else {
+        val base = spark.read.option("basePath", table)
+          .parquet(scan.map(escapeGlob): _*)
+        base.filter(preds.map { case (c, lo, hi) =>
+          statCol(c, base.schema(c).dataType).between(lo, hi) }.reduce(_ && _))
+          .count()
+      }
+    (metaCount + scanCount, scan.length, all)
+  }
+
   def countRange(spark: SparkSession, table: String, keyCol: String,
                  lo: Long, hi: Long): (Long, Int, Int) = {
     val f = files(spark, table)

@@ -494,11 +494,15 @@ object SimilarityQueries {
 
     // ---- perceptual VIDEO near-dup, completing the modality triple: a
     //      clip's signature is the dHash of each pinned-arithmetic sampled
-    //      frame; two clips pair when ALL sampled frames hash equal — an
-    //      equality join on (sample position, frame hash), no banding
-    //      needed, bucket cardinality ∝ corpus. Planted clones are
-    //      per-frame EXACT 2× upscales (the dHash grid invariance) packed
-    //      into a fresh container; unrelated clips share no frame hashes.
+    //      frame. TWO match rules, both equality joins (no banding, bucket
+    //      cardinality ∝ corpus): (a) position-aligned — every (sample
+    //      position, hash) agrees, the re-encode/upscale case; (b)
+    //      position-FREE — ≥3 of 4 distinct sampled hashes shared, which
+    //      survives a TRIMMED clip (dropping frames shifts every sample
+    //      position, so rule (a) must miss it and rule (b) must catch it —
+    //      both directions are gated). Planted clones: per-frame EXACT 2×
+    //      upscales in a fresh container, and a first-frame trim; unrelated
+    //      clips share no frame hashes.
     Q("media_video_neardup",
       (s, dir) => {
         val enc = org.apache.spark.sql.Encoders.row(
@@ -537,34 +541,65 @@ object SimilarityQueries {
             }
             val orig = frames.map(ppm(18, 16, _)).reduce(_ ++ _)
             val clone = frames.map(px => ppm(36, 32, up2x(px, 18, 16))).reduce(_ ++ _)
+            val trimmed = frames.drop(1).map(ppm(18, 16, _)).reduce(_ ++ _)
             Iterator(
               org.apache.spark.sql.Row(id, orig),
-              org.apache.spark.sql.Row(id + 1000000L, clone))
+              org.apache.spark.sql.Row(id + 1000000L, clone),
+              org.apache.spark.sql.Row(id + 2000000L, trimmed))
           }
         }(enc).toDF()
         val sig = Multimodal.videoFrameHashes(videos, "media_id", "payload", n = 4)
           .filter(col("decode_ok"))
-        val pairs = sig.as("a").join(sig.as("b"),
-            col("a.frame_no") === col("b.frame_no") &&
-            col("a.dhash") === col("b.dhash") &&
-            col("a.media_id") < col("b.media_id"))
-          .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
-          .agg(count(lit(1)).as("matched"))
-          .filter(col("matched") === 4) // every sampled frame agrees
-        val cloneHits = pairs.filter(col("id_b") === col("id_a") + 1000000L)
-          .agg(count(lit(1)).as("clones_found"))
-        val falsePairs = pairs.filter(col("id_b") =!= col("id_a") + 1000000L)
-          .agg(count(lit(1)).as("n_false"))
-        base.agg(count(lit(1)).as("n_planted"),
-            (max(col("media_id")) < 1000000L).as("id_space_ok"))
-          .crossJoin(cloneHits).crossJoin(falsePairs)
-          .select(col("n_planted"), col("clones_found"),
-            (col("clones_found") === col("n_planted")).as("all_found"),
-            (col("n_false") === 0).as("precision_ok"),
-            col("id_space_ok"))
+          .localCheckpoint(true) // reused by BOTH match rules below
+        try {
+          // Rule (a): position-aligned — all 4 (position, hash) rows agree.
+          val posPairs = sig.as("a").join(sig.as("b"),
+              col("a.frame_no") === col("b.frame_no") &&
+              col("a.dhash") === col("b.dhash") &&
+              col("a.media_id") < col("b.media_id"))
+            .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+            .agg(count(lit(1)).as("matched"))
+            .filter(col("matched") === 4)
+          // Rule (b): position-free — ≥3 distinct sampled hashes shared
+          // (a trim shifts every sample position; the hash SET survives).
+          val hs = sig.select(col("media_id"), col("dhash")).distinct()
+          val setPairs = hs.as("a").join(hs.as("b"),
+              col("a.dhash") === col("b.dhash") &&
+              col("a.media_id") < col("b.media_id"))
+            .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+            .agg(count(lit(1)).as("shared"))
+            .filter(col("shared") >= 3)
+          // Position rule: exactly the orig↔upscale pair per doc (the trim
+          // aligns on only 2 of 4 positions and MUST be missed — the gap
+          // rule (b) exists to close).
+          val posClones = posPairs.filter(col("id_b") === col("id_a") + 1000000L)
+            .agg(count(lit(1)).as("pos_clones"))
+          val posFalse = posPairs.filter(col("id_b") =!= col("id_a") + 1000000L)
+            .agg(count(lit(1)).as("pos_false"))
+          // Set rule: all 3 same-doc pairs per doc (orig↔upscale,
+          // orig↔trim, upscale↔trim), nothing across docs.
+          val setFamily = setPairs
+            .filter(col("id_a") % 1000000L === col("id_b") % 1000000L)
+            .agg(count(lit(1)).as("set_family"))
+          val setFalse = setPairs
+            .filter(col("id_a") % 1000000L =!= col("id_b") % 1000000L)
+            .agg(count(lit(1)).as("set_false"))
+          base.agg(count(lit(1)).as("n_planted"),
+              (max(col("media_id")) < 1000000L).as("id_space_ok"))
+            .crossJoin(posClones).crossJoin(posFalse)
+            .crossJoin(setFamily).crossJoin(setFalse)
+            .select(col("n_planted"),
+              (col("pos_clones") === col("n_planted")).as("pos_all_found"),
+              (col("pos_false") === 0).as("pos_precision_ok"),
+              (col("set_family") === col("n_planted") * 3).as("set_trim_found"),
+              (col("set_false") === 0).as("set_precision_ok"),
+              col("id_space_ok"))
+            .localCheckpoint(true)
+        } finally graft.ops.Caching.release(sig)
       },
-      Some("""SELECT count(*)::bigint AS n_planted, count(*)::bigint AS clones_found,
-              | true AS all_found, true AS precision_ok, true AS id_space_ok
+      Some("""SELECT count(*)::bigint AS n_planted, true AS pos_all_found,
+              | true AS pos_precision_ok, true AS set_trim_found,
+              | true AS set_precision_ok, true AS id_space_ok
               |FROM documents WHERE doc_id % 9 = 4""".stripMargin)),
 
     // ---- perceptual AUDIO near-dup: the envelope-difference hash (64

@@ -240,6 +240,35 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("countBox: metadata for contained no-null files; nullable contained files are scanned") {
+    val stage = tmpDir("manifest_cntbox") + "/t"
+    // 2-D grid; one row nulls key `b` inside what will be a fully-contained
+    // region — per-column counts cannot give the JOINT non-null count, so
+    // that file must be scanned, not metadata-counted.
+    spark.range(400).selectExpr("id % 20 AS a",
+      "CASE WHEN id = 210 THEN NULL ELSE id div 20 END AS b", "id AS payload")
+      .write.parquet(stage)
+    Layout.clusterByZOrder(spark, stage, "a", "b", nFiles = 8)
+    Manifest.create(spark, stage, "a", "b")
+    // Box aligned to the first Morton quadrant (a,b ≤ 9 ⇒ normalized top
+    // bit 0): the z-curve fills it CONTIGUOUSLY, so whole files fall
+    // inside and the metadata path genuinely engages.
+    val preds = Seq(("a", 0L, 9L), ("b", 0L, 9L))
+    val (cnt, scanned, total) = Manifest.countBox(spark, stage, preds)
+    val expect = spark.read.parquet(stage)
+      .filter(col("a").between(0, 9) && col("b").between(0, 9)).count()
+    assert(cnt == expect, s"box count $cnt != exact $expect")
+    assert(total == 8 && scanned < total,
+      s"expected a metadata fast path: scanned $scanned of $total")
+    // Whole domain: every file contained, but the null-carrying file must
+    // still be scanned (its joint non-null count is unknowable from
+    // per-column stats).
+    val (allCnt, allScanned, _) =
+      Manifest.countBox(spark, stage, Seq(("a", 0L, 19L), ("b", 0L, 19L)))
+    assert(allCnt == 399L, s"null-key row must not be counted: $allCnt")
+    assert(allScanned >= 1, "the nullable file must be scanned, not guessed")
+  }
+
   test("hive-partitioned tables keep their partition columns through pruned scans") {
     val stage = tmpDir("manifest_hive") + "/documents"
     spark.read.parquet(s"$sf001/documents.parquet")
