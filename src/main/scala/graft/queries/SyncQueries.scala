@@ -557,7 +557,7 @@ object SyncQueries {
         val engine = new SyncEngine(new ParquetStore(s, mDir), new ParquetStore(s, sDir),
           SyncConfig(primaryKeys = Map("orders" -> Seq("o_orderkey")),
             maintainFingerprints = true))
-        engine.syncAppendOnlyIncremental("orders", mPath) // prime + checkpoint
+        engine.syncAppendOnlyIncremental("orders") // prime + checkpoint (store-derived path)
         // The append: batch 2's part files land in the master dir (byte-copy
         // of a staged Spark append — identical layout, no per-run write).
         val b2 = new java.io.File(b2Base).listFiles()
@@ -566,12 +566,12 @@ object SyncQueries {
           java.nio.file.Files.copy(f.toPath,
             java.nio.file.Paths.get(mPath, f.getName)): Unit
         }
-        val act = engine.syncAppendOnlyIncremental("orders", mPath) // O(new files)
+        val act = engine.syncAppendOnlyIncremental("orders") // O(new files)
         val incrementalOk = act match {
           case graft.sync.SyncAction.ApplyDelta(_, d, i) => d == 0 && i > 0
           case _ => false
         }
-        val noopOk = engine.syncAppendOnlyIncremental("orders", mPath) match {
+        val noopOk = engine.syncAppendOnlyIncremental("orders") match {
           case graft.sync.SyncAction.Skip(_, r) => r.contains("no new files")
           case _ => false
         }

@@ -610,6 +610,20 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     *
     * Requires maintained mode and a primary key.
     */
+  /** Store-derived form of [[syncAppendOnlyIncremental(table:String,masterPath:String)*]]:
+    * the master path comes from the master store itself
+    * ([[TableStore.tablePath]]), so the caller cannot hand the engine a
+    * directory that is not the table it syncs. Fails fast for stores
+    * without a parquet directory per table (JDBC — manifest composition
+    * does not apply there).
+    */
+  def syncAppendOnlyIncremental(table: String): SyncAction =
+    syncAppendOnlyIncremental(table, master.tablePath(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"syncAppendOnlyIncremental($table): the master store exposes no parquet " +
+          "directory for this table (TableStore.tablePath) — manifest-driven " +
+          "incremental sync needs a file-backed master")))
+
   def syncAppendOnlyIncremental(table: String, masterPath: String): SyncAction = {
     require(config.maintainFingerprints,
       s"syncAppendOnlyIncremental($table) requires maintainFingerprints mode")

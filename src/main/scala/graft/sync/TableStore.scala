@@ -44,6 +44,14 @@ trait TableStore {
     */
   def changeToken(table: String): Option[String] = None
 
+  /** The table's backing parquet directory, when the store IS a parquet
+    * directory per table — what manifest-composed operations
+    * ([[SyncEngine.syncAppendOnlyIncremental]]) need to locate the
+    * `_graft_manifest` snapshots. None for stores without one (JDBC,
+    * bucketed catalogs): manifest composition does not apply there.
+    */
+  def tablePath(table: String): Option[String] = None
+
   /** Compute-pushdown hash projection (SURVEY §4; reference
     * `TableConnection.php:46-51`): `(projCols…, row_hash)` where `row_hash`
     * was computed INSIDE the store's own engine, so only ~32-byte hashes per
@@ -143,6 +151,9 @@ class FileStore(val spark: SparkSession, dir: String,
 
   override def read(table: String): DataFrame =
     spark.read.format(format).options(defaultOptions ++ options).load(path(table))
+
+  override def tablePath(table: String): Option[String] =
+    if (format == "parquet") Some(path(table)) else None
 
   /** Metadata-only token: md5 over the sorted (path, size, mtime) file
     * listing — O(#files), no data read, no Spark job. Spark/parquet commits

@@ -291,7 +291,7 @@ class SyncEngineSpec extends SparkSpec {
     val engine = new SyncEngine(ms, ss, SyncConfig(
       primaryKeys = Map("cust" -> Seq("id")), maintainFingerprints = true,
       manifestRetainSnapshots = 2))
-    engine.syncAppendOnlyIncremental("cust", mPath) // prime → snapshot 1
+    engine.syncAppendOnlyIncremental("cust") // prime → snapshot 1 (store-derived path)
     def snapshots(): Int =
       new java.io.File(s"$mPath/_graft_manifest").listFiles()
         .count(_.getName.startsWith("snapshot-"))
@@ -300,7 +300,7 @@ class SyncEngineSpec extends SparkSpec {
     (0 until 4).foreach { k =>
       Seq((100L + k, s"u$k", 20 + k, 1.0 * k)).toDF("id", "name", "nk", "bal")
         .write.mode(SaveMode.Append).parquet(mPath)
-      engine.syncAppendOnlyIncremental("cust", mPath) match {
+      engine.syncAppendOnlyIncremental("cust") match {
         case SyncAction.ApplyDelta("cust", 0L, 1L) => ()
         case other => fail(s"cycle $k: $other")
       }
@@ -308,8 +308,8 @@ class SyncEngineSpec extends SparkSpec {
     }
     // No-op cycles re-use the latest snapshot: count must not grow.
     val before = snapshots()
-    engine.syncAppendOnlyIncremental("cust", mPath)
-    engine.syncAppendOnlyIncremental("cust", mPath)
+    engine.syncAppendOnlyIncremental("cust")
+    engine.syncAppendOnlyIncremental("cust")
     assert(snapshots() == before, "no-op cycles must not accrue snapshots")
     assert(fp(ss.read("cust")) == fp(ms.read("cust")))
   }
