@@ -57,8 +57,8 @@ object Similarity {
     * cut). Falls back to the window when the id column is not bigint (the
     * heap stores primitive longs).
     */
-  private def finishTopK(scored0: DataFrame, k: Int,
-                         qIdCol: String, cIdCol: String): DataFrame = {
+  private[ops] def finishTopK(scored0: DataFrame, k: Int,
+                              qIdCol: String, cIdCol: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     // Null sim/id rows are dropped in BOTH branches (the heap skips them
     // silently; the window would rank null sims NULLS LAST) — filtering
@@ -420,6 +420,63 @@ object Similarity {
       .select(col(qIdCol), col(cIdCol),
         cosine(dequant, col(qVecCol).cast("array<double>")).as("sim"))
     finishTopK(joined, k, qIdCol, cIdCol)
+  }
+
+  /** Binary-quantized (BQ) approximate top-k — the 1-bit rung below SQ8 on
+    * the compression ladder: every vector is reduced to its per-dimension
+    * SIGN against the corpus mean (64 dims → ONE int64 word, 32× less
+    * memory/IO than float32), candidates are generated by an exhaustive
+    * Hamming scan over the packed words (`bit_count(xor)` — pure codegen'd
+    * integer ops, the cheapest possible per-vector score), and the top
+    * `rerank` candidates per query are re-scored with exact cosine against
+    * the full-precision vectors (the asymmetric rerank every production BQ
+    * deployment pairs with the bit scan).
+    *
+    * Scale shape: the heavy phase (corpus × queries Hamming) carries ONLY
+    * `(id, ceil(d/64) longs)` — ~16 bytes/vector at d=64 — and feeds the
+    * bounded-heap top-k, so the shuffle ships `rerank` ids per (task ×
+    * query). Only the candidate id set (|queries| × rerank rows) joins back
+    * to full vectors; the thresholds table reaching the driver is d rows
+    * (the SQ8 stats pattern).
+    */
+  def bqTopK(queries: DataFrame, corpus: DataFrame, k: Int, rerank: Int = 64,
+             qIdCol: String = "q_id", qVecCol: String = "q_vec",
+             cIdCol: String = "vec_id", cVecCol: String = "embedding"): DataFrame = {
+    val stats = corpus
+      .select(posexplode(col(cVecCol)).as(Seq("pos", "x")))
+      .groupBy("pos").agg(avg(col("x").cast("double")).as("mu"))
+      .orderBy("pos").collect()
+    val mus = stats.map(_.getDouble(1))
+    val musL = array(mus.toIndexedSeq.map(lit): _*)
+    val nWords = (mus.length + 63) / 64
+    // sign-bit pack, MSB-first shift-or fold per 64-dim word (shifts are
+    // overflow-exempt under ANSI; a short final word just folds fewer bits)
+    def pack(vec: Column): Column = {
+      val bits = zip_with(vec.cast("array<double>"), musL,
+        (x, mu) => when(x > mu, lit(1L)).otherwise(lit(0L)))
+      transform(sequence(lit(0), lit(nWords - 1)), w =>
+        aggregate(slice(bits, w * lit(64) + 1, lit(64)), lit(0L),
+          (acc, b) => shiftleft(acc, 1).bitwiseOR(b)))
+    }
+    def hamming(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+        lit(0), (acc, h) => acc + h)
+    val cCodes = Par.fanOut(corpus).select(col(cIdCol), pack(col(cVecCol)).as("__code"))
+    val qCodes = queries.select(col(qIdCol), pack(col(qVecCol)).as("__qcode"))
+    // candidate ids by smallest Hamming: negate the distance so the
+    // bounded-heap top-k (largest-sim) keeps the nearest codes
+    val cands = finishTopK(
+      cCodes.crossJoin(broadcast(qCodes))
+        .select(col(qIdCol), col(cIdCol),
+          (-hamming(col("__code"), col("__qcode")).cast("double")).as("sim")),
+      rerank, qIdCol, cIdCol).select(col(qIdCol), col(cIdCol))
+    // exact rerank: the tiny candidate set broadcasts into the vector join
+    val reranked = corpus.select(col(cIdCol), col(cVecCol))
+      .join(broadcast(cands), Seq(cIdCol))
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+      .select(col(qIdCol), col(cIdCol),
+        cosine(col(qVecCol), col(cVecCol)).as("sim"))
+    finishTopK(reranked, k, qIdCol, cIdCol)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means

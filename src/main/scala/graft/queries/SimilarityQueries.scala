@@ -36,6 +36,18 @@ object SimilarityQueries {
           (x, i) => when(i === 0, x * lit(1.01f)).otherwise(x)).as("embedding"))
     val corpus = emb.filter(col("vec_id") >= 5).unionByName(clones)
     val approx = run(queries, corpus).select(col("q_id"), col("vec_id"))
+    recallGate(queries, corpus, approx, minTotalHits)
+  }
+
+  /** The gate tail of [[recallGated]], shared with queries that stage their
+    * corpus differently (the persisted index builds from base and APPENDS
+    * the clones): exact baseline over the full corpus, per-query overlap +
+    * clone hits, one pinned summary row.
+    */
+  private def recallGate(queries: org.apache.spark.sql.DataFrame,
+                         corpus: org.apache.spark.sql.DataFrame,
+                         approx: org.apache.spark.sql.DataFrame,
+                         minTotalHits: Long): org.apache.spark.sql.DataFrame = {
     val exact = Similarity.bruteForceTopK(queries, corpus, k = 10)
       .select(col("q_id"), col("vec_id"))
     val hits = approx.join(exact, Seq("q_id", "vec_id"), "left_semi")
@@ -184,6 +196,44 @@ object SimilarityQueries {
     Q("knn_sq8_topk",
       (s, dir) => recallGated(s, dir, minTotalHits = 35, (q, c) =>
         Similarity.sq8TopK(q, c, k = 10)),
+      Some(recallOracle)),
+
+    // ---- binary-quantized top-k (1 bit/dim: 64 dims → ONE int64, 32× below
+    //      float32 — the rung below SQ8). Exhaustive bit_count(xor) Hamming
+    //      scan over packed words generates candidates; exact cosine reranks
+    //      the top-`rerank`. Clone-gated (a near-identical clone keeps an
+    //      ~identical sign pattern → Hamming ≈ 0) with a brute-force overlap
+    //      floor; OpsSpec asserts 0.5 recall on its fixed fixture.
+    Q("knn_bq_topk",
+      (s, dir) => recallGated(s, dir, minTotalHits = 20, (q, c) =>
+        Similarity.bqTopK(q, c, k = 10, rerank = 64)),
+      Some(recallOracle)),
+
+    // ---- persisted IVF index lifecycle: TRAIN+BUILD from the base corpus
+    //      (centroids + vectors hive-partitioned by cell on disk), APPEND
+    //      the clones incrementally against the saved centroids (no
+    //      re-cluster — the O(new) ingest path), then SEARCH the saved
+    //      index. Same recall gate as the in-query IVF; the search scan is
+    //      partition-pruned to the probed cells (VectorIndexSpec pins
+    //      PartitionFilters), which is the property that makes query IO
+    //      nProbe/nCells of the corpus at any scale.
+    Q("knn_ivf_persisted",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val clones = emb.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, x * lit(1.01f)).otherwise(x)).as("embedding"))
+        val base = emb.filter(col("vec_id") >= 5)
+        val idx = java.nio.file.Files.createTempDirectory("graft_vecindex").toString
+        graft.ops.VectorIndex.build(base, idx, nCells = 16)
+        graft.ops.VectorIndex.append(clones, idx)
+        val approx = graft.ops.VectorIndex.search(queries, idx, k = 10, nProbe = 4)
+          .select(col("q_id"), col("vec_id"))
+        recallGate(queries, base.unionByName(clones), approx, minTotalHits = 20)
+      },
       Some(recallOracle)),
 
     // ---- pairs → connected components → canonical representative: the

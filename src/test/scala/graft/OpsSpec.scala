@@ -170,6 +170,28 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"SQ8 recall@10 too low: $recall")
   }
 
+  test("bqTopK: planted clones survive the bit scan; rerank recovers recall") {
+    // 1 bit/dim: a near-identical clone keeps an (almost) identical sign
+    // pattern, so its Hamming distance is ~0 and it must lead the candidate
+    // list; the exact rerank then ranks it #1. On noise, 64-bit Hamming is a
+    // coarse cosine proxy — the rerank buffer (64 candidates over this
+    // ~600-row corpus) keeps recall moderate, not lossless.
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val clones = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000L).as("vec_id"),
+        transform($"embedding", (x, i) => when(i === 0, x * 1.01f).otherwise(x)).as("embedding"))
+    val corpus = emb.filter($"vec_id" >= 3).select("vec_id", "embedding").unionByName(clones)
+    val exact = Similarity.bruteForceTopK(q, corpus, 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.bqTopK(q, corpus, 10, rerank = 64)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (qid <- 0L to 2L)
+      assert(approx.contains((qid, qid + 10000L)), s"clone of $qid not found")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"BQ recall@10 too low: $recall")
+  }
+
   test("approx percentiles track exact percentiles within sketch error") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
     val got = li.agg(
