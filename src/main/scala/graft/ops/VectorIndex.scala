@@ -70,6 +70,34 @@ object VectorIndex {
       .write.mode(SaveMode.Append).partitionBy("cell").parquet(vectorsDir(dir))
   }
 
+  /** Compact the appended corpus back to ≈`targetBytes` files while
+    * PRESERVING the cell partitioning — the maintenance rung of the index
+    * lifecycle (every [[append]] adds at least one file per touched cell,
+    * so a long-running feed accretes exactly the small-file debt
+    * [[Layout.compactTable]] exists for, but a flat rewrite would destroy
+    * the partition pruning [[search]] depends on). One range-partitioning
+    * shuffle on (cell, id): contiguous cells share a task, oversized cells
+    * split across tasks by id — files ≈ ceil(bytes/target) regardless of
+    * how skewed the cell sizes are. Committed with the same crash-safe
+    * two-rename swap as the layout jobs. Returns the data-file count after.
+    */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long,
+              idCol: String = "vec_id"): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val vdir = vectorsDir(dir)
+    val p = new org.apache.hadoop.fs.Path(vdir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    FsMaint.recoverSwap(fs, vdir)
+    val total = FsMaint.totalDataBytes(fs, p)
+    val nFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val tmp = vdir + "__compacting"
+    spark.read.parquet(vdir)
+      .repartitionByRange(nFiles, col("cell"), col(idCol))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
+    FsMaint.swapIn(fs, vdir, tmp)
+    FsMaint.dataFileCount(fs, p)
+  }
+
   /** IVF top-k against the saved index: each query probes its `nProbe`
     * nearest saved cells and re-ranks exactly within them. The vectors scan
     * is filtered to the UNION of probed cells with a literal IN over the

@@ -209,11 +209,13 @@ object SimilarityQueries {
         Similarity.bqTopK(q, c, k = 10, rerank = 64)),
       Some(recallOracle)),
 
-    // ---- persisted IVF index lifecycle: TRAIN+BUILD from the base corpus
+    // ---- persisted IVF index LIFECYCLE: TRAIN+BUILD from the base corpus
     //      (centroids + vectors hive-partitioned by cell on disk), APPEND
-    //      the clones incrementally against the saved centroids (no
-    //      re-cluster — the O(new) ingest path), then SEARCH the saved
-    //      index. Same recall gate as the in-query IVF; the search scan is
+    //      each clone as its own batch against the saved centroids (no
+    //      re-cluster — the O(new) ingest path, accreting real small-file
+    //      debt), COMPACT the debt away preserving the cell partitioning,
+    //      then SEARCH the saved index. Same recall gate as the in-query
+    //      IVF plus a compaction-fired boolean; the search scan is
     //      partition-pruned to the probed cells (VectorIndexSpec pins
     //      PartitionFilters), which is the property that makes query IO
     //      nProbe/nCells of the corpus at any scale.
@@ -229,12 +231,21 @@ object SimilarityQueries {
         val base = emb.filter(col("vec_id") >= 5)
         val idx = java.nio.file.Files.createTempDirectory("graft_vecindex").toString
         graft.ops.VectorIndex.build(base, idx, nCells = 16)
-        graft.ops.VectorIndex.append(clones, idx)
+        graft.ops.VectorIndex.append(
+          clones.filter(col("vec_id") < 10000002L), idx)
+        graft.ops.VectorIndex.append(
+          clones.filter(col("vec_id") >= 10000002L), idx)
+        val vp = new org.apache.hadoop.fs.Path(s"$idx/vectors")
+        val fs = vp.getFileSystem(s.sessionState.newHadoopConf())
+        val debt = graft.ops.FsMaint.dataFileCount(fs, vp)
+        val after = graft.ops.VectorIndex.compact(s, idx, targetBytes = 64L << 20)
         val approx = graft.ops.VectorIndex.search(queries, idx, k = 10, nProbe = 4)
           .select(col("q_id"), col("vec_id"))
         recallGate(queries, base.unionByName(clones), approx, minTotalHits = 20)
+          .withColumn("compacted", lit(after < debt))
       },
-      Some(recallOracle)),
+      Some("""SELECT 5::BIGINT AS n_queries, 5::BIGINT AS clones_found,
+              | true AS recall_ok, true AS compacted""".stripMargin)),
 
     // ---- pairs → connected components → canonical representative: the
     //      cluster/keep step that completes a corpus-dedup pipeline. Spark

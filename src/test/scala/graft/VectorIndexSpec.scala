@@ -53,6 +53,30 @@ class VectorIndexSpec extends SparkSpec {
     assert(touched.nonEmpty && touched.size <= 3, s"touched cells: $touched")
   }
 
+  test("compact: shrinks append debt, keeps cell partitioning and results") {
+    val (q, base, clones) = fixture()
+    val dir = tmpDir("vecindex_compact")
+    VectorIndex.build(base, dir, nCells = 8)
+    // accrete small-file debt the way a feed would: one append per clone
+    clones.collect().zipWithIndex.foreach { case (_, i) =>
+      VectorIndex.append(clones.filter($"vec_id" === 10000L + i), dir)
+    }
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val before = graft.ops.FsMaint.dataFileCount(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/vectors"))
+    val resBefore = VectorIndex.search(q, dir, k = 10, nProbe = 3)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val after = VectorIndex.compact(spark, dir, targetBytes = 64L << 20)
+    assert(after < before, s"compaction must shrink files: $before -> $after")
+    // hive layout preserved: still cell=<i> dirs, search results identical
+    assert(new java.io.File(s"$dir/vectors").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("cell=")))
+    val resAfter = VectorIndex.search(q, dir, k = 10, nProbe = 3)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(resAfter == resBefore, "compaction changed search results")
+  }
+
   test("search plans only the probed cell partitions (PartitionFilters)") {
     val (q, base, clones) = fixture()
     val dir = tmpDir("vecindex_prune")
