@@ -98,6 +98,31 @@ object VectorIndex {
     FsMaint.dataFileCount(fs, p)
   }
 
+  /** Policy-triggered [[compact]]: fire when the appended small-file count
+    * passes `maxDataFiles` — a METADATA-only signal (one file listing, no
+    * data read), so a recurring ingest loop can call this every batch and
+    * self-maintain, the [[DedupIndex.compactIfNeeded]] pattern. Returns
+    * whether a compaction ran.
+    */
+  def compactIfNeeded(spark: SparkSession, dir: String, maxDataFiles: Long,
+                      targetBytes: Long = 128L << 20,
+                      idCol: String = "vec_id"): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(vectorsDir(dir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val n = FsMaint.dataFileCount(fs, p)
+    if (n > maxDataFiles) { compact(spark, dir, targetBytes, idCol); true }
+    else false
+  }
+
+  /** Count of data files currently backing the index's corpus — the same
+    * metadata-only signal [[compactIfNeeded]] reads, exposed so callers can
+    * set scale-robust policies (e.g. `built + k` after [[build]]).
+    */
+  def dataFiles(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(vectorsDir(dir))
+    FsMaint.dataFileCount(p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
   /** IVF top-k against the saved index: each query probes its `nProbe`
     * nearest saved cells and re-ranks exactly within them. The vectors scan
     * is filtered to the UNION of probed cells with a literal IN over the

@@ -437,6 +437,54 @@ object StreamingQueries {
       },
       Some(TextQueries.incrementalIngestOracle)),
 
+    // Streaming embedding feed → persisted IVF index: each micro-batch
+    // APPENDS against the saved centroids (O(batch) — no re-train), a
+    // metadata-only file-count policy compacts the accreted small files
+    // mid-stream (preserving the cell partitioning the search prunes on),
+    // and the post-stream search must find every planted clone. The
+    // vector-index twin of stream_ingest_dedup's restartable ingest loop.
+    Q("stream_ingest_vecindex",
+      (s, dir) => {
+        import s.implicits._
+        val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val clones = emb.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, x * lit(1.01f)).otherwise(x)).as("embedding"))
+        val base = emb.filter(col("vec_id") >= 5)
+        val idx = java.nio.file.Files.createTempDirectory("graft_vecidx_stream").toString
+        graft.ops.VectorIndex.build(base, idx, nCells = 16)
+        // scale-robust policy anchor: the post-build count, not a constant
+        // (build's file count varies with SF and task layout)
+        val built = graft.ops.VectorIndex.dataFiles(s, idx)
+        val feedDir = java.nio.file.Files.createTempDirectory("graft_vec_feed").toString
+        clones.repartition(3, pmod(col("vec_id"), lit(3)))
+          .write.mode("overwrite").parquet(feedDir)
+        var compactions = 0
+        val src = s.readStream.schema(clones.schema)
+          .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.ops.VectorIndex.append(batch, idx)
+            // every append adds >=1 file, so this fires on the first batch
+            // past the anchor and the loop self-maintains
+            if (graft.ops.VectorIndex.compactIfNeeded(batch.sparkSession, idx,
+                maxDataFiles = built + 1, targetBytes = 64L << 20))
+              compactions += 1
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val approx = graft.ops.VectorIndex.search(queries, idx, k = 10, nProbe = 4)
+        val cloneHits = approx.filter(col("vec_id") === col("q_id") + 10000000L)
+          .select(col("q_id")).distinct().count()
+        Seq((queries.count(), cloneHits, compactions >= 1))
+          .toDF("n_queries", "clones_found", "compacted")
+      },
+      Some("""SELECT 5::BIGINT AS n_queries, 5::BIGINT AS clones_found,
+              | true AS compacted""".stripMargin)),
+
     // Stateful custom-state operator: flatMapGroupsWithState sessionization
     // (30-minute gap). Oracle = the equivalent batch lag/cumsum windows.
     Q("stream_sessionize",

@@ -67,7 +67,12 @@ class VectorIndexSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(s"$dir/vectors"))
     val resBefore = VectorIndex.search(q, dir, k = 10, nProbe = 3)
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val after = VectorIndex.compact(spark, dir, targetBytes = 64L << 20)
+    // metadata-only policy: a generous cap is a no-op, a tight one fires
+    assert(!VectorIndex.compactIfNeeded(spark, dir, maxDataFiles = before + 10))
+    assert(VectorIndex.dataFiles(spark, dir) == before, "no-op must not rewrite")
+    assert(VectorIndex.compactIfNeeded(spark, dir, maxDataFiles = before - 1,
+      targetBytes = 64L << 20))
+    val after = VectorIndex.dataFiles(spark, dir)
     assert(after < before, s"compaction must shrink files: $before -> $after")
     // hive layout preserved: still cell=<i> dirs, search results identical
     assert(new java.io.File(s"$dir/vectors").listFiles()
