@@ -432,6 +432,31 @@ object Manifest {
     (rows, added.length)
   }
 
+  /** TIME TRAVEL: read the table exactly as snapshot `id` recorded it —
+    * the file list of a PAST immutable snapshot, nothing newer (the
+    * Iceberg/Delta `VERSION AS OF` read, from the same metadata that
+    * drives [[scanBox]] and [[addedSince]]). Works because appends never
+    * touch committed files: an as-of read of an append-only table is exact
+    * for as long as the snapshot is retained. The two ways it can stop
+    * being answerable both fail TYPED, never silently: an expired snapshot
+    * id throws here ([[expireSnapshots]] retention), and a layout rewrite
+    * or external delete of a referenced file raises
+    * [[StaleManifestException]] (rewrites rename every data file — this
+    * engine reclaims space eagerly rather than keeping rewrite history,
+    * the VACUUM trade stated on the tin).
+    */
+  def readAsOf(spark: SparkSession, table: String, id: Int): DataFrame = {
+    require(hasSnapshot(spark, table, id),
+      s"no snapshot-$id under $table — never created, or expired by retention " +
+        "(expireSnapshots); time travel reaches only retained snapshots")
+    val picked = spark.read.parquet(s"${root(table)}/snapshot-$id")
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
+    requireFresh(spark, table, picked)
+    if (picked.isEmpty) spark.read.parquet(table).limit(0)
+    // basePath: keep hive-partition columns (see scanBox).
+    else spark.read.option("basePath", table).parquet(picked.map(escapeGlob): _*)
+  }
+
   /** Retention: drop all but the newest `keep` snapshots (each is a few
     * KB, but a years-long recurring loop accrues thousands — the same
     * append-debt argument as data-file compaction, at metadata scale).

@@ -382,6 +382,33 @@ object SourceQueries {
       Some(s"""SELECT *, true AS incremental_ok FROM (
                |${Registry.duckMultisetFingerprint(
                    Seq("doc_id", "text", "lang", "source", "n_chars"),
-                   "(SELECT * FROM documents WHERE doc_id % 3 = 0) t")})""".stripMargin))
+                   "(SELECT * FROM documents WHERE doc_id % 3 = 0) t")})""".stripMargin)),
+
+    // ---- TIME TRAVEL: after batch 2 lands and is snapshotted, an as-of
+    //      read of snapshot 1 must return EXACTLY batch 1 (fingerprint-
+    //      gated against DuckDB computing batch 1's membership directly) —
+    //      the Iceberg/Delta VERSION AS OF, answered from the same
+    //      immutable file-list snapshots that drive pruning and
+    //      snapshot-diff increments. latest_n pins that the CURRENT read
+    //      still sees everything (time travel is a view, not a rollback).
+    Q("manifest_time_travel",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val stage = java.nio.file.Files.createTempDirectory("graft_manifest_tt").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.filter(col("doc_id") % 3 =!= 0)
+          .repartition(4).write.mode("overwrite").parquet(stage)
+        val id1 = graft.ops.Manifest.create(s, stage, "doc_id")
+        docs.filter(col("doc_id") % 3 === 0)
+          .repartition(2).write.mode("append").parquet(stage)
+        graft.ops.Manifest.createIncremental(s, stage, "doc_id")
+        val asOf1 = graft.ops.Manifest.readAsOf(s, stage, id1)
+        graft.functions.Hashing.multisetFingerprintAgg(asOf1, docCols)
+          .withColumn("latest_n", lit(s.read.parquet(stage).count()))
+      },
+      Some(s"""SELECT *, (SELECT count(*) FROM documents)::BIGINT AS latest_n FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"),
+                   "(SELECT * FROM documents WHERE doc_id % 3 <> 0) t")})""".stripMargin))
   )
 }

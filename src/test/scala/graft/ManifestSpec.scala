@@ -99,6 +99,33 @@ class ManifestSpec extends SparkSpec {
     assert(spark.read.parquet(stage).count() == docs.count())
   }
 
+  test("readAsOf: past snapshot reads exactly its batch; failures are typed") {
+    val stage = tmpDir("manifest_asof") + "/documents"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val b1 = docs.filter(col("doc_id") % 3 =!= 0)
+    b1.repartition(4).write.parquet(stage)
+    val id1 = Manifest.create(spark, stage, "doc_id")
+    docs.filter(col("doc_id") % 3 === 0).repartition(2).write.mode("append").parquet(stage)
+    val id2 = Manifest.createIncremental(spark, stage, "doc_id")._1
+    // Time travel: snapshot 1 sees ONLY batch 1; snapshot 2 sees everything;
+    // the current table is untouched (a view into history, not a rollback).
+    assert(fp(Manifest.readAsOf(spark, stage, id1)) == fp(b1))
+    assert(fp(Manifest.readAsOf(spark, stage, id2)) == fp(docs))
+    assert(spark.read.parquet(stage).count() == docs.count())
+    // Expired snapshot: typed require, names retention.
+    Manifest.expireSnapshots(spark, stage, keep = 1)
+    val ex = intercept[IllegalArgumentException] { Manifest.readAsOf(spark, stage, id1) }
+    assert(ex.getMessage.contains("expired") || ex.getMessage.contains("retention"))
+    // A rewrite renames every data file: as-of over a pre-rewrite snapshot
+    // must raise the stale error, never silently read half a table.
+    val idPre = Manifest.create(spark, stage, "doc_id")
+    graft.ops.Layout.compactTable(spark, stage, targetBytes = 64L << 20)
+    intercept[Manifest.StaleManifestException] { Manifest.readAsOf(spark, stage, idPre) }
+    // …while the rewrite's own recommitted snapshot (the next id) serves
+    // as-of correctly.
+    assert(fp(Manifest.readAsOf(spark, stage, idPre + 1)) == fp(docs))
+  }
+
   test("expireSnapshots keeps the newest N; an expired checkpoint fails fast") {
     val stage = stageClustered("manifest_expire", 4)
     val id1 = Manifest.create(spark, stage, "doc_id")
