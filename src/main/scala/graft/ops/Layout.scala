@@ -242,4 +242,147 @@ object Layout {
         (max(col("hi")) - min(col("lo"))).cast("double").as("range")).head()
     if (rows.getDouble(1) <= 0) 0.0 else rows.getDouble(0) / rows.getDouble(1)
   }
+
+  /** Result of a copy-on-write delete: how targeted the rewrite was. */
+  final case class DeleteResult(filesRewritten: Int, filesTotal: Int, rowsDeleted: Long)
+
+  /** Copy-on-write DELETE of a key range — the Iceberg/Delta `DELETE WHERE`
+    * shape: the manifest's per-file stats pick the files whose [min, max]
+    * overlaps [lo, hi]; ONLY those are decoded and rewritten without the
+    * doomed rows; every untouched file is carried by a pure METADATA
+    * rename. Decode/encode cost ∝ overlapping files — on a range-clustered
+    * table a narrow delete rewrites a handful of files out of millions —
+    * and the file-level commit is protected by a rename-committed journal
+    * ([[recoverDelete]]): a crash at ANY point either completes on the
+    * next call or restores the exact pre-delete table, never a
+    * half-deleted or duplicated state.
+    *
+    * Commit sequence (journal = the staged survivor file names):
+    *   1. survivors staged to `<path>__delnew` (the only Spark write)
+    *   2. journal rename-committed to `<path>__deleting`
+    *   3. `<path>` → `<path>__delold` (table offline, heal-covered)
+    *   4. untouched data files renamed `__delold` → `__delnew`
+    *   5. `__delnew` → `<path>` (table back, complete)
+    *   6. manifest carried + recommitted; `__delold` and journal removed
+    *
+    * Flat tables only: a hive-partitioned table's survivors would need
+    * re-bucketing into partition dirs — and its partition column is the
+    * better delete mechanism anyway (drop whole directories). Requires a
+    * manifest snapshot covering `keyCol`: the stats ARE the targeting
+    * mechanism. Bounds are inclusive, in the key's normalized long domain
+    * (epoch micros / days for temporal keys, the [[Manifest]] convention).
+    */
+  def deleteRange(spark: SparkSession, path: String, keyCol: String,
+                  lo: Long, hi: Long): DeleteResult = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    recoverDelete(spark, path)
+    FsMaint.recoverSwap(fs, path)
+    require(!fs.listStatus(new Path(path)).exists(s =>
+      s.isDirectory && s.getPath.getName.contains("=")),
+      s"deleteRange($path): hive-partitioned tables are not supported — " +
+        "drop partition directories or rewrite per partition instead")
+    val keys = Manifest.currentKeyCols(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"deleteRange($path) needs a manifest snapshot (Manifest.create) — " +
+          "per-file stats are what make the delete targeted"))
+    require(keys.contains(keyCol),
+      s"manifest has no stats for $keyCol (has: ${keys.mkString(", ")})")
+    val f = Manifest.files(spark, path)
+    val total = f.count().toInt
+    val pickedRows = f
+      .filter(col(s"max_$keyCol") >= lo && col(s"min_$keyCol") <= hi)
+      .select(col("file"), col("n_rows")).collect()
+    if (pickedRows.isEmpty) return DeleteResult(0, total, 0L) // metadata no-op
+    val picked = pickedRows.map(_.getString(0)).toIndexedSeq
+    Manifest.requireFresh(spark, path, picked)
+    // 1. stage the survivors (decode/encode limited to the picked files)
+    val stage = path + "__delnew"
+    FsMaint.deleteRecursively(fs, new Path(stage))
+    val pickedDf = spark.read.parquet(picked.map(Manifest.escapeGlob): _*)
+    pickedDf.filter(!orderedLong(keyCol, pickedDf).between(lo, hi))
+      .write.mode("overwrite").parquet(stage)
+    val survivorFiles = fs.listStatus(new Path(stage))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName).toIndexedSeq
+    val survivorRows =
+      if (survivorFiles.isEmpty) 0L else spark.read.parquet(stage).count()
+    // 2. rename-commit the journal: from here the op is crash-recoverable
+    val journal = new Path(path + "__deleting")
+    val jtmp = new Path(path + "__deleting__tmp")
+    val out = fs.create(jtmp, true)
+    try out.write(survivorFiles.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(journal, false)
+    if (!fs.rename(jtmp, journal))
+      throw new java.io.IOException(s"delete journal commit failed: $journal")
+    // 3.-5. the swap: originals aside, untouched carried by rename, back
+    val old = path + "__delold"
+    if (!fs.rename(new Path(path), new Path(old)))
+      throw new java.io.IOException(s"delete: failed to move $path aside")
+    val pickedNames = picked.map(Manifest.decodePath(_).getName).toSet
+    fs.listStatus(new Path(old)).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && !pickedNames(n) && !n.startsWith("_") && !n.startsWith("."))
+        if (!fs.rename(st.getPath, new Path(stage, n)))
+          throw new java.io.IOException(s"delete: failed to carry $n")
+    }
+    if (!fs.rename(new Path(stage), new Path(path)))
+      throw new java.io.IOException(s"delete: failed to swap $stage into $path")
+    // 6. manifest survives the rewrite: carry history, recommit fresh stats
+    val mOld = new Path(old, "_graft_manifest")
+    val mNew = new Path(path, "_graft_manifest")
+    if (fs.exists(mOld) && !fs.exists(mNew)) { fs.rename(mOld, mNew): Unit }
+    Manifest.create(spark, path, keys: _*)
+    FsMaint.deleteRecursively(fs, new Path(old))
+    fs.delete(journal, false)
+    DeleteResult(picked.length, total,
+      pickedRows.map(_.getLong(1)).sum - survivorRows)
+  }
+
+  /** Heal an interrupted [[deleteRange]] (see its commit sequence). With no
+    * committed journal nothing irreversible happened — stray staging is
+    * discarded. With a journal: a LIVE table means the commit reached step
+    * 5, so finish the cleanup; a MISSING table means the crash was inside
+    * the swap window — every non-survivor file in the stage is an original
+    * carried in step 4 and is renamed back, the original dir is restored,
+    * and the staged survivors are discarded: the exact pre-delete table.
+    * Distinct dir names (`__del*`) keep this orthogonal to
+    * [[FsMaint.recoverSwap]]'s `__old`/`__compacting` healing.
+    */
+  def recoverDelete(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val journal = new Path(path + "__deleting")
+    val stage = new Path(path + "__delnew")
+    val old = new Path(path + "__delold")
+    fs.delete(new Path(path + "__deleting__tmp"), false): Unit // uncommitted
+    if (!fs.exists(journal)) {
+      FsMaint.deleteRecursively(fs, stage) // junk: no journal, no renames yet
+    } else if (fs.exists(new Path(path))) {
+      // reached step 5 (or never left step 2): finish step 6's cleanup
+      if (fs.exists(old)) {
+        val mOld = new Path(old, "_graft_manifest")
+        val mNew = new Path(new Path(path), "_graft_manifest")
+        if (fs.exists(mOld) && !fs.exists(mNew)) { fs.rename(mOld, mNew): Unit }
+        FsMaint.deleteRecursively(fs, old)
+      }
+      FsMaint.deleteRecursively(fs, stage)
+      fs.delete(journal, false): Unit
+    } else {
+      // inside the swap window: undo via the journal
+      val in = fs.open(journal)
+      val survivors =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
+        finally in.close()
+      if (fs.exists(stage)) fs.listStatus(stage).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && !survivors(n) && !n.startsWith("_") && !n.startsWith("."))
+          if (!fs.rename(st.getPath, new Path(old, n)))
+            throw new java.io.IOException(s"delete heal: failed to return $n")
+      }
+      if (!fs.exists(old) || !fs.rename(old, new Path(path)))
+        throw new java.io.IOException(s"delete heal: failed to restore $path")
+      FsMaint.deleteRecursively(fs, stage)
+      fs.delete(journal, false): Unit
+    }
+  }
 }

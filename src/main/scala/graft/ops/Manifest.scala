@@ -96,7 +96,7 @@ object Manifest {
     * etc. — Spark's internal `SparkPath` representation); decode it back
     * to the real filesystem path before any name comparison or read.
     */
-  private def decodePath(p: String): Path =
+  private[ops] def decodePath(p: String): Path =
     try new Path(new java.net.URI(p))
     catch { case _: java.net.URISyntaxException => new Path(p) }
 
@@ -114,8 +114,8 @@ object Manifest {
     * check costs O(directories) driver RPCs even when thousands of files
     * were picked.
     */
-  private def requireFresh(spark: SparkSession, table: String,
-                           picked: Seq[String]): Unit = {
+  private[ops] def requireFresh(spark: SparkSession, table: String,
+                                picked: Seq[String]): Unit = {
     if (picked.isEmpty) return
     val fs = fsOf(spark, table)
     val missing = picked.map(decodePath).groupBy(_.getParent).toSeq.flatMap {

@@ -303,6 +303,37 @@ object SourceQueries {
                    Seq("doc_id", "text", "lang", "source", "n_chars"),
                    "(SELECT * FROM documents WHERE lang = 'en') t")})""".stripMargin)),
 
+    // ---- copy-on-write DELETE WHERE (the Iceberg/Delta COW shape): on a
+    //      range-clustered table the manifest stats target the delete to
+    //      the overlapping files only — those are decoded and rewritten
+    //      without the doomed rows, every other file is carried by a pure
+    //      metadata rename, and a journaled file-level commit heals any
+    //      crash (LayoutSpec exercises both crash windows). Gate: the
+    //      surviving table's fingerprint ≡ DuckDB's NOT BETWEEN, the
+    //      deleted-row count ≡ DuckDB's BETWEEN count, and the rewrite
+    //      touched a strict subset of files.
+    Q("layout_delete_range",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val stage = java.nio.file.Files.createTempDirectory("graft_layout_d").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.repartitionByRange(8, col("doc_id")).write.mode("overwrite").parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val res = graft.ops.Layout.deleteRange(s, stage, "doc_id", maxId / 4, maxId / 2)
+        graft.functions.Hashing.multisetFingerprintAgg(s.read.parquet(stage), docCols)
+          .withColumn("rows_deleted", lit(res.rowsDeleted))
+          .withColumn("targeted",
+            lit(res.filesRewritten > 0 && res.filesRewritten < res.filesTotal))
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) // 4 AS lo, max(doc_id) // 2 AS hi FROM documents)
+               |SELECT *,
+               | (SELECT count(*) FROM documents, b WHERE doc_id BETWEEN b.lo AND b.hi)::BIGINT AS rows_deleted,
+               | true AS targeted FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"),
+                   "(SELECT d.* FROM documents d, b WHERE d.doc_id NOT BETWEEN b.lo AND b.hi) t")})""".stripMargin)),
+
     // ---- metadata-accelerated range COUNT: files fully inside the range
     //      are counted from the snapshot's per-file non-null key counts
     //      (zero data reads — the Iceberg/Delta COUNT(*) fast path); only

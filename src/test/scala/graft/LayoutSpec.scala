@@ -179,4 +179,86 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id"),
       plan.linesIterator.filter(_.contains("Scan")).mkString("\n"))
   }
+
+  test("deleteRange: exact, targeted (rewrites only overlapping files), manifest survives") {
+    val stage = tmpDir("layout_del") + "/documents"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.repartitionByRange(8, col("doc_id")).write.parquet(stage)
+    graft.ops.Manifest.create(spark, stage, "doc_id")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (lo, hi) = (maxId / 4, maxId / 2)
+    val expectDeleted = docs.filter(col("doc_id").between(lo, hi)).count()
+    val res = Layout.deleteRange(spark, stage, "doc_id", lo, hi)
+    // Targeting: a range-clustered table overlaps the window in a strict
+    // subset of files; correctness: survivors are exactly NOT BETWEEN.
+    assert(res.filesRewritten > 0 && res.filesRewritten < res.filesTotal, res.toString)
+    assert(res.rowsDeleted == expectDeleted, res.toString)
+    assert(fp(stage) == Hashing.multisetFingerprintAgg(
+      docs.filter(!col("doc_id").between(lo, hi)), docCols).head().getString(0))
+    // The recommitted manifest serves pruned scans over the NEW file set.
+    val (rows, _, _) = graft.ops.Manifest.scanRange(spark, stage, "doc_id", 0L, lo - 1)
+    assert(rows.count() == docs.filter(col("doc_id") < lo).count())
+    // Outside the domain: metadata no-op, zero files touched.
+    val noop = Layout.deleteRange(spark, stage, "doc_id", maxId + 100, maxId + 200)
+    assert(noop == Layout.DeleteResult(0, noop.filesTotal, 0L))
+  }
+
+  test("deleteRange guards: manifest required, key covered, flat table only") {
+    val stage = stageDocs("layout_del_guard", 4)
+    intercept[IllegalArgumentException] {
+      Layout.deleteRange(spark, stage, "doc_id", 0L, 10L) } // no manifest
+    graft.ops.Manifest.create(spark, stage, "doc_id")
+    intercept[IllegalArgumentException] {
+      Layout.deleteRange(spark, stage, "n_chars", 0L, 10L) } // no stats for key
+    val part = tmpDir("layout_del_hive") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .write.partitionBy("lang").parquet(part)
+    graft.ops.Manifest.create(spark, part, "doc_id")
+    intercept[IllegalArgumentException] {
+      Layout.deleteRange(spark, part, "doc_id", 0L, 10L) } // hive-partitioned
+  }
+
+  test("recoverDelete: both crash windows restore or complete, bit for bit") {
+    val fsFor = (p: String) =>
+      new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    // Window A — journal committed, swap never started (crash between
+    // steps 2 and 3): heal must discard the stage + journal, table intact.
+    val a = tmpDir("layout_heal_a") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartition(4).write.parquet(a)
+    graft.ops.Manifest.create(spark, a, "doc_id")
+    val fpA = fp(a)
+    val fsA = fsFor(a)
+    fsA.mkdirs(new Path(a + "__delnew"))
+    val o1 = fsA.create(new Path(a + "__delnew/part-staged1.parquet"), true)
+    o1.write("x".getBytes); o1.close()
+    val j1 = fsA.create(new Path(a + "__deleting"), true)
+    j1.write("part-staged1.parquet".getBytes); j1.close()
+    Layout.recoverDelete(spark, a)
+    assert(fp(a) == fpA)
+    assert(!fsA.exists(new Path(a + "__delnew")) && !fsA.exists(new Path(a + "__deleting")))
+    // Window B — crash inside the swap (table missing, some untouched files
+    // already carried into the stage): heal must return the carried
+    // originals, drop the staged survivors, and restore the exact table.
+    val b = tmpDir("layout_heal_b") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartition(4).write.parquet(b)
+    val fpB = fp(b)
+    val fsB = fsFor(b)
+    fsB.mkdirs(new Path(b + "__delnew"))
+    val o2 = fsB.create(new Path(b + "__delnew/part-staged2.parquet"), true)
+    o2.write("y".getBytes); o2.close()
+    val j2 = fsB.create(new Path(b + "__deleting"), true)
+    j2.write("part-staged2.parquet".getBytes); j2.close()
+    assert(fsB.rename(new Path(b), new Path(b + "__delold")))
+    // carry two untouched originals into the stage, as step 4 would
+    val carried = fsB.listStatus(new Path(b + "__delold"))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-")).take(2)
+    carried.foreach { st =>
+      assert(fsB.rename(st.getPath, new Path(b + "__delnew", st.getPath.getName)))
+    }
+    Layout.recoverDelete(spark, b)
+    assert(fp(b) == fpB, "heal must restore the exact pre-delete table")
+    assert(!fsB.exists(new Path(b + "__delold")) && !fsB.exists(new Path(b + "__deleting")))
+  }
 }
