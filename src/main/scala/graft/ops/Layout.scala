@@ -301,42 +301,128 @@ object Layout {
     val pickedDf = spark.read.parquet(picked.map(Manifest.escapeGlob): _*)
     pickedDf.filter(!orderedLong(keyCol, pickedDf).between(lo, hi))
       .write.mode("overwrite").parquet(stage)
-    val survivorFiles = fs.listStatus(new Path(stage))
+    val survivorRows = stagedRowCount(spark, fs, stage)
+    commitReplace(spark, fs, path, picked, stage, keys)
+    DeleteResult(picked.length, total,
+      pickedRows.map(_.getLong(1)).sum - survivorRows)
+  }
+
+  /** Rows in the staged replacement dir — zero when the stage holds no
+    * data files (a parquet read of a `_SUCCESS`-only dir cannot infer a
+    * schema, so guard before counting).
+    */
+  private def stagedRowCount(spark: SparkSession,
+                             fs: org.apache.hadoop.fs.FileSystem,
+                             stage: String): Long =
+    if (FsMaint.dataFileCount(fs, new Path(stage)) == 0) 0L
+    else spark.read.parquet(stage).count()
+
+  /** Steps 2-6 of the copy-on-write commit sequence (see [[deleteRange]]),
+    * shared by every COW mutation: journal the staged file names, swap the
+    * table through `__delold`, carry untouched files by metadata rename,
+    * restore the table, carry + recommit the manifest. Crash-healed by
+    * [[recoverDelete]] at any point.
+    */
+  private def commitReplace(spark: SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            path: String, picked: Seq[String], stage: String,
+                            keys: Seq[String]): Unit = {
+    val stagedFiles = fs.listStatus(new Path(stage))
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.getName).toIndexedSeq
-    val survivorRows =
-      if (survivorFiles.isEmpty) 0L else spark.read.parquet(stage).count()
     // 2. rename-commit the journal: from here the op is crash-recoverable
     val journal = new Path(path + "__deleting")
     val jtmp = new Path(path + "__deleting__tmp")
     val out = fs.create(jtmp, true)
-    try out.write(survivorFiles.mkString("\n").getBytes("UTF-8"))
+    try out.write(stagedFiles.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     fs.delete(journal, false)
     if (!fs.rename(jtmp, journal))
-      throw new java.io.IOException(s"delete journal commit failed: $journal")
+      throw new java.io.IOException(s"cow journal commit failed: $journal")
     // 3.-5. the swap: originals aside, untouched carried by rename, back
     val old = path + "__delold"
     if (!fs.rename(new Path(path), new Path(old)))
-      throw new java.io.IOException(s"delete: failed to move $path aside")
+      throw new java.io.IOException(s"cow commit: failed to move $path aside")
     val pickedNames = picked.map(Manifest.decodePath(_).getName).toSet
     fs.listStatus(new Path(old)).foreach { st =>
       val n = st.getPath.getName
       if (st.isFile && !pickedNames(n) && !n.startsWith("_") && !n.startsWith("."))
         if (!fs.rename(st.getPath, new Path(stage, n)))
-          throw new java.io.IOException(s"delete: failed to carry $n")
+          throw new java.io.IOException(s"cow commit: failed to carry $n")
     }
     if (!fs.rename(new Path(stage), new Path(path)))
-      throw new java.io.IOException(s"delete: failed to swap $stage into $path")
+      throw new java.io.IOException(s"cow commit: failed to swap $stage into $path")
     // 6. manifest survives the rewrite: carry history, recommit fresh stats
     val mOld = new Path(old, "_graft_manifest")
     val mNew = new Path(path, "_graft_manifest")
     if (fs.exists(mOld) && !fs.exists(mNew)) { fs.rename(mOld, mNew): Unit }
     Manifest.create(spark, path, keys: _*)
     FsMaint.deleteRecursively(fs, new Path(old))
-    fs.delete(journal, false)
-    DeleteResult(picked.length, total,
-      pickedRows.map(_.getLong(1)).sum - survivorRows)
+    fs.delete(journal, false): Unit
+  }
+
+  /** Result of a copy-on-write merge: targeting plus row-level outcome. */
+  final case class MergeResult(filesRewritten: Int, filesTotal: Int,
+                               rowsUpdated: Long, rowsInserted: Long)
+
+  /** Copy-on-write MERGE (keyed upsert) — the `MERGE INTO` shape on the
+    * same journaled commit as [[deleteRange]]: a `delta` row whose `keyCol`
+    * matches an existing row REPLACES it; the rest are inserts. Targeting
+    * comes from the manifest: a file needs rewriting only if SOME delta key
+    * falls inside its [min, max] — a broadcast join between the delta's
+    * keys and the metadata-sized file-stats frame — so on a key-clustered
+    * table a batch of localized updates rewrites only the files it touches,
+    * and pure inserts (keys outside every file's range) rewrite NOTHING:
+    * they land as ordinary appended files, manifest refreshed either way.
+    *
+    * Contract: `delta` carries the table's schema with at most one row per
+    * key (enforced — a double-keyed delta makes "replace" ambiguous); the
+    * table is PK-unique per the sync engine's convention; flat tables,
+    * single writer (see [[deleteRange]]).
+    */
+  def mergeKeyed(spark: SparkSession, path: String, keyCol: String,
+                 delta: org.apache.spark.sql.DataFrame): MergeResult = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    recoverDelete(spark, path)
+    FsMaint.recoverSwap(fs, path)
+    require(!fs.listStatus(new Path(path)).exists(s =>
+      s.isDirectory && s.getPath.getName.contains("=")),
+      s"mergeKeyed($path): hive-partitioned tables are not supported — " +
+        "merge per partition instead")
+    val keys = Manifest.currentKeyCols(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"mergeKeyed($path) needs a manifest snapshot (Manifest.create) — " +
+          "per-file stats are what make the merge targeted"))
+    require(keys.contains(keyCol),
+      s"manifest has no stats for $keyCol (has: ${keys.mkString(", ")})")
+    val nDelta = delta.count()
+    val f = Manifest.files(spark, path)
+    val total = f.count().toInt
+    if (nDelta == 0) return MergeResult(0, total, 0L, 0L)
+    require(delta.select(keyCol).distinct().count() == nDelta,
+      s"delta has duplicate $keyCol values — replace would be ambiguous")
+    val deltaKeys = delta.select(orderedLong(keyCol, delta).as("__k"))
+    val picked = f.join(broadcast(deltaKeys),
+        col("__k").between(col(s"min_$keyCol"), col(s"max_$keyCol")), "left_semi")
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
+    if (picked.isEmpty) {
+      // pure insert: no file can contain a matching key — plain append
+      delta.write.mode("append").parquet(path)
+      Manifest.create(spark, path, keys: _*)
+      return MergeResult(0, total, 0L, nDelta)
+    }
+    Manifest.requireFresh(spark, path, picked)
+    val stage = path + "__delnew"
+    FsMaint.deleteRecursively(fs, new Path(stage))
+    val pickedDf = spark.read.parquet(picked.map(Manifest.escapeGlob): _*)
+    val kPicked = orderedLong(keyCol, pickedDf)
+    val matched = pickedDf
+      .join(broadcast(deltaKeys), kPicked === col("__k"), "left_semi").count()
+    pickedDf.join(broadcast(deltaKeys), kPicked === col("__k"), "left_anti")
+      .unionByName(delta)
+      .write.mode("overwrite").parquet(stage)
+    commitReplace(spark, fs, path, picked, stage, keys)
+    MergeResult(picked.length, total, matched, nDelta - matched)
   }
 
   /** Heal an interrupted [[deleteRange]] (see its commit sequence). With no

@@ -334,6 +334,51 @@ object SourceQueries {
                    Seq("doc_id", "text", "lang", "source", "n_chars"),
                    "(SELECT d.* FROM documents d, b WHERE d.doc_id NOT BETWEEN b.lo AND b.hi) t")})""".stripMargin)),
 
+    // ---- copy-on-write MERGE (keyed upsert, the MERGE INTO shape): a
+    //      delta of localized updates + out-of-range inserts against a
+    //      key-clustered table. The manifest stats target the rewrite to
+    //      files that can contain a delta key (broadcast key-vs-stats
+    //      join); matched rows are REPLACED, unmatched rows are inserts.
+    //      Gate: merged fingerprint ≡ DuckDB's replay of the same merge,
+    //      exact updated/inserted counts, strict-subset rewrite.
+    Q("layout_merge_keyed",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val stage = java.nio.file.Files.createTempDirectory("graft_layout_m").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.repartitionByRange(8, col("doc_id")).write.mode("overwrite").parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val (lo, hi) = (maxId / 8, maxId / 4)
+        val updates = docs.filter(col("doc_id").between(lo, hi))
+          .withColumn("text", concat(lit("v2:"), col("text")))
+        val inserts = docs.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + maxId + 1)
+        val res = graft.ops.Layout.mergeKeyed(s, stage, "doc_id",
+          updates.unionByName(inserts))
+        graft.functions.Hashing.multisetFingerprintAgg(s.read.parquet(stage), docCols)
+          .withColumn("rows_updated", lit(res.rowsUpdated))
+          .withColumn("rows_inserted", lit(res.rowsInserted))
+          .withColumn("targeted",
+            lit(res.filesRewritten > 0 && res.filesRewritten < res.filesTotal))
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) // 8 AS lo, max(doc_id) // 4 AS hi,
+               |                  max(doc_id) AS mx FROM documents),
+               | merged AS (
+               |  SELECT d.* FROM documents d, b WHERE d.doc_id NOT BETWEEN b.lo AND b.hi
+               |  UNION ALL
+               |  SELECT doc_id, 'v2:' || text, lang, source, n_chars
+               |   FROM documents, b WHERE doc_id BETWEEN b.lo AND b.hi
+               |  UNION ALL
+               |  SELECT doc_id + b.mx + 1, text, lang, source, n_chars
+               |   FROM documents, b WHERE doc_id < 10)
+               |SELECT *,
+               | (SELECT count(*) FROM documents, b WHERE doc_id BETWEEN b.lo AND b.hi)::BIGINT AS rows_updated,
+               | 10::BIGINT AS rows_inserted,
+               | true AS targeted FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "merged t")})""".stripMargin)),
+
     // ---- metadata-accelerated range COUNT: files fully inside the range
     //      are counted from the snapshot's per-file non-null key counts
     //      (zero data reads — the Iceberg/Delta COUNT(*) fast path); only

@@ -218,6 +218,35 @@ class LayoutSpec extends SparkSpec {
       Layout.deleteRange(spark, part, "doc_id", 0L, 10L) } // hive-partitioned
   }
 
+  test("mergeKeyed: updates replace in place, inserts append, targeting holds") {
+    val stage = tmpDir("layout_merge") + "/documents"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.repartitionByRange(8, col("doc_id")).write.parquet(stage)
+    graft.ops.Manifest.create(spark, stage, "doc_id")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (lo, hi) = (maxId / 8, maxId / 4)
+    // localized updates + out-of-range inserts in one delta
+    val updates = docs.filter(col("doc_id").between(lo, hi))
+      .withColumn("text", concat(lit("v2:"), col("text")))
+    val inserts = docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + maxId + 1)
+    val res = Layout.mergeKeyed(spark, stage, "doc_id", updates.unionByName(inserts))
+    assert(res.rowsUpdated == updates.count() && res.rowsInserted == 10, res.toString)
+    assert(res.filesRewritten > 0 && res.filesRewritten < res.filesTotal, res.toString)
+    val expect = docs.filter(!col("doc_id").between(lo, hi))
+      .unionByName(updates).unionByName(inserts)
+    assert(fp(stage) == Hashing.multisetFingerprintAgg(expect, docCols).head().getString(0))
+    // Pure inserts rewrite nothing (all keys beyond every file's max).
+    val more = docs.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 10 * maxId)
+    val res2 = Layout.mergeKeyed(spark, stage, "doc_id", more)
+    assert(res2 == Layout.MergeResult(0, res2.filesTotal, 0L, 5L), res2.toString)
+    assert(spark.read.parquet(stage).count() == docs.count() + 15)
+    // A double-keyed delta is rejected before anything is touched.
+    intercept[IllegalArgumentException] {
+      Layout.mergeKeyed(spark, stage, "doc_id", more.unionByName(more)) }
+  }
+
   test("recoverDelete: both crash windows restore or complete, bit for bit") {
     val fsFor = (p: String) =>
       new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
