@@ -287,6 +287,9 @@ object Layout {
           "per-file stats are what make the delete targeted"))
     require(keys.contains(keyCol),
       s"manifest has no stats for $keyCol (has: ${keys.mkString(", ")})")
+    // completeness, not just existence: targeting is decided FROM the
+    // stats, so an unsnapshotted append would silently shelter doomed rows
+    Manifest.requireComplete(spark, path)
     val f = Manifest.files(spark, path)
     val total = f.count().toInt
     val pickedRows = f
@@ -294,7 +297,6 @@ object Layout {
       .select(col("file"), col("n_rows")).collect()
     if (pickedRows.isEmpty) return DeleteResult(0, total, 0L) // metadata no-op
     val picked = pickedRows.map(_.getString(0)).toIndexedSeq
-    Manifest.requireFresh(spark, path, picked)
     // 1. stage the survivors (decode/encode limited to the picked files)
     val stage = path + "__delnew"
     FsMaint.deleteRecursively(fs, new Path(stage))
@@ -395,6 +397,9 @@ object Layout {
           "per-file stats are what make the merge targeted"))
     require(keys.contains(keyCol),
       s"manifest has no stats for $keyCol (has: ${keys.mkString(", ")})")
+    // completeness, not just existence — see deleteRange: a file appended
+    // after the snapshot could hold a matching key and yield a double-insert
+    Manifest.requireComplete(spark, path)
     val nDelta = delta.count()
     val f = Manifest.files(spark, path)
     val total = f.count().toInt
@@ -411,7 +416,6 @@ object Layout {
       Manifest.create(spark, path, keys: _*)
       return MergeResult(0, total, 0L, nDelta)
     }
-    Manifest.requireFresh(spark, path, picked)
     val stage = path + "__delnew"
     FsMaint.deleteRecursively(fs, new Path(stage))
     val pickedDf = spark.read.parquet(picked.map(Manifest.escapeGlob): _*)

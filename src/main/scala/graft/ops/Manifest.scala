@@ -205,6 +205,42 @@ object Manifest {
     out.result()
   }
 
+  /** Require the latest snapshot to describe EXACTLY the table's current
+    * data files, both directions. Read paths ([[scanBox]]) only need
+    * EXISTENCE of the picked files ([[requireFresh]]) — skipping a file the
+    * snapshot never saw just loses an optimization. Mutations that decide
+    * what to rewrite from stats (COW delete/merge) need COMPLETENESS: a
+    * file appended after the snapshot has no stats row, so doomed/matching
+    * rows inside it would silently escape targeting. One recursive listing,
+    * metadata-only.
+    */
+  private[ops] def requireComplete(spark: SparkSession, table: String): Unit = {
+    val listed = dataFilePaths(fsOf(spark, table), new Path(table))
+    val snap = files(spark, table).select("file").collect()
+      .map(r => decodePath(r.getString(0)).toUri.getPath).toSet
+    val vanished = snap -- listed.keySet
+    if (vanished.nonEmpty)
+      throw new StaleManifestException(
+        s"manifest under $table is not complete: ${vanished.size} vanished " +
+          s"file(s) (first: ${vanished.head}) — re-run Manifest.create " +
+          "before a stats-targeted mutation")
+    // Listed-but-unsnapshotted files are only acceptable when EMPTY (a
+    // zero-row part file has bytes but no rows, so statsOf never saw it and
+    // it cannot shelter rows). Deciding takes a footer-only count of just
+    // those files — still no data pages read.
+    val extra = (listed.keySet -- snap).toIndexedSeq
+    if (extra.nonEmpty) {
+      val rows = spark.read
+        .parquet(extra.map(p => escapeGlob(listed(p).toString)): _*).count()
+      if (rows > 0)
+        throw new StaleManifestException(
+          s"manifest under $table is not complete: ${extra.size} " +
+            s"unsnapshotted data file(s) holding $rows row(s) (first: " +
+            s"${extra.head}) — re-run Manifest.create before a " +
+            "stats-targeted mutation")
+    }
+  }
+
   /** INCREMENTAL snapshot for an append-only table: parquet data files are
     * immutable, so stats of files already present in the latest snapshot
     * are CARRIED OVER and only files added since are scanned — the

@@ -216,6 +216,18 @@ class LayoutSpec extends SparkSpec {
     graft.ops.Manifest.create(spark, part, "doc_id")
     intercept[IllegalArgumentException] {
       Layout.deleteRange(spark, part, "doc_id", 0L, 10L) } // hive-partitioned
+    // Completeness: an append the snapshot never saw could shelter doomed
+    // rows / matching keys — stats-targeted mutations must refuse.
+    spark.read.parquet(s"$sf001/documents.parquet").limit(5)
+      .write.mode("append").parquet(stage)
+    intercept[graft.ops.Manifest.StaleManifestException] {
+      Layout.deleteRange(spark, stage, "doc_id", 0L, 10L) }
+    intercept[graft.ops.Manifest.StaleManifestException] {
+      Layout.mergeKeyed(spark, stage, "doc_id",
+        spark.read.parquet(s"$sf001/documents.parquet").limit(1)) }
+    // …and a fresh snapshot restores service.
+    graft.ops.Manifest.create(spark, stage, "doc_id")
+    assert(Layout.deleteRange(spark, stage, "doc_id", -10L, -1L).rowsDeleted == 0L)
   }
 
   test("mergeKeyed: updates replace in place, inserts append, targeting holds") {
