@@ -354,11 +354,14 @@ object Layout {
     }
     if (!fs.rename(new Path(stage), new Path(path)))
       throw new java.io.IOException(s"cow commit: failed to swap $stage into $path")
-    // 6. manifest survives the rewrite: carry history, recommit fresh stats
+    // 6. manifest survives the rewrite: carry history, then recommit with
+    // untouched files' stats carried verbatim — only the staged files are
+    // scanned, so the snapshot cost is ∝ the rewrite, not the table
     val mOld = new Path(old, "_graft_manifest")
     val mNew = new Path(path, "_graft_manifest")
     if (fs.exists(mOld) && !fs.exists(mNew)) { fs.rename(mOld, mNew): Unit }
-    Manifest.create(spark, path, keys: _*)
+    Manifest.commitReplaced(spark, path, keys, picked.toSet,
+      stagedFiles.map(n => s"$path/$n"))
     FsMaint.deleteRecursively(fs, new Path(old))
     fs.delete(journal, false): Unit
   }
@@ -411,9 +414,10 @@ object Layout {
         col("__k").between(col(s"min_$keyCol"), col(s"max_$keyCol")), "left_semi")
       .select("file").collect().map(_.getString(0)).toIndexedSeq
     if (picked.isEmpty) {
-      // pure insert: no file can contain a matching key — plain append
+      // pure insert: no file can contain a matching key — plain append,
+      // snapshot refreshed incrementally (only the appended files scanned)
       delta.write.mode("append").parquet(path)
-      Manifest.create(spark, path, keys: _*)
+      Manifest.createIncremental(spark, path, keys: _*)
       return MergeResult(0, total, 0L, nDelta)
     }
     val stage = path + "__delnew"

@@ -241,6 +241,27 @@ object Manifest {
     }
   }
 
+  /** Snapshot after a FILE-LEVEL REPLACEMENT (COW delete/merge): stats rows
+    * of untouched files are carried verbatim from the pre-op snapshot
+    * (parquet files are immutable, and the caller proved the snapshot
+    * complete before mutating), rows of `removed` files are dropped, and
+    * ONLY `addedPaths` are scanned — so the snapshot cost of a targeted
+    * mutation is ∝ the files it rewrote, not the table (the same
+    * O(new)-not-O(table) argument as [[createIncremental]], for the
+    * replace shape instead of the append shape). Returns the snapshot id.
+    */
+  private[ops] def commitReplaced(spark: SparkSession, table: String,
+                                  keyCols: Seq[String], removed: Set[String],
+                                  addedPaths: Seq[String]): Int = {
+    val kept = files(spark, table)
+      .filter(!col("file").isInCollection(removed.toSeq))
+    val stats =
+      if (addedPaths.isEmpty) kept
+      else kept.unionByName(
+        statsOf(spark.read.parquet(addedPaths.map(escapeGlob): _*), keyCols))
+    commitSnapshot(spark, table, stats)
+  }
+
   /** INCREMENTAL snapshot for an append-only table: parquet data files are
     * immutable, so stats of files already present in the latest snapshot
     * are CARRIED OVER and only files added since are scanned — the

@@ -447,6 +447,7 @@ object Similarity {
       .groupBy("pos").agg(avg(col("x").cast("double")).as("mu"))
       .orderBy("pos").collect()
     val mus = stats.map(_.getDouble(1))
+    require(mus.nonEmpty, "bqTopK: empty corpus — no dimensions to threshold")
     val musL = array(mus.toIndexedSeq.map(lit): _*)
     val nWords = (mus.length + 63) / 64
     // sign-bit pack, MSB-first shift-or fold per 64-dim word (shifts are
