@@ -354,9 +354,27 @@ object Manifest {
     * everything); files missing on disk raise [[StaleManifestException]].
     */
   def scanBox(spark: SparkSession, table: String,
-              preds: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
+              preds: Seq[(String, Long, Long)]): (DataFrame, Int, Int) =
+    scanBoxFrom(spark, table, files(spark, table), preds)
+
+  /** [[scanBox]] AS OF a retained snapshot — pruning and time travel
+    * compose: the box predicate skips files using the PAST snapshot's own
+    * stats, so a historical range query reads only the overlapping files
+    * of the historical file set (same typed failure modes as
+    * [[readAsOf]]).
+    */
+  def scanBoxAsOf(spark: SparkSession, table: String,
+                  preds: Seq[(String, Long, Long)], id: Int): (DataFrame, Int, Int) = {
+    require(hasSnapshot(spark, table, id),
+      s"no snapshot-$id under $table — never created, or expired by retention " +
+        "(expireSnapshots); time travel reaches only retained snapshots")
+    scanBoxFrom(spark, table,
+      spark.read.parquet(s"${root(table)}/snapshot-$id"), preds)
+  }
+
+  private def scanBoxFrom(spark: SparkSession, table: String, f: DataFrame,
+                          preds: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
     require(preds.nonEmpty, "need at least one range predicate")
-    val f = files(spark, table)
     preds.foreach { case (c, _, _) =>
       require(f.columns.contains(s"min_$c"),
         s"manifest snapshot has no stats for column $c") }

@@ -112,6 +112,13 @@ class ManifestSpec extends SparkSpec {
     assert(fp(Manifest.readAsOf(spark, stage, id1)) == fp(b1))
     assert(fp(Manifest.readAsOf(spark, stage, id2)) == fp(docs))
     assert(spark.read.parquet(stage).count() == docs.count())
+    // Pruning composes with time travel: the PAST snapshot's stats skip
+    // files within the PAST file set — batch-2 rows are invisible even
+    // though their doc_ids land squarely in the box.
+    val (asOfScan, nRead, nTotal) = Manifest.scanBoxAsOf(spark, stage,
+      Seq(("doc_id", 0L, 50L)), id1)
+    assert(asOfScan.count() == b1.filter(col("doc_id") <= 50).count())
+    assert(nRead <= nTotal && nTotal == 4)
     // Expired snapshot: typed require, names retention.
     Manifest.expireSnapshots(spark, stage, keep = 1)
     val ex = intercept[IllegalArgumentException] { Manifest.readAsOf(spark, stage, id1) }
