@@ -442,42 +442,97 @@ object Similarity {
   def bqTopK(queries: DataFrame, corpus: DataFrame, k: Int, rerank: Int = 64,
              qIdCol: String = "q_id", qVecCol: String = "q_vec",
              cIdCol: String = "vec_id", cVecCol: String = "embedding"): DataFrame = {
-    val stats = corpus
-      .select(posexplode(col(cVecCol)).as(Seq("pos", "x")))
-      .groupBy("pos").agg(avg(col("x").cast("double")).as("mu"))
-      .orderBy("pos").collect()
-    val mus = stats.map(_.getDouble(1))
-    require(mus.nonEmpty, "bqTopK: empty corpus — no dimensions to threshold")
-    val musL = array(mus.toIndexedSeq.map(lit): _*)
-    val nWords = (mus.length + 63) / 64
-    // sign-bit pack, MSB-first shift-or fold per 64-dim word (shifts are
-    // overflow-exempt under ANSI; a short final word just folds fewer bits)
-    def pack(vec: Column): Column = {
-      val bits = zip_with(vec.cast("array<double>"), musL,
-        (x, mu) => when(x > mu, lit(1L)).otherwise(lit(0L)))
-      transform(sequence(lit(0), lit(nWords - 1)), w =>
-        aggregate(slice(bits, w * lit(64) + 1, lit(64)), lit(0L),
-          (acc, b) => shiftleft(acc, 1).bitwiseOR(b)))
-    }
-    def hamming(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
-        lit(0), (acc, h) => acc + h)
-    val cCodes = Par.fanOut(corpus).select(col(cIdCol), pack(col(cVecCol)).as("__code"))
-    val qCodes = queries.select(col(qIdCol), pack(col(qVecCol)).as("__qcode"))
+    val mus = dimMeans(corpus, cVecCol)
+    val cCodes = Par.fanOut(corpus)
+      .select(col(cIdCol), signPack(mus, col(cVecCol)).as("__code"))
+    val qCodes = queries.select(col(qIdCol), signPack(mus, col(qVecCol)).as("__qcode"))
     // candidate ids by smallest Hamming: negate the distance so the
     // bounded-heap top-k (largest-sim) keeps the nearest codes
     val cands = finishTopK(
       cCodes.crossJoin(broadcast(qCodes))
         .select(col(qIdCol), col(cIdCol),
-          (-hamming(col("__code"), col("__qcode")).cast("double")).as("sim")),
+          (-hammingDist(col("__code"), col("__qcode")).cast("double")).as("sim")),
       rerank, qIdCol, cIdCol).select(col(qIdCol), col(cIdCol))
-    // exact rerank: the tiny candidate set broadcasts into the vector join
+    exactRerank(queries, corpus, cands, k, qIdCol, qVecCol, cIdCol, cVecCol)
+  }
+
+  /** Per-dimension corpus means — the sign thresholds of the BQ family
+    * (one narrow posexplode aggregate; d doubles reach the driver).
+    */
+  private def dimMeans(corpus: DataFrame, vecCol: String): Array[Double] = {
+    val mus = corpus
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos").agg(avg(col("x").cast("double")).as("mu"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    require(mus.nonEmpty, "binary quantization: empty corpus — no dimensions to threshold")
+    mus
+  }
+
+  /** Sign-bit pack against per-dim thresholds, MSB-first shift-or fold per
+    * 64-dim word (shifts are overflow-exempt under ANSI; a short final
+    * word just folds fewer bits). ceil(d/64) longs per vector.
+    */
+  private def signPack(mus: Array[Double], vec: Column): Column = {
+    val musL = array(mus.toIndexedSeq.map(lit): _*)
+    val nWords = (mus.length + 63) / 64
+    val bits = zip_with(vec.cast("array<double>"), musL,
+      (x, mu) => when(x > mu, lit(1L)).otherwise(lit(0L)))
+    transform(sequence(lit(0), lit(nWords - 1)), w =>
+      aggregate(slice(bits, w * lit(64) + 1, lit(64)), lit(0L),
+        (acc, b) => shiftleft(acc, 1).bitwiseOR(b)))
+  }
+
+  private def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, h) => acc + h)
+
+  /** Exact-cosine rerank of a small (qId, cId) candidate set: the
+    * candidates broadcast into the vector join, queries broadcast in, one
+    * scored pass feeds the bounded-heap top-k.
+    */
+  private def exactRerank(queries: DataFrame, corpus: DataFrame,
+                          cands: DataFrame, k: Int,
+                          qIdCol: String, qVecCol: String,
+                          cIdCol: String, cVecCol: String): DataFrame = {
     val reranked = corpus.select(col(cIdCol), col(cVecCol))
       .join(broadcast(cands), Seq(cIdCol))
       .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
       .select(col(qIdCol), col(cIdCol),
         cosine(col(qVecCol), col(cVecCol)).as("sim"))
     finishTopK(reranked, k, qIdCol, cIdCol)
+  }
+
+  /** IVF + BQ composed top-k — the billion-scale shape when even byte
+    * codes are too much to stream: IVF bounds the candidate COUNT (only
+    * `nProbe` of `nCells` cells are scanned) and binary quantization
+    * bounds the candidate BYTES (~16 bytes/vector through the Hamming
+    * phase at d=64, vs 256 for float32), with exact cosine reranking the
+    * per-query top-`rerank` — FAISS's IVF+binary layout, recall governed
+    * by the same two dials as its parts (nProbe, rerank).
+    */
+  def ivfBqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nCells: Int = 16, nProbe: Int = 4, rerank: Int = 64,
+                iters: Int = 2,
+                qIdCol: String = "q_id", qVecCol: String = "q_vec",
+                cIdCol: String = "vec_id", cVecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nCells, iters, cIdCol, cVecCol)
+    val mus = dimMeans(corpus, cVecCol)
+    // codes + cell ONLY through the Hamming phase — no vector payloads
+    val codes = Par.fanOut(corpus).select(col(cIdCol),
+      nearestCell(col(cVecCol), cents).as("cell"),
+      signPack(mus, col(cVecCol)).as("__code"))
+    val probes = queries
+      .withColumn("cell", explode(graft.functions.VectorExpressions
+        .top_cells(col(qVecCol), normalize(cents), nProbe)))
+      .select(col("cell"), col(qIdCol), signPack(mus, col(qVecCol)).as("__qcode"))
+    // each corpus row lives in exactly one cell, so a (query, id) pair
+    // appears at most once — no dedup needed before the heap
+    val cands = finishTopK(
+      codes.join(broadcast(probes), Seq("cell"))
+        .select(col(qIdCol), col(cIdCol),
+          (-hammingDist(col("__code"), col("__qcode")).cast("double")).as("sim")),
+      rerank, qIdCol, cIdCol).select(col(qIdCol), col(cIdCol))
+    exactRerank(queries, corpus, cands, k, qIdCol, qVecCol, cIdCol, cVecCol)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means

@@ -59,6 +59,45 @@ object ExtendedQueries {
               |FROM r JOIN events e ON epoch_us(e.ts) >= r_start AND epoch_us(e.ts) < r_end
               |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- time-series RESAMPLE + GAP-FILL: per-user hourly grid between
+    //      the user's first and last event hour (sequence-explode — fully
+    //      distributed, no driver loop), left-joined hourly aggregate,
+    //      forward-fill via an ignoreNulls running last(). Empty hours
+    //      surface with n_events=0 and the last seen hourly sum carried
+    //      forward — the resample/ffill primitive every event-feature
+    //      pipeline needs. Decimal-summed values so both engines fill the
+    //      identical doubles.
+    Q("q_resample_ffill",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Registry.events(s, dir).filter(col("user_id") < 50)
+        val base = ev.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("v"))
+        val grid = base.groupBy("user_id")
+          .agg(min("h").as("lo"), max("h").as("hi"))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(base, Seq("user_id", "h"), "left")
+          .select(col("user_id"), unix_micros(col("h")).as("hour_us"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
+      },
+      Some("""WITH base AS (
+              | SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n_events,
+              |  cast(sum(cast(value as decimal(12,2))) as double) AS v
+              | FROM events WHERE user_id < 50 GROUP BY 1, 2),
+              | grid AS (
+              | SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+              | FROM base GROUP BY user_id)
+              |SELECT g.user_id, epoch_us(g.h) AS hour_us,
+              | coalesce(b.n_events, 0) AS n_events,
+              | last_value(b.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h
+              |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+              |FROM grid g LEFT JOIN base b ON g.user_id = b.user_id AND g.h = b.h""".stripMargin)),
+
     // ---- pivot (wide conditional aggregation)
     Q("q_pivot",
       (s, dir) => T(s, dir, "orders")

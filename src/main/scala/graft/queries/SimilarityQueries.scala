@@ -209,6 +209,16 @@ object SimilarityQueries {
         Similarity.bqTopK(q, c, k = 10, rerank = 64)),
       Some(recallOracle)),
 
+    // ---- IVF + BQ composed top-k: cells bound candidate COUNT, sign bits
+    //      bound candidate BYTES (~16 B/vector through the Hamming phase),
+    //      exact rerank on the survivors — the layout for corpora where
+    //      even byte codes are too much to stream. Clone-gated with a
+    //      brute-force overlap floor like its parts.
+    Q("knn_ivfbq_topk",
+      (s, dir) => recallGated(s, dir, minTotalHits = 15, (q, c) =>
+        Similarity.ivfBqTopK(q, c, k = 10)),
+      Some(recallOracle)),
+
     // ---- persisted IVF index LIFECYCLE: TRAIN+BUILD from the base corpus
     //      (centroids + vectors hive-partitioned by cell on disk), APPEND
     //      each clone as its own batch against the saved centroids (no

@@ -192,6 +192,22 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"BQ recall@10 too low: $recall")
   }
 
+  test("ivfBqTopK: composed cells+bits still find planted clones") {
+    // The clone shares the query's cell (probed) and its sign pattern
+    // (Hamming ~0), so it must survive both bounding stages and lead the
+    // exact rerank — the composed layout's end-to-end guarantee.
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val clones = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000L).as("vec_id"),
+        transform($"embedding", (x, i) => when(i === 0, x * 1.01f).otherwise(x)).as("embedding"))
+    val corpus = emb.filter($"vec_id" >= 3).select("vec_id", "embedding").unionByName(clones)
+    val approx = Similarity.ivfBqTopK(q, corpus, 10, nCells = 8, nProbe = 3)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (qid <- 0L to 2L)
+      assert(approx.contains((qid, qid + 10000L)), s"clone of $qid not found")
+  }
+
   test("approx percentiles track exact percentiles within sketch error") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
     val got = li.agg(
