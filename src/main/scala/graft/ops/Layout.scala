@@ -43,7 +43,7 @@ object Layout {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     FsMaint.recoverSwap(fs, path)
-    val manifestKeys = Manifest.currentKeyCols(spark, path)
+    val manifestKeys = Manifest.currentProfile(spark, path)
     val total = FsMaint.totalDataBytes(fs, new Path(path))
     val nFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     val tmp = path + "__compacting"
@@ -55,16 +55,18 @@ object Layout {
 
   /** Commit a rewrite: swap the staged dir in (carrying the manifest
     * snapshot history across — it lives INSIDE the table dir the swap
-    * replaces), then re-commit a fresh snapshot with the pre-rewrite key
-    * columns so manifest readers never cross a rewrite on stale stats.
-    * `keys` must be captured BEFORE the swap (the old dir is gone after).
+    * replaces), then re-commit a fresh snapshot with the pre-rewrite
+    * PROFILE (key columns + bloom columns/bits) so manifest readers never
+    * cross a rewrite on stale stats — and a point-lookup bloom index
+    * survives layout maintenance. The profile must be captured BEFORE the
+    * swap (the old dir is gone after).
     */
   private def swapAndRefresh(spark: SparkSession,
                              fs: org.apache.hadoop.fs.FileSystem,
                              path: String, tmp: String,
-                             keys: Option[Seq[String]]): Unit = {
+                             profile: Option[Manifest.Profile]): Unit = {
     FsMaint.swapIn(fs, path, tmp, carryOver = Seq("_graft_manifest"))
-    keys.foreach(k => Manifest.create(spark, path, k: _*): Unit)
+    profile.foreach(p => Manifest.createLike(spark, path, p): Unit)
   }
 
   /** The long domain a cluster key is ordered in — shared with
@@ -105,7 +107,7 @@ object Layout {
     require(nFiles > 0, s"nFiles must be positive: $nFiles")
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     FsMaint.recoverSwap(fs, path)
-    val manifestKeys = Manifest.currentKeyCols(spark, path)
+    val manifestKeys = Manifest.currentProfile(spark, path)
     val tmp = path + "__compacting"
     spark.read.parquet(path)
       .repartitionByRange(nFiles, col(clusterCol))
@@ -185,7 +187,7 @@ object Layout {
     require(cols.nonEmpty, "need at least one z-order column")
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     FsMaint.recoverSwap(fs, path)
-    val manifestKeys = Manifest.currentKeyCols(spark, path)
+    val manifestKeys = Manifest.currentProfile(spark, path)
     val df = spark.read.parquet(path)
     val longs = cols.map(c => orderedLong(c, df))
     val statAggs = longs.zipWithIndex.flatMap { case (l, i) =>
@@ -219,7 +221,7 @@ object Layout {
   def partitionByColumn(spark: SparkSession, path: String, partCol: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     FsMaint.recoverSwap(fs, path)
-    val manifestKeys = Manifest.currentKeyCols(spark, path)
+    val manifestKeys = Manifest.currentProfile(spark, path)
     val tmp = path + "__compacting"
     spark.read.parquet(path)
       .repartition(col(partCol)) // one file per partition value per write

@@ -2,8 +2,12 @@ package graft.ops
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Minimal manifest/snapshot layer over a parquet dir — the missing step
   * between [[Layout]]'s clustering and actual FILE-level skipping: vanilla
@@ -146,8 +150,64 @@ object Manifest {
     commitSnapshot(spark, table, statsOf(data, keyCols))
   }
 
+  /** [[create]] plus per-file BLOOM FILTERS on `bloomCols` (⊆ `keyCols`) —
+    * the skipping index for POINT LOOKUPS on a key the layout is NOT
+    * clustered by: min/max stats on such a key span ~the whole domain in
+    * every file (nothing prunes), while a per-file bloom answers "this
+    * file cannot contain key k" with zero data reads. The Delta/Iceberg
+    * bloom-index idea on the same snapshot mechanism; blooms are built by
+    * Spark's own distributed bloom aggregate (one grouped scan, same job
+    * as the min/max stats — no extra pass) and probed by [[scanKeys]].
+    *
+    * Sizing: `numBits = optimal(expectedItemsPerFile, fpp)` — ~0.9 bytes
+    * per expected key at 3% fpp (a 1M-key file costs ~900 KB of snapshot;
+    * the snapshot stays metadata-sized relative to the data). A false
+    * positive only costs a wasted file read — correctness rides the
+    * residual predicate; a false NEGATIVE is impossible, which is the
+    * property the oracle gate pins.
+    */
+  def createWithBloom(spark: SparkSession, table: String,
+                      keyCols: Seq[String], bloomCols: Seq[String],
+                      expectedItemsPerFile: Long = 100000L,
+                      fpp: Double = 0.03): Int = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(bloomCols.nonEmpty && bloomCols.forall(keyCols.contains),
+      s"bloom columns ${bloomCols.mkString(", ")} must be a subset of the key columns")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    val bits = BloomFilter.optimalNumOfBits(expectedItemsPerFile, fpp)
+    val specs = bloomCols.map(c => BloomSpec(c, expectedItemsPerFile, bits))
+    val data = spark.read.parquet(table)
+    commitSnapshot(spark, table, statsOf(data, keyCols, specs))
+  }
+
+  /** Per-file BLOOM FILTER config: `numBits` sized for
+    * `estItems`-many distinct keys per file at the requested false-positive
+    * rate. Bounded by Spark's own runtime-filter caps (4M items / 2^26
+    * bits ≈ 8 MB — a per-file sketch past that should be a dictionary, not
+    * a bloom).
+    */
+  private final case class BloomSpec(col: String, estItems: Long, numBits: Long)
+
+  private def boundedBloom(estItems: Long, numBits: Long): (Long, Long) =
+    (math.min(math.max(1L, estItems), 4000000L),
+      math.min(math.max(64L, numBits), 1L << 26))
+
+  /** Spark's own distributed bloom-sketch aggregate (the runtime-filter
+    * builder) over the normalized long key — `putLong(raw)` per row,
+    * probed driver/executor-side with `mightContainLong(raw)`. Returns
+    * NULL for a group with zero non-null keys, which [[scanKeys]] treats
+    * as prunable (a file with no non-null keys cannot match an equality).
+    */
+  private def bloomAgg(c: Column, spec: BloomSpec): Column = {
+    val (items, bits) = boundedBloom(spec.estItems, spec.numBits)
+    ColumnShim.column(new BloomFilterAggregate(
+      ColumnShim.expression(c), Literal(items), Literal(bits))
+      .toAggregateExpression())
+  }
+
   /** The per-file stats frame for a data frame (type-guarded). */
-  private def statsOf(data: DataFrame, keyCols: Seq[String]): DataFrame = {
+  private def statsOf(data: DataFrame, keyCols: Seq[String],
+                      blooms: Seq[BloomSpec] = Nil): DataFrame = {
     val schema = data.schema
     keyCols.foreach { c =>
       require(schema.fieldNames.contains(c), s"no such column: $c")
@@ -159,7 +219,9 @@ object Manifest {
       // Non-null key count per file: [[countRange]]'s metadata count must
       // exclude NULL keys (they are outside every range, but n_rows would
       // count them).
-      count(statCol(c, schema(c).dataType)).as(s"cnt_$c"))) :+
+      count(statCol(c, schema(c).dataType)).as(s"cnt_$c"))) ++
+      blooms.map(b =>
+        bloomAgg(statCol(b.col, schema(b.col).dataType), b).as(s"bloom_${b.col}")) :+
       count(lit(1)).as("n_rows")
     data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.drop(1): _*)
@@ -253,13 +315,29 @@ object Manifest {
   private[ops] def commitReplaced(spark: SparkSession, table: String,
                                   keyCols: Seq[String], removed: Set[String],
                                   addedPaths: Seq[String]): Int = {
-    val kept = files(spark, table)
-      .filter(!col("file").isInCollection(removed.toSeq))
+    val snap = files(spark, table)
+    val kept = snap.filter(!col("file").isInCollection(removed.toSeq))
     val stats =
       if (addedPaths.isEmpty) kept
       else kept.unionByName(
-        statsOf(spark.read.parquet(addedPaths.map(escapeGlob): _*), keyCols))
+        statsOf(spark.read.parquet(addedPaths.map(escapeGlob): _*), keyCols,
+          bloomSpecsLike(snap)))
     commitSnapshot(spark, table, stats)
+  }
+
+  /** Bloom specs matching an existing snapshot's bloom columns (so stats
+    * built for NEW files union cleanly with carried rows and probe with
+    * the same bit width) — Nil when the snapshot carries no blooms.
+    */
+  private def bloomSpecsLike(snap: DataFrame): Seq[BloomSpec] = {
+    val blooms = snap.schema.fieldNames.toSeq.collect {
+      case f if f.startsWith("bloom_") => f.drop(6) }
+    if (blooms.isEmpty) Nil
+    else {
+      val bits = bloomBitsOf(snap, blooms)
+        .getOrElse(BloomFilter.optimalNumOfBits(100000L, 0.03))
+      blooms.map(c => BloomSpec(c, math.max(1L, bits / 7), bits))
+    }
   }
 
   /** INCREMENTAL snapshot for an append-only table: parquet data files are
@@ -311,7 +389,8 @@ object Manifest {
       if (newPaths.isEmpty) carriedDf
       else carriedDf.unionByName(
         statsOf(spark.read.option("basePath", table)
-          .parquet(newPaths.map(p => escapeGlob(p.toString)): _*), keyCols))
+          .parquet(newPaths.map(p => escapeGlob(p.toString)): _*), keyCols,
+          bloomSpecsLike(prev)))
     (commitSnapshot(spark, table, stats), newPaths.length, removed.length)
   }
 
@@ -326,6 +405,52 @@ object Manifest {
     latestId(spark, table).map { id =>
       spark.read.parquet(s"${root(table)}/snapshot-$id")
         .schema.fieldNames.toSeq.collect { case f if f.startsWith("min_") => f.drop(4) }
+    }
+
+  /** What a rewrite must recreate: the latest snapshot's key columns AND
+    * bloom columns with their bit width — captured BEFORE a swap, replayed
+    * by [[createLike]] after, so a layout rewrite preserves the point-
+    * lookup index, not just the range stats. `bloomBits` is recovered from
+    * the serialized sketches themselves (the snapshot carries no separate
+    * config row).
+    */
+  final case class Profile(keyCols: Seq[String], bloomCols: Seq[String],
+                           bloomBits: Option[Long])
+
+  def currentProfile(spark: SparkSession, table: String): Option[Profile] =
+    latestId(spark, table).map { id =>
+      val snap = spark.read.parquet(s"${root(table)}/snapshot-$id")
+      val keys = snap.schema.fieldNames.toSeq.collect {
+        case f if f.startsWith("min_") => f.drop(4) }
+      val blooms = snap.schema.fieldNames.toSeq.collect {
+        case f if f.startsWith("bloom_") => f.drop(6) }
+      Profile(keys, blooms, bloomBitsOf(snap, blooms))
+    }
+
+  /** Bit width of the snapshot's serialized blooms (first non-null sketch;
+    * all are built uniform). None when the snapshot has no bloom columns
+    * or every sketch is null (all-null key files only — degenerate).
+    */
+  private def bloomBitsOf(snap: DataFrame, bloomCols: Seq[String]): Option[Long] =
+    bloomCols.headOption.flatMap { c =>
+      snap.select(col(s"bloom_$c")).filter(col(s"bloom_$c").isNotNull)
+        .limit(1).collect().headOption
+        .map(r => BloomFilter.readFrom(r.getAs[Array[Byte]](0)).bitSize())
+    }
+
+  /** Recreate a snapshot matching `p` (a rewrite's post-swap refresh).
+    * Rebuild items-per-file is derived from the recovered bit width at the
+    * ~3% design point (bits/items ≈ 7.3) — it only tunes the sketch's hash
+    * count, never correctness.
+    */
+  def createLike(spark: SparkSession, table: String, p: Profile): Int =
+    if (p.bloomCols.isEmpty) create(spark, table, p.keyCols: _*)
+    else {
+      val bits = p.bloomBits.getOrElse(
+        BloomFilter.optimalNumOfBits(100000L, 0.03))
+      val specs = p.bloomCols.map(c => BloomSpec(c, math.max(1L, bits / 7), bits))
+      commitSnapshot(spark, table,
+        statsOf(spark.read.parquet(table), p.keyCols, specs))
     }
 
   /** Does snapshot `id` exist under `table`? Checkpoint validation for
@@ -400,6 +525,67 @@ object Manifest {
   def scanRange(spark: SparkSession, table: String, keyCol: String,
                 lo: Long, hi: Long): (DataFrame, Int, Int) =
     scanBox(spark, table, Seq((keyCol, lo, hi)))
+
+  /** A point-lookup scan's skipping evidence: `filesRead` after bloom
+    * probing vs `filesRangeCandidates` after min/max alone vs
+    * `filesTotal` — on a layout not clustered by the probe key, min/max
+    * prunes ~nothing and the bloom gap is the whole win.
+    */
+  final case class KeyScan(rows: DataFrame, filesRead: Int,
+                           filesRangeCandidates: Int, filesTotal: Int)
+
+  /** Manifest-pruned POINT/IN-LIST scan on `keyCol`: files are pruned by
+    * min/max overlap with any probe value, then — when the snapshot
+    * carries a bloom for `keyCol` ([[createWithBloom]]) — by the per-file
+    * bloom sketch, and only surviving files are read (+ exact residual
+    * equality filter, so a bloom false positive costs IO, never a wrong
+    * row; false negatives cannot happen — every inserted key probes
+    * true). Values are in the key's normalized long domain (micros/days
+    * for temporal keys), bounded like any IN list.
+    *
+    * Scale shape: the probe runs WHERE THE SKETCHES LIVE — a filter over
+    * the snapshot frame — so the driver receives surviving file paths
+    * only, never the bloom bytes (snapshot rows ∝ file count; sketch
+    * bytes are the wide column). A NULL sketch means the file holds zero
+    * non-null keys (the aggregate's contract) and cannot match an
+    * equality — pruned.
+    */
+  def scanKeys(spark: SparkSession, table: String, keyCol: String,
+               values: Seq[Long]): KeyScan = {
+    require(values.nonEmpty, "need at least one probe value")
+    val f = files(spark, table)
+    require(f.columns.contains(s"min_$keyCol"),
+      s"manifest snapshot has no stats for column $keyCol")
+    val total = f.count().toInt
+    val mn = col(s"min_$keyCol"); val mx = col(s"max_$keyCol")
+    val inRange = values.map(v => mn <= v && mx >= v).reduce(_ || _)
+    val vs = values.toArray // closure-captured; bounded (an IN list)
+    val (picked, rangeCandidates) =
+      if (f.columns.contains(s"bloom_$keyCol")) {
+        import spark.implicits._
+        val flagged = f.filter(inRange)
+          .select(col("file"), col(s"bloom_$keyCol")).as[(String, Array[Byte])]
+          .map { case (path, sketch) =>
+            (path, sketch != null && {
+              val bf = BloomFilter.readFrom(sketch)
+              vs.exists(bf.mightContainLong)
+            })
+          }.collect()
+        (flagged.collect { case (p, true) => p }.toIndexedSeq, flagged.length)
+      } else {
+        val cand = f.filter(inRange).select("file")
+          .collect().map(_.getString(0)).toIndexedSeq
+        (cand, cand.length)
+      }
+    requireFresh(spark, table, picked)
+    val base =
+      if (picked.isEmpty) spark.read.parquet(table).limit(0)
+      // basePath: keep hive-partition columns (see scanBox).
+      else spark.read.option("basePath", table).parquet(picked.map(escapeGlob): _*)
+    val residual =
+      statCol(keyCol, base.schema(keyCol).dataType).isInCollection(values)
+    KeyScan(base.filter(residual), picked.length, rangeCandidates, total)
+  }
 
   /** Metadata-accelerated range COUNT: files whose key range is FULLY
     * inside [lo, hi] are counted from the snapshot's per-file non-null key

@@ -379,6 +379,44 @@ object SourceQueries {
                |${Registry.duckMultisetFingerprint(
                    Seq("doc_id", "text", "lang", "source", "n_chars"), "merged t")})""".stripMargin)),
 
+    // ---- per-file BLOOM skipping for point lookups (the Delta/Iceberg
+    //      bloom-index shape): lineitem clustered by SHIP DATE, probed by
+    //      ORDER KEY — the layout min/max on the probe key spans ~the whole
+    //      domain in every file (range stats prune nothing), while the
+    //      snapshot's per-file bloom sketches answer "cannot contain key k"
+    //      from metadata. The probe runs where the sketches live (a filter
+    //      over the snapshot frame — the driver receives surviving paths,
+    //      never bloom bytes). Gate: the pruned lookup's fingerprint ≡
+    //      DuckDB's direct equality scan (bloom false negatives are
+    //      impossible — any lost row flips the hash) + the bloom strictly
+    //      beat min/max pruning.
+    Q("manifest_bloom_point_scan",
+      (s, dir) => {
+        val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        val stage = java.nio.file.Files.createTempDirectory("graft_manifest_bf").toString + "/lineitem"
+        val li = T(s, dir, "lineitem").select(liCols.map(col): _*)
+        li.write.mode("overwrite").parquet(stage)
+        graft.ops.Layout.clusterByRange(s, stage, "l_shipdate", nFiles = 12)
+        graft.ops.Manifest.createWithBloom(s, stage,
+          keyCols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+        // Probe key: the largest orderkey at or below the key-range midpoint —
+        // deterministic, guaranteed to exist, uncorrelated with the date layout.
+        val b = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        val mid = (b.getLong(0) + b.getLong(1)) / 2
+        val key = li.filter(col("l_orderkey") <= mid)
+          .agg(max(col("l_orderkey"))).head().getLong(0)
+        val ks = graft.ops.Manifest.scanKeys(s, stage, "l_orderkey", Seq(key))
+        graft.functions.Hashing.multisetFingerprintAgg(ks.rows, liCols)
+          .withColumn("bloom_pruned", lit(ks.filesRead < ks.filesRangeCandidates))
+      },
+      Some(s"""WITH b AS (SELECT (min(l_orderkey) + max(l_orderkey)) // 2 AS mid FROM lineitem),
+               | k AS (SELECT max(l_orderkey) AS key FROM lineitem, b WHERE l_orderkey <= b.mid)
+               |SELECT *, true AS bloom_pruned FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"),
+                   "(SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_shipdate " +
+                     "FROM lineitem, k WHERE l_orderkey = k.key) t")})""".stripMargin)),
+
     // ---- metadata-accelerated range COUNT: files fully inside the range
     //      are counted from the snapshot's per-file non-null key counts
     //      (zero data reads — the Iceberg/Delta COUNT(*) fast path); only

@@ -329,6 +329,98 @@ class ManifestSpec extends SparkSpec {
     assert(fp(added) == fp(spark.read.parquet(stage).filter(col("doc_id") >= 100000L)))
   }
 
+  test("bloom point lookup: exact rows, prunes where min/max is blind, absent key reads nothing") {
+    // UNCLUSTERED layout: hash-repartitioned files each span ~the whole
+    // doc_id domain, so min/max prunes nothing — the bloom is the only
+    // skipping signal, and each doc_id lives in exactly one file.
+    val stage = tmpDir("manifest_bloom") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartition(8).write.parquet(stage)
+    Manifest.createWithBloom(spark, stage, Seq("doc_id"), Seq("doc_id"))
+
+    val one = Manifest.scanKeys(spark, stage, "doc_id", Seq(123L))
+    assert(one.filesTotal == 8)
+    assert(one.filesRead < one.filesRangeCandidates,
+      s"bloom read ${one.filesRead} of ${one.filesRangeCandidates} range candidates")
+    assert(fp(one.rows) == fp(spark.read.parquet(stage).filter(col("doc_id") === 123L)))
+
+    // IN-list probe mixing present and absent keys.
+    val many = Manifest.scanKeys(spark, stage, "doc_id", Seq(5L, 250L, 10000000L))
+    assert(fp(many.rows) ==
+      fp(spark.read.parquet(stage).filter(col("doc_id").isin(5L, 250L))))
+
+    // Absent key: every sketch answers "cannot contain" — zero files read,
+    // empty but well-formed result.
+    val none = Manifest.scanKeys(spark, stage, "doc_id", Seq(10000000L))
+    assert(none.filesRead == 0 && none.rows.count() == 0L)
+    assert(none.rows.columns.contains("text"))
+  }
+
+  test("scanKeys without blooms degrades to min/max pruning, still exact") {
+    val stage = stageClustered("manifest_keys_nobloom", 8)
+    Manifest.create(spark, stage, "doc_id")
+    val ks = Manifest.scanKeys(spark, stage, "doc_id", Seq(123L))
+    // Clustered layout: the range stats alone isolate the one owning file.
+    assert(ks.filesRead == ks.filesRangeCandidates && ks.filesRead < ks.filesTotal)
+    assert(fp(ks.rows) == fp(spark.read.parquet(stage).filter(col("doc_id") === 123L)))
+  }
+
+  test("an all-null-key file gets a NULL sketch and is pruned, never breaks the probe") {
+    val stage = tmpDir("manifest_bloom_null") + "/t"
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("id").coalesce(1).write.parquet(stage)
+    Seq.fill(3)(Option.empty[java.lang.Long]).toDF("id")
+      .coalesce(1).write.mode("append").parquet(stage)
+    Manifest.createWithBloom(spark, stage, Seq("id"), Seq("id"))
+    val ks = Manifest.scanKeys(spark, stage, "id", Seq(2L))
+    assert(ks.filesTotal == 2 && ks.filesRead == 1)
+    assert(ks.rows.count() == 1L)
+  }
+
+  test("blooms survive a Layout rewrite (profile recreated across the swap)") {
+    val stage = tmpDir("manifest_bloom_rw") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartition(8).write.parquet(stage)
+    Manifest.createWithBloom(spark, stage, Seq("doc_id"), Seq("doc_id"))
+    val before = Manifest.currentProfile(spark, stage).get
+    Layout.compactTable(spark, stage, targetBytes = 32 << 10)
+    val after = Manifest.currentProfile(spark, stage).get
+    assert(after.bloomCols == Seq("doc_id") && after.bloomBits == before.bloomBits)
+    val ks = Manifest.scanKeys(spark, stage, "doc_id", Seq(321L))
+    assert(ks.filesRead < ks.filesTotal)
+    assert(fp(ks.rows) == fp(spark.read.parquet(stage).filter(col("doc_id") === 321L)))
+  }
+
+  test("incremental snapshots bloom NEW files only; appended keys become probeable") {
+    val stage = tmpDir("manifest_bloom_inc") + "/documents"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.filter(col("doc_id") < 400).repartition(4).write.parquet(stage)
+    Manifest.createWithBloom(spark, stage, Seq("doc_id"), Seq("doc_id"))
+    docs.filter(col("doc_id") >= 400)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .repartition(2).write.mode("append").parquet(stage)
+    val (_, scanned, removed) = Manifest.createIncremental(spark, stage, "doc_id")
+    assert(scanned == 2 && removed == 0)
+    val key = 100450L
+    val ks = Manifest.scanKeys(spark, stage, "doc_id", Seq(key))
+    assert(ks.filesTotal == 6 && ks.filesRead >= 1 && ks.filesRead < ks.filesTotal)
+    assert(ks.rows.count() ==
+      spark.read.parquet(stage).filter(col("doc_id") === key).count())
+  }
+
+  test("COW delete preserves blooms for rewritten files (commitReplaced path)") {
+    val stage = tmpDir("manifest_bloom_cow") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartitionByRange(4, col("doc_id")).write.parquet(stage)
+    Manifest.createWithBloom(spark, stage, Seq("doc_id"), Seq("doc_id"))
+    Layout.deleteRange(spark, stage, "doc_id", 100L, 149L)
+    assert(Manifest.currentProfile(spark, stage).get.bloomCols == Seq("doc_id"))
+    val gone = Manifest.scanKeys(spark, stage, "doc_id", Seq(120L))
+    assert(gone.rows.count() == 0L)
+    val kept = Manifest.scanKeys(spark, stage, "doc_id", Seq(200L))
+    assert(kept.rows.count() == 1L && kept.filesRead < kept.filesTotal)
+  }
+
   test("a crashed create's orphan tmp dir is cleaned by the next create") {
     val stage = stageClustered("manifest_heal", 4)
     Manifest.create(spark, stage, "doc_id")
