@@ -146,8 +146,12 @@ object Manifest {
     */
   def create(spark: SparkSession, table: String, keyCols: String*): Int = {
     require(keyCols.nonEmpty, "need at least one key column")
-    val data = spark.read.parquet(table)
-    commitSnapshot(spark, table, statsOf(data, keyCols))
+    // mergeSchema: a full create is the one path that already touches every
+    // file, so pay the footer merge and record the UNION schema — a
+    // footer-sampled schema of a mixed-schema (evolved) table would pin
+    // whichever file Spark sampled.
+    val data = spark.read.option("mergeSchema", "true").parquet(table)
+    commitSnapshot(spark, table, statsOf(data, keyCols), Some(data.schema))
   }
 
   /** [[create]] plus per-file BLOOM FILTERS on `bloomCols` (⊆ `keyCols`) —
@@ -176,8 +180,8 @@ object Manifest {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
     val bits = BloomFilter.optimalNumOfBits(expectedItemsPerFile, fpp)
     val specs = bloomCols.map(c => BloomSpec(c, expectedItemsPerFile, bits))
-    val data = spark.read.parquet(table)
-    commitSnapshot(spark, table, statsOf(data, keyCols, specs))
+    val data = spark.read.option("mergeSchema", "true").parquet(table)
+    commitSnapshot(spark, table, statsOf(data, keyCols, specs), Some(data.schema))
   }
 
   /** Per-file BLOOM FILTER config: `numBits` sized for
@@ -227,15 +231,27 @@ object Manifest {
       .agg(aggs.head, aggs.drop(1): _*)
   }
 
-  /** Write `stats` as the next snapshot and commit it with one rename. */
+  /** Write `stats` as the next snapshot and commit it with one rename.
+    * `dataSchema`, when given, is recorded as a `schema.json` sidecar
+    * INSIDE the snapshot dir (so it commits atomically with the stats and
+    * time travel sees the HISTORICAL schema) — the snapshot-pinned read
+    * schema that makes additive evolution exact: a footer-sampled read of
+    * a mixed-schema table surfaces whichever file's schema it sampled.
+    */
   private def commitSnapshot(spark: SparkSession, table: String,
-                             stats: DataFrame): Int = {
+                             stats: DataFrame,
+                             dataSchema: Option[StructType] = None): Int = {
     val fs = fsOf(spark, table)
     val next = latestId(spark, table).getOrElse(0) + 1
     val dest = s"${root(table)}/snapshot-$next"
     val tmp = dest + "__tmp"
     FsMaint.deleteRecursively(fs, new Path(tmp))
     stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    dataSchema.foreach { sch =>
+      val out = fs.create(new Path(tmp, "_schema.json"), true)
+      try out.write(sch.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     if (!fs.rename(new Path(tmp), new Path(dest)))
       throw new java.io.IOException(s"manifest commit failed: $dest")
     // Opportunistic hygiene: clear any orphan tmp dirs from crashed creates.
@@ -243,6 +259,51 @@ object Manifest {
       if (s.getPath.getName.endsWith("__tmp")) FsMaint.deleteRecursively(fs, s.getPath)
     }
     next
+  }
+
+  /** The schema recorded with snapshot `id` — None for snapshots that
+    * predate schema recording (reads then fall back to footer sampling,
+    * the pre-evolution behavior).
+    */
+  def storedSchema(spark: SparkSession, table: String, id: Int): Option[StructType] = {
+    val fs = fsOf(spark, table)
+    val p = new Path(s"${root(table)}/snapshot-$id/_schema.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+      Some(DataType.fromJson(
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[StructType])
+    }
+  }
+
+  /** ADDITIVE schema merge: `newer` may append nullable columns; a column
+    * present in both must keep its exact type — type CHANGES fail typed
+    * here (silently coercing would corrupt the pinned read schema for
+    * every old file). This is the evolution contract appends are held to.
+    */
+  private[ops] def mergeAdditive(old: StructType, newer: StructType): StructType = {
+    val byName = old.fields.map(f => f.name -> f).toMap
+    newer.fields.foreach { f =>
+      byName.get(f.name).foreach { o =>
+        if (o.dataType != f.dataType)
+          throw new IllegalStateException(
+            s"schema evolution on column `${f.name}` changes its type " +
+              s"(${o.dataType.simpleString} -> ${f.dataType.simpleString}) — only " +
+              "ADDITIVE evolution (new nullable columns) is supported; type " +
+              "changes need a full table rewrite")
+      }
+    }
+    val added = newer.fields.filterNot(f => byName.contains(f.name))
+      .map(_.copy(nullable = true)) // absent in old files ⇒ must read as NULL
+    StructType(old.fields ++ added)
   }
 
   /** Current data files under `table`, keyed by scheme-less absolute path
@@ -315,14 +376,17 @@ object Manifest {
   private[ops] def commitReplaced(spark: SparkSession, table: String,
                                   keyCols: Seq[String], removed: Set[String],
                                   addedPaths: Seq[String]): Int = {
-    val snap = files(spark, table)
+    val snapId = latestId(spark, table).getOrElse(
+      throw new IllegalStateException(s"no manifest snapshot under $table"))
+    val snap = spark.read.parquet(s"${root(table)}/snapshot-$snapId")
     val kept = snap.filter(!col("file").isInCollection(removed.toSeq))
     val stats =
       if (addedPaths.isEmpty) kept
       else kept.unionByName(
         statsOf(spark.read.parquet(addedPaths.map(escapeGlob): _*), keyCols,
           bloomSpecsLike(snap)))
-    commitSnapshot(spark, table, stats)
+    // COW mutations preserve the table schema — carry the recorded one.
+    commitSnapshot(spark, table, stats, storedSchema(spark, table, snapId))
   }
 
   /** Bloom specs matching an existing snapshot's bloom columns (so stats
@@ -385,13 +449,21 @@ object Manifest {
       return (prevId, 0, 0)
     val carriedDf = spark.createDataFrame(
       java.util.Arrays.asList(carried: _*), prev.schema)
-    val stats =
-      if (newPaths.isEmpty) carriedDf
-      else carriedDf.unionByName(
-        statsOf(spark.read.option("basePath", table)
-          .parquet(newPaths.map(p => escapeGlob(p.toString)): _*), keyCols,
-          bloomSpecsLike(prev)))
-    (commitSnapshot(spark, table, stats), newPaths.length, removed.length)
+    val prevSchema = storedSchema(spark, table, prevId)
+    val (stats, schema) =
+      if (newPaths.isEmpty) (carriedDf, prevSchema)
+      else {
+        // mergeSchema over the NEW files only (O(new) footers): appends
+        // between two snapshots may themselves carry mixed schemas.
+        val fresh = spark.read.option("basePath", table).option("mergeSchema", "true")
+          .parquet(newPaths.map(p => escapeGlob(p.toString)): _*)
+        // Additive evolution gate: new columns fold into the recorded
+        // schema; a type change fails typed BEFORE any snapshot commits.
+        val merged = prevSchema.map(old => mergeAdditive(old, fresh.schema))
+        (carriedDf.unionByName(
+          statsOf(fresh, keyCols, bloomSpecsLike(prev))), merged)
+      }
+    (commitSnapshot(spark, table, stats, schema), newPaths.length, removed.length)
   }
 
   /** Key columns of the latest snapshot, recovered from the snapshot's own
@@ -449,8 +521,9 @@ object Manifest {
       val bits = p.bloomBits.getOrElse(
         BloomFilter.optimalNumOfBits(100000L, 0.03))
       val specs = p.bloomCols.map(c => BloomSpec(c, math.max(1L, bits / 7), bits))
+      val data = spark.read.option("mergeSchema", "true").parquet(table)
       commitSnapshot(spark, table,
-        statsOf(spark.read.parquet(table), p.keyCols, specs))
+        statsOf(data, p.keyCols, specs), Some(data.schema))
     }
 
   /** Does snapshot `id` exist under `table`? Checkpoint validation for
@@ -479,8 +552,13 @@ object Manifest {
     * everything); files missing on disk raise [[StaleManifestException]].
     */
   def scanBox(spark: SparkSession, table: String,
-              preds: Seq[(String, Long, Long)]): (DataFrame, Int, Int) =
-    scanBoxFrom(spark, table, files(spark, table), preds)
+              preds: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
+    val id = latestId(spark, table).getOrElse(
+      throw new IllegalStateException(s"no manifest snapshot under $table"))
+    scanBoxFrom(spark, table,
+      spark.read.parquet(s"${root(table)}/snapshot-$id"), preds,
+      storedSchema(spark, table, id))
+  }
 
   /** [[scanBox]] AS OF a retained snapshot — pruning and time travel
     * compose: the box predicate skips files using the PAST snapshot's own
@@ -494,11 +572,29 @@ object Manifest {
       s"no snapshot-$id under $table — never created, or expired by retention " +
         "(expireSnapshots); time travel reaches only retained snapshots")
     scanBoxFrom(spark, table,
-      spark.read.parquet(s"${root(table)}/snapshot-$id"), preds)
+      spark.read.parquet(s"${root(table)}/snapshot-$id"), preds,
+      storedSchema(spark, table, id))
+  }
+
+  /** File-list read pinned to the snapshot's recorded schema when one was
+    * stored: on an additively-evolved table, old files surface the added
+    * columns as NULL (and time travel reads the HISTORICAL schema) —
+    * where footer sampling would return whichever file's schema Spark
+    * happened to pick. Falls back to inference for pre-evolution
+    * snapshots. `basePath` keeps hive-partition columns either way.
+    */
+  private def readFiles(spark: SparkSession, table: String,
+                        picked: Seq[String],
+                        schema: Option[StructType]): DataFrame = {
+    val r0 = spark.read.option("basePath", table)
+    val r = schema.fold(r0)(r0.schema)
+    if (picked.isEmpty) r.parquet(table).limit(0)
+    else r.parquet(picked.map(escapeGlob): _*)
   }
 
   private def scanBoxFrom(spark: SparkSession, table: String, f: DataFrame,
-                          preds: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
+                          preds: Seq[(String, Long, Long)],
+                          schema: Option[StructType]): (DataFrame, Int, Int) = {
     require(preds.nonEmpty, "need at least one range predicate")
     preds.foreach { case (c, _, _) =>
       require(f.columns.contains(s"min_$c"),
@@ -509,15 +605,9 @@ object Manifest {
     val picked = f.filter(overlap)
       .select("file").collect().map(_.getString(0)).toIndexedSeq
     requireFresh(spark, table, picked)
-    val base =
-      if (picked.isEmpty) spark.read.parquet(table).limit(0)
-      // basePath: without it a file-list read of a HIVE-PARTITIONED table
-      // silently DROPS the partition columns (they live in the directory
-      // names above each file, not in the files).
-      else spark.read.option("basePath", table).parquet(picked.map(escapeGlob): _*)
-    val schema = base.schema
+    val base = readFiles(spark, table, picked, schema)
     val residual = preds.map { case (c, lo, hi) =>
-      statCol(c, schema(c).dataType).between(lo, hi) }.reduce(_ && _)
+      statCol(c, base.schema(c).dataType).between(lo, hi) }.reduce(_ && _)
     (base.filter(residual), picked.length, all)
   }
 
@@ -553,7 +643,9 @@ object Manifest {
   def scanKeys(spark: SparkSession, table: String, keyCol: String,
                values: Seq[Long]): KeyScan = {
     require(values.nonEmpty, "need at least one probe value")
-    val f = files(spark, table)
+    val id = latestId(spark, table).getOrElse(
+      throw new IllegalStateException(s"no manifest snapshot under $table"))
+    val f = spark.read.parquet(s"${root(table)}/snapshot-$id")
     require(f.columns.contains(s"min_$keyCol"),
       s"manifest snapshot has no stats for column $keyCol")
     val total = f.count().toInt
@@ -578,10 +670,7 @@ object Manifest {
         (cand, cand.length)
       }
     requireFresh(spark, table, picked)
-    val base =
-      if (picked.isEmpty) spark.read.parquet(table).limit(0)
-      // basePath: keep hive-partition columns (see scanBox).
-      else spark.read.option("basePath", table).parquet(picked.map(escapeGlob): _*)
+    val base = readFiles(spark, table, picked, storedSchema(spark, table, id))
     val residual =
       statCol(keyCol, base.schema(keyCol).dataType).isInCollection(values)
     KeyScan(base.filter(residual), picked.length, rangeCandidates, total)
@@ -682,15 +771,16 @@ object Manifest {
     */
   def addedSince(spark: SparkSession, table: String, sinceId: Int): (DataFrame, Int) = {
     val since = spark.read.parquet(s"${root(table)}/snapshot-$sinceId")
-    val added = files(spark, table)
+    val latest = latestId(spark, table).getOrElse(
+      throw new IllegalStateException(s"no manifest snapshot under $table"))
+    val added = spark.read.parquet(s"${root(table)}/snapshot-$latest")
       .join(since.select("file"), Seq("file"), "left_anti")
       .select("file").collect().map(_.getString(0)).toIndexedSeq
     requireFresh(spark, table, added)
-    val rows =
-      if (added.isEmpty) spark.read.parquet(table).limit(0)
-      // basePath: keep hive-partition columns (see scanBox).
-      else spark.read.option("basePath", table).parquet(added.map(escapeGlob): _*)
-    (rows, added.length)
+    // Read with the LATEST snapshot's schema: an increment that introduced
+    // a new column surfaces it; one that didn't reads NULLs for it.
+    (readFiles(spark, table, added, storedSchema(spark, table, latest)),
+      added.length)
   }
 
   /** TIME TRAVEL: read the table exactly as snapshot `id` recorded it —
@@ -713,9 +803,9 @@ object Manifest {
     val picked = spark.read.parquet(s"${root(table)}/snapshot-$id")
       .select("file").collect().map(_.getString(0)).toIndexedSeq
     requireFresh(spark, table, picked)
-    if (picked.isEmpty) spark.read.parquet(table).limit(0)
-    // basePath: keep hive-partition columns (see scanBox).
-    else spark.read.option("basePath", table).parquet(picked.map(escapeGlob): _*)
+    // The snapshot's OWN recorded schema: time travel across an additive
+    // evolution reads the table as it was — without the later columns.
+    readFiles(spark, table, picked, storedSchema(spark, table, id))
   }
 
   /** Retention: drop all but the newest `keep` snapshots (each is a few

@@ -417,6 +417,48 @@ object SourceQueries {
                    "(SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_shipdate " +
                      "FROM lineitem, k WHERE l_orderkey = k.key) t")})""".stripMargin)),
 
+    // ---- ADDITIVE SCHEMA EVOLUTION through the snapshot layer: each
+    //      snapshot records the table schema it saw (a schema.json sidecar
+    //      committed atomically with the stats), reads pin that schema
+    //      instead of footer-sampling — so after an append introduces a
+    //      `score` column, a current read surfaces score on EVERY row
+    //      (NULL-backfilled for pre-evolution files), while time travel to
+    //      the pre-evolution snapshot reads the HISTORICAL schema without
+    //      the column. Type changes fail typed at snapshot time (spec'd).
+    //      Gate: the evolved read's fingerprint ≡ DuckDB's UNION replay
+    //      with CAST(NULL AS double) backfill + the frozen-old-schema and
+    //      as-of-count booleans.
+    Q("manifest_schema_evolution",
+      (s, dir) => {
+        val stage = java.nio.file.Files.createTempDirectory("graft_manifest_ev").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.select(col("doc_id"), col("lang"), col("n_chars"))
+          .filter(col("doc_id") % 3 =!= 0)
+          .repartition(4).write.mode("overwrite").parquet(stage)
+        val snap1 = graft.ops.Manifest.create(s, stage, "doc_id")
+        docs.select(col("doc_id"), col("lang"), col("n_chars"))
+          .filter(col("doc_id") % 3 === 0)
+          .withColumn("score", col("n_chars") * lit(0.5))
+          .repartition(2).write.mode("append").parquet(stage)
+        val (snap2, _, _) = graft.ops.Manifest.createIncremental(s, stage, "doc_id")
+        val cur = graft.ops.Manifest.readAsOf(s, stage, snap2)
+        val old = graft.ops.Manifest.readAsOf(s, stage, snap1)
+        graft.functions.Hashing.multisetFingerprintAgg(
+          cur, Seq("doc_id", "lang", "n_chars", "score"))
+          .withColumn("old_schema_frozen", lit(!old.columns.contains("score")))
+          .withColumn("n_as_of_1", lit(old.count()))
+      },
+      Some(s"""SELECT *, true AS old_schema_frozen,
+               | (SELECT count(*) FROM documents WHERE doc_id % 3 <> 0)::BIGINT AS n_as_of_1
+               |FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "lang", "n_chars", "score"),
+                   "(SELECT doc_id, lang, n_chars, CAST(NULL AS double) AS score " +
+                     "FROM documents WHERE doc_id % 3 <> 0 " +
+                     "UNION ALL " +
+                     "SELECT doc_id, lang, n_chars, n_chars * CAST(0.5 AS double) AS score " +
+                     "FROM documents WHERE doc_id % 3 = 0) t")})""".stripMargin)),
+
     // ---- metadata-accelerated range COUNT: files fully inside the range
     //      are counted from the snapshot's per-file non-null key counts
     //      (zero data reads — the Iceberg/Delta COUNT(*) fast path); only

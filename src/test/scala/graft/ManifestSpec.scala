@@ -421,6 +421,48 @@ class ManifestSpec extends SparkSpec {
     assert(kept.rows.count() == 1L && kept.filesRead < kept.filesTotal)
   }
 
+  test("additive schema evolution: pinned reads, NULL backfill, historical schema in time travel") {
+    val stage = tmpDir("manifest_evolve") + "/t"
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .coalesce(1).write.parquet(stage)
+    val snap1 = Manifest.create(spark, stage, "id")
+    Seq((10L, "x", 1.5), (11L, "y", 2.5)).toDF("id", "v", "score")
+      .coalesce(1).write.mode("append").parquet(stage)
+    val (snap2, scanned, _) = Manifest.createIncremental(spark, stage, "id")
+    assert(scanned == 1)
+
+    // Current read: evolved schema, old files backfill score with NULL.
+    val cur = Manifest.readAsOf(spark, stage, snap2)
+    assert(cur.columns.toSeq == Seq("id", "v", "score"))
+    assert(cur.filter(col("score").isNull).count() == 3L)
+    assert(cur.filter(col("id") === 10L).head().getDouble(2) == 1.5)
+
+    // Pruned scans see the evolved schema too (pinned, not footer-sampled).
+    val (rows, _, _) = Manifest.scanRange(spark, stage, "id", 1L, 11L)
+    assert(rows.columns.contains("score") && rows.count() == 5L)
+
+    // Time travel reads the HISTORICAL schema: snapshot 1 has no score.
+    val old = Manifest.readAsOf(spark, stage, snap1)
+    assert(old.columns.toSeq == Seq("id", "v"))
+    assert(old.count() == 3L)
+  }
+
+  test("a type change is rejected typed at snapshot time; nothing commits") {
+    val stage = tmpDir("manifest_evolve_bad") + "/t"
+    import spark.implicits._
+    Seq((1L, 10L)).toDF("id", "n").coalesce(1).write.parquet(stage)
+    Manifest.create(spark, stage, "id")
+    Seq((2L, "oops")).toDF("id", "n").coalesce(1).write.mode("append").parquet(stage)
+    val before = Manifest.files(spark, stage).count()
+    val e = intercept[IllegalStateException] {
+      Manifest.createIncremental(spark, stage, "id")
+    }
+    assert(e.getMessage.contains("changes its type"))
+    assert(Manifest.files(spark, stage).count() == before,
+      "a rejected evolution must not commit a snapshot")
+  }
+
   test("a crashed create's orphan tmp dir is cleaned by the next create") {
     val stage = stageClustered("manifest_heal", 4)
     Manifest.create(spark, stage, "doc_id")
