@@ -81,4 +81,38 @@ object Sampling {
       }
     df.filter(hashBucket(col(idCol)) < rateCol)
   }
+
+  /** TEMPERATURE-based source mixing — the multilingual/multi-source
+    * sampling rule (target proportions ∝ n_s^α): per-source keep rates
+    * r_s ∝ n_s^(α−1), normalized so the SMALLEST source keeps everything —
+    * α = 1 is passthrough, α → 0 equalizes expected counts, in between
+    * up-weights small sources without starving big ones. Rates derive from
+    * the data itself: ONE grouped count (collected — bounded by the number
+    * of sources), a #sources-sized basis-points map, and the same
+    * pushed-down deterministic bucket filter as [[mixSources]] — no join,
+    * no shuffle, no RNG state.
+    *
+    * Returns the mixed frame plus the rate map (basis points) so callers
+    * can surface/audit the computed rates. α = 0.5 is computed via
+    * exact-rounded `sqrt` (oracle-replayable bit-for-bit); other α use
+    * `pow` (replayable in practice; not a correctly-rounded IEEE op).
+    */
+  def mixByTemperature(df: DataFrame, idCol: String, sourceCol: String,
+                       alpha: Double): (DataFrame, Map[String, Int]) = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1]: $alpha")
+    val counts = df.groupBy(col(sourceCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap // rows ∝ #sources
+    require(counts.nonEmpty, "empty input: no sources to mix")
+    val nMin = counts.values.min.toDouble
+    val bps = counts.map { case (s, n) =>
+      val ratio = nMin / n.toDouble
+      val rate = if (alpha == 0.5) Math.sqrt(ratio) else Math.pow(ratio, 1.0 - alpha)
+      s -> Math.round(10000.0 * rate).toInt
+    }
+    val rateCol = bps.toSeq.sortBy(_._1)
+      .foldLeft(lit(0)) { case (acc, (s, b)) =>
+        when(col(sourceCol) === s, lit(b)).otherwise(acc)
+      }
+    (df.filter(hashBucket(col(idCol)) < rateCol), bps)
+  }
 }

@@ -662,6 +662,94 @@ object TextQueries {
               |                      WHEN 'src2' THEN 5000 ELSE 3500 END
               |GROUP BY source""".stripMargin)),
 
+    // ---- TEMPERATURE mixing (target proportions ∝ n_s^α — the
+    //      multilingual-sampling rule): keep rates derive from the corpus's
+    //      own per-source counts, r_s ∝ n_s^(α−1) normalized so the
+    //      smallest source keeps everything; α=0.5 here, computed via
+    //      exact-rounded sqrt so the rate arithmetic itself is replayed
+    //      bit-for-bit (counts → sqrt → ÷ → ×10⁴ → round, identical IEEE
+    //      tree both engines). One grouped count (collected, ∝ #sources) +
+    //      the same pushed-down md5-bucket filter as pipeline_mix_sample;
+    //      the computed basis-point rate rides the output as its own
+    //      hash-gated column.
+    Q("pipeline_mix_temperature",
+      (s, dir) => {
+        val (mixed, bps) = graft.ops.Sampling.mixByTemperature(
+          T(s, dir, "documents"), "doc_id", "source", alpha = 0.5)
+        val rateCol = bps.toSeq.sortBy(_._1)
+          .foldLeft(lit(0)) { case (acc, (src, b)) =>
+            when(col("source") === src, lit(b)).otherwise(acc) }
+        mixed.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+          .withColumn("rate_bps", rateCol.cast("long"))
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+              | m AS (SELECT min(n) AS nmin FROM c),
+              | r AS (SELECT source,
+              |   CAST(round(10000 * sqrt(CAST(nmin AS double) / n)) AS BIGINT) AS rate_bps
+              |  FROM c, m)
+              |SELECT d.source, count(*) AS n_docs,
+              | cast(sum(d.n_chars) as bigint) AS total_chars, r.rate_bps
+              |FROM documents d JOIN r ON d.source = r.source
+              |WHERE ('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 8))::bigint % 10000
+              |      < r.rate_bps
+              |GROUP BY d.source, r.rate_bps""".stripMargin)),
+
+    // ---- PMI collocations (pointwise mutual information over corpus
+    //      bigrams): the phrase-mining signal — ln(p(ab) / (p(a)·p(b))),
+    //      min-count floored, top-k by PMI. Corpus-wide unigram + bigram
+    //      counts are two map-side-combined aggregates; the vocab-sized
+    //      unigram table joins back onto bigram rows (broadcast at any
+    //      corpus scale — vocab ≪ corpus); the two scalar totals reach the
+    //      driver. PMI is rounded to 6 places in the identical IEEE tree
+    //      both engines replay (the unigram-LM precedent), and the top-k
+    //      order is totalized by the gram tiebreak.
+    Q("text_collocations",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val toks = graft.ops.TextAnalysis.tokens(lower(col("text")))
+        val words = docs.select(explode(toks).as("w"))
+        val uni = words.groupBy("w").agg(count(lit(1)).as("cw"))
+        val n1 = uni.agg(sum("cw")).head().getLong(0).toDouble
+        val grams = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", slice(toks, i, lit(2)))))
+        val big = docs.select(explode(grams).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("n_pairs"))
+        val n2 = big.agg(sum("n_pairs")).head().getLong(0).toDouble
+        val u1 = uni.select(col("w").as("w1"), col("cw").as("c1"))
+        val u2 = uni.select(col("w").as("w2"), col("cw").as("c2"))
+        big.filter(col("n_pairs") >= 5)
+          .withColumn("w1", split(col("gram"), " ").getItem(0))
+          .withColumn("w2", split(col("gram"), " ").getItem(1))
+          .join(broadcast(u1), Seq("w1")).join(broadcast(u2), Seq("w2"))
+          .select(col("gram"), col("n_pairs"),
+            round(log((col("n_pairs").cast("double") / lit(n2)) /
+              ((col("c1").cast("double") / lit(n1)) *
+                (col("c2").cast("double") / lit(n1)))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("gram"))
+          .limit(50)
+      },
+      Some("""WITH words AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+              |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w FROM documents),
+              | uni AS (SELECT w2 AS w, count(*) AS cw
+              |  FROM (SELECT unnest(w) AS w2 FROM words) GROUP BY 1),
+              | n1 AS (SELECT CAST(sum(cw) AS double) AS n FROM uni),
+              | big AS (SELECT gram, count(*) AS n_pairs
+              |  FROM (SELECT unnest(list_transform(range(1, len(w)),
+              |    i -> array_to_string(w[i:i+1], ' '))) AS gram FROM words WHERE len(w) >= 2)
+              |  GROUP BY gram),
+              | n2 AS (SELECT CAST(sum(n_pairs) AS double) AS n FROM big)
+              |SELECT gram, n_pairs,
+              | round(ln((CAST(n_pairs AS double) / n2.n) /
+              |   ((CAST(u1.cw AS double) / n1.n) * (CAST(u2.cw AS double) / n1.n))), 6) AS pmi
+              |FROM big
+              |CROSS JOIN n1 CROSS JOIN n2
+              |JOIN uni u1 ON u1.w = string_split(gram, ' ')[1]
+              |JOIN uni u2 ON u2.w = string_split(gram, ' ')[2]
+              |WHERE n_pairs >= 5
+              |ORDER BY pmi DESC, gram LIMIT 50""".stripMargin)),
+
     // ---- the full near-dup dedup pipeline, end to end and EXACT: shingle
     //      jaccard pairs (inverted index) → connected components → keep the
     //      canonical (min-id) doc per cluster → cleaned-corpus stats. The

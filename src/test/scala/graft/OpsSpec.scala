@@ -379,6 +379,32 @@ class OpsSpec extends SparkSpec {
     assert(bySrc("src2") > 20 && bySrc("src2") < 80)
   }
 
+  test("mixByTemperature: rates follow n^(alpha-1), smallest source keeps all, endpoints behave") {
+    import graft.ops.Sampling
+    // 400/100/25 docs across three sources — 16:4:1 size ratios.
+    val df = ((1L to 400L).map(i => (i, "big")) ++
+      (401L to 500L).map(i => (i, "mid")) ++
+      (501L to 525L).map(i => (i, "small"))).toDF("id", "source")
+
+    val (_, bps) = Sampling.mixByTemperature(df, "id", "source", alpha = 0.5)
+    // r_s = sqrt(n_min / n_s): small → 1.0, mid → 1/2, big → 1/4.
+    assert(bps == Map("small" -> 10000, "mid" -> 5000, "big" -> 2500))
+
+    // alpha = 1: passthrough — every source keeps everything.
+    val (all, bps1) = Sampling.mixByTemperature(df, "id", "source", alpha = 1.0)
+    assert(bps1.values.forall(_ == 10000) && all.count() == 525L)
+
+    // alpha = 0: expected kept counts equalize (rate ∝ 1/n).
+    val (_, bps0) = Sampling.mixByTemperature(df, "id", "source", alpha = 0.0)
+    assert(bps0 == Map("small" -> 10000, "mid" -> 2500, "big" -> 625))
+
+    // Determinism: the same call keeps the same rows.
+    val (a, _) = Sampling.mixByTemperature(df, "id", "source", alpha = 0.5)
+    val (b, _) = Sampling.mixByTemperature(df, "id", "source", alpha = 0.5)
+    assert(a.select("id").as[Long].collect().toSet ==
+      b.select("id").as[Long].collect().toSet)
+  }
+
   test("decontaminationPairs finds a planted benchmark extract") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
