@@ -35,13 +35,25 @@ private[graft] object FsMaint {
   /** Count of non-empty data files under `dir` (metadata-only) — the
     * append-debt signal compaction policies key on.
     */
+  /** Is `p` under a hidden (`_`/`.`-prefixed) directory relative to
+    * `base`? Hidden dirs hold metadata (manifest snapshots, retained
+    * trash) that Spark's reader ignores — sizing and file-count signals
+    * must ignore them too, or a `part-…` file inside a manifest snapshot
+    * counts as table data.
+    */
+  private def underHiddenDir(base: Path, p: Path): Boolean = {
+    val rel = p.toUri.getPath.stripPrefix(base.toUri.getPath)
+    rel.split('/').dropRight(1).exists(s => s.startsWith("_") || s.startsWith("."))
+  }
+
   def dataFileCount(fs: FileSystem, dir: Path): Long = {
     var n = 0L
     if (fs.exists(dir)) {
       val it = fs.listFiles(dir, true)
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.startsWith("part-") && f.getLen > 0) n += 1
+        if (f.getPath.getName.startsWith("part-") && f.getLen > 0 &&
+          !underHiddenDir(dir, f.getPath)) n += 1
       }
     }
     n
@@ -54,7 +66,8 @@ private[graft] object FsMaint {
       val it = fs.listFiles(dir, true)
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.startsWith("part-") && f.getLen > 0) b += f.getLen
+        if (f.getPath.getName.startsWith("part-") && f.getLen > 0 &&
+          !underHiddenDir(dir, f.getPath)) b += f.getLen
       }
     }
     b

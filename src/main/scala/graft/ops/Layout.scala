@@ -362,10 +362,56 @@ object Layout {
     val mOld = new Path(old, "_graft_manifest")
     val mNew = new Path(path, "_graft_manifest")
     if (fs.exists(mOld) && !fs.exists(mNew)) { fs.rename(mOld, mNew): Unit }
+    // earlier mutations' retained history crosses the swap the same way
+    carryTrash(fs, old, path)
     Manifest.commitReplaced(spark, path, keys, picked.toSet,
       stagedFiles.map(n => s"$path/$n"))
-    FsMaint.deleteRecursively(fs, new Path(old))
+    // 7. RETAIN the replaced originals: move them into the hidden trash
+    // dir (metadata renames) instead of deleting — time travel and the
+    // change feed read pre-mutation snapshots through the trash until
+    // [[Manifest.vacuum]] reclaims unreferenced files. The `_` prefix
+    // keeps direct parquet reads blind to them.
+    retainReplaced(fs, path, old)
     fs.delete(journal, false): Unit
+  }
+
+  /** Carry earlier mutations' retained history (`_graft_trash`) from the
+    * set-aside dir into the restored table — one rename when the target
+    * has no trash yet, a file-by-file merge when a crashed heal already
+    * created it (names are write-job-unique, so merges never collide).
+    */
+  private def carryTrash(fs: org.apache.hadoop.fs.FileSystem,
+                         old: String, path: String): Unit = {
+    val tOld = new Path(old, "_graft_trash")
+    if (!fs.exists(tOld)) return
+    val tNew = new Path(path, "_graft_trash")
+    if (!fs.exists(tNew)) { fs.rename(tOld, tNew): Unit }
+    else fs.listStatus(tOld).foreach { st =>
+      if (st.isFile && !fs.rename(st.getPath, new Path(tNew, st.getPath.getName)))
+        throw new java.io.IOException(s"cow commit: failed to carry trash ${st.getPath.getName}")
+    }
+  }
+
+  /** Move every data file left in the set-aside dir `old` (after
+    * untouched files were carried out, exactly the replaced originals)
+    * into `<path>/_graft_trash/`, then drop `old`. Shared by the commit
+    * and the crash heal so an interruption in this window still retains
+    * history.
+    */
+  private def retainReplaced(fs: org.apache.hadoop.fs.FileSystem,
+                             path: String, old: String): Unit = {
+    val oldP = new Path(old)
+    if (fs.exists(oldP)) {
+      val trash = new Path(path, "_graft_trash")
+      fs.mkdirs(trash)
+      fs.listStatus(oldP).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.startsWith("part-") && st.getLen > 0)
+          if (!fs.rename(st.getPath, new Path(trash, n)))
+            throw new java.io.IOException(s"cow commit: failed to retain $n")
+      }
+      FsMaint.deleteRecursively(fs, oldP)
+    }
   }
 
   /** Result of a copy-on-write merge: targeting plus row-level outcome. */
@@ -454,12 +500,15 @@ object Layout {
     if (!fs.exists(journal)) {
       FsMaint.deleteRecursively(fs, stage) // junk: no journal, no renames yet
     } else if (fs.exists(new Path(path))) {
-      // reached step 5 (or never left step 2): finish step 6's cleanup
+      // reached step 5 (or never left step 2): finish steps 6-7's cleanup —
+      // carry the manifest, RETAIN the replaced originals (the heal is
+      // history-preserving, same as the uninterrupted commit)
       if (fs.exists(old)) {
         val mOld = new Path(old, "_graft_manifest")
         val mNew = new Path(new Path(path), "_graft_manifest")
         if (fs.exists(mOld) && !fs.exists(mNew)) { fs.rename(mOld, mNew): Unit }
-        FsMaint.deleteRecursively(fs, old)
+        carryTrash(fs, old.toString, path)
+        retainReplaced(fs, path, old.toString)
       }
       FsMaint.deleteRecursively(fs, stage)
       fs.delete(journal, false): Unit

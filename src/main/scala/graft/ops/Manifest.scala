@@ -66,20 +66,25 @@ object Manifest {
   private def fsOf(spark: SparkSession, table: String) =
     new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def latestId(spark: SparkSession, table: String): Option[Int] = {
+  private def snapshotIds(spark: SparkSession, table: String): Seq[Int] = {
     val fs = fsOf(spark, table)
     val r = new Path(root(table))
-    if (!fs.exists(r)) None
+    if (!fs.exists(r)) Nil
     else fs.listStatus(r).toSeq.collect {
       case s if s.isDirectory => s.getPath.getName match {
         case SnapRe(n) => Some(n.toInt)
         case _ => None
       }
-    }.flatten match {
+    }.flatten
+  }
+
+  private def latestId(spark: SparkSession, table: String): Option[Int] =
+    snapshotIds(spark, table) match {
       case Seq() => None
       case ids => Some(ids.max)
     }
-  }
+
+  private def trashDir(table: String) = new Path(table, "_graft_trash")
 
   /** The key column normalized to the long domain its stats live in.
     * Total over exactly the types [[create]] admits; the integral branch
@@ -120,20 +125,48 @@ object Manifest {
     */
   private[ops] def requireFresh(spark: SparkSession, table: String,
                                 picked: Seq[String]): Unit = {
-    if (picked.isEmpty) return
+    resolveForRead(spark, table, picked, useTrash = false): Unit
+  }
+
+  /** Resolve snapshot file references to readable literal paths: each file
+    * at its recorded location, or — for HISTORICAL reads
+    * (`useTrash = true`) — in the hidden `_graft_trash` dir where COW
+    * mutations retain replaced originals until [[vacuum]]. A file in
+    * neither place raises the typed stale error. One `listStatus` per
+    * distinct parent dir plus at most one trash listing — O(directories)
+    * driver RPCs, never per-file probes. Latest-snapshot scans stay
+    * strict (`useTrash = false`): their files must be live, and trash
+    * fallback would mask an external delete.
+    */
+  private def resolveForRead(spark: SparkSession, table: String,
+                             picked: Seq[String],
+                             useTrash: Boolean): Seq[String] = {
+    if (picked.isEmpty) return Nil
     val fs = fsOf(spark, table)
-    val missing = picked.map(decodePath).groupBy(_.getParent).toSeq.flatMap {
+    lazy val trashNames: Set[String] = {
+      val t = trashDir(table)
+      if (fs.exists(t)) fs.listStatus(t).map(_.getPath.getName).toSet
+      else Set.empty
+    }
+    val resolved = picked.map(decodePath).groupBy(_.getParent).toSeq.flatMap {
       case (parent, paths) =>
         val existing =
           try fs.listStatus(parent).map(_.getPath.getName).toSet
           catch { case _: java.io.FileNotFoundException => Set.empty[String] }
-        paths.filterNot(p => existing(p.getName))
+        paths.map { p =>
+          if (existing(p.getName)) Right(p.toString)
+          else if (useTrash && trashNames(p.getName))
+            Right(new Path(trashDir(table), p.getName).toString)
+          else Left(p.toString)
+        }
     }
+    val missing = resolved.collect { case Left(p) => p }
     if (missing.nonEmpty)
       throw new StaleManifestException(
         s"stale manifest under $table: ${missing.length} referenced file(s) no longer " +
-          s"exist (first: ${missing.head}) — a layout rewrite or external delete " +
-          "happened after the snapshot; re-run Manifest.create")
+          s"exist (first: ${missing.head}) — a layout rewrite, external delete, or " +
+          "vacuum happened after the snapshot; re-run Manifest.create")
+    resolved.collect { case Right(p) => p }
   }
 
   /** Snapshot the table's current file-level stats for one or more key
@@ -557,7 +590,7 @@ object Manifest {
       throw new IllegalStateException(s"no manifest snapshot under $table"))
     scanBoxFrom(spark, table,
       spark.read.parquet(s"${root(table)}/snapshot-$id"), preds,
-      storedSchema(spark, table, id))
+      storedSchema(spark, table, id), useTrash = false)
   }
 
   /** [[scanBox]] AS OF a retained snapshot — pruning and time travel
@@ -573,7 +606,7 @@ object Manifest {
         "(expireSnapshots); time travel reaches only retained snapshots")
     scanBoxFrom(spark, table,
       spark.read.parquet(s"${root(table)}/snapshot-$id"), preds,
-      storedSchema(spark, table, id))
+      storedSchema(spark, table, id), useTrash = true)
   }
 
   /** File-list read pinned to the snapshot's recorded schema when one was
@@ -594,7 +627,8 @@ object Manifest {
 
   private def scanBoxFrom(spark: SparkSession, table: String, f: DataFrame,
                           preds: Seq[(String, Long, Long)],
-                          schema: Option[StructType]): (DataFrame, Int, Int) = {
+                          schema: Option[StructType],
+                          useTrash: Boolean): (DataFrame, Int, Int) = {
     require(preds.nonEmpty, "need at least one range predicate")
     preds.foreach { case (c, _, _) =>
       require(f.columns.contains(s"min_$c"),
@@ -604,8 +638,8 @@ object Manifest {
       col(s"max_$c") >= lo && col(s"min_$c") <= hi }.reduce(_ && _)
     val picked = f.filter(overlap)
       .select("file").collect().map(_.getString(0)).toIndexedSeq
-    requireFresh(spark, table, picked)
-    val base = readFiles(spark, table, picked, schema)
+    val base = readFiles(spark, table,
+      resolveForRead(spark, table, picked, useTrash), schema)
     val residual = preds.map { case (c, lo, hi) =>
       statCol(c, base.schema(c).dataType).between(lo, hi) }.reduce(_ && _)
     (base.filter(residual), picked.length, all)
@@ -669,8 +703,9 @@ object Manifest {
           .collect().map(_.getString(0)).toIndexedSeq
         (cand, cand.length)
       }
-    requireFresh(spark, table, picked)
-    val base = readFiles(spark, table, picked, storedSchema(spark, table, id))
+    val base = readFiles(spark, table,
+      resolveForRead(spark, table, picked, useTrash = false),
+      storedSchema(spark, table, id))
     val residual =
       statCol(keyCol, base.schema(keyCol).dataType).isInCollection(values)
     KeyScan(base.filter(residual), picked.length, rangeCandidates, total)
@@ -776,11 +811,11 @@ object Manifest {
     val added = spark.read.parquet(s"${root(table)}/snapshot-$latest")
       .join(since.select("file"), Seq("file"), "left_anti")
       .select("file").collect().map(_.getString(0)).toIndexedSeq
-    requireFresh(spark, table, added)
     // Read with the LATEST snapshot's schema: an increment that introduced
     // a new column surfaces it; one that didn't reads NULLs for it.
-    (readFiles(spark, table, added, storedSchema(spark, table, latest)),
-      added.length)
+    (readFiles(spark, table,
+      resolveForRead(spark, table, added, useTrash = false),
+      storedSchema(spark, table, latest)), added.length)
   }
 
   /** TIME TRAVEL: read the table exactly as snapshot `id` recorded it —
@@ -802,10 +837,87 @@ object Manifest {
         "(expireSnapshots); time travel reaches only retained snapshots")
     val picked = spark.read.parquet(s"${root(table)}/snapshot-$id")
       .select("file").collect().map(_.getString(0)).toIndexedSeq
-    requireFresh(spark, table, picked)
-    // The snapshot's OWN recorded schema: time travel across an additive
-    // evolution reads the table as it was — without the later columns.
-    readFiles(spark, table, picked, storedSchema(spark, table, id))
+    // The snapshot's OWN recorded schema (time travel across an additive
+    // evolution reads the table as it was), resolving replaced files
+    // through the retained trash — as-of reads survive COW mutations.
+    readFiles(spark, table,
+      resolveForRead(spark, table, picked, useTrash = true),
+      storedSchema(spark, table, id))
+  }
+
+  /** The newest committed snapshot id — the handle mutation jobs leave
+    * behind for [[readAsOf]] / [[changesBetween]] callers.
+    */
+  def latestSnapshotId(spark: SparkSession, table: String): Option[Int] =
+    latestId(spark, table)
+
+  /** Row-level CHANGE DATA FEED between two retained snapshots: every row
+    * tagged `delete` left the table and every row tagged `insert` entered
+    * it between `fromId` and `toId` (updates surface as a delete+insert
+    * pair — the CDF contract of Delta/Iceberg readers). Exact by
+    * construction AND cheap by construction: parquet files are immutable,
+    * so only rows in files REMOVED since `fromId` can have left and only
+    * rows in files ADDED can have entered — files present in both
+    * snapshots never decode. Rows a rewrite merely CARRIED into a new
+    * file appear on both sides and cancel in the multiset difference
+    * (`exceptAll`), so the feed is the NET change, with IO and shuffle
+    * ∝ files touched between the versions, never table size.
+    *
+    * Both reads are pinned to the TO snapshot's recorded schema (additive
+    * evolution NULL-backfills the before-rows; a column gained between
+    * the versions shows only where files were actually rewritten). Same
+    * typed failure modes as [[readAsOf]]: expired ids throw here, files
+    * deleted out-of-band raise [[StaleManifestException]].
+    */
+  def changesBetween(spark: SparkSession, table: String,
+                     fromId: Int, toId: Int): DataFrame = {
+    Seq(fromId, toId).foreach { id =>
+      require(hasSnapshot(spark, table, id),
+        s"no snapshot-$id under $table — never created, or expired by retention " +
+          "(expireSnapshots); the change feed reaches only retained snapshots")
+    }
+    def fileSet(id: Int): Set[String] =
+      spark.read.parquet(s"${root(table)}/snapshot-$id")
+        .select("file").collect().map(_.getString(0)).toSet
+    val from = fileSet(fromId)
+    val to = fileSet(toId)
+    val removed = (from -- to).toIndexedSeq
+    val added = (to -- from).toIndexedSeq
+    val schema = storedSchema(spark, table, toId)
+      .orElse(storedSchema(spark, table, fromId))
+    // Removed files live in the retained trash (COW mutations move their
+    // originals there); added files are live.
+    val before = readFiles(spark, table,
+      resolveForRead(spark, table, removed, useTrash = true), schema)
+    val after = readFiles(spark, table,
+      resolveForRead(spark, table, added, useTrash = true), schema)
+    before.exceptAll(after).withColumn("change", lit("delete"))
+      .unionByName(after.exceptAll(before).withColumn("change", lit("insert")))
+  }
+
+  /** Reclaim retained history: delete every trash file no RETAINED
+    * snapshot references (snapshots define reachability — run
+    * [[expireSnapshots]] first to shrink the retained window, then vacuum
+    * to free the bytes, the Delta/Iceberg VACUUM split). After a vacuum,
+    * as-of reads of the expired window fail typed, never silently.
+    * Metadata-only: one trash listing + the retained snapshots' file
+    * columns (rows ∝ file count). Returns the number of files deleted.
+    */
+  def vacuum(spark: SparkSession, table: String): Int = {
+    val fs = fsOf(spark, table)
+    val t = trashDir(table)
+    if (!fs.exists(t)) return 0
+    val referenced = snapshotIds(spark, table).flatMap { id =>
+      spark.read.parquet(s"${root(table)}/snapshot-$id")
+        .select("file").collect().map(r => decodePath(r.getString(0)).getName)
+    }.toSet
+    var n = 0
+    fs.listStatus(t).foreach { st =>
+      if (st.isFile && !referenced(st.getPath.getName)) {
+        if (fs.delete(st.getPath, false)) n += 1
+      }
+    }
+    n
   }
 
   /** Retention: drop all but the newest `keep` snapshots (each is a few

@@ -459,6 +459,54 @@ object SourceQueries {
                      "SELECT doc_id, lang, n_chars, n_chars * CAST(0.5 AS double) AS score " +
                      "FROM documents WHERE doc_id % 3 = 0) t")})""".stripMargin)),
 
+    // ---- CHANGE DATA FEED + retained history: COW mutations move the
+    //      files they replace into a hidden trash (reclaimed by vacuum),
+    //      so time travel SURVIVES deletes/merges and
+    //      `Manifest.changesBetween` can emit the exact row-level feed
+    //      between two versions — deletes and inserts (updates as a
+    //      delete+insert pair), computed from ONLY the files that differ
+    //      between the snapshots (immutable files never decode; carried
+    //      rows cancel in the multiset difference). Gate: the feed's
+    //      fingerprint ≡ DuckDB replaying the delete+merge as tagged row
+    //      sets, plus an as-of read ACROSS both mutations matching the
+    //      original table's row count.
+    Q("manifest_change_feed",
+      (s, dir) => {
+        val chCols = Seq("change", "doc_id", "text", "lang", "source", "n_chars")
+        val stage = java.nio.file.Files.createTempDirectory("graft_manifest_cdf").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.repartitionByRange(8, col("doc_id")).write.mode("overwrite").parquet(stage)
+        val snap1 = graft.ops.Manifest.create(s, stage, "doc_id")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        graft.ops.Layout.deleteRange(s, stage, "doc_id", maxId / 4, maxId / 2)
+        val updates = docs.filter(col("doc_id") < maxId / 8)
+          .withColumn("text", concat(lit("v2:"), col("text")))
+        val inserts = docs.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + maxId + 1)
+        graft.ops.Layout.mergeKeyed(s, stage, "doc_id",
+          updates.unionByName(inserts))
+        val snapN = graft.ops.Manifest.latestSnapshotId(s, stage).get
+        val feed = graft.ops.Manifest.changesBetween(s, stage, snap1, snapN)
+        val asOf1 = graft.ops.Manifest.readAsOf(s, stage, snap1)
+        graft.functions.Hashing.multisetFingerprintAgg(feed, chCols)
+          .withColumn("n_as_of_1", lit(asOf1.count()))
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) AS mx FROM documents),
+               | feed AS (
+               |  SELECT 'delete' AS change, d.* FROM documents d, b
+               |   WHERE doc_id BETWEEN b.mx // 4 AND b.mx // 2
+               |  UNION ALL
+               |  SELECT 'delete', d.* FROM documents d, b WHERE doc_id < b.mx // 8
+               |  UNION ALL
+               |  SELECT 'insert', doc_id, 'v2:' || text, lang, source, n_chars
+               |   FROM documents, b WHERE doc_id < b.mx // 8
+               |  UNION ALL
+               |  SELECT 'insert', doc_id + b.mx + 1, text, lang, source, n_chars
+               |   FROM documents, b WHERE doc_id < 10)
+               |SELECT *, (SELECT count(*) FROM documents)::BIGINT AS n_as_of_1 FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("change", "doc_id", "text", "lang", "source", "n_chars"), "feed t")})""".stripMargin)),
+
     // ---- metadata-accelerated range COUNT: files fully inside the range
     //      are counted from the snapshot's per-file non-null key counts
     //      (zero data reads — the Iceberg/Delta COUNT(*) fast path); only

@@ -463,6 +463,79 @@ class ManifestSpec extends SparkSpec {
       "a rejected evolution must not commit a snapshot")
   }
 
+  test("time travel survives a COW delete: replaced originals are retained in the trash") {
+    val stage = tmpDir("manifest_trash_tt") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartitionByRange(4, col("doc_id")).write.parquet(stage)
+    val snap1 = Manifest.create(spark, stage, "doc_id")
+    val before = fp(spark.read.parquet(stage))
+    Layout.deleteRange(spark, stage, "doc_id", 100L, 199L)
+    // Direct read sees the post-delete table (trash is invisible) …
+    assert(spark.read.parquet(stage).filter(col("doc_id").between(100, 199)).count() == 0L)
+    // … while the pre-delete snapshot still reads bit-for-bit.
+    assert(fp(Manifest.readAsOf(spark, stage, snap1)) == before)
+    // Historical pruned scans resolve through the trash too.
+    val (rows, _, _) = Manifest.scanBoxAsOf(spark, stage,
+      Seq(("doc_id", 100L, 199L)), snap1)
+    assert(rows.count() == 100L)
+  }
+
+  test("changesBetween: net row-level feed across delete + merge, reading only touched files") {
+    val stage = tmpDir("manifest_cdf") + "/documents"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.repartitionByRange(4, col("doc_id")).write.parquet(stage)
+    val snap1 = Manifest.create(spark, stage, "doc_id")
+
+    Layout.deleteRange(spark, stage, "doc_id", 100L, 149L)
+    val snap2 = Manifest.latestSnapshotId(spark, stage).get
+    val d12 = Manifest.changesBetween(spark, stage, snap1, snap2)
+    assert(d12.filter(col("change") === "insert").count() == 0L)
+    val deleted = d12.filter(col("change") === "delete")
+    assert(deleted.count() == 50L)
+    assert(deleted.agg(min("doc_id"), max("doc_id")).head() ===
+      org.apache.spark.sql.Row(100L, 149L))
+
+    val updates = docs.filter(col("doc_id").between(200, 209))
+      .withColumn("text", concat(lit("v2:"), col("text")))
+    val inserts = docs.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    Layout.mergeKeyed(spark, stage, "doc_id", updates.unionByName(inserts))
+    val snap3 = Manifest.latestSnapshotId(spark, stage).get
+    val d23 = Manifest.changesBetween(spark, stage, snap2, snap3)
+    // updates surface as delete+insert pairs; pure inserts only insert
+    assert(d23.filter(col("change") === "delete").count() == 10L)
+    assert(d23.filter(col("change") === "insert").count() == 13L)
+    assert(d23.filter(col("change") === "insert" &&
+      col("text").startsWith("v2:")).count() == 10L)
+
+    // identical endpoints → empty feed; full span = net of both ops
+    assert(Manifest.changesBetween(spark, stage, snap1, snap1).count() == 0L)
+    val d13 = Manifest.changesBetween(spark, stage, snap1, snap3)
+    assert(d13.filter(col("change") === "delete").count() == 60L)
+    assert(d13.filter(col("change") === "insert").count() == 13L)
+  }
+
+  test("vacuum reclaims unreferenced trash; expired as-of reads fail typed") {
+    val stage = tmpDir("manifest_vacuum") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartitionByRange(4, col("doc_id")).write.parquet(stage)
+    val snap1 = Manifest.create(spark, stage, "doc_id")
+    Layout.deleteRange(spark, stage, "doc_id", 0L, 99L)
+    // While snap1 is retained, vacuum must keep its files.
+    assert(Manifest.vacuum(spark, stage) == 0)
+    assert(Manifest.readAsOf(spark, stage, snap1).count() ==
+      spark.read.parquet(stage).count() + 100L)
+    // Expire the window, then reclaim.
+    Manifest.expireSnapshots(spark, stage, keep = 1)
+    assert(Manifest.vacuum(spark, stage) > 0)
+    assert(Manifest.vacuum(spark, stage) == 0) // idempotent
+    intercept[IllegalArgumentException] { // expired id: typed at the door
+      Manifest.readAsOf(spark, stage, snap1)
+    }
+    // The live table is untouched by vacuum.
+    assert(spark.read.parquet(stage).filter(col("doc_id") < 100).count() == 0L)
+  }
+
   test("a crashed create's orphan tmp dir is cleaned by the next create") {
     val stage = stageClustered("manifest_heal", 4)
     Manifest.create(spark, stage, "doc_id")
