@@ -397,6 +397,18 @@ object Manifest {
     }
   }
 
+  /** Non-throwing completeness probe — does the latest snapshot describe
+    * EXACTLY the table's current data files? For callers choosing between
+    * a snapshot-driven fast path and a full rescan (the typed
+    * [[StaleManifestException]] stays the contract for mutations, which
+    * must not proceed at all).
+    */
+  def isComplete(spark: SparkSession, table: String): Boolean =
+    latestId(spark, table).isDefined && {
+      try { requireComplete(spark, table); true }
+      catch { case _: StaleManifestException => false }
+    }
+
   /** Snapshot after a FILE-LEVEL REPLACEMENT (COW delete/merge): stats rows
     * of untouched files are carried verbatim from the pre-op snapshot
     * (parquet files are immutable, and the caller proved the snapshot

@@ -123,6 +123,24 @@ object SyncQueries {
       (m, b2)
     })
 
+  /** Staged change-feed-sync fixture: orders (narrow projection)
+    * range-clustered by key WITH its manifest snapshot already committed —
+    * master and slave copies both start from this dir, mutated per run.
+    * Written once per (process, sfDir).
+    */
+  private val cfStaged = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[queries] def cfBase(s: SparkSession, dir: String): String =
+    cfStaged.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files.createTempDirectory("graft_cf_base").toString + "/orders.parquet"
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .repartitionByRange(8, col("o_orderkey")).write.parquet(base)
+      graft.ops.Manifest.create(s, base, "o_orderkey"): Unit
+      base
+    })
+
   private def makeOrdersSlaveDir(s: SparkSession, dir: String, tag: String): String = {
     val base = ordersStaged.getOrElseUpdate(dir, {
       val out = java.nio.file.Files.createTempDirectory("graft_orders_base").toString
@@ -588,6 +606,86 @@ object SyncQueries {
         s"""SELECT fingerprint, n_rows, true AS maintained_matches,
            | true AS incremental_cycle_ok, true AS noop_cycle_ok
            |FROM (${Registry.duckMultisetFingerprint(oCols, "orders")})""".stripMargin
+      }),
+
+    // Change-feed-driven sync over a DML-MUTATED master — the
+    // general-mutation completion of the append-only incremental cycle:
+    // the master is mutated in place by the COW DML jobs (deleteRange +
+    // mergeKeyed), and one syncViaChangeFeed cycle converges the slave by
+    // applying the manifest's row-level change feed as a CDC batch —
+    // deletes carry their retained pre-images, updates arrive as D+I
+    // pairs, IO ∝ the files the mutations touched, the slave and master
+    // are never rescanned, and the maintained fingerprint advances by the
+    // feed's own aggregate. Gates: the feed cycle reported exactly the
+    // mutation's delete/insert counts, an unchanged cycle skips on the
+    // snapshot id, and the recomputed slave fingerprint equals both the
+    // maintained value and DuckDB's replay of the delete+merge.
+    Q("sync_converge_change_feed",
+      (s, dir) => {
+        val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        val base = cfBase(s, dir)
+        val mDir = java.nio.file.Files.createTempDirectory("graft_cf_m").toString
+        val sDir = java.nio.file.Files.createTempDirectory("graft_cf_s").toString
+        copyDir(java.nio.file.Paths.get(base),
+          java.nio.file.Paths.get(s"$mDir/orders.parquet"))
+        copyDir(java.nio.file.Paths.get(base),
+          java.nio.file.Paths.get(s"$sDir/orders.parquet"))
+        val mPath = s"$mDir/orders.parquet"
+        val engine = new SyncEngine(new ParquetStore(s, mDir), new ParquetStore(s, sDir),
+          SyncConfig(primaryKeys = Map("orders" -> Seq("o_orderkey")),
+            maintainFingerprints = true))
+        engine.syncViaChangeFeed("orders") // prime + checkpoint
+        val orders = Registry.table(s, dir, "orders").select(oCols.map(col): _*)
+        val maxId = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        graft.ops.Layout.deleteRange(s, mPath, "o_orderkey", maxId / 4, maxId / 2)
+        val nDel = orders
+          .filter(col("o_orderkey").between(maxId / 4, maxId / 2)).count()
+        val updates = orders.filter(col("o_orderkey") < maxId / 8)
+          .withColumn("o_orderpriority", concat(lit("U-"), col("o_orderpriority")))
+        val inserts = orders.filter(col("o_orderkey") < 20)
+          .withColumn("o_orderkey", col("o_orderkey") + maxId + 1)
+        graft.ops.Layout.mergeKeyed(s, mPath, "o_orderkey",
+          updates.unionByName(inserts))
+        val nUpd = updates.count(); val nIns = inserts.count()
+        val feedOk = engine.syncViaChangeFeed("orders") match {
+          case graft.sync.SyncAction.ApplyDelta(_, d, i) =>
+            d == nDel + nUpd && i == nUpd + nIns
+          case _ => false
+        }
+        val noopOk = engine.syncViaChangeFeed("orders") match {
+          case graft.sync.SyncAction.Skip(_, r) => r.contains("no snapshot change")
+          case _ => false
+        }
+        val maintained = engine.maintainedFingerprint("orders").get
+        Hashing.multisetFingerprintAgg(
+          s.read.parquet(s"$sDir/orders.parquet"), oCols)
+          .select(col("fingerprint"), col("n_rows"),
+            (col("fingerprint") === lit(maintained.render)).as("maintained_matches"),
+            lit(feedOk).as("feed_cycle_ok"),
+            lit(noopOk).as("noop_cycle_ok"))
+      },
+      Some {
+        val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        s"""WITH b AS (SELECT max(o_orderkey) AS mx FROM orders),
+           | final AS (
+           |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |         o_orderdate, o_orderpriority
+           |   FROM orders, b
+           |   WHERE o_orderkey NOT BETWEEN b.mx // 4 AND b.mx // 2
+           |     AND o_orderkey >= b.mx // 8
+           |  UNION ALL
+           |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |         o_orderdate, 'U-' || o_orderpriority
+           |   FROM orders, b WHERE o_orderkey < b.mx // 8
+           |  UNION ALL
+           |  SELECT o_orderkey + b.mx + 1, o_custkey, o_orderstatus,
+           |         o_totalprice, o_orderdate, o_orderpriority
+           |   FROM orders, b WHERE o_orderkey < 20)
+           |SELECT fingerprint, n_rows, true AS maintained_matches,
+           | true AS feed_cycle_ok, true AS noop_cycle_ok
+           |FROM (${Registry.duckMultisetFingerprint(oCols, "final")})""".stripMargin
       }),
 
     // JDBC hash pushdown (SURVEY §4 compute pushdown; reference

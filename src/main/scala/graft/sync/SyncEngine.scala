@@ -684,6 +684,87 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     }
   }
 
+  /** Store-derived form of [[syncViaChangeFeed(table:String,masterPath:String)*]]. */
+  def syncViaChangeFeed(table: String): SyncAction =
+    syncViaChangeFeed(table, master.tablePath(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"syncViaChangeFeed($table): the master store exposes no parquet " +
+          "directory for this table (TableStore.tablePath) — manifest-CDF " +
+          "sync needs a file-backed master")))
+
+  /** CHANGE-FEED-driven sync cycle for a master mutated IN PLACE by the
+    * COW DML jobs ([[graft.ops.Layout.deleteRange]] / `mergeKeyed`, or
+    * appends committed through manifest snapshots) — the general-mutation
+    * completion of [[syncAppendOnlyIncremental]]'s append-only story: the
+    * row-level feed between the engine's checkpointed master snapshot and
+    * the latest one ([[graft.ops.Manifest.changesBetween]] — deletes carry
+    * their pre-images because the mutations RETAIN replaced files, updates
+    * arrive as D+I pairs) is exactly the CDC batch [[applyCdc]] folds, so
+    * a cycle's MASTER IO is ∝ the files the mutations touched (never a
+    * master rescan) and fingerprint maintenance is O(delta); the slave
+    * pays only its store's delta-apply cost — keyed deletes on JDBC, one
+    * key-broadcast COW rewrite on a flat file store, partition-pruned on
+    * a partitioned one.
+    *
+    * Violations are DETECTED, never trusted — no checkpoint (priming
+    * cycle), expired checkpoint snapshot, pushed-flavor state, or an
+    * INCOMPLETE manifest (a file appended outside the manifest jobs would
+    * make the feed under-report) each fall back to a full [[syncTable]]
+    * diff that re-checkpoints at the master's current state. Converged
+    * cycles expire snapshot history to `manifestRetainSnapshots` and
+    * vacuum unreferenced trash, so the recurring loop self-bounds both
+    * metadata and retained-history debt.
+    */
+  def syncViaChangeFeed(table: String, masterPath: String): SyncAction = {
+    require(config.maintainFingerprints,
+      s"syncViaChangeFeed($table) requires maintainFingerprints mode")
+    val keys = keyColsOf(table).getOrElse(throw new IllegalArgumentException(
+      s"syncViaChangeFeed($table) requires a primary key in SyncConfig.primaryKeys"))
+    val spark = master.spark
+    def fullCycle(): SyncAction = {
+      val action = syncTable(table)
+      if (!config.dryRun && converged(action) &&
+          maintainedFp.get(table).exists(st => !st.pushed)) {
+        // Checkpoint at the master's CURRENT state (create/refresh the
+        // snapshot with the existing profile's keys, else the PK).
+        val mKeys = graft.ops.Manifest.currentKeyCols(spark, masterPath)
+          .getOrElse(keys)
+        val (id, _, _) =
+          graft.ops.Manifest.createIncremental(spark, masterPath, mKeys: _*)
+        manifestCheckpoint.update(table, id)
+        persistState(table)
+      }
+      action
+    }
+    val latest = graft.ops.Manifest.latestSnapshotId(spark, masterPath)
+    manifestCheckpoint.get(table) match {
+      case Some(lastId) if latest.isDefined &&
+          maintainedFp.get(table).exists(st => !st.pushed) &&
+          graft.ops.Manifest.hasSnapshot(spark, masterPath, lastId) &&
+          graft.ops.Manifest.isComplete(spark, masterPath) =>
+        if (latest.get == lastId) record(Skip(table, "no snapshot change"))
+        else {
+          val feed = graft.ops.Manifest
+            .changesBetween(spark, masterPath, lastId, latest.get)
+          val changes = feed.withColumn("__op",
+              when(col("change") === "delete", lit("D")).otherwise(lit("I")))
+            .drop("change")
+          val action = applyCdc(table, changes, opCol = "__op")
+          if (!config.dryRun) {
+            manifestCheckpoint.update(table, latest.get)
+            persistState(table)
+            if (config.manifestRetainSnapshots > 0) {
+              graft.ops.Manifest.expireSnapshots(spark, masterPath,
+                config.manifestRetainSnapshots)
+              graft.ops.Manifest.vacuum(spark, masterPath): Unit
+            }
+          }
+          action
+        }
+      case _ => fullCycle()
+    }
+  }
+
   /** Audit escape hatch for the sole-writer assumption: recompute the slave
     * fingerprint with one full scan and compare to the maintained value.
     * Run it at whatever cadence drift is plausible (the reference's answer

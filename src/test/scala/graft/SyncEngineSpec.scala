@@ -259,6 +259,49 @@ class SyncEngineSpec extends SparkSpec {
     assert(engine.verifyMaintained("cust"))
   }
 
+  test("syncViaChangeFeed: DML mutations flow as CDC, O(changed files), violations fall back") {
+    val (md, sd, ms, ss) = mkStores("cdf_sync")
+    val mPath = s"$md/cust.parquet"
+    custDf.repartitionByRange(3, col("id")).write.parquet(mPath)
+    custDf.repartitionByRange(3, col("id")).write.parquet(s"$sd/cust.parquet")
+    graft.ops.Manifest.create(spark, mPath, "id")
+    val engine = new SyncEngine(ms, ss, SyncConfig(
+      primaryKeys = Map("cust" -> Seq("id")), maintainFingerprints = true))
+    // Priming cycle: full gate (in sync) + checkpoint at the current snapshot.
+    assert(engine.syncViaChangeFeed("cust", mPath) ==
+      SyncAction.Skip("cust", "already in sync"))
+    // DML on the master: a COW delete + a keyed merge (update + insert).
+    graft.ops.Layout.deleteRange(spark, mPath, "id", 2L, 2L)
+    val delta = Seq((1L, "ALICE2", 10, 1.5), (9L, "iris", 18, 13.0))
+      .toDF("id", "name", "nk", "bal")
+    graft.ops.Layout.mergeKeyed(spark, mPath, "id", delta)
+    // One feed-driven cycle: delete pre-images + update pair + pure insert.
+    engine.syncViaChangeFeed("cust", mPath) match {
+      case SyncAction.ApplyDelta("cust", d, i) => assert(d == 2L && i == 2L)
+      case other => fail(s"expected CDC delta, got $other")
+    }
+    assert(fp(ss.read("cust")) == fp(ms.read("cust")))
+    assert(engine.verifyMaintained("cust"), "maintained fp must track the feed")
+    // Unchanged master: snapshot id is the checkpoint — zero-IO skip.
+    assert(engine.syncViaChangeFeed("cust", mPath) ==
+      SyncAction.Skip("cust", "no snapshot change"))
+    // Out-of-band append (bypasses the manifest): completeness check fails
+    // the cycle over to a full diff — converges, never under-reports.
+    Seq((10L, "judy", 19, 14.0)).toDF("id", "name", "nk", "bal")
+      .write.mode(SaveMode.Append).parquet(mPath)
+    val act = engine.syncViaChangeFeed("cust", mPath)
+    assert(act.isInstanceOf[SyncAction.ApplyDelta], act.toString)
+    assert(fp(ss.read("cust")) == fp(ms.read("cust")))
+    assert(engine.verifyMaintained("cust"))
+    // The fallback re-checkpointed: the next cycle rides the feed again.
+    graft.ops.Layout.deleteRange(spark, mPath, "id", 10L, 10L)
+    engine.syncViaChangeFeed("cust", mPath) match {
+      case SyncAction.ApplyDelta("cust", d, i) => assert(d == 1L && i == 0L)
+      case other => fail(s"expected feed delete, got $other")
+    }
+    assert(fp(ss.read("cust")) == fp(ms.read("cust")))
+  }
+
   test("syncAppendOnlyIncremental: checkpoint survives engine restart (stateDir)") {
     val (md, sd, ms, ss) = mkStores("inc_restart")
     val mPath = s"$md/cust.parquet"
