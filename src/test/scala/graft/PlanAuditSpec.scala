@@ -263,4 +263,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(s == 0, s"slave scanned $s times on an in-sync cycle; expected 0\n${scans.mkString("\n")}")
     assert(m == 1, s"master scanned $m times; expected exactly 1\n${scans.mkString("\n")}")
   }
+
+  test("bloom point scan: plans ONLY the sketch-picked files, never the table dir") {
+    val stage = tmpDir("pa_bloom") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartition(8).write.parquet(stage)
+    graft.ops.Manifest.createWithBloom(spark, stage, Seq("doc_id"), Seq("doc_id"))
+    val ks = graft.ops.Manifest.scanKeys(spark, stage, "doc_id", Seq(123L))
+    assert(ks.filesRead >= 1 && ks.filesRead < ks.filesTotal)
+    val scans = scanPathsDuring { ks.rows.collect(): Unit }
+    val data = scans.filter(p => p.contains(stage) && !p.contains("_graft_manifest"))
+    assert(data.nonEmpty, s"expected file-level scans\n${scans.mkString("\n")}")
+    data.foreach { p =>
+      assert(!p.stripSuffix("/").endsWith("documents"),
+        s"whole-table plan under a bloom point scan: $p")
+      assert(p.contains("/part-"), s"expected a file path, got: $p")
+    }
+    // Planned-file count matches the skipping evidence the API reported.
+    assert(data.distinct.size == ks.filesRead,
+      s"planned ${data.distinct.size} files, API reported ${ks.filesRead}")
+  }
+
+  test("change-feed sync cycle: master planned at FILE level (changed + retained files only)") {
+    val mDir = tmpDir("pa_cdf_m")
+    val sDir = tmpDir("pa_cdf_s")
+    val mPath = s"$mDir/lineitem.parquet"
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    li.repartitionByRange(6, col("l_orderkey")).write.parquet(mPath)
+    spark.read.parquet(mPath).write.parquet(s"$sDir/lineitem.parquet")
+    graft.ops.Manifest.create(spark, mPath, "l_orderkey")
+    val engine = new SyncEngine(new ParquetStore(spark, mDir), new ParquetStore(spark, sDir),
+      SyncConfig(primaryKeys = liKeys, maintainFingerprints = true))
+    engine.syncViaChangeFeed("lineitem", mPath) // prime + checkpoint
+    val maxK = li.agg(org.apache.spark.sql.functions.max(col("l_orderkey"))).head().getLong(0)
+    graft.ops.Layout.deleteRange(spark, mPath, "l_orderkey", maxK / 3, maxK / 2)
+    val scans = scanPathsDuring { engine.syncViaChangeFeed("lineitem", mPath): Unit }
+    // Master data scans are file-granular: the feed reads the mutation's
+    // added files (live) and removed originals (retained trash) — the
+    // whole-dir plan over untouched files never appears.
+    val masterData = scans.filter(p =>
+      p.contains(mPath) && !p.contains("_graft_manifest"))
+    assert(masterData.nonEmpty, s"expected file-level master scans\n${scans.mkString("\n")}")
+    masterData.foreach { p =>
+      assert(!p.stripSuffix("/").endsWith("lineitem.parquet"),
+        s"whole-table master plan on a feed cycle: $p\n${scans.mkString("\n")}")
+      assert(p.contains("/part-") || p.contains("_graft_trash"),
+        s"expected a changed-file or trash path, got: $p")
+    }
+    // The slave pays exactly its COW delta-apply read — one scan.
+    val sCount = scans.count(_.contains(sDir))
+    assert(sCount == 1, s"slave scanned $sCount times; expected 1\n${scans.mkString("\n")}")
+  }
 }
