@@ -709,19 +709,29 @@ object TextQueries {
         val docs = T(s, dir, "documents")
         val toks = graft.ops.TextAnalysis.tokens(lower(col("text")))
         val words = docs.select(explode(toks).as("w"))
+        // Materialize both vocab-sized count tables ONCE (eager local
+        // checkpoint): the scalar totals and the join-back below would each
+        // re-run the corpus tokenize/explode otherwise — 6 corpus passes
+        // instead of 2.
         val uni = words.groupBy("w").agg(count(lit(1)).as("cw"))
+          .localCheckpoint(true)
         val n1 = uni.agg(sum("cw")).head().getLong(0).toDouble
-        val grams = when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => concat_ws(" ", slice(toks, i, lit(2)))))
-        val big = docs.select(explode(grams).as("gram"))
-          .groupBy("gram").agg(count(lit(1)).as("n_pairs"))
+        // Adjacent pairs via slice+arrays_zip (plain collection expressions,
+        // fully codegen'd — the transform(sequence…) lambda form is
+        // interpreted and was ~2× slower); the gram STRING is only built on
+        // the vocab-sized aggregate below, never per corpus token.
+        val pairs = when(size(toks) >= 2,
+          arrays_zip(slice(toks, lit(1), size(toks) - 1).as("a"),
+            slice(toks, lit(2), size(toks) - 1).as("b")))
+        val big = docs.select(explode(pairs).as("p"))
+          .select(col("p.a").as("w1"), col("p.b").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
+          .localCheckpoint(true)
         val n2 = big.agg(sum("n_pairs")).head().getLong(0).toDouble
         val u1 = uni.select(col("w").as("w1"), col("cw").as("c1"))
         val u2 = uni.select(col("w").as("w2"), col("cw").as("c2"))
         big.filter(col("n_pairs") >= 5)
-          .withColumn("w1", split(col("gram"), " ").getItem(0))
-          .withColumn("w2", split(col("gram"), " ").getItem(1))
+          .withColumn("gram", concat_ws(" ", col("w1"), col("w2")))
           .join(broadcast(u1), Seq("w1")).join(broadcast(u2), Seq("w2"))
           .select(col("gram"), col("n_pairs"),
             round(log((col("n_pairs").cast("double") / lit(n2)) /
