@@ -101,6 +101,19 @@ object Manifest {
         "(a string/decimal key would produce NULL stats and silently prune every file)")
   }
 
+  /** The long a bloom sketch holds for column `c`: the normalized stat
+    * value for orderable keys, `xxhash64` for STRING keys — strings carry
+    * no orderable range stats (the [[statCol]] rejection), but equality
+    * wants no order: hashing both the build side and the probe side with
+    * the same function keeps the no-false-negative contract (identical
+    * strings hash identically; a hash collision is one more false
+    * positive, absorbed by the exact residual filter).
+    */
+  private def bloomProbeCol(c: String, dt: DataType): Column = dt match {
+    case StringType => xxhash64(col(c))
+    case other => statCol(c, other)
+  }
+
   /** `input_file_name()` returns the URL-ENCODED file path (`[` as `%5B`
     * etc. — Spark's internal `SparkPath` representation); decode it back
     * to the real filesystem path before any name comparison or read.
@@ -208,12 +221,20 @@ object Manifest {
                       expectedItemsPerFile: Long = 100000L,
                       fpp: Double = 0.03): Int = {
     require(keyCols.nonEmpty, "need at least one key column")
-    require(bloomCols.nonEmpty && bloomCols.forall(keyCols.contains),
-      s"bloom columns ${bloomCols.mkString(", ")} must be a subset of the key columns")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    val data = spark.read.option("mergeSchema", "true").parquet(table)
+    // A bloom column is either a key column (sketch over the normalized
+    // long, composing with its min/max pre-filter) or a STRING column
+    // (sketch over xxhash64 — strings carry no range stats, the sketch is
+    // the ONLY skipping signal, which is exactly the UUID/URL lookup case).
+    bloomCols.foreach { c =>
+      require(keyCols.contains(c) ||
+        data.schema.fieldNames.contains(c) && data.schema(c).dataType == StringType,
+        s"bloom column `$c` must be a key column or a string column")
+    }
+    require(bloomCols.nonEmpty, "need at least one bloom column")
     val bits = BloomFilter.optimalNumOfBits(expectedItemsPerFile, fpp)
     val specs = bloomCols.map(c => BloomSpec(c, expectedItemsPerFile, bits))
-    val data = spark.read.option("mergeSchema", "true").parquet(table)
     commitSnapshot(spark, table, statsOf(data, keyCols, specs), Some(data.schema))
   }
 
@@ -250,6 +271,8 @@ object Manifest {
       require(schema.fieldNames.contains(c), s"no such column: $c")
       statCol(c, schema(c).dataType): Unit // type guard — throws on unsupported
     }
+    blooms.foreach(b => require(schema.fieldNames.contains(b.col),
+      s"no such column: ${b.col}"))
     val aggs = keyCols.flatMap(c => Seq(
       min(statCol(c, schema(c).dataType)).as(s"min_$c"),
       max(statCol(c, schema(c).dataType)).as(s"max_$c"),
@@ -258,7 +281,7 @@ object Manifest {
       // count them).
       count(statCol(c, schema(c).dataType)).as(s"cnt_$c"))) ++
       blooms.map(b =>
-        bloomAgg(statCol(b.col, schema(b.col).dataType), b).as(s"bloom_${b.col}")) :+
+        bloomAgg(bloomProbeCol(b.col, schema(b.col).dataType), b).as(s"bloom_${b.col}")) :+
       count(lit(1)).as("n_rows")
     data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.drop(1): _*)
@@ -721,6 +744,48 @@ object Manifest {
     val residual =
       statCol(keyCol, base.schema(keyCol).dataType).isInCollection(values)
     KeyScan(base.filter(residual), picked.length, rangeCandidates, total)
+  }
+
+  /** STRING-key point/IN-list scan — the UUID/URL lookup case: string
+    * keys carry no orderable range stats (rejected at [[create]]), so the
+    * per-file bloom sketch over `xxhash64(key)` ([[createWithBloom]] with
+    * a string bloom column) is the ONLY skipping signal; every file is a
+    * candidate and the sketch alone decides what is read. Probe hashes
+    * are computed with the SAME Catalyst expression the build side
+    * aggregated, so identical strings always probe true (no false
+    * negatives); hash collisions and sketch false positives both cost one
+    * wasted file read behind the exact string-equality residual.
+    */
+  def scanKeysString(spark: SparkSession, table: String, keyCol: String,
+                     values: Seq[String]): KeyScan = {
+    require(values.nonEmpty, "need at least one probe value")
+    val id = latestId(spark, table).getOrElse(
+      throw new IllegalStateException(s"no manifest snapshot under $table"))
+    val f = spark.read.parquet(s"${root(table)}/snapshot-$id")
+    require(f.columns.contains(s"bloom_$keyCol"),
+      s"manifest snapshot has no bloom sketch for column $keyCol — string keys " +
+        "carry no range stats; build one with createWithBloom")
+    val total = f.count().toInt
+    val hashes = values.map { v =>
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v), StringType)))
+        .eval(null).asInstanceOf[Long]
+    }.toArray
+    import spark.implicits._
+    val flagged = f.select(col("file"), col(s"bloom_$keyCol")).as[(String, Array[Byte])]
+      .map { case (path, sketch) =>
+        (path, sketch != null && {
+          val bf = BloomFilter.readFrom(sketch)
+          hashes.exists(bf.mightContainLong)
+        })
+      }.collect()
+    val picked = flagged.collect { case (p, true) => p }.toIndexedSeq
+    val base = readFiles(spark, table,
+      resolveForRead(spark, table, picked, useTrash = false),
+      storedSchema(spark, table, id))
+    KeyScan(base.filter(col(keyCol).isInCollection(values)),
+      picked.length, flagged.length, total)
   }
 
   /** Metadata-accelerated range COUNT: files whose key range is FULLY

@@ -459,6 +459,36 @@ object SourceQueries {
                      "SELECT doc_id, lang, n_chars, n_chars * CAST(0.5 AS double) AS score " +
                      "FROM documents WHERE doc_id % 3 = 0) t")})""".stripMargin)),
 
+    // ---- STRING-key bloom lookup (the UUID/URL point-lookup case): string
+    //      keys carry no orderable range stats — the manifest rejects them
+    //      for min/max, correctly — so the per-file sketch over
+    //      xxhash64(key) is the ONLY skipping signal. Fixture: a derived
+    //      md5 uid column on a hash-layout table; probe one real uid + one
+    //      absent uid. Gate: fingerprint ≡ DuckDB's equality scan over the
+    //      same derived uid + the strictly-fewer-files boolean.
+    Q("manifest_bloom_uid_scan",
+      (s, dir) => {
+        val outCols = Seq("doc_id", "lang", "n_chars", "uid")
+        val stage = java.nio.file.Files.createTempDirectory("graft_manifest_bfs").toString + "/documents"
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("uid", md5(col("doc_id").cast("string")))
+          .repartition(8).write.mode("overwrite").parquet(stage)
+        graft.ops.Manifest.createWithBloom(s, stage,
+          keyCols = Seq("doc_id"), bloomCols = Seq("uid"))
+        val target = s.read.parquet(stage)
+          .filter(col("doc_id") === 123L).select("uid").head().getString(0)
+        val ks = graft.ops.Manifest.scanKeysString(s, stage, "uid",
+          Seq(target, "no-such-uid"))
+        graft.functions.Hashing.multisetFingerprintAgg(ks.rows, outCols)
+          .withColumn("bloom_pruned", lit(ks.filesRead < ks.filesTotal))
+      },
+      Some(s"""SELECT *, true AS bloom_pruned FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "lang", "n_chars", "uid"),
+                   "(SELECT doc_id, lang, n_chars, md5(cast(doc_id as varchar)) AS uid " +
+                     "FROM documents WHERE doc_id = 123) t")})""".stripMargin)),
+
     // ---- CHANGE DATA FEED + retained history: COW mutations move the
     //      files they replace into a hidden trash (reclaimed by vacuum),
     //      so time travel SURVIVES deletes/merges and

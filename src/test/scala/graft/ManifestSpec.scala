@@ -377,6 +377,35 @@ class ManifestSpec extends SparkSpec {
     assert(ks.rows.count() == 1L)
   }
 
+  test("string-key bloom lookup: xxhash sketch is the only signal, exact and pruning") {
+    val stage = tmpDir("manifest_bloom_str") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .withColumn("uid", md5(col("doc_id").cast("string")))
+      .repartition(8).write.parquet(stage)
+    // uid is a STRING bloom column next to the integral key column.
+    Manifest.createWithBloom(spark, stage, Seq("doc_id"), Seq("uid"))
+    val target = spark.read.parquet(stage)
+      .filter(col("doc_id") === 123L).select("uid").head().getString(0)
+    val ks = Manifest.scanKeysString(spark, stage, "uid", Seq(target))
+    assert(ks.filesTotal == 8 && ks.filesRead >= 1 && ks.filesRead < ks.filesTotal)
+    assert(ks.rows.count() == 1L && ks.rows.head().getAs[Long]("doc_id") == 123L)
+    // Absent key: nothing read; mixed probe still exact.
+    val none = Manifest.scanKeysString(spark, stage, "uid", Seq("no-such-uid"))
+    assert(none.filesRead == 0 && none.rows.count() == 0L)
+    val mixed = Manifest.scanKeysString(spark, stage, "uid", Seq(target, "no-such-uid"))
+    assert(mixed.rows.count() == 1L)
+    // No sketch for the column → typed refusal, never a silent full scan.
+    val e = intercept[IllegalArgumentException] {
+      Manifest.scanKeysString(spark, stage, "lang", Seq("en"))
+    }
+    assert(e.getMessage.contains("no bloom sketch"))
+    // A non-key, non-string bloom column is rejected at create.
+    val e2 = intercept[IllegalArgumentException] {
+      Manifest.createWithBloom(spark, stage, Seq("doc_id"), Seq("n_chars"))
+    }
+    assert(e2.getMessage.contains("key column or a string column"))
+  }
+
   test("blooms survive a Layout rewrite (profile recreated across the swap)") {
     val stage = tmpDir("manifest_bloom_rw") + "/documents"
     spark.read.parquet(s"$sf001/documents.parquet")
