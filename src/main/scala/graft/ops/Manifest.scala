@@ -845,6 +845,26 @@ object Manifest {
     (metaCount + scanCount, scan.length, all)
   }
 
+  /** Metadata-only global MIN/MAX of a profiled key (normalized long
+    * units): fold the snapshot's per-file stats — zero data reads at any
+    * table size (the Iceberg/Delta manifest-answered aggregate). NULL
+    * stats rows (all-null-key files) contribute nothing, matching SQL
+    * null-skipping aggregate semantics; a table whose every key is NULL
+    * returns None. Freshness-checked over every file, like [[countRange]]:
+    * none is opened, so a vanished file would otherwise contribute ghost
+    * bounds silently.
+    */
+  def minMax(spark: SparkSession, table: String,
+             keyCol: String): Option[(Long, Long)] = {
+    val f = files(spark, table)
+    require(f.columns.contains(s"min_$keyCol"),
+      s"manifest snapshot has no stats for column $keyCol")
+    requireFresh(spark, table,
+      f.select("file").collect().map(_.getString(0)).toIndexedSeq)
+    val r = f.agg(min(col(s"min_$keyCol")), max(col(s"max_$keyCol"))).head()
+    if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+  }
+
   def countRange(spark: SparkSession, table: String, keyCol: String,
                  lo: Long, hi: Long): (Long, Int, Int) = {
     val f = files(spark, table)

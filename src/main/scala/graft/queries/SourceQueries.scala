@@ -551,14 +551,20 @@ object SourceQueries {
         graft.ops.Manifest.create(s, stage, "doc_id")
         val (cnt, boundary, total) =
           graft.ops.Manifest.countRange(s, stage, "doc_id", 100L, 350L)
+        // Global MIN/MAX folded from the same snapshot — zero data reads
+        // (the manifest-answered aggregate).
+        val (mn, mx) = graft.ops.Manifest.minMax(s, stage, "doc_id").get
         s.range(1).select(
           lit(cnt).as("n_in_range"),
           lit(boundary < total).as("metadata_fast_path"),
-          lit(total).cast("long").as("n_files"))
+          lit(total).cast("long").as("n_files"),
+          lit(mn).as("key_min"), lit(mx).as("key_max"))
       },
-      Some("""SELECT count(*)::bigint AS n_in_range, true AS metadata_fast_path,
-              | 8::bigint AS n_files
-              |FROM documents WHERE doc_id BETWEEN 100 AND 350""".stripMargin)),
+      Some("""SELECT (SELECT count(*) FROM documents
+              |        WHERE doc_id BETWEEN 100 AND 350)::bigint AS n_in_range,
+              | true AS metadata_fast_path, 8::bigint AS n_files,
+              | min(doc_id) AS key_min, max(doc_id) AS key_max
+              |FROM documents""".stripMargin)),
 
     // ---- temporal-key skipping end-to-end (the time-travel shape every
     //      event table needs): events range-clustered on ts, manifest stats

@@ -565,6 +565,21 @@ class ManifestSpec extends SparkSpec {
     assert(spark.read.parquet(stage).filter(col("doc_id") < 100).count() == 0L)
   }
 
+  test("minMax: metadata-only bounds; NULL-stats files skipped; all-null is None") {
+    val stage = stageClustered("manifest_minmax", 4)
+    Manifest.create(spark, stage, "doc_id")
+    val direct = spark.read.parquet(stage)
+      .agg(min(col("doc_id")), max(col("doc_id"))).head()
+    assert(Manifest.minMax(spark, stage, "doc_id")
+      .contains((direct.getLong(0), direct.getLong(1))))
+    // All-null key table: SQL aggregate semantics, None not a crash.
+    val nulls = tmpDir("manifest_minmax_null") + "/t"
+    import spark.implicits._
+    Seq.fill(3)(Option.empty[java.lang.Long]).toDF("id").coalesce(1).write.parquet(nulls)
+    Manifest.create(spark, nulls, "id")
+    assert(Manifest.minMax(spark, nulls, "id").isEmpty)
+  }
+
   test("a crashed create's orphan tmp dir is cleaned by the next create") {
     val stage = stageClustered("manifest_heal", 4)
     Manifest.create(spark, stage, "doc_id")
