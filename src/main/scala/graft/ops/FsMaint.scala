@@ -32,9 +32,6 @@ private[graft] object FsMaint {
       found
     }
 
-  /** Count of non-empty data files under `dir` (metadata-only) — the
-    * append-debt signal compaction policies key on.
-    */
   /** Is `p` under a hidden (`_`/`.`-prefixed) directory relative to
     * `base`? Hidden dirs hold metadata (manifest snapshots, retained
     * trash) that Spark's reader ignores — sizing and file-count signals
@@ -46,6 +43,9 @@ private[graft] object FsMaint {
     rel.split('/').dropRight(1).exists(s => s.startsWith("_") || s.startsWith("."))
   }
 
+  /** Count of non-empty data files under `dir` (metadata-only) — the
+    * append-debt signal compaction policies key on.
+    */
   def dataFileCount(fs: FileSystem, dir: Path): Long = {
     var n = 0L
     if (fs.exists(dir)) {

@@ -47,7 +47,11 @@ object Layout {
     val total = FsMaint.totalDataBytes(fs, new Path(path))
     val nFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     val tmp = path + "__compacting"
-    spark.read.parquet(path).repartition(nFiles)
+    // mergeSchema: a rewrite decodes every file anyway; footer-sampling the
+    // schema of an additively-EVOLVED table could silently drop a later
+    // column from the whole rewrite (permanent data loss). Union schema in,
+    // union schema out — createLike then re-records it.
+    spark.read.option("mergeSchema", "true").parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp)
     swapAndRefresh(spark, fs, path, tmp, manifestKeys)
     nFiles
@@ -67,6 +71,22 @@ object Layout {
                              profile: Option[Manifest.Profile]): Unit = {
     FsMaint.swapIn(fs, path, tmp, carryOver = Seq("_graft_manifest"))
     profile.foreach(p => Manifest.createLike(spark, path, p): Unit)
+  }
+
+
+  /** Read picked data files of the CURRENT (complete) snapshot with the
+    * snapshot's recorded schema when one exists — a footer-sampled read of
+    * an additively-evolved table could drop a later column from the
+    * rewritten survivors (silent data loss); pre-evolution snapshots fall
+    * back to a mergeSchema read over exactly these files.
+    */
+  private def readPickedPinned(spark: SparkSession, path: String,
+                               picked: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val sch = Manifest.latestSnapshotId(spark, path)
+      .flatMap(id => Manifest.storedSchema(spark, path, id))
+    val r0 = spark.read
+    sch.fold(r0.option("mergeSchema", "true"))(r0.schema)
+      .parquet(picked.map(Manifest.escapeGlob): _*)
   }
 
   /** The long domain a cluster key is ordered in — shared with
@@ -109,7 +129,8 @@ object Layout {
     FsMaint.recoverSwap(fs, path)
     val manifestKeys = Manifest.currentProfile(spark, path)
     val tmp = path + "__compacting"
-    spark.read.parquet(path)
+    // mergeSchema: see compactTable — rewrites must carry the union schema.
+    spark.read.option("mergeSchema", "true").parquet(path)
       .repartitionByRange(nFiles, col(clusterCol))
       .sortWithinPartitions(clusterCol)
       .write.mode("overwrite").parquet(tmp)
@@ -188,7 +209,8 @@ object Layout {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     FsMaint.recoverSwap(fs, path)
     val manifestKeys = Manifest.currentProfile(spark, path)
-    val df = spark.read.parquet(path)
+    // mergeSchema: see compactTable — rewrites must carry the union schema.
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
     val longs = cols.map(c => orderedLong(c, df))
     val statAggs = longs.zipWithIndex.flatMap { case (l, i) =>
       Seq(min(l).as(s"lo$i"), max(l).as(s"hi$i")) }
@@ -223,7 +245,8 @@ object Layout {
     FsMaint.recoverSwap(fs, path)
     val manifestKeys = Manifest.currentProfile(spark, path)
     val tmp = path + "__compacting"
-    spark.read.parquet(path)
+    // mergeSchema: see compactTable — rewrites must carry the union schema.
+    spark.read.option("mergeSchema", "true").parquet(path)
       .repartition(col(partCol)) // one file per partition value per write
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
     swapAndRefresh(spark, fs, path, tmp, manifestKeys)
@@ -302,7 +325,7 @@ object Layout {
     // 1. stage the survivors (decode/encode limited to the picked files)
     val stage = path + "__delnew"
     FsMaint.deleteRecursively(fs, new Path(stage))
-    val pickedDf = spark.read.parquet(picked.map(Manifest.escapeGlob): _*)
+    val pickedDf = readPickedPinned(spark, path, picked)
     pickedDf.filter(!orderedLong(keyCol, pickedDf).between(lo, hi))
       .write.mode("overwrite").parquet(stage)
     val survivorRows = stagedRowCount(spark, fs, stage)
@@ -470,7 +493,7 @@ object Layout {
     }
     val stage = path + "__delnew"
     FsMaint.deleteRecursively(fs, new Path(stage))
-    val pickedDf = spark.read.parquet(picked.map(Manifest.escapeGlob): _*)
+    val pickedDf = readPickedPinned(spark, path, picked)
     val kPicked = orderedLong(keyCol, pickedDf)
     val matched = pickedDf
       .join(broadcast(deltaKeys), kPicked === col("__k"), "left_semi").count()

@@ -1004,10 +1004,15 @@ object Manifest {
     val fs = fsOf(spark, table)
     val t = trashDir(table)
     if (!fs.exists(t)) return 0
-    val referenced = snapshotIds(spark, table).flatMap { id =>
-      spark.read.parquet(s"${root(table)}/snapshot-$id")
-        .select("file").collect().map(r => decodePath(r.getString(0)).getName)
-    }.toSet
+    // ONE job over every retained snapshot (snapshots may carry different
+    // stat columns, so pin the schema to the one column they all share).
+    val ids = snapshotIds(spark, table)
+    val referenced =
+      if (ids.isEmpty) Set.empty[String]
+      else spark.read
+        .schema(StructType(Seq(StructField("file", StringType))))
+        .parquet(ids.map(id => s"${root(table)}/snapshot-$id"): _*)
+        .collect().map(r => decodePath(r.getString(0)).getName).toSet
     var n = 0
     fs.listStatus(t).foreach { st =>
       if (st.isFile && !referenced(st.getPath.getName)) {

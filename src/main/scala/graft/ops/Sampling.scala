@@ -100,7 +100,15 @@ object Sampling {
   def mixByTemperature(df: DataFrame, idCol: String, sourceCol: String,
                        alpha: Double): (DataFrame, Map[String, Int]) = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1]: $alpha")
-    val counts = df.groupBy(col(sourceCol)).count().collect()
+    require(df.schema(sourceCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"source column `$sourceCol` must be a string (got " +
+        s"${df.schema(sourceCol).dataType.simpleString})")
+    // NULL sources are not a source: excluded from the counts (they would
+    // skew nMin and every real rate) AND from the mix — the equality in
+    // the rate fold below never matches NULL, so the two stay consistent.
+    val counts = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap // rows ∝ #sources
     require(counts.nonEmpty, "empty input: no sources to mix")
     val nMin = counts.values.min.toDouble
@@ -109,10 +117,16 @@ object Sampling {
       val rate = if (alpha == 0.5) Math.sqrt(ratio) else Math.pow(ratio, 1.0 - alpha)
       s -> Math.round(10000.0 * rate).toInt
     }
-    val rateCol = bps.toSeq.sortBy(_._1)
-      .foldLeft(lit(0)) { case (acc, (s, b)) =>
-        when(col(sourceCol) === s, lit(b)).otherwise(acc)
-      }
-    (df.filter(hashBucket(col(idCol)) < rateCol), bps)
+    (df.filter(hashBucket(col(idCol)) < rateColOf(bps, sourceCol)), bps)
   }
+
+  /** The per-row basis-points rate expression for a computed rate map —
+    * shared by [[mixByTemperature]]'s filter and callers that surface the
+    * rate as an output column (one definition, so the two can never
+    * silently desynchronize). Unlisted (and NULL) sources rate 0.
+    */
+  def rateColOf(bps: Map[String, Int], sourceCol: String): Column =
+    bps.toSeq.sortBy(_._1).foldLeft(lit(0)) { case (acc, (s, b)) =>
+      when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
 }

@@ -676,12 +676,10 @@ object TextQueries {
       (s, dir) => {
         val (mixed, bps) = graft.ops.Sampling.mixByTemperature(
           T(s, dir, "documents"), "doc_id", "source", alpha = 0.5)
-        val rateCol = bps.toSeq.sortBy(_._1)
-          .foldLeft(lit(0)) { case (acc, (src, b)) =>
-            when(col("source") === src, lit(b)).otherwise(acc) }
         mixed.groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
-          .withColumn("rate_bps", rateCol.cast("long"))
+          .withColumn("rate_bps",
+            graft.ops.Sampling.rateColOf(bps, "source").cast("long"))
       },
       Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
               | m AS (SELECT min(n) AS nmin FROM c),

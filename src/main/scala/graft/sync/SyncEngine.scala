@@ -743,7 +743,7 @@ final class SyncEngine(master: TableStore, slave: TableStore,
           graft.ops.Manifest.hasSnapshot(spark, masterPath, lastId) &&
           graft.ops.Manifest.isComplete(spark, masterPath) =>
         if (latest.get == lastId) record(Skip(table, "no snapshot change"))
-        else {
+        else try {
           val feed = graft.ops.Manifest
             .changesBetween(spark, masterPath, lastId, latest.get)
           val changes = feed.withColumn("__op",
@@ -760,6 +760,13 @@ final class SyncEngine(master: TableStore, slave: TableStore,
             }
           }
           action
+        } catch {
+          // A LAYOUT rewrite between cycles renames every data file and does
+          // not retain the originals (history-destroying by contract): the
+          // feed's removed files are in neither place and the resolve throws.
+          // The recurring loop must survive routine maintenance — fall back
+          // to the full diff, which also re-checkpoints at the current state.
+          case _: graft.ops.Manifest.StaleManifestException => fullCycle()
         }
       case _ => fullCycle()
     }

@@ -477,6 +477,28 @@ class ManifestSpec extends SparkSpec {
     assert(old.count() == 3L)
   }
 
+  test("layout rewrites and COW deletes carry the EVOLVED schema (no footer-sampling loss)") {
+    val stage = tmpDir("manifest_evolve_rw") + "/t"
+    import spark.implicits._
+    (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id")).write.parquet(stage)
+    Manifest.create(spark, stage, "id")
+    (41L to 60L).map(i => (i, s"v$i", i * 0.5)).toDF("id", "v", "score")
+      .coalesce(1).write.mode("append").parquet(stage)
+    Manifest.createIncremental(spark, stage, "id")
+    // A compaction must not sample a pre-evolution footer and drop `score`.
+    Layout.compactTable(spark, stage, targetBytes = 1L << 20)
+    val after = spark.read.option("mergeSchema", "true").parquet(stage)
+    assert(after.columns.contains("score"))
+    assert(after.filter(col("score").isNotNull).count() == 20L)
+    // A targeted COW delete rewrites survivors WITH the evolved schema.
+    Layout.deleteRange(spark, stage, "id", 45L, 50L)
+    val after2 = Manifest.readAsOf(spark, stage,
+      Manifest.latestSnapshotId(spark, stage).get)
+    assert(after2.filter(col("score").isNotNull).count() == 14L)
+    assert(after2.count() == 54L)
+  }
+
   test("a type change is rejected typed at snapshot time; nothing commits") {
     val stage = tmpDir("manifest_evolve_bad") + "/t"
     import spark.implicits._

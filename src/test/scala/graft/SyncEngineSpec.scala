@@ -300,6 +300,18 @@ class SyncEngineSpec extends SparkSpec {
       case other => fail(s"expected feed delete, got $other")
     }
     assert(fp(ss.read("cust")) == fp(ms.read("cust")))
+    // A LAYOUT rewrite between cycles destroys retained history (every file
+    // renamed, trash dropped with the old dir): the feed's removed files
+    // resolve nowhere — the cycle must survive by falling back to the full
+    // diff, not crash the recurring loop.
+    graft.ops.Layout.compactTable(spark, mPath, targetBytes = 1L << 20)
+    Seq((11L, "kate", 20, 15.0)).toDF("id", "name", "nk", "bal")
+      .write.mode(SaveMode.Append).parquet(mPath)
+    graft.ops.Manifest.createIncremental(spark, mPath, "id")
+    val healed = engine.syncViaChangeFeed("cust", mPath)
+    assert(healed.isInstanceOf[SyncAction.ApplyDelta], healed.toString)
+    assert(fp(ss.read("cust")) == fp(ms.read("cust")))
+    assert(engine.verifyMaintained("cust"))
   }
 
   test("syncAppendOnlyIncremental: checkpoint survives engine restart (stateDir)") {
