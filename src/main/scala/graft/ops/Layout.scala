@@ -57,6 +57,20 @@ object Layout {
     nFiles
   }
 
+  /** Policy-triggered [[compactTable]] for recurring loops: fire only when
+    * the table's data-file count exceeds `maxFiles` (ONE metadata listing,
+    * no Spark job on the no-op path — same trigger shape as
+    * `DedupIndex.compactIfNeeded`). Returns the files written, or 0 when
+    * below threshold.
+    */
+  def compactIfNeeded(spark: SparkSession, path: String, maxFiles: Int,
+                      targetBytes: Long): Int = {
+    require(maxFiles > 0, s"maxFiles must be positive: $maxFiles")
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    if (FsMaint.dataFileCount(fs, new Path(path)) <= maxFiles) 0
+    else compactTable(spark, path, targetBytes)
+  }
+
   /** Commit a rewrite: swap the staged dir in (carrying the manifest
     * snapshot history across — it lives INSIDE the table dir the swap
     * replaces), then re-commit a fresh snapshot with the pre-rewrite

@@ -1000,6 +1000,22 @@ object Manifest {
     * Metadata-only: one trash listing + the retained snapshots' file
     * columns (rows ∝ file count). Returns the number of files deleted.
     */
+  /** Policy-triggered [[vacuum]]: fire only when the trash holds more than
+    * `maxTrashFiles` files (one listing, nothing else on the no-op path) —
+    * the retained-history analog of compaction's file-count trigger, so a
+    * recurring DML loop bounds its trash debt without paying the
+    * referenced-set scan every cycle. Returns files deleted (0 below
+    * threshold).
+    */
+  def vacuumIfNeeded(spark: SparkSession, table: String,
+                     maxTrashFiles: Int): Int = {
+    require(maxTrashFiles >= 0, s"maxTrashFiles must be >= 0: $maxTrashFiles")
+    val fs = fsOf(spark, table)
+    val t = trashDir(table)
+    if (!fs.exists(t) || fs.listStatus(t).count(_.isFile) <= maxTrashFiles) 0
+    else vacuum(spark, table)
+  }
+
   def vacuum(spark: SparkSession, table: String): Int = {
     val fs = fsOf(spark, table)
     val t = trashDir(table)

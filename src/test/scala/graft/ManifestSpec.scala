@@ -602,6 +602,23 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.minMax(spark, nulls, "id").isEmpty)
   }
 
+  test("policy triggers: compactIfNeeded and vacuumIfNeeded fire only past their thresholds") {
+    val stage = tmpDir("manifest_policy") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartitionByRange(6, col("doc_id")).write.parquet(stage)
+    Manifest.create(spark, stage, "doc_id")
+    // Below threshold: pure metadata no-ops.
+    assert(Layout.compactIfNeeded(spark, stage, maxFiles = 10, targetBytes = 1L << 20) == 0)
+    Layout.deleteRange(spark, stage, "doc_id", 0L, 49L)
+    assert(Manifest.vacuumIfNeeded(spark, stage, maxTrashFiles = 100) == 0)
+    // Past threshold: real work, same semantics as the unconditional ops.
+    Manifest.expireSnapshots(spark, stage, keep = 1)
+    assert(Manifest.vacuumIfNeeded(spark, stage, maxTrashFiles = 0) > 0)
+    val before = fp(spark.read.parquet(stage))
+    assert(Layout.compactIfNeeded(spark, stage, maxFiles = 2, targetBytes = 1L << 26) > 0)
+    assert(fp(spark.read.parquet(stage)) == before)
+  }
+
   test("a crashed create's orphan tmp dir is cleaned by the next create") {
     val stage = stageClustered("manifest_heal", 4)
     Manifest.create(spark, stage, "doc_id")
