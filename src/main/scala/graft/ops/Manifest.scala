@@ -141,6 +141,41 @@ object Manifest {
     resolveForRead(spark, table, picked, useTrash = false): Unit
   }
 
+  /** Test seam: runs between the freshness check and the boundary-file read
+    * of the metadata aggregates (the check-then-read window). Production
+    * no-op; specs use it to vanish a file inside the window.
+    */
+  private[graft] var interleaveForTest: () => Unit = () => ()
+
+  /** Execute a boundary-file job that [[requireFresh]] just approved,
+    * converting a vanished-file failure into the typed
+    * [[StaleManifestException]]: the freshness check is check-then-read, so
+    * a file vanishing inside the window must surface with the same typed
+    * contract as one that vanished before it — never as a bare executor
+    * error half-way into a job. Two shapes exist: analysis-time
+    * PATH_NOT_FOUND (file gone before the scan plans) and a mid-job
+    * FileNotFoundException (gone between planning and the task read),
+    * possibly buried in Spark's task-failure cause chain.
+    */
+  private def boundaryRead[T](table: String)(body: => T): T = {
+    def chain(e: Throwable): List[Throwable] =
+      if (e == null) Nil else e :: chain(e.getCause)
+    interleaveForTest()
+    try body
+    catch {
+      case e: Throwable if chain(e).exists(c =>
+          c.isInstanceOf[java.io.FileNotFoundException] ||
+            String.valueOf(c.getMessage).contains("FileNotFoundException") ||
+            (c.isInstanceOf[org.apache.spark.sql.AnalysisException] &&
+              String.valueOf(c.getMessage).contains("PATH_NOT_FOUND"))) =>
+        throw new StaleManifestException(
+          s"stale manifest under $table: a referenced file vanished between " +
+            "the freshness check and the boundary read — a rewrite, external " +
+            "delete, or vacuum raced this aggregate; re-run Manifest.create " +
+            s"(cause: ${e.getMessage})")
+    }
+  }
+
   /** Resolve snapshot file references to readable literal paths: each file
     * at its recorded location, or — for HISTORICAL reads
     * (`useTrash = true`) — in the hidden `_graft_trash` dir where COW
@@ -409,8 +444,10 @@ object Manifest {
     // those files — still no data pages read.
     val extra = (listed.keySet -- snap).toIndexedSeq
     if (extra.nonEmpty) {
-      val rows = spark.read
-        .parquet(extra.map(p => escapeGlob(listed(p).toString)): _*).count()
+      val rows = boundaryRead(table) {
+        spark.read
+          .parquet(extra.map(p => escapeGlob(listed(p).toString)): _*).count()
+      }
       if (rows > 0)
         throw new StaleManifestException(
           s"manifest under $table is not complete: ${extra.size} " +
@@ -835,7 +872,7 @@ object Manifest {
     val scan = rows.iterator.filterNot(_.getBoolean(1)).map(_.getString(0)).toIndexedSeq
     val scanCount =
       if (scan.isEmpty) 0L
-      else {
+      else boundaryRead(table) {
         val base = spark.read.option("basePath", table)
           .parquet(scan.map(escapeGlob): _*)
         base.filter(preds.map { case (c, lo, hi) =>
@@ -883,7 +920,7 @@ object Manifest {
     val boundary = rows.iterator.filterNot(_.getBoolean(1)).map(_.getString(0)).toIndexedSeq
     val boundaryCount =
       if (boundary.isEmpty) 0L
-      else {
+      else boundaryRead(table) {
         val base = spark.read.option("basePath", table)
           .parquet(boundary.map(escapeGlob): _*)
         base.filter(statCol(keyCol, base.schema(keyCol).dataType).between(lo, hi))
@@ -968,6 +1005,12 @@ object Manifest {
     */
   def changesBetween(spark: SparkSession, table: String,
                      fromId: Int, toId: Int): DataFrame = {
+    // Reversed endpoints would silently swap the delete/insert tags (and pin
+    // the schema to the OLDER snapshot) — an inverted feed is a wrong
+    // answer, so order is validated like existence.
+    require(fromId <= toId,
+      s"changesBetween($table): fromId ($fromId) must be <= toId ($toId) — " +
+        "reversed endpoints would invert the feed's delete/insert tags")
     Seq(fromId, toId).foreach { id =>
       require(hasSnapshot(spark, table, id),
         s"no snapshot-$id under $table — never created, or expired by retention " +

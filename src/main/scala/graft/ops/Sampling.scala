@@ -115,7 +115,11 @@ object Sampling {
     val bps = counts.map { case (s, n) =>
       val ratio = nMin / n.toDouble
       val rate = if (alpha == 0.5) Math.sqrt(ratio) else Math.pow(ratio, 1.0 - alpha)
-      s -> Math.round(10000.0 * rate).toInt
+      // Quantization floor: every real rate is > 0 (n_s is finite), so a
+      // source whose basis-points rounding lands on 0 (≳4e8× larger than the
+      // smallest at α=0.5) is FLOORED to 1 bps — heavily downsampled, never
+      // silently dropped from the mix.
+      s -> math.max(1, Math.round(10000.0 * rate).toInt)
     }
     (df.filter(hashBucket(col(idCol)) < rateColOf(bps, sourceCol)), bps)
   }

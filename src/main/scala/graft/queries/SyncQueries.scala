@@ -574,7 +574,10 @@ object SyncQueries {
           java.nio.file.Paths.get(s"$sDir/orders.parquet"))
         val engine = new SyncEngine(new ParquetStore(s, mDir), new ParquetStore(s, sDir),
           SyncConfig(primaryKeys = Map("orders" -> Seq("o_orderkey")),
-            maintainFingerprints = true))
+            maintainFingerprints = true,
+            // This engine owns the fixture master outright, the intended
+            // setting for opting into master-side retention maintenance.
+            masterRetentionMaintenance = true))
         engine.syncAppendOnlyIncremental("orders") // prime + checkpoint (store-derived path)
         // The append: batch 2's part files land in the master dir (byte-copy
         // of a staged Spark append — identical layout, no per-run write).
@@ -634,7 +637,10 @@ object SyncQueries {
         val mPath = s"$mDir/orders.parquet"
         val engine = new SyncEngine(new ParquetStore(s, mDir), new ParquetStore(s, sDir),
           SyncConfig(primaryKeys = Map("orders" -> Seq("o_orderkey")),
-            maintainFingerprints = true))
+            maintainFingerprints = true,
+            // Fixture master is owned by this engine — retention opt-in keeps
+            // the vacuum/expire loop exercised under the feed cycle.
+            masterRetentionMaintenance = true))
         engine.syncViaChangeFeed("orders") // prime + checkpoint
         val orders = Registry.table(s, dir, "orders").select(oCols.map(col): _*)
         val maxId = orders.agg(max(col("o_orderkey"))).head().getLong(0)

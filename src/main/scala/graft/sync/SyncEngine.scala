@@ -92,6 +92,15 @@ final case class SyncConfig(
       * set 2; 0 disables retention.
       */
     manifestRetainSnapshots: Int = 10,
+    /** Opt-in for the retention above (and the feed path's trash vacuum):
+      * those run against the MASTER's manifest — a shared table other
+      * time-travel/CDF readers may rely on — so a sync cycle must not
+      * destroy its history as a side effect unless this engine is
+      * explicitly the master's retention owner. Default OFF: cycles leave
+      * master history untouched; bound it with `Manifest.expireSnapshots` /
+      * `vacuum` wherever retention ownership actually lives.
+      */
+    masterRetentionMaintenance: Boolean = false,
     /** Durable home for the maintained-fingerprint state: per-table
       * [[graft.functions.Hashing.MultisetFp]] + master change token (a tiny
       * property file each) and the partitioned-table fingerprint snapshots.
@@ -639,7 +648,7 @@ final class SyncEngine(master: TableStore, slave: TableStore,
           maintainedFp.get(table).exists(st => !st.pushed)) {
         manifestCheckpoint.update(table, newId)
         persistState(table)
-        if (config.manifestRetainSnapshots > 0)
+        if (config.masterRetentionMaintenance && config.manifestRetainSnapshots > 0)
           graft.ops.Manifest.expireSnapshots(spark, masterPath,
             config.manifestRetainSnapshots): Unit
       }
@@ -674,7 +683,7 @@ final class SyncEngine(master: TableStore, slave: TableStore,
             // Self-maintenance: a recurring loop commits one snapshot per
             // data-changed cycle — bound the history (the engine's own
             // checkpoint is the newest, never expired).
-            if (config.manifestRetainSnapshots > 0)
+            if (config.masterRetentionMaintenance && config.manifestRetainSnapshots > 0)
               graft.ops.Manifest.expireSnapshots(spark, masterPath,
                 config.manifestRetainSnapshots): Unit
           }
@@ -710,10 +719,12 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     * cycle), expired checkpoint snapshot, pushed-flavor state, or an
     * INCOMPLETE manifest (a file appended outside the manifest jobs would
     * make the feed under-report) each fall back to a full [[syncTable]]
-    * diff that re-checkpoints at the master's current state. Converged
-    * cycles expire snapshot history to `manifestRetainSnapshots` and
-    * vacuum unreferenced trash, so the recurring loop self-bounds both
-    * metadata and retained-history debt.
+    * diff that re-checkpoints at the master's current state. With
+    * `masterRetentionMaintenance` opted in, converged cycles expire
+    * snapshot history to `manifestRetainSnapshots` and vacuum unreferenced
+    * trash, so the recurring loop self-bounds both metadata and
+    * retained-history debt — opt-in because it mutates the MASTER's
+    * history, which other time-travel/CDF readers may rely on.
     */
   def syncViaChangeFeed(table: String, masterPath: String): SyncAction = {
     require(config.maintainFingerprints,
@@ -753,7 +764,7 @@ final class SyncEngine(master: TableStore, slave: TableStore,
           if (!config.dryRun) {
             manifestCheckpoint.update(table, latest.get)
             persistState(table)
-            if (config.manifestRetainSnapshots > 0) {
+            if (config.masterRetentionMaintenance && config.manifestRetainSnapshots > 0) {
               graft.ops.Manifest.expireSnapshots(spark, masterPath,
                 config.manifestRetainSnapshots)
               graft.ops.Manifest.vacuum(spark, masterPath): Unit

@@ -619,6 +619,41 @@ class ManifestSpec extends SparkSpec {
     assert(fp(spark.read.parquet(stage)) == before)
   }
 
+  test("changesBetween rejects reversed endpoints (an inverted feed, not a wrong answer)") {
+    val stage = stageClustered("manifest_cdf_rev", 4)
+    val id1 = Manifest.create(spark, stage, "doc_id")
+    Layout.deleteRange(spark, stage, "doc_id", 0L, 9L)
+    val id2 = Manifest.latestSnapshotId(spark, stage).get
+    val e = intercept[IllegalArgumentException] {
+      Manifest.changesBetween(spark, stage, id2, id1)
+    }
+    assert(e.getMessage.contains("fromId"))
+  }
+
+  test("boundary read raises typed staleness when a file vanishes inside the check-then-read window") {
+    val stage = stageClustered("manifest_boundary_stale", 8)
+    Manifest.create(spark, stage, "doc_id")
+    // Sanity: the untampered aggregate works and uses the metadata path.
+    val (cnt, boundary, total) = Manifest.countRange(spark, stage, "doc_id", 100L, 350L)
+    assert(cnt == 251L && boundary < total)
+    // Vanish every data file AFTER requireFresh approved them (the seam
+    // runs exactly inside the check-then-read window): the boundary read
+    // must surface the typed staleness error, not a raw executor
+    // FileNotFoundException.
+    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    Manifest.interleaveForTest = () =>
+      fs.listStatus(new Path(stage)).foreach { st =>
+        if (st.isFile && st.getPath.getName.startsWith("part-")) {
+          fs.delete(st.getPath, false): Unit
+        }
+      }
+    try {
+      intercept[Manifest.StaleManifestException] {
+        Manifest.countRange(spark, stage, "doc_id", 100L, 350L)
+      }
+    } finally Manifest.interleaveForTest = () => ()
+  }
+
   test("a crashed create's orphan tmp dir is cleaned by the next create") {
     val stage = stageClustered("manifest_heal", 4)
     Manifest.create(spark, stage, "doc_id")

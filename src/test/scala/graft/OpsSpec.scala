@@ -405,6 +405,18 @@ class OpsSpec extends SparkSpec {
       b.select("id").as[Long].collect().toSet)
   }
 
+  test("mixByTemperature floors quantized rates at 1 bps — no source silently vanishes") {
+    import graft.ops.Sampling
+    // At alpha = 0 the keep rate is n_min/n_s; 1 vs 30000 rows rounds to
+    // 0 bps (0.33) without the floor — the source would drop out of the
+    // mix entirely instead of being heavily downsampled.
+    val df = spark.range(0L, 30000L).selectExpr("id", "'big' AS source")
+      .unionByName(Seq((900001L, "tiny")).toDF("id", "source"))
+    val (_, bps) = Sampling.mixByTemperature(df, "id", "source", alpha = 0.0)
+    assert(bps("tiny") == 10000)
+    assert(bps("big") == 1, s"expected the 1-bps floor, got ${bps("big")}")
+  }
+
   test("decontaminationPairs finds a planted benchmark extract") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

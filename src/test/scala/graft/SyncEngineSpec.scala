@@ -345,7 +345,7 @@ class SyncEngineSpec extends SparkSpec {
     custDf.repartition(2).write.parquet(s"$sd/cust.parquet")
     val engine = new SyncEngine(ms, ss, SyncConfig(
       primaryKeys = Map("cust" -> Seq("id")), maintainFingerprints = true,
-      manifestRetainSnapshots = 2))
+      manifestRetainSnapshots = 2, masterRetentionMaintenance = true))
     engine.syncAppendOnlyIncremental("cust") // prime → snapshot 1 (store-derived path)
     def snapshots(): Int =
       new java.io.File(s"$mPath/_graft_manifest").listFiles()
