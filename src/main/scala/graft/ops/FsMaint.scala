@@ -114,4 +114,73 @@ private[graft] object FsMaint {
 
   def deleteRecursively(fs: FileSystem, p: Path): Unit =
     if (fs.exists(p)) { fs.delete(p, true): Unit }
+
+  /** Atomically create `p` as an empty file — the CAS primitive the commit
+    * protocols build on. Exactly one of N concurrent callers returns true:
+    * O_EXCL creation on a local filesystem (`java.nio` createFile —
+    * Hadoop's RawLocalFileSystem `create` is check-then-act, NOT atomic
+    * across processes), the namenode's atomic exclusive create on HDFS
+    * (`create` with overwrite = false).
+    */
+  def atomicCreate(fs: FileSystem, p: Path): Boolean =
+    try {
+      if (fs.getUri.getScheme == "file")
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath)): Unit
+      else fs.create(p, false).close()
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if fs.exists(p) => false
+    }
+
+  /** Lease for the table-level COW/rewrite lock: a lock file OLDER than
+    * this belongs to a writer presumed crashed and may be broken by the
+    * next writer (after journal healing restores the table). The lock is
+    * held across staging + swap — Spark jobs, potentially minutes at
+    * scale — so the lease is generous; `private[graft]` var only so specs
+    * can exercise the break-in without sleeping.
+    */
+  private[graft] var tableLockLeaseMs: Long = 15 * 60 * 1000L
+
+  def tableLockPath(path: String): Path = new Path(path + "__cowlock")
+
+  /** Is a LIVE (within-lease) writer holding the table lock for `path`? */
+  def liveTableLock(fs: FileSystem, path: String): Boolean = {
+    val lock = tableLockPath(path)
+    fs.exists(lock) &&
+      System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime <=
+        tableLockLeaseMs
+  }
+
+  /** Run `body` holding the exclusive table lock for `path` — the
+    * serialization point for every job that swaps the table's data files
+    * (COW DELETE/MERGE, compaction, re-clustering) and for trash-mutating
+    * maintenance (vacuum). A live lock means a concurrent writer owns the
+    * commit window: fail typed immediately, having touched NOTHING — the
+    * optimistic-concurrency posture (the caller re-runs later) rather than
+    * blocking. An expired lock (crashed holder) is broken in passing; the
+    * CALLER is responsible for running its journal heal inside `body`
+    * (under the lock, a heal can never stomp a live writer's state).
+    */
+  def withTableLock[T](fs: FileSystem, path: String)(body: => T): T = {
+    val lock = tableLockPath(path)
+    if (fs.exists(lock)) {
+      if (liveTableLock(fs, path))
+        throw new Manifest.ConcurrentCommitException(
+          s"table commit on $path refused: another writer holds the " +
+            s"commit lock ($lock) — a concurrent COW mutation, rewrite, or " +
+            "vacuum owns the swap window; nothing was touched, re-run " +
+            "after it completes")
+      fs.delete(lock, false): Unit // crashed holder past the lease
+    }
+    if (!atomicCreate(fs, lock))
+      throw new Manifest.ConcurrentCommitException(
+        s"table commit on $path refused: lost the commit-lock race ($lock) " +
+          "to a concurrent writer; nothing was touched, re-run after it " +
+          "completes")
+    try body
+    finally fs.delete(lock, false): Unit
+  }
 }

@@ -42,19 +42,21 @@ object Layout {
   def compactTable(spark: SparkSession, path: String, targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    FsMaint.recoverSwap(fs, path)
-    val manifestKeys = Manifest.currentProfile(spark, path)
-    val total = FsMaint.totalDataBytes(fs, new Path(path))
-    val nFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    val tmp = path + "__compacting"
-    // mergeSchema: a rewrite decodes every file anyway; footer-sampling the
-    // schema of an additively-EVOLVED table could silently drop a later
-    // column from the whole rewrite (permanent data loss). Union schema in,
-    // union schema out — createLike then re-records it.
-    spark.read.option("mergeSchema", "true").parquet(path).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp)
-    swapAndRefresh(spark, fs, path, tmp, manifestKeys)
-    nFiles
+    FsMaint.withTableLock(fs, path) {
+      FsMaint.recoverSwap(fs, path)
+      val manifestKeys = Manifest.currentProfile(spark, path)
+      val total = FsMaint.totalDataBytes(fs, new Path(path))
+      val nFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+      val tmp = path + "__compacting"
+      // mergeSchema: a rewrite decodes every file anyway; footer-sampling the
+      // schema of an additively-EVOLVED table could silently drop a later
+      // column from the whole rewrite (permanent data loss). Union schema in,
+      // union schema out — createLike then re-records it.
+      spark.read.option("mergeSchema", "true").parquet(path).repartition(nFiles)
+        .write.mode("overwrite").parquet(tmp)
+      swapAndRefresh(spark, fs, path, tmp, manifestKeys)
+      nFiles
+    }
   }
 
   /** Policy-triggered [[compactTable]] for recurring loops: fire only when
@@ -140,15 +142,17 @@ object Layout {
                      nFiles: Int): Unit = {
     require(nFiles > 0, s"nFiles must be positive: $nFiles")
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    FsMaint.recoverSwap(fs, path)
-    val manifestKeys = Manifest.currentProfile(spark, path)
-    val tmp = path + "__compacting"
-    // mergeSchema: see compactTable — rewrites must carry the union schema.
-    spark.read.option("mergeSchema", "true").parquet(path)
-      .repartitionByRange(nFiles, col(clusterCol))
-      .sortWithinPartitions(clusterCol)
-      .write.mode("overwrite").parquet(tmp)
-    swapAndRefresh(spark, fs, path, tmp, manifestKeys)
+    FsMaint.withTableLock(fs, path) {
+      FsMaint.recoverSwap(fs, path)
+      val manifestKeys = Manifest.currentProfile(spark, path)
+      val tmp = path + "__compacting"
+      // mergeSchema: see compactTable — rewrites must carry the union schema.
+      spark.read.option("mergeSchema", "true").parquet(path)
+        .repartitionByRange(nFiles, col(clusterCol))
+        .sortWithinPartitions(clusterCol)
+        .write.mode("overwrite").parquet(tmp)
+      swapAndRefresh(spark, fs, path, tmp, manifestKeys)
+    }
   }
 
   /** Per-file [min, max] spans of `keyCol` for the parquet dir at `path`,
@@ -221,24 +225,26 @@ object Layout {
     require(nFiles > 0, s"nFiles must be positive: $nFiles")
     require(cols.nonEmpty, "need at least one z-order column")
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    FsMaint.recoverSwap(fs, path)
-    val manifestKeys = Manifest.currentProfile(spark, path)
-    // mergeSchema: see compactTable — rewrites must carry the union schema.
-    val df = spark.read.option("mergeSchema", "true").parquet(path)
-    val longs = cols.map(c => orderedLong(c, df))
-    val statAggs = longs.zipWithIndex.flatMap { case (l, i) =>
-      Seq(min(l).as(s"lo$i"), max(l).as(s"hi$i")) }
-    val bounds = df.agg(statAggs.head, statAggs.drop(1): _*).head()
-    val keys = longs.zipWithIndex.map { case (l, i) =>
-      (l, bounds.getLong(bounds.fieldIndex(s"lo$i")), bounds.getLong(bounds.fieldIndex(s"hi$i")))
+    FsMaint.withTableLock(fs, path) {
+      FsMaint.recoverSwap(fs, path)
+      val manifestKeys = Manifest.currentProfile(spark, path)
+      // mergeSchema: see compactTable — rewrites must carry the union schema.
+      val df = spark.read.option("mergeSchema", "true").parquet(path)
+      val longs = cols.map(c => orderedLong(c, df))
+      val statAggs = longs.zipWithIndex.flatMap { case (l, i) =>
+        Seq(min(l).as(s"lo$i"), max(l).as(s"hi$i")) }
+      val bounds = df.agg(statAggs.head, statAggs.drop(1): _*).head()
+      val keys = longs.zipWithIndex.map { case (l, i) =>
+        (l, bounds.getLong(bounds.fieldIndex(s"lo$i")), bounds.getLong(bounds.fieldIndex(s"hi$i")))
+      }
+      val tmp = path + "__compacting"
+      df.withColumn("__z", zValueN(keys))
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(tmp)
+      swapAndRefresh(spark, fs, path, tmp, manifestKeys)
     }
-    val tmp = path + "__compacting"
-    df.withColumn("__z", zValueN(keys))
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("overwrite").parquet(tmp)
-    swapAndRefresh(spark, fs, path, tmp, manifestKeys)
   }
 
   /** Two-column convenience form of [[clusterByZOrderN]]. */
@@ -256,14 +262,16 @@ object Layout {
     */
   def partitionByColumn(spark: SparkSession, path: String, partCol: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    FsMaint.recoverSwap(fs, path)
-    val manifestKeys = Manifest.currentProfile(spark, path)
-    val tmp = path + "__compacting"
-    // mergeSchema: see compactTable — rewrites must carry the union schema.
-    spark.read.option("mergeSchema", "true").parquet(path)
-      .repartition(col(partCol)) // one file per partition value per write
-      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
-    swapAndRefresh(spark, fs, path, tmp, manifestKeys)
+    FsMaint.withTableLock(fs, path) {
+      FsMaint.recoverSwap(fs, path)
+      val manifestKeys = Manifest.currentProfile(spark, path)
+      val tmp = path + "__compacting"
+      // mergeSchema: see compactTable — rewrites must carry the union schema.
+      spark.read.option("mergeSchema", "true").parquet(path)
+        .repartition(col(partCol)) // one file per partition value per write
+        .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+      swapAndRefresh(spark, fs, path, tmp, manifestKeys)
+    }
   }
 
   /** Mean per-file normalized span of `keyCol` (span / global range, 0..1)
@@ -314,7 +322,13 @@ object Layout {
   def deleteRange(spark: SparkSession, path: String, keyCol: String,
                   lo: Long, hi: Long): DeleteResult = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    recoverDelete(spark, path)
+    // The table lock serializes the WHOLE op (heal → target → stage →
+    // commit): a second COW writer — or a policy-triggered compaction
+    // racing a recurring sync loop — fails typed at entry having touched
+    // nothing, instead of interleaving swaps with the live writer. Under
+    // the lock, the heals can never stomp a live writer's state.
+    FsMaint.withTableLock(fs, path) {
+    healDelete(spark, path)
     FsMaint.recoverSwap(fs, path)
     require(!fs.listStatus(new Path(path)).exists(s =>
       s.isDirectory && s.getPath.getName.contains("=")),
@@ -346,6 +360,7 @@ object Layout {
     commitReplace(spark, fs, path, picked, stage, keys)
     DeleteResult(picked.length, total,
       pickedRows.map(_.getLong(1)).sum - survivorRows)
+    }
   }
 
   /** Rows in the staged replacement dir — zero when the stage holds no
@@ -473,7 +488,9 @@ object Layout {
   def mergeKeyed(spark: SparkSession, path: String, keyCol: String,
                  delta: org.apache.spark.sql.DataFrame): MergeResult = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    recoverDelete(spark, path)
+    // Same whole-op serialization as deleteRange — see its lock comment.
+    FsMaint.withTableLock(fs, path) {
+    healDelete(spark, path)
     FsMaint.recoverSwap(fs, path)
     require(!fs.listStatus(new Path(path)).exists(s =>
       s.isDirectory && s.getPath.getName.contains("=")),
@@ -516,6 +533,7 @@ object Layout {
       .write.mode("overwrite").parquet(stage)
     commitReplace(spark, fs, path, picked, stage, keys)
     MergeResult(picked.length, total, matched, nDelta - matched)
+    }
   }
 
   /** Heal an interrupted [[deleteRange]] (see its commit sequence). With no
@@ -529,6 +547,20 @@ object Layout {
     * [[FsMaint.recoverSwap]]'s `__old`/`__compacting` healing.
     */
   def recoverDelete(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    // Healing an IN-FLIGHT commit would roll a live writer back mid-swap:
+    // a live (within-lease) table lock means the owner is responsible for
+    // its own journal — nothing to heal here. An expired lock is a crashed
+    // holder: break it and heal.
+    if (FsMaint.liveTableLock(fs, path)) return
+    fs.delete(FsMaint.tableLockPath(path), false): Unit
+    healDelete(spark, path)
+  }
+
+  /** The journal heal itself — callers must hold (or have excluded) the
+    * table lock; [[recoverDelete]] is the lock-aware public entry.
+    */
+  private def healDelete(spark: SparkSession, path: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val journal = new Path(path + "__deleting")
     val stage = new Path(path + "__delnew")

@@ -24,10 +24,13 @@ import org.apache.spark.util.sketch.BloomFilter
   * `_`-prefixed
   * dir is invisible to Spark's parquet reader, so manifests never pollute
   * a direct `spark.read.parquet(table)` — the manifest is an ACCELERATOR,
-  * not a correctness dependency. Snapshots are immutable and committed by
-  * a single dir rename (write to `…__tmp`, rename into place); readers
-  * take the highest committed id, so a crashed create leaves at worst an
-  * orphan tmp dir, cleaned by the next create.
+  * not a correctness dependency. Snapshots are immutable and committed
+  * under OPTIMISTIC CONCURRENCY (see [[commitSnapshot]]): content staged
+  * to a writer-unique tmp dir, the id claimed by an atomic-create CAS,
+  * published by one rename — of N concurrent writers exactly one commits,
+  * the rest fail with the typed [[ConcurrentCommitException]] having
+  * published nothing. A crashed writer leaves at worst an orphan tmp dir
+  * or claim marker, healed lease-gated by the next committer.
   *
   * Key-column typing: stats are held as LONG under a per-type
   * normalization — integrals cast losslessly, timestamps become epoch
@@ -59,6 +62,16 @@ object Manifest {
     * re-run [[create]].
     */
   final class StaleManifestException(msg: String) extends IllegalStateException(msg)
+
+  /** Another writer committed a snapshot between this writer's read of the
+    * table state and its commit attempt — optimistic concurrency detected
+    * the race and REFUSED the commit. Nothing was published (the staged
+    * snapshot content is cleaned up); the operation is safe to re-run
+    * against the table's new state, which is exactly the recovery: re-read,
+    * recompute, recommit.
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends IllegalStateException(msg)
 
   private def root(table: String) = s"$table/_graft_manifest"
   private val SnapRe = "snapshot-(\\d+)".r
@@ -227,12 +240,17 @@ object Manifest {
     */
   def create(spark: SparkSession, table: String, keyCols: String*): Int = {
     require(keyCols.nonEmpty, "need at least one key column")
+    // Optimistic concurrency: observe the snapshot state BEFORE listing
+    // files — a concurrent COW/rewrite commit invalidates this scan's
+    // file set, and the commit CAS must see that as a moved base.
+    val based = latestId(spark, table).getOrElse(0)
     // mergeSchema: a full create is the one path that already touches every
     // file, so pay the footer merge and record the UNION schema — a
     // footer-sampled schema of a mixed-schema (evolved) table would pin
     // whichever file Spark sampled.
     val data = spark.read.option("mergeSchema", "true").parquet(table)
-    commitSnapshot(spark, table, statsOf(data, keyCols), Some(data.schema))
+    commitSnapshot(spark, table, statsOf(data, keyCols), Some(data.schema),
+      basedOn = Some(based))
   }
 
   /** [[create]] plus per-file BLOOM FILTERS on `bloomCols` (⊆ `keyCols`) —
@@ -257,6 +275,7 @@ object Manifest {
                       fpp: Double = 0.03): Int = {
     require(keyCols.nonEmpty, "need at least one key column")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    val based = latestId(spark, table).getOrElse(0)
     val data = spark.read.option("mergeSchema", "true").parquet(table)
     // A bloom column is either a key column (sketch over the normalized
     // long, composing with its min/max pre-filter) or a STRING column
@@ -270,7 +289,8 @@ object Manifest {
     require(bloomCols.nonEmpty, "need at least one bloom column")
     val bits = BloomFilter.optimalNumOfBits(expectedItemsPerFile, fpp)
     val specs = bloomCols.map(c => BloomSpec(c, expectedItemsPerFile, bits))
-    commitSnapshot(spark, table, statsOf(data, keyCols, specs), Some(data.schema))
+    commitSnapshot(spark, table, statsOf(data, keyCols, specs), Some(data.schema),
+      basedOn = Some(based))
   }
 
   /** Per-file BLOOM FILTER config: `numBits` sized for
@@ -329,25 +349,116 @@ object Manifest {
     * schema that makes additive evolution exact: a footer-sampled read of
     * a mixed-schema table surfaces whichever file's schema it sampled.
     */
+  /** Claim lease in milliseconds: a `.claim` marker without its committed
+    * snapshot dir that is OLDER than this is an orphan from a writer that
+    * crashed between claim and rename, and may be healed by the next
+    * committer. The window the lease guards contains NO Spark work (claim →
+    * rename is two metadata operations), so 60 s is ~6 orders of magnitude
+    * of margin; a `private[ops]` var only so specs can exercise the heal
+    * without sleeping.
+    */
+  private[graft] var claimLeaseMs: Long = 60000L
+
+  /** Test seam: runs between the basedOn freshness check and the claim CAS
+    * (the optimistic-concurrency race window). Production no-op; specs use
+    * it to interleave a competing commit deterministically.
+    */
+  private[graft] var commitInterleaveForTest: () => Unit = () => ()
+
+  private def claimPath(table: String, id: Int) =
+    new Path(root(table), s"snapshot-$id.claim")
+
+  /** Atomically claim snapshot id `id` — the commit CAS
+    * ([[FsMaint.atomicCreate]]: O_EXCL locally, exclusive namenode create
+    * on HDFS). Returns false when the id is already claimed or committed —
+    * the loser's signal to refuse its commit typed. Claim files are plain
+    * files, so [[snapshotIds]]'s directory-only `snapshot-(\d+)` match
+    * never sees them.
+    */
+  private def claimId(fs: org.apache.hadoop.fs.FileSystem,
+                      table: String, id: Int): Boolean =
+    FsMaint.atomicCreate(fs, claimPath(table, id))
+
+  /** Write `stats` as the next snapshot under OPTIMISTIC CONCURRENCY: the
+    * content is staged to a writer-unique tmp dir (the only expensive
+    * step, conflict-free by construction), then the snapshot id is claimed
+    * by an atomic-create CAS and published by one rename. `basedOn` is the
+    * latest snapshot id the caller observed BEFORE computing `stats`
+    * (0 = none existed): if the table's snapshot state moved, or the next
+    * id is already claimed by a concurrent writer, the commit is REFUSED
+    * with a typed [[ConcurrentCommitException]] and nothing is published —
+    * the Delta/Iceberg commit contract (read version v, work, commit v+1
+    * or fail) on the same Hadoop-FS primitives as the rest of the layer.
+    * A claim whose writer crashed before its rename (claim present, dir
+    * absent, older than [[claimLeaseMs]]) is healed in passing.
+    */
   private def commitSnapshot(spark: SparkSession, table: String,
                              stats: DataFrame,
-                             dataSchema: Option[StructType] = None): Int = {
+                             dataSchema: Option[StructType] = None,
+                             basedOn: Option[Int] = None): Int = {
     val fs = fsOf(spark, table)
-    val next = latestId(spark, table).getOrElse(0) + 1
-    val dest = s"${root(table)}/snapshot-$next"
-    val tmp = dest + "__tmp"
-    FsMaint.deleteRecursively(fs, new Path(tmp))
+    val tmp = s"${root(table)}/commit-" +
+      s"${java.util.UUID.randomUUID().toString.take(12)}__tmp"
     stats.coalesce(1).write.mode("overwrite").parquet(tmp)
     dataSchema.foreach { sch =>
       val out = fs.create(new Path(tmp, "_schema.json"), true)
       try out.write(sch.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
-    if (!fs.rename(new Path(tmp), new Path(dest)))
+    def refuse(why: String): Nothing = {
+      FsMaint.deleteRecursively(fs, new Path(tmp))
+      throw new ConcurrentCommitException(
+        s"manifest commit on $table refused: $why — another writer " +
+          "committed concurrently; nothing was published, re-run against " +
+          "the table's current state")
+    }
+    val cur = latestId(spark, table).getOrElse(0)
+    basedOn.foreach { b =>
+      if (cur != b)
+        refuse(s"snapshot state moved from $b to $cur while this writer " +
+          "computed its stats")
+    }
+    val next = cur + 1
+    val dest = s"${root(table)}/snapshot-$next"
+    // Heal an orphan claim: present, its snapshot dir absent, past the
+    // lease — the signature of a writer that died inside the claim→rename
+    // window (which contains no Spark work, so the lease is generous).
+    val cp = claimPath(table, next)
+    if (fs.exists(cp) && !fs.exists(new Path(dest)) &&
+        System.currentTimeMillis() - fs.getFileStatus(cp).getModificationTime >
+          claimLeaseMs)
+      fs.delete(cp, false): Unit
+    commitInterleaveForTest()
+    if (!claimId(fs, table, next))
+      refuse(s"snapshot-$next is already claimed by a concurrent writer")
+    // Post-claim validation: hygiene deletes the claim of an
+    // ALREADY-COMMITTED id, so winning the claim proves nothing when the
+    // snapshot dir exists — and a moved latest means a whole commit
+    // completed between this writer's basedOn check and its claim. Either
+    // way: release, refuse. (Also keeps the local-FS rename — whose Hadoop
+    // fallback can NEST a dir into an existing destination — away from an
+    // occupied dest.)
+    if (fs.exists(new Path(dest)) || latestId(spark, table).getOrElse(0) != cur) {
+      fs.delete(cp, false)
+      refuse(s"snapshot-$next was committed by a concurrent writer while " +
+        "this writer claimed it")
+    }
+    if (!fs.rename(new Path(tmp), new Path(dest))) {
+      fs.delete(cp, false)
       throw new java.io.IOException(s"manifest commit failed: $dest")
-    // Opportunistic hygiene: clear any orphan tmp dirs from crashed creates.
+    }
+    // Hygiene: claims whose snapshot committed are garbage immediately
+    // (writers targeting that id see the DIR first and never reach the
+    // claim); orphan tmp dirs only past the lease — a younger tmp may be a
+    // LIVE concurrent writer still staging its content.
     fs.listStatus(new Path(root(table))).foreach { s =>
-      if (s.getPath.getName.endsWith("__tmp")) FsMaint.deleteRecursively(fs, s.getPath)
+      val n = s.getPath.getName
+      if (n.endsWith(".claim") &&
+          fs.exists(new Path(root(table), n.stripSuffix(".claim"))))
+        fs.delete(s.getPath, false): Unit
+      else if (n.endsWith("__tmp") &&
+          System.currentTimeMillis() - s.getModificationTime > claimLeaseMs)
+        FsMaint.deleteRecursively(fs, s.getPath)
     }
     next
   }
@@ -491,7 +602,10 @@ object Manifest {
         statsOf(spark.read.parquet(addedPaths.map(escapeGlob): _*), keyCols,
           bloomSpecsLike(snap)))
     // COW mutations preserve the table schema — carry the recorded one.
-    commitSnapshot(spark, table, stats, storedSchema(spark, table, snapId))
+    // basedOn = the snapshot the carried rows came from: a concurrent
+    // commit in between means those rows describe a superseded file set.
+    commitSnapshot(spark, table, stats, storedSchema(spark, table, snapId),
+      basedOn = Some(snapId))
   }
 
   /** Bloom specs matching an existing snapshot's bloom columns (so stats
@@ -568,7 +682,8 @@ object Manifest {
         (carriedDf.unionByName(
           statsOf(fresh, keyCols, bloomSpecsLike(prev))), merged)
       }
-    (commitSnapshot(spark, table, stats, schema), newPaths.length, removed.length)
+    (commitSnapshot(spark, table, stats, schema, basedOn = Some(prevId)),
+      newPaths.length, removed.length)
   }
 
   /** Key columns of the latest snapshot, recovered from the snapshot's own
@@ -626,9 +741,11 @@ object Manifest {
       val bits = p.bloomBits.getOrElse(
         BloomFilter.optimalNumOfBits(100000L, 0.03))
       val specs = p.bloomCols.map(c => BloomSpec(c, math.max(1L, bits / 7), bits))
+      val based = latestId(spark, table).getOrElse(0)
       val data = spark.read.option("mergeSchema", "true").parquet(table)
       commitSnapshot(spark, table,
-        statsOf(data, p.keyCols, specs), Some(data.schema))
+        statsOf(data, p.keyCols, specs), Some(data.schema),
+        basedOn = Some(based))
     }
 
   /** Does snapshot `id` exist under `table`? Checkpoint validation for
@@ -1063,6 +1180,10 @@ object Manifest {
     val fs = fsOf(spark, table)
     val t = trashDir(table)
     if (!fs.exists(t)) return 0
+    // Vacuum mutates the trash a concurrent COW commit is actively moving
+    // files into (carry + retain are multi-step renames) — take the same
+    // table lock the COW/rewrite jobs hold, failing typed if one is live.
+    FsMaint.withTableLock(fs, table) {
     // ONE job over every retained snapshot (snapshots may carry different
     // stat columns, so pin the schema to the one column they all share).
     val ids = snapshotIds(spark, table)
@@ -1079,6 +1200,7 @@ object Manifest {
       }
     }
     n
+    }
   }
 
   /** Retention: drop all but the newest `keep` snapshots (each is a few

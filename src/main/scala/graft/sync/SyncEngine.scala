@@ -158,6 +158,16 @@ final class SyncEngine(master: TableStore, slave: TableStore,
 
   private val audit = mutable.ArrayBuffer.empty[SyncAction]
   def auditLog: Seq[SyncAction] = audit.synchronized(audit.toSeq)
+
+  /** Opt-in master-history maintenance (expire/vacuum) is BEST-EFFORT: a
+    * concurrent COW mutation or compaction holding the table lock refuses
+    * it typed — the sync cycle's result is already committed at that
+    * point, and the next converged cycle retries the maintenance, so the
+    * right response is to skip, not fail the cycle.
+    */
+  private def bestEffortMaintenance(body: => Unit): Unit =
+    try body
+    catch { case _: graft.ops.Manifest.ConcurrentCommitException => () }
   private def record(a: SyncAction): SyncAction = {
     audit.synchronized {
       audit += a
@@ -649,8 +659,9 @@ final class SyncEngine(master: TableStore, slave: TableStore,
         manifestCheckpoint.update(table, newId)
         persistState(table)
         if (config.masterRetentionMaintenance && config.manifestRetainSnapshots > 0)
-          graft.ops.Manifest.expireSnapshots(spark, masterPath,
-            config.manifestRetainSnapshots): Unit
+          bestEffortMaintenance(
+            graft.ops.Manifest.expireSnapshots(spark, masterPath,
+              config.manifestRetainSnapshots): Unit)
       }
       action
     }
@@ -684,8 +695,9 @@ final class SyncEngine(master: TableStore, slave: TableStore,
             // data-changed cycle — bound the history (the engine's own
             // checkpoint is the newest, never expired).
             if (config.masterRetentionMaintenance && config.manifestRetainSnapshots > 0)
-              graft.ops.Manifest.expireSnapshots(spark, masterPath,
-                config.manifestRetainSnapshots): Unit
+              bestEffortMaintenance(
+                graft.ops.Manifest.expireSnapshots(spark, masterPath,
+                  config.manifestRetainSnapshots): Unit)
           }
           record(SyncAction.ApplyDelta(table, 0L, fpI.count))
         }
@@ -764,11 +776,12 @@ final class SyncEngine(master: TableStore, slave: TableStore,
           if (!config.dryRun) {
             manifestCheckpoint.update(table, latest.get)
             persistState(table)
-            if (config.masterRetentionMaintenance && config.manifestRetainSnapshots > 0) {
-              graft.ops.Manifest.expireSnapshots(spark, masterPath,
-                config.manifestRetainSnapshots)
-              graft.ops.Manifest.vacuum(spark, masterPath): Unit
-            }
+            if (config.masterRetentionMaintenance && config.manifestRetainSnapshots > 0)
+              bestEffortMaintenance {
+                graft.ops.Manifest.expireSnapshots(spark, masterPath,
+                  config.manifestRetainSnapshots)
+                graft.ops.Manifest.vacuum(spark, masterPath): Unit
+              }
           }
           action
         } catch {

@@ -1,0 +1,193 @@
+package graft
+
+import graft.functions.Hashing
+import graft.ops.{FsMaint, Layout, Manifest}
+import org.apache.hadoop.fs.Path
+
+import java.util.concurrent.{CountDownLatch, CyclicBarrier, TimeUnit}
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration._
+import scala.util.{Failure, Success, Try}
+
+/** Optimistic concurrency on the table format: of N concurrent writers
+  * exactly ONE commits, every loser fails with the typed
+  * [[Manifest.ConcurrentCommitException]] having published nothing, and
+  * the table + manifest are provably consistent afterwards. The claim CAS
+  * covers snapshot commits; the table lock covers the COW/rewrite swap
+  * window and trash-mutating vacuum.
+  */
+class ConcurrencySpec extends SparkSpec {
+
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  private def fp(df: org.apache.spark.sql.DataFrame): String =
+    Hashing.multisetFingerprintAgg(df, docCols).head().getString(0)
+
+  private def stageClustered(tag: String, nFiles: Int): String = {
+    val stage = tmpDir(tag) + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartition(16).write.parquet(stage)
+    Layout.clusterByRange(spark, stage, "doc_id", nFiles)
+    stage
+  }
+
+  private def fsOf(stage: String) =
+    new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def manifestLeftovers(stage: String): Seq[String] = {
+    val fs = fsOf(stage)
+    fs.listStatus(new Path(s"$stage/_graft_manifest")).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith("__tmp") || n.endsWith(".claim"))
+  }
+
+  test("two concurrent snapshot commits: exactly one wins the claim CAS, the loser fails typed") {
+    val stage = stageClustered("conc_create", 4)
+    // Both writers observe "no snapshot" then race the commit of
+    // snapshot-1; the barrier parks each inside its commit window until
+    // BOTH have staged their content and passed the basedOn check, so the
+    // claim CAS is the deciding line, deterministically.
+    val barrier = new CyclicBarrier(2)
+    Manifest.commitInterleaveForTest =
+      () => { barrier.await(60, TimeUnit.SECONDS): Unit }
+    val attempts =
+      try {
+        val fa = Future(Try(Manifest.create(spark, stage, "doc_id")))
+        val fb = Future(Try(Manifest.create(spark, stage, "doc_id")))
+        Await.result(Future.sequence(Seq(fa, fb)), 120.seconds)
+      } finally Manifest.commitInterleaveForTest = () => ()
+    val (wins, losses) = attempts.partition(_.isSuccess)
+    assert(wins.size == 1 && losses.size == 1, s"got: $attempts")
+    assert(wins.head == Success(1))
+    losses.head match {
+      case Failure(e) => assert(e.isInstanceOf[Manifest.ConcurrentCommitException])
+      case other => fail(s"expected typed failure, got $other")
+    }
+    // Consistency: exactly one committed snapshot, no staged leftovers or
+    // stale claims, and the manifest serves pruned scans.
+    assert(Manifest.latestSnapshotId(spark, stage).contains(1))
+    assert(manifestLeftovers(stage).isEmpty, manifestLeftovers(stage).toString)
+    val (rows, nRead, nTotal) = Manifest.scanRange(spark, stage, "doc_id", 0L, 10L)
+    assert(rows.count() == 11L && nRead < nTotal)
+  }
+
+  test("a commit based on a superseded snapshot state is refused typed (stats never go stale silently)") {
+    val stage = stageClustered("conc_basedon", 4)
+    Manifest.create(spark, stage, "doc_id")
+    // Append a file so createIncremental has work, then interleave a FULL
+    // create inside its commit window: the incremental writer's carried
+    // rows now describe a superseded state and its commit must refuse.
+    spark.range(100000L, 100100L).selectExpr(
+      "id AS doc_id", "'x' AS text", "'en' AS lang", "'s' AS source",
+      "CAST(1 AS BIGINT) AS n_chars").write.mode("append").parquet(stage)
+    Manifest.commitInterleaveForTest = () => {
+      Manifest.commitInterleaveForTest = () => () // one-shot: the inner create commits clean
+      Manifest.create(spark, stage, "doc_id"): Unit
+    }
+    val e =
+      try intercept[Manifest.ConcurrentCommitException] {
+        Manifest.createIncremental(spark, stage, "doc_id")
+      } finally Manifest.commitInterleaveForTest = () => ()
+    assert(e.getMessage.contains("refused"))
+    // The inner (winning) create fully covers the table: complete, fresh,
+    // no leftovers.
+    assert(Manifest.isComplete(spark, stage))
+    assert(manifestLeftovers(stage).isEmpty)
+    // And the refused writer can simply re-run against the new state — a
+    // no-op here, since the winner's full create already covers the append.
+    val (id, scanned, removed) = Manifest.createIncremental(spark, stage, "doc_id")
+    assert(id == Manifest.latestSnapshotId(spark, stage).get && scanned == 0 && removed == 0)
+  }
+
+  test("concurrent COW deletes: the second writer fails typed at the table lock; winner and table stay consistent") {
+    val stage = stageClustered("conc_cow", 8)
+    Manifest.create(spark, stage, "doc_id")
+    val before = spark.read.parquet(stage).count()
+    // Park writer A INSIDE its commit window (the seam fires in
+    // commitReplaced's snapshot commit, after the swap, lock still held).
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    Manifest.commitInterleaveForTest = () => {
+      Manifest.commitInterleaveForTest = () => ()
+      entered.countDown()
+      release.await(60, TimeUnit.SECONDS): Unit
+    }
+    val a = Future(Layout.deleteRange(spark, stage, "doc_id", 0L, 99L))
+    try {
+      assert(entered.await(90, TimeUnit.SECONDS), "writer A never reached its commit window")
+      // Writer B: refused at the lock, having touched NOTHING.
+      val eb = intercept[Manifest.ConcurrentCommitException] {
+        Layout.deleteRange(spark, stage, "doc_id", 400L, 499L)
+      }
+      assert(eb.getMessage.contains("commit lock"))
+    } finally {
+      release.countDown()
+      Manifest.commitInterleaveForTest = () => ()
+    }
+    val ra = Await.result(a, 120.seconds)
+    assert(ra.rowsDeleted == 100L)
+    // Consistency: exactly the winner's delete applied; manifest complete;
+    // the loser re-runs cleanly against the new state.
+    assert(spark.read.parquet(stage).count() == before - 100L)
+    assert(Manifest.isComplete(spark, stage))
+    val rb = Layout.deleteRange(spark, stage, "doc_id", 400L, 499L)
+    assert(rb.rowsDeleted == 100L)
+    assert(spark.read.parquet(stage).count() == before - 200L)
+    assert(spark.read.parquet(stage)
+      .filter("doc_id BETWEEN 0 AND 99 OR doc_id BETWEEN 400 AND 499").count() == 0L)
+  }
+
+  test("a live table lock refuses COW/compaction/vacuum typed; an expired lock is broken and healed") {
+    val stage = stageClustered("conc_lock", 4)
+    Manifest.create(spark, stage, "doc_id")
+    // Retained trash so vacuum has real work to refuse.
+    Layout.deleteRange(spark, stage, "doc_id", 0L, 9L)
+    val preFp = fp(spark.read.parquet(stage))
+    val fs = fsOf(stage)
+    assert(FsMaint.atomicCreate(fs, FsMaint.tableLockPath(stage)))
+    try {
+      intercept[Manifest.ConcurrentCommitException] {
+        Layout.deleteRange(spark, stage, "doc_id", 100L, 199L)
+      }
+      intercept[Manifest.ConcurrentCommitException] {
+        Layout.compactTable(spark, stage, 1L << 26)
+      }
+      intercept[Manifest.ConcurrentCommitException] {
+        Manifest.vacuum(spark, stage)
+      }
+      // Refusals touched nothing: content identical, lock still there.
+      assert(fp(spark.read.parquet(stage)) == preFp)
+      assert(fs.exists(FsMaint.tableLockPath(stage)))
+    } finally {
+      // Expired lock (crashed holder): the next writer breaks it and runs.
+      val savedLease = FsMaint.tableLockLeaseMs
+      FsMaint.tableLockLeaseMs = -1L
+      try {
+        val r = Layout.deleteRange(spark, stage, "doc_id", 100L, 199L)
+        assert(r.rowsDeleted == 100L)
+      } finally FsMaint.tableLockLeaseMs = savedLease
+      assert(!fs.exists(FsMaint.tableLockPath(stage)), "broken lock must not linger")
+    }
+  }
+
+  test("recoverDelete never heals under a live lock (a live writer's swap window is its own)") {
+    val stage = stageClustered("conc_heal", 4)
+    Manifest.create(spark, stage, "doc_id")
+    val fs = fsOf(stage)
+    // Fake an in-flight commit: journal present, lock live. recoverDelete
+    // must leave both alone; once the lock expires it heals normally.
+    val journal = new Path(stage + "__deleting")
+    val out = fs.create(journal, true)
+    try out.write("part-nonexistent\n".getBytes("UTF-8")) finally out.close()
+    assert(FsMaint.atomicCreate(fs, FsMaint.tableLockPath(stage)))
+    Layout.recoverDelete(spark, stage)
+    assert(fs.exists(journal), "live-lock heal must be a no-op")
+    val savedLease = FsMaint.tableLockLeaseMs
+    FsMaint.tableLockLeaseMs = -1L
+    try Layout.recoverDelete(spark, stage)
+    finally FsMaint.tableLockLeaseMs = savedLease
+    assert(!fs.exists(journal), "expired-lock heal must run")
+    assert(!fs.exists(FsMaint.tableLockPath(stage)))
+  }
+}

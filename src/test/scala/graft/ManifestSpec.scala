@@ -660,7 +660,13 @@ class ManifestSpec extends SparkSpec {
     val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
     val orphan = new Path(s"$stage/_graft_manifest/snapshot-99__tmp")
     fs.mkdirs(orphan)
-    Manifest.create(spark, stage, "doc_id")
+    // Tmp sweeping is lease-gated (a YOUNG tmp may be a live concurrent
+    // writer still staging) — zero the lease so the sweep sees this
+    // freshly-planted orphan as aged.
+    val savedLease = Manifest.claimLeaseMs
+    Manifest.claimLeaseMs = -1L
+    try Manifest.create(spark, stage, "doc_id")
+    finally Manifest.claimLeaseMs = savedLease
     assert(!fs.exists(orphan), "orphan tmp should be swept")
     // The orphan never counted as a snapshot: pruning still works.
     val (rows, nRead, nTotal) = Manifest.scanRange(spark, stage, "doc_id", 0L, 10L)
