@@ -92,9 +92,21 @@ private[graft] object FsMaint {
     * A crash between the swap and the carry loses only the carried
     * metadata (the next reader sees "no manifest", a loud re-create
     * signal), never data.
+    *
+    * `retainInto = Some(trashName)` additionally RETAINS the replaced
+    * data files by flattening them into `<path>/<trashName>/` (metadata
+    * renames) instead of deleting them — what keeps pre-rewrite manifest
+    * snapshots time-travel-readable through the trash, the same retention
+    * contract as the COW mutations. Retention is all-or-nothing per swap:
+    * if flattening would collide (two partition dirs holding the same
+    * part-file name, or a name already in the trash — possible only for
+    * hive-partitioned originals), the old files are deleted as before and
+    * `false` is returned so the caller can expire the now-unreadable
+    * snapshots rather than report retention it cannot serve.
     */
   def swapIn(fs: FileSystem, path: String, tmp: String,
-             carryOver: Seq[String] = Nil): Unit = {
+             carryOver: Seq[String] = Nil,
+             retainInto: Option[String] = None): Boolean = {
     val dir = new Path(path)
     val old = new Path(path + "__old")
     deleteRecursively(fs, old)
@@ -109,7 +121,32 @@ private[graft] object FsMaint {
       val dst = new Path(dir, name)
       if (fs.exists(src) && !fs.exists(dst)) { fs.rename(src, dst): Unit }
     }
+    val retained = retainInto.exists { trashName =>
+      val trash = new Path(dir, trashName)
+      val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val it = fs.listFiles(old, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-") && f.getLen > 0 &&
+          !underHiddenDir(old, f.getPath)) files += f.getPath
+      }
+      val names = files.map(_.getName)
+      val inTrash =
+        if (fs.exists(trash)) fs.listStatus(trash).map(_.getPath.getName).toSet
+        else Set.empty[String]
+      val collisionFree =
+        names.distinct.size == names.size && !names.exists(inTrash)
+      if (collisionFree && files.nonEmpty) {
+        fs.mkdirs(trash)
+        files.foreach { p =>
+          if (!fs.rename(p, new Path(trash, p.getName)))
+            throw new java.io.IOException(s"swap: failed to retain ${p.getName}")
+        }
+      }
+      collisionFree
+    }
     deleteRecursively(fs, old)
+    retained
   }
 
   def deleteRecursively(fs: FileSystem, p: Path): Unit =

@@ -74,19 +74,33 @@ object Layout {
   }
 
   /** Commit a rewrite: swap the staged dir in (carrying the manifest
-    * snapshot history across — it lives INSIDE the table dir the swap
-    * replaces), then re-commit a fresh snapshot with the pre-rewrite
-    * PROFILE (key columns + bloom columns/bits) so manifest readers never
-    * cross a rewrite on stale stats — and a point-lookup bloom index
-    * survives layout maintenance. The profile must be captured BEFORE the
-    * swap (the old dir is gone after).
+    * snapshot history AND prior mutations' retained trash across — both
+    * live INSIDE the table dir the swap replaces), RETAIN the replaced
+    * originals in the trash so pre-rewrite snapshots stay time-travel- and
+    * change-feed-readable (a routine compaction must not destroy the COW
+    * history contract), then re-commit a fresh snapshot with the
+    * pre-rewrite PROFILE (key columns + bloom columns/bits) so manifest
+    * readers never cross a rewrite on stale stats — and a point-lookup
+    * bloom index survives layout maintenance. The profile must be captured
+    * BEFORE the swap (the old dir is gone after).
+    *
+    * Unmanifested tables retain nothing (no snapshots = nothing can read
+    * history, so retention would be unbounded debt). If retention had to
+    * be skipped (partitioned-original name collision — see
+    * [[FsMaint.swapIn]]), the now-unreadable prior snapshots are EXPIRED
+    * so retention reporting matches what is actually readable.
     */
   private def swapAndRefresh(spark: SparkSession,
                              fs: org.apache.hadoop.fs.FileSystem,
                              path: String, tmp: String,
                              profile: Option[Manifest.Profile]): Unit = {
-    FsMaint.swapIn(fs, path, tmp, carryOver = Seq("_graft_manifest"))
-    profile.foreach(p => Manifest.createLike(spark, path, p): Unit)
+    val retained = FsMaint.swapIn(fs, path, tmp,
+      carryOver = Seq("_graft_manifest", "_graft_trash"),
+      retainInto = if (profile.isDefined) Some("_graft_trash") else None)
+    profile.foreach { p =>
+      Manifest.createLike(spark, path, p): Unit
+      if (!retained) Manifest.expireSnapshots(spark, path, keep = 1): Unit
+    }
   }
 
 

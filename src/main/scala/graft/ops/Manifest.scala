@@ -1076,11 +1076,12 @@ object Manifest {
     * touch committed files: an as-of read of an append-only table is exact
     * for as long as the snapshot is retained. The two ways it can stop
     * being answerable both fail TYPED, never silently: an expired snapshot
-    * id throws here ([[expireSnapshots]] retention), and a layout rewrite
-    * or external delete of a referenced file raises
-    * [[StaleManifestException]] (rewrites rename every data file — this
-    * engine reclaims space eagerly rather than keeping rewrite history,
-    * the VACUUM trade stated on the tin).
+    * id throws here ([[expireSnapshots]] retention), and an external
+    * delete or vacuum of a referenced file raises
+    * [[StaleManifestException]]. COW mutations AND layout rewrites
+    * (compaction/re-clustering) retain the files they replace in the
+    * hidden trash, so as-of reads survive routine maintenance until
+    * [[vacuum]] reclaims what no retained snapshot references.
     */
   def readAsOf(spark: SparkSession, table: String, id: Int): DataFrame = {
     require(hasSnapshot(spark, table, id),

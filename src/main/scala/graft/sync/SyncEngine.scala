@@ -785,11 +785,13 @@ final class SyncEngine(master: TableStore, slave: TableStore,
           }
           action
         } catch {
-          // A LAYOUT rewrite between cycles renames every data file and does
-          // not retain the originals (history-destroying by contract): the
-          // feed's removed files are in neither place and the resolve throws.
-          // The recurring loop must survive routine maintenance — fall back
-          // to the full diff, which also re-checkpoints at the current state.
+          // Layout rewrites retain their replaced originals, so the feed
+          // normally rides ACROSS routine maintenance (carried rows cancel
+          // in the multiset diff). Staleness can still happen — an external
+          // delete, an aggressive vacuum, or a retention-skipped rewrite
+          // (partitioned-original collision) — and the recurring loop must
+          // survive it: fall back to the full diff, which also
+          // re-checkpoints at the master's current state.
           case _: graft.ops.Manifest.StaleManifestException => fullCycle()
         }
       case _ => fullCycle()

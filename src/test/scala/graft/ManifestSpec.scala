@@ -123,14 +123,20 @@ class ManifestSpec extends SparkSpec {
     Manifest.expireSnapshots(spark, stage, keep = 1)
     val ex = intercept[IllegalArgumentException] { Manifest.readAsOf(spark, stage, id1) }
     assert(ex.getMessage.contains("expired") || ex.getMessage.contains("retention"))
-    // A rewrite renames every data file: as-of over a pre-rewrite snapshot
-    // must raise the stale error, never silently read half a table.
+    // A rewrite renames every data file but RETAINS the originals: as-of
+    // over the pre-rewrite snapshot reads exactly, through the trash —
+    // and so does the rewrite's own recommitted snapshot.
     val idPre = Manifest.create(spark, stage, "doc_id")
     graft.ops.Layout.compactTable(spark, stage, targetBytes = 64L << 20)
-    intercept[Manifest.StaleManifestException] { Manifest.readAsOf(spark, stage, idPre) }
-    // …while the rewrite's own recommitted snapshot (the next id) serves
-    // as-of correctly.
+    assert(fp(Manifest.readAsOf(spark, stage, idPre)) == fp(docs))
     assert(fp(Manifest.readAsOf(spark, stage, idPre + 1)) == fp(docs))
+    // External interference (a manual trash delete out from under a
+    // retained snapshot) still fails TYPED, never silently half-reads.
+    val fsx = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    val trashed = fsx.listStatus(new Path(s"$stage/_graft_trash"))
+      .filter(_.isFile).head.getPath
+    fsx.delete(trashed, false)
+    intercept[Manifest.StaleManifestException] { Manifest.readAsOf(spark, stage, idPre) }
   }
 
   test("expireSnapshots keeps the newest N; an expired checkpoint fails fast") {
@@ -652,6 +658,60 @@ class ManifestSpec extends SparkSpec {
         Manifest.countRange(spark, stage, "doc_id", 100L, 350L)
       }
     } finally Manifest.interleaveForTest = () => ()
+  }
+
+  test("layout rewrites retain replaced history: time travel and the change feed survive a compaction") {
+    val stage = stageClustered("manifest_rw_retain", 4)
+    val id1 = Manifest.create(spark, stage, "doc_id")
+    val fpOrig = fp(spark.read.parquet(stage))
+    Layout.deleteRange(spark, stage, "doc_id", 0L, 49L)
+    val id2 = Manifest.latestSnapshotId(spark, stage).get
+    val fpAfterDel = fp(spark.read.parquet(stage))
+    // Routine maintenance: the compaction replaces EVERY live file but
+    // retains the originals — pre-compaction and pre-delete snapshots stay
+    // exactly readable.
+    Layout.compactTable(spark, stage, targetBytes = 64L << 20)
+    val id3 = Manifest.latestSnapshotId(spark, stage).get
+    assert(id3 > id2)
+    assert(fp(Manifest.readAsOf(spark, stage, id2)) == fpAfterDel)
+    assert(fp(Manifest.readAsOf(spark, stage, id1)) == fpOrig)
+    // A pure re-layout nets ZERO feed rows (carried rows cancel) …
+    assert(Manifest.changesBetween(spark, stage, id2, id3).count() == 0L)
+    // … and across delete + compaction the net feed is exactly the delete.
+    val feed = Manifest.changesBetween(spark, stage, id1, id3)
+    assert(feed.filter(col("change") === "insert").count() == 0L)
+    assert(feed.filter(col("change") === "delete").count() == 50L)
+    // Vacuum after retention expiry reclaims what nothing references, and
+    // only then does the expired window fail — typed, never silently.
+    Manifest.expireSnapshots(spark, stage, keep = 1)
+    assert(Manifest.vacuum(spark, stage) > 0)
+    intercept[IllegalArgumentException] { Manifest.readAsOf(spark, stage, id1) }
+  }
+
+  test("retention-skipped rewrite (colliding partitioned original) expires the unreadable snapshots") {
+    // A hive-partitioned original where ONE task writes several partition
+    // dirs produces the same part-file name in each dir — flattening into
+    // the trash would collide, so the rewrite skips retention and must
+    // EXPIRE the snapshots it made unreadable instead of reporting
+    // retention it cannot serve.
+    val stage = tmpDir("manifest_rw_skip") + "/docs"
+    spark.read.parquet(s"$sf001/documents.parquet").repartition(1)
+      .write.partitionBy("lang").parquet(stage)
+    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(new Path(stage)).filter(_.isDirectory)
+      .filter(_.getPath.getName.contains("="))
+      .flatMap(d => fs.listStatus(d.getPath).filter(_.isFile).map(_.getPath.getName))
+    assert(names.length > names.distinct.length, "fixture must collide on flatten")
+    val id1 = Manifest.create(spark, stage, "doc_id")
+    val fpOrig = fp(spark.read.parquet(stage).select(docCols.map(col): _*))
+    Layout.compactTable(spark, stage, targetBytes = 64L << 20)
+    // Content invariant; the pre-rewrite snapshot is gone, not lying around
+    // unreadable.
+    assert(fp(spark.read.parquet(stage).select(docCols.map(col): _*)) == fpOrig)
+    assert(!Manifest.hasSnapshot(spark, stage, id1))
+    val latest = Manifest.latestSnapshotId(spark, stage).get
+    assert(fp(Manifest.readAsOf(spark, stage, latest)
+      .select(docCols.map(col): _*)) == fpOrig)
   }
 
   test("a crashed create's orphan tmp dir is cleaned by the next create") {

@@ -1,7 +1,7 @@
 package graft
 
 import graft.queries.Registry
-import graft.sync.{ParquetStore, SyncConfig, SyncEngine}
+import graft.sync.{ParquetStore, SyncAction, SyncConfig, SyncEngine}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -313,5 +313,41 @@ class PlanAuditSpec extends SparkSpec {
     // The slave pays exactly its COW delta-apply read — one scan.
     val sCount = scans.count(_.contains(sDir))
     assert(sCount == 1, s"slave scanned $sCount times; expected 1\n${scans.mkString("\n")}")
+  }
+
+  test("feed cycle ACROSS a compaction: rides the feed (no full-diff fallback), slave never scanned") {
+    val mDir = tmpDir("pa_cdf_cmp_m")
+    val sDir = tmpDir("pa_cdf_cmp_s")
+    val mPath = s"$mDir/lineitem.parquet"
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    li.repartitionByRange(6, col("l_orderkey")).write.parquet(mPath)
+    spark.read.parquet(mPath).write.parquet(s"$sDir/lineitem.parquet")
+    graft.ops.Manifest.create(spark, mPath, "l_orderkey")
+    val engine = new SyncEngine(new ParquetStore(spark, mDir), new ParquetStore(spark, sDir),
+      SyncConfig(primaryKeys = liKeys, maintainFingerprints = true))
+    engine.syncViaChangeFeed("lineitem", mPath) // prime + checkpoint
+    // Routine maintenance between cycles: the compaction RETAINS its
+    // replaced originals, so the next feed resolves them through the trash
+    // and nets ZERO rows (pure re-layout cancels in the multiset diff) —
+    // the fallback full diff would have answered Skip after re-scanning.
+    graft.ops.Layout.compactTable(spark, mPath, targetBytes = 1L << 20)
+    val scans = scanPathsDuring {
+      val action = engine.syncViaChangeFeed("lineitem", mPath)
+      action match {
+        case SyncAction.ApplyDelta("lineitem", 0L, 0L) => ()
+        case other => fail(s"expected the empty-net feed cycle, got $other " +
+          "(Skip would mean the full-diff fallback ran)")
+      }
+    }
+    // Empty net feed ⇒ nothing to apply ⇒ the slave is NEVER read.
+    val sCount = scans.count(_.contains(sDir))
+    assert(sCount == 0, s"slave scanned $sCount times; expected 0\n${scans.mkString("\n")}")
+    // Master reads stay file-granular (changed files + retained trash).
+    val masterData = scans.filter(p =>
+      p.contains(mPath) && !p.contains("_graft_manifest"))
+    masterData.foreach { p =>
+      assert(!p.stripSuffix("/").endsWith("lineitem.parquet"),
+        s"whole-table master plan on a feed cycle: $p\n${scans.mkString("\n")}")
+    }
   }
 }

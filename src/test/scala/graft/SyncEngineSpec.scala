@@ -300,10 +300,10 @@ class SyncEngineSpec extends SparkSpec {
       case other => fail(s"expected feed delete, got $other")
     }
     assert(fp(ss.read("cust")) == fp(ms.read("cust")))
-    // A LAYOUT rewrite between cycles destroys retained history (every file
-    // renamed, trash dropped with the old dir): the feed's removed files
-    // resolve nowhere — the cycle must survive by falling back to the full
-    // diff, not crash the recurring loop.
+    // A LAYOUT rewrite between cycles now RETAINS the replaced originals:
+    // the feed resolves removed files through the trash and rides across
+    // routine maintenance (carried rows cancel in the multiset diff), so
+    // the appended row still converges the slave either way.
     graft.ops.Layout.compactTable(spark, mPath, targetBytes = 1L << 20)
     Seq((11L, "kate", 20, 15.0)).toDF("id", "name", "nk", "bal")
       .write.mode(SaveMode.Append).parquet(mPath)
