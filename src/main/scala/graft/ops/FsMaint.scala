@@ -94,15 +94,16 @@ private[graft] object FsMaint {
     * signal), never data.
     *
     * `retainInto = Some(trashName)` additionally RETAINS the replaced
-    * data files by flattening them into `<path>/<trashName>/` (metadata
-    * renames) instead of deleting them — what keeps pre-rewrite manifest
-    * snapshots time-travel-readable through the trash, the same retention
-    * contract as the COW mutations. Retention is all-or-nothing per swap:
-    * if flattening would collide (two partition dirs holding the same
-    * part-file name, or a name already in the trash — possible only for
-    * hive-partitioned originals), the old files are deleted as before and
-    * `false` is returned so the caller can expire the now-unreadable
-    * snapshots rather than report retention it cannot serve.
+    * data files under `<path>/<trashName>/<relative-path>` (metadata
+    * renames, PRESERVING `k=v/` partition structure) instead of deleting
+    * them — what keeps pre-rewrite manifest snapshots time-travel-readable
+    * through the trash, the same retention contract as the COW mutations.
+    * Relative paths are unique within a table's lifetime (job-unique part
+    * names), so collisions cannot occur by construction; the defensive
+    * check remains as an all-or-nothing valve: on a collision the old
+    * files are deleted as before and `false` is returned so the caller can
+    * expire the now-unreadable snapshots rather than report retention it
+    * cannot serve.
     */
   def swapIn(fs: FileSystem, path: String, tmp: String,
              carryOver: Seq[String] = Nil,
@@ -123,6 +124,9 @@ private[graft] object FsMaint {
     }
     val retained = retainInto.exists { trashName =>
       val trash = new Path(dir, trashName)
+      val oldRoot = old.toUri.getPath.stripSuffix("/")
+      def relOf(p: Path): String =
+        p.toUri.getPath.stripPrefix(oldRoot + "/")
       val files = scala.collection.mutable.ArrayBuffer.empty[Path]
       val it = fs.listFiles(old, true)
       while (it.hasNext) {
@@ -130,17 +134,13 @@ private[graft] object FsMaint {
         if (f.getPath.getName.startsWith("part-") && f.getLen > 0 &&
           !underHiddenDir(old, f.getPath)) files += f.getPath
       }
-      val names = files.map(_.getName)
-      val inTrash =
-        if (fs.exists(trash)) fs.listStatus(trash).map(_.getPath.getName).toSet
-        else Set.empty[String]
-      val collisionFree =
-        names.distinct.size == names.size && !names.exists(inTrash)
+      val collisionFree = files.forall(p => !fs.exists(new Path(trash, relOf(p))))
       if (collisionFree && files.nonEmpty) {
-        fs.mkdirs(trash)
         files.foreach { p =>
-          if (!fs.rename(p, new Path(trash, p.getName)))
-            throw new java.io.IOException(s"swap: failed to retain ${p.getName}")
+          val dst = new Path(trash, relOf(p))
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(p, dst))
+            throw new java.io.IOException(s"swap: failed to retain ${relOf(p)}")
         }
       }
       collisionFree

@@ -114,7 +114,9 @@ object Layout {
                                picked: Seq[String]): org.apache.spark.sql.DataFrame = {
     val sch = Manifest.latestSnapshotId(spark, path)
       .flatMap(id => Manifest.storedSchema(spark, path, id))
-    val r0 = spark.read
+    // basePath keeps hive-partition columns on the picked-file read (a
+    // no-op for flat tables, where files sit directly under the base).
+    val r0 = spark.read.option("basePath", path)
     sch.fold(r0.option("mergeSchema", "true"))(r0.schema)
       .parquet(picked.map(Manifest.escapeGlob): _*)
   }
@@ -326,12 +328,16 @@ object Layout {
     *   5. `__delnew` → `<path>` (table back, complete)
     *   6. manifest carried + recommitted; `__delold` and journal removed
     *
-    * Flat tables only: a hive-partitioned table's survivors would need
-    * re-bucketing into partition dirs — and its partition column is the
-    * better delete mechanism anyway (drop whole directories). Requires a
-    * manifest snapshot covering `keyCol`: the stats ARE the targeting
-    * mechanism. Bounds are inclusive, in the key's normalized long domain
-    * (epoch micros / days for temporal keys, the [[Manifest]] convention).
+    * Hive-partitioned tables take the PER-PARTITION commit instead
+    * ([[commitReplacePartitioned]]): survivors staged in hive layout,
+    * doomed originals retained at their `k=v/` relative paths, commit by
+    * file-level moves — untouched PARTITIONS are never planned, listed, or
+    * renamed (the flat swap's carry loop would rename every untouched file;
+    * at partitioned 100 TB scale that O(table) metadata pass is the
+    * bottleneck the per-partition path removes). Requires a manifest
+    * snapshot covering `keyCol`: the stats ARE the targeting mechanism.
+    * Bounds are inclusive, in the key's normalized long domain (epoch
+    * micros / days for temporal keys, the [[Manifest]] convention).
     */
   def deleteRange(spark: SparkSession, path: String, keyCol: String,
                   lo: Long, hi: Long): DeleteResult = {
@@ -344,10 +350,6 @@ object Layout {
     FsMaint.withTableLock(fs, path) {
     healDelete(spark, path)
     FsMaint.recoverSwap(fs, path)
-    require(!fs.listStatus(new Path(path)).exists(s =>
-      s.isDirectory && s.getPath.getName.contains("=")),
-      s"deleteRange($path): hive-partitioned tables are not supported — " +
-        "drop partition directories or rewrite per partition instead")
     val keys = Manifest.currentKeyCols(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"deleteRange($path) needs a manifest snapshot (Manifest.create) — " +
@@ -364,16 +366,31 @@ object Layout {
       .select(col("file"), col("n_rows")).collect()
     if (pickedRows.isEmpty) return DeleteResult(0, total, 0L) // metadata no-op
     val picked = pickedRows.map(_.getString(0)).toIndexedSeq
-    // 1. stage the survivors (decode/encode limited to the picked files)
-    val stage = path + "__delnew"
-    FsMaint.deleteRecursively(fs, new Path(stage))
-    val pickedDf = readPickedPinned(spark, path, picked)
-    pickedDf.filter(!orderedLong(keyCol, pickedDf).between(lo, hi))
-      .write.mode("overwrite").parquet(stage)
-    val survivorRows = stagedRowCount(spark, fs, stage)
-    commitReplace(spark, fs, path, picked, stage, keys)
-    DeleteResult(picked.length, total,
-      pickedRows.map(_.getLong(1)).sum - survivorRows)
+    val rowsBefore = pickedRows.map(_.getLong(1)).sum
+    if (isHivePartitioned(fs, path)) {
+      // Per-partition COW: stage survivors in hive layout, commit by
+      // FILE-LEVEL moves — untouched partitions are never planned, listed
+      // into the rewrite, or renamed (cost ∝ files touched, not table).
+      val stage = path + PartStageSuffix
+      FsMaint.deleteRecursively(fs, new Path(stage))
+      val pickedDf = readPickedPinned(spark, path, picked)
+      val partCols = partitionColsOf(path, picked)
+      pickedDf.filter(!orderedLong(keyCol, pickedDf).between(lo, hi))
+        .write.partitionBy(partCols: _*).mode("overwrite").parquet(stage)
+      val survivorRows = stagedRowCount(spark, fs, stage)
+      commitReplacePartitioned(spark, fs, path, picked, stage, keys)
+      DeleteResult(picked.length, total, rowsBefore - survivorRows)
+    } else {
+      // 1. stage the survivors (decode/encode limited to the picked files)
+      val stage = path + "__delnew"
+      FsMaint.deleteRecursively(fs, new Path(stage))
+      val pickedDf = readPickedPinned(spark, path, picked)
+      pickedDf.filter(!orderedLong(keyCol, pickedDf).between(lo, hi))
+        .write.mode("overwrite").parquet(stage)
+      val survivorRows = stagedRowCount(spark, fs, stage)
+      commitReplace(spark, fs, path, picked, stage, keys)
+      DeleteResult(picked.length, total, rowsBefore - survivorRows)
+    }
     }
   }
 
@@ -386,6 +403,143 @@ object Layout {
                              stage: String): Long =
     if (FsMaint.dataFileCount(fs, new Path(stage)) == 0) 0L
     else spark.read.parquet(stage).count()
+
+  private val PartStageSuffix = "__delnewp"
+  private val PartJournalSuffix = "__deletingp"
+
+  private def isHivePartitioned(fs: org.apache.hadoop.fs.FileSystem,
+                                path: String): Boolean =
+    fs.listStatus(new Path(path)).exists(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
+
+  /** Partition columns, in directory order, recovered from a table-relative
+    * file path's `k=v` segments (`lang=en/part-x` → Seq("lang")).
+    */
+  private def partitionColsFromRel(rel: String): Seq[String] =
+    rel.split('/').dropRight(1).toSeq
+      .filter(_.contains("=")).map(_.takeWhile(_ != '='))
+
+  private def partitionColsOf(path: String, picked: Seq[String]): Seq[String] =
+    partitionColsFromRel(
+      Manifest.relativeTo(path, Manifest.decodePath(picked.head)))
+
+  /** Table-relative paths of the staged hive-layout survivor files. */
+  private def stagedRels(fs: org.apache.hadoop.fs.FileSystem,
+                         stage: String): IndexedSeq[String] = {
+    val stageP = new Path(stage)
+    val root = stageP.toUri.getPath.stripSuffix("/")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(stageP)) {
+      val it = fs.listFiles(stageP, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-") && f.getLen > 0)
+          out += f.getPath.toUri.getPath.stripPrefix(root + "/")
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  /** The move phase of the PARTITIONED COW commit, shared by commit and
+    * crash heal (each rename is atomic and the whole phase idempotent, so
+    * re-running after a crash at any point completes it): doomed originals
+    * into the trash AT their relative paths, staged survivors into their
+    * partition dirs. Untouched partitions are never listed or renamed —
+    * cost ∝ files touched.
+    */
+  private def movePartitionedCommit(fs: org.apache.hadoop.fs.FileSystem,
+                                    path: String, stage: String,
+                                    doomedRels: Seq[String],
+                                    stagedRels: Seq[String]): Unit = {
+    val trash = new Path(path, "_graft_trash")
+    doomedRels.foreach { rel =>
+      val src = new Path(s"$path/$rel")
+      if (fs.exists(src)) {
+        val dst = new Path(trash, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"cow commit: failed to retain $rel")
+      }
+    }
+    stagedRels.foreach { rel =>
+      val src = new Path(s"$stage/$rel")
+      val dst = new Path(s"$path/$rel")
+      if (fs.exists(src) && !fs.exists(dst)) {
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"cow commit: failed to land $rel")
+      }
+    }
+  }
+
+  /** PARTITIONED COW commit — the per-partition completion of
+    * [[commitReplace]]'s flat sequence, at FILE granularity instead of a
+    * whole-dir swap (a partitioned table's untouched partitions must not
+    * even be renamed through the commit, let alone planned):
+    *   1. survivors staged in hive layout under `<path>__delnewp`
+    *   2. journal (doomed + staged relative paths) rename-committed
+    *   3. doomed originals → `_graft_trash/<rel>` (atomic renames; history
+    *      retained at its k=v structure for time travel / the feed)
+    *   4. staged survivors → `<path>/<rel>`
+    *   5. manifest recommitted: untouched files' stats carried, only the
+    *      staged files scanned
+    * A crash at any point forward-completes on the next call
+    * ([[recoverDelete]]): every move is idempotent, and the manifest heal
+    * re-creates a full snapshot. Readers racing the window (steps 3-4) see
+    * a transiently partial table through DIRECT parquet reads; the
+    * manifest read paths fail typed instead (picked files resolve to
+    * neither place mid-move) — the flat swap's loud-unavailability
+    * contract, at file scope.
+    */
+  private def commitReplacePartitioned(spark: SparkSession,
+                                       fs: org.apache.hadoop.fs.FileSystem,
+                                       path: String, picked: Seq[String],
+                                       stage: String, keys: Seq[String]): Unit = {
+    val staged = stagedRels(fs, stage)
+    val doomed = picked.map(p => Manifest.relativeTo(path, Manifest.decodePath(p)))
+    val journal = new Path(path + PartJournalSuffix)
+    val jtmp = new Path(path + PartJournalSuffix + "__tmp")
+    val out = fs.create(jtmp, true)
+    try out.write((doomed.map("D " + _) ++ staged.map("S " + _))
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(journal, false)
+    if (!fs.rename(jtmp, journal))
+      throw new java.io.IOException(s"cow journal commit failed: $journal")
+    movePartitionedCommit(fs, path, stage, doomed, staged)
+    Manifest.commitReplaced(spark, path, keys, picked.toSet,
+      staged.map(r => s"$path/$r"))
+    fs.delete(journal, false)
+    FsMaint.deleteRecursively(fs, new Path(stage))
+  }
+
+  /** Heal an interrupted PARTITIONED COW commit: no journal means nothing
+    * irreversible happened (stray staging discarded); with a journal the
+    * moves forward-complete idempotently and a fresh full snapshot is
+    * committed (the heal cannot know how far the crashed manifest commit
+    * got — the crash path pays O(table) stats once, the safe trade).
+    */
+  private def healDeletePartitioned(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val journal = new Path(path + PartJournalSuffix)
+    val stage = path + PartStageSuffix
+    fs.delete(new Path(path + PartJournalSuffix + "__tmp"), false): Unit
+    if (!fs.exists(journal)) {
+      FsMaint.deleteRecursively(fs, new Path(stage))
+      return
+    }
+    val in = fs.open(journal)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toIndexedSeq
+      finally in.close()
+    val doomed = lines.collect { case l if l.startsWith("D ") => l.drop(2) }
+    val staged = lines.collect { case l if l.startsWith("S ") => l.drop(2) }
+    movePartitionedCommit(fs, path, stage, doomed, staged)
+    Manifest.currentProfile(spark, path)
+      .foreach(p => Manifest.createLike(spark, path, p): Unit)
+    fs.delete(journal, false): Unit
+    FsMaint.deleteRecursively(fs, new Path(stage))
+  }
 
   /** Steps 2-6 of the copy-on-write commit sequence (see [[deleteRange]]),
     * shared by every COW mutation: journal the staged file names, swap the
@@ -495,9 +649,12 @@ object Layout {
     * they land as ordinary appended files, manifest refreshed either way.
     *
     * Contract: `delta` carries the table's schema with at most one row per
-    * key (enforced — a double-keyed delta makes "replace" ambiguous); the
-    * table is PK-unique per the sync engine's convention; flat tables,
-    * single writer (see [[deleteRange]]).
+    * key (enforced — a double-keyed delta makes "replace" ambiguous,
+    * including hive-partition columns as ordinary data columns); the table
+    * is PK-unique per the sync engine's convention. Hive-partitioned
+    * tables route through the per-partition commit, pure inserts land as
+    * a partitioned append (see [[deleteRange]]); concurrent writers are
+    * serialized by the table lock.
     */
   def mergeKeyed(spark: SparkSession, path: String, keyCol: String,
                  delta: org.apache.spark.sql.DataFrame): MergeResult = {
@@ -506,10 +663,6 @@ object Layout {
     FsMaint.withTableLock(fs, path) {
     healDelete(spark, path)
     FsMaint.recoverSwap(fs, path)
-    require(!fs.listStatus(new Path(path)).exists(s =>
-      s.isDirectory && s.getPath.getName.contains("=")),
-      s"mergeKeyed($path): hive-partitioned tables are not supported — " +
-        "merge per partition instead")
     val keys = Manifest.currentKeyCols(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"mergeKeyed($path) needs a manifest snapshot (Manifest.create) — " +
@@ -529,23 +682,36 @@ object Layout {
     val picked = f.join(broadcast(deltaKeys),
         col("__k").between(col(s"min_$keyCol"), col(s"max_$keyCol")), "left_semi")
       .select("file").collect().map(_.getString(0)).toIndexedSeq
+    val partitioned = isHivePartitioned(fs, path)
     if (picked.isEmpty) {
-      // pure insert: no file can contain a matching key — plain append,
-      // snapshot refreshed incrementally (only the appended files scanned)
-      delta.write.mode("append").parquet(path)
+      // pure insert: no file can contain a matching key — plain append
+      // (routed into partition dirs for a hive layout), snapshot refreshed
+      // incrementally (only the appended files scanned)
+      if (partitioned) {
+        val pCols = partitionColsFromRel(Manifest.relativeTo(path,
+          Manifest.decodePath(f.select("file").head().getString(0))))
+        delta.write.mode("append").partitionBy(pCols: _*).parquet(path)
+      } else delta.write.mode("append").parquet(path)
       Manifest.createIncremental(spark, path, keys: _*)
       return MergeResult(0, total, 0L, nDelta)
     }
-    val stage = path + "__delnew"
+    val stage = path + (if (partitioned) PartStageSuffix else "__delnew")
     FsMaint.deleteRecursively(fs, new Path(stage))
     val pickedDf = readPickedPinned(spark, path, picked)
     val kPicked = orderedLong(keyCol, pickedDf)
     val matched = pickedDf
       .join(broadcast(deltaKeys), kPicked === col("__k"), "left_semi").count()
-    pickedDf.join(broadcast(deltaKeys), kPicked === col("__k"), "left_anti")
+    val survivors = pickedDf
+      .join(broadcast(deltaKeys), kPicked === col("__k"), "left_anti")
       .unionByName(delta)
-      .write.mode("overwrite").parquet(stage)
-    commitReplace(spark, fs, path, picked, stage, keys)
+    if (partitioned) {
+      survivors.write.partitionBy(partitionColsOf(path, picked): _*)
+        .mode("overwrite").parquet(stage)
+      commitReplacePartitioned(spark, fs, path, picked, stage, keys)
+    } else {
+      survivors.write.mode("overwrite").parquet(stage)
+      commitReplace(spark, fs, path, picked, stage, keys)
+    }
     MergeResult(picked.length, total, matched, nDelta - matched)
     }
   }
@@ -572,9 +738,12 @@ object Layout {
   }
 
   /** The journal heal itself — callers must hold (or have excluded) the
-    * table lock; [[recoverDelete]] is the lock-aware public entry.
+    * table lock; [[recoverDelete]] is the lock-aware public entry. Covers
+    * both commit shapes: the flat swap journal and the partitioned
+    * move journal.
     */
   private def healDelete(spark: SparkSession, path: String): Unit = {
+    healDeletePartitioned(spark, path)
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val journal = new Path(path + "__deleting")
     val stage = new Path(path + "__delnew")

@@ -199,16 +199,44 @@ object Manifest {
     * strict (`useTrash = false`): their files must be live, and trash
     * fallback would mask an external delete.
     */
+  /** A file's path RELATIVE to its table root — the identity the retained
+    * trash is keyed on: trash entries live at `_graft_trash/<relative>`,
+    * which for a flat table is just the file name (the original layout)
+    * and for a hive-partitioned table preserves the `k=v/` dirs, so
+    * historical reads recover partition values from the trash path itself
+    * and two partitions' same-named files never collide.
+    */
+  private[ops] def relativeTo(table: String, p: Path): String = {
+    val root = new Path(table).toUri.getPath.stripSuffix("/")
+    val abs = p.toUri.getPath
+    if (abs.startsWith(root + "/")) abs.stripPrefix(root + "/") else p.getName
+  }
+
+  /** All retained-trash entries as table-relative paths (one recursive
+    * listing; empty when no trash exists).
+    */
+  private def trashRelPaths(fs: org.apache.hadoop.fs.FileSystem,
+                            table: String): Set[String] = {
+    val t = trashDir(table)
+    if (!fs.exists(t)) Set.empty
+    else {
+      val tRoot = t.toUri.getPath.stripSuffix("/")
+      val out = Set.newBuilder[String]
+      val it = fs.listFiles(t, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile) out += f.getPath.toUri.getPath.stripPrefix(tRoot + "/")
+      }
+      out.result()
+    }
+  }
+
   private def resolveForRead(spark: SparkSession, table: String,
                              picked: Seq[String],
                              useTrash: Boolean): Seq[String] = {
     if (picked.isEmpty) return Nil
     val fs = fsOf(spark, table)
-    lazy val trashNames: Set[String] = {
-      val t = trashDir(table)
-      if (fs.exists(t)) fs.listStatus(t).map(_.getPath.getName).toSet
-      else Set.empty
-    }
+    lazy val trashRels: Set[String] = trashRelPaths(fs, table)
     val resolved = picked.map(decodePath).groupBy(_.getParent).toSeq.flatMap {
       case (parent, paths) =>
         val existing =
@@ -216,8 +244,8 @@ object Manifest {
           catch { case _: java.io.FileNotFoundException => Set.empty[String] }
         paths.map { p =>
           if (existing(p.getName)) Right(p.toString)
-          else if (useTrash && trashNames(p.getName))
-            Right(new Path(trashDir(table), p.getName).toString)
+          else if (useTrash && trashRels(relativeTo(table, p)))
+            Right(new Path(trashDir(table), relativeTo(table, p)).toString)
           else Left(p.toString)
         }
     }
@@ -596,10 +624,14 @@ object Manifest {
       throw new IllegalStateException(s"no manifest snapshot under $table"))
     val snap = spark.read.parquet(s"${root(table)}/snapshot-$snapId")
     val kept = snap.filter(!col("file").isInCollection(removed.toSeq))
+    // basePath keeps hive-partition columns on the added-files scan, so a
+    // partitioned table's replacement stats see the same schema a full
+    // create would.
     val stats =
       if (addedPaths.isEmpty) kept
       else kept.unionByName(
-        statsOf(spark.read.parquet(addedPaths.map(escapeGlob): _*), keyCols,
+        statsOf(spark.read.option("basePath", table)
+          .parquet(addedPaths.map(escapeGlob): _*), keyCols,
           bloomSpecsLike(snap)))
     // COW mutations preserve the table schema — carry the recorded one.
     // basedOn = the snapshot the carried rows came from: a concurrent
@@ -693,6 +725,17 @@ object Manifest {
     * across) and re-commit a fresh snapshot with the same keys after, so a
     * rewrite never leaves a stale snapshot as the latest.
     */
+  /** Key columns (stats coverage) of a SPECIFIC retained snapshot — what
+    * the read surface consults to decide whether a pushed range filter can
+    * become file-level skipping via [[scanBoxAsOf]].
+    */
+  def keyColsOf(spark: SparkSession, table: String, id: Int): Seq[String] = {
+    require(hasSnapshot(spark, table, id),
+      s"no snapshot-$id under $table")
+    spark.read.parquet(s"${root(table)}/snapshot-$id")
+      .schema.fieldNames.toSeq.collect { case f if f.startsWith("min_") => f.drop(4) }
+  }
+
   def currentKeyCols(spark: SparkSession, table: String): Option[Seq[String]] =
     latestId(spark, table).map { id =>
       spark.read.parquet(s"${root(table)}/snapshot-$id")
@@ -803,15 +846,31 @@ object Manifest {
     * columns as NULL (and time travel reads the HISTORICAL schema) —
     * where footer sampling would return whichever file's schema Spark
     * happened to pick. Falls back to inference for pre-evolution
-    * snapshots. `basePath` keeps hive-partition columns either way.
+    * snapshots. `basePath` keeps hive-partition columns either way —
+    * trash-resolved files are read with the TRASH dir as their base, so
+    * the `k=v/` structure the retention preserved yields the partition
+    * values of historical files exactly as the live layout does.
     */
   private def readFiles(spark: SparkSession, table: String,
                         picked: Seq[String],
                         schema: Option[StructType]): DataFrame = {
-    val r0 = spark.read.option("basePath", table)
-    val r = schema.fold(r0)(r0.schema)
-    if (picked.isEmpty) r.parquet(table).limit(0)
-    else r.parquet(picked.map(escapeGlob): _*)
+    val trashRoot = trashDir(table).toString
+    def readWith(base: String, paths: Seq[String]): DataFrame = {
+      val r0 = spark.read.option("basePath", base)
+      val r = schema.fold(r0)(r0.schema)
+      r.parquet(paths.map(escapeGlob): _*)
+    }
+    if (picked.isEmpty) {
+      val r0 = spark.read.option("basePath", table)
+      schema.fold(r0)(r0.schema).parquet(table).limit(0)
+    } else {
+      val (trashed, live) = picked.partition(_.startsWith(trashRoot + "/"))
+      val parts = Seq(
+        if (live.nonEmpty) Some(readWith(table, live)) else None,
+        if (trashed.nonEmpty) Some(readWith(trashRoot, trashed)) else None
+      ).flatten
+      parts.reduce(_.unionByName(_))
+    }
   }
 
   private def scanBoxFrom(spark: SparkSession, table: String, f: DataFrame,
@@ -1187,18 +1246,31 @@ object Manifest {
     FsMaint.withTableLock(fs, table) {
     // ONE job over every retained snapshot (snapshots may carry different
     // stat columns, so pin the schema to the one column they all share).
+    // Reachability is keyed on TABLE-RELATIVE paths — the identity trash
+    // entries are stored under, which disambiguates same-named files from
+    // different partition dirs.
     val ids = snapshotIds(spark, table)
     val referenced =
       if (ids.isEmpty) Set.empty[String]
       else spark.read
         .schema(StructType(Seq(StructField("file", StringType))))
         .parquet(ids.map(id => s"${root(table)}/snapshot-$id"): _*)
-        .collect().map(r => decodePath(r.getString(0)).getName).toSet
+        .collect().map(r => relativeTo(table, decodePath(r.getString(0)))).toSet
     var n = 0
+    val tRoot = t.toUri.getPath.stripSuffix("/")
+    val it = fs.listFiles(t, true)
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile &&
+          !referenced(f.getPath.toUri.getPath.stripPrefix(tRoot + "/")))
+        doomed += f.getPath
+    }
+    doomed.foreach { p => if (fs.delete(p, false)) n += 1 }
+    // Partition subdirs emptied by the reclaim are metadata debt — sweep.
     fs.listStatus(t).foreach { st =>
-      if (st.isFile && !referenced(st.getPath.getName)) {
-        if (fs.delete(st.getPath, false)) n += 1
-      }
+      if (st.isDirectory && !fs.listFiles(st.getPath, true).hasNext)
+        FsMaint.deleteRecursively(fs, st.getPath)
     }
     n
     }

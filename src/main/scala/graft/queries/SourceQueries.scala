@@ -334,6 +334,37 @@ object SourceQueries {
                    Seq("doc_id", "text", "lang", "source", "n_chars"),
                    "(SELECT d.* FROM documents d, b WHERE d.doc_id NOT BETWEEN b.lo AND b.hi) t")})""".stripMargin)),
 
+    // ---- copy-on-write DELETE on a HIVE-PARTITIONED table: the
+    //      per-partition commit — survivors staged in hive layout, doomed
+    //      originals retained at their k=v relative paths, FILE-level
+    //      moves (untouched partitions never planned, listed, or renamed;
+    //      contract-pinned in PlanAuditSpec). Same fingerprint gate as the
+    //      flat variant, plus the partition column must survive intact.
+    Q("layout_delete_range_partitioned",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val stage = java.nio.file.Files.createTempDirectory("graft_layout_dp").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.repartitionByRange(8, col("doc_id"))
+          .write.partitionBy("lang").mode("overwrite").parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val res = graft.ops.Layout.deleteRange(s, stage, "doc_id", maxId / 4, maxId / 2)
+        val after = s.read.parquet(stage)
+        graft.functions.Hashing.multisetFingerprintAgg(
+          after.select(docCols.map(col): _*), docCols)
+          .withColumn("rows_deleted", lit(res.rowsDeleted))
+          .withColumn("targeted",
+            lit(res.filesRewritten > 0 && res.filesRewritten < res.filesTotal))
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) // 4 AS lo, max(doc_id) // 2 AS hi FROM documents)
+               |SELECT *,
+               | (SELECT count(*) FROM documents, b WHERE doc_id BETWEEN b.lo AND b.hi)::BIGINT AS rows_deleted,
+               | true AS targeted FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"),
+                   "(SELECT d.* FROM documents d, b WHERE d.doc_id NOT BETWEEN b.lo AND b.hi) t")})""".stripMargin)),
+
     // ---- copy-on-write MERGE (keyed upsert, the MERGE INTO shape): a
     //      delta of localized updates + out-of-range inserts against a
     //      key-clustered table. The manifest stats target the rewrite to
@@ -516,8 +547,13 @@ object SourceQueries {
         graft.ops.Layout.mergeKeyed(s, stage, "doc_id",
           updates.unionByName(inserts))
         val snapN = graft.ops.Manifest.latestSnapshotId(s, stage).get
-        val feed = graft.ops.Manifest.changesBetween(s, stage, snap1, snapN)
-        val asOf1 = graft.ops.Manifest.readAsOf(s, stage, snap1)
+        // Through the PUBLIC source surface (spark.read.format("graft")) —
+        // the engine's CDF and time travel are user-composable reads, not
+        // internal Scala calls.
+        val feed = s.read.format("graft")
+          .option("changesFrom", snap1).option("changesTo", snapN).load(stage)
+        val asOf1 = s.read.format("graft")
+          .option("snapshotId", snap1).load(stage)
         graft.functions.Hashing.multisetFingerprintAgg(feed, chCols)
           .withColumn("n_as_of_1", lit(asOf1.count()))
       },
@@ -642,9 +678,12 @@ object SourceQueries {
         docs.filter(col("doc_id") % 3 === 0)
           .repartition(2).write.mode("append").parquet(stage)
         graft.ops.Manifest.createIncremental(s, stage, "doc_id")
-        val asOf1 = graft.ops.Manifest.readAsOf(s, stage, id1)
+        // Through the PUBLIC source surface: snapshotId = VERSION AS OF,
+        // no option = the latest snapshot's blessed read.
+        val asOf1 = s.read.format("graft").option("snapshotId", id1).load(stage)
         graft.functions.Hashing.multisetFingerprintAgg(asOf1, docCols)
-          .withColumn("latest_n", lit(s.read.parquet(stage).count()))
+          .withColumn("latest_n",
+            lit(s.read.format("graft").load(stage).count()))
       },
       Some(s"""SELECT *, (SELECT count(*) FROM documents)::BIGINT AS latest_n FROM (
                |${Registry.duckMultisetFingerprint(

@@ -141,6 +141,23 @@ object SyncQueries {
       base
     })
 
+  /** HIVE-PARTITIONED flavor of [[cfBase]]: partitioned by o_orderstatus,
+    * key-ranged files within each partition — the master layout the
+    * partitioned COW + feed cycle exercises (staged once per sf dir).
+    */
+  private val cfPartStaged = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[queries] def cfBasePart(s: SparkSession, dir: String): String =
+    cfPartStaged.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files.createTempDirectory("graft_cfp_base").toString + "/orders.parquet"
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.partitionBy("o_orderstatus").parquet(base)
+      graft.ops.Manifest.create(s, base, "o_orderkey"): Unit
+      base
+    })
+
   private def makeOrdersSlaveDir(s: SparkSession, dir: String, tag: String): String = {
     val base = ordersStaged.getOrElseUpdate(dir, {
       val out = java.nio.file.Files.createTempDirectory("graft_orders_base").toString
@@ -668,6 +685,93 @@ object SyncQueries {
           s.read.parquet(s"$sDir/orders.parquet"), oCols)
           .select(col("fingerprint"), col("n_rows"),
             (col("fingerprint") === lit(maintained.render)).as("maintained_matches"),
+            lit(feedOk).as("feed_cycle_ok"),
+            lit(noopOk).as("noop_cycle_ok"))
+      },
+      Some {
+        val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        s"""WITH b AS (SELECT max(o_orderkey) AS mx FROM orders),
+           | final AS (
+           |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |         o_orderdate, o_orderpriority
+           |   FROM orders, b
+           |   WHERE o_orderkey NOT BETWEEN b.mx // 4 AND b.mx // 2
+           |     AND o_orderkey >= b.mx // 8
+           |  UNION ALL
+           |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |         o_orderdate, 'U-' || o_orderpriority
+           |   FROM orders, b WHERE o_orderkey < b.mx // 8
+           |  UNION ALL
+           |  SELECT o_orderkey + b.mx + 1, o_custkey, o_orderstatus,
+           |         o_totalprice, o_orderdate, o_orderpriority
+           |   FROM orders, b WHERE o_orderkey < 20)
+           |SELECT fingerprint, n_rows, true AS maintained_matches,
+           | true AS feed_cycle_ok, true AS noop_cycle_ok
+           |FROM (${Registry.duckMultisetFingerprint(oCols, "final")})""".stripMargin
+      }),
+
+    // Change-feed sync over a HIVE-PARTITIONED, DML-mutated master — the
+    // partitioned completion of sync_converge_change_feed: the master
+    // lives in k=v layout, its COW delete/merge commit per partition
+    // (untouched partitions never planned or renamed), the feed resolves
+    // replaced originals through the structure-preserving trash, and the
+    // flat slave converges from the same row-level CDC batch. Gates
+    // identical to the flat variant (exact feed counts, snapshot-id skip,
+    // maintained fingerprint ≡ recomputed ≡ DuckDB's replay).
+    Q("sync_converge_change_feed_partitioned",
+      (s, dir) => {
+        val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        val mDir = java.nio.file.Files.createTempDirectory("graft_cfp_m").toString
+        val sDir = java.nio.file.Files.createTempDirectory("graft_cfp_s").toString
+        // Both sides from the PARTITIONED base: a flat slave would differ
+        // in column ORDER (partition col last) and force a priming recopy.
+        copyDir(java.nio.file.Paths.get(cfBasePart(s, dir)),
+          java.nio.file.Paths.get(s"$mDir/orders.parquet"))
+        copyDir(java.nio.file.Paths.get(cfBasePart(s, dir)),
+          java.nio.file.Paths.get(s"$sDir/orders.parquet"))
+        val mPath = s"$mDir/orders.parquet"
+        val engine = new SyncEngine(new ParquetStore(s, mDir), new ParquetStore(s, sDir),
+          SyncConfig(primaryKeys = Map("orders" -> Seq("o_orderkey")),
+            maintainFingerprints = true,
+            masterRetentionMaintenance = true))
+        engine.syncViaChangeFeed("orders") // prime + checkpoint
+        val orders = Registry.table(s, dir, "orders").select(oCols.map(col): _*)
+        val maxId = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        graft.ops.Layout.deleteRange(s, mPath, "o_orderkey", maxId / 4, maxId / 2)
+        val nDel = orders
+          .filter(col("o_orderkey").between(maxId / 4, maxId / 2)).count()
+        val updates = orders.filter(col("o_orderkey") < maxId / 8)
+          .withColumn("o_orderpriority", concat(lit("U-"), col("o_orderpriority")))
+        val inserts = orders.filter(col("o_orderkey") < 20)
+          .withColumn("o_orderkey", col("o_orderkey") + maxId + 1)
+        graft.ops.Layout.mergeKeyed(s, mPath, "o_orderkey",
+          updates.unionByName(inserts))
+        val nUpd = updates.count(); val nIns = inserts.count()
+        val feedOk = engine.syncViaChangeFeed("orders") match {
+          case graft.sync.SyncAction.ApplyDelta(_, d, i) =>
+            d == nDel + nUpd && i == nUpd + nIns
+          case _ => false
+        }
+        val noopOk = engine.syncViaChangeFeed("orders") match {
+          case graft.sync.SyncAction.Skip(_, r) => r.contains("no snapshot change")
+          case _ => false
+        }
+        val maintained = engine.maintainedFingerprint("orders").get
+        // The maintained fingerprint lives in the MASTER's column order
+        // (hive layout surfaces the partition column last); recompute the
+        // slave in that order for the equality gate, and surface the
+        // oracle-facing fingerprint in the canonical oCols order.
+        val mCols = s.read.parquet(mPath).columns.toSeq
+        val recomputed = Hashing.multisetFingerprintAgg(
+          s.read.parquet(s"$sDir/orders.parquet").select(mCols.map(col): _*),
+          mCols).head().getString(0)
+        Hashing.multisetFingerprintAgg(
+          s.read.parquet(s"$sDir/orders.parquet").select(oCols.map(col): _*),
+          oCols)
+          .select(col("fingerprint"), col("n_rows"),
+            lit(recomputed == maintained.render).as("maintained_matches"),
             lit(feedOk).as("feed_cycle_ok"),
             lit(noopOk).as("noop_cycle_ok"))
       },

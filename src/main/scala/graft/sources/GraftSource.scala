@@ -1,0 +1,192 @@
+package graft.sources
+
+import graft.ops.Manifest
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** The PUBLIC read surface of the table format — snapshots, time travel,
+  * and the change feed behind `spark.read.format("graft")`, so a user
+  * composes manifest reads through Spark's own source API instead of
+  * engine-internal Scala calls (the `VERSION AS OF` / CDF read posture of
+  * Delta/Iceberg, on this engine's manifest):
+  *
+  * {{{
+  * spark.read.format("graft").load(path)                       // latest snapshot
+  * spark.read.format("graft").option("snapshotId", 3).load(path)   // time travel
+  * spark.read.format("graft")
+  *   .option("changesFrom", 1).option("changesTo", 4).load(path)   // change feed
+  * }}}
+  *
+  * Implemented as a V1 relation DELEGATING to the manifest read paths: the
+  * inner plan is a real parquet scan over exactly the snapshot's resolved
+  * files (live + retained trash), so column pruning and pushed filters
+  * reach the parquet reader ([[GraftRelation.buildScan]] applies both to
+  * the inner frame before handing Spark the RDD), and every typed failure
+  * mode of the Scala API (expired snapshot, stale manifest, reversed feed
+  * endpoints) surfaces unchanged. Spark re-applies all filters above the
+  * source (`unhandledFilters` default), so a partial pushdown translation
+  * can never change results.
+  */
+final class DefaultSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft source requires a path: spark.read.format(\"graft\").load(<table dir>)"))
+    GraftRelation(sqlContext, path, parameters)
+  }
+}
+
+object GraftRelation {
+  /** Test seam: the last scan's file-skipping evidence —
+    * Some((filesRead, filesTotal)) when the box-scan routing fired, None
+    * when the scan fell through to the plain snapshot read. Written by
+    * [[GraftRelation.buildScan]]; specs assert pushed range filters
+    * actually became file-level skipping.
+    */
+  private[graft] var lastScanEvidence: Option[(Int, Int)] = None
+}
+
+final case class GraftRelation(sqlContext: SQLContext, path: String,
+                               parameters: Map[String, String])
+  extends BaseRelation with PrunedFilteredScan {
+
+  private def intOpt(k: String): Option[Int] = parameters.get(k).map { v =>
+    try v.trim.toInt
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft source: option `$k` must be an integer snapshot id, got `$v`")
+    }
+  }
+
+  /** The relation's frame — resolved per scan so a new snapshot committed
+    * between reads of a LATEST-mode relation is picked up, matching
+    * `spark.read.parquet`'s freshness.
+    */
+  private def frame(): DataFrame = {
+    val spark = sqlContext.sparkSession
+    (intOpt("snapshotId"), intOpt("changesFrom"), intOpt("changesTo")) match {
+      case (Some(id), None, None) => Manifest.readAsOf(spark, path, id)
+      case (None, Some(from), Some(to)) =>
+        Manifest.changesBetween(spark, path, from, to)
+      case (None, None, None) =>
+        val latest = Manifest.latestSnapshotId(spark, path).getOrElse(
+          throw new IllegalArgumentException(
+            s"no manifest snapshot under $path — run Manifest.create, or read " +
+              "the dir directly with spark.read.parquet"))
+        Manifest.readAsOf(spark, path, latest)
+      case _ => throw new IllegalArgumentException(
+        "graft source: pass either snapshotId, or BOTH changesFrom and " +
+          "changesTo, or neither (latest snapshot)")
+    }
+  }
+
+  override val schema: StructType = frame().schema
+
+  /** Source filters translated to Column predicates on the inner frame —
+    * Catalyst then pushes them into the parquet scan of the resolved
+    * files. Untranslatable filters are simply not applied here (None);
+    * Spark evaluates every filter again above the source, so this is an
+    * optimization, never a correctness dependency.
+    */
+  private def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === v)
+    case GreaterThan(a, v) => Some(col(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case LessThan(a, v) => Some(col(a) < v)
+    case LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case StringEndsWith(a, s) => Some(col(a).endsWith(s))
+    case StringContains(a, s) => Some(col(a).contains(s))
+    case And(l, r) =>
+      for { lc <- translate(l); rc <- translate(r) } yield lc && rc
+    case Or(l, r) =>
+      for { lc <- translate(l); rc <- translate(r) } yield lc || rc
+    case Not(c) => translate(c).map(!_)
+    case _ => None
+  }
+
+  /** A pushed filter value normalized to the long domain the manifest
+    * stats live in (the [[Manifest]] statCol convention): integrals as-is,
+    * timestamps to epoch micros, dates to epoch days. None = the value
+    * isn't range-translatable, so file-level skipping must not use it.
+    */
+  private def statLong(v: Any): Option[Long] = v match {
+    case n: java.lang.Byte => Some(n.longValue)
+    case n: java.lang.Short => Some(n.longValue)
+    case n: java.lang.Integer => Some(n.longValue)
+    case n: java.lang.Long => Some(n.longValue)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+    case t: java.time.Instant =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  /** Per-column [lo, hi] box implied by the pushed conjuncts on columns
+    * the snapshot carries stats for — the hook that turns a pushed range
+    * predicate into FILE-level skipping ([[Manifest.scanBoxAsOf]]), on top
+    * of the row-group skipping the inner parquet scan gets anyway. Spark
+    * hands `filters` pre-split into conjuncts, so intersecting per column
+    * is sound; columns without stats or with untranslatable values simply
+    * don't contribute.
+    */
+  private def boxOf(filters: Array[Filter],
+                    statCols: Set[String]): Seq[(String, Long, Long)] = {
+    val bounds = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def tighten(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      bounds(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    filters.foreach {
+      case EqualTo(a, v) if statCols(a) =>
+        statLong(v).foreach(x => tighten(a, x, x))
+      case GreaterThan(a, v) if statCols(a) =>
+        statLong(v).foreach(x => if (x < Long.MaxValue) tighten(a, x + 1, Long.MaxValue))
+      case GreaterThanOrEqual(a, v) if statCols(a) =>
+        statLong(v).foreach(x => tighten(a, x, Long.MaxValue))
+      case LessThan(a, v) if statCols(a) =>
+        statLong(v).foreach(x => if (x > Long.MinValue) tighten(a, Long.MinValue, x - 1))
+      case LessThanOrEqual(a, v) if statCols(a) =>
+        statLong(v).foreach(x => tighten(a, Long.MinValue, x))
+      case _ => ()
+    }
+    bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val spark = sqlContext.sparkSession
+    // Snapshot reads route range conjuncts through the manifest's box scan
+    // when possible — pushed filters become file-level skipping, the same
+    // plan the Scala API's scanBoxAsOf produces. Feed reads and unbounded
+    // scans fall through to the plain snapshot read.
+    val base0 = intOpt("snapshotId")
+      .orElse(if (parameters.contains("changesFrom")) None
+              else Manifest.latestSnapshotId(spark, path)) match {
+      case Some(id) =>
+        val box = boxOf(filters, Manifest.keyColsOf(spark, path, id).toSet)
+        if (box.nonEmpty) {
+          val (rows, nRead, nTotal) = Manifest.scanBoxAsOf(spark, path, box, id)
+          GraftRelation.lastScanEvidence = Some((nRead, nTotal))
+          rows
+        } else { GraftRelation.lastScanEvidence = None; frame() }
+      case None => GraftRelation.lastScanEvidence = None; frame()
+    }
+    val base = filters.flatMap(translate).foldLeft(base0)((d, c) => d.filter(c))
+    val pruned =
+      if (requiredColumns.isEmpty) base // count-style scan: rows, no columns
+      else base.select(requiredColumns.map(col).toIndexedSeq: _*)
+    pruned.rdd
+  }
+}

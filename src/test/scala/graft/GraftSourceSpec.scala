@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.Hashing
+import graft.ops.{Layout, Manifest}
+import org.apache.spark.sql.functions._
+
+/** The public `spark.read.format("graft")` surface: latest-snapshot reads,
+  * time travel (`snapshotId`), the change feed (`changesFrom`/`changesTo`),
+  * typed failures passing through, and pushed range filters becoming
+  * FILE-level skipping via the manifest box scan.
+  */
+class GraftSourceSpec extends SparkSpec {
+
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  private def fp(df: org.apache.spark.sql.DataFrame): String =
+    Hashing.multisetFingerprintAgg(df.select(docCols.map(col): _*), docCols)
+      .head().getString(0)
+
+  private def stage(tag: String): String = {
+    val dir = tmpDir(tag) + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartition(16).write.parquet(dir)
+    Layout.clusterByRange(spark, dir, "doc_id", 8)
+    dir
+  }
+
+  test("latest / snapshotId / changes reads match the Scala API exactly") {
+    val dir = stage("gsrc_basic")
+    val id1 = Manifest.create(spark, dir, "doc_id")
+    Layout.deleteRange(spark, dir, "doc_id", 0L, 49L)
+    val id2 = Manifest.latestSnapshotId(spark, dir).get
+    // latest == no option
+    assert(fp(spark.read.format("graft").load(dir)) ==
+      fp(Manifest.readAsOf(spark, dir, id2)))
+    // time travel
+    assert(fp(spark.read.format("graft").option("snapshotId", id1).load(dir)) ==
+      fp(Manifest.readAsOf(spark, dir, id1)))
+    // change feed (schema carries the change tag)
+    val feed = spark.read.format("graft")
+      .option("changesFrom", id1).option("changesTo", id2).load(dir)
+    assert(feed.columns.contains("change"))
+    assert(feed.filter(col("change") === "delete").count() == 50L)
+    assert(feed.filter(col("change") === "insert").count() == 0L)
+  }
+
+  test("typed failures pass through the source surface") {
+    val dir = stage("gsrc_typed")
+    val id1 = Manifest.create(spark, dir, "doc_id")
+    intercept[IllegalArgumentException] { // expired/unknown snapshot
+      spark.read.format("graft").option("snapshotId", 99).load(dir)
+    }
+    intercept[IllegalArgumentException] { // reversed feed endpoints
+      spark.read.format("graft")
+        .option("changesFrom", id1 + 1).option("changesTo", id1).load(dir)
+    }
+    intercept[IllegalArgumentException] { // half a feed spec
+      spark.read.format("graft").option("changesFrom", id1).load(dir)
+    }
+    intercept[IllegalArgumentException] { // unmanifested dir, latest mode
+      spark.read.format("graft").load(tmpDir("gsrc_none"))
+    }
+  }
+
+  test("pushed range filters become FILE-level skipping (manifest box scan), results exact") {
+    val dir = stage("gsrc_push")
+    Manifest.create(spark, dir, "doc_id")
+    val q = spark.read.format("graft").load(dir)
+      .filter(col("doc_id").between(100L, 150L))
+    // Exactness first.
+    graft.sources.GraftRelation.lastScanEvidence = None
+    assert(q.count() == 51L)
+    assert(fp(q) == fp(spark.read.parquet(dir)
+      .filter(col("doc_id").between(100L, 150L))))
+    // Skipping evidence: the scan routed through the manifest box scan and
+    // planned a strict subset of the 8 range-clustered files.
+    graft.sources.GraftRelation.lastScanEvidence match {
+      case Some((nRead, nTotal)) =>
+        assert(nRead >= 1 && nRead < nTotal && nTotal == 8,
+          s"expected a strict-subset box scan, got $nRead of $nTotal")
+      case None => fail("pushed range filter never reached the box scan")
+    }
+    // A filter on a NON-stats column must fall through (no box routing),
+    // still exact.
+    graft.sources.GraftRelation.lastScanEvidence = None
+    val q2 = spark.read.format("graft").load(dir)
+      .filter(col("lang") === "en")
+    assert(q2.count() ==
+      spark.read.parquet(dir).filter(col("lang") === "en").count())
+    assert(graft.sources.GraftRelation.lastScanEvidence.isEmpty)
+  }
+
+  test("column pruning reaches the inner parquet scan") {
+    val dir = stage("gsrc_prune")
+    Manifest.create(spark, dir, "doc_id")
+    val two = spark.read.format("graft").load(dir).select("doc_id", "lang")
+    assert(two.columns.toSeq == Seq("doc_id", "lang"))
+    assert(two.count() == 500L)
+  }
+}

@@ -203,19 +203,13 @@ class LayoutSpec extends SparkSpec {
     assert(noop == Layout.DeleteResult(0, noop.filesTotal, 0L))
   }
 
-  test("deleteRange guards: manifest required, key covered, flat table only") {
+  test("deleteRange guards: manifest required, key covered") {
     val stage = stageDocs("layout_del_guard", 4)
     intercept[IllegalArgumentException] {
       Layout.deleteRange(spark, stage, "doc_id", 0L, 10L) } // no manifest
     graft.ops.Manifest.create(spark, stage, "doc_id")
     intercept[IllegalArgumentException] {
       Layout.deleteRange(spark, stage, "n_chars", 0L, 10L) } // no stats for key
-    val part = tmpDir("layout_del_hive") + "/documents"
-    spark.read.parquet(s"$sf001/documents.parquet")
-      .write.partitionBy("lang").parquet(part)
-    graft.ops.Manifest.create(spark, part, "doc_id")
-    intercept[IllegalArgumentException] {
-      Layout.deleteRange(spark, part, "doc_id", 0L, 10L) } // hive-partitioned
     // Completeness: an append the snapshot never saw could shelter doomed
     // rows / matching keys — stats-targeted mutations must refuse.
     spark.read.parquet(s"$sf001/documents.parquet").limit(5)
@@ -257,6 +251,130 @@ class LayoutSpec extends SparkSpec {
     // A double-keyed delta is rejected before anything is touched.
     intercept[IllegalArgumentException] {
       Layout.mergeKeyed(spark, stage, "doc_id", more.unionByName(more)) }
+  }
+
+  // Hive-partitioned COW fixture: partition key ranges DISJOINT by
+  // construction (lang=l<b> owns doc_id [b*1000, b*1000+499]), so a
+  // narrow delete provably touches exactly one partition.
+  private def stagePartitionedDisjoint(tag: String): String = {
+    val stage = tmpDir(tag) + "/docs"
+    spark.range(0L, 2000L).selectExpr(
+      "concat('l', CAST(id DIV 500 AS INT)) AS lang",
+      "(id DIV 500) * 1000 + (id % 500) AS doc_id",
+      "concat('payload_', id) AS payload")
+      .repartitionByRange(8, col("doc_id"))
+      .write.partitionBy("lang").parquet(stage)
+    stage
+  }
+
+  private def fpPart(df: org.apache.spark.sql.DataFrame): String =
+    Hashing.multisetFingerprintAgg(df, Seq("doc_id", "lang", "payload"))
+      .head().getString(0)
+
+  test("deleteRange on a hive-partitioned table: exact, per-partition, untouched partitions untouched") {
+    val stage = stagePartitionedDisjoint("layout_part_del")
+    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    val preId = graft.ops.Manifest.create(spark, stage, "doc_id")
+    // Materialize expectations BEFORE the mutation: a lazy frame planned
+    // over the pre-delete listing would re-execute over moved files.
+    val preFp = fpPart(spark.read.parquet(stage))
+    val expectedFp = fpPart(spark.read.parquet(stage)
+      .filter(!col("doc_id").between(1000L, 1099L)))
+    // Untouched-partition evidence: exact (path, mtime) of every data file
+    // outside lang=l1 must survive the commit bit-for-bit (no renames).
+    def fileStamps(): Map[String, Long] = {
+      val out = Map.newBuilder[String, Long]
+      val it = fs.listFiles(new Path(stage), true)
+      while (it.hasNext) {
+        val f = it.next()
+        val p = f.getPath.toUri.getPath
+        if (f.getPath.getName.startsWith("part-") && !p.contains("_graft") &&
+            !p.contains("lang=l1"))
+          out += p -> f.getModificationTime
+      }
+      out.result()
+    }
+    val before = fileStamps()
+    val r = Layout.deleteRange(spark, stage, "doc_id", 1000L, 1099L)
+    assert(r.rowsDeleted == 100L && r.filesRewritten >= 1)
+    assert(fileStamps() == before, "untouched partitions must not be touched")
+    // Exact content, partition column intact.
+    val after = spark.read.parquet(stage)
+    assert(fpPart(after) == expectedFp)
+    assert(after.filter(col("lang").isNull).count() == 0L)
+    // Manifest recommitted + complete; history retained at k=v paths.
+    assert(graft.ops.Manifest.isComplete(spark, stage))
+    val asOf = graft.ops.Manifest.readAsOf(spark, stage, preId)
+    assert(fpPart(asOf) == preFp)
+    assert(fs.listStatus(new Path(s"$stage/_graft_trash")).forall(s =>
+      s.isDirectory && s.getPath.getName.startsWith("lang=")),
+      "trash must preserve the k=v structure")
+    // Vacuum honors relative-path reachability: nothing reclaimable while
+    // the pre-delete snapshot is retained; everything after expiry.
+    assert(graft.ops.Manifest.vacuum(spark, stage) == 0)
+    graft.ops.Manifest.expireSnapshots(spark, stage, keep = 1)
+    assert(graft.ops.Manifest.vacuum(spark, stage) == r.filesRewritten)
+  }
+
+  test("mergeKeyed on a hive-partitioned table: updates in place, inserts route to (new) partitions") {
+    val stage = stagePartitionedDisjoint("layout_part_merge")
+    graft.ops.Manifest.create(spark, stage, "doc_id")
+    val origCount = spark.read.parquet(stage).count()
+    import spark.implicits._
+    // One update (key 2005 lives in lang=l2) + one insert into a BRAND-NEW
+    // partition value — the commit must create lang=l9 from the staged dir.
+    val delta = Seq(
+      (2005L, "updated", "l2"),
+      (9999L, "fresh", "l9")
+    ).toDF("doc_id", "payload", "lang")
+    val m = Layout.mergeKeyed(spark, stage, "doc_id", delta)
+    assert(m.rowsUpdated == 1L && m.rowsInserted == 1L)
+    val after = spark.read.parquet(stage)
+    assert(after.count() == origCount + 1)
+    assert(after.filter(col("doc_id") === 2005L).select("payload")
+      .head().getString(0) == "updated")
+    assert(after.filter(col("lang") === "l9").count() == 1L)
+    assert(graft.ops.Manifest.isComplete(spark, stage))
+    // Pure insert (no file's range contains the key): partitioned append.
+    val m2 = Layout.mergeKeyed(spark, stage, "doc_id",
+      Seq((77777L, "pure", "l0")).toDF("doc_id", "payload", "lang"))
+    assert(m2.filesRewritten == 0 && m2.rowsInserted == 1L)
+    assert(spark.read.parquet(stage).filter(col("doc_id") === 77777L)
+      .select("lang").head().getString(0) == "l0")
+    assert(graft.ops.Manifest.isComplete(spark, stage))
+  }
+
+  test("partitioned COW crash heal: journal forward-completes, junk stage discarded") {
+    // Window A — stray stage, NO journal: nothing irreversible happened,
+    // the junk is discarded and the table is untouched.
+    val a = stagePartitionedDisjoint("layout_part_heal_a")
+    graft.ops.Manifest.create(spark, a, "doc_id")
+    val fsA = new Path(a).getFileSystem(spark.sessionState.newHadoopConf())
+    val preFp = fpPart(spark.read.parquet(a))
+    fsA.mkdirs(new Path(a + "__delnewp/lang=l1"))
+    val o = fsA.create(new Path(a + "__delnewp/lang=l1/part-junk.parquet"), true)
+    o.write("x".getBytes); o.close()
+    Layout.recoverDelete(spark, a)
+    assert(!fsA.exists(new Path(a + "__delnewp")))
+    assert(fpPart(spark.read.parquet(a)) == preFp)
+    // Window B — journal committed (point of no return), crash before the
+    // moves: the heal forward-completes the delete of one whole file and
+    // recommits a fresh snapshot.
+    val doomedRel = {
+      val dir = fsA.listStatus(new Path(s"$a/lang=l1")).filter(_.isFile)
+        .filter(_.getPath.getName.startsWith("part-")).head
+      s"lang=l1/${dir.getPath.getName}"
+    }
+    val doomedRows = spark.read.option("basePath", a)
+      .parquet(s"$a/$doomedRel").count()
+    val j = fsA.create(new Path(a + "__deletingp"), true)
+    j.write(s"D $doomedRel".getBytes("UTF-8")); j.close()
+    Layout.recoverDelete(spark, a)
+    assert(!fsA.exists(new Path(a + "__deletingp")))
+    assert(fsA.exists(new Path(s"$a/_graft_trash/$doomedRel")),
+      "heal must retain the doomed file at its relative path")
+    assert(spark.read.parquet(a).count() == 2000L - doomedRows)
+    assert(graft.ops.Manifest.isComplete(spark, a))
   }
 
   test("recoverDelete: both crash windows restore or complete, bit for bit") {

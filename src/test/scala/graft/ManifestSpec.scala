@@ -688,30 +688,32 @@ class ManifestSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Manifest.readAsOf(spark, stage, id1) }
   }
 
-  test("retention-skipped rewrite (colliding partitioned original) expires the unreadable snapshots") {
+  test("partitioned-original rewrite retains history with k=v structure; time travel recovers partition values") {
     // A hive-partitioned original where ONE task writes several partition
-    // dirs produces the same part-file name in each dir — flattening into
-    // the trash would collide, so the rewrite skips retention and must
-    // EXPIRE the snapshots it made unreadable instead of reporting
-    // retention it cannot serve.
-    val stage = tmpDir("manifest_rw_skip") + "/docs"
+    // dirs gives the SAME part-file name in each dir — the trash preserves
+    // the relative `k=v/` structure, so retention never collides and
+    // historical reads recover the partition column from the trash path.
+    val stage = tmpDir("manifest_rw_part") + "/docs"
     spark.read.parquet(s"$sf001/documents.parquet").repartition(1)
       .write.partitionBy("lang").parquet(stage)
     val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
     val names = fs.listStatus(new Path(stage)).filter(_.isDirectory)
       .filter(_.getPath.getName.contains("="))
       .flatMap(d => fs.listStatus(d.getPath).filter(_.isFile).map(_.getPath.getName))
-    assert(names.length > names.distinct.length, "fixture must collide on flatten")
+    assert(names.length > names.distinct.length,
+      "fixture must share part-file names across partition dirs")
     val id1 = Manifest.create(spark, stage, "doc_id")
     val fpOrig = fp(spark.read.parquet(stage).select(docCols.map(col): _*))
+    // The compaction FLATTENS the layout (lang becomes a data column) —
+    // content invariant, and the pre-rewrite snapshot stays readable with
+    // lang recovered from the retained trash's own k=v dirs.
     Layout.compactTable(spark, stage, targetBytes = 64L << 20)
-    // Content invariant; the pre-rewrite snapshot is gone, not lying around
-    // unreadable.
     assert(fp(spark.read.parquet(stage).select(docCols.map(col): _*)) == fpOrig)
-    assert(!Manifest.hasSnapshot(spark, stage, id1))
-    val latest = Manifest.latestSnapshotId(spark, stage).get
-    assert(fp(Manifest.readAsOf(spark, stage, latest)
-      .select(docCols.map(col): _*)) == fpOrig)
+    assert(Manifest.hasSnapshot(spark, stage, id1))
+    val asOf = Manifest.readAsOf(spark, stage, id1)
+    assert(fp(asOf.select(docCols.map(col): _*)) == fpOrig)
+    assert(asOf.filter(col("lang").isNull).count() == 0L,
+      "partition values must come from the trash path, never NULL-backfill")
   }
 
   test("a crashed create's orphan tmp dir is cleaned by the next create") {

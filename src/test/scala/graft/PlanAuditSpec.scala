@@ -350,4 +350,31 @@ class PlanAuditSpec extends SparkSpec {
         s"whole-table master plan on a feed cycle: $p\n${scans.mkString("\n")}")
     }
   }
+
+  test("partitioned COW delete: untouched PARTITIONS never plan") {
+    // Partition key ranges disjoint by construction: lang=l<b> owns
+    // doc_id [b*1000, b*1000+499] — a delete inside l1's range must not
+    // plan, list, or scan any other partition's files.
+    val stage = tmpDir("pa_part_cow") + "/docs"
+    spark.range(0L, 2000L).selectExpr(
+      "concat('l', CAST(id DIV 500 AS INT)) AS lang",
+      "(id DIV 500) * 1000 + (id % 500) AS doc_id",
+      "concat('payload_', id) AS payload")
+      .repartitionByRange(8, col("doc_id"))
+      .write.partitionBy("lang").parquet(stage)
+    graft.ops.Manifest.create(spark, stage, "doc_id")
+    val scans = scanPathsDuring {
+      val r = graft.ops.Layout.deleteRange(spark, stage, "doc_id", 1000L, 1099L)
+      assert(r.rowsDeleted == 100L)
+    }
+    val data = scans.filter(p => p.contains(stage) &&
+      !p.contains("_graft_manifest") && !p.contains("__delnewp"))
+    assert(data.nonEmpty, s"expected file-level scans\n${scans.mkString("\n")}")
+    data.foreach { p =>
+      assert(p.contains("lang=l1"),
+        s"untouched partition planned during a targeted COW delete: $p\n${scans.mkString("\n")}")
+      assert(!p.stripSuffix("/").endsWith("docs"),
+        s"whole-table plan during a targeted COW delete: $p")
+    }
+  }
 }
