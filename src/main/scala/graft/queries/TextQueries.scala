@@ -161,6 +161,45 @@ object TextQueries {
               | true AS approx_ok
               |FROM documents GROUP BY lang""".stripMargin)),
 
+    // ---- the SCALE path for per-group quantiles: graft's own t-digest
+    //      TypedImperativeAggregate (merging digest, Dunning & Ertl) —
+    //      O(δ) state per group regardless of group size where the exact
+    //      percentile holds the distinct-value histogram. Gate: every
+    //      sketch estimate must sit within the STATED rank bound of the
+    //      exact distribution — |midrank(est) − q| ≤ 0.02 + 1/n (the
+    //      2% sketch bound at δ=200 plus one-row discreteness) — checked
+    //      per (lang, q) and folded into counts the oracle pins exactly:
+    //      all 3 quantiles of every group must pass. One corpus scan for
+    //      the sketches + one for the rank check.
+    Q("text_length_quantiles_sketch",
+      (s, dir) => {
+        import graft.functions.Quantiles
+        val qs = Seq(0.25, 0.5, 0.9)
+        val d = T(s, dir, "documents")
+        val sk = d.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          Quantiles.tdigestQuantiles(col("n_chars"), qs).as("est"))
+        val probes = sk.select(col("lang"), col("n_docs"),
+            posexplode(col("est")).as(Seq("pos", "v")))
+          .withColumn("q", element_at(array(qs.map(lit): _*), col("pos") + 1))
+        val ranked = d.select(col("lang"), col("n_chars"))
+          .join(broadcast(probes), "lang")
+          .groupBy(col("lang"), col("q"), col("v"), col("n_docs"))
+          .agg(((sum(when(col("n_chars") < col("v"), 1L).otherwise(0L)) +
+                 sum(when(col("n_chars") <= col("v"), 1L).otherwise(0L))) /
+                (lit(2.0) * count(lit(1)))).as("midrank"))
+        ranked.agg(
+          countDistinct(col("lang")).as("n_groups"),
+          count(lit(1)).as("n_checks"),
+          sum(when(abs(col("midrank") - col("q")) <=
+                lit(0.02) + lit(1.0) / col("n_docs"), 1L).otherwise(0L))
+            .as("n_within_bound"))
+      },
+      Some("""SELECT count(DISTINCT lang)::BIGINT AS n_groups,
+              | (3 * count(DISTINCT lang))::BIGINT AS n_checks,
+              | (3 * count(DISTINCT lang))::BIGINT AS n_within_bound
+              |FROM documents""".stripMargin)),
+
     // ---- quality signals: pure integer-ratio doubles (bit-stable cross-engine)
     Q("text_quality",
       (s, dir) => {
