@@ -39,27 +39,76 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Per-query seconds from a previous artifact's `"queries"` map, used as
-    * the 3× per-query sanity net (a calibration sample can only see load
-    * while IT runs; a query that measured 3× its committed-quiet-host twin
-    * is its own load evidence, no matter what the brackets said). Empty
-    * when the file is absent/unparsable or was taken at a different sf.
+  /** A previous artifact's per-query seconds PLUS the calibration samples
+    * it was taken under — the reference for the per-query sanity net (a
+    * calibration sample can only see load while IT runs; a query that
+    * measured far above its committed-quiet-host twin is its own load
+    * evidence, no matter what the brackets said). The calib values are
+    * what make the reference comparable ACROSS hosts: this run's numbers
+    * are checked against `prev × (thisCalib / prevCalib)`, so a slower VM
+    * generation doesn't flag everything and a faster one can't hide a real
+    * regression inside the host delta. None when the file is
+    * absent/unparsable or was taken at a different sf.
     */
-  def previousQueryTimes(path: String, sfDir: String): Map[String, Double] =
+  final case class PrevArtifact(path: String, times: Map[String, Double],
+                                calibCpu: Option[Double],
+                                calibScan: Option[Double])
+
+  def previousArtifact(path: String, sfDir: String): Option[PrevArtifact] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
       val sf = Option(root.get("sf")).map(_.asText()).getOrElse("")
       val qs = root.get("queries")
-      if (qs == null || sf != sfDir) Map.empty
+      if (qs == null || sf != sfDir) None
       else {
         val b = Map.newBuilder[String, Double]
         val it = qs.properties().iterator()
         while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
-        b.result()
+        def dbl(k: String): Option[Double] =
+          Option(root.get(k)).map(_.asDouble()).filter(_ > 0)
+        Some(PrevArtifact(path, b.result(), dbl("calib_sec"), dbl("calib_scan_sec")))
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => None }
+
+  /** Reference artifacts for the sanity net: `SPARK_GRAFT_BENCH_PREV` when
+    * set, else `BENCH_PREV_ROUND.json` (the PRIOR round's formal artifact,
+    * snapshotted at round start — comparing only against the same-host
+    * `BENCH_LOCAL.json` left a blind band where both runs shared one
+    * drifting host's signature) plus `BENCH_LOCAL.json` (the same-lineage
+    * twin, calib ratio ≈ 1). Both are calib-normalized; the tighter
+    * adjusted bound wins per query. Round hygiene: refresh
+    * `BENCH_PREV_ROUND.json` from the committed `BENCH_LOCAL.json` when a
+    * new round starts.
+    */
+  def prevReferencePaths(): Seq[String] =
+    sys.env.get("SPARK_GRAFT_BENCH_PREV") match {
+      case Some(p) => Seq(p)
+      case None => Seq("BENCH_PREV_ROUND.json", "BENCH_LOCAL.json")
+    }
+
+  /** Per-query reference bounds, CALIB-NORMALIZED: each artifact's times
+    * scale by this run's calibration over its own (max of the two axes —
+    * the permissive host attribution, so a slower current host doesn't
+    * flag everything), the tightest adjusted bound wins per query, and the
+    * ratio is floored so one corrupt calibration sample cannot flag the
+    * whole suite.
+    */
+  def adjustedPrev(arts: Seq[PrevArtifact], calibCpu: Double,
+                   calibScan: Double): Map[String, Double] = {
+    val maps = arts.map { a =>
+      val ratio = math.max(0.25, math.max(
+        a.calibCpu.map(pc => calibCpu / pc).getOrElse(1.0),
+        a.calibScan.map(ps => calibScan / ps).getOrElse(1.0)))
+      a.times.map { case (k, v) => k -> v * ratio }
+    }
+    maps.foldLeft(Map.empty[String, Double]) { (acc, m) =>
+      m.foldLeft(acc) { case (a, (k, v)) =>
+        a.updated(k, a.get(k).fold(v)(math.min(_, v)))
+      }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,10 +128,9 @@ object Bench {
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // The previous committed artifact's per-query times (3× sanity net) —
-    // read BEFORE this run overwrites the same file.
-    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_LOCAL.json")
-    val prevTimes = previousQueryTimes(prevPath, sfDir)
+    // Previous artifacts for the per-query sanity net — read BEFORE this
+    // run overwrites BENCH_LOCAL.json.
+    val prevArts = prevReferencePaths().flatMap(previousArtifact(_, sfDir))
     // Absorb JVM/codegen/file-listing warmup outside any query's timing,
     // and run in name order so per-query numbers are comparable across
     // rounds (map order shifts when queries are added, silently handing the
@@ -228,25 +276,32 @@ object Bench {
       println(f"""{"rerun_block":$b,"calib_after":$after%.3f}""")
       f"""{"block":$b,"gate":${gate.map(c => f"$c%.3f").mkString("[", ",", "]")},"calib_after":$after%.3f}"""
     }
-    // Per-query 3× sanity net: calibration sampling is bracketing — a load
-    // spike confined to one query's own window escapes every bracket. The
-    // previous committed artifact (same code or close, same sf, measured
-    // quiet) is a per-query A/B twin no calibration can miss against:
-    // anything now >3× its committed value (and >0.3s absolute, so
-    // micro-query jitter doesn't churn) is re-measured under the gate.
-    val flagged3x = ordered.filter { case (name, _) =>
-      prevTimes.get(name).exists(p => results(name) > 3 * p && results(name) - p > 0.3)
+    // Per-query CALIB-NORMALIZED 2× sanity net: calibration sampling is
+    // bracketing — a load spike confined to one query's own window escapes
+    // every bracket — and a same-host-only reference shares the host's
+    // drift signature (the round-12 blind band: a query shipped 2.8× slow
+    // because both the 2×-median block trigger and the 3×-vs-local net
+    // compared against the same degraded host). Each reference artifact's
+    // per-query time is scaled by this run's calibration over ITS
+    // calibration (max of the two axes — the permissive host attribution),
+    // the tightest adjusted reference wins per query, and anything now
+    // > 2× that bound (and > 0.3s absolute, so micro-query jitter doesn't
+    // churn) is re-measured under the quiet gate. The ratio is floored so
+    // one corrupt calibration sample cannot flag the whole suite.
+    val prevAdj: Map[String, Double] = adjustedPrev(prevArts, calibSec, calibScan)
+    val flagged2x = ordered.filter { case (name, _) =>
+      prevAdj.get(name).exists(p => results(name) > 2 * p && results(name) - p > 0.3)
     }
-    val rerun3x = if (flagged3x.isEmpty) Vector.empty[String] else {
+    val rerun2x = if (flagged2x.isEmpty) Vector.empty[String] else {
       gateQuiet()
-      flagged3x.map { case (name, fn) =>
+      flagged2x.map { case (name, fn) =>
         val sec = timeQuery(name, fn)
-        println(f"""{"query":"$name","sec":$sec%.3f,"rerun_3x":true,"prev":${prevTimes(name)}%.3f}""")
+        println(f"""{"query":"$name","sec":$sec%.3f,"rerun_prev2x":true,"prev_adjusted":${prevAdj(name)}%.3f}""")
         replaceTiming(name, sec)
         name
       }.toVector
     }
-    if (noisy.nonEmpty || rerun3x.nonEmpty) {
+    if (noisy.nonEmpty || rerun2x.nonEmpty) {
       // The artifact's end samples should describe the state the FINAL
       // numbers were taken under.
       calibEnd = calibrate()
@@ -265,7 +320,10 @@ object Bench {
        else "") +
       s""","calib_attempts":${calibAttempts.map(c => f"$c%.3f").mkString("[", ",", "]")}""" +
       (if (rerunInfo.nonEmpty) s""","rerun_blocks":${rerunInfo.mkString("[", ",", "]")}""" else "") +
-      (if (rerun3x.nonEmpty) s""","rerun_3x":${rerun3x.map(n => s""""$n"""").mkString("[", ",", "]")}""" else "") +
+      (if (prevArts.nonEmpty)
+         s""","prev_refs":${prevArts.map(a => graft.util.JsonUtil.quote(a.path)).mkString("[", ",", "]")}"""
+       else "") +
+      (if (rerun2x.nonEmpty) s""","rerun_prev2x":${rerun2x.map(n => s""""$n"""").mkString("[", ",", "]")}""" else "") +
       (if (rerunReplaced.nonEmpty)
          rerunReplaced.map { case (k, v) => f""""$k":$v%.3f""" }
            .mkString(""","rerun_replaced":{""", ",", "}")
