@@ -485,6 +485,80 @@ object StreamingQueries {
       Some("""SELECT 5::BIGINT AS n_queries, 5::BIGINT AS clones_found,
               | true AS compacted""".stripMargin)),
 
+    // Streaming ingest → MANIFESTED TABLE: each micro-batch appends its
+    // files to the table and commits an INCREMENTAL snapshot (only the
+    // batch's own files scanned — the O(batch) streaming-table commit,
+    // never O(table)), while a DOWNSTREAM consumer rides the snapshot
+    // history via addedSince from its own checkpoint, reading each batch's
+    // rows exactly once. The streaming write side of the table-format
+    // loop: the final table is read back through the PUBLIC
+    // spark.read.format("graft") surface. Gates: fingerprint ≡ DuckDB over
+    // the source rows, one snapshot per data batch, per-batch incremental
+    // evidence (filesScanned == that batch's own files, strictly fewer
+    // than the table's), and the consumer's accumulated rows == the table.
+    Q("stream_ingest_manifest",
+      (s, dir) => {
+        import s.implicits._
+        val oCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+        val orders = T(s, dir, "orders").select(oCols.map(col): _*)
+        val feedDir = java.nio.file.Files.createTempDirectory("graft_mfeed").toString
+        orders.repartition(4, pmod(col("o_orderkey"), lit(4)))
+          .write.mode("overwrite").parquet(feedDir)
+        val table = java.nio.file.Files.createTempDirectory("graft_mtab").toString + "/orders"
+        var lastId: Option[Int] = None
+        var consumed = 0L
+        var batches = 0
+        var incrementalOk = true
+        val src = s.readStream.schema(orders.schema)
+          .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val sb = batch.sparkSession
+            // A trailing NO-DATA batch must not commit: an empty append +
+            // snapshot would be pure metadata debt (and the no-op-cycle
+            // contract elsewhere is "nothing changed ⇒ nothing commits").
+            if (!batch.isEmpty) {
+            // one file per micro-batch here (production appends land >=1
+            // per writer task; the evidence below is scanned == own files)
+            batch.repartition(1).write.mode("append").parquet(table)
+            val (id, scanned, removed) =
+              graft.ops.Manifest.createIncremental(sb, table, "o_orderkey")
+            batches += 1
+            // Incremental evidence: past the priming batch, the commit
+            // scans EXACTLY the appended file — never the table.
+            incrementalOk &&= removed == 0 &&
+              (if (batches == 1) scanned == 1 else scanned == 1 && scanned < batches)
+            // Downstream consumer: file-granular catch-up from ITS
+            // checkpoint (the priming batch reads snapshot 1 whole).
+            val fresh = lastId match {
+              case None => graft.ops.Manifest.readAsOf(sb, table, id)
+              case Some(prev) => graft.ops.Manifest.addedSince(sb, table, prev)._1
+            }
+            consumed += fresh.count()
+            lastId = Some(id)
+            }
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val back = s.read.format("graft").load(table)
+        graft.functions.Hashing.multisetFingerprintAgg(
+            back.select(oCols.map(col): _*), oCols)
+          .select(col("fingerprint"), col("n_rows"),
+            // one snapshot per DATA batch (ids are dense from 1), and at
+            // least two batches so incrementality was actually exercised —
+            // the feed's file count is AQE-dependent, so the contract is
+            // structural, not a fixture constant
+            lit(lastId.contains(batches) && batches >= 2).as("one_snapshot_per_batch"),
+            lit(incrementalOk).as("incremental_commits"),
+            (lit(consumed) === col("n_rows")).as("consumer_exactly_once"))
+      },
+      Some {
+        val oCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+        s"""SELECT fingerprint, n_rows, true AS one_snapshot_per_batch,
+           | true AS incremental_commits, true AS consumer_exactly_once
+           |FROM (${Registry.duckMultisetFingerprint(oCols, "orders")})""".stripMargin
+      }),
+
     // Stateful custom-state operator: flatMapGroupsWithState sessionization
     // (30-minute gap). Oracle = the equivalent batch lag/cumsum windows.
     Q("stream_sessionize",

@@ -3,6 +3,7 @@ package graft
 import graft.functions.Hashing
 import graft.ops.{FsMaint, Layout, Manifest}
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
 
 import java.util.concurrent.{CountDownLatch, CyclicBarrier, TimeUnit}
 import scala.concurrent.{Await, Future}
@@ -169,6 +170,87 @@ class ConcurrencySpec extends SparkSpec {
       } finally FsMaint.tableLockLeaseMs = savedLease
       assert(!fs.exists(FsMaint.tableLockPath(stage)), "broken lock must not linger")
     }
+  }
+
+  test("4-writer stress: commits serialize, losers fail typed and retry to a deterministic final state") {
+    // Hive-partitioned fixture with DISJOINT per-partition key ranges
+    // (lang=l<b> owns [b*1000, b*1000+499]) — the per-partition COW never
+    // takes the table offline, so concurrent writers see typed refusals
+    // and file-level transients, never a vanished table. Each writer owns
+    // a disjoint key space, so the final state is deterministic whatever
+    // the serialization order.
+    val stage = tmpDir("conc_stress") + "/docs"
+    spark.range(0L, 2000L).selectExpr(
+      "concat('l', CAST(id DIV 500 AS INT)) AS lang",
+      "(id DIV 500) * 1000 + (id % 500) AS doc_id",
+      "concat('payload_', id) AS payload")
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("doc_id"))
+      .write.partitionBy("lang").parquet(stage)
+    Manifest.create(spark, stage, "doc_id")
+    // A racing loser may surface as: the typed refusal (writers), a stale
+    // manifest (targeting read raced a commit), or a transient loud read
+    // of a file an in-flight commit just moved. ANY other failure is a
+    // real bug and fails the test.
+    def transient(e: Throwable): Boolean = {
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      chain(e).exists {
+        case _: Manifest.ConcurrentCommitException => true
+        case _: Manifest.StaleManifestException => true
+        case _: java.io.FileNotFoundException => true
+        case t => String.valueOf(t.getMessage).contains("FILE_NOT_EXIST") ||
+          String.valueOf(t.getMessage).contains("PATH_NOT_FOUND")
+      }
+    }
+    val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+    def persist(opName: String)(op: => Unit): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        try { op; done = true }
+        catch {
+          case e: Throwable if transient(e) && attempts < 25 =>
+            refused.incrementAndGet()
+            Thread.sleep(150)
+          case e: Throwable =>
+            throw new AssertionError(s"$opName: non-transient failure", e)
+        }
+      }
+    }
+    import spark.implicits._
+    val writers = Seq(
+      Future(persist("delete-l1") {
+        Layout.deleteRange(spark, stage, "doc_id", 1000L, 1099L): Unit }),
+      Future(persist("merge-l2") {
+        Layout.mergeKeyed(spark, stage, "doc_id", Seq(
+          (2005L, "updated", "l2"), (2600L, "fresh", "l2"))
+          .toDF("doc_id", "payload", "lang")): Unit }),
+      Future(persist("compact") {
+        Layout.compactTable(spark, stage, 64L << 20): Unit }),
+      Future { persist("snapshot") { Manifest.createIncremental(spark, stage, "doc_id"): Unit }
+               persist("vacuum") { Manifest.vacuum(spark, stage): Unit } }
+    )
+    Await.result(Future.sequence(writers), 300.seconds)
+    // Deterministic final content: l1's range deleted, l2's key updated +
+    // one insert, everything else untouched (compaction is invariant).
+    val after = spark.read.parquet(stage)
+    assert(after.count() == 2000L - 100L + 1L)
+    assert(after.filter(col("doc_id").between(1000L, 1099L)).count() == 0L)
+    assert(after.filter(col("doc_id") === 2005L).select("payload")
+      .head().getString(0) == "updated")
+    assert(after.filter(col("doc_id") === 2600L).count() == 1L)
+    // Manifest consistent, no leftover locks/journals/claims/stages.
+    assert(Manifest.isComplete(spark, stage))
+    val fs = fsOf(stage)
+    assert(!fs.exists(FsMaint.tableLockPath(stage)))
+    Seq("__deletingp", "__delnewp", "__deleting", "__delnew", "__delold",
+      "__compacting", "__old").foreach { sfx =>
+      assert(!fs.exists(new Path(stage + sfx)), s"leftover: $sfx")
+    }
+    assert(manifestLeftovers(stage).isEmpty, manifestLeftovers(stage).toString)
+    // The point of the exercise: contention actually happened.
+    assert(refused.get >= 1, "stress never observed a refusal — widen the ops")
   }
 
   test("recoverDelete never heals under a live lock (a live writer's swap window is its own)") {
