@@ -1142,17 +1142,25 @@ object Manifest {
     * hidden trash, so as-of reads survive routine maintenance until
     * [[vacuum]] reclaims what no retained snapshot references.
     */
-  def readAsOf(spark: SparkSession, table: String, id: Int): DataFrame = {
+  /** Resolved, READABLE file paths of snapshot `id`: live files at their
+    * recorded locations, replaced files through the retained trash — the
+    * public hook the SQL catalog surface builds its scans on (same typed
+    * failure modes as [[readAsOf]]).
+    */
+  def snapshotFiles(spark: SparkSession, table: String, id: Int): Seq[String] = {
     require(hasSnapshot(spark, table, id),
       s"no snapshot-$id under $table — never created, or expired by retention " +
         "(expireSnapshots); time travel reaches only retained snapshots")
     val picked = spark.read.parquet(s"${root(table)}/snapshot-$id")
       .select("file").collect().map(_.getString(0)).toIndexedSeq
+    resolveForRead(spark, table, picked, useTrash = true)
+  }
+
+  def readAsOf(spark: SparkSession, table: String, id: Int): DataFrame = {
     // The snapshot's OWN recorded schema (time travel across an additive
     // evolution reads the table as it was), resolving replaced files
     // through the retained trash — as-of reads survive COW mutations.
-    readFiles(spark, table,
-      resolveForRead(spark, table, picked, useTrash = true),
+    readFiles(spark, table, snapshotFiles(spark, table, id),
       storedSchema(spark, table, id))
   }
 

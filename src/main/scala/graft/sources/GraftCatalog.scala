@@ -1,0 +1,102 @@
+package graft.sources
+
+import graft.ops.Manifest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL time travel for the table format — a READ-ONLY `TableCatalog`
+  * exposing manifested parquet dirs as catalog tables, so `VERSION AS OF`
+  * composes in plain SQL (the Delta/Iceberg posture on this engine's
+  * snapshots):
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  * spark.sql("SELECT * FROM graft.`/data/docs`")                  -- latest snapshot
+  * spark.sql("SELECT * FROM graft.`/data/docs` VERSION AS OF 3")  -- time travel
+  * }}}
+  *
+  * The identifier IS the table directory (one backquoted part). Each load
+  * resolves the requested snapshot's file list (live files + replaced
+  * originals through the retained trash) and hands Spark a NATIVE v2
+  * parquet table over exactly those files, pinned to the snapshot's
+  * recorded schema — so the scan is the stock vectorized parquet read with
+  * full filter/column pushdown, and additive evolution reads historically
+  * (old snapshots see their own columns). Mutations go through the engine
+  * APIs, never SQL DDL — every write surface here throws. The change feed
+  * is read through `spark.read.format("graft")` (`changesFrom`/`changesTo`);
+  * a feed has its own schema (the change tag), which is a read option, not
+  * a catalog table.
+  */
+final class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String = {
+    require(ident.namespace.isEmpty,
+      s"graft catalog identifiers are single-part table DIRECTORIES " +
+        s"(backquote the path): got namespace ${ident.namespace.mkString(".")}")
+    ident.name
+  }
+
+  private def tableFor(ident: Identifier, version: Option[Int]): Table = {
+    val spark = SparkSession.active
+    val path = pathOf(ident)
+    val id = version.getOrElse(Manifest.latestSnapshotId(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifest snapshot under $path — run Manifest.create, or read the " +
+          "dir directly with spark.read.parquet")))
+    val files = Manifest.snapshotFiles(spark, path, id)
+    val schema: Option[StructType] = Manifest.storedSchema(spark, path, id)
+    // GraftParquetTable computes partition values itself (trash-retained
+    // files carry the same k=v identity as live ones once the trash
+    // segment is stripped — Spark's own directory inference would reject
+    // the two roots as conflicting).
+    new GraftParquetTable(s"$catalogName.$path@v$id", spark,
+      CaseInsensitiveStringMap.empty(), files.toIndexedSeq, path, schema)
+  }
+
+  override def loadTable(ident: Identifier): Table = tableFor(ident, None)
+
+  /** `VERSION AS OF <n>` — the analyzer routes the version string here. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    tableFor(ident, Some(
+      try version.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft VERSION AS OF takes an integer snapshot id, got `$version`")
+      }))
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft time travel is by snapshot id (VERSION AS OF <n>) — snapshots " +
+        "carry no wall-clock identity (TIMESTAMP AS OF unsupported)")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // paths are the namespace; there is nothing to enumerate
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { loadTable(ident); true } catch { case _: Exception => false }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft catalog is read-only: $op goes through the engine APIs " +
+        "(Layout.deleteRange/mergeKeyed, Manifest.create*), never SQL DDL")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table =
+    readOnly("CREATE TABLE")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+}

@@ -1,0 +1,146 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{FileFormat, FileStatusCache, PartitionPath, PartitionSpec, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetUtils}
+import org.apache.spark.sql.execution.datasources.v2.FileTable
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** A read-only v2 parquet table over an EXACT file list — what the SQL
+  * catalog serves for a snapshot read. Differs from Spark's own
+  * `ParquetTable` in one load-bearing way: the partition values are
+  * computed HERE (from each file's directory path relative to the table
+  * root, with the retained-trash segment stripped), not inferred by
+  * walking directory structures — a time-travel read mixes live files
+  * (`<table>/k=v/f`) with trash-retained ones (`<table>/_graft_trash/k=v/f`),
+  * which Spark's inference rejects as conflicting roots, while both shapes
+  * carry the SAME partition identity once the trash segment is ignored.
+  * The scan itself is the stock vectorized `ParquetScanBuilder` (full
+  * filter/column pushdown); the explicit file list means newer appends or
+  * COW rewrites never leak into a pinned snapshot.
+  */
+final class GraftParquetTable(
+    tableName: String, spark: SparkSession, opts: CaseInsensitiveStringMap,
+    files: Seq[String], tableRoot: String,
+    userSchema: Option[StructType])
+  extends FileTable(spark, opts, files, userSchema) {
+
+  override def name(): String = tableName
+  override def formatName: String = "Parquet"
+  override def fallbackFileFormat: Class[_ <: FileFormat] =
+    classOf[ParquetFileFormat]
+
+  override def inferSchema(fileStatuses: Seq[FileStatus]): Option[StructType] =
+    ParquetUtils.inferSchema(spark, opts.asScala.toMap, fileStatuses)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ParquetScanBuilder =
+    ParquetScanBuilder(spark, fileIndex, schema, dataSchema, mergedOptions(options))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    throw new UnsupportedOperationException(
+      s"$tableName is a read-only snapshot view — mutations go through the " +
+        "engine APIs (Layout.deleteRange/mergeKeyed, appends + Manifest.create*)")
+
+  /** Partition values per distinct parent directory, parsed from the
+    * `k=v` segments of the dir's path relative to the table root (trash
+    * segment stripped). Value types come from the recorded schema when one
+    * exists; string and integral partition columns are supported (the
+    * layout surface [[graft.ops.Layout.partitionByColumn]] produces).
+    */
+  private def partitionSpecOf(): PartitionSpec = {
+    val rootAbs = new Path(tableRoot).toUri.getPath.stripSuffix("/")
+    val trashAbs = rootAbs + "/_graft_trash"
+    def segmentsOf(parent: Path): Seq[(String, String)] = {
+      val abs = parent.toUri.getPath
+      val rel =
+        if (abs.startsWith(trashAbs)) abs.stripPrefix(trashAbs)
+        else abs.stripPrefix(rootAbs)
+      rel.split('/').filter(_.nonEmpty).toSeq.map { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0, s"non-partition directory segment `$seg` under $tableRoot")
+        (ExternalCatalogUtils.unescapePathName(seg.take(i)),
+          ExternalCatalogUtils.unescapePathName(seg.drop(i + 1)))
+      }
+    }
+    val parents = files.map(f => new Path(f).getParent).distinct
+    val parsed = parents.map(p => p -> segmentsOf(p))
+    if (parsed.forall(_._2.isEmpty)) return PartitionSpec.emptySpec
+    val colNames = parsed.collectFirst { case (_, s) if s.nonEmpty => s.map(_._1) }.get
+    parsed.foreach { case (p, s) =>
+      require(s.map(_._1) == colNames,
+        s"inconsistent partition columns under $tableRoot: $p has " +
+          s"${s.map(_._1).mkString("/")}, expected ${colNames.mkString("/")}")
+    }
+    val types = colNames.map(c =>
+      userSchema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+        .getOrElse(StringType))
+    def convert(v: String, dt: DataType): Any =
+      if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      else dt match {
+        case StringType => UTF8String.fromString(v)
+        case LongType => java.lang.Long.valueOf(v)
+        case IntegerType => java.lang.Integer.valueOf(v)
+        case ShortType => java.lang.Short.valueOf(v)
+        case ByteType => java.lang.Byte.valueOf(v)
+        case DateType =>
+          java.lang.Integer.valueOf(java.time.LocalDate.parse(v).toEpochDay.toInt)
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition column type ${other.simpleString} " +
+            s"for `$v` under $tableRoot")
+      }
+    val cols = StructType(colNames.zip(types).map { case (c, t) =>
+      StructField(c, t, nullable = true) })
+    val partitions = parsed.map { case (p, segs) =>
+      PartitionPath(new GenericInternalRow(
+        segs.zip(types).map { case ((_, v), t) => convert(v, t) }.toArray), p)
+    }
+    PartitionSpec(cols, partitions)
+  }
+
+  // NOT an InMemoryFileIndex: Spark's listing filters `_`-prefixed
+  // directories, which would silently DROP every trash-retained file from
+  // a historical read (a missing-data wrong answer). The exact index
+  // stats precisely the requested files — one listStatus per parent dir.
+  override lazy val fileIndex: PartitioningAwareFileIndex =
+    new GraftExactFileIndex(spark, files.map(new Path(_)).toIndexedSeq,
+      partitionSpecOf())
+}
+
+/** A [[PartitioningAwareFileIndex]] over an EXPLICIT file list with a
+  * caller-supplied partition spec — no directory walking, no hidden-path
+  * filtering, no inference. Exactly the snapshot's files, wherever they
+  * live.
+  */
+private[sources] final class GraftExactFileIndex(
+    spark: SparkSession, filePaths: Seq[Path], spec: PartitionSpec)
+  extends PartitioningAwareFileIndex(spark, Map.empty, None,
+    FileStatusCache.getOrCreate(spark)) {
+
+  private val byParent: Map[Path, Array[FileStatus]] =
+    filePaths.groupBy(_.getParent).map { case (parent, paths) =>
+      val fs = parent.getFileSystem(spark.sessionState.newHadoopConf())
+      val names = paths.map(_.getName).toSet
+      parent -> fs.listStatus(parent)
+        .filter(st => st.isFile && names(st.getPath.getName))
+    }
+
+  override def partitionSpec(): PartitionSpec = spec
+  override protected def leafFiles: scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
+    byParent.valuesIterator.flatten.foreach(st => m(st.getPath) = st)
+    m
+  }
+  override protected def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    byParent
+  override def rootPaths: Seq[Path] = filePaths
+  override def refresh(): Unit = ()
+}
