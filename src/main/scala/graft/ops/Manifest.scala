@@ -1167,6 +1167,39 @@ object Manifest {
   /** The newest committed snapshot id — the handle mutation jobs leave
     * behind for [[readAsOf]] / [[changesBetween]] callers.
     */
+  /** Snapshot HISTORY — the `DESCRIBE HISTORY` analog: one row per
+    * retained snapshot (id asc) with its file count, row count, commit
+    * time (the snapshot dir's filesystem mtime — commits are a rename, so
+    * the mtime IS the publish instant), and stats-covered key columns.
+    * ONE metadata-sized job over the snapshot parquet (pinned to the two
+    * columns every snapshot shares — stat/bloom columns vary); rows ∝
+    * retained snapshots.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val ids = snapshotIds(spark, table).sorted
+    val fs = fsOf(spark, table)
+    if (ids.isEmpty)
+      return Seq.empty[(Int, Long, Long, java.sql.Timestamp, String)]
+        .toDF("snapshot", "n_files", "n_rows", "committed_at", "key_cols")
+    val perId = spark.read
+      .schema(StructType(Seq(StructField("file", StringType),
+        StructField("n_rows", LongType))))
+      .parquet(ids.map(id => s"${root(table)}/snapshot-$id"): _*)
+      .withColumn("snapshot",
+        regexp_extract(input_file_name(), "snapshot-(\\d+)", 1).cast("int"))
+      .groupBy("snapshot")
+      .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = ids.map { id =>
+      val (nf, nr) = perId(id)
+      val mtime = new java.sql.Timestamp(fs.getFileStatus(
+        new Path(s"${root(table)}/snapshot-$id")).getModificationTime)
+      (id, nf, nr, mtime, keyColsOf(spark, table, id).mkString(","))
+    }
+    rows.toDF("snapshot", "n_files", "n_rows", "committed_at", "key_cols")
+  }
+
   def latestSnapshotId(spark: SparkSession, table: String): Option[Int] =
     latestId(spark, table)
 

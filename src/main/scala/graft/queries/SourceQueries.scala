@@ -660,6 +660,35 @@ object SourceQueries {
                    Seq("doc_id", "text", "lang", "source", "n_chars"),
                    "(SELECT * FROM documents WHERE doc_id % 3 = 0) t")})""".stripMargin)),
 
+    // ---- snapshot HISTORY (DESCRIBE HISTORY analog): one row per
+    //      retained snapshot with row count and stats coverage — the
+    //      introspection a table-format user audits retention with.
+    //      Deterministic columns only (file counts are AQE-layout trivia,
+    //      commit times are wall clock); the lifecycle is create →
+    //      incremental append → COW delete, so the three rows pin all
+    //      three commit paths.
+    Q("manifest_history",
+      (s, dir) => {
+        val stage = java.nio.file.Files.createTempDirectory("graft_manifest_hist").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.filter(col("doc_id") % 3 =!= 0)
+          .repartition(4).write.mode("overwrite").parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        docs.filter(col("doc_id") % 3 === 0)
+          .repartition(2).write.mode("append").parquet(stage)
+        graft.ops.Manifest.createIncremental(s, stage, "doc_id")
+        graft.ops.Layout.deleteRange(s, stage, "doc_id", 0L, 9L)
+        graft.ops.Manifest.history(s, stage)
+          .select(col("snapshot"), col("n_rows"), col("key_cols"))
+      },
+      Some("""SELECT 1 AS snapshot,
+              | (SELECT count(*) FROM documents WHERE doc_id % 3 <> 0)::BIGINT AS n_rows,
+              | 'doc_id' AS key_cols
+              |UNION ALL SELECT 2, (SELECT count(*) FROM documents)::BIGINT, 'doc_id'
+              |UNION ALL SELECT 3,
+              | (SELECT count(*) FROM documents WHERE doc_id > 9)::BIGINT, 'doc_id'
+              |ORDER BY 1""".stripMargin)),
+
     // ---- TIME TRAVEL: after batch 2 lands and is snapshotted, an as-of
     //      read of snapshot 1 must return EXACTLY batch 1 (fingerprint-
     //      gated against DuckDB computing batch 1's membership directly) —

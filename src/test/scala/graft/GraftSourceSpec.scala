@@ -136,6 +136,17 @@ class GraftSourceSpec extends SparkSpec {
     assert(old.count() == 2000L)
     assert(old.filter(col("lang").isNull).count() == 0L)
     assert(old.filter(col("lang") === "l1").count() == 500L)
+    // Plan posture: a partition-column equality becomes a PartitionFilter
+    // (planning-time pruning) and a data-column predicate is PUSHED into
+    // the parquet scan — the native v2 read, not a post-filtered dump.
+    val q = spark.sql(
+      s"SELECT doc_id FROM graft.`$dir` WHERE lang = 'l2' AND doc_id < 2100")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("l2"),
+      s"partition filter not planned:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"),
+      s"data filter not pushed:\n$plan")
+    assert(q.count() == 100L) // l2 owns [2000, 2499]; < 2100 → 2000..2099
   }
 
   test("column pruning reaches the inner parquet scan") {
