@@ -1200,6 +1200,20 @@ object Manifest {
     rows.toDF("snapshot", "n_files", "n_rows", "committed_at", "key_cols")
   }
 
+  /** The newest snapshot COMMITTED at or before `epochMs` — commit time =
+    * the snapshot dir's mtime (the publish rename's instant, the identity
+    * [[history]] reports). None when every retained snapshot is newer.
+    * Backs the catalog's `TIMESTAMP AS OF`.
+    */
+  def snapshotIdAsOfTime(spark: SparkSession, table: String,
+                         epochMs: Long): Option[Int] = {
+    val fs = fsOf(spark, table)
+    snapshotIds(spark, table)
+      .filter(id => fs.getFileStatus(
+        new Path(s"${root(table)}/snapshot-$id")).getModificationTime <= epochMs)
+      .sorted.lastOption
+  }
+
   def latestSnapshotId(spark: SparkSession, table: String): Option[Int] =
     latestId(spark, table)
 

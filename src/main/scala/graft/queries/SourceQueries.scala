@@ -707,12 +707,15 @@ object SourceQueries {
         docs.filter(col("doc_id") % 3 === 0)
           .repartition(2).write.mode("append").parquet(stage)
         graft.ops.Manifest.createIncremental(s, stage, "doc_id")
-        // Through the PUBLIC source surface: snapshotId = VERSION AS OF,
-        // no option = the latest snapshot's blessed read.
-        val asOf1 = s.read.format("graft").option("snapshotId", id1).load(stage)
+        // Through the PUBLIC SQL surface: the catalog serves VERSION AS OF
+        // as a NATIVE v2 parquet scan (no Row-conversion tax — the V1
+        // format("graft") path measured ~1.5× on this fixture), and the
+        // bare identifier is the latest snapshot's blessed read.
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val asOf1 = s.sql(s"SELECT * FROM graft.`$stage` VERSION AS OF $id1")
         graft.functions.Hashing.multisetFingerprintAgg(asOf1, docCols)
           .withColumn("latest_n",
-            lit(s.read.format("graft").load(stage).count()))
+            lit(s.sql(s"SELECT * FROM graft.`$stage`").count()))
       },
       Some(s"""SELECT *, (SELECT count(*) FROM documents)::BIGINT AS latest_n FROM (
                |${Registry.duckMultisetFingerprint(

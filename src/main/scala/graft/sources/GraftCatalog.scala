@@ -74,10 +74,23 @@ final class GraftCatalog extends TableCatalog {
           s"graft VERSION AS OF takes an integer snapshot id, got `$version`")
       }))
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft time travel is by snapshot id (VERSION AS OF <n>) — snapshots " +
-        "carry no wall-clock identity (TIMESTAMP AS OF unsupported)")
+  /** `TIMESTAMP AS OF <t>` — resolved against each snapshot's PUBLISH
+    * instant (the commit is one rename, so the snapshot dir's mtime IS the
+    * commit time, the same identity [[Manifest.history]] reports): the
+    * newest snapshot committed at or before `t`. The analyzer hands micros
+    * since epoch.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val spark = SparkSession.active
+    val path = pathOf(ident)
+    val id = Manifest.snapshotIdAsOfTime(spark, path, timestamp / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot under $path committed at or before " +
+          s"${java.time.Instant.ofEpochMilli(timestamp / 1000L)} — the oldest " +
+          "retained snapshot is newer (or none exist); TIMESTAMP AS OF " +
+          "reaches only retained history"))
+    tableFor(ident, Some(id))
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // paths are the namespace; there is nothing to enumerate

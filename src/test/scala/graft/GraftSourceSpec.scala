@@ -109,10 +109,39 @@ class GraftSourceSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"DROP TABLE graft.`$dir`")
     }
-    // timestamp travel is not an identity snapshots carry
+    // a timestamp before any retained commit fails typed
     intercept[Exception] {
-      spark.sql(s"SELECT * FROM graft.`$dir` TIMESTAMP AS OF '2024-01-01'").collect()
+      spark.sql(s"SELECT * FROM graft.`$dir` TIMESTAMP AS OF '2000-01-01'").collect()
     }
+  }
+
+  test("SQL catalog: TIMESTAMP AS OF resolves by commit time (snapshot dir mtime)") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = stage("gsql_ts")
+    Manifest.create(spark, dir, "doc_id")
+    val n1 = spark.read.parquet(dir).count()
+    Thread.sleep(1200) // FS mtime granularity margin around the midpoint
+    val mid = java.time.Instant.ofEpochMilli(System.currentTimeMillis())
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    Thread.sleep(1200)
+    Layout.deleteRange(spark, dir, "doc_id", 0L, 49L)
+    Thread.sleep(50) // commit mtime strictly before the "after" literal
+    val after = java.time.Instant.ofEpochMilli(System.currentTimeMillis())
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    // midpoint → the PRE-delete snapshot; post-delete literal → current.
+    // (Timestamps as LITERALS: Spark's analyzer falls through to
+    // SQL-on-file resolution for expression-valued TIMESTAMP AS OF on
+    // path-identifier catalogs.)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$dir` TIMESTAMP AS OF '$mid'")
+      .head().getLong(0) == n1)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$dir` TIMESTAMP AS OF '$after'")
+      .head().getLong(0) == n1 - 50L)
   }
 
   test("SQL catalog: partitioned table time travel recovers partition values from the trash") {
