@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileSystem, LocatedFileStatus, Path}
 
 /** Shared Hadoop-FileSystem maintenance primitives for on-disk stores the
   * engine rewrites in place — the durable dedup index's state dirs and the
@@ -73,6 +73,26 @@ private[graft] object FsMaint {
     b
   }
 
+  /** Recursive file listing under `root` as (root-relative path, status)
+    * pairs — THE shared walk behind every relative-path identity in the
+    * storage layer (trash retention and resolution, vacuum reachability,
+    * staged-commit enumeration), so the convention lives in one place.
+    */
+  def listRelative(fs: FileSystem, root: Path)(
+      pred: LocatedFileStatus => Boolean): Seq[(String, LocatedFileStatus)] = {
+    val rootAbs = root.toUri.getPath.stripSuffix("/")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, LocatedFileStatus)]
+    if (fs.exists(root)) {
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && pred(f))
+          out += f.getPath.toUri.getPath.stripPrefix(rootAbs + "/") -> f
+      }
+    }
+    out.toSeq
+  }
+
   /** Heal an interrupted [[swapIn]] for `path` (see the swap contract). */
   def recoverSwap(fs: FileSystem, path: String): Unit = {
     val dir = new Path(path)
@@ -124,23 +144,17 @@ private[graft] object FsMaint {
     }
     val retained = retainInto.exists { trashName =>
       val trash = new Path(dir, trashName)
-      val oldRoot = old.toUri.getPath.stripSuffix("/")
-      def relOf(p: Path): String =
-        p.toUri.getPath.stripPrefix(oldRoot + "/")
-      val files = scala.collection.mutable.ArrayBuffer.empty[Path]
-      val it = fs.listFiles(old, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.startsWith("part-") && f.getLen > 0 &&
-          !underHiddenDir(old, f.getPath)) files += f.getPath
-      }
-      val collisionFree = files.forall(p => !fs.exists(new Path(trash, relOf(p))))
+      val files = listRelative(fs, old)(f =>
+        f.getPath.getName.startsWith("part-") && f.getLen > 0 &&
+          !underHiddenDir(old, f.getPath))
+      val collisionFree = files.forall { case (rel, _) =>
+        !fs.exists(new Path(trash, rel)) }
       if (collisionFree && files.nonEmpty) {
-        files.foreach { p =>
-          val dst = new Path(trash, relOf(p))
+        files.foreach { case (rel, st) =>
+          val dst = new Path(trash, rel)
           fs.mkdirs(dst.getParent)
-          if (!fs.rename(p, dst))
-            throw new java.io.IOException(s"swap: failed to retain ${relOf(p)}")
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(s"swap: failed to retain $rel")
         }
       }
       collisionFree
@@ -191,18 +205,46 @@ private[graft] object FsMaint {
         tableLockLeaseMs
   }
 
+  /** Atomically BREAK a stale coordination file: rename it to a
+    * caller-unique tombstone, then delete the tombstone. Of N concurrent
+    * breakers exactly one rename succeeds (the source vanishes for the
+    * rest) — a plain exists/delete would let a slow breaker's delete land
+    * AFTER the winner already re-created the file, silently unlocking a
+    * live successor. Losers simply fall through: the follow-up
+    * atomic-create decides ownership either way.
+    */
+  def breakStale(fs: FileSystem, p: Path, tag: String): Unit = {
+    val tomb = new Path(p.getParent, s"${p.getName}.broken-$tag")
+    if (fs.rename(p, tomb)) fs.delete(tomb, false): Unit
+  }
+
+  /** Lock paths held by the CURRENT thread (driver-side bookkeeping):
+    * [[graft.ops.Manifest]]'s commit path refuses snapshot commits while a
+    * table's swap window is open, EXCEPT for the window's own recommit —
+    * which runs on the thread that took the lock.
+    */
+  private val heldLocks = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+  def holdsTableLock(path: String): Boolean =
+    heldLocks.get.contains(tableLockPath(path).toString)
+
   /** Run `body` holding the exclusive table lock for `path` — the
     * serialization point for every job that swaps the table's data files
     * (COW DELETE/MERGE, compaction, re-clustering) and for trash-mutating
     * maintenance (vacuum). A live lock means a concurrent writer owns the
     * commit window: fail typed immediately, having touched NOTHING — the
     * optimistic-concurrency posture (the caller re-runs later) rather than
-    * blocking. An expired lock (crashed holder) is broken in passing; the
-    * CALLER is responsible for running its journal heal inside `body`
+    * blocking. An expired lock (crashed holder) is broken ATOMICALLY (see
+    * [[breakStale]]); the lock file carries a holder token so release
+    * deletes only the holder's OWN lock (a lease-breaker may have replaced
+    * it mid-body — the replaced holder must not unlock the successor).
+    * The CALLER is responsible for running its journal heal inside `body`
     * (under the lock, a heal can never stomp a live writer's state).
     */
   def withTableLock[T](fs: FileSystem, path: String)(body: => T): T = {
     val lock = tableLockPath(path)
+    val token = java.util.UUID.randomUUID().toString
     if (fs.exists(lock)) {
       if (liveTableLock(fs, path))
         throw new Manifest.ConcurrentCommitException(
@@ -210,14 +252,31 @@ private[graft] object FsMaint {
             s"commit lock ($lock) — a concurrent COW mutation, rewrite, or " +
             "vacuum owns the swap window; nothing was touched, re-run " +
             "after it completes")
-      fs.delete(lock, false): Unit // crashed holder past the lease
+      breakStale(fs, lock, token.take(8)) // crashed holder past the lease
     }
     if (!atomicCreate(fs, lock))
       throw new Manifest.ConcurrentCommitException(
         s"table commit on $path refused: lost the commit-lock race ($lock) " +
           "to a concurrent writer; nothing was touched, re-run after it " +
           "completes")
+    // Stamp the holder token (also refreshes the lease clock). Safe to
+    // overwrite: the path exists only because OUR atomic create made it.
+    val out = fs.create(lock, true)
+    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val key = lock.toString
+    heldLocks.set(heldLocks.get + key)
     try body
-    finally fs.delete(lock, false): Unit
+    finally {
+      heldLocks.set(heldLocks.get - key)
+      val mine =
+        try {
+          val in = fs.open(lock)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) == token
+          finally in.close()
+        } catch { case _: java.io.IOException => false }
+      if (mine) fs.delete(lock, false): Unit
+    }
   }
 }

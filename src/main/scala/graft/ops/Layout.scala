@@ -425,20 +425,10 @@ object Layout {
 
   /** Table-relative paths of the staged hive-layout survivor files. */
   private def stagedRels(fs: org.apache.hadoop.fs.FileSystem,
-                         stage: String): IndexedSeq[String] = {
-    val stageP = new Path(stage)
-    val root = stageP.toUri.getPath.stripSuffix("/")
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (fs.exists(stageP)) {
-      val it = fs.listFiles(stageP, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.startsWith("part-") && f.getLen > 0)
-          out += f.getPath.toUri.getPath.stripPrefix(root + "/")
-      }
-    }
-    out.toIndexedSeq
-  }
+                         stage: String): IndexedSeq[String] =
+    FsMaint.listRelative(fs, new Path(stage))(f =>
+      f.getPath.getName.startsWith("part-") && f.getLen > 0)
+      .map(_._1).toIndexedSeq
 
   /** The move phase of the PARTITIONED COW commit, shared by commit and
     * crash heal (each rename is atomic and the whole phase idempotent, so
@@ -597,8 +587,11 @@ object Layout {
 
   /** Carry earlier mutations' retained history (`_graft_trash`) from the
     * set-aside dir into the restored table — one rename when the target
-    * has no trash yet, a file-by-file merge when a crashed heal already
-    * created it (names are write-job-unique, so merges never collide).
+    * has no trash yet, a RECURSIVE relative-path merge when a crashed heal
+    * already created it (relative paths are write-job-unique, so merges
+    * never collide; a top-level-files-only merge would silently drop the
+    * `k=v/` subdirs a partitioned mutation retained, destroying the very
+    * history retention promised to keep).
     */
   private def carryTrash(fs: org.apache.hadoop.fs.FileSystem,
                          old: String, path: String): Unit = {
@@ -606,9 +599,11 @@ object Layout {
     if (!fs.exists(tOld)) return
     val tNew = new Path(path, "_graft_trash")
     if (!fs.exists(tNew)) { fs.rename(tOld, tNew): Unit }
-    else fs.listStatus(tOld).foreach { st =>
-      if (st.isFile && !fs.rename(st.getPath, new Path(tNew, st.getPath.getName)))
-        throw new java.io.IOException(s"cow commit: failed to carry trash ${st.getPath.getName}")
+    else FsMaint.listRelative(fs, tOld)(_ => true).foreach { case (rel, st) =>
+      val dst = new Path(tNew, rel)
+      fs.mkdirs(dst.getParent)
+      if (!fs.exists(dst) && !fs.rename(st.getPath, dst))
+        throw new java.io.IOException(s"cow commit: failed to carry trash $rel")
     }
   }
 

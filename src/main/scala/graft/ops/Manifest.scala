@@ -216,20 +216,8 @@ object Manifest {
     * listing; empty when no trash exists).
     */
   private def trashRelPaths(fs: org.apache.hadoop.fs.FileSystem,
-                            table: String): Set[String] = {
-    val t = trashDir(table)
-    if (!fs.exists(t)) Set.empty
-    else {
-      val tRoot = t.toUri.getPath.stripSuffix("/")
-      val out = Set.newBuilder[String]
-      val it = fs.listFiles(t, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.isFile) out += f.getPath.toUri.getPath.stripPrefix(tRoot + "/")
-      }
-      out.result()
-    }
-  }
+                            table: String): Set[String] =
+    FsMaint.listRelative(fs, trashDir(table))(_ => true).map(_._1).toSet
 
   private def resolveForRead(spark: SparkSession, table: String,
                              picked: Seq[String],
@@ -440,6 +428,15 @@ object Manifest {
           "committed concurrently; nothing was published, re-run against " +
           "the table's current state")
     }
+    // A LIVE table lock marks an open COW/rewrite swap window: a snapshot
+    // committed from a listing taken mid-move could publish a state that
+    // never logically existed (some doomed files gone, survivors not yet
+    // landed) — and it would win the id the in-flight COW expects, leaving
+    // a permanently wrong version in history. Only the window's OWN
+    // recommit (the thread holding the lock) may commit.
+    if (FsMaint.liveTableLock(fs, table) && !FsMaint.holdsTableLock(table))
+      refuse("a COW/rewrite swap window is open on this table (commit " +
+        "lock held by another writer)")
     val cur = latestId(spark, table).getOrElse(0)
     basedOn.foreach { b =>
       if (cur != b)
@@ -451,11 +448,14 @@ object Manifest {
     // Heal an orphan claim: present, its snapshot dir absent, past the
     // lease — the signature of a writer that died inside the claim→rename
     // window (which contains no Spark work, so the lease is generous).
+    // The break is ATOMIC (rename to a tombstone): a plain delete could
+    // land after a racing healer already re-claimed the id, silently
+    // un-claiming a live writer and double-publishing the snapshot.
     val cp = claimPath(table, next)
     if (fs.exists(cp) && !fs.exists(new Path(dest)) &&
         System.currentTimeMillis() - fs.getFileStatus(cp).getModificationTime >
           claimLeaseMs)
-      fs.delete(cp, false): Unit
+      FsMaint.breakStale(fs, cp, java.util.UUID.randomUUID().toString.take(8))
     commitInterleaveForTest()
     if (!claimId(fs, table, next))
       refuse(s"snapshot-$next is already claimed by a concurrent writer")
@@ -477,15 +477,19 @@ object Manifest {
     }
     // Hygiene: claims whose snapshot committed are garbage immediately
     // (writers targeting that id see the DIR first and never reach the
-    // claim); orphan tmp dirs only past the lease — a younger tmp may be a
-    // LIVE concurrent writer still staging its content.
+    // claim); orphan tmp dirs and break-tombstones (a healer that crashed
+    // between rename and delete) only past the lease — a younger tmp may
+    // be a LIVE concurrent writer still staging its content.
     fs.listStatus(new Path(root(table))).foreach { s =>
       val n = s.getPath.getName
+      val aged =
+        System.currentTimeMillis() - s.getModificationTime > claimLeaseMs
       if (n.endsWith(".claim") &&
           fs.exists(new Path(root(table), n.stripSuffix(".claim"))))
         fs.delete(s.getPath, false): Unit
-      else if (n.endsWith("__tmp") &&
-          System.currentTimeMillis() - s.getModificationTime > claimLeaseMs)
+      else if (n.contains(".claim.broken-") && aged)
+        fs.delete(s.getPath, false): Unit
+      else if (n.endsWith("__tmp") && aged)
         FsMaint.deleteRecursively(fs, s.getPath)
     }
     next
@@ -1182,20 +1186,28 @@ object Manifest {
     if (ids.isEmpty)
       return Seq.empty[(Int, Long, Long, java.sql.Timestamp, String)]
         .toDF("snapshot", "n_files", "n_rows", "committed_at", "key_cols")
+    // Greedy `.*` pins the LAST snapshot-<n> path segment: a table whose
+    // own directory name happens to contain "snapshot-<digits>" must not
+    // swallow every file into one bogus group.
     val perId = spark.read
       .schema(StructType(Seq(StructField("file", StringType),
         StructField("n_rows", LongType))))
       .parquet(ids.map(id => s"${root(table)}/snapshot-$id"): _*)
       .withColumn("snapshot",
-        regexp_extract(input_file_name(), "snapshot-(\\d+)", 1).cast("int"))
+        regexp_extract(input_file_name(), ".*/snapshot-(\\d+)/", 1).cast("int"))
       .groupBy("snapshot")
       .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val rows = ids.map { id =>
-      val (nf, nr) = perId(id)
-      val mtime = new java.sql.Timestamp(fs.getFileStatus(
-        new Path(s"${root(table)}/snapshot-$id")).getModificationTime)
-      (id, nf, nr, mtime, keyColsOf(spark, table, id).mkString(","))
+      // A snapshot CAN be empty (a COW delete that doomed every row):
+      // report 0/0, never crash the history view.
+      val (nf, nr) = perId.getOrElse(id, (0L, 0L))
+      val dir = s"${root(table)}/snapshot-$id"
+      val mtime = new java.sql.Timestamp(
+        fs.getFileStatus(new Path(dir)).getModificationTime)
+      val kc = spark.read.parquet(dir).schema.fieldNames.toSeq
+        .collect { case f if f.startsWith("min_") => f.drop(4) }
+      (id, nf, nr, mtime, kc.mkString(","))
     }
     rows.toDF("snapshot", "n_files", "n_rows", "committed_at", "key_cols")
   }
@@ -1312,15 +1324,8 @@ object Manifest {
         .parquet(ids.map(id => s"${root(table)}/snapshot-$id"): _*)
         .collect().map(r => relativeTo(table, decodePath(r.getString(0)))).toSet
     var n = 0
-    val tRoot = t.toUri.getPath.stripSuffix("/")
-    val it = fs.listFiles(t, true)
-    val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile &&
-          !referenced(f.getPath.toUri.getPath.stripPrefix(tRoot + "/")))
-        doomed += f.getPath
-    }
+    val doomed = FsMaint.listRelative(fs, t)(_ => true)
+      .collect { case (rel, st) if !referenced(rel) => st.getPath }
     doomed.foreach { p => if (fs.delete(p, false)) n += 1 }
     // Partition subdirs emptied by the reclaim are metadata debt — sweep.
     fs.listStatus(t).foreach { st =>

@@ -643,7 +643,7 @@ final class SyncEngine(master: TableStore, slave: TableStore,
           "directory for this table (TableStore.tablePath) — manifest-driven " +
           "incremental sync needs a file-backed master")))
 
-  def syncAppendOnlyIncremental(table: String, masterPath: String): SyncAction = {
+  def syncAppendOnlyIncremental(table: String, masterPath: String): SyncAction = try {
     require(config.maintainFingerprints,
       s"syncAppendOnlyIncremental($table) requires maintainFingerprints mode")
     keyColsOf(table).getOrElse(throw new IllegalArgumentException(
@@ -703,6 +703,13 @@ final class SyncEngine(master: TableStore, slave: TableStore,
         }
       case _ => fullCycle()
     }
+  } catch {
+    // A concurrent COW mutation / compaction refused this cycle's snapshot
+    // commit (typed). The recurring loop's correct response is to SKIP —
+    // nothing was applied or checkpointed, the next cycle retries against
+    // the settled state.
+    case e: graft.ops.Manifest.ConcurrentCommitException =>
+      record(Skip(table, s"concurrent commit refused — retry next cycle: ${e.getMessage}"))
   }
 
   /** Store-derived form of [[syncViaChangeFeed(table:String,masterPath:String)*]]. */
@@ -738,7 +745,7 @@ final class SyncEngine(master: TableStore, slave: TableStore,
     * retained-history debt — opt-in because it mutates the MASTER's
     * history, which other time-travel/CDF readers may rely on.
     */
-  def syncViaChangeFeed(table: String, masterPath: String): SyncAction = {
+  def syncViaChangeFeed(table: String, masterPath: String): SyncAction = try {
     require(config.maintainFingerprints,
       s"syncViaChangeFeed($table) requires maintainFingerprints mode")
     val keys = keyColsOf(table).getOrElse(throw new IllegalArgumentException(
@@ -796,6 +803,12 @@ final class SyncEngine(master: TableStore, slave: TableStore,
         }
       case _ => fullCycle()
     }
+  } catch {
+    // Same skip-not-crash posture as syncAppendOnlyIncremental: a
+    // concurrent COW/compaction refused this cycle's snapshot commit —
+    // nothing was applied or checkpointed; the next cycle retries.
+    case e: graft.ops.Manifest.ConcurrentCommitException =>
+      record(Skip(table, s"concurrent commit refused — retry next cycle: ${e.getMessage}"))
   }
 
   /** Audit escape hatch for the sole-writer assumption: recompute the slave

@@ -122,6 +122,13 @@ class ConcurrencySpec extends SparkSpec {
         Layout.deleteRange(spark, stage, "doc_id", 400L, 499L)
       }
       assert(eb.getMessage.contains("commit lock"))
+      // A lock-free manifest committer is refused too: a snapshot built
+      // from a listing inside the open swap window could publish a state
+      // that never existed — and steal the id the in-flight COW expects.
+      val ec = intercept[Manifest.ConcurrentCommitException] {
+        Manifest.create(spark, stage, "doc_id")
+      }
+      assert(ec.getMessage.contains("swap window"))
     } finally {
       release.countDown()
       Manifest.commitInterleaveForTest = () => ()

@@ -377,6 +377,48 @@ class LayoutSpec extends SparkSpec {
     assert(graft.ops.Manifest.isComplete(spark, a))
   }
 
+  test("heal's trash carry merges k=v subdirectories (partitioned history survives a flat-COW heal)") {
+    // Live table already holding partitioned retained history, plus a
+    // set-aside dir (a crashed flat COW) with MORE partitioned history:
+    // the heal's merge branch must carry the k=v files by RELATIVE path —
+    // a top-level-files-only merge would silently drop them before the
+    // old dir is deleted.
+    val a = stageDocs("layout_trash_merge", 4)
+    graft.ops.Manifest.create(spark, a, "doc_id")
+    val fs = new Path(a).getFileSystem(spark.sessionState.newHadoopConf())
+    def plant(dir: String, rel: String): Unit = {
+      val p = new Path(s"$dir/$rel")
+      fs.mkdirs(p.getParent)
+      val o = fs.create(p, true); o.write("x".getBytes); o.close()
+    }
+    plant(a, "_graft_trash/lang=l2/part-live.parquet")
+    fs.mkdirs(new Path(a + "__delold"))
+    plant(a + "__delold", "_graft_trash/lang=l1/part-old.parquet")
+    val j = fs.create(new Path(a + "__deleting"), true)
+    j.write("part-none.parquet".getBytes); j.close()
+    Layout.recoverDelete(spark, a)
+    assert(fs.exists(new Path(s"$a/_graft_trash/lang=l1/part-old.parquet")),
+      "k=v trash must survive the merge carry")
+    assert(fs.exists(new Path(s"$a/_graft_trash/lang=l2/part-live.parquet")))
+    assert(!fs.exists(new Path(a + "__delold")) && !fs.exists(new Path(a + "__deleting")))
+  }
+
+  test("deleting every row leaves a consistent empty snapshot; history reports 0/0") {
+    val stage = stageDocs("layout_del_all", 4)
+    graft.ops.Manifest.create(spark, stage, "doc_id")
+    val total = spark.read.parquet(stage).count()
+    val r = Layout.deleteRange(spark, stage, "doc_id", Long.MinValue, Long.MaxValue)
+    assert(r.rowsDeleted == total && r.filesRewritten == r.filesTotal)
+    val h = graft.ops.Manifest.history(spark, stage)
+      .orderBy("snapshot").collect()
+    assert(h.length == 2)
+    assert(h.last.getLong(1) == 0L && h.last.getLong(2) == 0L,
+      s"emptied snapshot must report 0 files / 0 rows, got ${h.last}")
+    // The pre-delete snapshot still reads exactly, through the trash.
+    assert(graft.ops.Manifest.readAsOf(spark, stage, h.head.getInt(0))
+      .count() == total)
+  }
+
   test("recoverDelete: both crash windows restore or complete, bit for bit") {
     val fsFor = (p: String) =>
       new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
