@@ -93,14 +93,54 @@ private[graft] object FsMaint {
     out.toSeq
   }
 
-  /** Heal an interrupted [[swapIn]] for `path` (see the swap contract). */
+  /** Heal an interrupted [[swapIn]] for `path` (see the swap contract).
+    * The old-next-to-LIVE-store branch (crash between the second rename and
+    * the final delete) FORWARD-COMPLETES the interrupted swap instead of
+    * discarding `__old`: the carry-over metadata (`_graft_manifest`,
+    * `_graft_trash`) is moved/merged into the live store if the crash
+    * preceded the carry, and — when the live store has snapshot history
+    * that may reference them — the replaced data files are salvaged into
+    * the retained trash rather than deleted (a crash mid-retention would
+    * otherwise silently discard files whose snapshots remain "retained",
+    * leaving readability diverged from retention reporting). Stores with
+    * no manifest (dedup-index state dirs) keep the old delete-only
+    * behavior: nothing can ever read their history.
+    */
   def recoverSwap(fs: FileSystem, path: String): Unit = {
     val dir = new Path(path)
     val old = new Path(path + "__old")
     if (fs.exists(old) && !fs.exists(dir)) {
       if (!fs.rename(old, dir))
         throw new java.io.IOException(s"failed to restore $path from interrupted swap")
-    } else if (fs.exists(old)) deleteRecursively(fs, old)
+    } else if (fs.exists(old)) {
+      // Forward-complete the carry: metadata still inside __old means the
+      // crash hit between the swap and swapIn's carry loop.
+      Seq("_graft_manifest", "_graft_trash").foreach { name =>
+        val src = new Path(old, name)
+        val dst = new Path(dir, name)
+        if (fs.exists(src)) {
+          if (!fs.exists(dst)) { fs.rename(src, dst): Unit }
+          else listRelative(fs, src)(_ => true).foreach { case (rel, st) =>
+            val d = new Path(dst, rel)
+            fs.mkdirs(d.getParent)
+            if (!fs.exists(d)) { fs.rename(st.getPath, d): Unit }
+          }
+        }
+      }
+      // Salvage replaced originals into the trash when snapshot history
+      // exists to reference them (idempotent: skip-if-exists).
+      if (fs.exists(new Path(dir, "_graft_manifest"))) {
+        val trash = new Path(dir, "_graft_trash")
+        listRelative(fs, old)(f =>
+          f.getPath.getName.startsWith("part-") && f.getLen > 0 &&
+            !underHiddenDir(old, f.getPath)).foreach { case (rel, st) =>
+          val d = new Path(trash, rel)
+          fs.mkdirs(d.getParent)
+          if (!fs.exists(d)) { fs.rename(st.getPath, d): Unit }
+        }
+      }
+      deleteRecursively(fs, old)
+    }
     val tmp = new Path(path + "__compacting")
     if (fs.exists(tmp)) deleteRecursively(fs, tmp)
   }
@@ -147,13 +187,18 @@ private[graft] object FsMaint {
       val files = listRelative(fs, old)(f =>
         f.getPath.getName.startsWith("part-") && f.getLen > 0 &&
           !underHiddenDir(old, f.getPath))
-      val collisionFree = files.forall { case (rel, _) =>
-        !fs.exists(new Path(trash, rel)) }
+      // Batched metadata ops: ONE trash listing decides every collision
+      // (instead of a per-file exists RPC), and parent dirs are created
+      // once per distinct parent (instead of a per-file mkdirs) — the
+      // retention pass costs one rename per replaced file plus O(dirs)
+      // overhead, not 3 RPCs per file.
+      val existing = listRelative(fs, trash)(_ => true).map(_._1).toSet
+      val collisionFree = files.forall { case (rel, _) => !existing(rel) }
       if (collisionFree && files.nonEmpty) {
+        files.map { case (rel, _) => new Path(trash, rel).getParent }
+          .distinct.foreach(fs.mkdirs(_): Unit)
         files.foreach { case (rel, st) =>
-          val dst = new Path(trash, rel)
-          fs.mkdirs(dst.getParent)
-          if (!fs.rename(st.getPath, dst))
+          if (!fs.rename(st.getPath, new Path(trash, rel)))
             throw new java.io.IOException(s"swap: failed to retain $rel")
         }
       }

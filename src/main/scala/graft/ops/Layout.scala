@@ -423,6 +423,31 @@ object Layout {
     partitionColsFromRel(
       Manifest.relativeTo(path, Manifest.decodePath(picked.head)))
 
+  /** Partition columns recovered from the table's DIRECTORY layout (the
+    * first `k=v/` chain found walking down) — the fallback when the latest
+    * snapshot holds no file rows to derive them from (a COW delete that
+    * doomed every row leaves an empty but still-partitioned table; an
+    * insert into it is legitimate and must not crash untyped).
+    */
+  private def partitionColsFromDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                    path: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = new Path(path)
+    var descend = true
+    while (descend) {
+      descend = false
+      val sub = fs.listStatus(cur).find(s =>
+        s.isDirectory && s.getPath.getName.contains("=") &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      sub.foreach { s =>
+        out += s.getPath.getName.takeWhile(_ != '=')
+        cur = s.getPath
+        descend = true
+      }
+    }
+    out.toSeq
+  }
+
   /** Table-relative paths of the staged hive-layout survivor files. */
   private def stagedRels(fs: org.apache.hadoop.fs.FileSystem,
                          stage: String): IndexedSeq[String] =
@@ -599,11 +624,18 @@ object Layout {
     if (!fs.exists(tOld)) return
     val tNew = new Path(path, "_graft_trash")
     if (!fs.exists(tNew)) { fs.rename(tOld, tNew): Unit }
-    else FsMaint.listRelative(fs, tOld)(_ => true).foreach { case (rel, st) =>
-      val dst = new Path(tNew, rel)
-      fs.mkdirs(dst.getParent)
-      if (!fs.exists(dst) && !fs.rename(st.getPath, dst))
-        throw new java.io.IOException(s"cow commit: failed to carry trash $rel")
+    else {
+      // Batched merge: one destination listing decides skip-if-exists (not
+      // a per-file exists RPC); parents created once per distinct parent.
+      val moved = FsMaint.listRelative(fs, tOld)(_ => true)
+      val existing = FsMaint.listRelative(fs, tNew)(_ => true).map(_._1).toSet
+      val fresh = moved.filterNot { case (rel, _) => existing(rel) }
+      fresh.map { case (rel, _) => new Path(tNew, rel).getParent }
+        .distinct.foreach(fs.mkdirs(_): Unit)
+      fresh.foreach { case (rel, st) =>
+        if (!fs.rename(st.getPath, new Path(tNew, rel)))
+          throw new java.io.IOException(s"cow commit: failed to carry trash $rel")
+      }
     }
   }
 
@@ -683,8 +715,12 @@ object Layout {
       // (routed into partition dirs for a hive layout), snapshot refreshed
       // incrementally (only the appended files scanned)
       if (partitioned) {
-        val pCols = partitionColsFromRel(Manifest.relativeTo(path,
-          Manifest.decodePath(f.select("file").head().getString(0))))
+        // headOption: the latest snapshot may hold ZERO file rows (a prior
+        // COW delete doomed every row) — fall back to the directory layout.
+        val pCols = f.select("file").limit(1).collect().headOption
+          .map(r => partitionColsFromRel(Manifest.relativeTo(path,
+            Manifest.decodePath(r.getString(0)))))
+          .getOrElse(partitionColsFromDirs(fs, path))
         delta.write.mode("append").partitionBy(pCols: _*).parquet(path)
       } else delta.write.mode("append").parquet(path)
       Manifest.createIncremental(spark, path, keys: _*)
@@ -711,6 +747,42 @@ object Layout {
     }
   }
 
+  /** APPEND `data` to a manifested table — the engine-side `INSERT INTO`:
+    * rows land as ordinary appended files (routed into `k=v/` dirs for a
+    * hive layout, with partition columns recovered like [[mergeKeyed]]'s
+    * pure-insert path), then the snapshot is refreshed INCREMENTALLY (only
+    * the appended files are scanned — cost ∝ the insert, never the table).
+    * Serialized against COW/rewrite swaps by the table lock: an append
+    * racing a swap window could land rows in a dir mid-rename. Returns the
+    * rows appended. Additive schema evolution applies (new nullable columns
+    * fold into the recorded schema; a type change fails typed BEFORE the
+    * snapshot commits).
+    */
+  def append(spark: SparkSession, path: String,
+             data: org.apache.spark.sql.DataFrame): Long = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    FsMaint.withTableLock(fs, path) {
+      healDelete(spark, path)
+      FsMaint.recoverSwap(fs, path)
+      val keys = Manifest.currentKeyCols(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"append($path) needs a manifest snapshot (Manifest.create) — " +
+            "the incremental refresh is keyed on its stats columns"))
+      val n = data.count()
+      if (n == 0) return 0L
+      if (isHivePartitioned(fs, path)) {
+        val f = Manifest.files(spark, path)
+        val pCols = f.select("file").limit(1).collect().headOption
+          .map(r => partitionColsFromRel(Manifest.relativeTo(path,
+            Manifest.decodePath(r.getString(0)))))
+          .getOrElse(partitionColsFromDirs(fs, path))
+        data.write.mode("append").partitionBy(pCols: _*).parquet(path)
+      } else data.write.mode("append").parquet(path)
+      Manifest.createIncremental(spark, path, keys: _*)
+      n
+    }
+  }
+
   /** Heal an interrupted [[deleteRange]] (see its commit sequence). With no
     * committed journal nothing irreversible happened — stray staging is
     * discarded. With a journal: a LIVE table means the commit reached step
@@ -725,11 +797,16 @@ object Layout {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     // Healing an IN-FLIGHT commit would roll a live writer back mid-swap:
     // a live (within-lease) table lock means the owner is responsible for
-    // its own journal — nothing to heal here. An expired lock is a crashed
-    // holder: break it and heal.
+    // its own journal — nothing to heal here. Otherwise heal UNDER the lock
+    // ([[FsMaint.withTableLock]] atomically breaks an expired holder's lock
+    // via the tombstone rename and CAS-acquires): a plain delete of the
+    // expired lock could land AFTER a concurrent writer re-acquired it,
+    // silently unlocking that live writer and racing this heal against its
+    // in-flight journal/moves. Losing the acquisition race is a no-op — the
+    // live owner heals its own journal inside its own lock.
     if (FsMaint.liveTableLock(fs, path)) return
-    fs.delete(FsMaint.tableLockPath(path), false): Unit
-    healDelete(spark, path)
+    try FsMaint.withTableLock(fs, path) { healDelete(spark, path) }
+    catch { case _: Manifest.ConcurrentCommitException => () }
   }
 
   /** The journal heal itself — callers must hold (or have excluded) the

@@ -471,6 +471,17 @@ object Manifest {
       refuse(s"snapshot-$next was committed by a concurrent writer while " +
         "this writer claimed it")
     }
+    // Record the commit instant EXPLICITLY (a marker inside the staged dir,
+    // atomic with the publish rename): the snapshot dir's mtime is the
+    // STAGING-completion time — rename does not update it, and mtime
+    // semantics vary across object-store connectors — so TIMESTAMP AS OF
+    // keyed on mtime could resolve to a snapshot not yet visible at the
+    // queried wall-clock moment. Written microseconds before the rename, so
+    // marker time <= visibility time always holds.
+    val at = fs.create(new Path(tmp, CommittedAtName), true)
+    try at.write(System.currentTimeMillis().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally at.close()
     if (!fs.rename(new Path(tmp), new Path(dest))) {
       fs.delete(cp, false)
       throw new java.io.IOException(s"manifest commit failed: $dest")
@@ -493,6 +504,25 @@ object Manifest {
         FsMaint.deleteRecursively(fs, s.getPath)
     }
     next
+  }
+
+  private val CommittedAtName = "_committed_at"
+
+  /** The PUBLISH instant of snapshot `id` (epoch millis): the explicit
+    * `_committed_at` marker written just before the publish rename, falling
+    * back to the snapshot dir's mtime for snapshots that predate the marker
+    * (where mtime = staging time, the best evidence available).
+    */
+  private[ops] def commitTimeOf(fs: org.apache.hadoop.fs.FileSystem,
+                                table: String, id: Int): Long = {
+    val dir = new Path(s"${root(table)}/snapshot-$id")
+    val marker = new Path(dir, CommittedAtName)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    } else fs.getFileStatus(dir).getModificationTime
   }
 
   /** The schema recorded with snapshot `id` — None for snapshots that
@@ -1173,8 +1203,8 @@ object Manifest {
     */
   /** Snapshot HISTORY — the `DESCRIBE HISTORY` analog: one row per
     * retained snapshot (id asc) with its file count, row count, commit
-    * time (the snapshot dir's filesystem mtime — commits are a rename, so
-    * the mtime IS the publish instant), and stats-covered key columns.
+    * time (the explicit `_committed_at` marker, [[commitTimeOf]]), and
+    * stats-covered key columns.
     * ONE metadata-sized job over the snapshot parquet (pinned to the two
     * columns every snapshot shares — stat/bloom columns vary); rows ∝
     * retained snapshots.
@@ -1203,8 +1233,7 @@ object Manifest {
       // report 0/0, never crash the history view.
       val (nf, nr) = perId.getOrElse(id, (0L, 0L))
       val dir = s"${root(table)}/snapshot-$id"
-      val mtime = new java.sql.Timestamp(
-        fs.getFileStatus(new Path(dir)).getModificationTime)
+      val mtime = new java.sql.Timestamp(commitTimeOf(fs, table, id))
       val kc = spark.read.parquet(dir).schema.fieldNames.toSeq
         .collect { case f if f.startsWith("min_") => f.drop(4) }
       (id, nf, nr, mtime, kc.mkString(","))
@@ -1213,7 +1242,7 @@ object Manifest {
   }
 
   /** The newest snapshot COMMITTED at or before `epochMs` — commit time =
-    * the snapshot dir's mtime (the publish rename's instant, the identity
+    * the explicit publish-instant marker ([[commitTimeOf]], the identity
     * [[history]] reports). None when every retained snapshot is newer.
     * Backs the catalog's `TIMESTAMP AS OF`.
     */
@@ -1221,8 +1250,7 @@ object Manifest {
                          epochMs: Long): Option[Int] = {
     val fs = fsOf(spark, table)
     snapshotIds(spark, table)
-      .filter(id => fs.getFileStatus(
-        new Path(s"${root(table)}/snapshot-$id")).getModificationTime <= epochMs)
+      .filter(id => commitTimeOf(fs, table, id) <= epochMs)
       .sorted.lastOption
   }
 

@@ -59,8 +59,14 @@ final class GraftCatalog extends TableCatalog {
     // files carry the same k=v identity as live ones once the trash
     // segment is stripped — Spark's own directory inference would reject
     // the two roots as conflicting).
-    new GraftParquetTable(s"$catalogName.$path@v$id", spark,
-      CaseInsensitiveStringMap.empty(), files.toIndexedSeq, path, schema)
+    if (version.isEmpty)
+      // The LATEST view is writable: INSERT INTO / DELETE FROM (and MERGE
+      // INTO via the extension rule) route to the engine's COW machinery.
+      new GraftMutableTable(s"$catalogName.$path@v$id", spark,
+        files.toIndexedSeq, path, schema)
+    else
+      new GraftParquetTable(s"$catalogName.$path@v$id", spark,
+        CaseInsensitiveStringMap.empty(), files.toIndexedSeq, path, schema)
   }
 
   override def loadTable(ident: Identifier): Table = tableFor(ident, None)
@@ -75,10 +81,10 @@ final class GraftCatalog extends TableCatalog {
       }))
 
   /** `TIMESTAMP AS OF <t>` — resolved against each snapshot's PUBLISH
-    * instant (the commit is one rename, so the snapshot dir's mtime IS the
-    * commit time, the same identity [[Manifest.history]] reports): the
-    * newest snapshot committed at or before `t`. The analyzer hands micros
-    * since epoch.
+    * instant (the explicit `_committed_at` marker each commit writes just
+    * before its publish rename — the same identity [[Manifest.history]]
+    * reports): the newest snapshot committed at or before `t`. The
+    * analyzer hands micros since epoch.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val spark = SparkSession.active
@@ -95,8 +101,19 @@ final class GraftCatalog extends TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // paths are the namespace; there is nothing to enumerate
 
+  /** Only the TYPED not-a-table signals mean "does not exist"
+    * (IllegalArgumentException: multi-part identifier or no manifest
+    * snapshot; IllegalStateException: stale/absent manifest state). A
+    * transient IO or permission failure PROPAGATES — reporting it as
+    * "table does not exist" would route callers (e.g. INSERT-path existence
+    * checks) down the wrong branch on infrastructure errors.
+    */
   override def tableExists(ident: Identifier): Boolean =
-    try { loadTable(ident); true } catch { case _: Exception => false }
+    try { loadTable(ident); true }
+    catch {
+      case _: IllegalArgumentException => false
+      case _: IllegalStateException => false
+    }
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(

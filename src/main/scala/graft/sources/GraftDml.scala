@@ -1,0 +1,139 @@
+package graft.sources
+
+import graft.ops.{Layout, Manifest}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, TableCapability}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Shared normalization of SQL filter VALUES into the long domain the
+  * manifest's stats live in (the [[graft.ops.Manifest]] statCol convention):
+  * integrals as-is, timestamps to epoch micros, dates to epoch days. None =
+  * not range-translatable — file-level targeting must not use the value.
+  */
+private[sources] object StatDomain {
+  def toLong(v: Any): Option[Long] = v match {
+    case n: java.lang.Byte => Some(n.longValue)
+    case n: java.lang.Short => Some(n.longValue)
+    case n: java.lang.Integer => Some(n.longValue)
+    case n: java.lang.Long => Some(n.longValue)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+    case t: java.time.Instant =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+}
+
+/** The WRITABLE SQL surface of a `graft.`-catalog table (latest snapshot
+  * only — version-pinned loads stay read-only views): routes engine-executed
+  * statements to the SAME journaled COW machinery the Scala API uses, so a
+  * user reaches every write path from SQL, matching the reference's
+  * statement-executed delete/upsert surface (TableConnection.php:367-387,
+  * Synchronizer.php:496-507):
+  *
+  *   - `INSERT INTO graft.`/t` ...`  → [[Layout.append]] (appended files +
+  *     incremental snapshot, cost ∝ the insert)
+  *   - `DELETE FROM graft.`/t` WHERE <range on a stats key>` →
+  *     [[Layout.deleteRange]] (manifest-targeted COW — untouched files are
+  *     carried by metadata rename, never decoded or planned)
+  *   - `MERGE INTO graft.`/t`` → [[Layout.mergeKeyed]] via the extension
+  *     rule ([[GraftSparkExtensions]])
+  *
+  * DELETE translation contract: every conjunct must constrain ONE
+  * stats-covered key column to a contiguous range (the shape the manifest
+  * can target). Anything else is refused at `canDeleteWhere`, so Spark
+  * fails the statement TYPED before anything runs — a silent fallback to a
+  * full-table rewrite would hide an O(table) cost behind a WHERE clause.
+  */
+final class GraftMutableTable(
+    tableName: String, spark: SparkSession,
+    files: Seq[String], tableRoot: String,
+    userSchema: Option[StructType])
+  extends GraftParquetTable(tableName, spark, CaseInsensitiveStringMap.empty(),
+    files, tableRoot, userSchema)
+  with SupportsDelete {
+
+  import scala.jdk.CollectionConverters._
+
+  // NOT FileTable's default set: ACCEPT_ANY_SCHEMA would skip the
+  // analyzer's schema alignment on INSERT, and plain BATCH_WRITE would
+  // route around the V1 InsertableRelation below.
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava
+
+  /** Stats-covered key columns of the LATEST snapshot — the columns a
+    * DELETE's WHERE can be targeted on.
+    */
+  private def statKeys: Seq[String] =
+    Manifest.currentKeyCols(spark, tableRoot).getOrElse(Nil)
+
+  /** The (keyCol, lo, hi) box implied by the pushed conjuncts, or None when
+    * the filters are not a single-key contiguous range. Bounds are
+    * intersected; strict bounds tighten by one unit of the normalized long
+    * domain (micros for timestamps, days for dates — exact, since stats
+    * live at that granularity).
+    */
+  private def rangeOf(filters: Array[Filter]): Option[(String, Long, Long)] = {
+    val keys = statKeys.toSet
+    var col: Option[String] = None
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def constrain(c: String, l: Long, h: Long): Boolean = {
+      if (!keys(c) || col.exists(_ != c)) return false
+      col = Some(c); lo = math.max(lo, l); hi = math.min(hi, h); true
+    }
+    def walk(f: Filter): Boolean = f match {
+      case EqualTo(a, v) => StatDomain.toLong(v).exists(x => constrain(a, x, x))
+      case GreaterThan(a, v) => StatDomain.toLong(v).exists(x =>
+        x < Long.MaxValue && constrain(a, x + 1, Long.MaxValue))
+      case GreaterThanOrEqual(a, v) =>
+        StatDomain.toLong(v).exists(x => constrain(a, x, Long.MaxValue))
+      case LessThan(a, v) => StatDomain.toLong(v).exists(x =>
+        x > Long.MinValue && constrain(a, Long.MinValue, x - 1))
+      case LessThanOrEqual(a, v) =>
+        StatDomain.toLong(v).exists(x => constrain(a, Long.MinValue, x))
+      case And(l, r) => walk(l) && walk(r)
+      // A range predicate never matches NULL keys, so the residual
+      // IsNotNull Spark may conjoin is already implied.
+      case IsNotNull(a) => keys(a) && (col.isEmpty || col.contains(a))
+      case _ => false
+    }
+    if (filters.nonEmpty && filters.forall(walk) && col.isDefined)
+      Some((col.get, lo, hi))
+    else None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    rangeOf(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (keyCol, lo, hi) = rangeOf(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft DELETE on $tableRoot supports a contiguous range on ONE " +
+          s"stats-covered key column (${statKeys.mkString(", ")}) — the shape " +
+          "the manifest targets without planning untouched files; got: " +
+          filters.mkString(", ")))
+    Layout.deleteRange(spark, tableRoot, keyCol, lo, hi): Unit
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                overwrite: Boolean): Unit = {
+              if (overwrite) throw new UnsupportedOperationException(
+                s"graft INSERT OVERWRITE on $tableRoot is not supported — " +
+                  "use DELETE FROM + INSERT INTO (each a targeted COW commit)")
+              Layout.append(spark, tableRoot, data): Unit
+            }
+          }
+      }
+    }
+}

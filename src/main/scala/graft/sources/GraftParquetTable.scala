@@ -28,9 +28,9 @@ import scala.jdk.CollectionConverters._
   * filter/column pushdown); the explicit file list means newer appends or
   * COW rewrites never leak into a pinned snapshot.
   */
-final class GraftParquetTable(
+class GraftParquetTable(
     tableName: String, spark: SparkSession, opts: CaseInsensitiveStringMap,
-    files: Seq[String], tableRoot: String,
+    files: Seq[String], val tableRoot: String,
     userSchema: Option[StructType])
   extends FileTable(spark, opts, files, userSchema) {
 

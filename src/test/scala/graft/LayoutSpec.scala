@@ -462,4 +462,56 @@ class LayoutSpec extends SparkSpec {
     assert(fp(b) == fpB, "heal must restore the exact pre-delete table")
     assert(!fsB.exists(new Path(b + "__delold")) && !fsB.exists(new Path(b + "__deleting")))
   }
+
+  test("recoverSwap forward-completes a crash mid-retention: replaced originals salvaged, history stays readable") {
+    // Simulate the exact window FsMaint.swapIn leaves when a rewrite crashes
+    // AFTER the second rename but BEFORE the carry/retention: the live store
+    // holds the rewritten data only; __old still holds the originals AND the
+    // carried-over metadata (_graft_manifest). recoverSwap must carry the
+    // manifest, salvage the replaced part- files into the trash, and leave
+    // the pre-rewrite snapshot time-travel-readable — not silently discard
+    // the files its snapshot still references.
+    val stage = stageDocs("layout_salvage", 4)
+    val preId = graft.ops.Manifest.create(spark, stage, "doc_id")
+    val preFp = fp(stage)
+    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    // Stage the rewrite, then reproduce swapIn's two renames by hand and
+    // "crash" before the carry loop.
+    val tmp = stage + "__rewrite_sim"
+    spark.read.parquet(stage).repartition(1).write.parquet(tmp)
+    assert(fs.rename(new Path(stage), new Path(stage + "__old")))
+    assert(fs.rename(new Path(tmp), new Path(stage)))
+    FsMaint.recoverSwap(fs, stage)
+    assert(!fs.exists(new Path(stage + "__old")))
+    // Manifest carried; pre-rewrite snapshot resolves through the salvaged trash.
+    assert(fs.exists(new Path(stage, "_graft_manifest")))
+    val asOf = graft.ops.Manifest.readAsOf(spark, stage, preId)
+    assert(Hashing.multisetFingerprintAgg(asOf, docCols).head().getString(0) == preFp,
+      "salvaged history must read back exactly")
+    // Live store content is the rewrite, still the same multiset.
+    assert(fp(stage) == preFp)
+  }
+
+  test("mergeKeyed pure insert into an EMPTIED partitioned table (snapshot has zero file rows)") {
+    val stage = stagePartitionedDisjoint("layout_part_empty_insert")
+    graft.ops.Manifest.create(spark, stage, "doc_id")
+    // COW-delete EVERY row: the latest snapshot then holds no file rows,
+    // but the table stays hive-partitioned (k=v dirs / trash layout remain).
+    val r = Layout.deleteRange(spark, stage, "doc_id", 0L, 10000000L)
+    assert(r.rowsDeleted == 2000L)
+    // (Direct parquet reads cannot infer a schema from a zero-file table;
+    // the manifest read path carries the recorded schema.)
+    val emptied = graft.ops.Manifest.readAsOf(spark, stage,
+      graft.ops.Manifest.latestSnapshotId(spark, stage).get)
+    assert(emptied.count() == 0L)
+    import spark.implicits._
+    val m = Layout.mergeKeyed(spark, stage, "doc_id",
+      Seq((42L, "reborn", "l0")).toDF("doc_id", "payload", "lang"))
+    assert(m.rowsInserted == 1L && m.filesRewritten == 0)
+    val after = spark.read.parquet(stage)
+    assert(after.count() == 1L)
+    assert(after.select("lang").head().getString(0) == "l0",
+      "partition column must be recovered from the directory layout")
+    assert(graft.ops.Manifest.isComplete(spark, stage))
+  }
 }

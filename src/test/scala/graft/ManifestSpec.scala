@@ -735,4 +735,29 @@ class ManifestSpec extends SparkSpec {
     assert(nRead == 1 && nTotal == 4)
     assert(rows.count() == 11L)
   }
+
+  test("commit instants are explicit markers, not directory mtimes (TIMESTAMP AS OF is rename-safe)") {
+    val stage = tmpDir("manifest_commit_at") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet").repartition(2).write.parquet(stage)
+    val before = System.currentTimeMillis() - 1
+    val id = Manifest.create(spark, stage, "doc_id")
+    val after = System.currentTimeMillis() + 1
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val snapDir = new org.apache.hadoop.fs.Path(
+      s"$stage/_graft_manifest/snapshot-$id")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(snapDir, "_committed_at")),
+      "every commit records its publish instant explicitly")
+    // Corrupt the mtime signal the old implementation keyed on: push the
+    // snapshot DIR's mtime into the future — resolution must not move.
+    fs.setTimes(snapDir, System.currentTimeMillis() + 3600L * 1000, -1)
+    assert(Manifest.snapshotIdAsOfTime(spark, stage, after).contains(id))
+    assert(Manifest.snapshotIdAsOfTime(spark, stage, before).isEmpty,
+      "a snapshot must not be visible before its publish instant")
+    // history() reports the same identity.
+    val t = Manifest.history(spark, stage)
+      .filter(org.apache.spark.sql.functions.col("snapshot") === id)
+      .select("committed_at").head().getTimestamp(0).getTime
+    assert(t >= before && t <= after, s"history commit time $t outside [$before, $after]")
+  }
 }
