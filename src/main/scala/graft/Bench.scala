@@ -88,6 +88,52 @@ object Bench {
       case None => Seq("BENCH_PREV_ROUND.json", "BENCH_LOCAL.json")
     }
 
+  /** Files changed since the last round boundary (newest commit whose
+    * subject matches `round N:`), INCLUDING uncommitted working-tree
+    * changes — the evidence for per-query trigger tightening. None when
+    * git/boundary is unavailable (then no tightening applies).
+    */
+  def roundDiffFiles(): Option[Set[String]] =
+    try {
+      def run(cmd: String*): String = {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (p.waitFor() != 0) throw new RuntimeException(s"${cmd.head} failed")
+        out
+      }
+      val base = run("git", "log", "-E", "--grep=^round [0-9]+:",
+        "--format=%H", "-1").trim
+      if (base.isEmpty) None
+      else Some(
+        run("git", "diff", "--name-only", base, "HEAD").linesIterator
+          .map(_.trim).filter(_.nonEmpty).toSet ++
+        run("git", "status", "--porcelain").linesIterator
+          .map(_.drop(3).trim).filter(_.nonEmpty).toSet)
+    } catch { case _: Throwable => None }
+
+  /** Queries whose code path is provably UNTOUCHED this round — their
+    * defining queries file is absent from the round diff AND no shared
+    * (non-queries) main source changed. These get the TIGHT 1.25× rerun
+    * trigger instead of 2×: an unchanged path drifting 1.3-1.7× is host
+    * noise worth re-measuring, where a changed path's drift may be the
+    * change itself (the 2× band stays for those). Conservative by
+    * construction: any ops/sync/functions/sources change marks EVERY query
+    * as potentially touched.
+    */
+  def tightTriggerQueries(diff: Option[Set[String]],
+                          names: Seq[String]): Set[String] = diff match {
+    case None => Set.empty
+    case Some(d) =>
+      val sharedTouched = d.exists(f => f.startsWith("src/main/") &&
+        !f.startsWith("src/main/scala/graft/queries/"))
+      if (sharedTouched) Set.empty
+      else {
+        val defining = graft.queries.Registry.definingFile
+        names.filterNot(n => defining.get(n).exists(d.contains)).toSet
+      }
+  }
+
   /** Per-query reference bounds, CALIB-NORMALIZED: each artifact's times
     * scale by this run's calibration over its own (max of the two axes —
     * the permissive host attribution, so a slower current host doesn't
@@ -118,6 +164,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     // Dev escape hatch: "k=v;k=v" extra confs for A/B runs (unset in the
     // driver's invocation, so the contract configuration is unchanged).
     // Echoed into the results JSON below, so any non-contract run is
@@ -289,8 +336,14 @@ object Bench {
     // churn) is re-measured under the quiet gate. The ratio is floored so
     // one corrupt calibration sample cannot flag the whole suite.
     val prevAdj: Map[String, Double] = adjustedPrev(prevArts, calibSec, calibScan)
+    // Tightened trigger for provably-unchanged code paths (round-12/13
+    // verdicts' blind band: 1.3-1.7× drifts on untouched queries passed
+    // silently under the uniform 2×). Disclosed in the artifact.
+    val tight = tightTriggerQueries(roundDiffFiles(), ordered.map(_._1))
     val flagged2x = ordered.filter { case (name, _) =>
-      prevAdj.get(name).exists(p => results(name) > 2 * p && results(name) - p > 0.3)
+      val trigger = if (tight(name)) 1.25 else 2.0
+      prevAdj.get(name).exists(p =>
+        results(name) > trigger * p && results(name) - p > 0.3)
     }
     val rerun2x = if (flagged2x.isEmpty) Vector.empty[String] else {
       gateQuiet()
@@ -319,6 +372,7 @@ object Bench {
            .mkString(""","calib_mid":{""", ",", "}")
        else "") +
       s""","calib_attempts":${calibAttempts.map(c => f"$c%.3f").mkString("[", ",", "]")}""" +
+      s""","tight_trigger_count":${tight.size}""" +
       (if (rerunInfo.nonEmpty) s""","rerun_blocks":${rerunInfo.mkString("[", ",", "]")}""" else "") +
       (if (prevArts.nonEmpty)
          s""","prev_refs":${prevArts.map(a => graft.util.JsonUtil.quote(a.path)).mkString("[", ",", "]")}"""
@@ -352,6 +406,7 @@ object Calib {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cold = Bench.calibrate(spark)

@@ -15,8 +15,13 @@ import org.apache.spark.sql.graftshim.ColumnShim
   * `getOrCreate` are silently skipped when a session already exists).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // SQL MERGE INTO on graft.-catalog tables → the engine's keyed COW
+    // upsert (see GraftMergeRule). Analyzer rules only attach at session
+    // build, unlike functions (no live-session fallback exists for them).
+    ext.injectPostHocResolutionRule(spark => graft.sources.GraftMergeRule(spark))
+  }
 }
 
 object GraftExtensions {

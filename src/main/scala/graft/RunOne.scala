@@ -15,6 +15,7 @@ object RunOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     // Dev escape hatch for A/B conf experiments, mirroring Bench.
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
       kv.split("=", 2) match { case Array(k, v) => builder.config(k.trim, v.trim); case _ => () }

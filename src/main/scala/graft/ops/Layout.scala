@@ -375,7 +375,11 @@ object Layout {
       FsMaint.deleteRecursively(fs, new Path(stage))
       val pickedDf = readPickedPinned(spark, path, picked)
       val partCols = partitionColsOf(path, picked)
-      pickedDf.filter(!orderedLong(keyCol, pickedDf).between(lo, hi))
+      // NULL keys are outside every range and must SURVIVE: a bare
+      // NOT(between) evaluates to NULL for them and the filter would
+      // silently delete null-key rows.
+      val k = orderedLong(keyCol, pickedDf)
+      pickedDf.filter(!k.between(lo, hi) || k.isNull)
         .write.partitionBy(partCols: _*).mode("overwrite").parquet(stage)
       val survivorRows = stagedRowCount(spark, fs, stage)
       commitReplacePartitioned(spark, fs, path, picked, stage, keys)
@@ -385,7 +389,9 @@ object Layout {
       val stage = path + "__delnew"
       FsMaint.deleteRecursively(fs, new Path(stage))
       val pickedDf = readPickedPinned(spark, path, picked)
-      pickedDf.filter(!orderedLong(keyCol, pickedDf).between(lo, hi))
+      // NULL keys survive — see the partitioned branch's comment.
+      val k = orderedLong(keyCol, pickedDf)
+      pickedDf.filter(!k.between(lo, hi) || k.isNull)
         .write.mode("overwrite").parquet(stage)
       val survivorRows = stagedRowCount(spark, fs, stage)
       commitReplace(spark, fs, path, picked, stage, keys)

@@ -76,6 +76,32 @@ object Manifest {
   private def root(table: String) = s"$table/_graft_manifest"
   private val SnapRe = "snapshot-(\\d+)".r
 
+  /** Cap on the file paths a single plan may materialize on the driver
+    * (path strings ≈ 100 B each; the default caps driver planning state at
+    * ~1 GB — past that the table needs compaction, not a bigger driver).
+    * Every planning collect goes through [[plannedPaths]], which fails
+    * TYPED at the cap instead of silently ballooning driver memory.
+    * `private[graft] var` so specs exercise the cap without 10M-file
+    * fixtures.
+    */
+  private[graft] var maxPlannedFiles: Int = 10000000
+
+  /** Collect a single-string-column frame of file paths under the
+    * [[maxPlannedFiles]] cap — pruning/filtering stays a distributed job;
+    * only the FINAL path list lands on the driver, and an over-cap plan
+    * fails typed with the recovery (compact) in the message.
+    */
+  private def plannedPaths(df: DataFrame, table: String,
+                           what: String): IndexedSeq[String] = {
+    val rows = df.limit(maxPlannedFiles + 1).collect()
+    if (rows.length > maxPlannedFiles)
+      throw new IllegalStateException(
+        s"$what on $table plans more than $maxPlannedFiles files — the " +
+          "file-count debt has outgrown driver-side planning; compact the " +
+          "table (Layout.compactTable) or raise Manifest.maxPlannedFiles")
+    rows.map(_.getString(0)).toIndexedSeq
+  }
+
   private def fsOf(spark: SparkSession, table: String) =
     new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -548,26 +574,129 @@ object Manifest {
     }
   }
 
-  /** ADDITIVE schema merge: `newer` may append nullable columns; a column
-    * present in both must keep its exact type — type CHANGES fail typed
-    * here (silently coercing would corrupt the pinned read schema for
-    * every old file). This is the evolution contract appends are held to.
+  /** Is `from` → `to` a lossless WIDENING the parquet readers perform at
+    * decode time (SPARK-40876: integral upcasts, float→double)? The set is
+    * deliberately the reader-supported one — admitting anything else would
+    * make every pinned-schema read of old files throw.
     */
-  private[ops] def mergeAdditive(old: StructType, newer: StructType): StructType = {
-    val byName = old.fields.map(f => f.name -> f).toMap
-    newer.fields.foreach { f =>
-      byName.get(f.name).foreach { o =>
-        if (o.dataType != f.dataType)
-          throw new IllegalStateException(
-            s"schema evolution on column `${f.name}` changes its type " +
-              s"(${o.dataType.simpleString} -> ${f.dataType.simpleString}) — only " +
-              "ADDITIVE evolution (new nullable columns) is supported; type " +
-              "changes need a full table rewrite")
+  private[ops] def isWidening(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+
+  /** IN-PLACE schema evolution beyond additive appends: COLUMN DROP and
+    * TYPE WIDENING without a table rewrite — the Delta/Iceberg metadata-only
+    * `ALTER TABLE` shape. Validates every transition against the CURRENT
+    * recorded schema and commits a new snapshot carrying the latest
+    * snapshot's stats rows VERBATIM with the new schema (zero data reads,
+    * zero data writes — pure metadata, one commit):
+    *
+    *   - drop: a recorded column absent from `newSchema`. Old files keep the
+    *     bytes; pinned-schema reads project it away. Dropping a stats KEY
+    *     column is rejected (the snapshot's min/max/bloom stats — and any
+    *     scan residual — are keyed on it).
+    *   - widen: integral upcasts and float→double ([[isWidening]] — exactly
+    *     what the parquet readers decode losslessly from narrow files).
+    *   - add: new columns must be nullable (absent in every existing file).
+    *
+    * Anything else (narrowing, string→int, …) fails typed — nothing
+    * commits. Time travel is unaffected: each snapshot keeps its OWN
+    * recorded schema, so as-of reads before the evolution see the old
+    * shape. Returns the new snapshot id.
+    */
+  def updateSchema(spark: SparkSession, table: String,
+                   newSchema: StructType): Int = {
+    val id = latestId(spark, table).getOrElse(
+      throw new IllegalStateException(s"no manifest snapshot under $table"))
+    val old = storedSchema(spark, table, id).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot-$id under $table predates schema recording — run " +
+          "Manifest.create once to record a schema before evolving it"))
+    val oldByName = old.fields.map(f => f.name -> f).toMap
+    val keys = keyColsOf(spark, table, id)
+    newSchema.fields.foreach { f =>
+      oldByName.get(f.name) match {
+        case Some(o) if o.dataType == f.dataType => ()
+        case Some(o) if isWidening(o.dataType, f.dataType) => ()
+        case Some(o) => throw new IllegalArgumentException(
+          s"schema evolution on `${f.name}`: ${o.dataType.simpleString} -> " +
+            s"${f.dataType.simpleString} is not a supported widening " +
+            "(integral upcasts and float->double only); a narrowing or " +
+            "type change needs a full rewrite")
+        case None =>
+          if (!f.nullable) throw new IllegalArgumentException(
+            s"added column `${f.name}` must be nullable — it is absent " +
+              "from every existing file and reads as NULL")
       }
     }
-    val added = newer.fields.filterNot(f => byName.contains(f.name))
+    val dropped = old.fields.map(_.name).filterNot(n =>
+      newSchema.fields.exists(_.name == n))
+    dropped.find(keys.contains).foreach { k =>
+      throw new IllegalArgumentException(
+        s"cannot drop `$k`: it is a manifest stats key column " +
+          s"(${keys.mkString(", ")}) — re-profile the table first")
+    }
+    // Metadata-only commit: the latest snapshot's stats rows carried
+    // verbatim (parquet files untouched), new schema recorded alongside.
+    commitSnapshot(spark, table,
+      spark.read.parquet(s"${root(table)}/snapshot-$id"), Some(newSchema),
+      basedOn = Some(id))
+  }
+
+  /** [[updateSchema]] convenience: drop one column. */
+  def dropColumn(spark: SparkSession, table: String, column: String): Int = {
+    val id = latestId(spark, table).getOrElse(
+      throw new IllegalStateException(s"no manifest snapshot under $table"))
+    val old = storedSchema(spark, table, id).getOrElse(
+      throw new IllegalStateException(s"snapshot-$id has no recorded schema"))
+    require(old.fieldNames.contains(column), s"no such column: $column")
+    updateSchema(spark, table, StructType(old.fields.filterNot(_.name == column)))
+  }
+
+  /** [[updateSchema]] convenience: widen one column's type. */
+  def widenColumn(spark: SparkSession, table: String, column: String,
+                  to: DataType): Int = {
+    val id = latestId(spark, table).getOrElse(
+      throw new IllegalStateException(s"no manifest snapshot under $table"))
+    val old = storedSchema(spark, table, id).getOrElse(
+      throw new IllegalStateException(s"snapshot-$id has no recorded schema"))
+    require(old.fieldNames.contains(column), s"no such column: $column")
+    updateSchema(spark, table, StructType(old.fields.map(f =>
+      if (f.name == column) f.copy(dataType = to) else f)))
+  }
+
+  /** ADDITIVE schema merge: `newer` may append nullable columns; a column
+    * present in both must keep its exact type OR differ by a reader-safe
+    * WIDENING ([[isWidening]], either direction — the merged schema takes
+    * the wider type, which every file decodes losslessly). Any other type
+    * change fails typed here (silently coercing would corrupt the pinned
+    * read schema for every old file). This is the evolution contract
+    * appends are held to; drops/explicit widens go through [[updateSchema]].
+    */
+  private[ops] def mergeAdditive(old: StructType, newer: StructType): StructType = {
+    val newByName = newer.fields.map(f => f.name -> f).toMap
+    val kept = old.fields.map { o =>
+      newByName.get(o.name) match {
+        case None => o
+        case Some(f) if o.dataType == f.dataType => o
+        case Some(f) if isWidening(f.dataType, o.dataType) => o // narrow append
+        case Some(f) if isWidening(o.dataType, f.dataType) =>
+          o.copy(dataType = f.dataType) // wide append auto-widens the record
+        case Some(f) => throw new IllegalStateException(
+          s"schema evolution on column `${o.name}` changes its type " +
+            s"(${o.dataType.simpleString} -> ${f.dataType.simpleString}) — only " +
+            "ADDITIVE evolution (new nullable columns, widening upcasts) is " +
+            "supported; other type changes need a full table rewrite")
+      }
+    }
+    val oldNames = old.fields.map(_.name).toSet
+    val added = newer.fields.filterNot(f => oldNames.contains(f.name))
       .map(_.copy(nullable = true)) // absent in old files ⇒ must read as NULL
-    StructType(old.fields ++ added)
+    StructType(kept ++ added)
   }
 
   /** Current data files under `table`, keyed by scheme-less absolute path
@@ -719,21 +848,25 @@ object Manifest {
     val fs = fsOf(spark, table)
     val prevId = latestId(spark, table).get
     val prev = spark.read.parquet(s"${root(table)}/snapshot-$prevId")
-    val prevRows = prev.collect() // rows ∝ file count (see driver math above)
-    val fileIdx = prev.schema.fieldIndex("file")
+    // Driver holds PATH STRINGS only (∝ file count — the same listing any
+    // planner holds). The stats rows themselves — whose bloom sketches can
+    // be KB-MB each — are never collected: carried rows flow executor-side
+    // from the previous snapshot into the new one as a filtered frame.
+    val prevFiles = prev.select("file").collect().map(_.getString(0))
     val current = dataFilePaths(fs, new Path(table))
-    val (carried, removed) = prevRows.partition(r =>
-      current.contains(decodePath(r.getString(fileIdx)).toUri.getPath))
-    val known = carried.map(r => decodePath(r.getString(fileIdx)).toUri.getPath).toSet
+    val (carriedEnc, removedEnc) = prevFiles.partition(f =>
+      current.contains(decodePath(f).toUri.getPath))
+    val known = carriedEnc.map(f => decodePath(f).toUri.getPath).toSet
     val newPaths = current.collect { case (n, p) if !known(n) => p }.toSeq
     // Nothing changed ⇒ the previous snapshot IS the current state: return
     // its id without committing a duplicate (a recurring no-op cycle would
     // otherwise accrue one identical snapshot per run — metadata append
     // debt with zero information).
-    if (newPaths.isEmpty && removed.isEmpty)
+    if (newPaths.isEmpty && removedEnc.isEmpty)
       return (prevId, 0, 0)
-    val carriedDf = spark.createDataFrame(
-      java.util.Arrays.asList(carried: _*), prev.schema)
+    val carriedDf =
+      if (removedEnc.isEmpty) prev
+      else prev.filter(!col("file").isInCollection(removedEnc.toSeq))
     val prevSchema = storedSchema(spark, table, prevId)
     val (stats, schema) =
       if (newPaths.isEmpty) (carriedDf, prevSchema)
@@ -749,7 +882,7 @@ object Manifest {
           statsOf(fresh, keyCols, bloomSpecsLike(prev))), merged)
       }
     (commitSnapshot(spark, table, stats, schema, basedOn = Some(prevId)),
-      newPaths.length, removed.length)
+      newPaths.length, removedEnc.length)
   }
 
   /** Key columns of the latest snapshot, recovered from the snapshot's own
@@ -918,8 +1051,7 @@ object Manifest {
     val all = f.count().toInt
     val overlap = preds.map { case (c, lo, hi) =>
       col(s"max_$c") >= lo && col(s"min_$c") <= hi }.reduce(_ && _)
-    val picked = f.filter(overlap)
-      .select("file").collect().map(_.getString(0)).toIndexedSeq
+    val picked = plannedPaths(f.filter(overlap).select("file"), table, "scanBox")
     val base = readFiles(spark, table,
       resolveForRead(spark, table, picked, useTrash), schema)
     val residual = preds.map { case (c, lo, hi) =>
@@ -1152,9 +1284,10 @@ object Manifest {
     val since = spark.read.parquet(s"${root(table)}/snapshot-$sinceId")
     val latest = latestId(spark, table).getOrElse(
       throw new IllegalStateException(s"no manifest snapshot under $table"))
-    val added = spark.read.parquet(s"${root(table)}/snapshot-$latest")
-      .join(since.select("file"), Seq("file"), "left_anti")
-      .select("file").collect().map(_.getString(0)).toIndexedSeq
+    val added = plannedPaths(
+      spark.read.parquet(s"${root(table)}/snapshot-$latest")
+        .join(since.select("file"), Seq("file"), "left_anti")
+        .select("file"), table, "addedSince")
     // Read with the LATEST snapshot's schema: an increment that introduced
     // a new column surfaces it; one that didn't reads NULLs for it.
     (readFiles(spark, table,
@@ -1185,8 +1318,9 @@ object Manifest {
     require(hasSnapshot(spark, table, id),
       s"no snapshot-$id under $table — never created, or expired by retention " +
         "(expireSnapshots); time travel reaches only retained snapshots")
-    val picked = spark.read.parquet(s"${root(table)}/snapshot-$id")
-      .select("file").collect().map(_.getString(0)).toIndexedSeq
+    val picked = plannedPaths(
+      spark.read.parquet(s"${root(table)}/snapshot-$id").select("file"),
+      table, "snapshot read")
     resolveForRead(spark, table, picked, useTrash = true)
   }
 

@@ -20,6 +20,23 @@ object Registry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
 
+  /** Repo-relative source file DEFINING each query — the granularity the
+    * bench's changed-path analysis keys on (a query is "untouched this
+    * round" only if neither its defining file nor any shared non-queries
+    * source changed).
+    */
+  def definingFile: Map[String, String] = {
+    val groups: Seq[(Seq[Q], String)] = Seq(
+      CoreQueries.all -> "src/main/scala/graft/queries/CoreQueries.scala",
+      SyncQueries.all -> "src/main/scala/graft/queries/SyncQueries.scala",
+      TextQueries.all -> "src/main/scala/graft/queries/TextQueries.scala",
+      SimilarityQueries.all -> "src/main/scala/graft/queries/SimilarityQueries.scala",
+      StreamingQueries.all -> "src/main/scala/graft/queries/StreamingQueries.scala",
+      ExtendedQueries.all -> "src/main/scala/graft/queries/ExtendedQueries.scala",
+      SourceQueries.all -> "src/main/scala/graft/queries/SourceQueries.scala")
+    groups.flatMap { case (qs, f) => qs.map(_.name -> f) }.toMap
+  }
+
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 

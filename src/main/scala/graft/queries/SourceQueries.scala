@@ -720,6 +720,119 @@ object SourceQueries {
       Some(s"""SELECT *, (SELECT count(*) FROM documents)::BIGINT AS latest_n FROM (
                |${Registry.duckMultisetFingerprint(
                    Seq("doc_id", "text", "lang", "source", "n_chars"),
-                   "(SELECT * FROM documents WHERE doc_id % 3 <> 0) t")})""".stripMargin))
+                   "(SELECT * FROM documents WHERE doc_id % 3 <> 0) t")})""".stripMargin)),
+
+    // ---- schema evolution BEYOND additive: column DROP + type WIDENING
+    //      without a table rewrite (Manifest.updateSchema — one metadata
+    //      commit carrying the stats rows verbatim; data files untouched,
+    //      the parquet reader's widening decode serves old narrow files at
+    //      the new type). Time travel still returns each snapshot's OWN
+    //      schema. Gate: post-evolution fingerprint ≡ DuckDB over the same
+    //      columns, structural flags (dropped gone / widened type / old
+    //      shape as-of / zero files touched) all true.
+    Q("manifest_schema_evolve_dw",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{IntegerType, LongType}
+        val stage = java.nio.file.Files.createTempDirectory("graft_m_dw").toString + "/documents"
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("n_chars").cast("int").as("n_chars"),
+            lit("scratch").as("tmp_note"))
+        docs.filter(col("doc_id") % 2 === 0).repartition(3)
+          .write.mode("overwrite").parquet(stage)
+        val id1 = graft.ops.Manifest.create(s, stage, "doc_id")
+        val fs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val filesBefore = graft.ops.FsMaint.dataFileCount(fs,
+          new org.apache.hadoop.fs.Path(stage))
+        graft.ops.Manifest.widenColumn(s, stage, "n_chars", LongType)
+        graft.ops.Manifest.dropColumn(s, stage, "tmp_note")
+        val metadataOnly = graft.ops.FsMaint.dataFileCount(fs,
+          new org.apache.hadoop.fs.Path(stage)) == filesBefore
+        // Post-evolution appends arrive in the NEW shape; incremental
+        // snapshots keep working over the mixed (narrow+wide) files.
+        docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("n_chars", col("n_chars").cast("long")).drop("tmp_note")
+          .repartition(2).write.mode("append").parquet(stage)
+        graft.ops.Manifest.createIncremental(s, stage, "doc_id")
+        val latest = graft.ops.Manifest.readAsOf(s, stage,
+          graft.ops.Manifest.latestSnapshotId(s, stage).get)
+        val asOf1 = graft.ops.Manifest.readAsOf(s, stage, id1)
+        val evCols = Seq("doc_id", "text", "lang", "n_chars")
+        graft.functions.Hashing.multisetFingerprintAgg(
+            latest.select(evCols.map(col): _*), evCols)
+          .withColumn("latest_dropped", lit(!latest.columns.contains("tmp_note")))
+          .withColumn("latest_widened",
+            lit(latest.schema("n_chars").dataType == LongType))
+          .withColumn("asof_old_shape", lit(asOf1.columns.contains("tmp_note") &&
+            asOf1.schema("n_chars").dataType == IntegerType))
+          .withColumn("metadata_only", lit(metadataOnly))
+      },
+      Some(s"""SELECT *, true AS latest_dropped, true AS latest_widened,
+               | true AS asof_old_shape, true AS metadata_only FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "n_chars"),
+                   "(SELECT doc_id, text, lang, n_chars FROM documents) t")})""".stripMargin)),
+
+    // ---- the WRITABLE SQL surface, end to end: DELETE FROM (manifest-
+    //      targeted COW via SupportsDelete), MERGE INTO (keyed whole-row
+    //      upsert via the extension rule), INSERT INTO (appended files +
+    //      incremental snapshot) — all engine-executed statements over the
+    //      graft catalog, the reference's statement-driven write path
+    //      (TableConnection.php:367-387, Synchronizer.php:496-507) on the
+    //      table format. Gate: final fingerprint ≡ DuckDB's replay of the
+    //      same three statements, plus exact per-statement row outcomes.
+    Q("sql_dml_cow",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val stage = java.nio.file.Files.createTempDirectory("graft_sql_dml").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.repartitionByRange(8, col("doc_id")).write.mode("overwrite").parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val nBefore = s.read.parquet(stage).count()
+        s.sql(s"DELETE FROM graft.`$stage` " +
+          s"WHERE doc_id BETWEEN ${maxId / 4} AND ${maxId / 2}")
+        val nAfterDelete = s.read.parquet(stage).count()
+        docs.filter(col("doc_id") < maxId / 8)
+          .withColumn("text", concat(lit("v2:"), col("text")))
+          .unionByName(docs.filter(col("doc_id") < 10)
+            .withColumn("doc_id", col("doc_id") + maxId + 1))
+          .createOrReplaceTempView("sql_dml_delta")
+        val m = s.sql(
+          s"""MERGE INTO graft.`$stage` t USING sql_dml_delta s
+             |ON t.doc_id = s.doc_id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+        docs.filter(col("doc_id") < 5)
+          .withColumn("doc_id", col("doc_id") + 2L * maxId + 2L)
+          .createOrReplaceTempView("sql_dml_ins")
+        s.sql(s"INSERT INTO graft.`$stage` SELECT * FROM sql_dml_ins")
+        graft.functions.Hashing.multisetFingerprintAgg(s.read.parquet(stage), docCols)
+          .withColumn("rows_deleted", lit(nBefore - nAfterDelete))
+          .withColumn("rows_updated", lit(m.getLong(m.fieldIndex("rows_updated"))))
+          .withColumn("rows_inserted", lit(m.getLong(m.fieldIndex("rows_inserted"))))
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) // 8 AS u, max(doc_id) // 4 AS lo,
+               |                  max(doc_id) // 2 AS hi, max(doc_id) AS mx FROM documents),
+               | afterdel AS (SELECT d.* FROM documents d, b
+               |              WHERE d.doc_id NOT BETWEEN b.lo AND b.hi),
+               | final AS (
+               |  SELECT a.doc_id,
+               |    CASE WHEN a.doc_id < b.u THEN 'v2:' || a.text ELSE a.text END AS text,
+               |    a.lang, a.source, a.n_chars FROM afterdel a, b
+               |  UNION ALL
+               |  SELECT doc_id + b.mx + 1, text, lang, source, n_chars
+               |   FROM documents, b WHERE doc_id < 10
+               |  UNION ALL
+               |  SELECT doc_id + 2 * b.mx + 2, text, lang, source, n_chars
+               |   FROM documents, b WHERE doc_id < 5)
+               |SELECT *,
+               | (SELECT count(*) FROM documents, b WHERE doc_id BETWEEN b.lo AND b.hi)::BIGINT AS rows_deleted,
+               | (SELECT count(*) FROM documents, b WHERE doc_id < b.u)::BIGINT AS rows_updated,
+               | 10::BIGINT AS rows_inserted FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "final t")})""".stripMargin))
   )
 }

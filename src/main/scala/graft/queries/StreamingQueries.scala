@@ -637,7 +637,55 @@ object StreamingQueries {
               |  FROM f)
               |SELECT user_id, session_id, count(*) AS n_events,
               |  epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us
-              |FROM g GROUP BY user_id, session_id""".stripMargin))
+              |FROM g GROUP BY user_id, session_id""".stripMargin)),
+
+    // ---- the NATIVE streaming source over the table format:
+    //      spark.readStream.format("graft") rides snapshot history with a
+    //      checkpointed snapshot-id cursor (the Delta streaming-source
+    //      posture) — replacing the hand-rolled addedSince consumer with
+    //      engine plumbing. Three AvailableNow runs against one checkpoint:
+    //      (1) full latest snapshot (load-then-stream), (2) after an append
+    //      + a COMPACTION that rewrites every file — only the appended rows
+    //      arrive (rewritten rows cancel in the snapshot diff; a file-diff
+    //      source would re-deliver the table), (3) idle — nothing. Gates:
+    //      accumulated fingerprint ≡ DuckDB over the full table (any
+    //      re-delivery or loss flips count/sum/xor), initial batch strictly
+    //      smaller than the total.
+    Q("stream_graft_source",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val docs = T(s, dir, "documents")
+        val table = java.nio.file.Files.createTempDirectory("graft_gstream")
+          .toString + "/documents"
+        docs.filter(col("doc_id") % 3 =!= 0).repartition(4).write.parquet(table)
+        graft.ops.Manifest.create(s, table, "doc_id")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_gstream_ck").toString
+        var acc = graft.functions.Hashing.MultisetFp(0L, BigInt(0), 0L)
+        def runOnce(): Unit = {
+          val q = s.readStream.format("graft").load(table)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              if (!b.isEmpty)
+                acc = acc.merge(graft.functions.Hashing.multisetFp(b, docCols))
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        runOnce()
+        val firstN = acc.count
+        docs.filter(col("doc_id") % 3 === 0).repartition(2)
+          .write.mode("append").parquet(table)
+        graft.ops.Manifest.createIncremental(s, table, "doc_id")
+        graft.ops.Layout.compactTable(s, table, targetBytes = 64L << 20)
+        runOnce() // only the appended rows — compaction is silent
+        runOnce() // idle restart delivers nothing
+        import s.implicits._
+        Seq((acc.render, acc.count, firstN > 0 && firstN < acc.count))
+          .toDF("fingerprint", "n_rows", "initial_then_stream")
+      },
+      Some(s"""SELECT fingerprint, n_rows, true AS initial_then_stream FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "documents")})""".stripMargin))
   )
 
   private object StreamSyncHolder {

@@ -1622,7 +1622,98 @@ object TextQueries {
               |        FROM documents WHERE length(trim(text)) > 0),
               | tot AS (SELECT count(*) AS n FROM t)
               |SELECT token, count(*) AS n FROM t GROUP BY token
-              |HAVING count(*) >= (SELECT (n + 39) // 40 FROM tot)""".stripMargin))
+              |HAVING count(*) >= (SELECT (n + 39) // 40 FROM tot)""".stripMargin)),
+
+    // ---- the COMPOSED training-data pipeline, one lineage over the
+    //      manifested table: ingest (two snapshot commits, duplicate-seeded)
+    //      → clean (length floor) → exact dedup (min-id per content hash)
+    //      → decontaminate (anti-join vs a benchmark text set) → temperature
+    //      mix (α = 0.5, rates from the post-filter counts) → pack
+    //      (greedy sequence packing at 4096 by doc_id order). Every stage
+    //      passes individually elsewhere; this query pins their COMPOSITION
+    //      against drift — the full chain replayed by DuckDB, hash-gated,
+    //      with packing structure (chunk count / packed tokens / densest
+    //      chunk) as extra gates.
+    Q("pipeline_end_to_end",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val docs = T(s, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        // Ingest: two appends into a manifested table; the second batch
+        // seeds exact duplicates (same text, shifted ids) for dedup to kill.
+        val table = java.nio.file.Files.createTempDirectory("graft_e2e")
+          .toString + "/corpus"
+        docs.filter(col("doc_id") % 3 =!= 0).repartition(4).write.parquet(table)
+        graft.ops.Manifest.create(s, table, "doc_id")
+        docs.filter(col("doc_id") % 3 === 0)
+          .unionByName(docs.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + maxId + 1))
+          .repartition(2).write.mode("append").parquet(table)
+        graft.ops.Manifest.createIncremental(s, table, "doc_id")
+        val corpus = graft.ops.Manifest.readAsOf(s, table,
+          graft.ops.Manifest.latestSnapshotId(s, table).get)
+        // Clean → exact dedup → decontaminate (bench = every 97th doc).
+        val clean = corpus.filter(col("n_chars") >= 20)
+        val deduped = graft.ops.Dedup.dedupExact(clean, "doc_id", Seq("text"))
+        val bench = docs.filter(col("doc_id") % 97 === 0).select("text")
+        val decon = deduped.join(bench, Seq("text"), "left_anti")
+        // Temperature mix over sources, rates from the post-filter counts.
+        val (mixed0, _) = graft.ops.Sampling.mixByTemperature(
+          decon, "doc_id", "source", alpha = 0.5)
+        // One materialization of the mixed frame feeds both consumers; the
+        // checkpoint blocks are released by the harness AFTER the returned
+        // frame (whose plan holds the checkpointed leaf) is consumed.
+        val mixed = mixed0.localCheckpoint(true)
+        // Pack at 4096 by doc_id order; structural gates from chunkStats.
+        val chunks = graft.ops.Packing.chunkStats(
+          mixed, "doc_id", "n_chars", seqLen = 4096)
+        val cRow = chunks.agg(count(lit(1)), sum("n_tokens"), max("n_docs")).head()
+        graft.functions.Hashing.multisetFingerprintAgg(
+            mixed.select(docCols.map(col): _*), docCols)
+          .withColumn("n_chunks", lit(cRow.getLong(0)))
+          .withColumn("packed_tokens", lit(cRow.getLong(1)))
+          .withColumn("max_chunk_docs", lit(cRow.getLong(2)))
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) AS mx FROM documents),
+               | ingested AS (
+               |  SELECT doc_id, text, lang, source, n_chars FROM documents
+               |  UNION ALL
+               |  SELECT doc_id + b.mx + 1, text, lang, source, n_chars
+               |   FROM documents, b WHERE doc_id < 50),
+               | clean AS (SELECT * FROM ingested WHERE n_chars >= 20),
+               | dedup AS (SELECT * FROM (
+               |   SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+               |   FROM clean) WHERE rn = 1),
+               | decon AS (SELECT * FROM dedup
+               |   WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 97 = 0)),
+               | c AS (SELECT source, count(*) AS n FROM decon GROUP BY source),
+               | m AS (SELECT min(n) AS nmin FROM c),
+               | r AS (SELECT source,
+               |   CAST(round(10000 * sqrt(CAST(nmin AS double) / n)) AS BIGINT) AS rate_bps
+               |  FROM c, m),
+               | mixed AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+               |  FROM decon d JOIN r ON d.source = r.source
+               |  WHERE ('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 8))::bigint % 10000
+               |        < r.rate_bps),
+               | po AS (SELECT doc_id, n_chars,
+               |   coalesce(sum(n_chars) OVER (ORDER BY doc_id
+               |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+               |  FROM mixed WHERE n_chars > 0),
+               | ch AS (SELECT doc_id,
+               |   unnest(generate_series(CAST(off // 4096 AS BIGINT),
+               |                          CAST((off + n_chars - 1) // 4096 AS BIGINT))) AS chunk_id,
+               |   off, n_chars FROM po),
+               | cs AS (SELECT chunk_id, count(*) AS n_docs,
+               |   sum(least(off + n_chars, (chunk_id + 1) * 4096) -
+               |       greatest(off, chunk_id * 4096)) AS n_tokens
+               |  FROM ch GROUP BY chunk_id)
+               |SELECT *,
+               | (SELECT count(*) FROM cs)::BIGINT AS n_chunks,
+               | (SELECT cast(sum(n_tokens) as bigint) FROM cs) AS packed_tokens,
+               | (SELECT cast(max(n_docs) as bigint) FROM cs) AS max_chunk_docs
+               |FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "mixed t")})""".stripMargin))
   )
 
   /** Full-corpus exact 3-shingle Jaccard ≥ 0.4 pair set for `dir`'s

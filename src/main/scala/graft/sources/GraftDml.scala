@@ -42,7 +42,7 @@ private[sources] object StatDomain {
   *     [[Layout.deleteRange]] (manifest-targeted COW — untouched files are
   *     carried by metadata rename, never decoded or planned)
   *   - `MERGE INTO graft.`/t`` → [[Layout.mergeKeyed]] via the extension
-  *     rule ([[GraftSparkExtensions]])
+  *     rule ([[GraftMergeRule]], installed by [[graft.GraftExtensions]])
   *
   * DELETE translation contract: every conjunct must constrain ONE
   * stats-covered key column to a contiguous range (the shape the manifest
@@ -52,17 +52,33 @@ private[sources] object StatDomain {
   */
 final class GraftMutableTable(
     tableName: String, spark: SparkSession,
-    files: Seq[String], tableRoot: String,
+    files: Seq[String], val tableRoot: String,
     userSchema: Option[StructType])
-  extends GraftParquetTable(tableName, spark, CaseInsensitiveStringMap.empty(),
-    files, tableRoot, userSchema)
+  extends org.apache.spark.sql.connector.catalog.Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
   with SupportsDelete {
 
   import scala.jdk.CollectionConverters._
 
-  // NOT FileTable's default set: ACCEPT_ANY_SCHEMA would skip the
-  // analyzer's schema alignment on INSERT, and plain BATCH_WRITE would
-  // route around the V1 InsertableRelation below.
+  // Reads delegate to the file-backed snapshot view (exact file index,
+  // stock vectorized parquet scan, full pushdown). Deliberately NOT a
+  // FileTable subclass itself: the analyzer's FallBackFileSourceV2 rewrites
+  // INSERTs over FileTables into a direct V1 file write — which would
+  // bypass the table lock and the manifest refresh entirely (a silent
+  // unmanifested append), or reject the multi-path relation outright.
+  private val readDelegate = new GraftParquetTable(tableName, spark,
+    CaseInsensitiveStringMap.empty(), files, tableRoot, userSchema)
+
+  override def name(): String = tableName
+  override def schema(): StructType =
+    (readDelegate: org.apache.spark.sql.connector.catalog.Table).schema()
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    readDelegate.newScanBuilder(options)
+
+  // No ACCEPT_ANY_SCHEMA (the analyzer must align INSERT schemas) and no
+  // plain BATCH_WRITE (writes route through the V1 InsertableRelation).
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava
 

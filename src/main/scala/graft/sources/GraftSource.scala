@@ -30,7 +30,8 @@ import org.apache.spark.sql.types.StructType
   * source (`unhandledFilters` default), so a partial pushdown translation
   * can never change results.
   */
-final class DefaultSource extends RelationProvider with DataSourceRegister {
+final class DefaultSource extends RelationProvider with DataSourceRegister
+  with StreamSourceProvider {
   override def shortName(): String = "graft"
 
   override def createRelation(sqlContext: SQLContext,
@@ -40,6 +41,101 @@ final class DefaultSource extends RelationProvider with DataSourceRegister {
         "graft source requires a path: spark.read.format(\"graft\").load(<table dir>)"))
     GraftRelation(sqlContext, path, parameters)
   }
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft stream requires a path: spark.readStream.format(\"graft\").load(<table dir>)"))
+
+  /** Stream schema = the LATEST snapshot's recorded schema at stream start
+    * (the standard fixed-schema streaming contract; columns added by later
+    * additive evolution are simply not surfaced until the stream restarts).
+    * Requires a manifested table — snapshots are the offsets.
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val s = schema.getOrElse {
+      val id = Manifest.latestSnapshotId(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no manifest snapshot under $path — the graft stream rides snapshot " +
+            "history (run Manifest.create first)"))
+      Manifest.storedSchema(spark, path, id)
+        .getOrElse(Manifest.readAsOf(spark, path, id).schema)
+    }
+    (shortName(), s)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      sourceSchema(sqlContext, schema, providerName, parameters)._2)
+}
+
+/** Offset = manifest snapshot id (immutable, dense, checkpoint-stable). */
+private[sources] final case class GraftSnapshotOffset(id: Int)
+  extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json: String = id.toString
+}
+
+/** NATIVE streaming source over the table format —
+  * `spark.readStream.format("graft").load(path)` rides the manifest's
+  * snapshot history with snapshot ids as offsets (the Delta streaming-source
+  * posture on this engine's snapshots):
+  *
+  *   - The FIRST batch delivers the full latest snapshot (load-then-stream);
+  *     every subsequent batch delivers exactly the NET ROWS INSERTED between
+  *     its two snapshot ids ([[Manifest.changesBetween]]'s insert side).
+  *   - EXACTLY-ONCE across layout maintenance: a compaction/re-cluster
+  *     rewrites every file, but rewritten rows appear on both sides of the
+  *     snapshot diff and cancel in the multiset difference — the stream
+  *     delivers nothing for a content-invariant rewrite, where a file-diff
+  *     source would re-deliver the whole table. COW deletes likewise emit
+  *     nothing (append-only stream semantics; the row-level feed including
+  *     deletes is the batch `changesFrom`/`changesTo` read).
+  *   - Typed failure modes pass through: a checkpointed snapshot id expired
+  *     by retention fails fast on the missing snapshot, never under-reports.
+  *
+  * Cost per micro-batch ∝ files touched between the snapshots (the
+  * changesBetween contract), never table size.
+  */
+private[sources] final class GraftStreamSource(
+    spark: org.apache.spark.sql.SparkSession, path: String,
+    override val schema: StructType)
+  extends org.apache.spark.sql.execution.streaming.Source {
+
+  private def idOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Int =
+    o match {
+      case GraftSnapshotOffset(id) => id
+      case other => other.json.trim.toInt // checkpoint-deserialized form
+    }
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
+    Manifest.latestSnapshotId(spark, path).map(GraftSnapshotOffset)
+
+  override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
+                        end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val endId = idOf(end)
+    val batch = start.map(idOf) match {
+      case Some(s0) if s0 >= endId =>
+        Manifest.readAsOf(spark, path, endId).limit(0)
+      case Some(s0) =>
+        Manifest.changesBetween(spark, path, s0, endId)
+          .filter(col("change") === "insert").drop("change")
+      case None => Manifest.readAsOf(spark, path, endId)
+    }
+    // Pin the stream's declared schema (additive evolution between the
+    // snapshots must not widen a running stream's batches), and hand the
+    // engine a STREAMING frame — MicroBatchExecution asserts the flag.
+    val pinned = batch.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    org.apache.spark.sql.graftshim.ColumnShim.streamingDataFrame(
+      spark, pinned.queryExecution.toRdd, pinned.schema)
+  }
+
+  override def commit(end: org.apache.spark.sql.execution.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 object GraftRelation {

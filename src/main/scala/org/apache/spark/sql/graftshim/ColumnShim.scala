@@ -13,6 +13,24 @@ object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A DataFrame over an analyzed logical plan — the `Dataset.ofRows` seam
+    * a custom command needs to execute its (already-resolved) child query.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A DataFrame over an InternalRow RDD with `isStreaming = true` — what a
+    * V1 streaming Source's `getBatch` must return (MicroBatchExecution
+    * asserts the flag; the public createDataFrame can't set it).
+    */
+  def streamingDataFrame(spark: org.apache.spark.sql.SparkSession,
+                         rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                         schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
   /** Register a SQL function on a LIVE session's registry (the
     * `SparkSessionExtensions` path only applies at session build time;
     * `getOrCreate` against an active session silently skips extensions).

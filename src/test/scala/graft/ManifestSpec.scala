@@ -736,6 +736,98 @@ class ManifestSpec extends SparkSpec {
     assert(rows.count() == 11L)
   }
 
+  test("planning is a distributed job: a 50k-file manifest prunes without driver materialization; over-cap fails typed") {
+    val stage = tmpDir("manifest_50k") + "/docs"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartitionByRange(4, col("doc_id")).write.parquet(stage)
+    Manifest.create(spark, stage, "doc_id")
+    // Forge a 50k-file snapshot: the real stats rows plus 50k synthetic
+    // file entries whose key ranges sit FAR outside the probe box — the
+    // shape of a small-file-debt table pre-compaction. Pruning must stay a
+    // job (only the final picked list reaches the driver), so the scan
+    // works and picks only the real overlapping files.
+    val real = spark.read.parquet(s"$stage/_graft_manifest/snapshot-1")
+    val fake = spark.range(50000).select(
+      concat(lit(s"file:$stage/part-fake-"), col("id"), lit(".parquet")).as("file"),
+      (col("id") * 1000L + 10000000L).as("min_doc_id"),
+      (col("id") * 1000L + 10000999L).as("max_doc_id"),
+      lit(1000L).as("cnt_doc_id"),
+      lit(1000L).as("n_rows"))
+    real.unionByName(fake).repartition(4)
+      .write.parquet(s"$stage/_graft_manifest/snapshot-2")
+    val (rows, nRead, nTotal) = Manifest.scanRange(spark, stage, "doc_id", 0L, 49L)
+    assert(nTotal == 50004, s"fixture: $nTotal")
+    assert(nRead <= 2, s"pruning must pick only overlapping real files, got $nRead")
+    assert(rows.count() == 50L)
+    // A plan past the cap fails TYPED with the recovery in the message —
+    // never balloons driver memory silently.
+    val prevCap = Manifest.maxPlannedFiles
+    Manifest.maxPlannedFiles = 100
+    try {
+      val e = intercept[IllegalStateException] {
+        Manifest.scanRange(spark, stage, "doc_id", 0L, 100000000000L)
+      }
+      assert(e.getMessage.contains("compact"), e.getMessage)
+    } finally Manifest.maxPlannedFiles = prevCap
+  }
+
+  test("updateSchema: drop + widen without rewrite — metadata-only, value-exact, time travel keeps old shapes") {
+    import org.apache.spark.sql.types._
+    val stage = tmpDir("manifest_dw") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("n_chars").cast("int").as("n_chars"),
+        lit("scratch").as("tmp_note"))
+    docs.filter(col("doc_id") % 2 === 0).repartition(3).write.parquet(stage)
+    val id1 = Manifest.create(spark, stage, "doc_id")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(): Set[String] =
+      graft.ops.FsMaint.listRelative(fs, new org.apache.hadoop.fs.Path(stage))(f =>
+        f.getPath.getName.startsWith("part-")).map(_._1)
+        .filterNot(_.startsWith("_graft_manifest")).toSet
+    val before = dataFiles()
+    // Widen n_chars int -> long and DROP tmp_note, one metadata commit each.
+    val id2 = Manifest.widenColumn(spark, stage, "n_chars", LongType)
+    val id3 = Manifest.dropColumn(spark, stage, "tmp_note")
+    assert(dataFiles() == before, "schema evolution must not touch data files")
+    assert(id2 == id1 + 1 && id3 == id1 + 2)
+    // Latest read: widened type, dropped column gone, values exact from the
+    // NARROW files (the reader's widening decode).
+    val latest = Manifest.readAsOf(spark, stage, id3)
+    assert(latest.schema("n_chars").dataType == LongType)
+    assert(!latest.columns.contains("tmp_note"))
+    val expectSum = docs.filter(col("doc_id") % 2 === 0)
+      .agg(sum(col("n_chars").cast("long"))).head().getLong(0)
+    assert(latest.agg(sum("n_chars")).head().getLong(0) == expectSum)
+    // Appends AFTER the widen arrive with the wide schema; incremental
+    // snapshots keep working and the table unions exactly.
+    docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("n_chars", col("n_chars").cast("long")).drop("tmp_note")
+      .repartition(2).write.mode("append").parquet(stage)
+    Manifest.createIncremental(spark, stage, "doc_id")
+    val all = Manifest.readAsOf(spark, stage,
+      Manifest.latestSnapshotId(spark, stage).get)
+    assert(all.count() == docs.count())
+    // Time travel: snapshot 1 still reads its OWN shape (int + tmp_note).
+    val asOf1 = Manifest.readAsOf(spark, stage, id1)
+    assert(asOf1.schema("n_chars").dataType == IntegerType)
+    assert(asOf1.columns.contains("tmp_note"))
+    // Typed rejections: narrowing, dropping a stats key, non-nullable add.
+    val cur = Manifest.storedSchema(spark, stage,
+      Manifest.latestSnapshotId(spark, stage).get).get
+    intercept[IllegalArgumentException] {
+      Manifest.widenColumn(spark, stage, "n_chars", IntegerType) // narrowing
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.dropColumn(spark, stage, "doc_id") // the stats key
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.updateSchema(spark, stage, StructType(cur.fields :+
+        StructField("strict", StringType, nullable = false)))
+    }
+  }
+
   test("commit instants are explicit markers, not directory mtimes (TIMESTAMP AS OF is rename-safe)") {
     val stage = tmpDir("manifest_commit_at") + "/documents"
     spark.read.parquet(s"$sf001/documents.parquet").repartition(2).write.parquet(stage)

@@ -377,4 +377,76 @@ class PlanAuditSpec extends SparkSpec {
         s"whole-table plan during a targeted COW delete: $p")
     }
   }
+
+  test("PARTITIONED feed cycle: master planned only in the changed partition; slave pays one delta-apply scan") {
+    // Partition key ranges disjoint by construction (lang=l<b> owns
+    // doc_id [b*1000, b*1000+499]) — a steady syncViaChangeFeed cycle after
+    // a delete confined to l1 must plan master files ONLY under lang=l1
+    // (changed live files or their trash-retained originals), never an
+    // untouched partition, never the whole table.
+    val mDir = tmpDir("pa_cfp_m")
+    val sDir = tmpDir("pa_cfp_s")
+    val mPath = s"$mDir/docs.parquet"
+    val base = spark.range(0L, 2000L).selectExpr(
+      "concat('l', CAST(id DIV 500 AS INT)) AS lang",
+      "(id DIV 500) * 1000 + (id % 500) AS doc_id",
+      "concat('payload_', id) AS payload")
+      .repartitionByRange(8, col("doc_id"))
+    base.write.partitionBy("lang").parquet(mPath)
+    base.write.partitionBy("lang").parquet(s"$sDir/docs.parquet")
+    graft.ops.Manifest.create(spark, mPath, "doc_id")
+    val engine = new SyncEngine(new ParquetStore(spark, mDir), new ParquetStore(spark, sDir),
+      SyncConfig(primaryKeys = Map("docs" -> Seq("doc_id")),
+        maintainFingerprints = true))
+    engine.syncViaChangeFeed("docs", mPath) // prime + checkpoint
+    val r = graft.ops.Layout.deleteRange(spark, mPath, "doc_id", 1000L, 1099L)
+    assert(r.rowsDeleted == 100L)
+    val scans = scanPathsDuring { engine.syncViaChangeFeed("docs", mPath): Unit }
+    val masterData = scans.filter(p =>
+      p.contains(mPath) && !p.contains("_graft_manifest"))
+    assert(masterData.nonEmpty, s"expected file-level master scans\n${scans.mkString("\n")}")
+    masterData.foreach { p =>
+      assert(p.contains("lang=l1"),
+        s"untouched partition planned on a partitioned feed cycle: $p\n${scans.mkString("\n")}")
+      assert(!p.stripSuffix("/").endsWith("docs.parquet"),
+        s"whole-table master plan on a partitioned feed cycle: $p")
+    }
+    val sCount = scans.count(_.contains(sDir))
+    assert(sCount == 1, s"slave scanned $sCount times; expected 1\n${scans.mkString("\n")}")
+  }
+
+  test("SQL DELETE FROM plans only manifest-picked + newly-staged files (untouched files never plan)") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val stage = tmpDir("pa_sqldel") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartitionByRange(8, col("doc_id")).write.parquet(stage)
+    graft.ops.Manifest.create(spark, stage, "doc_id")
+    def norm(p: String): String =
+      try new org.apache.hadoop.fs.Path(new java.net.URI(p)).toUri.getPath
+      catch { case _: java.net.URISyntaxException =>
+        new org.apache.hadoop.fs.Path(p).toUri.getPath }
+    val snap = graft.ops.Manifest.files(spark, stage)
+    val picked = snap
+      .filter(col("max_doc_id") >= 100L && col("min_doc_id") <= 199L)
+      .select("file").collect().map(r => norm(r.getString(0))).toSet
+    val before = snap.select("file").collect().map(r => norm(r.getString(0))).toSet
+    assert(picked.nonEmpty && picked.size < before.size,
+      s"fixture must make the delete targeted: ${picked.size} of ${before.size}")
+    val scans = scanPathsDuring {
+      spark.sql(s"DELETE FROM graft.`$stage` WHERE doc_id BETWEEN 100 AND 199")
+    }
+    // Every data scan under the table dir is either a picked file (the
+    // rewrite's decode) or a file that did not exist before the statement
+    // (the staged survivors' stats pass) — an UNTOUCHED file planning
+    // anywhere in the statement is the scale regression this contract pins.
+    val tableData = scans.map(norm)
+      .filter(p => p.startsWith(stage + "/") && !p.contains("_graft"))
+    assert(tableData.nonEmpty, s"expected file-level scans\n${scans.mkString("\n")}")
+    tableData.foreach { p =>
+      assert(!p.stripSuffix("/").endsWith("/documents"),
+        s"whole-table plan under SQL DELETE: $p\n${scans.mkString("\n")}")
+      assert(picked.exists(p.endsWith) || !before.exists(p.endsWith),
+        s"scan of an untouched file under SQL DELETE: $p\n${scans.mkString("\n")}")
+    }
+  }
 }

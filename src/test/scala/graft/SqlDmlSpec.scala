@@ -1,0 +1,151 @@
+package graft
+
+import graft.functions.Hashing
+import graft.ops.{Layout, Manifest}
+import org.apache.spark.sql.functions._
+
+/** The WRITABLE SQL surface: `INSERT INTO` / `DELETE FROM` / `MERGE INTO`
+  * against `graft.`-catalog tables route to the engine's journaled COW
+  * machinery (Layout.append/deleteRange/mergeKeyed) — results exact,
+  * targeting preserved (untouched files never planned), unsupported shapes
+  * refused typed.
+  */
+class SqlDmlSpec extends SparkSpec {
+
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  private def fp(df: org.apache.spark.sql.DataFrame): String =
+    Hashing.multisetFingerprintAgg(df.select(docCols.map(col): _*), docCols)
+      .head().getString(0)
+
+  private def stage(tag: String): String = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = tmpDir(tag) + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartition(8).write.parquet(dir)
+    Layout.clusterByRange(spark, dir, "doc_id", 8)
+    Manifest.create(spark, dir, "doc_id")
+    dir
+  }
+
+  test("DELETE FROM: manifest-targeted COW — exact result, only overlapping files planned") {
+    val dir = stage("dml_delete")
+    val expected = fp(spark.read.parquet(dir)
+      .filter(!col("doc_id").between(100L, 199L)))
+    // The files the manifest will pick (range overlap) — the only data
+    // files the DELETE is allowed to plan.
+    val snap = Manifest.files(spark, dir)
+    val picked = snap.filter(col("max_doc_id") >= 100L && col("min_doc_id") <= 199L)
+      .select("file").collect().map(_.getString(0)).toSet
+    val total = snap.count()
+    assert(picked.nonEmpty && picked.size < total,
+      s"fixture must make the delete targeted: ${picked.size} of $total")
+    val preId = Manifest.latestSnapshotId(spark, dir).get
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id BETWEEN 100 AND 199")
+    assert(fp(spark.read.parquet(dir)) == expected)
+    // Snapshot diff proves the targeting: untouched files carried verbatim.
+    val after = Manifest.files(spark, dir).select("file")
+      .collect().map(_.getString(0)).toSet
+    val before = snap.select("file").collect().map(_.getString(0)).toSet
+    assert((before -- after) == picked, "exactly the picked files were replaced")
+    // History contract holds through the SQL surface too.
+    assert(fp(Manifest.readAsOf(spark, dir, preId)) !=
+      fp(Manifest.readAsOf(spark, dir, preId + 1)))
+    assert(Manifest.isComplete(spark, dir))
+  }
+
+  test("DELETE FROM without a targetable range is refused typed (never a hidden full rewrite)") {
+    val dir = stage("dml_delete_bad")
+    val before = fp(spark.read.parquet(dir))
+    intercept[Exception] { // predicate on a non-stats column
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE lang = 'en'")
+    }
+    intercept[Exception] { // unconditioned delete
+      spark.sql(s"DELETE FROM graft.`$dir`")
+    }
+    assert(fp(spark.read.parquet(dir)) == before, "refused DML must touch nothing")
+  }
+
+  test("INSERT INTO: appended files + incremental snapshot refresh") {
+    val dir = stage("dml_insert")
+    val preId = Manifest.latestSnapshotId(spark, dir).get
+    val preFiles = Manifest.files(spark, dir).select("file")
+      .collect().map(_.getString(0)).toSet
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .limit(25).createOrReplaceTempView("dml_insert_src")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM dml_insert_src")
+    val n = spark.read.parquet(dir).count()
+    assert(n == 500L + 25L, s"expected 525 rows after insert, got $n")
+    // Incremental refresh: prior files' stats carried, only appends scanned.
+    val postFiles = Manifest.files(spark, dir).select("file")
+      .collect().map(_.getString(0)).toSet
+    assert(preFiles.subsetOf(postFiles), "append must carry every prior file")
+    assert(Manifest.latestSnapshotId(spark, dir).get == preId + 1)
+    assert(Manifest.isComplete(spark, dir))
+    // The appended keys are immediately visible to the SQL read surface.
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir` " +
+      "WHERE doc_id >= 1000000").head().getLong(0) == 25L)
+    // INSERT OVERWRITE is refused typed.
+    intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE graft.`$dir` SELECT * FROM dml_insert_src")
+    }
+  }
+
+  test("MERGE INTO: keyed whole-row upsert via the extension rule — updates in place, inserts append") {
+    val dir = stage("dml_merge")
+    import spark.implicits._
+    Seq(
+      (7L, "rewritten text", "xx", "sql-merge", 14L),   // update (key exists)
+      (777777L, "brand new", "yy", "sql-merge", 9L)     // insert (key absent)
+    ).toDF(docCols: _*).createOrReplaceTempView("dml_merge_src")
+    val expected = fp(spark.read.parquet(dir).filter(col("doc_id") =!= 7L)
+      .unionByName(spark.table("dml_merge_src")))
+    val res = spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING dml_merge_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(res.length == 1)
+    val row = res.head
+    assert(row.getLong(row.fieldIndex("rows_updated")) == 1L &&
+      row.getLong(row.fieldIndex("rows_inserted")) == 1L,
+      s"merge outcome: $row")
+    assert(fp(spark.read.parquet(dir)) == expected)
+    assert(Manifest.isComplete(spark, dir))
+    // Explicit identical assignments are the same shape — accepted.
+    val res2 = spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING dml_merge_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET doc_id = s.doc_id, text = s.text,
+         |  lang = s.lang, source = s.source, n_chars = s.n_chars
+         |WHEN NOT MATCHED THEN INSERT (doc_id, text, lang, source, n_chars)
+         |  VALUES (s.doc_id, s.text, s.lang, s.source, s.n_chars)""".stripMargin)
+      .collect()
+    assert(res2.head.getLong(res2.head.fieldIndex("rows_updated")) == 2L,
+      "second run: both keys now exist — two updates, zero inserts")
+    assert(fp(spark.read.parquet(dir)) == expected, "idempotent re-merge")
+  }
+
+  test("MERGE INTO: unsupported shapes are refused typed at analysis") {
+    val dir = stage("dml_merge_bad")
+    import spark.implicits._
+    Seq((7L, "t", "l", "s", 1L)).toDF(docCols: _*)
+      .createOrReplaceTempView("dml_mb_src")
+    val before = fp(spark.read.parquet(dir))
+    // Partial update (not whole-row) — refused.
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        s"""MERGE INTO graft.`$dir` t USING dml_mb_src s ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET text = s.text
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    // DELETE action — refused.
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        s"""MERGE INTO graft.`$dir` t USING dml_mb_src s ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(fp(spark.read.parquet(dir)) == before, "refused DML must touch nothing")
+  }
+}
