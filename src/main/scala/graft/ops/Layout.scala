@@ -435,8 +435,8 @@ object Layout {
     * doomed every row leaves an empty but still-partitioned table; an
     * insert into it is legitimate and must not crash untyped).
     */
-  private def partitionColsFromDirs(fs: org.apache.hadoop.fs.FileSystem,
-                                    path: String): Seq[String] = {
+  private[graft] def partitionColsFromDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                           path: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var cur = new Path(path)
     var descend = true
@@ -750,6 +750,59 @@ object Layout {
       commitReplace(spark, fs, path, picked, stage, keys)
     }
     MergeResult(picked.length, total, matched, nDelta - matched)
+    }
+  }
+
+  /** Drop ONE hive partition by COW retention — the `ALTER TABLE DROP
+    * PARTITION` / `DELETE WHERE partCol = v` shape, as a PURE METADATA
+    * operation: every live file under the partition's `k=v/` dir moves to
+    * the retained trash (atomic renames, journaled like any partitioned
+    * COW commit) and the manifest drops their stats rows — ZERO data files
+    * are decoded, planned, or written, so the cost is O(partition files)
+    * renames at any table size. History contract unchanged: pre-drop
+    * snapshots read the partition through the trash until vacuum.
+    * `value` is the partition's RAW value (escaped here exactly as the
+    * writer escaped it). Returns the targeting evidence; a value matching
+    * no partition is a metadata no-op.
+    */
+  def dropPartition(spark: SparkSession, path: String, partCol: String,
+                    value: String): DeleteResult = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    FsMaint.withTableLock(fs, path) {
+      healDelete(spark, path)
+      FsMaint.recoverSwap(fs, path)
+      val keys = Manifest.currentKeyCols(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"dropPartition($path) needs a manifest snapshot (Manifest.create) — " +
+            "the commit carries its stats rows"))
+      Manifest.requireComplete(spark, path)
+      val seg = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(partCol) + "=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(value)
+      val f = Manifest.files(spark, path)
+      val total = f.count().toInt
+      val pickedRows = f.select(col("file"), col("n_rows")).collect().filter { r =>
+        Manifest.relativeTo(path, Manifest.decodePath(r.getString(0)))
+          .split('/').dropRight(1).contains(seg)
+      }
+      if (pickedRows.isEmpty) return DeleteResult(0, total, 0L)
+      val picked = pickedRows.map(_.getString(0)).toIndexedSeq
+      val doomed = picked.map(p => Manifest.relativeTo(path, Manifest.decodePath(p)))
+      // Journaled like the partitioned COW commit (D entries only, no
+      // staged survivors) — a crash at any point forward-completes.
+      val journal = new Path(path + PartJournalSuffix)
+      val jtmp = new Path(path + PartJournalSuffix + "__tmp")
+      val out = fs.create(jtmp, true)
+      try out.write(doomed.map("D " + _).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(journal, false)
+      if (!fs.rename(jtmp, journal))
+        throw new java.io.IOException(s"drop-partition journal commit failed: $journal")
+      movePartitionedCommit(fs, path, path + PartStageSuffix, doomed, Nil)
+      Manifest.commitReplaced(spark, path, keys, picked.toSet, Nil)
+      fs.delete(journal, false): Unit
+      DeleteResult(picked.length, total, pickedRows.map(_.getLong(1)).sum)
     }
   }
 

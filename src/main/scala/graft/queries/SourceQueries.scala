@@ -809,10 +809,14 @@ object SourceQueries {
           .withColumn("doc_id", col("doc_id") + 2L * maxId + 2L)
           .createOrReplaceTempView("sql_dml_ins")
         s.sql(s"INSERT INTO graft.`$stage` SELECT * FROM sql_dml_ins")
+        val u = s.sql(s"UPDATE graft.`$stage` " +
+          s"SET source = 'sqlupd', n_chars = n_chars + 7 " +
+          s"WHERE doc_id BETWEEN ${maxId / 2 + 1} AND ${5 * maxId / 8}").head()
         graft.functions.Hashing.multisetFingerprintAgg(s.read.parquet(stage), docCols)
           .withColumn("rows_deleted", lit(nBefore - nAfterDelete))
           .withColumn("rows_updated", lit(m.getLong(m.fieldIndex("rows_updated"))))
           .withColumn("rows_inserted", lit(m.getLong(m.fieldIndex("rows_inserted"))))
+          .withColumn("rows_updated2", lit(u.getLong(u.fieldIndex("rows_updated"))))
       },
       Some(s"""WITH b AS (SELECT max(doc_id) // 8 AS u, max(doc_id) // 4 AS lo,
                |                  max(doc_id) // 2 AS hi, max(doc_id) AS mx FROM documents),
@@ -827,12 +831,22 @@ object SourceQueries {
                |   FROM documents, b WHERE doc_id < 10
                |  UNION ALL
                |  SELECT doc_id + 2 * b.mx + 2, text, lang, source, n_chars
-               |   FROM documents, b WHERE doc_id < 5)
+               |   FROM documents, b WHERE doc_id < 5),
+               | final2 AS (
+               |  SELECT f.doc_id, f.text, f.lang,
+               |    CASE WHEN f.doc_id BETWEEN b.mx // 2 + 1 AND (5 * b.mx) // 8
+               |         THEN 'sqlupd' ELSE f.source END AS source,
+               |    CASE WHEN f.doc_id BETWEEN b.mx // 2 + 1 AND (5 * b.mx) // 8
+               |         THEN f.n_chars + 7 ELSE f.n_chars END AS n_chars
+               |  FROM final f, b)
                |SELECT *,
                | (SELECT count(*) FROM documents, b WHERE doc_id BETWEEN b.lo AND b.hi)::BIGINT AS rows_deleted,
                | (SELECT count(*) FROM documents, b WHERE doc_id < b.u)::BIGINT AS rows_updated,
-               | 10::BIGINT AS rows_inserted FROM (
+               | 10::BIGINT AS rows_inserted,
+               | (SELECT count(*) FROM final f, b
+               |   WHERE f.doc_id BETWEEN b.mx // 2 + 1 AND (5 * b.mx) // 8)::BIGINT AS rows_updated2
+               |FROM (
                |${Registry.duckMultisetFingerprint(
-                   Seq("doc_id", "text", "lang", "source", "n_chars"), "final t")})""".stripMargin))
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "final2 t")})""".stripMargin))
   )
 }

@@ -124,18 +124,46 @@ final class GraftMutableTable(
     else None
   }
 
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    rangeOf(filters).isDefined
-
-  override def deleteWhere(filters: Array[Filter]): Unit = {
-    val (keyCol, lo, hi) = rangeOf(filters).getOrElse(
-      throw new UnsupportedOperationException(
-        s"graft DELETE on $tableRoot supports a contiguous range on ONE " +
-          s"stats-covered key column (${statKeys.mkString(", ")}) — the shape " +
-          "the manifest targets without planning untouched files; got: " +
-          filters.mkString(", ")))
-    Layout.deleteRange(spark, tableRoot, keyCol, lo, hi): Unit
+  /** A `partCol = value` equality on a hive PARTITION column — the
+    * whole-partition drop shape ([[Layout.dropPartition]]: pure metadata,
+    * zero files decoded). Values keep their path-encoded string form (the
+    * identity partition dirs are named by).
+    */
+  private def partitionDropOf(filters: Array[Filter]): Option[(String, String)] = {
+    val fs = new org.apache.hadoop.fs.Path(tableRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    lazy val partCols = Layout.partitionColsFromDirs(fs, tableRoot).toSet
+    filters match {
+      case Array(EqualTo(a, v)) if partCols(a) =>
+        v match {
+          case s: String => Some((a, s))
+          case n @ (_: java.lang.Integer | _: java.lang.Long |
+                    _: java.lang.Short | _: java.lang.Byte) =>
+            Some((a, n.toString))
+          case _ => None
+        }
+      case _ => None
+    }
   }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    rangeOf(filters).isDefined || partitionDropOf(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    rangeOf(filters) match {
+      case Some((keyCol, lo, hi)) =>
+        Layout.deleteRange(spark, tableRoot, keyCol, lo, hi): Unit
+      case None => partitionDropOf(filters) match {
+        case Some((partCol, value)) =>
+          Layout.dropPartition(spark, tableRoot, partCol, value): Unit
+        case None => throw new UnsupportedOperationException(
+          s"graft DELETE on $tableRoot supports a contiguous range on ONE " +
+            s"stats-covered key column (${statKeys.mkString(", ")}) or an " +
+            "equality on one partition column — the shapes the manifest/" +
+            "layout target without planning untouched files; got: " +
+            filters.mkString(", "))
+      }
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

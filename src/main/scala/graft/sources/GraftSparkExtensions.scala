@@ -12,13 +12,14 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-/** SQL `MERGE INTO` for `graft.`-catalog tables — the statement surface of
-  * [[Layout.mergeKeyed]]'s manifest-targeted copy-on-write upsert. Spark
-  * only executes MERGE against tables implementing full row-level-operation
-  * plumbing; this extension instead rewrites the analyzed [[MergeIntoTable]]
-  * into a command that calls the engine's own COW machinery — keeping its
-  * scale contract (a file is rewritten only if some delta key falls inside
-  * its [min, max]; pure inserts append; untouched files are never planned)
+/** SQL `MERGE INTO` and `UPDATE` for `graft.`-catalog tables — the
+  * statement surface of [[Layout.mergeKeyed]]'s manifest-targeted
+  * copy-on-write upsert. Spark only executes these against tables
+  * implementing full row-level-operation plumbing; this extension instead
+  * rewrites the analyzed [[MergeIntoTable]] / [[UpdateTable]] into a
+  * command that calls the engine's own COW machinery — keeping its scale
+  * contract (a file is rewritten only if some delta key falls inside its
+  * [min, max]; pure inserts append; untouched files are never planned)
   * that a generic group-based rewrite would forfeit.
   *
   * Enabled by [[graft.GraftExtensions]] at session build:
@@ -48,7 +49,53 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           rewrite(m, r, r.table.asInstanceOf[GraftMutableTable])
         case _ => m
       }
+    case u @ UpdateTable(table, assignments, condition) if u.childrenResolved &&
+        assignments.forall(_.resolved) && condition.forall(_.resolved) =>
+      EliminateSubqueryAliases(table) match {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftMutableTable] =>
+          rewriteUpdate(r, r.table.asInstanceOf[GraftMutableTable],
+            assignments, condition)
+        case _ => u
+      }
     case other => other
+  }
+
+  /** SQL `UPDATE t SET ... WHERE ...` as a read-modify-write through the
+    * SAME keyed COW upsert: the delta is the matched rows with assignments
+    * applied (computed over the snapshot-pinned relation — copy-on-write
+    * isolation by construction), then [[Layout.mergeKeyed]] replaces them
+    * in place. The merge key must not be assigned (changing a key is a
+    * delete+insert, not an update — fail typed, never silently duplicate).
+    * The read side is one pushed-filter scan; the write side rewrites only
+    * the files whose key range contains an updated key.
+    */
+  private def rewriteUpdate(r: DataSourceV2Relation, tbl: GraftMutableTable,
+                            assignments: Seq[Assignment],
+                            condition: Option[Expression]): LogicalPlan = {
+    val keys = graft.ops.Manifest.currentKeyCols(spark, tbl.tableRoot)
+      .getOrElse(fail(s"UPDATE on ${tbl.tableRoot} needs a manifest snapshot"))
+    val keyCol = keys.head
+    val assignByName = assignments.map { a =>
+      val name = a.key match {
+        case ar: AttributeReference => ar.name
+        case other => fail(s"assignment target must be a column, got ${other.sql}")
+      }
+      if (name == keyCol)
+        fail(s"UPDATE must not assign the merge key `$keyCol` — a key change " +
+          "is a DELETE + INSERT, not an in-place update")
+      name -> a.value
+    }.toMap
+    val exprs = r.output.map { tc =>
+      assignByName.get(tc.name) match {
+        case None => tc
+        case Some(e) =>
+          val cast = if (e.dataType == tc.dataType) e
+            else Cast(e, tc.dataType, Some(conf.sessionLocalTimeZone))
+          Alias(cast, tc.name)()
+      }
+    }
+    val matched = condition.fold(r: LogicalPlan)(c => Filter(c, r))
+    GraftMergeIntoCommand(tbl.tableRoot, keyCol, Project(exprs, matched))
   }
 
   private def fail(why: String): Nothing =

@@ -415,6 +415,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(sCount == 1, s"slave scanned $sCount times; expected 1\n${scans.mkString("\n")}")
   }
 
+  test("partition-drop DELETE (partCol = v) is pure metadata: zero data-file scans") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val stage = tmpDir("pa_partdrop") + "/docs"
+    spark.range(0L, 2000L).selectExpr(
+      "concat('l', CAST(id DIV 500 AS INT)) AS lang",
+      "(id DIV 500) * 1000 + (id % 500) AS doc_id",
+      "concat('payload_', id) AS payload")
+      .repartitionByRange(8, col("doc_id"))
+      .write.partitionBy("lang").parquet(stage)
+    graft.ops.Manifest.create(spark, stage, "doc_id")
+    val scans = scanPathsDuring {
+      spark.sql(s"DELETE FROM graft.`$stage` WHERE lang = 'l2'")
+    }
+    val data = scans.filter(p => p.contains(stage) && !p.contains("_graft_manifest"))
+    assert(data.isEmpty,
+      s"a whole-partition drop must not scan any data file\n${scans.mkString("\n")}")
+    assert(spark.read.parquet(stage).count() == 1500L)
+  }
+
   test("SQL DELETE FROM plans only manifest-picked + newly-staged files (untouched files never plan)") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     val stage = tmpDir("pa_sqldel") + "/documents"

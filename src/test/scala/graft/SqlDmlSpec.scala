@@ -126,6 +126,65 @@ class SqlDmlSpec extends SparkSpec {
     assert(fp(spark.read.parquet(dir)) == expected, "idempotent re-merge")
   }
 
+  test("UPDATE: in-place read-modify-write through the keyed COW upsert") {
+    val dir = stage("dml_update")
+    val expected = fp(spark.read.parquet(dir).withColumn("n_chars",
+        when(col("doc_id").between(10L, 19L), col("n_chars") + 1000L)
+          .otherwise(col("n_chars")))
+      .withColumn("source",
+        when(col("doc_id").between(10L, 19L), lit("upd"))
+          .otherwise(col("source"))))
+    val res = spark.sql(s"UPDATE graft.`$dir` " +
+      "SET n_chars = n_chars + 1000, source = 'upd' " +
+      "WHERE doc_id BETWEEN 10 AND 19").collect()
+    assert(res.head.getLong(res.head.fieldIndex("rows_updated")) == 10L &&
+      res.head.getLong(res.head.fieldIndex("rows_inserted")) == 0L)
+    assert(fp(spark.read.parquet(dir)) == expected)
+    assert(Manifest.isComplete(spark, dir))
+    // Assigning the merge key is refused typed (a key change is not an update).
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"UPDATE graft.`$dir` SET doc_id = doc_id + 1 WHERE doc_id = 3")
+    }
+  }
+
+  test("DELETE FROM on a partition-column equality: whole-partition drop, pure metadata") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = tmpDir("dml_partdrop") + "/docs"
+    spark.range(0L, 2000L).selectExpr(
+      "concat('l', CAST(id DIV 500 AS INT)) AS lang",
+      "(id DIV 500) * 1000 + (id % 500) AS doc_id",
+      "concat('payload_', id) AS payload")
+      .repartitionByRange(8, col("doc_id"))
+      .write.partitionBy("lang").parquet(dir)
+    val preId = Manifest.create(spark, dir, "doc_id")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // Untouched-partition evidence: exact (path, mtime) outside lang=l1
+    // must survive bit-for-bit (a metadata drop renames ONLY l1's files).
+    def stamps(): Map[String, Long] = {
+      val out = Map.newBuilder[String, Long]
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      while (it.hasNext) {
+        val f = it.next()
+        val p = f.getPath.toUri.getPath
+        if (f.getPath.getName.startsWith("part-") && !p.contains("_graft") &&
+            !p.contains("lang=l1"))
+          out += p -> f.getModificationTime
+      }
+      out.result()
+    }
+    val before = stamps()
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE lang = 'l1'")
+    assert(stamps() == before, "untouched partitions must not be touched")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 1500L)
+    assert(after.filter(col("lang") === "l1").count() == 0L)
+    assert(Manifest.isComplete(spark, dir))
+    // History: the pre-drop snapshot still reads l1 through the trash.
+    assert(Manifest.readAsOf(spark, dir, preId)
+      .filter(col("lang") === "l1").count() == 500L)
+  }
+
   test("MERGE INTO: unsupported shapes are refused typed at analysis") {
     val dir = stage("dml_merge_bad")
     import spark.implicits._
