@@ -295,6 +295,41 @@ object Manifest {
       basedOn = Some(based))
   }
 
+  /** Create an EMPTY manifested table: snapshot-1 carries zero file rows,
+    * the recorded schema, and the stats columns for `keyCols` — the
+    * bootstrap for `CREATE TABLE` through the SQL catalog (data then
+    * arrives via appends, each refreshed incrementally). Key-column types
+    * are validated against `schema` NOW, so an unprofilable key fails at
+    * CREATE time, not at first insert. Refuses a dir that already holds
+    * data or a manifest (CREATE must not adopt foreign files silently).
+    */
+  def createEmpty(spark: SparkSession, table: String, schema: StructType,
+                  keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    keyCols.foreach { c =>
+      require(schema.fieldNames.contains(c), s"no such column: $c")
+      statCol(c, schema(c).dataType): Unit // type guard — throws on unsupported
+    }
+    val fs = fsOf(spark, table)
+    val p = new Path(table)
+    if (fs.exists(p)) {
+      require(!FsMaint.hasDataFiles(fs, p),
+        s"createEmpty($table): the directory already holds data files — " +
+          "profile them with Manifest.create instead")
+      require(latestId(spark, table).isEmpty,
+        s"createEmpty($table): a manifest already exists")
+    } else fs.mkdirs(p)
+    val statSchema = StructType(
+      StructField("file", StringType) +:
+        keyCols.flatMap(c => Seq(
+          StructField(s"min_$c", LongType), StructField(s"max_$c", LongType),
+          StructField(s"cnt_$c", LongType))) :+
+        StructField("n_rows", LongType))
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), statSchema)
+    commitSnapshot(spark, table, empty, Some(schema), basedOn = Some(0))
+  }
+
   /** [[create]] plus per-file BLOOM FILTERS on `bloomCols` (⊆ `keyCols`) —
     * the skipping index for POINT LOOKUPS on a key the layout is NOT
     * clustered by: min/max stats on such a key span ~the whole domain in

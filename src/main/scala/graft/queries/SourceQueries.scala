@@ -774,6 +774,45 @@ object SourceQueries {
                    Seq("doc_id", "text", "lang", "n_chars"),
                    "(SELECT doc_id, text, lang, n_chars FROM documents) t")})""".stripMargin)),
 
+    // ---- SQL DDL lifecycle: CREATE TABLE ... AS SELECT bootstraps an
+    //      EMPTY manifested table (snapshot 1: zero file rows, recorded
+    //      schema, stats keys from TBLPROPERTIES('graft.keys')), the CTAS
+    //      SELECT and a later INSERT land as incremental snapshots, DELETE
+    //      targets via the manifest, DROP TABLE removes the managed dir
+    //      under the table lock. One snapshot per commit (dense ids) is the
+    //      structural gate; the fingerprint is computed BEFORE the drop.
+    Q("sql_ctas_lifecycle",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val stage = java.nio.file.Files.createTempDirectory("graft_ctas").toString + "/created"
+        val docs = T(s, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView("ctas_src_even")
+        docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView("ctas_src_odd")
+        s.sql(s"CREATE TABLE graft.`$stage` TBLPROPERTIES('graft.keys'='doc_id') " +
+          "AS SELECT * FROM ctas_src_even")
+        s.sql(s"INSERT INTO graft.`$stage` SELECT * FROM ctas_src_odd")
+        s.sql(s"DELETE FROM graft.`$stage` " +
+          s"WHERE doc_id BETWEEN ${maxId / 4} AND ${maxId / 2}")
+        val fpRow = graft.functions.Hashing.multisetFingerprintAgg(
+          s.read.parquet(stage), docCols).head()
+        val denseSnapshots =
+          graft.ops.Manifest.latestSnapshotId(s, stage).contains(4)
+        s.sql(s"DROP TABLE graft.`$stage`")
+        val dropped = !new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .exists(new org.apache.hadoop.fs.Path(stage))
+        import s.implicits._
+        Seq((fpRow.getString(0), fpRow.getLong(1), denseSnapshots, dropped))
+          .toDF("fingerprint", "n_rows", "snapshot_per_commit", "dropped")
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) AS mx FROM documents)
+               |SELECT *, true AS snapshot_per_commit, true AS dropped FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"),
+                   "(SELECT d.* FROM documents d, b WHERE d.doc_id NOT BETWEEN b.mx // 4 AND b.mx // 2) t")})""".stripMargin)),
+
     // ---- the WRITABLE SQL surface, end to end: DELETE FROM (manifest-
     //      targeted COW via SupportsDelete), MERGE INTO (keyed whole-row
     //      upsert via the extension rule), INSERT INTO (appended files +

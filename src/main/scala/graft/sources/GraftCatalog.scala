@@ -117,16 +117,62 @@ final class GraftCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft catalog is read-only: $op goes through the engine APIs " +
-        "(Layout.deleteRange/mergeKeyed, Manifest.create*), never SQL DDL")
+      s"graft catalog does not support $op — use the engine APIs " +
+        "(Layout rewrites, Manifest.create*) for layout/profile changes")
 
+  /** `CREATE TABLE graft.`/dir`` (incl. CTAS): bootstraps an EMPTY
+    * manifested table ([[Manifest.createEmpty]] — zero file rows, recorded
+    * schema, stats columns validated NOW). The stats key columns come from
+    * the REQUIRED table property `graft.keys` (comma-separated) — the
+    * manifest is what makes every later DML statement targeted, so a table
+    * without keys would be a trap. CTAS's SELECT then lands as an ordinary
+    * INSERT (appended files + incremental snapshot). Hive-partitioned
+    * CREATE is not wired (partition via `Layout.partitionByColumn` after
+    * load).
+    */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+                           properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft CREATE TABLE does not take PARTITIONED BY — load flat, then " +
+        "Layout.partitionByColumn (the layout is a rewrite concern, not DDL)")
+    val keys = Option(properties.get("graft.keys")).map(_.trim).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft CREATE TABLE requires TBLPROPERTIES('graft.keys'='<col>[,<col>…]') " +
+          "— the manifest stats keys that make DML statements targeted"))
+      .split(',').map(_.trim).toSeq
+    val spark = SparkSession.active
+    val path = pathOf(ident)
+    Manifest.createEmpty(spark, path, schema, keys)
+    loadTable(ident)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+
+  /** `DROP TABLE graft.`/dir``: removes the table DIRECTORY (data +
+    * manifest + retained trash) under the table lock — refuses typed while
+    * a COW/rewrite swap window is open, and only drops graft-MANAGED dirs
+    * (a manifest must exist; dropping an arbitrary parquet dir through the
+    * catalog would be an unguarded filesystem delete).
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val spark = SparkSession.active
+    val path = pathOf(ident)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return false
+    if (Manifest.latestSnapshotId(spark, path).isEmpty)
+      throw new IllegalArgumentException(
+        s"DROP TABLE graft.`$path` refused: no manifest — not a graft-managed " +
+          "table (delete the directory explicitly if that is really intended)")
+    graft.ops.FsMaint.withTableLock(fs, path) {
+      graft.ops.FsMaint.deleteRecursively(fs,
+        new org.apache.hadoop.fs.Path(path))
+    }
+    true
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
 }

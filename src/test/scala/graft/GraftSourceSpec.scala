@@ -105,9 +105,10 @@ class GraftSourceSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT count(*) AS n FROM graft.`$dir` VERSION AS OF $id1 " +
         "WHERE doc_id < 50").head().getLong(0) == 50L)
-    // writes are refused loudly
+    // unsupported DDL is refused loudly (DROP/CREATE/DML are wired; RENAME
+    // and ALTER are layout/profile concerns, not SQL DDL)
     intercept[Exception] {
-      spark.sql(s"DROP TABLE graft.`$dir`")
+      spark.sql(s"ALTER TABLE graft.`$dir` RENAME TO graft.`${dir}2`")
     }
     // a timestamp before any retained commit fails typed
     intercept[Exception] {

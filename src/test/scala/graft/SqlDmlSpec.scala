@@ -185,6 +185,37 @@ class SqlDmlSpec extends SparkSpec {
       .filter(col("lang") === "l1").count() == 500L)
   }
 
+  test("CREATE TABLE AS SELECT + DROP TABLE: full SQL lifecycle over the manifested format") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = tmpDir("dml_ctas") + "/created"
+    spark.read.parquet(s"$sf001/documents.parquet").limit(200)
+      .createOrReplaceTempView("dml_ctas_src")
+    spark.sql(s"CREATE TABLE graft.`$dir` TBLPROPERTIES('graft.keys'='doc_id') " +
+      "AS SELECT * FROM dml_ctas_src")
+    // The created table is manifested (snapshot per commit: 1 = empty
+    // bootstrap, 2 = the CTAS insert) and immediately DML-able.
+    assert(Manifest.currentKeyCols(spark, dir).contains(Seq("doc_id")))
+    assert(Manifest.latestSnapshotId(spark, dir).contains(2))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`").head().getLong(0) == 200L)
+    assert(fp(spark.read.parquet(dir)) == fp(spark.table("dml_ctas_src")))
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id < 50")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`").head().getLong(0) ==
+      spark.table("dml_ctas_src").filter(col("doc_id") >= 50L).count())
+    // CREATE without keys is refused typed; DROP removes the directory.
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`${dir}_nokeys` (id BIGINT) ")
+    }
+    spark.sql(s"DROP TABLE graft.`$dir`")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    // Dropping an unmanaged dir through the catalog is refused typed.
+    val plain = tmpDir("dml_ctas_plain") + "/plain"
+    spark.read.parquet(s"$sf001/documents.parquet").limit(5).write.parquet(plain)
+    intercept[Exception] { spark.sql(s"DROP TABLE graft.`$plain`") }
+    assert(fs.exists(new org.apache.hadoop.fs.Path(plain)))
+  }
+
   test("MERGE INTO: unsupported shapes are refused typed at analysis") {
     val dir = stage("dml_merge_bad")
     import spark.implicits._
