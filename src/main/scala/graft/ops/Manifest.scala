@@ -675,6 +675,16 @@ object Manifest {
         s"cannot drop `$k`: it is a manifest stats key column " +
           s"(${keys.mkString(", ")}) — re-profile the table first")
     }
+    // Bloom columns are index-bearing too (a string bloom column is NOT a
+    // stats key): dropping one would leave sketches probing a column the
+    // pinned read schema no longer surfaces.
+    val bloomCols = spark.read.parquet(s"${root(table)}/snapshot-$id")
+      .schema.fieldNames.toSeq.collect { case f if f.startsWith("bloom_") => f.drop(6) }
+    dropped.find(bloomCols.contains).foreach { k =>
+      throw new IllegalArgumentException(
+        s"cannot drop `$k`: the snapshot carries a bloom index on it " +
+          s"(${bloomCols.mkString(", ")}) — re-profile without the bloom first")
+    }
     // Metadata-only commit: the latest snapshot's stats rows carried
     // verbatim (parquet files untouched), new schema recorded alongside.
     commitSnapshot(spark, table,
@@ -767,8 +777,8 @@ object Manifest {
     */
   private[ops] def requireComplete(spark: SparkSession, table: String): Unit = {
     val listed = dataFilePaths(fsOf(spark, table), new Path(table))
-    val snap = files(spark, table).select("file").collect()
-      .map(r => decodePath(r.getString(0)).toUri.getPath).toSet
+    val snap = plannedPaths(files(spark, table).select("file"), table,
+      "completeness check").map(p => decodePath(p).toUri.getPath).toSet
     val vanished = snap -- listed.keySet
     if (vanished.nonEmpty)
       throw new StaleManifestException(
@@ -1516,10 +1526,11 @@ object Manifest {
     val ids = snapshotIds(spark, table)
     val referenced =
       if (ids.isEmpty) Set.empty[String]
-      else spark.read
+      else plannedPaths(spark.read
         .schema(StructType(Seq(StructField("file", StringType))))
-        .parquet(ids.map(id => s"${root(table)}/snapshot-$id"): _*)
-        .collect().map(r => relativeTo(table, decodePath(r.getString(0)))).toSet
+        .parquet(ids.map(id => s"${root(table)}/snapshot-$id"): _*),
+        table, "vacuum reachability")
+        .map(p => relativeTo(table, decodePath(p))).toSet
     var n = 0
     val doomed = FsMaint.listRelative(fs, t)(_ => true)
       .collect { case (rel, st) if !referenced(rel) => st.getPath }
