@@ -105,11 +105,17 @@ object Bench {
       val base = run("git", "log", "-E", "--grep=^round [0-9]+:",
         "--format=%H", "-1").trim
       if (base.isEmpty) None
-      else Some(
-        run("git", "diff", "--name-only", base, "HEAD").linesIterator
-          .map(_.trim).filter(_.nonEmpty).toSet ++
-        run("git", "status", "--porcelain").linesIterator
-          .map(_.drop(3).trim).filter(_.nonEmpty).toSet)
+      else {
+        val committed = run("git", "diff", "--name-only", base, "HEAD")
+          .linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+        // Porcelain entries: renames carry BOTH paths ("R  a -> b"); an
+        // untracked DIRECTORY ("?? dir/") hides its files — fail CLOSED
+        // (disable tightening) rather than classify its queries untouched.
+        val working = run("git", "status", "--porcelain").linesIterator
+          .map(_.drop(3).trim).filter(_.nonEmpty).toSeq
+        if (working.exists(_.endsWith("/"))) None
+        else Some(committed ++ working.flatMap(_.split(" -> ").map(_.trim)))
+      }
     } catch { case _: Throwable => None }
 
   /** Queries whose code path is provably UNTOUCHED this round — their
@@ -125,13 +131,18 @@ object Bench {
                           names: Seq[String]): Set[String] = diff match {
     case None => Set.empty
     case Some(d) =>
+      val defining = graft.queries.Registry.definingFile
+      // "Shared" = any main source that is NOT one of the known per-group
+      // query files — including queries/Registry.scala (execution helpers
+      // every query body uses) and any future queries file absent from the
+      // definingFile map. Touching shared code disables tightening wholesale.
+      val groupFiles = defining.values.toSet
       val sharedTouched = d.exists(f => f.startsWith("src/main/") &&
-        !f.startsWith("src/main/scala/graft/queries/"))
+        !groupFiles.contains(f))
       if (sharedTouched) Set.empty
-      else {
-        val defining = graft.queries.Registry.definingFile
-        names.filterNot(n => defining.get(n).exists(d.contains)).toSet
-      }
+      else // fail CLOSED for unmapped names: only a query whose defining
+           // file is KNOWN and untouched earns the tight trigger
+        names.filter(n => defining.get(n).exists(f => !d.contains(f))).toSet
   }
 
   /** Per-query reference bounds, CALIB-NORMALIZED: each artifact's times

@@ -115,15 +115,21 @@ private[graft] object FsMaint {
     } else if (fs.exists(old)) {
       // Forward-complete the carry: metadata still inside __old means the
       // crash hit between the swap and swapIn's carry loop.
+      // Every move here THROWS on a failed rename: the unconditional
+      // deleteRecursively(old) below would otherwise destroy exactly the
+      // files this branch exists to preserve.
       Seq("_graft_manifest", "_graft_trash").foreach { name =>
         val src = new Path(old, name)
         val dst = new Path(dir, name)
         if (fs.exists(src)) {
-          if (!fs.exists(dst)) { fs.rename(src, dst): Unit }
-          else listRelative(fs, src)(_ => true).foreach { case (rel, st) =>
+          if (!fs.exists(dst)) {
+            if (!fs.rename(src, dst))
+              throw new java.io.IOException(s"swap heal: failed to carry $name")
+          } else listRelative(fs, src)(_ => true).foreach { case (rel, st) =>
             val d = new Path(dst, rel)
             fs.mkdirs(d.getParent)
-            if (!fs.exists(d)) { fs.rename(st.getPath, d): Unit }
+            if (!fs.exists(d) && !fs.rename(st.getPath, d))
+              throw new java.io.IOException(s"swap heal: failed to merge $name/$rel")
           }
         }
       }
@@ -136,7 +142,8 @@ private[graft] object FsMaint {
             !underHiddenDir(old, f.getPath)).foreach { case (rel, st) =>
           val d = new Path(trash, rel)
           fs.mkdirs(d.getParent)
-          if (!fs.exists(d)) { fs.rename(st.getPath, d): Unit }
+          if (!fs.exists(d) && !fs.rename(st.getPath, d))
+            throw new java.io.IOException(s"swap heal: failed to salvage $rel")
         }
       }
       deleteRecursively(fs, old)

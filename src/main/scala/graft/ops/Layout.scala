@@ -711,6 +711,11 @@ object Layout {
     if (nDelta == 0) return MergeResult(0, total, 0L, 0L)
     require(delta.select(keyCol).distinct().count() == nDelta,
       s"delta has duplicate $keyCol values — replace would be ambiguous")
+    // NULL delta keys are legitimate MERGE inserts (a NULL key matches no
+    // row, so the row lands as an insert and NULL-keyed table rows are
+    // never replaced) — but see [[graft.sources.GraftMergeIntoCommand]]:
+    // the UPDATE rewrite must refuse them (an updated null-key row would
+    // duplicate instead of replace).
     val deltaKeys = delta.select(orderedLong(keyCol, delta).as("__k"))
     val picked = f.join(broadcast(deltaKeys),
         col("__k").between(col(s"min_$keyCol"), col(s"max_$keyCol")), "left_semi")
@@ -738,6 +743,16 @@ object Layout {
     val kPicked = orderedLong(keyCol, pickedDf)
     val matched = pickedDf
       .join(broadcast(deltaKeys), kPicked === col("__k"), "left_semi").count()
+    // The table must be key-unique over the matched keys (the sync engine's
+    // PK convention): replacing "all rows with key k" by ONE delta row
+    // would silently DELETE a duplicate's sibling. Verified on exactly the
+    // picked files (one extra key-column aggregate), not trusted.
+    val matchedKeys = deltaKeys
+      .join(pickedDf.select(kPicked.as("__k")), Seq("__k"), "left_semi").count()
+    require(matched == matchedKeys,
+      s"mergeKeyed($path): $keyCol is not unique among matched rows " +
+        s"($matched rows match $matchedKeys keys) — a keyed replace would " +
+        "silently drop duplicate-key siblings; dedup the table first")
     val survivors = pickedDf
       .join(broadcast(deltaKeys), kPicked === col("__k"), "left_anti")
       .unionByName(delta)
@@ -782,12 +797,20 @@ object Layout {
           .escapePathName(value)
       val f = Manifest.files(spark, path)
       val total = f.count().toInt
-      val pickedRows = f.select(col("file"), col("n_rows")).collect().filter { r =>
-        Manifest.relativeTo(path, Manifest.decodePath(r.getString(0)))
-          .split('/').dropRight(1).contains(seg)
-      }
+      // The segment match runs WHERE THE ROWS LIVE (a Dataset filter over
+      // the snapshot frame) — the driver receives only the PICKED
+      // partition's rows, never the table's file list (the same
+      // only-the-final-list discipline as Manifest.plannedPaths).
+      import spark.implicits._
+      val tablePath = path
+      val segMatch = seg
+      val pickedRows = f.select(col("file"), col("n_rows")).as[(String, Long)]
+        .filter { case (p, _) =>
+          Manifest.relativeTo(tablePath, Manifest.decodePath(p))
+            .split('/').dropRight(1).contains(segMatch)
+        }.collect()
       if (pickedRows.isEmpty) return DeleteResult(0, total, 0L)
-      val picked = pickedRows.map(_.getString(0)).toIndexedSeq
+      val picked = pickedRows.map(_._1).toIndexedSeq
       val doomed = picked.map(p => Manifest.relativeTo(path, Manifest.decodePath(p)))
       // Journaled like the partitioned COW commit (D entries only, no
       // staged survivors) — a crash at any point forward-completes.
@@ -802,7 +825,7 @@ object Layout {
       movePartitionedCommit(fs, path, path + PartStageSuffix, doomed, Nil)
       Manifest.commitReplaced(spark, path, keys, picked.toSet, Nil)
       fs.delete(journal, false): Unit
-      DeleteResult(picked.length, total, pickedRows.map(_.getLong(1)).sum)
+      DeleteResult(picked.length, total, pickedRows.map(_._2).sum)
     }
   }
 
@@ -827,8 +850,22 @@ object Layout {
         throw new IllegalArgumentException(
           s"append($path) needs a manifest snapshot (Manifest.create) — " +
             "the incremental refresh is keyed on its stats columns"))
-      val n = data.count()
-      if (n == 0) return 0L
+      // Additive-evolution gate BEFORE any file lands: an incompatible
+      // insert must leave NOTHING behind (orphan ill-typed parquet files
+      // would wedge every later append on the same merge error and leak
+      // into direct reads).
+      val latest = Manifest.latestSnapshotId(spark, path).get
+      Manifest.storedSchema(spark, path, latest)
+        .foreach(old => Manifest.mergeAdditive(old, data.schema): Unit)
+      if (data.isEmpty) return 0L
+      def snapshotRows(): Long =
+        Manifest.files(spark, path)
+          .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+      val rowsBefore = snapshotRows()
+      // ONE execution of the incoming query (the write); the appended row
+      // count comes from the snapshot's METADATA diff — exact even for
+      // non-deterministic sources, where a separate count() would run the
+      // query twice and report rows that were never written.
       if (isHivePartitioned(fs, path)) {
         val f = Manifest.files(spark, path)
         val pCols = f.select("file").limit(1).collect().headOption
@@ -838,7 +875,7 @@ object Layout {
         data.write.mode("append").partitionBy(pCols: _*).parquet(path)
       } else data.write.mode("append").parquet(path)
       Manifest.createIncremental(spark, path, keys: _*)
-      n
+      snapshotRows() - rowsBefore
     }
   }
 

@@ -1482,8 +1482,15 @@ object Manifest {
       resolveForRead(spark, table, removed, useTrash = true), schema)
     val after = readFiles(spark, table,
       resolveForRead(spark, table, added, useTrash = true), schema)
-    before.exceptAll(after).withColumn("change", lit("delete"))
-      .unionByName(after.exceptAll(before).withColumn("change", lit("insert")))
+    // One-sided fast paths: exceptAll against an empty side is the
+    // identity, and the two exceptAll aggregations are the feed's only
+    // shuffles — a pure APPEND diff (the streaming source's every
+    // micro-batch) becomes a zero-shuffle tagged scan of the added files.
+    if (removed.isEmpty) after.withColumn("change", lit("insert"))
+    else if (added.isEmpty) before.withColumn("change", lit("delete"))
+    else
+      before.exceptAll(after).withColumn("change", lit("delete"))
+        .unionByName(after.exceptAll(before).withColumn("change", lit("insert")))
   }
 
   /** Reclaim retained history: delete every trash file no RETAINED

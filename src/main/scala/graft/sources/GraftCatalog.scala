@@ -169,6 +169,15 @@ final class GraftCatalog extends TableCatalog {
     graft.ops.FsMaint.withTableLock(fs, path) {
       graft.ops.FsMaint.deleteRecursively(fs,
         new org.apache.hadoop.fs.Path(path))
+      // Sibling coordination state MUST die with the table: a crashed
+      // rewrite's `__old` / COW journals / staging dirs left beside the
+      // path would otherwise be "healed" INTO a future CREATE TABLE at the
+      // same path (recoverSwap would merge the dead table's snapshots and
+      // salvage its data files into the new table).
+      Seq("__old", "__compacting", "__delnew", "__delold", "__deleting",
+        "__deleting__tmp", "__delnewp", "__deletingp", "__deletingp__tmp")
+        .foreach(sfx => graft.ops.FsMaint.deleteRecursively(fs,
+          new org.apache.hadoop.fs.Path(path + sfx)))
     }
     true
   }

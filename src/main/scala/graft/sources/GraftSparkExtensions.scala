@@ -95,7 +95,8 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
     val matched = condition.fold(r: LogicalPlan)(c => Filter(c, r))
-    GraftMergeIntoCommand(tbl.tableRoot, keyCol, Project(exprs, matched))
+    GraftMergeIntoCommand(tbl.tableRoot, keyCol, Project(exprs, matched),
+      refuseNullKeys = true)
   }
 
   private def fail(why: String): Nothing =
@@ -199,7 +200,8 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * the Scala API call). Returns the merge outcome as the statement result.
   */
 final case class GraftMergeIntoCommand(path: String, keyCol: String,
-                                       query: LogicalPlan)
+                                       query: LogicalPlan,
+                                       refuseNullKeys: Boolean = false)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
@@ -212,6 +214,19 @@ final case class GraftMergeIntoCommand(path: String, keyCol: String,
 
   override def run(session: SparkSession): Seq[Row] = {
     val delta = ColumnShim.ofRows(session, query)
+    // UPDATE only (refuseNullKeys): a matched row with a NULL merge key
+    // cannot be REPLACED by the keyed upsert (NULL joins nothing — the
+    // original would survive AND the updated copy would append: silent
+    // duplication). MERGE keeps NULL-key source rows: they are legitimate
+    // "not matched" inserts under SQL MERGE semantics.
+    if (refuseNullKeys) {
+      val nNull = delta.filter(
+        org.apache.spark.sql.functions.col(keyCol).isNull).count()
+      if (nNull > 0) throw new IllegalArgumentException(
+        s"UPDATE on $path matches $nNull row(s) with a NULL merge key " +
+          s"`$keyCol` — a keyed upsert cannot replace them in place; " +
+          "route null-key rows through a rewrite instead")
+    }
     val res = Layout.mergeKeyed(session, path, keyCol, delta)
     Seq(Row(res.filesRewritten, res.filesTotal, res.rowsUpdated, res.rowsInserted))
   }

@@ -205,15 +205,76 @@ class SqlDmlSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"CREATE TABLE graft.`${dir}_nokeys` (id BIGINT) ")
     }
-    spark.sql(s"DROP TABLE graft.`$dir`")
+    // Sibling coordination junk (a crashed rewrite's __old) must die with
+    // the table — a future CREATE at the same path must not inherit it.
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "__old"))
+    spark.sql(s"DROP TABLE graft.`$dir`")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__old")),
+      "DROP TABLE must remove sibling coordination state")
     // Dropping an unmanaged dir through the catalog is refused typed.
     val plain = tmpDir("dml_ctas_plain") + "/plain"
     spark.read.parquet(s"$sf001/documents.parquet").limit(5).write.parquet(plain)
     intercept[Exception] { spark.sql(s"DROP TABLE graft.`$plain`") }
     assert(fs.exists(new org.apache.hadoop.fs.Path(plain)))
+  }
+
+  test("NULL and duplicate merge keys: refused typed, never silent loss or duplication") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = tmpDir("dml_nullkey") + "/docs"
+    import spark.implicits._
+    // One NULL-key row and one duplicated key among normal rows.
+    (Seq((java.lang.Long.valueOf(1L), "a"), (java.lang.Long.valueOf(2L), "b"),
+      (null.asInstanceOf[java.lang.Long], "nullkey"))
+      .toDF("doc_id", "payload")).repartition(2).write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    // DELETE range: the NULL-key row is outside every range and SURVIVES
+    // (a bare NOT(between) would evaluate NULL and silently delete it).
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id BETWEEN 1 AND 1")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 2L)
+    assert(after.filter(col("doc_id").isNull).count() == 1L,
+      "NULL-key rows must survive a range delete")
+    // UPDATE matching the NULL-key row: refused typed (a keyed upsert
+    // cannot replace it — it would duplicate instead).
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$dir` SET payload = 'x' WHERE payload = 'nullkey'")
+    }
+    assert(e.getMessage.contains("NULL merge key"), e.getMessage)
+    // Duplicate-key table: mergeKeyed refuses rather than dropping siblings.
+    val dup = tmpDir("dml_dupkey") + "/docs"
+    Seq((7L, "first"), (7L, "second"), (8L, "other"))
+      .toDF("doc_id", "payload").repartition(1).write.parquet(dup)
+    Manifest.create(spark, dup, "doc_id")
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.mergeKeyed(spark, dup, "doc_id",
+        Seq((7L, "updated")).toDF("doc_id", "payload"))
+    }
+    assert(e2.getMessage.contains("not unique"), e2.getMessage)
+    assert(spark.read.parquet(dup).count() == 3L, "refused merge must touch nothing")
+  }
+
+  test("INSERT with an incompatible schema fails BEFORE any file lands (no orphan appends)") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = tmpDir("dml_badinsert") + "/docs"
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n").repartition(1).write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val filesBefore = graft.ops.FsMaint.dataFileCount(fs,
+      new org.apache.hadoop.fs.Path(dir))
+    // A non-widening type change through the engine API (SQL INSERT casts
+    // to the table schema, so drive the gate via Layout.append directly).
+    intercept[IllegalStateException] {
+      Layout.append(spark, dir, Seq((3L, "not-a-long")).toDF("doc_id", "n"))
+    }
+    assert(graft.ops.FsMaint.dataFileCount(fs,
+      new org.apache.hadoop.fs.Path(dir)) == filesBefore,
+      "a refused append must leave no orphan files")
+    assert(Manifest.isComplete(spark, dir))
   }
 
   test("MERGE INTO: unsupported shapes are refused typed at analysis") {
