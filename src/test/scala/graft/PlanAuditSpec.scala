@@ -415,6 +415,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(sCount == 1, s"slave scanned $sCount times; expected 1\n${scans.mkString("\n")}")
   }
 
+  test("catalog SELECT (v2 scan): filters pushed and columns pruned at the parquet reader") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val stage = tmpDir("pa_catscan") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartitionByRange(4, col("doc_id")).write.parquet(stage)
+    graft.ops.Manifest.create(spark, stage, "doc_id")
+    val df = spark.sql(
+      s"SELECT doc_id, n_chars FROM graft.`$stage` WHERE doc_id < 50")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") &&
+      (p.contains("LessThan(doc_id,50)") || p.contains("LessThan(doc_id")),
+      p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    assert(p.contains("ReadSchema") && !p.contains("text"),
+      "projection must prune the wide text column from the read schema:\n" +
+        p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
   test("partition-drop DELETE (partCol = v) is pure metadata: zero data-file scans") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     val stage = tmpDir("pa_partdrop") + "/docs"
