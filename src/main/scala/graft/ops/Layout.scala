@@ -690,7 +690,8 @@ object Layout {
     * serialized by the table lock.
     */
   def mergeKeyed(spark: SparkSession, path: String, keyCol: String,
-                 delta: org.apache.spark.sql.DataFrame): MergeResult = {
+                 delta: org.apache.spark.sql.DataFrame,
+                 refuseNullKeys: Boolean = false): MergeResult = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     // Same whole-op serialization as deleteRange — see its lock comment.
     FsMaint.withTableLock(fs, path) {
@@ -705,12 +706,26 @@ object Layout {
     // completeness, not just existence — see deleteRange: a file appended
     // after the snapshot could hold a matching key and yield a double-insert
     Manifest.requireComplete(spark, path)
-    val nDelta = delta.count()
+    // ONE job over the delta for its size, key-distinctness, and (for the
+    // UPDATE rewrite) NULL-key presence (grouping keeps NULL as one group —
+    // same contract as distinct()).
+    val dStats = delta.groupBy(col(keyCol)).count()
+      .agg(coalesce(sum("count"), lit(0L)), count(lit(1)),
+           coalesce(sum(when(col(keyCol).isNull, col("count"))), lit(0L))).head
+    val nDelta = dStats.getLong(0)
     val f = Manifest.files(spark, path)
     val total = f.count().toInt
     if (nDelta == 0) return MergeResult(0, total, 0L, 0L)
-    require(delta.select(keyCol).distinct().count() == nDelta,
+    require(dStats.getLong(1) == nDelta,
       s"delta has duplicate $keyCol values — replace would be ambiguous")
+    // SQL UPDATE only: a matched row with a NULL merge key cannot be
+    // REPLACED by the keyed upsert (NULL joins nothing — the original would
+    // survive AND the updated copy would append: silent duplication).
+    if (refuseNullKeys && dStats.getLong(2) > 0)
+      throw new IllegalArgumentException(
+        s"UPDATE on $path matches ${dStats.getLong(2)} row(s) with a NULL " +
+          s"merge key `$keyCol` — a keyed upsert cannot replace them in " +
+          "place; route null-key rows through a rewrite instead")
     // NULL delta keys are legitimate MERGE inserts (a NULL key matches no
     // row, so the row lands as an insert and NULL-keyed table rows are
     // never replaced) — but see [[graft.sources.GraftMergeIntoCommand]]:
@@ -741,14 +756,18 @@ object Layout {
     FsMaint.deleteRecursively(fs, new Path(stage))
     val pickedDf = readPickedPinned(spark, path, picked)
     val kPicked = orderedLong(keyCol, pickedDf)
-    val matched = pickedDf
-      .join(broadcast(deltaKeys), kPicked === col("__k"), "left_semi").count()
     // The table must be key-unique over the matched keys (the sync engine's
     // PK convention): replacing "all rows with key k" by ONE delta row
     // would silently DELETE a duplicate's sibling. Verified on exactly the
-    // picked files (one extra key-column aggregate), not trusted.
-    val matchedKeys = deltaKeys
-      .join(pickedDf.select(kPicked.as("__k")), Seq("__k"), "left_semi").count()
+    // picked files — fused with the matched-row count into ONE scan
+    // (group matched rows by key: sum of group sizes = matched rows,
+    // group count = matched keys).
+    val mStats = pickedDf
+      .join(broadcast(deltaKeys), kPicked === col("__k"), "left_semi")
+      .groupBy(kPicked.as("__k")).count()
+      .agg(coalesce(sum("count"), lit(0L)), count(lit(1))).head
+    val matched = mStats.getLong(0)
+    val matchedKeys = mStats.getLong(1)
     require(matched == matchedKeys,
       s"mergeKeyed($path): $keyCol is not unique among matched rows " +
         s"($matched rows match $matchedKeys keys) — a keyed replace would " +

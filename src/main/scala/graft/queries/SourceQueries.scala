@@ -886,6 +886,112 @@ object SourceQueries {
                |   WHERE f.doc_id BETWEEN b.mx // 2 + 1 AND (5 * b.mx) // 8)::BIGINT AS rows_updated2
                |FROM (
                |${Registry.duckMultisetFingerprint(
-                   Seq("doc_id", "text", "lang", "source", "n_chars"), "final2 t")})""".stripMargin))
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "final2 t")})""".stripMargin)),
+
+    // ---- SQL DDL schema evolution: ALTER TABLE ALTER COLUMN TYPE (widen),
+    //      DROP COLUMN, ADD COLUMN through the catalog — the statement
+    //      surface of Manifest.updateSchema's metadata-only evolution (the
+    //      Scala-API twin is manifest_schema_evolve_dw). A post-evolution
+    //      INSERT lands in the NEW shape; old files read NULL for the added
+    //      column and widen on decode. Gate: fingerprint over the evolved
+    //      shape ≡ DuckDB, structural flags (dropped gone / widened / as-of
+    //      old shape / zero files touched) all true.
+    Q("sql_alter_evolution",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{IntegerType, LongType}
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val stage = java.nio.file.Files.createTempDirectory("graft_sql_alter").toString + "/documents"
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("n_chars").cast("int").as("n_chars"),
+            lit("scratch").as("tmp_note"))
+        docs.filter(col("doc_id") % 2 === 0).repartition(3)
+          .write.mode("overwrite").parquet(stage)
+        val id1 = graft.ops.Manifest.create(s, stage, "doc_id")
+        val fs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val filesBefore = graft.ops.FsMaint.dataFileCount(fs,
+          new org.apache.hadoop.fs.Path(stage))
+        s.sql(s"ALTER TABLE graft.`$stage` ALTER COLUMN n_chars TYPE BIGINT")
+        s.sql(s"ALTER TABLE graft.`$stage` DROP COLUMN tmp_note")
+        s.sql(s"ALTER TABLE graft.`$stage` ADD COLUMN note STRING")
+        val metadataOnly = graft.ops.FsMaint.dataFileCount(fs,
+          new org.apache.hadoop.fs.Path(stage)) == filesBefore
+        docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("n_chars", col("n_chars").cast("long")).drop("tmp_note")
+          .withColumn("note", concat(lit("n"), col("doc_id")))
+          .createOrReplaceTempView("sql_alter_ins")
+        s.sql(s"INSERT INTO graft.`$stage` SELECT * FROM sql_alter_ins")
+        val latest = s.sql(s"SELECT * FROM graft.`$stage`")
+        val asOf1 = s.sql(s"SELECT * FROM graft.`$stage` VERSION AS OF $id1")
+        val evCols = Seq("doc_id", "text", "lang", "n_chars", "note")
+        graft.functions.Hashing.multisetFingerprintAgg(
+            latest.select(evCols.map(col): _*), evCols)
+          .withColumn("latest_dropped", lit(!latest.columns.contains("tmp_note")))
+          .withColumn("latest_widened",
+            lit(latest.schema("n_chars").dataType == LongType))
+          .withColumn("asof_old_shape", lit(asOf1.columns.contains("tmp_note") &&
+            asOf1.schema("n_chars").dataType == IntegerType))
+          .withColumn("metadata_only", lit(metadataOnly))
+      },
+      Some(s"""SELECT *, true AS latest_dropped, true AS latest_widened,
+               | true AS asof_old_shape, true AS metadata_only FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "n_chars", "note"),
+                   ("(SELECT doc_id, text, lang, n_chars, CASE WHEN doc_id % 2 = 1 " +
+                    "THEN 'n' || doc_id ELSE NULL END AS note FROM documents) t"))})""".stripMargin)),
+
+    // ---- SQL CALL surface: the table-maintenance jobs (compaction,
+    //      range re-clustering, snapshot expiry, vacuum) as engine-executed
+    //      statements over the graft catalog's `system` namespace — the
+    //      Iceberg-procedure posture on this format's journaled Layout/
+    //      Manifest jobs. Gate: content invariance (fingerprint through the
+    //      whole maintenance chain ≡ DuckDB over the untouched source) plus
+    //      exact structural outcomes — the compaction shrank the file
+    //      count, the re-cluster wrote exactly n_files, expiry dropped all
+    //      but the newest snapshot, vacuum freed every unreferenced
+    //      retained file (originals + the compacted intermediates).
+    Q("sql_call_maintenance",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val stage = java.nio.file.Files.createTempDirectory("graft_sql_call").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        docs.filter(col("doc_id") % 2 === 0).repartition(16)
+          .write.mode("overwrite").parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        docs.filter(col("doc_id") % 2 === 1).repartition(8)
+          .write.mode("append").parquet(stage)
+        graft.ops.Manifest.createIncremental(s, stage, "doc_id")
+        val fs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val filesBefore = graft.ops.FsMaint.dataFileCount(fs,
+          new org.apache.hadoop.fs.Path(stage))
+        val compacted = s.sql(
+          s"CALL graft.system.compact('$stage', 64)").head().getLong(0)
+        val clustered = s.sql(
+          s"CALL graft.system.cluster_range('$stage', 'doc_id', 4)").head().getLong(0)
+        val expired = s.sql(
+          s"CALL graft.system.expire_snapshots('$stage', 1)").head().getLong(0)
+        val vacuumed = s.sql(
+          s"CALL graft.system.vacuum('$stage')").head().getLong(0)
+        val filesAfter = graft.ops.FsMaint.dataFileCount(fs,
+          new org.apache.hadoop.fs.Path(stage))
+        graft.functions.Hashing.multisetFingerprintAgg(
+            s.sql(s"SELECT * FROM graft.`$stage`"), docCols)
+          .withColumn("compaction_shrank",
+            lit(compacted < filesBefore && filesAfter == clustered))
+          .withColumn("files_after", lit(filesAfter.toLong))
+          .withColumn("snapshots_expired", lit(expired))
+          // every pre-cluster file (the originals + the compaction's
+          // output) is unreferenced once only the clustered snapshot
+          // remains — vacuum must free exactly those
+          .withColumn("vacuum_exact", lit(vacuumed == filesBefore + compacted))
+      },
+      Some(s"""SELECT *, true AS compaction_shrank, 4::BIGINT AS files_after,
+               | 3::BIGINT AS snapshots_expired, true AS vacuum_exact FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"),
+                   "documents t")})""".stripMargin))
   )
 }

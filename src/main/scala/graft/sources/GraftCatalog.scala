@@ -30,7 +30,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * a feed has its own schema (the change tag), which is a read option, not
   * a catalog table.
   */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = "graft"
 
@@ -147,8 +147,62 @@ final class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+  /** `ALTER TABLE graft.`/dir`` ADD COLUMN / DROP COLUMN / ALTER COLUMN
+    * TYPE` — the statement surface of [[Manifest.updateSchema]]'s
+    * metadata-only schema evolution: ONE snapshot commit records the new
+    * schema (stats rows carried verbatim, zero data files touched), adds
+    * must be nullable, type changes must be reader-safe widenings, and
+    * key/bloom-bearing drops are refused — all enforced by the engine, so
+    * the SQL surface inherits exactly the library's contract. Time travel
+    * still returns each snapshot's own schema. Anything beyond
+    * add/drop/widen (renames, comments, property edits) fails typed.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val spark = SparkSession.active
+    val path = pathOf(ident)
+    val id = Manifest.latestSnapshotId(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER TABLE graft.`$path`: no manifest snapshot — not a " +
+          "graft-managed table"))
+    val old = Manifest.storedSchema(spark, path, id).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot-$id under $path predates schema recording — run " +
+          "Manifest.create once before ALTER TABLE"))
+    def topLevel(field: Array[String], what: String): String = {
+      require(field.length == 1,
+        s"ALTER TABLE $what on nested field `${field.mkString(".")}` is not " +
+          "supported — graft evolution is top-level columns only")
+      field.head
+    }
+    val evolved = changes.foldLeft(old) {
+      case (schema, a: TableChange.AddColumn) =>
+        val name = topLevel(a.fieldNames, "ADD COLUMN")
+        require(a.isNullable,
+          s"added column `$name` must be nullable — it is absent from " +
+            "every existing file and reads as NULL")
+        require(!schema.fieldNames.contains(name), s"column exists: $name")
+        schema.add(org.apache.spark.sql.types.StructField(
+          name, a.dataType, nullable = true))
+      case (schema, d: TableChange.DeleteColumn) =>
+        val name = topLevel(d.fieldNames, "DROP COLUMN")
+        require(schema.fieldNames.contains(name), s"no such column: $name")
+        StructType(schema.fields.filterNot(_.name == name))
+      case (schema, t: TableChange.UpdateColumnType) =>
+        val name = topLevel(t.fieldNames, "ALTER COLUMN TYPE")
+        require(schema.fieldNames.contains(name), s"no such column: $name")
+        StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = t.newDataType) else f))
+      case (_, other) =>
+        readOnly(s"ALTER TABLE ${other.getClass.getSimpleName} — only ADD " +
+          "COLUMN (nullable), DROP COLUMN, and ALTER COLUMN TYPE " +
+          "(widening) evolve without a rewrite")
+    }
+    // One metadata-only commit for the whole statement; updateSchema
+    // re-validates widenings and key/bloom-bearing drops against the
+    // LATEST snapshot under its own CAS.
+    Manifest.updateSchema(spark, path, evolved)
+    loadTable(ident)
+  }
 
   /** `DROP TABLE graft.`/dir``: removes the table DIRECTORY (data +
     * manifest + retained trash) under the table lock — refuses typed while
@@ -184,4 +238,12 @@ final class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
+
+  /** `CALL graft.system.<proc>(…)` — see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 }

@@ -1,0 +1,131 @@
+package graft.sources
+
+import graft.ops.{Layout, Manifest}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** SQL `CALL` surface for the engine's table-maintenance jobs — the
+  * Iceberg/Delta "stored procedure" posture on this table format, so the
+  * recurring layout work a 100 TB deployment schedules (compaction,
+  * re-clustering, history expiry) is reachable from an engine-executed
+  * statement, not only the Scala API (the same public-surface axis as the
+  * DML statements — the reference drives ALL its maintenance through
+  * executed statements, TableConnection.php:289-360):
+  *
+  * {{{
+  * CALL graft.system.compact('/data/docs', 128)        -- ≈128 MB files
+  * CALL graft.system.zorder('/data/docs', 'a,b', 16)
+  * CALL graft.system.cluster_range('/data/docs', 'k', 16)
+  * CALL graft.system.expire_snapshots('/data/docs', 3) -- keep newest 3
+  * CALL graft.system.vacuum('/data/docs')              -- drop expired trash
+  * }}}
+  *
+  * Each procedure is a thin binding onto the already-journaled engine job
+  * (table lock, crash heal, manifest refresh, history retention all live
+  * THERE — nothing is re-implemented on this surface), and returns its
+  * outcome as a one-row result set ([[LocalScan]]). Argument validation
+  * beyond typing (positive sizes, existing columns) is the engine's own.
+  */
+object GraftProcedures {
+
+  /** One procedure: unbound == bound (the signatures here are static — no
+    * overloads, nothing type-dependent to specialize at bind time).
+    */
+  private abstract class Proc(procName: String,
+                              params: (String, DataType)*)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String =
+      s"graft table-maintenance procedure `$procName`"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+    override def isDeterministic: Boolean = false // mutates the table dir
+
+    def call(input: InternalRow): java.util.Iterator[Scan]
+
+    /** The one-row outcome result set. */
+    protected def outcome(col: String, value: Long): java.util.Iterator[Scan] = {
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(new GenericInternalRow(Array[Any](value)))
+        override def readSchema(): StructType =
+          StructType(Seq(StructField(col, LongType, nullable = false)))
+      }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+
+    protected def spark: SparkSession = SparkSession.active
+
+    protected def stringArg(input: InternalRow, i: Int): String = {
+      require(!input.isNullAt(i), s"$procName: argument ${params(i)._1} is NULL")
+      input.getUTF8String(i).toString
+    }
+    protected def intArg(input: InternalRow, i: Int): Int = {
+      require(!input.isNullAt(i), s"$procName: argument ${params(i)._1} is NULL")
+      input.getInt(i)
+    }
+  }
+
+  private val all: Map[String, Proc] = Seq[Proc](
+
+    new Proc("compact", "path" -> StringType, "target_mb" -> IntegerType) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        outcome("files_written", Layout.compactTable(spark,
+          stringArg(input, 0), intArg(input, 1).toLong << 20).toLong)
+    },
+
+    new Proc("zorder", "path" -> StringType, "cols" -> StringType,
+             "n_files" -> IntegerType) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val cols = stringArg(input, 1).split(',').map(_.trim).toSeq
+        Layout.clusterByZOrderN(spark, stringArg(input, 0), cols,
+          intArg(input, 2))
+        outcome("files_written", intArg(input, 2).toLong)
+      }
+    },
+
+    new Proc("cluster_range", "path" -> StringType, "cluster_col" -> StringType,
+             "n_files" -> IntegerType) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        Layout.clusterByRange(spark, stringArg(input, 0), stringArg(input, 1),
+          intArg(input, 2))
+        outcome("files_written", intArg(input, 2).toLong)
+      }
+    },
+
+    new Proc("expire_snapshots", "path" -> StringType, "keep" -> IntegerType) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        outcome("snapshots_expired", Manifest.expireSnapshots(spark,
+          stringArg(input, 0), intArg(input, 1)).toLong)
+    },
+
+    new Proc("vacuum", "path" -> StringType) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        outcome("files_removed",
+          Manifest.vacuum(spark, stringArg(input, 0)).toLong)
+    }
+  ).map(p => p.name() -> p).toMap
+
+  private val Namespace = Array("system")
+
+  def load(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Namespace),
+      s"graft procedures live in the `system` namespace " +
+        s"(CALL graft.system.<proc>), got `${ident.namespace.mkString(".")}`")
+    all.getOrElse(ident.name.toLowerCase(java.util.Locale.ROOT),
+      throw new NoSuchElementException(
+        s"no such procedure graft.system.${ident.name} — available: " +
+          all.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Namespace))
+      all.keys.toArray.sorted.map(Identifier.of(Namespace, _))
+    else Array.empty
+}

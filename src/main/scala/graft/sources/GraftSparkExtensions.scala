@@ -214,20 +214,11 @@ final case class GraftMergeIntoCommand(path: String, keyCol: String,
 
   override def run(session: SparkSession): Seq[Row] = {
     val delta = ColumnShim.ofRows(session, query)
-    // UPDATE only (refuseNullKeys): a matched row with a NULL merge key
-    // cannot be REPLACED by the keyed upsert (NULL joins nothing — the
-    // original would survive AND the updated copy would append: silent
-    // duplication). MERGE keeps NULL-key source rows: they are legitimate
-    // "not matched" inserts under SQL MERGE semantics.
-    if (refuseNullKeys) {
-      val nNull = delta.filter(
-        org.apache.spark.sql.functions.col(keyCol).isNull).count()
-      if (nNull > 0) throw new IllegalArgumentException(
-        s"UPDATE on $path matches $nNull row(s) with a NULL merge key " +
-          s"`$keyCol` — a keyed upsert cannot replace them in place; " +
-          "route null-key rows through a rewrite instead")
-    }
-    val res = Layout.mergeKeyed(session, path, keyCol, delta)
+    // refuseNullKeys (UPDATE only): a matched NULL-key row cannot be
+    // replaced by the keyed upsert — mergeKeyed verifies it inside its
+    // fused delta aggregation (no extra job). MERGE keeps NULL-key source
+    // rows: legitimate "not matched" inserts under SQL MERGE semantics.
+    val res = Layout.mergeKeyed(session, path, keyCol, delta, refuseNullKeys)
     Seq(Row(res.filesRewritten, res.filesTotal, res.rowsUpdated, res.rowsInserted))
   }
 }

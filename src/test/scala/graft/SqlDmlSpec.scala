@@ -299,4 +299,75 @@ class SqlDmlSpec extends SparkSpec {
     }
     assert(fp(spark.read.parquet(dir)) == before, "refused DML must touch nothing")
   }
+
+  test("ALTER TABLE: widen + drop + add are metadata-only; refusals typed; time travel keeps old shape") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = tmpDir("dml_alter") + "/docs"
+    import spark.implicits._
+    Seq((1L, 10, "x"), (2L, 20, "y")).toDF("doc_id", "n", "extra")
+      .repartition(1).write.parquet(dir)
+    val id1 = Manifest.create(spark, dir, "doc_id")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val filesBefore = graft.ops.FsMaint.dataFileCount(fs,
+      new org.apache.hadoop.fs.Path(dir))
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN n TYPE BIGINT")
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN extra")
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN note STRING")
+    assert(graft.ops.FsMaint.dataFileCount(fs,
+      new org.apache.hadoop.fs.Path(dir)) == filesBefore,
+      "schema evolution must touch zero data files")
+    val latest = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(latest.schema("n").dataType == LongType)
+    assert(!latest.columns.contains("extra") && latest.columns.contains("note"))
+    assert(latest.filter(col("note").isNull).count() == 2L,
+      "pre-evolution files read NULL for the added column")
+    val asOf = spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF $id1")
+    assert(asOf.schema("n").dataType == IntegerType &&
+      asOf.columns.contains("extra") && !asOf.columns.contains("note"),
+      "as-of reads must return the snapshot's OWN schema")
+    // Refusals: key-column drop, narrowing, rename — all typed, no commit.
+    val snapBefore = Manifest.latestSnapshotId(spark, dir).get
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN doc_id")
+    }
+    intercept[Exception] { // long -> int is a narrowing
+      spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN n TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN n TO m")
+    }
+    assert(Manifest.latestSnapshotId(spark, dir).contains(snapBefore),
+      "refused ALTER must commit nothing")
+  }
+
+  test("CALL graft.system.*: maintenance procedures mutate through the journaled engine jobs") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = tmpDir("dml_call") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.repartition(12).write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    val before = fp(spark.read.parquet(dir))
+    val compacted = spark.sql(s"CALL graft.system.compact('$dir', 64)")
+      .head().getLong(0)
+    assert(compacted >= 1L && compacted < 12L, s"compacted to $compacted files")
+    assert(fp(spark.read.parquet(dir)) == before, "compaction is content-invariant")
+    val clustered = spark.sql(
+      s"CALL graft.system.cluster_range('$dir', 'doc_id', 3)").head().getLong(0)
+    assert(clustered == 3L)
+    assert(fp(spark.read.parquet(dir)) == before, "re-cluster is content-invariant")
+    // Three commits so far: create + compact + cluster = 3 snapshots.
+    val expired = spark.sql(
+      s"CALL graft.system.expire_snapshots('$dir', 1)").head().getLong(0)
+    assert(expired == 2L, s"expected 2 expired snapshots, got $expired")
+    val vacuumed = spark.sql(s"CALL graft.system.vacuum('$dir')").head().getLong(0)
+    assert(vacuumed >= 12L, s"vacuum must free the unreferenced originals: $vacuumed")
+    assert(fp(spark.sql(s"SELECT * FROM graft.`$dir`")) == before,
+      "the latest snapshot survives expiry + vacuum intact")
+    // Unknown procedure: typed refusal.
+    intercept[Exception] { spark.sql(s"CALL graft.system.nope('$dir')") }
+    // Procedures are discoverable.
+    assert(spark.sql("SHOW PROCEDURES IN graft.system").count() >= 5L)
+  }
 }
