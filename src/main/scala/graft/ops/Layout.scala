@@ -898,6 +898,100 @@ object Layout {
     }
   }
 
+  /** EXACTLY-ONCE append — [[append]] guarded by a writer-transaction
+    * ledger, the engine side of the streaming sink's batch dedup (the
+    * Delta txnAppId/txnVersion idea on this table format):
+    *
+    *   - The manifest's latest snapshot carries a ledger (app → highest
+    *     committed version), published ATOMICALLY with each snapshot
+    *     commit. A batch at or below the recorded version returns -1
+    *     without touching anything — a replayed `addBatch` after a
+    *     restart is a no-op.
+    *   - Batch files land under DETERMINISTIC names
+    *     (`part-sink-<app>-<version>-<i>`), staged then moved in under the
+    *     table lock. A crash between the moves and the snapshot commit
+    *     leaves orphans the ledger proves uncommitted — the retry deletes
+    *     exactly those and redoes the batch. If a FOREIGN incremental
+    *     snapshot adopted them meanwhile (auto-discovery), the rows are in
+    *     the table: the retry records the txn metadata-only and skips.
+    *
+    * Returns rows appended; -1 for a deduped replay; 0 for an empty batch
+    * (idempotent — nothing recorded, nothing written).
+    */
+  def appendOnce(spark: SparkSession, path: String, txnApp: String,
+                 txnVersion: Long,
+                 data: org.apache.spark.sql.DataFrame): Long = {
+    require(txnApp.nonEmpty && !txnApp.exists(c => c == '\n' || c == '\t'),
+      s"txnApp must be a non-empty single-line id: `$txnApp`")
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    FsMaint.withTableLock(fs, path) {
+      healDelete(spark, path)
+      FsMaint.recoverSwap(fs, path)
+      val keys = Manifest.currentKeyCols(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"appendOnce($path) needs a manifest snapshot (Manifest.create) — " +
+            "the snapshot ledger is what makes the append exactly-once"))
+      if (Manifest.txnVersion(spark, path, txnApp).exists(_ >= txnVersion))
+        return -1L
+      // App ids fold into file names — hash to a fixed-width safe token.
+      val appTok = java.security.MessageDigest.getInstance("MD5")
+        .digest(txnApp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(12)
+      val prefix = s"part-sink-$appTok-$txnVersion-"
+      // Foreign-adoption probe: files of THIS batch already referenced by
+      // the latest snapshot (metadata-sized filtered collect — matches are
+      // at most this one batch's files).
+      val adopted = Manifest.files(spark, path).select("file")
+        .filter(col("file").contains(prefix))
+        .limit(1).collect().nonEmpty
+      if (adopted) {
+        Manifest.recordTxn(spark, path, txnApp, txnVersion): Unit
+        return 0L
+      }
+      // Crash heal: unreferenced leftovers of this batch's crashed attempt.
+      FsMaint.listRelative(fs, new Path(path))(st =>
+        st.getPath.getName.startsWith(prefix))
+        .foreach { case (_, st) => fs.delete(st.getPath, false): Unit }
+      val latest = Manifest.latestSnapshotId(spark, path).get
+      Manifest.storedSchema(spark, path, latest)
+        .foreach(old => Manifest.mergeAdditive(old, data.schema): Unit)
+      val stage = path + "__sinkstage"
+      FsMaint.deleteRecursively(fs, new Path(stage))
+      if (isHivePartitioned(fs, path)) {
+        val f = Manifest.files(spark, path)
+        val pCols = f.select("file").limit(1).collect().headOption
+          .map(r => partitionColsFromRel(Manifest.relativeTo(path,
+            Manifest.decodePath(r.getString(0)))))
+          .getOrElse(partitionColsFromDirs(fs, path))
+        data.write.mode("overwrite").partitionBy(pCols: _*).parquet(stage)
+      } else data.write.mode("overwrite").parquet(stage)
+      val staged = FsMaint.listRelative(fs, new Path(stage))(st =>
+        st.getPath.getName.startsWith("part-") && st.getLen > 0)
+      if (staged.isEmpty) {
+        FsMaint.deleteRecursively(fs, new Path(stage))
+        return 0L
+      }
+      staged.zipWithIndex.foreach { case ((rel, st), i) =>
+        val relDir = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case cut => rel.substring(0, cut + 1)
+        }
+        val dest = new Path(path, s"$relDir$prefix$i.parquet")
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(st.getPath, dest))
+          throw new java.io.IOException(s"appendOnce: failed to land $dest")
+      }
+      FsMaint.deleteRecursively(fs, new Path(stage))
+      def snapshotRows(): Long =
+        Manifest.files(spark, path)
+          .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+      val rowsBefore = snapshotRows()
+      Manifest.createIncrementalTxn(spark, path,
+        Some(txnApp -> txnVersion), keys: _*): Unit
+      snapshotRows() - rowsBefore
+    }
+  }
+
   /** Heal an interrupted [[deleteRange]] (see its commit sequence). With no
     * committed journal nothing irreversible happened — stray staging is
     * discarded. With a journal: a LIVE table means the commit reached step

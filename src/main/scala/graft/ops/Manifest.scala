@@ -280,7 +280,14 @@ object Manifest {
     * else is rejected here rather than silently mis-pruning later). One
     * grouped scan; commit = one dir rename. Returns the new snapshot id.
     */
-  def create(spark: SparkSession, table: String, keyCols: String*): Int = {
+  def create(spark: SparkSession, table: String, keyCols: String*): Int =
+    createTxn(spark, table, None, keyCols: _*)
+
+  /** [[create]] carrying a writer-transaction record into the commit
+    * (atomic with the publish — see [[commitSnapshot]]'s ledger note).
+    */
+  def createTxn(spark: SparkSession, table: String,
+                txn: Option[(String, Long)], keyCols: String*): Int = {
     require(keyCols.nonEmpty, "need at least one key column")
     // Optimistic concurrency: observe the snapshot state BEFORE listing
     // files — a concurrent COW/rewrite commit invalidates this scan's
@@ -292,7 +299,7 @@ object Manifest {
     // whichever file Spark sampled.
     val data = spark.read.option("mergeSchema", "true").parquet(table)
     commitSnapshot(spark, table, statsOf(data, keyCols), Some(data.schema),
-      basedOn = Some(based))
+      basedOn = Some(based), txn = txn)
   }
 
   /** Create an EMPTY manifested table: snapshot-1 carries zero file rows,
@@ -472,7 +479,8 @@ object Manifest {
   private def commitSnapshot(spark: SparkSession, table: String,
                              stats: DataFrame,
                              dataSchema: Option[StructType] = None,
-                             basedOn: Option[Int] = None): Int = {
+                             basedOn: Option[Int] = None,
+                             txn: Option[(String, Long)] = None): Int = {
     val fs = fsOf(spark, table)
     val tmp = s"${root(table)}/commit-" +
       s"${java.util.UUID.randomUUID().toString.take(12)}__tmp"
@@ -543,6 +551,21 @@ object Manifest {
     try at.write(System.currentTimeMillis().toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally at.close()
+    // Writer-transaction ledger, CARRIED FORWARD through every commit
+    // (compactions, COW rewrites, schema evolutions included) and written
+    // into the staged dir so it publishes ATOMICALLY with the snapshot —
+    // the exactly-once handshake the streaming sink's batch dedup rides
+    // (the Delta txnAppId/txnVersion idea on this commit mechanism). Only
+    // the LATEST snapshot's ledger is consulted, so snapshot expiry never
+    // forgets a committed batch.
+    val txns = readTxns(fs, table, cur) ++ txn
+    if (txns.nonEmpty) {
+      val tf = fs.create(new Path(tmp, TxnsName), true)
+      try tf.write(txns.toSeq.sortBy(_._1)
+        .map { case (a, v) => s"$a\t$v" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally tf.close()
+    }
     if (!fs.rename(new Path(tmp), new Path(dest))) {
       fs.delete(cp, false)
       throw new java.io.IOException(s"manifest commit failed: $dest")
@@ -568,6 +591,50 @@ object Manifest {
   }
 
   private val CommittedAtName = "_committed_at"
+
+  private val TxnsName = "_txns"
+
+  /** The writer-transaction ledger of snapshot `id` (app → highest
+    * committed version). Empty for id 0 / absent ledger.
+    */
+  private def readTxns(fs: org.apache.hadoop.fs.FileSystem, table: String,
+                       id: Int): Map[String, Long] = {
+    val p = new Path(s"${root(table)}/snapshot-$id", TxnsName)
+    if (id <= 0 || !fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { line =>
+          val i = line.lastIndexOf('\t')
+          line.substring(0, i) -> line.substring(i + 1).toLong
+        }.toMap
+      finally in.close()
+    }
+  }
+
+  /** Highest committed writer-transaction version for `app` on this table
+    * (the latest snapshot's ledger) — None when `app` never committed.
+    * The streaming sink's replay check: a batch at or below this version
+    * is already in the table.
+    */
+  def txnVersion(spark: SparkSession, table: String, app: String): Option[Long] =
+    latestId(spark, table).flatMap(id =>
+      readTxns(fsOf(spark, table), table, id).get(app))
+
+  /** Record a writer transaction WITHOUT data movement: a metadata-only
+    * commit carrying the latest snapshot's stats rows verbatim plus the
+    * ledger entry — the adoption path for a crashed sink batch whose files
+    * a foreign incremental snapshot already folded in.
+    */
+  private[ops] def recordTxn(spark: SparkSession, table: String,
+                             app: String, version: Long): Int = {
+    val id = latestId(spark, table).getOrElse(
+      throw new IllegalStateException(s"no manifest snapshot under $table"))
+    commitSnapshot(spark, table,
+      spark.read.parquet(s"${root(table)}/snapshot-$id"),
+      storedSchema(spark, table, id), basedOn = Some(id),
+      txn = Some(app -> version))
+  }
 
   /** The PUBLISH instant of snapshot `id` (epoch millis): the explicit
     * `_committed_at` marker written just before the publish rename, falling
@@ -882,11 +949,22 @@ object Manifest {
     * against one recursive listing.
     */
   def createIncremental(spark: SparkSession, table: String,
-                        keyCols: String*): (Int, Int, Int) = {
+                        keyCols: String*): (Int, Int, Int) =
+    createIncrementalTxn(spark, table, None, keyCols: _*)
+
+  /** [[createIncremental]] carrying a writer-transaction record into the
+    * commit (atomic with the publish — see [[commitSnapshot]]'s ledger
+    * note). NOTE the no-change fast path does NOT commit, so a txn is only
+    * recorded when the snapshot actually moves — callers recording an
+    * empty batch must treat "nothing changed" as already-applied.
+    */
+  def createIncrementalTxn(spark: SparkSession, table: String,
+                           txn: Option[(String, Long)],
+                           keyCols: String*): (Int, Int, Int) = {
     require(keyCols.nonEmpty, "need at least one key column")
     val usablePrev = currentKeyCols(spark, table).contains(keyCols.toSeq)
     if (!usablePrev) {
-      val id = create(spark, table, keyCols: _*)
+      val id = createTxn(spark, table, txn, keyCols: _*)
       val n = spark.read.parquet(s"${root(table)}/snapshot-$id").count().toInt
       return (id, n, 0)
     }
@@ -926,7 +1004,8 @@ object Manifest {
         (carriedDf.unionByName(
           statsOf(fresh, keyCols, bloomSpecsLike(prev))), merged)
       }
-    (commitSnapshot(spark, table, stats, schema, basedOn = Some(prevId)),
+    (commitSnapshot(spark, table, stats, schema, basedOn = Some(prevId),
+       txn = txn),
       newPaths.length, removedEnc.length)
   }
 

@@ -685,6 +685,61 @@ object StreamingQueries {
       },
       Some(s"""SELECT fingerprint, n_rows, true AS initial_then_stream FROM (
                |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "documents")})""".stripMargin)),
+
+    // ---- the NATIVE streaming sink: writeStream.format("graft") appends
+    //      each micro-batch to the manifested table EXACTLY ONCE via the
+    //      snapshot ledger (txnAppId × batch id, published atomically with
+    //      every snapshot commit — the Delta txnAppId/txnVersion posture).
+    //      Two AvailableNow runs against one checkpoint land the corpus in
+    //      single-file micro-batches; a deliberate REPLAY of an already-
+    //      committed batch id must dedup (-1) and an idle restart commits
+    //      nothing. Gates: table fingerprint ≡ DuckDB over the full corpus
+    //      (any duplicate or lost batch flips count/sum/xor), replay
+    //      deduped, ledger recorded, manifest complete.
+    Q("stream_graft_sink",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val docs = T(s, dir, "documents").select(docCols.map(col): _*)
+        val table = java.nio.file.Files.createTempDirectory("graft_gsink")
+          .toString + "/documents"
+        graft.ops.Manifest.createEmpty(s, table, docs.schema, Seq("doc_id"))
+        val feed = java.nio.file.Files.createTempDirectory("graft_gsink_feed").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_gsink_ck").toString
+        def runOnce(): Unit = {
+          val q = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(feed)
+            .writeStream.format("graft")
+            .option("path", table).option("txnAppId", "graft_gsink_q")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        docs.filter(col("doc_id") % 3 === 0).repartition(1)
+          .write.mode("append").parquet(feed)
+        runOnce()
+        docs.filter(col("doc_id") % 3 =!= 0).repartition(2)
+          .write.mode("append").parquet(feed)
+        runOnce()
+        // Replay an already-committed batch id straight at the engine —
+        // the ledger must dedup it (the crash-replay path, deterministic).
+        val deduped = graft.ops.Layout.appendOnce(
+          s, table, "graft_gsink_q", 0L, docs.limit(5)) == -1L
+        val snapBefore = graft.ops.Manifest.latestSnapshotId(s, table).get
+        runOnce() // idle restart commits nothing
+        val idleSilent =
+          graft.ops.Manifest.latestSnapshotId(s, table).contains(snapBefore)
+        graft.functions.Hashing.multisetFingerprintAgg(
+            s.read.parquet(table), docCols)
+          .withColumn("replay_deduped", lit(deduped))
+          .withColumn("idle_silent", lit(idleSilent))
+          .withColumn("ledger_ok", lit(graft.ops.Manifest
+            .txnVersion(s, table, "graft_gsink_q").exists(_ >= 1L)))
+          .withColumn("complete", lit(graft.ops.Manifest.isComplete(s, table)))
+      },
+      Some(s"""SELECT *, true AS replay_deduped, true AS idle_silent,
+               | true AS ledger_ok, true AS complete FROM (
+               |${Registry.duckMultisetFingerprint(
                    Seq("doc_id", "text", "lang", "source", "n_chars"), "documents")})""".stripMargin))
   )
 

@@ -31,7 +31,7 @@ import org.apache.spark.sql.types.StructType
   * can never change results.
   */
 final class DefaultSource extends RelationProvider with DataSourceRegister
-  with StreamSourceProvider {
+  with StreamSourceProvider with StreamSinkProvider {
   override def shortName(): String = "graft"
 
   override def createRelation(sqlContext: SQLContext,
@@ -72,6 +72,51 @@ final class DefaultSource extends RelationProvider with DataSourceRegister
                             parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
     new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2)
+
+  /** NATIVE streaming sink —
+    * `df.writeStream.format("graft").option("path", t)` appends each
+    * micro-batch to the manifested table EXACTLY ONCE:
+    * [[graft.ops.Layout.appendOnce]] dedups replayed batches against the
+    * snapshot ledger (app = the REQUIRED `txnAppId` option — stable across
+    * restarts, per sink per table; version = the micro-batch id), so an
+    * at-least-once `addBatch` replay after a crash lands no duplicate
+    * rows. Append output mode only — updates flow through the DML surface
+    * (MERGE INTO / the change-feed apply), not a streaming sink.
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft sink supports Append output mode only, got $outputMode " +
+        "(aggregation results belong in complete/update sinks; row-level " +
+        "upserts go through MERGE INTO / the change feed)")
+    require(partitionColumns.isEmpty,
+      "graft sink does not take partitionBy — the table's own layout " +
+        "(flat or hive-partitioned at create time) decides where rows land")
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft sink requires a path: writeStream.format(\"graft\").option(\"path\", <table dir>)"))
+    val app = parameters.getOrElse("txnAppId", throw new IllegalArgumentException(
+      "graft sink requires option(\"txnAppId\", <stable id>) — the " +
+        "writer-transaction id batch dedup is keyed on; it must survive " +
+        "restarts (a checkpoint-derived default would silently fork the " +
+        "ledger when a checkpoint is rebuilt)"))
+    new GraftStreamSink(sqlContext.sparkSession, path, app)
+  }
+}
+
+/** See [[DefaultSource.createSink]]. */
+private[sources] final class GraftStreamSink(
+    spark: org.apache.spark.sql.SparkSession, path: String, txnApp: String)
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // The incoming frame is flagged streaming — rebuild a BATCH frame over
+    // the same physical rows for the engine's append path.
+    val batch = org.apache.spark.sql.graftshim.ColumnShim.batchDataFrame(
+      spark, data.queryExecution.toRdd, data.schema)
+    graft.ops.Layout.appendOnce(spark, path, txnApp, batchId, batch): Unit
+  }
 }
 
 /** Offset = manifest snapshot id (immutable, dense, checkpoint-stable). */

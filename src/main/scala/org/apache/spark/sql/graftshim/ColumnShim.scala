@@ -31,6 +31,17 @@ object ColumnShim {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
 
+  /** A BATCH DataFrame over an InternalRow RDD — what a V1 streaming Sink's
+    * `addBatch` needs to hand the incoming micro-batch to a batch write
+    * path (the frame Spark passes in carries `isStreaming = true`, which
+    * every batch writer asserts against).
+    */
+  def batchDataFrame(spark: org.apache.spark.sql.SparkSession,
+                     rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                     schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** Register a SQL function on a LIVE session's registry (the
     * `SparkSessionExtensions` path only applies at session build time;
     * `getOrCreate` against an active session silently skips extensions).

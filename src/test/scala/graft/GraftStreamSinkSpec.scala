@@ -1,0 +1,149 @@
+package graft
+
+import graft.functions.Hashing
+import graft.ops.{Layout, Manifest}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The NATIVE streaming sink: `writeStream.format("graft")` appends each
+  * micro-batch exactly once via the snapshot ledger (txnAppId × batch id) —
+  * replays dedup, crashed attempts heal, foreign adoption is detected, and
+  * the ledger survives compaction and snapshot expiry.
+  */
+class GraftStreamSinkSpec extends SparkSpec {
+
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  private def fp(df: org.apache.spark.sql.DataFrame): String =
+    Hashing.multisetFingerprintAgg(df.select(docCols.map(col): _*), docCols)
+      .head().getString(0)
+
+  private def appTok(app: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(app.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+
+  test("writeStream(graft): micro-batches land exactly-once; restarts deliver nothing new") {
+    val dir = tmpDir("gsink") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    Manifest.createEmpty(spark, dir, docs.schema, Seq("doc_id"))
+    val feed = tmpDir("gsink_feed")
+    val ckpt = tmpDir("gsink_ckpt")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+        .writeStream.format("graft")
+        .option("path", dir).option("txnAppId", "gsink-spec")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") % 3 === 0).repartition(1)
+      .write.mode("append").parquet(feed)
+    runOnce()
+    val n0 = docs.filter(col("doc_id") % 3 === 0).count()
+    assert(spark.read.parquet(dir).count() == n0)
+    // More feed files; a SECOND run (restart against the same checkpoint)
+    // delivers only them.
+    docs.filter(col("doc_id") % 3 =!= 0).repartition(2)
+      .write.mode("append").parquet(feed)
+    runOnce()
+    assert(fp(spark.read.parquet(dir)) == fp(docs),
+      "accumulated sink content must be the full corpus, each row once")
+    // Idle restart: no new snapshot, no new rows.
+    val snapBefore = Manifest.latestSnapshotId(spark, dir).get
+    runOnce()
+    assert(Manifest.latestSnapshotId(spark, dir).contains(snapBefore),
+      "an idle restart must commit nothing")
+    assert(fp(spark.read.parquet(dir)) == fp(docs))
+    // The ledger recorded the batches for this app.
+    assert(Manifest.txnVersion(spark, dir, "gsink-spec").exists(_ >= 1L))
+    // The sink's rows are ordinary manifested data: snapshot-targeted
+    // reads and incremental consumers see them (complete manifest).
+    assert(Manifest.isComplete(spark, dir))
+  }
+
+  test("appendOnce: replay dedup, ledger survives compaction, crash-orphan heal, foreign adoption") {
+    val dir = tmpDir("gsink_once") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.filter(col("doc_id") < 100).repartition(2).write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    val b1 = docs.filter(col("doc_id").between(100, 149))
+    val n1 = Layout.appendOnce(spark, dir, "app", 1L, b1)
+    assert(n1 == b1.count(), s"first append lands the batch: $n1")
+    assert(Layout.appendOnce(spark, dir, "app", 1L, b1) == -1L,
+      "a replayed batch must dedup against the ledger")
+    assert(spark.read.parquet(dir).count() == 150L)
+    // The ledger is CARRIED through a full rewrite — a compaction renames
+    // every file, but the replay check rides the snapshot ledger, not
+    // file names.
+    Layout.compactTable(spark, dir, 64L << 20)
+    assert(Layout.appendOnce(spark, dir, "app", 1L, b1) == -1L,
+      "ledger must survive compaction")
+    // Crash heal: a leftover file of an UNCOMMITTED attempt (deterministic
+    // prefix, unreferenced by any snapshot) is deleted, not doubled.
+    val b2 = docs.filter(col("doc_id").between(150, 169))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val scratch = tmpDir("gsink_scratch")
+    b2.repartition(1).write.mode("overwrite").parquet(scratch)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(scratch))
+      .filter(s => s.getPath.getName.startsWith("part-")).head.getPath
+    val orphan = new org.apache.hadoop.fs.Path(dir,
+      s"part-sink-${appTok("app")}-2-99.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, orphan, false,
+      spark.sessionState.newHadoopConf())
+    val n2 = Layout.appendOnce(spark, dir, "app", 2L, b2)
+    assert(n2 == b2.count())
+    assert(spark.read.parquet(dir).count() == 170L,
+      "the crashed attempt's orphan must be healed, not doubled")
+    assert(!fs.exists(orphan), "the orphan itself is deleted")
+    // Foreign adoption: a crashed attempt's file that a FOREIGN incremental
+    // snapshot already folded in — the retry records the txn and skips.
+    val b3 = docs.filter(col("doc_id").between(170, 179))
+    b3.repartition(1).write.mode("overwrite").parquet(scratch)
+    val part3 = fs.listStatus(new org.apache.hadoop.fs.Path(scratch))
+      .filter(s => s.getPath.getName.startsWith("part-")).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, part3, fs,
+      new org.apache.hadoop.fs.Path(dir,
+        s"part-sink-${appTok("app")}-3-0.parquet"), false,
+      spark.sessionState.newHadoopConf())
+    Manifest.createIncremental(spark, dir, "doc_id") // foreign adopt
+    assert(Layout.appendOnce(spark, dir, "app", 3L, b3) == 0L,
+      "an adopted batch must be recognized, not re-appended")
+    assert(spark.read.parquet(dir).count() == 180L)
+    assert(Manifest.txnVersion(spark, dir, "app").contains(3L))
+    assert(Layout.appendOnce(spark, dir, "app", 3L, b3) == -1L)
+    // Content-exact end state.
+    assert(fp(spark.read.parquet(dir)) ==
+      fp(docs.filter(col("doc_id") < 180)))
+  }
+
+  test("sink refusals: non-append mode, partitionBy, missing txnAppId — all typed") {
+    val dir = tmpDir("gsink_bad") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    Manifest.createEmpty(spark, dir, docs.schema, Seq("doc_id"))
+    val feed = tmpDir("gsink_bad_feed")
+    docs.limit(10).repartition(1).write.mode("overwrite").parquet(feed)
+    def start(f: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =>
+        org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+      val q = f(spark.readStream.schema(docs.schema).parquet(feed)
+        .writeStream.format("graft")
+        .option("checkpointLocation", tmpDir("gsink_bad_ckpt")))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    intercept[Exception] { // no txnAppId
+      start(_.option("path", dir))
+    }
+    intercept[Exception] { // partitionBy
+      start(_.option("path", dir).option("txnAppId", "x").partitionBy("lang"))
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // dataFileCount, not hasDataFiles: the latter recurses into the
+    // manifest dir and would count the snapshot's own stats parquet.
+    assert(graft.ops.FsMaint.dataFileCount(fs,
+      new org.apache.hadoop.fs.Path(dir)) == 0L, "refused sinks write nothing")
+  }
+}
