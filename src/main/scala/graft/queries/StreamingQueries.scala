@@ -740,7 +740,79 @@ object StreamingQueries {
       Some(s"""SELECT *, true AS replay_deduped, true AS idle_silent,
                | true AS ledger_ok, true AS complete FROM (
                |${Registry.duckMultisetFingerprint(
-                   Seq("doc_id", "text", "lang", "source", "n_chars"), "documents")})""".stripMargin))
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "documents")})""".stripMargin)),
+
+    // ---- streaming-source OPTIONS: startingSnapshotId (no initial load —
+    //      the Delta startingVersion posture), withChanges (the tagged
+    //      row-level feed as a STREAM, deletes included), and
+    //      maxSnapshotsPerTrigger (bounded catch-up: each AvailableNow run
+    //      advances at most N snapshots). Fixture: snapshot 1 = full corpus,
+    //      snapshot 2 = a COW delete, snapshot 3 = an append; the stream
+    //      starts AFTER snapshot 1 and catches up in two rate-limited runs.
+    //      Gate: replaying the streamed feed (inserts minus deletes) onto
+    //      the snapshot-1 state ≡ DuckDB computing the same end state, and
+    //      the catch-up took exactly 2 single-snapshot batches.
+    Q("stream_graft_backfill",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val docs = T(s, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val lo = maxId / 4; val hi = maxId / 2
+        val table = java.nio.file.Files.createTempDirectory("graft_gsbf")
+          .toString + "/documents"
+        docs.repartitionByRange(6, col("doc_id")).write.parquet(table)
+        val id1 = graft.ops.Manifest.create(s, table, "doc_id")
+        graft.ops.Layout.deleteRange(s, table, "doc_id", lo, hi) // snapshot 2
+        docs.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + maxId + 1)
+          .write.mode("append").parquet(table)
+        graft.ops.Manifest.createIncremental(s, table, "doc_id") // snapshot 3
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_gsbf_ck").toString
+        var ins = graft.functions.Hashing.MultisetFp(0L, BigInt(0), 0L)
+        var del = graft.functions.Hashing.MultisetFp(0L, BigInt(0), 0L)
+        val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+        def runOnce(): Unit = {
+          val q = s.readStream.format("graft")
+            .option("startingSnapshotId", id1)
+            .option("maxSnapshotsPerTrigger", 1)
+            .option("withChanges", "true")
+            .load(table)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              if (!b.isEmpty) {
+                batches.incrementAndGet()
+                val i = b.filter(col("change") === "insert").drop("change")
+                val d = b.filter(col("change") === "delete").drop("change")
+                if (!i.isEmpty) ins = ins.merge(
+                  graft.functions.Hashing.multisetFp(i, docCols))
+                if (!d.isEmpty) del = del.merge(
+                  graft.functions.Hashing.multisetFp(d, docCols))
+              }
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        runOnce(); runOnce(); runOnce() // 2 catch-up steps + 1 idle
+        // Replay the feed onto the snapshot-1 state: multiset fingerprints
+        // compose (count/sum add, xor cancels), so start + inserts - deletes
+        // must equal the live table exactly.
+        val base = graft.functions.Hashing.multisetFp(
+          graft.ops.Manifest.readAsOf(s, table, id1), docCols)
+        val applied = base.merge(ins).remove(del)
+        import s.implicits._
+        Seq((applied.render, applied.count, batches.get() == 2))
+          .toDF("fingerprint", "n_rows", "two_bounded_batches")
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) // 4 AS lo, max(doc_id) // 2 AS hi,
+               |                  max(doc_id) AS mx FROM documents),
+               | fin AS (
+               |  SELECT d.* FROM documents d, b WHERE d.doc_id NOT BETWEEN b.lo AND b.hi
+               |  UNION ALL
+               |  SELECT doc_id + b.mx + 1, text, lang, source, n_chars
+               |   FROM documents, b WHERE doc_id < 10)
+               |SELECT fingerprint, n_rows, true AS two_bounded_batches FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "fin t")})""".stripMargin))
   )
 
   private object StreamSyncHolder {

@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.ops.Manifest
+import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
 import org.apache.spark.sql.functions.col
@@ -46,10 +47,25 @@ final class DefaultSource extends RelationProvider with DataSourceRegister
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft stream requires a path: spark.readStream.format(\"graft\").load(<table dir>)"))
 
+  private def streamIntOpt(parameters: Map[String, String],
+                           k: String): Option[Int] =
+    parameters.get(k).map { v =>
+      try v.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft stream: option `$k` must be an integer, got `$v`")
+      }
+    }
+
+  private def withChanges(parameters: Map[String, String]): Boolean =
+    parameters.get("withChanges").exists(_.trim.equalsIgnoreCase("true"))
+
   /** Stream schema = the LATEST snapshot's recorded schema at stream start
     * (the standard fixed-schema streaming contract; columns added by later
-    * additive evolution are simply not surfaced until the stream restarts).
-    * Requires a manifested table — snapshots are the offsets.
+    * additive evolution are simply not surfaced until the stream restarts),
+    * plus the `change` tag column when the stream is a change feed
+    * (`withChanges`). Requires a manifested table — snapshots are the
+    * offsets.
     */
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
@@ -64,14 +80,25 @@ final class DefaultSource extends RelationProvider with DataSourceRegister
       Manifest.storedSchema(spark, path, id)
         .getOrElse(Manifest.readAsOf(spark, path, id).schema)
     }
-    (shortName(), s)
+    (shortName(),
+      if (withChanges(parameters))
+        s.add(org.apache.spark.sql.types.StructField(
+          "change", org.apache.spark.sql.types.StringType, nullable = false))
+      else s)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val maxPer = streamIntOpt(parameters, "maxSnapshotsPerTrigger")
+    maxPer.foreach(m => require(m >= 1,
+      s"maxSnapshotsPerTrigger must be >= 1, got $m"))
     new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
-      sourceSchema(sqlContext, schema, providerName, parameters)._2)
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      streamIntOpt(parameters, "startingSnapshotId"), maxPer,
+      withChanges(parameters),
+      if (maxPer.isDefined) Some(metadataPath) else None)
+  }
 
   /** NATIVE streaming sink —
     * `df.writeStream.format("graft").option("path", t)` appends each
@@ -148,7 +175,11 @@ private[sources] final case class GraftSnapshotOffset(id: Int)
   */
 private[sources] final class GraftStreamSource(
     spark: org.apache.spark.sql.SparkSession, path: String,
-    override val schema: StructType)
+    override val schema: StructType,
+    startingId: Option[Int] = None,
+    maxSnapshotsPerTrigger: Option[Int] = None,
+    withChanges: Boolean = false,
+    metadataPath: Option[String] = None)
   extends org.apache.spark.sql.execution.streaming.Source {
 
   private def idOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Int =
@@ -157,20 +188,82 @@ private[sources] final class GraftStreamSource(
       case other => other.json.trim.toInt // checkpoint-deserialized form
     }
 
+  private def cursorFile: Option[Path] =
+    metadataPath.map(m => new Path(m, "graft-rate-cursor"))
+
+  private def fs(p: Path) = p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The newest snapshot id this source has HANDED OUT — what
+    * `maxSnapshotsPerTrigger` rate-limits from. PERSISTED in the source's
+    * checkpoint-scoped metadata dir: on restart Spark only replays an
+    * UNCOMMITTED batch (whose end is in the offset log), so an in-memory
+    * cursor would reset to `startingId` after a committed batch and hand
+    * out an offset at or below the committed one — a permanently stalled
+    * stream. Handed-out-but-uncommitted is the safe direction to resume
+    * from: the offset log itself replays that batch.
+    */
+  @volatile private var lastSeen: Option[Int] =
+    cursorFile.filter(p => fs(p).exists(p)).map { p =>
+      val in = fs(p).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+
+  private def persistCursor(id: Int): Unit = cursorFile.foreach { p =>
+    val f = fs(p)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(s"graft stream: cursor persist failed: $p")
+  }
+
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
-    Manifest.latestSnapshotId(spark, path).map(GraftSnapshotOffset)
+    Manifest.latestSnapshotId(spark, path).map { latest =>
+      // Rate limit: at most N snapshot ids per micro-batch, measured from
+      // the last handed-out offset (or the starting snapshot for a fresh
+      // stream) — bounds a backfill's batch size so a long-idle consumer
+      // catches up in `history/N` controlled steps instead of one giant
+      // batch. Under a recurring trigger this caps EVERY batch; under
+      // AvailableNow (whose V1 wrapper pins the target offset once at
+      // start) each RUN advances at most N snapshots — run again to take
+      // the next step. The initial full-snapshot load is ONE batch by
+      // definition (a single snapshot id), so the cap only shapes the tail.
+      val base = lastSeen.orElse(startingId)
+      val capped = (maxSnapshotsPerTrigger, base) match {
+        case (Some(n), Some(b)) => math.min(latest, b + n)
+        case _ => latest
+      }
+      if (maxSnapshotsPerTrigger.isDefined && !lastSeen.contains(capped)) {
+        persistCursor(capped)
+        lastSeen = Some(capped)
+      }
+      GraftSnapshotOffset(capped)
+    }
 
   override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
                         end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
     val endId = idOf(end)
-    val batch = start.map(idOf) match {
+    if (lastSeen.forall(_ < endId)) lastSeen = Some(endId)
+    val feed = start.map(idOf).orElse(startingId) match {
       case Some(s0) if s0 >= endId =>
-        Manifest.readAsOf(spark, path, endId).limit(0)
-      case Some(s0) =>
-        Manifest.changesBetween(spark, path, s0, endId)
-          .filter(col("change") === "insert").drop("change")
-      case None => Manifest.readAsOf(spark, path, endId)
+        Manifest.readAsOf(spark, path, endId)
+          .withColumn("change", org.apache.spark.sql.functions.lit("insert"))
+          .limit(0)
+      case Some(s0) => Manifest.changesBetween(spark, path, s0, endId)
+      case None =>
+        Manifest.readAsOf(spark, path, endId)
+          .withColumn("change", org.apache.spark.sql.functions.lit("insert"))
     }
+    // Plain stream: net inserts only (append-only semantics; COW deletes
+    // are silent). withChanges: the tagged row-level feed — inserts AND
+    // deletes, the streaming CDF read.
+    val batch =
+      if (withChanges) feed
+      else feed.filter(col("change") === "insert").drop("change")
     // Pin the stream's declared schema (additive evolution between the
     // snapshots must not widen a running stream's batches), and hand the
     // engine a STREAMING frame — MicroBatchExecution asserts the flag.

@@ -69,4 +69,89 @@ class GraftStreamSourceSpec extends SparkSpec {
       spark.readStream.format("graft").load(dir)
     }
   }
+
+  test("readStream(graft): startingSnapshotId skips the initial load; maxSnapshotsPerTrigger bounds batches") {
+    val dir = tmpDir("gstream_opts") + "/documents"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.filter(col("doc_id") % 4 === 0).repartition(2).write.parquet(dir)
+    val id1 = Manifest.create(spark, dir, "doc_id")
+    // Three more snapshots (2, 3, 4) — the backfill the options shape.
+    (1 to 3).foreach { k =>
+      docs.filter(col("doc_id") % 4 === k).repartition(1)
+        .write.mode("append").parquet(dir)
+      Manifest.createIncremental(spark, dir, "doc_id")
+    }
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ckpt = tmpDir("gstream_opts_ckpt")
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("startingSnapshotId", id1)
+        .option("maxSnapshotsPerTrigger", 1)
+        .load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect()
+          if (rows.nonEmpty) {
+            batches.incrementAndGet(); sizes += rows.length
+            rows.foreach(got.add(_): Unit)
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // Rate-limited catch-up: each AvailableNow run advances at most ONE
+    // snapshot (the V1 wrapper pins its target offset at start), so the
+    // 3-snapshot backlog takes exactly 3 runs.
+    runOnce(); runOnce(); runOnce()
+    // startingSnapshotId = id1: the initial snapshot's rows are SKIPPED —
+    // only post-id1 appends arrive.
+    val want = docs.filter(col("doc_id") % 4 =!= 0)
+    assert(got.size.toLong == want.count(),
+      s"got ${got.size}, want ${want.count()} (no initial-load rows)")
+    import scala.jdk.CollectionConverters._
+    val accumulated = spark.createDataFrame(
+      new java.util.ArrayList(got), spark.read.parquet(dir).schema)
+    assert(fp(accumulated) == fp(want))
+    // maxSnapshotsPerTrigger = 1: the three snapshots arrive in THREE
+    // bounded micro-batches, not one catch-all.
+    assert(batches.get() == 3,
+      s"expected 3 rate-limited batches, got ${batches.get()}")
+  }
+
+  test("readStream(graft): withChanges streams the tagged row-level feed incl. COW deletes") {
+    val dir = tmpDir("gstream_cdf") + "/documents"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.filter(col("doc_id") < 200).repartitionByRange(4, col("doc_id"))
+      .write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    val ckpt = tmpDir("gstream_cdf_ckpt")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft").option("withChanges", "true")
+        .load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(got.add(_): Unit)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce() // initial load: every row tagged insert
+    assert(got.asScalaCount(r => r.getString(r.fieldIndex("change")) == "insert") == 200L)
+    // A COW delete: the feed must now deliver the doomed rows as deletes.
+    Layout.deleteRange(spark, dir, "doc_id", 50L, 99L)
+    runOnce()
+    val dels = got.asScalaCount(r => r.getString(r.fieldIndex("change")) == "delete")
+    assert(dels == 50L, s"expected 50 delete rows in the feed, got $dels")
+  }
+
+  private implicit class QueueOps(
+      q: java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]) {
+    def asScalaCount(p: org.apache.spark.sql.Row => Boolean): Long = {
+      import scala.jdk.CollectionConverters._
+      q.asScala.count(p).toLong
+    }
+  }
 }
