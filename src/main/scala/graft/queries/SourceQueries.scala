@@ -992,6 +992,46 @@ object SourceQueries {
                | 3::BIGINT AS snapshots_expired, true AS vacuum_exact FROM (
                |${Registry.duckMultisetFingerprint(
                    Seq("doc_id", "text", "lang", "source", "n_chars"),
-                   "documents t")})""".stripMargin))
+                   "documents t")})""".stripMargin)),
+
+    // ---- SQL metadata tables: graft.`/t$history` (one row per retained
+    //      snapshot — id, files, rows, commit instant) and graft.`/t$files`
+    //      (the latest snapshot's per-file stats as a NATIVE parquet scan,
+    //      bloom sketches pruned) — the Iceberg introspection posture in
+    //      plain SQL. Fixture: create → append → SQL DELETE (3 snapshots).
+    //      Gate vs DuckDB: $files row sums reproduce the live table's count
+    //      exactly, the history ledger counts per snapshot match the
+    //      replayed statements, commit instants are monotone.
+    Q("sql_meta_tables",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val stage = java.nio.file.Files.createTempDirectory("graft_sql_meta").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        docs.filter(col("doc_id") % 2 === 0)
+          .repartitionByRange(4, col("doc_id")).write.parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        docs.filter(col("doc_id") % 2 === 1).repartition(2)
+          .write.mode("append").parquet(stage)
+        graft.ops.Manifest.createIncremental(s, stage, "doc_id")
+        s.sql(s"DELETE FROM graft.`$stage` " +
+          s"WHERE doc_id BETWEEN ${maxId / 4} AND ${maxId / 2}")
+        val h = s.sql(
+          s"""SELECT count(*) AS n_snapshots, max(snapshot) AS latest,
+             |  sum(CASE WHEN committed_at IS NULL THEN 1 ELSE 0 END) AS null_commits,
+             |  max(n_rows) AS peak_rows
+             |FROM graft.`$stage$$history`""".stripMargin)
+        val f = s.sql(
+          s"""SELECT sum(n_rows) AS live_rows, min(min_doc_id) AS lo,
+             |  max(max_doc_id) AS hi FROM graft.`$stage$$files`""".stripMargin)
+        h.crossJoin(f)
+      },
+      Some("""WITH b AS (SELECT max(doc_id) // 4 AS lo, max(doc_id) // 2 AS hi,
+              |               max(doc_id) AS mx FROM documents)
+              |SELECT 3::BIGINT AS n_snapshots, 3 AS latest, 0::BIGINT AS null_commits,
+              | (SELECT count(*) FROM documents)::BIGINT AS peak_rows,
+              | (SELECT count(*) FROM documents d, b
+              |   WHERE d.doc_id NOT BETWEEN b.lo AND b.hi)::BIGINT AS live_rows,
+              | 0::BIGINT AS lo, (SELECT mx FROM b)::BIGINT AS hi""".stripMargin))
   )
 }

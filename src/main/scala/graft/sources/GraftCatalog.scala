@@ -69,7 +69,47 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         CaseInsensitiveStringMap.empty(), files.toIndexedSeq, path, schema)
   }
 
-  override def loadTable(ident: Identifier): Table = tableFor(ident, None)
+  /** Introspection suffixes (the Iceberg metadata-table posture):
+    * `graft.`/t$history`` — one row per retained snapshot (id, files,
+    * rows, commit instant, stats keys; [[Manifest.history]]);
+    * `graft.`/t$files`` — the LATEST snapshot's per-file stats served as a
+    * native parquet scan over the snapshot itself (rows ∝ file count, so
+    * it stays a distributed scan, never a driver materialization; bloom
+    * sketch columns are pruned from the read schema).
+    */
+  private def metaTableFor(path: String, suffix: String): Table = {
+    val spark = SparkSession.active
+    suffix match {
+      case "history" =>
+        new GraftMetaTable(s"$catalogName.$path$$history",
+          Manifest.history(spark, path))
+      case "files" =>
+        val id = Manifest.latestSnapshotId(spark, path).getOrElse(
+          throw new IllegalArgumentException(
+            s"no manifest snapshot under $path — nothing to introspect"))
+        val snapDir = s"$path/_graft_manifest/snapshot-$id"
+        val fs = new org.apache.hadoop.fs.Path(snapDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val parts = fs.listStatus(new org.apache.hadoop.fs.Path(snapDir))
+          .collect { case st if st.isFile &&
+            st.getPath.getName.startsWith("part-") && st.getLen > 0 =>
+            st.getPath.toUri.getPath }.toIndexedSeq
+        val lean = StructType(spark.read.parquet(snapDir).schema.fields
+          .filterNot(_.name.startsWith("bloom_")).toIndexedSeq)
+        new GraftParquetTable(s"$catalogName.$path$$files@v$id", spark,
+          CaseInsensitiveStringMap.empty(), parts, snapDir, Some(lean))
+      case other => throw new IllegalArgumentException(
+        s"unknown graft metadata table `$$${other}` — available: " +
+          "$history, $files")
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val name = pathOf(ident)
+    val cut = name.lastIndexOf('$')
+    if (cut > 0) metaTableFor(name.take(cut), name.drop(cut + 1))
+    else tableFor(ident, None)
+  }
 
   /** `VERSION AS OF <n>` — the analyzer routes the version string here. */
   override def loadTable(ident: Identifier, version: String): Table =

@@ -302,9 +302,37 @@ final case class GraftRelation(sqlContext: SQLContext, path: String,
     * between reads of a LATEST-mode relation is picked up, matching
     * `spark.read.parquet`'s freshness.
     */
+  /** `timestampAsOf` (ISO-8601 instant or epoch millis) resolved to a
+    * snapshot id against the explicit commit instants — the option-surface
+    * twin of SQL `TIMESTAMP AS OF`.
+    */
+  private def timestampOpt: Option[Int] = parameters.get("timestampAsOf").map { v =>
+    val epochMs =
+      try v.trim.toLong
+      catch {
+        case _: NumberFormatException =>
+          try java.time.Instant.parse(v.trim).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"graft source: option `timestampAsOf` must be epoch millis " +
+                  s"or an ISO-8601 instant, got `$v`")
+          }
+      }
+    Manifest.snapshotIdAsOfTime(sqlContext.sparkSession, path, epochMs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot under $path committed at or before " +
+          s"${java.time.Instant.ofEpochMilli(epochMs)} — timestampAsOf " +
+          "reaches only retained history"))
+  }
+
   private def frame(): DataFrame = {
     val spark = sqlContext.sparkSession
-    (intOpt("snapshotId"), intOpt("changesFrom"), intOpt("changesTo")) match {
+    require(!(parameters.contains("snapshotId") &&
+              parameters.contains("timestampAsOf")),
+      "graft source: snapshotId and timestampAsOf are mutually exclusive")
+    (intOpt("snapshotId").orElse(timestampOpt),
+     intOpt("changesFrom"), intOpt("changesTo")) match {
       case (Some(id), None, None) => Manifest.readAsOf(spark, path, id)
       case (None, Some(from), Some(to)) =>
         Manifest.changesBetween(spark, path, from, to)
@@ -315,8 +343,8 @@ final case class GraftRelation(sqlContext: SQLContext, path: String,
               "the dir directly with spark.read.parquet"))
         Manifest.readAsOf(spark, path, latest)
       case _ => throw new IllegalArgumentException(
-        "graft source: pass either snapshotId, or BOTH changesFrom and " +
-          "changesTo, or neither (latest snapshot)")
+        "graft source: pass either snapshotId/timestampAsOf, or BOTH " +
+          "changesFrom and changesTo, or neither (latest snapshot)")
     }
   }
 

@@ -179,6 +179,36 @@ class GraftSourceSpec extends SparkSpec {
     assert(q.count() == 100L) // l2 owns [2000, 2499]; < 2100 → 2000..2099
   }
 
+  test("timestampAsOf option resolves by commit instant, mirrors SQL TIMESTAMP AS OF") {
+    val dir = stage("gsrc_tsopt")
+    Manifest.create(spark, dir, "doc_id")
+    val fp1 = fp(spark.read.parquet(dir))
+    Thread.sleep(1100) // commit instants are millis; separate the snapshots
+    val t1 = System.currentTimeMillis()
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .limit(20).write.mode("append").parquet(dir)
+    Manifest.createIncremental(spark, dir, "doc_id")
+    // Epoch-millis form: resolves to the snapshot live at t1.
+    assert(fp(spark.read.format("graft")
+      .option("timestampAsOf", t1.toString).load(dir)) == fp1)
+    // ISO-8601 form: the same instant.
+    assert(fp(spark.read.format("graft")
+      .option("timestampAsOf", java.time.Instant.ofEpochMilli(t1).toString)
+      .load(dir)) == fp1)
+    // Latest read sees the append.
+    assert(spark.read.format("graft").load(dir).count() == 520L)
+    // Before history: typed.
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("timestampAsOf", "100").load(dir).count()
+    }
+    // Ambiguous pin: typed.
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("timestampAsOf", t1.toString)
+        .option("snapshotId", 1).load(dir).count()
+    }
+  }
+
   test("column pruning reaches the inner parquet scan") {
     val dir = stage("gsrc_prune")
     Manifest.create(spark, dir, "doc_id")

@@ -342,6 +342,37 @@ class SqlDmlSpec extends SparkSpec {
       "refused ALTER must commit nothing")
   }
 
+  test("metadata tables: $history and $files introspect through plain SQL") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = tmpDir("dml_meta") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.filter(col("doc_id") < 300).repartitionByRange(4, col("doc_id"))
+      .write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id")                       // snapshot 1
+    docs.filter(col("doc_id") >= 300).repartition(2)
+      .write.mode("append").parquet(dir)
+    Manifest.createIncremental(spark, dir, "doc_id")            // snapshot 2
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id BETWEEN 10 AND 19") // 3
+    val hist = spark.sql(
+      s"SELECT snapshot, n_files, n_rows FROM graft.`$dir$$history` ORDER BY snapshot")
+      .collect()
+    assert(hist.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(hist(0).getLong(2) == 300L, "snapshot 1 rows")
+    assert(hist(1).getLong(2) == 500L, "snapshot 2 rows")
+    assert(hist(2).getLong(2) == 490L, "snapshot 3 rows (post-delete)")
+    val files = spark.sql(s"SELECT * FROM graft.`$dir$$files`")
+    assert(!files.columns.exists(_.startsWith("bloom_")),
+      "bloom sketches must be pruned from the introspection schema")
+    val agg = spark.sql(
+      s"SELECT sum(n_rows) AS rows, count(*) AS files, " +
+        s"min(min_doc_id) AS lo FROM graft.`$dir$$files`").head()
+    assert(agg.getLong(0) == 490L && agg.getLong(1) > 0L)
+    assert(agg.getLong(2) == 0L, "per-file stats surface (min over mins = 0)")
+    intercept[Exception] { // unknown suffix: typed
+      spark.sql(s"SELECT * FROM graft.`$dir$$nope`").collect()
+    }
+  }
+
   test("CALL graft.system.*: maintenance procedures mutate through the journaled engine jobs") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     val dir = tmpDir("dml_call") + "/docs"
