@@ -99,7 +99,10 @@ object Layout {
       retainInto = if (profile.isDefined) Some("_graft_trash") else None)
     profile.foreach { p =>
       Manifest.createLike(spark, path, p): Unit
-      if (!retained) Manifest.expireSnapshots(spark, path, keep = 1): Unit
+      // keepTagged = false: these snapshots just became UNREADABLE (their
+      // files could not be retained) — a tag must not pin broken history.
+      if (!retained)
+        Manifest.expireSnapshots(spark, path, keep = 1, keepTagged = false): Unit
     }
   }
 
@@ -477,9 +480,14 @@ object Layout {
       val src = new Path(s"$path/$rel")
       if (fs.exists(src)) {
         val dst = new Path(trash, rel)
-        fs.mkdirs(dst.getParent)
-        if (!fs.rename(src, dst))
-          throw new java.io.IOException(s"cow commit: failed to retain $rel")
+        // Already retained (a RESTORE's revive copy of this very entry —
+        // see retainReplaced): drop the live copy, keep the trash original.
+        if (fs.exists(dst)) fs.delete(src, false): Unit
+        else {
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"cow commit: failed to retain $rel")
+        }
       }
     }
     stagedRels.foreach { rel =>
@@ -659,9 +667,16 @@ object Layout {
       fs.mkdirs(trash)
       fs.listStatus(oldP).foreach { st =>
         val n = st.getPath.getName
-        if (st.isFile && n.startsWith("part-") && st.getLen > 0)
-          if (!fs.rename(st.getPath, new Path(trash, n)))
+        if (st.isFile && n.startsWith("part-") && st.getLen > 0) {
+          val dst = new Path(trash, n)
+          // Already retained: a file re-enters the live set only as a
+          // RESTORE's copy of this very trash entry (part- names are
+          // write-unique), so an existing destination is byte-identical —
+          // drop the live copy instead of failing the rename.
+          if (fs.exists(dst)) fs.delete(st.getPath, false): Unit
+          else if (!fs.rename(st.getPath, dst))
             throw new java.io.IOException(s"cow commit: failed to retain $n")
+        }
       }
       FsMaint.deleteRecursively(fs, oldP)
     }
@@ -895,6 +910,82 @@ object Layout {
       } else data.write.mode("append").parquet(path)
       Manifest.createIncremental(spark, path, keys: _*)
       snapshotRows() - rowsBefore
+    }
+  }
+
+  /** Outcome of [[restoreSnapshot]]: files copied back from the trash,
+    * files retired to it, and files that were already in place.
+    */
+  final case class RestoreResult(newSnapshotId: Int, revived: Int,
+                                 retired: Int, kept: Int)
+
+  /** ROLL BACK the table's LIVE state to retained snapshot `targetId` — the
+    * `RESTORE TABLE ... VERSION AS OF` shape, as a new FORWARD commit
+    * (history is never rewritten: every snapshot since the target stays
+    * readable, and the restore itself is one more entry in the history):
+    *
+    *   - files of the target state that now sit in the retained trash are
+    *     COPIED back live (copies, not moves — the trash entry keeps
+    *     serving every OTHER snapshot that references it);
+    *   - live files the target state lacks are retired to the trash;
+    *   - files in both states stay in place, never read or moved.
+    *
+    * Runs on the SAME journaled COW commit as delete/merge (flat swap or
+    * per-partition moves, crash-healed), so cost is ∝ files changed
+    * between the states, never table size. Restore across a schema change
+    * is refused typed (v1 contract: the restored data must decode under
+    * the current recorded schema); unreachable targets (expired, or
+    * vacuumed files) fail typed.
+    */
+  def restoreSnapshot(spark: SparkSession, path: String,
+                      targetId: Int): RestoreResult = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    FsMaint.withTableLock(fs, path) {
+      healDelete(spark, path)
+      FsMaint.recoverSwap(fs, path)
+      val keys = Manifest.currentKeyCols(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"restoreSnapshot($path) needs a manifest snapshot"))
+      Manifest.requireComplete(spark, path)
+      val latest = Manifest.latestSnapshotId(spark, path).get
+      val restored = Manifest.snapshotEntriesResolved(spark, path, targetId)
+      if (targetId == latest)
+        return RestoreResult(latest, 0, 0, restored.size)
+      val sL = Manifest.storedSchema(spark, path, latest)
+      val sT = Manifest.storedSchema(spark, path, targetId)
+      require(sT.isEmpty || sL == sT,
+        s"restoreSnapshot($path): snapshot-$targetId has a different recorded " +
+          "schema than the live table — restore across a schema change needs " +
+          "an explicit updateSchema first (the restored files must decode " +
+          "under the current read schema)")
+      val current = Manifest.snapshotEntriesResolved(spark, path, latest)
+      val restoredRels = restored.map { case (e, _) =>
+        Manifest.relativeTo(path, Manifest.decodePath(e)) }.toSet
+      // Live files the target lacks — retired by the journaled commit.
+      val toRemove = current.collect { case (e, _)
+        if !restoredRels(Manifest.relativeTo(path, Manifest.decodePath(e))) => e }
+      // Target files now in the trash — revived by copy into the stage.
+      val trashPrefix = new Path(path, "_graft_trash").toUri.getPath
+      val toRevive = restored.filter(_._2.startsWith(trashPrefix))
+      if (toRemove.isEmpty && toRevive.isEmpty)
+        return RestoreResult(latest, 0, 0, restored.size)
+      val partitioned = isHivePartitioned(fs, path)
+      val stage = path + (if (partitioned) PartStageSuffix else "__delnew")
+      FsMaint.deleteRecursively(fs, new Path(stage))
+      fs.mkdirs(new Path(stage))
+      val conf = spark.sessionState.newHadoopConf()
+      toRevive.foreach { case (e, resolved) =>
+        val rel = Manifest.relativeTo(path, Manifest.decodePath(e))
+        val dest = new Path(stage, rel)
+        fs.mkdirs(dest.getParent)
+        if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(resolved),
+            fs, dest, false, conf))
+          throw new java.io.IOException(s"restore: failed to revive $rel")
+      }
+      if (partitioned) commitReplacePartitioned(spark, fs, path, toRemove, stage, keys)
+      else commitReplace(spark, fs, path, toRemove, stage, keys)
+      RestoreResult(Manifest.latestSnapshotId(spark, path).get,
+        toRevive.size, toRemove.size, restored.size - toRevive.size)
     }
   }
 

@@ -272,6 +272,42 @@ object Manifest {
     resolved.collect { case Right(p) => p }
   }
 
+  /** Snapshot `id`'s RAW file entries paired with each file's CURRENT
+    * location (live path, or its retained-trash home) — order-preserving,
+    * unlike [[resolveForRead]]'s grouped output. The restore planner's
+    * view: entry identity decides set membership, the resolved side
+    * decides whether a revive copy is needed. Fails typed when a
+    * referenced file is in neither place (vacuumed).
+    */
+  private[ops] def snapshotEntriesResolved(spark: SparkSession, table: String,
+                                           id: Int): Seq[(String, String)] = {
+    require(hasSnapshot(spark, table, id),
+      s"no snapshot-$id under $table — never created, or expired by retention")
+    val entries = plannedPaths(
+      spark.read.parquet(s"${root(table)}/snapshot-$id").select("file"),
+      table, "restore planning")
+    val fs = fsOf(spark, table)
+    lazy val trashRels: Set[String] = trashRelPaths(fs, table)
+    val resolved = Map.newBuilder[String, String]
+    entries.map(e => e -> decodePath(e)).groupBy(_._2.getParent).foreach {
+      case (parent, es) =>
+        val existing =
+          try fs.listStatus(parent).map(_.getPath.getName).toSet
+          catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+        es.foreach { case (e, p) =>
+          if (existing(p.getName)) resolved += e -> p.toString
+          else if (trashRels(relativeTo(table, p)))
+            resolved += e -> new Path(trashDir(table), relativeTo(table, p)).toString
+          else throw new StaleManifestException(
+            s"snapshot-$id under $table references $p, which exists neither " +
+              "live nor in the retained trash (vacuumed?) — the snapshot is " +
+              "no longer restorable")
+        }
+    }
+    val m = resolved.result()
+    entries.map(e => e -> m(e))
+  }
+
   /** Snapshot the table's current file-level stats for one or more key
     * columns (one `min_<c>`/`max_<c>` pair per column — multi-column stats
     * are what make a Z-ORDERED layout file-skippable on BOX predicates,
@@ -1638,7 +1674,14 @@ object Manifest {
     * `addedSince` fail fast on the missing snapshot rather than
     * under-report. Returns the number of snapshots removed.
     */
-  def expireSnapshots(spark: SparkSession, table: String, keep: Int): Int = {
+  def expireSnapshots(spark: SparkSession, table: String, keep: Int): Int =
+    expireSnapshots(spark, table, keep, keepTagged = true)
+
+  /** `keepTagged = false` is for internal heals that expire now-UNREADABLE
+    * history (a tag on an unreadable snapshot is debt, not protection).
+    */
+  def expireSnapshots(spark: SparkSession, table: String, keep: Int,
+                      keepTagged: Boolean): Int = {
     require(keep >= 1, s"must keep at least 1 snapshot: $keep")
     val fs = fsOf(spark, table)
     val r = new Path(root(table))
@@ -1650,9 +1693,76 @@ object Manifest {
           case _ => None
         }
       }.flatten.sorted
-      val drop = ids.dropRight(keep)
+      // A TAGGED snapshot is pinned history (the Iceberg tag-retention
+      // contract): retention counts it but never deletes it.
+      val pinned: Set[Int] =
+        if (keepTagged) tags(spark, table).values.toSet else Set.empty
+      val drop = ids.dropRight(keep).filterNot(pinned)
       drop.foreach(id => FsMaint.deleteRecursively(fs, new Path(s"${root(table)}/snapshot-$id")))
       drop.length
     }
+  }
+
+  // ---- snapshot TAGS: named, human-stable refs into retained history
+  // (the Iceberg tag idea on this snapshot mechanism). A tag file is
+  // `_graft_manifest/tag-<name>` holding the snapshot id — written
+  // atomically (tmp + rename), read by `VERSION AS OF '<name>'` through
+  // the SQL catalog, and pinning its snapshot against [[expireSnapshots]].
+
+  private val TagRe = "^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$".r
+
+  private def tagPath(table: String, name: String): Path = {
+    require(TagRe.matches(name),
+      s"tag name must match ${TagRe.regex}: `$name` (it becomes a file name " +
+        "and a VERSION AS OF literal)")
+    require(name.toIntOption.isEmpty,
+      s"tag name `$name` would shadow a numeric snapshot id")
+    new Path(root(table), s"tag-$name")
+  }
+
+  /** Create or move tag `name` to retained snapshot `id`. */
+  def tag(spark: SparkSession, table: String, name: String, id: Int): Unit = {
+    require(hasSnapshot(spark, table, id),
+      s"cannot tag snapshot-$id under $table: not retained")
+    val fs = fsOf(spark, table)
+    val p = tagPath(table, name)
+    val tmp = new Path(p.getParent, p.getName + "__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"tag commit failed: $p")
+  }
+
+  /** Drop tag `name`; returns whether it existed. The snapshot itself
+    * stays retained until a later [[expireSnapshots]].
+    */
+  def dropTag(spark: SparkSession, table: String, name: String): Boolean =
+    fsOf(spark, table).delete(tagPath(table, name), false)
+
+  /** Resolve tag `name` to its snapshot id. */
+  def taggedId(spark: SparkSession, table: String, name: String): Option[Int] = {
+    val fs = fsOf(spark, table)
+    val p = tagPath(table, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** All tags (name → snapshot id). One listing; rows ∝ tags. */
+  def tags(spark: SparkSession, table: String): Map[String, Int] = {
+    val fs = fsOf(spark, table)
+    val r = new Path(root(table))
+    if (!fs.exists(r)) Map.empty
+    else fs.listStatus(r).toSeq.collect {
+      case s if s.isFile && s.getPath.getName.startsWith("tag-") &&
+          !s.getPath.getName.endsWith("__tmp") =>
+        val name = s.getPath.getName.stripPrefix("tag-")
+        taggedId(spark, table, name).map(name -> _)
+    }.flatten.toMap
   }
 }

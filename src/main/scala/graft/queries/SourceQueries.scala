@@ -689,6 +689,80 @@ object SourceQueries {
               | (SELECT count(*) FROM documents WHERE doc_id > 9)::BIGINT, 'doc_id'
               |ORDER BY 1""".stripMargin)),
 
+    // ---- RESTORE (roll back as a FORWARD commit): create → COW delete →
+    //      append, then restore to snapshot 1 — trash-resident files
+    //      revived by copy, the appended files retired, history never
+    //      rewritten (the pre-restore state stays as-of readable), and a
+    //      LATER delete proves the restored state is fully mutable. Gate:
+    //      final fingerprint ≡ DuckDB replaying restore-then-delete
+    //      (= the original corpus minus the SECOND delete only), plus the
+    //      pre-restore state's row count surviving as history.
+    Q("manifest_restore",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val stage = java.nio.file.Files.createTempDirectory("graft_restore").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        docs.repartitionByRange(6, col("doc_id")).write.parquet(stage)
+        val id1 = graft.ops.Manifest.create(s, stage, "doc_id")
+        graft.ops.Layout.deleteRange(s, stage, "doc_id", maxId / 4, maxId / 2)
+        docs.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + maxId + 1)
+          .write.mode("append").parquet(stage)
+        graft.ops.Manifest.createIncremental(s, stage, "doc_id") // snapshot 3
+        val preRestoreN = s.read.parquet(stage).count()
+        val r = graft.ops.Layout.restoreSnapshot(s, stage, id1)  // snapshot 4
+        // The restored state is fully mutable: a SECOND, different delete.
+        graft.ops.Layout.deleteRange(s, stage, "doc_id",
+          3 * maxId / 4, maxId)                                  // snapshot 5
+        val historyN = graft.ops.Manifest.readAsOf(s, stage, 3).count()
+        graft.functions.Hashing.multisetFingerprintAgg(
+            s.read.parquet(stage), docCols)
+          .withColumn("revived_and_retired", lit(r.revived > 0 && r.retired > 0))
+          .withColumn("history_intact", lit(historyN == preRestoreN))
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) AS mx FROM documents)
+               |SELECT *, true AS revived_and_retired, true AS history_intact FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"),
+                   ("(SELECT d.* FROM documents d, b " +
+                    "WHERE d.doc_id NOT BETWEEN 3 * b.mx // 4 AND b.mx) t"))})""".stripMargin)),
+
+    // ---- snapshot TAGS: a named ref ('baseline') into retained history —
+    //      resolvable by SQL VERSION AS OF '<name>', and PINNING its
+    //      snapshot against expireSnapshots (the Iceberg tag-retention
+    //      contract). Fixture: tag snapshot 1, mutate twice, expire to 1 —
+    //      only the untagged middle snapshot dies; the tag still reads the
+    //      ORIGINAL corpus exactly (≡ DuckDB), through the vacuum too.
+    Q("sql_time_travel_tag",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val stage = java.nio.file.Files.createTempDirectory("graft_tag").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        docs.repartitionByRange(4, col("doc_id")).write.parquet(stage)
+        val id1 = graft.ops.Manifest.create(s, stage, "doc_id")
+        s.sql(s"CALL graft.system.tag('$stage', 'baseline', $id1)")
+        graft.ops.Layout.deleteRange(s, stage, "doc_id", 0L, maxId / 4) // snap 2
+        docs.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + maxId + 1)
+          .write.mode("append").parquet(stage)
+        graft.ops.Manifest.createIncremental(s, stage, "doc_id")        // snap 3
+        val expired = s.sql(
+          s"CALL graft.system.expire_snapshots('$stage', 1)").head().getLong(0)
+        s.sql(s"CALL graft.system.vacuum('$stage')")
+        graft.functions.Hashing.multisetFingerprintAgg(
+            s.sql(s"SELECT * FROM graft.`$stage` VERSION AS OF 'baseline'"),
+            docCols)
+          .withColumn("only_untagged_expired", lit(expired == 1L))
+          .withColumn("tag_resolves",
+            lit(graft.ops.Manifest.tags(s, stage) == Map("baseline" -> id1)))
+      },
+      Some(s"""SELECT *, true AS only_untagged_expired, true AS tag_resolves FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "documents")})""".stripMargin)),
+
     // ---- TIME TRAVEL: after batch 2 lands and is snapshotted, an as-of
     //      read of snapshot 1 must return EXACTLY batch 1 (fingerprint-
     //      gated against DuckDB computing batch 1's membership directly) —

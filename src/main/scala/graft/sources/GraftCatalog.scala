@@ -111,14 +111,19 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     else tableFor(ident, None)
   }
 
-  /** `VERSION AS OF <n>` — the analyzer routes the version string here. */
+  /** `VERSION AS OF <n | 'tag'>` — the analyzer routes the version string
+    * here: an integer is a snapshot id, anything else resolves as a
+    * snapshot TAG (`Manifest.tag` / `CALL graft.system.tag`).
+    */
   override def loadTable(ident: Identifier, version: String): Table =
-    tableFor(ident, Some(
-      try version.toInt
-      catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"graft VERSION AS OF takes an integer snapshot id, got `$version`")
-      }))
+    tableFor(ident, Some(version.toIntOption.getOrElse {
+      val spark = SparkSession.active
+      Manifest.taggedId(spark, pathOf(ident), version).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft VERSION AS OF: `$version` is neither a snapshot id nor " +
+            s"an existing tag (tags: ${Manifest.tags(spark, pathOf(ident))
+              .keys.toSeq.sorted.mkString(", ")})"))
+    }))
 
   /** `TIMESTAMP AS OF <t>` — resolved against each snapshot's PUBLISH
     * instant (the explicit `_committed_at` marker each commit writes just

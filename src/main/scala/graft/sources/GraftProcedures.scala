@@ -21,6 +21,7 @@ import org.apache.spark.sql.types._
   * CALL graft.system.compact('/data/docs', 128)        -- ≈128 MB files
   * CALL graft.system.zorder('/data/docs', 'a,b', 16)
   * CALL graft.system.cluster_range('/data/docs', 'k', 16)
+  * CALL graft.system.restore('/data/docs', 3)          -- roll back to snapshot 3
   * CALL graft.system.expire_snapshots('/data/docs', 3) -- keep newest 3
   * CALL graft.system.vacuum('/data/docs')              -- drop expired trash
   * }}}
@@ -99,6 +100,15 @@ object GraftProcedures {
       }
     },
 
+    new Proc("restore", "path" -> StringType, "snapshot_id" -> IntegerType) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        outcome("files_changed", {
+          val r = Layout.restoreSnapshot(spark, stringArg(input, 0),
+            intArg(input, 1))
+          (r.revived + r.retired).toLong
+        })
+    },
+
     new Proc("expire_snapshots", "path" -> StringType, "keep" -> IntegerType) {
       override def call(input: InternalRow): java.util.Iterator[Scan] =
         outcome("snapshots_expired", Manifest.expireSnapshots(spark,
@@ -109,6 +119,22 @@ object GraftProcedures {
       override def call(input: InternalRow): java.util.Iterator[Scan] =
         outcome("files_removed",
           Manifest.vacuum(spark, stringArg(input, 0)).toLong)
+    },
+
+    new Proc("tag", "path" -> StringType, "name" -> StringType,
+             "snapshot_id" -> IntegerType) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        Manifest.tag(spark, stringArg(input, 0), stringArg(input, 1),
+          intArg(input, 2))
+        outcome("tagged_snapshot", intArg(input, 2).toLong)
+      }
+    },
+
+    new Proc("drop_tag", "path" -> StringType, "name" -> StringType) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        outcome("existed",
+          if (Manifest.dropTag(spark, stringArg(input, 0),
+            stringArg(input, 1))) 1L else 0L)
     }
   ).map(p => p.name() -> p).toMap
 

@@ -433,6 +433,43 @@ class PlanAuditSpec extends SparkSpec {
         p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
   }
 
+  test("streaming-sink micro-batch: appendOnce plans only the batch's own files, never the table") {
+    val dir = tmpDir("pa_sink") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.filter(col("doc_id") < 400).repartition(6).write.parquet(dir)
+    graft.ops.Manifest.create(spark, dir, "doc_id")
+    val batch = docs.filter(col("doc_id") >= 400)
+    val scans = scanPathsDuring {
+      graft.ops.Layout.appendOnce(spark, dir, "pa-sink", 1L, batch): Unit
+    }
+    // Data scans under the table dir must be the landed batch files (the
+    // deterministic part-sink-* names) — a whole-dir or old-file plan means
+    // the micro-batch cost grew to O(table).
+    val tableData = scans.filter(p =>
+      p.contains(dir) && !p.contains("_graft_manifest") && !p.contains("__sinkstage"))
+    assert(tableData.nonEmpty, s"expected batch-file scans\n${scans.mkString("\n")}")
+    tableData.foreach { p =>
+      assert(p.contains("part-sink-"),
+        s"sink batch planned a non-batch path: $p\n${scans.mkString("\n")}")
+    }
+  }
+
+  test("$files introspection: a distributed parquet scan over the snapshot, blooms pruned") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = tmpDir("pa_meta") + "/docs"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartition(4).write.parquet(dir)
+    graft.ops.Manifest.createWithBloom(spark, dir, Seq("doc_id"), Seq("doc_id"))
+    val df = spark.sql(s"SELECT sum(n_rows) AS r FROM graft.`$dir$$files`")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Scan") && p.contains("parquet") && !p.contains("LocalTableScan"),
+      s"\\$$files must stay a distributed parquet scan, not a driver materialization:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("bloom_"),
+      "bloom sketches must be pruned from the introspection read:\n" +
+        p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
   test("partition-drop DELETE (partCol = v) is pure metadata: zero data-file scans") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     val stage = tmpDir("pa_partdrop") + "/docs"
