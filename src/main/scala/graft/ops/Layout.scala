@@ -731,16 +731,19 @@ object Layout {
     val f = Manifest.files(spark, path)
     val total = f.count().toInt
     if (nDelta == 0) return MergeResult(0, total, 0L, 0L)
-    require(dStats.getLong(1) == nDelta,
-      s"delta has duplicate $keyCol values — replace would be ambiguous")
     // SQL UPDATE only: a matched row with a NULL merge key cannot be
     // REPLACED by the keyed upsert (NULL joins nothing — the original would
     // survive AND the updated copy would append: silent duplication).
+    // Checked BEFORE the duplicate require: two matched NULL-key rows
+    // collapse into one group there and would report the misleading
+    // "duplicate values" error instead of this guidance.
     if (refuseNullKeys && dStats.getLong(2) > 0)
       throw new IllegalArgumentException(
         s"UPDATE on $path matches ${dStats.getLong(2)} row(s) with a NULL " +
           s"merge key `$keyCol` — a keyed upsert cannot replace them in " +
           "place; route null-key rows through a rewrite instead")
+    require(dStats.getLong(1) == nDelta,
+      s"delta has duplicate $keyCol values — replace would be ambiguous")
     // NULL delta keys are legitimate MERGE inserts (a NULL key matches no
     // row, so the row lands as an insert and NULL-keyed table rows are
     // never replaced) — but see [[graft.sources.GraftMergeIntoCommand]]:
@@ -1029,20 +1032,49 @@ object Layout {
         .digest(txnApp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString.take(12)
       val prefix = s"part-sink-$appTok-$txnVersion-"
-      // Foreign-adoption probe: files of THIS batch already referenced by
-      // the latest snapshot (metadata-sized filtered collect — matches are
-      // at most this one batch's files).
-      val adopted = Manifest.files(spark, path).select("file")
+      // Foreign-adoption fast path: files of THIS batch referenced by the
+      // latest snapshot (metadata-sized filtered collect).
+      val adoptedLatest = Manifest.files(spark, path).select("file")
         .filter(col("file").contains(prefix))
         .limit(1).collect().nonEmpty
-      if (adopted) {
+      if (adoptedLatest) {
         Manifest.recordTxn(spark, path, txnApp, txnVersion): Unit
         return 0L
       }
-      // Crash heal: unreferenced leftovers of this batch's crashed attempt.
-      FsMaint.listRelative(fs, new Path(path))(st =>
+      // Crash triage: classify every artifact of this (app, version) by
+      // WHERE it sits. ONE recursive listing (same order as the incremental
+      // snapshot's own listing below).
+      //  - Under _graft_trash: only REFERENCED files are ever retired there,
+      //    so a trash-resident artifact proves the batch was adopted by a
+      //    foreign snapshot and later rewritten — record the txn, skip.
+      //  - Live (non-hidden dirs): could be an adopted file a snapshot still
+      //    references (NEVER delete — verify against ALL retained snapshots,
+      //    a rare crash-retry-only job) or a true orphan (delete, redo).
+      val artifacts = FsMaint.listRelative(fs, new Path(path))(st =>
         st.getPath.getName.startsWith(prefix))
-        .foreach { case (_, st) => fs.delete(st.getPath, false): Unit }
+      val (hidden, live) = artifacts.partition { case (rel, _) =>
+        rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")) }
+      if (hidden.exists(_._1.startsWith("_graft_trash/"))) {
+        Manifest.recordTxn(spark, path, txnApp, txnVersion): Unit
+        return 0L
+      }
+      if (live.nonEmpty) {
+        val snapDirs = Manifest.snapshotIds(spark, path)
+        val referencedAnywhere = snapDirs.nonEmpty && {
+          import org.apache.spark.sql.types.{StringType, StructField, StructType}
+          spark.read
+            .schema(StructType(Seq(StructField("file", StringType))))
+            .parquet(snapDirs.map(id =>
+              s"$path/_graft_manifest/snapshot-$id"): _*)
+            .filter(col("file").contains(prefix))
+            .limit(1).collect().nonEmpty
+        }
+        if (referencedAnywhere) {
+          Manifest.recordTxn(spark, path, txnApp, txnVersion): Unit
+          return 0L
+        }
+        live.foreach { case (_, st) => fs.delete(st.getPath, false): Unit }
+      }
       val latest = Manifest.latestSnapshotId(spark, path).get
       Manifest.storedSchema(spark, path, latest)
         .foreach(old => Manifest.mergeAdditive(old, data.schema): Unit)
@@ -1058,7 +1090,11 @@ object Layout {
       } else data.write.mode("overwrite").parquet(stage)
       val staged = FsMaint.listRelative(fs, new Path(stage))(st =>
         st.getPath.getName.startsWith("part-") && st.getLen > 0)
-      if (staged.isEmpty) {
+      // A 0-row batch still writes a schema-only part file (length > 0) —
+      // count via the parquet FOOTERS (metadata-only) so an empty
+      // micro-batch is a true no-op: nothing landed, nothing committed.
+      if (staged.isEmpty ||
+          spark.read.parquet(stage).count() == 0L) {
         FsMaint.deleteRecursively(fs, new Path(stage))
         return 0L
       }

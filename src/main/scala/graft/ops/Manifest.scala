@@ -105,7 +105,7 @@ object Manifest {
   private def fsOf(spark: SparkSession, table: String) =
     new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def snapshotIds(spark: SparkSession, table: String): Seq[Int] = {
+  private[ops] def snapshotIds(spark: SparkSession, table: String): Seq[Int] = {
     val fs = fsOf(spark, table)
     val r = new Path(root(table))
     if (!fs.exists(r)) Nil
@@ -1699,6 +1699,16 @@ object Manifest {
         if (keepTagged) tags(spark, table).values.toSet else Set.empty
       val drop = ids.dropRight(keep).filterNot(pinned)
       drop.foreach(id => FsMaint.deleteRecursively(fs, new Path(s"${root(table)}/snapshot-$id")))
+      // keepTagged = false can expire a TAGGED snapshot — its tag must die
+      // with it, or it dangles forever: tags() would keep pinning a
+      // nonexistent id and VERSION AS OF '<name>' would resolve to a
+      // deleted snapshot instead of failing as an unknown tag.
+      if (!keepTagged && drop.nonEmpty) {
+        val dropped = drop.toSet
+        tags(spark, table).foreach { case (name, id) =>
+          if (dropped(id)) dropTag(spark, table, name): Unit
+        }
+      }
       drop.length
     }
   }
@@ -1736,33 +1746,47 @@ object Manifest {
   }
 
   /** Drop tag `name`; returns whether it existed. The snapshot itself
-    * stays retained until a later [[expireSnapshots]].
+    * stays retained until a later [[expireSnapshots]]. A staged `__tmp`
+    * dies too — [[taggedId]]'s fallback would resurrect the tag from it.
     */
-  def dropTag(spark: SparkSession, table: String, name: String): Boolean =
-    fsOf(spark, table).delete(tagPath(table, name), false)
-
-  /** Resolve tag `name` to its snapshot id. */
-  def taggedId(spark: SparkSession, table: String, name: String): Option[Int] = {
+  def dropTag(spark: SparkSession, table: String, name: String): Boolean = {
     val fs = fsOf(spark, table)
     val p = tagPath(table, name)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-      finally in.close()
-    }
+    val tmpGone = fs.delete(new Path(p.getParent, p.getName + "__tmp"), false)
+    fs.delete(p, false) || tmpGone
   }
 
-  /** All tags (name → snapshot id). One listing; rows ∝ tags. */
+  /** Resolve tag `name` to its snapshot id. Falls back to the staged
+    * `__tmp` file: a tag MOVE is tmp-write → delete → rename (no portable
+    * rename-over), so a reader racing — or a crash inside — that window
+    * still resolves the tag (to its NEW target, which the tmp holds by
+    * then), and the pin against [[expireSnapshots]] never lapses.
+    */
+  def taggedId(spark: SparkSession, table: String, name: String): Option[Int] = {
+    val fs = fsOf(spark, table)
+    def readInt(q: Path): Option[Int] =
+      if (!fs.exists(q)) None
+      else {
+        val in = fs.open(q)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+        finally in.close()
+      }
+    val p = tagPath(table, name)
+    readInt(p).orElse(readInt(new Path(p.getParent, p.getName + "__tmp")))
+  }
+
+  /** All tags (name → snapshot id). One listing; rows ∝ tags. A tag whose
+    * move is mid-window (only its `__tmp` present) still lists — its
+    * retention pin must not lapse during the overwrite.
+    */
   def tags(spark: SparkSession, table: String): Map[String, Int] = {
     val fs = fsOf(spark, table)
     val r = new Path(root(table))
     if (!fs.exists(r)) Map.empty
     else fs.listStatus(r).toSeq.collect {
-      case s if s.isFile && s.getPath.getName.startsWith("tag-") &&
-          !s.getPath.getName.endsWith("__tmp") =>
-        val name = s.getPath.getName.stripPrefix("tag-")
-        taggedId(spark, table, name).map(name -> _)
-    }.flatten.toMap
+      case s if s.isFile && s.getPath.getName.startsWith("tag-") =>
+        s.getPath.getName.stripPrefix("tag-").stripSuffix("__tmp")
+    }.distinct.flatMap(name =>
+      taggedId(spark, table, name).map(name -> _)).toMap
   }
 }

@@ -104,10 +104,15 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     }
   }
 
+  private val MetaSuffixes = Set("history", "files")
+
   override def loadTable(ident: Identifier): Table = {
     val name = pathOf(ident)
     val cut = name.lastIndexOf('$')
-    if (cut > 0) metaTableFor(name.take(cut), name.drop(cut + 1))
+    // Only the KNOWN suffixes route to introspection — a directory whose
+    // path legitimately contains '$' stays loadable as an ordinary table.
+    if (cut > 0 && MetaSuffixes(name.drop(cut + 1)))
+      metaTableFor(name.take(cut), name.drop(cut + 1))
     else tableFor(ident, None)
   }
 

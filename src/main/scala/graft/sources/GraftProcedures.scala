@@ -63,6 +63,15 @@ object GraftProcedures {
 
     protected def spark: SparkSession = SparkSession.active
 
+    /** Post-job ACTUAL data-file count — procedures report outcomes, not
+      * their arguments echoed back.
+      */
+    protected def actualDataFiles(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      graft.ops.FsMaint.dataFileCount(
+        p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    }
+
     protected def stringArg(input: InternalRow, i: Int): String = {
       require(!input.isNullAt(i), s"$procName: argument ${params(i)._1} is NULL")
       input.getUTF8String(i).toString
@@ -84,19 +93,20 @@ object GraftProcedures {
     new Proc("zorder", "path" -> StringType, "cols" -> StringType,
              "n_files" -> IntegerType) {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val path = stringArg(input, 0)
         val cols = stringArg(input, 1).split(',').map(_.trim).toSeq
-        Layout.clusterByZOrderN(spark, stringArg(input, 0), cols,
-          intArg(input, 2))
-        outcome("files_written", intArg(input, 2).toLong)
+        Layout.clusterByZOrderN(spark, path, cols, intArg(input, 2))
+        outcome("files_written", actualDataFiles(path))
       }
     },
 
     new Proc("cluster_range", "path" -> StringType, "cluster_col" -> StringType,
              "n_files" -> IntegerType) {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        Layout.clusterByRange(spark, stringArg(input, 0), stringArg(input, 1),
+        val path = stringArg(input, 0)
+        Layout.clusterByRange(spark, path, stringArg(input, 1),
           intArg(input, 2))
-        outcome("files_written", intArg(input, 2).toLong)
+        outcome("files_written", actualDataFiles(path))
       }
     },
 

@@ -203,10 +203,23 @@ private[sources] final class GraftStreamSource(
     * from: the offset log itself replays that batch.
     */
   @volatile private var lastSeen: Option[Int] =
-    cursorFile.filter(p => fs(p).exists(p)).map { p =>
-      val in = fs(p).open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-      finally in.close()
+    cursorFile.flatMap { p =>
+      // The overwrite is tmp-write → delete → rename (no portable
+      // rename-over); a crash inside the delete→rename window loses the
+      // main file, so recovery takes the NEWER of main and tmp — the tmp
+      // always holds the latest handed-out offset at that point, and a
+      // regressed cursor would re-deliver already-committed snapshots.
+      def readInt(q: Path): Option[Int] = {
+        val f = fs(q)
+        if (!f.exists(q)) None
+        else {
+          val in = f.open(q)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+          finally in.close()
+        }
+      }
+      val tmp = new Path(p.getParent, p.getName + ".tmp")
+      (readInt(p).toSeq ++ readInt(tmp).toSeq).maxOption
     }
 
   private def persistCursor(id: Int): Unit = cursorFile.foreach { p =>

@@ -119,6 +119,63 @@ class GraftStreamSinkSpec extends SparkSpec {
       fp(docs.filter(col("doc_id") < 180)))
   }
 
+  test("appendOnce under concurrency: racing writers of the SAME batch land it exactly once") {
+    val dir = tmpDir("gsink_race") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.filter(col("doc_id") < 100).repartition(2).write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    val batch = docs.filter(col("doc_id").between(100, 139))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // Two writers race the same (app, version): the table lock makes the
+    // loser FAIL TYPED having touched nothing (the engine's concurrency
+    // posture — a streaming sink's retry is the replay path), and the
+    // retry observes the winner's ledger entry and dedups.
+    val fs2 = (1 to 2).map(_ => Future {
+      barrier.await()
+      try Right(Layout.appendOnce(spark, dir, "race-app", 7L, batch))
+      catch { case e: Manifest.ConcurrentCommitException => Left(e) }
+    })
+    val results = fs2.map(f => Await.result(f, 120.seconds))
+    val landed = results.collect { case Right(n) => n }
+    results.collect { case Left(_) => () } match {
+      case Seq() => // both serialized through: one landed, one deduped
+        assert(landed.sorted == Seq(-1L, batch.count()), s"$results")
+      case _ => // the loser failed typed — its RETRY must dedup
+        assert(landed == Seq(batch.count()), s"$results")
+        assert(Layout.appendOnce(spark, dir, "race-app", 7L, batch) == -1L)
+    }
+    assert(spark.read.parquet(dir).count() == 140L)
+    assert(Manifest.txnVersion(spark, dir, "race-app").contains(7L))
+    // Two DIFFERENT apps with the same version id are independent ledgers.
+    assert(Layout.appendOnce(spark, dir, "other-app", 7L,
+      docs.filter(col("doc_id").between(140, 149))) == 10L)
+    assert(spark.read.parquet(dir).count() == 150L)
+  }
+
+  test("empty micro-batch is a true no-op: no file, no snapshot, no ledger entry") {
+    val dir = tmpDir("gsink_empty") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.limit(50).repartition(1).write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    val snapBefore = Manifest.latestSnapshotId(spark, dir).get
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val filesBefore = graft.ops.FsMaint.dataFileCount(fs,
+      new org.apache.hadoop.fs.Path(dir))
+    // A 0-row frame still writes a schema-only parquet part file when
+    // staged — the no-op contract must hold anyway.
+    assert(Layout.appendOnce(spark, dir, "empty-app", 1L, docs.limit(0)) == 0L)
+    assert(Manifest.latestSnapshotId(spark, dir).contains(snapBefore),
+      "an empty batch must commit nothing")
+    assert(graft.ops.FsMaint.dataFileCount(fs,
+      new org.apache.hadoop.fs.Path(dir)) == filesBefore,
+      "an empty batch must land nothing")
+    assert(Manifest.txnVersion(spark, dir, "empty-app").isEmpty)
+  }
+
   test("sink refusals: non-append mode, partitionBy, missing txnAppId — all typed") {
     val dir = tmpDir("gsink_bad") + "/docs"
     val docs = spark.read.parquet(s"$sf001/documents.parquet")

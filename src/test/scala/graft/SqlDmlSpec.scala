@@ -373,6 +373,31 @@ class SqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("a table dir containing '$' stays loadable; multi-NULL UPDATE reports the NULL-key error") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    import spark.implicits._
+    // '$' in the directory path must not route to the metadata-table
+    // parser (only the known $history/$files suffixes do).
+    val dollar = tmpDir("dml_dollar") + "/ab$cd"
+    Seq((1L, "x"), (2L, "y")).toDF("doc_id", "payload")
+      .repartition(1).write.parquet(dollar)
+    Manifest.create(spark, dollar, "doc_id")
+    assert(spark.sql(s"SELECT * FROM graft.`$dollar`").count() == 2L)
+    // TWO matched NULL-key rows: the typed NULL-key guidance, not the
+    // misleading "duplicate values" error (they collapse to one group).
+    val dir = tmpDir("dml_nulls2") + "/docs"
+    (Seq((java.lang.Long.valueOf(5L), "a"),
+      (null.asInstanceOf[java.lang.Long], "n1"),
+      (null.asInstanceOf[java.lang.Long], "n2"))
+      .toDF("doc_id", "payload")).repartition(1).write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$dir` SET payload = 'x' " +
+        "WHERE payload LIKE 'n%'")
+    }
+    assert(e.getMessage.contains("NULL merge key"), e.getMessage)
+  }
+
   test("CALL graft.system.*: maintenance procedures mutate through the journaled engine jobs") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     val dir = tmpDir("dml_call") + "/docs"
