@@ -34,6 +34,12 @@ object Layout {
     * ceil(totalBytes / targetBytes) tasks — no keys, no sort, shuffle
     * carries each row once.
     *
+    * Hive-partitioned input FLATTENS: partition columns become data
+    * columns (content invariant; pre-rewrite snapshots keep reading the
+    * retained trash's `k=v` structure). Partition-preserving maintenance
+    * is [[compactPartition]]; the SQL CALL surface refuses partitioned
+    * input outright ([[wouldFlatten]]).
+    *
     * Sizing note: the estimate uses the CURRENT (compressed, encoded)
     * on-disk bytes, the right proxy for the rewrite since the same codec
     * re-encodes it; real deployments also bound files-per-task memory via
@@ -415,6 +421,72 @@ object Layout {
 
   private val PartStageSuffix = "__delnewp"
   private val PartJournalSuffix = "__deletingp"
+
+  /** Is a whole-table rewrite going to FLATTEN a hive layout? The Scala
+    * API's whole-dir rewrites deliberately flatten (partition columns
+    * become data columns — content invariant, history retained at the
+    * trash's own `k=v` structure, exercised by ManifestSpec); the SQL
+    * CALL surface REFUSES instead (a statement user two keystrokes from
+    * `compact` should not silently lose partition pruning) and routes to
+    * [[compactPartition]].
+    */
+  private[graft] def wouldFlatten(spark: SparkSession, path: String): Boolean =
+    isHivePartitioned(
+      new Path(path).getFileSystem(spark.sessionState.newHadoopConf()), path)
+
+  /** Compact ONE hive partition into ≈`targetBytes`-sized files — the
+    * partitioned table's small-file maintenance (`OPTIMIZE … WHERE
+    * partCol = value`): at scale a partitioned table is compacted
+    * partition-by-partition as each accrues append debt, never as a
+    * whole-table rewrite. Runs on the per-partition journaled COW commit:
+    * only this partition's files are planned, decoded, rewritten, or
+    * renamed; replaced originals are retained in the trash at their `k=v`
+    * paths (time travel and the change feed ride across, exactly like any
+    * COW mutation); the manifest recommits carrying untouched partitions'
+    * stats verbatim. Returns the number of files written (0 = the
+    * partition holds at most one file — metadata no-op).
+    */
+  def compactPartition(spark: SparkSession, path: String, partCol: String,
+                       value: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    FsMaint.withTableLock(fs, path) {
+      healDelete(spark, path)
+      FsMaint.recoverSwap(fs, path)
+      val keys = Manifest.currentKeyCols(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"compactPartition($path) needs a manifest snapshot"))
+      Manifest.requireComplete(spark, path)
+      require(isHivePartitioned(fs, path),
+        s"compactPartition($path): not a hive-partitioned table — " +
+          "compactTable is the flat form")
+      val seg = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(partCol) + "=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(value)
+      // Segment match runs where the rows live (see dropPartition) — the
+      // driver receives only the picked partition's file list.
+      import spark.implicits._
+      val tablePath = path
+      val segMatch = seg
+      val picked = Manifest.files(spark, path).select(col("file")).as[String]
+        .filter { p =>
+          Manifest.relativeTo(tablePath, Manifest.decodePath(p))
+            .split('/').dropRight(1).contains(segMatch)
+        }.collect().toIndexedSeq
+      if (picked.length <= 1) return 0 // nothing to compact
+      val totalBytes = picked.map(p =>
+        fs.getFileStatus(Manifest.decodePath(p)).getLen).sum
+      val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+      val stage = path + PartStageSuffix
+      FsMaint.deleteRecursively(fs, new Path(stage))
+      readPickedPinned(spark, path, picked).repartition(nFiles)
+        .write.partitionBy(partitionColsOf(path, picked): _*)
+        .mode("overwrite").parquet(stage)
+      commitReplacePartitioned(spark, fs, path, picked, stage, keys)
+      nFiles
+    }
+  }
 
   private def isHivePartitioned(fs: org.apache.hadoop.fs.FileSystem,
                                 path: String): Boolean =

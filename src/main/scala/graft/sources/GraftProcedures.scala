@@ -72,6 +72,19 @@ object GraftProcedures {
         p.getFileSystem(spark.sessionState.newHadoopConf()), p)
     }
 
+    /** A whole-table rewrite of a hive-partitioned table FLATTENS its
+      * layout (a documented Scala-API contract) — refused on the
+      * statement surface: a `CALL` user must not lose partition pruning
+      * two keystrokes from `compact`.
+      */
+    protected def refuseFlatten(path: String, proc: String): Unit =
+      if (Layout.wouldFlatten(spark, path))
+        throw new IllegalArgumentException(
+          s"CALL graft.system.$proc('$path'): the table is hive-" +
+            "partitioned and a whole-table rewrite would FLATTEN its " +
+            "layout — use graft.system.compact_partition per partition, " +
+            "or the Scala API if the flatten is deliberate")
+
     protected def stringArg(input: InternalRow, i: Int): String = {
       require(!input.isNullAt(i), s"$procName: argument ${params(i)._1} is NULL")
       input.getUTF8String(i).toString
@@ -85,15 +98,19 @@ object GraftProcedures {
   private val all: Map[String, Proc] = Seq[Proc](
 
     new Proc("compact", "path" -> StringType, "target_mb" -> IntegerType) {
-      override def call(input: InternalRow): java.util.Iterator[Scan] =
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val path = stringArg(input, 0)
+        refuseFlatten(path, "compact")
         outcome("files_written", Layout.compactTable(spark,
-          stringArg(input, 0), intArg(input, 1).toLong << 20).toLong)
+          path, intArg(input, 1).toLong << 20).toLong)
+      }
     },
 
     new Proc("zorder", "path" -> StringType, "cols" -> StringType,
              "n_files" -> IntegerType) {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val path = stringArg(input, 0)
+        refuseFlatten(path, "zorder")
         val cols = stringArg(input, 1).split(',').map(_.trim).toSeq
         Layout.clusterByZOrderN(spark, path, cols, intArg(input, 2))
         outcome("files_written", actualDataFiles(path))
@@ -104,10 +121,20 @@ object GraftProcedures {
              "n_files" -> IntegerType) {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val path = stringArg(input, 0)
+        refuseFlatten(path, "cluster_range")
         Layout.clusterByRange(spark, path, stringArg(input, 1),
           intArg(input, 2))
         outcome("files_written", actualDataFiles(path))
       }
+    },
+
+    new Proc("compact_partition", "path" -> StringType,
+             "part_col" -> StringType, "value" -> StringType,
+             "target_mb" -> IntegerType) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        outcome("files_written", Layout.compactPartition(spark,
+          stringArg(input, 0), stringArg(input, 1), stringArg(input, 2),
+          intArg(input, 3).toLong << 20).toLong)
     },
 
     new Proc("restore", "path" -> StringType, "snapshot_id" -> IntegerType) {

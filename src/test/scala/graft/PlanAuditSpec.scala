@@ -454,6 +454,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("compactPartition: only the target partition's files are ever planned") {
+    val dir = tmpDir("pa_cpart") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.repartition(3).write.partitionBy("lang").parquet(dir)
+    docs.withColumn("doc_id", col("doc_id") + 1000000L)
+      .repartition(2).write.mode("append").partitionBy("lang").parquet(dir)
+    graft.ops.Manifest.create(spark, dir, "doc_id")
+    val lang = docs.select("lang").head().getString(0)
+    val seg = s"lang=$lang/"
+    val scans = scanPathsDuring {
+      graft.ops.Layout.compactPartition(spark, dir, "lang", lang, 64L << 20): Unit
+    }
+    val data = scans.filter(p => p.contains(dir) &&
+      !p.contains("_graft_manifest") && !p.contains("__delnewp"))
+    assert(data.nonEmpty, s"expected picked-file scans\n${scans.mkString("\n")}")
+    data.foreach { p =>
+      assert(p.contains(seg),
+        s"a file OUTSIDE the target partition was planned: $p\n${scans.mkString("\n")}")
+    }
+  }
+
   test("$files introspection: a distributed parquet scan over the snapshot, blooms pruned") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     val dir = tmpDir("pa_meta") + "/docs"

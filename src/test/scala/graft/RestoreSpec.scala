@@ -91,6 +91,53 @@ class RestoreSpec extends SparkSpec {
     }
   }
 
+  test("compactPartition: one partition's small files compact; untouched partitions never move; flatten guarded") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = tmpDir("cpart") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    // Several files per partition (append debt inside each lang dir).
+    docs.repartition(4).write.partitionBy("lang").parquet(dir)
+    docs.withColumn("doc_id", col("doc_id") + 1000000L)
+      .repartition(3).write.mode("append").partitionBy("lang").parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    val preId = Manifest.latestSnapshotId(spark, dir).get
+    val fpBefore = fp(spark.read.parquet(dir))
+    val lang = docs.select("lang").head().getString(0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def filesIn(seg: String): Set[String] =
+      graft.ops.FsMaint.listRelative(fs, new org.apache.hadoop.fs.Path(dir))(
+        st => st.getPath.getName.startsWith("part-") && st.getLen > 0)
+        .map(_._1).filter(r => !r.startsWith("_")).toSet
+        .filter(r => (r.contains(s"lang=$lang/")) == (seg == "target"))
+    val targetBefore = filesIn("target")
+    val othersBefore = filesIn("others")
+    assert(targetBefore.size > 1, "fixture needs append debt in the target")
+    val written = spark.sql(
+      s"CALL graft.system.compact_partition('$dir', 'lang', '$lang', 64)")
+      .head().getLong(0)
+    assert(written >= 1L && written < targetBefore.size)
+    assert(filesIn("target").size == written.toInt)
+    assert(filesIn("others") == othersBefore,
+      "untouched partitions' files must not move")
+    assert(fp(spark.read.parquet(dir)) == fpBefore, "content invariant")
+    assert(Manifest.isComplete(spark, dir))
+    // History survives: the pre-compaction snapshot reads the replaced
+    // originals through the trash.
+    assert(fp(Manifest.readAsOf(spark, dir, preId)) == fpBefore)
+    // The STATEMENT surface refuses whole-table rewrites on a partitioned
+    // table (they would flatten the layout — the Scala API's documented
+    // deliberate-flatten contract stays available, see ManifestSpec).
+    Seq(s"CALL graft.system.compact('$dir', 64)",
+        s"CALL graft.system.zorder('$dir', 'doc_id,n_chars', 4)",
+        s"CALL graft.system.cluster_range('$dir', 'doc_id', 4)")
+      .foreach { stmt =>
+        val e = intercept[Exception] { spark.sql(stmt).collect() }
+        assert(e.getMessage.contains("FLATTEN"), s"$stmt -> ${e.getMessage}")
+      }
+    assert(fp(spark.read.parquet(dir)) == fpBefore)
+  }
+
   test("tags: named refs resolve in VERSION AS OF and pin snapshots against expiry") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     val dir = tmpDir("tags") + "/docs"
