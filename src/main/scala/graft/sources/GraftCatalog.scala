@@ -75,7 +75,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * `graft.`/t$files`` — the LATEST snapshot's per-file stats served as a
     * native parquet scan over the snapshot itself (rows ∝ file count, so
     * it stays a distributed scan, never a driver materialization; bloom
-    * sketch columns are pruned from the read schema).
+    * sketch columns are pruned from the read schema);
+    * `graft.`/t$tags`` — the named refs (tag → snapshot id).
     */
   private def metaTableFor(path: String, suffix: String): Table = {
     val spark = SparkSession.active
@@ -83,6 +84,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case "history" =>
         new GraftMetaTable(s"$catalogName.$path$$history",
           Manifest.history(spark, path))
+      case "tags" =>
+        import spark.implicits._
+        new GraftMetaTable(s"$catalogName.$path$$tags",
+          Manifest.tags(spark, path).toSeq.sortBy(_._1)
+            .toDF("tag", "snapshot"))
       case "files" =>
         val id = Manifest.latestSnapshotId(spark, path).getOrElse(
           throw new IllegalArgumentException(
@@ -104,7 +110,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     }
   }
 
-  private val MetaSuffixes = Set("history", "files")
+  private val MetaSuffixes = Set("history", "files", "tags")
 
   override def loadTable(ident: Identifier): Table = {
     val name = pathOf(ident)

@@ -155,6 +155,29 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 150L)
   }
 
+  test("sink into a hive-partitioned table: batches land in their k=v dirs, exactly-once holds") {
+    val dir = tmpDir("gsink_part") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.filter(col("doc_id") < 100).write.partitionBy("lang").parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    val b1 = docs.filter(col("doc_id").between(100, 179))
+    val n1 = Layout.appendOnce(spark, dir, "part-app", 1L, b1)
+    assert(n1 == b1.count())
+    assert(Layout.appendOnce(spark, dir, "part-app", 1L, b1) == -1L)
+    // Batch rows landed UNDER their partition dirs (partition-scoped scans
+    // keep pruning), and content is exact including the partition column.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val rels = graft.ops.FsMaint.listRelative(fs,
+      new org.apache.hadoop.fs.Path(dir))(st =>
+        st.getPath.getName.startsWith("part-sink-")).map(_._1)
+    assert(rels.nonEmpty && rels.forall(_.matches("lang=[^/]+/part-sink-.*")),
+      s"sink files must land in k=v dirs: $rels")
+    assert(fp(spark.read.parquet(dir)) ==
+      fp(docs.filter(col("doc_id") < 180)))
+    assert(Manifest.isComplete(spark, dir))
+  }
+
   test("empty micro-batch is a true no-op: no file, no snapshot, no ledger entry") {
     val dir = tmpDir("gsink_empty") + "/docs"
     val docs = spark.read.parquet(s"$sf001/documents.parquet")

@@ -152,6 +152,10 @@ class RestoreSpec extends SparkSpec {
     Manifest.createIncremental(spark, dir, "doc_id")             // snapshot 3
     spark.sql(s"CALL graft.system.tag('$dir', 'baseline', $id1)")
     assert(Manifest.tags(spark, dir) == Map("baseline" -> id1))
+    // Introspection: the $tags metadata table lists the ref.
+    val tagRows = spark.sql(s"SELECT tag, snapshot FROM graft.`$dir$$tags`").collect()
+    assert(tagRows.map(r => r.getString(0) -> r.getInt(1)).toSeq ==
+      Seq("baseline" -> id1))
     // VERSION AS OF by NAME.
     assert(fp(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 'baseline'")) == fp1)
     // Retention pins the tagged snapshot: keep=1 drops only the untagged
