@@ -454,6 +454,30 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("restoreSnapshot: only the REVIVED files are ever planned (kept files never decode)") {
+    val dir = tmpDir("pa_restore") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.repartitionByRange(6, col("doc_id")).write.parquet(dir)
+    val id1 = graft.ops.Manifest.create(spark, dir, "doc_id")
+    graft.ops.Layout.deleteRange(spark, dir, "doc_id", 100L, 199L)
+    // The files the restore must revive = exactly what the delete retired.
+    val fs = new java.io.File(s"$dir/_graft_trash")
+    val revivedNames = fs.listFiles().filter(_.getName.startsWith("part-"))
+      .map(_.getName).toSet
+    assert(revivedNames.nonEmpty)
+    val scans = scanPathsDuring {
+      graft.ops.Layout.restoreSnapshot(spark, dir, id1): Unit
+    }
+    val data = scans.filter(p => p.contains(dir) &&
+      !p.contains("_graft_manifest") && !p.contains("__delnew"))
+    assert(data.nonEmpty, s"expected revived-file scans\n${scans.mkString("\n")}")
+    data.foreach { p =>
+      assert(revivedNames.exists(p.endsWith),
+        s"restore planned a KEPT file (cost must be ∝ the state diff): $p\n" +
+          scans.mkString("\n"))
+    }
+  }
+
   test("compactPartition: only the target partition's files are ever planned") {
     val dir = tmpDir("pa_cpart") + "/docs"
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
