@@ -1034,14 +1034,16 @@ object Layout {
           "an explicit updateSchema first (the restored files must decode " +
           "under the current read schema)")
       val current = Manifest.snapshotEntriesResolved(spark, path, latest)
-      val restoredRels = restored.map { case (e, _) =>
-        Manifest.relativeTo(path, Manifest.decodePath(e)) }.toSet
+      val restoredRels = restored.map(r =>
+        Manifest.relativeTo(path, Manifest.decodePath(r.entry))).toSet
       // Live files the target lacks — retired by the journaled commit.
-      val toRemove = current.collect { case (e, _)
-        if !restoredRels(Manifest.relativeTo(path, Manifest.decodePath(e))) => e }
-      // Target files now in the trash — revived by copy into the stage.
-      val trashPrefix = new Path(path, "_graft_trash").toUri.getPath
-      val toRevive = restored.filter(_._2.startsWith(trashPrefix))
+      val toRemove = current.collect { case r
+        if !restoredRels(Manifest.relativeTo(path, Manifest.decodePath(r.entry))) =>
+        r.entry }
+      // Target files now in the trash — revived by copy into the stage
+      // (the resolver's explicit flag, never a path-string prefix test:
+      // scheme-qualified roots would defeat any prefix comparison).
+      val toRevive = restored.filter(_.inTrash)
       if (toRemove.isEmpty && toRevive.isEmpty)
         return RestoreResult(latest, 0, 0, restored.size)
       val partitioned = isHivePartitioned(fs, path)
@@ -1049,11 +1051,11 @@ object Layout {
       FsMaint.deleteRecursively(fs, new Path(stage))
       fs.mkdirs(new Path(stage))
       val conf = spark.sessionState.newHadoopConf()
-      toRevive.foreach { case (e, resolved) =>
-        val rel = Manifest.relativeTo(path, Manifest.decodePath(e))
+      toRevive.foreach { r =>
+        val rel = Manifest.relativeTo(path, Manifest.decodePath(r.entry))
         val dest = new Path(stage, rel)
         fs.mkdirs(dest.getParent)
-        if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(resolved),
+        if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(r.resolved),
             fs, dest, false, conf))
           throw new java.io.IOException(s"restore: failed to revive $rel")
       }

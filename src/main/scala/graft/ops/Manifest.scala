@@ -272,15 +272,26 @@ object Manifest {
     resolved.collect { case Right(p) => p }
   }
 
+  /** One restore-planner entry: the RAW manifest file entry, the file's
+    * CURRENT location, and whether that location is the retained trash
+    * (the branch that resolved it — an EXPLICIT flag, because re-deriving
+    * membership from the resolved path's string prefix breaks on
+    * scheme-qualified table paths: `Path.toString` keeps the scheme while
+    * `toUri.getPath` strips it, so a `file:/`- or `s3a://`-rooted table
+    * would never prefix-match and a restore would silently revive nothing).
+    */
+  private[ops] final case class ResolvedEntry(entry: String, resolved: String,
+                                              inTrash: Boolean)
+
   /** Snapshot `id`'s RAW file entries paired with each file's CURRENT
     * location (live path, or its retained-trash home) — order-preserving,
     * unlike [[resolveForRead]]'s grouped output. The restore planner's
-    * view: entry identity decides set membership, the resolved side
+    * view: entry identity decides set membership, the `inTrash` flag
     * decides whether a revive copy is needed. Fails typed when a
     * referenced file is in neither place (vacuumed).
     */
   private[ops] def snapshotEntriesResolved(spark: SparkSession, table: String,
-                                           id: Int): Seq[(String, String)] = {
+                                           id: Int): Seq[ResolvedEntry] = {
     require(hasSnapshot(spark, table, id),
       s"no snapshot-$id under $table — never created, or expired by retention")
     val entries = plannedPaths(
@@ -288,16 +299,17 @@ object Manifest {
       table, "restore planning")
     val fs = fsOf(spark, table)
     lazy val trashRels: Set[String] = trashRelPaths(fs, table)
-    val resolved = Map.newBuilder[String, String]
+    val resolved = Map.newBuilder[String, (String, Boolean)]
     entries.map(e => e -> decodePath(e)).groupBy(_._2.getParent).foreach {
       case (parent, es) =>
         val existing =
           try fs.listStatus(parent).map(_.getPath.getName).toSet
           catch { case _: java.io.FileNotFoundException => Set.empty[String] }
         es.foreach { case (e, p) =>
-          if (existing(p.getName)) resolved += e -> p.toString
+          if (existing(p.getName)) resolved += e -> (p.toString, false)
           else if (trashRels(relativeTo(table, p)))
-            resolved += e -> new Path(trashDir(table), relativeTo(table, p)).toString
+            resolved += e ->
+              (new Path(trashDir(table), relativeTo(table, p)).toString, true)
           else throw new StaleManifestException(
             s"snapshot-$id under $table references $p, which exists neither " +
               "live nor in the retained trash (vacuumed?) — the snapshot is " +
@@ -305,7 +317,7 @@ object Manifest {
         }
     }
     val m = resolved.result()
-    entries.map(e => e -> m(e))
+    entries.map { e => val (r, t) = m(e); ResolvedEntry(e, r, t) }
   }
 
   /** Snapshot the table's current file-level stats for one or more key
@@ -1727,6 +1739,12 @@ object Manifest {
         "and a VERSION AS OF literal)")
     require(name.toIntOption.isEmpty,
       s"tag name `$name` would shadow a numeric snapshot id")
+    // `tag-<x>__tmp` is the staging file of tag <x>: a user tag named
+    // `foo__tmp` would alias tag `foo`'s staging file (created/clobbered by
+    // setTag("foo"), deleted by dropTag("foo"), and resolvable as `foo__tmp`
+    // via the mid-move tmp fallback) — refuse the suffix outright.
+    require(!name.endsWith("__tmp"),
+      s"tag name `$name` ends in `__tmp`, the reserved staging suffix")
     new Path(root(table), s"tag-$name")
   }
 

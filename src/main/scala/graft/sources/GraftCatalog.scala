@@ -106,7 +106,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
           CaseInsensitiveStringMap.empty(), parts, snapDir, Some(lean))
       case other => throw new IllegalArgumentException(
         s"unknown graft metadata table `$$${other}` — available: " +
-          "$history, $files")
+          MetaSuffixes.toSeq.sorted.map("$" + _).mkString(", "))
     }
   }
 

@@ -99,6 +99,13 @@ final class GraftMutableTable(
     var col: Option[String] = None
     var lo = Long.MinValue
     var hi = Long.MaxValue
+    // IsNotNull conjuncts are collected, not judged in walk order: an
+    // IsNotNull(k1) seen BEFORE the range column binds would otherwise be
+    // accepted against an empty `col` and then silently dropped — the
+    // executed delete would ignore the `k1 IS NOT NULL` conjunct and remove
+    // NULL-k1 rows the WHERE excludes. Membership is decided once, after
+    // every conjunct has been walked.
+    val notNullCols = scala.collection.mutable.Set.empty[String]
     def constrain(c: String, l: Long, h: Long): Boolean = {
       if (!keys(c) || col.exists(_ != c)) return false
       col = Some(c); lo = math.max(lo, l); hi = math.min(hi, h); true
@@ -114,12 +121,14 @@ final class GraftMutableTable(
       case LessThanOrEqual(a, v) =>
         StatDomain.toLong(v).exists(x => constrain(a, Long.MinValue, x))
       case And(l, r) => walk(l) && walk(r)
-      // A range predicate never matches NULL keys, so the residual
-      // IsNotNull Spark may conjoin is already implied.
-      case IsNotNull(a) => keys(a) && (col.isEmpty || col.contains(a))
+      case IsNotNull(a) => notNullCols += a; keys(a)
       case _ => false
     }
-    if (filters.nonEmpty && filters.forall(walk) && col.isDefined)
+    if (filters.nonEmpty && filters.forall(walk) && col.isDefined &&
+        // A range predicate never matches NULL keys, so IsNotNull on the
+        // BOUND column is implied; IsNotNull on any OTHER column is a
+        // conjunct the range delete cannot honor — refuse.
+        notNullCols.forall(col.contains))
       Some((col.get, lo, hi))
     else None
   }

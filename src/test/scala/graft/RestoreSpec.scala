@@ -172,11 +172,34 @@ class RestoreSpec extends SparkSpec {
     }
     intercept[Exception] { Manifest.tag(spark, dir, "has space", id1) }
     intercept[Exception] { Manifest.tag(spark, dir, "7", id1) } // shadows an id
+    // `__tmp` would alias another tag's staging file (tag "x" stages at
+    // tag-x__tmp) — reserved suffix, refused on every tag entry point.
+    intercept[Exception] { Manifest.tag(spark, dir, "baseline__tmp", id1) }
+    intercept[Exception] { Manifest.dropTag(spark, dir, "baseline__tmp") }
     // Drop the tag: the next retention pass expires the snapshot.
     assert(spark.sql(s"CALL graft.system.drop_tag('$dir', 'baseline')")
       .head().getLong(0) == 1L)
     assert(Manifest.expireSnapshots(spark, dir, keep = 1) == 1)
     assert(!Manifest.hasSnapshot(spark, dir, id1))
+  }
+
+  test("restore on a scheme-qualified table root still revives trash files") {
+    // Regression: trash membership was decided by a string-prefix compare of
+    // Path.toString (scheme-preserving) against toUri.getPath
+    // (scheme-stripping) — on any `file:/`- or `s3a://`-rooted table nothing
+    // matched and restore silently revived zero files. The resolver now
+    // carries an explicit in-trash flag instead.
+    val dir = "file:" + tmpDir("restore_scheme") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.repartitionByRange(6, col("doc_id")).write.parquet(dir)
+    val id1 = Manifest.create(spark, dir, "doc_id")
+    val fp1 = fp(spark.read.parquet(dir))
+    Layout.deleteRange(spark, dir, "doc_id", 100L, 199L)          // snapshot 2
+    val r = Layout.restoreSnapshot(spark, dir, id1)
+    assert(r.revived > 0,
+      "scheme-qualified root: trash-resident files must be classified revivable")
+    assert(fp(spark.read.parquet(dir)) == fp1)
+    assert(Manifest.isComplete(spark, dir))
   }
 
   test("CALL graft.system.restore: the SQL surface of the rollback") {

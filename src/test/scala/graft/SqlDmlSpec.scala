@@ -66,6 +66,33 @@ class SqlDmlSpec extends SparkSpec {
     assert(fp(spark.read.parquet(dir)) == before, "refused DML must touch nothing")
   }
 
+  test("DELETE FROM: IS NOT NULL on a column OTHER than the range key is refused") {
+    // Regression: on a multi-key table, `k1 IS NOT NULL AND k2 BETWEEN ..`
+    // used to be accepted when the IsNotNull conjunct walked FIRST (the range
+    // column hadn't bound yet), silently executing a k2-range delete that
+    // ignores the k1 conjunct — deleting NULL-k1 rows the WHERE excludes.
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = tmpDir("dml_notnull") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartition(4).write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id", "n_chars")
+    val before = fp(spark.read.parquet(dir))
+    // Both conjunct orders must refuse identically (order independence).
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.`$dir` " +
+        "WHERE doc_id IS NOT NULL AND n_chars BETWEEN 5 AND 10")
+    }
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.`$dir` " +
+        "WHERE n_chars BETWEEN 5 AND 10 AND doc_id IS NOT NULL")
+    }
+    assert(fp(spark.read.parquet(dir)) == before, "refused DML must touch nothing")
+    // The implied IsNotNull on the BOUND column itself stays accepted.
+    spark.sql(s"DELETE FROM graft.`$dir` " +
+      "WHERE doc_id IS NOT NULL AND doc_id BETWEEN 0 AND 9")
+    assert(spark.read.parquet(dir).filter(col("doc_id") <= 9L).count() == 0L)
+  }
+
   test("INSERT INTO: appended files + incremental snapshot refresh") {
     val dir = stage("dml_insert")
     val preId = Manifest.latestSnapshotId(spark, dir).get
