@@ -798,16 +798,21 @@ object TextQueries {
               |ORDER BY pmi DESC, gram LIMIT 50""".stripMargin)),
 
     // ---- the full near-dup dedup pipeline, end to end and EXACT: shingle
-    //      jaccard pairs (inverted index) → connected components → keep the
-    //      canonical (min-id) doc per cluster → cleaned-corpus stats. The
-    //      oracle replays every stage in SQL (recursive transitive closure
-    //      over the same exact pair list), so cluster assignment and the
-    //      final kept set are both checked, not just pair discovery.
+    //      jaccard pairs (inverted index, HOT SHINGLES CAPPED at df>20 —
+    //      without the cap one boilerplate shingle shared by d documents
+    //      costs d²/2 join rows, the quadratic scale-killer the cap exists
+    //      for; set sizes stay exact, so scores are lower bounds) →
+    //      connected components → keep the canonical (min-id) doc per
+    //      cluster → cleaned-corpus stats. The oracle replays every stage
+    //      in SQL — the SAME hot-posting drop, then recursive transitive
+    //      closure over the identical pair list — so cluster assignment and
+    //      the final kept set are both checked, not just pair discovery.
     Q("pipeline_dedup_corpus",
       (s, dir) => {
         val docs = T(s, dir, "documents")
         val pairs = graft.ops.Dedup
-          .jaccardPairsInverted(docs, "doc_id", "text", shingleK = 3, threshold = 0.05)
+          .jaccardPairsInverted(docs, "doc_id", "text", shingleK = 3,
+            threshold = 0.05, maxShingleDf = Some(20L))
           .select("id_a", "id_b")
         val losers = graft.ops.Cluster.dedupClusters(pairs)
           .filter(!col("is_keep")).select(col("id").as("doc_id"))
@@ -820,10 +825,14 @@ object TextQueries {
               |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
               |        ELSE regexp_split_to_array(trim(text), '\s+') END AS words
               |        FROM documents)),
+              | inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM d),
+              | hot AS (SELECT g FROM inv GROUP BY g HAVING count(*) > 20),
+              | kept AS (SELECT * FROM inv WHERE g NOT IN (SELECT g FROM hot)),
               | e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-              |  WHERE cast(len(list_intersect(a.sh, b.sh)) as double) /
-              |    cast(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) as double) >= 0.05),
+              |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+              |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+              |  HAVING cast(count(*) as double) /
+              |    cast(a.sz + b.sz - count(*) as double) >= 0.05),
               | und AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
               | reach(id, r) AS (
               |  SELECT u, u FROM und
