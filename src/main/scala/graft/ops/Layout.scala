@@ -137,14 +137,23 @@ object Layout {
     * normalize every row to the same z-cell and quietly destroy the
     * clustering the caller asked for).
     */
-  private def orderedLong(c: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Column = {
+  private def orderedLong(c: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Column =
+    orderedLongOf(col(c), df.schema(c).dataType, c)
+
+  /** [[orderedLong]] over an arbitrary Column + known type — the form the
+    * SQL MERGE rewrite needs (its key is a resolved attribute, not a name
+    * in some frame's schema).
+    */
+  private[graft] def orderedLongOf(c: org.apache.spark.sql.Column,
+                                   dt: org.apache.spark.sql.types.DataType,
+                                   name: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.types._
-    df.schema(c).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
-      case TimestampType => unix_micros(col(c))
-      case DateType => datediff(col(c), lit("1970-01-01")).cast("long")
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+      case TimestampType => unix_micros(c)
+      case DateType => datediff(c, lit("1970-01-01")).cast("long")
       case other => throw new IllegalArgumentException(
-        s"cluster column `$c` has unsupported type ${other.simpleString}: " +
+        s"cluster column `$name` has unsupported type ${other.simpleString}: " +
           "only integral, date, and timestamp keys carry an orderable long domain")
     }
   }
@@ -874,6 +883,144 @@ object Layout {
       commitReplace(spark, fs, path, picked, stage, keys)
     }
     MergeResult(picked.length, total, matched, nDelta - matched)
+    }
+  }
+
+  /** Result of a row-level (multi-clause) merge. */
+  final case class MergeRowResult(filesRewritten: Int, filesTotal: Int,
+                                  rowsUpdated: Long, rowsDeleted: Long,
+                                  rowsInserted: Long)
+
+  /** Row-level MERGE transaction — the engine side of the general
+    * multi-clause `MERGE INTO` (conditional WHEN MATCHED UPDATE / DELETE,
+    * partial updates, conditional WHEN NOT MATCHED INSERT), on the same
+    * journaled COW commit as [[mergeKeyed]]. The CLAUSE SEMANTICS live in
+    * the caller's pure frame computation; this function owns everything
+    * stateful: the table lock, crash healing, manifest targeting (a file
+    * is read or rewritten only if SOME source key falls inside its
+    * [min, max] — files without matched keys never plan), verification,
+    * and the commit. The reference's keyed-delete semantic
+    * (TableConnection.php:367-387) reaches SQL through exactly this path
+    * (`WHEN MATCHED THEN DELETE`).
+    *
+    *   - `sourceKeys`: ONE long column `__k` — the source join keys in the
+    *     manifest's stat domain ([[orderedLongOf]]); NULLs are dropped here
+    *     (a NULL key matches no row, so it cannot pick files).
+    *   - `compute(picked)`: given the manifest-picked target rows (table
+    *     schema, snapshot-pinned), returns `(upserts, deleteKeys)` — the
+    *     full-schema rows to land (matched UPDATE results + NOT MATCHED
+    *     inserts) and a one-column `__k` frame of stat-domain keys to drop
+    *     (matched DELETEs). Verified here: upsert keys unique (at most one
+    *     action row per key) and disjoint from the delete keys, and the
+    *     table key-unique over every affected key — the same ambiguity
+    *     guards [[mergeKeyed]] enforces.
+    */
+  def mergeRowLevel(spark: SparkSession, path: String, keyCol: String,
+                    sourceKeys: org.apache.spark.sql.DataFrame)(
+      compute: org.apache.spark.sql.DataFrame =>
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)): MergeRowResult = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    FsMaint.withTableLock(fs, path) {
+      healDelete(spark, path)
+      FsMaint.recoverSwap(fs, path)
+      val keys = Manifest.currentKeyCols(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"mergeRowLevel($path) needs a manifest snapshot (Manifest.create) — " +
+            "per-file stats are what make the merge targeted"))
+      require(keys.contains(keyCol),
+        s"manifest has no stats for $keyCol (has: ${keys.mkString(", ")})")
+      Manifest.requireComplete(spark, path)
+      val f = Manifest.files(spark, path)
+      val total = f.count().toInt
+      // Small by contract (delta-sized); materialized once for the pick
+      // join and the uniqueness checks below.
+      val sk = sourceKeys.select(col("__k")).filter(col("__k").isNotNull)
+        .distinct().localCheckpoint(true)
+      val picked = f.join(broadcast(sk),
+          col("__k").between(col(s"min_$keyCol"), col(s"max_$keyCol")), "left_semi")
+        .select("file").collect().map(_.getString(0)).toIndexedSeq
+      val partitioned = isHivePartitioned(fs, path)
+      val pickedDf =
+        if (picked.nonEmpty) readPickedPinned(spark, path, picked)
+        else {
+          // No file can contain a matching key: matched clauses are vacuous,
+          // but compute still needs a (schema-correct, empty) picked frame
+          // for its joins.
+          val sch = Manifest.latestSnapshotId(spark, path)
+            .flatMap(id => Manifest.storedSchema(spark, path, id))
+            .getOrElse(spark.read.parquet(path).schema)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+        }
+      val (upserts0, delKeys0) = compute(pickedDf)
+      val upserts = upserts0.localCheckpoint(true)
+      val delKeys = delKeys0.select(col("__k")).filter(col("__k").isNotNull)
+        .distinct().localCheckpoint(true)
+      try {
+        // Upsert-key stats in one job (NULL keys group as one — the same
+        // at-most-one-action-row-per-key contract as mergeKeyed's delta).
+        val kUp = orderedLongOf(col(keyCol), upserts.schema(keyCol).dataType, keyCol)
+        val uStats = upserts.groupBy(kUp.as("__k")).count()
+          .agg(coalesce(sum("count"), lit(0L)), count(lit(1))).head
+        val nUp = uStats.getLong(0)
+        require(uStats.getLong(1) == nUp,
+          s"MERGE produced more than one action row for some $keyCol — " +
+            "replace would be ambiguous")
+        val upKeys = upserts.select(kUp.as("__k")).filter(col("__k").isNotNull)
+        require(upKeys.join(broadcast(delKeys), Seq("__k"), "left_semi").isEmpty,
+          s"MERGE resolved some $keyCol to BOTH an update and a delete — " +
+            "clause conditions must pick one action per matched row")
+        val nDel = delKeys.count()
+        if (nUp == 0 && nDel == 0) return MergeRowResult(0, total, 0L, 0L, 0L)
+        if (picked.isEmpty) {
+          // Pure insert (no file overlaps any source key; deletes can match
+          // nothing): plain append, incremental snapshot — same shape as
+          // mergeKeyed's insert fast path.
+          if (nUp == 0) return MergeRowResult(0, total, 0L, 0L, 0L)
+          if (partitioned) {
+            val pCols = f.select("file").limit(1).collect().headOption
+              .map(r => partitionColsFromRel(Manifest.relativeTo(path,
+                Manifest.decodePath(r.getString(0)))))
+              .getOrElse(partitionColsFromDirs(fs, path))
+            upserts.write.mode("append").partitionBy(pCols: _*).parquet(path)
+          } else upserts.write.mode("append").parquet(path)
+          Manifest.createIncremental(spark, path, keys: _*)
+          return MergeRowResult(0, total, 0L, 0L, nUp)
+        }
+        // Affected = keys whose target rows are replaced (updates) or
+        // dropped (deletes) — disjoint by the check above, so one tagged
+        // broadcast serves the per-action counts AND the uniqueness guard.
+        val tagged = upKeys.withColumn("__a", lit("u"))
+          .unionByName(delKeys.withColumn("__a", lit("d")))
+        val kPicked = orderedLong(keyCol, pickedDf)
+        val mStats = pickedDf.select(kPicked.as("__pk"))
+          .join(broadcast(tagged), col("__pk") === col("__k"))
+          .groupBy(col("__k"), col("__a")).count()
+          .agg(coalesce(sum(when(col("__a") === "u", col("count"))), lit(0L)),
+               coalesce(sum(when(col("__a") === "d", col("count"))), lit(0L)),
+               coalesce(sum(when(col("count") > 1, lit(1))), lit(0L))).head
+        val updated = mStats.getLong(0)
+        val deleted = mStats.getLong(1)
+        require(mStats.getLong(2) == 0,
+          s"mergeRowLevel($path): $keyCol is not unique among affected rows — " +
+            "a keyed replace/delete would silently drop duplicate-key " +
+            "siblings; dedup the table first")
+        val survivors = pickedDf
+          .join(broadcast(tagged.select("__k")), kPicked === col("__k"), "left_anti")
+          .unionByName(upserts)
+        val stage = path + (if (partitioned) PartStageSuffix else "__delnew")
+        FsMaint.deleteRecursively(fs, new Path(stage))
+        if (partitioned) {
+          survivors.write.partitionBy(partitionColsOf(path, picked): _*)
+            .mode("overwrite").parquet(stage)
+          commitReplacePartitioned(spark, fs, path, picked, stage, keys)
+        } else {
+          survivors.write.mode("overwrite").parquet(stage)
+          commitReplace(spark, fs, path, picked, stage, keys)
+        }
+        MergeRowResult(picked.length, total, updated, deleted, nUp - updated)
+      } finally {
+        Caching.release(upserts); Caching.release(delKeys); Caching.release(sk)
+      }
     }
   }
 

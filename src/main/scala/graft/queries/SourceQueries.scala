@@ -962,6 +962,88 @@ object SourceQueries {
                |${Registry.duckMultisetFingerprint(
                    Seq("doc_id", "text", "lang", "source", "n_chars"), "final2 t")})""".stripMargin)),
 
+    // ---- the GENERAL row-level MERGE: conditional WHEN MATCHED UPDATE
+    //      (partial SET, condition touching BOTH target and source rows),
+    //      WHEN MATCHED DELETE (the reference's keyed-delete semantic,
+    //      TableConnection.php:367-387, as the standard SQL statement),
+    //      conditional WHEN NOT MATCHED INSERT with an explicit column
+    //      list (unlisted columns NULL), matched rows with NO applicable
+    //      clause surviving untouched — one statement, one journaled COW
+    //      commit. Gate: final fingerprint ≡ DuckDB's replay of the same
+    //      clause semantics, exact per-action row counts, and the plan
+    //      contract that exactly the source-key-overlapping files were
+    //      replaced (files without matched keys never plan).
+    Q("sql_merge_delete",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val stage = java.nio.file.Files.createTempDirectory("graft_sql_mrg").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.repartitionByRange(8, col("doc_id")).write.mode("overwrite").parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val srcCols = Seq(col("doc_id"), col("text").as("text2"),
+          col("n_chars").as("nc"))
+        val delta = docs.filter(col("doc_id") < mx / 8)
+          .select(srcCols :+ lit("u").as("mark"): _*)
+          .unionByName(docs
+            .filter(col("doc_id").between(mx / 4, mx / 4 + mx / 8 - 1))
+            .select(srcCols :+ lit("d").as("mark"): _*))
+          .unionByName(docs
+            .filter(col("doc_id").between(5 * mx / 8, 5 * mx / 8 + 9))
+            .select(srcCols :+ lit("x").as("mark"): _*))        // matched no-op
+          .unionByName(docs.filter(col("doc_id") < 10)
+            .select((col("doc_id") + mx + 1).as("doc_id") +: srcCols.tail
+              :+ lit("i").as("mark"): _*))                       // inserts
+          .unionByName(docs.filter(col("doc_id") === 0)
+            .select((col("doc_id") + mx + 1000000L).as("doc_id") +: srcCols.tail
+              :+ lit("x").as("mark"): _*))                       // unmatched no-op
+        delta.createOrReplaceTempView("sql_mrg_src")
+        val snap = graft.ops.Manifest.files(s, stage)
+        val beforeFiles = snap.select("file").collect().map(_.getString(0)).toSet
+        val overlapping = snap.join(
+            broadcast(delta.select(col("doc_id").as("__k"))),
+            col("__k").between(col("min_doc_id"), col("max_doc_id")), "left_semi")
+          .select("file").collect().map(_.getString(0)).toSet
+        val m = s.sql(
+          s"""MERGE INTO graft.`$stage` t USING sql_mrg_src s
+             |ON t.doc_id = s.doc_id
+             |WHEN MATCHED AND s.mark = 'u' AND t.n_chars >= 0
+             |  THEN UPDATE SET text = concat('m:', s.text2), n_chars = t.n_chars + 11
+             |WHEN MATCHED AND s.mark = 'd' THEN DELETE
+             |WHEN NOT MATCHED AND s.mark = 'i'
+             |  THEN INSERT (doc_id, text, source, n_chars)
+             |  VALUES (s.doc_id, s.text2, 'merged', s.nc)""".stripMargin).head()
+        val afterFiles = graft.ops.Manifest.files(s, stage).select("file")
+          .collect().map(_.getString(0)).toSet
+        val targeted = (beforeFiles -- afterFiles) == overlapping
+        graft.functions.Hashing.multisetFingerprintAgg(s.read.parquet(stage), docCols)
+          .withColumn("rows_updated", lit(m.getLong(m.fieldIndex("rows_updated"))))
+          .withColumn("rows_deleted", lit(m.getLong(m.fieldIndex("rows_deleted"))))
+          .withColumn("rows_inserted", lit(m.getLong(m.fieldIndex("rows_inserted"))))
+          .withColumn("targeted", lit(targeted))
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) AS mx FROM documents),
+               | final AS (
+               |  SELECT d.doc_id,
+               |    CASE WHEN d.doc_id < b.mx // 8 THEN 'm:' || d.text ELSE d.text END AS text,
+               |    d.lang, d.source,
+               |    CASE WHEN d.doc_id < b.mx // 8 THEN d.n_chars + 11 ELSE d.n_chars END AS n_chars
+               |  FROM documents d, b
+               |  WHERE d.doc_id NOT BETWEEN b.mx // 4 AND b.mx // 4 + b.mx // 8 - 1
+               |  UNION ALL
+               |  SELECT d.doc_id + b.mx + 1, d.text, NULL::VARCHAR, 'merged', d.n_chars
+               |  FROM documents d, b WHERE d.doc_id < 10)
+               |SELECT *,
+               | (SELECT count(*) FROM documents, b WHERE doc_id < b.mx // 8)::BIGINT AS rows_updated,
+               | (SELECT count(*) FROM documents, b
+               |   WHERE doc_id BETWEEN b.mx // 4 AND b.mx // 4 + b.mx // 8 - 1)::BIGINT AS rows_deleted,
+               | 10::BIGINT AS rows_inserted,
+               | true AS targeted
+               |FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "final t")})""".stripMargin)),
+
     // ---- SQL DDL schema evolution: ALTER TABLE ALTER COLUMN TYPE (widen),
     //      DROP COLUMN, ADD COLUMN through the catalog — the statement
     //      surface of Manifest.updateSchema's metadata-only evolution (the

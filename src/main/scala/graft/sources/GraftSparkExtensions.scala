@@ -103,23 +103,24 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     throw new org.apache.spark.sql.AnalysisException(
       errorClass = "_LEGACY_ERROR_TEMP_0035",
       messageParameters = Map("message" ->
-        (s"graft MERGE: $why — supported shape is ON t.key = s.key " +
-          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
-          "(whole-row keyed upsert; explicit assignments must cover every " +
-          "column and agree between the two branches)")))
+        (s"graft MERGE: $why — supported shapes: ON t.key = s.key with any " +
+          "number of [conditional] WHEN MATCHED THEN UPDATE SET (whole-row " +
+          "or partial) / DELETE clauses and [conditional] WHEN NOT MATCHED " +
+          "THEN INSERT clauses; WHEN NOT MATCHED BY SOURCE is not supported")))
 
   /** The merge key: ON must be one equality between a target attribute and
-    * a source attribute (the key identity [[Layout.mergeKeyed]] replaces
-    * rows on).
+    * a source attribute (the key identity the keyed COW machinery replaces
+    * rows on). Returns (targetKeyAttr, sourceKeyAttr).
     */
-  private def keyOf(m: MergeIntoTable, r: DataSourceV2Relation): String =
+  private def keyOf(m: MergeIntoTable,
+                    r: DataSourceV2Relation): (AttributeReference, AttributeReference) =
     m.mergeCondition match {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if r.outputSet.contains(a) && m.sourceTable.outputSet.contains(b) =>
-        a.name
+        (a, b)
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if r.outputSet.contains(b) && m.sourceTable.outputSet.contains(a) =>
-        b.name
+        (b, a)
       case other => fail(s"ON condition must be a single target-key = " +
         s"source-key equality, got ${other.sql}")
     }
@@ -158,39 +159,123 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
                       tbl: GraftMutableTable): LogicalPlan = {
     if (m.notMatchedBySourceActions.nonEmpty)
       fail("WHEN NOT MATCHED BY SOURCE is not supported")
-    val matched = m.matchedActions match {
-      case Seq(one) => one
-      case other => fail(s"need exactly one WHEN MATCHED action, got ${other.length}")
+    wholeRowFastPath(m, r, tbl).getOrElse(rewriteGeneral(m, r, tbl))
+  }
+
+  /** The original single-shape rewrite — one unconditional whole-row
+    * UPDATE + one unconditional whole-row INSERT that agree column-wise —
+    * kept as a FAST PATH: it compiles to [[Layout.mergeKeyed]]'s one fused
+    * delta job with no matched-pair join at all. Any shape it cannot
+    * express (conditions, DELETE, partial updates, multiple clauses,
+    * branch disagreement) returns None and routes to the general
+    * row-level rewrite instead of failing.
+    */
+  private def wholeRowFastPath(m: MergeIntoTable, r: DataSourceV2Relation,
+                               tbl: GraftMutableTable): Option[LogicalPlan] =
+    (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(u), Seq(i)) if u.condition.isEmpty && i.condition.isEmpty =>
+        try {
+          val keyCol = keyOf(m, r)._1.name
+          val targetCols = r.output
+          val upd = replacementsOf(u, targetCols, m.sourceTable)
+          val ins = replacementsOf(i, targetCols, m.sourceTable)
+          val sourceByName = m.sourceTable.output.map(a => a.name -> a).toMap
+          // The delta row each target column receives — identical in both
+          // branches (update replaces the row, insert creates it: one shape).
+          val exprs = targetCols.map { tc =>
+            def pick(repl: Option[Map[String, Expression]]): Expression =
+              repl match {
+                case None => sourceByName.getOrElse(tc.name,
+                  fail(s"source has no column `${tc.name}` for SET * / INSERT *"))
+                case Some(map) => map.getOrElse(tc.name,
+                  fail(s"assignments must cover every target column (missing `${tc.name}`)"))
+              }
+            val uE = pick(upd)
+            val iE = pick(ins)
+            if (!uE.semanticEquals(iE))
+              fail(s"UPDATE and INSERT disagree on `${tc.name}`")
+            val cast = if (uE.dataType == tc.dataType) uE
+              else Cast(uE, tc.dataType, Some(conf.sessionLocalTimeZone))
+            Alias(cast, tc.name)()
+          }
+          Some(GraftMergeIntoCommand(tbl.tableRoot, keyCol,
+            Project(exprs, m.sourceTable)))
+        } catch { case _: org.apache.spark.sql.AnalysisException => None }
+      case _ => None
     }
-    val notMatched = m.notMatchedActions match {
-      case Seq(one) => one
-      case other => fail(s"need exactly one WHEN NOT MATCHED action, got ${other.length}")
-    }
-    val keyCol = keyOf(m, r)
+
+  /** The general multi-clause rewrite: validates and normalizes every WHEN
+    * clause into (condition, action) specs over RESOLVED expressions, then
+    * hands them to [[GraftMergeRowCommand]] / [[Layout.mergeRowLevel]].
+    * Clause semantics follow the SQL standard: matched rows take the FIRST
+    * matched clause whose condition holds (none → the row survives
+    * untouched), unmatched source rows the first insert clause whose
+    * condition holds. Partial UPDATE SET keeps unassigned columns from the
+    * target row; INSERT leaves unassigned columns NULL.
+    */
+  private def rewriteGeneral(m: MergeIntoTable, r: DataSourceV2Relation,
+                             tbl: GraftMutableTable): LogicalPlan = {
+    val (tKey, sKey) = keyOf(m, r)
     val targetCols = r.output
-    val upd = replacementsOf(matched, targetCols, m.sourceTable)
-    val ins = replacementsOf(notMatched, targetCols, m.sourceTable)
-    val sourceByName = m.sourceTable.output.map(a => a.name -> a).toMap
-    // The delta row each target column receives — identical in both
-    // branches (update replaces the row, insert creates it: one shape).
-    val exprs = targetCols.map { tc =>
-      def pick(repl: Option[Map[String, Expression]]): Expression =
-        repl match {
-          case None => sourceByName.getOrElse(tc.name,
-            fail(s"source has no column `${tc.name}` for SET * / INSERT *"))
-          case Some(map) => map.getOrElse(tc.name,
-            fail(s"assignments must cover every target column (missing `${tc.name}`)"))
+    val sourceByName = m.sourceTable.output.map(a => a.name -> (a: Expression)).toMap
+    val bothSets = r.outputSet ++ m.sourceTable.outputSet
+    def starMap: Map[String, Expression] = targetCols.map { tc =>
+      tc.name -> sourceByName.getOrElse(tc.name,
+        fail(s"source has no column `${tc.name}` for SET * / INSERT *"))
+    }.toMap
+    def assignMap(assigns: Seq[Assignment],
+                  scope: AttributeSet, what: String): Map[String, Expression] =
+      assigns.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => fail(s"assignment target must be a column, got ${other.sql}")
         }
-      val u = pick(upd)
-      val i = pick(ins)
-      if (!u.semanticEquals(i))
-        fail(s"UPDATE and INSERT disagree on `${tc.name}` (${u.sql} vs " +
-          s"${i.sql}) — a keyed upsert replaces whole rows identically")
-      val cast = if (u.dataType == tc.dataType) u
-        else Cast(u, tc.dataType, Some(conf.sessionLocalTimeZone))
-      Alias(cast, tc.name)()
+        if (!a.value.references.subsetOf(scope))
+          fail(s"$what assignment to `$name` references columns outside its " +
+            s"scope: ${a.value.sql}")
+        name -> a.value
+      }.toMap
+    def checkCond(c: Expression, scope: AttributeSet, what: String): Unit =
+      if (!c.references.subsetOf(scope))
+        fail(s"$what condition references columns outside its scope: ${c.sql}")
+    val matched: Seq[(Option[Expression], Option[Map[String, Expression]])] =
+      m.matchedActions.map { a =>
+        a.condition.foreach(checkCond(_, bothSets, "WHEN MATCHED"))
+        a match {
+          case DeleteAction(cond) => (cond, None)
+          case UpdateStarAction(cond) => (cond, Some(starMap))
+          case UpdateAction(cond, assigns, _) =>
+            (cond, Some(assignMap(assigns, bothSets, "UPDATE")))
+          case other =>
+            fail(s"unsupported WHEN MATCHED action ${other.getClass.getSimpleName}")
+        }
+      }
+    // The merge key is row identity: reassigning it is a delete+insert in
+    // disguise. Allowed only when the assigned value IS the source key —
+    // a no-op under the ON equality (the SET * shape).
+    matched.foreach {
+      case (_, Some(repl)) => repl.get(tKey.name).foreach { v =>
+        if (!v.semanticEquals(sKey))
+          fail(s"UPDATE must not assign the merge key `${tKey.name}` — a key " +
+            "change is a DELETE + INSERT, not an in-place update")
+      }
+      case _ => ()
     }
-    GraftMergeIntoCommand(tbl.tableRoot, keyCol, Project(exprs, m.sourceTable))
+    val notMatched: Seq[(Option[Expression], Map[String, Expression])] =
+      m.notMatchedActions.map { a =>
+        // A NOT MATCHED row has no target side — conditions and values may
+        // reference the source only (the SQL standard's scoping).
+        a.condition.foreach(checkCond(_, m.sourceTable.outputSet, "WHEN NOT MATCHED"))
+        a match {
+          case InsertStarAction(cond) => (cond, starMap)
+          case InsertAction(cond, assigns) =>
+            (cond, assignMap(assigns, m.sourceTable.outputSet, "INSERT"))
+          case other =>
+            fail(s"unsupported WHEN NOT MATCHED action ${other.getClass.getSimpleName}")
+        }
+      }
+    GraftMergeRowCommand(tbl.tableRoot, tKey.name, targetCols, m.sourceTable,
+      m.mergeCondition, tKey, sKey, matched, notMatched)
   }
 }
 
@@ -220,5 +305,123 @@ final case class GraftMergeIntoCommand(path: String, keyCol: String,
     // rows: legitimate "not matched" inserts under SQL MERGE semantics.
     val res = Layout.mergeKeyed(session, path, keyCol, delta, refuseNullKeys)
     Seq(Row(res.filesRewritten, res.filesTotal, res.rowsUpdated, res.rowsInserted))
+  }
+}
+
+/** The executed half of the GENERAL multi-clause MERGE rewrite. All clause
+  * logic runs as one declarative frame computation inside
+  * [[Layout.mergeRowLevel]]'s locked transaction:
+  *
+  *   1. the source query materializes ONCE;
+  *   2. the manifest picks the files whose key range intersects the source
+  *      keys — only those are read for the matched-pair join (files without
+  *      matched keys never plan);
+  *   3. matched pairs take the FIRST matched clause whose condition holds
+  *      (a CaseWhen action index — one pass, no per-clause re-join of the
+  *      table); rows with no applicable clause survive untouched;
+  *   4. unmatched source rows take the first applicable insert clause;
+  *   5. update results + inserts land and delete keys drop in ONE journaled
+  *      COW commit.
+  *
+  * Resolved target-attribute references rebind by NAME onto the picked-file
+  * read (the command executes against the locked live snapshot, not the
+  * analysis-time relation); source references keep their exprIds (the source
+  * plan is executed as analyzed).
+  */
+final case class GraftMergeRowCommand(
+    path: String, keyCol: String,
+    targetOutput: Seq[Attribute],
+    source: LogicalPlan,
+    mergeCondition: Expression,
+    targetKey: AttributeReference, sourceKey: AttributeReference,
+    matched: Seq[(Option[Expression], Option[Map[String, Expression]])],
+    notMatched: Seq[(Option[Expression], Map[String, Expression])])
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_rewritten", IntegerType, nullable = false)(),
+    AttributeReference("files_total", IntegerType, nullable = false)(),
+    AttributeReference("rows_updated", LongType, nullable = false)(),
+    AttributeReference("rows_deleted", LongType, nullable = false)(),
+    AttributeReference("rows_inserted", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions._
+    val srcDf = ColumnShim.ofRows(session, source).localCheckpoint(true)
+    var acted: Option[org.apache.spark.sql.DataFrame] = None
+    try {
+      val sourceKeys = srcDf.select(Layout.orderedLongOf(
+        ColumnShim.column(sourceKey), sourceKey.dataType, sourceKey.name).as("__k"))
+      val res = Layout.mergeRowLevel(session, path, keyCol, sourceKeys) { picked =>
+        val pickedAttrs = picked.queryExecution.analyzed.output
+          .map(a => a.name -> (a: Attribute)).toMap
+        val bind: Map[ExprId, Attribute] =
+          targetOutput.map(a => a.exprId -> pickedAttrs(a.name)).toMap
+        def rb(e: Expression): Expression = e.transform {
+          case a: AttributeReference if bind.contains(a.exprId) => bind(a.exprId)
+        }
+        def c(e: Expression): org.apache.spark.sql.Column = ColumnShim.column(e)
+        val tz = Some(session.sessionState.conf.sessionLocalTimeZone)
+        def castTo(e: Expression, tc: Attribute): Expression =
+          if (e.dataType == tc.dataType) e else Cast(e, tc.dataType, tz)
+        // First-true-clause-wins action index over the matched pairs,
+        // materialized ONCE (every clause's rows filter from it).
+        val mConds = matched.map { case (cond, _) =>
+          cond.map(e => c(rb(e))).getOrElse(lit(true)) }
+        val action = mConds.zipWithIndex.foldRight(lit(-1)) {
+          case ((cc, i), els) => when(cc, lit(i)).otherwise(els)
+        }
+        val pairs = picked.join(srcDf, c(rb(mergeCondition)), "inner")
+          .withColumn("__action", action).localCheckpoint(true)
+        acted = Some(pairs)
+        val updFrames = matched.zipWithIndex.collect {
+          case ((_, Some(repl)), i) =>
+            val proj = targetOutput.map { tc =>
+              // Unassigned columns KEEP the target row's value (partial
+              // UPDATE SET — the standard's semantics).
+              val e = repl.get(tc.name).map(rb).getOrElse(bind(tc.exprId))
+              c(castTo(e, tc)).as(tc.name)
+            }
+            pairs.filter(col("__action") === i).select(proj: _*)
+        }
+        val delIdx = matched.zipWithIndex.collect { case ((_, None), i) => i }
+        val delKeys =
+          if (delIdx.isEmpty) session.range(0).select(col("id").as("__k"))
+          else pairs.filter(col("__action").isin(delIdx: _*))
+            .select(Layout.orderedLongOf(c(bind(targetKey.exprId)),
+              targetKey.dataType, keyCol).as("__k"))
+        // NOT MATCHED = source rows with no matching target row among the
+        // picked files (non-picked files cannot contain a matching key, by
+        // the manifest's range targeting).
+        val iConds = notMatched.map { case (cond, _) =>
+          cond.map(c).getOrElse(lit(true)) }
+        val iAction = iConds.zipWithIndex.foldRight(lit(-1)) {
+          case ((cc, i), els) => when(cc, lit(i)).otherwise(els)
+        }
+        val unmatched = srcDf.join(picked, c(rb(mergeCondition)), "left_anti")
+          .withColumn("__iaction", iAction)
+        val insFrames = notMatched.zipWithIndex.map { case ((_, vals), i) =>
+          val proj = targetOutput.map { tc =>
+            // Unassigned columns insert NULL (the standard's semantics).
+            val e = vals.get(tc.name).map(castTo(_, tc))
+              .getOrElse(Literal.create(null, tc.dataType))
+            c(e).as(tc.name)
+          }
+          unmatched.filter(col("__iaction") === i).select(proj: _*)
+        }
+        val upserts = (updFrames ++ insFrames).reduceOption(_.unionByName(_))
+          .getOrElse(session.createDataFrame(new java.util.ArrayList[Row](),
+            org.apache.spark.sql.types.StructType(targetOutput.map(a =>
+              org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))))
+        (upserts, delKeys)
+      }
+      Seq(Row(res.filesRewritten, res.filesTotal, res.rowsUpdated,
+        res.rowsDeleted, res.rowsInserted))
+    } finally {
+      acted.foreach(graft.ops.Caching.release)
+      graft.ops.Caching.release(srcDf)
+    }
   }
 }

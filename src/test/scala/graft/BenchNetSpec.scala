@@ -5,8 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The bench's calib-normalized per-query sanity net: reference artifacts
   * parse with their calibration samples, cross-host normalization scales
   * the bound by the calibration ratio (closing the round-12 blind band
-  * where a 2.8× drift escaped both same-host triggers), and the tightest
-  * reference wins.
+  * where a 2.8× drift escaped both same-host triggers), and the FIRST
+  * reference carrying a query wins — later artifacts only fill queries
+  * the round boundary lacks (closing the round-14 laundering, where a
+  * same-round mid-bench artifact's "tightest wins" shadowed the boundary
+  * bound and the net fired zero times against a 1.18× regression).
   */
 class BenchNetSpec extends AnyFunSuite {
 
@@ -23,23 +26,45 @@ class BenchNetSpec extends AnyFunSuite {
     assert(Bench.previousArtifact(dir.resolve("absent.json").toString, "/data/sf0.1").isEmpty)
   }
 
-  test("adjustedPrev: bound scales with the host ratio; tightest reference wins; floor holds") {
+  test("adjustedPrev: bound scales with the host ratio; first reference wins; floor holds") {
     import Bench.PrevArtifact
-    val slowHostRun = PrevArtifact("a", Map("q1" -> 1.0), Some(0.4), Some(1.0))
+    val boundary = PrevArtifact("a", Map("q1" -> 1.0), Some(0.4), Some(1.0))
     // Current host 2x slower on the CPU axis: the bound doubles — a query
     // at 1.9s is NOT flagged (host), one at 4.1s still is (> 2 x 2.0).
-    val adj = Bench.adjustedPrev(Seq(slowHostRun), calibCpu = 0.8, calibScan = 1.0)
+    val adj = Bench.adjustedPrev(Seq(boundary), calibCpu = 0.8, calibScan = 1.0)
     assert(math.abs(adj("q1") - 2.0) < 1e-9)
-    // Tightest of two references wins per query.
+    // POSITIONAL priority: the round-boundary artifact (first) provides q1's
+    // bound even though the same-round local artifact (second) is "tighter"
+    // after normalization — a mid-round artifact must never launder drift it
+    // itself recorded. The local artifact only FILLS q3, which the boundary
+    // has no entry for (a query new this round).
     val local = PrevArtifact("b", Map("q1" -> 1.2, "q3" -> 0.5), Some(0.8), Some(1.0))
-    val both = Bench.adjustedPrev(Seq(slowHostRun, local), 0.8, 1.0)
-    assert(math.abs(both("q1") - 1.2) < 1e-9) // local ratio 1.0 beats scaled 2.0
-    assert(math.abs(both("q3") - 0.5) < 1e-9)
+    val both = Bench.adjustedPrev(Seq(boundary, local), 0.8, 1.0)
+    assert(math.abs(both("q1") - 2.0) < 1e-9) // boundary's scaled bound, not local's
+    assert(math.abs(both("q3") - 0.5) < 1e-9) // filled from local (boundary lacks it)
     // Corrupt/tiny current calibration cannot collapse bounds below the floor.
-    val floored = Bench.adjustedPrev(Seq(slowHostRun), 0.001, 0.001)
+    val floored = Bench.adjustedPrev(Seq(boundary), 0.001, 0.001)
     assert(math.abs(floored("q1") - 0.25) < 1e-9)
     // Missing calibration on the reference: ratio falls back to 1 per axis.
     val noCalib = PrevArtifact("c", Map("q1" -> 1.0), None, None)
     assert(math.abs(Bench.adjustedPrev(Seq(noCalib), 5.0, 5.0)("q1") - 1.0) < 1e-9)
+  }
+
+  test("tight trigger applies to untouched queries even when shared sources changed") {
+    // Round-14 blind spot: ANY shared main-source change disabled tightening
+    // wholesale (tight_trigger_count: 0 on every substantive round). The
+    // trigger's consequence is only a quiet-gated re-measurement, so an
+    // untouched defining file earns it regardless of shared-file changes.
+    val defining = graft.queries.Registry.definingFile
+    val someQuery = defining.keys.head
+    val diff = Some(Set("src/main/scala/graft/ops/Layout.scala")) // shared file
+    val tight = Bench.tightTriggerQueries(diff, Seq(someQuery))
+    assert(tight(someQuery),
+      "a query whose defining file is untouched keeps the 1.25x trigger")
+    // A query whose OWN defining file changed stays on the wide 2x band.
+    val own = Bench.tightTriggerQueries(Some(Set(defining(someQuery))), Seq(someQuery))
+    assert(!own(someQuery))
+    // No git boundary: fail closed, nothing tightened.
+    assert(Bench.tightTriggerQueries(None, Seq(someQuery)).isEmpty)
   }
 }

@@ -153,6 +153,88 @@ class SqlDmlSpec extends SparkSpec {
     assert(fp(spark.read.parquet(dir)) == expected, "idempotent re-merge")
   }
 
+  test("MERGE INTO row-level: conditional partial UPDATE, DELETE, conditional INSERT — exact, first-clause-wins, targeted") {
+    val dir = stage("dml_merge_row")
+    import spark.implicits._
+    Seq(
+      (100L, "u1", 1), // matched, mark=1 → UPDATE (also satisfies clause 2: first wins)
+      (101L, "u2", 2), // matched, mark=2 → DELETE
+      (102L, "u3", 9), // matched, no clause applies → row survives untouched
+      (888888L, "i1", 1), // not matched, mark=1 → INSERT
+      (999999L, "i2", 9)  // not matched, no insert clause applies → dropped
+    ).toDF("doc_id", "payload", "mark").createOrReplaceTempView("dml_mr_src")
+    val before = spark.read.parquet(dir)
+    val inserted = spark.sql(
+      "SELECT CAST(888888 AS BIGINT) AS doc_id, 'i1' AS text, " +
+        "CAST(NULL AS STRING) AS lang, 'merged' AS source, CAST(NULL AS BIGINT) AS n_chars")
+    val expected = fp(before.filter(col("doc_id") =!= 101L)
+      .withColumn("text",
+        when(col("doc_id") === 100L, lit("u1")).otherwise(col("text")))
+      .withColumn("n_chars",
+        when(col("doc_id") === 100L, col("n_chars") + 100L).otherwise(col("n_chars")))
+      .unionByName(inserted))
+    // Targeting evidence: only files whose key range overlaps a SOURCE key
+    // may be replaced (888888/999999 overlap nothing → pure append files).
+    val snap = Manifest.files(spark, dir)
+    val srcKeys = Seq(100L, 101L, 102L, 888888L, 999999L)
+    val overlapping = snap.filter(srcKeys.map(k =>
+        col(s"min_doc_id") <= k && col(s"max_doc_id") >= k).reduce(_ || _))
+      .select("file").collect().map(_.getString(0)).toSet
+    val allBefore = snap.select("file").collect().map(_.getString(0)).toSet
+    assert(overlapping.nonEmpty && overlapping.size < allBefore.size,
+      "fixture must make the merge targeted")
+    val res = spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING dml_mr_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND s.mark = 1 AND t.n_chars >= 0
+         |  THEN UPDATE SET text = s.payload, n_chars = t.n_chars + 100
+         |WHEN MATCHED AND s.mark <= 2 THEN DELETE
+         |WHEN NOT MATCHED AND s.mark = 1
+         |  THEN INSERT (doc_id, text, source) VALUES (s.doc_id, s.payload, 'merged')
+         |""".stripMargin).head()
+    assert(res.getLong(res.fieldIndex("rows_updated")) == 1L &&
+      res.getLong(res.fieldIndex("rows_deleted")) == 1L &&
+      res.getLong(res.fieldIndex("rows_inserted")) == 1L, s"merge outcome: $res")
+    assert(fp(spark.read.parquet(dir)) == expected)
+    assert(Manifest.isComplete(spark, dir))
+    // Files without matched keys never rewrite: the replaced set is exactly
+    // the overlapping picks.
+    val allAfter = Manifest.files(spark, dir).select("file")
+      .collect().map(_.getString(0)).toSet
+    assert((allBefore -- allAfter) == overlapping,
+      "exactly the range-overlapping files were replaced")
+    // Refusals stay typed on the general path.
+    intercept[org.apache.spark.sql.AnalysisException] { // BY SOURCE unsupported
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING dml_mr_src s ON t.doc_id = s.doc_id
+                   |WHEN MATCHED THEN DELETE
+                   |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    intercept[org.apache.spark.sql.AnalysisException] { // key reassignment
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING dml_mr_src s ON t.doc_id = s.doc_id
+                   |WHEN MATCHED AND s.mark = 1 THEN UPDATE SET doc_id = s.doc_id + 1""".stripMargin)
+    }
+    intercept[org.apache.spark.sql.AnalysisException] { // target ref in INSERT scope
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING dml_mr_src s ON t.doc_id = s.doc_id
+                   |WHEN NOT MATCHED AND t.n_chars > 0 THEN INSERT (doc_id) VALUES (s.doc_id)""".stripMargin)
+    }
+  }
+
+  test("MERGE INTO row-level: matched-DELETE only — the reference's keyed-delete semantic in SQL") {
+    val dir = stage("dml_merge_del")
+    import spark.implicits._
+    Seq(50L, 51L, 52L, 750000L).toDF("doc_id")
+      .createOrReplaceTempView("dml_md_src")
+    val expected = fp(spark.read.parquet(dir)
+      .filter(!col("doc_id").isin(50L, 51L, 52L)))
+    val res = spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING dml_md_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN DELETE""".stripMargin).head()
+    assert(res.getLong(res.fieldIndex("rows_deleted")) == 3L &&
+      res.getLong(res.fieldIndex("rows_updated")) == 0L &&
+      res.getLong(res.fieldIndex("rows_inserted")) == 0L, s"outcome: $res")
+    assert(fp(spark.read.parquet(dir)) == expected)
+    assert(Manifest.isComplete(spark, dir))
+  }
+
   test("UPDATE: in-place read-modify-write through the keyed COW upsert") {
     val dir = stage("dml_update")
     val expected = fp(spark.read.parquet(dir).withColumn("n_chars",
@@ -310,19 +392,20 @@ class SqlDmlSpec extends SparkSpec {
     Seq((7L, "t", "l", "s", 1L)).toDF(docCols: _*)
       .createOrReplaceTempView("dml_mb_src")
     val before = fp(spark.read.parquet(dir))
-    // Partial update (not whole-row) — refused.
+    // Non-equality ON condition — no key identity to merge on.
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql(
-        s"""MERGE INTO graft.`$dir` t USING dml_mb_src s ON t.doc_id = s.doc_id
-           |WHEN MATCHED THEN UPDATE SET text = s.text
+        s"""MERGE INTO graft.`$dir` t USING dml_mb_src s ON t.doc_id < s.doc_id
+           |WHEN MATCHED THEN UPDATE SET *
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
-    // DELETE action — refused.
+    // NOT MATCHED BY SOURCE — unsupported (a whole-table scan, not a
+    // keyed merge).
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql(
         s"""MERGE INTO graft.`$dir` t USING dml_mb_src s ON t.doc_id = s.doc_id
-           |WHEN MATCHED THEN DELETE
-           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
     }
     assert(fp(spark.read.parquet(dir)) == before, "refused DML must touch nothing")
   }
