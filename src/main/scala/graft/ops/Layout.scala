@@ -119,10 +119,38 @@ object Layout {
     * rewritten survivors (silent data loss); pre-evolution snapshots fall
     * back to a mergeSchema read over exactly these files.
     */
+  /** The latest snapshot's logical→physical column-name map — [[Manifest]]
+    * rename indirection. Layout's COW machinery operates entirely in
+    * PHYSICAL names (what the files carry); only the entry points that
+    * accept caller frames ([[append]], [[mergeKeyed]]'s delta,
+    * [[mergeRowLevel]]'s compute) translate at the boundary.
+    */
+  private def physMapOf(spark: SparkSession, path: String): Map[String, String] =
+    Manifest.currentPhysicalNames(spark, path)
+
+  /** Rename a caller (LOGICAL-named) frame to the table's physical names. */
+  private def toPhysicalDf(df: org.apache.spark.sql.DataFrame,
+                           m: Map[String, String]): org.apache.spark.sql.DataFrame =
+    if (m.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map(c => col(c).as(m.getOrElse(c, c))): _*)
+
+  /** Rename a physical-named frame back to the table's logical names. */
+  private def toLogicalDf(df: org.apache.spark.sql.DataFrame,
+                          m: Map[String, String]): org.apache.spark.sql.DataFrame =
+    if (m.isEmpty) df
+    else {
+      val inv = m.map(_.swap)
+      df.select(df.columns.toIndexedSeq.map(c => col(c).as(inv.getOrElse(c, c))): _*)
+    }
+
   private def readPickedPinned(spark: SparkSession, path: String,
                                picked: Seq[String]): org.apache.spark.sql.DataFrame = {
+    // Files carry PHYSICAL names: pin the stored (logical) schema through
+    // the rename map — the returned frame is PHYSICAL-named, the name
+    // space every Layout rewrite reads and writes in.
     val sch = Manifest.latestSnapshotId(spark, path)
-      .flatMap(id => Manifest.storedSchema(spark, path, id))
+      .flatMap(id => Manifest.storedSchema(spark, path, id)
+        .map(Manifest.toPhysicalSchema(_, Manifest.physicalNames(spark, path, id))))
     // basePath keeps hive-partition columns on the picked-file read (a
     // no-op for flat tables, where files sit directly under the base).
     val r0 = spark.read.option("basePath", path)
@@ -786,13 +814,17 @@ object Layout {
     * serialized by the table lock.
     */
   def mergeKeyed(spark: SparkSession, path: String, keyCol: String,
-                 delta: org.apache.spark.sql.DataFrame,
+                 delta0: org.apache.spark.sql.DataFrame,
                  refuseNullKeys: Boolean = false): MergeResult = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     // Same whole-op serialization as deleteRange — see its lock comment.
     FsMaint.withTableLock(fs, path) {
     healDelete(spark, path)
     FsMaint.recoverSwap(fs, path)
+    // Caller frames are LOGICAL-named; everything below (picked reads,
+    // survivors, the staged write) is physical. Key columns are never
+    // renameable, so key logic is name-space-agnostic.
+    val delta = toPhysicalDf(delta0, physMapOf(spark, path))
     val keys = Manifest.currentKeyCols(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"mergeKeyed($path) needs a manifest snapshot (Manifest.create) — " +
@@ -940,6 +972,7 @@ object Layout {
           col("__k").between(col(s"min_$keyCol"), col(s"max_$keyCol")), "left_semi")
         .select("file").collect().map(_.getString(0)).toIndexedSeq
       val partitioned = isHivePartitioned(fs, path)
+      val phys = physMapOf(spark, path)
       val pickedDf =
         if (picked.nonEmpty) readPickedPinned(spark, path, picked)
         else {
@@ -947,12 +980,15 @@ object Layout {
           // but compute still needs a (schema-correct, empty) picked frame
           // for its joins.
           val sch = Manifest.latestSnapshotId(spark, path)
-            .flatMap(id => Manifest.storedSchema(spark, path, id))
+            .flatMap(id => Manifest.storedSchema(spark, path, id)
+              .map(Manifest.toPhysicalSchema(_, phys)))
             .getOrElse(spark.read.parquet(path).schema)
           spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
         }
-      val (upserts0, delKeys0) = compute(pickedDf)
-      val upserts = upserts0.localCheckpoint(true)
+      // compute speaks LOGICAL (it rebinds SQL expressions by column name);
+      // the COW machinery below speaks physical.
+      val (upserts0, delKeys0) = compute(toLogicalDf(pickedDf, phys))
+      val upserts = toPhysicalDf(upserts0, phys).localCheckpoint(true)
       val delKeys = delKeys0.select(col("__k")).filter(col("__k").isNotNull)
         .distinct().localCheckpoint(true)
       try {
@@ -1122,14 +1158,17 @@ object Layout {
       // count comes from the snapshot's METADATA diff — exact even for
       // non-deterministic sources, where a separate count() would run the
       // query twice and report rows that were never written.
+      // Appended files must carry the table's PHYSICAL column names (one
+      // physical schema per table — the rename invariant).
+      val physData = toPhysicalDf(data, physMapOf(spark, path))
       if (isHivePartitioned(fs, path)) {
         val f = Manifest.files(spark, path)
         val pCols = f.select("file").limit(1).collect().headOption
           .map(r => partitionColsFromRel(Manifest.relativeTo(path,
             Manifest.decodePath(r.getString(0)))))
           .getOrElse(partitionColsFromDirs(fs, path))
-        data.write.mode("append").partitionBy(pCols: _*).parquet(path)
-      } else data.write.mode("append").parquet(path)
+        physData.write.mode("append").partitionBy(pCols: _*).parquet(path)
+      } else physData.write.mode("append").parquet(path)
       Manifest.createIncremental(spark, path, keys: _*)
       snapshotRows() - rowsBefore
     }
@@ -1301,14 +1340,15 @@ object Layout {
         .foreach(old => Manifest.mergeAdditive(old, data.schema): Unit)
       val stage = path + "__sinkstage"
       FsMaint.deleteRecursively(fs, new Path(stage))
+      val physData = toPhysicalDf(data, physMapOf(spark, path))
       if (isHivePartitioned(fs, path)) {
         val f = Manifest.files(spark, path)
         val pCols = f.select("file").limit(1).collect().headOption
           .map(r => partitionColsFromRel(Manifest.relativeTo(path,
             Manifest.decodePath(r.getString(0)))))
           .getOrElse(partitionColsFromDirs(fs, path))
-        data.write.mode("overwrite").partitionBy(pCols: _*).parquet(stage)
-      } else data.write.mode("overwrite").parquet(stage)
+        physData.write.mode("overwrite").partitionBy(pCols: _*).parquet(stage)
+      } else physData.write.mode("overwrite").parquet(stage)
       val staged = FsMaint.listRelative(fs, new Path(stage))(st =>
         st.getPath.getName.startsWith("part-") && st.getLen > 0)
       // A 0-row batch still writes a schema-only part file (length > 0) —

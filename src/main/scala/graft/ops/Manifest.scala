@@ -346,7 +346,12 @@ object Manifest {
     // footer-sampled schema of a mixed-schema (evolved) table would pin
     // whichever file Spark sampled.
     val data = spark.read.option("mergeSchema", "true").parquet(table)
-    commitSnapshot(spark, table, statsOf(data, keyCols), Some(data.schema),
+    // Footers carry PHYSICAL names; the recorded schema is LOGICAL — remap
+    // through the inherited rename map so a full re-profile never reverts
+    // a renamed column.
+    val phys = if (based > 0) physicalNames(spark, table, based) else Map.empty[String, String]
+    commitSnapshot(spark, table, statsOf(data, keyCols),
+      Some(toLogicalSchema(data.schema, phys)),
       basedOn = Some(based), txn = txn)
   }
 
@@ -528,7 +533,8 @@ object Manifest {
                              stats: DataFrame,
                              dataSchema: Option[StructType] = None,
                              basedOn: Option[Int] = None,
-                             txn: Option[(String, Long)] = None): Int = {
+                             txn: Option[(String, Long)] = None,
+                             physical: Option[Map[String, String]] = None): Int = {
     val fs = fsOf(spark, table)
     val tmp = s"${root(table)}/commit-" +
       s"${java.util.UUID.randomUUID().toString.take(12)}__tmp"
@@ -536,6 +542,19 @@ object Manifest {
     dataSchema.foreach { sch =>
       val out = fs.create(new Path(tmp, "_schema.json"), true)
       try out.write(sch.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // The logical→physical map INHERITS from the base snapshot unless the
+    // commit overrides it (rename/drop) — a COW delete, compaction, or
+    // incremental refresh must never silently revert renamed columns.
+    val physMap = physical.getOrElse(basedOn.filter(_ > 0)
+      .map(physicalNames(spark, table, _)).getOrElse(Map.empty))
+    if (physMap.nonEmpty) {
+      val json = physMap.toSeq.sortBy(_._1).map { case (l, p) =>
+        s"${graft.util.JsonUtil.quote(l)}:${graft.util.JsonUtil.quote(p)}"
+      }.mkString("{", ",", "}")
+      val out = fs.create(new Path(tmp, "_physical.json"), true)
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
     def refuse(why: String): Nothing = {
@@ -802,9 +821,107 @@ object Manifest {
     }
     // Metadata-only commit: the latest snapshot's stats rows carried
     // verbatim (parquet files untouched), new schema recorded alongside.
+    // The rename map drops entries for dropped columns (their physical
+    // bytes stay in old files, projected away like any dropped column).
     commitSnapshot(spark, table,
       spark.read.parquet(s"${root(table)}/snapshot-$id"), Some(newSchema),
-      basedOn = Some(id))
+      basedOn = Some(id),
+      physical = Some(physicalNames(spark, table, id)
+        .filter { case (l, _) => newSchema.fieldNames.contains(l) }))
+  }
+
+  // ---- column RENAME: logical→physical name indirection ------------------
+  // `_physical.json` per snapshot holds {logicalName: physicalName} for
+  // fields whose on-disk (file footer) name differs from the recorded
+  // logical name. RENAME COLUMN is thereby METADATA-ONLY: data files keep
+  // the original physical column name forever (one physical schema per
+  // table — writes translate logical→physical at the file boundary,
+  // [[graft.ops.Layout]]), reads pin the physical schema and alias back to
+  // the snapshot's own logical names. The same indirection Iceberg gets
+  // from field ids, realized as a name map because this format enforces a
+  // single physical schema. Maps inherit across commits ([[commitSnapshot]]
+  // carries the base snapshot's map unless a commit overrides it), so COW
+  // deletes/merges/compactions and incremental refreshes preserve renames.
+
+  /** Snapshot `id`'s logical→physical field-name map (empty = identity). */
+  def physicalNames(spark: SparkSession, table: String,
+                    id: Int): Map[String, String] = {
+    val fs = fsOf(spark, table)
+    val p = new Path(s"${root(table)}/snapshot-$id/_physical.json")
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      val b = Map.newBuilder[String, String]
+      node.properties().forEach(e => b += e.getKey -> e.getValue.asText())
+      b.result()
+    }
+  }
+
+  /** The LATEST snapshot's logical→physical map (empty when no renames). */
+  def currentPhysicalNames(spark: SparkSession, table: String): Map[String, String] =
+    latestId(spark, table).map(physicalNames(spark, table, _)).getOrElse(Map.empty)
+
+  /** Rename a schema's fields logical→physical (identity for unmapped). */
+  private[graft] def toPhysicalSchema(s: StructType,
+                                      m: Map[String, String]): StructType =
+    if (m.isEmpty) s
+    else StructType(s.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+
+  /** Rename a schema's fields physical→logical (identity for unmapped). */
+  private[graft] def toLogicalSchema(s: StructType,
+                                     m: Map[String, String]): StructType =
+    if (m.isEmpty) s
+    else {
+      val inv = m.map(_.swap)
+      StructType(s.fields.map(f => f.copy(name = inv.getOrElse(f.name, f.name))))
+    }
+
+  /** METADATA-ONLY column rename: commits a new snapshot with the latest
+    * snapshot's stats rows verbatim, the renamed logical schema, and the
+    * updated physical map — zero data files read or written. Time travel
+    * is unaffected (each snapshot keeps its OWN recorded names). Stats key
+    * columns, bloom-indexed columns, and hive partition columns are
+    * refused (their physical identities are load-bearing in the manifest
+    * stats / directory layout). Returns the new snapshot id.
+    */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): Int = {
+    val id = latestId(spark, table).getOrElse(
+      throw new IllegalStateException(s"no manifest snapshot under $table"))
+    val old = storedSchema(spark, table, id).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot-$id under $table predates schema recording — run " +
+          "Manifest.create once to record a schema before renaming"))
+    require(to.nonEmpty && to != from, s"invalid rename target `$to`")
+    require(old.fieldNames.contains(from), s"no such column: $from")
+    require(!old.fieldNames.contains(to), s"column `$to` already exists")
+    val keys = keyColsOf(spark, table, id)
+    require(!keys.contains(from),
+      s"cannot rename `$from`: it is a manifest stats key column " +
+        s"(${keys.mkString(", ")}) — re-profile the table first")
+    val bloomCols = spark.read.parquet(s"${root(table)}/snapshot-$id")
+      .schema.fieldNames.toSeq.collect { case f if f.startsWith("bloom_") => f.drop(6) }
+    require(!bloomCols.contains(from),
+      s"cannot rename `$from`: the snapshot carries a bloom index on it")
+    val fs = fsOf(spark, table)
+    val partCols = fs.listStatus(new Path(table)).collect {
+      case s if s.isDirectory && s.getPath.getName.contains("=") =>
+        s.getPath.getName.takeWhile(_ != '=')
+    }.toSet
+    require(!partCols(from),
+      s"cannot rename `$from`: it is a hive partition column (directory " +
+        "names are its physical identity)")
+    val prevMap = physicalNames(spark, table, id)
+    val newMap = ((prevMap - from) + (to -> prevMap.getOrElse(from, from)))
+      .filter { case (l, p) => l != p }
+    val newSchema = StructType(old.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    commitSnapshot(spark, table,
+      spark.read.parquet(s"${root(table)}/snapshot-$id"), Some(newSchema),
+      basedOn = Some(id), physical = Some(newMap))
   }
 
   /** [[updateSchema]] convenience: drop one column. */
@@ -1048,7 +1165,12 @@ object Manifest {
           .parquet(newPaths.map(p => escapeGlob(p.toString)): _*)
         // Additive evolution gate: new columns fold into the recorded
         // schema; a type change fails typed BEFORE any snapshot commits.
-        val merged = prevSchema.map(old => mergeAdditive(old, fresh.schema))
+        // The footer schema is PHYSICAL — compare in physical space, store
+        // the merge back in logical (a renamed column must not read as a
+        // drop + add).
+        val physInc = physicalNames(spark, table, prevId)
+        val merged = prevSchema.map(old => toLogicalSchema(
+          mergeAdditive(toPhysicalSchema(old, physInc), fresh.schema), physInc))
         (carriedDf.unionByName(
           statsOf(fresh, keyCols, bloomSpecsLike(prev))), merged)
       }
@@ -1125,8 +1247,10 @@ object Manifest {
       val specs = p.bloomCols.map(c => BloomSpec(c, math.max(1L, bits / 7), bits))
       val based = latestId(spark, table).getOrElse(0)
       val data = spark.read.option("mergeSchema", "true").parquet(table)
+      val phys = if (based > 0) physicalNames(spark, table, based) else Map.empty[String, String]
       commitSnapshot(spark, table,
-        statsOf(data, p.keyCols, specs), Some(data.schema),
+        statsOf(data, p.keyCols, specs),
+        Some(toLogicalSchema(data.schema, phys)),
         basedOn = Some(based))
     }
 
@@ -1161,7 +1285,8 @@ object Manifest {
       throw new IllegalStateException(s"no manifest snapshot under $table"))
     scanBoxFrom(spark, table,
       spark.read.parquet(s"${root(table)}/snapshot-$id"), preds,
-      storedSchema(spark, table, id), useTrash = false)
+      storedSchema(spark, table, id), physicalNames(spark, table, id),
+      useTrash = false)
   }
 
   /** [[scanBox]] AS OF a retained snapshot — pruning and time travel
@@ -1177,7 +1302,8 @@ object Manifest {
         "(expireSnapshots); time travel reaches only retained snapshots")
     scanBoxFrom(spark, table,
       spark.read.parquet(s"${root(table)}/snapshot-$id"), preds,
-      storedSchema(spark, table, id), useTrash = true)
+      storedSchema(spark, table, id), physicalNames(spark, table, id),
+      useTrash = true)
   }
 
   /** File-list read pinned to the snapshot's recorded schema when one was
@@ -1192,29 +1318,41 @@ object Manifest {
     */
   private def readFiles(spark: SparkSession, table: String,
                         picked: Seq[String],
-                        schema: Option[StructType]): DataFrame = {
+                        schema: Option[StructType],
+                        physical: Map[String, String] = Map.empty): DataFrame = {
     val trashRoot = trashDir(table).toString
+    // Files carry PHYSICAL column names; `schema` is the snapshot's LOGICAL
+    // shape — pin the physical translation for the scan, alias back after.
+    val physSchema = schema.map(toPhysicalSchema(_, physical))
     def readWith(base: String, paths: Seq[String]): DataFrame = {
       val r0 = spark.read.option("basePath", base)
-      val r = schema.fold(r0)(r0.schema)
+      val r = physSchema.fold(r0)(r0.schema)
       r.parquet(paths.map(escapeGlob): _*)
     }
-    if (picked.isEmpty) {
-      val r0 = spark.read.option("basePath", table)
-      schema.fold(r0)(r0.schema).parquet(table).limit(0)
-    } else {
-      val (trashed, live) = picked.partition(_.startsWith(trashRoot + "/"))
-      val parts = Seq(
-        if (live.nonEmpty) Some(readWith(table, live)) else None,
-        if (trashed.nonEmpty) Some(readWith(trashRoot, trashed)) else None
-      ).flatten
-      parts.reduce(_.unionByName(_))
+    val raw =
+      if (picked.isEmpty) {
+        val r0 = spark.read.option("basePath", table)
+        physSchema.fold(r0)(r0.schema).parquet(table).limit(0)
+      } else {
+        val (trashed, live) = picked.partition(_.startsWith(trashRoot + "/"))
+        val parts = Seq(
+          if (live.nonEmpty) Some(readWith(table, live)) else None,
+          if (trashed.nonEmpty) Some(readWith(trashRoot, trashed)) else None
+        ).flatten
+        parts.reduce(_.unionByName(_))
+      }
+    if (physical.isEmpty || schema.isEmpty) raw
+    else {
+      val inv = physical.map(_.swap)
+      raw.select(raw.columns.toIndexedSeq.map(c =>
+        col(c).as(inv.getOrElse(c, c))): _*)
     }
   }
 
   private def scanBoxFrom(spark: SparkSession, table: String, f: DataFrame,
                           preds: Seq[(String, Long, Long)],
                           schema: Option[StructType],
+                          physical: Map[String, String],
                           useTrash: Boolean): (DataFrame, Int, Int) = {
     require(preds.nonEmpty, "need at least one range predicate")
     preds.foreach { case (c, _, _) =>
@@ -1225,7 +1363,7 @@ object Manifest {
       col(s"max_$c") >= lo && col(s"min_$c") <= hi }.reduce(_ && _)
     val picked = plannedPaths(f.filter(overlap).select("file"), table, "scanBox")
     val base = readFiles(spark, table,
-      resolveForRead(spark, table, picked, useTrash), schema)
+      resolveForRead(spark, table, picked, useTrash), schema, physical)
     val residual = preds.map { case (c, lo, hi) =>
       statCol(c, base.schema(c).dataType).between(lo, hi) }.reduce(_ && _)
     (base.filter(residual), picked.length, all)
@@ -1291,7 +1429,7 @@ object Manifest {
       }
     val base = readFiles(spark, table,
       resolveForRead(spark, table, picked, useTrash = false),
-      storedSchema(spark, table, id))
+      storedSchema(spark, table, id), physicalNames(spark, table, id))
     val residual =
       statCol(keyCol, base.schema(keyCol).dataType).isInCollection(values)
     KeyScan(base.filter(residual), picked.length, rangeCandidates, total)
@@ -1334,7 +1472,7 @@ object Manifest {
     val picked = flagged.collect { case (p, true) => p }.toIndexedSeq
     val base = readFiles(spark, table,
       resolveForRead(spark, table, picked, useTrash = false),
-      storedSchema(spark, table, id))
+      storedSchema(spark, table, id), physicalNames(spark, table, id))
     KeyScan(base.filter(col(keyCol).isInCollection(values)),
       picked.length, flagged.length, total)
   }
@@ -1464,7 +1602,8 @@ object Manifest {
     // a new column surfaces it; one that didn't reads NULLs for it.
     (readFiles(spark, table,
       resolveForRead(spark, table, added, useTrash = false),
-      storedSchema(spark, table, latest)), added.length)
+      storedSchema(spark, table, latest),
+      physicalNames(spark, table, latest)), added.length)
   }
 
   /** TIME TRAVEL: read the table exactly as snapshot `id` recorded it —
@@ -1501,7 +1640,7 @@ object Manifest {
     // evolution reads the table as it was), resolving replaced files
     // through the retained trash — as-of reads survive COW mutations.
     readFiles(spark, table, snapshotFiles(spark, table, id),
-      storedSchema(spark, table, id))
+      storedSchema(spark, table, id), physicalNames(spark, table, id))
   }
 
   /** The newest committed snapshot id — the handle mutation jobs leave
@@ -1603,12 +1742,17 @@ object Manifest {
     val added = (to -- from).toIndexedSeq
     val schema = storedSchema(spark, table, toId)
       .orElse(storedSchema(spark, table, fromId))
+    // Physical names are table-invariant (one physical schema per table);
+    // the map matching the CHOSEN logical schema translates both sides.
+    val physCdf =
+      if (storedSchema(spark, table, toId).isDefined) physicalNames(spark, table, toId)
+      else physicalNames(spark, table, fromId)
     // Removed files live in the retained trash (COW mutations move their
     // originals there); added files are live.
     val before = readFiles(spark, table,
-      resolveForRead(spark, table, removed, useTrash = true), schema)
+      resolveForRead(spark, table, removed, useTrash = true), schema, physCdf)
     val after = readFiles(spark, table,
-      resolveForRead(spark, table, added, useTrash = true), schema)
+      resolveForRead(spark, table, added, useTrash = true), schema, physCdf)
     // One-sided fast paths: exceptAll against an empty side is the
     // identity, and the two exceptAll aggregations are the feed's only
     // shuffles — a pure APPEND diff (the streaming source's every

@@ -1097,6 +1097,53 @@ object SourceQueries {
                    ("(SELECT doc_id, text, lang, n_chars, CASE WHEN doc_id % 2 = 1 " +
                     "THEN 'n' || doc_id ELSE NULL END AS note FROM documents) t"))})""".stripMargin)),
 
+    // ---- ALTER TABLE RENAME COLUMN: metadata-only via logical→physical
+    //      name indirection (data files keep the original physical column
+    //      name forever; each snapshot's recorded schema carries its own
+    //      logical names — Manifest.renameColumn). A post-rename INSERT
+    //      lands under the rename (new files still write the PHYSICAL
+    //      name, preserving the one-physical-schema invariant), reads and
+    //      filter pushdown serve the original VALUES under the new name,
+    //      and time travel answers under each snapshot's own names. Gate:
+    //      fingerprint over the renamed shape ≡ DuckDB, plus structural
+    //      flags (zero files touched / as-of shows the old name / raw
+    //      footers keep the physical name).
+    Q("sql_alter_rename",
+      (s, dir) => {
+        val cols = Seq("doc_id", "text", "lang", "origin", "n_chars")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val stage = java.nio.file.Files.createTempDirectory("graft_sql_ren").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0).repartition(3)
+          .write.mode("overwrite").parquet(stage)
+        val id1 = graft.ops.Manifest.create(s, stage, "doc_id")
+        val fs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val filesBefore = graft.ops.FsMaint.dataFileCount(fs,
+          new org.apache.hadoop.fs.Path(stage))
+        s.sql(s"ALTER TABLE graft.`$stage` RENAME COLUMN source TO origin")
+        val metadataOnly = graft.ops.FsMaint.dataFileCount(fs,
+          new org.apache.hadoop.fs.Path(stage)) == filesBefore
+        docs.filter(col("doc_id") % 2 === 1).withColumnRenamed("source", "origin")
+          .createOrReplaceTempView("sql_ren_ins")
+        s.sql(s"INSERT INTO graft.`$stage` SELECT * FROM sql_ren_ins")
+        val latest = s.sql(s"SELECT * FROM graft.`$stage`")
+        val asOf1 = s.sql(s"SELECT * FROM graft.`$stage` VERSION AS OF $id1")
+        val raw = s.read.option("mergeSchema", "true").parquet(stage)
+        graft.functions.Hashing.multisetFingerprintAgg(
+            latest.select(cols.map(col): _*), cols)
+          .withColumn("metadata_only", lit(metadataOnly))
+          .withColumn("asof_old_name", lit(asOf1.columns.contains("source") &&
+            !asOf1.columns.contains("origin")))
+          .withColumn("physical_kept", lit(raw.columns.contains("source") &&
+            !raw.columns.contains("origin")))
+      },
+      Some(s"""SELECT *, true AS metadata_only, true AS asof_old_name,
+               | true AS physical_kept FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "origin", "n_chars"),
+                   "(SELECT doc_id, text, lang, source AS origin, n_chars FROM documents) t")})""".stripMargin)),
+
     // ---- SQL CALL surface: the table-maintenance jobs (compaction,
     //      range re-clustering, snapshot expiry, vacuum) as engine-executed
     //      statements over the graft catalog's `system` namespace — the

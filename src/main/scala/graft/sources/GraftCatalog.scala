@@ -54,7 +54,12 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         s"no manifest snapshot under $path — run Manifest.create, or read the " +
           "dir directly with spark.read.parquet")))
     val files = Manifest.snapshotFiles(spark, path, id)
-    val schema: Option[StructType] = Manifest.storedSchema(spark, path, id)
+    val logical: Option[StructType] = Manifest.storedSchema(spark, path, id)
+    // Rename indirection: files carry PHYSICAL column names; the served
+    // table reports the snapshot's LOGICAL names and the scan layer
+    // translates (GraftRenamedTable / RenamingScanBuilder).
+    val renames = Manifest.physicalNames(spark, path, id)
+    val physSchema = logical.map(Manifest.toPhysicalSchema(_, renames))
     // GraftParquetTable computes partition values itself (trash-retained
     // files carry the same k=v identity as live ones once the trash
     // segment is stripped — Spark's own directory inference would reject
@@ -63,10 +68,12 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       // The LATEST view is writable: INSERT INTO / DELETE FROM (and MERGE
       // INTO via the extension rule) route to the engine's COW machinery.
       new GraftMutableTable(s"$catalogName.$path@v$id", spark,
-        files.toIndexedSeq, path, schema)
-    else
-      new GraftParquetTable(s"$catalogName.$path@v$id", spark,
-        CaseInsensitiveStringMap.empty(), files.toIndexedSeq, path, schema)
+        files.toIndexedSeq, path, physSchema, renames)
+    else {
+      val base = new GraftParquetTable(s"$catalogName.$path@v$id", spark,
+        CaseInsensitiveStringMap.empty(), files.toIndexedSeq, path, physSchema)
+      if (renames.isEmpty) base else new GraftRenamedTable(base, renames)
+    }
   }
 
   /** Introspection suffixes (the Iceberg metadata-table posture):
@@ -229,6 +236,15 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         s"ALTER TABLE $what on nested field `${field.mkString(".")}` is not " +
           "supported — graft evolution is top-level columns only")
       field.head
+    }
+    // RENAME COLUMN is its own metadata commit (it moves the logical→
+    // physical map, which updateSchema's add/drop/widen path never touches).
+    changes match {
+      case Seq(r: TableChange.RenameColumn) =>
+        Manifest.renameColumn(spark, path,
+          topLevel(r.fieldNames, "RENAME COLUMN"), r.newName)
+        return loadTable(ident)
+      case _ => ()
     }
     val evolved = changes.foldLeft(old) {
       case (schema, a: TableChange.AddColumn) =>

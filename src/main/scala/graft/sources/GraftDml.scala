@@ -53,7 +53,8 @@ private[sources] object StatDomain {
 final class GraftMutableTable(
     tableName: String, spark: SparkSession,
     files: Seq[String], val tableRoot: String,
-    userSchema: Option[StructType])
+    userSchema: Option[StructType],
+    renames: Map[String, String] = Map.empty)
   extends org.apache.spark.sql.connector.catalog.Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -67,15 +68,25 @@ final class GraftMutableTable(
   // INSERTs over FileTables into a direct V1 file write — which would
   // bypass the table lock and the manifest refresh entirely (a silent
   // unmanifested append), or reject the multi-path relation outright.
+  // `userSchema` arrives in the files' PHYSICAL names; `renames`
+  // (logical→physical) translates the user-facing surface — see
+  // [[GraftRenamedTable]].
   private val readDelegate = new GraftParquetTable(tableName, spark,
     CaseInsensitiveStringMap.empty(), files, tableRoot, userSchema)
+  private val invRenames = renames.map(_.swap)
 
   override def name(): String = tableName
-  override def schema(): StructType =
-    (readDelegate: org.apache.spark.sql.connector.catalog.Table).schema()
+  override def schema(): StructType = {
+    val phys = (readDelegate: org.apache.spark.sql.connector.catalog.Table).schema()
+    if (renames.isEmpty) phys
+    else StructType(phys.fields.map(f =>
+      f.copy(name = invRenames.getOrElse(f.name, f.name))))
+  }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
-    readDelegate.newScanBuilder(options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder = {
+    val base = readDelegate.newScanBuilder(options)
+    if (renames.isEmpty) base else new RenamingScanBuilder(base, renames)
+  }
 
   // No ACCEPT_ANY_SCHEMA (the analyzer must align INSERT schemas) and no
   // plain BATCH_WRITE (writes route through the V1 InsertableRelation).

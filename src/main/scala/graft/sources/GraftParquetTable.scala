@@ -115,6 +115,85 @@ class GraftParquetTable(
       partitionSpecOf())
 }
 
+/** LOGICAL-name view over a physical-schema snapshot table — the read
+  * surface of [[graft.ops.Manifest.renameColumn]]'s metadata-only rename.
+  * The delegate [[GraftParquetTable]] is built with the files' PHYSICAL
+  * column names (so the stock vectorized parquet scan resolves columns in
+  * every file, old and new); this wrapper translates at the boundary:
+  * `schema()` reports logical names, pruning and pushed filters translate
+  * logical→physical on the way in, and the built scan's `readSchema()`
+  * translates back so the scan's output attributes line up with the
+  * relation's logical attrs. Row data is positional — a rename never
+  * reorders or retypes — so the delegate's batches serve unchanged, with
+  * full pushdown intact.
+  */
+final class GraftRenamedTable(val delegate: GraftParquetTable,
+                              renames: Map[String, String])
+  extends org.apache.spark.sql.connector.catalog.Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead {
+  private val inv = renames.map(_.swap)
+  override def name(): String = delegate.name()
+  override def schema(): StructType =
+    StructType((delegate: org.apache.spark.sql.connector.catalog.Table)
+      .schema().fields.map(f => f.copy(name = inv.getOrElse(f.name, f.name))))
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    delegate.capabilities()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    new RenamingScanBuilder(delegate.newScanBuilder(options), renames)
+}
+
+/** The translating ScanBuilder behind [[GraftRenamedTable]] /
+  * [[GraftMutableTable]]: logical names in (pruning, catalyst filters),
+  * physical delegation, logical `readSchema` out.
+  */
+private[sources] final class RenamingScanBuilder(
+    delegate: ParquetScanBuilder, renames: Map[String, String])
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+  private val inv = renames.map(_.swap)
+  private def toPhys(e: Expression): Expression = e.transform {
+    case a: AttributeReference if renames.contains(a.name) =>
+      a.withName(renames(a.name))
+  }
+  private def toLogical(e: Expression): Expression = e.transform {
+    case a: AttributeReference if inv.contains(a.name) => a.withName(inv(a.name))
+  }
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate.pruneColumns(StructType(requiredSchema.fields.map(f =>
+      f.copy(name = renames.getOrElse(f.name, f.name)))))
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    // Residuals come back physical-named; translate back so the post-scan
+    // Filter references the relation's logical output attrs.
+    delegate.pushFilters(filters.map(toPhys)).map(toLogical)
+  override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate.pushedFilters // physical names in EXPLAIN — cosmetic only
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new RenamingScan(delegate.build(), inv)
+}
+
+private[sources] final class RenamingScan(
+    delegate: org.apache.spark.sql.connector.read.Scan,
+    inv: Map[String, String])
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  override def readSchema(): StructType =
+    StructType(delegate.readSchema().fields.map(f =>
+      f.copy(name = inv.getOrElse(f.name, f.name))))
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
+  override def description(): String = delegate.description()
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    delegate match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
+}
+
 /** A [[PartitioningAwareFileIndex]] over an EXPLICIT file list with a
   * caller-supplied partition spec — no directory walking, no hidden-path
   * filtering, no inference. Exactly the snapshot's files, wherever they

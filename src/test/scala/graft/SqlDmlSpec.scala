@@ -437,7 +437,9 @@ class SqlDmlSpec extends SparkSpec {
     assert(asOf.schema("n").dataType == IntegerType &&
       asOf.columns.contains("extra") && !asOf.columns.contains("note"),
       "as-of reads must return the snapshot's OWN schema")
-    // Refusals: key-column drop, narrowing, rename — all typed, no commit.
+    // Refusals: key-column drop, narrowing, key-column rename (the stats
+    // identity) — all typed, no commit. Non-key renames are supported
+    // metadata-only (RenameSpec).
     val snapBefore = Manifest.latestSnapshotId(spark, dir).get
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN doc_id")
@@ -446,7 +448,7 @@ class SqlDmlSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN n TYPE INT")
     }
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN n TO m")
+      spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN doc_id TO id")
     }
     assert(Manifest.latestSnapshotId(spark, dir).contains(snapBefore),
       "refused ALTER must commit nothing")
