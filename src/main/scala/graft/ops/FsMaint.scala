@@ -296,6 +296,11 @@ private[graft] object FsMaint {
     */
   def withTableLock[T](fs: FileSystem, path: String)(body: => T): T = {
     val lock = tableLockPath(path)
+    // REENTRANT within the owning thread: a locked job may compose another
+    // locked primitive (e.g. an exactly-once merge delegating its pure-
+    // insert branch to appendOnce) — the outer frame owns the commit
+    // window, and releases it.
+    if (holdsTableLock(path)) return body
     val token = java.util.UUID.randomUUID().toString
     if (fs.exists(lock)) {
       if (liveTableLock(fs, path))

@@ -632,7 +632,8 @@ object Layout {
   private def commitReplacePartitioned(spark: SparkSession,
                                        fs: org.apache.hadoop.fs.FileSystem,
                                        path: String, picked: Seq[String],
-                                       stage: String, keys: Seq[String]): Unit = {
+                                       stage: String, keys: Seq[String],
+                                       txn: Option[(String, Long)] = None): Unit = {
     val staged = stagedRels(fs, stage)
     val doomed = picked.map(p => Manifest.relativeTo(path, Manifest.decodePath(p)))
     val journal = new Path(path + PartJournalSuffix)
@@ -646,7 +647,7 @@ object Layout {
       throw new java.io.IOException(s"cow journal commit failed: $journal")
     movePartitionedCommit(fs, path, stage, doomed, staged)
     Manifest.commitReplaced(spark, path, keys, picked.toSet,
-      staged.map(r => s"$path/$r"))
+      staged.map(r => s"$path/$r"), txn)
     fs.delete(journal, false)
     FsMaint.deleteRecursively(fs, new Path(stage))
   }
@@ -688,7 +689,8 @@ object Layout {
   private def commitReplace(spark: SparkSession,
                             fs: org.apache.hadoop.fs.FileSystem,
                             path: String, picked: Seq[String], stage: String,
-                            keys: Seq[String]): Unit = {
+                            keys: Seq[String],
+                            txn: Option[(String, Long)] = None): Unit = {
     val stagedFiles = fs.listStatus(new Path(stage))
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.getName).toIndexedSeq
@@ -723,7 +725,7 @@ object Layout {
     // earlier mutations' retained history crosses the swap the same way
     carryTrash(fs, old, path)
     Manifest.commitReplaced(spark, path, keys, picked.toSet,
-      stagedFiles.map(n => s"$path/$n"))
+      stagedFiles.map(n => s"$path/$n"), txn)
     // 7. RETAIN the replaced originals: move them into the hidden trash
     // dir (metadata renames) instead of deleting — time travel and the
     // change feed read pre-mutation snapshots through the trash until
@@ -815,12 +817,41 @@ object Layout {
     */
   def mergeKeyed(spark: SparkSession, path: String, keyCol: String,
                  delta0: org.apache.spark.sql.DataFrame,
-                 refuseNullKeys: Boolean = false): MergeResult = {
+                 refuseNullKeys: Boolean = false): MergeResult =
+    mergeKeyedTxn(spark, path, keyCol, delta0, None, refuseNullKeys)
+
+  /** EXACTLY-ONCE [[mergeKeyed]] — the upsert side of the streaming sink's
+    * batch dedup, on the same writer-transaction ledger as
+    * [[appendOnce]]: a batch at or below the app's recorded version
+    * returns `MergeResult(-1, …)` without touching anything (a replayed
+    * `addBatch` after a restart is a no-op), and the ledger entry
+    * publishes ATOMICALLY with the merge's own snapshot commit — the COW
+    * swap is journaled and crash-healed back to nothing, so a replay
+    * either sees the committed (version-recorded) state or a clean
+    * pre-merge table, never a half-merge. The pure-insert branch (no file
+    * overlaps any delta key) delegates to [[appendOnce]], inheriting its
+    * prefix-named-file crash triage.
+    */
+  def mergeKeyedOnce(spark: SparkSession, path: String, keyCol: String,
+                     txnApp: String, txnVersion: Long,
+                     delta: org.apache.spark.sql.DataFrame): MergeResult =
+    mergeKeyedTxn(spark, path, keyCol, delta, Some(txnApp -> txnVersion))
+
+  private def mergeKeyedTxn(spark: SparkSession, path: String, keyCol: String,
+                            delta0: org.apache.spark.sql.DataFrame,
+                            txn: Option[(String, Long)],
+                            refuseNullKeys: Boolean = false): MergeResult = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     // Same whole-op serialization as deleteRange — see its lock comment.
     FsMaint.withTableLock(fs, path) {
     healDelete(spark, path)
     FsMaint.recoverSwap(fs, path)
+    // Replay dedup BEFORE any work: at-least-once addBatch delivery must
+    // be a no-op for an already-committed (app, version).
+    txn.foreach { case (app, v) =>
+      if (Manifest.txnVersion(spark, path, app).exists(_ >= v))
+        return MergeResult(-1, 0, 0L, 0L)
+    }
     // Caller frames are LOGICAL-named; everything below (picked reads,
     // survivors, the staged write) is physical. Key columns are never
     // renameable, so key logic is name-space-agnostic.
@@ -870,7 +901,17 @@ object Layout {
     if (picked.isEmpty) {
       // pure insert: no file can contain a matching key — plain append
       // (routed into partition dirs for a hive layout), snapshot refreshed
-      // incrementally (only the appended files scanned)
+      // incrementally (only the appended files scanned). A TXN merge
+      // delegates to appendOnce (reentrant under this lock): its
+      // prefix-named files + crash triage are what make an interrupted
+      // append replay-safe, where a plain append + crash would leave
+      // orphans a later incremental adopts as duplicates.
+      txn match {
+        case Some((app, v)) =>
+          appendOnce(spark, path, app, v, toLogicalDf(delta, physMapOf(spark, path))): Unit
+          return MergeResult(0, total, 0L, nDelta)
+        case None => ()
+      }
       if (partitioned) {
         // headOption: the latest snapshot may hold ZERO file rows (a prior
         // COW delete doomed every row) — fall back to the directory layout.
@@ -909,10 +950,10 @@ object Layout {
     if (partitioned) {
       survivors.write.partitionBy(partitionColsOf(path, picked): _*)
         .mode("overwrite").parquet(stage)
-      commitReplacePartitioned(spark, fs, path, picked, stage, keys)
+      commitReplacePartitioned(spark, fs, path, picked, stage, keys, txn)
     } else {
       survivors.write.mode("overwrite").parquet(stage)
-      commitReplace(spark, fs, path, picked, stage, keys)
+      commitReplace(spark, fs, path, picked, stage, keys, txn)
     }
     MergeResult(picked.length, total, matched, nDelta - matched)
     }

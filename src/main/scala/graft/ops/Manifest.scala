@@ -1059,7 +1059,8 @@ object Manifest {
     */
   private[ops] def commitReplaced(spark: SparkSession, table: String,
                                   keyCols: Seq[String], removed: Set[String],
-                                  addedPaths: Seq[String]): Int = {
+                                  addedPaths: Seq[String],
+                                  txn: Option[(String, Long)] = None): Int = {
     val snapId = latestId(spark, table).getOrElse(
       throw new IllegalStateException(s"no manifest snapshot under $table"))
     val snap = spark.read.parquet(s"${root(table)}/snapshot-$snapId")
@@ -1077,7 +1078,7 @@ object Manifest {
     // basedOn = the snapshot the carried rows came from: a concurrent
     // commit in between means those rows describe a superseded file set.
     commitSnapshot(spark, table, stats, storedSchema(spark, table, snapId),
-      basedOn = Some(snapId))
+      basedOn = Some(snapId), txn = txn)
   }
 
   /** Bloom specs matching an existing snapshot's bloom columns (so stats

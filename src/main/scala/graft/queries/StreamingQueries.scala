@@ -742,6 +742,76 @@ object StreamingQueries {
                |${Registry.duckMultisetFingerprint(
                    Seq("doc_id", "text", "lang", "source", "n_chars"), "documents")})""".stripMargin)),
 
+    // ---- the UPSERT streaming sink: Update output mode + mergeKey routes
+    //      each micro-batch through the exactly-once keyed COW merge
+    //      (Layout.mergeKeyedOnce — same writer-transaction ledger as the
+    //      append sink, published atomically with the merge's snapshot
+    //      commit). Fixture: the table holds the corpus's lower half; batch
+    //      1 updates the lowest eighth and inserts the upper half; batch 2
+    //      re-updates the lowest sixteenth — the reference's "run
+    //      frequently" converge loop, natively end to end. Gate: final
+    //      fingerprint ≡ DuckDB computing the same overlay, replayed batch
+    //      deduped, idle restart silent, zero duplicated keys.
+    Q("stream_graft_sink_upsert",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val docs = T(s, dir, "documents").select(docCols.map(col): _*)
+        val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val table = java.nio.file.Files.createTempDirectory("graft_gsup")
+          .toString + "/documents"
+        docs.filter(col("doc_id") < mx / 2).repartitionByRange(4, col("doc_id"))
+          .write.parquet(table)
+        graft.ops.Manifest.create(s, table, "doc_id")
+        val feed = java.nio.file.Files.createTempDirectory("graft_gsup_feed").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_gsup_ck").toString
+        def runOnce(): Unit = {
+          val q = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(feed)
+            .writeStream.format("graft").outputMode("update")
+            .option("path", table).option("txnAppId", "graft_gsup_q")
+            .option("mergeKey", "doc_id")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        // Batch 1: updates (lowest eighth, 'u:' text) + inserts (upper half).
+        docs.filter(col("doc_id") < mx / 8)
+          .withColumn("text", concat(lit("u:"), col("text")))
+          .unionByName(docs.filter(col("doc_id") >= mx / 2))
+          .repartition(1).write.mode("append").parquet(feed)
+        runOnce()
+        // Batch 2: re-update the lowest sixteenth ('v:' over the original).
+        docs.filter(col("doc_id") < mx / 16)
+          .withColumn("text", concat(lit("v:"), col("text")))
+          .repartition(1).write.mode("append").parquet(feed)
+        runOnce()
+        // Replay an already-committed batch id straight at the engine.
+        val deduped = graft.ops.Layout.mergeKeyedOnce(
+          s, table, "doc_id", "graft_gsup_q", 0L, docs.limit(5))
+          .filesRewritten == -1
+        val snapBefore = graft.ops.Manifest.latestSnapshotId(s, table).get
+        runOnce() // idle restart commits nothing
+        val idleSilent =
+          graft.ops.Manifest.latestSnapshotId(s, table).contains(snapBefore)
+        val t = s.read.parquet(table)
+        val noDups = t.count() == t.select("doc_id").distinct().count()
+        graft.functions.Hashing.multisetFingerprintAgg(t, docCols)
+          .withColumn("replay_deduped", lit(deduped))
+          .withColumn("idle_silent", lit(idleSilent))
+          .withColumn("no_dup_keys", lit(noDups))
+          .withColumn("complete", lit(graft.ops.Manifest.isComplete(s, table)))
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) AS mx FROM documents),
+               | final AS (SELECT doc_id,
+               |   CASE WHEN doc_id < b.mx // 16 THEN 'v:' || text
+               |        WHEN doc_id < b.mx // 8 THEN 'u:' || text
+               |        ELSE text END AS text,
+               |   lang, source, n_chars FROM documents, b)
+               |SELECT *, true AS replay_deduped, true AS idle_silent,
+               | true AS no_dup_keys, true AS complete FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "final t")})""".stripMargin)),
+
     // ---- streaming-source OPTIONS: startingSnapshotId (no initial load —
     //      the Delta startingVersion posture), withChanges (the tagged
     //      row-level feed as a STREAM, deletes included), and

@@ -114,10 +114,22 @@ final class DefaultSource extends RelationProvider with DataSourceRegister
                           parameters: Map[String, String],
                           partitionColumns: Seq[String],
                           outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
-    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
-      s"graft sink supports Append output mode only, got $outputMode " +
-        "(aggregation results belong in complete/update sinks; row-level " +
-        "upserts go through MERGE INTO / the change feed)")
+    val mergeKey = parameters.get("mergeKey").map(_.trim).filter(_.nonEmpty)
+    outputMode match {
+      case m if m == org.apache.spark.sql.streaming.OutputMode.Append() =>
+        require(mergeKey.isEmpty,
+          "graft sink: option(\"mergeKey\", ...) requires Update output " +
+            "mode — Append mode never replaces rows")
+      case m if m == org.apache.spark.sql.streaming.OutputMode.Update() =>
+        require(mergeKey.isDefined,
+          "graft sink in Update mode requires option(\"mergeKey\", <stats " +
+            "key column>) — each batch row REPLACES the table row with the " +
+            "same key (new keys insert), via the exactly-once keyed COW merge")
+      case other => throw new IllegalArgumentException(
+        s"graft sink supports Append (plain exactly-once appends) and " +
+          s"Update with option(\"mergeKey\") (exactly-once keyed upserts); " +
+          s"got $other")
+    }
     require(partitionColumns.isEmpty,
       "graft sink does not take partitionBy — the table's own layout " +
         "(flat or hive-partitioned at create time) decides where rows land")
@@ -128,21 +140,34 @@ final class DefaultSource extends RelationProvider with DataSourceRegister
         "writer-transaction id batch dedup is keyed on; it must survive " +
         "restarts (a checkpoint-derived default would silently fork the " +
         "ledger when a checkpoint is rebuilt)"))
-    new GraftStreamSink(sqlContext.sparkSession, path, app)
+    new GraftStreamSink(sqlContext.sparkSession, path, app, mergeKey)
   }
 }
 
-/** See [[DefaultSource.createSink]]. */
+/** See [[DefaultSource.createSink]]. Append mode lands each micro-batch
+  * via [[graft.ops.Layout.appendOnce]]; Update mode (with `mergeKey`)
+  * routes it through [[graft.ops.Layout.mergeKeyedOnce]] — the keyed COW
+  * upsert under the SAME writer-transaction ledger, so updates, inserts,
+  * and replayed batches are all exactly-once across restarts and
+  * compaction. The natural upstream is an aggregation in update mode
+  * (one row per changed key per trigger) or a CDC-style deduped feed.
+  */
 private[sources] final class GraftStreamSink(
-    spark: org.apache.spark.sql.SparkSession, path: String, txnApp: String)
+    spark: org.apache.spark.sql.SparkSession, path: String, txnApp: String,
+    mergeKey: Option[String] = None)
   extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // The incoming frame is flagged streaming — rebuild a BATCH frame over
-    // the same physical rows for the engine's append path.
+    // the same physical rows for the engine's append/merge path.
     val batch = org.apache.spark.sql.graftshim.ColumnShim.batchDataFrame(
       spark, data.queryExecution.toRdd, data.schema)
-    graft.ops.Layout.appendOnce(spark, path, txnApp, batchId, batch): Unit
+    mergeKey match {
+      case Some(k) =>
+        graft.ops.Layout.mergeKeyedOnce(spark, path, k, txnApp, batchId, batch): Unit
+      case None =>
+        graft.ops.Layout.appendOnce(spark, path, txnApp, batchId, batch): Unit
+    }
   }
 }
 

@@ -199,6 +199,84 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(Manifest.txnVersion(spark, dir, "empty-app").isEmpty)
   }
 
+  test("writeStream(graft) Update + mergeKey: exactly-once keyed upserts across restarts") {
+    val dir = tmpDir("gsink_up") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.filter(col("doc_id") < 100).repartition(2).write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    val feed = tmpDir("gsink_up_feed")
+    val ckpt = tmpDir("gsink_up_ckpt")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+        .writeStream.format("graft").outputMode("update")
+        .option("path", dir).option("txnAppId", "gsink-up")
+        .option("mergeKey", "doc_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // Batch 1: updates (keys 50-59, rewritten text) + inserts (100-109).
+    val b1 = docs.filter(col("doc_id").between(50, 59))
+      .withColumn("text", concat(lit("u1:"), col("text")))
+      .unionByName(docs.filter(col("doc_id").between(100, 109)))
+    b1.repartition(1).write.mode("append").parquet(feed)
+    runOnce()
+    val expect1 = docs.filter(col("doc_id") < 100)
+      .withColumn("text", when(col("doc_id").between(50, 59),
+        concat(lit("u1:"), col("text"))).otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id").between(100, 109)))
+    assert(fp(spark.read.parquet(dir)) == fp(expect1),
+      "updates must replace in place, inserts must append")
+    // Batch 2 re-updates one of batch 1's keys; a RESTART delivers only it.
+    docs.filter(col("doc_id") === 55L)
+      .withColumn("text", lit("final")).repartition(1)
+      .write.mode("append").parquet(feed)
+    runOnce()
+    assert(spark.read.parquet(dir)
+      .filter(col("doc_id") === 55L).head().getString(1) == "final")
+    assert(spark.read.parquet(dir).count() == 110L, "no duplicated keys")
+    // Idle restart: nothing new, no snapshot.
+    val snapBefore = Manifest.latestSnapshotId(spark, dir).get
+    runOnce()
+    assert(Manifest.latestSnapshotId(spark, dir).contains(snapBefore))
+    assert(Manifest.isComplete(spark, dir))
+  }
+
+  test("mergeKeyedOnce: replay dedup, ledger atomic with the COW commit, survives compaction") {
+    val dir = tmpDir("gsink_mko") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.filter(col("doc_id") < 100).repartition(2).write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    val delta = docs.filter(col("doc_id").between(90, 119))
+      .withColumn("source", lit("upsert"))
+    val r1 = Layout.mergeKeyedOnce(spark, dir, "doc_id", "mko", 1L, delta)
+    assert(r1.rowsUpdated == 10L && r1.rowsInserted == 20L, s"$r1")
+    // Replay: the ledger (published atomically with the merge's snapshot)
+    // makes the second delivery a no-op.
+    val r2 = Layout.mergeKeyedOnce(spark, dir, "doc_id", "mko", 1L, delta)
+    assert(r2.filesRewritten == -1, s"replay must dedup: $r2")
+    assert(spark.read.parquet(dir).count() == 120L)
+    // Ledger survives a full rewrite.
+    Layout.compactTable(spark, dir, 64L << 20)
+    assert(Layout.mergeKeyedOnce(spark, dir, "doc_id", "mko", 1L, delta)
+      .filesRewritten == -1, "ledger must survive compaction")
+    // A PURE-INSERT txn merge (keys outside every range) rides appendOnce's
+    // crash-safe path and still records the ledger.
+    val ins = docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val r3 = Layout.mergeKeyedOnce(spark, dir, "doc_id", "mko", 2L, ins)
+    assert(r3.filesRewritten == 0 && r3.rowsInserted == 10L, s"$r3")
+    assert(Layout.mergeKeyedOnce(spark, dir, "doc_id", "mko", 2L, ins)
+      .filesRewritten == -1)
+    assert(spark.read.parquet(dir).count() == 130L)
+    assert(Manifest.txnVersion(spark, dir, "mko").contains(2L))
+    // Content-exact end state vs a batch replay of the same operations.
+    val expected = docs.filter(col("doc_id") < 90)
+      .unionByName(delta).unionByName(ins)
+    assert(fp(spark.read.parquet(dir)) == fp(expected))
+  }
+
   test("sink refusals: non-append mode, partitionBy, missing txnAppId — all typed") {
     val dir = tmpDir("gsink_bad") + "/docs"
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
@@ -218,6 +296,16 @@ class GraftStreamSinkSpec extends SparkSpec {
     }
     intercept[Exception] { // partitionBy
       start(_.option("path", dir).option("txnAppId", "x").partitionBy("lang"))
+    }
+    intercept[Exception] { // Update mode without mergeKey
+      start(_.outputMode("update").option("path", dir).option("txnAppId", "x"))
+    }
+    intercept[Exception] { // mergeKey in Append mode
+      start(_.option("path", dir).option("txnAppId", "x")
+        .option("mergeKey", "doc_id"))
+    }
+    intercept[Exception] { // Complete mode
+      start(_.outputMode("complete").option("path", dir).option("txnAppId", "x"))
     }
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
