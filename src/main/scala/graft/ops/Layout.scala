@@ -58,7 +58,7 @@ object Layout {
       // schema of an additively-EVOLVED table could silently drop a later
       // column from the whole rewrite (permanent data loss). Union schema in,
       // union schema out — createLike then re-records it.
-      spark.read.option("mergeSchema", "true").parquet(path).repartition(nFiles)
+      readTableForRewrite(spark, path).repartition(nFiles)
         .write.mode("overwrite").parquet(tmp)
       swapAndRefresh(spark, fs, path, tmp, manifestKeys)
       nFiles
@@ -128,6 +128,16 @@ object Layout {
   private def physMapOf(spark: SparkSession, path: String): Map[String, String] =
     Manifest.currentPhysicalNames(spark, path)
 
+  /** Whole-table read for a REWRITE job: union schema (see compactTable's
+    * mergeSchema note) with the latest deletion vector APPLIED — a rewrite
+    * re-encodes every surviving row, so it is also the fold point for DVs:
+    * the rewritten table carries none.
+    */
+  private def readTableForRewrite(spark: SparkSession,
+                                  path: String): org.apache.spark.sql.DataFrame =
+    Manifest.applyDv(spark.read.option("mergeSchema", "true").parquet(path),
+      Manifest.currentDv(spark, path))
+
   /** Rename a caller (LOGICAL-named) frame to the table's physical names. */
   private def toPhysicalDf(df: org.apache.spark.sql.DataFrame,
                            m: Map[String, String]): org.apache.spark.sql.DataFrame =
@@ -153,9 +163,14 @@ object Layout {
         .map(Manifest.toPhysicalSchema(_, Manifest.physicalNames(spark, path, id))))
     // basePath keeps hive-partition columns on the picked-file read (a
     // no-op for flat tables, where files sit directly under the base).
+    // The latest deletion vector applies here too: a COW rewrite must not
+    // resurrect DV-deleted rows into its survivors (the rewrite is the
+    // fold point — the replaced files' entries drop at commit).
     val r0 = spark.read.option("basePath", path)
-    sch.fold(r0.option("mergeSchema", "true"))(r0.schema)
-      .parquet(picked.map(Manifest.escapeGlob): _*)
+    Manifest.applyDv(
+      sch.fold(r0.option("mergeSchema", "true"))(r0.schema)
+        .parquet(picked.map(Manifest.escapeGlob): _*),
+      Manifest.currentDv(spark, path))
   }
 
   /** The long domain a cluster key is ordered in — shared with
@@ -209,7 +224,7 @@ object Layout {
       val manifestKeys = Manifest.currentProfile(spark, path)
       val tmp = path + "__compacting"
       // mergeSchema: see compactTable — rewrites must carry the union schema.
-      spark.read.option("mergeSchema", "true").parquet(path)
+      readTableForRewrite(spark, path)
         .repartitionByRange(nFiles, col(clusterCol))
         .sortWithinPartitions(clusterCol)
         .write.mode("overwrite").parquet(tmp)
@@ -291,7 +306,7 @@ object Layout {
       FsMaint.recoverSwap(fs, path)
       val manifestKeys = Manifest.currentProfile(spark, path)
       // mergeSchema: see compactTable — rewrites must carry the union schema.
-      val df = spark.read.option("mergeSchema", "true").parquet(path)
+      val df = readTableForRewrite(spark, path)
       val longs = cols.map(c => orderedLong(c, df))
       val statAggs = longs.zipWithIndex.flatMap { case (l, i) =>
         Seq(min(l).as(s"lo$i"), max(l).as(s"hi$i")) }
@@ -329,7 +344,7 @@ object Layout {
       val manifestKeys = Manifest.currentProfile(spark, path)
       val tmp = path + "__compacting"
       // mergeSchema: see compactTable — rewrites must carry the union schema.
-      spark.read.option("mergeSchema", "true").parquet(path)
+      readTableForRewrite(spark, path)
         .repartition(col(partCol)) // one file per partition value per write
         .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
       swapAndRefresh(spark, fs, path, tmp, manifestKeys)
@@ -412,7 +427,12 @@ object Layout {
       .select(col("file"), col("n_rows")).collect()
     if (pickedRows.isEmpty) return DeleteResult(0, total, 0L) // metadata no-op
     val picked = pickedRows.map(_.getString(0)).toIndexedSeq
-    val rowsBefore = pickedRows.map(_.getLong(1)).sum
+    // n_rows counts PHYSICAL rows: with a deletion vector present the
+    // visible pre-delete count comes from the (DV-applied) picked read.
+    lazy val pickedVisible = readPickedPinned(spark, path, picked).count()
+    val rowsBefore =
+      if (Manifest.currentDv(spark, path).isEmpty) pickedRows.map(_.getLong(1)).sum
+      else pickedVisible
     if (isHivePartitioned(fs, path)) {
       // Per-partition COW: stage survivors in hive layout, commit by
       // FILE-LEVEL moves — untouched partitions are never planned, listed
@@ -443,6 +463,60 @@ object Layout {
       commitReplace(spark, fs, path, picked, stage, keys)
       DeleteResult(picked.length, total, rowsBefore - survivorRows)
     }
+    }
+  }
+
+  /** MERGE-ON-READ range delete: [[deleteRange]]'s semantics at ZERO data
+    * files rewritten — the deletion-vector write path ([[Manifest]]'s
+    * `_dv/` sidecar). The manifest picks the files whose key range
+    * overlaps [lo, hi] (files without matching keys are never planned);
+    * their matching row POSITIONS (parquet `_metadata.row_index`) append
+    * to the sidecar, and one metadata-only snapshot commit publishes the
+    * carried stats rows plus the grown vector. Reads apply the vector as
+    * an anti-join (the only added work is the sidecar scan); COW rewrites
+    * and compaction FOLD it (their reads apply the vector, and rewritten
+    * files drop their entries at commit). The right tool for frequent
+    * small CDC deletes, where [[deleteRange]]'s copy-on-write would pay
+    * file-size × touched-file write amplification per batch; compaction
+    * folds the accumulated vectors back into data files.
+    */
+  def deleteRangeDV(spark: SparkSession, path: String, keyCol: String,
+                    lo: Long, hi: Long): DeleteResult = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    FsMaint.withTableLock(fs, path) {
+      healDelete(spark, path)
+      FsMaint.recoverSwap(fs, path)
+      val keys = Manifest.currentKeyCols(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"deleteRangeDV($path) needs a manifest snapshot (Manifest.create) — " +
+            "per-file stats are what make the delete targeted"))
+      require(keys.contains(keyCol),
+        s"manifest has no stats for $keyCol (has: ${keys.mkString(", ")})")
+      Manifest.requireComplete(spark, path)
+      val latest = Manifest.latestSnapshotId(spark, path).get
+      val f = Manifest.files(spark, path)
+      val total = f.count().toInt
+      val picked = f
+        .filter(col(s"max_$keyCol") >= lo && col(s"min_$keyCol") <= hi)
+        .select("file").collect().map(_.getString(0)).toIndexedSeq
+      if (picked.isEmpty) return DeleteResult(0, total, 0L) // metadata no-op
+      // Doomed positions: the residual predicate over the picked files,
+      // with the EXISTING vector already applied (already-deleted rows
+      // must not re-enter — entries stay unique, counts stay exact).
+      val pickedDf = readPickedPinned(spark, path, picked)
+      val k = orderedLong(keyCol, pickedDf)
+      val doomed = pickedDf.filter(k.between(lo, hi))
+        .select(Manifest.dvFileName.as("file_name"),
+          col("_metadata.row_index").as("pos"))
+        .localCheckpoint(true)
+      try {
+        val nDoomed = doomed.count()
+        if (nDoomed == 0L) return DeleteResult(0, total, 0L)
+        val grown = Manifest.dvEntries(spark, path, latest)
+          .fold(doomed)(_.unionByName(doomed))
+        Manifest.commitDv(spark, path, latest, grown)
+        DeleteResult(0, total, nDoomed)
+      } finally Caching.release(doomed)
     }
   }
 
@@ -1250,6 +1324,14 @@ object Layout {
           s"restoreSnapshot($path) needs a manifest snapshot"))
       Manifest.requireComplete(spark, path)
       val latest = Manifest.latestSnapshotId(spark, path).get
+      // v1 restore is file-level (copies/retires whole files) — a deletion
+      // vector's row-level state on either endpoint would be silently
+      // dropped or misapplied. Fold first, then restore.
+      require(!Manifest.hasDv(spark, path, latest) &&
+        !Manifest.hasDv(spark, path, targetId),
+        s"restoreSnapshot($path): snapshot carries a deletion vector — " +
+          "fold it first (Layout.compactTable / CALL graft.system.compact), " +
+          "then restore")
       val restored = Manifest.snapshotEntriesResolved(spark, path, targetId)
       if (targetId == latest)
         return RestoreResult(latest, 0, 0, restored.size)

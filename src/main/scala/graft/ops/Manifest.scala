@@ -534,7 +534,8 @@ object Manifest {
                              dataSchema: Option[StructType] = None,
                              basedOn: Option[Int] = None,
                              txn: Option[(String, Long)] = None,
-                             physical: Option[Map[String, String]] = None): Int = {
+                             physical: Option[Map[String, String]] = None,
+                             dv: DvCarry = DvInherit): Int = {
     val fs = fsOf(spark, table)
     val tmp = s"${root(table)}/commit-" +
       s"${java.util.UUID.randomUUID().toString.take(12)}__tmp"
@@ -543,6 +544,24 @@ object Manifest {
       val out = fs.create(new Path(tmp, "_schema.json"), true)
       try out.write(sch.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+    }
+    // Deletion-vector carry: inherited entries restrict to the files the
+    // NEW snapshot references (read back from the just-written stats —
+    // one tiny parquet), so a COW rewrite of a DV-bearing file folds its
+    // entries, and untouched files keep theirs.
+    val dvOut: Option[DataFrame] = dv match {
+      case DvExplicit(entries) => Some(entries)
+      case DvInherit =>
+        basedOn.filter(_ > 0).flatMap(b => dvEntries(spark, table, b)).map { base =>
+          val names = spark.read.parquet(tmp)
+            .select(element_at(split(col("file"), "/"), -1).as("file_name"))
+          base.join(names, Seq("file_name"), "left_semi")
+        }
+    }
+    dvOut.foreach { e =>
+      // Only a NON-EMPTY vector publishes (an empty `_dv/` dir would flag
+      // every later read into a pointless anti-join).
+      if (!e.isEmpty) e.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$DvDirName")
     }
     // The logical→physical map INHERITS from the base snapshot unless the
     // commit overrides it (rename/drop) — a COW delete, compaction, or
@@ -702,6 +721,18 @@ object Manifest {
       storedSchema(spark, table, id), basedOn = Some(id),
       txn = Some(app -> version))
   }
+
+  /** Metadata-only commit publishing a grown deletion vector: the latest
+    * snapshot's stats rows carried verbatim plus the explicit sidecar —
+    * the commit side of [[graft.ops.Layout.deleteRangeDV]]. Zero data
+    * files read or written.
+    */
+  private[ops] def commitDv(spark: SparkSession, table: String,
+                            basedOn: Int, entries: DataFrame): Int =
+    commitSnapshot(spark, table,
+      spark.read.parquet(s"${root(table)}/snapshot-$basedOn"),
+      storedSchema(spark, table, basedOn), basedOn = Some(basedOn),
+      dv = DvExplicit(entries))
 
   /** The PUBLISH instant of snapshot `id` (epoch millis): the explicit
     * `_committed_at` marker written just before the publish rename, falling
@@ -923,6 +954,80 @@ object Manifest {
       spark.read.parquet(s"${root(table)}/snapshot-$id"), Some(newSchema),
       basedOn = Some(id), physical = Some(newMap))
   }
+
+  // ---- DELETION VECTORS: merge-on-read position deletes -------------------
+  // A snapshot may carry a `_dv/` sidecar (parquet: file_name STRING,
+  // pos LONG) of row positions DELETED from its data files — the
+  // Iceberg/Delta position-delete idea on this format. A DV delete
+  // ([[graft.ops.Layout.deleteRangeDV]]) rewrites ZERO data files: it
+  // commits the carried stats rows plus the grown sidecar, and every read
+  // surface anti-joins the sidecar on (file name, `_metadata.row_index`).
+  // Entries are keyed by file NAME (write-unique per table), so they stay
+  // valid when a file is resolved through the retained trash. Sidecars
+  // INHERIT across commits restricted to the files each new snapshot still
+  // references (a COW rewrite of a file physically folds its deletes, so
+  // its entries drop); compaction reads apply DVs and therefore FOLD them.
+  // Stats stay conservative: min/max are still valid bounds; `n_rows` /
+  // `cnt_<c>` count PHYSICAL rows, so metadata-only counts route through
+  // the scan path on DV-bearing snapshots.
+
+  private[ops] val DvDirName = "_dv"
+
+  /** Does snapshot `id` carry a deletion-vector sidecar? (one fs probe) */
+  def hasDv(spark: SparkSession, table: String, id: Int): Boolean =
+    fsOf(spark, table).exists(new Path(s"${root(table)}/snapshot-$id/$DvDirName"))
+
+  /** Snapshot `id`'s position-delete entries, or None when it has none. */
+  def dvEntries(spark: SparkSession, table: String, id: Int): Option[DataFrame] =
+    if (!hasDv(spark, table, id)) None
+    else Some(spark.read.parquet(s"${root(table)}/snapshot-$id/$DvDirName"))
+
+  /** The LATEST snapshot's deletion vector, or None. */
+  def currentDv(spark: SparkSession, table: String): Option[DataFrame] =
+    latestId(spark, table).flatMap(dvEntries(spark, table, _))
+
+  /** The file-name column of a data-file read (last path segment of the
+    * parquet `_metadata.file_path`) — the identity DV entries join on.
+    */
+  private[graft] def dvFileName: Column =
+    element_at(split(col("_metadata.file_path"), "/"), -1)
+
+  /** Apply a deletion vector to a frame read DIRECTLY from data files
+    * (must sit immediately above the file scan — `_metadata` does not
+    * survive unions or projections): anti-join on (file name, row
+    * position). The sidecar scan is the ONLY extra work a DV read adds;
+    * Spark broadcasts it when small.
+    */
+  private[graft] def applyDv(df: DataFrame, dv: Option[DataFrame]): DataFrame =
+    dv.fold(df)(joinDv(df, _, keep = false))
+
+  /** The (file name, row position) join under [[applyDv]] — `keep = true`
+    * inverts it (left_semi) to read exactly the DELETED rows, the change
+    * feed's view of a DV-only commit.
+    */
+  private[graft] def joinDv(df: DataFrame, entries: DataFrame,
+                            keep: Boolean): DataFrame = {
+    // Materialize the left side's (file name, position) BEFORE the join:
+    // the sidecar is itself a parquet read, so an unqualified `_metadata`
+    // in the join condition would be ambiguous.
+    val withId = df.withColumn("__dv_fn", dvFileName)
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val e = entries.select(col("file_name").as("__dv_efn"),
+      col("pos").as("__dv_epos"))
+    withId.join(e, col("__dv_fn") === col("__dv_efn") &&
+        col("__dv_pos") === col("__dv_epos"),
+      if (keep) "left_semi" else "left_anti")
+      .drop("__dv_fn", "__dv_pos")
+  }
+
+  /** How a commit carries the deletion vector forward. */
+  private[ops] sealed trait DvCarry
+  /** Inherit the base snapshot's entries, restricted to files the new
+    * snapshot still references (the default — rewritten files fold).
+    */
+  private[ops] case object DvInherit extends DvCarry
+  /** Publish exactly these entries (a DV delete's grown sidecar). */
+  private[ops] final case class DvExplicit(entries: DataFrame) extends DvCarry
 
   /** [[updateSchema]] convenience: drop one column. */
   def dropColumn(spark: SparkSession, table: String, column: String): Int = {
@@ -1287,7 +1392,7 @@ object Manifest {
     scanBoxFrom(spark, table,
       spark.read.parquet(s"${root(table)}/snapshot-$id"), preds,
       storedSchema(spark, table, id), physicalNames(spark, table, id),
-      useTrash = false)
+      dvEntries(spark, table, id), useTrash = false)
   }
 
   /** [[scanBox]] AS OF a retained snapshot — pruning and time travel
@@ -1304,7 +1409,7 @@ object Manifest {
     scanBoxFrom(spark, table,
       spark.read.parquet(s"${root(table)}/snapshot-$id"), preds,
       storedSchema(spark, table, id), physicalNames(spark, table, id),
-      useTrash = true)
+      dvEntries(spark, table, id), useTrash = true)
   }
 
   /** File-list read pinned to the snapshot's recorded schema when one was
@@ -1320,15 +1425,20 @@ object Manifest {
   private def readFiles(spark: SparkSession, table: String,
                         picked: Seq[String],
                         schema: Option[StructType],
-                        physical: Map[String, String] = Map.empty): DataFrame = {
+                        physical: Map[String, String] = Map.empty,
+                        dv: Option[DataFrame] = None,
+                        dvKeep: Boolean = false): DataFrame = {
     val trashRoot = trashDir(table).toString
     // Files carry PHYSICAL column names; `schema` is the snapshot's LOGICAL
     // shape — pin the physical translation for the scan, alias back after.
     val physSchema = schema.map(toPhysicalSchema(_, physical))
+    // The DV anti-join must sit DIRECTLY above each file scan (`_metadata`
+    // does not survive the live/trash union), so it applies per branch.
     def readWith(base: String, paths: Seq[String]): DataFrame = {
       val r0 = spark.read.option("basePath", base)
       val r = physSchema.fold(r0)(r0.schema)
-      r.parquet(paths.map(escapeGlob): _*)
+      dv.fold(r.parquet(paths.map(escapeGlob): _*))(
+        joinDv(r.parquet(paths.map(escapeGlob): _*), _, dvKeep))
     }
     val raw =
       if (picked.isEmpty) {
@@ -1354,6 +1464,7 @@ object Manifest {
                           preds: Seq[(String, Long, Long)],
                           schema: Option[StructType],
                           physical: Map[String, String],
+                          dv: Option[DataFrame],
                           useTrash: Boolean): (DataFrame, Int, Int) = {
     require(preds.nonEmpty, "need at least one range predicate")
     preds.foreach { case (c, _, _) =>
@@ -1364,7 +1475,7 @@ object Manifest {
       col(s"max_$c") >= lo && col(s"min_$c") <= hi }.reduce(_ && _)
     val picked = plannedPaths(f.filter(overlap).select("file"), table, "scanBox")
     val base = readFiles(spark, table,
-      resolveForRead(spark, table, picked, useTrash), schema, physical)
+      resolveForRead(spark, table, picked, useTrash), schema, physical, dv)
     val residual = preds.map { case (c, lo, hi) =>
       statCol(c, base.schema(c).dataType).between(lo, hi) }.reduce(_ && _)
     (base.filter(residual), picked.length, all)
@@ -1430,7 +1541,8 @@ object Manifest {
       }
     val base = readFiles(spark, table,
       resolveForRead(spark, table, picked, useTrash = false),
-      storedSchema(spark, table, id), physicalNames(spark, table, id))
+      storedSchema(spark, table, id), physicalNames(spark, table, id),
+      dvEntries(spark, table, id))
     val residual =
       statCol(keyCol, base.schema(keyCol).dataType).isInCollection(values)
     KeyScan(base.filter(residual), picked.length, rangeCandidates, total)
@@ -1473,7 +1585,8 @@ object Manifest {
     val picked = flagged.collect { case (p, true) => p }.toIndexedSeq
     val base = readFiles(spark, table,
       resolveForRead(spark, table, picked, useTrash = false),
-      storedSchema(spark, table, id), physicalNames(spark, table, id))
+      storedSchema(spark, table, id), physicalNames(spark, table, id),
+      dvEntries(spark, table, id))
     KeyScan(base.filter(col(keyCol).isInCollection(values)),
       picked.length, flagged.length, total)
   }
@@ -1569,13 +1682,22 @@ object Manifest {
         col(s"cnt_$keyCol"))
       .collect()
     requireFresh(spark, table, rows.map(_.getString(0)).toIndexedSeq)
-    val metaCount = rows.iterator.filter(_.getBoolean(1)).map(_.getLong(2)).sum
-    val boundary = rows.iterator.filterNot(_.getBoolean(1)).map(_.getString(0)).toIndexedSeq
+    // A deletion vector invalidates the metadata count (cnt_<c> counts
+    // PHYSICAL rows): every overlapping file becomes a boundary file,
+    // counted through the scan with the DV applied — correct, just not
+    // metadata-only.
+    val dvCnt = currentDv(spark, table)
+    val metaCount =
+      if (dvCnt.isDefined) 0L
+      else rows.iterator.filter(_.getBoolean(1)).map(_.getLong(2)).sum
+    val boundary =
+      (if (dvCnt.isDefined) rows.iterator else rows.iterator.filterNot(_.getBoolean(1)))
+        .map(_.getString(0)).toIndexedSeq
     val boundaryCount =
       if (boundary.isEmpty) 0L
       else boundaryRead(table) {
-        val base = spark.read.option("basePath", table)
-          .parquet(boundary.map(escapeGlob): _*)
+        val base = applyDv(spark.read.option("basePath", table)
+          .parquet(boundary.map(escapeGlob): _*), dvCnt)
         base.filter(statCol(keyCol, base.schema(keyCol).dataType).between(lo, hi))
           .count()
       }
@@ -1604,7 +1726,8 @@ object Manifest {
     (readFiles(spark, table,
       resolveForRead(spark, table, added, useTrash = false),
       storedSchema(spark, table, latest),
-      physicalNames(spark, table, latest)), added.length)
+      physicalNames(spark, table, latest),
+      dvEntries(spark, table, latest)), added.length)
   }
 
   /** TIME TRAVEL: read the table exactly as snapshot `id` recorded it —
@@ -1641,7 +1764,8 @@ object Manifest {
     // evolution reads the table as it was), resolving replaced files
     // through the retained trash — as-of reads survive COW mutations.
     readFiles(spark, table, snapshotFiles(spark, table, id),
-      storedSchema(spark, table, id), physicalNames(spark, table, id))
+      storedSchema(spark, table, id), physicalNames(spark, table, id),
+      dvEntries(spark, table, id))
   }
 
   /** The newest committed snapshot id — the handle mutation jobs leave
@@ -1748,21 +1872,48 @@ object Manifest {
     val physCdf =
       if (storedSchema(spark, table, toId).isDefined) physicalNames(spark, table, toId)
       else physicalNames(spark, table, fromId)
+    // Each side reads under ITS OWN deletion vector: `before` is what was
+    // visible at fromId, `after` what is visible at toId.
+    val dvFrom = dvEntries(spark, table, fromId)
+    val dvTo = dvEntries(spark, table, toId)
     // Removed files live in the retained trash (COW mutations move their
     // originals there); added files are live.
     val before = readFiles(spark, table,
-      resolveForRead(spark, table, removed, useTrash = true), schema, physCdf)
+      resolveForRead(spark, table, removed, useTrash = true), schema, physCdf,
+      dvFrom)
     val after = readFiles(spark, table,
-      resolveForRead(spark, table, added, useTrash = true), schema, physCdf)
+      resolveForRead(spark, table, added, useTrash = true), schema, physCdf,
+      dvTo)
+    // A DV-only delete changes NO files, so the file diff cannot see it:
+    // entries in dvTo but not dvFrom on files present in BOTH snapshots
+    // are rows that were visible at fromId and deleted by toId — read
+    // exactly those positions (semi-join) and tag them deletes. Entries on
+    // files added inside the window stay out (those rows were never
+    // visible at fromId).
+    val dvDeletes: Option[DataFrame] = dvTo.flatMap { t =>
+      val delta = dvFrom.fold(t)(f => t.exceptAll(f)).localCheckpoint(true)
+      val commonByName = from.intersect(to).toIndexedSeq
+        .map(e => decodePath(e).getName -> e).toMap
+      val touched = delta.select("file_name").distinct()
+        .collect().map(_.getString(0)).filter(commonByName.contains)
+      if (touched.isEmpty) { graft.ops.Caching.release(delta); None }
+      else Some(readFiles(spark, table,
+        resolveForRead(spark, table,
+          touched.map(commonByName).toIndexedSeq, useTrash = true),
+        schema, physCdf, Some(delta), dvKeep = true)
+        .withColumn("change", lit("delete")))
+    }
     // One-sided fast paths: exceptAll against an empty side is the
     // identity, and the two exceptAll aggregations are the feed's only
     // shuffles — a pure APPEND diff (the streaming source's every
     // micro-batch) becomes a zero-shuffle tagged scan of the added files.
-    if (removed.isEmpty) after.withColumn("change", lit("insert"))
-    else if (added.isEmpty) before.withColumn("change", lit("delete"))
-    else
-      before.exceptAll(after).withColumn("change", lit("delete"))
-        .unionByName(after.exceptAll(before).withColumn("change", lit("insert")))
+    val base =
+      if (removed.isEmpty) after.withColumn("change", lit("insert"))
+      else if (added.isEmpty) before.withColumn("change", lit("delete"))
+      else
+        before.exceptAll(after).withColumn("change", lit("delete"))
+          .unionByName(after.exceptAll(before).withColumn("change", lit("insert")))
+    dvDeletes.fold(base)(base.unionByName(_))
   }
 
   /** Reclaim retained history: delete every trash file no RETAINED

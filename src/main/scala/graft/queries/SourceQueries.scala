@@ -334,6 +334,69 @@ object SourceQueries {
                    Seq("doc_id", "text", "lang", "source", "n_chars"),
                    "(SELECT d.* FROM documents d, b WHERE d.doc_id NOT BETWEEN b.lo AND b.hi) t")})""".stripMargin)),
 
+    // ---- MERGE-ON-READ delete (deletion vectors): the same range delete
+    //      at ZERO data files rewritten — matching row positions land in a
+    //      per-snapshot `_dv/` sidecar (one metadata-only commit) and every
+    //      engine read applies the vector as an anti-join on (file name,
+    //      parquet _metadata.row_index). The CDC write-amplification
+    //      answer: frequent small deletes cost O(sidecar), compaction
+    //      folds vectors back into data files. Gate: fingerprint ≡ DuckDB
+    //      after TWO composed DV deletes, exact deleted counts, zero data
+    //      files touched (mtime-stable), time travel exact across the DV
+    //      snapshot, and the change feed carrying the DV-only delta.
+    Q("layout_delete_dv",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val stage = java.nio.file.Files.createTempDirectory("graft_layout_dv").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.repartitionByRange(8, col("doc_id")).write.mode("overwrite").parquet(stage)
+        val id1 = graft.ops.Manifest.create(s, stage, "doc_id")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val fs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        def stamps(): Map[String, Long] = {
+          val out = Map.newBuilder[String, Long]
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(stage), true)
+          while (it.hasNext) {
+            val st = it.next()
+            val p = st.getPath.toUri.getPath
+            if (st.getPath.getName.startsWith("part-") && !p.contains("_graft"))
+              out += p -> st.getModificationTime
+          }
+          out.result()
+        }
+        val before = stamps()
+        val r1 = graft.ops.Layout.deleteRangeDV(s, stage, "doc_id", maxId / 4, maxId / 2)
+        val id2 = graft.ops.Manifest.latestSnapshotId(s, stage).get
+        val r2 = graft.ops.Layout.deleteRangeDV(s, stage, "doc_id", 0L, maxId / 8)
+        val zeroTouched = stamps() == before &&
+          r1.filesRewritten == 0 && r2.filesRewritten == 0
+        val latest = graft.ops.Manifest.latestSnapshotId(s, stage).get
+        // Time travel: the pre-delete snapshot reads everything; the CDF
+        // across the first DV-only commit carries exactly its deletes.
+        val asOf1Full = graft.ops.Manifest.readAsOf(s, stage, id1).count() == docs.count()
+        val feed = graft.ops.Manifest.changesBetween(s, stage, id1, id2)
+        val feedOk = feed.filter(col("change") === "insert").count() == 0L &&
+          feed.filter(col("change") === "delete").count() == r1.rowsDeleted
+        graft.functions.Hashing.multisetFingerprintAgg(
+            graft.ops.Manifest.readAsOf(s, stage, latest), docCols)
+          .withColumn("rows_deleted", lit(r1.rowsDeleted))
+          .withColumn("rows_deleted2", lit(r2.rowsDeleted))
+          .withColumn("zero_files_touched", lit(zeroTouched))
+          .withColumn("asof_full", lit(asOf1Full))
+          .withColumn("cdf_ok", lit(feedOk))
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) // 8 AS l8, max(doc_id) // 4 AS lo,
+               |                  max(doc_id) // 2 AS hi FROM documents)
+               |SELECT *,
+               | (SELECT count(*) FROM documents, b WHERE doc_id BETWEEN b.lo AND b.hi)::BIGINT AS rows_deleted,
+               | (SELECT count(*) FROM documents, b WHERE doc_id BETWEEN 0 AND b.l8)::BIGINT AS rows_deleted2,
+               | true AS zero_files_touched, true AS asof_full, true AS cdf_ok FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"),
+                   ("(SELECT d.* FROM documents d, b WHERE d.doc_id NOT BETWEEN b.lo AND b.hi " +
+                    "AND d.doc_id NOT BETWEEN 0 AND b.l8) t"))})""".stripMargin)),
+
     // ---- copy-on-write DELETE on a HIVE-PARTITIONED table: the
     //      per-partition commit — survivors staged in hive layout, doomed
     //      originals retained at their k=v relative paths, FILE-level

@@ -53,6 +53,17 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       throw new IllegalArgumentException(
         s"no manifest snapshot under $path — run Manifest.create, or read the " +
           "dir directly with spark.read.parquet")))
+    // Merge-on-read deletes: the stock vectorized parquet scan served here
+    // cannot apply a position-delete sidecar — serving the snapshot raw
+    // would RESURRECT deleted rows, so refuse typed with the fold path.
+    // (The engine read surfaces — Manifest.readAsOf / scan* / the change
+    // feed / the streaming source — all apply the vector.)
+    if (Manifest.hasDv(spark, path, id))
+      throw new UnsupportedOperationException(
+        s"graft.`$path` snapshot-$id carries a deletion vector (merge-on-read " +
+          "deletes, Layout.deleteRangeDV): the SQL catalog cannot apply it " +
+          "yet — read via Manifest.readAsOf, or fold the vector with " +
+          s"CALL graft.system.compact('$path', <targetMb>) first")
     val files = Manifest.snapshotFiles(spark, path, id)
     val logical: Option[StructType] = Manifest.storedSchema(spark, path, id)
     // Rename indirection: files carry PHYSICAL column names; the served

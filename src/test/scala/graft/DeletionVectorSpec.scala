@@ -1,0 +1,165 @@
+package graft
+
+import graft.functions.Hashing
+import graft.ops.{Layout, Manifest}
+import org.apache.spark.sql.functions._
+
+/** Deletion vectors (merge-on-read position deletes): a DV delete rewrites
+  * ZERO data files — it commits the carried stats plus a `_dv/` sidecar of
+  * (file name, row position) entries — and every engine read surface
+  * applies the vector as an anti-join. Time travel and the change feed are
+  * exact across DV snapshots; COW rewrites and compaction FOLD vectors;
+  * the SQL catalog refuses un-folded snapshots typed (never wrong rows).
+  */
+class DeletionVectorSpec extends SparkSpec {
+
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  private def fp(df: org.apache.spark.sql.DataFrame): String =
+    Hashing.multisetFingerprintAgg(df.select(docCols.map(col): _*), docCols)
+      .head().getString(0)
+
+  private def fixture(tag: String): String = {
+    val dir = tmpDir(tag) + "/docs"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartitionByRange(6, col("doc_id")).write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    dir
+  }
+
+  private def dataStamps(dir: String): Map[String, Long] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = Map.newBuilder[String, Long]
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toUri.getPath
+      if (f.getPath.getName.startsWith("part-") && !p.contains("_graft"))
+        out += p -> f.getModificationTime
+    }
+    out.result()
+  }
+
+  test("deleteRangeDV: zero files rewritten; reads, scans, and counts exact; deletes compose") {
+    val dir = fixture("dv_basic")
+    val docs = spark.read.parquet(dir)
+    val expectDeleted = docs.filter(col("doc_id").between(100L, 199L)).count()
+    val before = dataStamps(dir)
+    val r = Layout.deleteRangeDV(spark, dir, "doc_id", 100L, 199L)
+    assert(r.rowsDeleted == expectDeleted && r.filesRewritten == 0, s"$r")
+    assert(dataStamps(dir) == before,
+      "a DV delete must touch zero data files (bytes AND mtimes)")
+    val latest = Manifest.latestSnapshotId(spark, dir).get
+    val expected = spark.read.parquet(dir)
+      .filter(!col("doc_id").between(100L, 199L))
+    assert(fp(Manifest.readAsOf(spark, dir, latest)) == fp(expected))
+    // Manifest-pruned scan applies the vector too.
+    val (rows, _, _) = Manifest.scanRange(spark, dir, "doc_id", 150L, 260L)
+    assert(fp(rows) == fp(expected.filter(col("doc_id").between(150L, 260L))))
+    // Metadata count routes through the scan (cnt_ stats are physical).
+    val (n, _, _) = Manifest.countRange(spark, dir, "doc_id", 0L, 1000000L)
+    assert(n == expected.count())
+    // Deletes COMPOSE: a second range grows the vector; re-deleting an
+    // already-deleted range is a no-op (positions never duplicate).
+    val r2 = Layout.deleteRangeDV(spark, dir, "doc_id", 0L, 49L)
+    assert(r2.rowsDeleted == docs.filter(col("doc_id") < 50L).count())
+    assert(Layout.deleteRangeDV(spark, dir, "doc_id", 100L, 199L).rowsDeleted == 0L)
+    val latest2 = Manifest.latestSnapshotId(spark, dir).get
+    assert(fp(Manifest.readAsOf(spark, dir, latest2)) ==
+      fp(spark.read.parquet(dir).filter(
+        !col("doc_id").between(100L, 199L) && !(col("doc_id") < 50L))))
+    assert(Manifest.isComplete(spark, dir))
+  }
+
+  test("time travel and the change feed are exact across DV snapshots") {
+    val dir = fixture("dv_history")
+    val docs = spark.read.parquet(dir)
+    val id1 = Manifest.latestSnapshotId(spark, dir).get
+    val fp1 = fp(docs)
+    Layout.deleteRangeDV(spark, dir, "doc_id", 100L, 199L) // snapshot 2
+    val id2 = Manifest.latestSnapshotId(spark, dir).get
+    // Time travel: the pre-delete snapshot still reads everything.
+    assert(fp(Manifest.readAsOf(spark, dir, id1)) == fp1)
+    // CDF across a DV-only commit: exactly the deleted rows, tagged delete
+    // (the file diff is empty — the vector delta carries the feed).
+    val feed = Manifest.changesBetween(spark, dir, id1, id2)
+    assert(feed.filter(col("change") === "insert").count() == 0L)
+    assert(fp(feed.filter(col("change") === "delete").drop("change")) ==
+      fp(docs.filter(col("doc_id").between(100L, 199L))))
+    // An append after the DV delete: pure-insert feed, composed reads exact.
+    docs.filter(col("doc_id") < 5L)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .write.mode("append").parquet(dir)
+    Manifest.createIncremental(spark, dir, "doc_id") // snapshot 3
+    val id3 = Manifest.latestSnapshotId(spark, dir).get
+    val feed23 = Manifest.changesBetween(spark, dir, id2, id3)
+    assert(feed23.filter(col("change") === "delete").count() == 0L)
+    assert(feed23.count() == 5L)
+    assert(Manifest.readAsOf(spark, dir, id3).count() ==
+      docs.count() - 100L + 5L)
+    // The vector INHERITS across the append commit (file set grew, no fold).
+    assert(Manifest.hasDv(spark, dir, id3))
+  }
+
+  test("COW merge and compaction fold the vector; the SQL catalog refuses un-folded snapshots") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = fixture("dv_fold")
+    val docs = spark.read.parquet(dir)
+    Layout.deleteRangeDV(spark, dir, "doc_id", 100L, 199L)
+    // Catalog read would resurrect deleted rows — refused typed.
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"SELECT count(*) FROM graft.`$dir`").collect()
+    }
+    // A COW merge over files carrying DV entries must NOT resurrect the
+    // deleted rows into its survivors, and the rewritten files' entries
+    // fold (drop) at commit.
+    import spark.implicits._
+    val res = Layout.mergeKeyed(spark, dir, "doc_id",
+      docs.filter(col("doc_id").between(200L, 209L))
+        .withColumn("source", lit("upd")))
+    assert(res.rowsUpdated == 10L)
+    val afterMerge = Manifest.readAsOf(spark, dir,
+      Manifest.latestSnapshotId(spark, dir).get)
+    assert(afterMerge.filter(col("doc_id").between(100L, 199L)).count() == 0L,
+      "COW survivors must not resurrect DV-deleted rows")
+    assert(afterMerge.filter(col("source") === "upd").count() == 10L)
+    // Compaction folds the whole vector: hasDv drops, catalog serves again,
+    // content identical.
+    val expected = fp(afterMerge)
+    Layout.compactTable(spark, dir, 64L << 20)
+    val latest = Manifest.latestSnapshotId(spark, dir).get
+    assert(!Manifest.hasDv(spark, dir, latest), "compaction must fold the DV")
+    assert(fp(spark.sql(s"SELECT * FROM graft.`$dir`")) == expected)
+    // Restore across DV snapshots is refused typed (v1 groundwork).
+    Layout.deleteRangeDV(spark, dir, "doc_id", 300L, 309L)
+    intercept[Exception] { Layout.restoreSnapshot(spark, dir, latest) }
+  }
+
+  test("plan contract: a DV read plans only the data files plus the sidecar") {
+    val dir = fixture("dv_plan")
+    Layout.deleteRangeDV(spark, dir, "doc_id", 100L, 199L)
+    val latest = Manifest.latestSnapshotId(spark, dir).get
+    val df = Manifest.readAsOf(spark, dir, latest)
+    df.count() // execute
+    val roots = scala.collection.mutable.Set.empty[String]
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.foreach(rp => roots += rp.toUri.getPath)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case other =>
+        other.children.foreach(walk); other.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    val dirAbs = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    val (sidecar, data) = roots.toSeq.partition(_.contains("/_graft_manifest/"))
+    assert(data.nonEmpty && data.forall(p =>
+      p.startsWith(dirAbs) && !p.contains("_graft_manifest")),
+      s"data scans must stay on the table's files: $data")
+    assert(sidecar.nonEmpty &&
+      sidecar.forall(_.contains(s"snapshot-$latest/_dv")),
+      s"the only extra scan is the snapshot's own _dv sidecar: $sidecar")
+  }
+}
