@@ -157,7 +157,7 @@ object Manifest {
     * etc. — Spark's internal `SparkPath` representation); decode it back
     * to the real filesystem path before any name comparison or read.
     */
-  private[ops] def decodePath(p: String): Path =
+  private[graft] def decodePath(p: String): Path =
     try new Path(new java.net.URI(p))
     catch { case _: java.net.URISyntaxException => new Path(p) }
 
@@ -384,7 +384,8 @@ object Manifest {
         keyCols.flatMap(c => Seq(
           StructField(s"min_$c", LongType), StructField(s"max_$c", LongType),
           StructField(s"cnt_$c", LongType))) :+
-        StructField("n_rows", LongType))
+        StructField("n_rows", LongType) :+
+        StructField("n_bytes", LongType))
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), statSchema)
     commitSnapshot(spark, table, empty, Some(schema), basedOn = Some(0))
@@ -474,7 +475,12 @@ object Manifest {
       count(statCol(c, schema(c).dataType)).as(s"cnt_$c"))) ++
       blooms.map(b =>
         bloomAgg(bloomProbeCol(b.col, schema(b.col).dataType), b).as(s"bloom_${b.col}")) :+
-      count(lit(1)).as("n_rows")
+      count(lit(1)).as("n_rows") :+
+      // Exact byte length from the scan's own metadata (zero fs RPCs) —
+      // what lets the SQL catalog plan scans from snapshot DESCRIPTORS
+      // alone, without re-listing the filesystem (GraftDescriptorFileIndex;
+      // parquet readers locate footers by length, so exactness matters).
+      first(col("_metadata.file_size")).as("n_bytes")
     data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.drop(1): _*)
   }
@@ -1178,7 +1184,7 @@ object Manifest {
       else kept.unionByName(
         statsOf(spark.read.option("basePath", table)
           .parquet(addedPaths.map(escapeGlob): _*), keyCols,
-          bloomSpecsLike(snap)))
+          bloomSpecsLike(snap)), allowMissingColumns = true)
     // COW mutations preserve the table schema — carry the recorded one.
     // basedOn = the snapshot the carried rows came from: a concurrent
     // commit in between means those rows describe a superseded file set.
@@ -1278,7 +1284,8 @@ object Manifest {
         val merged = prevSchema.map(old => toLogicalSchema(
           mergeAdditive(toPhysicalSchema(old, physInc), fresh.schema), physInc))
         (carriedDf.unionByName(
-          statsOf(fresh, keyCols, bloomSpecsLike(prev))), merged)
+          statsOf(fresh, keyCols, bloomSpecsLike(prev)),
+          allowMissingColumns = true), merged)
       }
     (commitSnapshot(spark, table, stats, schema, basedOn = Some(prevId),
        txn = txn),

@@ -66,6 +66,19 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
           s"CALL graft.system.compact('$path', <targetMb>) first")
     val files = Manifest.snapshotFiles(spark, path, id)
     val logical: Option[StructType] = Manifest.storedSchema(spark, path, id)
+    // Descriptor plan handoff: snapshots carrying per-file byte lengths
+    // (n_bytes) let the served table build its scan's file index from the
+    // manifest's own descriptors — zero filesystem listing at plan time.
+    // Keyed by file NAME (write-unique), so trash-resolved paths match.
+    val snapFrame = spark.read.parquet(s"$path/_graft_manifest/snapshot-$id")
+    val sizes: Option[Map[String, Long]] =
+      if (!snapFrame.columns.contains("n_bytes")) None
+      else {
+        val rows = snapFrame.select("file", "n_bytes").collect()
+        if (rows.isEmpty || rows.exists(_.isNullAt(1))) None
+        else Some(rows.map(r =>
+          Manifest.decodePath(r.getString(0)).getName -> r.getLong(1)).toMap)
+      }
     // Rename indirection: files carry PHYSICAL column names; the served
     // table reports the snapshot's LOGICAL names and the scan layer
     // translates (GraftRenamedTable / RenamingScanBuilder).
@@ -79,10 +92,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       // The LATEST view is writable: INSERT INTO / DELETE FROM (and MERGE
       // INTO via the extension rule) route to the engine's COW machinery.
       new GraftMutableTable(s"$catalogName.$path@v$id", spark,
-        files.toIndexedSeq, path, physSchema, renames)
+        files.toIndexedSeq, path, physSchema, renames, sizes)
     else {
       val base = new GraftParquetTable(s"$catalogName.$path@v$id", spark,
-        CaseInsensitiveStringMap.empty(), files.toIndexedSeq, path, physSchema)
+        CaseInsensitiveStringMap.empty(), files.toIndexedSeq, path, physSchema,
+        sizes)
       if (renames.isEmpty) base else new GraftRenamedTable(base, renames)
     }
   }

@@ -54,7 +54,8 @@ final class GraftMutableTable(
     tableName: String, spark: SparkSession,
     files: Seq[String], val tableRoot: String,
     userSchema: Option[StructType],
-    renames: Map[String, String] = Map.empty)
+    renames: Map[String, String] = Map.empty,
+    fileSizes: Option[Map[String, Long]] = None)
   extends org.apache.spark.sql.connector.catalog.Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -72,7 +73,7 @@ final class GraftMutableTable(
   // (logical→physical) translates the user-facing surface — see
   // [[GraftRenamedTable]].
   private val readDelegate = new GraftParquetTable(tableName, spark,
-    CaseInsensitiveStringMap.empty(), files, tableRoot, userSchema)
+    CaseInsensitiveStringMap.empty(), files, tableRoot, userSchema, fileSizes)
   private val invRenames = renames.map(_.swap)
 
   override def name(): String = tableName

@@ -31,7 +31,8 @@ import scala.jdk.CollectionConverters._
 class GraftParquetTable(
     tableName: String, spark: SparkSession, opts: CaseInsensitiveStringMap,
     files: Seq[String], val tableRoot: String,
-    userSchema: Option[StructType])
+    userSchema: Option[StructType],
+    fileSizes: Option[Map[String, Long]] = None)
   extends FileTable(spark, opts, files, userSchema) {
 
   override def name(): String = tableName
@@ -108,11 +109,23 @@ class GraftParquetTable(
 
   // NOT an InMemoryFileIndex: Spark's listing filters `_`-prefixed
   // directories, which would silently DROP every trash-retained file from
-  // a historical read (a missing-data wrong answer). The exact index
-  // stats precisely the requested files — one listStatus per parent dir.
-  override lazy val fileIndex: PartitioningAwareFileIndex =
-    new GraftExactFileIndex(spark, files.map(new Path(_)).toIndexedSeq,
-      partitionSpecOf())
+  // a historical read (a missing-data wrong answer). With per-file byte
+  // lengths from the manifest (`n_bytes`, keyed by write-unique file name)
+  // the index is built from DESCRIPTORS ALONE — the driver materializes
+  // one FileStatus per file with ZERO filesystem RPCs, the Iceberg-style
+  // plan handoff: the distributed pruning's output IS the scan's partition
+  // listing. Pre-n_bytes snapshots fall back to the exact listing index
+  // (one listStatus per parent dir).
+  override lazy val fileIndex: PartitioningAwareFileIndex = {
+    val paths = files.map(new Path(_)).toIndexedSeq
+    fileSizes match {
+      case Some(m) if paths.forall(p => m.contains(p.getName)) =>
+        new GraftDescriptorFileIndex(spark,
+          paths.map(p => p -> m(p.getName)), partitionSpecOf())
+      case _ =>
+        new GraftExactFileIndex(spark, paths, partitionSpecOf())
+    }
+  }
 }
 
 /** LOGICAL-name view over a physical-schema snapshot table — the read
@@ -194,6 +207,47 @@ private[sources] final class RenamingScan(
     }
 }
 
+/** A [[PartitioningAwareFileIndex]] over caller-supplied (path, length)
+  * DESCRIPTORS — zero filesystem calls at plan time. The manifest's
+  * distributed pruning already knows every surviving file's exact byte
+  * length (`n_bytes`, captured from `_metadata.file_size` at stats time),
+  * so the driver holds nothing heavier than the partition descriptors
+  * Spark's planner needs anyway; parquet readers locate footers by this
+  * length, which is why exactness is load-bearing.
+  */
+private[graft] final class GraftDescriptorFileIndex(
+    spark: SparkSession, entries: Seq[(Path, Long)], spec: PartitionSpec)
+  extends PartitioningAwareFileIndex(spark, Map.empty, None,
+    FileStatusCache.getOrCreate(spark)) {
+
+  // Paths are FS-QUALIFIED at construction (scheme + authority — pure
+  // string work against the cached FileSystem object, zero RPCs):
+  // PartitioningAwareFileIndex.allFiles qualifies each root path before
+  // its map lookups, so unqualified keys would never match.
+  private val byParent: Map[Path, Array[FileStatus]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    entries.groupBy(_._1.getParent).map { case (parent, es) =>
+      val fs = parent.getFileSystem(conf)
+      fs.makeQualified(parent) -> es.map { case (p, len) =>
+        new FileStatus(len, false, 1, 128L << 20, 0L, fs.makeQualified(p))
+      }.toArray
+    }
+  }
+
+  override def partitionSpec(): PartitionSpec = spec
+  // LAZY VAL, not def: allFiles() consults leafFiles once per ROOT PATH —
+  // per-file roots with a rebuilt map would be O(files^2) at plan time.
+  override protected lazy val leafFiles: scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
+    byParent.valuesIterator.flatten.foreach(st => m(st.getPath) = st)
+    m
+  }
+  override protected def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    byParent
+  override def rootPaths: Seq[Path] = entries.map(_._1)
+  override def refresh(): Unit = ()
+}
+
 /** A [[PartitioningAwareFileIndex]] over an EXPLICIT file list with a
   * caller-supplied partition spec — no directory walking, no hidden-path
   * filtering, no inference. Exactly the snapshot's files, wherever they
@@ -213,7 +267,8 @@ private[sources] final class GraftExactFileIndex(
     }
 
   override def partitionSpec(): PartitionSpec = spec
-  override protected def leafFiles: scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+  // lazy val for the same O(files^2) reason as GraftDescriptorFileIndex.
+  override protected lazy val leafFiles: scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
     val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
     byParent.valuesIterator.flatten.foreach(st => m(st.getPath) = st)
     m

@@ -237,7 +237,7 @@ class ManifestSpec extends SparkSpec {
       .filter(col("doc_id").between(100, 199))))
     // The refresh recovered the key columns from the old snapshot itself.
     assert(Manifest.files(spark, stage).columns.toSet ==
-      Set("file", "min_doc_id", "max_doc_id", "cnt_doc_id", "n_rows"))
+      Set("file", "min_doc_id", "max_doc_id", "cnt_doc_id", "n_rows", "n_bytes"))
     assert(graft.ops.Manifest.addedSince(spark, stage, id1)._2 == 8,
       "every file is new after a rewrite")
   }
@@ -752,7 +752,8 @@ class ManifestSpec extends SparkSpec {
       (col("id") * 1000L + 10000000L).as("min_doc_id"),
       (col("id") * 1000L + 10000999L).as("max_doc_id"),
       lit(1000L).as("cnt_doc_id"),
-      lit(1000L).as("n_rows"))
+      lit(1000L).as("n_rows"),
+      lit(4096L).as("n_bytes"))
     real.unionByName(fake).repartition(4)
       .write.parquet(s"$stage/_graft_manifest/snapshot-2")
     val (rows, nRead, nTotal) = Manifest.scanRange(spark, stage, "doc_id", 0L, 49L)
