@@ -220,17 +220,21 @@ private[graft] final class GraftDescriptorFileIndex(
   extends PartitioningAwareFileIndex(spark, Map.empty, None,
     FileStatusCache.getOrCreate(spark)) {
 
-  // Paths are FS-QUALIFIED at construction (scheme + authority — pure
-  // string work against the cached FileSystem object, zero RPCs):
-  // PartitioningAwareFileIndex.allFiles qualifies each root path before
-  // its map lookups, so unqualified keys would never match.
+  // FileStatus paths are FS-QUALIFIED at construction (scheme + authority
+  // — pure string work against the cached FileSystem object, zero RPCs).
+  // The parent map registers BOTH key forms: the unpartitioned allFiles()
+  // path qualifies each root before its lookups, while the partitioned
+  // listFiles() path looks up the partition spec's dirs AS GIVEN (which
+  // may be unqualified, e.g. a trash-resolved `k=v` dir) — one key form
+  // alone silently drops whichever lookup style misses.
   private val byParent: Map[Path, Array[FileStatus]] = {
     val conf = spark.sessionState.newHadoopConf()
-    entries.groupBy(_._1.getParent).map { case (parent, es) =>
+    entries.groupBy(_._1.getParent).flatMap { case (parent, es) =>
       val fs = parent.getFileSystem(conf)
-      fs.makeQualified(parent) -> es.map { case (p, len) =>
+      val statuses = es.map { case (p, len) =>
         new FileStatus(len, false, 1, 128L << 20, 0L, fs.makeQualified(p))
       }.toArray
+      Seq(parent -> statuses, fs.makeQualified(parent) -> statuses)
     }
   }
 
