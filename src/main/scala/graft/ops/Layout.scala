@@ -1063,7 +1063,8 @@ object Layout {
     *     guards [[mergeKeyed]] enforces.
     */
   def mergeRowLevel(spark: SparkSession, path: String, keyCol: String,
-                    sourceKeys: org.apache.spark.sql.DataFrame)(
+                    sourceKeys: org.apache.spark.sql.DataFrame,
+                    pickAll: Boolean = false)(
       compute: org.apache.spark.sql.DataFrame =>
         (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)): MergeRowResult = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -1083,9 +1084,16 @@ object Layout {
       // join and the uniqueness checks below.
       val sk = sourceKeys.select(col("__k")).filter(col("__k").isNotNull)
         .distinct().localCheckpoint(true)
-      val picked = f.join(broadcast(sk),
-          col("__k").between(col(s"min_$keyCol"), col(s"max_$keyCol")), "left_semi")
-        .select("file").collect().map(_.getString(0)).toIndexedSeq
+      // `pickAll` = the WHEN NOT MATCHED BY SOURCE shape: un-matched target
+      // rows can live in ANY file, so the whole table plans — semantically
+      // required, not a lost optimization (callers keep the targeted pick
+      // whenever no BY SOURCE clause exists).
+      val picked =
+        (if (pickAll) f.select("file")
+         else f.join(broadcast(sk),
+           col("__k").between(col(s"min_$keyCol"), col(s"max_$keyCol")), "left_semi")
+           .select("file"))
+        .collect().map(_.getString(0)).toIndexedSeq
       val partitioned = isHivePartitioned(fs, path)
       val phys = physMapOf(spark, path)
       val pickedDf =
@@ -1142,8 +1150,23 @@ object Layout {
         // broadcast serves the per-action counts AND the uniqueness guard.
         val tagged = upKeys.withColumn("__a", lit("u"))
           .unionByName(delKeys.withColumn("__a", lit("d")))
-        val kPicked = orderedLong(keyCol, pickedDf)
-        val mStats = pickedDf.select(kPicked.as("__pk"))
+        // With `pickAll`, compute read the WHOLE table (BY SOURCE semantics
+        // require it) — but the COMMIT narrows back to the files whose key
+        // range contains an AFFECTED key, so write amplification stays
+        // ∝ rows changed, not table size.
+        val (commitPicked, commitDf) =
+          if (!pickAll) (picked, pickedDf)
+          else {
+            val affected = tagged.select("__k").localCheckpoint(true)
+            val p2 = f.join(broadcast(affected),
+                col("__k").between(col(s"min_$keyCol"), col(s"max_$keyCol")),
+                "left_semi")
+              .select("file").collect().map(_.getString(0)).toIndexedSeq
+            (p2, if (p2.nonEmpty) readPickedPinned(spark, path, p2)
+                 else pickedDf.limit(0))
+          }
+        val kPicked = orderedLong(keyCol, commitDf)
+        val mStats = commitDf.select(kPicked.as("__pk"))
           .join(broadcast(tagged), col("__pk") === col("__k"))
           .groupBy(col("__k"), col("__a")).count()
           .agg(coalesce(sum(when(col("__a") === "u", col("count"))), lit(0L)),
@@ -1155,20 +1178,34 @@ object Layout {
           s"mergeRowLevel($path): $keyCol is not unique among affected rows — " +
             "a keyed replace/delete would silently drop duplicate-key " +
             "siblings; dedup the table first")
-        val survivors = pickedDf
+        if (commitPicked.isEmpty) {
+          // pickAll narrowed to nothing: only out-of-range inserts (rare) —
+          // land them as a plain append instead of an empty replace.
+          if (nUp == 0) return MergeRowResult(0, total, 0L, 0L, 0L)
+          if (partitioned) {
+            val pCols = f.select("file").limit(1).collect().headOption
+              .map(r => partitionColsFromRel(Manifest.relativeTo(path,
+                Manifest.decodePath(r.getString(0)))))
+              .getOrElse(partitionColsFromDirs(fs, path))
+            upserts.write.mode("append").partitionBy(pCols: _*).parquet(path)
+          } else upserts.write.mode("append").parquet(path)
+          Manifest.createIncremental(spark, path, keys: _*)
+          return MergeRowResult(0, total, 0L, 0L, nUp)
+        }
+        val survivors = commitDf
           .join(broadcast(tagged.select("__k")), kPicked === col("__k"), "left_anti")
           .unionByName(upserts)
         val stage = path + (if (partitioned) PartStageSuffix else "__delnew")
         FsMaint.deleteRecursively(fs, new Path(stage))
         if (partitioned) {
-          survivors.write.partitionBy(partitionColsOf(path, picked): _*)
+          survivors.write.partitionBy(partitionColsOf(path, commitPicked): _*)
             .mode("overwrite").parquet(stage)
-          commitReplacePartitioned(spark, fs, path, picked, stage, keys)
+          commitReplacePartitioned(spark, fs, path, commitPicked, stage, keys)
         } else {
           survivors.write.mode("overwrite").parquet(stage)
-          commitReplace(spark, fs, path, picked, stage, keys)
+          commitReplace(spark, fs, path, commitPicked, stage, keys)
         }
-        MergeRowResult(picked.length, total, updated, deleted, nUp - updated)
+        MergeRowResult(commitPicked.length, total, updated, deleted, nUp - updated)
       } finally {
         Caching.release(upserts); Caching.release(delKeys); Caching.release(sk)
       }

@@ -1107,6 +1107,45 @@ object SourceQueries {
                |${Registry.duckMultisetFingerprint(
                    Seq("doc_id", "text", "lang", "source", "n_chars"), "final t")})""".stripMargin)),
 
+    // ---- the reference's WHOLE SYNC as ONE statement: MERGE with upsert
+    //      clauses plus WHEN NOT MATCHED BY SOURCE THEN DELETE makes the
+    //      target exactly the source (Synchronizer.php:34-102's
+    //      delete-extra/copy-missing/replace-different cascade as standard
+    //      SQL). BY SOURCE semantically plans the whole table (un-matched
+    //      rows can be anywhere), but the COMMIT narrows to files holding
+    //      affected rows. Gate: post-merge fingerprint ≡ DuckDB over the
+    //      source expression, exact updated/deleted/inserted counts.
+    Q("sql_merge_by_source",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val stage = java.nio.file.Files.createTempDirectory("graft_sql_mbs").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.repartitionByRange(8, col("doc_id")).write.mode("overwrite").parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        val src = docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("text", concat(lit("s:"), col("text")))
+        src.createOrReplaceTempView("sql_mbs_src")
+        val m = s.sql(
+          s"""MERGE INTO graft.`$stage` t USING sql_mbs_src s
+             |ON t.doc_id = s.doc_id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *
+             |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).head()
+        graft.functions.Hashing.multisetFingerprintAgg(s.read.parquet(stage), docCols)
+          .withColumn("rows_updated", lit(m.getLong(m.fieldIndex("rows_updated"))))
+          .withColumn("rows_deleted", lit(m.getLong(m.fieldIndex("rows_deleted"))))
+          .withColumn("rows_inserted", lit(m.getLong(m.fieldIndex("rows_inserted"))))
+      },
+      Some(s"""SELECT *,
+               | (SELECT count(*) FROM documents WHERE doc_id % 3 = 0)::BIGINT AS rows_updated,
+               | (SELECT count(*) FROM documents WHERE doc_id % 3 <> 0)::BIGINT AS rows_deleted,
+               | 0::BIGINT AS rows_inserted FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"),
+                   "(SELECT doc_id, 's:' || text AS text, lang, source, n_chars " +
+                     "FROM documents WHERE doc_id % 3 = 0) t")})""".stripMargin)),
+
     // ---- SQL DDL schema evolution: ALTER TABLE ALTER COLUMN TYPE (widen),
     //      DROP COLUMN, ADD COLUMN through the catalog — the statement
     //      surface of Manifest.updateSchema's metadata-only evolution (the

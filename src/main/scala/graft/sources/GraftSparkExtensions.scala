@@ -26,19 +26,23 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (analyzer
   * rules cannot attach to a live session).
   *
-  * Supported shape — the keyed whole-row upsert [[Layout.mergeKeyed]]
-  * implements (the reference's REPLACE-style delete-then-insert,
+  * The canonical whole-row upsert compiles to [[Layout.mergeKeyed]]'s one
+  * fused delta job (the reference's REPLACE-style delete-then-insert,
   * Synchronizer.php:496-507):
   * {{{
   * MERGE INTO graft.`/t` t USING src s ON t.k = s.k
   *   WHEN MATCHED THEN UPDATE SET *
   *   WHEN NOT MATCHED THEN INSERT *
   * }}}
-  * Explicit assignments are accepted when they cover every target column
-  * and agree between the UPDATE and INSERT branches (whole-row-replace
-  * semantics); anything else — action conditions, partial updates,
-  * NOT MATCHED BY SOURCE — fails TYPED at analysis, never silently
-  * half-merges.
+  * Every other standard MERGE shape routes through the general row-level
+  * rewrite ([[GraftMergeRowCommand]] / [[Layout.mergeRowLevel]]):
+  * conditional WHEN MATCHED UPDATE (partial SET, conditions over target
+  * and source) / DELETE, conditional WHEN NOT MATCHED INSERT (column
+  * lists), and conditional WHEN NOT MATCHED BY SOURCE UPDATE / DELETE
+  * (target-only scope; the one shape that semantically plans the whole
+  * table — the commit still narrows to affected files). Scope violations,
+  * non-equality ON conditions, and merge-key reassignment fail TYPED at
+  * analysis, never silently half-merge.
   */
 final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -105,8 +109,9 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       messageParameters = Map("message" ->
         (s"graft MERGE: $why — supported shapes: ON t.key = s.key with any " +
           "number of [conditional] WHEN MATCHED THEN UPDATE SET (whole-row " +
-          "or partial) / DELETE clauses and [conditional] WHEN NOT MATCHED " +
-          "THEN INSERT clauses; WHEN NOT MATCHED BY SOURCE is not supported")))
+          "or partial) / DELETE clauses, [conditional] WHEN NOT MATCHED " +
+          "THEN INSERT clauses, and [conditional] WHEN NOT MATCHED BY " +
+          "SOURCE THEN UPDATE / DELETE clauses (target-only scope)")))
 
   /** The merge key: ON must be one equality between a target attribute and
     * a source attribute (the key identity the keyed COW machinery replaces
@@ -156,11 +161,8 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }.toMap
 
   private def rewrite(m: MergeIntoTable, r: DataSourceV2Relation,
-                      tbl: GraftMutableTable): LogicalPlan = {
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported")
+                      tbl: GraftMutableTable): LogicalPlan =
     wholeRowFastPath(m, r, tbl).getOrElse(rewriteGeneral(m, r, tbl))
-  }
 
   /** The original single-shape rewrite — one unconditional whole-row
     * UPDATE + one unconditional whole-row INSERT that agree column-wise —
@@ -172,8 +174,8 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def wholeRowFastPath(m: MergeIntoTable, r: DataSourceV2Relation,
                                tbl: GraftMutableTable): Option[LogicalPlan] =
-    (m.matchedActions, m.notMatchedActions) match {
-      case (Seq(u), Seq(i)) if u.condition.isEmpty && i.condition.isEmpty =>
+    (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
+      case (Seq(u), Seq(i), Seq()) if u.condition.isEmpty && i.condition.isEmpty =>
         try {
           val keyCol = keyOf(m, r)._1.name
           val targetCols = r.output
@@ -274,8 +276,24 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             fail(s"unsupported WHEN NOT MATCHED action ${other.getClass.getSimpleName}")
         }
       }
+    // NOT MATCHED BY SOURCE rows have no source side — target-only scope.
+    // None value = DELETE (like the matched specs).
+    val bySource: Seq[(Option[Expression], Option[Map[String, Expression]])] =
+      m.notMatchedBySourceActions.map { a =>
+        a.condition.foreach(checkCond(_, r.outputSet, "WHEN NOT MATCHED BY SOURCE"))
+        a match {
+          case DeleteAction(cond) => (cond, None)
+          case UpdateAction(cond, assigns, _) =>
+            val mp = assignMap(assigns, r.outputSet, "BY SOURCE UPDATE")
+            if (mp.contains(tKey.name))
+              fail(s"BY SOURCE UPDATE must not assign the merge key `${tKey.name}`")
+            (cond, Some(mp))
+          case other => fail("unsupported WHEN NOT MATCHED BY SOURCE action " +
+            other.getClass.getSimpleName)
+        }
+      }
     GraftMergeRowCommand(tbl.tableRoot, tKey.name, targetCols, m.sourceTable,
-      m.mergeCondition, tKey, sKey, matched, notMatched)
+      m.mergeCondition, tKey, sKey, matched, notMatched, bySource)
   }
 }
 
@@ -335,7 +353,8 @@ final case class GraftMergeRowCommand(
     mergeCondition: Expression,
     targetKey: AttributeReference, sourceKey: AttributeReference,
     matched: Seq[(Option[Expression], Option[Map[String, Expression]])],
-    notMatched: Seq[(Option[Expression], Map[String, Expression])])
+    notMatched: Seq[(Option[Expression], Map[String, Expression])],
+    bySource: Seq[(Option[Expression], Option[Map[String, Expression]])] = Nil)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
@@ -350,11 +369,12 @@ final case class GraftMergeRowCommand(
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions._
     val srcDf = ColumnShim.ofRows(session, source).localCheckpoint(true)
-    var acted: Option[org.apache.spark.sql.DataFrame] = None
+    var acted: List[org.apache.spark.sql.DataFrame] = Nil
     try {
       val sourceKeys = srcDf.select(Layout.orderedLongOf(
         ColumnShim.column(sourceKey), sourceKey.dataType, sourceKey.name).as("__k"))
-      val res = Layout.mergeRowLevel(session, path, keyCol, sourceKeys) { picked =>
+      val res = Layout.mergeRowLevel(session, path, keyCol, sourceKeys,
+        pickAll = bySource.nonEmpty) { picked =>
         val pickedAttrs = picked.queryExecution.analyzed.output
           .map(a => a.name -> (a: Attribute)).toMap
         val bind: Map[ExprId, Attribute] =
@@ -375,7 +395,7 @@ final case class GraftMergeRowCommand(
         }
         val pairs = picked.join(srcDf, c(rb(mergeCondition)), "inner")
           .withColumn("__action", action).localCheckpoint(true)
-        acted = Some(pairs)
+        acted = pairs :: acted
         val updFrames = matched.zipWithIndex.collect {
           case ((_, Some(repl)), i) =>
             val proj = targetOutput.map { tc =>
@@ -411,11 +431,46 @@ final case class GraftMergeRowCommand(
           }
           unmatched.filter(col("__iaction") === i).select(proj: _*)
         }
-        val upserts = (updFrames ++ insFrames).reduceOption(_.unionByName(_))
+        // NOT MATCHED BY SOURCE: target rows with no matching source row —
+        // the anti image of the matched join, under the same
+        // first-true-clause-wins resolution (target-only expressions).
+        val (bsUpd, bsDel) = if (bySource.isEmpty) (Nil, None) else {
+          val bsConds = bySource.map { case (cond, _) =>
+            cond.map(e => c(rb(e))).getOrElse(lit(true)) }
+          val bsAction = bsConds.zipWithIndex.foldRight(lit(-1)) {
+            case ((cc, i), els) => when(cc, lit(i)).otherwise(els)
+          }
+          val unmatchedTarget = picked.join(srcDf, c(rb(mergeCondition)), "left_anti")
+            .withColumn("__bsaction", bsAction).localCheckpoint(true)
+          acted = unmatchedTarget :: acted
+          // A NULL-key target row is always "not matched by source", but the
+          // keyed apply cannot replace or drop it (NULL joins nothing) —
+          // acting on one would silently duplicate (UPDATE) or skip (DELETE).
+          require(unmatchedTarget.filter(col("__bsaction") >= 0 &&
+              c(bind(targetKey.exprId)).isNull).isEmpty,
+            s"MERGE BY SOURCE on $path: a clause applies to a NULL-`$keyCol` " +
+              "target row, which a keyed apply cannot replace or drop — " +
+              "exclude NULL keys in the clause condition")
+          val upd = bySource.zipWithIndex.collect {
+            case ((_, Some(repl)), i) =>
+              val proj = targetOutput.map { tc =>
+                val e = repl.get(tc.name).map(rb).getOrElse(bind(tc.exprId))
+                c(castTo(e, tc)).as(tc.name)
+              }
+              unmatchedTarget.filter(col("__bsaction") === i).select(proj: _*)
+          }
+          val delIdx2 = bySource.zipWithIndex.collect { case ((_, None), i) => i }
+          val del = if (delIdx2.isEmpty) None
+            else Some(unmatchedTarget.filter(col("__bsaction").isin(delIdx2: _*))
+              .select(Layout.orderedLongOf(c(bind(targetKey.exprId)),
+                targetKey.dataType, keyCol).as("__k")))
+          (upd, del)
+        }
+        val upserts = (updFrames ++ insFrames ++ bsUpd).reduceOption(_.unionByName(_))
           .getOrElse(session.createDataFrame(new java.util.ArrayList[Row](),
             org.apache.spark.sql.types.StructType(targetOutput.map(a =>
               org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))))
-        (upserts, delKeys)
+        (upserts, bsDel.fold(delKeys)(delKeys.unionByName(_)))
       }
       Seq(Row(res.filesRewritten, res.filesTotal, res.rowsUpdated,
         res.rowsDeleted, res.rowsInserted))

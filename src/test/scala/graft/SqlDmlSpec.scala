@@ -203,10 +203,10 @@ class SqlDmlSpec extends SparkSpec {
     assert((allBefore -- allAfter) == overlapping,
       "exactly the range-overlapping files were replaced")
     // Refusals stay typed on the general path.
-    intercept[org.apache.spark.sql.AnalysisException] { // BY SOURCE unsupported
+    intercept[org.apache.spark.sql.AnalysisException] { // BY SOURCE scope: no source refs
       spark.sql(s"""MERGE INTO graft.`$dir` t USING dml_mr_src s ON t.doc_id = s.doc_id
                    |WHEN MATCHED THEN DELETE
-                   |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+                   |WHEN NOT MATCHED BY SOURCE AND s.mark = 1 THEN DELETE""".stripMargin)
     }
     intercept[org.apache.spark.sql.AnalysisException] { // key reassignment
       spark.sql(s"""MERGE INTO graft.`$dir` t USING dml_mr_src s ON t.doc_id = s.doc_id
@@ -233,6 +233,39 @@ class SqlDmlSpec extends SparkSpec {
       res.getLong(res.fieldIndex("rows_inserted")) == 0L, s"outcome: $res")
     assert(fp(spark.read.parquet(dir)) == expected)
     assert(Manifest.isComplete(spark, dir))
+  }
+
+  test("MERGE BY SOURCE: upsert + delete-unmatched makes target identical to source — the full sync in one statement") {
+    val dir = stage("dml_merge_bysrc")
+    import spark.implicits._
+    // Source from the ORIGINAL corpus, not the staged dir: the merge
+    // replaces the staged files, and a lazy view over them would read
+    // paths the COW just retired.
+    val src = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(col("doc_id") % 3 === 0)
+      .withColumn("text", concat(lit("s:"), col("text")))
+    src.createOrReplaceTempView("dml_bs_src")
+    val expected = fp(src)
+    val nSrc = src.count()
+    val nAll = spark.read.parquet(dir).count()
+    val res = spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING dml_bs_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).head()
+    assert(res.getLong(res.fieldIndex("rows_updated")) == nSrc &&
+      res.getLong(res.fieldIndex("rows_deleted")) == nAll - nSrc &&
+      res.getLong(res.fieldIndex("rows_inserted")) == 0L, s"outcome: $res")
+    assert(fp(spark.read.parquet(dir)) == expected,
+      "target must be exactly the source after the sync-shaped merge")
+    assert(Manifest.isComplete(spark, dir))
+    // Conditional BY SOURCE UPDATE (partial SET, target-only condition).
+    val res2 = spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING dml_bs_src s ON t.doc_id = s.doc_id
+         |WHEN NOT MATCHED BY SOURCE AND t.n_chars >= 0 THEN UPDATE SET source = 'stale'
+         |""".stripMargin).head()
+    assert(res2.getLong(res2.fieldIndex("rows_updated")) == 0L,
+      "every row matches the source now — BY SOURCE touches nothing")
   }
 
   test("UPDATE: in-place read-modify-write through the keyed COW upsert") {
@@ -399,13 +432,12 @@ class SqlDmlSpec extends SparkSpec {
            |WHEN MATCHED THEN UPDATE SET *
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
-    // NOT MATCHED BY SOURCE — unsupported (a whole-table scan, not a
-    // keyed merge).
+    // BY SOURCE UPDATE must not reassign the merge key.
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql(
         s"""MERGE INTO graft.`$dir` t USING dml_mb_src s ON t.doc_id = s.doc_id
            |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET doc_id = doc_id + 1""".stripMargin)
     }
     assert(fp(spark.read.parquet(dir)) == before, "refused DML must touch nothing")
   }
