@@ -520,6 +520,50 @@ object Layout {
     }
   }
 
+  /** FOLD the deletion vector into data files — the targeted counterpart
+    * of a whole-table compaction: rewrites ONLY the files carrying DV
+    * entries (their surviving rows re-encode without the deleted
+    * positions), leaves every clean file untouched, and commits with the
+    * folded entries dropped (the inherit rule prunes replaced files'
+    * entries, and no other entries exist). The maintenance step that
+    * returns a DV-bearing table to the SQL catalog without paying a
+    * whole-table rewrite. Returns files folded (0 = no vector).
+    */
+  def compactDeletes(spark: SparkSession, path: String): Int = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    FsMaint.withTableLock(fs, path) {
+      healDelete(spark, path)
+      FsMaint.recoverSwap(fs, path)
+      val latest = Manifest.latestSnapshotId(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"compactDeletes($path) needs a manifest snapshot"))
+      val dv = Manifest.dvEntries(spark, path, latest).getOrElse(return 0)
+      val keys = Manifest.currentKeyCols(spark, path).get
+      Manifest.requireComplete(spark, path)
+      val names = dv.select("file_name").distinct()
+        .collect().map(_.getString(0)).toSet
+      val picked = Manifest.files(spark, path).select("file").collect()
+        .map(_.getString(0))
+        .filter(e => names(Manifest.decodePath(e).getName)).toIndexedSeq
+      if (picked.isEmpty) return 0 // stale entries reference no live file
+      // readPickedPinned applies the vector — the staged survivors ARE the
+      // fold.
+      val pickedDf = readPickedPinned(spark, path, picked)
+      val partitioned = isHivePartitioned(fs, path)
+      val stage = path + (if (partitioned) PartStageSuffix else "__delnew")
+      FsMaint.deleteRecursively(fs, new Path(stage))
+      if (partitioned) {
+        pickedDf.write.partitionBy(partitionColsOf(path, picked): _*)
+          .mode("overwrite").parquet(stage)
+        commitReplacePartitioned(spark, fs, path, picked, stage, keys)
+      } else {
+        pickedDf.write.mode("overwrite").parquet(stage)
+        commitReplace(spark, fs, path, picked, stage, keys)
+      }
+      picked.length
+    }
+  }
+
   /** Rows in the staged replacement dir — zero when the stage holds no
     * data files (a parquet read of a `_SUCCESS`-only dir cannot infer a
     * schema, so guard before counting).

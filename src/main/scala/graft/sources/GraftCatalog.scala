@@ -62,8 +62,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       throw new UnsupportedOperationException(
         s"graft.`$path` snapshot-$id carries a deletion vector (merge-on-read " +
           "deletes, Layout.deleteRangeDV): the SQL catalog cannot apply it " +
-          "yet — read via Manifest.readAsOf, or fold the vector with " +
-          s"CALL graft.system.compact('$path', <targetMb>) first")
+          "yet — read via Manifest.readAsOf, or fold it with " +
+          s"CALL graft.system.compact_deletes('$path') (rewrites only the " +
+          "DV-bearing files)")
     val files = Manifest.snapshotFiles(spark, path, id)
     val logical: Option[StructType] = Manifest.storedSchema(spark, path, id)
     // Descriptor plan handoff: snapshots carrying per-file byte lengths

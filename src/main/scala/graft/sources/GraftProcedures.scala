@@ -137,6 +137,12 @@ object GraftProcedures {
           intArg(input, 3).toLong << 20).toLong)
     },
 
+    new Proc("compact_deletes", "path" -> StringType) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        outcome("files_folded",
+          Layout.compactDeletes(spark, stringArg(input, 0)).toLong)
+    },
+
     new Proc("restore", "path" -> StringType, "snapshot_id" -> IntegerType) {
       override def call(input: InternalRow): java.util.Iterator[Scan] =
         outcome("files_changed", {

@@ -136,6 +136,33 @@ class DeletionVectorSpec extends SparkSpec {
     intercept[Exception] { Layout.restoreSnapshot(spark, dir, latest) }
   }
 
+  test("compact_deletes: targeted fold — only DV-bearing files rewrite, catalog serves again") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = fixture("dv_tfold")
+    val expectAfter = fp(spark.read.parquet(dir)
+      .filter(!col("doc_id").between(100L, 199L)))
+    Layout.deleteRangeDV(spark, dir, "doc_id", 100L, 199L)
+    val dvNames = Manifest.currentDv(spark, dir).get
+      .select("file_name").distinct().collect().map(_.getString(0)).toSet
+    val before = dataStamps(dir)
+    val folded = spark.sql(s"CALL graft.system.compact_deletes('$dir')")
+      .head().getLong(0)
+    assert(folded == dvNames.size, s"folded $folded of ${dvNames.size}")
+    // Exactly the DV-bearing files moved; clean files untouched bit-for-bit.
+    val after = dataStamps(dir)
+    val untouchedBefore = before.filter { case (p, _) =>
+      !dvNames(new org.apache.hadoop.fs.Path(p).getName) }
+    assert(untouchedBefore.toSet.subsetOf(after.toSet),
+      "files without DV entries must not be rewritten")
+    val latest = Manifest.latestSnapshotId(spark, dir).get
+    assert(!Manifest.hasDv(spark, dir, latest), "the fold drops the vector")
+    assert(fp(spark.sql(s"SELECT * FROM graft.`$dir`")) == expectAfter,
+      "the catalog serves the folded table exactly")
+    // Idempotent: a second fold is a no-op.
+    assert(spark.sql(s"CALL graft.system.compact_deletes('$dir')")
+      .head().getLong(0) == 0L)
+  }
+
   test("plan contract: a DV read plans only the data files plus the sidecar") {
     val dir = fixture("dv_plan")
     Layout.deleteRangeDV(spark, dir, "doc_id", 100L, 199L)
