@@ -427,7 +427,11 @@ object Manifest {
     require(bloomCols.nonEmpty, "need at least one bloom column")
     val bits = BloomFilter.optimalNumOfBits(expectedItemsPerFile, fpp)
     val specs = bloomCols.map(c => BloomSpec(c, expectedItemsPerFile, bits))
-    commitSnapshot(spark, table, statsOf(data, keyCols, specs), Some(data.schema),
+    // Footers carry PHYSICAL names — remap to logical like createTxn, so a
+    // re-profile with blooms never reverts a renamed column.
+    val phys = if (based > 0) physicalNames(spark, table, based) else Map.empty[String, String]
+    commitSnapshot(spark, table, statsOf(data, keyCols, specs),
+      Some(toLogicalSchema(data.schema, phys)),
       basedOn = Some(based))
   }
 

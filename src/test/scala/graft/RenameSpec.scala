@@ -84,9 +84,12 @@ class RenameSpec extends SparkSpec {
     Layout.deleteRange(spark, dir, "doc_id", 4L, 4L)
     val left = spark.sql(s"SELECT text FROM graft.`$dir` ORDER BY doc_id").collect()
     assert(left.map(_.getString(0)).toSeq == Seq("alpha", "BETA"))
-    // A full re-profile must NOT revert the rename.
+    // A full re-profile must NOT revert the rename — plain or bloom-bearing.
     Manifest.create(spark, dir, "doc_id")
     assert(spark.sql(s"SELECT * FROM graft.`$dir`").columns.contains("text"))
+    Manifest.createWithBloom(spark, dir, Seq("doc_id"), Seq("doc_id"))
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").columns.contains("text"),
+      "a bloom re-profile must keep the logical names")
   }
 
   test("rename refusals: key column, existing name, chained rename keeps mapping") {

@@ -268,6 +268,35 @@ class SqlDmlSpec extends SparkSpec {
       "every row matches the source now — BY SOURCE touches nothing")
   }
 
+  test("MERGE BY SOURCE: the commit narrows to files holding affected rows") {
+    // BY SOURCE semantically PLANS the whole table, but a localized set of
+    // un-matched rows must not rewrite every file — the commit re-picks by
+    // affected keys.
+    val dir = stage("dml_bysrc_narrow")
+    import spark.implicits._
+    // Source = everything except a NARROW key range: the BY SOURCE deletes
+    // all live in the files overlapping that range.
+    val src = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(!col("doc_id").between(100L, 149L))
+    src.createOrReplaceTempView("dml_bsn_src")
+    val snap = Manifest.files(spark, dir)
+    val before = snap.select("file").collect().map(_.getString(0)).toSet
+    val overlapping = snap
+      .filter(col("max_doc_id") >= 100L && col("min_doc_id") <= 149L)
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(overlapping.nonEmpty && overlapping.size < before.size,
+      "fixture must localize the unmatched range")
+    val res = spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING dml_bsn_src s ON t.doc_id = s.doc_id
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).head()
+    assert(res.getLong(res.fieldIndex("rows_deleted")) == 50L, s"$res")
+    val after = Manifest.files(spark, dir).select("file")
+      .collect().map(_.getString(0)).toSet
+    assert((before -- after) == overlapping,
+      "exactly the files holding affected rows were replaced")
+    assert(spark.read.parquet(dir).count() == 450L)
+  }
+
   test("UPDATE: in-place read-modify-write through the keyed COW upsert") {
     val dir = stage("dml_update")
     val expected = fp(spark.read.parquet(dir).withColumn("n_chars",
