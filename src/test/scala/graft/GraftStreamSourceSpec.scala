@@ -147,6 +147,39 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(dels == 50L, s"expected 50 delete rows in the feed, got $dels")
   }
 
+  test("readStream(graft): withChanges delivers DELETION-VECTOR deletes (DV-only commits change no files)") {
+    val dir = tmpDir("gstream_dv") + "/documents"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.filter(col("doc_id") < 200).repartitionByRange(4, col("doc_id"))
+      .write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    val ckpt = tmpDir("gstream_dv_ckpt")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft").option("withChanges", "true")
+        .load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(got.add(_): Unit)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(got.asScalaCount(r => r.getString(r.fieldIndex("change")) == "insert") == 200L)
+    // A merge-on-read delete commits NO file changes — only the sidecar
+    // grows. The feed must still deliver exactly the deleted rows.
+    Layout.deleteRangeDV(spark, dir, "doc_id", 50L, 99L)
+    runOnce()
+    val dels = got.asScalaCount(r => r.getString(r.fieldIndex("change")) == "delete")
+    assert(dels == 50L, s"expected 50 DV-delete rows in the feed, got $dels")
+    // A second DV delete streams only ITS delta (no replays of the first).
+    Layout.deleteRangeDV(spark, dir, "doc_id", 0L, 9L)
+    runOnce()
+    assert(got.asScalaCount(r => r.getString(r.fieldIndex("change")) == "delete") == 60L)
+    assert(got.asScalaCount(_ => true) == 260L, "no replayed rows")
+  }
+
   private implicit class QueueOps(
       q: java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]) {
     def asScalaCount(p: org.apache.spark.sql.Row => Boolean): Long = {
