@@ -17,9 +17,12 @@ import org.apache.spark.sql.graftshim.ColumnShim
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
-    // SQL MERGE INTO on graft.-catalog tables → the engine's keyed COW
-    // upsert (see GraftMergeRule). Analyzer rules only attach at session
-    // build, unlike functions (no live-session fallback exists for them).
+    // Ordered batch: DV reads FIRST (so a MERGE's source side is rewritten
+    // before the merge rule compiles the statement), then MERGE/UPDATE on
+    // graft.-catalog tables → the engine's keyed COW machinery. Analyzer
+    // rules only attach at session build, unlike functions (no live-session
+    // fallback exists for them).
+    ext.injectPostHocResolutionRule(spark => graft.sources.GraftDvReadRule(spark))
     ext.injectPostHocResolutionRule(spark => graft.sources.GraftMergeRule(spark))
   }
 }

@@ -996,6 +996,15 @@ object Manifest {
   def currentDv(spark: SparkSession, table: String): Option[DataFrame] =
     latestId(spark, table).flatMap(dvEntries(spark, table, _))
 
+  /** The sidecar DIRECTORY of snapshot `id`'s deletion vector, or None —
+    * what the SQL catalog threads into the tables it serves so the read
+    * rewrite rule ([[graft.sources]]) can scan it as an ordinary parquet
+    * dir for the anti-join (one probe here, zero per-query probes later).
+    */
+  def dvDirOf(spark: SparkSession, table: String, id: Int): Option[String] =
+    if (hasDv(spark, table, id)) Some(s"${root(table)}/snapshot-$id/$DvDirName")
+    else None
+
   /** The file-name column of a data-file read (last path segment of the
     * parquet `_metadata.file_path`) — the identity DV entries join on.
     */

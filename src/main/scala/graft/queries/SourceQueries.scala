@@ -397,6 +397,55 @@ object SourceQueries {
                    ("(SELECT d.* FROM documents d, b WHERE d.doc_id NOT BETWEEN b.lo AND b.hi " +
                     "AND d.doc_id NOT BETWEEN 0 AND b.l8) t"))})""".stripMargin)),
 
+    // ---- SQL reads of a DV-BEARING snapshot (GraftDvReadRule): the
+    //      catalog serves merge-on-read deletes WITHOUT compaction — the
+    //      extension rule swaps the relation for a V1 scan over the same
+    //      descriptor file index with the sidecar anti-join directly above
+    //      it (full pushdown kept; contract-pinned in DeletionVectorSpec).
+    //      Gate: SELECT * fingerprint ≡ DuckDB with the deletes applied,
+    //      a pushed-filter SQL count exact, VERSION AS OF reading the
+    //      pre-delete snapshot in full, $files still serving, and the DV
+    //      commit rewriting zero data files.
+    Q("sql_select_dv",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val stage = java.nio.file.Files.createTempDirectory("graft_sql_dv").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.repartitionByRange(8, col("doc_id")).write.mode("overwrite").parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        val id1 = graft.ops.Manifest.latestSnapshotId(s, stage).get
+        val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val r = graft.ops.Layout.deleteRangeDV(s, stage, "doc_id", mx / 4, mx / 2)
+        val zeroRewrites = r.filesRewritten == 0 && r.rowsDeleted > 0
+        // Pushed-filter SQL read straddling the deleted range.
+        val filtered = s.sql(s"SELECT count(*) AS c FROM graft.`$stage` " +
+          s"WHERE doc_id BETWEEN ${mx / 8} AND ${3 * mx / 8}").head().getLong(0)
+        val asOfFull = s.sql(
+          s"SELECT count(*) AS c FROM graft.`$stage` VERSION AS OF $id1")
+          .head().getLong(0) == docs.count()
+        val filesMeta = s.sql(
+          s"SELECT count(*) AS c FROM graft.`$stage$$files`")
+          .head().getLong(0) > 0L
+        graft.functions.Hashing.multisetFingerprintAgg(
+            s.sql(s"SELECT * FROM graft.`$stage`"), docCols)
+          .withColumn("n_filtered", lit(filtered))
+          .withColumn("zero_rewrites", lit(zeroRewrites))
+          .withColumn("asof_full", lit(asOfFull))
+          .withColumn("files_meta", lit(filesMeta))
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) // 8 AS l8, max(doc_id) // 4 AS lo,
+               |                  3 * max(doc_id) // 8 AS h38, max(doc_id) // 2 AS hi
+               |           FROM documents)
+               |SELECT *,
+               | (SELECT count(*) FROM documents, b
+               |   WHERE doc_id BETWEEN b.l8 AND b.h38
+               |     AND doc_id NOT BETWEEN b.lo AND b.hi)::BIGINT AS n_filtered,
+               | true AS zero_rewrites, true AS asof_full, true AS files_meta FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"),
+                   "(SELECT d.* FROM documents d, b WHERE d.doc_id NOT BETWEEN b.lo AND b.hi) t")})""".stripMargin)),
+
     // ---- copy-on-write DELETE on a HIVE-PARTITIONED table: the
     //      per-partition commit — survivors staged in hive layout, doomed
     //      originals retained at their k=v relative paths, FILE-level

@@ -54,17 +54,14 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         s"no manifest snapshot under $path — run Manifest.create, or read the " +
           "dir directly with spark.read.parquet")))
     // Merge-on-read deletes: the stock vectorized parquet scan served here
-    // cannot apply a position-delete sidecar — serving the snapshot raw
-    // would RESURRECT deleted rows, so refuse typed with the fold path.
-    // (The engine read surfaces — Manifest.readAsOf / scan* / the change
-    // feed / the streaming source — all apply the vector.)
-    if (Manifest.hasDv(spark, path, id))
-      throw new UnsupportedOperationException(
-        s"graft.`$path` snapshot-$id carries a deletion vector (merge-on-read " +
-          "deletes, Layout.deleteRangeDV): the SQL catalog cannot apply it " +
-          "yet — read via Manifest.readAsOf, or fold it with " +
-          s"CALL graft.system.compact_deletes('$path') (rewrites only the " +
-          "DV-bearing files)")
+    // cannot apply a position-delete sidecar itself — the table instead
+    // CARRIES the sidecar dir, and the extension rule
+    // ([[GraftDvReadRule]]) rewrites every read of a DV-bearing relation
+    // into the V1 parquet scan (same descriptor file index, full pushdown,
+    // `_metadata.row_index` support) with the sidecar anti-join directly
+    // above it — so SQL reads never resurrect deleted rows, with or
+    // without `CALL graft.system.compact_deletes`.
+    val dvDir = Manifest.dvDirOf(spark, path, id)
     val files = Manifest.snapshotFiles(spark, path, id)
     val logical: Option[StructType] = Manifest.storedSchema(spark, path, id)
     // Descriptor plan handoff: snapshots carrying per-file byte lengths
@@ -93,11 +90,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       // The LATEST view is writable: INSERT INTO / DELETE FROM (and MERGE
       // INTO via the extension rule) route to the engine's COW machinery.
       new GraftMutableTable(s"$catalogName.$path@v$id", spark,
-        files.toIndexedSeq, path, physSchema, renames, sizes)
+        files.toIndexedSeq, path, physSchema, renames, sizes, dvDir)
     else {
       val base = new GraftParquetTable(s"$catalogName.$path@v$id", spark,
         CaseInsensitiveStringMap.empty(), files.toIndexedSeq, path, physSchema,
-        sizes)
+        sizes, dvDir)
       if (renames.isEmpty) base else new GraftRenamedTable(base, renames)
     }
   }

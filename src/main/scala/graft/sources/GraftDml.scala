@@ -54,8 +54,9 @@ final class GraftMutableTable(
     tableName: String, spark: SparkSession,
     files: Seq[String], val tableRoot: String,
     userSchema: Option[StructType],
-    renames: Map[String, String] = Map.empty,
-    fileSizes: Option[Map[String, Long]] = None)
+    val renames: Map[String, String] = Map.empty,
+    fileSizes: Option[Map[String, Long]] = None,
+    val dvDir: Option[String] = None)
   extends org.apache.spark.sql.connector.catalog.Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -72,8 +73,9 @@ final class GraftMutableTable(
   // `userSchema` arrives in the files' PHYSICAL names; `renames`
   // (logical→physical) translates the user-facing surface — see
   // [[GraftRenamedTable]].
-  private val readDelegate = new GraftParquetTable(tableName, spark,
-    CaseInsensitiveStringMap.empty(), files, tableRoot, userSchema, fileSizes)
+  private[sources] val readDelegate = new GraftParquetTable(tableName, spark,
+    CaseInsensitiveStringMap.empty(), files, tableRoot, userSchema, fileSizes,
+    dvDir)
   private val invRenames = renames.map(_.swap)
 
   override def name(): String = tableName

@@ -32,7 +32,8 @@ class GraftParquetTable(
     tableName: String, spark: SparkSession, opts: CaseInsensitiveStringMap,
     files: Seq[String], val tableRoot: String,
     userSchema: Option[StructType],
-    fileSizes: Option[Map[String, Long]] = None)
+    fileSizes: Option[Map[String, Long]] = None,
+    val dvDir: Option[String] = None)
   extends FileTable(spark, opts, files, userSchema) {
 
   override def name(): String = tableName
@@ -141,7 +142,7 @@ class GraftParquetTable(
   * full pushdown intact.
   */
 final class GraftRenamedTable(val delegate: GraftParquetTable,
-                              renames: Map[String, String])
+                              val renames: Map[String, String])
   extends org.apache.spark.sql.connector.catalog.Table
   with org.apache.spark.sql.connector.catalog.SupportsRead {
   private val inv = renames.map(_.swap)

@@ -98,7 +98,11 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Alias(cast, tc.name)()
       }
     }
-    val matched = condition.fold(r: LogicalPlan)(c => Filter(c, r))
+    // Read the target THROUGH the deletion vector (same output exprIds, so
+    // the Filter/Project above resolve unchanged): computing the delta over
+    // the raw relation would resurrect DV-deleted rows into the update.
+    val read = GraftDvRead.dvPlanFor(spark, r).getOrElse(r: LogicalPlan)
+    val matched = condition.fold(read)(c => Filter(c, read))
     GraftMergeIntoCommand(tbl.tableRoot, keyCol, Project(exprs, matched),
       refuseNullKeys = true)
   }

@@ -102,15 +102,15 @@ class DeletionVectorSpec extends SparkSpec {
     assert(Manifest.hasDv(spark, dir, id3))
   }
 
-  test("COW merge and compaction fold the vector; the SQL catalog refuses un-folded snapshots") {
+  test("COW merge and compaction fold the vector; the SQL catalog reads through un-folded snapshots") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     val dir = fixture("dv_fold")
     val docs = spark.read.parquet(dir)
     Layout.deleteRangeDV(spark, dir, "doc_id", 100L, 199L)
-    // Catalog read would resurrect deleted rows — refused typed.
-    intercept[UnsupportedOperationException] {
-      spark.sql(s"SELECT count(*) FROM graft.`$dir`").collect()
-    }
+    // The catalog read applies the vector (GraftDvReadRule) — deleted rows
+    // never resurrect into SQL results, before any compaction.
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`").head().getLong(0) ==
+      docs.count() - 100L)
     // A COW merge over files carrying DV entries must NOT resurrect the
     // deleted rows into its survivors, and the rewritten files' entries
     // fold (drop) at commit.
@@ -161,6 +161,103 @@ class DeletionVectorSpec extends SparkSpec {
     // Idempotent: a second fold is a no-op.
     assert(spark.sql(s"CALL graft.system.compact_deletes('$dir')")
       .head().getLong(0) == 0L)
+  }
+
+  test("SQL catalog reads DV-bearing snapshots: exact, time-travel-correct, DML-safe") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = fixture("dv_sql")
+    val docs = spark.read.parquet(dir)
+    val fpAll = fp(docs)
+    val id1 = Manifest.latestSnapshotId(spark, dir).get
+    Layout.deleteRangeDV(spark, dir, "doc_id", 100L, 199L)
+    val id2 = Manifest.latestSnapshotId(spark, dir).get
+    val expected = docs.filter(!col("doc_id").between(100L, 199L))
+    // Latest read, filtered read (predicate through the anti-join), and
+    // aggregate all apply the vector.
+    assert(fp(spark.sql(s"SELECT * FROM graft.`$dir`")) == fp(expected))
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.`$dir` WHERE doc_id BETWEEN 50 AND 249")
+      .head().getLong(0) ==
+      expected.filter(col("doc_id").between(50L, 249L)).count())
+    // VERSION AS OF: pre-delete snapshot reads everything; the DV snapshot
+    // pinned by id reads through its own vector.
+    assert(fp(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF $id1")) == fpAll)
+    assert(fp(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF $id2")) ==
+      fp(expected))
+    // $files still serves (stats are physical — that is its contract).
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir$$files`")
+      .head().getLong(0) > 0L)
+    // SQL UPDATE computes its delta THROUGH the vector: updating a range
+    // that overlaps deleted rows must not resurrect them. (Expected count
+    // materializes BEFORE the COW rewrite moves the files it replaces.)
+    val nUpd = expected.filter(col("doc_id").between(150L, 259L)).count()
+    val u = spark.sql(s"UPDATE graft.`$dir` SET source = 'dvupd' " +
+      "WHERE doc_id BETWEEN 150 AND 259").head()
+    assert(u.getLong(u.fieldIndex("rows_updated")) == nUpd)
+    val after = Manifest.readAsOf(spark, dir,
+      Manifest.latestSnapshotId(spark, dir).get)
+    assert(after.filter(col("doc_id").between(100L, 199L)).count() == 0L,
+      "UPDATE through a DV table must not resurrect deleted rows")
+    assert(after.filter(col("source") === "dvupd").count() == nUpd)
+    // MERGE INTO on a still-DV-bearing region behaves (the COW rewrite
+    // folds entries for the files it replaces; reads stay exact).
+    Layout.deleteRangeDV(spark, dir, "doc_id", 300L, 309L)
+    spark.read.parquet(dir).filter(col("doc_id").between(305L, 314L))
+      .withColumn("source", lit("dvmerge"))
+      .createOrReplaceTempView("dv_sql_delta")
+    spark.sql(s"""MERGE INTO graft.`$dir` t USING dv_sql_delta s
+                 |ON t.doc_id = s.doc_id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val fin = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(fin.filter(col("doc_id").between(300L, 309L) &&
+      col("source") =!= "dvmerge").count() == 0L)
+    // 310-314 are visible → matched updates; 305-309 were DV-deleted →
+    // NOT MATCHED inserts. Either way all 10 delta rows land exactly once.
+    assert(fin.filter(col("source") === "dvmerge").count() == 10L)
+  }
+
+  test("SQL DV read plan contract: V1 scan over the snapshot's files + sidecar, pushdown intact") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = fixture("dv_sqlplan")
+    Layout.deleteRangeDV(spark, dir, "doc_id", 100L, 199L)
+    val latest = Manifest.latestSnapshotId(spark, dir).get
+    val df = spark.sql(
+      s"SELECT doc_id, lang FROM graft.`$dir` WHERE doc_id BETWEEN 0 AND 500")
+    df.count()
+    val scans = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.FileSourceScanExec]
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => scans += f
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case other =>
+        other.children.foreach(walk); other.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    val dirAbs = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    val (sidecar, data) = scans.toSeq.partition(
+      _.relation.location.rootPaths.exists(_.toString.contains("/_graft_manifest/")))
+    assert(data.nonEmpty && sidecar.nonEmpty && scans.size == data.size + sidecar.size,
+      s"expected data + sidecar scans only, got ${scans.size}")
+    assert(sidecar.forall(_.relation.location.rootPaths.forall(
+      _.toUri.getPath.contains(s"snapshot-$latest/_dv"))))
+    assert(data.forall(_.relation.location.rootPaths.forall(p =>
+      p.toUri.getPath.startsWith(dirAbs))))
+    // The WHERE pushes into the V1 parquet scan despite the anti-join.
+    assert(data.exists(_.metadata.get("PushedFilters").exists(s =>
+      s.contains("GreaterThanOrEqual(doc_id") || s.contains("LessThanOrEqual(doc_id"))),
+      s"pushdown lost: ${data.map(_.metadata.get("PushedFilters")).mkString}")
+    // Column pruning holds: the read schema stays narrow (requested cols +
+    // the join identity, never the whole row).
+    assert(data.forall(f => !f.schema.fieldNames.contains("text")),
+      s"pruning lost: ${data.map(_.schema.simpleString).mkString}")
+    // Zero-listing posture survives the V1 swap: the swapped relation's
+    // index is the descriptor index when the snapshot carries n_bytes.
+    assert(data.forall(
+      _.relation.location.isInstanceOf[graft.sources.GraftDescriptorFileIndex]),
+      "the V1 swap must keep the manifest-descriptor file index")
   }
 
   test("plan contract: a DV read plans only the data files plus the sidecar") {
