@@ -446,6 +446,76 @@ object SourceQueries {
                    Seq("doc_id", "text", "lang", "source", "n_chars"),
                    "(SELECT d.* FROM documents d, b WHERE d.doc_id NOT BETWEEN b.lo AND b.hi) t")})""".stripMargin)),
 
+    // ---- SQL DELETE in MERGE-ON-READ mode (`SET graft.delete.mode=dv`):
+    //      the statement surface of Layout.deleteRangeDV — the reference's
+    //      delete semantic (TableConnection.php:367-387) arriving as SQL at
+    //      ZERO data files rewritten (mtime-asserted), readable immediately
+    //      via GraftDvReadRule, CDF carrying the DV-only delta, and
+    //      CALL graft.system.compact_deletes folding the vector back into
+    //      data files with content unchanged.
+    Q("sql_dml_dv",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val stage = java.nio.file.Files.createTempDirectory("graft_sql_dmldv").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.repartitionByRange(8, col("doc_id")).write.mode("overwrite").parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        val id1 = graft.ops.Manifest.latestSnapshotId(s, stage).get
+        val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val fs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        def stamps(): Map[String, Long] = {
+          val out = Map.newBuilder[String, Long]
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(stage), true)
+          while (it.hasNext) {
+            val st = it.next()
+            val p = st.getPath.toUri.getPath
+            if (st.getPath.getName.startsWith("part-") && !p.contains("_graft"))
+              out += p -> st.getModificationTime
+          }
+          out.result()
+        }
+        val before = stamps()
+        s.sql("SET graft.delete.mode=dv")
+        try {
+          s.sql(s"DELETE FROM graft.`$stage` " +
+            s"WHERE doc_id BETWEEN ${mx / 4} AND ${mx / 2}")
+          s.sql(s"DELETE FROM graft.`$stage` WHERE doc_id < ${mx / 8}")
+        } finally s.sql("SET graft.delete.mode=cow")
+        val zeroTouched = stamps() == before
+        val id2 = graft.ops.Manifest.latestSnapshotId(s, stage).get
+        val dvPresent = graft.ops.Manifest.hasDv(s, stage, id2)
+        // CDF across the two DV-only commits: deletes only, exact count.
+        val feed = graft.ops.Manifest.changesBetween(s, stage, id1, id2)
+        val nDel = feed.filter(col("change") === "delete").count()
+        val cdfOk = feed.filter(col("change") === "insert").count() == 0L
+        // Read-before-fold (the DV rule), then fold and re-read: identical.
+        val fpBefore = graft.functions.Hashing.multisetFingerprintAgg(
+          s.sql(s"SELECT * FROM graft.`$stage`"), docCols).head().getString(0)
+        val folded = s.sql(s"CALL graft.system.compact_deletes('$stage')")
+          .head().getLong(0) > 0L
+        val noDvAfter = !graft.ops.Manifest.hasDv(s, stage,
+          graft.ops.Manifest.latestSnapshotId(s, stage).get)
+        graft.functions.Hashing.multisetFingerprintAgg(
+            s.sql(s"SELECT * FROM graft.`$stage`"), docCols)
+          .withColumn("same_before_fold", lit(fpBefore) === col("fingerprint"))
+          .withColumn("rows_cdf_deleted", lit(nDel))
+          .withColumn("zero_files_touched", lit(zeroTouched && dvPresent))
+          .withColumn("cdf_ok", lit(cdfOk))
+          .withColumn("folded", lit(folded && noDvAfter))
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) // 8 AS l8, max(doc_id) // 4 AS lo,
+               |                  max(doc_id) // 2 AS hi FROM documents)
+               |SELECT *, true AS same_before_fold,
+               | (SELECT count(*) FROM documents, b
+               |   WHERE doc_id BETWEEN b.lo AND b.hi OR doc_id < b.l8)::BIGINT AS rows_cdf_deleted,
+               | true AS zero_files_touched, true AS cdf_ok, true AS folded FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"),
+                   ("(SELECT d.* FROM documents d, b WHERE d.doc_id NOT BETWEEN b.lo AND b.hi " +
+                    "AND d.doc_id >= b.l8) t"))})""".stripMargin)),
+
     // ---- copy-on-write DELETE on a HIVE-PARTITIONED table: the
     //      per-partition commit — survivors staged in hive layout, doomed
     //      originals retained at their k=v relative paths, FILE-level

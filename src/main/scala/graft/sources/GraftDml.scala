@@ -172,8 +172,29 @@ final class GraftMutableTable(
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     rangeOf(filters).isDefined || partitionDropOf(filters).isDefined
 
+  /** The write path a range `DELETE FROM` takes, per the session conf
+    * `graft.delete.mode` (`SET graft.delete.mode = dv` from SQL):
+    * `cow` (default) rewrites exactly the overlapping files
+    * ([[Layout.deleteRange]]); `dv` appends the doomed positions to the
+    * snapshot's deletion-vector sidecar ([[Layout.deleteRangeDV]]) —
+    * ZERO data files rewritten, the right mode for frequent small CDC
+    * deletes (write amplification returns only at the fold,
+    * `CALL graft.system.compact_deletes`). Readable either way:
+    * [[GraftDvReadRule]] serves DV-bearing snapshots to SQL. Partition
+    * drops stay pure-metadata regardless (cheaper than both).
+    */
+  private def deleteMode: String =
+    spark.conf.get("graft.delete.mode", "cow").trim.toLowerCase match {
+      case m @ ("cow" | "dv") => m
+      case other => throw new IllegalArgumentException(
+        s"graft.delete.mode must be `cow` (copy-on-write rewrite) or `dv` " +
+          s"(merge-on-read deletion vector), got `$other`")
+    }
+
   override def deleteWhere(filters: Array[Filter]): Unit =
     rangeOf(filters) match {
+      case Some((keyCol, lo, hi)) if deleteMode == "dv" =>
+        Layout.deleteRangeDV(spark, tableRoot, keyCol, lo, hi): Unit
       case Some((keyCol, lo, hi)) =>
         Layout.deleteRange(spark, tableRoot, keyCol, lo, hi): Unit
       case None => partitionDropOf(filters) match {

@@ -54,6 +54,28 @@ class SqlDmlSpec extends SparkSpec {
     assert(Manifest.isComplete(spark, dir))
   }
 
+  test("DELETE FROM under graft.delete.mode=dv: zero rewrites, readable, typed mode check") {
+    val dir = stage("dml_dv")
+    val docs = spark.read.parquet(dir)
+    val expected = fp(docs.filter(!col("doc_id").between(100L, 199L)))
+    val nExpected = docs.filter(!col("doc_id").between(100L, 199L)).count()
+    spark.sql("SET graft.delete.mode=dv")
+    try {
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id BETWEEN 100 AND 199")
+    } finally spark.sql("SET graft.delete.mode=cow")
+    val latest = Manifest.latestSnapshotId(spark, dir).get
+    assert(Manifest.hasDv(spark, dir, latest),
+      "dv mode must land as a deletion vector, not a COW rewrite")
+    // SQL read applies the vector immediately (GraftDvReadRule).
+    val got = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(got.count() == nExpected && fp(got) == expected)
+    // A bogus mode is refused typed before anything runs.
+    spark.sql("SET graft.delete.mode=sideways")
+    try intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id BETWEEN 0 AND 9")
+    } finally spark.sql("SET graft.delete.mode=cow")
+  }
+
   test("DELETE FROM without a targetable range is refused typed (never a hidden full rewrite)") {
     val dir = stage("dml_delete_bad")
     val before = fp(spark.read.parquet(dir))
