@@ -993,6 +993,17 @@ object Layout {
     val f = Manifest.files(spark, path)
     val total = f.count().toInt
     if (nDelta == 0) return MergeResult(0, total, 0L, 0L)
+    // Same typed broadcast bound as mergeRowLevel: the delta's key set
+    // broadcasts into the pick/match/anti joins below — a table-sized
+    // delta must fail with guidance, not OOM the broadcast.
+    val maxKeys = spark.conf.get("graft.merge.maxSourceKeys", "10000000").toLong
+    if (nDelta > maxKeys)
+      throw new IllegalArgumentException(
+        s"mergeKeyed($path): the delta carries $nDelta rows — above " +
+          s"graft.merge.maxSourceKeys=$maxKeys. The keyed merge broadcasts " +
+          "its delta keys (delta-sized by contract); for table-sized " +
+          "reconciliation use the sync engine's diff path " +
+          "(graft.sync.SyncEngine / Differ), which shuffles instead")
     // SQL UPDATE only: a matched row with a NULL merge key cannot be
     // REPLACED by the keyed upsert (NULL joins nothing — the original would
     // survive AND the updated copy would append: silent duplication).
@@ -1088,29 +1099,37 @@ object Layout {
     * journaled COW commit as [[mergeKeyed]]. The CLAUSE SEMANTICS live in
     * the caller's pure frame computation; this function owns everything
     * stateful: the table lock, crash healing, manifest targeting (a file
-    * is read or rewritten only if SOME source key falls inside its
-    * [min, max] — files without matched keys never plan), verification,
-    * and the commit. The reference's keyed-delete semantic
-    * (TableConnection.php:367-387) reaches SQL through exactly this path
-    * (`WHEN MATCHED THEN DELETE`).
+    * is read or rewritten only if SOME source key falls inside the
+    * [min, max] of the LEADING key column — files without matched keys
+    * never plan), verification, and the commit. The reference's
+    * keyed-delete semantic (TableConnection.php:367-387) reaches SQL
+    * through exactly this path (`WHEN MATCHED THEN DELETE`).
     *
-    *   - `sourceKeys`: ONE long column `__k` — the source join keys in the
-    *     manifest's stat domain ([[orderedLongOf]]); NULLs are dropped here
+    * Keys may be COMPOSITE (the reference's PK is a column list,
+    * TableConnection.php:635-656; the sync core carries `Seq[String]`
+    * keys end-to-end, Differ): row identity is the TUPLE of `keyCols`
+    * values; file targeting uses `keyCols.head`'s manifest stats (the
+    * leading column prunes exactly as a prefix index does — trailing
+    * columns refine identity, not targeting).
+    *
+    *   - `sourceKeys`: the source join keys as RAW-TYPED columns named
+    *     exactly `keyCols`; rows with ANY NULL component are dropped here
     *     (a NULL key matches no row, so it cannot pick files).
     *   - `compute(picked)`: given the manifest-picked target rows (table
     *     schema, snapshot-pinned), returns `(upserts, deleteKeys)` — the
     *     full-schema rows to land (matched UPDATE results + NOT MATCHED
-    *     inserts) and a one-column `__k` frame of stat-domain keys to drop
+    *     inserts) and a `keyCols`-schema frame of key tuples to drop
     *     (matched DELETEs). Verified here: upsert keys unique (at most one
     *     action row per key) and disjoint from the delete keys, and the
     *     table key-unique over every affected key — the same ambiguity
     *     guards [[mergeKeyed]] enforces.
     */
-  def mergeRowLevel(spark: SparkSession, path: String, keyCol: String,
+  def mergeRowLevel(spark: SparkSession, path: String, keyCols: Seq[String],
                     sourceKeys: org.apache.spark.sql.DataFrame,
                     pickAll: Boolean = false)(
       compute: org.apache.spark.sql.DataFrame =>
         (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)): MergeRowResult = {
+    require(keyCols.nonEmpty, "mergeRowLevel needs at least one key column")
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     FsMaint.withTableLock(fs, path) {
       healDelete(spark, path)
@@ -1119,22 +1138,43 @@ object Layout {
         throw new IllegalArgumentException(
           s"mergeRowLevel($path) needs a manifest snapshot (Manifest.create) — " +
             "per-file stats are what make the merge targeted"))
-      require(keys.contains(keyCol),
-        s"manifest has no stats for $keyCol (has: ${keys.mkString(", ")})")
+      // File targeting prunes on ONE component's [min, max]: the first
+      // stats-covered key column (ON order) — the others refine identity.
+      val keyCol = keyCols.find(keys.contains).getOrElse(
+        throw new IllegalArgumentException(
+          s"manifest has stats for none of (${keyCols.mkString(", ")}) " +
+            s"(has: ${keys.mkString(", ")}) — at least one merge-key " +
+            "component must be a stats key, or every file would plan"))
       Manifest.requireComplete(spark, path)
       val f = Manifest.files(spark, path)
       val total = f.count().toInt
+      val kCols = keyCols.map(col)
+      def allNotNull(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        d.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
       // Small by contract (delta-sized); materialized once for the pick
       // join and the uniqueness checks below.
-      val sk = sourceKeys.select(col("__k")).filter(col("__k").isNotNull)
+      val sk = allNotNull(sourceKeys.select(kCols: _*))
         .distinct().localCheckpoint(true)
+      // The contract is TYPED, not hoped-for: the key set broadcasts (the
+      // stats pick join and every identity join below), so a table-sized
+      // MERGE source must fail with guidance, not OOM the broadcast.
+      // Bound configurable per session (`graft.merge.maxSourceKeys`).
+      val maxKeys = spark.conf.get("graft.merge.maxSourceKeys", "10000000").toLong
+      val nSk = sk.count()
+      if (nSk > maxKeys)
+        throw new IllegalArgumentException(
+          s"mergeRowLevel($path): the MERGE source carries $nSk distinct " +
+            s"keys — above graft.merge.maxSourceKeys=$maxKeys. The keyed " +
+            "merge broadcasts its source key set (delta-sized by contract); " +
+            "for table-sized reconciliation use the sync engine's diff path " +
+            "(graft.sync.SyncEngine / Differ), which shuffles instead")
       // `pickAll` = the WHEN NOT MATCHED BY SOURCE shape: un-matched target
       // rows can live in ANY file, so the whole table plans — semantically
       // required, not a lost optimization (callers keep the targeted pick
       // whenever no BY SOURCE clause exists).
       val picked =
         (if (pickAll) f.select("file")
-         else f.join(broadcast(sk),
+         else f.join(broadcast(sk.select(orderedLong(keyCol, sk).as("__k"))),
            col("__k").between(col(s"min_$keyCol"), col(s"max_$keyCol")), "left_semi")
            .select("file"))
         .collect().map(_.getString(0)).toIndexedSeq
@@ -1156,22 +1196,22 @@ object Layout {
       // the COW machinery below speaks physical.
       val (upserts0, delKeys0) = compute(toLogicalDf(pickedDf, phys))
       val upserts = toPhysicalDf(upserts0, phys).localCheckpoint(true)
-      val delKeys = delKeys0.select(col("__k")).filter(col("__k").isNotNull)
+      val delKeys = allNotNull(delKeys0.select(kCols: _*))
         .distinct().localCheckpoint(true)
       try {
         // Upsert-key stats in one job (NULL keys group as one — the same
         // at-most-one-action-row-per-key contract as mergeKeyed's delta).
-        val kUp = orderedLongOf(col(keyCol), upserts.schema(keyCol).dataType, keyCol)
-        val uStats = upserts.groupBy(kUp.as("__k")).count()
+        val uStats = upserts.groupBy(kCols: _*).count()
           .agg(coalesce(sum("count"), lit(0L)), count(lit(1))).head
         val nUp = uStats.getLong(0)
         require(uStats.getLong(1) == nUp,
-          s"MERGE produced more than one action row for some $keyCol — " +
-            "replace would be ambiguous")
-        val upKeys = upserts.select(kUp.as("__k")).filter(col("__k").isNotNull)
-        require(upKeys.join(broadcast(delKeys), Seq("__k"), "left_semi").isEmpty,
-          s"MERGE resolved some $keyCol to BOTH an update and a delete — " +
-            "clause conditions must pick one action per matched row")
+          s"MERGE produced more than one action row for some " +
+            s"(${keyCols.mkString(", ")}) — replace would be ambiguous")
+        val upKeys = allNotNull(upserts.select(kCols: _*))
+        require(upKeys.join(broadcast(delKeys), keyCols, "left_semi").isEmpty,
+          s"MERGE resolved some (${keyCols.mkString(", ")}) to BOTH an " +
+            "update and a delete — clause conditions must pick one action " +
+            "per matched row")
         val nDel = delKeys.count()
         if (nUp == 0 && nDel == 0) return MergeRowResult(0, total, 0L, 0L, 0L)
         if (picked.isEmpty) {
@@ -1201,27 +1241,29 @@ object Layout {
         val (commitPicked, commitDf) =
           if (!pickAll) (picked, pickedDf)
           else {
-            val affected = tagged.select("__k").localCheckpoint(true)
-            val p2 = f.join(broadcast(affected),
-                col("__k").between(col(s"min_$keyCol"), col(s"max_$keyCol")),
-                "left_semi")
-              .select("file").collect().map(_.getString(0)).toIndexedSeq
-            (p2, if (p2.nonEmpty) readPickedPinned(spark, path, p2)
-                 else pickedDf.limit(0))
+            val affected = tagged
+              .select(orderedLong(keyCol, tagged).as("__k")).localCheckpoint(true)
+            try {
+              val p2 = f.join(broadcast(affected),
+                  col("__k").between(col(s"min_$keyCol"), col(s"max_$keyCol")),
+                  "left_semi")
+                .select("file").collect().map(_.getString(0)).toIndexedSeq
+              (p2, if (p2.nonEmpty) readPickedPinned(spark, path, p2)
+                   else pickedDf.limit(0))
+            } finally Caching.release(affected)
           }
-        val kPicked = orderedLong(keyCol, commitDf)
-        val mStats = commitDf.select(kPicked.as("__pk"))
-          .join(broadcast(tagged), col("__pk") === col("__k"))
-          .groupBy(col("__k"), col("__a")).count()
+        val mStats = commitDf.select(kCols: _*)
+          .join(broadcast(tagged), keyCols)
+          .groupBy((kCols :+ col("__a")): _*).count()
           .agg(coalesce(sum(when(col("__a") === "u", col("count"))), lit(0L)),
                coalesce(sum(when(col("__a") === "d", col("count"))), lit(0L)),
                coalesce(sum(when(col("count") > 1, lit(1))), lit(0L))).head
         val updated = mStats.getLong(0)
         val deleted = mStats.getLong(1)
         require(mStats.getLong(2) == 0,
-          s"mergeRowLevel($path): $keyCol is not unique among affected rows — " +
-            "a keyed replace/delete would silently drop duplicate-key " +
-            "siblings; dedup the table first")
+          s"mergeRowLevel($path): (${keyCols.mkString(", ")}) is not unique " +
+            "among affected rows — a keyed replace/delete would silently " +
+            "drop duplicate-key siblings; dedup the table first")
         if (commitPicked.isEmpty) {
           // pickAll narrowed to nothing: only out-of-range inserts (rare) —
           // land them as a plain append instead of an empty replace.
@@ -1237,7 +1279,7 @@ object Layout {
           return MergeRowResult(0, total, 0L, 0L, nUp)
         }
         val survivors = commitDf
-          .join(broadcast(tagged.select("__k")), kPicked === col("__k"), "left_anti")
+          .join(broadcast(tagged.select(kCols: _*)), keyCols, "left_anti")
           .unionByName(upserts)
         val stage = path + (if (partitioned) PartStageSuffix else "__delnew")
         FsMaint.deleteRecursively(fs, new Path(stage))

@@ -516,6 +516,80 @@ object SourceQueries {
                    ("(SELECT d.* FROM documents d, b WHERE d.doc_id NOT BETWEEN b.lo AND b.hi " +
                     "AND d.doc_id >= b.l8) t"))})""".stripMargin)),
 
+    // ---- COMPOSITE-KEY MERGE INTO: ON is a conjunction of equalities over
+    //      (doc_id, lang) — tuple row identity (the reference's PK is a
+    //      composite column list, TableConnection.php:635-656), file
+    //      targeting on the stats-covered component's [min, max]. A probe
+    //      row sharing doc_id but not lang must NOT match (it inserts);
+    //      matched tuples take conditional DELETE / partial UPDATE. Gate:
+    //      final fingerprint ≡ DuckDB's replay of the clause semantics,
+    //      exact per-action counts, strict-subset rewrite.
+    Q("sql_merge_composite",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val stage = java.nio.file.Files.createTempDirectory("graft_sql_cmrg").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.repartitionByRange(8, col("doc_id")).write.mode("overwrite").parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val (u8, q4) = (mx / 8, mx / 4)
+        val srcCols = Seq(col("doc_id"), col("lang"), col("n_chars").as("nc"))
+        // u: matched tuples → partial UPDATE; d: matched tuples → DELETE;
+        // zz: doc_id in range but lang never matches → INSERT; n: new ids.
+        val delta = docs.filter(col("doc_id") < u8)
+          .select(srcCols :+ lit("u").as("mark"): _*)
+          .unionByName(docs.filter(col("doc_id").between(q4, q4 + u8 - 1))
+            .select(srcCols :+ lit("d").as("mark"): _*))
+          .unionByName(docs.filter(col("doc_id").between(3 * mx / 8, 3 * mx / 8 + 19))
+            .withColumn("lang", lit("zz"))
+            .select(srcCols :+ lit("u").as("mark"): _*))
+          .unionByName(docs.filter(col("doc_id") < 10)
+            .withColumn("doc_id", col("doc_id") + mx + 1)
+            .select(srcCols :+ lit("u").as("mark"): _*))
+        delta.createOrReplaceTempView("sql_cmrg_delta")
+        val total = graft.ops.Manifest.files(s, stage).count().toInt
+        val m = s.sql(
+          s"""MERGE INTO graft.`$stage` t USING sql_cmrg_delta s
+             |ON t.doc_id = s.doc_id AND t.lang = s.lang
+             |WHEN MATCHED AND s.mark = 'd' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET n_chars = s.nc + 7, source = 'cupd'
+             |WHEN NOT MATCHED THEN INSERT (doc_id, lang, source, n_chars)
+             |  VALUES (s.doc_id, s.lang, 'cins', s.nc)""".stripMargin).head()
+        graft.functions.Hashing.multisetFingerprintAgg(s.read.parquet(stage), docCols)
+          .withColumn("rows_updated", lit(m.getLong(m.fieldIndex("rows_updated"))))
+          .withColumn("rows_deleted", lit(m.getLong(m.fieldIndex("rows_deleted"))))
+          .withColumn("rows_inserted", lit(m.getLong(m.fieldIndex("rows_inserted"))))
+          .withColumn("targeted",
+            lit(m.getInt(m.fieldIndex("files_rewritten")) > 0 &&
+              m.getInt(m.fieldIndex("files_rewritten")) < total))
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) // 8 AS u8, max(doc_id) // 4 AS q4,
+               |                  3 * max(doc_id) // 8 AS z1,
+               |                  3 * max(doc_id) // 8 + 19 AS z2,
+               |                  max(doc_id) AS mx FROM documents),
+               | final AS (
+               |  SELECT d.doc_id, d.text, d.lang,
+               |    CASE WHEN d.doc_id < b.u8 THEN 'cupd' ELSE d.source END AS source,
+               |    CASE WHEN d.doc_id < b.u8 THEN d.n_chars + 7 ELSE d.n_chars END AS n_chars
+               |  FROM documents d, b
+               |  WHERE d.doc_id NOT BETWEEN b.q4 AND b.q4 + b.u8 - 1
+               |  UNION ALL
+               |  SELECT doc_id, NULL, 'zz', 'cins', n_chars
+               |   FROM documents, b WHERE doc_id BETWEEN b.z1 AND b.z2
+               |  UNION ALL
+               |  SELECT doc_id + b.mx + 1, NULL, lang, 'cins', n_chars
+               |   FROM documents, b WHERE doc_id < 10)
+               |SELECT *,
+               | (SELECT count(*) FROM documents, b WHERE doc_id < b.u8)::BIGINT AS rows_updated,
+               | (SELECT count(*) FROM documents, b
+               |   WHERE doc_id BETWEEN b.q4 AND b.q4 + b.u8 - 1)::BIGINT AS rows_deleted,
+               | (SELECT count(*) + 10 FROM documents, b
+               |   WHERE doc_id BETWEEN b.z1 AND b.z2)::BIGINT AS rows_inserted,
+               | true AS targeted FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "final t")})""".stripMargin)),
+
     // ---- copy-on-write DELETE on a HIVE-PARTITIONED table: the
     //      per-partition commit — survivors staged in hive layout, doomed
     //      originals retained at their k=v relative paths, FILE-level

@@ -117,22 +117,34 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           "THEN INSERT clauses, and [conditional] WHEN NOT MATCHED BY " +
           "SOURCE THEN UPDATE / DELETE clauses (target-only scope)")))
 
-  /** The merge key: ON must be one equality between a target attribute and
-    * a source attribute (the key identity the keyed COW machinery replaces
-    * rows on). Returns (targetKeyAttr, sourceKeyAttr).
+  /** The merge key: ON must be a conjunction of equalities, each between
+    * one target attribute and one source attribute — the (possibly
+    * COMPOSITE) key identity the keyed COW machinery replaces rows on
+    * (the reference's PK is a column list, TableConnection.php:635-656).
+    * Returns the (targetKeyAttr, sourceKeyAttr) pairs in ON order;
+    * duplicate target columns and non-equality shapes fail typed.
     */
-  private def keyOf(m: MergeIntoTable,
-                    r: DataSourceV2Relation): (AttributeReference, AttributeReference) =
-    m.mergeCondition match {
+  private def keyOf(m: MergeIntoTable, r: DataSourceV2Relation)
+      : Seq[(AttributeReference, AttributeReference)] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, rr) => conjuncts(l) ++ conjuncts(rr)
+      case other => Seq(other)
+    }
+    val pairs = conjuncts(m.mergeCondition).map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if r.outputSet.contains(a) && m.sourceTable.outputSet.contains(b) =>
         (a, b)
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if r.outputSet.contains(b) && m.sourceTable.outputSet.contains(a) =>
         (b, a)
-      case other => fail(s"ON condition must be a single target-key = " +
+      case other => fail(s"every ON conjunct must be a target-key = " +
         s"source-key equality, got ${other.sql}")
     }
+    if (pairs.map(_._1.name).distinct.length != pairs.length)
+      fail(s"ON binds a target column more than once: " +
+        pairs.map(_._1.name).mkString(", "))
+    pairs
+  }
 
   /** Per-target-column replacement expressions (over SOURCE attributes
     * only), recovered from one action's assignments — or None for a
@@ -181,7 +193,10 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
       case (Seq(u), Seq(i), Seq()) if u.condition.isEmpty && i.condition.isEmpty =>
         try {
-          val keyCol = keyOf(m, r)._1.name
+          val keyCol = keyOf(m, r) match {
+            case Seq((t, _)) => t.name
+            case _ => fail("composite ON keys route to the row-level rewrite")
+          }
           val targetCols = r.output
           val upd = replacementsOf(u, targetCols, m.sourceTable)
           val ins = replacementsOf(i, targetCols, m.sourceTable)
@@ -221,7 +236,7 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def rewriteGeneral(m: MergeIntoTable, r: DataSourceV2Relation,
                              tbl: GraftMutableTable): LogicalPlan = {
-    val (tKey, sKey) = keyOf(m, r)
+    val keyPairs = keyOf(m, r)
     val targetCols = r.output
     val sourceByName = m.sourceTable.output.map(a => a.name -> (a: Expression)).toMap
     val bothSets = r.outputSet ++ m.sourceTable.outputSet
@@ -256,14 +271,17 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             fail(s"unsupported WHEN MATCHED action ${other.getClass.getSimpleName}")
         }
       }
-    // The merge key is row identity: reassigning it is a delete+insert in
-    // disguise. Allowed only when the assigned value IS the source key —
-    // a no-op under the ON equality (the SET * shape).
+    // The merge key is row identity: reassigning any component is a
+    // delete+insert in disguise. Allowed only when the assigned value IS
+    // that component's source key — a no-op under the ON equality (the
+    // SET * shape).
     matched.foreach {
-      case (_, Some(repl)) => repl.get(tKey.name).foreach { v =>
-        if (!v.semanticEquals(sKey))
-          fail(s"UPDATE must not assign the merge key `${tKey.name}` — a key " +
-            "change is a DELETE + INSERT, not an in-place update")
+      case (_, Some(repl)) => keyPairs.foreach { case (tKey, sKey) =>
+        repl.get(tKey.name).foreach { v =>
+          if (!v.semanticEquals(sKey))
+            fail(s"UPDATE must not assign the merge key `${tKey.name}` — a key " +
+              "change is a DELETE + INSERT, not an in-place update")
+        }
       }
       case _ => ()
     }
@@ -289,15 +307,15 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case DeleteAction(cond) => (cond, None)
           case UpdateAction(cond, assigns, _) =>
             val mp = assignMap(assigns, r.outputSet, "BY SOURCE UPDATE")
-            if (mp.contains(tKey.name))
-              fail(s"BY SOURCE UPDATE must not assign the merge key `${tKey.name}`")
+            keyPairs.find(p => mp.contains(p._1.name)).foreach(p =>
+              fail(s"BY SOURCE UPDATE must not assign the merge key `${p._1.name}`"))
             (cond, Some(mp))
           case other => fail("unsupported WHEN NOT MATCHED BY SOURCE action " +
             other.getClass.getSimpleName)
         }
       }
-    GraftMergeRowCommand(tbl.tableRoot, tKey.name, targetCols, m.sourceTable,
-      m.mergeCondition, tKey, sKey, matched, notMatched, bySource)
+    GraftMergeRowCommand(tbl.tableRoot, targetCols, m.sourceTable,
+      m.mergeCondition, keyPairs, matched, notMatched, bySource)
   }
 }
 
@@ -351,15 +369,17 @@ final case class GraftMergeIntoCommand(path: String, keyCol: String,
   * plan is executed as analyzed).
   */
 final case class GraftMergeRowCommand(
-    path: String, keyCol: String,
+    path: String,
     targetOutput: Seq[Attribute],
     source: LogicalPlan,
     mergeCondition: Expression,
-    targetKey: AttributeReference, sourceKey: AttributeReference,
+    keyPairs: Seq[(AttributeReference, AttributeReference)],
     matched: Seq[(Option[Expression], Option[Map[String, Expression]])],
     notMatched: Seq[(Option[Expression], Map[String, Expression])],
     bySource: Seq[(Option[Expression], Option[Map[String, Expression]])] = Nil)
   extends LeafRunnableCommand {
+
+  private def keyCols: Seq[String] = keyPairs.map(_._1.name)
 
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
 
@@ -375,9 +395,11 @@ final case class GraftMergeRowCommand(
     val srcDf = ColumnShim.ofRows(session, source).localCheckpoint(true)
     var acted: List[org.apache.spark.sql.DataFrame] = Nil
     try {
-      val sourceKeys = srcDf.select(Layout.orderedLongOf(
-        ColumnShim.column(sourceKey), sourceKey.dataType, sourceKey.name).as("__k"))
-      val res = Layout.mergeRowLevel(session, path, keyCol, sourceKeys,
+      // Source key tuples under the TARGET key names (mergeRowLevel's
+      // composite-key contract; raw-typed — identity, not stat domain).
+      val sourceKeys = srcDf.select(keyPairs.map { case (tk, sk) =>
+        ColumnShim.column(sk).as(tk.name) }: _*)
+      val res = Layout.mergeRowLevel(session, path, keyCols, sourceKeys,
         pickAll = bySource.nonEmpty) { picked =>
         val pickedAttrs = picked.queryExecution.analyzed.output
           .map(a => a.name -> (a: Attribute)).toMap
@@ -400,6 +422,20 @@ final case class GraftMergeRowCommand(
         val pairs = picked.join(srcDf, c(rb(mergeCondition)), "inner")
           .withColumn("__action", action).localCheckpoint(true)
         acted = pairs :: acted
+        // SQL MERGE cardinality (the standard's, and Delta/Iceberg's): a
+        // target row matched by MORE THAN ONE source row must not resolve
+        // to any action — which source row "wins" would be arbitrary.
+        // Pairs that all resolve to no clause (action -1) are fine.
+        if (matched.nonEmpty) {
+          val tKeyCols = keyPairs.map(p => c(bind(p._1.exprId)))
+          val viol = pairs.groupBy(tKeyCols: _*)
+            .agg(count(lit(1)).as("__n"), max(col("__action")).as("__ma"))
+            .filter(col("__n") > 1 && col("__ma") >= 0)
+          require(viol.isEmpty,
+            s"MERGE on $path: some target row matches more than one source " +
+              "row and a WHEN MATCHED clause applies — the standard's " +
+              "cardinality violation; dedup the source on the ON key")
+        }
         val updFrames = matched.zipWithIndex.collect {
           case ((_, Some(repl)), i) =>
             val proj = targetOutput.map { tc =>
@@ -410,12 +446,14 @@ final case class GraftMergeRowCommand(
             }
             pairs.filter(col("__action") === i).select(proj: _*)
         }
+        // Delete-key frames carry the RAW key tuple under the key names
+        // (mergeRowLevel's identity contract).
+        def keyTupleOf(df: org.apache.spark.sql.DataFrame) =
+          df.select(keyPairs.map(p => c(bind(p._1.exprId)).as(p._1.name)): _*)
         val delIdx = matched.zipWithIndex.collect { case ((_, None), i) => i }
         val delKeys =
-          if (delIdx.isEmpty) session.range(0).select(col("id").as("__k"))
-          else pairs.filter(col("__action").isin(delIdx: _*))
-            .select(Layout.orderedLongOf(c(bind(targetKey.exprId)),
-              targetKey.dataType, keyCol).as("__k"))
+          if (delIdx.isEmpty) keyTupleOf(picked).limit(0)
+          else keyTupleOf(pairs.filter(col("__action").isin(delIdx: _*)))
         // NOT MATCHED = source rows with no matching target row among the
         // picked files (non-picked files cannot contain a matching key, by
         // the manifest's range targeting).
@@ -450,11 +488,14 @@ final case class GraftMergeRowCommand(
           // A NULL-key target row is always "not matched by source", but the
           // keyed apply cannot replace or drop it (NULL joins nothing) —
           // acting on one would silently duplicate (UPDATE) or skip (DELETE).
-          require(unmatchedTarget.filter(col("__bsaction") >= 0 &&
-              c(bind(targetKey.exprId)).isNull).isEmpty,
-            s"MERGE BY SOURCE on $path: a clause applies to a NULL-`$keyCol` " +
-              "target row, which a keyed apply cannot replace or drop — " +
-              "exclude NULL keys in the clause condition")
+          val anyKeyNull = keyPairs.map(p => c(bind(p._1.exprId)).isNull)
+            .reduce(_ || _)
+          require(unmatchedTarget.filter(col("__bsaction") >= 0 && anyKeyNull)
+              .isEmpty,
+            s"MERGE BY SOURCE on $path: a clause applies to a target row " +
+              s"with a NULL key component (${keyCols.mkString(", ")}), which " +
+              "a keyed apply cannot replace or drop — exclude NULL keys in " +
+              "the clause condition")
           val upd = bySource.zipWithIndex.collect {
             case ((_, Some(repl)), i) =>
               val proj = targetOutput.map { tc =>
@@ -465,9 +506,8 @@ final case class GraftMergeRowCommand(
           }
           val delIdx2 = bySource.zipWithIndex.collect { case ((_, None), i) => i }
           val del = if (delIdx2.isEmpty) None
-            else Some(unmatchedTarget.filter(col("__bsaction").isin(delIdx2: _*))
-              .select(Layout.orderedLongOf(c(bind(targetKey.exprId)),
-                targetKey.dataType, keyCol).as("__k")))
+            else Some(keyTupleOf(
+              unmatchedTarget.filter(col("__bsaction").isin(delIdx2: _*))))
           (upd, del)
         }
         val upserts = (updFrames ++ insFrames ++ bsUpd).reduceOption(_.unionByName(_))

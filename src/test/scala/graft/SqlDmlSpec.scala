@@ -240,6 +240,95 @@ class SqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("MERGE INTO with a COMPOSITE ON key: tuple identity, multi-clause, typed refusals") {
+    val dir = stage("dml_merge_comp")
+    import spark.implicits._
+    val before = spark.read.parquet(dir)
+    // (doc_id, lang) identity: langOf carries the TRUE lang for matching
+    // rows; the 'zz' probe shares doc_id 102 but not lang → NOT matched.
+    val langOf = before.filter(col("doc_id").isin(100L, 101L, 102L))
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq(
+      (100L, langOf(100L), "u"), // matched tuple → partial UPDATE
+      (101L, langOf(101L), "d"), // matched tuple → DELETE
+      (102L, "zz", "u"),         // same doc_id, wrong lang → INSERT
+      (777777L, "xx", "u")       // new doc_id → INSERT
+    ).toDF("doc_id", "lang", "mark").createOrReplaceTempView("dml_comp_src")
+    val inserted = spark.sql(
+      "SELECT CAST(102 AS BIGINT) AS doc_id, CAST(NULL AS STRING) AS text, " +
+        "'zz' AS lang, 'cins' AS source, CAST(NULL AS BIGINT) AS n_chars " +
+        "UNION ALL SELECT CAST(777777 AS BIGINT), NULL, 'xx', 'cins', NULL")
+    val expected = fp(before.filter(col("doc_id") =!= 101L)
+      .withColumn("source",
+        when(col("doc_id") === 100L, lit("cupd")).otherwise(col("source")))
+      .unionByName(inserted))
+    val res = spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING dml_comp_src s
+         |ON t.doc_id = s.doc_id AND t.lang = s.lang
+         |WHEN MATCHED AND s.mark = 'd' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET source = 'cupd'
+         |WHEN NOT MATCHED THEN INSERT (doc_id, lang, source)
+         |  VALUES (s.doc_id, s.lang, 'cins')""".stripMargin).head()
+    assert(res.getLong(res.fieldIndex("rows_updated")) == 1L &&
+      res.getLong(res.fieldIndex("rows_deleted")) == 1L &&
+      res.getLong(res.fieldIndex("rows_inserted")) == 2L, s"outcome: $res")
+    assert(fp(spark.read.parquet(dir)) == expected)
+    assert(Manifest.isComplete(spark, dir))
+    // Component reassignment is a key change — refused typed.
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING dml_comp_src s
+                   |ON t.doc_id = s.doc_id AND t.lang = s.lang
+                   |WHEN MATCHED THEN UPDATE SET lang = 'yy'""".stripMargin)
+    }
+    // Non-equality conjuncts stay refused typed.
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING dml_comp_src s
+                   |ON t.doc_id = s.doc_id AND t.n_chars > s.doc_id
+                   |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+  }
+
+  test("MERGE cardinality violation: >1 source row per matched target row fails typed") {
+    val dir = stage("dml_merge_card")
+    import spark.implicits._
+    // Two source rows hit target doc_id 100; one resolves to DELETE, the
+    // other to no clause — the standard's cardinality violation (and the
+    // shape a distinct()ed delete-key set would silently accept).
+    Seq((100L, "d"), (100L, "x"), (101L, "d"))
+      .toDF("doc_id", "mark").createOrReplaceTempView("dml_card_src")
+    val ex = intercept[Exception] {
+      spark.sql(s"""MERGE INTO graft.`$dir` t USING dml_card_src s
+                   |ON t.doc_id = s.doc_id
+                   |WHEN MATCHED AND s.mark = 'd' THEN DELETE""".stripMargin)
+    }
+    assert(ex.getMessage.contains("cardinality"), ex.getMessage)
+    // Nothing landed: the violation fails the whole statement.
+    assert(spark.read.parquet(dir).filter(col("doc_id").isin(100L, 101L))
+      .count() == 2L)
+    // Duplicate pairs that ALL resolve to no clause are harmless — no error.
+    val r2 = spark.sql(s"""MERGE INTO graft.`$dir` t USING dml_card_src s
+                          |ON t.doc_id = s.doc_id
+                          |WHEN MATCHED AND s.mark = 'q' THEN DELETE""".stripMargin).head()
+    assert(r2.getLong(r2.fieldIndex("rows_deleted")) == 0L)
+  }
+
+  test("MERGE source above graft.merge.maxSourceKeys is refused typed (broadcast contract)") {
+    val dir = stage("dml_merge_big")
+    import spark.implicits._
+    spark.conf.set("graft.merge.maxSourceKeys", "10")
+    try {
+      Seq.tabulate(25)(i => (i.toLong + 5000000L, "x")).toDF("doc_id", "mark")
+        .createOrReplaceTempView("dml_big_src")
+      val ex = intercept[Exception] {
+        spark.sql(s"""MERGE INTO graft.`$dir` t USING dml_big_src s
+                     |ON t.doc_id = s.doc_id
+                     |WHEN MATCHED THEN DELETE""".stripMargin)
+      }
+      assert(ex.getMessage.contains("maxSourceKeys"), ex.getMessage)
+    } finally spark.conf.unset("graft.merge.maxSourceKeys")
+  }
+
   test("MERGE INTO row-level: matched-DELETE only — the reference's keyed-delete semantic in SQL") {
     val dir = stage("dml_merge_del")
     import spark.implicits._
