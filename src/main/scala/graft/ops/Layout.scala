@@ -955,6 +955,96 @@ object Layout {
                      delta: org.apache.spark.sql.DataFrame): MergeResult =
     mergeKeyedTxn(spark, path, keyCol, delta, Some(txnApp -> txnVersion))
 
+  /** MERGE-ON-READ [[mergeKeyedOnce]] — the exactly-once keyed upsert at
+    * ZERO data files rewritten: matched rows' positions land on the
+    * deletion-vector sidecar, the whole delta appends as new files, and
+    * ONE atomic snapshot commit publishes appended stats + grown vector +
+    * txn ledger entry. The streaming sink's Update mode under
+    * `mergeMode=dv`: per-minute CDC triggers stop paying
+    * file-size × touched-file COW write amplification per batch —
+    * amplification returns only at the fold
+    * ([[compactDeletes]], policy-triggered from the sink or CALL'd).
+    * Same exactly-once contract as the COW variant: a replayed batch at or
+    * below the ledger version returns `MergeResult(-1, …)` untouched; a
+    * crash between computing positions and the commit recomputes
+    * identically on retry (nothing published until the one commit).
+    */
+  def mergeKeyedDvOnce(spark: SparkSession, path: String, keyCol: String,
+                       txnApp: String, txnVersion: Long,
+                       delta0: org.apache.spark.sql.DataFrame): MergeResult = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    FsMaint.withTableLock(fs, path) {
+      healDelete(spark, path)
+      FsMaint.recoverSwap(fs, path)
+      if (Manifest.txnVersion(spark, path, txnApp).exists(_ >= txnVersion))
+        return MergeResult(-1, 0, 0L, 0L)
+      val phys = physMapOf(spark, path)
+      val delta = toPhysicalDf(delta0, phys)
+      val keys = Manifest.currentKeyCols(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"mergeKeyedDvOnce($path) needs a manifest snapshot (Manifest.create) — " +
+            "per-file stats are what make the merge targeted"))
+      require(keys.contains(keyCol),
+        s"manifest has no stats for $keyCol (has: ${keys.mkString(", ")})")
+      Manifest.requireComplete(spark, path)
+      // Same fused delta stats + typed bounds as mergeKeyed.
+      val dStats = delta.groupBy(col(keyCol)).count()
+        .agg(coalesce(sum("count"), lit(0L)), count(lit(1))).head
+      val nDelta = dStats.getLong(0)
+      val f = Manifest.files(spark, path)
+      val total = f.count().toInt
+      if (nDelta == 0) return MergeResult(0, total, 0L, 0L)
+      val maxKeys = spark.conf.get("graft.merge.maxSourceKeys", "10000000").toLong
+      if (nDelta > maxKeys)
+        throw new IllegalArgumentException(
+          s"mergeKeyedDvOnce($path): the delta carries $nDelta rows — above " +
+            s"graft.merge.maxSourceKeys=$maxKeys (the delta keys broadcast); " +
+            "route table-sized reconciliation through the sync diff path")
+      require(dStats.getLong(1) == nDelta,
+        s"delta has duplicate $keyCol values — replace would be ambiguous")
+      val deltaKeys = delta.select(orderedLong(keyCol, delta).as("__k"))
+      val picked = f.join(broadcast(deltaKeys),
+          col("__k").between(col(s"min_$keyCol"), col(s"max_$keyCol")), "left_semi")
+        .select("file").collect().map(_.getString(0)).toIndexedSeq
+      var matched = 0L
+      var doomedCp: Option[org.apache.spark.sql.DataFrame] = None
+      try {
+        val dvCarry: Manifest.DvCarry =
+          if (picked.isEmpty) Manifest.DvInherit // pure insert — vector unchanged
+          else {
+            // Matched old versions become POSITIONS (DV-applied picked read:
+            // already-deleted rows never re-enter, entries stay unique) —
+            // one scan for positions, one for the uniqueness-checked counts,
+            // both limited to the picked files.
+            val pickedDf = readPickedPinned(spark, path, picked)
+            val kPicked = orderedLong(keyCol, pickedDf)
+            val matchedRows = pickedDf
+              .join(broadcast(deltaKeys), kPicked === col("__k"), "left_semi")
+            val doomed = matchedRows
+              .select(Manifest.dvFileName.as("file_name"),
+                col("_metadata.row_index").as("pos"))
+              .localCheckpoint(true)
+            doomedCp = Some(doomed)
+            val mStats = matchedRows.groupBy(kPicked.as("__k")).count()
+              .agg(coalesce(sum("count"), lit(0L)), count(lit(1))).head
+            matched = mStats.getLong(0)
+            require(matched == mStats.getLong(1),
+              s"mergeKeyedDvOnce($path): $keyCol is not unique among matched " +
+                "rows — a keyed replace would silently keep duplicate-key " +
+                "siblings; dedup the table first")
+            if (matched == 0L) Manifest.DvInherit
+            else Manifest.DvExplicit(Manifest.currentDv(spark, path)
+              .fold(doomed)(_.unionByName(doomed)))
+          }
+        // Land the delta as appended files + the ONE atomic commit
+        // (stats + vector + txn). appendOnceDv re-enters the held lock.
+        appendOnceDv(spark, path, txnApp, txnVersion,
+          toLogicalDf(delta, phys), dvCarry): Unit
+        MergeResult(0, total, matched, nDelta - matched)
+      } finally doomedCp.foreach(Caching.release)
+    }
+  }
+
   private def mergeKeyedTxn(spark: SparkSession, path: String, keyCol: String,
                             delta0: org.apache.spark.sql.DataFrame,
                             txn: Option[(String, Long)],
@@ -1520,7 +1610,18 @@ object Layout {
     */
   def appendOnce(spark: SparkSession, path: String, txnApp: String,
                  txnVersion: Long,
-                 data: org.apache.spark.sql.DataFrame): Long = {
+                 data: org.apache.spark.sql.DataFrame): Long =
+    appendOnceDv(spark, path, txnApp, txnVersion, data, Manifest.DvInherit)
+
+  /** [[appendOnce]] with an explicit deletion-vector carry for its single
+    * snapshot commit — the merge-on-read upsert's landing step
+    * ([[mergeKeyedDvOnce]]): appended rows + grown vector + txn entry,
+    * one atomic publish.
+    */
+  private[ops] def appendOnceDv(spark: SparkSession, path: String,
+                                txnApp: String, txnVersion: Long,
+                                data: org.apache.spark.sql.DataFrame,
+                                dv: Manifest.DvCarry): Long = {
     require(txnApp.nonEmpty && !txnApp.exists(c => c == '\n' || c == '\t'),
       s"txnApp must be a non-empty single-line id: `$txnApp`")
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -1620,8 +1721,8 @@ object Layout {
         Manifest.files(spark, path)
           .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
       val rowsBefore = snapshotRows()
-      Manifest.createIncrementalTxn(spark, path,
-        Some(txnApp -> txnVersion), keys: _*): Unit
+      Manifest.createIncrementalDv(spark, path,
+        Some(txnApp -> txnVersion), dv, keys: _*): Unit
       snapshotRows() - rowsBefore
     }
   }

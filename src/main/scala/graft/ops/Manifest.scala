@@ -1250,7 +1250,18 @@ object Manifest {
     */
   def createIncrementalTxn(spark: SparkSession, table: String,
                            txn: Option[(String, Long)],
-                           keyCols: String*): (Int, Int, Int) = {
+                           keyCols: String*): (Int, Int, Int) =
+    createIncrementalDv(spark, table, txn, DvInherit, keyCols: _*)
+
+  /** [[createIncrementalTxn]] with an explicit deletion-vector carry — the
+    * merge-on-read streaming upsert's commit shape: appended files' stats,
+    * the GROWN vector (existing entries ∪ this batch's matched positions),
+    * and the txn ledger entry all publish in ONE atomic snapshot.
+    */
+  private[ops] def createIncrementalDv(spark: SparkSession, table: String,
+                                       txn: Option[(String, Long)],
+                                       dv: DvCarry,
+                                       keyCols: String*): (Int, Int, Int) = {
     require(keyCols.nonEmpty, "need at least one key column")
     val usablePrev = currentKeyCols(spark, table).contains(keyCols.toSeq)
     if (!usablePrev) {
@@ -1301,7 +1312,7 @@ object Manifest {
           allowMissingColumns = true), merged)
       }
     (commitSnapshot(spark, table, stats, schema, basedOn = Some(prevId),
-       txn = txn),
+       txn = txn, dv = dv),
       newPaths.length, removedEnc.length)
   }
 

@@ -812,6 +812,104 @@ object StreamingQueries {
                |${Registry.duckMultisetFingerprint(
                    Seq("doc_id", "text", "lang", "source", "n_chars"), "final t")})""".stripMargin)),
 
+    // ---- MERGE-ON-READ streaming upsert (mergeMode=dv): each Update-mode
+    //      micro-batch lands as deletion-vector positions (matched old
+    //      versions) + appended files (the whole batch) in ONE atomic
+    //      commit — ZERO data files rewritten per trigger, where the COW
+    //      upsert pays file-size × touched-files per batch at minute-level
+    //      CDC cadence. compactDeletesEvery folds the sidecar on a batch
+    //      cadence. Gate: untouched-file mtimes stable across the DV batch,
+    //      vector present before the policy fold and folded after it,
+    //      replay deduped, idle restart silent, final fingerprint ≡ DuckDB
+    //      (same end state as the COW upsert fixture).
+    Q("stream_graft_sink_upsert_dv",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val docs = T(s, dir, "documents").select(docCols.map(col): _*)
+        val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val table = java.nio.file.Files.createTempDirectory("graft_gsdv")
+          .toString + "/documents"
+        docs.filter(col("doc_id") < mx / 2).repartitionByRange(4, col("doc_id"))
+          .write.parquet(table)
+        graft.ops.Manifest.create(s, table, "doc_id")
+        val feed = java.nio.file.Files.createTempDirectory("graft_gsdv_feed").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_gsdv_ck").toString
+        val fs = new org.apache.hadoop.fs.Path(table)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        def stamps(): Map[String, Long] = {
+          val out = Map.newBuilder[String, Long]
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(table), true)
+          while (it.hasNext) {
+            val st = it.next()
+            val p = st.getPath.toUri.getPath
+            if (st.getPath.getName.startsWith("part-") && !p.contains("_graft"))
+              out += p -> st.getModificationTime
+          }
+          out.result()
+        }
+        def runOnce(): Unit = {
+          val q = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(feed)
+            .writeStream.format("graft").outputMode("update")
+            .option("path", table).option("txnAppId", "graft_gsdv_q")
+            .option("mergeKey", "doc_id")
+            .option("mergeMode", "dv")
+            .option("compactDeletesEvery", "2")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        // Batch 0: updates (lowest eighth, 'u:') + inserts (upper half) —
+        // must land as DV + append, existing data files untouched.
+        val before = stamps()
+        docs.filter(col("doc_id") < mx / 8)
+          .withColumn("text", concat(lit("u:"), col("text")))
+          .unionByName(docs.filter(col("doc_id") >= mx / 2))
+          .repartition(1).write.mode("append").parquet(feed)
+        runOnce()
+        val afterB0 = stamps()
+        val zeroRewrites = before.toSet.subsetOf(afterB0.toSet)
+        val dvAfterB0 = graft.ops.Manifest.hasDv(s, table,
+          graft.ops.Manifest.latestSnapshotId(s, table).get)
+        // Batch 1: re-update the lowest sixteenth ('v:') — its matched old
+        // versions live in batch 0's appended files. batchId 1 hits the
+        // compactDeletesEvery=2 cadence → the sidecar folds.
+        docs.filter(col("doc_id") < mx / 16)
+          .withColumn("text", concat(lit("v:"), col("text")))
+          .repartition(1).write.mode("append").parquet(feed)
+        runOnce()
+        val foldedAfterB1 = !graft.ops.Manifest.hasDv(s, table,
+          graft.ops.Manifest.latestSnapshotId(s, table).get)
+        // Replay an already-committed batch id straight at the engine.
+        val deduped = graft.ops.Layout.mergeKeyedDvOnce(
+          s, table, "doc_id", "graft_gsdv_q", 0L, docs.limit(5))
+          .filesRewritten == -1
+        val snapBefore = graft.ops.Manifest.latestSnapshotId(s, table).get
+        runOnce() // idle restart commits nothing
+        val idleSilent =
+          graft.ops.Manifest.latestSnapshotId(s, table).contains(snapBefore)
+        val t = graft.ops.Manifest.readAsOf(s, table,
+          graft.ops.Manifest.latestSnapshotId(s, table).get)
+        val noDups = t.count() == t.select("doc_id").distinct().count()
+        graft.functions.Hashing.multisetFingerprintAgg(t, docCols)
+          .withColumn("zero_rewrites_dv", lit(zeroRewrites && dvAfterB0))
+          .withColumn("policy_folded", lit(foldedAfterB1))
+          .withColumn("replay_deduped", lit(deduped))
+          .withColumn("idle_silent", lit(idleSilent))
+          .withColumn("no_dup_keys", lit(noDups))
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) AS mx FROM documents),
+               | final AS (SELECT doc_id,
+               |   CASE WHEN doc_id < b.mx // 16 THEN 'v:' || text
+               |        WHEN doc_id < b.mx // 8 THEN 'u:' || text
+               |        ELSE text END AS text,
+               |   lang, source, n_chars FROM documents, b)
+               |SELECT *, true AS zero_rewrites_dv, true AS policy_folded,
+               | true AS replay_deduped, true AS idle_silent,
+               | true AS no_dup_keys FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "final t")})""".stripMargin)),
+
     // ---- streaming-source OPTIONS: startingSnapshotId (no initial load —
     //      the Delta startingVersion posture), withChanges (the tagged
     //      row-level feed as a STREAM, deletes included), and

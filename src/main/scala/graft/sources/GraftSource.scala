@@ -124,12 +124,29 @@ final class DefaultSource extends RelationProvider with DataSourceRegister
         require(mergeKey.isDefined,
           "graft sink in Update mode requires option(\"mergeKey\", <stats " +
             "key column>) — each batch row REPLACES the table row with the " +
-            "same key (new keys insert), via the exactly-once keyed COW merge")
+            "same key (new keys insert), via the exactly-once keyed merge")
       case other => throw new IllegalArgumentException(
         s"graft sink supports Append (plain exactly-once appends) and " +
           s"Update with option(\"mergeKey\") (exactly-once keyed upserts); " +
           s"got $other")
     }
+    // Upsert WRITE PATH: `cow` (default) rewrites the matched files per
+    // batch (mergeKeyedOnce); `dv` is merge-on-read — matched positions
+    // land on the deletion-vector sidecar and the batch appends, ZERO data
+    // files rewritten per trigger (mergeKeyedDvOnce). With minute-level
+    // triggers COW pays file-size × touched-files amplification per batch;
+    // dv defers that to the FOLD, policy-triggered every
+    // `compactDeletesEvery` batches (0 = only via CALL compact_deletes).
+    val mergeMode = parameters.getOrElse("mergeMode", "cow").trim.toLowerCase match {
+      case m @ ("cow" | "dv") => m
+      case other => throw new IllegalArgumentException(
+        s"graft sink mergeMode must be `cow` or `dv`, got `$other`")
+    }
+    val compactEvery = parameters.get("compactDeletesEvery").map(_.trim.toInt)
+      .getOrElse(0)
+    require(mergeMode == "dv" || parameters.get("compactDeletesEvery").isEmpty,
+      "graft sink: compactDeletesEvery only applies to mergeMode=dv")
+    require(compactEvery >= 0, "compactDeletesEvery must be >= 0")
     require(partitionColumns.isEmpty,
       "graft sink does not take partitionBy — the table's own layout " +
         "(flat or hive-partitioned at create time) decides where rows land")
@@ -140,7 +157,8 @@ final class DefaultSource extends RelationProvider with DataSourceRegister
         "writer-transaction id batch dedup is keyed on; it must survive " +
         "restarts (a checkpoint-derived default would silently fork the " +
         "ledger when a checkpoint is rebuilt)"))
-    new GraftStreamSink(sqlContext.sparkSession, path, app, mergeKey)
+    new GraftStreamSink(sqlContext.sparkSession, path, app, mergeKey,
+      mergeMode == "dv", compactEvery)
   }
 }
 
@@ -154,7 +172,8 @@ final class DefaultSource extends RelationProvider with DataSourceRegister
   */
 private[sources] final class GraftStreamSink(
     spark: org.apache.spark.sql.SparkSession, path: String, txnApp: String,
-    mergeKey: Option[String] = None)
+    mergeKey: Option[String] = None, dvMode: Boolean = false,
+    compactEvery: Int = 0)
   extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -163,6 +182,15 @@ private[sources] final class GraftStreamSink(
     val batch = org.apache.spark.sql.graftshim.ColumnShim.batchDataFrame(
       spark, data.queryExecution.toRdd, data.schema)
     mergeKey match {
+      case Some(k) if dvMode =>
+        val res = graft.ops.Layout.mergeKeyedDvOnce(
+          spark, path, k, txnApp, batchId, batch)
+        // Policy fold: bound sidecar growth without a second scheduler.
+        // Only after a LIVE (non-replayed) batch, on the batch-id cadence —
+        // replays must stay pure no-ops or restart-recovery would compact.
+        if (compactEvery > 0 && res.filesRewritten != -1 &&
+            (batchId + 1) % compactEvery == 0)
+          graft.ops.Layout.compactDeletes(spark, path): Unit
       case Some(k) =>
         graft.ops.Layout.mergeKeyedOnce(spark, path, k, txnApp, batchId, batch): Unit
       case None =>

@@ -277,6 +277,64 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(fp(spark.read.parquet(dir)) == fp(expected))
   }
 
+  test("mergeKeyedDvOnce: zero rewrites, atomic DV+append+ledger, replay dedup, fold composes") {
+    val dir = tmpDir("gsink_mdv") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.filter(col("doc_id") < 100).repartition(2).write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(): Map[String, Long] = {
+      val out = Map.newBuilder[String, Long]
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      while (it.hasNext) {
+        val f = it.next()
+        val p = f.getPath.toUri.getPath
+        if (f.getPath.getName.startsWith("part-") && !p.contains("_graft"))
+          out += p -> f.getModificationTime
+      }
+      out.result()
+    }
+    val before = dataFiles()
+    val delta = docs.filter(col("doc_id").between(90, 119))
+      .withColumn("source", lit("dvup"))
+    val r1 = Layout.mergeKeyedDvOnce(spark, dir, "doc_id", "mdv", 1L, delta)
+    assert(r1.filesRewritten == 0 && r1.rowsUpdated == 10L &&
+      r1.rowsInserted == 20L, s"$r1")
+    // ZERO data-file rewrites: every pre-existing file untouched, the
+    // batch landed as appended sink files only.
+    assert(before.toSet.subsetOf(dataFiles().toSet),
+      "a DV upsert must not rewrite any existing data file")
+    val latest = Manifest.latestSnapshotId(spark, dir).get
+    assert(Manifest.hasDv(spark, dir, latest), "matched positions → sidecar")
+    // Ledger committed ATOMICALLY with the DV+append snapshot.
+    assert(Manifest.txnVersion(spark, dir, "mdv").contains(1L))
+    val r2 = Layout.mergeKeyedDvOnce(spark, dir, "doc_id", "mdv", 1L, delta)
+    assert(r2.filesRewritten == -1, s"replay must dedup: $r2")
+    // Exact content: matched rows replaced once, inserts once.
+    val expected = docs.filter(col("doc_id") < 90).unionByName(delta)
+    assert(fp(Manifest.readAsOf(spark, dir, latest)) == fp(expected))
+    // A second DV batch whose matches live in the FIRST batch's appended
+    // files; then the targeted fold returns the table to clean parquet
+    // with identical content.
+    val delta2 = docs.filter(col("doc_id").between(110, 114))
+      .withColumn("source", lit("dvup2"))
+    val r3 = Layout.mergeKeyedDvOnce(spark, dir, "doc_id", "mdv", 2L, delta2)
+    assert(r3.filesRewritten == 0 && r3.rowsUpdated == 5L, s"$r3")
+    val expected2 = docs.filter(col("doc_id") < 90).unionByName(
+      delta.filter(!col("doc_id").between(110, 114))).unionByName(delta2)
+    val fpBefore = fp(Manifest.readAsOf(spark, dir,
+      Manifest.latestSnapshotId(spark, dir).get))
+    assert(fpBefore == fp(expected2))
+    assert(Layout.compactDeletes(spark, dir) > 0)
+    val latest3 = Manifest.latestSnapshotId(spark, dir).get
+    assert(!Manifest.hasDv(spark, dir, latest3))
+    assert(fp(spark.read.parquet(dir)) == fpBefore, "fold preserves content")
+    // Ledger survives the fold.
+    assert(Layout.mergeKeyedDvOnce(spark, dir, "doc_id", "mdv", 2L, delta2)
+      .filesRewritten == -1)
+  }
+
   test("sink refusals: non-append mode, partitionBy, missing txnAppId — all typed") {
     val dir = tmpDir("gsink_bad") + "/docs"
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
