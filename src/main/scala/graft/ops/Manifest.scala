@@ -828,6 +828,7 @@ object Manifest {
           "Manifest.create once to record a schema before evolving it"))
     val oldByName = old.fields.map(f => f.name -> f).toMap
     val keys = keyColsOf(spark, table, id)
+    val physMap = physicalNames(spark, table, id)
     newSchema.fields.foreach { f =>
       oldByName.get(f.name) match {
         case Some(o) if o.dataType == f.dataType => ()
@@ -841,6 +842,15 @@ object Manifest {
           if (!f.nullable) throw new IllegalArgumentException(
             s"added column `${f.name}` must be nullable — it is absent " +
               "from every existing file and reads as NULL")
+          // The rename map can hold a LIVE physical name differing from
+          // every logical name: adding a logical column named like another
+          // column's physical storage would make toPhysicalSchema emit two
+          // identical fields — every later pinned read and physical write
+          // of this snapshot would fail on the duplicate. Refuse NOW.
+          physMap.find { case (l, p) => l != f.name && p == f.name }
+            .foreach { case (l, _) => throw new IllegalArgumentException(
+              s"cannot add `${f.name}`: column `$l` is physically stored " +
+                s"under that name (Manifest.renameColumn) — pick another name") }
       }
     }
     val dropped = old.fields.map(_.name).filterNot(n =>
@@ -867,7 +877,7 @@ object Manifest {
     commitSnapshot(spark, table,
       spark.read.parquet(s"${root(table)}/snapshot-$id"), Some(newSchema),
       basedOn = Some(id),
-      physical = Some(physicalNames(spark, table, id)
+      physical = Some(physMap
         .filter { case (l, _) => newSchema.fieldNames.contains(l) }))
   }
 
@@ -948,14 +958,22 @@ object Manifest {
     require(!bloomCols.contains(from),
       s"cannot rename `$from`: the snapshot carries a bloom index on it")
     val fs = fsOf(spark, table)
-    val partCols = fs.listStatus(new Path(table)).collect {
-      case s if s.isDirectory && s.getPath.getName.contains("=") =>
-        s.getPath.getName.takeWhile(_ != '=')
-    }.toSet
+    // The WHOLE k=v chain (multi-level partitioning descends k1=a/k2=b),
+    // not just the top level — a second-level partition column's directory
+    // names are its physical identity exactly like the first's.
+    val partCols = graft.ops.Layout.partitionColsFromDirs(fs, table).toSet
     require(!partCols(from),
       s"cannot rename `$from`: it is a hive partition column (directory " +
         "names are its physical identity)")
     val prevMap = physicalNames(spark, table, id)
+    // `to` must not shadow another column's PHYSICAL storage name either —
+    // toPhysicalSchema would emit duplicate fields (same trap as ADD
+    // COLUMN onto a renamed column's physical name).
+    prevMap.find { case (l, p) => l != from && p == to }.foreach { case (l, _) =>
+      throw new IllegalArgumentException(
+        s"cannot rename `$from` to `$to`: column `$l` is physically stored " +
+          s"under `$to` — pick another name")
+    }
     val newMap = ((prevMap - from) + (to -> prevMap.getOrElse(from, from)))
       .filter { case (l, p) => l != p }
     val newSchema = StructType(old.fields.map(f =>
@@ -1922,12 +1940,16 @@ object Manifest {
     // files added inside the window stay out (those rows were never
     // visible at fromId).
     val dvDeletes: Option[DataFrame] = dvTo.flatMap { t =>
-      val delta = dvFrom.fold(t)(f => t.exceptAll(f)).localCheckpoint(true)
+      // NOT checkpointed: the returned feed has caller-owned lifetime, so
+      // cached blocks would leak; the delta is sidecar-sized over two
+      // IMMUTABLE snapshot dirs — recomputing it inside the feed's own
+      // execution is cheaper than retaining blocks across the session.
+      val delta = dvFrom.fold(t)(f => t.exceptAll(f))
       val commonByName = from.intersect(to).toIndexedSeq
         .map(e => decodePath(e).getName -> e).toMap
       val touched = delta.select("file_name").distinct()
         .collect().map(_.getString(0)).filter(commonByName.contains)
-      if (touched.isEmpty) { graft.ops.Caching.release(delta); None }
+      if (touched.isEmpty) None
       else Some(readFiles(spark, table,
         resolveForRead(spark, table,
           touched.map(commonByName).toIndexedSeq, useTrash = true),

@@ -113,4 +113,42 @@ class RenameSpec extends SparkSpec {
     assert(Manifest.currentPhysicalNames(spark, dir).isEmpty)
     assert(!spark.sql(s"SELECT * FROM graft.`$dir`").columns.contains("text"))
   }
+
+  test("physical-name shadowing: ADD/RENAME onto a renamed column's storage name is refused") {
+    val dir = fixture("rename_shadow")
+    Manifest.renameColumn(spark, dir, "body", "origin") // origin → body on disk
+    // ADD COLUMN `body` would make toPhysicalSchema emit two `body` fields:
+    // every pinned read / physical write of the snapshot would then fail.
+    val exAdd = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN body STRING")
+    }
+    assert(exAdd.getMessage.contains("physically stored"), exAdd.getMessage)
+    // Same trap via RENAME: another column may not take `body` either.
+    val exRen = intercept[Exception] {
+      Manifest.renameColumn(spark, dir, "n", "body")
+    }
+    assert(exRen.getMessage.contains("physically stored"), exRen.getMessage)
+    // The legal sequence still works end to end: rename BACK frees the name.
+    Manifest.renameColumn(spark, dir, "origin", "body")
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN extra STRING")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").columns.toSet ==
+      Set("doc_id", "body", "n", "extra"))
+  }
+
+  test("rename of a SECOND-LEVEL hive partition column is refused (multi-level guard)") {
+    val dir = tmpDir("rename_part2") + "/docs"
+    import spark.implicits._
+    Seq((1L, "a", "x", 1L), (2L, "b", "y", 2L))
+      .toDF("doc_id", "k1", "k2", "n")
+      .write.partitionBy("k1", "k2").parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    val ex1 = intercept[Exception] { Manifest.renameColumn(spark, dir, "k1", "p1") }
+    assert(ex1.getMessage.contains("partition column"), ex1.getMessage)
+    // The old one-level listStatus guard missed exactly this:
+    val ex2 = intercept[Exception] { Manifest.renameColumn(spark, dir, "k2", "p2") }
+    assert(ex2.getMessage.contains("partition column"), ex2.getMessage)
+    // Non-partition columns still rename fine on the partitioned layout.
+    Manifest.renameColumn(spark, dir, "n", "m")
+    assert(spark.read.parquet(dir).columns.contains("n"), "physical unchanged")
+  }
 }
