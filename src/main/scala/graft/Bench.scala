@@ -168,6 +168,34 @@ object Bench {
     }
   }
 
+  /** Spread-aware rerun candidates, RANKED: stable drift first (spread ≤
+    * 25% of the value — best and median moved together, a real slowdown's
+    * signature), then by normalized ratio descending. Fires on the
+    * ratio trigger (tight 1.25× for provably-unchanged queries, 2×
+    * otherwise) OR on stable drift ≥ 1.4× for ANY query — a stable 1.4×
+    * is stronger evidence than a noisy 2.3×, and under the old ratio-only
+    * net it sailed through while the noisy one fired (round-15 verdict).
+    * Returns (name, normalized ratio, spread, stable).
+    */
+  def rerunCandidates(names: Seq[String], results: Map[String, Double],
+                      spreads: Map[String, Double],
+                      prevAdj: Map[String, Double],
+                      tight: Set[String]): Seq[(String, Double, Double, Boolean)] =
+    names.flatMap { name =>
+      prevAdj.get(name).flatMap { p =>
+        val sec = results(name)
+        val spread = spreads.getOrElse(name, 0.0)
+        val ratio = sec / math.max(p, 1e-9)
+        val excess = sec - p
+        val stable = spread <= 0.25 * math.max(sec, 1e-9)
+        val trigger = if (tight(name)) 1.25 else 2.0
+        val ratioFired = ratio > trigger && excess > 0.3
+        val stableFired = stable && ratio > 1.4 && excess > 0.3
+        if (ratioFired || stableFired) Some((name, ratio, spread, stable))
+        else None
+      }
+    }.sortBy { case (_, ratio, _, stable) => (!stable, -ratio) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -360,16 +388,22 @@ object Bench {
     // verdicts' blind band: 1.3-1.7× drifts on untouched queries passed
     // silently under the uniform 2×). Disclosed in the artifact.
     val tight = tightTriggerQueries(roundDiffFiles(), ordered.map(_._1))
-    val flagged2x = ordered.filter { case (name, _) =>
-      val trigger = if (tight(name)) 1.25 else 2.0
-      prevAdj.get(name).exists(p =>
-        results(name) > trigger * p && results(name) - p > 0.3)
+    // Spread-aware candidate selection + RANKING ([[rerunCandidates]]):
+    // stable candidates fire FIRST (right after the quiet gate, the
+    // quietest window); every fired candidate ships with its normalized
+    // ratio and spread ("rerun_candidates"), so the reader can re-rank
+    // without re-running anything.
+    val byName = ordered.toMap
+    val candidates = rerunCandidates(ordered.map(_._1), results.toMap,
+      spreads.toMap, prevAdj, tight)
+    val candidateInfo = candidates.map { case (name, ratio, spread, stable) =>
+      f"""{"query":"$name","ratio":$ratio%.2f,"spread":$spread%.3f,"stable":$stable}"""
     }
-    val rerun2x = if (flagged2x.isEmpty) Vector.empty[String] else {
+    val rerun2x = if (candidates.isEmpty) Vector.empty[String] else {
       gateQuiet()
-      flagged2x.map { case (name, fn) =>
-        val (sec, spread) = timeQuery(name, fn)
-        println(f"""{"query":"$name","sec":$sec%.3f,"spread":$spread%.3f,"rerun_prev2x":true,"prev_adjusted":${prevAdj(name)}%.3f}""")
+      candidates.map { case (name, ratio, _, stable) =>
+        val (sec, spread) = timeQuery(name, byName(name))
+        println(f"""{"query":"$name","sec":$sec%.3f,"spread":$spread%.3f,"rerun_prev2x":true,"prev_adjusted":${prevAdj(name)}%.3f,"ratio":$ratio%.2f,"stable":$stable}""")
         replaceTiming(name, sec, spread)
         name
       }.toVector
@@ -404,10 +438,24 @@ object Bench {
          s""","prev_refs":${prevArts.map(a => graft.util.JsonUtil.quote(a.path)).mkString("[", ",", "]")}"""
        else "") +
       (if (rerun2x.nonEmpty) s""","rerun_prev2x":${rerun2x.map(n => s""""$n"""").mkString("[", ",", "]")}""" else "") +
+      (if (candidateInfo.nonEmpty)
+         s""","rerun_candidates":${candidateInfo.mkString("[", ",", "]")}""" else "") +
       (if (rerunReplaced.nonEmpty)
          rerunReplaced.map { case (k, v) => f""""$k":$v%.3f""" }
            .mkString(""","rerun_replaced":{""", ",", "}")
-       else "")
+       else "") +
+      // Standing disclosures: BENCH_ATTRIBUTIONS.json (when present) rides
+      // into every artifact verbatim — investigated regressions carry
+      // their evidence WITH the numbers, instead of in a side channel the
+      // artifact's reader never sees.
+      (try {
+        val p = java.nio.file.Paths.get("BENCH_ATTRIBUTIONS.json")
+        if (java.nio.file.Files.exists(p)) {
+          val s = java.nio.file.Files.readString(p).trim
+          if (s.startsWith("{") || s.startsWith("[")) s""","attributions":$s"""
+          else ""
+        } else ""
+      } catch { case _: Throwable => "" })
     val line =
       f"""{"metric":"total","value":$total%.3f,"value_first_pass":$totalFirstPass%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"calib_end_sec":$calibEnd%.3f,"calib_scan_sec":$calibScan%.3f,"calib_scan_end_sec":$calibScanEnd%.3f$extraField,"queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: persist the full results line to a file the repo

@@ -67,4 +67,28 @@ class BenchNetSpec extends AnyFunSuite {
     // No git boundary: fail closed, nothing tightened.
     assert(Bench.tightTriggerQueries(None, Seq(someQuery)).isEmpty)
   }
+
+  test("rerun candidates: stable drift outranks noisy ratio; stable 1.4x fires, noisy 1.5x does not") {
+    val names = Seq("stable14", "noisy23", "noisy15", "small", "fine")
+    val prev = Map("stable14" -> 2.0, "noisy23" -> 2.0, "noisy15" -> 2.0,
+      "small" -> 0.05, "fine" -> 2.0)
+    val results = Map(
+      "stable14" -> 3.0, // 1.5x, spread tight → stable-drift trigger fires
+      "noisy23" -> 4.6,  // 2.3x, spread ≈ value → ratio trigger fires, ranked LAST
+      "noisy15" -> 3.0,  // 1.5x, spread ≈ value, file unchanged? not tight → no fire
+      "small" -> 0.2,    // 4x but excess < 0.3s → absolute floor holds
+      "fine" -> 2.1)     // no drift
+    val spreads = Map("stable14" -> 0.1, "noisy23" -> 4.0, "noisy15" -> 2.8,
+      "small" -> 0.0, "fine" -> 0.05)
+    val got = Bench.rerunCandidates(names, results, spreads, prev, tight = Set.empty)
+    assert(got.map(_._1) == Seq("stable14", "noisy23"),
+      s"stable drift first, noisy ratio second, rest quiet: $got")
+    val (_, ratio, spread, stable) = got.head
+    assert(stable && math.abs(ratio - 1.5) < 1e-9 && spread == 0.1)
+    assert(!got(1)._4, "the 2.3x candidate is marked unstable")
+    // The tight (1.25x) band still fires ratio-only for unchanged queries.
+    val tightGot = Bench.rerunCandidates(Seq("noisy15"), results, spreads,
+      prev, tight = Set("noisy15"))
+    assert(tightGot.map(_._1) == Seq("noisy15"))
+  }
 }
