@@ -1727,6 +1727,25 @@ object Layout {
     }
   }
 
+  /** Abandon branch `name`: roll the table back to the branch's FORK
+    * snapshot (`main`'s pinned head) via the journaled COW restore, then
+    * drop the ref — the discard half of the branch lifecycle
+    * ([[graft.ops.Manifest.createBranch]] / `fastForward`). Restore FIRST:
+    * dropping the ref alone would silently fast-forward the branch's
+    * commits into main.
+    */
+  def abandonBranch(spark: SparkSession, path: String,
+                    name: String): RestoreResult = {
+    val (_, fork) = Manifest.currentBranch(spark, path).filter(_._1 == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no active branch `$name` under $path" +
+          Manifest.currentBranch(spark, path)
+            .fold("")(b => s" (active: `${b._1}`)")))
+    val r = restoreSnapshot(spark, path, fork)
+    Manifest.dropBranchRef(spark, path, name): Unit
+    r
+  }
+
   /** Heal an interrupted [[deleteRange]] (see its commit sequence). With no
     * committed journal nothing irreversible happened — stray staging is
     * discarded. With a journal: a LIVE table means the commit reached step

@@ -2055,9 +2055,12 @@ object Manifest {
         }
       }.flatten.sorted
       // A TAGGED snapshot is pinned history (the Iceberg tag-retention
-      // contract): retention counts it but never deletes it.
+      // contract): retention counts it but never deletes it. An active
+      // branch's FORK is pinned the same way — it is `main`'s readable
+      // head until fast-forward/abandon, and the abandon path restores it.
       val pinned: Set[Int] =
-        if (keepTagged) tags(spark, table).values.toSet else Set.empty
+        (if (keepTagged) tags(spark, table).values.toSet else Set.empty) ++
+          currentBranch(spark, table).map(_._2)
       val drop = ids.dropRight(keep).filterNot(pinned)
       drop.foreach(id => FsMaint.deleteRecursively(fs, new Path(s"${root(table)}/snapshot-$id")))
       // keepTagged = false can expire a TAGGED snapshot — its tag must die
@@ -2101,6 +2104,11 @@ object Manifest {
   def tag(spark: SparkSession, table: String, name: String, id: Int): Unit = {
     require(hasSnapshot(spark, table, id),
       s"cannot tag snapshot-$id under $table: not retained")
+    require(currentBranch(spark, table).forall(_._1 != name),
+      s"`$name` is the active BRANCH ref — a tag of the same name would be " +
+        "shadowed by the branch in VERSION AS OF resolution")
+    require(name != "main",
+      "`main` is the implicit trunk ref — it cannot be a tag")
     val fs = fsOf(spark, table)
     val p = tagPath(table, name)
     val tmp = new Path(p.getParent, p.getName + "__tmp")
@@ -2156,4 +2164,91 @@ object Manifest {
     }.distinct.flatMap(name =>
       taggedId(spark, table, name).map(name -> _)).toMap
   }
+
+  // ---- snapshot BRANCH: one WRITABLE ref (the git-checkout posture on a
+  // single physical snapshot chain). [[createBranch]] pins `main` at the
+  // CURRENT snapshot and moves the working head onto the branch: every
+  // later commit — append, DML, layout rewrite — advances the BRANCH
+  // (physically, the latest snapshot), while `VERSION AS OF 'main'` keeps
+  // reading the pinned fork through retained history and
+  // `VERSION AS OF '<branch>'` reads the branch head. [[fastForward]]
+  // merges by METADATA ONLY (main := branch head, ref dropped);
+  // [[graft.ops.Layout.abandonBranch]] rolls the table back to the fork
+  // (COW restore) and drops the ref. ONE active branch at a time: the
+  // format keeps a single physical chain, so branches are SERIALIZED
+  // experiments, not concurrent development lines — the honest contract
+  // for a format whose writers already serialize on the table lock.
+  // Ref file: `_graft_manifest/branch-<name>` holding the FORK id; the
+  // fork is pinned against [[expireSnapshots]] like a tag.
+
+  private def branchPath(table: String, name: String): Path = {
+    require(TagRe.matches(name),
+      s"branch name must match ${TagRe.regex}: `$name`")
+    require(name.toIntOption.isEmpty,
+      s"branch name `$name` would shadow a numeric snapshot id")
+    require(!name.endsWith("__tmp"),
+      s"branch name `$name` ends in `__tmp`, the reserved staging suffix")
+    require(name != "main",
+      "`main` is the implicit trunk ref — it cannot be a branch name")
+    new Path(root(table), s"branch-$name")
+  }
+
+  /** The active branch (name, fork id), or None. */
+  def currentBranch(spark: SparkSession, table: String): Option[(String, Int)] = {
+    val fs = fsOf(spark, table)
+    val r = new Path(root(table))
+    if (!fs.exists(r)) None
+    else fs.listStatus(r).toSeq.collectFirst {
+      case s if s.isFile && s.getPath.getName.startsWith("branch-") =>
+        val in = fs.open(s.getPath)
+        val id = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toInt finally in.close()
+        (s.getPath.getName.stripPrefix("branch-"), id)
+    }
+  }
+
+  /** Fork branch `name` at the latest snapshot; returns the fork id (=
+    * `main`'s pinned head until fast-forward or abandon).
+    */
+  def createBranch(spark: SparkSession, table: String, name: String): Int = {
+    val fs = fsOf(spark, table)
+    val fork = latestId(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"no manifest snapshot under $table — nothing to branch"))
+    currentBranch(spark, table).foreach { case (b, at) =>
+      throw new IllegalArgumentException(
+        s"branch `$b` is already active (forked at snapshot-$at) — one " +
+          "branch at a time: fast_forward or abandon it first (the format " +
+          "keeps a single physical snapshot chain)")
+    }
+    require(taggedId(spark, table, name).isEmpty,
+      s"a tag `$name` exists — the branch would shadow it in VERSION AS OF")
+    // create(overwrite = false): a racing second createBranch loses typed.
+    val out = fs.create(branchPath(table, name), false)
+    try out.write(fork.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fork
+  }
+
+  /** Fast-forward merge: `main` advances to the branch head (pure
+    * metadata — the head IS the physical latest; dropping the ref makes
+    * it the trunk). Returns the new main head id.
+    */
+  def fastForward(spark: SparkSession, table: String, name: String): Int = {
+    currentBranch(spark, table).filter(_._1 == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no active branch `$name` under $table" +
+          currentBranch(spark, table).fold("")(b => s" (active: `${b._1}`)")))
+    val head = latestId(spark, table).get
+    fsOf(spark, table).delete(branchPath(table, name), false): Unit
+    head
+  }
+
+  /** Drop branch `name`'s ref file only — [[graft.ops.Layout.abandonBranch]]
+    * is the public abandon (it restores the fork FIRST; dropping the ref
+    * alone would silently fast-forward).
+    */
+  private[graft] def dropBranchRef(spark: SparkSession, table: String,
+                                   name: String): Boolean =
+    fsOf(spark, table).delete(branchPath(table, name), false)
 }

@@ -590,6 +590,70 @@ object SourceQueries {
                |${Registry.duckMultisetFingerprint(
                    Seq("doc_id", "text", "lang", "source", "n_chars"), "final t")})""".stripMargin)),
 
+    // ---- BRANCH lifecycle (writable refs on the snapshot chain, the
+    //      git-checkout posture): CALL create_branch forks at the current
+    //      snapshot and moves the working head onto the branch; DML
+    //      commits advance the branch while VERSION AS OF 'main' keeps
+    //      reading the pinned fork; fast_forward merges metadata-only. A
+    //      second lifecycle exercises abandon_branch (COW restore to the
+    //      fork). Gate: main unchanged during the branch, branch head
+    //      visible via its ref, post-ff trunk ≡ DuckDB's replay of the
+    //      branch commits, and the abandoned edit leaving no trace.
+    Q("sql_branch_lifecycle",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val stage = java.nio.file.Files.createTempDirectory("graft_sql_br").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.repartitionByRange(8, col("doc_id")).write.mode("overwrite").parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val nAll = docs.count()
+        s.sql(s"CALL graft.system.create_branch('$stage', 'dev')")
+        // Branch commits: a DELETE and an INSERT.
+        s.sql(s"DELETE FROM graft.`$stage` " +
+          s"WHERE doc_id BETWEEN ${mx / 4} AND ${mx / 2}")
+        docs.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + mx + 1)
+          .withColumn("source", lit("branched"))
+          .createOrReplaceTempView("sql_br_ins")
+        s.sql(s"INSERT INTO graft.`$stage` SELECT * FROM sql_br_ins")
+        // main is UNCHANGED while the branch holds the edits.
+        val mainPinned = s.sql(
+          s"SELECT count(*) AS c FROM graft.`$stage` VERSION AS OF 'main'")
+          .head().getLong(0) == nAll
+        val branchHead = s.sql(
+          s"SELECT count(*) AS c FROM graft.`$stage` VERSION AS OF 'dev'")
+          .head().getLong(0)
+        // Fast-forward: trunk takes the branch state, metadata-only.
+        s.sql(s"CALL graft.system.fast_forward('$stage', 'dev')")
+        val mainAfterFf = s.sql(
+          s"SELECT count(*) AS c FROM graft.`$stage` VERSION AS OF 'main'")
+          .head().getLong(0) == branchHead
+        // Second lifecycle: an abandoned edit leaves no trace.
+        s.sql(s"CALL graft.system.create_branch('$stage', 'scratch')")
+        s.sql(s"DELETE FROM graft.`$stage` WHERE doc_id < ${mx / 8}")
+        s.sql(s"CALL graft.system.abandon_branch('$stage', 'scratch')")
+        graft.functions.Hashing.multisetFingerprintAgg(
+            s.sql(s"SELECT * FROM graft.`$stage`"), docCols)
+          .withColumn("main_pinned", lit(mainPinned))
+          .withColumn("branch_rows", lit(branchHead))
+          .withColumn("ff_metadata_only", lit(mainAfterFf))
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) // 4 AS lo, max(doc_id) // 2 AS hi,
+               |                  max(doc_id) AS mx FROM documents),
+               | final AS (
+               |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+               |   FROM documents d, b WHERE d.doc_id NOT BETWEEN b.lo AND b.hi
+               |  UNION ALL
+               |  SELECT doc_id + b.mx + 1, text, lang, 'branched', n_chars
+               |   FROM documents, b WHERE doc_id < 10)
+               |SELECT *, true AS main_pinned,
+               | (SELECT count(*) FROM final)::BIGINT AS branch_rows,
+               | true AS ff_metadata_only FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "final t")})""".stripMargin)),
+
     // ---- copy-on-write DELETE on a HIVE-PARTITIONED table: the
     //      per-partition commit — survivors staged in hive layout, doomed
     //      originals retained at their k=v relative paths, FILE-level

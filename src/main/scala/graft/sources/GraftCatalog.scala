@@ -152,17 +152,29 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     else tableFor(ident, None)
   }
 
-  /** `VERSION AS OF <n | 'tag'>` — the analyzer routes the version string
-    * here: an integer is a snapshot id, anything else resolves as a
-    * snapshot TAG (`Manifest.tag` / `CALL graft.system.tag`).
+  /** `VERSION AS OF <n | 'ref'>` — the analyzer routes the version string
+    * here: an integer is a snapshot id; `main` is the trunk ref (the
+    * active branch's FORK while one exists, else the latest snapshot);
+    * the active branch's name is the branch head (= physical latest);
+    * anything else resolves as a snapshot TAG (`Manifest.tag` /
+    * `CALL graft.system.tag`).
     */
   override def loadTable(ident: Identifier, version: String): Table =
     tableFor(ident, Some(version.toIntOption.getOrElse {
       val spark = SparkSession.active
-      Manifest.taggedId(spark, pathOf(ident), version).getOrElse(
+      val path = pathOf(ident)
+      val branch = Manifest.currentBranch(spark, path)
+      if (version == "main")
+        branch.map(_._2).orElse(Manifest.latestSnapshotId(spark, path))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no manifest snapshot under $path"))
+      else branch.collect { case (b, _) if b == version =>
+        Manifest.latestSnapshotId(spark, path).get
+      }.orElse(Manifest.taggedId(spark, path, version)).getOrElse(
         throw new IllegalArgumentException(
-          s"graft VERSION AS OF: `$version` is neither a snapshot id nor " +
-            s"an existing tag (tags: ${Manifest.tags(spark, pathOf(ident))
+          s"graft VERSION AS OF: `$version` is neither a snapshot id, a " +
+            s"ref (main${branch.fold("")(b => s", ${b._1}")}), nor an " +
+            s"existing tag (tags: ${Manifest.tags(spark, path)
               .keys.toSeq.sorted.mkString(", ")})"))
     }))
 

@@ -178,6 +178,32 @@ object GraftProcedures {
         outcome("existed",
           if (Manifest.dropTag(spark, stringArg(input, 0),
             stringArg(input, 1))) 1L else 0L)
+    },
+
+    // Branch lifecycle (one writable ref — Manifest's branch section):
+    // create_branch forks at the latest snapshot and moves the working
+    // head onto the branch (main pins at the fork); fast_forward merges
+    // metadata-only (main := branch head); abandon_branch COW-restores
+    // the fork and drops the ref.
+    new Proc("create_branch", "path" -> StringType, "name" -> StringType) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        outcome("forked_at", Manifest.createBranch(spark,
+          stringArg(input, 0), stringArg(input, 1)).toLong)
+    },
+
+    new Proc("fast_forward", "path" -> StringType, "name" -> StringType) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        outcome("main_at", Manifest.fastForward(spark,
+          stringArg(input, 0), stringArg(input, 1)).toLong)
+    },
+
+    new Proc("abandon_branch", "path" -> StringType, "name" -> StringType) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        outcome("files_changed", {
+          val r = Layout.abandonBranch(spark, stringArg(input, 0),
+            stringArg(input, 1))
+          (r.revived + r.retired).toLong
+        })
     }
   ).map(p => p.name() -> p).toMap
 
