@@ -1013,25 +1013,26 @@ object Layout {
           if (picked.isEmpty) Manifest.DvInherit // pure insert — vector unchanged
           else {
             // Matched old versions become POSITIONS (DV-applied picked read:
-            // already-deleted rows never re-enter, entries stay unique) —
-            // one scan for positions, one for the uniqueness-checked counts,
-            // both limited to the picked files.
+            // already-deleted rows never re-enter, entries stay unique).
+            // ONE scan of the picked files: (position, key) checkpoints
+            // matched-rows-sized, then both the uniqueness-checked counts
+            // and the sidecar entries derive from the checkpoint.
             val pickedDf = readPickedPinned(spark, path, picked)
             val kPicked = orderedLong(keyCol, pickedDf)
-            val matchedRows = pickedDf
+            val doomedK = pickedDf
               .join(broadcast(deltaKeys), kPicked === col("__k"), "left_semi")
-            val doomed = matchedRows
               .select(Manifest.dvFileName.as("file_name"),
-                col("_metadata.row_index").as("pos"))
+                col("_metadata.row_index").as("pos"), kPicked.as("__mk"))
               .localCheckpoint(true)
-            doomedCp = Some(doomed)
-            val mStats = matchedRows.groupBy(kPicked.as("__k")).count()
+            doomedCp = Some(doomedK)
+            val mStats = doomedK.groupBy(col("__mk")).count()
               .agg(coalesce(sum("count"), lit(0L)), count(lit(1))).head
             matched = mStats.getLong(0)
             require(matched == mStats.getLong(1),
               s"mergeKeyedDvOnce($path): $keyCol is not unique among matched " +
                 "rows — a keyed replace would silently keep duplicate-key " +
                 "siblings; dedup the table first")
+            val doomed = doomedK.drop("__mk")
             if (matched == 0L) Manifest.DvInherit
             else Manifest.DvExplicit(Manifest.currentDv(spark, path)
               .fold(doomed)(_.unionByName(doomed)))

@@ -50,9 +50,12 @@ final case class GraftDvReadRule(spark: SparkSession) extends Rule[LogicalPlan] 
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
     // DML targets stay DSv2 (engine paths apply the vector themselves;
-    // GraftMergeRule.rewriteUpdate routes its READ through dvPlanFor).
-    case d: DeleteFromTable => d
-    case u: UpdateTable => u
+    // GraftMergeRule.rewriteUpdate routes its READ through dvPlanFor) —
+    // but a SUBQUERY inside their condition is a read like any other.
+    case d: DeleteFromTable =>
+      d.copy(condition = subqueries(d.condition))
+    case u: UpdateTable =>
+      u.copy(condition = u.condition.map(subqueries))
     case m: MergeIntoTable => m.copy(sourceTable = rewrite(m.sourceTable))
     case r: DataSourceV2Relation =>
       GraftDvRead.dvPlanFor(spark, r).getOrElse(r)
@@ -61,6 +64,12 @@ final case class GraftDvReadRule(spark: SparkSession) extends Rule[LogicalPlan] 
         case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan))
       }
   }
+
+  private def subqueries(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    e.transformUp {
+      case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan))
+    }
 }
 
 object GraftDvRead {
