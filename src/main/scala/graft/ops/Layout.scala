@@ -751,7 +751,8 @@ object Layout {
                                        fs: org.apache.hadoop.fs.FileSystem,
                                        path: String, picked: Seq[String],
                                        stage: String, keys: Seq[String],
-                                       txn: Option[(String, Long)] = None): Unit = {
+                                       txn: Option[(String, Long)] = None,
+                                       dv: Manifest.DvCarry = Manifest.DvInherit): Unit = {
     val staged = stagedRels(fs, stage)
     val doomed = picked.map(p => Manifest.relativeTo(path, Manifest.decodePath(p)))
     val journal = new Path(path + PartJournalSuffix)
@@ -765,7 +766,7 @@ object Layout {
       throw new java.io.IOException(s"cow journal commit failed: $journal")
     movePartitionedCommit(fs, path, stage, doomed, staged)
     Manifest.commitReplaced(spark, path, keys, picked.toSet,
-      staged.map(r => s"$path/$r"), txn)
+      staged.map(r => s"$path/$r"), txn, dv)
     fs.delete(journal, false)
     FsMaint.deleteRecursively(fs, new Path(stage))
   }
@@ -808,7 +809,8 @@ object Layout {
                             fs: org.apache.hadoop.fs.FileSystem,
                             path: String, picked: Seq[String], stage: String,
                             keys: Seq[String],
-                            txn: Option[(String, Long)] = None): Unit = {
+                            txn: Option[(String, Long)] = None,
+                            dv: Manifest.DvCarry = Manifest.DvInherit): Unit = {
     val stagedFiles = fs.listStatus(new Path(stage))
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.getName).toIndexedSeq
@@ -843,7 +845,7 @@ object Layout {
     // earlier mutations' retained history crosses the swap the same way
     carryTrash(fs, old, path)
     Manifest.commitReplaced(spark, path, keys, picked.toSet,
-      stagedFiles.map(n => s"$path/$n"), txn)
+      stagedFiles.map(n => s"$path/$n"), txn, dv)
     // 7. RETAIN the replaced originals: move them into the hidden trash
     // dir (metadata renames) instead of deleting — time travel and the
     // change feed read pre-mutation snapshots through the trash until
@@ -1538,17 +1540,27 @@ object Layout {
           s"restoreSnapshot($path) needs a manifest snapshot"))
       Manifest.requireComplete(spark, path)
       val latest = Manifest.latestSnapshotId(spark, path).get
-      // v1 restore is file-level (copies/retires whole files) — a deletion
-      // vector's row-level state on either endpoint would be silently
-      // dropped or misapplied. Fold first, then restore.
-      require(!Manifest.hasDv(spark, path, latest) &&
-        !Manifest.hasDv(spark, path, targetId),
-        s"restoreSnapshot($path): snapshot carries a deletion vector — " +
-          "fold it first (Layout.compactTable / CALL graft.system.compact), " +
-          "then restore")
       val restored = Manifest.snapshotEntriesResolved(spark, path, targetId)
       if (targetId == latest)
         return RestoreResult(latest, 0, 0, restored.size)
+      // Deletion vectors restore as ROW-LEVEL state: the new snapshot
+      // carries EXACTLY the target's sidecar (restored visibility ≡
+      // readAsOf(target)) — entries are (file name, position) and revived
+      // copies keep their names, so target entries stay valid verbatim.
+      // An explicit EMPTY carry clears the latest's vector when the target
+      // had none (inheriting it would keep rows deleted that the target
+      // state shows).
+      val dvTarget = Manifest.dvEntries(spark, path, targetId)
+      val dvDiffers = dvTarget.isDefined || Manifest.hasDv(spark, path, latest)
+      val dvCarry: Manifest.DvCarry =
+        if (!dvDiffers) Manifest.DvInherit
+        else Manifest.DvExplicit(dvTarget.getOrElse(
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("file_name",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("pos",
+                org.apache.spark.sql.types.LongType))))))
       val sL = Manifest.storedSchema(spark, path, latest)
       val sT = Manifest.storedSchema(spark, path, targetId)
       require(sT.isEmpty || sL == sT,
@@ -1567,8 +1579,15 @@ object Layout {
       // (the resolver's explicit flag, never a path-string prefix test:
       // scheme-qualified roots would defeat any prefix comparison).
       val toRevive = restored.filter(_.inTrash)
-      if (toRemove.isEmpty && toRevive.isEmpty)
-        return RestoreResult(latest, 0, 0, restored.size)
+      if (toRemove.isEmpty && toRevive.isEmpty) {
+        if (!dvDiffers) return RestoreResult(latest, 0, 0, restored.size)
+        // File-identical states with a ROW-LEVEL (DV) difference — e.g.
+        // restoring across a DV-only delete: one metadata commit
+        // republishes the target's exact vector over the carried stats.
+        val id = Manifest.commitDv(spark, path, latest,
+          dvCarry.asInstanceOf[Manifest.DvExplicit].entries)
+        return RestoreResult(id, 0, 0, restored.size)
+      }
       val partitioned = isHivePartitioned(fs, path)
       val stage = path + (if (partitioned) PartStageSuffix else "__delnew")
       FsMaint.deleteRecursively(fs, new Path(stage))
@@ -1582,8 +1601,10 @@ object Layout {
             fs, dest, false, conf))
           throw new java.io.IOException(s"restore: failed to revive $rel")
       }
-      if (partitioned) commitReplacePartitioned(spark, fs, path, toRemove, stage, keys)
-      else commitReplace(spark, fs, path, toRemove, stage, keys)
+      if (partitioned)
+        commitReplacePartitioned(spark, fs, path, toRemove, stage, keys,
+          dv = dvCarry)
+      else commitReplace(spark, fs, path, toRemove, stage, keys, dv = dvCarry)
       RestoreResult(Manifest.latestSnapshotId(spark, path).get,
         toRevive.size, toRemove.size, restored.size - toRevive.size)
     }

@@ -1202,7 +1202,8 @@ object Manifest {
   private[ops] def commitReplaced(spark: SparkSession, table: String,
                                   keyCols: Seq[String], removed: Set[String],
                                   addedPaths: Seq[String],
-                                  txn: Option[(String, Long)] = None): Int = {
+                                  txn: Option[(String, Long)] = None,
+                                  dv: DvCarry = DvInherit): Int = {
     val snapId = latestId(spark, table).getOrElse(
       throw new IllegalStateException(s"no manifest snapshot under $table"))
     val snap = spark.read.parquet(s"${root(table)}/snapshot-$snapId")
@@ -1220,7 +1221,7 @@ object Manifest {
     // basedOn = the snapshot the carried rows came from: a concurrent
     // commit in between means those rows describe a superseded file set.
     commitSnapshot(spark, table, stats, storedSchema(spark, table, snapId),
-      basedOn = Some(snapId), txn = txn)
+      basedOn = Some(snapId), txn = txn, dv = dv)
   }
 
   /** Bloom specs matching an existing snapshot's bloom columns (so stats

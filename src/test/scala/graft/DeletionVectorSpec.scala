@@ -131,9 +131,45 @@ class DeletionVectorSpec extends SparkSpec {
     val latest = Manifest.latestSnapshotId(spark, dir).get
     assert(!Manifest.hasDv(spark, dir, latest), "compaction must fold the DV")
     assert(fp(spark.sql(s"SELECT * FROM graft.`$dir`")) == expected)
-    // Restore across DV snapshots is refused typed (v1 groundwork).
+    // Restore across a DV-only delete: the restored snapshot carries the
+    // TARGET's row-level state — here, clearing the vector entirely.
     Layout.deleteRangeDV(spark, dir, "doc_id", 300L, 309L)
-    intercept[Exception] { Layout.restoreSnapshot(spark, dir, latest) }
+    val r = Layout.restoreSnapshot(spark, dir, latest)
+    assert(!Manifest.hasDv(spark, dir, r.newSnapshotId),
+      "restoring to a DV-free target must clear the vector")
+    assert(fp(Manifest.readAsOf(spark, dir, r.newSnapshotId)) == expected,
+      "restore across a DV-only delete ≡ the target's visible state")
+  }
+
+  test("restore revives a DV-bearing target's exact row-level state") {
+    val dir = fixture("dv_restore")
+    val docs = spark.read.parquet(dir)
+    Layout.deleteRangeDV(spark, dir, "doc_id", 100L, 149L)
+    val dvSnap = Manifest.latestSnapshotId(spark, dir).get
+    val fpDv = fp(Manifest.readAsOf(spark, dir, dvSnap))
+    // Move the table forward: a COW delete (folds some entries, moves
+    // files) and an append. The append reads the ORIGINAL corpus, not the
+    // staged dir — the COW just retired some of the staged dir's files and
+    // a stale plan over them would FileNotFound.
+    Layout.deleteRange(spark, dir, "doc_id", 120L, 260L): Unit
+    spark.read.parquet(s"$sf001/documents.parquet").filter(col("doc_id") < 5L)
+      .withColumn("doc_id", col("doc_id") + 900000L)
+      .write.mode("append").parquet(dir)
+    Manifest.createIncremental(spark, dir, "doc_id"): Unit
+    // Restore back to the DV-bearing snapshot: visible state must equal
+    // readAsOf(dvSnap) exactly — files revived AND the vector republished.
+    val r = Layout.restoreSnapshot(spark, dir, dvSnap)
+    assert(r.revived > 0, s"files replaced by the COW delete must revive: $r")
+    assert(Manifest.hasDv(spark, dir, r.newSnapshotId),
+      "the target's sidecar restores with it")
+    assert(fp(Manifest.readAsOf(spark, dir, r.newSnapshotId)) == fpDv)
+    assert(spark.read.parquet(dir)
+      .filter(col("doc_id").between(100L, 149L)).count() > 0,
+      "physical rows are back (delete stays merge-on-read)")
+    assert(Manifest.isComplete(spark, dir))
+    // And the restored vector keeps composing: fold returns clean parquet.
+    assert(Layout.compactDeletes(spark, dir) > 0)
+    assert(fp(spark.read.parquet(dir)) == fpDv)
   }
 
   test("compact_deletes: targeted fold — only DV-bearing files rewrite, catalog serves again") {
