@@ -106,7 +106,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * native parquet scan over the snapshot itself (rows ∝ file count, so
     * it stays a distributed scan, never a driver materialization; bloom
     * sketch columns are pruned from the read schema);
-    * `graft.`/t$tags`` — the named refs (tag → snapshot id).
+    * `graft.`/t$tags`` — the named refs (tag → snapshot id);
+    * `graft.`/t$refs`` — the whole ref model (main / active branch / tags).
     */
   private def metaTableFor(path: String, suffix: String): Table = {
     val spark = SparkSession.active
@@ -119,6 +120,22 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         new GraftMetaTable(s"$catalogName.$path$$tags",
           Manifest.tags(spark, path).toSeq.sortBy(_._1)
             .toDF("tag", "snapshot"))
+      case "refs" =>
+        // The whole ref model in one view: main (trunk — the branch fork
+        // while one is active, else the latest), the active branch (head =
+        // physical latest), and every tag.
+        import spark.implicits._
+        val latest = Manifest.latestSnapshotId(spark, path).getOrElse(
+          throw new IllegalArgumentException(
+            s"no manifest snapshot under $path — nothing to introspect"))
+        val branch = Manifest.currentBranch(spark, path)
+        val rows =
+          Seq(("main", "trunk", branch.map(_._2).getOrElse(latest))) ++
+          branch.map { case (b, _) => (b, "branch", latest) } ++
+          Manifest.tags(spark, path).toSeq.sortBy(_._1)
+            .map { case (t, id) => (t, "tag", id) }
+        new GraftMetaTable(s"$catalogName.$path$$refs",
+          rows.toDF("ref", "kind", "snapshot"))
       case "files" =>
         val id = Manifest.latestSnapshotId(spark, path).getOrElse(
           throw new IllegalArgumentException(
@@ -140,7 +157,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     }
   }
 
-  private val MetaSuffixes = Set("history", "files", "tags")
+  private val MetaSuffixes = Set("history", "files", "tags", "refs")
 
   override def loadTable(ident: Identifier): Table = {
     val name = pathOf(ident)

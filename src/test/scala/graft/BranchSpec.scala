@@ -48,6 +48,11 @@ class BranchSpec extends SparkSpec {
     Manifest.expireSnapshots(spark, dir, 1): Unit
     assert(Manifest.hasSnapshot(spark, dir, fork),
       "the active branch's fork is pinned like a tag")
+    // $refs introspects the whole ref model while the branch is active.
+    val refs = spark.sql(s"SELECT ref, kind, snapshot FROM graft.`$dir$$refs`")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(refs.contains(("main", "trunk", fork)) &&
+      refs.exists { case (n, k, _) => n == "dev" && k == "branch" }, s"$refs")
     // Fast-forward: metadata-only, main takes the branch state.
     val head = Manifest.fastForward(spark, dir, "dev")
     assert(Manifest.currentBranch(spark, dir).isEmpty)

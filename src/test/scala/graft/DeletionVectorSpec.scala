@@ -294,6 +294,23 @@ class DeletionVectorSpec extends SparkSpec {
     assert(data.forall(
       _.relation.location.isInstanceOf[graft.sources.GraftDescriptorFileIndex]),
       "the V1 swap must keep the manifest-descriptor file index")
+    // The sidecar anti-join BROADCASTS (the sidecar is small by
+    // construction) — a shuffled anti-join here would tax every DV read
+    // with a full-table exchange.
+    val bcastAnti = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walkJoins(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        bcastAnti += b.joinType.toString; b.children.foreach(walkJoins)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walkJoins(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walkJoins(q.plan)
+      case other =>
+        other.children.foreach(walkJoins); other.subqueries.foreach(walkJoins)
+    }
+    walkJoins(df.queryExecution.executedPlan)
+    assert(bcastAnti.exists(_.contains("LeftAnti")),
+      s"the DV anti-join must broadcast the sidecar: joins seen = $bcastAnti")
   }
 
   test("plan contract: a DV read plans only the data files plus the sidecar") {
