@@ -973,13 +973,42 @@ object Layout {
     */
   def mergeKeyedDvOnce(spark: SparkSession, path: String, keyCol: String,
                        txnApp: String, txnVersion: Long,
-                       delta0: org.apache.spark.sql.DataFrame): MergeResult = {
+                       delta0: org.apache.spark.sql.DataFrame): MergeResult =
+    mergeKeyedDvTxn(spark, path, keyCol, delta0, Some(txnApp -> txnVersion))
+
+  /** STATEMENT-level merge-on-read keyed upsert — [[mergeKeyedDvOnce]]'s
+    * semantics without a caller-owned replay identity (the
+    * `graft.merge.mode=dv` write path of SQL `MERGE INTO` whole-row /
+    * `UPDATE`). Crash safety still rides the triage machinery: the landing
+    * uses a FIXED app id with version = the snapshot id this statement
+    * will create, so a crashed statement's prefix-named orphans are
+    * recognized as unreferenced by the NEXT statement at the same version
+    * and cleaned before it lands — and a completed statement's version is
+    * always below any later statement's, so the ledger never falsely
+    * dedups live work.
+    */
+  def mergeKeyedDv(spark: SparkSession, path: String, keyCol: String,
+                   delta0: org.apache.spark.sql.DataFrame,
+                   refuseNullKeys: Boolean = false): MergeResult =
+    mergeKeyedDvTxn(spark, path, keyCol, delta0, None, refuseNullKeys)
+
+  private def mergeKeyedDvTxn(spark: SparkSession, path: String, keyCol: String,
+                              delta0: org.apache.spark.sql.DataFrame,
+                              txn0: Option[(String, Long)],
+                              refuseNullKeys: Boolean = false): MergeResult = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     FsMaint.withTableLock(fs, path) {
       healDelete(spark, path)
       FsMaint.recoverSwap(fs, path)
-      if (Manifest.txnVersion(spark, path, txnApp).exists(_ >= txnVersion))
-        return MergeResult(-1, 0, 0L, 0L)
+      // Replay dedup only for caller-owned identities; the statement-level
+      // identity (next snapshot id) is always above every recorded version.
+      txn0.foreach { case (app, v) =>
+        if (Manifest.txnVersion(spark, path, app).exists(_ >= v))
+          return MergeResult(-1, 0, 0L, 0L)
+      }
+      val txn = txn0.getOrElse("__stmt-dv" ->
+        (Manifest.latestSnapshotId(spark, path).getOrElse(0) + 1).toLong)
+      val (txnApp, txnVersion) = txn
       val phys = physMapOf(spark, path)
       val delta = toPhysicalDf(delta0, phys)
       val keys = Manifest.currentKeyCols(spark, path).getOrElse(
@@ -989,9 +1018,11 @@ object Layout {
       require(keys.contains(keyCol),
         s"manifest has no stats for $keyCol (has: ${keys.mkString(", ")})")
       Manifest.requireComplete(spark, path)
-      // Same fused delta stats + typed bounds as mergeKeyed.
+      // Same fused delta stats + typed bounds as mergeKeyed (NULL-key
+      // presence rides the one job for the UPDATE rewrite's refusal).
       val dStats = delta.groupBy(col(keyCol)).count()
-        .agg(coalesce(sum("count"), lit(0L)), count(lit(1))).head
+        .agg(coalesce(sum("count"), lit(0L)), count(lit(1)),
+             coalesce(sum(when(col(keyCol).isNull, col("count"))), lit(0L))).head
       val nDelta = dStats.getLong(0)
       val f = Manifest.files(spark, path)
       val total = f.count().toInt
@@ -999,9 +1030,14 @@ object Layout {
       val maxKeys = spark.conf.get("graft.merge.maxSourceKeys", "10000000").toLong
       if (nDelta > maxKeys)
         throw new IllegalArgumentException(
-          s"mergeKeyedDvOnce($path): the delta carries $nDelta rows — above " +
+          s"mergeKeyedDv($path): the delta carries $nDelta rows — above " +
             s"graft.merge.maxSourceKeys=$maxKeys (the delta keys broadcast); " +
             "route table-sized reconciliation through the sync diff path")
+      if (refuseNullKeys && dStats.getLong(2) > 0)
+        throw new IllegalArgumentException(
+          s"UPDATE on $path matches ${dStats.getLong(2)} row(s) with a NULL " +
+            s"merge key `$keyCol` — a keyed upsert cannot replace them in " +
+            "place; route null-key rows through a rewrite instead")
       require(dStats.getLong(1) == nDelta,
         s"delta has duplicate $keyCol values — replace would be ambiguous")
       val deltaKeys = delta.select(orderedLong(keyCol, delta).as("__k"))
@@ -1031,7 +1067,7 @@ object Layout {
               .agg(coalesce(sum("count"), lit(0L)), count(lit(1))).head
             matched = mStats.getLong(0)
             require(matched == mStats.getLong(1),
-              s"mergeKeyedDvOnce($path): $keyCol is not unique among matched " +
+              s"mergeKeyedDv($path): $keyCol is not unique among matched " +
                 "rows — a keyed replace would silently keep duplicate-key " +
                 "siblings; dedup the table first")
             val doomed = doomedK.drop("__mk")

@@ -478,18 +478,28 @@ object SourceQueries {
         }
         val before = stamps()
         s.sql("SET graft.delete.mode=dv")
+        s.sql("SET graft.merge.mode=dv")
         try {
           s.sql(s"DELETE FROM graft.`$stage` " +
             s"WHERE doc_id BETWEEN ${mx / 4} AND ${mx / 2}")
           s.sql(s"DELETE FROM graft.`$stage` WHERE doc_id < ${mx / 8}")
-        } finally s.sql("SET graft.delete.mode=cow")
-        val zeroTouched = stamps() == before
+          // Merge-on-read UPDATE: matched old versions become DV positions,
+          // the updated rows APPEND — still zero files rewritten.
+          s.sql(s"UPDATE graft.`$stage` SET source = 'dvupd' " +
+            s"WHERE doc_id BETWEEN ${5 * mx / 8} AND ${3 * mx / 4}")
+        } finally {
+          s.sql("SET graft.delete.mode=cow")
+          s.sql("SET graft.merge.mode=cow")
+        }
+        // Pre-existing files untouched (the UPDATE appended new ones).
+        val zeroTouched = before.toSet.subsetOf(stamps().toSet)
         val id2 = graft.ops.Manifest.latestSnapshotId(s, stage).get
         val dvPresent = graft.ops.Manifest.hasDv(s, stage, id2)
-        // CDF across the two DV-only commits: deletes only, exact count.
+        // CDF across the DV-only commits: deletes = two ranges + the
+        // UPDATE's replaced old versions; inserts = the UPDATE's new rows.
         val feed = graft.ops.Manifest.changesBetween(s, stage, id1, id2)
         val nDel = feed.filter(col("change") === "delete").count()
-        val cdfOk = feed.filter(col("change") === "insert").count() == 0L
+        val nIns = feed.filter(col("change") === "insert").count()
         // Read-before-fold (the DV rule), then fold and re-read: identical.
         val fpBefore = graft.functions.Hashing.multisetFingerprintAgg(
           s.sql(s"SELECT * FROM graft.`$stage`"), docCols).head().getString(0)
@@ -501,19 +511,26 @@ object SourceQueries {
             s.sql(s"SELECT * FROM graft.`$stage`"), docCols)
           .withColumn("same_before_fold", lit(fpBefore) === col("fingerprint"))
           .withColumn("rows_cdf_deleted", lit(nDel))
+          .withColumn("rows_cdf_inserted", lit(nIns))
           .withColumn("zero_files_touched", lit(zeroTouched && dvPresent))
-          .withColumn("cdf_ok", lit(cdfOk))
           .withColumn("folded", lit(folded && noDvAfter))
       },
       Some(s"""WITH b AS (SELECT max(doc_id) // 8 AS l8, max(doc_id) // 4 AS lo,
-               |                  max(doc_id) // 2 AS hi FROM documents)
+               |                  max(doc_id) // 2 AS hi, 5 * max(doc_id) // 8 AS u1,
+               |                  3 * max(doc_id) // 4 AS u2 FROM documents),
+               | upd AS (SELECT count(*) AS n FROM documents, b
+               |          WHERE doc_id BETWEEN b.u1 AND b.u2)
                |SELECT *, true AS same_before_fold,
-               | (SELECT count(*) FROM documents, b
-               |   WHERE doc_id BETWEEN b.lo AND b.hi OR doc_id < b.l8)::BIGINT AS rows_cdf_deleted,
-               | true AS zero_files_touched, true AS cdf_ok, true AS folded FROM (
+               | ((SELECT count(*) FROM documents, b
+               |    WHERE doc_id BETWEEN b.lo AND b.hi OR doc_id < b.l8)
+               |  + (SELECT n FROM upd))::BIGINT AS rows_cdf_deleted,
+               | (SELECT n FROM upd)::BIGINT AS rows_cdf_inserted,
+               | true AS zero_files_touched, true AS folded FROM (
                |${Registry.duckMultisetFingerprint(
                    Seq("doc_id", "text", "lang", "source", "n_chars"),
-                   ("(SELECT d.* FROM documents d, b WHERE d.doc_id NOT BETWEEN b.lo AND b.hi " +
+                   ("(SELECT d.doc_id, d.text, d.lang, CASE WHEN d.doc_id BETWEEN b.u1 AND b.u2 " +
+                    "THEN 'dvupd' ELSE d.source END AS source, d.n_chars " +
+                    "FROM documents d, b WHERE d.doc_id NOT BETWEEN b.lo AND b.hi " +
                     "AND d.doc_id >= b.l8) t"))})""".stripMargin)),
 
     // ---- COMPOSITE-KEY MERGE INTO: ON is a conjunction of equalities over

@@ -343,7 +343,17 @@ final case class GraftMergeIntoCommand(path: String, keyCol: String,
     // replaced by the keyed upsert — mergeKeyed verifies it inside its
     // fused delta aggregation (no extra job). MERGE keeps NULL-key source
     // rows: legitimate "not matched" inserts under SQL MERGE semantics.
-    val res = Layout.mergeKeyed(session, path, keyCol, delta, refuseNullKeys)
+    // Write path per `graft.merge.mode`: `cow` (default) rewrites matched
+    // files; `dv` is merge-on-read — matched positions land on the
+    // deletion-vector sidecar and the whole delta appends, zero data
+    // files rewritten (fold via CALL graft.system.compact_deletes).
+    val res = session.conf.get("graft.merge.mode", "cow").trim.toLowerCase match {
+      case "cow" => Layout.mergeKeyed(session, path, keyCol, delta, refuseNullKeys)
+      case "dv" => Layout.mergeKeyedDv(session, path, keyCol, delta, refuseNullKeys)
+      case other => throw new IllegalArgumentException(
+        s"graft.merge.mode must be `cow` (copy-on-write) or `dv` " +
+          s"(merge-on-read deletion vector), got `$other`")
+    }
     Seq(Row(res.filesRewritten, res.filesTotal, res.rowsUpdated, res.rowsInserted))
   }
 }

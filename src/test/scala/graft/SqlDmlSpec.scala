@@ -76,6 +76,63 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("SET graft.delete.mode=cow")
   }
 
+  test("MERGE/UPDATE under graft.merge.mode=dv: zero rewrites, append+positions, fold composes") {
+    val dir = stage("dml_mdv")
+    val docs = spark.read.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def stamps(): Set[(String, Long)] = {
+      val out = Set.newBuilder[(String, Long)]
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath.toUri.getPath
+        if (st.getPath.getName.startsWith("part-") && !p.contains("_graft"))
+          out += p -> st.getModificationTime
+      }
+      out.result()
+    }
+    docs.filter(col("doc_id").between(50L, 69L))
+      .withColumn("source", lit("mdv"))
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 800000L)
+        .withColumn("source", lit("mdv")))
+      .createOrReplaceTempView("dml_mdv_src")
+    val before = stamps()
+    spark.sql("SET graft.merge.mode=dv")
+    val (m, u) = try {
+      val m0 = spark.sql(
+        s"""MERGE INTO graft.`$dir` t USING dml_mdv_src s ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+      val u0 = spark.sql(s"UPDATE graft.`$dir` SET n_chars = n_chars + 3 " +
+        "WHERE doc_id BETWEEN 200 AND 219").head()
+      (m0, u0)
+    } finally spark.sql("SET graft.merge.mode=cow")
+    assert(m.getInt(m.fieldIndex("files_rewritten")) == 0 &&
+      m.getLong(m.fieldIndex("rows_updated")) == 20L &&
+      m.getLong(m.fieldIndex("rows_inserted")) == 10L, s"merge: $m")
+    assert(u.getInt(u.fieldIndex("files_rewritten")) == 0 &&
+      u.getLong(u.fieldIndex("rows_updated")) == 20L, s"update: $u")
+    assert(before.subsetOf(stamps()),
+      "DV-mode MERGE/UPDATE must not rewrite any existing data file")
+    val latest = Manifest.latestSnapshotId(spark, dir).get
+    assert(Manifest.hasDv(spark, dir, latest))
+    val expected = fp(docs.filter(!col("doc_id").between(50L, 69L))
+      .withColumn("n_chars", when(col("doc_id").between(200L, 219L),
+        col("n_chars") + 3L).otherwise(col("n_chars")))
+      .unionByName(spark.table("dml_mdv_src")))
+    assert(fp(spark.sql(s"SELECT * FROM graft.`$dir`")) == expected)
+    // The fold returns clean parquet with identical content.
+    assert(Layout.compactDeletes(spark, dir) > 0)
+    assert(fp(spark.read.parquet(dir)) == expected)
+    // Bogus mode refused typed.
+    spark.sql("SET graft.merge.mode=diagonal")
+    try intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$dir` SET source = 'x' WHERE doc_id < 5")
+    } finally spark.sql("SET graft.merge.mode=cow")
+  }
+
   test("DELETE FROM without a targetable range is refused typed (never a hidden full rewrite)") {
     val dir = stage("dml_delete_bad")
     val before = fp(spark.read.parquet(dir))
