@@ -1255,7 +1255,8 @@ object Layout {
     */
   def mergeRowLevel(spark: SparkSession, path: String, keyCols: Seq[String],
                     sourceKeys: org.apache.spark.sql.DataFrame,
-                    pickAll: Boolean = false)(
+                    pickAll: Boolean = false,
+                    dvMode: Boolean = false)(
       compute: org.apache.spark.sql.DataFrame =>
         (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)): MergeRowResult = {
     require(keyCols.nonEmpty, "mergeRowLevel needs at least one key column")
@@ -1407,20 +1408,51 @@ object Layout {
           Manifest.createIncremental(spark, path, keys: _*)
           return MergeRowResult(0, total, 0L, 0L, nUp)
         }
-        val survivors = commitDf
-          .join(broadcast(tagged.select(kCols: _*)), keyCols, "left_anti")
-          .unionByName(upserts)
-        val stage = path + (if (partitioned) PartStageSuffix else "__delnew")
-        FsMaint.deleteRecursively(fs, new Path(stage))
-        if (partitioned) {
-          survivors.write.partitionBy(partitionColsOf(path, commitPicked): _*)
-            .mode("overwrite").parquet(stage)
-          commitReplacePartitioned(spark, fs, path, commitPicked, stage, keys)
+        if (dvMode) {
+          // MERGE-ON-READ commit: affected target rows become deletion-vector
+          // POSITIONS (their replacements/inserts append), ZERO data files
+          // rewritten — the `graft.merge.mode=dv` shape for EVERY clause mix,
+          // including BY SOURCE (which must READ the whole table but now
+          // writes only the sidecar + appended rows).
+          // Materialize (file name, position) BEFORE the semi join: the
+          // using-columns join inserts a Project, and `_metadata` does not
+          // survive projections.
+          val doomed = commitDf
+            .select(kCols :+ Manifest.dvFileName.as("file_name") :+
+              col("_metadata.row_index").as("pos"): _*)
+            .join(broadcast(tagged.select(kCols: _*)), keyCols, "left_semi")
+            .select(col("file_name"), col("pos"))
+            .localCheckpoint(true)
+          try {
+            val grown = Manifest.currentDv(spark, path)
+              .fold(doomed: org.apache.spark.sql.DataFrame)(_.unionByName(doomed))
+            val latestNow = Manifest.latestSnapshotId(spark, path).get
+            if (nUp == 0)
+              // Pure delete: one metadata-only commit publishes the grown
+              // vector (an empty append would no-op without committing it).
+              Manifest.commitDv(spark, path, latestNow, grown): Unit
+            else
+              // Same statement-level crash identity as mergeKeyedDv.
+              appendOnceDv(spark, path, "__stmt-dv", (latestNow + 1).toLong,
+                toLogicalDf(upserts, phys), Manifest.DvExplicit(grown)): Unit
+            MergeRowResult(0, total, updated, deleted, nUp - updated)
+          } finally Caching.release(doomed)
         } else {
-          survivors.write.mode("overwrite").parquet(stage)
-          commitReplace(spark, fs, path, commitPicked, stage, keys)
+          val survivors = commitDf
+            .join(broadcast(tagged.select(kCols: _*)), keyCols, "left_anti")
+            .unionByName(upserts)
+          val stage = path + (if (partitioned) PartStageSuffix else "__delnew")
+          FsMaint.deleteRecursively(fs, new Path(stage))
+          if (partitioned) {
+            survivors.write.partitionBy(partitionColsOf(path, commitPicked): _*)
+              .mode("overwrite").parquet(stage)
+            commitReplacePartitioned(spark, fs, path, commitPicked, stage, keys)
+          } else {
+            survivors.write.mode("overwrite").parquet(stage)
+            commitReplace(spark, fs, path, commitPicked, stage, keys)
+          }
+          MergeRowResult(commitPicked.length, total, updated, deleted, nUp - updated)
         }
-        MergeRowResult(commitPicked.length, total, updated, deleted, nUp - updated)
       } finally {
         Caching.release(upserts); Caching.release(delKeys); Caching.release(sk)
       }

@@ -409,8 +409,16 @@ final case class GraftMergeRowCommand(
       // composite-key contract; raw-typed — identity, not stat domain).
       val sourceKeys = srcDf.select(keyPairs.map { case (tk, sk) =>
         ColumnShim.column(sk).as(tk.name) }: _*)
+      // Same write-path conf as the whole-row shape: `dv` commits affected
+      // rows as deletion-vector positions + appended action rows.
+      val dvMode = session.conf.get("graft.merge.mode", "cow").trim.toLowerCase match {
+        case "cow" => false
+        case "dv" => true
+        case other => throw new IllegalArgumentException(
+          s"graft.merge.mode must be `cow` or `dv`, got `$other`")
+      }
       val res = Layout.mergeRowLevel(session, path, keyCols, sourceKeys,
-        pickAll = bySource.nonEmpty) { picked =>
+        pickAll = bySource.nonEmpty, dvMode = dvMode) { picked =>
         val pickedAttrs = picked.queryExecution.analyzed.output
           .map(a => a.name -> (a: Attribute)).toMap
         val bind: Map[ExprId, Attribute] =

@@ -133,6 +133,63 @@ class SqlDmlSpec extends SparkSpec {
     } finally spark.sql("SET graft.merge.mode=cow")
   }
 
+  test("general row-level MERGE under graft.merge.mode=dv: BY SOURCE sync at zero rewrites") {
+    val dir = stage("dml_mdv_row")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def stamps(): Set[(String, Long)] = {
+      val out = Set.newBuilder[(String, Long)]
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath.toUri.getPath
+        if (st.getPath.getName.startsWith("part-") && !p.contains("_graft"))
+          out += p -> st.getModificationTime
+      }
+      out.result()
+    }
+    // The reference's whole sync as one statement, MERGE-ON-READ: target
+    // becomes identical to the source with ZERO data files rewritten.
+    val src = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(col("doc_id") % 3 === 0)
+      .withColumn("text", concat(lit("s:"), col("text")))
+    src.createOrReplaceTempView("dml_mdvr_src")
+    val expected = fp(src)
+    val nSrc = src.count()
+    val nAll = spark.read.parquet(dir).count()
+    val before = stamps()
+    spark.sql("SET graft.merge.mode=dv")
+    val res = try spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING dml_mdvr_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND t.n_chars >= 0 THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).head()
+    finally spark.sql("SET graft.merge.mode=cow")
+    assert(res.getInt(res.fieldIndex("files_rewritten")) == 0, s"$res")
+    assert(res.getLong(res.fieldIndex("rows_updated")) == nSrc &&
+      res.getLong(res.fieldIndex("rows_deleted")) == nAll - nSrc, s"$res")
+    assert(before.subsetOf(stamps()),
+      "dv-mode row-level MERGE must not rewrite any existing data file")
+    assert(Manifest.hasDv(spark, dir,
+      Manifest.latestSnapshotId(spark, dir).get))
+    assert(fp(spark.sql(s"SELECT * FROM graft.`$dir`")) == expected,
+      "target ≡ source through the vector")
+    // Pure-delete clause mix (nUp = 0) publishes a metadata-only DV commit.
+    spark.sql("SET graft.merge.mode=dv")
+    val res2 = try spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING dml_mdvr_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND t.doc_id < 30 THEN DELETE""".stripMargin).head()
+    finally spark.sql("SET graft.merge.mode=cow")
+    assert(res2.getInt(res2.fieldIndex("files_rewritten")) == 0 &&
+      res2.getLong(res2.fieldIndex("rows_deleted")) > 0, s"$res2")
+    val expected2 = fp(src.filter(col("doc_id") >= 30))
+    assert(fp(spark.sql(s"SELECT * FROM graft.`$dir`")) == expected2)
+    // Fold equivalence closes the loop.
+    assert(Layout.compactDeletes(spark, dir) > 0)
+    assert(fp(spark.read.parquet(dir)) == expected2)
+    assert(Manifest.isComplete(spark, dir))
+  }
+
   test("DELETE FROM without a targetable range is refused typed (never a hidden full rewrite)") {
     val dir = stage("dml_delete_bad")
     val before = fp(spark.read.parquet(dir))
