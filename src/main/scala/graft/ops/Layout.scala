@@ -992,6 +992,33 @@ object Layout {
                    refuseNullKeys: Boolean = false): MergeResult =
     mergeKeyedDvTxn(spark, path, keyCol, delta0, None, refuseNullKeys)
 
+  /** A CRASHED dv-mode STATEMENT's prefix-named files (landed, never
+    * committed) would trip `requireComplete` and block every later DML —
+    * with the FIXED statement app id (`__stmt-dv`), any live
+    * `part-sink-<stmtTok>-` file the latest snapshot does not reference is
+    * such an orphan (a completed statement's files are referenced by its
+    * own atomic commit): delete them up front. Callers hold the table lock.
+    */
+  private val StmtDvApp = "__stmt-dv"
+
+  private def cleanStmtOrphans(spark: SparkSession,
+                               fs: org.apache.hadoop.fs.FileSystem,
+                               path: String): Unit = {
+    val tok = java.security.MessageDigest.getInstance("MD5")
+      .digest(StmtDvApp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    val prefix = s"part-sink-$tok-"
+    val referenced = Manifest.files(spark, path).select("file")
+      .filter(col("file").contains(prefix))
+      .collect().map(r => Manifest.decodePath(r.getString(0)).getName).toSet
+    FsMaint.listRelative(fs, new Path(path))(st =>
+      st.getPath.getName.startsWith(prefix)).foreach { case (rel, st) =>
+      if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")) &&
+          !referenced(st.getPath.getName))
+        fs.delete(st.getPath, false): Unit
+    }
+  }
+
   private def mergeKeyedDvTxn(spark: SparkSession, path: String, keyCol: String,
                               delta0: org.apache.spark.sql.DataFrame,
                               txn0: Option[(String, Long)],
@@ -1006,9 +1033,10 @@ object Layout {
         if (Manifest.txnVersion(spark, path, app).exists(_ >= v))
           return MergeResult(-1, 0, 0L, 0L)
       }
-      val txn = txn0.getOrElse("__stmt-dv" ->
+      val txn = txn0.getOrElse(StmtDvApp ->
         (Manifest.latestSnapshotId(spark, path).getOrElse(0) + 1).toLong)
       val (txnApp, txnVersion) = txn
+      if (txn0.isEmpty) cleanStmtOrphans(spark, fs, path)
       val phys = physMapOf(spark, path)
       val delta = toPhysicalDf(delta0, phys)
       val keys = Manifest.currentKeyCols(spark, path).getOrElse(
@@ -1264,6 +1292,7 @@ object Layout {
     FsMaint.withTableLock(fs, path) {
       healDelete(spark, path)
       FsMaint.recoverSwap(fs, path)
+      if (dvMode) cleanStmtOrphans(spark, fs, path)
       val keys = Manifest.currentKeyCols(spark, path).getOrElse(
         throw new IllegalArgumentException(
           s"mergeRowLevel($path) needs a manifest snapshot (Manifest.create) — " +
@@ -1433,7 +1462,7 @@ object Layout {
               Manifest.commitDv(spark, path, latestNow, grown): Unit
             else
               // Same statement-level crash identity as mergeKeyedDv.
-              appendOnceDv(spark, path, "__stmt-dv", (latestNow + 1).toLong,
+              appendOnceDv(spark, path, StmtDvApp, (latestNow + 1).toLong,
                 toLogicalDf(upserts, phys), Manifest.DvExplicit(grown)): Unit
             MergeRowResult(0, total, updated, deleted, nUp - updated)
           } finally Caching.release(doomed)

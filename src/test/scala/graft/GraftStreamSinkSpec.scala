@@ -335,6 +335,47 @@ class GraftStreamSinkSpec extends SparkSpec {
       .filesRewritten == -1)
   }
 
+  test("mergeKeyedDv statement identity: a crashed statement's orphans heal; completed work never dedups") {
+    val dir = tmpDir("gsink_stmtdv") + "/docs"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.filter(col("doc_id") < 100).repartition(2).write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // Simulate a CRASHED dv-mode statement: prefix-named files landed for
+    // the version the NEXT statement will claim (latest+1 = 2), no commit.
+    val scratch = tmpDir("gsink_stmtdv_scratch")
+    docs.filter(col("doc_id") < 3).repartition(1)
+      .write.mode("overwrite").parquet(scratch)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(scratch))
+      .filter(s => s.getPath.getName.startsWith("part-")).head.getPath
+    val orphan = new org.apache.hadoop.fs.Path(dir,
+      s"part-sink-${appTok("__stmt-dv")}-2-99.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, orphan, false,
+      spark.sessionState.newHadoopConf())
+    // A NEW statement at the same version cleans the orphans and lands.
+    val delta = docs.filter(col("doc_id").between(90, 109))
+      .withColumn("source", lit("stmt"))
+    val r = Layout.mergeKeyedDv(spark, dir, "doc_id", delta)
+    assert(r.filesRewritten == 0 && r.rowsUpdated == 10L &&
+      r.rowsInserted == 10L, s"$r")
+    assert(!fs.exists(orphan), "the crashed statement's orphan is healed")
+    val expected = fp(docs.filter(col("doc_id") < 90).unionByName(delta))
+    assert(fp(Manifest.readAsOf(spark, dir,
+      Manifest.latestSnapshotId(spark, dir).get)) == expected,
+      "orphan rows must not leak into the committed state")
+    // A LATER statement is never falsely deduped by the fixed app id.
+    val delta2 = docs.filter(col("doc_id").between(95, 99))
+      .withColumn("source", lit("stmt2"))
+    val r2 = Layout.mergeKeyedDv(spark, dir, "doc_id", delta2)
+    assert(r2.filesRewritten == 0 && r2.rowsUpdated == 5L, s"$r2")
+    assert(fp(Manifest.readAsOf(spark, dir,
+      Manifest.latestSnapshotId(spark, dir).get)) ==
+      fp(docs.filter(col("doc_id") < 90)
+        .unionByName(delta.filter(!col("doc_id").between(95, 99)))
+        .unionByName(delta2)))
+  }
+
   test("sink refusals: non-append mode, partitionBy, missing txnAppId — all typed") {
     val dir = tmpDir("gsink_bad") + "/docs"
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
