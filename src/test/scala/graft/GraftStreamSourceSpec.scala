@@ -180,6 +180,49 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(got.asScalaCount(_ => true) == 260L, "no replayed rows")
   }
 
+  test("readStream(graft): withChanges across a MERGE-ON-READ upsert commit (DV delta + appends, one snapshot)") {
+    val dir = tmpDir("gstream_mdv") + "/documents"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.filter(col("doc_id") < 200).repartitionByRange(4, col("doc_id"))
+      .write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    val ckpt = tmpDir("gstream_mdv_ckpt")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft").option("withChanges", "true")
+        .load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(got.add(_): Unit)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce() // initial load: 200 inserts
+    // ONE commit carrying BOTH a DV delta (old versions of 20 updated
+    // rows) and appended files (20 updates + 10 inserts): the feed must
+    // deliver 20 deletes and 30 inserts for that single snapshot step.
+    val delta = docs.filter(col("doc_id").between(40L, 59L))
+      .withColumn("source", lit("mdv"))
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 5000L)
+        .withColumn("source", lit("mdv")))
+    val r = Layout.mergeKeyedDvOnce(spark, dir, "doc_id", "gsmdv", 0L, delta)
+    assert(r.filesRewritten == 0 && r.rowsUpdated == 20L, s"$r")
+    runOnce()
+    assert(got.asScalaCount(r => r.getString(r.fieldIndex("change")) == "delete") == 20L)
+    assert(got.asScalaCount(r => r.getString(r.fieldIndex("change")) == "insert") == 230L)
+    // The updated rows' NEW versions are in the insert side, tagged once.
+    import scala.jdk.CollectionConverters._
+    val mdvIns = got.asScala.count(row =>
+      row.getString(row.fieldIndex("change")) == "insert" &&
+        row.getString(row.fieldIndex("source")) == "mdv")
+    assert(mdvIns == 30, s"expected the 30 upserted rows once, got $mdvIns")
+    // Idle restart replays nothing.
+    runOnce()
+    assert(got.asScalaCount(_ => true) == 250L)
+  }
+
   private implicit class QueueOps(
       q: java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]) {
     def asScalaCount(p: org.apache.spark.sql.Row => Boolean): Long = {
