@@ -452,8 +452,12 @@ object Bench {
         val p = java.nio.file.Paths.get("BENCH_ATTRIBUTIONS.json")
         if (java.nio.file.Files.exists(p)) {
           val s = java.nio.file.Files.readString(p).trim
-          if (s.startsWith("{") || s.startsWith("[")) s""","attributions":$s"""
-          else ""
+          // PARSE + re-serialize before splicing: a truncated or
+          // concatenated hand edit embedded raw would corrupt the whole
+          // artifact line (and with it the NEXT round's prev-artifact
+          // net); the canonical tree keeps only the first valid document.
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+          s""","attributions":${node.toString}"""
         } else ""
       } catch { case _: Throwable => "" })
     val line =

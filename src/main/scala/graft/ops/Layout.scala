@@ -1001,13 +1001,20 @@ object Layout {
     */
   private val StmtDvApp = "__stmt-dv"
 
+  /** The fixed-width file-name token of a sink/statement app id — shared
+    * by the landing renames ([[appendOnceDv]]) and every orphan triage
+    * (this scheme is load-bearing crash-recovery glue: the cleaners only
+    * recognize what the landers named).
+    */
+  private def sinkAppToken(app: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(app.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+
   private def cleanStmtOrphans(spark: SparkSession,
                                fs: org.apache.hadoop.fs.FileSystem,
                                path: String): Unit = {
-    val tok = java.security.MessageDigest.getInstance("MD5")
-      .digest(StmtDvApp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(12)
-    val prefix = s"part-sink-$tok-"
+    val prefix = s"part-sink-${sinkAppToken(StmtDvApp)}-"
     val referenced = Manifest.files(spark, path).select("file")
       .filter(col("file").contains(prefix))
       .collect().map(r => Manifest.decodePath(r.getString(0)).getName).toSet
@@ -1017,6 +1024,38 @@ object Layout {
           !referenced(st.getPath.getName))
         fs.delete(st.getPath, false): Unit
     }
+  }
+
+  /** Classify one (app, version) batch's prefix-named artifacts — the
+    * crash-recovery step a DV merge needs BEFORE `requireComplete` (an
+    * interrupted [[appendOnceDv]] leaves landed-but-uncommitted files the
+    * completeness check would refuse forever). Deletes UNREFERENCED live
+    * orphans (the retry simply redoes the batch); returns true when
+    * ADOPTION evidence exists — a trash-resident artifact, or a live one
+    * some retained snapshot references (only a FOREIGN incremental can
+    * have done that: the batch's own commit records the ledger atomically,
+    * which the caller already checked).
+    */
+  private def triageSinkBatch(spark: SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              path: String, prefix: String): Boolean = {
+    val artifacts = FsMaint.listRelative(fs, new Path(path))(st =>
+      st.getPath.getName.startsWith(prefix))
+    if (artifacts.isEmpty) return false
+    val (hidden, live) = artifacts.partition { case (rel, _) =>
+      rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")) }
+    if (hidden.exists(_._1.startsWith("_graft_trash/"))) return true
+    if (live.isEmpty) return false
+    val snapDirs = Manifest.snapshotIds(spark, path)
+    val referenced = snapDirs.nonEmpty && {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      spark.read.schema(StructType(Seq(StructField("file", StringType))))
+        .parquet(snapDirs.map(id => s"$path/_graft_manifest/snapshot-$id"): _*)
+        .filter(col("file").contains(prefix)).limit(1).collect().nonEmpty
+    }
+    if (referenced) return true
+    live.foreach { case (_, st) => fs.delete(st.getPath, false): Unit }
+    false
   }
 
   private def mergeKeyedDvTxn(spark: SparkSession, path: String, keyCol: String,
@@ -1032,6 +1071,21 @@ object Layout {
       txn0.foreach { case (app, v) =>
         if (Manifest.txnVersion(spark, path, app).exists(_ >= v))
           return MergeResult(-1, 0, 0L, 0L)
+        // A crash between appendOnceDv's landing renames and its commit
+        // leaves prefix-named orphans the requireComplete below would
+        // refuse FOREVER (the replay never reaches appendOnceDv's own
+        // triage): classify them NOW. Unreferenced orphans delete and the
+        // replay redoes the batch; adoption evidence fails typed — a
+        // foreign snapshot adopted the rows WITHOUT the vector, so
+        // recording the txn or proceeding would cement duplicate keys.
+        if (triageSinkBatch(spark, fs, path,
+            s"part-sink-${sinkAppToken(app)}-$v-"))
+          throw new IllegalStateException(
+            s"mergeKeyedDv($path): batch ($app, $v) crashed mid-landing and " +
+              "a FOREIGN snapshot adopted its appended rows without the " +
+              "deletion-vector half — the table may hold both old and new " +
+              "versions of the batch's keys; dedup (e.g. Layout.mergeKeyed " +
+              "after inspecting duplicates), then re-run")
       }
       val txn = txn0.getOrElse(StmtDvApp ->
         (Manifest.latestSnapshotId(spark, path).getOrElse(0) + 1).toLong)
@@ -1310,6 +1364,16 @@ object Layout {
       val kCols = keyCols.map(col)
       def allNotNull(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
         d.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      // Identity work below runs on PHYSICAL-named frames (toPhysicalDf /
+      // readPickedPinned): trailing key components CAN be renamed (only
+      // stats keys are rename-refused), so the caller's LOGICAL key names
+      // translate once here. The leading stats key is never renamed
+      // (logical == physical), which is what keeps the pick join simple.
+      val phys = physMapOf(spark, path)
+      val physKeyCols = keyCols.map(c => phys.getOrElse(c, c))
+      val pkCols = physKeyCols.map(col)
+      def toPhysKeys(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        d.select(keyCols.map(c => col(c).as(phys.getOrElse(c, c))): _*)
       // Small by contract (delta-sized); materialized once for the pick
       // join and the uniqueness checks below.
       val sk = allNotNull(sourceKeys.select(kCols: _*))
@@ -1338,7 +1402,6 @@ object Layout {
            .select("file"))
         .collect().map(_.getString(0)).toIndexedSeq
       val partitioned = isHivePartitioned(fs, path)
-      val phys = physMapOf(spark, path)
       val pickedDf =
         if (picked.nonEmpty) readPickedPinned(spark, path, picked)
         else {
@@ -1355,19 +1418,20 @@ object Layout {
       // the COW machinery below speaks physical.
       val (upserts0, delKeys0) = compute(toLogicalDf(pickedDf, phys))
       val upserts = toPhysicalDf(upserts0, phys).localCheckpoint(true)
-      val delKeys = allNotNull(delKeys0.select(kCols: _*))
+      val delKeys = toPhysKeys(allNotNull(delKeys0.select(kCols: _*)))
         .distinct().localCheckpoint(true)
       try {
         // Upsert-key stats in one job (NULL keys group as one — the same
         // at-most-one-action-row-per-key contract as mergeKeyed's delta).
-        val uStats = upserts.groupBy(kCols: _*).count()
+        val uStats = upserts.groupBy(pkCols: _*).count()
           .agg(coalesce(sum("count"), lit(0L)), count(lit(1))).head
         val nUp = uStats.getLong(0)
         require(uStats.getLong(1) == nUp,
           s"MERGE produced more than one action row for some " +
             s"(${keyCols.mkString(", ")}) — replace would be ambiguous")
-        val upKeys = allNotNull(upserts.select(kCols: _*))
-        require(upKeys.join(broadcast(delKeys), keyCols, "left_semi").isEmpty,
+        val upKeys = upserts.select(pkCols: _*)
+          .filter(physKeyCols.map(col(_).isNotNull).reduce(_ && _))
+        require(upKeys.join(broadcast(delKeys), physKeyCols, "left_semi").isEmpty,
           s"MERGE resolved some (${keyCols.mkString(", ")}) to BOTH an " +
             "update and a delete — clause conditions must pick one action " +
             "per matched row")
@@ -1411,9 +1475,9 @@ object Layout {
                    else pickedDf.limit(0))
             } finally Caching.release(affected)
           }
-        val mStats = commitDf.select(kCols: _*)
-          .join(broadcast(tagged), keyCols)
-          .groupBy((kCols :+ col("__a")): _*).count()
+        val mStats = commitDf.select(pkCols: _*)
+          .join(broadcast(tagged), physKeyCols)
+          .groupBy((pkCols :+ col("__a")): _*).count()
           .agg(coalesce(sum(when(col("__a") === "u", col("count"))), lit(0L)),
                coalesce(sum(when(col("__a") === "d", col("count"))), lit(0L)),
                coalesce(sum(when(col("count") > 1, lit(1))), lit(0L))).head
@@ -1447,9 +1511,9 @@ object Layout {
           // using-columns join inserts a Project, and `_metadata` does not
           // survive projections.
           val doomed = commitDf
-            .select(kCols :+ Manifest.dvFileName.as("file_name") :+
+            .select(pkCols :+ Manifest.dvFileName.as("file_name") :+
               col("_metadata.row_index").as("pos"): _*)
-            .join(broadcast(tagged.select(kCols: _*)), keyCols, "left_semi")
+            .join(broadcast(tagged.select(pkCols: _*)), physKeyCols, "left_semi")
             .select(col("file_name"), col("pos"))
             .localCheckpoint(true)
           try {
@@ -1468,7 +1532,7 @@ object Layout {
           } finally Caching.release(doomed)
         } else {
           val survivors = commitDf
-            .join(broadcast(tagged.select(kCols: _*)), keyCols, "left_anti")
+            .join(broadcast(tagged.select(pkCols: _*)), physKeyCols, "left_anti")
             .unionByName(upserts)
           val stage = path + (if (partitioned) PartStageSuffix else "__delnew")
           FsMaint.deleteRecursively(fs, new Path(stage))
@@ -1754,10 +1818,7 @@ object Layout {
       if (Manifest.txnVersion(spark, path, txnApp).exists(_ >= txnVersion))
         return -1L
       // App ids fold into file names — hash to a fixed-width safe token.
-      val appTok = java.security.MessageDigest.getInstance("MD5")
-        .digest(txnApp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString.take(12)
-      val prefix = s"part-sink-$appTok-$txnVersion-"
+      val prefix = s"part-sink-${sinkAppToken(txnApp)}-$txnVersion-"
       // Foreign-adoption fast path: files of THIS batch referenced by the
       // latest snapshot (metadata-sized filtered collect).
       val adoptedLatest = Manifest.files(spark, path).select("file")

@@ -2194,18 +2194,23 @@ object Manifest {
     new Path(root(table), s"branch-$name")
   }
 
-  /** The active branch (name, fork id), or None. */
+  /** The active branch (name, fork id), or None. Staging files and
+    * unparseable content are SKIPPED, never thrown: the ref surface (tags,
+    * `main`, retention pinning) must survive a crash mid-create.
+    */
   def currentBranch(spark: SparkSession, table: String): Option[(String, Int)] = {
     val fs = fsOf(spark, table)
     val r = new Path(root(table))
     if (!fs.exists(r)) None
-    else fs.listStatus(r).toSeq.collectFirst {
-      case s if s.isFile && s.getPath.getName.startsWith("branch-") =>
+    else fs.listStatus(r).toSeq.flatMap {
+      case s if s.isFile && s.getPath.getName.startsWith("branch-") &&
+          !s.getPath.getName.endsWith("__tmp") =>
         val in = fs.open(s.getPath)
         val id = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.trim.toInt finally in.close()
-        (s.getPath.getName.stripPrefix("branch-"), id)
-    }
+          .mkString.trim.toIntOption finally in.close()
+        id.map(s.getPath.getName.stripPrefix("branch-") -> _)
+      case _ => None
+    }.headOption
   }
 
   /** Fork branch `name` at the latest snapshot; returns the fork id (=
@@ -2224,10 +2229,20 @@ object Manifest {
     }
     require(taggedId(spark, table, name).isEmpty,
       s"a tag `$name` exists — the branch would shadow it in VERSION AS OF")
-    // create(overwrite = false): a racing second createBranch loses typed.
-    val out = fs.create(branchPath(table, name), false)
+    // Staged write + rename: a crash mid-create leaves only the `__tmp`
+    // (which every reader skips), never a truncated ref that bricks the
+    // ref surface. The rename refuses an existing destination, so a racing
+    // second createBranch still loses typed.
+    val p = branchPath(table, name)
+    val tmp = new Path(p.getParent, p.getName + "__tmp")
+    val out = fs.create(tmp, true)
     try out.write(fork.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p) || !fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new IllegalArgumentException(
+        s"branch `$name` already exists under $table")
+    }
     fork
   }
 

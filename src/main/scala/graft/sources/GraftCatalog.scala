@@ -62,6 +62,21 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // above it — so SQL reads never resurrect deleted rows, with or
     // without `CALL graft.system.compact_deletes`.
     val dvDir = Manifest.dvDirOf(spark, path, id)
+    // Guard the EXTENSION-LESS session: without GraftDvReadRule a read of
+    // this table would serve the raw scan and RESURRECT deleted rows —
+    // refuse at load, exactly like the pre-rule catalog did. The check
+    // rides the STATIC conf (it cannot be set after session build, so its
+    // presence proves the extensions were applied); sessions installing
+    // the extensions programmatically must also carry the conf.
+    if (dvDir.isDefined && !spark.conf.get("spark.sql.extensions", "")
+        .contains("graft.GraftExtensions"))
+      throw new UnsupportedOperationException(
+        s"graft.`$path` snapshot-$id carries a deletion-vector sidecar and " +
+          "this session lacks the graft extensions (set " +
+          "spark.sql.extensions=graft.GraftExtensions at session BUILD — " +
+          "analyzer rules cannot attach later): a raw read would resurrect " +
+          "deleted rows. Alternatively fold the vector with " +
+          s"CALL graft.system.compact_deletes('$path')")
     val files = Manifest.snapshotFiles(spark, path, id)
     val logical: Option[StructType] = Manifest.storedSchema(spark, path, id)
     // Descriptor plan handoff: snapshots carrying per-file byte lengths

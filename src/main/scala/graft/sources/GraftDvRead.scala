@@ -55,7 +55,12 @@ final case class GraftDvReadRule(spark: SparkSession) extends Rule[LogicalPlan] 
     case d: DeleteFromTable =>
       d.copy(condition = subqueries(d.condition))
     case u: UpdateTable =>
-      u.copy(condition = u.condition.map(subqueries))
+      // Assignment VALUES can carry scalar subqueries too (SET x =
+      // (SELECT ...)) — those are reads like any other. (MERGE clause
+      // conditions cannot: the analyzer refuses subqueries there.)
+      u.copy(
+        assignments = u.assignments.map(a => a.copy(value = subqueries(a.value))),
+        condition = u.condition.map(subqueries))
     case m: MergeIntoTable => m.copy(sourceTable = rewrite(m.sourceTable))
     case r: DataSourceV2Relation =>
       GraftDvRead.dvPlanFor(spark, r).getOrElse(r)

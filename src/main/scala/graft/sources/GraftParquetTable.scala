@@ -44,6 +44,12 @@ class GraftParquetTable(
   override def inferSchema(fileStatuses: Seq[FileStatus]): Option[StructType] =
     ParquetUtils.inferSchema(spark, opts.asScala.toMap, fileStatuses)
 
+  // NOTE: no DV guard here — the optimizer's V2ScanRelationPushDown builds
+  // a scan for EVERY DSv2 relation including DML targets (whose scans never
+  // execute; the engine rewrite reads through the vector on its own paths),
+  // so a refusal at scan-build time would break DELETE/UPDATE/MERGE on
+  // DV-bearing tables. The extension-less-session guard lives at catalog
+  // LOAD time instead (GraftCatalog.tableFor).
   override def newScanBuilder(options: CaseInsensitiveStringMap): ParquetScanBuilder =
     ParquetScanBuilder(spark, fileIndex, schema, dataSchema, mergedOptions(options))
 

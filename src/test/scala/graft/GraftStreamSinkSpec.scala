@@ -333,6 +333,30 @@ class GraftStreamSinkSpec extends SparkSpec {
     // Ledger survives the fold.
     assert(Layout.mergeKeyedDvOnce(spark, dir, "doc_id", "mdv", 2L, delta2)
       .filesRewritten == -1)
+    // CRASH WINDOW: files of a batch landed (prefix-named) but the commit
+    // never happened — the replay must triage them away BEFORE the
+    // completeness check and redo the batch exactly once.
+    val scratch = tmpDir("gsink_mdv_scratch")
+    docs.filter(col("doc_id") < 3).repartition(1)
+      .write.mode("overwrite").parquet(scratch)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(scratch))
+      .filter(s => s.getPath.getName.startsWith("part-")).head.getPath
+    val orphan = new org.apache.hadoop.fs.Path(dir,
+      s"part-sink-${appTok("mdv")}-3-99.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, orphan, false,
+      spark.sessionState.newHadoopConf())
+    val delta3 = docs.filter(col("doc_id").between(80, 84))
+      .withColumn("source", lit("dvup3"))
+    val r4 = Layout.mergeKeyedDvOnce(spark, dir, "doc_id", "mdv", 3L, delta3)
+    assert(r4.filesRewritten == 0 && r4.rowsUpdated == 5L, s"$r4")
+    assert(!fs.exists(orphan), "the crashed batch's orphan is healed")
+    val expected3 = fp(
+      docs.filter(col("doc_id") < 90 && !col("doc_id").between(80, 84))
+        .unionByName(delta.filter(!col("doc_id").between(110, 114)))
+        .unionByName(delta2).unionByName(delta3))
+    assert(fp(Manifest.readAsOf(spark, dir,
+      Manifest.latestSnapshotId(spark, dir).get)) == expected3,
+      "replay after the crash lands the batch exactly once, no orphan rows")
   }
 
   test("mergeKeyedDv statement identity: a crashed statement's orphans heal; completed work never dedups") {
