@@ -281,18 +281,35 @@ private[graft] object FsMaint {
   def holdsTableLock(path: String): Boolean =
     heldLocks.get.contains(tableLockPath(path).toString)
 
+  /** How long a writer WAITS for a live table lock before the typed
+    * refusal — the engine-level retry that lets a streaming sink trigger,
+    * a scheduled compaction, and ad-hoc DML race the same table and ALL
+    * eventually commit (each op re-reads the table state AFTER acquiring
+    * the lock, so waiting writers always plan against the winner's
+    * result). 0 restores the fail-fast posture (refuse typed immediately,
+    * having touched nothing) — what the concurrency specs assert when
+    * they need a deterministic loser. Bounded: past the deadline the
+    * refusal is the same typed [[Manifest.ConcurrentCommitException]] as
+    * before, so a wedged-but-within-lease holder can never hang callers
+    * forever.
+    */
+  private[graft] var lockWaitMs: Long = 120000L
+
   /** Run `body` holding the exclusive table lock for `path` — the
     * serialization point for every job that swaps the table's data files
     * (COW DELETE/MERGE, compaction, re-clustering) and for trash-mutating
     * maintenance (vacuum). A live lock means a concurrent writer owns the
-    * commit window: fail typed immediately, having touched NOTHING — the
-    * optimistic-concurrency posture (the caller re-runs later) rather than
-    * blocking. An expired lock (crashed holder) is broken ATOMICALLY (see
-    * [[breakStale]]); the lock file carries a holder token so release
-    * deletes only the holder's OWN lock (a lease-breaker may have replaced
-    * it mid-body — the replaced holder must not unlock the successor).
-    * The CALLER is responsible for running its journal heal inside `body`
-    * (under the lock, a heal can never stomp a live writer's state).
+    * commit window: WAIT it out (bounded by [[lockWaitMs]], backoff-polled)
+    * and then fail typed, having touched NOTHING — the waiting variant of
+    * the optimistic-concurrency posture (every locked op re-reads the
+    * table state inside the lock, so a writer that waited plans against
+    * the winner's committed result). An expired lock (crashed holder) is
+    * broken ATOMICALLY (see [[breakStale]]); the lock file carries a
+    * holder token so release deletes only the holder's OWN lock (a
+    * lease-breaker may have replaced it mid-body — the replaced holder
+    * must not unlock the successor). The CALLER is responsible for running
+    * its journal heal inside `body` (under the lock, a heal can never
+    * stomp a live writer's state).
     */
   def withTableLock[T](fs: FileSystem, path: String)(body: => T): T = {
     val lock = tableLockPath(path)
@@ -302,20 +319,32 @@ private[graft] object FsMaint {
     // window, and releases it.
     if (holdsTableLock(path)) return body
     val token = java.util.UUID.randomUUID().toString
-    if (fs.exists(lock)) {
-      if (liveTableLock(fs, path))
-        throw new Manifest.ConcurrentCommitException(
-          s"table commit on $path refused: another writer holds the " +
-            s"commit lock ($lock) — a concurrent COW mutation, rewrite, or " +
-            "vacuum owns the swap window; nothing was touched, re-run " +
-            "after it completes")
-      breakStale(fs, lock, token.take(8)) // crashed holder past the lease
+    val deadline = System.currentTimeMillis() + math.max(0L, lockWaitMs)
+    var delay = 25L
+    var acquired = false
+    while (!acquired) {
+      if (fs.exists(lock) && liveTableLock(fs, path)) {
+        if (System.currentTimeMillis() >= deadline)
+          throw new Manifest.ConcurrentCommitException(
+            s"table commit on $path refused: another writer holds the " +
+              s"commit lock ($lock) — a concurrent COW mutation, rewrite, or " +
+              "vacuum owns the swap window; nothing was touched, re-run " +
+              "after it completes")
+        Thread.sleep(delay)
+        delay = math.min(delay * 2, 2000L)
+      } else {
+        if (fs.exists(lock) && !liveTableLock(fs, path))
+          breakStale(fs, lock, token.take(8)) // crashed holder past the lease
+        if (atomicCreate(fs, lock)) acquired = true
+        else if (System.currentTimeMillis() >= deadline)
+          throw new Manifest.ConcurrentCommitException(
+            s"table commit on $path refused: lost the commit-lock race " +
+              s"($lock) to a concurrent writer; nothing was touched, re-run " +
+              "after it completes")
+        // lost the create race to a concurrent writer — loop back into the
+        // wait (its lease is fresh, so the live branch paces the polling)
+      }
     }
-    if (!atomicCreate(fs, lock))
-      throw new Manifest.ConcurrentCommitException(
-        s"table commit on $path refused: lost the commit-lock race ($lock) " +
-          "to a concurrent writer; nothing was touched, re-run after it " +
-          "completes")
     // Stamp the holder token (also refreshes the lease clock). Safe to
     // overwrite: the path exists only because OUR atomic create made it.
     val out = fs.create(lock, true)

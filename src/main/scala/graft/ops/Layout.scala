@@ -512,9 +512,9 @@ object Layout {
       try {
         val nDoomed = doomed.count()
         if (nDoomed == 0L) return DeleteResult(0, total, 0L)
-        val grown = Manifest.dvEntries(spark, path, latest)
-          .fold(doomed)(_.unionByName(doomed))
-        Manifest.commitDv(spark, path, latest, grown)
+        // The commit grows the base's vector by this DELTA internally —
+        // delta-shaped, so concurrent disjoint commits rebase.
+        Manifest.commitDv(spark, path, latest, doomed)
         DeleteResult(0, total, nDoomed)
       } finally Caching.release(doomed)
     }
@@ -1154,8 +1154,9 @@ object Layout {
                 "siblings; dedup the table first")
             val doomed = doomedK.drop("__mk")
             if (matched == 0L) Manifest.DvInherit
-            else Manifest.DvExplicit(Manifest.currentDv(spark, path)
-              .fold(doomed)(_.unionByName(doomed)))
+            // Delta-shaped: the commit grows the base's vector internally,
+            // so a rebase onto a concurrent winner composes both deletes.
+            else Manifest.DvDelta(doomed)
           }
         // Land the delta as appended files + the ONE atomic commit
         // (stats + vector + txn). appendOnceDv re-enters the held lock.
@@ -1517,17 +1518,16 @@ object Layout {
             .select(col("file_name"), col("pos"))
             .localCheckpoint(true)
           try {
-            val grown = Manifest.currentDv(spark, path)
-              .fold(doomed: org.apache.spark.sql.DataFrame)(_.unionByName(doomed))
             val latestNow = Manifest.latestSnapshotId(spark, path).get
             if (nUp == 0)
-              // Pure delete: one metadata-only commit publishes the grown
-              // vector (an empty append would no-op without committing it).
-              Manifest.commitDv(spark, path, latestNow, grown): Unit
+              // Pure delete: one metadata-only commit grows the vector by
+              // this statement's DELTA (an empty append would no-op
+              // without committing it).
+              Manifest.commitDv(spark, path, latestNow, doomed): Unit
             else
               // Same statement-level crash identity as mergeKeyedDv.
               appendOnceDv(spark, path, StmtDvApp, (latestNow + 1).toLong,
-                toLogicalDf(upserts, phys), Manifest.DvExplicit(grown)): Unit
+                toLogicalDf(upserts, phys), Manifest.DvDelta(doomed)): Unit
             MergeRowResult(0, total, updated, deleted, nUp - updated)
           } finally Caching.release(doomed)
         } else {
@@ -1744,9 +1744,10 @@ object Layout {
         if (!dvDiffers) return RestoreResult(latest, 0, 0, restored.size)
         // File-identical states with a ROW-LEVEL (DV) difference — e.g.
         // restoring across a DV-only delete: one metadata commit
-        // republishes the target's exact vector over the carried stats.
-        val id = Manifest.commitDv(spark, path, latest,
-          dvCarry.asInstanceOf[Manifest.DvExplicit].entries)
+        // republishes the target's EXACT vector over the carried stats
+        // (explicit, not a delta — restore replaces, never grows).
+        val id = Manifest.commitDelta(spark, path, latest, Set.empty, None,
+          dv = dvCarry)
         return RestoreResult(id, 0, 0, restored.size)
       }
       val partitioned = isHivePartitioned(fs, path)

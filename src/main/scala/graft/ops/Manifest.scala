@@ -567,6 +567,17 @@ object Manifest {
             .select(element_at(split(col("file"), "/"), -1).as("file_name"))
           base.join(names, Seq("file_name"), "left_semi")
         }
+      case DvDelta(delta) =>
+        // Grow the BASE's vector by this statement's positions — resolved
+        // against whatever base the commit lands on, which is what makes a
+        // DV commit rebase-safe ([[commitDelta]]): after a rebase the union
+        // re-reads the WINNER's entries, so concurrent DV growth composes
+        // instead of last-writer-wins clobbering.
+        val grown = basedOn.filter(_ > 0).flatMap(b => dvEntries(spark, table, b))
+          .fold(delta)(_.unionByName(delta))
+        val names = spark.read.parquet(tmp)
+          .select(element_at(split(col("file"), "/"), -1).as("file_name"))
+        Some(grown.join(names, Seq("file_name"), "left_semi"))
     }
     dvOut.foreach { e =>
       // Only a NON-EMPTY vector publishes (an empty `_dv/` dir would flag
@@ -726,23 +737,178 @@ object Manifest {
                              app: String, version: Long): Int = {
     val id = latestId(spark, table).getOrElse(
       throw new IllegalStateException(s"no manifest snapshot under $table"))
-    commitSnapshot(spark, table,
-      spark.read.parquet(s"${root(table)}/snapshot-$id"),
-      storedSchema(spark, table, id), basedOn = Some(id),
+    commitDelta(spark, table, id, Set.empty, None,
       txn = Some(app -> version))
   }
 
-  /** Metadata-only commit publishing a grown deletion vector: the latest
-    * snapshot's stats rows carried verbatim plus the explicit sidecar —
-    * the commit side of [[graft.ops.Layout.deleteRangeDV]]. Zero data
-    * files read or written.
+  /** Metadata-only commit growing the deletion vector by this statement's
+    * NEW positions — the commit side of [[graft.ops.Layout.deleteRangeDV]]
+    * and the row-level DV DML paths. Zero data files read or written; the
+    * union with the base's existing entries happens INSIDE the commit
+    * against whatever base it lands on, so a rebase onto a concurrent
+    * winner composes both writers' deletes.
     */
   private[ops] def commitDv(spark: SparkSession, table: String,
-                            basedOn: Int, entries: DataFrame): Int =
-    commitSnapshot(spark, table,
-      spark.read.parquet(s"${root(table)}/snapshot-$basedOn"),
-      storedSchema(spark, table, basedOn), basedOn = Some(basedOn),
-      dv = DvExplicit(entries))
+                            basedOn: Int, delta: DataFrame): Int =
+    commitDelta(spark, table, basedOn, Set.empty, None, dv = DvDelta(delta))
+
+  /** Rebase budget of [[commitDelta]]: how many times a refused delta
+    * commit may recompute against the moved head before giving up typed
+    * (each rebase is metadata-sized — re-reading the head's stats rows),
+    * and how long it may wait out an open COW swap window. `private[graft]
+    * var` so concurrency specs can pin the fail-fast posture.
+    */
+  private[graft] var commitRebaseAttempts: Int = 6
+  private[graft] var commitWaitMs: Long = 120000L
+
+  /** Commit a DELTA-SHAPED snapshot under ENGINE-LEVEL rebase-and-retry —
+    * the Iceberg/Delta conflict-resolution posture on this commit
+    * mechanism. The commit is expressed as its delta against snapshot
+    * `basedOn`: `removed` stats rows dropped, `addedStats` rows appended,
+    * plus optional txn ledger entry and DV carry. On the typed refusal
+    * (a concurrent writer moved the head, or a swap window is open) the
+    * loser does NOT propagate the failure: it re-reads the NEW head,
+    * verifies its delta still applies — the files it removes still live,
+    * the files it adds are not already referenced, schema/rename/stats
+    * shape unchanged, and its DV delta's target files survived — and
+    * re-commits the SAME delta rebased onto the winner's rows. Only a
+    * TRUE overlap (the winner rewrote/removed/absorbed files this delta
+    * touches) refuses typed, with the overlap named. Open swap windows
+    * are waited out (bounded by [[commitWaitMs]]).
+    *
+    * What this buys at scale: a streaming sink's append, a scheduled
+    * compaction's replace, and an ad-hoc DV DELETE can land concurrently
+    * and ALL commit — disjoint file sets compose; genuine conflicts stay
+    * loud. Full re-profiles ([[create]]) stay non-rebasing: their stats
+    * ARE the table state, so a moved head makes them stale by definition.
+    */
+  private[ops] def commitDelta(spark: SparkSession, table: String,
+                               basedOn: Int,
+                               removed: Set[String],
+                               addedStats: Option[DataFrame],
+                               schema: Option[StructType] = None,
+                               txn: Option[(String, Long)] = None,
+                               dv: DvCarry = DvInherit,
+                               physical: Option[Map[String, String]] = None): Int = {
+    require(basedOn >= 1, s"commitDelta needs an existing base snapshot: $basedOn")
+    // The added FILE PATHS are stable across rebases (parquet files are
+    // immutable once staged) — collect them once, lazily, for validation.
+    lazy val addedNames: Set[String] = addedStats.fold(Set.empty[String])(a =>
+      plannedPaths(a.select("file"), table, "rebase validation").toSet)
+    lazy val dvDeltaNames: Set[String] = dv match {
+      case DvDelta(d) =>
+        d.select("file_name").distinct().collect().map(_.getString(0)).toSet
+      case _ => Set.empty
+    }
+    val schemaExplicit = schema.orElse(storedSchema(spark, table, basedOn))
+    var base = basedOn
+    var rebases = 0
+    var delay = 50L
+    val deadline = System.currentTimeMillis() + math.max(0L, commitWaitMs)
+    while (true) {
+      val baseRows = spark.read.parquet(s"${root(table)}/snapshot-$base")
+      val kept =
+        if (removed.isEmpty) baseRows
+        else baseRows.filter(!col("file").isInCollection(removed.toSeq))
+      val stats = addedStats.fold(kept)(a =>
+        kept.unionByName(a, allowMissingColumns = true))
+      try return commitSnapshot(spark, table, stats, schemaExplicit,
+        basedOn = Some(base), txn = txn, physical = physical, dv = dv)
+      catch {
+        case e: ConcurrentCommitException =>
+          val head = latestId(spark, table).getOrElse(0)
+          if (head == base) {
+            // A swap window is open (or a claim blip with no new head):
+            // the holder's commit will move the head or close the window —
+            // wait it out, bounded.
+            if (System.currentTimeMillis() >= deadline) throw e
+            Thread.sleep(delay)
+            delay = math.min(delay * 2, 2000L)
+          } else {
+            rebases += 1
+            if (rebases > commitRebaseAttempts) throw e
+            rebaseConflict(spark, table, base, head, removed, addedNames,
+              dvDeltaNames, dv).foreach { why =>
+              throw new ConcurrentCommitException(
+                s"manifest commit on $table refused: cannot rebase onto " +
+                  s"snapshot-$head — $why; this is a TRUE conflict, re-run " +
+                  "the operation against the table's current state")
+            }
+            base = head
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable") // the loop returns or throws
+  }
+
+  /** Why a delta commit based on `base` canNOT rebase onto `head` — None
+    * when the winner's writes are provably disjoint from this delta. The
+    * checks, in cheapest-first order: recorded schema moved, rename map
+    * moved, stats shape (key/bloom columns) moved, files this delta
+    * removes were themselves removed/rewritten, files it adds are already
+    * referenced (a concurrent full re-profile absorbed them — committing
+    * would double-count), a DV delta's target files were rewritten (their
+    * row positions are void), or — for a replace carrying DvInherit — the
+    * winner grew the vector while this delta rewrote files (its staged
+    * survivors were computed under the OLD vector: rows the winner deleted
+    * would resurrect).
+    */
+  private def rebaseConflict(spark: SparkSession, table: String,
+                             base: Int, head: Int,
+                             removed: Set[String], addedNames: Set[String],
+                             dvDeltaNames: Set[String],
+                             dv: DvCarry): Option[String] = {
+    if (storedSchema(spark, table, base) != storedSchema(spark, table, head))
+      return Some("the concurrent commit changed the recorded schema")
+    if (physicalNames(spark, table, base) != physicalNames(spark, table, head))
+      return Some("the concurrent commit changed column physical names")
+    val headRows = spark.read.parquet(s"${root(table)}/snapshot-$head")
+    val baseCols = spark.read.parquet(s"${root(table)}/snapshot-$base")
+      .schema.fieldNames.toSet
+    if (headRows.schema.fieldNames.toSet != baseCols)
+      return Some("the concurrent commit changed the stats columns " +
+        "(key/bloom profile)")
+    val headFiles = plannedPaths(headRows.select("file"), table,
+      "rebase validation").toSet
+    val goneRemoved = removed.filterNot(headFiles)
+    if (goneRemoved.nonEmpty)
+      return Some(s"${goneRemoved.size} file(s) this commit replaces were " +
+        s"removed or rewritten concurrently (first: ${goneRemoved.head})")
+    val dupAdded = addedNames.filter(headFiles)
+    if (dupAdded.nonEmpty)
+      return Some(s"${dupAdded.size} file(s) this commit adds are already " +
+        s"referenced by the concurrent commit (first: ${dupAdded.head})")
+    if (dvDeltaNames.nonEmpty) {
+      val headNames = headFiles.map(p => decodePath(p).getName)
+      val voided = dvDeltaNames.filterNot(headNames)
+      if (voided.nonEmpty)
+        return Some(s"the deletion-vector delta targets ${voided.size} " +
+          s"file(s) the concurrent commit rewrote (first: ${voided.head}) — " +
+          "their row positions are no longer valid")
+    }
+    dv match {
+      case DvInherit if removed.nonEmpty && !dvUnchanged(spark, table, base, head) =>
+        Some("the concurrent commit changed the deletion vector while this " +
+          "commit rewrote files — the staged survivors were computed under " +
+          "the old vector")
+      case DvExplicit(_) =>
+        Some("explicit deletion-vector carries (restore) do not rebase")
+      case _ => None
+    }
+  }
+
+  /** Is the deletion vector identical between two snapshots? Sidecars are
+    * metadata-sized (rows ∝ accumulated deletes), so the two-way except is
+    * a small job — and it only runs on the rare replace-rebase path.
+    */
+  private def dvUnchanged(spark: SparkSession, table: String,
+                          base: Int, head: Int): Boolean =
+    (dvEntries(spark, table, base), dvEntries(spark, table, head)) match {
+      case (None, None) => true
+      case (Some(a), Some(b)) =>
+        b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty
+      case _ => false
+    }
 
   /** The PUBLISH instant of snapshot `id` (epoch millis): the explicit
     * `_committed_at` marker written just before the publish rename, falling
@@ -1063,8 +1229,14 @@ object Manifest {
     * snapshot still references (the default — rewritten files fold).
     */
   private[ops] case object DvInherit extends DvCarry
-  /** Publish exactly these entries (a DV delete's grown sidecar). */
+  /** Publish exactly these entries (a restore's historical sidecar). */
   private[ops] final case class DvExplicit(entries: DataFrame) extends DvCarry
+  /** GROW the base's vector by these NEW (file_name, pos) entries — the
+    * delta shape every DV statement commits (deleteRangeDV, row-level DV
+    * MERGE/DELETE): resolved against the commit's actual base, so a rebase
+    * onto a concurrent winner composes both writers' growth.
+    */
+  private[ops] final case class DvDelta(entries: DataFrame) extends DvCarry
 
   /** [[updateSchema]] convenience: drop one column. */
   def dropColumn(spark: SparkSession, table: String, column: String): Int = {
@@ -1207,21 +1379,19 @@ object Manifest {
     val snapId = latestId(spark, table).getOrElse(
       throw new IllegalStateException(s"no manifest snapshot under $table"))
     val snap = spark.read.parquet(s"${root(table)}/snapshot-$snapId")
-    val kept = snap.filter(!col("file").isInCollection(removed.toSeq))
     // basePath keeps hive-partition columns on the added-files scan, so a
     // partitioned table's replacement stats see the same schema a full
     // create would.
-    val stats =
-      if (addedPaths.isEmpty) kept
-      else kept.unionByName(
-        statsOf(spark.read.option("basePath", table)
-          .parquet(addedPaths.map(escapeGlob): _*), keyCols,
-          bloomSpecsLike(snap)), allowMissingColumns = true)
+    val added =
+      if (addedPaths.isEmpty) None
+      else Some(statsOf(spark.read.option("basePath", table)
+        .parquet(addedPaths.map(escapeGlob): _*), keyCols,
+        bloomSpecsLike(snap)))
     // COW mutations preserve the table schema — carry the recorded one.
-    // basedOn = the snapshot the carried rows came from: a concurrent
-    // commit in between means those rows describe a superseded file set.
-    commitSnapshot(spark, table, stats, storedSchema(spark, table, snapId),
-      basedOn = Some(snapId), txn = txn, dv = dv)
+    // Delta-shaped, so a concurrent DISJOINT commit rebases instead of
+    // failing the whole mutation ([[commitDelta]]).
+    commitDelta(spark, table, snapId, removed, added,
+      schema = storedSchema(spark, table, snapId), txn = txn, dv = dv)
   }
 
   /** Bloom specs matching an existing snapshot's bloom columns (so stats
@@ -1307,12 +1477,9 @@ object Manifest {
     // debt with zero information).
     if (newPaths.isEmpty && removedEnc.isEmpty)
       return (prevId, 0, 0)
-    val carriedDf =
-      if (removedEnc.isEmpty) prev
-      else prev.filter(!col("file").isInCollection(removedEnc.toSeq))
     val prevSchema = storedSchema(spark, table, prevId)
-    val (stats, schema) =
-      if (newPaths.isEmpty) (carriedDf, prevSchema)
+    val (added, schema) =
+      if (newPaths.isEmpty) (None: Option[DataFrame], prevSchema)
       else {
         // mergeSchema over the NEW files only (O(new) footers): appends
         // between two snapshots may themselves carry mixed schemas.
@@ -1326,12 +1493,14 @@ object Manifest {
         val physInc = physicalNames(spark, table, prevId)
         val merged = prevSchema.map(old => toLogicalSchema(
           mergeAdditive(toPhysicalSchema(old, physInc), fresh.schema), physInc))
-        (carriedDf.unionByName(
-          statsOf(fresh, keyCols, bloomSpecsLike(prev)),
-          allowMissingColumns = true), merged)
+        (Some(statsOf(fresh, keyCols, bloomSpecsLike(prev))), merged)
       }
-    (commitSnapshot(spark, table, stats, schema, basedOn = Some(prevId),
-       txn = txn, dv = dv),
+    // Delta-shaped: a concurrent DISJOINT commit (a DV delete, a txn
+    // record, another writer's append of different files) rebases instead
+    // of failing this refresh ([[commitDelta]]); a concurrent full
+    // re-profile that absorbed these files refuses typed.
+    (commitDelta(spark, table, prevId, removedEnc.toSet, added,
+       schema = schema, txn = txn, dv = dv),
       newPaths.length, removedEnc.length)
   }
 

@@ -104,6 +104,10 @@ class ConcurrencySpec extends SparkSpec {
   test("concurrent COW deletes: the second writer fails typed at the table lock; winner and table stay consistent") {
     val stage = stageClustered("conc_cow", 8)
     Manifest.create(spark, stage, "doc_id")
+    // This test asserts the FAIL-FAST posture (lockWaitMs = 0) — the
+    // engine-level waiting retry has its own test below.
+    val savedWait = FsMaint.lockWaitMs
+    FsMaint.lockWaitMs = 0L
     val before = spark.read.parquet(stage).count()
     // Park writer A INSIDE its commit window (the seam fires in
     // commitReplaced's snapshot commit, after the swap, lock still held).
@@ -132,6 +136,7 @@ class ConcurrencySpec extends SparkSpec {
     } finally {
       release.countDown()
       Manifest.commitInterleaveForTest = () => ()
+      FsMaint.lockWaitMs = savedWait
     }
     val ra = Await.result(a, 120.seconds)
     assert(ra.rowsDeleted == 100L)
@@ -153,6 +158,9 @@ class ConcurrencySpec extends SparkSpec {
     Layout.deleteRange(spark, stage, "doc_id", 0L, 9L)
     val preFp = fp(spark.read.parquet(stage))
     val fs = fsOf(stage)
+    // Fail-fast posture for the refusal assertions (no 2-minute waits).
+    val savedWait = FsMaint.lockWaitMs
+    FsMaint.lockWaitMs = 0L
     assert(FsMaint.atomicCreate(fs, FsMaint.tableLockPath(stage)))
     try {
       intercept[Manifest.ConcurrentCommitException] {
@@ -174,7 +182,10 @@ class ConcurrencySpec extends SparkSpec {
       try {
         val r = Layout.deleteRange(spark, stage, "doc_id", 100L, 199L)
         assert(r.rowsDeleted == 100L)
-      } finally FsMaint.tableLockLeaseMs = savedLease
+      } finally {
+        FsMaint.tableLockLeaseMs = savedLease
+        FsMaint.lockWaitMs = savedWait
+      }
       assert(!fs.exists(FsMaint.tableLockPath(stage)), "broken lock must not linger")
     }
   }
@@ -209,6 +220,12 @@ class ConcurrencySpec extends SparkSpec {
           String.valueOf(t.getMessage).contains("PATH_NOT_FOUND")
       }
     }
+    // Fail-fast posture: this test exercises the typed-refusal contract
+    // and caller-side retries (the waiting engine retry is tested on its
+    // own); without it the lock wait would serialize the writers silently
+    // and the final contention assertion would have nothing to observe.
+    val savedWait = FsMaint.lockWaitMs
+    FsMaint.lockWaitMs = 0L
     val refused = new java.util.concurrent.atomic.AtomicInteger(0)
     def persist(opName: String)(op: => Unit): Unit = {
       var attempts = 0
@@ -238,7 +255,8 @@ class ConcurrencySpec extends SparkSpec {
       Future { persist("snapshot") { Manifest.createIncremental(spark, stage, "doc_id"): Unit }
                persist("vacuum") { Manifest.vacuum(spark, stage): Unit } }
     )
-    Await.result(Future.sequence(writers), 300.seconds)
+    try Await.result(Future.sequence(writers), 300.seconds)
+    finally FsMaint.lockWaitMs = savedWait
     // Deterministic final content: l1's range deleted, l2's key updated +
     // one insert, everything else untouched (compaction is invariant).
     val after = spark.read.parquet(stage)
@@ -258,6 +276,75 @@ class ConcurrencySpec extends SparkSpec {
     assert(manifestLeftovers(stage).isEmpty, manifestLeftovers(stage).toString)
     // The point of the exercise: contention actually happened.
     assert(refused.get >= 1, "stress never observed a refusal — widen the ops")
+  }
+
+  test("engine-level lock wait: racing appendOnce/mergeKeyed/compact ALL commit with no caller retry loops") {
+    // The round-16 verdict's top gap: a deployment running a streaming
+    // sink + scheduled compaction + ad-hoc DML hit spurious typed aborts
+    // and every caller carried its own retry loop. With the bounded lock
+    // wait (FsMaint.lockWaitMs, default ON) the writers serialize inside
+    // the engine: each acquires the lock, re-reads the table state, and
+    // commits — no persist()/retry wrapper anywhere in this test.
+    val stage = stageClustered("conc_wait", 8)
+    Manifest.create(spark, stage, "doc_id")
+    val before = spark.read.parquet(stage).count()
+    import spark.implicits._
+    val writers = Seq(
+      Future(Layout.appendOnce(spark, stage, "wait-app", 1L,
+        spark.range(900000L, 900040L).selectExpr(
+          "id AS doc_id", "'fresh' AS text", "'en' AS lang", "'s' AS source",
+          "CAST(5 AS BIGINT) AS n_chars"))),
+      Future(Layout.mergeKeyed(spark, stage, "doc_id", Seq(
+        (3L, "updated", "en", "s", 7L), (910000L, "inserted", "en", "s", 8L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")): Unit),
+      Future(Layout.deleteRange(spark, stage, "doc_id", 10L, 19L): Unit),
+      Future(Layout.compactTable(spark, stage, 1L << 26): Unit))
+    Await.result(Future.sequence(writers), 300.seconds)
+    // Every writer's effect landed: append +40, merge +1 insert / 1 update,
+    // delete -10; compaction is content-invariant.
+    val after = spark.read.parquet(stage)
+    assert(after.count() == before + 40L + 1L - 10L)
+    assert(after.filter(col("doc_id").between(10L, 19L)).count() == 0L)
+    assert(after.filter(col("doc_id") === 3L).select("text")
+      .head().getString(0) == "updated")
+    assert(after.filter(col("doc_id") >= 900000L).count() == 41L)
+    assert(Manifest.isComplete(spark, stage))
+    assert(!fsOf(stage).exists(FsMaint.tableLockPath(stage)))
+    assert(manifestLeftovers(stage).isEmpty, manifestLeftovers(stage).toString)
+  }
+
+  test("commit CAS rebase: a DV delete whose base moved under a DISJOINT append rebases and BOTH land") {
+    val stage = stageClustered("conc_rebase", 4)
+    Manifest.create(spark, stage, "doc_id")
+    val before = spark.read.parquet(stage).count()
+    // Interleave an incremental APPEND inside the DV delete's commit
+    // window: the delete's basedOn is now superseded, but its delta (a
+    // sidecar grow targeting files the winner never touched) is disjoint
+    // from the winner's write set (one new data file) — the engine rebases
+    // onto the winner's head, RE-GROWS the vector against it, and commits.
+    // NO caller retry anywhere in this test.
+    Manifest.commitInterleaveForTest = () => {
+      Manifest.commitInterleaveForTest = () => () // one-shot
+      spark.range(950000L, 950050L).selectExpr(
+        "id AS doc_id", "'x' AS text", "'en' AS lang", "'s' AS source",
+        "CAST(1 AS BIGINT) AS n_chars").write.mode("append").parquet(stage)
+      Manifest.createIncremental(spark, stage, "doc_id"): Unit
+    }
+    val r =
+      try Layout.deleteRangeDV(spark, stage, "doc_id", 0L, 9L)
+      finally Manifest.commitInterleaveForTest = () => ()
+    assert(r.rowsDeleted == 10L && r.filesRewritten == 0)
+    // Both effects visible in ONE history: the winner's appended file AND
+    // the rebased delete's sidecar.
+    val after = Manifest.readAsOf(spark, stage,
+      Manifest.latestSnapshotId(spark, stage).get)
+    assert(after.count() == before + 50L - 10L)
+    assert(after.filter(col("doc_id").between(0L, 9L)).count() == 0L)
+    assert(after.filter(col("doc_id") >= 950000L).count() == 50L)
+    assert(manifestLeftovers(stage).isEmpty, manifestLeftovers(stage).toString)
+    // The inverse — a FULL re-profile that ABSORBED the loser's own file —
+    // stays a TYPED refusal (true overlap): the superseded-snapshot test
+    // above pins it.
   }
 
   test("recoverDelete never heals under a live lock (a live writer's swap window is its own)") {
