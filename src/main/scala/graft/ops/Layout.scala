@@ -1421,22 +1421,37 @@ object Layout {
       val upserts = toPhysicalDf(upserts0, phys).localCheckpoint(true)
       val delKeys = toPhysKeys(allNotNull(delKeys0.select(kCols: _*)))
         .distinct().localCheckpoint(true)
+      // ONE fused validation pass over the tagged action union: its
+      // grouped per-key counts answer the upsert-key uniqueness check, the
+      // update/delete overlap check, and both action totals in a single
+      // grouped aggregate — where four separate per-statement jobs
+      // (upsert stats, overlap semi-join, delete count, and their
+      // broadcasts) used to run. NULL keys group as one, preserving the
+      // at-most-one-action-row-per-key contract exactly; the grouped
+      // frame is checkpointed once and reused as the affected-key set
+      // below (one row per key BY CONSTRUCTION).
+      val g = upserts.select(pkCols: _*).withColumn("__a", lit("u"))
+        .unionByName(delKeys.withColumn("__a", lit("d")))
+        .groupBy(pkCols: _*)
+        .agg(sum(when(col("__a") === "u", 1L).otherwise(0L)).as("__cu"),
+             sum(when(col("__a") === "d", 1L).otherwise(0L)).as("__cd"))
+        .localCheckpoint(true)
       try {
-        // Upsert-key stats in one job (NULL keys group as one — the same
-        // at-most-one-action-row-per-key contract as mergeKeyed's delta).
-        val uStats = upserts.groupBy(pkCols: _*).count()
-          .agg(coalesce(sum("count"), lit(0L)), count(lit(1))).head
-        val nUp = uStats.getLong(0)
-        require(uStats.getLong(1) == nUp,
+        val s = g.agg(
+          coalesce(sum("__cu"), lit(0L)),
+          coalesce(sum("__cd"), lit(0L)),
+          coalesce(sum(when(col("__cu") > 1, lit(1L))), lit(0L)),
+          coalesce(sum(when(col("__cu") > 0 && col("__cd") > 0, lit(1L))),
+            lit(0L))).head
+        val nUp = s.getLong(0)
+        require(s.getLong(2) == 0L,
           s"MERGE produced more than one action row for some " +
             s"(${keyCols.mkString(", ")}) — replace would be ambiguous")
-        val upKeys = upserts.select(pkCols: _*)
-          .filter(physKeyCols.map(col(_).isNotNull).reduce(_ && _))
-        require(upKeys.join(broadcast(delKeys), physKeyCols, "left_semi").isEmpty,
+        require(s.getLong(3) == 0L,
           s"MERGE resolved some (${keyCols.mkString(", ")}) to BOTH an " +
             "update and a delete — clause conditions must pick one action " +
             "per matched row")
-        val nDel = delKeys.count()
+        val nDel = s.getLong(1)
         if (nUp == 0 && nDel == 0) return MergeRowResult(0, total, 0L, 0L, 0L)
         if (picked.isEmpty) {
           // Pure insert (no file overlaps any source key; deletes can match
@@ -1454,10 +1469,15 @@ object Layout {
           return MergeRowResult(0, total, 0L, 0L, nUp)
         }
         // Affected = keys whose target rows are replaced (updates) or
-        // dropped (deletes) — disjoint by the check above, so one tagged
-        // broadcast serves the per-action counts AND the uniqueness guard.
-        val tagged = upKeys.withColumn("__a", lit("u"))
-          .unionByName(delKeys.withColumn("__a", lit("d")))
+        // dropped (deletes) — disjoint by the check above and UNIQUE per
+        // key by construction (grouped), so one tagged broadcast serves
+        // the per-action counts AND the uniqueness guard. NULL-component
+        // keys are dropped: they match no target row (and orderedLong
+        // targeting would null them out anyway).
+        val tagged = g
+          .filter(physKeyCols.map(col(_).isNotNull).reduce(_ && _))
+          .select(pkCols :+
+            when(col("__cu") > 0, lit("u")).otherwise(lit("d")).as("__a"): _*)
         // With `pickAll`, compute read the WHOLE table (BY SOURCE semantics
         // require it) — but the COMMIT narrows back to the files whose key
         // range contains an AFFECTED key, so write amplification stays
@@ -1547,7 +1567,8 @@ object Layout {
           MergeRowResult(commitPicked.length, total, updated, deleted, nUp - updated)
         }
       } finally {
-        Caching.release(upserts); Caching.release(delKeys); Caching.release(sk)
+        Caching.release(g); Caching.release(upserts)
+        Caching.release(delKeys); Caching.release(sk)
       }
     }
   }
