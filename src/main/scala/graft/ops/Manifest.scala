@@ -555,34 +555,61 @@ object Manifest {
       try out.write(sch.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
-    // Deletion-vector carry: inherited entries restrict to the files the
-    // NEW snapshot references (read back from the just-written stats —
-    // one tiny parquet), so a COW rewrite of a DV-bearing file folds its
-    // entries, and untouched files keep theirs.
-    val dvOut: Option[DataFrame] = dv match {
-      case DvExplicit(entries) => Some(entries)
+    // Deletion-vector carry, SEGMENTED: the sidecar is a LIST of immutable
+    // segments in the shared `_dvseg/` pool, and the tiny `_dvlist` staged
+    // here publishes atomically with the snapshot. Per-commit cost by
+    // shape (the round-16 verdict's write-amplification fix):
+    //   - inherit with no files removed (appends, txn records): the base's
+    //     list carries VERBATIM — zero DV bytes read or written;
+    //   - delta (a DV statement): the base's list plus ONE new segment
+    //     holding this statement's positions — O(statement delta), never
+    //     O(live deletes). Resolved against whatever base the commit lands
+    //     on, so a rebase ([[commitDelta]]) composes concurrent growth;
+    //   - inherit/delta with files removed (COW rewrite, fold, legacy
+    //     `_dv/`-dir migration): surviving entries merge into ONE segment
+    //     (empty ⇒ vector cleared) — O(live) is paid at the fold, by
+    //     design.
+    def stagedNames: DataFrame = spark.read.parquet(tmp)
+      .select(element_at(split(col("file"), "/"), -1).as("file_name"))
+    // Does the staged snapshot DROP any of the base's files? (limit-1
+    // anti-join over two metadata-sized stats frames; only consulted when
+    // the base carries a vector)
+    def dropsFiles(b: Int): Boolean =
+      spark.read.parquet(s"${root(table)}/snapshot-$b")
+        .select(element_at(split(col("file"), "/"), -1).as("file_name"))
+        .join(stagedNames, Seq("file_name"), "left_anti")
+        .limit(1).count() > 0
+    def survivors(b: Int): DataFrame =
+      dvEntries(spark, table, b).get
+        .join(stagedNames, Seq("file_name"), "left_semi")
+    val baseId = basedOn.filter(_ > 0)
+    val segs: Seq[String] = dv match {
+      case DvExplicit(entries) =>
+        writeDvSegment(spark, table, entries).toSeq
       case DvInherit =>
-        basedOn.filter(_ > 0).flatMap(b => dvEntries(spark, table, b)).map { base =>
-          val names = spark.read.parquet(tmp)
-            .select(element_at(split(col("file"), "/"), -1).as("file_name"))
-          base.join(names, Seq("file_name"), "left_semi")
+        baseId.filter(hasDv(spark, table, _)) match {
+          case None => Nil
+          case Some(b) =>
+            val baseList = dvSegmentNames(fs, table, b)
+            if (baseList.nonEmpty && !dropsFiles(b)) baseList
+            else writeDvSegment(spark, table, survivors(b)).toSeq
         }
       case DvDelta(delta) =>
-        // Grow the BASE's vector by this statement's positions — resolved
-        // against whatever base the commit lands on, which is what makes a
-        // DV commit rebase-safe ([[commitDelta]]): after a rebase the union
-        // re-reads the WINNER's entries, so concurrent DV growth composes
-        // instead of last-writer-wins clobbering.
-        val grown = basedOn.filter(_ > 0).flatMap(b => dvEntries(spark, table, b))
-          .fold(delta)(_.unionByName(delta))
-        val names = spark.read.parquet(tmp)
-          .select(element_at(split(col("file"), "/"), -1).as("file_name"))
-        Some(grown.join(names, Seq("file_name"), "left_semi"))
+        baseId.filter(hasDv(spark, table, _)) match {
+          case None => writeDvSegment(spark, table, delta).toSeq
+          case Some(b) =>
+            val baseList = dvSegmentNames(fs, table, b)
+            if (baseList.nonEmpty && !dropsFiles(b))
+              baseList ++ writeDvSegment(spark, table, delta)
+            else writeDvSegment(spark, table,
+              survivors(b).unionByName(delta)).toSeq
+        }
     }
-    dvOut.foreach { e =>
-      // Only a NON-EMPTY vector publishes (an empty `_dv/` dir would flag
-      // every later read into a pointless anti-join).
-      if (!e.isEmpty) e.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$DvDirName")
+    if (segs.nonEmpty) {
+      val out = fs.create(new Path(tmp, DvListName), true)
+      try out.write(segs.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     // The logical→physical map INHERITS from the base snapshot unless the
     // commit overrides it (rename/drop) — a COW delete, compaction, or
@@ -694,6 +721,9 @@ object Manifest {
       else if (n.endsWith("__tmp") && aged)
         FsMaint.deleteRecursively(fs, s.getPath)
     }
+    // Pool segments orphaned by refused/crashed DV commits (lease-aged —
+    // a younger unreferenced segment may belong to a writer still staging).
+    sweepDvSegments(spark, table, aged = true): Unit
     next
   }
 
@@ -1166,28 +1196,125 @@ object Manifest {
   // the scan path on DV-bearing snapshots.
 
   private[ops] val DvDirName = "_dv"
+  private[ops] val DvSegDirName = "_dvseg"
+  private[ops] val DvListName = "_dvlist"
 
-  /** Does snapshot `id` carry a deletion-vector sidecar? (one fs probe) */
+  /** The parquet paths making up snapshot `id`'s deletion vector — Nil
+    * when it has none. SEGMENTED layout: the snapshot dir carries a tiny
+    * `_dvlist` text file naming immutable segment dirs under the shared
+    * `_graft_manifest/_dvseg/` pool (a DV statement appends ONE new
+    * segment — O(statement delta) — and inherit-carries copy the list
+    * verbatim at zero DV I/O; folds merge the union back into one
+    * segment). Snapshots that predate segmentation carry a physical
+    * `snapshot-<id>/_dv/` dir instead — still served, first match wins.
+    */
+  def dvPaths(spark: SparkSession, table: String, id: Int): Seq[String] = {
+    val fs = fsOf(spark, table)
+    val legacy = new Path(s"${root(table)}/snapshot-$id/$DvDirName")
+    if (fs.exists(legacy)) Seq(legacy.toString)
+    else dvSegmentNames(fs, table, id)
+      .map(n => s"${root(table)}/$DvSegDirName/$n")
+  }
+
+  /** Segment dir names listed by snapshot `id`'s `_dvlist` (Nil when the
+    * snapshot has no list — including legacy `_dv/`-dir snapshots, whose
+    * entries cannot be carried by reference: their segment lives INSIDE a
+    * snapshot dir that retention may expire).
+    */
+  private def dvSegmentNames(fs: org.apache.hadoop.fs.FileSystem,
+                             table: String, id: Int): Seq[String] = {
+    val p = new Path(s"${root(table)}/snapshot-$id/$DvListName")
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  /** Does snapshot `id` carry a deletion-vector sidecar? (fs probes only) */
   def hasDv(spark: SparkSession, table: String, id: Int): Boolean =
-    fsOf(spark, table).exists(new Path(s"${root(table)}/snapshot-$id/$DvDirName"))
+    dvPaths(spark, table, id).nonEmpty
 
-  /** Snapshot `id`'s position-delete entries, or None when it has none. */
-  def dvEntries(spark: SparkSession, table: String, id: Int): Option[DataFrame] =
-    if (!hasDv(spark, table, id)) None
-    else Some(spark.read.parquet(s"${root(table)}/snapshot-$id/$DvDirName"))
+  /** Snapshot `id`'s position-delete entries, or None when it has none —
+    * the union read of its segments (one parquet read; segments are
+    * metadata-sized).
+    */
+  def dvEntries(spark: SparkSession, table: String, id: Int): Option[DataFrame] = {
+    val paths = dvPaths(spark, table, id)
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
 
   /** The LATEST snapshot's deletion vector, or None. */
   def currentDv(spark: SparkSession, table: String): Option[DataFrame] =
     latestId(spark, table).flatMap(dvEntries(spark, table, _))
 
-  /** The sidecar DIRECTORY of snapshot `id`'s deletion vector, or None —
-    * what the SQL catalog threads into the tables it serves so the read
-    * rewrite rule ([[graft.sources]]) can scan it as an ordinary parquet
-    * dir for the anti-join (one probe here, zero per-query probes later).
+  /** The sidecar parquet paths of snapshot `id`'s deletion vector, or
+    * None — what the SQL catalog threads into the tables it serves so the
+    * read rewrite rule ([[graft.sources]]) can scan them as ordinary
+    * parquet for the anti-join (probes here, zero per-query probes later).
     */
-  def dvDirOf(spark: SparkSession, table: String, id: Int): Option[String] =
-    if (hasDv(spark, table, id)) Some(s"${root(table)}/snapshot-$id/$DvDirName")
-    else None
+  def dvPathsOf(spark: SparkSession, table: String, id: Int): Option[Seq[String]] = {
+    val p = dvPaths(spark, table, id)
+    if (p.isEmpty) None else Some(p)
+  }
+
+  /** Stage `entries` as ONE new immutable segment in the shared pool;
+    * None when empty (an empty segment would flag every read into a
+    * pointless anti-join). Written BEFORE the commit CAS — unreferenced
+    * until some snapshot's `_dvlist` publishes, so a refused/crashed
+    * commit leaves only an orphan segment, swept lease-aged by
+    * [[sweepDvSegments]].
+    */
+  private def writeDvSegment(spark: SparkSession, table: String,
+                             entries: DataFrame): Option[String] =
+    if (entries.isEmpty) None
+    else {
+      val name = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
+      entries.coalesce(1).write.mode("overwrite")
+        .parquet(s"${root(table)}/$DvSegDirName/$name")
+      Some(name)
+    }
+
+  /** Delete pool segments no live snapshot (or live staged commit)
+    * references. `aged` restricts to segments past the claim lease — the
+    * post-commit hygiene posture, where a younger orphan may belong to a
+    * concurrent writer still staging; retention ([[expireSnapshots]])
+    * sweeps unaged (it just dropped the referencing snapshots). Returns
+    * segments deleted.
+    */
+  private def sweepDvSegments(spark: SparkSession, table: String,
+                              aged: Boolean): Int = {
+    val fs = fsOf(spark, table)
+    val pool = new Path(s"${root(table)}/$DvSegDirName")
+    if (!fs.exists(pool)) return 0
+    val referenced: Set[String] =
+      (snapshotIds(spark, table).flatMap(dvSegmentNames(fs, table, _)) ++
+        // A staged commit's _dvlist references segments before publish.
+        fs.listStatus(new Path(root(table))).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.endsWith("__tmp"))
+          .flatMap { s =>
+            val p = new Path(s.getPath, DvListName)
+            if (!fs.exists(p)) Nil
+            else {
+              val in = fs.open(p)
+              try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+                .filter(_.nonEmpty).toList
+              finally in.close()
+            }
+          }).toSet
+    var n = 0
+    fs.listStatus(pool).foreach { s =>
+      val old = !aged ||
+        System.currentTimeMillis() - s.getModificationTime > claimLeaseMs
+      if (s.isDirectory && !referenced(s.getPath.getName) && old) {
+        FsMaint.deleteRecursively(fs, s.getPath)
+        n += 1
+      }
+    }
+    n
+  }
 
   /** The file-name column of a data-file read (last path segment of the
     * parquet `_metadata.file_path`) — the identity DV entries join on.
@@ -2243,6 +2370,10 @@ object Manifest {
           if (dropped(id)) dropTag(spark, table, name): Unit
         }
       }
+      // Expired snapshots may have been the last referents of pool
+      // segments — reclaim them (lease-aged: a concurrent writer may have
+      // staged a fresh segment milliseconds before its `_dvlist` lands).
+      if (drop.nonEmpty) sweepDvSegments(spark, table, aged = true): Unit
       drop.length
     }
   }

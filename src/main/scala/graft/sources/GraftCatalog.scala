@@ -61,14 +61,14 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // `_metadata.row_index` support) with the sidecar anti-join directly
     // above it — so SQL reads never resurrect deleted rows, with or
     // without `CALL graft.system.compact_deletes`.
-    val dvDir = Manifest.dvDirOf(spark, path, id)
+    val dvPaths = Manifest.dvPathsOf(spark, path, id)
     // Guard the EXTENSION-LESS session: without GraftDvReadRule a read of
     // this table would serve the raw scan and RESURRECT deleted rows —
     // refuse at load, exactly like the pre-rule catalog did. The check
     // rides the STATIC conf (it cannot be set after session build, so its
     // presence proves the extensions were applied); sessions installing
     // the extensions programmatically must also carry the conf.
-    if (dvDir.isDefined && !spark.conf.get("spark.sql.extensions", "")
+    if (dvPaths.isDefined && !spark.conf.get("spark.sql.extensions", "")
         .contains("graft.GraftExtensions"))
       throw new UnsupportedOperationException(
         s"graft.`$path` snapshot-$id carries a deletion-vector sidecar and " +
@@ -105,11 +105,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       // The LATEST view is writable: INSERT INTO / DELETE FROM (and MERGE
       // INTO via the extension rule) route to the engine's COW machinery.
       new GraftMutableTable(s"$catalogName.$path@v$id", spark,
-        files.toIndexedSeq, path, physSchema, renames, sizes, dvDir)
+        files.toIndexedSeq, path, physSchema, renames, sizes, dvPaths)
     else {
       val base = new GraftParquetTable(s"$catalogName.$path@v$id", spark,
         CaseInsensitiveStringMap.empty(), files.toIndexedSeq, path, physSchema,
-        sizes, dvDir)
+        sizes, dvPaths)
       if (renames.isEmpty) base else new GraftRenamedTable(base, renames)
     }
   }

@@ -86,10 +86,10 @@ object GraftDvRead {
     */
   private def dvTableOf(r: DataSourceV2Relation)
       : Option[(GraftParquetTable, Map[String, String])] = r.table match {
-    case t: GraftParquetTable => t.dvDir.map(_ => (t, Map.empty[String, String]))
-    case t: GraftRenamedTable => t.delegate.dvDir.map(_ => (t.delegate, t.renames))
+    case t: GraftParquetTable => t.dvPaths.map(_ => (t, Map.empty[String, String]))
+    case t: GraftRenamedTable => t.delegate.dvPaths.map(_ => (t.delegate, t.renames))
     case t: GraftMutableTable =>
-      t.readDelegate.dvDir.map(_ => (t.readDelegate, t.renames))
+      t.readDelegate.dvPaths.map(_ => (t.readDelegate, t.renames))
     case _ => None
   }
 
@@ -115,7 +115,7 @@ object GraftDvRead {
         new ParquetFileFormat, Map.empty[String, String])(
         spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
       val base = ColumnShim.ofRows(spark, LogicalRelation(fsRel))
-      val dv = spark.read.parquet(tbl.dvDir.get)
+      val dv = spark.read.parquet(tbl.dvPaths.get: _*)
       val inv = renames.map(_.swap)
       // Anti-join DIRECTLY above the file scan (`_metadata` survives
       // nothing else), then alias physical → logical names.

@@ -33,7 +33,7 @@ class GraftParquetTable(
     files: Seq[String], val tableRoot: String,
     userSchema: Option[StructType],
     fileSizes: Option[Map[String, Long]] = None,
-    val dvDir: Option[String] = None)
+    val dvPaths: Option[Seq[String]] = None)
   extends FileTable(spark, opts, files, userSchema) {
 
   override def name(): String = tableName

@@ -277,8 +277,9 @@ class DeletionVectorSpec extends SparkSpec {
       _.relation.location.rootPaths.exists(_.toString.contains("/_graft_manifest/")))
     assert(data.nonEmpty && sidecar.nonEmpty && scans.size == data.size + sidecar.size,
       s"expected data + sidecar scans only, got ${scans.size}")
-    assert(sidecar.forall(_.relation.location.rootPaths.forall(
-      _.toUri.getPath.contains(s"snapshot-$latest/_dv"))))
+    assert(sidecar.forall(_.relation.location.rootPaths.forall(p =>
+      p.toUri.getPath.contains("/_dvseg/") ||
+        p.toUri.getPath.contains(s"snapshot-$latest/_dv"))))
     assert(data.forall(_.relation.location.rootPaths.forall(p =>
       p.toUri.getPath.startsWith(dirAbs))))
     // The WHERE pushes into the V1 parquet scan despite the anti-join.
@@ -313,6 +314,74 @@ class DeletionVectorSpec extends SparkSpec {
       s"the DV anti-join must broadcast the sidecar: joins seen = $bcastAnti")
   }
 
+  test("segmented sidecars: a DV statement writes O(statement delta), carries are zero-copy, folds merge, expiry reclaims") {
+    val dir = fixture("dv_seg")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val pool = new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest/_dvseg")
+    def segNames(id: Int): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$dir/_graft_manifest/snapshot-$id/_dvlist")
+      if (!fs.exists(p)) Nil
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toList
+        finally in.close()
+      }
+    }
+    def segBytes(name: String): Long =
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(pool, name)).getLength
+    // Statement 1: equal-sized range delete → ONE segment.
+    Layout.deleteRangeDV(spark, dir, "doc_id", 0L, 99L)
+    val id1 = Manifest.latestSnapshotId(spark, dir).get
+    val segs1 = segNames(id1)
+    assert(segs1.size == 1, s"one statement = one segment: $segs1")
+    // Statement 2 (same delta size): the sidecar WRITE is O(statement
+    // delta) — ONE new segment of ~the same bytes, the first carried BY
+    // REFERENCE — never a rewrite of the accumulated vector (which is now
+    // 2x the delta).
+    Layout.deleteRangeDV(spark, dir, "doc_id", 100L, 199L)
+    val id2 = Manifest.latestSnapshotId(spark, dir).get
+    val segs2 = segNames(id2)
+    assert(segs2.size == 2 && segs2.startsWith(segs1),
+      s"statement 2 must append one segment to the carried list: $segs1 -> $segs2")
+    val fresh = segs2.filterNot(segs1.contains).head
+    assert(segBytes(fresh) <= 1.5 * segBytes(segs1.head).toDouble,
+      s"statement 2's write must be delta-sized: ${segBytes(fresh)}B vs " +
+        s"statement 1's ${segBytes(segs1.head)}B")
+    // A plain append carries the list VERBATIM — zero DV bytes written.
+    val poolBefore = fs.listStatus(pool).map(_.getPath.getName).toSet
+    spark.range(990000L, 990010L).selectExpr(
+      "id AS doc_id", "'x' AS text", "'en' AS lang", "'s' AS source",
+      "CAST(1 AS BIGINT) AS n_chars").createOrReplaceTempView("dv_seg_app")
+    Layout.append(spark, dir, spark.table("dv_seg_app"))
+    val id3 = Manifest.latestSnapshotId(spark, dir).get
+    assert(segNames(id3) == segs2, "an append must carry the list verbatim")
+    assert(fs.listStatus(pool).map(_.getPath.getName).toSet == poolBefore,
+      "an append must write zero segments")
+    // Reads union the segments exactly. (Fingerprint MATERIALIZED here:
+    // the fold below moves these files, invalidating lazy plans.)
+    val after = Manifest.readAsOf(spark, dir, id3)
+    assert(after.filter(col("doc_id").between(0L, 199L)).count() == 0L)
+    assert(after.filter(col("doc_id") >= 990000L).count() == 10L)
+    val fpAfter = fp(after)
+    // Fold: compactDeletes clears the vector (no _dvlist on the new head).
+    assert(Layout.compactDeletes(spark, dir) > 0)
+    val id4 = Manifest.latestSnapshotId(spark, dir).get
+    assert(segNames(id4).isEmpty && !Manifest.hasDv(spark, dir, id4))
+    assert(fp(Manifest.readAsOf(spark, dir, id4)) == fpAfter)
+    // Retention: expiring the referencing snapshots reclaims pool segments
+    // (lease-aged; forced here).
+    val savedLease = Manifest.claimLeaseMs
+    Manifest.claimLeaseMs = -1L
+    try Manifest.expireSnapshots(spark, dir, 1)
+    finally Manifest.claimLeaseMs = savedLease
+    assert(!fs.exists(pool) || fs.listStatus(pool).isEmpty,
+      "expiry must reclaim unreferenced segments")
+    assert(fp(spark.read.parquet(dir)) == fpAfter)
+  }
+
   test("plan contract: a DV read plans only the data files plus the sidecar") {
     val dir = fixture("dv_plan")
     Layout.deleteRangeDV(spark, dir, "doc_id", 100L, 199L)
@@ -336,7 +405,8 @@ class DeletionVectorSpec extends SparkSpec {
       p.startsWith(dirAbs) && !p.contains("_graft_manifest")),
       s"data scans must stay on the table's files: $data")
     assert(sidecar.nonEmpty &&
-      sidecar.forall(_.contains(s"snapshot-$latest/_dv")),
-      s"the only extra scan is the snapshot's own _dv sidecar: $sidecar")
+      sidecar.forall(p => p.contains("/_dvseg/") ||
+        p.contains(s"snapshot-$latest/_dv")),
+      s"the only extra scan is the snapshot's own DV sidecar: $sidecar")
   }
 }
