@@ -1929,23 +1929,65 @@ object Layout {
     }
   }
 
-  /** Abandon branch `name`: roll the table back to the branch's FORK
-    * snapshot (`main`'s pinned head) via the journaled COW restore, then
-    * drop the ref — the discard half of the branch lifecycle
-    * ([[graft.ops.Manifest.createBranch]] / `fastForward`). Restore FIRST:
-    * dropping the ref alone would silently fast-forward the branch's
-    * commits into main.
+  /** CHECK OUT ref `name` ("main" or a branch): pin the current holder's
+    * head at the latest snapshot, COW-restore the working tree to the
+    * target's head, and unpin the target — the git-checkout transition
+    * that makes N branches DIVERGE on one physical chain (each branch's
+    * commits land on a tree restored to ITS head, never on another
+    * branch's). Pin-before-restore ordering is crash-safe: an interruption
+    * leaves every ref pinned and readable (nobody checked out), and the
+    * next checkout completes the transition. A no-op when `name` already
+    * holds the tree. Returns the target's head id (= the restored state).
+    */
+  def checkoutBranch(spark: SparkSession, path: String,
+                     name: String): Int = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    FsMaint.withTableLock(fs, path) {
+      val refs = Manifest.branches(spark, path)
+      if (name != "main")
+        require(refs.contains(name),
+          s"no branch `$name` under $path (branches: " +
+            s"${refs.keys.toSeq.sorted.mkString(", ")})")
+      val holder = Manifest.currentBranch(spark, path).map(_._1)
+        .getOrElse("main")
+      val latest = Manifest.latestSnapshotId(spark, path).getOrElse(
+        throw new IllegalStateException(s"no manifest snapshot under $path"))
+      if (holder == name) return latest
+      val target =
+        if (name == "main") Manifest.mainRefHead(spark, path).getOrElse(latest)
+        else refs(name).head.getOrElse(latest)
+      Manifest.pinCurrentHolder(spark, path)
+      if (target != latest) restoreSnapshot(spark, path, target): Unit
+      Manifest.setCheckedOut(spark, path, name)
+      Manifest.latestSnapshotId(spark, path).get
+    }
+  }
+
+  /** Abandon branch `name`: when it is CHECKED OUT, roll the table back to
+    * `main`'s pinned head via the journaled COW restore, then drop the ref
+    * (restore FIRST: dropping the ref alone would silently fast-forward
+    * the branch's commits into main, [[graft.ops.Manifest.fastForward]]).
+    * A DORMANT branch just drops its ref — its pinned head was never the
+    * working tree, so there is nothing to roll back.
     */
   def abandonBranch(spark: SparkSession, path: String,
                     name: String): RestoreResult = {
-    val (_, fork) = Manifest.currentBranch(spark, path).filter(_._1 == name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no active branch `$name` under $path" +
-          Manifest.currentBranch(spark, path)
-            .fold("")(b => s" (active: `${b._1}`)")))
-    val r = restoreSnapshot(spark, path, fork)
-    Manifest.dropBranchRef(spark, path, name): Unit
-    r
+    val b = Manifest.branches(spark, path).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no branch `$name` under $path (branches: " +
+          s"${Manifest.branches(spark, path).keys.toSeq.sorted.mkString(", ")})"))
+    b.head match {
+      case Some(_) => // dormant: ref drop only
+        Manifest.dropBranchRef(spark, path, name): Unit
+        RestoreResult(Manifest.latestSnapshotId(spark, path).get, 0, 0, 0)
+      case None =>
+        val target = Manifest.mainRefHead(spark, path).getOrElse(b.fork)
+        val r = restoreSnapshot(spark, path, target)
+        Manifest.dropBranchRef(spark, path, name): Unit
+        // main takes over the working tree — release its pin.
+        Manifest.setCheckedOut(spark, path, "main")
+        r
+    }
   }
 
   /** Heal an interrupted [[deleteRange]] (see its commit sequence). With no

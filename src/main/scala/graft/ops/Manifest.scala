@@ -1365,6 +1365,52 @@ object Manifest {
     */
   private[ops] final case class DvDelta(entries: DataFrame) extends DvCarry
 
+  /** STATS EVOLUTION — add min/max/count stats columns to an EXISTING
+    * manifest without re-creating it (the `ALTER`-shape the round-16
+    * verdict asked for): one scan reading ONLY the new columns (column
+    * pruning keeps it narrow — parquet never decodes the rest), one
+    * metadata commit joining the fresh per-file stats onto the carried
+    * rows. After it, range predicates on the new columns prune files
+    * ([[scanRange]]/[[scanBox]]), keyed mutations may target on them
+    * ([[currentKeyCols]] derives from the stats columns), and every
+    * incremental refresh carries them forward. Typed refusals: unknown
+    * column, already-covered column, non-normalizable type (same guard as
+    * [[create]] — silent NULL stats would prune every file). Concurrent
+    * commits refuse typed (every stats row changes — no delta to rebase);
+    * DV-bearing tables are fine (bounds cover deleted rows — supersets
+    * never un-prune live ones). Returns the new snapshot id.
+    */
+  def restat(spark: SparkSession, table: String, cols: String*): Int = {
+    require(cols.nonEmpty, "restat needs at least one column")
+    val id = latestId(spark, table).getOrElse(
+      throw new IllegalStateException(s"no manifest snapshot under $table"))
+    val have = keyColsOf(spark, table, id)
+    val phys = physicalNames(spark, table, id)
+    val physCols = cols.map(c => phys.getOrElse(c, c))
+    physCols.foreach(c => require(!have.contains(c),
+      s"column `$c` already carries stats (has: ${have.mkString(", ")})"))
+    // Stats-targeted mutation contract: the stats rows must describe
+    // EXACTLY the current files, or joined stats would miss files — which
+    // also makes the direct dir read below scan precisely the snapshot's
+    // files (the same read shape [[create]] profiles).
+    requireComplete(spark, table)
+    val data = spark.read.option("mergeSchema", "true").parquet(table)
+    physCols.foreach { c =>
+      require(data.schema.fieldNames.contains(c), s"no such column: $c")
+      statCol(c, data.schema(c).dataType): Unit // type guard — throws
+    }
+    val aggs = physCols.flatMap(c => Seq(
+      min(statCol(c, data.schema(c).dataType)).as(s"min_$c"),
+      max(statCol(c, data.schema(c).dataType)).as(s"max_$c"),
+      count(statCol(c, data.schema(c).dataType)).as(s"cnt_$c")))
+    val fresh = data.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.drop(1): _*)
+    val stats = spark.read.parquet(s"${root(table)}/snapshot-$id")
+      .join(fresh, Seq("file"), "inner")
+    commitSnapshot(spark, table, stats, storedSchema(spark, table, id),
+      basedOn = Some(id))
+  }
+
   /** [[updateSchema]] convenience: drop one column. */
   def dropColumn(spark: SparkSession, table: String, column: String): Int = {
     val id = latestId(spark, table).getOrElse(
@@ -1579,7 +1625,16 @@ object Manifest {
                                        dv: DvCarry,
                                        keyCols: String*): (Int, Int, Int) = {
     require(keyCols.nonEmpty, "need at least one key column")
-    val usablePrev = currentKeyCols(spark, table).contains(keyCols.toSeq)
+    // SUPERSET keys stay usable: [[restat]] may have ADDED stats columns
+    // after the caller configured its key. The refresh then profiles new
+    // files with the previous snapshot's FULL column list — a fallback
+    // re-create keyed on only the caller's columns would silently drop
+    // the restat stats, and a union with missing columns would plant NULL
+    // stats (which prune wrongly, the worst failure mode).
+    val prevKeys = currentKeyCols(spark, table)
+    val usablePrev = prevKeys.exists(pk => keyCols.forall(pk.contains))
+    val effKeys: Seq[String] =
+      if (usablePrev) prevKeys.get else keyCols.toSeq
     if (!usablePrev) {
       val id = createTxn(spark, table, txn, keyCols: _*)
       val n = spark.read.parquet(s"${root(table)}/snapshot-$id").count().toInt
@@ -1620,7 +1675,7 @@ object Manifest {
         val physInc = physicalNames(spark, table, prevId)
         val merged = prevSchema.map(old => toLogicalSchema(
           mergeAdditive(toPhysicalSchema(old, physInc), fresh.schema), physInc))
-        (Some(statsOf(fresh, keyCols, bloomSpecsLike(prev))), merged)
+        (Some(statsOf(fresh, effKeys, bloomSpecsLike(prev))), merged)
       }
     // Delta-shaped: a concurrent DISJOINT commit (a DV delete, a txn
     // record, another writer's append of different files) rebases instead
@@ -2352,12 +2407,14 @@ object Manifest {
         }
       }.flatten.sorted
       // A TAGGED snapshot is pinned history (the Iceberg tag-retention
-      // contract): retention counts it but never deletes it. An active
-      // branch's FORK is pinned the same way — it is `main`'s readable
-      // head until fast-forward/abandon, and the abandon path restores it.
+      // contract): retention counts it but never deletes it. Every branch
+      // ref pins its FORK and its HEAD (a dormant branch's head is its
+      // only readable identity), and `main`'s pinned head pins the same
+      // way — fast-forward/abandon/checkout release the pins.
       val pinned: Set[Int] =
         (if (keepTagged) tags(spark, table).values.toSet else Set.empty) ++
-          currentBranch(spark, table).map(_._2)
+          branches(spark, table).values.flatMap(b => b.fork +: b.head.toSeq) ++
+          mainRefHead(spark, table)
       val drop = ids.dropRight(keep).filterNot(pinned)
       drop.foreach(id => FsMaint.deleteRecursively(fs, new Path(s"${root(table)}/snapshot-$id")))
       // keepTagged = false can expire a TAGGED snapshot — its tag must die
@@ -2405,8 +2462,8 @@ object Manifest {
   def tag(spark: SparkSession, table: String, name: String, id: Int): Unit = {
     require(hasSnapshot(spark, table, id),
       s"cannot tag snapshot-$id under $table: not retained")
-    require(currentBranch(spark, table).forall(_._1 != name),
-      s"`$name` is the active BRANCH ref — a tag of the same name would be " +
+    require(!branches(spark, table).contains(name),
+      s"`$name` is a BRANCH ref — a tag of the same name would be " +
         "shadowed by the branch in VERSION AS OF resolution")
     require(name != "main",
       "`main` is the implicit trunk ref — it cannot be a tag")
@@ -2466,21 +2523,30 @@ object Manifest {
       taggedId(spark, table, name).map(name -> _)).toMap
   }
 
-  // ---- snapshot BRANCH: one WRITABLE ref (the git-checkout posture on a
-  // single physical snapshot chain). [[createBranch]] pins `main` at the
-  // CURRENT snapshot and moves the working head onto the branch: every
-  // later commit — append, DML, layout rewrite — advances the BRANCH
-  // (physically, the latest snapshot), while `VERSION AS OF 'main'` keeps
-  // reading the pinned fork through retained history and
-  // `VERSION AS OF '<branch>'` reads the branch head. [[fastForward]]
-  // merges by METADATA ONLY (main := branch head, ref dropped);
-  // [[graft.ops.Layout.abandonBranch]] rolls the table back to the fork
-  // (COW restore) and drops the ref. ONE active branch at a time: the
-  // format keeps a single physical chain, so branches are SERIALIZED
-  // experiments, not concurrent development lines — the honest contract
-  // for a format whose writers already serialize on the table lock.
-  // Ref file: `_graft_manifest/branch-<name>` holding the FORK id; the
-  // fork is pinned against [[expireSnapshots]] like a tag.
+  // ---- snapshot BRANCHES: N named refs on one physical snapshot chain,
+  // git-working-tree posture. Exactly ONE ref is CHECKED OUT at a time —
+  // the table dir is its working tree, and every commit (append, DML,
+  // rewrite) advances it implicitly (its head IS the latest snapshot). A
+  // DORMANT branch's head is PINNED in its ref file; `main`'s pinned head
+  // lives in `ref-main` while main is not checked out (absent ⇒ main is
+  // checked out and reads the latest). Divergence works on the linear id
+  // chain because every snapshot is self-contained:
+  // [[graft.ops.Layout.checkoutBranch]] pins the current holder's head,
+  // COW-restores the working tree to the target's head, and unpins the
+  // target — so branch B's commits on a restored-from-main tree never
+  // contain branch A's, whatever the id order. [[fastForward]] merges the
+  // CHECKED-OUT branch into main by metadata only;
+  // [[graft.ops.Layout.abandonBranch]] discards a branch (restoring
+  // main's head first when the branch is checked out). Ref file
+  // `_graft_manifest/branch-<name>`: line 1 = fork id, line 2 = pinned
+  // head id (absent/-1 ⇒ checked out; a bare single-line file is a
+  // pre-multi-branch ref, read as checked out). Forks, pinned heads, and
+  // `ref-main` all pin their snapshots against [[expireSnapshots]].
+
+  /** One branch ref: the fork it diverged at, and its pinned head —
+    * None ⇒ this branch is CHECKED OUT (head = the latest snapshot).
+    */
+  final case class BranchRef(fork: Int, head: Option[Int])
 
   private def branchPath(table: String, name: String): Path = {
     require(TagRe.matches(name),
@@ -2494,75 +2560,183 @@ object Manifest {
     new Path(root(table), s"branch-$name")
   }
 
-  /** The active branch (name, fork id), or None. Staging files and
+  private def mainRefPath(table: String): Path =
+    new Path(root(table), "ref-main")
+
+  /** All branch refs (name → fork + pinned head). Staging files and
     * unparseable content are SKIPPED, never thrown: the ref surface (tags,
     * `main`, retention pinning) must survive a crash mid-create.
     */
-  def currentBranch(spark: SparkSession, table: String): Option[(String, Int)] = {
+  def branches(spark: SparkSession, table: String): Map[String, BranchRef] = {
     val fs = fsOf(spark, table)
     val r = new Path(root(table))
-    if (!fs.exists(r)) None
+    if (!fs.exists(r)) Map.empty
     else fs.listStatus(r).toSeq.flatMap {
       case s if s.isFile && s.getPath.getName.startsWith("branch-") &&
           !s.getPath.getName.endsWith("__tmp") =>
         val in = fs.open(s.getPath)
-        val id = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.trim.toIntOption finally in.close()
-        id.map(s.getPath.getName.stripPrefix("branch-") -> _)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+        (lines.headOption.flatMap(_.toIntOption), lines.lift(1).flatMap(_.toIntOption)) match {
+          case (Some(fork), head) =>
+            Some(s.getPath.getName.stripPrefix("branch-") ->
+              BranchRef(fork, head.filter(_ >= 0)))
+          case _ => None
+        }
       case _ => None
-    }.headOption
+    }.toMap
   }
 
-  /** Fork branch `name` at the latest snapshot; returns the fork id (=
-    * `main`'s pinned head until fast-forward or abandon).
+  /** The CHECKED-OUT branch (name, fork), or None when `main` holds the
+    * working tree. At most one ref has no pinned head, by construction.
     */
-  def createBranch(spark: SparkSession, table: String, name: String): Int = {
-    val fs = fsOf(spark, table)
-    val fork = latestId(spark, table).getOrElse(
-      throw new IllegalStateException(
-        s"no manifest snapshot under $table — nothing to branch"))
-    currentBranch(spark, table).foreach { case (b, at) =>
-      throw new IllegalArgumentException(
-        s"branch `$b` is already active (forked at snapshot-$at) — one " +
-          "branch at a time: fast_forward or abandon it first (the format " +
-          "keeps a single physical snapshot chain)")
+  def currentBranch(spark: SparkSession, table: String): Option[(String, Int)] =
+    branches(spark, table).collectFirst {
+      case (name, BranchRef(fork, None)) => (name, fork)
     }
-    require(taggedId(spark, table, name).isEmpty,
-      s"a tag `$name` exists — the branch would shadow it in VERSION AS OF")
-    // Staged write + rename: a crash mid-create leaves only the `__tmp`
-    // (which every reader skips), never a truncated ref that bricks the
-    // ref surface. The rename refuses an existing destination, so a racing
-    // second createBranch still loses typed.
+
+  /** `main`'s explicitly pinned head (the `ref-main` file), or None when
+    * main is checked out. Legacy single-branch refs (created before
+    * multi-branch) pinned main AT THE FORK without a ref-main file — the
+    * fallback preserves their reads.
+    */
+  private[graft] def mainRefHead(spark: SparkSession, table: String): Option[Int] = {
+    val fs = fsOf(spark, table)
+    val p = mainRefPath(table)
+    val explicit =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toIntOption
+        finally in.close()
+      }
+    explicit.orElse(currentBranch(spark, table).map(_._2))
+  }
+
+  /** Resolve ref `name` ("main", a branch, or a tag) to a snapshot id. */
+  def resolveRef(spark: SparkSession, table: String, name: String): Option[Int] =
+    if (name == "main")
+      mainRefHead(spark, table).orElse(latestId(spark, table))
+    else branches(spark, table).get(name)
+      .map(b => b.head.getOrElse(latestId(spark, table).get))
+      .orElse(taggedId(spark, table, name))
+
+  /** Overwrite-or-create ref `name` (staged tmp + delete + rename — the
+    * tag-move discipline; `create = true` refuses an existing destination
+    * typed, the branch-create race loser).
+    */
+  private def writeBranchRef(spark: SparkSession, table: String, name: String,
+                             fork: Int, head: Option[Int],
+                             create: Boolean): Unit = {
+    val fs = fsOf(spark, table)
     val p = branchPath(table, name)
     val tmp = new Path(p.getParent, p.getName + "__tmp")
     val out = fs.create(tmp, true)
-    try out.write(fork.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(s"$fork\n${head.getOrElse(-1)}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p) || !fs.rename(tmp, p)) {
-      fs.delete(tmp, false)
-      throw new IllegalArgumentException(
-        s"branch `$name` already exists under $table")
+    if (create) {
+      if (fs.exists(p) || !fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        throw new IllegalArgumentException(
+          s"branch `$name` already exists under $table")
+      }
+    } else {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"branch ref write failed: $p")
     }
+  }
+
+  private def writeMainRef(spark: SparkSession, table: String, id: Int): Unit = {
+    val fs = fsOf(spark, table)
+    val p = mainRefPath(table)
+    val tmp = new Path(p.getParent, p.getName + "__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"main ref write failed: $p")
+  }
+
+  /** PIN the current working-tree holder's head at the latest snapshot —
+    * the first half of every checkout/fork transition (pin BEFORE the
+    * restore moves `latest`; a crash between leaves everything pinned and
+    * every ref readable, never a dangling head).
+    */
+  private[graft] def pinCurrentHolder(spark: SparkSession, table: String): Unit = {
+    val latest = latestId(spark, table).getOrElse(
+      throw new IllegalStateException(s"no manifest snapshot under $table"))
+    currentBranch(spark, table) match {
+      case Some((b, fork)) => writeBranchRef(spark, table, b, fork,
+        Some(latest), create = false)
+      case None =>
+        if (!fsOf(spark, table).exists(mainRefPath(table)))
+          writeMainRef(spark, table, latest)
+    }
+  }
+
+  /** Mark branch `name` checked out (head unpinned); `main` checked out =
+    * ref-main deleted.
+    */
+  private[graft] def setCheckedOut(spark: SparkSession, table: String,
+                                   name: String): Unit =
+    if (name == "main") {
+      fsOf(spark, table).delete(mainRefPath(table), false): Unit
+    } else {
+      val b = branches(spark, table).getOrElse(name,
+        throw new IllegalArgumentException(s"no branch `$name` under $table"))
+      writeBranchRef(spark, table, name, b.fork, None, create = false)
+    }
+
+  /** Fork branch `name` at the LATEST snapshot and check it out; the
+    * previous holder (main or another branch) pins its head. Returns the
+    * fork id. To fork from a ref other than the working tree, check that
+    * ref out first ([[graft.ops.Layout.checkoutBranch]]) — the fork point
+    * is always the tree you are on, the git posture.
+    */
+  def createBranch(spark: SparkSession, table: String, name: String): Int = {
+    branchPath(table, name): Unit // name validation BEFORE any side effect
+    val fork = latestId(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"no manifest snapshot under $table — nothing to branch"))
+    require(!branches(spark, table).contains(name),
+      s"branch `$name` already exists under $table")
+    require(taggedId(spark, table, name).isEmpty,
+      s"a tag `$name` exists — the branch would shadow it in VERSION AS OF")
+    pinCurrentHolder(spark, table)
+    writeBranchRef(spark, table, name, fork, None, create = true)
     fork
   }
 
-  /** Fast-forward merge: `main` advances to the branch head (pure
-    * metadata — the head IS the physical latest; dropping the ref makes
-    * it the trunk). Returns the new main head id.
+  /** Fast-forward merge: `main` advances to the CHECKED-OUT branch's head
+    * (pure metadata — the head IS the physical latest; the ref drops and
+    * main takes over the working tree). A dormant branch must be checked
+    * out first: merging a tree you are not on is not a fast-forward.
+    * Returns the new main head id.
     */
   def fastForward(spark: SparkSession, table: String, name: String): Int = {
-    currentBranch(spark, table).filter(_._1 == name).getOrElse(
+    val b = branches(spark, table).getOrElse(name,
       throw new IllegalArgumentException(
-        s"no active branch `$name` under $table" +
-          currentBranch(spark, table).fold("")(b => s" (active: `${b._1}`)")))
+        s"no branch `$name` under $table (branches: " +
+          s"${branches(spark, table).keys.toSeq.sorted.mkString(", ")})"))
+    require(b.head.isEmpty,
+      s"branch `$name` is not checked out (head pinned at " +
+        s"snapshot-${b.head.get}) — CALL graft.system.checkout_branch " +
+        "first; fast-forward merges the tree you are on")
     val head = latestId(spark, table).get
-    fsOf(spark, table).delete(branchPath(table, name), false): Unit
+    val fs = fsOf(spark, table)
+    fs.delete(branchPath(table, name), false): Unit
+    // main takes over the working tree: its pin releases (main = latest).
+    fs.delete(mainRefPath(table), false): Unit
     head
   }
 
   /** Drop branch `name`'s ref file only — [[graft.ops.Layout.abandonBranch]]
-    * is the public abandon (it restores the fork FIRST; dropping the ref
-    * alone would silently fast-forward).
+    * is the public abandon (it restores main's head FIRST when the branch
+    * is checked out; dropping the ref alone would silently fast-forward).
     */
   private[graft] def dropBranchRef(spark: SparkSession, table: String,
                                    name: String): Boolean =

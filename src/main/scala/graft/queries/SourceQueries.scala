@@ -244,6 +244,73 @@ object SourceQueries {
                    Seq("doc_id", "text", "lang", "source", "n_chars"),
                    "(SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 199) t")})""".stripMargin)),
 
+    // ---- STATS EVOLUTION (round-17): CALL graft.system.restat adds
+    //      min/max/count stats for a column that was NOT a create-time
+    //      key — one narrow scan + one metadata commit — after which range
+    //      predicates on it prune FILES, keyed mutations may target on it,
+    //      and incremental refreshes carry it forward (superset-key
+    //      contract). Gate: the post-restat pruned scan's fingerprint ≡
+    //      DuckDB's replay (incl. a post-restat keyed merge on the NEW
+    //      column), files actually pruned, and an appended file's stats
+    //      carrying the restat column through createIncremental.
+    Q("manifest_restat_pruned_scan",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val stage = java.nio.file.Files.createTempDirectory("graft_restat").toString + "/documents"
+        // `n_chars` is uncorrelated with doc_id — cluster on a derived
+        // monotone column is cheating; instead cluster the TABLE on
+        // n_chars ranges so its per-file spans are disjoint, while the
+        // manifest is CREATED keyed on doc_id only (n_chars stats absent).
+        T(s, dir, "documents").repartitionByRange(8, col("n_chars"))
+          .write.mode("overwrite").parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        // Pre-restat: a range scan on n_chars fails fast (no stats).
+        val preRefused =
+          try { graft.ops.Manifest.scanRange(s, stage, "n_chars", 0L, 10L); false }
+          catch { case _: Exception => true }
+        s.sql(s"CALL graft.system.restat('$stage', 'n_chars')")
+        // Post-restat: files prune on the new column. Bounds from exact
+        // integer arithmetic so DuckDB replays them identically.
+        val mm = T(s, dir, "documents")
+          .agg(min(col("n_chars")), max(col("n_chars"))).head()
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        val (mid, hi) = (mn + (mx - mn) * 2 / 5, mn + (mx - mn) * 3 / 5)
+        val (rows, nRead, nTotal) =
+          graft.ops.Manifest.scanRange(s, stage, "n_chars", mid, hi)
+        val pruned = nRead < nTotal
+        // The refresh CARRIES the restat column: append a probe row whose
+        // n_chars sits outside every existing span, via the incremental
+        // snapshot path.
+        graft.ops.Layout.append(s, stage,
+          s.createDataFrame(java.util.List.of(
+            org.apache.spark.sql.Row(9900001L, "restat probe", "en", "probe",
+              mx + 1000L)),
+            s.read.parquet(stage).schema)): Unit
+        val keysAfter = graft.ops.Manifest.currentKeyCols(s, stage)
+          .exists(k => k.contains("n_chars") && k.contains("doc_id"))
+        // Keyed mutation TARGETING on the restat column: a mergeKeyed on
+        // n_chars... n_chars is non-unique; use deleteRangeDV instead (the
+        // stats-targeted mutation shape) on the probe row's unique range.
+        val del = graft.ops.Layout.deleteRangeDV(s, stage, "n_chars",
+          mx + 1000L, mx + 1000L)
+        val probeGone = del.rowsDeleted == 1L &&
+          graft.ops.Manifest.currentDv(s, stage).isDefined
+        graft.functions.Hashing.multisetFingerprintAgg(rows, docCols)
+          .withColumn("pre_refused", lit(preRefused))
+          .withColumn("files_pruned", lit(pruned))
+          .withColumn("keys_carried", lit(keysAfter))
+          .withColumn("probe_gone", lit(probeGone))
+      },
+      Some(s"""WITH b AS (SELECT min(n_chars) + (max(n_chars) - min(n_chars)) * 2 // 5 AS mid,
+               |                  min(n_chars) + (max(n_chars) - min(n_chars)) * 3 // 5 AS hi
+               |           FROM documents)
+               |SELECT *, true AS pre_refused, true AS files_pruned,
+               | true AS keys_carried, true AS probe_gone FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"),
+                   "(SELECT d.* FROM documents d, b WHERE d.n_chars BETWEEN b.mid AND b.hi) t")})""".stripMargin)),
+
     // ---- the full composition: Z-ORDER layout + multi-column manifest +
     //      BOX predicate. Single-column stats only serve 1-D ranges; with
     //      per-file min/max on BOTH keys, a conjunctive range predicate
@@ -668,6 +735,73 @@ object SourceQueries {
                |SELECT *, true AS main_pinned,
                | (SELECT count(*) FROM final)::BIGINT AS branch_rows,
                | true AS ff_metadata_only FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"), "final t")})""".stripMargin)),
+
+    // ---- MULTI-BRANCH refs (round-17): N branches on the one physical
+    //      chain, one checked out at a time — checkout_branch pins the
+    //      holder's head, COW-restores the working tree, and unpins the
+    //      target, which is what makes branches truly DIVERGE on a linear
+    //      snapshot chain. Gate: two branches fork from main and hold
+    //      DIFFERENT edits, all three refs readable AT ONCE (main
+    //      untouched throughout the divergence), fast-forward merges one
+    //      branch into main, abandoning the dormant other leaves no trace,
+    //      and the final trunk ≡ DuckDB's replay of the merged branch.
+    Q("sql_branch_multi",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val stage = java.nio.file.Files.createTempDirectory("graft_sql_brm").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.repartitionByRange(8, col("doc_id")).write.mode("overwrite").parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val nAll = docs.count()
+        def refCount(name: String): Long = s.sql(
+          s"SELECT count(*) AS c FROM graft.`$stage` VERSION AS OF '$name'")
+          .head().getLong(0)
+        // Branch A: fork at main, delete the low range.
+        s.sql(s"CALL graft.system.create_branch('$stage', 'expA')")
+        s.sql(s"DELETE FROM graft.`$stage` WHERE doc_id < ${mx / 8}")
+        // Branch B: fork from MAIN (checkout restores the trunk's tree
+        // first), delete the high range and insert tagged rows.
+        s.sql(s"CALL graft.system.checkout_branch('$stage', 'main')")
+        val mainRestored = s.read.parquet(stage).count() == nAll
+        s.sql(s"CALL graft.system.create_branch('$stage', 'expB')")
+        s.sql(s"DELETE FROM graft.`$stage` WHERE doc_id >= ${3 * mx / 4}")
+        docs.filter(col("doc_id") < 8)
+          .withColumn("doc_id", col("doc_id") + mx + 1)
+          .withColumn("source", lit("expB"))
+          .createOrReplaceTempView("sql_brm_ins")
+        s.sql(s"INSERT INTO graft.`$stage` SELECT * FROM sql_brm_ins")
+        // All three refs readable AT ONCE — true divergence; main untouched.
+        val aRows = refCount("expA")
+        val bRows = refCount("expB")
+        val mainPinned = refCount("main") == nAll
+        // Merge A into main (checkout + metadata-only ff); abandon dormant
+        // B (ref drop only — its edits leave no trace on the trunk).
+        s.sql(s"CALL graft.system.checkout_branch('$stage', 'expA')")
+        s.sql(s"CALL graft.system.fast_forward('$stage', 'expA')")
+        s.sql(s"CALL graft.system.abandon_branch('$stage', 'expB')")
+        val mergedMain = refCount("main") == aRows
+        graft.functions.Hashing.multisetFingerprintAgg(
+            s.sql(s"SELECT * FROM graft.`$stage`"), docCols)
+          .withColumn("main_pinned", lit(mainPinned && mainRestored))
+          .withColumn("a_rows", lit(aRows))
+          .withColumn("b_rows", lit(bRows))
+          .withColumn("merged_main", lit(mergedMain))
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) // 8 AS lo,
+               |                  (3 * max(doc_id)) // 4 AS hi,
+               |                  count(*) AS n FROM documents),
+               | final AS (
+               |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+               |   FROM documents d, b WHERE d.doc_id >= b.lo)
+               |SELECT *, true AS main_pinned,
+               | (SELECT count(*) FROM final)::BIGINT AS a_rows,
+               | (SELECT b.n - count(*) + 8 FROM documents, b
+               |   WHERE doc_id >= b.hi GROUP BY b.n)::BIGINT AS b_rows,
+               | true AS merged_main FROM (
                |${Registry.duckMultisetFingerprint(
                    Seq("doc_id", "text", "lang", "source", "n_chars"), "final t")})""".stripMargin)),
 

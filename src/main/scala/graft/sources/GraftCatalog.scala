@@ -136,17 +136,19 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
           Manifest.tags(spark, path).toSeq.sortBy(_._1)
             .toDF("tag", "snapshot"))
       case "refs" =>
-        // The whole ref model in one view: main (trunk — the branch fork
-        // while one is active, else the latest), the active branch (head =
-        // physical latest), and every tag.
+        // The whole ref model in one view: main (trunk — its pinned head
+        // while not checked out, else the latest), every branch (a
+        // checked-out branch's head = the physical latest, a dormant one's
+        // = its pinned head), and every tag.
         import spark.implicits._
         val latest = Manifest.latestSnapshotId(spark, path).getOrElse(
           throw new IllegalArgumentException(
             s"no manifest snapshot under $path — nothing to introspect"))
-        val branch = Manifest.currentBranch(spark, path)
         val rows =
-          Seq(("main", "trunk", branch.map(_._2).getOrElse(latest))) ++
-          branch.map { case (b, _) => (b, "branch", latest) } ++
+          Seq(("main", "trunk",
+            Manifest.mainRefHead(spark, path).getOrElse(latest))) ++
+          Manifest.branches(spark, path).toSeq.sortBy(_._1)
+            .map { case (b, ref) => (b, "branch", ref.head.getOrElse(latest)) } ++
           Manifest.tags(spark, path).toSeq.sortBy(_._1)
             .map { case (t, id) => (t, "tag", id) }
         new GraftMetaTable(s"$catalogName.$path$$refs",
@@ -185,27 +187,21 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   /** `VERSION AS OF <n | 'ref'>` — the analyzer routes the version string
-    * here: an integer is a snapshot id; `main` is the trunk ref (the
-    * active branch's FORK while one exists, else the latest snapshot);
-    * the active branch's name is the branch head (= physical latest);
-    * anything else resolves as a snapshot TAG (`Manifest.tag` /
-    * `CALL graft.system.tag`).
+    * here: an integer is a snapshot id; `main` is the trunk ref (its
+    * pinned head while not checked out, else the latest snapshot); a
+    * branch name is the branch head (the physical latest when checked
+    * out, its pinned head when dormant); anything else resolves as a
+    * snapshot TAG (`Manifest.tag` / `CALL graft.system.tag`).
     */
   override def loadTable(ident: Identifier, version: String): Table =
     tableFor(ident, Some(version.toIntOption.getOrElse {
       val spark = SparkSession.active
       val path = pathOf(ident)
-      val branch = Manifest.currentBranch(spark, path)
-      if (version == "main")
-        branch.map(_._2).orElse(Manifest.latestSnapshotId(spark, path))
-          .getOrElse(throw new IllegalArgumentException(
-            s"no manifest snapshot under $path"))
-      else branch.collect { case (b, _) if b == version =>
-        Manifest.latestSnapshotId(spark, path).get
-      }.orElse(Manifest.taggedId(spark, path, version)).getOrElse(
+      Manifest.resolveRef(spark, path, version).getOrElse(
         throw new IllegalArgumentException(
           s"graft VERSION AS OF: `$version` is neither a snapshot id, a " +
-            s"ref (main${branch.fold("")(b => s", ${b._1}")}), nor an " +
+            s"ref (main${Manifest.branches(spark, path).keys.toSeq.sorted
+              .map(", " + _).mkString}), nor an " +
             s"existing tag (tags: ${Manifest.tags(spark, path)
               .keys.toSeq.sorted.mkString(", ")})"))
     }))

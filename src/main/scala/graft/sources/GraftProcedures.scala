@@ -180,15 +180,34 @@ object GraftProcedures {
             stringArg(input, 1))) 1L else 0L)
     },
 
-    // Branch lifecycle (one writable ref — Manifest's branch section):
-    // create_branch forks at the latest snapshot and moves the working
-    // head onto the branch (main pins at the fork); fast_forward merges
-    // metadata-only (main := branch head); abandon_branch COW-restores
-    // the fork and drops the ref.
+    // Branch lifecycle (N refs, one checked out — Manifest's branch
+    // section): create_branch forks at the latest snapshot and checks the
+    // branch out (the previous holder pins its head); checkout_branch
+    // switches the working tree between refs (pin + COW restore + unpin);
+    // fast_forward merges the checked-out branch into main metadata-only;
+    // abandon_branch discards a branch (restoring main's head first when
+    // the branch holds the tree).
     new Proc("create_branch", "path" -> StringType, "name" -> StringType) {
       override def call(input: InternalRow): java.util.Iterator[Scan] =
         outcome("forked_at", Manifest.createBranch(spark,
           stringArg(input, 0), stringArg(input, 1)).toLong)
+    },
+
+    new Proc("checkout_branch", "path" -> StringType, "name" -> StringType) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        outcome("head_at", Layout.checkoutBranch(spark,
+          stringArg(input, 0), stringArg(input, 1)).toLong)
+    },
+
+    // Stats evolution: add min/max/count stats for more columns to an
+    // existing manifest (comma-separated list) — one narrow scan + one
+    // metadata commit; range predicates on the new columns then prune
+    // files and keyed mutations may target on them (Manifest.restat).
+    new Proc("restat", "path" -> StringType, "columns" -> StringType) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        outcome("snapshot", Manifest.restat(spark, stringArg(input, 0),
+          stringArg(input, 1).split(',').map(_.trim).filter(_.nonEmpty)
+            .toIndexedSeq: _*).toLong)
     },
 
     new Proc("fast_forward", "path" -> StringType, "name" -> StringType) {

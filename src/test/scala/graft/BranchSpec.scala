@@ -4,10 +4,13 @@ import graft.functions.Hashing
 import graft.ops.{Layout, Manifest}
 import org.apache.spark.sql.functions._
 
-/** Snapshot branches: ONE writable ref on the single physical chain (the
-  * git-checkout posture) — create forks at the latest snapshot and moves
-  * the working head onto the branch; `main` reads the pinned fork;
-  * fast-forward merges metadata-only; abandon COW-restores the fork.
+/** Snapshot branches: N named refs on the single physical chain, ONE
+  * checked out at a time (the git-working-tree posture) — create forks at
+  * the latest snapshot and checks the branch out; checkout switches refs
+  * (pin + COW restore + unpin), which is what makes branches DIVERGE on a
+  * linear id chain; `main` reads its pinned head; fast-forward merges the
+  * checked-out branch metadata-only; abandon discards (restoring main's
+  * head when the branch held the tree).
   */
 class BranchSpec extends SparkSpec {
 
@@ -31,8 +34,8 @@ class BranchSpec extends SparkSpec {
     val fpMain = fp(spark.read.parquet(dir))
     val fork = Manifest.createBranch(spark, dir, "dev")
     assert(Manifest.currentBranch(spark, dir).contains(("dev", fork)))
-    // One branch at a time; tag/branch name collisions refused both ways.
-    intercept[Exception] { Manifest.createBranch(spark, dir, "dev2") }
+    // Duplicate names refused; tag/branch name collisions refused both ways.
+    intercept[Exception] { Manifest.createBranch(spark, dir, "dev") }
     intercept[Exception] { Manifest.tag(spark, dir, "dev", fork) }
     intercept[Exception] { Manifest.tag(spark, dir, "main", fork) }
     intercept[Exception] { Manifest.createBranch(spark, dir, "main") }
@@ -79,5 +82,52 @@ class BranchSpec extends SparkSpec {
     // The chain is free again.
     assert(Manifest.createBranch(spark, dir, "next") > 0)
     Manifest.fastForward(spark, dir, "next"): Unit
+  }
+
+  test("multi-branch: two branches diverge from main, checkout switches trees, ff one + abandon other") {
+    val dir = fixture("branch_multi")
+    val fpMain = fp(spark.read.parquet(dir))
+    // Branch A: fork at main, delete low ids.
+    spark.sql(s"CALL graft.system.create_branch('$dir', 'expA')")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id < 100")
+    val fpA = fp(spark.read.parquet(dir))
+    // Branch B must fork from MAIN, not from A's tree: check main out
+    // (COW-restores the working tree), then fork.
+    spark.sql(s"CALL graft.system.checkout_branch('$dir', 'main')")
+    assert(fp(spark.read.parquet(dir)) == fpMain,
+      "checkout main must restore the trunk's tree")
+    spark.sql(s"CALL graft.system.create_branch('$dir', 'expB')")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id >= 400")
+    val fpB = fp(spark.read.parquet(dir))
+    assert(fpA != fpB && fpA != fpMain && fpB != fpMain)
+    // All three refs readable AT ONCE — true divergence on the linear chain.
+    def ref(name: String): String =
+      fp(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF '$name'"))
+    assert(ref("main") == fpMain && ref("expA") == fpA && ref("expB") == fpB)
+    // Retention pins every fork and dormant head.
+    Manifest.expireSnapshots(spark, dir, 1): Unit
+    assert(ref("main") == fpMain && ref("expA") == fpA && ref("expB") == fpB,
+      "expiry must pin branch forks and heads")
+    // $refs lists the whole model.
+    val refs = spark.sql(s"SELECT ref, kind FROM graft.`$dir$$refs`")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(refs(("main", "trunk")) && refs(("expA", "branch")) &&
+      refs(("expB", "branch")), s"$refs")
+    // ff requires holding the tree: expA is dormant.
+    intercept[Exception] { Manifest.fastForward(spark, dir, "expA") }
+    // Check expA out and fast-forward it into main; expB stays dormant.
+    spark.sql(s"CALL graft.system.checkout_branch('$dir', 'expA')")
+    assert(fp(spark.read.parquet(dir)) == fpA)
+    spark.sql(s"CALL graft.system.fast_forward('$dir', 'expA')")
+    assert(ref("main") == fpA, "main must take expA's state")
+    assert(ref("expB") == fpB, "dormant expB unaffected by the merge")
+    // Abandon dormant expB: ref drop only, tree untouched.
+    spark.sql(s"CALL graft.system.abandon_branch('$dir', 'expB')")
+    assert(fp(spark.read.parquet(dir)) == fpA)
+    assert(Manifest.branches(spark, dir).isEmpty)
+    intercept[Exception] { ref("expB") }
+    // DML keeps working on the merged trunk.
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id = 200")
+    assert(spark.read.parquet(dir).filter(col("doc_id") === 200).count() == 0)
   }
 }

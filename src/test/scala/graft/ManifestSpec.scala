@@ -853,4 +853,52 @@ class ManifestSpec extends SparkSpec {
       .select("committed_at").head().getTimestamp(0).getTime
     assert(t >= before && t <= after, s"history commit time $t outside [$before, $after]")
   }
+
+  test("restat: stats evolve in place — new column prunes, refreshes carry it, keyed mutations target on it") {
+    val stage = tmpDir("manifest_restat") + "/documents"
+    // Cluster on n_chars so its per-file spans are disjoint, but create
+    // the manifest keyed on doc_id ONLY — n_chars stats must not exist.
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("n_chars"))
+      .write.parquet(stage)
+    Manifest.create(spark, stage, "doc_id")
+    intercept[Exception] { Manifest.scanRange(spark, stage, "n_chars", 0L, 10L) }
+    // Typed refusals: unknown column, covered column, non-long-normalizable.
+    intercept[Exception] { Manifest.restat(spark, stage, "nope") }
+    intercept[Exception] { Manifest.restat(spark, stage, "doc_id") }
+    intercept[Exception] { Manifest.restat(spark, stage, "text") }
+    val id = Manifest.restat(spark, stage, "n_chars")
+    assert(Manifest.latestSnapshotId(spark, stage).contains(id))
+    assert(Manifest.currentKeyCols(spark, stage)
+      .contains(Seq("doc_id", "n_chars")) ||
+      Manifest.currentKeyCols(spark, stage).exists(_.toSet ==
+        Set("doc_id", "n_chars")))
+    // The new column PRUNES files and the scan is value-exact.
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val mm = docs.agg(org.apache.spark.sql.functions.min("n_chars"),
+      org.apache.spark.sql.functions.max("n_chars")).head()
+    val (mid, hi) = (mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 2 / 5,
+      mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 3 / 5)
+    val (rows, nRead, nTotal) = Manifest.scanRange(spark, stage, "n_chars", mid, hi)
+    assert(nRead < nTotal, s"restat stats must prune: $nRead/$nTotal")
+    assert(fp(rows.select(docCols.map(org.apache.spark.sql.functions.col): _*)) ==
+      fp(docs.filter(org.apache.spark.sql.functions.col("n_chars").between(mid, hi))))
+    // An incremental refresh CARRIES the restat column (superset-key
+    // contract): append via the caller's ORIGINAL single key.
+    spark.range(1L, 2L).selectExpr("9900001L AS doc_id", "'probe' AS text",
+      "'en' AS lang", "'p' AS source",
+      s"CAST(${mm.getLong(1) + 1000L} AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("append").parquet(stage)
+    val (_, scanned, _) = Manifest.createIncremental(spark, stage, "doc_id")
+    assert(scanned == 1, "the superset-key refresh must stay incremental")
+    val snap = Manifest.files(spark, stage)
+    assert(snap.schema.fieldNames.contains("min_n_chars"))
+    assert(snap.filter(org.apache.spark.sql.functions.col("min_n_chars") ===
+      mm.getLong(1) + 1000L).count() == 1L,
+      "the appended file's restat stats must be real values, never NULL")
+    // Keyed mutation targeting on the restat column.
+    val del = Layout.deleteRangeDV(spark, stage, "n_chars",
+      mm.getLong(1) + 1000L, mm.getLong(1) + 1000L)
+    assert(del.rowsDeleted == 1L && del.filesRewritten == 0)
+  }
 }
