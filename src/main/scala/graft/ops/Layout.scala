@@ -1952,7 +1952,15 @@ object Layout {
         .getOrElse("main")
       val latest = Manifest.latestSnapshotId(spark, path).getOrElse(
         throw new IllegalStateException(s"no manifest snapshot under $path"))
-      if (holder == name) return latest
+      // Already held — EXCEPT the crash state where nobody is truly
+      // checked out (an interrupted transition left main's ref-main pin
+      // behind with no unpinned branch): `holder` falls back to "main"
+      // there, but the pin is live and reads of 'main' are frozen at it —
+      // checkout_branch('main') must COMPLETE the transition (restore to
+      // the pin, release it), not no-op past it forever.
+      if (holder == name &&
+          (name != "main" || Manifest.mainRefHead(spark, path).isEmpty))
+        return latest
       val target =
         if (name == "main") Manifest.mainRefHead(spark, path).getOrElse(latest)
         else refs(name).head.getOrElse(latest)

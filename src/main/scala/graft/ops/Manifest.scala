@@ -583,26 +583,34 @@ object Manifest {
       dvEntries(spark, table, b).get
         .join(stagedNames, Seq("file_name"), "left_semi")
     val baseId = basedOn.filter(_ > 0)
+    // Segment writes tracked so the hygiene sweep below runs ONLY on
+    // commits that touched the pool — a plain append's verbatim carry must
+    // not pay an O(retained snapshots) reference scan.
+    var wroteSeg = false
+    def stageSeg(entries: DataFrame): Option[String] = {
+      val r = writeDvSegment(spark, table, entries)
+      if (r.isDefined) wroteSeg = true
+      r
+    }
     val segs: Seq[String] = dv match {
       case DvExplicit(entries) =>
-        writeDvSegment(spark, table, entries).toSeq
+        stageSeg(entries).toSeq
       case DvInherit =>
         baseId.filter(hasDv(spark, table, _)) match {
           case None => Nil
           case Some(b) =>
             val baseList = dvSegmentNames(fs, table, b)
             if (baseList.nonEmpty && !dropsFiles(b)) baseList
-            else writeDvSegment(spark, table, survivors(b)).toSeq
+            else stageSeg(survivors(b)).toSeq
         }
       case DvDelta(delta) =>
         baseId.filter(hasDv(spark, table, _)) match {
-          case None => writeDvSegment(spark, table, delta).toSeq
+          case None => stageSeg(delta).toSeq
           case Some(b) =>
             val baseList = dvSegmentNames(fs, table, b)
             if (baseList.nonEmpty && !dropsFiles(b))
-              baseList ++ writeDvSegment(spark, table, delta)
-            else writeDvSegment(spark, table,
-              survivors(b).unionByName(delta)).toSeq
+              baseList ++ stageSeg(delta)
+            else stageSeg(survivors(b).unionByName(delta)).toSeq
         }
     }
     if (segs.nonEmpty) {
@@ -722,8 +730,10 @@ object Manifest {
         FsMaint.deleteRecursively(fs, s.getPath)
     }
     // Pool segments orphaned by refused/crashed DV commits (lease-aged —
-    // a younger unreferenced segment may belong to a writer still staging).
-    sweepDvSegments(spark, table, aged = true): Unit
+    // a younger unreferenced segment may belong to a writer still
+    // staging). Only segment-WRITING commits pay the reference scan;
+    // carries and DV-free tables skip it entirely.
+    if (wroteSeg) sweepDvSegments(spark, table, aged = true): Unit
     next
   }
 
@@ -849,11 +859,22 @@ object Manifest {
           val head = latestId(spark, table).getOrElse(0)
           if (head == base) {
             // A swap window is open (or a claim blip with no new head):
-            // the holder's commit will move the head or close the window —
-            // wait it out, bounded.
+            // the holder's commit will move the head or close the window.
+            // Wait CHEAPLY here — lock-probe polling, no Spark work — and
+            // only re-enter the staging once the state moved; re-staging
+            // per poll would burn one stats write (and, for DV deltas,
+            // one orphan pool segment) per backoff tick.
             if (System.currentTimeMillis() >= deadline) throw e
-            Thread.sleep(delay)
-            delay = math.min(delay * 2, 2000L)
+            val fs = fsOf(spark, table)
+            var waiting = true
+            while (waiting) {
+              Thread.sleep(delay)
+              delay = math.min(delay * 2, 2000L)
+              waiting = System.currentTimeMillis() < deadline &&
+                latestId(spark, table).getOrElse(0) == base &&
+                FsMaint.liveTableLock(fs, table) &&
+                !FsMaint.holdsTableLock(table)
+            }
           } else {
             rebases += 1
             if (rebases > commitRebaseAttempts) throw e
@@ -1222,8 +1243,15 @@ object Manifest {
     * snapshot dir that retention may expire).
     */
   private def dvSegmentNames(fs: org.apache.hadoop.fs.FileSystem,
-                             table: String, id: Int): Seq[String] = {
-    val p = new Path(s"${root(table)}/snapshot-$id/$DvListName")
+                             table: String, id: Int): Seq[String] =
+    readDvList(fs, new Path(s"${root(table)}/snapshot-$id/$DvListName"))
+
+  /** Parse one `_dvlist` file (published snapshot or staged tmp) — the
+    * single decoder, so the sweep's reference scan can never diverge from
+    * what reads resolve.
+    */
+  private def readDvList(fs: org.apache.hadoop.fs.FileSystem,
+                         p: Path): Seq[String] =
     if (!fs.exists(p)) Nil
     else {
       val in = fs.open(p)
@@ -1231,7 +1259,6 @@ object Manifest {
         .filter(_.nonEmpty).toList
       finally in.close()
     }
-  }
 
   /** Does snapshot `id` carry a deletion-vector sidecar? (fs probes only) */
   def hasDv(spark: SparkSession, table: String, id: Int): Boolean =
@@ -1278,11 +1305,13 @@ object Manifest {
     }
 
   /** Delete pool segments no live snapshot (or live staged commit)
-    * references. `aged` restricts to segments past the claim lease — the
-    * post-commit hygiene posture, where a younger orphan may belong to a
-    * concurrent writer still staging; retention ([[expireSnapshots]])
-    * sweeps unaged (it just dropped the referencing snapshots). Returns
-    * segments deleted.
+    * references. `aged = true` (every current caller) restricts to
+    * segments past the claim lease: a younger unreferenced segment may
+    * belong to a concurrent writer that wrote it milliseconds before its
+    * staged `_dvlist` landed — so a segment freshly orphaned by snapshot
+    * expiry lingers AT MOST one lease before the next sweep reclaims it,
+    * the deliberate safety-over-promptness trade. Returns segments
+    * deleted.
     */
   private def sweepDvSegments(spark: SparkSession, table: String,
                               aged: Boolean): Int = {
@@ -1294,16 +1323,8 @@ object Manifest {
         // A staged commit's _dvlist references segments before publish.
         fs.listStatus(new Path(root(table))).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.endsWith("__tmp"))
-          .flatMap { s =>
-            val p = new Path(s.getPath, DvListName)
-            if (!fs.exists(p)) Nil
-            else {
-              val in = fs.open(p)
-              try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-                .filter(_.nonEmpty).toList
-              finally in.close()
-            }
-          }).toSet
+          .flatMap(s => readDvList(fs, new Path(s.getPath, DvListName)))
+      ).toSet
     var n = 0
     fs.listStatus(pool).foreach { s =>
       val old = !aged ||
@@ -2614,6 +2635,21 @@ object Manifest {
     explicit.orElse(currentBranch(spark, table).map(_._2))
   }
 
+  /** Do two retained snapshots describe the SAME table state — identical
+    * file sets (by table-relative path, so restore-revived copies match
+    * their originals) and identical deletion vectors? Metadata-sized: two
+    * snapshot reads plus (only when both carry vectors) a small except
+    * job. The fast-forward guard's state identity.
+    */
+  private def sameTableState(spark: SparkSession, table: String,
+                             a: Int, b: Int): Boolean = {
+    def rels(id: Int): Set[String] = plannedPaths(
+      spark.read.parquet(s"${root(table)}/snapshot-$id").select("file"),
+      table, "state comparison")
+      .map(p => relativeTo(table, decodePath(p))).toSet
+    rels(a) == rels(b) && dvUnchanged(spark, table, a, b)
+  }
+
   /** Resolve ref `name` ("main", a branch, or a tag) to a snapshot id. */
   def resolveRef(spark: SparkSession, table: String, name: String): Option[Int] =
     if (name == "main")
@@ -2699,16 +2735,22 @@ object Manifest {
     */
   def createBranch(spark: SparkSession, table: String, name: String): Int = {
     branchPath(table, name): Unit // name validation BEFORE any side effect
-    val fork = latestId(spark, table).getOrElse(
-      throw new IllegalStateException(
-        s"no manifest snapshot under $table — nothing to branch"))
-    require(!branches(spark, table).contains(name),
-      s"branch `$name` already exists under $table")
-    require(taggedId(spark, table, name).isEmpty,
-      s"a tag `$name` exists — the branch would shadow it in VERSION AS OF")
-    pinCurrentHolder(spark, table)
-    writeBranchRef(spark, table, name, fork, None, create = true)
-    fork
+    // The ref-model invariant (at most ONE unpinned ref) is multi-file
+    // state: serialize ref transitions on the table lock — two concurrent
+    // creates of DIFFERENT names would otherwise both pass the duplicate
+    // check and leave two checked-out refs sharing one working tree.
+    FsMaint.withTableLock(fsOf(spark, table), table) {
+      val fork = latestId(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"no manifest snapshot under $table — nothing to branch"))
+      require(!branches(spark, table).contains(name),
+        s"branch `$name` already exists under $table")
+      require(taggedId(spark, table, name).isEmpty,
+        s"a tag `$name` exists — the branch would shadow it in VERSION AS OF")
+      pinCurrentHolder(spark, table)
+      writeBranchRef(spark, table, name, fork, None, create = true)
+      fork
+    }
   }
 
   /** Fast-forward merge: `main` advances to the CHECKED-OUT branch's head
@@ -2718,20 +2760,40 @@ object Manifest {
     * Returns the new main head id.
     */
   def fastForward(spark: SparkSession, table: String, name: String): Int = {
-    val b = branches(spark, table).getOrElse(name,
-      throw new IllegalArgumentException(
-        s"no branch `$name` under $table (branches: " +
-          s"${branches(spark, table).keys.toSeq.sorted.mkString(", ")})"))
-    require(b.head.isEmpty,
-      s"branch `$name` is not checked out (head pinned at " +
-        s"snapshot-${b.head.get}) — CALL graft.system.checkout_branch " +
-        "first; fast-forward merges the tree you are on")
-    val head = latestId(spark, table).get
     val fs = fsOf(spark, table)
-    fs.delete(branchPath(table, name), false): Unit
-    // main takes over the working tree: its pin releases (main = latest).
-    fs.delete(mainRefPath(table), false): Unit
-    head
+    // Same ref-transition serialization as createBranch/checkout.
+    FsMaint.withTableLock(fs, table) {
+      val b = branches(spark, table).getOrElse(name,
+        throw new IllegalArgumentException(
+          s"no branch `$name` under $table (branches: " +
+            s"${branches(spark, table).keys.toSeq.sorted.mkString(", ")})"))
+      require(b.head.isEmpty,
+        s"branch `$name` is not checked out (head pinned at " +
+          s"snapshot-${b.head.get}) — CALL graft.system.checkout_branch " +
+          "first; fast-forward merges the tree you are on")
+      // NON-fast-forward guard: main's pinned STATE must still be the
+      // branch's fork state — if main advanced after the fork (checkout
+      // main, commit, checkout back), deleting its pin would silently
+      // discard those trunk commits behind a merge that claims to be a
+      // fast-forward. Git refuses exactly this; so do we. Compared by
+      // state (file set + vector), not id: checkout round-trips create
+      // restore commits whose ids differ from the fork while the content
+      // is identical — those must still fast-forward.
+      mainRefHead(spark, table)
+        .filter(m => m != b.fork && !sameTableState(spark, table, m, b.fork))
+        .foreach { m =>
+          throw new IllegalArgumentException(
+            s"fast_forward(`$name`) is not a fast-forward: main advanced to " +
+              s"snapshot-$m after the branch forked at snapshot-${b.fork} — " +
+              "main's commits would be silently discarded; abandon the " +
+              "branch, or re-fork it from the current main")
+        }
+      val head = latestId(spark, table).get
+      fs.delete(branchPath(table, name), false): Unit
+      // main takes over the working tree: its pin releases (main = latest).
+      fs.delete(mainRefPath(table), false): Unit
+      head
+    }
   }
 
   /** Drop branch `name`'s ref file only — [[graft.ops.Layout.abandonBranch]]

@@ -130,4 +130,60 @@ class BranchSpec extends SparkSpec {
     spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id = 200")
     assert(spark.read.parquet(dir).filter(col("doc_id") === 200).count() == 0)
   }
+
+  test("non-fast-forward guard, state-identity round trips, and interrupted-transition heal") {
+    val dir = fixture("branch_nff")
+    val fpMain0 = fp(spark.read.parquet(dir))
+    spark.sql(s"CALL graft.system.create_branch('$dir', 'dev')")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id < 50")
+    val fpDev = fp(spark.read.parquet(dir))
+    // Checkout round trip restores each tree exactly.
+    Layout.checkoutBranch(spark, dir, "main")
+    assert(fp(spark.read.parquet(dir)) == fpMain0)
+    // Advance MAIN after the fork: fast-forwarding dev would silently
+    // discard main's commit — must refuse typed (git's non-ff refusal).
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id BETWEEN 300 AND 310")
+    val fpMain1 = fp(spark.read.parquet(dir))
+    Layout.checkoutBranch(spark, dir, "dev")
+    assert(fp(spark.read.parquet(dir)) == fpDev)
+    val e = intercept[IllegalArgumentException] {
+      Manifest.fastForward(spark, dir, "dev")
+    }
+    assert(e.getMessage.contains("not a fast-forward"))
+    // main's advanced state is intact; abandoning dev restores main's
+    // ADVANCED head (not the stale fork).
+    assert(fp(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 'main'"))
+      == fpMain1)
+    Layout.abandonBranch(spark, dir, "dev"): Unit
+    assert(fp(spark.read.parquet(dir)) == fpMain1)
+    // State-identity ff: a checkout ROUND TRIP creates restore commits
+    // whose ids differ from the fork while main's STATE is unchanged —
+    // the guard compares state, so the merge still fast-forwards.
+    val fork2 = Manifest.createBranch(spark, dir, "dev2")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id = 450")
+    val fpDev2 = fp(spark.read.parquet(dir))
+    Layout.checkoutBranch(spark, dir, "main")
+    Layout.checkoutBranch(spark, dir, "dev2")
+    assert(Manifest.mainRefHead(spark, dir).exists(_ != fork2),
+      "the round trip must have moved main's pin off the fork id")
+    Manifest.fastForward(spark, dir, "dev2"): Unit
+    assert(fp(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 'main'"))
+      == fpDev2)
+    // Interrupted-transition heal: a dangling ref-main pin (crash between
+    // pinCurrentHolder and the target's ref write) freezes 'main' reads;
+    // checkout_branch('main') COMPLETES the transition — restores the
+    // pinned state, releases the pin — instead of no-opping forever.
+    // (Commits made in the nobody-checked-out crash state are detached
+    // work the completed checkout rolls back, the git-detached-HEAD rule.)
+    val pinnedAt = Manifest.latestSnapshotId(spark, dir).get
+    val fpPinned = fp(spark.read.parquet(dir))
+    Manifest.pinCurrentHolder(spark, dir) // simulate the crash state
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id = 460")
+    assert(Manifest.resolveRef(spark, dir, "main").contains(pinnedAt),
+      "main reads stay frozen at the pin during the crash state")
+    Layout.checkoutBranch(spark, dir, "main")
+    assert(Manifest.mainRefHead(spark, dir).isEmpty,
+      "completing the transition must release the dangling pin")
+    assert(fp(spark.read.parquet(dir)) == fpPinned)
+  }
 }
