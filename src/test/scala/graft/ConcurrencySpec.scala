@@ -347,6 +347,32 @@ class ConcurrencySpec extends SparkSpec {
     // above pins it.
   }
 
+  test("commit CAS rebase: two DV deletes COMPOSE — the loser re-grows its delta onto the winner's vector") {
+    val stage = stageClustered("conc_dvdv", 4)
+    Manifest.create(spark, stage, "doc_id")
+    val before = spark.read.parquet(stage).count()
+    // Interleave a second DV delete inside the first's commit window: the
+    // first's basedOn is superseded by a commit that REPLACED the whole
+    // sidecar (DV sidecars are whole-state per snapshot) — naive
+    // last-writer-wins would resurrect the winner's deletes. The DvDelta
+    // carry re-grows the loser's POSITIONS onto the winner's vector at
+    // rebase, so both statements' deletes land.
+    Manifest.commitInterleaveForTest = () => {
+      Manifest.commitInterleaveForTest = () => () // one-shot
+      Layout.deleteRangeDV(spark, stage, "doc_id", 100L, 109L): Unit
+    }
+    val r =
+      try Layout.deleteRangeDV(spark, stage, "doc_id", 200L, 209L)
+      finally Manifest.commitInterleaveForTest = () => ()
+    assert(r.rowsDeleted == 10L && r.filesRewritten == 0)
+    val after = Manifest.readAsOf(spark, stage,
+      Manifest.latestSnapshotId(spark, stage).get)
+    assert(after.count() == before - 20L)
+    assert(after.filter(col("doc_id").between(100L, 109L) ||
+      col("doc_id").between(200L, 209L)).count() == 0L)
+    assert(manifestLeftovers(stage).isEmpty, manifestLeftovers(stage).toString)
+  }
+
   test("recoverDelete never heals under a live lock (a live writer's swap window is its own)") {
     val stage = stageClustered("conc_heal", 4)
     Manifest.create(spark, stage, "doc_id")
