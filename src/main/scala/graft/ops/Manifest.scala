@@ -1432,6 +1432,53 @@ object Manifest {
       basedOn = Some(id))
   }
 
+  /** [[restat]] for POINT-lookup skipping: add per-file BLOOM sketches
+    * for more columns to an existing manifest — same one-narrow-scan +
+    * one-metadata-commit shape. A bloom column is either an existing
+    * stats key (sketch over the normalized long, composing with its
+    * min/max pre-filter) or a STRING column (sketch over xxhash64 — the
+    * UUID/URL lookup case where no range stats exist and the sketch is
+    * the only skipping signal). Bit width follows the snapshot's existing
+    * sketches when any (the uniform-width contract incremental refreshes
+    * and rewrites rebuild under), else the requested parameters.
+    * [[scanKeys]]/[[scanKeysString]] probe the new sketches immediately.
+    */
+  def restatBloom(spark: SparkSession, table: String, cols: Seq[String],
+                  expectedItemsPerFile: Long = 100000L,
+                  fpp: Double = 0.03): Int = {
+    require(cols.nonEmpty, "need at least one column")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    val id = latestId(spark, table).getOrElse(
+      throw new IllegalStateException(s"no manifest snapshot under $table"))
+    val snap = spark.read.parquet(s"${root(table)}/snapshot-$id")
+    val haveBloom = snap.schema.fieldNames.toSeq.collect {
+      case f if f.startsWith("bloom_") => f.drop(6) }
+    val haveKeys = keyColsOf(spark, table, id)
+    val phys = physicalNames(spark, table, id)
+    val physCols = cols.map(c => phys.getOrElse(c, c))
+    physCols.foreach(c => require(!haveBloom.contains(c),
+      s"column `$c` already carries a bloom sketch"))
+    requireComplete(spark, table)
+    val data = spark.read.option("mergeSchema", "true").parquet(table)
+    physCols.foreach { c =>
+      require(data.schema.fieldNames.contains(c), s"no such column: $c")
+      require(haveKeys.contains(c) || data.schema(c).dataType == StringType,
+        s"bloom column `$c` must be a stats key column or a string column")
+    }
+    val bits = bloomBitsOf(snap, haveBloom).getOrElse(
+      BloomFilter.optimalNumOfBits(expectedItemsPerFile, fpp))
+    val items =
+      if (haveBloom.nonEmpty) math.max(1L, bits / 7) else expectedItemsPerFile
+    val specs = physCols.map(c => BloomSpec(c, items, bits))
+    val aggs = specs.map(b =>
+      bloomAgg(bloomProbeCol(b.col, data.schema(b.col).dataType), b)
+        .as(s"bloom_${b.col}"))
+    val fresh = data.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.drop(1): _*)
+    commitSnapshot(spark, table, snap.join(fresh, Seq("file"), "inner"),
+      storedSchema(spark, table, id), basedOn = Some(id))
+  }
+
   /** [[updateSchema]] convenience: drop one column. */
   def dropColumn(spark: SparkSession, table: String, column: String): Int = {
     val id = latestId(spark, table).getOrElse(

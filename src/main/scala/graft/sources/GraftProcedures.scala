@@ -210,6 +210,16 @@ object GraftProcedures {
             .toIndexedSeq: _*).toLong)
     },
 
+    // The bloom half of stats evolution: per-file point-lookup sketches
+    // for more columns (existing stats keys, or string columns where the
+    // sketch is the only skipping signal).
+    new Proc("restat_bloom", "path" -> StringType, "columns" -> StringType) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        outcome("snapshot", Manifest.restatBloom(spark, stringArg(input, 0),
+          stringArg(input, 1).split(',').map(_.trim).filter(_.nonEmpty)
+            .toIndexedSeq).toLong)
+    },
+
     new Proc("fast_forward", "path" -> StringType, "name" -> StringType) {
       override def call(input: InternalRow): java.util.Iterator[Scan] =
         outcome("main_at", Manifest.fastForward(spark,

@@ -900,5 +900,21 @@ class ManifestSpec extends SparkSpec {
     val del = Layout.deleteRangeDV(spark, stage, "n_chars",
       mm.getLong(1) + 1000L, mm.getLong(1) + 1000L)
     assert(del.rowsDeleted == 1L && del.filesRewritten == 0)
+    // The bloom half: restatBloom adds a point-lookup sketch for a STRING
+    // column (no range stats exist there) — scanKeysString prunes on it
+    // immediately, and a live row is found exactly.
+    intercept[Exception] {
+      Manifest.scanKeysString(spark, stage, "text", Seq("x"))
+    }
+    intercept[Exception] { Manifest.restatBloom(spark, stage, Seq("nope")) }
+    Manifest.restatBloom(spark, stage, Seq("text")): Unit
+    val probe = docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") === 250L)
+      .select("text").head().getString(0)
+    val ks = Manifest.scanKeysString(spark, stage, "text", Seq(probe))
+    assert(ks.rows.count() >= 1L)
+    assert(ks.filesRead < ks.filesTotal,
+      s"bloom must prune: ${ks.filesRead}/${ks.filesTotal}")
+    intercept[Exception] { Manifest.restatBloom(spark, stage, Seq("text")) }
   }
 }
