@@ -84,14 +84,32 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // manifest's own descriptors — zero filesystem listing at plan time.
     // Keyed by file NAME (write-unique), so trash-resolved paths match.
     val snapFrame = spark.read.parquet(s"$path/_graft_manifest/snapshot-$id")
+    // ONE collect serves both plan-time handoffs: exact byte lengths for
+    // the descriptor index, and per-file [min, max] key stats for
+    // SQL-plan-time FILE SKIPPING (GraftStatsSkip) — rows ∝ file count,
+    // values are longs; bloom sketches are never collected.
+    val statKeys = snapFrame.schema.fieldNames.toSeq
+      .collect { case f if f.startsWith("min_") => f.drop(4) }
+      .filter(k => snapFrame.columns.contains(s"max_$k"))
+    val hasBytes = snapFrame.columns.contains("n_bytes")
+    val selCols = Seq("file") ++ (if (hasBytes) Seq("n_bytes") else Nil) ++
+      statKeys.flatMap(k => Seq(s"min_$k", s"max_$k"))
+    val rows = snapFrame.selectExpr(selCols.map(c => s"`$c`"): _*).collect()
+    val statBase = if (hasBytes) 2 else 1
     val sizes: Option[Map[String, Long]] =
-      if (!snapFrame.columns.contains("n_bytes")) None
-      else {
-        val rows = snapFrame.select("file", "n_bytes").collect()
-        if (rows.isEmpty || rows.exists(_.isNullAt(1))) None
-        else Some(rows.map(r =>
-          Manifest.decodePath(r.getString(0)).getName -> r.getLong(1)).toMap)
-      }
+      if (!hasBytes || rows.isEmpty || rows.exists(_.isNullAt(1))) None
+      else Some(rows.map(r =>
+        Manifest.decodePath(r.getString(0)).getName -> r.getLong(1)).toMap)
+    val fileStats: Option[GraftStatsSkip.FileStats] =
+      if (statKeys.isEmpty || rows.isEmpty) None
+      else Some(rows.map { r =>
+        val st = statKeys.zipWithIndex.map { case (k, i) =>
+          val o = statBase + 2 * i
+          k -> ((if (r.isNullAt(o)) None else Some(r.getLong(o)),
+                 if (r.isNullAt(o + 1)) None else Some(r.getLong(o + 1))))
+        }.toMap
+        Manifest.decodePath(r.getString(0)).getName -> st
+      }.toMap)
     // Rename indirection: files carry PHYSICAL column names; the served
     // table reports the snapshot's LOGICAL names and the scan layer
     // translates (GraftRenamedTable / RenamingScanBuilder).
@@ -105,11 +123,12 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       // The LATEST view is writable: INSERT INTO / DELETE FROM (and MERGE
       // INTO via the extension rule) route to the engine's COW machinery.
       new GraftMutableTable(s"$catalogName.$path@v$id", spark,
-        files.toIndexedSeq, path, physSchema, renames, sizes, dvPaths)
+        files.toIndexedSeq, path, physSchema, renames, sizes, dvPaths,
+        fileStats)
     else {
       val base = new GraftParquetTable(s"$catalogName.$path@v$id", spark,
         CaseInsensitiveStringMap.empty(), files.toIndexedSeq, path, physSchema,
-        sizes, dvPaths)
+        sizes, dvPaths, fileStats)
       if (renames.isEmpty) base else new GraftRenamedTable(base, renames)
     }
   }

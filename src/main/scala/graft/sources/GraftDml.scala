@@ -56,7 +56,8 @@ final class GraftMutableTable(
     userSchema: Option[StructType],
     val renames: Map[String, String] = Map.empty,
     fileSizes: Option[Map[String, Long]] = None,
-    val dvPaths: Option[Seq[String]] = None)
+    val dvPaths: Option[Seq[String]] = None,
+    fileStats: Option[GraftStatsSkip.FileStats] = None)
   extends org.apache.spark.sql.connector.catalog.Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -75,7 +76,7 @@ final class GraftMutableTable(
   // [[GraftRenamedTable]].
   private[sources] val readDelegate = new GraftParquetTable(tableName, spark,
     CaseInsensitiveStringMap.empty(), files, tableRoot, userSchema, fileSizes,
-    dvPaths)
+    dvPaths, fileStats)
   private val invRenames = renames.map(_.swap)
 
   override def name(): String = tableName

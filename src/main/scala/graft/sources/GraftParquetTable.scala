@@ -33,7 +33,8 @@ class GraftParquetTable(
     files: Seq[String], val tableRoot: String,
     userSchema: Option[StructType],
     fileSizes: Option[Map[String, Long]] = None,
-    val dvPaths: Option[Seq[String]] = None)
+    val dvPaths: Option[Seq[String]] = None,
+    fileStats: Option[GraftStatsSkip.FileStats] = None)
   extends FileTable(spark, opts, files, userSchema) {
 
   override def name(): String = tableName
@@ -128,9 +129,9 @@ class GraftParquetTable(
     fileSizes match {
       case Some(m) if paths.forall(p => m.contains(p.getName)) =>
         new GraftDescriptorFileIndex(spark,
-          paths.map(p => p -> m(p.getName)), partitionSpecOf())
+          paths.map(p => p -> m(p.getName)), partitionSpecOf(), fileStats)
       case _ =>
-        new GraftExactFileIndex(spark, paths, partitionSpecOf())
+        new GraftExactFileIndex(spark, paths, partitionSpecOf(), fileStats)
     }
   }
 }
@@ -223,9 +224,20 @@ private[sources] final class RenamingScan(
   * length, which is why exactness is load-bearing.
   */
 private[graft] final class GraftDescriptorFileIndex(
-    spark: SparkSession, entries: Seq[(Path, Long)], spec: PartitionSpec)
+    spark: SparkSession, entries: Seq[(Path, Long)], spec: PartitionSpec,
+    fileStats: Option[GraftStatsSkip.FileStats] = None)
   extends PartitioningAwareFileIndex(spark, Map.empty, None,
     FileStatusCache.getOrCreate(spark)) {
+
+  // Manifest-stats FILE SKIPPING: pushed data filters prune the planned
+  // files by per-file [min, max] overlap (GraftStatsSkip) — the SQL-path
+  // analogue of Manifest.scanBox, applied AFTER partition pruning.
+  override def listFiles(partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                         dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+    val base = super.listFiles(partitionFilters, dataFilters)
+    fileStats.fold(base)(GraftStatsSkip.prune(base, dataFilters, _))
+  }
 
   // FileStatus paths are FS-QUALIFIED at construction (scheme + authority
   // — pure string work against the cached FileSystem object, zero RPCs).
@@ -265,9 +277,18 @@ private[graft] final class GraftDescriptorFileIndex(
   * live.
   */
 private[sources] final class GraftExactFileIndex(
-    spark: SparkSession, filePaths: Seq[Path], spec: PartitionSpec)
+    spark: SparkSession, filePaths: Seq[Path], spec: PartitionSpec,
+    fileStats: Option[GraftStatsSkip.FileStats] = None)
   extends PartitioningAwareFileIndex(spark, Map.empty, None,
     FileStatusCache.getOrCreate(spark)) {
+
+  // Same stats-based file skipping as GraftDescriptorFileIndex.
+  override def listFiles(partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                         dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+    val base = super.listFiles(partitionFilters, dataFilters)
+    fileStats.fold(base)(GraftStatsSkip.prune(base, dataFilters, _))
+  }
 
   private val byParent: Map[Path, Array[FileStatus]] =
     filePaths.groupBy(_.getParent).map { case (parent, paths) =>
