@@ -90,6 +90,20 @@ private[sources] object GraftStatsSkip {
       val longs = vs.map { case Literal(v, _) => litLong(v) }
       if (longs.forall(_.isDefined)) Seq(InSet(a.name, longs.map(_.get)))
       else Nil
+    // The optimizer converts IN lists past inSetConversionThreshold
+    // (default 10) into InSet — the COMMON keyed-lookup shape. Values are
+    // catalyst-internal (already the normalized long domain for the
+    // admitted types). Past the per-file probe cap, degrade to the set's
+    // [min, max] envelope — still a sound overlap bound.
+    case org.apache.spark.sql.catalyst.expressions.InSet(a: AttributeReference, hset)
+        if statType(a.dataType) && hset.nonEmpty =>
+      val longs = hset.toSeq.map(litLong)
+      if (!longs.forall(_.isDefined)) Nil
+      else {
+        val vs = longs.map(_.get)
+        if (vs.size <= 1000) Seq(InSet(a.name, vs))
+        else Seq(Ge(a.name, vs.min), Le(a.name, vs.max))
+      }
     case _ => Nil
   }
 

@@ -65,6 +65,12 @@ class SqlFilePruneSpec extends SparkSpec {
       s"SELECT * FROM graft.`$dir` WHERE doc_id = 42")).size < total)
     assert(v2PlannedFiles(spark.sql(
       s"SELECT * FROM graft.`$dir` WHERE doc_id IN (7, 9)")).size < total)
+    // Past inSetConversionThreshold (10) the optimizer emits InSet — the
+    // common keyed-lookup shape must prune too.
+    val bigIn = (0L to 11L).mkString(", ")
+    val inq = spark.sql(s"SELECT * FROM graft.`$dir` WHERE doc_id IN ($bigIn)")
+    assert(fp(inq) == fp(spark.read.parquet(dir).filter(col("doc_id") <= 11)))
+    assert(v2PlannedFiles(inq).size < total)
     // Time travel prunes with the HISTORICAL snapshot's stats.
     val id = Manifest.latestSnapshotId(spark, dir).get
     val tt = spark.sql(
