@@ -1980,21 +1980,30 @@ object Layout {
     */
   def abandonBranch(spark: SparkSession, path: String,
                     name: String): RestoreResult = {
-    val b = Manifest.branches(spark, path).getOrElse(name,
-      throw new IllegalArgumentException(
-        s"no branch `$name` under $path (branches: " +
-          s"${Manifest.branches(spark, path).keys.toSeq.sorted.mkString(", ")})"))
-    b.head match {
-      case Some(_) => // dormant: ref drop only
-        Manifest.dropBranchRef(spark, path, name): Unit
-        RestoreResult(Manifest.latestSnapshotId(spark, path).get, 0, 0, 0)
-      case None =>
-        val target = Manifest.mainRefHead(spark, path).getOrElse(b.fork)
-        val r = restoreSnapshot(spark, path, target)
-        Manifest.dropBranchRef(spark, path, name): Unit
-        // main takes over the working tree — release its pin.
-        Manifest.setCheckedOut(spark, path, "main")
-        r
+    // Same lock as create/checkout/fastForward: the read-restore-dropRef-
+    // unpin sequence below rewrites the at-most-one-unpinned-ref state, and
+    // an interleaved checkout between restoreSnapshot and setCheckedOut
+    // would leave two unpinned refs sharing the working tree (or drop a
+    // ref-main pin another transition just wrote). restoreSnapshot
+    // re-enters the held lock, so nesting is safe.
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    FsMaint.withTableLock(fs, path) {
+      val b = Manifest.branches(spark, path).getOrElse(name,
+        throw new IllegalArgumentException(
+          s"no branch `$name` under $path (branches: " +
+            s"${Manifest.branches(spark, path).keys.toSeq.sorted.mkString(", ")})"))
+      b.head match {
+        case Some(_) => // dormant: ref drop only
+          Manifest.dropBranchRef(spark, path, name): Unit
+          RestoreResult(Manifest.latestSnapshotId(spark, path).get, 0, 0, 0)
+        case None =>
+          val target = Manifest.mainRefHead(spark, path).getOrElse(b.fork)
+          val r = restoreSnapshot(spark, path, target)
+          Manifest.dropBranchRef(spark, path, name): Unit
+          // main takes over the working tree — release its pin.
+          Manifest.setCheckedOut(spark, path, "main")
+          r
+      }
     }
   }
 

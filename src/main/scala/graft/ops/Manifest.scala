@@ -875,6 +875,14 @@ object Manifest {
                 FsMaint.liveTableLock(fs, table) &&
                 !FsMaint.holdsTableLock(table)
             }
+            // Deadline expired with the holder still live and the head
+            // unmoved: re-entering the staging would pay one full stats
+            // write (and, for DV deltas, a fresh orphan pool segment) only
+            // to be refused and rethrow here anyway — fail typed NOW.
+            if (System.currentTimeMillis() >= deadline &&
+                latestId(spark, table).getOrElse(0) == base &&
+                FsMaint.liveTableLock(fs, table) &&
+                !FsMaint.holdsTableLock(table)) throw e
           } else {
             rebases += 1
             if (rebases > commitRebaseAttempts) throw e
@@ -904,11 +912,12 @@ object Manifest {
     * survivors were computed under the OLD vector: rows the winner deleted
     * would resurrect).
     */
-  private def rebaseConflict(spark: SparkSession, table: String,
-                             base: Int, head: Int,
-                             removed: Set[String], addedNames: Set[String],
-                             dvDeltaNames: Set[String],
-                             dv: DvCarry): Option[String] = {
+  private[graft] def rebaseConflict(spark: SparkSession, table: String,
+                                    base: Int, head: Int,
+                                    removed: Set[String],
+                                    addedNames: Set[String],
+                                    dvDeltaNames: Set[String],
+                                    dv: DvCarry): Option[String] = {
     if (storedSchema(spark, table, base) != storedSchema(spark, table, head))
       return Some("the concurrent commit changed the recorded schema")
     if (physicalNames(spark, table, base) != physicalNames(spark, table, head))
@@ -938,9 +947,19 @@ object Manifest {
           "their row positions are no longer valid")
     }
     dv match {
-      case DvInherit if removed.nonEmpty && !dvUnchanged(spark, table, base, head) =>
-        Some("the concurrent commit changed the deletion vector while this " +
-          "commit rewrote files — the staged survivors were computed under " +
+      case DvInherit if removed.nonEmpty &&
+          !dvUnchangedFor(spark, table, base, head,
+            removed.map(p => decodePath(p).getName)) =>
+        // Only DV movement on files THIS commit removes/rewrites matters:
+        // the staged survivors were computed under the old vector for
+        // exactly those files, so a winner's delete there would resurrect
+        // rows through the replacements. DV growth on DISJOINT files
+        // carries forward untouched by the rebase (the kept stats rows and
+        // inherited vector still cover them) — refusing on it would turn
+        // e.g. a cold-file compaction racing a hot-file DV delete into a
+        // spurious conflict.
+        Some("the concurrent commit changed the deletion vector on files " +
+          "this commit rewrote — the staged survivors were computed under " +
           "the old vector")
       case DvExplicit(_) =>
         Some("explicit deletion-vector carries (restore) do not rebase")
@@ -948,18 +967,34 @@ object Manifest {
     }
   }
 
-  /** Is the deletion vector identical between two snapshots? Sidecars are
-    * metadata-sized (rows ∝ accumulated deletes), so the two-way except is
-    * a small job — and it only runs on the rare replace-rebase path.
+  /** Is the deletion vector identical between two snapshots RESTRICTED to
+    * entries targeting `fileNames`? Sidecars are metadata-sized (rows ∝
+    * accumulated deletes), so the two-way except is a small job — and it
+    * only runs on the rare replace-rebase path.
     */
+  private def dvUnchangedFor(spark: SparkSession, table: String,
+                             base: Int, head: Int,
+                             fileNames: Set[String]): Boolean =
+    dvUnchangedWhere(spark, table, base, head,
+      df => df.filter(col("file_name").isInCollection(fileNames.toSeq)))
+
+  /** Whole-vector identity — the fast-forward guard's shape. */
   private def dvUnchanged(spark: SparkSession, table: String,
                           base: Int, head: Int): Boolean =
+    dvUnchangedWhere(spark, table, base, head, identity)
+
+  private def dvUnchangedWhere(spark: SparkSession, table: String,
+                               base: Int, head: Int,
+                               restrict: DataFrame => DataFrame): Boolean = {
     (dvEntries(spark, table, base), dvEntries(spark, table, head)) match {
       case (None, None) => true
-      case (Some(a), Some(b)) =>
+      case (Some(a0), Some(b0)) =>
+        val (a, b) = (restrict(a0), restrict(b0))
         b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty
-      case _ => false
+      case (None, Some(b0)) => restrict(b0).isEmpty
+      case (Some(a0), None) => restrict(a0).isEmpty
     }
+  }
 
   /** The PUBLISH instant of snapshot `id` (epoch millis): the explicit
     * `_committed_at` marker written just before the publish rename, falling
@@ -1372,11 +1407,11 @@ object Manifest {
   }
 
   /** How a commit carries the deletion vector forward. */
-  private[ops] sealed trait DvCarry
+  private[graft] sealed trait DvCarry
   /** Inherit the base snapshot's entries, restricted to files the new
     * snapshot still references (the default — rewritten files fold).
     */
-  private[ops] case object DvInherit extends DvCarry
+  private[graft] case object DvInherit extends DvCarry
   /** Publish exactly these entries (a restore's historical sidecar). */
   private[ops] final case class DvExplicit(entries: DataFrame) extends DvCarry
   /** GROW the base's vector by these NEW (file_name, pos) entries — the
@@ -1423,13 +1458,25 @@ object Manifest {
     val aggs = physCols.flatMap(c => Seq(
       min(statCol(c, data.schema(c).dataType)).as(s"min_$c"),
       max(statCol(c, data.schema(c).dataType)).as(s"max_$c"),
-      count(statCol(c, data.schema(c).dataType)).as(s"cnt_$c")))
+      count(statCol(c, data.schema(c).dataType)).as(s"cnt_$c"))) :+
+      count(lit(1)).as("__restat_rows")
     val fresh = data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.drop(1): _*)
+    // LEFT join + typed check: an inner join would silently DROP any
+    // referenced file that produced no groupBy(input_file_name) row (e.g. a
+    // zero-row parquet file), un-referencing it and tripping every later
+    // requireComplete. The marker count is never NULL on a matched row, so
+    // NULL ⇔ the file went unseen by the scan.
     val stats = spark.read.parquet(s"${root(table)}/snapshot-$id")
-      .join(fresh, Seq("file"), "inner")
-    commitSnapshot(spark, table, stats, storedSchema(spark, table, id),
-      basedOn = Some(id))
+      .join(fresh, Seq("file"), "left")
+    val unseen = stats.filter(col("__restat_rows").isNull)
+      .select("file").limit(3).collect().map(_.getString(0))
+    require(unseen.isEmpty,
+      s"restat scan produced no rows for ${unseen.length}+ referenced " +
+        s"file(s) (first: ${unseen.headOption.getOrElse("")}) — zero-row " +
+        "files cannot carry column stats; compact the table first")
+    commitSnapshot(spark, table, stats.drop("__restat_rows"),
+      storedSchema(spark, table, id), basedOn = Some(id))
   }
 
   /** [[restat]] for POINT-lookup skipping: add per-file BLOOM sketches
@@ -1472,10 +1519,19 @@ object Manifest {
     val specs = physCols.map(c => BloomSpec(c, items, bits))
     val aggs = specs.map(b =>
       bloomAgg(bloomProbeCol(b.col, data.schema(b.col).dataType), b)
-        .as(s"bloom_${b.col}"))
+        .as(s"bloom_${b.col}")) :+ count(lit(1)).as("__restat_rows")
     val fresh = data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.drop(1): _*)
-    commitSnapshot(spark, table, snap.join(fresh, Seq("file"), "inner"),
+    // Same left-join + typed-check contract as [[restat]]: never silently
+    // un-reference a file the scan produced no rows for.
+    val stats = snap.join(fresh, Seq("file"), "left")
+    val unseen = stats.filter(col("__restat_rows").isNull)
+      .select("file").limit(3).collect().map(_.getString(0))
+    require(unseen.isEmpty,
+      s"restat_bloom scan produced no rows for ${unseen.length}+ referenced " +
+        s"file(s) (first: ${unseen.headOption.getOrElse("")}) — zero-row " +
+        "files cannot carry bloom sketches; compact the table first")
+    commitSnapshot(spark, table, stats.drop("__restat_rows"),
       storedSchema(spark, table, id), basedOn = Some(id))
   }
 

@@ -373,6 +373,40 @@ class ConcurrencySpec extends SparkSpec {
     assert(manifestLeftovers(stage).isEmpty, manifestLeftovers(stage).toString)
   }
 
+  test("rebase oracle: concurrent DV growth conflicts a replace ONLY on the files it rewrote") {
+    // The round-17 oracle compared WHOLE vectors: a cold-file compaction
+    // racing a hot-file DV delete refused spuriously even though the
+    // winner's deletes target files the replace never touches (their
+    // entries carry forward untouched by the rebase). Pin the narrowed
+    // contract on the oracle directly — the commit path around it is
+    // exercised end-to-end by the two rebase tests above.
+    val stage = stageClustered("conc_dvdisjoint", 4)
+    Manifest.create(spark, stage, "doc_id")
+    val base = Manifest.latestSnapshotId(spark, stage).get
+    val files = Manifest.files(spark, stage)
+      .select("file", "min_doc_id", "max_doc_id").collect()
+      .sortBy(_.getLong(1)).map(_.getString(0))
+    assert(files.length == 4)
+    // The winner: a DV delete inside the HOTTEST file's doc range.
+    val hotLo = Manifest.files(spark, stage)
+      .agg(org.apache.spark.sql.functions.max("min_doc_id")).head().getLong(0)
+    val r = Layout.deleteRangeDV(spark, stage, "doc_id", hotLo, hotLo + 4L)
+    assert(r.rowsDeleted == 5L && r.filesRewritten == 0)
+    val head = Manifest.latestSnapshotId(spark, stage).get
+    assert(head == base + 1)
+    // A replace of the COLD file (disjoint from the DV growth) rebases.
+    assert(Manifest.rebaseConflict(spark, stage, base, head,
+      removed = Set(files.head), addedNames = Set.empty,
+      dvDeltaNames = Set.empty, dv = Manifest.DvInherit).isEmpty,
+      "DV growth on disjoint files must not conflict a cold-file replace")
+    // A replace of the HOT file itself (its staged survivors were computed
+    // under the old vector — the winner's deletes would resurrect) refuses.
+    val why = Manifest.rebaseConflict(spark, stage, base, head,
+      removed = Set(files.last), addedNames = Set.empty,
+      dvDeltaNames = Set.empty, dv = Manifest.DvInherit)
+    assert(why.exists(_.contains("deletion vector")), s"got: $why")
+  }
+
   test("recoverDelete never heals under a live lock (a live writer's swap window is its own)") {
     val stage = stageClustered("conc_heal", 4)
     Manifest.create(spark, stage, "doc_id")

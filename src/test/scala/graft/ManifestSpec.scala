@@ -917,4 +917,42 @@ class ManifestSpec extends SparkSpec {
       s"bloom must prune: ${ks.filesRead}/${ks.filesTotal}")
     intercept[Exception] { Manifest.restatBloom(spark, stage, Seq("text")) }
   }
+
+  test("restat refuses typed on a referenced zero-row file instead of silently un-referencing it") {
+    // Failure injection: a referenced file truncated to zero rows (storage
+    // corruption / botched manual surgery) still EXISTS, so requireComplete
+    // passes — but the restat scan's groupBy(input_file_name) produces no
+    // row for it. The round-17 inner join silently DROPPED the file from
+    // the new snapshot (un-referencing it, tripping every later
+    // requireComplete); the contract is a typed refusal with the file named
+    // and NO new snapshot committed.
+    val stage = tmpDir("manifest_restat_zero") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartition(4).write.parquet(stage)
+    Manifest.create(spark, stage, "doc_id")
+    val id = Manifest.latestSnapshotId(spark, stage).get
+    val nFiles = Manifest.files(spark, stage).count()
+    // Overwrite one referenced part file with an EMPTY parquet of the same
+    // schema (same path, zero rows).
+    val victim = Manifest.files(spark, stage).select("file").head().getString(0)
+    val victimPath = new org.apache.hadoop.fs.Path(
+      new java.net.URI(victim).getPath)
+    val emptyDir = tmpDir("manifest_restat_zero_empty")
+    spark.read.parquet(s"$sf001/documents.parquet").limit(0)
+      .coalesce(1).write.mode("overwrite").parquet(emptyDir)
+    val fs = victimPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val emptyPart = fs.listStatus(new org.apache.hadoop.fs.Path(emptyDir))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    fs.delete(victimPath, false)
+    assert(fs.rename(emptyPart, victimPath))
+    val e = intercept[Exception] { Manifest.restat(spark, stage, "n_chars") }
+    assert(e.getMessage.contains("no rows"), e.getMessage)
+    val eb = intercept[Exception] {
+      Manifest.restatBloom(spark, stage, Seq("text"))
+    }
+    assert(eb.getMessage.contains("no rows"), eb.getMessage)
+    // Nothing committed, nothing un-referenced.
+    assert(Manifest.latestSnapshotId(spark, stage).contains(id))
+    assert(Manifest.files(spark, stage).count() == nFiles)
+  }
 }
