@@ -104,7 +104,15 @@ object Layout {
       carryOver = Seq("_graft_manifest", "_graft_trash"),
       retainInto = if (profile.isDefined) Some("_graft_trash") else None)
     profile.foreach { p =>
-      Manifest.createLike(spark, path, p): Unit
+      // The refresh is a FULL re-profile (no delta to rebase): a racing
+      // lock-free committer (restat, a direct incremental refresh) refuses
+      // its CAS — re-plan against the new head under the bounded
+      // maintenance budget instead of surfacing a typed refusal the caller
+      // would have to loop on (the rewrite itself already happened; each
+      // retry costs one re-profile scan of the new files).
+      Manifest.withMaintenanceRetry("rewrite refresh") {
+        Manifest.createLike(spark, path, p): Unit
+      }
       // keepTagged = false: these snapshots just became UNREADABLE (their
       // files could not be retained) — a tag must not pin broken history.
       if (!retained)
@@ -1631,6 +1639,153 @@ object Layout {
       Manifest.commitReplaced(spark, path, keys, picked.toSet, Nil)
       fs.delete(journal, false): Unit
       DeleteResult(picked.length, total, pickedRows.map(_._2).sum)
+    }
+  }
+
+  /** What an [[overwriteWhere]] replaces — the shapes the manifest/layout
+    * can target without planning untouched files (the same contract as the
+    * SQL DELETE translation): the whole table, one hive partition, or a
+    * contiguous range on a stats-covered key column.
+    */
+  sealed trait OverwriteTarget
+  case object OverwriteAll extends OverwriteTarget
+  final case class OverwritePartition(partCol: String, value: String)
+    extends OverwriteTarget
+  final case class OverwriteRange(keyCol: String, lo: Long, hi: Long)
+    extends OverwriteTarget
+
+  final case class OverwriteResult(filesReplaced: Int, filesTotal: Int,
+                                   rowsDeleted: Long, rowsInserted: Long)
+
+  /** `INSERT OVERWRITE` / `REPLACE WHERE` — the standard pipeline-reload
+    * shape (re-materialize one day's partition, reload a key range): DELETE
+    * the target's rows and INSERT `data0`, atomically, as ONE journaled COW
+    * commit on the same machinery as [[deleteRange]]/[[mergeKeyed]] (a
+    * crash either forward-completes or restores the exact pre-op table —
+    * never the deleted-but-not-yet-inserted middle a caller-side
+    * DELETE+INSERT pair exposes).
+    *
+    * Cost ∝ the replaced files plus the insert: a partition overwrite
+    * plans only that partition's files, a range overwrite only the
+    * [min, max]-overlapping files (their out-of-range rows survive into
+    * the staged rewrite), untouched files are carried by metadata moves.
+    *
+    * Inserted rows must SATISFY the target (Delta's replaceWhere
+    * contract): a row outside the overwritten partition/range would
+    * silently double against the rows it failed to replace — refused
+    * typed, with nothing moved (validation reads only the STAGED files, so
+    * the incoming query runs exactly once). The SQL static-partition shape
+    * (`INSERT OVERWRITE ... PARTITION (p='v')`) satisfies this by
+    * construction. Self-referential sources (`INSERT OVERWRITE t SELECT
+    * ... FROM t`) are safe: the stage write executes the source query
+    * while every original file is still in place.
+    */
+  def overwriteWhere(spark: SparkSession, path: String,
+                     target: OverwriteTarget,
+                     data0: org.apache.spark.sql.DataFrame): OverwriteResult = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    FsMaint.withTableLock(fs, path) {
+      healDelete(spark, path)
+      FsMaint.recoverSwap(fs, path)
+      val keys = Manifest.currentKeyCols(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"overwriteWhere($path) needs a manifest snapshot (Manifest.create)"))
+      Manifest.requireComplete(spark, path)
+      val latest = Manifest.latestSnapshotId(spark, path).get
+      // Additive-evolution gate BEFORE any file lands — same as [[append]].
+      Manifest.storedSchema(spark, path, latest)
+        .foreach(old => Manifest.mergeAdditive(old, data0.schema): Unit)
+      val data = toPhysicalDf(data0, physMapOf(spark, path))
+      val f = Manifest.files(spark, path)
+      val total = f.count().toInt
+      // Targeting: the files whose rows the overwrite dooms.
+      val picked: IndexedSeq[String] = target match {
+        case OverwriteAll =>
+          f.select("file").collect().map(_.getString(0)).toIndexedSeq
+        case OverwritePartition(partCol, value) =>
+          val seg = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(partCol) + "=" +
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(value)
+          import spark.implicits._
+          val tablePath = path
+          f.select("file").as[String].filter { p =>
+            Manifest.relativeTo(tablePath, Manifest.decodePath(p))
+              .split('/').dropRight(1).contains(seg)
+          }.collect().toIndexedSeq
+        case OverwriteRange(keyCol, lo, hi) =>
+          require(keys.contains(keyCol),
+            s"manifest has no stats for $keyCol (has: ${keys.mkString(", ")})")
+          f.filter(col(s"max_$keyCol") >= lo && col(s"min_$keyCol") <= hi)
+            .select("file").collect().map(_.getString(0)).toIndexedSeq
+      }
+      val partitioned = isHivePartitioned(fs, path)
+      val stage = path + (if (partitioned) PartStageSuffix else "__delnew")
+      FsMaint.deleteRecursively(fs, new Path(stage))
+      val pCols =
+        if (!partitioned) Nil
+        else if (picked.nonEmpty) partitionColsOf(path, picked)
+        else f.select("file").limit(1).collect().headOption
+          .map(r => partitionColsFromRel(Manifest.relativeTo(path,
+            Manifest.decodePath(r.getString(0)))))
+          .getOrElse(partitionColsFromDirs(fs, path))
+      def stageWrite(df: org.apache.spark.sql.DataFrame): Unit =
+        if (partitioned)
+          df.write.partitionBy(pCols: _*).mode("append").parquet(stage)
+        else df.write.mode("append").parquet(stage)
+      // 1a. stage the INSERTED rows first (the only execution of the
+      // incoming query), then validate them from the staged files.
+      stageWrite(data)
+      val stagedNew = FsMaint.dataFileCount(fs, new Path(stage))
+      val newRows =
+        if (stagedNew == 0) 0L else spark.read.parquet(stage).count()
+      def refuse(n: Long, what: String): Unit = if (n > 0) {
+        FsMaint.deleteRecursively(fs, new Path(stage))
+        throw new IllegalArgumentException(
+          s"overwriteWhere($path): $n inserted row(s) fall outside the " +
+            s"overwritten $what — they would silently coexist with the rows " +
+            "they failed to replace; fix the source query or widen the target")
+      }
+      if (stagedNew > 0) target match {
+        case OverwriteAll => ()
+        case OverwritePartition(partCol, value) =>
+          val stagedDf = spark.read.parquet(stage)
+          refuse(stagedDf.filter(!(col(partCol).cast("string") <=> lit(value)))
+            .count(), s"partition $partCol=$value")
+        case OverwriteRange(keyCol, lo, hi) =>
+          val stagedDf = spark.read.parquet(stage)
+          val k = orderedLong(keyCol, stagedDf)
+          refuse(stagedDf.filter(k.isNull || !k.between(lo, hi)).count(),
+            s"range $keyCol in [$lo, $hi]")
+      }
+      // Visible rows the overwrite removes (DV-exact, like [[deleteRange]]).
+      lazy val pickedDf = readPickedPinned(spark, path, picked)
+      val rowsBefore =
+        if (picked.isEmpty) 0L
+        else if (Manifest.currentDv(spark, path).isEmpty)
+          f.filter(col("file").isInCollection(picked))
+            .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+        else pickedDf.count()
+      // 1b. stage the SURVIVORS of a range overwrite: picked files may hold
+      // out-of-range rows (NULL keys are outside every range and survive —
+      // the [[deleteRange]] contract).
+      val survivorRows = target match {
+        case OverwriteRange(keyCol, lo, hi) if picked.nonEmpty =>
+          val k = orderedLong(keyCol, pickedDf)
+          val survivors = pickedDf.filter(!k.between(lo, hi) || k.isNull)
+          stageWrite(survivors)
+          stagedRowCount(spark, fs, stage) - newRows
+        case _ => 0L
+      }
+      if (picked.isEmpty && stagedNew == 0) {
+        // Nothing doomed, nothing inserted — a provable no-op.
+        FsMaint.deleteRecursively(fs, new Path(stage))
+        return OverwriteResult(0, total, 0L, 0L)
+      }
+      if (partitioned)
+        commitReplacePartitioned(spark, fs, path, picked, stage, keys)
+      else commitReplace(spark, fs, path, picked, stage, keys)
+      OverwriteResult(picked.length, total, rowsBefore - survivorRows, newRows)
     }
   }
 

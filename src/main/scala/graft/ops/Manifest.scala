@@ -608,7 +608,17 @@ object Manifest {
           case None => stageSeg(delta).toSeq
           case Some(b) =>
             val baseList = dvSegmentNames(fs, table, b)
-            if (baseList.nonEmpty && !dropsFiles(b))
+            // AUTO-FOLD past the threshold: a DV statement whose base
+            // already lists `dvSegmentFoldThreshold` segments merges the
+            // union into ONE fresh segment instead of appending — a
+            // high-churn table can never build a thousand-segment list
+            // (reads union every segment; the orphan sweep scans
+            // references on segment-writing commits). The fold pays
+            // O(live deletes) once per threshold statements — amortized
+            // O(delta), the LSM posture. Appends/inherits stay verbatim
+            // carries: only statements that touch the pool fold.
+            if (baseList.nonEmpty && !dropsFiles(b) &&
+                baseList.length < dvSegmentFoldThreshold)
               baseList ++ stageSeg(delta)
             else stageSeg(survivors(b).unionByName(delta)).toSeq
         }
@@ -800,6 +810,38 @@ object Manifest {
     */
   private[graft] var commitRebaseAttempts: Int = 6
   private[graft] var commitWaitMs: Long = 120000L
+
+  /** Retry budget for FULL-REWRITE maintenance commits (compaction /
+    * zorder / cluster re-profiles, [[restat]]/[[restatBloom]]): their stats
+    * ARE the new table state, so there is no delta to rebase — instead the
+    * whole (metadata-sized or one-narrow-scan) re-plan re-runs against the
+    * moved head. Without this, a scheduled maintenance call racing a busy
+    * lock-free committer refuses typed on every attempt and the CALLER
+    * must loop (the Iceberg maintenance posture is recompute-and-retry).
+    * `private[graft] var` so specs can pin the fail-fast posture.
+    */
+  private[graft] var maintenanceRetryAttempts: Int = 4
+
+  /** Run `body` (a full-rewrite maintenance op that re-reads the table
+    * head itself) under the bounded retry budget: a typed concurrent-commit
+    * refusal re-plans by RE-RUNNING the body against the new head; the
+    * refusal propagates only once the budget is exhausted. Each attempt
+    * pays the body's own cost (one stats scan for restat, one re-profile
+    * for a rewrite's refresh) — bounded by [[maintenanceRetryAttempts]].
+    */
+  private[graft] def withMaintenanceRetry[T](what: String)(body: => T): T = {
+    var attempts = 0
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > maintenanceRetryAttempts) throw e
+          Thread.sleep(50L * attempts)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Commit a DELTA-SHAPED snapshot under ENGINE-LEVEL rebase-and-retry —
     * the Iceberg/Delta conflict-resolution posture on this commit
@@ -1255,6 +1297,14 @@ object Manifest {
   private[ops] val DvSegDirName = "_dvseg"
   private[ops] val DvListName = "_dvlist"
 
+  /** Segment-count fold trigger: once a snapshot's `_dvlist` reaches this
+    * many segments, the NEXT DV statement folds the union into one fresh
+    * segment instead of appending (see the [[commitSnapshot]] DvDelta
+    * branch). `private[graft] var` so specs exercise the fold without a
+    * threshold's worth of statements.
+    */
+  private[graft] var dvSegmentFoldThreshold: Int = 32
+
   /** The parquet paths making up snapshot `id`'s deletion vector — Nil
     * when it has none. SEGMENTED layout: the snapshot dir carries a tiny
     * `_dvlist` text file naming immutable segment dirs under the shared
@@ -1438,6 +1488,13 @@ object Manifest {
     */
   def restat(spark: SparkSession, table: String, cols: String*): Int = {
     require(cols.nonEmpty, "restat needs at least one column")
+    // Full-shape commit (every stats row changes): a concurrent commit
+    // refuses the CAS — re-plan against the new head, bounded.
+    withMaintenanceRetry("restat") { restatOnce(spark, table, cols) }
+  }
+
+  private def restatOnce(spark: SparkSession, table: String,
+                         cols: Seq[String]): Int = {
     val id = latestId(spark, table).getOrElse(
       throw new IllegalStateException(s"no manifest snapshot under $table"))
     val have = keyColsOf(spark, table, id)
@@ -1495,6 +1552,14 @@ object Manifest {
                   fpp: Double = 0.03): Int = {
     require(cols.nonEmpty, "need at least one column")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    withMaintenanceRetry("restat_bloom") {
+      restatBloomOnce(spark, table, cols, expectedItemsPerFile, fpp)
+    }
+  }
+
+  private def restatBloomOnce(spark: SparkSession, table: String,
+                              cols: Seq[String], expectedItemsPerFile: Long,
+                              fpp: Double): Int = {
     val id = latestId(spark, table).getOrElse(
       throw new IllegalStateException(s"no manifest snapshot under $table"))
     val snap = spark.read.parquet(s"${root(table)}/snapshot-$id")

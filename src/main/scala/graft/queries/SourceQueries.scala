@@ -600,6 +600,85 @@ object SourceQueries {
                     "FROM documents d, b WHERE d.doc_id NOT BETWEEN b.lo AND b.hi " +
                     "AND d.doc_id >= b.l8) t"))})""".stripMargin)),
 
+    // ---- INSERT OVERWRITE / REPLACE WHERE: the standard pipeline-reload
+    //      shapes, each ONE atomic COW commit (delete + insert together —
+    //      never the deleted-but-not-reinserted middle a DELETE+INSERT pair
+    //      exposes). A static-partition overwrite reloads lang='en' in place
+    //      (every other partition's files carried untouched, mtime-asserted);
+    //      a predicate overwrite (DataFrameWriterV2 `.overwrite(cond)`, the
+    //      REPLACE WHERE shape) reloads a doc_id range (only overlapping
+    //      files rewritten — strict-subset asserted). Gate: final
+    //      fingerprint ≡ DuckDB's replay of both reloads.
+    Q("sql_insert_overwrite",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val stage = java.nio.file.Files.createTempDirectory("graft_sql_ow").toString + "/documents"
+        val docs = T(s, dir, "documents")
+        docs.repartitionByRange(8, col("doc_id"))
+          .write.partitionBy("lang").mode("overwrite").parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id")
+        val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val fs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        def stamps(): Map[String, Long] = {
+          val out = Map.newBuilder[String, Long]
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(stage), true)
+          while (it.hasNext) {
+            val st = it.next()
+            val p = st.getPath.toUri.getPath
+            if (st.getPath.getName.startsWith("part-") && !p.contains("_graft"))
+              out += p -> st.getModificationTime
+          }
+          out.result()
+        }
+        val before = stamps()
+        docs.createOrReplaceTempView("sql_ow_docs")
+        // 1. Static-partition overwrite: reload lang='en' (the partition
+        //    value is injected by the analyzer; the SELECT carries the
+        //    remaining columns in table order).
+        s.sql(s"INSERT OVERWRITE graft.`$stage` PARTITION (lang='en') " +
+          "SELECT doc_id, text, 'owp' AS source, n_chars + 1000 AS n_chars " +
+          "FROM sql_ow_docs WHERE lang = 'en'")
+        val after1 = stamps()
+        val partUntouched = before.filterNot(_._1.contains("lang=en"))
+          .toSet.subsetOf(after1.toSet)
+        // 2. REPLACE WHERE: reload the top doc_id range across partitions.
+        val lo = mx - 50
+        docs.filter(col("doc_id").between(lo, mx))
+          .select(col("doc_id"), col("text"), lit("owr").as("source"),
+            lit(777L).as("n_chars"), col("lang"))
+          .writeTo(s"graft.`$stage`")
+          .overwrite(col("doc_id").between(lo, mx))
+        val after2 = stamps()
+        // Strict-subset rewrite: most files carried by metadata moves.
+        val rangeSubset = (after1.toSet -- after2.toSet).size < after1.size / 2
+        graft.functions.Hashing.multisetFingerprintAgg(
+            s.sql(s"SELECT * FROM graft.`$stage`"), docCols)
+          .withColumn("partition_untouched", lit(partUntouched))
+          .withColumn("range_strict_subset", lit(rangeSubset))
+      },
+      Some(s"""WITH b AS (SELECT max(doc_id) - 50 AS lo, max(doc_id) AS hi
+               |            FROM documents),
+               | s1 AS (SELECT doc_id, text, lang, source, n_chars
+               |          FROM documents WHERE lang <> 'en'
+               |        UNION ALL
+               |        SELECT doc_id, text, lang, 'owp' AS source,
+               |               n_chars + 1000 AS n_chars
+               |          FROM documents WHERE lang = 'en'),
+               | s2 AS (SELECT doc_id, text, lang, source, n_chars FROM s1
+               |         WHERE doc_id < (SELECT lo FROM b)
+               |            OR doc_id > (SELECT hi FROM b)
+               |        UNION ALL
+               |        SELECT doc_id, text, lang, 'owr' AS source,
+               |               777::BIGINT AS n_chars
+               |          FROM documents
+               |         WHERE doc_id BETWEEN (SELECT lo FROM b)
+               |                          AND (SELECT hi FROM b))
+               |SELECT *, true AS partition_untouched, true AS range_strict_subset
+               |FROM (${Registry.duckMultisetFingerprint(
+                  Seq("doc_id", "text", "lang", "source", "n_chars"), "s2")})""".stripMargin)),
+
     // ---- COMPOSITE-KEY MERGE INTO: ON is a conjunction of equalities over
     //      (doc_id, lang) — tuple row identity (the reference's PK is a
     //      composite column list, TableConnection.php:635-656), file

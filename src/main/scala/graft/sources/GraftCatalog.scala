@@ -82,7 +82,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // Descriptor plan handoff: snapshots carrying per-file byte lengths
     // (n_bytes) let the served table build its scan's file index from the
     // manifest's own descriptors — zero filesystem listing at plan time.
-    // Keyed by file NAME (write-unique), so trash-resolved paths match.
+    // Keyed by the trash-stripped RELATIVE path ([[GraftPathKey]]): names
+    // alone collide across partition dirs, and trash-resolved paths still
+    // match (the trash layout preserves the k=v/ segments).
     val snapFrame = spark.read.parquet(s"$path/_graft_manifest/snapshot-$id")
     // ONE collect serves both plan-time handoffs: exact byte lengths for
     // the descriptor index, and per-file [min, max] key stats for
@@ -99,7 +101,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val sizes: Option[Map[String, Long]] =
       if (!hasBytes || rows.isEmpty || rows.exists(_.isNullAt(1))) None
       else Some(rows.map(r =>
-        Manifest.decodePath(r.getString(0)).getName -> r.getLong(1)).toMap)
+        GraftPathKey.of(path, Manifest.decodePath(r.getString(0))) ->
+          r.getLong(1)).toMap)
     val fileStats: Option[GraftStatsSkip.FileStats] =
       if (statKeys.isEmpty || rows.isEmpty) None
       else Some(rows.map { r =>
@@ -108,7 +111,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
           k -> ((if (r.isNullAt(o)) None else Some(r.getLong(o)),
                  if (r.isNullAt(o + 1)) None else Some(r.getLong(o + 1))))
         }.toMap
-        Manifest.decodePath(r.getString(0)).getName -> st
+        GraftPathKey.of(path, Manifest.decodePath(r.getString(0))) -> st
       }.toMap)
     // Rename indirection: files carry PHYSICAL column names; the served
     // table reports the snapshot's LOGICAL names and the scan layer

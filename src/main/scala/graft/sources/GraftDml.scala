@@ -94,8 +94,12 @@ final class GraftMutableTable(
 
   // No ACCEPT_ANY_SCHEMA (the analyzer must align INSERT schemas) and no
   // plain BATCH_WRITE (writes route through the V1 InsertableRelation).
+  // TRUNCATE + OVERWRITE_BY_FILTER admit INSERT OVERWRITE / REPLACE WHERE
+  // past TableCapabilityCheck; the WriteBuilder's SupportsOverwrite routes
+  // them to one COW commit.
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   /** Stats-covered key columns of the LATEST snapshot — the columns a
     * DELETE's WHERE can be targeted on.
@@ -210,17 +214,67 @@ final class GraftMutableTable(
       }
     }
 
+  /** Declared identity partitioning (recovered from the hive layout) —
+    * what lets the analyzer resolve `INSERT OVERWRITE ... PARTITION (p=v)`
+    * into an overwrite-by-expression against this table. Flat tables
+    * declare none.
+    */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val fs = new org.apache.hadoop.fs.Path(tableRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Layout.partitionColsFromDirs(fs, tableRoot)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions
+        .identity(invRenames.getOrElse(c, c))).toArray
+  }
+
+  /** Translate an overwrite predicate into a [[Layout.OverwriteTarget]]:
+    * TRUE → the whole table, one partition equality → that partition, a
+    * contiguous stats-key range → that range. Anything else refuses typed —
+    * a silent fallback would hide an O(table) rewrite behind a WHERE clause
+    * (the same contract as the DELETE translation). The SQL static-
+    * partition shape arrives as `EqualNullSafe(p, v)` — normalized to the
+    * equality the partition translation matches (partition values are
+    * never NULL here: a hive `k=v` dir encodes NULL as a sentinel string).
+    */
+  private def overwriteTargetOf(filters: Array[Filter]): Layout.OverwriteTarget = {
+    val effective = filters.filterNot(_.isInstanceOf[AlwaysTrue]).map {
+      case EqualNullSafe(a, v) => EqualTo(a, v)
+      case f => f
+    }
+    if (effective.isEmpty) Layout.OverwriteAll
+    else partitionDropOf(effective) match {
+      case Some((c, v)) => Layout.OverwritePartition(c, v)
+      case None => rangeOf(effective) match {
+        case Some((c, lo, hi)) => Layout.OverwriteRange(c, lo, hi)
+        case None => throw new UnsupportedOperationException(
+          s"graft INSERT OVERWRITE on $tableRoot supports the whole table, " +
+            s"one partition equality, or a contiguous range on ONE " +
+            s"stats-covered key column (${statKeys.mkString(", ")}) — the " +
+            "shapes the layout replaces without planning untouched files; " +
+            s"got: ${effective.mkString(", ")}")
+      }
+    }
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      // Set by the optimizer's V2Writes rule for INSERT OVERWRITE /
+      // DataFrame overwrite(condition); absent for plain INSERT INTO.
+      @volatile private var replaceFilters: Option[Array[Filter]] = None
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        replaceFilters = Some(filters)
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
-                                overwrite: Boolean): Unit = {
-              if (overwrite) throw new UnsupportedOperationException(
-                s"graft INSERT OVERWRITE on $tableRoot is not supported — " +
-                  "use DELETE FROM + INSERT INTO (each a targeted COW commit)")
-              Layout.append(spark, tableRoot, data): Unit
+                                overwrite: Boolean): Unit = replaceFilters match {
+              case Some(fs) =>
+                Layout.overwriteWhere(spark, tableRoot,
+                  overwriteTargetOf(fs), data): Unit
+              case None =>
+                Layout.append(spark, tableRoot, data): Unit
             }
           }
       }

@@ -118,20 +118,23 @@ class GraftParquetTable(
   // NOT an InMemoryFileIndex: Spark's listing filters `_`-prefixed
   // directories, which would silently DROP every trash-retained file from
   // a historical read (a missing-data wrong answer). With per-file byte
-  // lengths from the manifest (`n_bytes`, keyed by write-unique file name)
-  // the index is built from DESCRIPTORS ALONE — the driver materializes
+  // lengths from the manifest (`n_bytes`, keyed by trash-stripped relative
+  // path) the index is built from DESCRIPTORS ALONE — the driver materializes
   // one FileStatus per file with ZERO filesystem RPCs, the Iceberg-style
   // plan handoff: the distributed pruning's output IS the scan's partition
   // listing. Pre-n_bytes snapshots fall back to the exact listing index
   // (one listStatus per parent dir).
   override lazy val fileIndex: PartitioningAwareFileIndex = {
     val paths = files.map(new Path(_)).toIndexedSeq
+    // Descriptor maps key on the trash-stripped RELATIVE path
+    // ([[GraftPathKey]]) — bare names collide across partition dirs.
+    val key = (p: Path) => GraftPathKey.of(tableRoot, p)
     fileSizes match {
-      case Some(m) if paths.forall(p => m.contains(p.getName)) =>
+      case Some(m) if paths.forall(p => m.contains(key(p))) =>
         new GraftDescriptorFileIndex(spark,
-          paths.map(p => p -> m(p.getName)), partitionSpecOf(), fileStats)
+          paths.map(p => p -> m(key(p))), partitionSpecOf(), fileStats, key)
       case _ =>
-        new GraftExactFileIndex(spark, paths, partitionSpecOf(), fileStats)
+        new GraftExactFileIndex(spark, paths, partitionSpecOf(), fileStats, key)
     }
   }
 }
@@ -225,7 +228,8 @@ private[sources] final class RenamingScan(
   */
 private[graft] final class GraftDescriptorFileIndex(
     spark: SparkSession, entries: Seq[(Path, Long)], spec: PartitionSpec,
-    fileStats: Option[GraftStatsSkip.FileStats] = None)
+    fileStats: Option[GraftStatsSkip.FileStats] = None,
+    statKeyOf: Path => String = _.getName)
   extends PartitioningAwareFileIndex(spark, Map.empty, None,
     FileStatusCache.getOrCreate(spark)) {
 
@@ -236,7 +240,7 @@ private[graft] final class GraftDescriptorFileIndex(
                          dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    fileStats.fold(base)(GraftStatsSkip.prune(base, dataFilters, _))
+    fileStats.fold(base)(GraftStatsSkip.prune(base, dataFilters, _, statKeyOf))
   }
 
   // FileStatus paths are FS-QUALIFIED at construction (scheme + authority
@@ -278,7 +282,8 @@ private[graft] final class GraftDescriptorFileIndex(
   */
 private[sources] final class GraftExactFileIndex(
     spark: SparkSession, filePaths: Seq[Path], spec: PartitionSpec,
-    fileStats: Option[GraftStatsSkip.FileStats] = None)
+    fileStats: Option[GraftStatsSkip.FileStats] = None,
+    statKeyOf: Path => String = _.getName)
   extends PartitioningAwareFileIndex(spark, Map.empty, None,
     FileStatusCache.getOrCreate(spark)) {
 
@@ -287,7 +292,7 @@ private[sources] final class GraftExactFileIndex(
                          dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    fileStats.fold(base)(GraftStatsSkip.prune(base, dataFilters, _))
+    fileStats.fold(base)(GraftStatsSkip.prune(base, dataFilters, _, statKeyOf))
   }
 
   private val byParent: Map[Path, Array[FileStatus]] =

@@ -31,10 +31,38 @@ import org.apache.spark.sql.types._
   * skip files identically (`FileSourceScanExec` passes the pushed data
   * filters to `listFiles` on the V1 path too).
   */
+/** The per-file identity the plan-handoff maps (byte lengths, skip stats)
+  * key on: the file's table-relative path with the retained-trash segment
+  * stripped. File NAMES are not table-unique on partitioned layouts — one
+  * partitionBy write emits `part-00000-<uuid>.parquet` into EVERY `k=v/`
+  * dir its task touched — so a name-keyed map silently assigns one
+  * partition's byte length to another's file, and a parquet scan bounded
+  * by a too-small length reads ZERO row groups without erroring (row
+  * groups are planned by midpoint-in-[0, length)). Live and trash-retained
+  * copies of a file share the key, which is what lets time-travel reads
+  * resolve descriptors for trash-revived files.
+  */
+private[sources] object GraftPathKey {
+  def of(tableRoot: String, p: org.apache.hadoop.fs.Path): String = {
+    val rootAbs = new org.apache.hadoop.fs.Path(tableRoot)
+      .toUri.getPath.stripSuffix("/")
+    val trashAbs = rootAbs + "/_graft_trash"
+    val abs = p.toUri.getPath
+    if (abs.startsWith(trashAbs + "/")) abs.stripPrefix(trashAbs + "/")
+    else if (abs.startsWith(rootAbs + "/")) abs.stripPrefix(rootAbs + "/")
+    else p.getName // foreign path — the name is the best identity left
+  }
+}
+
 private[sources] object GraftStatsSkip {
 
-  /** file name → (stats column → (min, max) in the normalized long
-    * domain; None bounds = the file has no non-null values there).
+  /** file key → (stats column → (min, max) in the normalized long
+    * domain; None bounds = the file has no non-null values there). The key
+    * is the file's TRASH-STRIPPED TABLE-RELATIVE path ([[GraftPathKey]]) —
+    * the bare name is NOT unique on partitioned tables (a partitionBy
+    * write lands `part-00000-<uuid>` in EVERY partition dir its task
+    * wrote), and a name-keyed map would hand one partition's stats (or
+    * byte length) to another's file.
     */
   type FileStats = Map[String, Map[String, (Option[Long], Option[Long])]]
 
@@ -129,12 +157,13 @@ private[sources] object GraftStatsSkip {
     * (the unpruned posture, never a wrong answer).
     */
   def prune(dirs: Seq[PartitionDirectory], dataFilters: Seq[Expression],
-            stats: FileStats): Seq[PartitionDirectory] = {
+            stats: FileStats,
+            keyOf: org.apache.hadoop.fs.Path => String): Seq[PartitionDirectory] = {
     val cs = dataFilters.flatMap(constraintsOf)
     if (cs.isEmpty) return dirs
     dirs.flatMap { pd =>
       val kept = pd.files.filter { f =>
-        stats.get(f.getPath.getName)
+        stats.get(keyOf(f.getPath))
           .forall(st => cs.forall(overlaps(_, st)))
       }
       if (kept.isEmpty) None

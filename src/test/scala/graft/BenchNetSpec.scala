@@ -91,4 +91,17 @@ class BenchNetSpec extends AnyFunSuite {
       prev, tight = Set("noisy15"))
     assert(tightGot.map(_._1) == Seq("noisy15"))
   }
+
+  test("replacement policy is improve-only: a strictly-worse re-measure never replaces") {
+    // The round-17 driver artifact's failure case verbatim: first pass
+    // 0.895s, end-of-run re-measure 3.103s under accumulated storage
+    // pressure. The re-measure exists to refute suspected slow-bias; a
+    // worse sample refutes nothing and must be discarded (disclosed), not
+    // kept as the number.
+    assert(!Bench.acceptRemeasure(standing = 0.895, remeasured = 3.103))
+    // A quiet re-measure that clears the suspicion replaces.
+    assert(Bench.acceptRemeasure(standing = 0.895, remeasured = 0.574))
+    // Equal is acceptable (idempotent re-measure).
+    assert(Bench.acceptRemeasure(standing = 1.0, remeasured = 1.0))
+  }
 }

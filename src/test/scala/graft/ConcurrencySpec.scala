@@ -373,6 +373,47 @@ class ConcurrencySpec extends SparkSpec {
     assert(manifestLeftovers(stage).isEmpty, manifestLeftovers(stage).toString)
   }
 
+  test("maintenance auto-retry: a full-rewrite commit refused by a concurrent CAS re-plans and lands") {
+    // restat/restatBloom are FULL-shape commits (every stats row changes —
+    // no delta to rebase) from LOCK-FREE entry points: before round 18 any
+    // concurrent commit refused them typed and the caller had to loop.
+    // Interleave a restatBloom inside restat's commit window: the restat's
+    // claim CAS is refused, the maintenance budget re-plans it against the
+    // new head, and BOTH land — no caller retry anywhere in this test.
+    val stage = tmpDir("conc_maint") + "/documents"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartitionByRange(4, col("n_chars")).write.parquet(stage)
+    Manifest.create(spark, stage, "doc_id")
+    Manifest.commitInterleaveForTest = () => {
+      Manifest.commitInterleaveForTest = () => () // one-shot
+      Manifest.restatBloom(spark, stage, Seq("text")): Unit
+    }
+    val id =
+      try Manifest.restat(spark, stage, "n_chars")
+      finally Manifest.commitInterleaveForTest = () => ()
+    assert(Manifest.latestSnapshotId(spark, stage).contains(id))
+    // Both maintenance commits' stats survive on the head.
+    val snap = Manifest.files(spark, stage)
+    assert(snap.schema.fieldNames.contains("min_n_chars"))
+    assert(snap.schema.fieldNames.contains("bloom_text"))
+    assert(manifestLeftovers(stage).isEmpty, manifestLeftovers(stage).toString)
+    // The budget-exhausted path keeps the typed refusal contract: with a
+    // zero budget, the same race refuses loudly instead of retrying.
+    val saved = Manifest.maintenanceRetryAttempts
+    Manifest.maintenanceRetryAttempts = 0
+    Manifest.commitInterleaveForTest = () => {
+      Manifest.commitInterleaveForTest = () => ()
+      Manifest.restatBloom(spark, stage, Seq("source")): Unit
+    }
+    try intercept[Manifest.ConcurrentCommitException] {
+      Manifest.restatBloom(spark, stage, Seq("lang"))
+    }
+    finally {
+      Manifest.maintenanceRetryAttempts = saved
+      Manifest.commitInterleaveForTest = () => ()
+    }
+  }
+
   test("rebase oracle: concurrent DV growth conflicts a replace ONLY on the files it rewrote") {
     // The round-17 oracle compared WHOLE vectors: a cold-file compaction
     // racing a hot-file DV delete refused spuriously even though the

@@ -382,6 +382,37 @@ class DeletionVectorSpec extends SparkSpec {
     assert(fp(spark.read.parquet(dir)) == fpAfter)
   }
 
+  test("segment fold policy: past the threshold a DV statement folds the list into one segment") {
+    val dir = fixture("dv_segfold")
+    val saved = Manifest.dvSegmentFoldThreshold
+    Manifest.dvSegmentFoldThreshold = 3
+    try {
+      // Three statements build a three-segment list (under the threshold
+      // each appends one delta-sized segment — the bytes contract pinned
+      // by the segmented-sidecars test above)...
+      Layout.deleteRangeDV(spark, dir, "doc_id", 0L, 9L)
+      Layout.deleteRangeDV(spark, dir, "doc_id", 10L, 19L)
+      Layout.deleteRangeDV(spark, dir, "doc_id", 20L, 29L)
+      val id3 = Manifest.latestSnapshotId(spark, dir).get
+      assert(Manifest.dvPaths(spark, dir, id3).size == 3)
+      // ...the FOURTH folds the union into ONE fresh segment: a high-churn
+      // table can never build an unbounded list.
+      Layout.deleteRangeDV(spark, dir, "doc_id", 30L, 39L)
+      val id4 = Manifest.latestSnapshotId(spark, dir).get
+      assert(Manifest.dvPaths(spark, dir, id4).size == 1,
+        s"past the threshold the list must fold: ${Manifest.dvPaths(spark, dir, id4)}")
+      // The folded vector serves reads exactly.
+      val after = Manifest.readAsOf(spark, dir, id4)
+      assert(after.filter(col("doc_id") < 40L).count() == 0L)
+      assert(after.count() == 500L - 40L)
+      // Growth resumes from the folded base.
+      Layout.deleteRangeDV(spark, dir, "doc_id", 40L, 49L)
+      val id5 = Manifest.latestSnapshotId(spark, dir).get
+      assert(Manifest.dvPaths(spark, dir, id5).size == 2)
+      assert(Manifest.readAsOf(spark, dir, id5).count() == 500L - 50L)
+    } finally Manifest.dvSegmentFoldThreshold = saved
+  }
+
   test("plan contract: a DV read plans only the data files plus the sidecar") {
     val dir = fixture("dv_plan")
     Layout.deleteRangeDV(spark, dir, "doc_id", 100L, 199L)

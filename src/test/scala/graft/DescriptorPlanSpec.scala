@@ -86,4 +86,47 @@ class DescriptorPlanSpec extends SparkSpec {
     assert(snap2.forall(!_.isNullAt(1)),
       "every carried and fresh file must keep an exact n_bytes")
   }
+
+  test("partitioned descriptors: colliding part names across k=v dirs keep their own lengths") {
+    // One partitionBy write emits part-00000-<uuid>.parquet into EVERY
+    // partition dir its task touched — file NAMES are not table-unique.
+    // Round 17's name-keyed descriptor map handed one partition's byte
+    // length to another's file, and a parquet scan bounded by a too-small
+    // length silently reads ZERO row groups (row groups plan by
+    // midpoint-in-[0, length)) — the catalog dropped whole files' rows
+    // with requireComplete still green. Keyed by relative path, every
+    // file keeps its own exact length and the catalog read is exact.
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = tmpDir("descr_partcollide") + "/documents"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    // coalesce(1): ONE task writes every partition dir → every dir holds a
+    // part-00000-<uuid> of a DIFFERENT length — maximal name collision.
+    docs.coalesce(1).write.partitionBy("lang").parquet(dir)
+    Manifest.create(spark, dir, "doc_id")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(new Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("lang="))
+      .flatMap(d => fs.listStatus(d.getPath)).filter(_.isFile)
+      .map(_.getPath.getName).toSeq
+    assert(names.distinct.size < names.size,
+      s"fixture must produce colliding names, got ${names.mkString(", ")}")
+    val served = spark.sql(s"SELECT * FROM graft.`$dir`")
+    // Descriptor planning (not the listing fallback) must be in effect.
+    def scanIndexes(p: org.apache.spark.sql.execution.SparkPlan): Seq[Any] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f.relation.location)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case fs: org.apache.spark.sql.execution.datasources.v2.FileScan => Seq(fs.fileIndex)
+          case _ => Nil
+        }
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scanIndexes(a.executedPlan)
+      case other => other.children.flatMap(scanIndexes)
+    }
+    val idxs = scanIndexes(served.queryExecution.executedPlan)
+    assert(idxs.exists(_.isInstanceOf[GraftDescriptorFileIndex]),
+      s"expected descriptor planning, saw: ${idxs.map(_.getClass.getSimpleName)}")
+    assert(served.count() == docs.count())
+    assert(fp(served) == fp(docs))
+  }
 }
