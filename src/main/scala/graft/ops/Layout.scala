@@ -50,6 +50,7 @@ object Layout {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     FsMaint.withTableLock(fs, path) {
       FsMaint.recoverSwap(fs, path)
+      ensureMaterialized(spark, path)
       val manifestKeys = Manifest.currentProfile(spark, path)
       val total = FsMaint.totalDataBytes(fs, new Path(path))
       val nFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
@@ -229,6 +230,7 @@ object Layout {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     FsMaint.withTableLock(fs, path) {
       FsMaint.recoverSwap(fs, path)
+      ensureMaterialized(spark, path)
       val manifestKeys = Manifest.currentProfile(spark, path)
       val tmp = path + "__compacting"
       // mergeSchema: see compactTable — rewrites must carry the union schema.
@@ -312,6 +314,7 @@ object Layout {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     FsMaint.withTableLock(fs, path) {
       FsMaint.recoverSwap(fs, path)
+      ensureMaterialized(spark, path)
       val manifestKeys = Manifest.currentProfile(spark, path)
       // mergeSchema: see compactTable — rewrites must carry the union schema.
       val df = readTableForRewrite(spark, path)
@@ -349,6 +352,7 @@ object Layout {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     FsMaint.withTableLock(fs, path) {
       FsMaint.recoverSwap(fs, path)
+      ensureMaterialized(spark, path)
       val manifestKeys = Manifest.currentProfile(spark, path)
       val tmp = path + "__compacting"
       // mergeSchema: see compactTable — rewrites must carry the union schema.
@@ -419,12 +423,14 @@ object Layout {
     FsMaint.withTableLock(fs, path) {
     healDelete(spark, path)
     FsMaint.recoverSwap(fs, path)
+    ensureMaterialized(spark, path)
     val keys = Manifest.currentKeyCols(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"deleteRange($path) needs a manifest snapshot (Manifest.create) — " +
           "per-file stats are what make the delete targeted"))
     require(keys.contains(keyCol),
       s"manifest has no stats for $keyCol (has: ${keys.mkString(", ")})")
+    Manifest.requireLongStats(spark, path, keyCol)
     // completeness, not just existence: targeting is decided FROM the
     // stats, so an unsnapshotted append would silently shelter doomed rows
     Manifest.requireComplete(spark, path)
@@ -494,12 +500,14 @@ object Layout {
     FsMaint.withTableLock(fs, path) {
       healDelete(spark, path)
       FsMaint.recoverSwap(fs, path)
+      ensureMaterialized(spark, path)
       val keys = Manifest.currentKeyCols(spark, path).getOrElse(
         throw new IllegalArgumentException(
           s"deleteRangeDV($path) needs a manifest snapshot (Manifest.create) — " +
             "per-file stats are what make the delete targeted"))
       require(keys.contains(keyCol),
         s"manifest has no stats for $keyCol (has: ${keys.mkString(", ")})")
+      Manifest.requireLongStats(spark, path, keyCol)
       Manifest.requireComplete(spark, path)
       val latest = Manifest.latestSnapshotId(spark, path).get
       val f = Manifest.files(spark, path)
@@ -542,6 +550,7 @@ object Layout {
     FsMaint.withTableLock(fs, path) {
       healDelete(spark, path)
       FsMaint.recoverSwap(fs, path)
+      ensureMaterialized(spark, path)
       val latest = Manifest.latestSnapshotId(spark, path).getOrElse(
         throw new IllegalArgumentException(
           s"compactDeletes($path) needs a manifest snapshot"))
@@ -616,6 +625,7 @@ object Layout {
     FsMaint.withTableLock(fs, path) {
       healDelete(spark, path)
       FsMaint.recoverSwap(fs, path)
+      ensureMaterialized(spark, path)
       val keys = Manifest.currentKeyCols(spark, path).getOrElse(
         throw new IllegalArgumentException(
           s"compactPartition($path) needs a manifest snapshot"))
@@ -1074,6 +1084,7 @@ object Layout {
     FsMaint.withTableLock(fs, path) {
       healDelete(spark, path)
       FsMaint.recoverSwap(fs, path)
+      ensureMaterialized(spark, path)
       // Replay dedup only for caller-owned identities; the statement-level
       // identity (next snapshot id) is always above every recorded version.
       txn0.foreach { case (app, v) =>
@@ -1184,6 +1195,7 @@ object Layout {
     FsMaint.withTableLock(fs, path) {
     healDelete(spark, path)
     FsMaint.recoverSwap(fs, path)
+    ensureMaterialized(spark, path)
     // Replay dedup BEFORE any work: at-least-once addBatch delivery must
     // be a no-op for an already-committed (app, version).
     txn.foreach { case (app, v) =>
@@ -1355,6 +1367,7 @@ object Layout {
     FsMaint.withTableLock(fs, path) {
       healDelete(spark, path)
       FsMaint.recoverSwap(fs, path)
+      ensureMaterialized(spark, path)
       if (dvMode) cleanStmtOrphans(spark, fs, path)
       val keys = Manifest.currentKeyCols(spark, path).getOrElse(
         throw new IllegalArgumentException(
@@ -1599,6 +1612,7 @@ object Layout {
     FsMaint.withTableLock(fs, path) {
       healDelete(spark, path)
       FsMaint.recoverSwap(fs, path)
+      ensureMaterialized(spark, path)
       val keys = Manifest.currentKeyCols(spark, path).getOrElse(
         throw new IllegalArgumentException(
           s"dropPartition($path) needs a manifest snapshot (Manifest.create) — " +
@@ -1687,6 +1701,7 @@ object Layout {
     FsMaint.withTableLock(fs, path) {
       healDelete(spark, path)
       FsMaint.recoverSwap(fs, path)
+      ensureMaterialized(spark, path)
       val keys = Manifest.currentKeyCols(spark, path).getOrElse(
         throw new IllegalArgumentException(
           s"overwriteWhere($path) needs a manifest snapshot (Manifest.create)"))
@@ -1716,6 +1731,7 @@ object Layout {
         case OverwriteRange(keyCol, lo, hi) =>
           require(keys.contains(keyCol),
             s"manifest has no stats for $keyCol (has: ${keys.mkString(", ")})")
+          Manifest.requireLongStats(spark, path, keyCol)
           f.filter(col(s"max_$keyCol") >= lo && col(s"min_$keyCol") <= hi)
             .select("file").collect().map(_.getString(0)).toIndexedSeq
       }
@@ -1806,6 +1822,7 @@ object Layout {
     FsMaint.withTableLock(fs, path) {
       healDelete(spark, path)
       FsMaint.recoverSwap(fs, path)
+      ensureMaterialized(spark, path)
       val keys = Manifest.currentKeyCols(spark, path).getOrElse(
         throw new IllegalArgumentException(
           s"append($path) needs a manifest snapshot (Manifest.create) — " +
@@ -1872,6 +1889,11 @@ object Layout {
     FsMaint.withTableLock(fs, path) {
       healDelete(spark, path)
       FsMaint.recoverSwap(fs, path)
+      // NO ensureMaterialized here — restore is the SUBROUTINE of the
+      // branch transitions themselves (materializeTo, abandonBranch): a
+      // pending logical checkout materializing mid-transition would nest a
+      // second transition inside the first and break the one-unpinned-ref
+      // invariant. The SQL restore procedure materializes at ITS layer.
       val keys = Manifest.currentKeyCols(spark, path).getOrElse(
         throw new IllegalArgumentException(
           s"restoreSnapshot($path) needs a manifest snapshot"))
@@ -1988,6 +2010,7 @@ object Layout {
     FsMaint.withTableLock(fs, path) {
       healDelete(spark, path)
       FsMaint.recoverSwap(fs, path)
+      ensureMaterialized(spark, path)
       val keys = Manifest.currentKeyCols(spark, path).getOrElse(
         throw new IllegalArgumentException(
           s"appendOnce($path) needs a manifest snapshot (Manifest.create) — " +
@@ -2084,18 +2107,30 @@ object Layout {
     }
   }
 
-  /** CHECK OUT ref `name` ("main" or a branch): pin the current holder's
-    * head at the latest snapshot, COW-restore the working tree to the
-    * target's head, and unpin the target — the git-checkout transition
-    * that makes N branches DIVERGE on one physical chain (each branch's
-    * commits land on a tree restored to ITS head, never on another
-    * branch's). Pin-before-restore ordering is crash-safe: an interruption
-    * leaves every ref pinned and readable (nobody checked out), and the
-    * next checkout completes the transition. A no-op when `name` already
-    * holds the tree. Returns the target's head id (= the restored state).
+  /** CHECK OUT ref `name` ("main" or a branch).
+    *
+    * DEFAULT (`materialize = false`): METADATA-ONLY — one tiny
+    * `ref-current` pointer write, ZERO data movement. The SQL catalog's
+    * latest view then serves the target ref's head from its snapshot
+    * descriptors (trash-resolved files and all), which is what an
+    * experiment switch needs at 100 TB: branches are virtual refs into
+    * the shared immutable file pool, the Iceberg/Delta posture. The
+    * PHYSICAL working tree (raw `spark.read.parquet(dir)` compatibility)
+    * still belongs to the previous holder until the first WRITE — every
+    * Layout mutation entry point completes the transition physically
+    * first ([[ensureMaterialized]]), paying the COW restore exactly when
+    * a commit actually needs the tree.
+    *
+    * `materialize = true`: the round-17 physical transition — pin the
+    * current holder's head, COW-restore the working tree to the target's
+    * head, unpin the target. Pin-before-restore ordering is crash-safe:
+    * an interruption leaves every ref pinned and readable, and the next
+    * checkout completes the transition.
+    *
+    * Returns the target's head id (what reads of the ref serve).
     */
-  def checkoutBranch(spark: SparkSession, path: String,
-                     name: String): Int = {
+  def checkoutBranch(spark: SparkSession, path: String, name: String,
+                     materialize: Boolean = false): Int = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     FsMaint.withTableLock(fs, path) {
       val refs = Manifest.branches(spark, path)
@@ -2107,24 +2142,67 @@ object Layout {
         .getOrElse("main")
       val latest = Manifest.latestSnapshotId(spark, path).getOrElse(
         throw new IllegalStateException(s"no manifest snapshot under $path"))
-      // Already held — EXCEPT the crash state where nobody is truly
-      // checked out (an interrupted transition left main's ref-main pin
-      // behind with no unpinned branch): `holder` falls back to "main"
-      // there, but the pin is live and reads of 'main' are frozen at it —
-      // checkout_branch('main') must COMPLETE the transition (restore to
-      // the pin, release it), not no-op past it forever.
-      if (holder == name &&
-          (name != "main" || Manifest.mainRefHead(spark, path).isEmpty))
-        return latest
-      val target =
-        if (name == "main") Manifest.mainRefHead(spark, path).getOrElse(latest)
-        else refs(name).head.getOrElse(latest)
-      Manifest.pinCurrentHolder(spark, path)
-      if (target != latest) restoreSnapshot(spark, path, target): Unit
-      Manifest.setCheckedOut(spark, path, name)
-      Manifest.latestSnapshotId(spark, path).get
+      // The crash state where nobody truly holds the tree (an interrupted
+      // physical transition left main's ref-main pin behind with no
+      // unpinned branch) must COMPLETE physically — reads of 'main' are
+      // frozen at the pin until the restore lands.
+      val interrupted = holder == "main" &&
+        Manifest.mainRefHead(spark, path).isDefined
+      if (materialize || (name == "main" && interrupted)) {
+        Manifest.setLogicalRef(spark, path, None)
+        materializeTo(spark, path, name)
+      } else if (name == holder) {
+        // Already the physical holder: just drop any logical detour.
+        Manifest.setLogicalRef(spark, path, None)
+        latest
+      } else {
+        Manifest.setLogicalRef(spark, path, Some(name))
+        Manifest.resolveRef(spark, path, name).getOrElse(latest)
+      }
     }
   }
+
+  /** The physical checkout transition (callers hold the table lock). */
+  private def materializeTo(spark: SparkSession, path: String,
+                            name: String): Int = {
+    val refs = Manifest.branches(spark, path)
+    val holder = Manifest.currentBranch(spark, path).map(_._1)
+      .getOrElse("main")
+    val latest = Manifest.latestSnapshotId(spark, path).getOrElse(
+      throw new IllegalStateException(s"no manifest snapshot under $path"))
+    if (holder == name &&
+        (name != "main" || Manifest.mainRefHead(spark, path).isEmpty))
+      return latest
+    val target =
+      if (name == "main") Manifest.mainRefHead(spark, path).getOrElse(latest)
+      else refs(name).head.getOrElse(latest)
+    Manifest.pinCurrentHolder(spark, path)
+    if (target != latest) restoreSnapshot(spark, path, target): Unit
+    Manifest.setCheckedOut(spark, path, name)
+    Manifest.latestSnapshotId(spark, path).get
+  }
+
+  /** Complete a pending METADATA-ONLY checkout physically — the gate every
+    * mutation entry point passes before reading table state: reads serve
+    * any ref from its descriptors at zero cost, but a COMMIT needs the
+    * working tree to BE the checked-out ref's state (targeting, staging,
+    * and the incremental refresh all read the live dir). The pointer is
+    * cleared FIRST so the restore's own re-entry no-ops; a crash between
+    * clear and restore leaves the table on the previous holder — an
+    * un-switched but fully consistent state the user simply re-checks out.
+    */
+  private[graft] def ensureMaterialized(spark: SparkSession, path: String): Unit =
+    if (Manifest.logicalRef(spark, path).isDefined) {
+      val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+      FsMaint.withTableLock(fs, path) {
+        Manifest.logicalRef(spark, path).foreach { name =>
+          Manifest.setLogicalRef(spark, path, None)
+          val known = name == "main" ||
+            Manifest.branches(spark, path).contains(name)
+          if (known) materializeTo(spark, path, name): Unit
+        }
+      }
+    }
 
   /** Abandon branch `name`: when it is CHECKED OUT, roll the table back to
     * `main`'s pinned head via the journaled COW restore, then drop the ref
@@ -2147,6 +2225,11 @@ object Layout {
         throw new IllegalArgumentException(
           s"no branch `$name` under $path (branches: " +
             s"${Manifest.branches(spark, path).keys.toSeq.sorted.mkString(", ")})"))
+      // A metadata-only checkout of this branch never moved data — clear
+      // the pointer; reads revert to the physical holder. (A pointer at a
+      // DIFFERENT ref is untouched.)
+      if (Manifest.logicalRef(spark, path).contains(name))
+        Manifest.setLogicalRef(spark, path, None)
       b.head match {
         case Some(_) => // dormant: ref drop only
           Manifest.dropBranchRef(spark, path, name): Unit

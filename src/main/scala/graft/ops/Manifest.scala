@@ -137,8 +137,39 @@ object Manifest {
     case other => throw new IllegalArgumentException(
       s"manifest key column `$c` has unsupported type ${other.simpleString}: " +
         "only integral, date, and timestamp keys carry orderable long stats " +
-        "(a string/decimal key would produce NULL stats and silently prune every file)")
+        "(a decimal/double key would produce NULL stats and silently prune every file)")
   }
+
+  /** The column [[statsOf]] aggregates for `c`: the normalized long for
+    * orderable keys; the RAW string for STRING keys — string min/max order
+    * in binary UTF-8 (Spark's own string comparison), consumed by the SQL
+    * plan-time file skipper ([[graft.sources]]), [[scanRangeString]], and
+    * the bloom builders — never by the long-domain range surfaces, which
+    * refuse typed on string-stat columns ([[requireLongStatsIn]]).
+    */
+  private def statOrStringCol(c: String, dt: DataType): Column = dt match {
+    case StringType => col(c)
+    case other => statCol(c, other)
+  }
+
+  /** Typed refusal for a long-domain operation pointed at a STRING-stat
+    * column (`what` names the surface). String keys skip on binary
+    * min/max and bloom sketches, not normalized longs.
+    */
+  private def requireLongStatsIn(f: DataFrame, keyCol: String,
+                                 what: String): Unit =
+    require(f.schema(s"min_$keyCol").dataType != StringType,
+      s"column `$keyCol` carries STRING stats — $what works in the " +
+        "normalized long domain; use scanRangeString/scanKeysString (the " +
+        "SQL read path prunes string predicates at plan time on its own)")
+
+  /** [[requireLongStatsIn]] against the LATEST snapshot — the guard the
+    * COW range-targeting entry points ([[graft.ops.Layout]]) call before
+    * comparing `min_/max_` columns with long bounds.
+    */
+  private[graft] def requireLongStats(spark: SparkSession, table: String,
+                                      keyCol: String): Unit =
+    requireLongStatsIn(files(spark, table), keyCol, "range targeting")
 
   /** The long a bloom sketch holds for column `c`: the normalized stat
     * value for orderable keys, `xxhash64` for STRING keys — strings carry
@@ -466,17 +497,17 @@ object Manifest {
     val schema = data.schema
     keyCols.foreach { c =>
       require(schema.fieldNames.contains(c), s"no such column: $c")
-      statCol(c, schema(c).dataType): Unit // type guard — throws on unsupported
+      statOrStringCol(c, schema(c).dataType): Unit // type guard — throws on unsupported
     }
     blooms.foreach(b => require(schema.fieldNames.contains(b.col),
       s"no such column: ${b.col}"))
     val aggs = keyCols.flatMap(c => Seq(
-      min(statCol(c, schema(c).dataType)).as(s"min_$c"),
-      max(statCol(c, schema(c).dataType)).as(s"max_$c"),
+      min(statOrStringCol(c, schema(c).dataType)).as(s"min_$c"),
+      max(statOrStringCol(c, schema(c).dataType)).as(s"max_$c"),
       // Non-null key count per file: [[countRange]]'s metadata count must
       // exclude NULL keys (they are outside every range, but n_rows would
       // count them).
-      count(statCol(c, schema(c).dataType)).as(s"cnt_$c"))) ++
+      count(statOrStringCol(c, schema(c).dataType)).as(s"cnt_$c"))) ++
       blooms.map(b =>
         bloomAgg(bloomProbeCol(b.col, schema(b.col).dataType), b).as(s"bloom_${b.col}")) :+
       count(lit(1)).as("n_rows") :+
@@ -1510,12 +1541,12 @@ object Manifest {
     val data = spark.read.option("mergeSchema", "true").parquet(table)
     physCols.foreach { c =>
       require(data.schema.fieldNames.contains(c), s"no such column: $c")
-      statCol(c, data.schema(c).dataType): Unit // type guard — throws
+      statOrStringCol(c, data.schema(c).dataType): Unit // type guard — throws
     }
     val aggs = physCols.flatMap(c => Seq(
-      min(statCol(c, data.schema(c).dataType)).as(s"min_$c"),
-      max(statCol(c, data.schema(c).dataType)).as(s"max_$c"),
-      count(statCol(c, data.schema(c).dataType)).as(s"cnt_$c"))) :+
+      min(statOrStringCol(c, data.schema(c).dataType)).as(s"min_$c"),
+      max(statOrStringCol(c, data.schema(c).dataType)).as(s"max_$c"),
+      count(statOrStringCol(c, data.schema(c).dataType)).as(s"cnt_$c"))) :+
       count(lit(1)).as("__restat_rows")
     val fresh = data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.drop(1): _*)
@@ -2059,7 +2090,8 @@ object Manifest {
     require(preds.nonEmpty, "need at least one range predicate")
     preds.foreach { case (c, _, _) =>
       require(f.columns.contains(s"min_$c"),
-        s"manifest snapshot has no stats for column $c") }
+        s"manifest snapshot has no stats for column $c")
+      requireLongStatsIn(f, c, "scanBox/scanRange") }
     val all = f.count().toInt
     val overlap = preds.map { case (c, lo, hi) =>
       col(s"max_$c") >= lo && col(s"min_$c") <= hi }.reduce(_ && _)
@@ -2075,6 +2107,32 @@ object Manifest {
   def scanRange(spark: SparkSession, table: String, keyCol: String,
                 lo: Long, hi: Long): (DataFrame, Int, Int) =
     scanBox(spark, table, Seq((keyCol, lo, hi)))
+
+  /** [[scanRange]] over a STRING stats column — bounds compare in binary
+    * UTF-8 (Spark's own string order, the order the snapshot's min/max
+    * aggregates were produced in), so a URL/category prefix range prunes
+    * files exactly like a long range does on an orderable key. Inclusive
+    * bounds; the residual filter keeps the result value-exact.
+    */
+  def scanRangeString(spark: SparkSession, table: String, keyCol: String,
+                      lo: String, hi: String): (DataFrame, Int, Int) = {
+    val id = latestId(spark, table).getOrElse(
+      throw new IllegalStateException(s"no manifest snapshot under $table"))
+    val f = spark.read.parquet(s"${root(table)}/snapshot-$id")
+    require(f.columns.contains(s"min_$keyCol"),
+      s"manifest snapshot has no stats for column $keyCol")
+    require(f.schema(s"min_$keyCol").dataType == StringType,
+      s"column `$keyCol` carries long-normalized stats — use scanRange")
+    val all = f.count().toInt
+    val picked = plannedPaths(
+      f.filter(col(s"max_$keyCol") >= lo && col(s"min_$keyCol") <= hi)
+        .select("file"), table, "scanRangeString")
+    val base = readFiles(spark, table,
+      resolveForRead(spark, table, picked, useTrash = false),
+      storedSchema(spark, table, id), physicalNames(spark, table, id),
+      dvEntries(spark, table, id))
+    (base.filter(col(keyCol).between(lo, hi)), picked.length, all)
+  }
 
   /** A point-lookup scan's skipping evidence: `filesRead` after bloom
     * probing vs `filesRangeCandidates` after min/max alone vs
@@ -2108,6 +2166,7 @@ object Manifest {
     val f = spark.read.parquet(s"${root(table)}/snapshot-$id")
     require(f.columns.contains(s"min_$keyCol"),
       s"manifest snapshot has no stats for column $keyCol")
+    requireLongStatsIn(f, keyCol, "scanKeys")
     val total = f.count().toInt
     val mn = col(s"min_$keyCol"); val mx = col(s"max_$keyCol")
     val inRange = values.map(v => mn <= v && mx >= v).reduce(_ || _)
@@ -2252,6 +2311,7 @@ object Manifest {
     val f = files(spark, table)
     require(f.columns.contains(s"min_$keyCol"),
       s"manifest snapshot has no stats for column $keyCol")
+    requireLongStatsIn(f, keyCol, "minMax")
     requireFresh(spark, table,
       f.select("file").collect().map(_.getString(0)).toIndexedSeq)
     val r = f.agg(min(col(s"min_$keyCol")), max(col(s"max_$keyCol"))).head()
@@ -2263,6 +2323,7 @@ object Manifest {
     val f = files(spark, table)
     require(f.columns.contains(s"min_$keyCol"),
       s"manifest snapshot has no stats for column $keyCol")
+    requireLongStatsIn(f, keyCol, "countRange")
     require(f.columns.contains(s"cnt_$keyCol"),
       s"manifest snapshot predates per-key counts — re-run Manifest.create")
     val all = f.count().toInt
@@ -2752,6 +2813,60 @@ object Manifest {
   private def mainRefPath(table: String): Path =
     new Path(root(table), "ref-main")
 
+  private def logicalRefPath(table: String): Path =
+    new Path(root(table), "ref-current")
+
+  /** The LOGICALLY checked-out ref, when a METADATA-ONLY checkout is
+    * active ([[graft.ops.Layout.checkoutBranch]] with `materialize =
+    * false`, the default): the catalog's latest view serves this ref's
+    * head from its snapshot descriptors, while the PHYSICAL working tree
+    * still belongs to the unpinned holder. None = physical holder is
+    * current (the only state before round 18). The pointed-at ref's head
+    * is pinned by its own ref file (or `ref-main`), so retention needs no
+    * extra pinning here.
+    */
+  private[graft] def logicalRef(spark: SparkSession, table: String): Option[String] = {
+    val fs = fsOf(spark, table)
+    val p = logicalRefPath(table)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      if (s.isEmpty) None else Some(s)
+    }
+  }
+
+  /** Write (Some) or clear (None) the logical-checkout pointer — one
+    * staged-tmp + rename, atomic like every ref write. Callers hold the
+    * table lock (ref transitions serialize).
+    */
+  private[graft] def setLogicalRef(spark: SparkSession, table: String,
+                                   name: Option[String]): Unit = {
+    val fs = fsOf(spark, table)
+    val p = logicalRefPath(table)
+    name match {
+      case None => fs.delete(p, false): Unit
+      case Some(n) =>
+        val tmp = new Path(p.getParent, p.getName + "__tmp")
+        val out = fs.create(tmp, true)
+        try out.write(n.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"logical ref write failed: $p")
+    }
+  }
+
+  /** The snapshot id the SQL catalog's LATEST view serves: the logical
+    * ref's head while a metadata-only checkout is active (falling back to
+    * latest if the pointer went stale — e.g. the ref was fast-forwarded
+    * away), else the latest snapshot.
+    */
+  def effectiveHeadId(spark: SparkSession, table: String): Option[Int] =
+    logicalRef(spark, table).flatMap(resolveRef(spark, table, _))
+      .orElse(latestId(spark, table))
+
   /** All branch refs (name → fork + pinned head). Staging files and
     * unparseable content are SKIPPED, never thrown: the ref surface (tags,
     * `main`, retention pinning) must survive a crash mid-create.
@@ -2960,6 +3075,10 @@ object Manifest {
       fs.delete(branchPath(table, name), false): Unit
       // main takes over the working tree: its pin releases (main = latest).
       fs.delete(mainRefPath(table), false): Unit
+      // A logical pointer at the merged (now dropped) branch is stale —
+      // clear it so the latest view serves main.
+      if (logicalRef(spark, table).contains(name))
+        setLogicalRef(spark, table, None)
       head
     }
   }

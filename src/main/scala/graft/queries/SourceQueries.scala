@@ -842,10 +842,12 @@ object SourceQueries {
         // Branch A: fork at main, delete the low range.
         s.sql(s"CALL graft.system.create_branch('$stage', 'expA')")
         s.sql(s"DELETE FROM graft.`$stage` WHERE doc_id < ${mx / 8}")
-        // Branch B: fork from MAIN (checkout restores the trunk's tree
-        // first), delete the high range and insert tagged rows.
+        // Branch B: fork from MAIN — checkout is METADATA-ONLY (zero data
+        // movement; the catalog's latest view serves main's pinned head),
+        // and create_branch materializes the tree lazily before forking.
         s.sql(s"CALL graft.system.checkout_branch('$stage', 'main')")
-        val mainRestored = s.read.parquet(stage).count() == nAll
+        val mainRestored = s.sql(s"SELECT count(*) AS c FROM graft.`$stage`")
+          .head().getLong(0) == nAll
         s.sql(s"CALL graft.system.create_branch('$stage', 'expB')")
         s.sql(s"DELETE FROM graft.`$stage` WHERE doc_id >= ${3 * mx / 4}")
         docs.filter(col("doc_id") < 8)

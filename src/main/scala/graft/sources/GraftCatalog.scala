@@ -49,7 +49,12 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private def tableFor(ident: Identifier, version: Option[Int]): Table = {
     val spark = SparkSession.active
     val path = pathOf(ident)
-    val id = version.getOrElse(Manifest.latestSnapshotId(spark, path).getOrElse(
+    // The LATEST view serves the EFFECTIVE head: the logically checked-out
+    // ref's pinned head while a metadata-only checkout is active (branch
+    // switching is a ref-pointer write — zero data movement; files resolve
+    // through the retained trash like any snapshot read), else the latest
+    // snapshot.
+    val id = version.getOrElse(Manifest.effectiveHeadId(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"no manifest snapshot under $path — run Manifest.create, or read the " +
           "dir directly with spark.read.parquet")))
@@ -103,16 +108,63 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       else Some(rows.map(r =>
         GraftPathKey.of(path, Manifest.decodePath(r.getString(0))) ->
           r.getLong(1)).toMap)
+    // A stats column is LONG-normalized (integral/date/timestamp keys) or
+    // STRING (string keys carry binary-UTF-8 min/max) — branch by the
+    // snapshot column's own type.
+    val statIsString: Map[String, Boolean] = statKeys.map(k =>
+      k -> (snapFrame.schema(s"min_$k").dataType ==
+        org.apache.spark.sql.types.StringType)).toMap
     val fileStats: Option[GraftStatsSkip.FileStats] =
       if (statKeys.isEmpty || rows.isEmpty) None
       else Some(rows.map { r =>
         val st = statKeys.zipWithIndex.map { case (k, i) =>
           val o = statBase + 2 * i
-          k -> ((if (r.isNullAt(o)) None else Some(r.getLong(o)),
-                 if (r.isNullAt(o + 1)) None else Some(r.getLong(o + 1))))
+          val bound: GraftStatsSkip.Bound =
+            if (statIsString(k)) GraftStatsSkip.StrBounds(
+              if (r.isNullAt(o)) None else Some(r.getString(o)),
+              if (r.isNullAt(o + 1)) None else Some(r.getString(o + 1)))
+            else GraftStatsSkip.LongBounds(
+              if (r.isNullAt(o)) None else Some(r.getLong(o)),
+              if (r.isNullAt(o + 1)) None else Some(r.getLong(o + 1)))
+          k -> bound
         }.toMap
         GraftPathKey.of(path, Manifest.decodePath(r.getString(0))) -> st
       }.toMap)
+    // Bloom-sketch plan-time probe: `=`/`IN` conjuncts on bloom-profiled
+    // columns drop files whose sketch refutes every probe value — the SQL
+    // analogue of Manifest.scanKeys/scanKeysString. The sketches are NEVER
+    // collected wholesale (per-file sketches are KBs each — GBs at 100 TB
+    // file counts): each (column, values) probe is one distributed
+    // file-count-sized job over the snapshot's bloom column, collecting
+    // only the surviving file keys, cached for the plan's repeated
+    // listFiles calls.
+    val bloomCols: Set[String] = snapFrame.schema.fieldNames
+      .collect { case f if f.startsWith("bloom_") => f.drop(6) }.toSet
+    val bloomProbe: Option[GraftStatsSkip.BloomProbe] =
+      if (bloomCols.isEmpty) None
+      else Some {
+        val cache = scala.collection.concurrent.TrieMap
+          .empty[(String, Seq[Long]), Set[String]]
+        (c: String, vs: Seq[Long]) =>
+          if (!bloomCols(c)) None
+          else Some(cache.getOrElseUpdate((c, vs), {
+            import spark.implicits._
+            val arr = vs.toArray
+            snapFrame
+              .select(org.apache.spark.sql.functions.col("file"),
+                org.apache.spark.sql.functions.col(s"bloom_$c"))
+              .as[(String, Array[Byte])]
+              .map { case (f, sketch) =>
+                (f, sketch != null && {
+                  val bf = org.apache.spark.util.sketch.BloomFilter
+                    .readFrom(sketch)
+                  arr.exists(bf.mightContainLong)
+                })
+              }.collect()
+              .collect { case (f, true) =>
+                GraftPathKey.of(path, Manifest.decodePath(f)) }.toSet
+          }))
+      }
     // Rename indirection: files carry PHYSICAL column names; the served
     // table reports the snapshot's LOGICAL names and the scan layer
     // translates (GraftRenamedTable / RenamingScanBuilder).
@@ -127,11 +179,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       // INTO via the extension rule) route to the engine's COW machinery.
       new GraftMutableTable(s"$catalogName.$path@v$id", spark,
         files.toIndexedSeq, path, physSchema, renames, sizes, dvPaths,
-        fileStats)
+        fileStats, bloomProbe)
     else {
       val base = new GraftParquetTable(s"$catalogName.$path@v$id", spark,
         CaseInsensitiveStringMap.empty(), files.toIndexedSeq, path, physSchema,
-        sizes, dvPaths, fileStats)
+        sizes, dvPaths, fileStats, bloomProbe)
       if (renames.isEmpty) base else new GraftRenamedTable(base, renames)
     }
   }

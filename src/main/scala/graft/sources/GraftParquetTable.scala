@@ -34,7 +34,8 @@ class GraftParquetTable(
     userSchema: Option[StructType],
     fileSizes: Option[Map[String, Long]] = None,
     val dvPaths: Option[Seq[String]] = None,
-    fileStats: Option[GraftStatsSkip.FileStats] = None)
+    fileStats: Option[GraftStatsSkip.FileStats] = None,
+    bloomProbe: Option[GraftStatsSkip.BloomProbe] = None)
   extends FileTable(spark, opts, files, userSchema) {
 
   override def name(): String = tableName
@@ -132,9 +133,11 @@ class GraftParquetTable(
     fileSizes match {
       case Some(m) if paths.forall(p => m.contains(key(p))) =>
         new GraftDescriptorFileIndex(spark,
-          paths.map(p => p -> m(key(p))), partitionSpecOf(), fileStats, key)
+          paths.map(p => p -> m(key(p))), partitionSpecOf(), fileStats, key,
+          bloomProbe)
       case _ =>
-        new GraftExactFileIndex(spark, paths, partitionSpecOf(), fileStats, key)
+        new GraftExactFileIndex(spark, paths, partitionSpecOf(), fileStats,
+          key, bloomProbe)
     }
   }
 }
@@ -229,7 +232,8 @@ private[sources] final class RenamingScan(
 private[graft] final class GraftDescriptorFileIndex(
     spark: SparkSession, entries: Seq[(Path, Long)], spec: PartitionSpec,
     fileStats: Option[GraftStatsSkip.FileStats] = None,
-    statKeyOf: Path => String = _.getName)
+    statKeyOf: Path => String = _.getName,
+    bloomProbe: Option[GraftStatsSkip.BloomProbe] = None)
   extends PartitioningAwareFileIndex(spark, Map.empty, None,
     FileStatusCache.getOrCreate(spark)) {
 
@@ -240,7 +244,8 @@ private[graft] final class GraftDescriptorFileIndex(
                          dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    fileStats.fold(base)(GraftStatsSkip.prune(base, dataFilters, _, statKeyOf))
+    fileStats.fold(base)(
+      GraftStatsSkip.prune(base, dataFilters, _, statKeyOf, bloomProbe))
   }
 
   // FileStatus paths are FS-QUALIFIED at construction (scheme + authority
@@ -283,7 +288,8 @@ private[graft] final class GraftDescriptorFileIndex(
 private[sources] final class GraftExactFileIndex(
     spark: SparkSession, filePaths: Seq[Path], spec: PartitionSpec,
     fileStats: Option[GraftStatsSkip.FileStats] = None,
-    statKeyOf: Path => String = _.getName)
+    statKeyOf: Path => String = _.getName,
+    bloomProbe: Option[GraftStatsSkip.BloomProbe] = None)
   extends PartitioningAwareFileIndex(spark, Map.empty, None,
     FileStatusCache.getOrCreate(spark)) {
 
@@ -292,7 +298,8 @@ private[sources] final class GraftExactFileIndex(
                          dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    fileStats.fold(base)(GraftStatsSkip.prune(base, dataFilters, _, statKeyOf))
+    fileStats.fold(base)(
+      GraftStatsSkip.prune(base, dataFilters, _, statKeyOf, bloomProbe))
   }
 
   private val byParent: Map[Path, Array[FileStatus]] =

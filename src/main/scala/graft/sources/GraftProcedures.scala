@@ -146,6 +146,10 @@ object GraftProcedures {
     new Proc("restore", "path" -> StringType, "snapshot_id" -> IntegerType) {
       override def call(input: InternalRow): java.util.Iterator[Scan] =
         outcome("files_changed", {
+          // Restore rolls back the tree you are on — complete any pending
+          // metadata-only checkout first (restore itself must NOT, it is
+          // the branch transitions' own subroutine).
+          Layout.ensureMaterialized(spark, stringArg(input, 0))
           val r = Layout.restoreSnapshot(spark, stringArg(input, 0),
             intArg(input, 1))
           (r.revived + r.retired).toLong
@@ -189,8 +193,13 @@ object GraftProcedures {
     // the branch holds the tree).
     new Proc("create_branch", "path" -> StringType, "name" -> StringType) {
       override def call(input: InternalRow): java.util.Iterator[Scan] =
-        outcome("forked_at", Manifest.createBranch(spark,
-          stringArg(input, 0), stringArg(input, 1)).toLong)
+        outcome("forked_at", {
+          // A fork point is the tree you are on: complete any pending
+          // metadata-only checkout physically first.
+          Layout.ensureMaterialized(spark, stringArg(input, 0))
+          Manifest.createBranch(spark,
+            stringArg(input, 0), stringArg(input, 1)).toLong
+        })
     },
 
     new Proc("checkout_branch", "path" -> StringType, "name" -> StringType) {
@@ -199,15 +208,30 @@ object GraftProcedures {
           stringArg(input, 0), stringArg(input, 1)).toLong)
     },
 
+    // Complete a pending metadata-only checkout PHYSICALLY (COW restore) —
+    // the explicit raw-parquet-compatibility escape hatch; writes trigger
+    // the same transition lazily on their own.
+    new Proc("materialize_checkout", "path" -> StringType) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        outcome("head_at", {
+          Layout.ensureMaterialized(spark, stringArg(input, 0))
+          Manifest.latestSnapshotId(spark, stringArg(input, 0))
+            .getOrElse(0).toLong
+        })
+    },
+
     // Stats evolution: add min/max/count stats for more columns to an
     // existing manifest (comma-separated list) — one narrow scan + one
     // metadata commit; range predicates on the new columns then prune
     // files and keyed mutations may target on them (Manifest.restat).
     new Proc("restat", "path" -> StringType, "columns" -> StringType) {
       override def call(input: InternalRow): java.util.Iterator[Scan] =
-        outcome("snapshot", Manifest.restat(spark, stringArg(input, 0),
+        outcome("snapshot", {
+          Layout.ensureMaterialized(spark, stringArg(input, 0))
+          Manifest.restat(spark, stringArg(input, 0),
           stringArg(input, 1).split(',').map(_.trim).filter(_.nonEmpty)
-            .toIndexedSeq: _*).toLong)
+            .toIndexedSeq: _*).toLong
+        })
     },
 
     // The bloom half of stats evolution: per-file point-lookup sketches
@@ -215,15 +239,23 @@ object GraftProcedures {
     // sketch is the only skipping signal).
     new Proc("restat_bloom", "path" -> StringType, "columns" -> StringType) {
       override def call(input: InternalRow): java.util.Iterator[Scan] =
-        outcome("snapshot", Manifest.restatBloom(spark, stringArg(input, 0),
-          stringArg(input, 1).split(',').map(_.trim).filter(_.nonEmpty)
-            .toIndexedSeq).toLong)
+        outcome("snapshot", {
+          Layout.ensureMaterialized(spark, stringArg(input, 0))
+          Manifest.restatBloom(spark, stringArg(input, 0),
+            stringArg(input, 1).split(',').map(_.trim).filter(_.nonEmpty)
+              .toIndexedSeq).toLong
+        })
     },
 
     new Proc("fast_forward", "path" -> StringType, "name" -> StringType) {
       override def call(input: InternalRow): java.util.Iterator[Scan] =
-        outcome("main_at", Manifest.fastForward(spark,
-          stringArg(input, 0), stringArg(input, 1)).toLong)
+        outcome("main_at", {
+          // ff merges the tree you are on — materialize a pending
+          // metadata-only checkout so the branch is PHYSICALLY held.
+          Layout.ensureMaterialized(spark, stringArg(input, 0))
+          Manifest.fastForward(spark,
+            stringArg(input, 0), stringArg(input, 1)).toLong
+        })
     },
 
     new Proc("abandon_branch", "path" -> StringType, "name" -> StringType) {

@@ -94,8 +94,11 @@ class BranchSpec extends SparkSpec {
     // Branch B must fork from MAIN, not from A's tree: check main out
     // (COW-restores the working tree), then fork.
     spark.sql(s"CALL graft.system.checkout_branch('$dir', 'main')")
-    assert(fp(spark.read.parquet(dir)) == fpMain,
-      "checkout main must restore the trunk's tree")
+    // Metadata-only checkout: the CATALOG's latest view serves main's
+    // pinned head immediately (the raw tree materializes lazily, at the
+    // next write — create_branch below forces it).
+    assert(fp(spark.sql(s"SELECT * FROM graft.`$dir`")) == fpMain,
+      "checkout main must serve the trunk's state")
     spark.sql(s"CALL graft.system.create_branch('$dir', 'expB')")
     spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id >= 400")
     val fpB = fp(spark.read.parquet(dir))
@@ -117,7 +120,7 @@ class BranchSpec extends SparkSpec {
     intercept[Exception] { Manifest.fastForward(spark, dir, "expA") }
     // Check expA out and fast-forward it into main; expB stays dormant.
     spark.sql(s"CALL graft.system.checkout_branch('$dir', 'expA')")
-    assert(fp(spark.read.parquet(dir)) == fpA)
+    assert(fp(spark.sql(s"SELECT * FROM graft.`$dir`")) == fpA)
     spark.sql(s"CALL graft.system.fast_forward('$dir', 'expA')")
     assert(ref("main") == fpA, "main must take expA's state")
     assert(ref("expB") == fpB, "dormant expB unaffected by the merge")
@@ -137,14 +140,14 @@ class BranchSpec extends SparkSpec {
     spark.sql(s"CALL graft.system.create_branch('$dir', 'dev')")
     spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id < 50")
     val fpDev = fp(spark.read.parquet(dir))
-    // Checkout round trip restores each tree exactly.
-    Layout.checkoutBranch(spark, dir, "main")
+    // MATERIALIZED checkout round trip restores each tree exactly.
+    Layout.checkoutBranch(spark, dir, "main", materialize = true)
     assert(fp(spark.read.parquet(dir)) == fpMain0)
     // Advance MAIN after the fork: fast-forwarding dev would silently
     // discard main's commit — must refuse typed (git's non-ff refusal).
     spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id BETWEEN 300 AND 310")
     val fpMain1 = fp(spark.read.parquet(dir))
-    Layout.checkoutBranch(spark, dir, "dev")
+    Layout.checkoutBranch(spark, dir, "dev", materialize = true)
     assert(fp(spark.read.parquet(dir)) == fpDev)
     val e = intercept[IllegalArgumentException] {
       Manifest.fastForward(spark, dir, "dev")
@@ -162,8 +165,8 @@ class BranchSpec extends SparkSpec {
     val fork2 = Manifest.createBranch(spark, dir, "dev2")
     spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id = 450")
     val fpDev2 = fp(spark.read.parquet(dir))
-    Layout.checkoutBranch(spark, dir, "main")
-    Layout.checkoutBranch(spark, dir, "dev2")
+    Layout.checkoutBranch(spark, dir, "main", materialize = true)
+    Layout.checkoutBranch(spark, dir, "dev2", materialize = true)
     assert(Manifest.mainRefHead(spark, dir).exists(_ != fork2),
       "the round trip must have moved main's pin off the fork id")
     Manifest.fastForward(spark, dir, "dev2"): Unit
@@ -185,5 +188,58 @@ class BranchSpec extends SparkSpec {
     assert(Manifest.mainRefHead(spark, dir).isEmpty,
       "completing the transition must release the dangling pin")
     assert(fp(spark.read.parquet(dir)) == fpPinned)
+  }
+  test("metadata-only checkout: switching a diverged branch moves ZERO data bytes; writes materialize lazily") {
+    val dir = fixture("branch_meta")
+    val fpMain = fp(spark.read.parquet(dir))
+    val nMain = spark.read.parquet(dir).count()
+    // Diverge: branch deletes a range, then PHYSICALLY return to main so
+    // the working tree is the trunk's.
+    spark.sql(s"CALL graft.system.create_branch('$dir', 'exp')")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id < 100")
+    val fpExp = fp(spark.read.parquet(dir))
+    Layout.checkoutBranch(spark, dir, "main", materialize = true)
+    assert(fp(spark.read.parquet(dir)) == fpMain)
+    // Metadata-only checkout of the DIVERGED branch: zero data movement —
+    // every data file keeps its exact path and mtime (at 100 TB an
+    // experiment switch must be a ref write, not a tree restore).
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataState(): Set[(String, Long)] = {
+      val out = Set.newBuilder[(String, Long)]
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.startsWith("part-"))
+          out += ((st.getPath.toUri.getPath, st.getModificationTime))
+      }
+      out.result()
+    }
+    val before = dataState()
+    spark.sql(s"CALL graft.system.checkout_branch('$dir', 'exp')")
+    assert(dataState() == before,
+      "a metadata-only checkout must move zero data bytes")
+    // The catalog's latest view serves the branch exactly (files resolved
+    // through the retained trash); time travel to 'main' still works.
+    assert(fp(spark.sql(s"SELECT * FROM graft.`$dir`")) == fpExp)
+    assert(fp(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 'main'"))
+      == fpMain)
+    // Switch back — still zero movement, still exact.
+    spark.sql(s"CALL graft.system.checkout_branch('$dir', 'main')")
+    assert(dataState() == before)
+    assert(spark.sql(s"SELECT count(*) c FROM graft.`$dir`").head().getLong(0)
+      == nMain)
+    // A WRITE against a logically checked-out branch materializes first:
+    // the commit lands on the BRANCH's tree, never the stale holder's.
+    spark.sql(s"CALL graft.system.checkout_branch('$dir', 'exp')")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id BETWEEN 450 AND 459")
+    val expNow = spark.read.parquet(dir)
+    assert(expNow.filter(col("doc_id") < 100).count() == 0,
+      "the write must land on the branch's materialized tree")
+    assert(expNow.filter(col("doc_id").between(450, 459)).count() == 0)
+    assert(fp(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 'main'"))
+      == fpMain, "main stays pinned through the lazy materialization")
+    assert(Manifest.logicalRef(spark, dir).isEmpty,
+      "materialization must clear the logical pointer")
   }
 }

@@ -154,16 +154,66 @@ class ManifestSpec extends SparkSpec {
   }
 
   test("non-orderable key types are rejected at create, never silently mis-pruned") {
-    val stage = stageClustered("manifest_types", 4)
-    // A string key would cast to NULL stats, and the NULL overlap predicate
-    // would silently prune EVERY file — the guard turns that into a typed
-    // rejection at snapshot time.
-    val ex = intercept[IllegalArgumentException] { Manifest.create(spark, stage, "lang") }
-    assert(ex.getMessage.contains("lang"))
+    // A double/decimal key would cast to NULL stats, and the NULL overlap
+    // predicate would silently prune EVERY file — the guard turns that
+    // into a typed rejection at snapshot time. (STRING keys are supported
+    // since round 18: they carry binary-UTF-8 min/max — see the
+    // string-stats test below.)
+    val stage = tmpDir("manifest_types") + "/docs"
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("doc_id", "lang", "CAST(n_chars AS DOUBLE) AS score")
+      .repartition(4).write.parquet(stage)
+    val ex = intercept[IllegalArgumentException] { Manifest.create(spark, stage, "score") }
+    assert(ex.getMessage.contains("score"))
     // One good + one bad column: still rejected, and NO partial snapshot
     // was committed (the guard runs before any write).
-    intercept[IllegalArgumentException] { Manifest.create(spark, stage, "doc_id", "text") }
+    intercept[IllegalArgumentException] { Manifest.create(spark, stage, "doc_id", "score") }
     intercept[IllegalStateException] { Manifest.files(spark, stage) }
+  }
+
+  test("string stats: binary min/max prune scanRangeString; long-domain surfaces refuse typed") {
+    val stage = tmpDir("manifest_strstats") + "/docs"
+    // Cluster by lang so per-file string spans separate (range-partition
+    // by the column → each file holds few distinct langs, and no empty
+    // part files — a plain repartition(8) over 5 langs writes empties the
+    // incremental refresh would count as new files).
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartitionByRange(4, col("lang")).write.parquet(stage)
+    Manifest.create(spark, stage, "doc_id", "lang")
+    val f = Manifest.files(spark, stage)
+    assert(f.schema("min_lang").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(f.filter(col("min_lang").isNull).count() == 0L)
+    // The string range prunes files and stays value-exact.
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val (rows, nRead, nTotal) =
+      Manifest.scanRangeString(spark, stage, "lang", "de", "en")
+    assert(nRead < nTotal, s"string stats must prune: $nRead/$nTotal")
+    assert(rows.count() ==
+      docs.filter(col("lang") >= "de" && col("lang") <= "en").count())
+    // Long-domain surfaces refuse typed instead of comparing strings to longs.
+    val e = intercept[IllegalArgumentException] {
+      Manifest.scanRange(spark, stage, "lang", 0L, 1L)
+    }
+    assert(e.getMessage.contains("STRING stats"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Manifest.minMax(spark, stage, "lang")
+    }
+    intercept[IllegalArgumentException] {
+      Layout.deleteRange(spark, stage, "lang", 0L, 1L)
+    }
+    // The incremental refresh CARRIES string stats (superset-key contract).
+    spark.range(1L, 2L).selectExpr("9900100L AS doc_id", "'probe' AS text",
+      "'zz' AS lang", "'p' AS source", "CAST(5 AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("append").parquet(stage)
+    val (_, scanned, _) = Manifest.createIncremental(spark, stage, "doc_id")
+    assert(scanned == 1)
+    assert(Manifest.files(spark, stage)
+      .filter(col("min_lang") === "zz").count() == 1L)
+    // And scanRangeString refuses on a LONG-stat column, symmetrically.
+    intercept[IllegalArgumentException] {
+      Manifest.scanRangeString(spark, stage, "doc_id", "a", "b")
+    }
   }
 
   test("timestamp and date keys carry stats in their normalized units (micros / days)") {
@@ -866,7 +916,6 @@ class ManifestSpec extends SparkSpec {
     // Typed refusals: unknown column, covered column, non-long-normalizable.
     intercept[Exception] { Manifest.restat(spark, stage, "nope") }
     intercept[Exception] { Manifest.restat(spark, stage, "doc_id") }
-    intercept[Exception] { Manifest.restat(spark, stage, "text") }
     val id = Manifest.restat(spark, stage, "n_chars")
     assert(Manifest.latestSnapshotId(spark, stage).contains(id))
     assert(Manifest.currentKeyCols(spark, stage)

@@ -82,6 +82,76 @@ class SqlFilePruneSpec extends SparkSpec {
       s"SELECT * FROM graft.`$dir` WHERE n_chars > 5")).size == total)
   }
 
+  test("string stats prune SQL plans; OR prunes when both disjuncts translate") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = tmpDir("sqlprune_str") + "/docs"
+    // Repartition by lang → per-file string spans separate.
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartition(8, col("lang")).write.parquet(dir)
+    Manifest.create(spark, dir, "doc_id", "lang")
+    val total = Manifest.files(spark, dir).count()
+    val docs = spark.read.parquet(dir)
+    // String equality and range prune on binary min/max.
+    val qe = spark.sql(s"SELECT * FROM graft.`$dir` WHERE lang = 'zh'")
+    assert(fp(qe) == fp(docs.filter(col("lang") === "zh")))
+    assert(v2PlannedFiles(qe).size < total,
+      s"string equality must prune: ${v2PlannedFiles(qe).size}/$total")
+    val qr = spark.sql(
+      s"SELECT * FROM graft.`$dir` WHERE lang >= 'de' AND lang <= 'en'")
+    assert(fp(qr) == fp(docs.filter(col("lang") >= "de" && col("lang") <= "en")))
+    assert(v2PlannedFiles(qr).size < total)
+    // OR prunes when BOTH disjuncts translate (files overlapping neither
+    // side drop)...
+    val qo = spark.sql(
+      s"SELECT * FROM graft.`$dir` WHERE lang = 'zh' OR lang = 'de'")
+    assert(fp(qo) == fp(docs.filter(col("lang").isin("zh", "de"))))
+    assert(v2PlannedFiles(qo).size < total,
+      s"OR must prune: ${v2PlannedFiles(qo).size}/$total")
+    // Mixed-column OR (doc_id range | lang equality) still prunes files
+    // matching NEITHER side.
+    val qm = spark.sql(
+      s"SELECT * FROM graft.`$dir` WHERE doc_id < 0 OR lang = 'zh'")
+    assert(fp(qm) == fp(docs.filter(col("lang") === "zh")))
+    assert(v2PlannedFiles(qm).size < total)
+    // ...and an OR with an untranslatable side prunes NOTHING (conservative).
+    assert(v2PlannedFiles(spark.sql(
+      s"SELECT * FROM graft.`$dir` WHERE lang = 'zh' OR n_chars > 5"))
+      .size == total)
+  }
+
+  test("a bloom point lookup plans fewer files than min/max alone") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = tmpDir("sqlprune_bloom") + "/docs"
+    // Random layout: doc_id min/max spans overlap on every file, so range
+    // stats prune ~nothing and the sketch is the whole win — the
+    // UUID-lookup posture (Manifest.scanKeys' own fixture shape).
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .repartition(8).write.parquet(dir)
+    Manifest.createWithBloom(spark, dir, Seq("doc_id"), Seq("doc_id", "text"))
+    val total = Manifest.files(spark, dir).count()
+    val docs = spark.read.parquet(dir)
+    // Long-key point lookup: min/max overlap everywhere, the sketch prunes.
+    val probe = 250L
+    val ql = spark.sql(s"SELECT * FROM graft.`$dir` WHERE doc_id = $probe")
+    assert(fp(ql) == fp(docs.filter(col("doc_id") === probe)))
+    assert(v2PlannedFiles(ql).size < total,
+      s"bloom must prune the point lookup: ${v2PlannedFiles(ql).size}/$total")
+    // String point lookup over the xxhash64 sketch (no range stats exist
+    // for text at all).
+    val text = docs.filter(col("doc_id") === 99L).select("text")
+      .head().getString(0)
+    val lit = text.replace("\\", "\\\\").replace("'", "''")
+    val qs = spark.sql(s"SELECT * FROM graft.`$dir` WHERE text = '$lit'")
+    assert(fp(qs) == fp(docs.filter(col("text") === text)))
+    assert(v2PlannedFiles(qs).size < total,
+      s"string bloom must prune: ${v2PlannedFiles(qs).size}/$total")
+    // A probe value no file holds plans (near-)zero files but returns an
+    // exact empty result.
+    assert(spark.sql(
+      s"SELECT count(*) c FROM graft.`$dir` WHERE doc_id = 987654321")
+      .head().getLong(0) == 0L)
+  }
+
   test("the V1 scan of a DV-bearing snapshot skips files on the same stats") {
     val dir = fixture("sqlprune_v1")
     val total = Manifest.files(spark, dir).count()
