@@ -1667,6 +1667,12 @@ object Layout {
     extends OverwriteTarget
   final case class OverwriteRange(keyCol: String, lo: Long, hi: Long)
     extends OverwriteTarget
+  /** DYNAMIC partition overwrite (`partitionOverwriteMode=dynamic`):
+    * replace exactly the partitions the INSERTED data lands in — derived
+    * from the STAGED files' `k=v/` dirs, so the incoming query still
+    * executes exactly once and no partition the data never touched moves.
+    */
+  case object OverwriteDynamicPartitions extends OverwriteTarget
 
   final case class OverwriteResult(filesReplaced: Int, filesTotal: Int,
                                    rowsDeleted: Long, rowsInserted: Long)
@@ -1713,8 +1719,17 @@ object Layout {
       val data = toPhysicalDf(data0, physMapOf(spark, path))
       val f = Manifest.files(spark, path)
       val total = f.count().toInt
-      // Targeting: the files whose rows the overwrite dooms.
-      val picked: IndexedSeq[String] = target match {
+      val partitioned = isHivePartitioned(fs, path)
+      // Targeting: the files whose rows the overwrite dooms. The DYNAMIC
+      // shape is decided AFTER staging (its partitions are read off the
+      // staged dirs), so it contributes no files here.
+      val pickedEarly: IndexedSeq[String] = target match {
+        case OverwriteDynamicPartitions =>
+          require(partitioned,
+            s"dynamic partition overwrite on $path needs a hive-partitioned " +
+              "layout — an unpartitioned table has no partitions to replace " +
+              "(use a plain INSERT OVERWRITE)")
+          IndexedSeq.empty
         case OverwriteAll =>
           f.select("file").collect().map(_.getString(0)).toIndexedSeq
         case OverwritePartition(partCol, value) =>
@@ -1735,12 +1750,11 @@ object Layout {
           f.filter(col(s"max_$keyCol") >= lo && col(s"min_$keyCol") <= hi)
             .select("file").collect().map(_.getString(0)).toIndexedSeq
       }
-      val partitioned = isHivePartitioned(fs, path)
       val stage = path + (if (partitioned) PartStageSuffix else "__delnew")
       FsMaint.deleteRecursively(fs, new Path(stage))
       val pCols =
         if (!partitioned) Nil
-        else if (picked.nonEmpty) partitionColsOf(path, picked)
+        else if (pickedEarly.nonEmpty) partitionColsOf(path, pickedEarly)
         else f.select("file").limit(1).collect().headOption
           .map(r => partitionColsFromRel(Manifest.relativeTo(path,
             Manifest.decodePath(r.getString(0)))))
@@ -1763,7 +1777,7 @@ object Layout {
             "they failed to replace; fix the source query or widen the target")
       }
       if (stagedNew > 0) target match {
-        case OverwriteAll => ()
+        case OverwriteAll | OverwriteDynamicPartitions => ()
         case OverwritePartition(partCol, value) =>
           val stagedDf = spark.read.parquet(stage)
           refuse(stagedDf.filter(!(col(partCol).cast("string") <=> lit(value)))
@@ -1773,6 +1787,34 @@ object Layout {
           val k = orderedLong(keyCol, stagedDf)
           refuse(stagedDf.filter(k.isNull || !k.between(lo, hi)).count(),
             s"range $keyCol in [$lo, $hi]")
+      }
+      // DYNAMIC targeting from the staged layout: the distinct `k=v/` dirs
+      // the data materialized name exactly the partitions to replace —
+      // zero extra executions of the incoming query, and a partition the
+      // data never touched can never move.
+      val picked: IndexedSeq[String] = target match {
+        case OverwriteDynamicPartitions =>
+          val touched: Set[String] = {
+            val out = Set.newBuilder[String]
+            val it = fs.listFiles(new Path(stage), true)
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.getPath.getName.startsWith("part-")) {
+                val rel = Manifest.relativeTo(stage, st.getPath)
+                  .split('/').dropRight(1).mkString("/")
+                if (rel.nonEmpty) out += rel
+              }
+            }
+            out.result()
+          }
+          import spark.implicits._
+          val tablePath = path
+          if (touched.isEmpty) IndexedSeq.empty
+          else f.select("file").as[String].filter { p =>
+            touched.contains(Manifest.relativeTo(tablePath,
+              Manifest.decodePath(p)).split('/').dropRight(1).mkString("/"))
+          }.collect().toIndexedSeq
+        case _ => pickedEarly
       }
       // Visible rows the overwrite removes (DV-exact, like [[deleteRange]]).
       lazy val pickedDf = readPickedPinned(spark, path, picked)

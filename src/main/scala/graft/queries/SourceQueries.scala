@@ -311,6 +311,39 @@ object SourceQueries {
                    Seq("doc_id", "text", "lang", "source", "n_chars"),
                    "(SELECT d.* FROM documents d, b WHERE d.n_chars BETWEEN b.mid AND b.hi) t")})""".stripMargin)),
 
+    // ---- STRING stats keys (round-18): the manifest is created keyed on
+    //      a STRING column — per-file binary-UTF-8 min/max (the order
+    //      Spark's min/max aggregates produce). scanRangeString prunes
+    //      files on the Scala path; the SQL read prunes a string equality
+    //      at PLAN time (GraftStatsSkip string bounds). Gate: the string
+    //      range scan's fingerprint ≡ DuckDB's replay (ASCII lang tags —
+    //      binary order ≡ collation order), files actually pruned, and the
+    //      SQL equality count exact through the catalog.
+    Q("manifest_string_scan",
+      (s, dir) => {
+        val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val stage = java.nio.file.Files.createTempDirectory("graft_strscan").toString + "/documents"
+        T(s, dir, "documents")
+          .repartitionByRange(8, col("lang"), col("doc_id"))
+          .write.mode("overwrite").parquet(stage)
+        graft.ops.Manifest.create(s, stage, "doc_id", "lang")
+        val (rows, nRead, nTotal) =
+          graft.ops.Manifest.scanRangeString(s, stage, "lang", "de", "en")
+        val zh = s.sql(
+          s"SELECT count(*) AS c FROM graft.`$stage` WHERE lang = 'zh'")
+          .head().getLong(0)
+        graft.functions.Hashing.multisetFingerprintAgg(rows, docCols)
+          .withColumn("files_pruned", lit(nRead < nTotal))
+          .withColumn("zh_rows", lit(zh))
+      },
+      Some(s"""SELECT *, true AS files_pruned,
+               | (SELECT count(*) FROM documents WHERE lang = 'zh')::BIGINT
+               |   AS zh_rows FROM (
+               |${Registry.duckMultisetFingerprint(
+                   Seq("doc_id", "text", "lang", "source", "n_chars"),
+                   "(SELECT * FROM documents WHERE lang >= 'de' AND lang <= 'en') t")})""".stripMargin)),
+
     // ---- the full composition: Z-ORDER layout + multi-column manifest +
     //      BOX predicate. Single-column stats only serve 1-D ranges; with
     //      per-file min/max on BOTH keys, a conjunctive range predicate

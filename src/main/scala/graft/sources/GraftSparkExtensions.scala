@@ -61,6 +61,25 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             assignments, condition)
         case _ => u
       }
+    // DYNAMIC partition overwrite (`partitionOverwriteMode=dynamic`):
+    // Spark's own exec needs full DSv2 batch-write plumbing; route it to
+    // the engine's atomic delete+insert commit instead — replaced
+    // partitions are derived from the STAGED data's own `k=v/` dirs
+    // ([[Layout.OverwriteDynamicPartitions]]), so the incoming query runs
+    // exactly once. The analyzer already aligned the query to the table's
+    // columns; the projection pins the table's (logical) names.
+    case o: OverwritePartitionsDynamic if o.childrenResolved &&
+        o.query.resolved =>
+      EliminateSubqueryAliases(o.table) match {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftMutableTable] &&
+            o.query.output.length == r.output.length =>
+          val t = r.table.asInstanceOf[GraftMutableTable]
+          val aligned = Project(o.query.output.zip(r.output).map {
+            case (q, tAttr) => Alias(q, tAttr.name)()
+          }, o.query)
+          GraftDynamicOverwriteCommand(t.tableRoot, aligned)
+        case _ => o
+      }
     case other => other
   }
 
@@ -324,6 +343,27 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * commit, manifest-targeted file picking, history retention — identical to
   * the Scala API call). Returns the merge outcome as the statement result.
   */
+/** The executed side of a dynamic partition overwrite: stage the query's
+  * rows, read the touched `k=v/` partitions off the staged layout, and
+  * commit delete+insert atomically ([[Layout.overwriteWhere]]).
+  */
+final case class GraftDynamicOverwriteCommand(path: String, query: LogicalPlan)
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_replaced", IntegerType, nullable = false)(),
+    AttributeReference("rows_deleted", LongType, nullable = false)(),
+    AttributeReference("rows_inserted", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val r = Layout.overwriteWhere(session, path,
+      Layout.OverwriteDynamicPartitions, ColumnShim.ofRows(session, query))
+    Seq(Row(r.filesReplaced, r.rowsDeleted, r.rowsInserted))
+  }
+}
+
 final case class GraftMergeIntoCommand(path: String, keyCol: String,
                                        query: LogicalPlan,
                                        refuseNullKeys: Boolean = false)

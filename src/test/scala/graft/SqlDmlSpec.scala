@@ -350,6 +350,34 @@ class SqlDmlSpec extends SparkSpec {
     assert(Hashing.multisetFingerprintAgg(spark.read.parquet(dir), docCols)
       .head().getString(0) == preFp, "refused overwrites must touch nothing")
     assert(Manifest.isComplete(spark, dir))
+    // 5. DYNAMIC partition overwrite: the inserted data's own partitions
+    //    (and ONLY those) are replaced — in one atomic commit.
+    val before5 = stamps()
+    val nFrPre = spark.read.parquet(dir).filter(col("lang") === "fr").count()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql(s"INSERT OVERWRITE graft.`$dir` " +
+        "SELECT doc_id, text, 'dyn' AS source, n_chars, lang " +
+        "FROM dml_ow_docs WHERE lang IN ('zh', 'es')")
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    }
+    val t5 = spark.read.parquet(dir)
+    assert(t5.filter(col("lang").isin("zh", "es") &&
+      col("source") =!= "dyn").count() == 0,
+      "touched partitions fully replaced")
+    // The reload re-materializes the SOURCE's rows for those partitions
+    // (the earlier range overwrite had thinned zh/es — a reload restores).
+    assert(t5.filter(col("lang") === "zh").count() ==
+      docs.filter(col("lang") === "zh").count())
+    assert(before5.filterNot(p => p._1.contains("lang=zh") ||
+        p._1.contains("lang=es")).toSet.subsetOf(stamps().toSet),
+      "partitions the data never touched must not move")
+    // An untouched partition keeps its PRE-overwrite rows exactly (the
+    // earlier range overwrite had already thinned fr — a dynamic reload of
+    // zh/es must not resurrect or lose any of them).
+    assert(t5.filter(col("lang") === "fr").count() == nFrPre)
+    assert(Manifest.isComplete(spark, dir))
   }
 
   test("MERGE INTO: keyed whole-row upsert via the extension rule — updates in place, inserts append") {
