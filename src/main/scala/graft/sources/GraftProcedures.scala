@@ -187,7 +187,9 @@ object GraftProcedures {
     // Branch lifecycle (N refs, one checked out — Manifest's branch
     // section): create_branch forks at the latest snapshot and checks the
     // branch out (the previous holder pins its head); checkout_branch
-    // switches the working tree between refs (pin + COW restore + unpin);
+    // switches the served ref METADATA-ONLY (one ref-current pointer
+    // write; the physical tree materializes lazily at the first write, or
+    // explicitly via materialize_checkout);
     // fast_forward merges the checked-out branch into main metadata-only;
     // abandon_branch discards a branch (restoring main's head first when
     // the branch holds the tree).
