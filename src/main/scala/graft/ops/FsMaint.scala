@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.hadoop.fs.{FileSystem, LocatedFileStatus, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 /** Shared Hadoop-FileSystem maintenance primitives for on-disk stores the
   * engine rewrites in place — the durable dedup index's state dirs and the
@@ -20,17 +20,39 @@ import org.apache.hadoop.fs.{FileSystem, LocatedFileStatus, Path}
   */
 private[graft] object FsMaint {
 
+  /** Recursive walk of every file under `dir` via per-directory
+    * `listStatus` — NEVER `FileSystem.listFiles(dir, recursive)`: the
+    * default `listFiles` materializes BLOCK LOCATIONS per file, which on
+    * the local/checksum FS stack costs ~5 ms PER FILE (measured: 2.4 s for
+    * a 512-file tree vs 27 ms for this walk — the round-19 FsProbe), and
+    * every caller here needs names and lengths only. `visit` returns
+    * whether to CONTINUE, so existence probes stop at the first hit.
+    * A directory vanishing mid-walk (concurrent maintenance) is treated as
+    * empty, matching the iterator semantics this replaces. Returns false
+    * iff the walk was aborted by `visit`.
+    */
+  def walkFiles(fs: FileSystem, dir: Path)(visit: FileStatus => Boolean): Boolean = {
+    def statuses(d: Path): Array[FileStatus] =
+      try fs.listStatus(d)
+      catch { case _: java.io.FileNotFoundException => Array.empty }
+    def rec(d: Path): Boolean = {
+      val sts = statuses(d)
+      var i = 0
+      while (i < sts.length) {
+        val st = sts(i)
+        if (st.isDirectory) { if (!rec(st.getPath)) return false }
+        else if (!visit(st)) return false
+        i += 1
+      }
+      true
+    }
+    rec(dir)
+  }
+
   /** Non-empty data files under `dir`, recursively (metadata-only). */
   def hasDataFiles(fs: FileSystem, dir: Path): Boolean =
-    fs.exists(dir) && {
-      val it = fs.listFiles(dir, true)
-      var found = false
-      while (!found && it.hasNext) {
-        val f = it.next()
-        found = f.getPath.getName.startsWith("part-") && f.getLen > 0
-      }
-      found
-    }
+    !walkFiles(fs, dir)(f =>
+      !(f.getPath.getName.startsWith("part-") && f.getLen > 0))
 
   /** Is `p` under a hidden (`_`/`.`-prefixed) directory relative to
     * `base`? Hidden dirs hold metadata (manifest snapshots, retained
@@ -48,13 +70,10 @@ private[graft] object FsMaint {
     */
   def dataFileCount(fs: FileSystem, dir: Path): Long = {
     var n = 0L
-    if (fs.exists(dir)) {
-      val it = fs.listFiles(dir, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.startsWith("part-") && f.getLen > 0 &&
-          !underHiddenDir(dir, f.getPath)) n += 1
-      }
+    walkFiles(fs, dir) { f =>
+      if (f.getPath.getName.startsWith("part-") && f.getLen > 0 &&
+        !underHiddenDir(dir, f.getPath)) n += 1
+      true
     }
     n
   }
@@ -62,13 +81,10 @@ private[graft] object FsMaint {
   /** Total bytes across data files under `dir` (metadata-only). */
   def totalDataBytes(fs: FileSystem, dir: Path): Long = {
     var b = 0L
-    if (fs.exists(dir)) {
-      val it = fs.listFiles(dir, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.startsWith("part-") && f.getLen > 0 &&
-          !underHiddenDir(dir, f.getPath)) b += f.getLen
-      }
+    walkFiles(fs, dir) { f =>
+      if (f.getPath.getName.startsWith("part-") && f.getLen > 0 &&
+        !underHiddenDir(dir, f.getPath)) b += f.getLen
+      true
     }
     b
   }
@@ -79,16 +95,13 @@ private[graft] object FsMaint {
     * staged-commit enumeration), so the convention lives in one place.
     */
   def listRelative(fs: FileSystem, root: Path)(
-      pred: LocatedFileStatus => Boolean): Seq[(String, LocatedFileStatus)] = {
+      pred: FileStatus => Boolean): Seq[(String, FileStatus)] = {
     val rootAbs = root.toUri.getPath.stripSuffix("/")
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, LocatedFileStatus)]
-    if (fs.exists(root)) {
-      val it = fs.listFiles(root, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.isFile && pred(f))
-          out += f.getPath.toUri.getPath.stripPrefix(rootAbs + "/") -> f
-      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, FileStatus)]
+    walkFiles(fs, root) { f =>
+      if (f.isFile && pred(f))
+        out += f.getPath.toUri.getPath.stripPrefix(rootAbs + "/") -> f
+      true
     }
     out.toSeq
   }

@@ -1796,14 +1796,13 @@ object Layout {
         case OverwriteDynamicPartitions =>
           val touched: Set[String] = {
             val out = Set.newBuilder[String]
-            val it = fs.listFiles(new Path(stage), true)
-            while (it.hasNext) {
-              val st = it.next()
+            FsMaint.walkFiles(fs, new Path(stage)) { st =>
               if (st.getPath.getName.startsWith("part-")) {
                 val rel = Manifest.relativeTo(stage, st.getPath)
                   .split('/').dropRight(1).mkString("/")
                 if (rel.nonEmpty) out += rel
               }
+              true
             }
             out.result()
           }

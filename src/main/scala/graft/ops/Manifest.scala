@@ -1693,14 +1693,13 @@ object Manifest {
                             dir: Path): Map[String, Path] = {
     val base = dir.toUri.getPath
     val out = Map.newBuilder[String, Path]
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val f = it.next()
+    FsMaint.walkFiles(fs, dir) { f =>
       val p = f.getPath
       val rel = p.toUri.getPath.stripPrefix(base)
       val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
       if (!hidden && f.getLen > 0 && p.getName.startsWith("part-"))
         out += p.toUri.getPath -> p
+      true
     }
     out.result()
   }
@@ -2622,7 +2621,8 @@ object Manifest {
     doomed.foreach { p => if (fs.delete(p, false)) n += 1 }
     // Partition subdirs emptied by the reclaim are metadata debt — sweep.
     fs.listStatus(t).foreach { st =>
-      if (st.isDirectory && !fs.listFiles(st.getPath, true).hasNext)
+      if (st.isDirectory &&
+          FsMaint.walkFiles(fs, st.getPath)(_ => false) /* true ⇔ no files */)
         FsMaint.deleteRecursively(fs, st.getPath)
     }
     n

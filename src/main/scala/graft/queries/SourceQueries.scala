@@ -456,12 +456,11 @@ object SourceQueries {
           .getFileSystem(s.sessionState.newHadoopConf())
         def stamps(): Map[String, Long] = {
           val out = Map.newBuilder[String, Long]
-          val it = fs.listFiles(new org.apache.hadoop.fs.Path(stage), true)
-          while (it.hasNext) {
-            val st = it.next()
+          graft.ops.FsMaint.walkFiles(fs, new org.apache.hadoop.fs.Path(stage)) { st =>
             val p = st.getPath.toUri.getPath
             if (st.getPath.getName.startsWith("part-") && !p.contains("_graft"))
               out += p -> st.getModificationTime
+            true
           }
           out.result()
         }
@@ -567,12 +566,11 @@ object SourceQueries {
           .getFileSystem(s.sessionState.newHadoopConf())
         def stamps(): Map[String, Long] = {
           val out = Map.newBuilder[String, Long]
-          val it = fs.listFiles(new org.apache.hadoop.fs.Path(stage), true)
-          while (it.hasNext) {
-            val st = it.next()
+          graft.ops.FsMaint.walkFiles(fs, new org.apache.hadoop.fs.Path(stage)) { st =>
             val p = st.getPath.toUri.getPath
             if (st.getPath.getName.startsWith("part-") && !p.contains("_graft"))
               out += p -> st.getModificationTime
+            true
           }
           out.result()
         }
@@ -656,12 +654,11 @@ object SourceQueries {
           .getFileSystem(s.sessionState.newHadoopConf())
         def stamps(): Map[String, Long] = {
           val out = Map.newBuilder[String, Long]
-          val it = fs.listFiles(new org.apache.hadoop.fs.Path(stage), true)
-          while (it.hasNext) {
-            val st = it.next()
+          graft.ops.FsMaint.walkFiles(fs, new org.apache.hadoop.fs.Path(stage)) { st =>
             val p = st.getPath.toUri.getPath
             if (st.getPath.getName.startsWith("part-") && !p.contains("_graft"))
               out += p -> st.getModificationTime
+            true
           }
           out.result()
         }

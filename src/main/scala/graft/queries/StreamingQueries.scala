@@ -838,12 +838,11 @@ object StreamingQueries {
           .getFileSystem(s.sessionState.newHadoopConf())
         def stamps(): Map[String, Long] = {
           val out = Map.newBuilder[String, Long]
-          val it = fs.listFiles(new org.apache.hadoop.fs.Path(table), true)
-          while (it.hasNext) {
-            val st = it.next()
+          graft.ops.FsMaint.walkFiles(fs, new org.apache.hadoop.fs.Path(table)) { st =>
             val p = st.getPath.toUri.getPath
             if (st.getPath.getName.startsWith("part-") && !p.contains("_graft"))
               out += p -> st.getModificationTime
+            true
           }
           out.result()
         }

@@ -50,10 +50,9 @@ private[sync] object CatalogStores {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return Some("__absent__")
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val f = it.next()
+    graft.ops.FsMaint.walkFiles(fs, p) { f =>
       entries += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
+      true
     }
     val digest = java.security.MessageDigest.getInstance("MD5")
     entries.sorted.foreach(e =>
