@@ -123,6 +123,81 @@ object Manifest {
       case ids => Some(ids.max)
     }
 
+  /** Driver-side cache of IMMUTABLE snapshot content (guide §5: keep the
+    * driver out of repeated metadata work). A published snapshot dir never
+    * changes in place (staged + atomic-rename publish), so its stat rows
+    * and schema are cacheable; what CAN change is the PATH's meaning — a
+    * vacuum/expiry deletes the dir, a dropped-and-recreated table reuses
+    * ids. Each entry is therefore keyed on the dir's full listing
+    * signature (every name|length|mtime under it, one `listStatus`) and
+    * re-validated on every hit: one metadata RPC instead of a fresh
+    * `spark.read.parquet` per access — which costs a file listing, a
+    * footer schema inference, and (for the consumers that collect) a
+    * Spark job, measured at ~40–80 ms each and ×30–60 per SQL DML
+    * fixture. Snapshots whose parquet payload exceeds
+    * [[snapCacheEntryMaxBytes]] are served DISTRIBUTED and uncached — a
+    * 100-TB table's manifest stays a Spark-side frame; the cache absorbs
+    * only metadata-sized snapshots (the same tiering as Delta's driver
+    * log cache vs its checkpoint reads).
+    */
+  private final case class SnapEntry(sig: String, bytes: Long,
+                                     schema: StructType,
+                                     rows: Array[org.apache.spark.sql.Row])
+  /** Per-entry cap: bigger snapshots are never collected for the cache. */
+  private[graft] var snapCacheEntryMaxBytes: Long = 32L << 20
+  /** Total budget across entries; least-recently-used evicted past it. */
+  private[graft] var snapCacheTotalBytes: Long = 256L << 20
+  private val snapCache =
+    new java.util.LinkedHashMap[String, SnapEntry](64, 0.75f, true)
+
+  /** The snapshot's stat frame — cached driver-side when metadata-sized
+    * (see [[SnapEntry]]); identical error shape to the direct read when
+    * the dir is missing (expired/never existed).
+    */
+  private[graft] def snapshotDF(spark: SparkSession, table: String,
+                                id: Int): DataFrame = {
+    val dir = s"${root(table)}/snapshot-$id"
+    val fs = fsOf(spark, table)
+    val sts =
+      try fs.listStatus(new Path(dir))
+      catch { case _: java.io.FileNotFoundException =>
+        return spark.read.parquet(dir) // uncached error shape (PATH_NOT_FOUND)
+      }
+    val sig = sts.map(s => s"${s.getPath.getName}|${s.getLen}|${s.getModificationTime}")
+      .sorted.mkString("\n")
+    val dataBytes = sts.filter { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getLen).sum
+    def localDF(e: SnapEntry): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(e.rows: _*), e.schema)
+    snapCache.synchronized {
+      val hit = snapCache.get(dir)
+      if (hit != null && hit.sig == sig) return localDF(hit)
+    }
+    val df = spark.read.parquet(dir)
+    if (dataBytes > snapCacheEntryMaxBytes) df
+    else {
+      val entry = SnapEntry(sig, dataBytes, df.schema, df.collect())
+      snapCache.synchronized {
+        snapCache.remove(dir)
+        snapCache.put(dir, entry)
+        var total = 0L
+        snapCache.values().forEach(e => total += e.bytes)
+        val it = snapCache.entrySet().iterator()
+        while (total > snapCacheTotalBytes && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != dir) { total -= e.getValue.bytes; it.remove() }
+        }
+      }
+      localDF(entry)
+    }
+  }
+
+  /** Test/maintenance seam: drop every cached snapshot entry. */
+  private[graft] def clearSnapshotCache(): Unit =
+    snapCache.synchronized(snapCache.clear())
+
   private def trashDir(table: String) = new Path(table, "_graft_trash")
 
   /** The key column normalized to the long domain its stats live in.
@@ -326,7 +401,7 @@ object Manifest {
     require(hasSnapshot(spark, table, id),
       s"no snapshot-$id under $table — never created, or expired by retention")
     val entries = plannedPaths(
-      spark.read.parquet(s"${root(table)}/snapshot-$id").select("file"),
+      snapshotDF(spark, table, id).select("file"),
       table, "restore planning")
     val fs = fsOf(spark, table)
     lazy val trashRels: Set[String] = trashRelPaths(fs, table)
@@ -606,7 +681,7 @@ object Manifest {
     // anti-join over two metadata-sized stats frames; only consulted when
     // the base carries a vector)
     def dropsFiles(b: Int): Boolean =
-      spark.read.parquet(s"${root(table)}/snapshot-$b")
+      snapshotDF(spark, table, b)
         .select(element_at(split(col("file"), "/"), -1).as("file_name"))
         .join(stagedNames, Seq("file_name"), "left_anti")
         .limit(1).count() > 0
@@ -919,7 +994,7 @@ object Manifest {
     var delay = 50L
     val deadline = System.currentTimeMillis() + math.max(0L, commitWaitMs)
     while (true) {
-      val baseRows = spark.read.parquet(s"${root(table)}/snapshot-$base")
+      val baseRows = snapshotDF(spark, table, base)
       val kept =
         if (removed.isEmpty) baseRows
         else baseRows.filter(!col("file").isInCollection(removed.toSeq))
@@ -995,8 +1070,8 @@ object Manifest {
       return Some("the concurrent commit changed the recorded schema")
     if (physicalNames(spark, table, base) != physicalNames(spark, table, head))
       return Some("the concurrent commit changed column physical names")
-    val headRows = spark.read.parquet(s"${root(table)}/snapshot-$head")
-    val baseCols = spark.read.parquet(s"${root(table)}/snapshot-$base")
+    val headRows = snapshotDF(spark, table, head)
+    val baseCols = snapshotDF(spark, table, base)
       .schema.fieldNames.toSet
     if (headRows.schema.fieldNames.toSet != baseCols)
       return Some("the concurrent commit changed the stats columns " +
@@ -1188,7 +1263,7 @@ object Manifest {
     // Bloom columns are index-bearing too (a string bloom column is NOT a
     // stats key): dropping one would leave sketches probing a column the
     // pinned read schema no longer surfaces.
-    val bloomCols = spark.read.parquet(s"${root(table)}/snapshot-$id")
+    val bloomCols = snapshotDF(spark, table, id)
       .schema.fieldNames.toSeq.collect { case f if f.startsWith("bloom_") => f.drop(6) }
     dropped.find(bloomCols.contains).foreach { k =>
       throw new IllegalArgumentException(
@@ -1200,7 +1275,7 @@ object Manifest {
     // The rename map drops entries for dropped columns (their physical
     // bytes stay in old files, projected away like any dropped column).
     commitSnapshot(spark, table,
-      spark.read.parquet(s"${root(table)}/snapshot-$id"), Some(newSchema),
+      snapshotDF(spark, table, id), Some(newSchema),
       basedOn = Some(id),
       physical = Some(physMap
         .filter { case (l, _) => newSchema.fieldNames.contains(l) }))
@@ -1278,7 +1353,7 @@ object Manifest {
     require(!keys.contains(from),
       s"cannot rename `$from`: it is a manifest stats key column " +
         s"(${keys.mkString(", ")}) — re-profile the table first")
-    val bloomCols = spark.read.parquet(s"${root(table)}/snapshot-$id")
+    val bloomCols = snapshotDF(spark, table, id)
       .schema.fieldNames.toSeq.collect { case f if f.startsWith("bloom_") => f.drop(6) }
     require(!bloomCols.contains(from),
       s"cannot rename `$from`: the snapshot carries a bloom index on it")
@@ -1304,7 +1379,7 @@ object Manifest {
     val newSchema = StructType(old.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     commitSnapshot(spark, table,
-      spark.read.parquet(s"${root(table)}/snapshot-$id"), Some(newSchema),
+      snapshotDF(spark, table, id), Some(newSchema),
       basedOn = Some(id), physical = Some(newMap))
   }
 
@@ -1555,7 +1630,7 @@ object Manifest {
     // zero-row parquet file), un-referencing it and tripping every later
     // requireComplete. The marker count is never NULL on a matched row, so
     // NULL ⇔ the file went unseen by the scan.
-    val stats = spark.read.parquet(s"${root(table)}/snapshot-$id")
+    val stats = snapshotDF(spark, table, id)
       .join(fresh, Seq("file"), "left")
     val unseen = stats.filter(col("__restat_rows").isNull)
       .select("file").limit(3).collect().map(_.getString(0))
@@ -1593,7 +1668,7 @@ object Manifest {
                               fpp: Double): Int = {
     val id = latestId(spark, table).getOrElse(
       throw new IllegalStateException(s"no manifest snapshot under $table"))
-    val snap = spark.read.parquet(s"${root(table)}/snapshot-$id")
+    val snap = snapshotDF(spark, table, id)
     val haveBloom = snap.schema.fieldNames.toSeq.collect {
       case f if f.startsWith("bloom_") => f.drop(6) }
     val haveKeys = keyColsOf(spark, table, id)
@@ -1770,7 +1845,7 @@ object Manifest {
                                   dv: DvCarry = DvInherit): Int = {
     val snapId = latestId(spark, table).getOrElse(
       throw new IllegalStateException(s"no manifest snapshot under $table"))
-    val snap = spark.read.parquet(s"${root(table)}/snapshot-$snapId")
+    val snap = snapshotDF(spark, table, snapId)
     // basePath keeps hive-partition columns on the added-files scan, so a
     // partitioned table's replacement stats see the same schema a full
     // create would.
@@ -1856,12 +1931,12 @@ object Manifest {
       if (usablePrev) prevKeys.get else keyCols.toSeq
     if (!usablePrev) {
       val id = createTxn(spark, table, txn, keyCols: _*)
-      val n = spark.read.parquet(s"${root(table)}/snapshot-$id").count().toInt
+      val n = snapshotDF(spark, table, id).count().toInt
       return (id, n, 0)
     }
     val fs = fsOf(spark, table)
     val prevId = latestId(spark, table).get
-    val prev = spark.read.parquet(s"${root(table)}/snapshot-$prevId")
+    val prev = snapshotDF(spark, table, prevId)
     // Driver holds PATH STRINGS only (∝ file count — the same listing any
     // planner holds). The stats rows themselves — whose bloom sketches can
     // be KB-MB each — are never collected: carried rows flow executor-side
@@ -1919,13 +1994,13 @@ object Manifest {
   def keyColsOf(spark: SparkSession, table: String, id: Int): Seq[String] = {
     require(hasSnapshot(spark, table, id),
       s"no snapshot-$id under $table")
-    spark.read.parquet(s"${root(table)}/snapshot-$id")
+    snapshotDF(spark, table, id)
       .schema.fieldNames.toSeq.collect { case f if f.startsWith("min_") => f.drop(4) }
   }
 
   def currentKeyCols(spark: SparkSession, table: String): Option[Seq[String]] =
     latestId(spark, table).map { id =>
-      spark.read.parquet(s"${root(table)}/snapshot-$id")
+      snapshotDF(spark, table, id)
         .schema.fieldNames.toSeq.collect { case f if f.startsWith("min_") => f.drop(4) }
     }
 
@@ -1941,7 +2016,7 @@ object Manifest {
 
   def currentProfile(spark: SparkSession, table: String): Option[Profile] =
     latestId(spark, table).map { id =>
-      val snap = spark.read.parquet(s"${root(table)}/snapshot-$id")
+      val snap = snapshotDF(spark, table, id)
       val keys = snap.schema.fieldNames.toSeq.collect {
         case f if f.startsWith("min_") => f.drop(4) }
       val blooms = snap.schema.fieldNames.toSeq.collect {
@@ -1993,7 +2068,7 @@ object Manifest {
   def files(spark: SparkSession, table: String): DataFrame = {
     val id = latestId(spark, table).getOrElse(
       throw new IllegalStateException(s"no manifest snapshot under $table"))
-    spark.read.parquet(s"${root(table)}/snapshot-$id")
+    snapshotDF(spark, table, id)
   }
 
   /** Manifest-pruned BOX scan: read ONLY the files whose per-column
@@ -2010,7 +2085,7 @@ object Manifest {
     val id = latestId(spark, table).getOrElse(
       throw new IllegalStateException(s"no manifest snapshot under $table"))
     scanBoxFrom(spark, table,
-      spark.read.parquet(s"${root(table)}/snapshot-$id"), preds,
+      snapshotDF(spark, table, id), preds,
       storedSchema(spark, table, id), physicalNames(spark, table, id),
       dvEntries(spark, table, id), useTrash = false)
   }
@@ -2027,7 +2102,7 @@ object Manifest {
       s"no snapshot-$id under $table — never created, or expired by retention " +
         "(expireSnapshots); time travel reaches only retained snapshots")
     scanBoxFrom(spark, table,
-      spark.read.parquet(s"${root(table)}/snapshot-$id"), preds,
+      snapshotDF(spark, table, id), preds,
       storedSchema(spark, table, id), physicalNames(spark, table, id),
       dvEntries(spark, table, id), useTrash = true)
   }
@@ -2117,7 +2192,7 @@ object Manifest {
                       lo: String, hi: String): (DataFrame, Int, Int) = {
     val id = latestId(spark, table).getOrElse(
       throw new IllegalStateException(s"no manifest snapshot under $table"))
-    val f = spark.read.parquet(s"${root(table)}/snapshot-$id")
+    val f = snapshotDF(spark, table, id)
     require(f.columns.contains(s"min_$keyCol"),
       s"manifest snapshot has no stats for column $keyCol")
     require(f.schema(s"min_$keyCol").dataType == StringType,
@@ -2162,7 +2237,7 @@ object Manifest {
     require(values.nonEmpty, "need at least one probe value")
     val id = latestId(spark, table).getOrElse(
       throw new IllegalStateException(s"no manifest snapshot under $table"))
-    val f = spark.read.parquet(s"${root(table)}/snapshot-$id")
+    val f = snapshotDF(spark, table, id)
     require(f.columns.contains(s"min_$keyCol"),
       s"manifest snapshot has no stats for column $keyCol")
     requireLongStatsIn(f, keyCol, "scanKeys")
@@ -2211,7 +2286,7 @@ object Manifest {
     require(values.nonEmpty, "need at least one probe value")
     val id = latestId(spark, table).getOrElse(
       throw new IllegalStateException(s"no manifest snapshot under $table"))
-    val f = spark.read.parquet(s"${root(table)}/snapshot-$id")
+    val f = snapshotDF(spark, table, id)
     require(f.columns.contains(s"bloom_$keyCol"),
       s"manifest snapshot has no bloom sketch for column $keyCol — string keys " +
         "carry no range stats; build one with createWithBloom")
@@ -2364,11 +2439,11 @@ object Manifest {
     * approximate with listing state. Returns (rows, filesAdded).
     */
   def addedSince(spark: SparkSession, table: String, sinceId: Int): (DataFrame, Int) = {
-    val since = spark.read.parquet(s"${root(table)}/snapshot-$sinceId")
+    val since = snapshotDF(spark, table, sinceId)
     val latest = latestId(spark, table).getOrElse(
       throw new IllegalStateException(s"no manifest snapshot under $table"))
     val added = plannedPaths(
-      spark.read.parquet(s"${root(table)}/snapshot-$latest")
+      snapshotDF(spark, table, latest)
         .join(since.select("file"), Seq("file"), "left_anti")
         .select("file"), table, "addedSince")
     // Read with the LATEST snapshot's schema: an increment that introduced
@@ -2404,7 +2479,7 @@ object Manifest {
       s"no snapshot-$id under $table — never created, or expired by retention " +
         "(expireSnapshots); time travel reaches only retained snapshots")
     val picked = plannedPaths(
-      spark.read.parquet(s"${root(table)}/snapshot-$id").select("file"),
+      snapshotDF(spark, table, id).select("file"),
       table, "snapshot read")
     resolveForRead(spark, table, picked, useTrash = true)
   }
@@ -2509,7 +2584,7 @@ object Manifest {
           "(expireSnapshots); the change feed reaches only retained snapshots")
     }
     def fileSet(id: Int): Set[String] =
-      spark.read.parquet(s"${root(table)}/snapshot-$id")
+      snapshotDF(spark, table, id)
         .select("file").collect().map(_.getString(0)).toSet
     val from = fileSet(fromId)
     val to = fileSet(toId)
@@ -2927,7 +3002,7 @@ object Manifest {
   private def sameTableState(spark: SparkSession, table: String,
                              a: Int, b: Int): Boolean = {
     def rels(id: Int): Set[String] = plannedPaths(
-      spark.read.parquet(s"${root(table)}/snapshot-$id").select("file"),
+      snapshotDF(spark, table, id).select("file"),
       table, "state comparison")
       .map(p => relativeTo(table, decodePath(p))).toSet
     rels(a) == rels(b) && dvUnchanged(spark, table, a, b)

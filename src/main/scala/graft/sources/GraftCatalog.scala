@@ -90,7 +90,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // Keyed by the trash-stripped RELATIVE path ([[GraftPathKey]]): names
     // alone collide across partition dirs, and trash-resolved paths still
     // match (the trash layout preserves the k=v/ segments).
-    val snapFrame = spark.read.parquet(s"$path/_graft_manifest/snapshot-$id")
+    val snapFrame = Manifest.snapshotDF(spark, path, id)
     // ONE collect serves both plan-time handoffs: exact byte lengths for
     // the descriptor index, and per-file [min, max] key stats for
     // SQL-plan-time FILE SKIPPING (GraftStatsSkip) — rows ∝ file count,
