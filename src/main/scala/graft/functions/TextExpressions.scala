@@ -127,6 +127,94 @@ object TokenTextStats {
   }
 }
 
+/** CDC chunk-boundary positions in ONE compiled pass over the token array —
+  * the positions `i ∈ [windowK-1, n-2]` whose gram hash
+  * `conv(substring(md5(concat_ws(" ", slice(toks, i-(windowK-2), windowK))), 1, 15), 16, 10)`
+  * is ≡ 0 (mod divisor). The higher-order formulation it replaces
+  * (`filter(sequence(...), i => md5-of-sliced-gram ...)`) evaluates the md5
+  * chain through INTERPRETED lambda machinery per token position — slice
+  * allocates a Catalyst array, concat_ws builds a UTF8String, md5 renders a
+  * hex string, conv re-parses it — and dominated `dedup_cdc_chunks` /
+  * `pipeline_cdc_chunk` (guide §4: keep hot per-row work codegen'd).
+  *
+  * Value-compatible with that tree bit-for-bit (the DuckDB oracle replays
+  * it): the gram joins the k tokens with single spaces skipping nulls
+  * (concat_ws semantics), the hash takes the md5 digest's first 15 hex
+  * nibbles as the top 60 bits of the first 8 digest bytes, and n ≤ windowK
+  * yields the empty array (the caller's `when(n > windowK, …)` guard).
+  */
+case class CdcBoundaries(child: Expression, windowK: Int, divisor: Int)
+    extends UnaryExpression with Serializable {
+  require(windowK > 0 && divisor > 0,
+    s"need positive (windowK, divisor), got ($windowK, $divisor)")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cdc_boundaries requires array<string>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    CdcBoundaries.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      windowK, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CdcBoundaries.compute($c, $windowK, $divisor);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcBoundaries {
+  private val Space = Array[Byte](' ')
+
+  /** Static helper shared by interpreted eval and generated code. */
+  def compute(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+              windowK: Int, divisor: Int): GenericArrayData = {
+    val n = toks.numElements()
+    if (n <= windowK) return new GenericArrayData(Array.empty[Int])
+    // Token bytes extracted ONCE per row (not once per position × k).
+    val bytes = new Array[Array[Byte]](n)
+    var j = 0
+    while (j < n) {
+      bytes(j) = if (toks.isNullAt(j)) null else toks.getUTF8String(j).getBytes
+      j += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new scala.collection.mutable.ArrayBuffer[Int](n / divisor + 4)
+    var i = windowK - 1
+    while (i <= n - 2) {
+      val start = i - windowK + 1 // 0-based first token of the gram
+      md.reset()
+      var first = true
+      var g = start
+      while (g <= i) {
+        if (bytes(g) != null) { // concat_ws skips nulls, no separator
+          if (!first) md.update(Space)
+          md.update(bytes(g))
+          first = false
+        }
+        g += 1
+      }
+      val d = md.digest()
+      // First 15 hex nibbles == top 60 bits of the first 8 digest bytes.
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = v >>> 4
+      if (v % divisor == 0) out += i
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object TextExpressions {
   /** Codegen'd one-pass text statistics struct (see [[TokenTextStats]]).
     * `langMarkers` must be pre-sorted by language code — `lang_hits` follows
@@ -135,4 +223,8 @@ object TextExpressions {
   def token_text_stats(text: Column, langMarkers: Seq[(String, Seq[String])],
                        stopwords: Seq[String]): Column =
     ColumnShim.column(TokenTextStats(ColumnShim.expression(text), langMarkers, stopwords))
+
+  /** Codegen'd CDC boundary scan (see [[CdcBoundaries]]). */
+  def cdc_boundaries(tokens: Column, windowK: Int, divisor: Int): Column =
+    ColumnShim.column(CdcBoundaries(ColumnShim.expression(tokens), windowK, divisor))
 }

@@ -298,15 +298,14 @@ object TextAnalysis {
       s"need positive (windowK, divisor, maxChunkTokens), got ($windowK, $divisor, $maxChunkTokens)")
     val toks = col("__words")
     val n = size(toks)
-    def gramHash(i: Column): Column =
-      conv(substring(md5(concat_ws(" ", slice(toks, i - (windowK - 2), lit(windowK)))), 1, 15),
-        16, 10).cast("long")
     // Boundary positions: grams exist only for windowK-1 <= i <= n-2 (a
     // boundary at the last token is a no-op and is excluded so chunk starts
-    // stay < n). sequence() descends when stop < start — hence the guard.
-    val bpos = when(n > windowK,
-        filter(sequence(lit(windowK - 1), n - 2), i => gramHash(i) % divisor === 0))
-      .otherwise(array().cast("array<int>"))
+    // stay < n), hashed as conv(substring(md5(gram), 1, 15), 16, 10) %
+    // divisor == 0 — computed by ONE compiled expression
+    // ([[graft.functions.CdcBoundaries]], value-identical to the
+    // higher-order filter/slice/md5 tree it replaces, which evaluated the
+    // md5 chain interpreted per token position and dominated the chunker).
+    val bpos = graft.functions.TextExpressions.cdc_boundaries(toks, windowK, divisor)
     // Natural chunk starts {0} ∪ {p+1 : boundary p}, then cap droughts:
     // within [s, e) force starts every maxChunkTokens from s.
     val naturalStarts = concat(array(lit(0)), transform(bpos, p => p + 1))

@@ -98,4 +98,39 @@ class TextExpressionsSpec extends SparkSpec {
   test("simhash_sig is bit-identical to the interpreted fold on the sf0.001 corpus") {
     compareSimhash(spark.read.parquet(s"$sf001/documents.parquet").select("text"))
   }
+
+  /** The higher-order tree [[graft.functions.CdcBoundaries]] replaced —
+    * evaluated side by side, it must match bit-for-bit (same md5-derived
+    * gram hash, same concat_ws null skipping, same n ≤ k empty guard).
+    */
+  private def hofBoundaries(toks: org.apache.spark.sql.Column, k: Int,
+                            div: Int): org.apache.spark.sql.Column = {
+    val n = size(toks)
+    def gramHash(i: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat_ws(" ", slice(toks, i - (k - 2), lit(k)))), 1, 15),
+        16, 10).cast("long")
+    when(n > k, filter(sequence(lit(k - 1), n - 2), i => gramHash(i) % div === 0))
+      .otherwise(array().cast("array<int>"))
+  }
+
+  test("cdc_boundaries is bit-identical to the higher-order md5 tree") {
+    val docs = Seq(
+      "", "a", "a b", "a b c", "a b c d",
+      "the quick brown fox jumps over the lazy dog " * 30,
+      "x " * 400, "éàü unicode tokens here and more of them repeated " * 10
+    ).toDF("text").select(split(trim(col("text")), "\\s+").as("toks"))
+    // plus a null-element array (concat_ws skips nulls without a separator)
+    val withNulls = Seq(1).toDF("i").select(
+      array(lit("a"), lit(null).cast("string"), lit("b"), lit("c"), lit("d"),
+        lit("e")).as("toks"))
+    Seq((3, 8), (3, 32), (5, 4)).foreach { case (k, div) =>
+      docs.unionByName(withNulls).select(
+          graft.functions.TextExpressions.cdc_boundaries(col("toks"), k, div)
+            .as("compiled"),
+          hofBoundaries(col("toks"), k, div).as("golden"))
+        .collect().foreach { r =>
+          assert(r.getSeq[Int](0) == r.getSeq[Int](1), s"(k=$k, div=$div)")
+        }
+    }
+  }
 }
