@@ -461,8 +461,8 @@ object Layout {
       val k = orderedLong(keyCol, pickedDf)
       pickedDf.filter(!k.between(lo, hi) || k.isNull)
         .write.partitionBy(partCols: _*).mode("overwrite").parquet(stage)
-      val survivorRows = stagedRowCount(spark, fs, stage)
-      commitReplacePartitioned(spark, fs, path, picked, stage, keys)
+      // Survivor count from the commit's own stats — no second read pass.
+      val survivorRows = commitReplacePartitioned(spark, fs, path, picked, stage, keys)
       DeleteResult(picked.length, total, rowsBefore - survivorRows)
     } else {
       // 1. stage the survivors (decode/encode limited to the picked files)
@@ -473,8 +473,8 @@ object Layout {
       val k = orderedLong(keyCol, pickedDf)
       pickedDf.filter(!k.between(lo, hi) || k.isNull)
         .write.mode("overwrite").parquet(stage)
-      val survivorRows = stagedRowCount(spark, fs, stage)
-      commitReplace(spark, fs, path, picked, stage, keys)
+      // Survivor count from the commit's own stats — no second read pass.
+      val survivorRows = commitReplace(spark, fs, path, picked, stage, keys)
       DeleteResult(picked.length, total, rowsBefore - survivorRows)
     }
     }
@@ -572,24 +572,14 @@ object Layout {
       if (partitioned) {
         pickedDf.write.partitionBy(partitionColsOf(path, picked): _*)
           .mode("overwrite").parquet(stage)
-        commitReplacePartitioned(spark, fs, path, picked, stage, keys)
+        commitReplacePartitioned(spark, fs, path, picked, stage, keys): Unit
       } else {
         pickedDf.write.mode("overwrite").parquet(stage)
-        commitReplace(spark, fs, path, picked, stage, keys)
+        commitReplace(spark, fs, path, picked, stage, keys): Unit
       }
       picked.length
     }
   }
-
-  /** Rows in the staged replacement dir — zero when the stage holds no
-    * data files (a parquet read of a `_SUCCESS`-only dir cannot infer a
-    * schema, so guard before counting).
-    */
-  private def stagedRowCount(spark: SparkSession,
-                             fs: org.apache.hadoop.fs.FileSystem,
-                             stage: String): Long =
-    if (FsMaint.dataFileCount(fs, new Path(stage)) == 0) 0L
-    else spark.read.parquet(stage).count()
 
   private val PartStageSuffix = "__delnewp"
   private val PartJournalSuffix = "__deletingp"
@@ -656,7 +646,7 @@ object Layout {
       readPickedPinned(spark, path, picked).repartition(nFiles)
         .write.partitionBy(partitionColsOf(path, picked): _*)
         .mode("overwrite").parquet(stage)
-      commitReplacePartitioned(spark, fs, path, picked, stage, keys)
+      commitReplacePartitioned(spark, fs, path, picked, stage, keys): Unit
       nFiles
     }
   }
@@ -765,12 +755,18 @@ object Layout {
     * neither place mid-move) — the flat swap's loud-unavailability
     * contract, at file scope.
     */
+  /** Returns the committed snapshot's row count over the staged (added)
+    * files — from the commit's OWN stats rows, so callers needing the
+    * staged row count never pay a second read pass over the rewrite
+    * (guide §1.2: don't compute things twice; at scale the stage is the
+    * mutation-sized data itself).
+    */
   private def commitReplacePartitioned(spark: SparkSession,
                                        fs: org.apache.hadoop.fs.FileSystem,
                                        path: String, picked: Seq[String],
                                        stage: String, keys: Seq[String],
                                        txn: Option[(String, Long)] = None,
-                                       dv: Manifest.DvCarry = Manifest.DvInherit): Unit = {
+                                       dv: Manifest.DvCarry = Manifest.DvInherit): Long = {
     val staged = stagedRels(fs, stage)
     val doomed = picked.map(p => Manifest.relativeTo(path, Manifest.decodePath(p)))
     val journal = new Path(path + PartJournalSuffix)
@@ -783,10 +779,12 @@ object Layout {
     if (!fs.rename(jtmp, journal))
       throw new java.io.IOException(s"cow journal commit failed: $journal")
     movePartitionedCommit(fs, path, stage, doomed, staged)
-    Manifest.commitReplaced(spark, path, keys, picked.toSet,
-      staged.map(r => s"$path/$r"), txn, dv)
+    val addedPaths = staged.map(r => s"$path/$r")
+    val id = Manifest.commitReplaced(spark, path, keys, picked.toSet,
+      addedPaths, txn, dv)
     fs.delete(journal, false)
     FsMaint.deleteRecursively(fs, new Path(stage))
+    Manifest.rowsOfFiles(spark, path, id, addedPaths)
   }
 
   /** Heal an interrupted PARTITIONED COW commit: no journal means nothing
@@ -828,7 +826,7 @@ object Layout {
                             path: String, picked: Seq[String], stage: String,
                             keys: Seq[String],
                             txn: Option[(String, Long)] = None,
-                            dv: Manifest.DvCarry = Manifest.DvInherit): Unit = {
+                            dv: Manifest.DvCarry = Manifest.DvInherit): Long = {
     val stagedFiles = fs.listStatus(new Path(stage))
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.getName).toIndexedSeq
@@ -862,8 +860,9 @@ object Layout {
     if (fs.exists(mOld) && !fs.exists(mNew)) { fs.rename(mOld, mNew): Unit }
     // earlier mutations' retained history crosses the swap the same way
     carryTrash(fs, old, path)
-    Manifest.commitReplaced(spark, path, keys, picked.toSet,
-      stagedFiles.map(n => s"$path/$n"), txn, dv)
+    val addedPaths = stagedFiles.map(n => s"$path/$n")
+    val id = Manifest.commitReplaced(spark, path, keys, picked.toSet,
+      addedPaths, txn, dv)
     // 7. RETAIN the replaced originals: move them into the hidden trash
     // dir (metadata renames) instead of deleting — time travel and the
     // change feed read pre-mutation snapshots through the trash until
@@ -871,6 +870,7 @@ object Layout {
     // keeps direct parquet reads blind to them.
     retainReplaced(fs, path, old)
     fs.delete(journal, false): Unit
+    Manifest.rowsOfFiles(spark, path, id, addedPaths)
   }
 
   /** Carry earlier mutations' retained history (`_graft_trash`) from the
@@ -1311,10 +1311,10 @@ object Layout {
     if (partitioned) {
       survivors.write.partitionBy(partitionColsOf(path, picked): _*)
         .mode("overwrite").parquet(stage)
-      commitReplacePartitioned(spark, fs, path, picked, stage, keys, txn)
+      commitReplacePartitioned(spark, fs, path, picked, stage, keys, txn): Unit
     } else {
       survivors.write.mode("overwrite").parquet(stage)
-      commitReplace(spark, fs, path, picked, stage, keys, txn)
+      commitReplace(spark, fs, path, picked, stage, keys, txn): Unit
     }
     MergeResult(picked.length, total, matched, nDelta - matched)
     }
@@ -1580,10 +1580,10 @@ object Layout {
           if (partitioned) {
             survivors.write.partitionBy(partitionColsOf(path, commitPicked): _*)
               .mode("overwrite").parquet(stage)
-            commitReplacePartitioned(spark, fs, path, commitPicked, stage, keys)
+            commitReplacePartitioned(spark, fs, path, commitPicked, stage, keys): Unit
           } else {
             survivors.write.mode("overwrite").parquet(stage)
-            commitReplace(spark, fs, path, commitPicked, stage, keys)
+            commitReplace(spark, fs, path, commitPicked, stage, keys): Unit
           }
           MergeRowResult(commitPicked.length, total, updated, deleted, nUp - updated)
         }
@@ -1826,23 +1826,27 @@ object Layout {
       // 1b. stage the SURVIVORS of a range overwrite: picked files may hold
       // out-of-range rows (NULL keys are outside every range and survive —
       // the [[deleteRange]] contract).
-      val survivorRows = target match {
+      target match {
         case OverwriteRange(keyCol, lo, hi) if picked.nonEmpty =>
           val k = orderedLong(keyCol, pickedDf)
-          val survivors = pickedDf.filter(!k.between(lo, hi) || k.isNull)
-          stageWrite(survivors)
-          stagedRowCount(spark, fs, stage) - newRows
-        case _ => 0L
+          stageWrite(pickedDf.filter(!k.between(lo, hi) || k.isNull))
+        case _ => ()
       }
       if (picked.isEmpty && stagedNew == 0) {
         // Nothing doomed, nothing inserted — a provable no-op.
         FsMaint.deleteRecursively(fs, new Path(stage))
         return OverwriteResult(0, total, 0L, 0L)
       }
-      if (partitioned)
-        commitReplacePartitioned(spark, fs, path, picked, stage, keys)
-      else commitReplace(spark, fs, path, picked, stage, keys)
-      OverwriteResult(picked.length, total, rowsBefore - survivorRows, newRows)
+      // The commit's stats count every staged file (survivors + inserts);
+      // subtracting the inserted rows recovers the survivor count with no
+      // second read pass over the stage (zero for non-range targets, whose
+      // stage holds only the new data).
+      val addedRows =
+        if (partitioned)
+          commitReplacePartitioned(spark, fs, path, picked, stage, keys)
+        else commitReplace(spark, fs, path, picked, stage, keys)
+      OverwriteResult(picked.length, total,
+        rowsBefore - (addedRows - newRows), newRows)
     }
   }
 
@@ -2004,8 +2008,8 @@ object Layout {
       }
       if (partitioned)
         commitReplacePartitioned(spark, fs, path, toRemove, stage, keys,
-          dv = dvCarry)
-      else commitReplace(spark, fs, path, toRemove, stage, keys, dv = dvCarry)
+          dv = dvCarry): Unit
+      else commitReplace(spark, fs, path, toRemove, stage, keys, dv = dvCarry): Unit
       RestoreResult(Manifest.latestSnapshotId(spark, path).get,
         toRevive.size, toRemove.size, restored.size - toRevive.size)
     }

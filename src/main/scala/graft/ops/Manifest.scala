@@ -198,6 +198,22 @@ object Manifest {
   private[graft] def clearSnapshotCache(): Unit =
     snapCache.synchronized(snapCache.clear())
 
+  /** Sum of `n_rows` over snapshot `id`'s entries for exactly `paths` —
+    * the staged-rewrite row count a COW commit already computed in its
+    * stats scan, so callers never pay a second read pass over the staged
+    * files to learn it. Path identity is the scheme-less absolute form
+    * (snapshot entries are URL-encoded `input_file_name` strings).
+    */
+  private[ops] def rowsOfFiles(spark: SparkSession, table: String, id: Int,
+                               paths: Seq[String]): Long = {
+    if (paths.isEmpty) return 0L
+    val want = paths.map(p => decodePath(p).toUri.getPath).toSet
+    snapshotDF(spark, table, id).select("file", "n_rows").collect()
+      .iterator
+      .filter(r => want(decodePath(r.getString(0)).toUri.getPath))
+      .map(_.getLong(1)).sum
+  }
+
   private def trashDir(table: String) = new Path(table, "_graft_trash")
 
   /** The key column normalized to the long domain its stats live in.
