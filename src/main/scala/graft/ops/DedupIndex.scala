@@ -78,6 +78,14 @@ final class DurableMinHashIndex(
   private def idBucket(c: org.apache.spark.sql.Column) =
     pmod(xxhash64(c), lit(idBuckets))
 
+  /** Partition count for the bucket-aligned store writes: one task per
+    * bucket when cores allow, never more tasks than buckets (a bucket's
+    * rows hash to one task either way, so each bucket still gets exactly
+    * one file per write).
+    */
+  private def storeWriteParallelism: Int =
+    math.min(idBuckets, spark.sparkContext.defaultParallelism)
+
   /** Probe the persisted index with `incoming`, return verified near-dup
     * pairs `(id_a, id_b, jaccard)` with `id_a < id_b` where at least one
     * side is from this batch (base–base pairs were found when those batches
@@ -164,8 +172,13 @@ final class DurableMinHashIndex(
       // it every write task emits a file into every touched bucket
       // (tasks × buckets tiny files per ingest); with it each bucket gets
       // exactly one file per ingest, at the cost of one batch-sized shuffle.
+      // The EXPLICIT partition count keeps the write tasks parallel: AQE
+      // coalesces a bare repartition(col) of a small batch to ONE task,
+      // which then opens every touched bucket's writer serially (measured
+      // ~1.0 s vs 0.37 s for a KB-sized 64-bucket append — WriteProbe);
+      // hashing on id_bucket still lands each bucket in exactly one task.
       shingled.withColumn("id_bucket", idBucket(col("id")))
-        .repartition(col("id_bucket"))
+        .repartition(storeWriteParallelism, col("id_bucket"))
         .write.mode("append").partitionBy("id_bucket").parquet(shinglesPath)
       newBuckets.write.mode("append").parquet(bucketsPath)
       verified
@@ -214,7 +227,7 @@ final class DurableMinHashIndex(
         spark.read.parquet(shinglesPath)
           .join(live, Seq("id"), "left_semi")
           .dropDuplicates("id")
-          .repartition(col("id_bucket"))
+          .repartition(storeWriteParallelism, col("id_bucket"))
           .write.mode("overwrite").partitionBy("id_bucket").parquet(tmp2)
         swapIn(shinglesPath, tmp2)
       }

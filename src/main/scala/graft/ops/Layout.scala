@@ -356,8 +356,12 @@ object Layout {
       val manifestKeys = Manifest.currentProfile(spark, path)
       val tmp = path + "__compacting"
       // mergeSchema: see compactTable — rewrites must carry the union schema.
+      // Explicit partition count keeps the per-dir writers PARALLEL (AQE
+      // coalesces a bare repartition(col) of a small table to one task,
+      // which opens every partition's writer serially); hashing on partCol
+      // still gives each partition value exactly one file per write.
       readTableForRewrite(spark, path)
-        .repartition(col(partCol)) // one file per partition value per write
+        .repartition(spark.sparkContext.defaultParallelism, col(partCol))
         .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
       swapAndRefresh(spark, fs, path, tmp, manifestKeys)
     }
