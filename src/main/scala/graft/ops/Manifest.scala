@@ -145,10 +145,29 @@ object Manifest {
                                      rows: Array[org.apache.spark.sql.Row])
   /** Per-entry cap: bigger snapshots are never collected for the cache. */
   private[graft] var snapCacheEntryMaxBytes: Long = 32L << 20
-  /** Total budget across entries; least-recently-used evicted past it. */
+  /** Total budget across entries; least-recently-used evicted past it.
+    * Accounted in estimated DRIVER-HEAP bytes of the collected rows, not
+    * on-disk parquet bytes — compressed long-typed stats expand several
+    * fold as Row objects, so a disk-byte budget could pin far more heap
+    * than it claims.
+    */
   private[graft] var snapCacheTotalBytes: Long = 256L << 20
   private val snapCache =
     new java.util.LinkedHashMap[String, SnapEntry](64, 0.75f, true)
+  /** Admission ledger: dir → last signature seen. A snapshot is only
+    * collected into the cache when its signature is seen a SECOND time —
+    * churn-heavy paths (sync-converge/restat loops publish a new snapshot
+    * every cycle and read it once) never earn the eager full-column
+    * collect that regressed them when the cache admitted on first sight
+    * (sync_converge 3.97→5.45 s driver-side, round 19); repeated-access
+    * paths (SQL DML/branch lifecycles, 30–60 reads per snapshot) still
+    * cache from access #2 on. Bounded LRU: entries are two short strings.
+    */
+  private val snapSeen =
+    new java.util.LinkedHashMap[String, String](128, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, String]): Boolean = size() > 1024
+    }
 
   /** The snapshot's stat frame — cached driver-side when metadata-sized
     * (see [[SnapEntry]]); identical error shape to the direct read when
@@ -176,9 +195,16 @@ object Manifest {
       if (hit != null && hit.sig == sig) return localDF(hit)
     }
     val df = spark.read.parquet(dir)
-    if (dataBytes > snapCacheEntryMaxBytes) df
+    val seenBefore = snapCache.synchronized {
+      val prev = snapSeen.put(dir, sig)
+      prev == sig
+    }
+    if (!seenBefore || dataBytes > snapCacheEntryMaxBytes) df
     else {
-      val entry = SnapEntry(sig, dataBytes, df.schema, df.collect())
+      val rows = df.collect()
+      val memBytes = math.max(dataBytes,
+        org.apache.spark.util.SizeEstimator.estimate(rows))
+      val entry = SnapEntry(sig, memBytes, df.schema, rows)
       snapCache.synchronized {
         snapCache.remove(dir)
         snapCache.put(dir, entry)
@@ -194,9 +220,13 @@ object Manifest {
     }
   }
 
+  /** Test seam: number of collected entries currently held. */
+  private[graft] def snapshotCacheSize: Int =
+    snapCache.synchronized(snapCache.size())
+
   /** Test/maintenance seam: drop every cached snapshot entry. */
   private[graft] def clearSnapshotCache(): Unit =
-    snapCache.synchronized(snapCache.clear())
+    snapCache.synchronized { snapCache.clear(); snapSeen.clear() }
 
   /** Sum of `n_rows` over snapshot `id`'s entries for exactly `paths` —
     * the staged-rewrite row count a COW commit already computed in its
